@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session + table helpers shared by the engine, Verify, Bench and tests. */
+object Graft {
+
+  /** Build a local session tuned for this container (32 threads, AQE on).
+    * On a real cluster the same conf minus `master` applies; AQE handles
+    * skew-joins and shuffle-partition coalescing at 100 TB. */
+  def session(appName: String = "graft",
+              master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Load one testdata table (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /**
+   * Empty-string ≙ null normal form used by every validation / normalization
+   * operator: the reference treats null and "" interchangeably
+   * (`crates/tss-submit/src/validate/column_reader.rs:93-107`).
+   */
+  def txt(c: Column): Column = trim(coalesce(c.cast("string"), lit("")))
+
+  /** Null-or-blank predicate in the same normal form. */
+  def isBlank(c: Column): Column = txt(c) === ""
+}

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify output
+against DuckDB oracles. Usage: check_verify.py <sfDir> <outDir>"""
+import sys, os, json, glob
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails, okc, skip = [], 0, 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_path = f"{outdir}/{name}"
+    files = glob.glob(f"{spark_path}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output")); continue
+    try:
+        got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
+        exp = con.sql(sql).df()
+    except Exception as e:
+        fails.append((name, f"query error: {e}")); continue
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        fails.append((name, f"schema mismatch: spark={gcols} oracle={ecols}")); continue
+    g = got[gcols].sort_values(gcols, kind="mergesort").reset_index(drop=True)
+    e = exp[ecols].sort_values(ecols, kind="mergesort").reset_index(drop=True)
+    if len(g) != len(e):
+        fails.append((name, f"row count: spark={len(g)} oracle={len(e)}")); continue
+    bad = None
+    for c in gcols:
+        gv, ev = g[c], e[c]
+        try:
+            import pandas as pd
+            eq = (gv.isna() & ev.isna()) | (gv == ev)
+            if not eq.all():
+                i = (~eq).idxmax()
+                bad = f"col {c} row {i}: spark={gv[i]!r} oracle={ev[i]!r}"
+                break
+        except Exception as ex:
+            bad = f"col {c} compare error: {ex}"; break
+    if bad: fails.append((name, bad))
+    else: okc += 1
+
+for name, msg in fails:
+    print(f"FAIL {name}: {msg}")
+print(f"\n{okc} ok, {len(fails)} failed, {skip} skipped (of {len(oracle)})")
+sys.exit(1 if fails else 0)
