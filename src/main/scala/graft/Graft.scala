@@ -18,6 +18,9 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
+      // read as long and rebuild micros in events() below.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,6 +31,16 @@ object Graft {
   /** Load one testdata table (TESTDATA.md). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events table with `ts` rebuilt as a micros TimestampType (the parquet
+    * file stores TIMESTAMP(NANOS), which Spark reads as long — truncation to
+    * micros matches DuckDB's internal micros representation). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
 
   /**
    * Empty-string ≙ null normal form used by every validation / normalization

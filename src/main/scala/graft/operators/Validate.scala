@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.{isBlank, txt}
+
+/** Typed validation finding (issue.rs:47-141 has 17 variants; we model the
+  * shared shape: domain, variable, kind, severity, count, samples). */
+case class Issue(
+    domain: String,
+    variable: String,
+    kind: String,
+    severity: String, // Reject | Error | Warning | Info
+    count: Long,
+    samples: Seq[String])
+
+/**
+ * Per-domain validation checks V1-V8 (SURVEY §2.5) and cross-domain checks
+ * X1-X5 (§2.6), re-expressed as Spark aggregations and broadcast anti-joins.
+ *
+ * Shape studied from the check modules under `crates/tss-submit/src/validate/checks/` and
+ * `validate/cross_domain.rs`. The reference walks every column row-by-row;
+ * here each per-domain check is one `Column` aggregate so ALL checks over a
+ * domain fuse into a single scan (`df.agg(exprs:_*)`) — the design that
+ * survives 100 TB: one pass, no collect, samples via `slice(sort_array(
+ * collect_set))` capped at 5.
+ */
+object Validate {
+
+  /** Anchored ISO-8601 regex with range-validated month/day/hour
+    * (dates.rs:19-24). */
+  val IsoDateRegex: String =
+    "^\\d{4}(-(0[1-9]|1[0-2])(-(0[1-9]|[12]\\d|3[01])" +
+      "(T([01]\\d|2[0-3]):[0-5]\\d(:[0-5]\\d(\\.\\d+)?)?)?)?)?$"
+
+  /** Numeric-shape regex shared by V3 and hints. */
+  val NumericRegex: String = "^[+-]?((\\d+\\.?\\d*)|(\\.\\d+))([eE][+-]?\\d+)?$"
+
+  // ---- V1/V2/V7: null-or-blank population counts ---------------------------
+  def blankCount(c: Column): Column = sum(when(isBlank(c), 1L).otherwise(0L))
+
+  def nonBlankCount(c: Column): Column = sum(when(isBlank(c), 0L).otherwise(1L))
+
+  // ---- V3: type conformance -------------------------------------------------
+  def nonNumericCount(c: Column): Column =
+    sum(when(!isBlank(c) && !txt(c).rlike(NumericRegex), 1L).otherwise(0L))
+
+  // ---- V4: ISO-8601 conformance --------------------------------------------
+  def nonIsoDateCount(c: Column): Column =
+    sum(when(!isBlank(c) && !txt(c).rlike(IsoDateRegex), 1L).otherwise(0L))
+
+  // ---- V6: declared-length violations ---------------------------------------
+  def lengthViolations(c: Column, maxLen: Int): Column =
+    sum(when(length(txt(c)) > maxLen, 1L).otherwise(0L))
+
+  def maxObservedLength(c: Column): Column = max(length(txt(c)))
+
+  /** Up to five deterministic sample values matching a predicate — the
+    * reference's MAX_INVALID_VALUES=5 samples, made order-stable. */
+  def samples(c: Column, bad: Column, n: Int = 5): Column =
+    slice(sort_array(collect_set(when(bad, txt(c)))), 1, n)
+
+  // ---- V5: duplicate sequence numbers within a subject ----------------------
+  /** Count of surplus rows: sum(count-1) over duplicated (subject, seq). */
+  def duplicateSeqCount(df: DataFrame, subject: String, seq: String): DataFrame =
+    df.groupBy(txt(col(subject)).as("subj"), col(seq))
+      .count()
+      .where(col("count") > 1)
+      .agg(coalesce(sum(col("count") - 1), lit(0L)).as("dup_rows"),
+        count(lit(1)).as("dup_keys"))
+
+  // ---- V8: controlled terminology --------------------------------------------
+  /** Distinct values of `c` that resolve to no submission value or synonym.
+    * codelistDf: one column `allowed` of uppercased valid spellings; tiny →
+    * broadcast left-anti. */
+  def invalidCtValues(df: DataFrame, c: Column, codelistDf: DataFrame): DataFrame = {
+    val vals = df.select(upper(txt(c)).as("v")).where(col("v") =!= "").distinct()
+    vals.join(broadcast(codelistDf.select(upper(col("allowed")).as("v"))), Seq("v"), "left_anti")
+  }
+
+  // ---- X1: USUBJID referential integrity vs DM -------------------------------
+  /** Rows of `domain` whose subject key is absent from `dm` — keys side is
+    * distinct + broadcast (subject dimension ≪ facts). */
+  def orphanSubjects(domain: DataFrame, dm: DataFrame, key: String): DataFrame = {
+    val dmKeys = dm.select(txt(col(key)).as(key)).distinct()
+    domain.withColumn(key, txt(col(key)))
+      .join(broadcast(dmKeys), Seq(key), "left_anti")
+  }
+
+  // ---- X2: RDOMAIN must name a submitted domain ------------------------------
+  def invalidRdomain(df: DataFrame, rdomain: String, domains: Seq[String]): DataFrame =
+    df.where(!isBlank(col(rdomain)) && !upper(txt(col(rdomain))).isin(domains.map(_.toUpperCase): _*))
+
+  // ---- X3: bidirectional relationship pairs ----------------------------------
+  /** Pairs (u, r) with no reciprocal (r, u) in the same frame — a self
+    * anti-join on the swapped key. */
+  def missingReciprocal(pairs: DataFrame, u: String, r: String): DataFrame = {
+    val swapped = pairs.select(txt(col(r)).as(u), txt(col(u)).as(r)).distinct()
+    pairs.select(txt(col(u)).as(u), txt(col(r)).as(r)).distinct()
+      .join(swapped, Seq(u, r), "left_anti")
+  }
+
+  // ---- X4: parent chain within a subject --------------------------------------
+  /** Rows whose non-empty PARENT matches no REFID of the same subject. */
+  def brokenParentChain(df: DataFrame, subject: String, parent: String, refid: String): DataFrame = {
+    val refids = df.select(txt(col(subject)).as(subject), txt(col(refid)).as(parent)).distinct()
+    df.where(!isBlank(col(parent)))
+      .select(txt(col(subject)).as(subject), txt(col(parent)).as(parent)).distinct()
+      .join(refids, Seq(subject, parent), "left_anti")
+  }
+
+  // ---- X5: record references (RELREC) ------------------------------------------
+  /** Build the union key table (domain, idvar, value) from per-domain key
+    * columns, then anti-join references against it. keyCols: domain code →
+    * (DataFrame, key column names). */
+  def relrecKeyTable(domains: Map[String, (DataFrame, Seq[String])]): DataFrame = {
+    val frames = for {
+      (code, (df, cols)) <- domains.toSeq.sortBy(_._1)
+      c <- cols if df.columns.contains(c)
+    } yield df.select(lit(code.toUpperCase).as("rdomain"), lit(c.toUpperCase).as("idvar"),
+      txt(col(c)).as("idvarval")).where(col("idvarval") =!= "").distinct()
+    frames.reduce(_ unionByName _).distinct()
+  }
+
+  def danglingRecordRefs(relrec: DataFrame, keys: DataFrame,
+      rdomain: String = "rdomain", idvar: String = "idvar", idvarval: String = "idvarval"): DataFrame =
+    relrec
+      .select(upper(txt(col(rdomain))).as("rdomain"), upper(txt(col(idvar))).as("idvar"),
+        txt(col(idvarval)).as("idvarval"))
+      .where(col("idvarval") =!= "")
+      .join(broadcast(keys), Seq("rdomain", "idvar", "idvarval"), "left_anti")
+}

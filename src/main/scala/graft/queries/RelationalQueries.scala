@@ -56,9 +56,12 @@ object RelationalQueries {
     }),
 
     "q4_anti_join" -> ((s, dir) => {
-      // Customers that never ordered, per nation (left_anti == NOT EXISTS).
+      // Customers with no order before the cutoff, per nation
+      // (left_anti == NOT EXISTS); filter reaches the orders scan.
       val c = table(s, dir, "customer")
-      val o = table(s, dir, "orders").select(col("o_custkey"))
+      val o = table(s, dir, "orders")
+        .where(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+        .select(col("o_custkey"))
       val n = table(s, dir, "nation")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -124,7 +127,8 @@ object RelationalQueries {
     "q4_anti_join" ->
       """SELECT n_name, COUNT(*) AS n_lost
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q5_window_topn" ->
