@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++
       NormalizeQueries.defs ++
-      ValidateQueries.defs
+      ValidateQueries.defs ++
+      MappingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       NormalizeQueries.oracles ++
-      ValidateQueries.oracles
+      ValidateQueries.oracles ++
+      MappingQueries.oracles
 }

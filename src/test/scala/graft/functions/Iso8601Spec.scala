@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Format-cascade matrix ported from the reference's datetime tests
+  * (`normalization/datetime.rs:304-369`) plus precision-preservation and
+  * preserve-original-on-failure pins. */
+class Iso8601Spec extends AnyFunSuite {
+
+  test("already-ISO values pass through verbatim") {
+    for (v <- Seq("2024", "2024-01", "2024-01-15", "2024-01-15T10:30",
+        "2024-01-15T10:30:45"))
+      assert(Iso8601.toIso8601(v) == v)
+  }
+
+  test("loose ISO shapes are preserved even when out of range") {
+    // structural check only — 2024-13 looks ISO and is kept (datetime.rs:100)
+    assert(Iso8601.toIso8601("2024-13") == "2024-13")
+  }
+
+  test("date format cascade") {
+    val expect = "2024-01-15"
+    for (v <- Seq("2024/01/15", "15-Jan-2024", "15-January-2024",
+        "15/01/2024", "15.01.2024", "20240115", "Jan 15, 2024",
+        "January 15, 2024", "15 Jan 2024", "15 January 2024",
+        "2024-Jan-15", "15-01-2024"))
+      assert(Iso8601.toIso8601(v) == expect, s"for input $v")
+  }
+
+  test("US format when unambiguous (month > 12 on euro read)") {
+    assert(Iso8601.toIso8601("01/15/2024") == "2024-01-15")
+  }
+
+  test("European day-first wins on ambiguous dates") {
+    assert(Iso8601.toIso8601("05/03/2024") == "2024-03-05")
+  }
+
+  test("datetime formats") {
+    assert(Iso8601.toIso8601("2024-01-15 10:30:45") == "2024-01-15T10:30:45")
+    assert(Iso8601.toIso8601("15-Jan-2024 10:30") == "2024-01-15T10:30:00")
+    assert(Iso8601.toIso8601("2024/01/15 10:30") == "2024-01-15T10:30:00")
+  }
+
+  test("partial precision is preserved, never padded") {
+    assert(Iso8601.toIso8601("Jan 2024") == "2024-01")
+    assert(Iso8601.toIso8601("January 2024") == "2024-01")
+    assert(Iso8601.toIso8601("01/2024") == "2024-01")
+    assert(Iso8601.toIso8601("2003-12") == "2003-12")
+    assert(Iso8601.toIso8601("1999") == "1999")
+  }
+
+  test("unparseable input is preserved, not nulled") {
+    for (v <- Seq("not a date", "99/99/9999", "tomorrow"))
+      assert(Iso8601.toIso8601(v) == v)
+  }
+
+  test("null and empty → empty") {
+    assert(Iso8601.toIso8601(null) == "")
+    assert(Iso8601.toIso8601("") == "")
+    assert(Iso8601.toIso8601("  ") == "")
+  }
+
+  test("study day has no day zero") {
+    assert(Iso8601.studyDay("2024-01-10", "2024-01-10").contains(1))
+    assert(Iso8601.studyDay("2024-01-11", "2024-01-10").contains(2))
+    assert(Iso8601.studyDay("2024-01-09", "2024-01-10").contains(-1))
+  }
+
+  test("partial dates yield no study day") {
+    assert(Iso8601.studyDay("2024-01", "2024-01-10").isEmpty)
+    assert(Iso8601.studyDay("2024-01-15", "2024-01").isEmpty)
+    assert(Iso8601.studyDay("garbage", "2024-01-10").isEmpty)
+  }
+
+  test("datetime prefix contributes its date to study day") {
+    assert(Iso8601.studyDay("2024-01-15T08:00", "2024-01-10").contains(6))
+  }
+}
