@@ -123,7 +123,7 @@ object Normalize {
   def copyDirect(df: DataFrame, name: String): Column = {
     val c = col(name)
     df.schema(name).dataType match {
-      case BooleanType => coalesce(when(c, "Y").otherwise("N"), lit(""))
+      case BooleanType => when(c.isNull, lit("")).when(c, "Y").otherwise("N")
       case DoubleType | FloatType => coalesce(formatNumericUdf(c.cast(DoubleType)), lit(""))
       case _: NumericType => coalesce(c.cast(StringType), lit(""))
       case _ => coalesce(c.cast(StringType), lit(""))

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Validation check semantics (validate/checks and cross_domain.rs pins). */
+class ValidateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("V1 blank counts treat null, empty, and whitespace alike") {
+    val df = Seq("x", "", "  ", null, "y").toDF("v")
+    val r = df.agg(Validate.blankCount(col("v")).as("b"),
+      Validate.nonBlankCount(col("v")).as("nb")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+  }
+
+  test("V3 non-numeric count ignores blanks") {
+    val df = Seq("1", "2.5", "abc", "", "1e3").toDF("v")
+    val r = df.agg(Validate.nonNumericCount(col("v"))).head()
+    assert(r.getLong(0) == 1)
+  }
+
+  test("V4 ISO regex validates ranges but allows partials") {
+    val ok = Seq("2024", "2024-01", "2024-01-31", "2024-01-31T23:59",
+      "2024-01-31T23:59:59.123")
+    val bad = Seq("2024-13", "2024-00", "2024-01-32", "2024-01-31T24:00",
+      "2024/01/31", "202401")
+    val df = (ok ++ bad).toDF("v")
+    val r = df.agg(Validate.nonIsoDateCount(col("v"))).head()
+    assert(r.getLong(0) == bad.size)
+  }
+
+  test("V5 duplicate seq: surplus rows per duplicated key") {
+    val df = Seq(("A", 1), ("A", 1), ("A", 1), ("B", 1), ("B", 2))
+      .toDF("subj", "seq")
+    val r = Validate.duplicateSeqCount(df, "subj", "seq").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1)
+  }
+
+  test("V8 invalid CT values: distinct, case-folded, blank-excluded") {
+    val df = Seq("male", "MALE", "other", "", null).toDF("sex")
+    val allowed = Seq("MALE", "FEMALE").toDF("allowed")
+    val out = Validate.invalidCtValues(df, col("sex"), allowed)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("OTHER"))
+  }
+
+  test("X1 orphan subjects via broadcast anti-join") {
+    val dom = Seq(("S1", 1), ("S2", 2), ("S3", 3)).toDF("usubjid", "n")
+    val dm = Seq("S1", "S3").toDF("usubjid")
+    val out = Validate.orphanSubjects(dom, dm, "usubjid")
+      .select("usubjid").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("S2"))
+  }
+
+  test("X3 reciprocal pairs") {
+    val pairs = Seq(("A", "B"), ("B", "A"), ("A", "C")).toDF("u", "r")
+    val out = Validate.missingReciprocal(pairs, "u", "r")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("A", "C")))
+  }
+
+  test("X4 parent chain scoped to subject") {
+    val df = Seq(
+      ("S1", "R1", ""), ("S1", "R2", "R1"),
+      ("S2", "R1", "R9"))
+      .toDF("usubjid", "refid", "parent")
+    val out = Validate.brokenParentChain(df, "usubjid", "parent", "refid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("S2", "R9")))
+  }
+
+  test("X5 record refs against union key table") {
+    val ae = Seq(("1"), ("2")).toDF("AESEQ")
+    val keys = Validate.relrecKeyTable(Map("AE" -> (ae, Seq("AESEQ"))))
+    val refs = Seq(("AE", "AESEQ", "2"), ("AE", "AESEQ", "9"))
+      .toDF("rdomain", "idvar", "idvarval")
+    val out = Validate.danglingRecordRefs(refs, keys)
+      .select("idvarval").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("9"))
+  }
+}
