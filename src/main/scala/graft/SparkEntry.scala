@@ -18,7 +18,8 @@ object SparkEntry {
     RelationalQueries.defs ++
       NormalizeQueries.defs ++
       ValidateQueries.defs ++
-      MappingQueries.defs
+      MappingQueries.defs ++
+      SourceQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     RelationalQueries.oracles ++
       NormalizeQueries.oracles ++
       ValidateQueries.oracles ++
-      MappingQueries.oracles
+      MappingQueries.oracles ++
+      SourceQueries.oracles
 }

@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.io.{BufferedReader, FileInputStream, InputStreamReader}
+import java.nio.charset.{Charset, StandardCharsets}
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Parsed header info for a CSV table (CsvHeaders —
+  * `crates/tss-ingest/src/csv/header.rs:4-50`). */
+case class CsvHeaders(columns: Seq[String], labels: Option[Seq[String]], skipRows: Int)
+
+/** Ingest-time shape problems (`reader.rs:175-202`). */
+case class ShapeIssue(kind: String, message: String)
+
+/**
+ * CSV ingestion S1-S6 (SURVEY §2.1): encoding sniff, single/double headers,
+ * stable `_row_id` capture, shape validation, directory discovery.
+ *
+ * Spark-first shape: the executors always parse bytes with Spark's vectorized
+ * CSV reader under an explicit all-string schema (the reference infers types
+ * but then stringifies on access — reading as strings skips the wasted
+ * inference scan and keeps normalization in charge of typing, SURVEY §1.3).
+ * Only the 2-line header probe and the 4-byte BOM sniff touch the driver.
+ *
+ * Behavior studied from `crates/tss-ingest/src/csv/reader.rs:57-324` and
+ * `discovery.rs:10-53`.
+ */
+object CsvIngest {
+
+  /** Stable per-file row id column added at ingest; `monotonically_increasing_id`
+    * is non-decreasing in file order because partition index follows file
+    * offset — the SEQ window and XML row numbering order by this. */
+  val RowIdCol = "_row_id"
+
+  // ---- S2: encoding detection ----------------------------------------------
+
+  /** BOM sniff (`reader.rs:97-133`): UTF-8 / UTF-16 LE / UTF-16 BE; default
+    * UTF-8. Reads 4 bytes on the driver. */
+  def sniffEncoding(path: String): Charset = {
+    val in = new FileInputStream(path)
+    try {
+      val b = new Array[Int](4)
+      for (i <- 0 until 4) b(i) = in.read()
+      if (b(0) == 0xFF && b(1) == 0xFE) StandardCharsets.UTF_16LE
+      else if (b(0) == 0xFE && b(1) == 0xFF) StandardCharsets.UTF_16BE
+      else StandardCharsets.UTF_8
+    } finally in.close()
+  }
+
+  // ---- S3: guards ----------------------------------------------------------
+
+  /** File-size guard (`reader.rs:15,57-80`) — a desktop-era cap kept as
+    * config; at Spark scale big files just split into more tasks. */
+  def checkFileSize(path: String, limitBytes: Long = 500L * 1024 * 1024): Either[String, Long] = {
+    val size = Files.size(Paths.get(path))
+    if (size > limitBytes) Left(s"$path is $size bytes (limit $limitBytes)") else Right(size)
+  }
+
+  // ---- S4: header probe ----------------------------------------------------
+
+  /** Minimal quoted-CSV line splitter (`csv/header.rs:57-92`). */
+  def parseCsvLine(line: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (inQuotes) {
+        if (ch == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQuotes = false
+        } else cur.append(ch)
+      } else ch match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.result(); cur.clear()
+        case c   => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def readFirstLines(path: String, n: Int): Seq[String] = {
+    val cs = sniffEncoding(path)
+    val r = new BufferedReader(new InputStreamReader(new FileInputStream(path), cs))
+    try {
+      Iterator.continually(r.readLine()).takeWhile(_ != null).take(n)
+        .map(_.stripPrefix("﻿")).toList
+    } finally r.close()
+  }
+
+  /** S4 — header schema probe (`reader.rs:239-264`): 1 header row = names;
+    * 2 rows = labels then names. */
+  def readCsvSchema(path: String, headerRows: Int): Either[String, CsvHeaders] = {
+    val lines = readFirstLines(path, math.max(headerRows, 1))
+    if (lines.isEmpty) return Left(s"empty CSV: $path")
+    if (headerRows == 2 && lines.length >= 2) {
+      Right(CsvHeaders(parseCsvLine(lines(1)), Some(parseCsvLine(lines.head)), skipRows = 2))
+    } else {
+      val cols = parseCsvLine(lines.head)
+      if (cols.isEmpty || cols.forall(_.isEmpty)) Left(s"no header detected: $path")
+      else Right(CsvHeaders(cols, None, skipRows = 1))
+    }
+  }
+
+  // ---- S1: table scan ------------------------------------------------------
+
+  /**
+   * S1 — read a CSV into an all-string DataFrame with `_row_id`, handling
+   * BOM/UTF-16 and 1- or 2-row headers (`reader.rs:277-324`).
+   *
+   * The header lines are skipped distributively: the file is read headerless
+   * under the probed schema, `_row_id` is captured, and the first
+   * `headerRows` physical rows (ids 0..headerRows-1, necessarily in
+   * partition 0) are filtered out — no driver round-trip over data.
+   */
+  def readCsvTable(spark: SparkSession, path: String, headerRows: Int = 1): (DataFrame, CsvHeaders) = {
+    val headers = readCsvSchema(path, headerRows).fold(m => throw new IllegalArgumentException(m), identity)
+    val dedupedNames = dedupe(headers.columns)
+    val schema = StructType(dedupedNames.map(StructField(_, StringType, nullable = true)))
+    val cs = sniffEncoding(path)
+    // Non-UTF-8 charsets need multiLine: Spark's default line splitter
+    // assumes single-byte newlines, which shreds UTF-16. multiLine reads the
+    // file whole per task — acceptable under the reference's 500 MB cap
+    // (reader.rs:15); huge UTF-16 inputs should be transcoded upstream.
+    val reader = spark.read
+      .schema(schema)
+      .option("header", "false")
+      .option("encoding", cs.name())
+      .option("mode", "PERMISSIVE")
+    val df = (if (cs == StandardCharsets.UTF_8) reader
+              else reader.option("multiLine", "true")).csv(path)
+      .withColumn(RowIdCol, monotonically_increasing_id())
+      .where(col(RowIdCol) >= headers.skipRows)
+    (df, headers)
+  }
+
+  private def dedupe(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map[String, Int]()
+    names.map { n =>
+      val base = if (n.isEmpty) "_c" else n
+      val k = seen.getOrElse(base, 0)
+      seen(base) = k + 1
+      if (k == 0) base else s"${base}_$k"
+    }
+  }
+
+  // ---- S5: shape validation ------------------------------------------------
+
+  /** S5 — 0 rows / blank column names error; >500 columns warn
+    * (`reader.rs:175-202`). */
+  def validateShape(df: DataFrame, originalColumns: Seq[String], wideWarnAt: Int = 500): Seq[ShapeIssue] = {
+    val issues = Seq.newBuilder[ShapeIssue]
+    if (df.isEmpty) issues += ShapeIssue("error", "no data rows")
+    if (originalColumns.exists(_.trim.isEmpty))
+      issues += ShapeIssue("error", "empty column name")
+    if (originalColumns.length > wideWarnAt)
+      issues += ShapeIssue("warning", s"${originalColumns.length} columns (> $wideWarnAt)")
+    issues.result()
+  }
+
+  // ---- S6: discovery -------------------------------------------------------
+
+  /** S6 — list `*.csv` case-insensitively, sorted by filename
+    * (`discovery.rs:10-53`). */
+  def listCsvFiles(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.toLowerCase.endsWith(".csv"))
+        .toSeq.sortBy(_.getFileName.toString)
+    } finally s.close()
+  }
+}
