@@ -19,7 +19,8 @@ object SparkEntry {
       NormalizeQueries.defs ++
       ValidateQueries.defs ++
       MappingQueries.defs ++
-      SourceQueries.defs
+      SourceQueries.defs ++
+      ReshapeQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       NormalizeQueries.oracles ++
       ValidateQueries.oracles ++
       MappingQueries.oracles ++
-      SourceQueries.oracles
+      SourceQueries.oracles ++
+      ReshapeQueries.oracles
 }

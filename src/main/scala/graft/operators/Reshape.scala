@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft.{isBlank, txt}
+
+/** Per-source-column SUPP config (SuppColumnConfig — the QNAM/QLABEL/QORIG/
+  * QEVAL a user assigns to an extra column routed to SUPP--). */
+case class SuppColumnConfig(qnam: String, qlabel: String, qorig: String, qeval: String = "")
+
+/**
+ * Generation / reshape operators G1-G4 and metadata-driven decode M1-M2
+ * (SURVEY §2.7, §2.3), as distributed Spark transforms.
+ *
+ * The reference builds SUPP frames with driver-side row loops
+ * (`service/export.rs:468+`) and RELSUB reciprocals with a HashSet walk
+ * (`service/study.rs:181-309`); here both are declarative plans — `stack`
+ * unpivot and anti-join + union — that shuffle only on the keys they must.
+ */
+object Reshape {
+
+  // ---- G1: SUPP-- builder (wide → long unpivot) ----------------------------
+
+  /**
+   * Emit one SUPP row per (included source column × source row) with
+   * non-empty USUBJID and non-empty QVAL. Output columns: STUDYID, RDOMAIN,
+   * USUBJID, IDVAR, IDVARVAL, QNAM, QLABEL, QVAL, QORIG, QEVAL.
+   * IDVAR is `{domain}SEQ` when present in the transformed frame, else
+   * USUBJID (`export.rs:500-510`).
+   *
+   * `df` must carry USUBJID (and the SEQ var when available) alongside the
+   * raw source columns — i.e. source joined with transformed on `_row_id`,
+   * or the transformed frame itself when the extra columns were copied
+   * through. The unpivot is `stack(...)`, which is row-local: no shuffle at
+   * any scale.
+   */
+  def buildSupp(domainCode: String, studyId: String, df: DataFrame,
+      configs: Seq[(String, SuppColumnConfig)]): Option[DataFrame] = {
+    val included = configs.filter { case (c, _) => df.columns.contains(c) }
+    if (included.isEmpty) return None
+
+    val seqVar = s"${domainCode.toUpperCase}SEQ"
+    val (idvar, idvarCol) =
+      if (df.columns.contains(seqVar)) (seqVar, Normalize.copyDirect(df, seqVar))
+      else ("USUBJID", txt(col("USUBJID")))
+
+    // stack(n, qnam1, qlabel1, qorig1, qeval1, val1, ...) — constants inline
+    val stackArgs: Seq[Column] = included.flatMap { case (src, cfg) =>
+      Seq(lit(cfg.qnam), lit(cfg.qlabel), lit(cfg.qorig), lit(cfg.qeval),
+        Normalize.copyDirect(df, src))
+    }
+    val stacked = df
+      .where(!isBlank(col("USUBJID")))
+      .select(
+        txt(col("USUBJID")).as("USUBJID"),
+        idvarCol.as("IDVARVAL"),
+        stack(Seq(lit(included.size)) ++ stackArgs: _*)
+          .as(Seq("QNAM", "QLABEL", "QORIG", "QEVAL", "QVAL")))
+      .where(!isBlank(col("QVAL")))
+      .select(
+        lit(studyId).as("STUDYID"),
+        lit(domainCode.toUpperCase).as("RDOMAIN"),
+        col("USUBJID"),
+        lit(idvar).as("IDVAR"),
+        col("IDVARVAL"),
+        col("QNAM"), col("QLABEL"),
+        txt(col("QVAL")).as("QVAL"),
+        col("QORIG"), col("QEVAL"))
+    Some(stacked)
+  }
+
+  // ---- G2: SUPP domain definition ------------------------------------------
+
+  /** Clone-and-rename of the SUPPQUAL template (`export.rs:394-415`). */
+  def suppDomainName(parentCode: String): String = s"SUPP${parentCode.toUpperCase}"
+
+  def suppDomainLabel(parentCode: String, parentLabel: Option[String]): String =
+    s"Supplemental Qualifiers for ${parentLabel.getOrElse(parentCode)}"
+
+  // ---- G3: RELSUB reciprocal augmentation ----------------------------------
+
+  /** Fixed reciprocal SREL lookup (`reciprocal.rs:17-67`). CHILD terms are
+    * absent on purpose: their reciprocal depends on the parent's sex. */
+  val ReciprocalSrel: Map[String, String] = Map(
+    "MOTHER, BIOLOGICAL" -> "CHILD, BIOLOGICAL",
+    "FATHER, BIOLOGICAL" -> "CHILD, BIOLOGICAL",
+    "MOTHER, ADOPTIVE" -> "CHILD, ADOPTIVE",
+    "FATHER, ADOPTIVE" -> "CHILD, ADOPTIVE",
+    "MOTHER, FOSTER" -> "CHILD, FOSTER",
+    "FATHER, FOSTER" -> "CHILD, FOSTER",
+    "MOTHER, STEP" -> "CHILD, STEP",
+    "FATHER, STEP" -> "CHILD, STEP",
+    "TWIN, DIZYGOTIC" -> "TWIN, DIZYGOTIC",
+    "TWIN, MONOZYGOTIC" -> "TWIN, MONOZYGOTIC",
+    "TWIN, UNKNOWN ZYGOSITY" -> "TWIN, UNKNOWN ZYGOSITY",
+    "SIBLING" -> "SIBLING",
+    "SIBLING, BIOLOGICAL" -> "SIBLING, BIOLOGICAL",
+    "SIBLING, HALF" -> "SIBLING, HALF",
+    "SIBLING, STEP" -> "SIBLING, STEP",
+    "SIBLING, ADOPTIVE" -> "SIBLING, ADOPTIVE",
+    "GRANDMOTHER, BIOLOGICAL" -> "GRANDCHILD, BIOLOGICAL",
+    "GRANDFATHER, BIOLOGICAL" -> "GRANDCHILD, BIOLOGICAL",
+    "GRANDMOTHER, ADOPTIVE" -> "GRANDCHILD, ADOPTIVE",
+    "GRANDFATHER, ADOPTIVE" -> "GRANDCHILD, ADOPTIVE",
+    "SPOUSE" -> "SPOUSE",
+    "HUSBAND" -> "WIFE",
+    "WIFE" -> "HUSBAND",
+    "AUNT, BIOLOGICAL" -> "NEPHEW/NIECE, BIOLOGICAL",
+    "UNCLE, BIOLOGICAL" -> "NEPHEW/NIECE, BIOLOGICAL",
+    "COUSIN, BIOLOGICAL" -> "COUSIN, BIOLOGICAL")
+
+  private lazy val reciprocalUdf = udf((srel: String) =>
+    if (srel == null) null else ReciprocalSrel.get(srel.trim).orNull)
+
+  /**
+   * Append the missing reverse rows: for each (USUBJID, RSUBJID, SREL) with
+   * no (RSUBJID, USUBJID) row present and a known reciprocal SREL, add
+   * (RSUBJID, USUBJID, reciprocal) (`study.rs:181-309`). One reciprocal per
+   * reverse pair (first source row in `rowId` order wins, matching the
+   * reference's insertion-order walk).
+   *
+   * Plan shape: self anti-join on the swapped key + union — the pair key is
+   * the only shuffle and both sides partition on it.
+   */
+  def ensureRelsubBidirectional(df: DataFrame, rowId: String = "_row_id"): DataFrame = {
+    val cols = df.columns
+    if (!Seq("USUBJID", "RSUBJID", "SREL").forall(cols.contains)) return df
+
+    val keyed = df
+      .withColumn("__u", txt(col("USUBJID")))
+      .withColumn("__r", txt(col("RSUBJID")))
+    val existing = keyed.select(col("__u"), col("__r")).distinct()
+
+    val ordered = if (cols.contains(rowId)) col(rowId) else monotonically_increasing_id()
+    val candidates = keyed
+      .withColumn("__recip", reciprocalUdf(col("SREL")))
+      .where(col("__recip").isNotNull)
+      // reverse pair must not already exist
+      .join(existing.select(col("__u").as("__r"), col("__r").as("__u")),
+        Seq("__u", "__r"), "left_anti")
+      // one reciprocal per reverse pair: first source row wins
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__r"), col("__u")).orderBy(ordered)))
+      .where(col("__rn") === 1)
+
+    val reverseRows = candidates.select(
+      (if (cols.contains("STUDYID")) txt(col("STUDYID")) else lit("")).as("STUDYID"),
+      (if (cols.contains("DOMAIN")) txt(col("DOMAIN")) else lit("RELSUB")).as("DOMAIN"),
+      col("__r").as("USUBJID"),
+      col("__u").as("RSUBJID"),
+      col("__recip").as("SREL"))
+
+    val base = df.select(
+      (if (cols.contains("STUDYID")) txt(col("STUDYID")) else lit("")).as("STUDYID"),
+      (if (cols.contains("DOMAIN")) txt(col("DOMAIN")) else lit("RELSUB")).as("DOMAIN"),
+      txt(col("USUBJID")).as("USUBJID"),
+      txt(col("RSUBJID")).as("RSUBJID"),
+      txt(col("SREL")).as("SREL"))
+
+    base.unionByName(reverseRows)
+  }
+
+  // ---- M1/M2: study-codelist decode ----------------------------------------
+
+  /** M1 — decode a coded column through a study codelist: `SEXCD` decodes
+    * into `SEX`, anything else into `<col>_DECODED`; lookup misses yield
+    * null (`application.rs:38-125`). Codelists are tiny → broadcast map. */
+  def decodeTargetName(colName: String): String =
+    if (colName.toUpperCase.endsWith("CD")) colName.dropRight(2)
+    else s"${colName}_DECODED"
+
+  def decodeColumn(c: Column, codelist: Map[String, String]): Column = {
+    val f = udf { (v: String) =>
+      if (v == null) null
+      else {
+        val t = v.trim
+        if (t.isEmpty) null else codelist.get(t).orNull
+      }
+    }
+    f(c.cast("string"))
+  }
+
+  /** M1+M2 — apply a set of codelists to a frame: create the decoded column,
+    * or fill only the empty cells when it already exists
+    * (`application.rs:128-151`). */
+  def applyStudyCodelists(df: DataFrame,
+      codelists: Map[String, Map[String, String]]): DataFrame =
+    codelists.foldLeft(df) { case (acc, (colName, codelist)) =>
+      if (!acc.columns.contains(colName)) acc
+      else {
+        val decoded = decodeColumn(col(colName), codelist)
+        val target = decodeTargetName(colName)
+        if (acc.columns.contains(target))
+          acc.withColumn(target,
+            when(!isBlank(col(target)), txt(col(target))).otherwise(decoded))
+        else acc.withColumn(target, decoded)
+      }
+    }
+}
