@@ -20,7 +20,8 @@ object SparkEntry {
       ValidateQueries.defs ++
       MappingQueries.defs ++
       SourceQueries.defs ++
-      ReshapeQueries.defs
+      ReshapeQueries.defs ++
+      SinkQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       ValidateQueries.oracles ++
       MappingQueries.oracles ++
       SourceQueries.oracles ++
-      ReshapeQueries.oracles
+      ReshapeQueries.oracles ++
+      SinkQueries.oracles
 }

@@ -1,0 +1,75 @@
+package graft.functions
+
+/**
+ * IEEE 754 double ↔ IBM System/360 hexadecimal floating point, the on-disk
+ * numeric representation of SAS XPORT (TS-140 public spec; the reference
+ * writes XPT through the `xportrs` crate — `crates/tss-submit/src/export/
+ * xpt.rs:16-59`).
+ *
+ * IBM layout (8 bytes, big-endian): sign bit, 7-bit base-16 exponent biased
+ * by 64, 56-bit fraction; value = ±0.F16 × 16^(E-64).
+ */
+object IbmFloat {
+
+  /** Encode an IEEE double as 8 IBM bytes. NaN encodes as the SAS missing
+    * value (0x2E '.', then zeros). */
+  def toIbmBytes(d: Double): Array[Byte] = {
+    if (d.isNaN) return missingBytes
+    if (d == 0.0) return new Array[Byte](8)
+    val sign = if (d < 0) 1L else 0L
+    val abs = math.abs(d)
+    val bits = java.lang.Double.doubleToLongBits(abs)
+    var e = ((bits >> 52) & 0x7FF).toInt - 1023
+    var mant = bits & 0xFFFFFFFFFFFFFL
+    if (e == -1023) { // subnormal: normalize
+      val lead = java.lang.Long.numberOfLeadingZeros(mant) - 11
+      mant = (mant << (lead + 1)) & 0xFFFFFFFFFFFFFL
+      e = -1022 - (lead + 1)
+    }
+    mant |= 1L << 52
+    // value = mant * 2^(e-52); want frac56 * 16^(E-64) * 2^-56
+    val s = Math.floorMod(e + 260, 4)
+    val ibmExp = (e + 260 - s) / 4
+    if (ibmExp < 0) return new Array[Byte](8) // underflow → 0
+    if (ibmExp > 127) // overflow → clamp to max magnitude
+      return Array((sign << 7 | 0x7F).toByte, 0xFF.toByte, 0xFF.toByte,
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    val frac = mant << s // < 2^56
+    val out = new Array[Byte](8)
+    out(0) = ((sign << 7) | ibmExp).toByte
+    var i = 0
+    while (i < 7) {
+      out(7 - i) = ((frac >> (8 * i)) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** SAS missing numeric: '.' then seven zero bytes. */
+  val missingBytes: Array[Byte] = {
+    val a = new Array[Byte](8)
+    a(0) = 0x2E
+    a
+  }
+
+  def isMissing(bytes: Array[Byte], off: Int = 0): Boolean = {
+    if (bytes(off) != 0x2E && bytes(off) != ' '.toByte && bytes(off) != 0x5F &&
+        !(bytes(off) >= 'A' && bytes(off) <= 'Z')) return false
+    var i = 1
+    while (i < 8) { if (bytes(off + i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** Decode 8 IBM bytes to an IEEE double; SAS missing → NaN. */
+  def fromIbmBytes(bytes: Array[Byte], off: Int = 0): Double = {
+    if (isMissing(bytes, off)) return Double.NaN
+    var frac = 0L
+    var i = 1
+    while (i < 8) { frac = (frac << 8) | (bytes(off + i) & 0xFFL); i += 1 }
+    if (frac == 0L) return 0.0
+    val sign = (bytes(off) & 0x80) != 0
+    val ibmExp = bytes(off) & 0x7F
+    val v = frac.toDouble * math.pow(16.0, ibmExp - 64) / math.pow(2.0, 56)
+    if (sign) -v else v
+  }
+}

@@ -1,0 +1,253 @@
+package graft.sinks
+
+import java.io.{BufferedWriter, FileWriter, Writer}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Numerics
+
+/** Variable metadata the XML sinks need (subset of SdtmVariable). */
+case class XmlVariable(
+    name: String,
+    label: String = "",
+    isNumeric: Boolean = false,
+    required: Boolean = false,
+    identifier: Boolean = false,
+    expected: Boolean = false,
+    codelistOid: Option[String] = None,
+    declaredLength: Option[Int] = None)
+
+/** One codelist rendered into Define-XML. */
+case class XmlCodelist(oid: String, name: String, extensible: Boolean, values: Seq[String])
+
+/** Per-variable data-dependent stats feeding the writers. */
+case class VarStats(maxLength: Int, hasData: Boolean)
+
+/**
+ * K2/K3 — Dataset-XML and Define-XML 2.1 sinks (ODM-based CDISC formats;
+ * shapes studied from `crates/tss-submit/src/export/dataset_xml.rs:67-165`
+ * and `define_xml.rs:73-470`).
+ *
+ * Division of labor at scale: everything data-dependent (max lengths,
+ * has-collected-data, row streaming) is Spark-side; document assembly is
+ * driver-side string building. Define-XML needs exactly ONE aggregate per
+ * domain; Dataset-XML streams rows through `toLocalIterator` (single
+ * regulatory file by construction — for a sharded variant, the same
+ * row-renderer runs per-partition and part files concatenate).
+ */
+object XmlSinks {
+
+  val OdmNs = "http://www.cdisc.org/ns/odm/v1.3"
+  val XlinkNs = "http://www.w3.org/1999/xlink"
+  val DataNs = "http://www.cdisc.org/ns/Dataset-XML/v1.0"
+  val DefNs = "http://www.cdisc.org/ns/def/v2.1"
+  val DatasetXmlVersion = "1.0.0"
+  val DefineXmlVersion = "2.1.0"
+
+  def escape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case '\'' => sb.append("&apos;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** OID component sanitization (define_xml.rs:456): keep alnum . _ -. */
+  def sanitizeOid(s: String): String =
+    s.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
+
+  /** SDTM value rendering: null → absent, doubles without trailing zeros
+    * (polars.rs:77-91 parity via Numerics.format). */
+  def renderValue(v: Any): Option[String] = v match {
+    case null => None
+    case d: Double => Some(Numerics.format(d))
+    case f: Float => Some(Numerics.format(f.toDouble))
+    case b: Boolean => Some(if (b) "Y" else "N")
+    case s: String => if (s.trim.isEmpty) None else Some(s)
+    case o => Some(o.toString).filter(_.trim.nonEmpty)
+  }
+
+  /** One fused aggregate: per variable max trimmed length + any-non-blank
+    * (`common.rs:83-159`), the only cluster job Define-XML needs. */
+  def varStats(df: DataFrame, vars: Seq[String]): Map[String, VarStats] = {
+    val present = vars.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val exprs = present.flatMap { c =>
+      val t = rtrim(coalesce(col(c).cast("string"), lit("")))
+      Seq(max(length(t)).as(s"${c}__len"),
+        max(when(trim(t) =!= "", 1).otherwise(0)).as(s"${c}__has"))
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).head()
+    present.map { c =>
+      c -> VarStats(
+        maxLength = Option(row.getAs[Integer](s"${c}__len")).map(_.toInt).getOrElse(0),
+        hasData = Option(row.getAs[Integer](s"${c}__has")).exists(_ > 0))
+    }.toMap
+  }
+
+  // ---- K2: Dataset-XML ------------------------------------------------------
+
+  /**
+   * Write one domain as Dataset-XML: `ItemGroupData` per row with
+   * `data:ItemGroupDataSeq` = 1-based row index in `orderCol` order, one
+   * `ItemData` per non-empty cell, `ItemOID = IT.<ds>.<var>`.
+   */
+  def writeDatasetXml(df: DataFrame, w: Writer, datasetName: String, studyId: String,
+      igVersion: String, variables: Seq[String], orderCol: Option[String] = None,
+      isReferenceData: Boolean = false,
+      creationDateTime: String = "2020-01-01T00:00:00Z"): Long = {
+    val studyOid = s"STDY.${sanitizeOid(studyId)}"
+    val mdvOid = s"MDV.$studyOid.SDTMIG.${sanitizeOid(igVersion)}"
+    val defineFileOid = s"$studyOid.Define-XML_$DefineXmlVersion"
+    val container = if (isReferenceData) "ReferenceData" else "ClinicalData"
+    val present = variables.filter(df.columns.contains)
+
+    w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    w.write(s"""<ODM xmlns="$OdmNs" xmlns:xlink="$XlinkNs" xmlns:data="$DataNs"""")
+    w.write(s""" data:DatasetXMLVersion="$DatasetXmlVersion" FileType="Snapshot"""")
+    w.write(s""" FileOID="${escape(s"$defineFileOid(IG.$datasetName)")}"""")
+    w.write(s""" PriorFileOID="${escape(defineFileOid)}" ODMVersion="1.3.2"""")
+    w.write(s""" CreationDateTime="$creationDateTime" Originator="graft">\n""")
+    w.write(s"""  <$container StudyOID="${escape(studyOid)}" MetaDataVersionOID="${escape(mdvOid)}">\n""")
+
+    val ordered = orderCol match {
+      case Some(c) => df.orderBy(col(c)).select(present.map(col): _*)
+      case None => df.select(present.map(col): _*)
+    }
+    val it = ordered.toLocalIterator()
+    var seq = 0L
+    while (it.hasNext) {
+      val r: Row = it.next()
+      seq += 1
+      w.write(s"""    <ItemGroupData ItemGroupOID="IG.${escape(datasetName)}" data:ItemGroupDataSeq="$seq">\n""")
+      present.indices.foreach { i =>
+        renderValue(if (r.isNullAt(i)) null else r.get(i)).foreach { text =>
+          w.write(s"""      <ItemData ItemOID="IT.${escape(datasetName)}.${escape(present(i))}" Value="${escape(text)}"/>\n""")
+        }
+      }
+      w.write("    </ItemGroupData>\n")
+    }
+    w.write(s"  </$container>\n</ODM>\n")
+    w.flush()
+    seq
+  }
+
+  def writeDatasetXmlFile(df: DataFrame, path: String, datasetName: String,
+      studyId: String, igVersion: String, variables: Seq[String],
+      orderCol: Option[String] = None): Long = {
+    val w = new BufferedWriter(new FileWriter(path))
+    try writeDatasetXml(df, w, datasetName, studyId, igVersion, variables, orderCol)
+    finally w.close()
+  }
+
+  // ---- K3: Define-XML 2.1 ---------------------------------------------------
+
+  /** One dataset entry in the Define document. */
+  case class DefineDataset(
+      name: String,
+      domain: String,
+      label: String,
+      structure: String,
+      klass: String,
+      variables: Seq[XmlVariable],
+      stats: Map[String, VarStats])
+
+  /**
+   * Write Define-XML 2.1: ItemGroupDef per dataset (present variables in
+   * role order), ItemDef per variable with data-dependent length and
+   * origin (Collected / Derived / Not Available), CodeList sections.
+   * Pure metadata document — all data influence arrives via `stats`.
+   */
+  def writeDefineXml(w: Writer, studyId: String, igVersion: String,
+      datasets: Seq[DefineDataset], codelists: Seq[XmlCodelist],
+      creationDateTime: String = "2020-01-01T00:00:00Z"): Unit = {
+    val studyOid = s"STDY.${sanitizeOid(studyId)}"
+    val fileOid = s"$studyOid.Define-XML_$DefineXmlVersion"
+    val mdvOid = s"MDV.$studyOid.SDTMIG.${sanitizeOid(igVersion)}"
+
+    w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    w.write(s"""<ODM xmlns="$OdmNs" xmlns:xlink="$XlinkNs" xmlns:def="$DefNs"""")
+    w.write(s""" FileType="Snapshot" FileOID="${escape(fileOid)}" ODMVersion="1.3.2"""")
+    w.write(s""" CreationDateTime="$creationDateTime" Originator="graft">\n""")
+    w.write(s"""  <Study OID="${escape(studyOid)}">\n""")
+    w.write("    <GlobalVariables>\n")
+    w.write(s"      <StudyName>${escape(studyId)}</StudyName>\n")
+    w.write(s"      <StudyDescription>SDTM submission for ${escape(studyId)}</StudyDescription>\n")
+    w.write(s"      <ProtocolName>${escape(studyId)}</ProtocolName>\n")
+    w.write("    </GlobalVariables>\n")
+    w.write(s"""    <MetaDataVersion OID="${escape(mdvOid)}" Name="Study ${escape(studyId)}, Data Definitions"""")
+    w.write(s""" Description="SDTM ${escape(igVersion)} metadata definitions for ${escape(studyId)}" def:DefineVersion="$DefineXmlVersion">\n""")
+
+    datasets.sortBy(_.name).foreach { ds =>
+      val dsOid = sanitizeOid(ds.name)
+      w.write(s"""      <ItemGroupDef OID="IG.$dsOid" Name="${escape(ds.name)}" Repeating="Yes"""")
+      w.write(s""" Domain="${escape(ds.domain)}" SASDatasetName="${escape(ds.name.take(8))}"""")
+      w.write(s""" def:Label="${escape(ds.label)}" def:Class="${escape(ds.klass)}"""")
+      w.write(s""" def:Structure="${escape(ds.structure)}">\n""")
+      var keySeq = 1
+      ds.variables.zipWithIndex.foreach { case (v, idx) =>
+        w.write(s"""        <ItemRef ItemOID="IT.$dsOid.${sanitizeOid(v.name)}" OrderNumber="${idx + 1}"""")
+        w.write(s""" Mandatory="${if (v.required) "Yes" else "No"}"""")
+        if (v.identifier) { w.write(s""" KeySequence="$keySeq""""); keySeq += 1 }
+        w.write("/>\n")
+      }
+      w.write("      </ItemGroupDef>\n")
+    }
+
+    // ItemDefs, deduped by OID across datasets
+    val itemDefs = scala.collection.mutable.LinkedHashMap[String, (DefineDataset, XmlVariable)]()
+    datasets.sortBy(_.name).foreach { ds =>
+      ds.variables.foreach { v =>
+        itemDefs.getOrElseUpdate(s"IT.${sanitizeOid(ds.name)}.${sanitizeOid(v.name)}", (ds, v))
+      }
+    }
+    itemDefs.foreach { case (oid, (ds, v)) =>
+      val stats = ds.stats.getOrElse(v.name, VarStats(0, hasData = false))
+      val length = v.declaredLength.getOrElse(math.max(stats.maxLength, 1))
+      w.write(s"""      <ItemDef OID="$oid" Name="${escape(v.name)}" DataType="${if (v.isNumeric) "float" else "text"}"""")
+      if (!v.isNumeric) w.write(s""" Length="$length"""")
+      w.write(">\n")
+      if (v.label.nonEmpty) {
+        w.write("        <Description>\n")
+        w.write(s"""          <TranslatedText xml:lang="en">${escape(v.label)}</TranslatedText>\n""")
+        w.write("        </Description>\n")
+      }
+      v.codelistOid.foreach(cl =>
+        w.write(s"""        <CodeListRef CodeListOID="${escape(cl)}"/>\n"""))
+      val originType =
+        if (v.expected && !stats.hasData) "Not Available"
+        else if (stats.hasData) "Collected"
+        else "Derived"
+      w.write(s"""        <def:Origin Type="$originType"/>\n""")
+      w.write("      </ItemDef>\n")
+    }
+
+    codelists.sortBy(_.oid).foreach { cl =>
+      w.write(s"""      <CodeList OID="${escape(cl.oid)}" Name="${escape(cl.name)}" DataType="text"""")
+      if (cl.extensible) w.write(""" def:Extensible="Yes"""")
+      w.write(">\n")
+      cl.values.foreach { v =>
+        w.write(s"""        <CodeListItem CodedValue="${escape(v)}">\n""")
+        w.write(s"""          <Decode><TranslatedText xml:lang="en">${escape(v)}</TranslatedText></Decode>\n""")
+        w.write("        </CodeListItem>\n")
+      }
+      w.write("      </CodeList>\n")
+    }
+
+    w.write("    </MetaDataVersion>\n  </Study>\n</ODM>\n")
+    w.flush()
+  }
+
+  def writeDefineXmlFile(path: String, studyId: String, igVersion: String,
+      datasets: Seq[DefineDataset], codelists: Seq[XmlCodelist]): Unit = {
+    val w = new BufferedWriter(new FileWriter(path))
+    try writeDefineXml(w, studyId, igVersion, datasets, codelists)
+    finally w.close()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.IbmFloat
+
+/** IBM hex-float encoding against published bit patterns + round trips. */
+class IbmFloatSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+
+  test("known IBM encodings") {
+    assert(hex(IbmFloat.toIbmBytes(1.0)) == "4110000000000000")
+    assert(hex(IbmFloat.toIbmBytes(-1.0)) == "C110000000000000")
+    assert(hex(IbmFloat.toIbmBytes(16.0)) == "4210000000000000")
+    assert(hex(IbmFloat.toIbmBytes(0.5)) == "4080000000000000")
+    assert(hex(IbmFloat.toIbmBytes(0.0)) == "0000000000000000")
+    assert(hex(IbmFloat.toIbmBytes(2.0)) == "4120000000000000")
+  }
+
+  test("missing value encodes as dot") {
+    assert(hex(IbmFloat.toIbmBytes(Double.NaN)) == "2E00000000000000")
+    assert(IbmFloat.fromIbmBytes(IbmFloat.missingBytes).isNaN)
+  }
+
+  test("round trip preserves doubles exactly (IBM 56-bit ≥ IEEE 52-bit)") {
+    val rnd = new scala.util.Random(42)
+    val fixed = Seq(0.0, 1.0, -1.0, 3.14159265358979, 1e-10, 123456.789,
+      -2.5e-30, 7.0e30)
+    val sampled = Seq.fill(500)(rnd.nextDouble() * math.pow(10, rnd.nextInt(40) - 20) *
+      (if (rnd.nextBoolean()) 1 else -1))
+    (fixed ++ sampled).foreach { d =>
+      val back = IbmFloat.fromIbmBytes(IbmFloat.toIbmBytes(d))
+      assert(back == d, s"$d -> $back")
+    }
+  }
+
+  test("values beyond IBM's exponent range underflow to zero") {
+    // IBM hex float spans ~5.4e-79 .. 7.2e75; IEEE subnormals underflow
+    assert(IbmFloat.fromIbmBytes(IbmFloat.toIbmBytes(1e-100)) == 0.0)
+  }
+}
+
+/** XPT container round trip + structure pins (TS-140). */
+class XptSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val tmp = {
+    val d = Paths.get("target", "tmp", "xptspec")
+    Files.createDirectories(d)
+    d
+  }
+
+  test("write → read round trip over mixed types") {
+    val df = Seq(
+      ("GRAFT-101", 34.0, "2024-01-15"),
+      ("GRAFT-102", 41.5, "2024-02"),
+      ("GRAFT-103", Double.NaN, ""))
+      .toDF("USUBJID", "AGE", "BRTHDTC")
+    val path = tmp.resolve("dm.xpt").toString
+    val cols = XptWriter.writeDataFrame(df, path, "DM", "Demographics",
+      labels = Map("USUBJID" -> "Unique Subject Identifier"))
+
+    // char lengths are max observed trimmed length
+    assert(cols.find(_.name == "USUBJID").get.length == 9)
+    assert(cols.find(_.name == "BRTHDTC").get.length == 10)
+    assert(cols.find(_.name == "AGE").get == XptColumn("AGE", "AGE", isNumeric = true, 8))
+
+    val m = XptReader.read(path)
+    assert(m.name == "DM")
+    assert(m.label == "Demographics")
+    assert(m.columns.map(_.name) == Seq("USUBJID", "AGE", "BRTHDTC"))
+    assert(m.columns.find(_.name == "USUBJID").get.label == "Unique Subject Identifier")
+    assert(m.rows.size == 3)
+    assert(m.rows(0) == Seq("GRAFT-101", 34.0, "2024-01-15"))
+    assert(m.rows(1) == Seq("GRAFT-102", 41.5, "2024-02"))
+    assert(m.rows(2)(1) == null) // NaN → missing → null
+    assert(m.rows(2)(2) == "")
+  }
+
+  test("file is 80-byte-record aligned and starts with the library header") {
+    val df = Seq(("A", 1.0)).toDF("ID", "VAL")
+    val path = tmp.resolve("align.xpt").toString
+    XptWriter.writeDataFrame(df, path, "T", "")
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(bytes.length % 80 == 0)
+    assert(new String(bytes, 0, 48, "US-ASCII") ==
+      "HEADER RECORD*******LIBRARY HEADER RECORD!!!!!!!")
+  }
+
+  test("declared lengths override observed; blanks floor at 1") {
+    val df = Seq(("x", ""), ("yy", "")).toDF("A", "B")
+    val cols = XptWriter.columnsFor(df, declaredLengths = Map("A" -> 20))
+    assert(cols.find(_.name == "A").get.length == 20)
+    assert(cols.find(_.name == "B").get.length == 1)
+  }
+
+  test("long char values truncate to declared length") {
+    val df = Seq(Tuple1("abcdefghij")).toDF("A")
+    val path = tmp.resolve("trunc.xpt").toString
+    XptWriter.writeDataFrame(df, path, "T", "", declaredLengths = Map("A" -> 4))
+    assert(XptReader.read(path).rows.head.head == "abcd")
+  }
+
+  test("spark round trip via toDataFrame") {
+    val df = Seq((1.0, "a"), (2.0, "b")).toDF("N", "C")
+    val path = tmp.resolve("spark.xpt").toString
+    XptWriter.writeDataFrame(df, path, "T", "")
+    val back = XptReader.toDataFrame(spark, path)
+    assert(back.orderBy("N").collect().map(r => (r.getDouble(0), r.getString(1))).toSeq ==
+      Seq((1.0, "a"), (2.0, "b")))
+  }
+}
