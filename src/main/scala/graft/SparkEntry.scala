@@ -21,7 +21,8 @@ object SparkEntry {
       MappingQueries.defs ++
       SourceQueries.defs ++
       ReshapeQueries.defs ++
-      SinkQueries.defs
+      SinkQueries.defs ++
+      DedupQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       MappingQueries.oracles ++
       SourceQueries.oracles ++
       ReshapeQueries.oracles ++
-      SinkQueries.oracles
+      SinkQueries.oracles ++
+      DedupQueries.oracles
 }

@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines: exact,
+ * token/n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+ *
+ * Scale design: nothing here is all-pairs except the explicitly-named
+ * `brute*` verification paths. The LSH family (MinHash bands, SimHash bands,
+ * random-hyperplane buckets) generates candidates via equi-joins on bucket
+ * keys — the shape that holds at 100 TB: shuffle on (band, bucket), never a
+ * cartesian. All hash functions are seeded and deterministic (no
+ * Math.random), so signatures are reproducible across runs and engines.
+ */
+object Dedup {
+
+  // ---- exact --------------------------------------------------------------
+
+  /** Exact dedup: one survivor (min `idCol`) per identical `textCol`.
+    * Grouping key is the 64-bit xxhash of the text, so the shuffle carries
+    * 8-byte keys instead of documents; survivors verify text equality
+    * inside the group (hash-collision safe). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Duplicate groups: (survivor id, duplicate id) pairs. */
+  def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+    df.select(col(idCol), col(textCol))
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .where(col(idCol) =!= col("__keep"))
+      .select(col("__keep").as("survivor_id"), col(idCol).as("duplicate_id"))
+  }
+
+  // ---- token / n-gram sets ------------------------------------------------
+
+  /** Distinct lowercase whitespace tokens per document: (id, token). */
+  def docTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("token"))
+      .where(col("token") =!= "")
+
+  /** Distinct character n-gram shingles per document: (id, token). */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = lower(trim(col(textCol)))
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+          i => t.substr(i, lit(n))))).as("token"))
+      .where(length(col("token")) === n)
+  }
+
+  /**
+   * Exact Jaccard over element sets, given an exploded (id, token) relation.
+   * Pair generation joins on token — at scale, cap ubiquitous tokens with
+   * `maxDocFreq` (a token in half the corpus generates |corpus|²/4 pairs and
+   * proves nothing about similarity).
+   */
+  def jaccardPairs(tokens: DataFrame, threshold: Double,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        val freq = tokens.groupBy("token").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap)
+        tokens.join(freq.select("token"), Seq("token"))
+      case None => tokens
+    }
+    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("size"))
+    val a = filtered.select(col("id").as("i"), col("token"))
+    val b = filtered.select(col("id").as("j"), col("token"))
+    a.join(b, Seq("token"))
+      .where(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** Token-set Jaccard near-dup pairs (exact, join-on-token). */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
+    jaccardPairs(docTokens(df, idCol, textCol), threshold, maxDocFreq)
+
+  /** Character n-gram Jaccard near-dup pairs. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
+    jaccardPairs(docShingles(df, idCol, textCol, n), threshold, maxDocFreq)
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  private val HashPrime = (1L << 31) - 1 // Mersenne 2^31-1
+
+  /** Seeded universal-hash coefficients, bounded so a·h+b stays within a
+    * signed 64-bit long under Spark's ANSI overflow checks: h < 2^31,
+    * a < 2^30, b < 2^30 → a·h+b < 2^62. */
+  private def hashCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      ((rnd.nextLong() & ((1L << 30) - 1)) | 1L, rnd.nextLong() & ((1L << 30) - 1)))
+  }
+
+  /**
+   * MinHash signatures: one row per doc, `sig` = array of `numHashes`
+   * minima of (a·h(token)+b) mod p. One explode + one groupBy —
+   * the groupBy shuffles (id, k longs), not the documents.
+   */
+  def minhashSignatures(tokens: DataFrame, numHashes: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val h = pmod(xxhash64(col("token")), lit(HashPrime))
+    val minExprs = hashCoeffs(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * lit(a) + lit(b), lit(HashPrime))).as(s"__m$i")
+    }
+    val agg = tokens.withColumn("__h", h)
+      .groupBy("id")
+      .agg(minExprs.head, minExprs.tail: _*)
+    agg.select(col("id"),
+      array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (id, band, bucket) where bucket hashes `rowsPerBand`
+    * consecutive signature slots. Docs sharing any band-bucket are
+    * candidates. */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int, numHashes: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("_",
+          (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)).as("bucket"))
+    }
+    signatures.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (distinct i<j). */
+  def lshCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+
+  /**
+   * MinHash near-dup pipeline: signatures → bands → candidates → exact
+   * Jaccard verification of candidates only. Verification joins the token
+   * relation twice but ONLY for candidate pairs — the all-pairs explosion
+   * never happens.
+   */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 32, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val tokens = docTokens(df, idCol, textCol).cache()
+    val cands = lshCandidates(
+      lshBuckets(minhashSignatures(tokens, numHashes, seed), rowsPerBand, numHashes))
+    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("size"))
+    val inter = cands
+      .join(tokens.select(col("id").as("i"), col("token")), Seq("i"))
+      .join(tokens.select(col("id").as("j"), col("token")), Seq("j", "token"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: bit j set when Σ±1 over token-hash bit j is
+    * positive. One explode + one 64-column aggregate. */
+  def simhash(tokens: DataFrame, idCol: String = "id"): DataFrame = {
+    val h = xxhash64(col("token"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$j")
+    }
+    val agg = tokens.withColumn("__h", h).groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(j =>
+      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col(idCol).as("id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dups: band the fingerprint into `bands` chunks; pairs
+   * sharing any chunk verify full hamming ≤ maxDistance. With bands >
+   * maxDistance, pigeonhole guarantees 100% recall — banding is lossless
+   * here, unlike MinHash.
+   */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, bands: Int = 4): DataFrame = {
+    val fps = simhash(docTokens(df, idCol, textCol)).cache()
+    val width = 64 / bands
+    val banded = fps.select(col("id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        hamming(col("a.simhash"), col("b.simhash")).as("distance"))
+      .distinct()
+      .where(col("distance") <= maxDistance)
+  }
+
+  // ---- embedding cosine ---------------------------------------------------
+
+  /** Dot product of two double arrays (index-order accumulation). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2-normalize a float/double array into array<double>. */
+  def l2Normalize(v: Column): Column = {
+    val d = transform(v, _.cast("double"))
+    val norm = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
+    transform(d, x => x / norm)
+  }
+
+  /** Brute-force cosine near-dup pairs (verification / small-corpus path;
+    * the scale path is [[embeddingNearDupsLsh]]). */
+  def embeddingNearDupsBrute(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
+    n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        dotProduct(col("a.v"), col("b.v")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Seeded random hyperplanes for cosine LSH: `bits` planes × `dim`. */
+  def randomHyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /**
+   * Random-hyperplane LSH for cosine: sign-bit signature, banded buckets,
+   * candidates verified with the exact dot product. P(bit match) =
+   * 1 - θ/π, so near-identical vectors collide in every band.
+   */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = randomHyperplanes(bits, dim, seed)
+    val n = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v")).cache()
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dotProduct(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val width = bits / bands
+    val banded = n.withColumn("sig", sigBits)
+      .select(col("id"), col("v"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        dotProduct(col("a.v"), col("b.v")).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+import graft.operators.Dedup
+
+/**
+ * Deduplication coverage over the `documents` / `embeddings` tables. The
+ * corpus has no natural duplicates (500 distinct texts at sf0.01), so
+ * queries construct them deterministically: doc_id keyed onto text of
+ * doc_id % K makes every text appear ~N/K times.
+ *
+ * Exact dedup, token-Jaccard, n-gram-Jaccard, and brute cosine have full
+ * DuckDB oracles. MinHash/SimHash/LSH signatures depend on xxhash64 (not
+ * reproducible in DuckDB) → rows-only here, semantics pinned in DedupSpec.
+ */
+object DedupQueries {
+
+  /** documents with synthetic duplicate texts: text taken from doc_id % 100. */
+  private def dupedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = d.withColumn("key", col("doc_id") % 100)
+    base.alias("a")
+      .join(d.withColumn("key", col("doc_id")).select(col("key"), col("text").as("base_text")).alias("b"),
+        Seq("key"))
+      .select(col("a.doc_id").as("doc_id"), col("base_text").as("text"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: survivor = min doc_id per text
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(dupedDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // duplicate pair listing
+    "d2_dup_pairs" -> ((s, dir) => {
+      Dedup.exactDupPairs(dupedDocs(s, dir), "doc_id", "text")
+        .orderBy("survivor_id", "duplicate_id")
+    }),
+
+    // token-set Jaccard ≥ 0.8 over a 50-doc subset
+    "d3_token_jaccard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("i", "j")
+    }),
+
+    // character 5-gram Jaccard ≥ 0.55 over a 25-doc subset
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.55)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("i", "j")
+    }),
+
+    // MinHash+LSH near-dups on duplicated corpus (xxhash64-based → rows-only)
+    "d5_minhash_lsh" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir).where(col("doc_id") % 4 === 0)
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("i", "j")
+    }),
+
+    // SimHash near-dups (rows-only)
+    "d6_simhash" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir).where(col("doc_id") % 4 === 0)
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxDistance = 3)
+        .orderBy("i", "j")
+    }),
+
+    // embedding cosine near-dups ≥ 0.8: corpus max pairwise cosine is ~0.51,
+    // duplicates injected as 1.5-scaled copies (cosine exactly 1)
+    "d7_emb_neardup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x * 1.5).as("v"))
+      Dedup.embeddingNearDupsBrute(e.unionByName(copies), "vec_id", "v", 0.8)
+        .select(col("i"), col("j"))
+        .orderBy("i", "j")
+    })
+  )
+
+  private val dupedDocsSql =
+    """SELECT a.doc_id AS doc_id, b.text AS text
+      |FROM documents a JOIN documents b ON a.doc_id % 100 = b.doc_id""".stripMargin
+
+  private def jaccardSql(subset: String, tokenExpr: String, threshold: String): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % $subset = 0),
+       |tok AS (SELECT DISTINCT doc_id, token FROM (
+       |  SELECT doc_id, unnest($tokenExpr) AS token FROM docs)
+       |  WHERE token <> ''),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+       |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, ROUND(CAST(inter AS DOUBLE) / (si.sz + sj.sz - inter), 6) AS jaccard
+       |FROM pairs JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+       |WHERE CAST(inter AS DOUBLE) / (si.sz + sj.sz - inter) >= $threshold
+       |ORDER BY i, j""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM ($dupedDocsSql))
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "d2_dup_pairs" ->
+      s"""SELECT keep AS survivor_id, doc_id AS duplicate_id FROM (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep
+         |  FROM ($dupedDocsSql))
+         |WHERE doc_id <> keep ORDER BY 1, 2""".stripMargin,
+
+    "d3_token_jaccard" ->
+      jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),
+
+    "d4_ngram_jaccard" ->
+      jaccardSql("20",
+        """[substr(lower(trim(text)), i, 5)
+          |  for i in range(1, greatest(length(lower(trim(text))) - 4, 1) + 1)
+          |  if length(substr(lower(trim(text)), i, 5)) = 5]""".stripMargin,
+        "0.55"),
+
+    "d7_emb_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, [x * 1.5 FOR x IN v] FROM base)
+        |SELECT a.vec_id AS i, b.vec_id AS j
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+        |ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup operator semantics: exact survivors, Jaccard math, MinHash/LSH
+  * determinism and recall, SimHash locality, cosine pipelines. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "totally unrelated words forming another document")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the min id per text") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
+    val pairs = Dedup.exactDupPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("token jaccard finds near and exact dups above threshold") {
+    val pairs = Dedup.tokenJaccardPairs(corpus, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 == 1.0)
+    // 1 vs 3: tokens {the,quick,brown,fox,jumps,over,lazy,dog} vs {...cat}:
+    // inter 7, union 9
+    assert(math.abs(pairs(1)._3 - 7.0 / 9) < 1e-12)
+  }
+
+  test("ngram shingles slide correctly") {
+    val df = Seq((1L, "abcde")).toDF("id", "text")
+    val grams = Dedup.docShingles(df, "id", "text", 3)
+      .select("token").collect().map(_.getString(0)).sorted
+    assert(grams.toSeq == Seq("abc", "bcd", "cde"))
+  }
+
+  test("minhash signatures are deterministic and length-k") {
+    val tokens = Dedup.docTokens(corpus, "doc_id", "text")
+    val sig1 = Dedup.minhashSignatures(tokens, 16, seed = 7L)
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    val sig2 = Dedup.minhashSignatures(tokens, 16, seed = 7L)
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(sig1.toSeq == sig2.toSeq)
+    assert(sig1.forall(_.length == 16))
+    // identical docs → identical signatures
+    assert(sig1(0) == sig1(1))
+  }
+
+  test("minhash+LSH pipeline finds dups and respects the threshold") {
+    val out = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        threshold = 0.7, numHashes = 32, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // exact dup always collides; near dup (jaccard 0.78) found with 8 bands
+    assert(out.contains((1L, 2L)))
+    assert(out.forall { case (i, j) => Set(1L, 2L, 3L).contains(i) && Set(1L, 2L, 3L).contains(j) })
+  }
+
+  test("simhash: identical docs share fingerprints, near dups are close") {
+    val fps = Dedup.simhash(Dedup.docTokens(corpus, "doc_id", "text"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fps(1L) == fps(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
+  }
+
+  test("simhash near-dup banding has full recall for distance ≤ bands-1") {
+    val out = Dedup.simhashNearDups(corpus, "doc_id", "text", maxDistance = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.contains((1L, 2L))) // distance 0 must always surface
+  }
+
+  test("cosine near-dup: brute and LSH agree on scaled copies") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(2.0, 0.0, 0.0, 0.0)),   // same direction as 1
+      (3L, Array(0.0, 1.0, 0.0, 0.0)),   // orthogonal
+      (4L, Array(0.9, 0.1, 0.0, 0.0))    // close to 1
+    ).toDF("id", "v")
+    val brute = Dedup.embeddingNearDupsBrute(vecs, "id", "v", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // cos(1,2)=1; cos(1,4)=cos(2,4)=0.9/√0.82≈0.9939; orthogonal pairs excluded
+    assert(brute == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val lsh = Dedup.embeddingNearDupsLsh(vecs, "id", "v", 0.95, bits = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lsh.contains((1L, 2L))) // identical direction collides in every band
+    assert(lsh.toSet.subsetOf(brute.toSet)) // LSH verified results ⊆ brute
+  }
+}
