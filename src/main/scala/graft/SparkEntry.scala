@@ -22,7 +22,8 @@ object SparkEntry {
       SourceQueries.defs ++
       ReshapeQueries.defs ++
       SinkQueries.defs ++
-      DedupQueries.defs
+      DedupQueries.defs ++
+      SimilarityQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       SourceQueries.oracles ++
       ReshapeQueries.oracles ++
       SinkQueries.oracles ++
-      DedupQueries.oracles
+      DedupQueries.oracles ++
+      SimilarityQueries.oracles
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * Baseline: brute-force cosine top-k — a broadcast nested-loop of the
+ * (small) query set against the corpus with a per-query window; the corpus
+ * is scanned once, never shuffled. Scale path: IVF — corpus vectors are
+ * bucketed by nearest centroid at index time, queries probe only the
+ * `nProbe` nearest buckets, cutting the scan to nProbe/C of the corpus.
+ * All math in double, index-order accumulation (Dedup.dotProduct).
+ */
+object Similarity {
+
+  import Dedup.{dotProduct, l2Normalize}
+
+  /**
+   * Exact top-k by cosine: one row (query_id, id, cosine, rank) per match,
+   * rank 1..k per query. `queries` must be small (it is broadcast); the
+   * corpus side stays partitioned and is scanned exactly once.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), l2Normalize(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"),
+        dotProduct(col("v"), col("qv")).as("cosine"))
+      .where(col("query_id") =!= col("id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * IVF index: assign every corpus vector to its nearest centroid.
+   * Centroids are any small deterministic sample (a k-means refinement can
+   * replace them without touching the search path). Returns the corpus
+   * tagged with `centroid_id` — at scale this is the partitioning/bucketing
+   * key, so one bucket's vectors co-locate.
+   */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, centroidIdCol: String = "centroid_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
+    val cents = centroids.select(col(centroidIdCol).as("cid"),
+      l2Normalize(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("__sim", dotProduct(col("v"), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("centroid_id"))
+  }
+
+  /**
+   * IVF search: probe the `nProbe` nearest centroids per query, then exact
+   * cosine within those buckets only. Join key (centroid_id) is an
+   * equi-join — the scan touches nProbe/C of the corpus.
+   */
+  def ivfTopK(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cents = centroids.select(col(centroidIdCol).as("cid"),
+      l2Normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), l2Normalize(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__sim", dotProduct(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    indexed.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("id"),
+        dotProduct(col("v"), col("qv")).as("cosine"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}
