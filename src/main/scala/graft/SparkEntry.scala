@@ -23,7 +23,8 @@ object SparkEntry {
       ReshapeQueries.defs ++
       SinkQueries.defs ++
       DedupQueries.defs ++
-      SimilarityQueries.defs
+      SimilarityQueries.defs ++
+      TextQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       ReshapeQueries.oracles ++
       SinkQueries.oracles ++
       DedupQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++
+      TextQueries.oracles
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: token counting,
+ * language identification, quality scoring, document fingerprinting.
+ *
+ * Everything here is a pure `Column` expression — no UDFs — so every
+ * operator stays inside whole-stage codegen and runs at scan speed on any
+ * corpus size. Language profiles are literal arrays folded into the plan.
+ */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens (may contain duplicates). */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count; blank input → 0. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword token count: letter runs, digit runs, punctuation runs
+    * (the pre-tokenizer split a byte-pair encoder sees). */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(lower(trim(c)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"))
+
+  // ---- language identification ---------------------------------------------
+
+  /** Tiny stopword profiles (top function words per language). Extend freely;
+    * detection quality scales with profile size, the plan shape does not. */
+  val LanguageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "un", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"))
+
+  /**
+   * Language-ID heuristic: fraction of the document's DISTINCT tokens that
+   * hit each profile's stopword set; argmax wins, ties break on language
+   * code, no hit at all → "und".
+   */
+  def langId(c: Column, profiles: Map[String, Seq[String]] = LanguageProfiles): Column = {
+    val toks = array_distinct(tokens(c))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(
+        (size(array_intersect(toks, array(stops.map(lit): _*))).cast("double") /
+          greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // sort by score desc, lang asc; element_at after sort with comparator
+    val best = array_sort(array(scored: _*),
+      (l, r) => when(l("score") > r("score"), -1)
+        .when(l("score") < r("score"), 1)
+        .when(l("lang") < r("lang"), -1)
+        .when(l("lang") > r("lang"), 1)
+        .otherwise(0))(0)
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  // ---- quality scoring ------------------------------------------------------
+
+  /** English stopword ratio over all tokens (non-distinct). */
+  def stopwordRatio(c: Column, stops: Seq[String] = LanguageProfiles("en")): Column = {
+    val toks = tokens(c)
+    val stopArr = array(stops.map(lit): _*)
+    size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Punctuation-character ratio of the trimmed text. */
+  def punctRatio(c: Column): Column = {
+    val t = lower(trim(c))
+    (length(t) - length(regexp_replace(t, "[^a-z0-9\\s]", ""))).cast("double") /
+      greatest(length(t), lit(1))
+  }
+
+  /** Alphabetic-character ratio of the trimmed text. */
+  def alphaRatio(c: Column): Column = {
+    val t = lower(trim(c))
+    (length(t) - length(regexp_replace(t, "[a-z]", ""))).cast("double") /
+      greatest(length(t), lit(1))
+  }
+
+  /**
+   * Composite quality score in [0,1]: four equally-weighted gates —
+   * length (≥5 words, ≥30 chars), stopword presence (≥5%), punctuation
+   * sanity (≤20%), alphabetic density (≥70%). The gates-and-average shape
+   * mirrors common pretraining-corpus filters (C4-style heuristics).
+   */
+  def qualityScore(c: Column): Column = {
+    val lengthOk = when(tokenCount(c) >= 5 && length(trim(c)) >= 30, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c) >= 0.05, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) <= 0.2, 1.0).otherwise(0.0)
+    val alphaOk = when(alphaRatio(c) >= 0.7, 1.0).otherwise(0.0)
+    (lengthOk + stopOk + punctOk + alphaOk) / 4.0
+  }
+
+  // ---- fingerprinting --------------------------------------------------------
+
+  private val FpPrime = 2147483647L // 2^31 - 1
+  private val FpBase = 31L
+
+  /** Polynomial rolling hash of the trimmed text: h = Σ 31^i·byte mod
+    * (2^31-1). Engine-portable (plain integer arithmetic, no xxhash), stays
+    * within 2^36 so ANSI overflow checks never trip. */
+  def docFingerprint(c: Column): Column =
+    aggregate(
+      transform(split(trim(c), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * FpBase + x, lit(FpPrime)))
+
+  /** Distinct k-gram rolling-hash fingerprints per document (the winnowing
+    * building block): array of hashes of each k-char shingle. */
+  def shingleFingerprints(c: Column, k: Int): Column = {
+    val t = lower(trim(c))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => aggregate(
+        transform(split(t.substr(i, lit(k)), ""), ch => ascii(ch).cast("long")),
+        lit(0L),
+        (acc, x) => pmod(acc * FpBase + x, lit(FpPrime)))))
+  }
+}

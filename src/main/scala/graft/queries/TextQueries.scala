@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+import graft.operators.TextAnalysis
+
+/**
+ * Text-analysis coverage over `documents`, all with full DuckDB oracles —
+ * every operator is plain integer/double arithmetic over tokens and
+ * characters, so the oracle states the identical computation in SQL.
+ */
+object TextQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counts: whitespace + BPE-ish subword runs
+    "t1_token_counts" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic scores
+    "t2_langid" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_guess")
+    }),
+
+    // quality components + composite score
+    "t3_quality" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // polynomial rolling-hash fingerprint
+    "t4_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.docFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val EnStops = TextAnalysis.LanguageProfiles("en")
+    .map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private def profileSql(lang: String): String = {
+    val stops = TextAnalysis.LanguageProfiles(lang).map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""STRUCT_PACK(sc := CAST(len(list_intersect(toks, $stops)) AS DOUBLE) /
+       |  greatest(len(toks), 1), lg := '$lang')""".stripMargin.replace("\n", " ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS n_tokens,
+        |  len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    (SELECT CASE WHEN max(s.sc) > 0 THEN first(s.lg ORDER BY s.sc DESC, s.lg ASC)
+         |            ELSE 'und' END
+         |     FROM (SELECT unnest([${Seq("de", "en", "es", "fr").map(profileSql).mkString(", ")}],
+         |                  recursive := true)) s(sc, lg)) AS lang_guess
+         |  FROM (SELECT doc_id,
+         |          list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |            t -> t <> '')) AS toks
+         |        FROM documents))
+         |SELECT lang_guess, COUNT(*) AS n_docs FROM scored
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t3_quality" ->
+      s"""SELECT doc_id,
+         |  ROUND(CAST(len(list_filter(toks, t -> list_contains($EnStops, t))) AS DOUBLE)
+         |    / greatest(len(toks), 1), 6) AS stop_ratio,
+         |  ROUND(CAST(length(t) - length(regexp_replace(t, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(t), 1), 6) AS punct_ratio,
+         |  ROUND(CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(t), 1), 6) AS alpha_ratio,
+         |  ((CASE WHEN len(toks) >= 5 AND length(trim(text)) >= 30 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN CAST(len(list_filter(toks, t -> list_contains($EnStops, t))) AS DOUBLE)
+         |          / greatest(len(toks), 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN CAST(length(t) - length(regexp_replace(t, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |          / greatest(length(t), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE)
+         |          / greatest(length(t), 1) >= 0.7 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+         |FROM (SELECT doc_id, text, lower(trim(text)) AS t,
+         |        list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(x) AS BIGINT) FOR x IN string_split(trim(text), '')]),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text-analysis operator semantics. */
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.head().get(0).asInstanceOf[T]
+
+  test("token counts: whitespace and BPE-ish runs") {
+    val df = Seq("Hello, world 42!").toDF("t")
+    assert(one[Int](df.select(TextAnalysis.tokenCount(col("t")))) == 3)
+    // hello | , | world | 42 | ! → 5 runs
+    assert(one[Int](df.select(TextAnalysis.bpeTokenCount(col("t")))) == 5)
+    assert(one[Int](Seq("").toDF("t").select(TextAnalysis.tokenCount(col("t")))) == 0)
+  }
+
+  test("langId picks the profile with highest stopword overlap") {
+    val en = Seq("the cat sat on the mat and it is happy").toDF("t")
+    val es = Seq("el gato y la casa en que vivo").toDF("t")
+    val de = Seq("der hund und die katze ist von hier").toDF("t")
+    val none = Seq("zzz qqq xxx").toDF("t")
+    assert(one[String](en.select(TextAnalysis.langId(col("t")))) == "en")
+    assert(one[String](es.select(TextAnalysis.langId(col("t")))) == "es")
+    assert(one[String](de.select(TextAnalysis.langId(col("t")))) == "de")
+    assert(one[String](none.select(TextAnalysis.langId(col("t")))) == "und")
+  }
+
+  test("quality gates: clean prose scores 1, junk scores low") {
+    val good = Seq("the quick brown fox jumps over the lazy dog and it is very happy today")
+      .toDF("t")
+    val junk = Seq("!!!??? ###$$$ %%%^^^ &&&***").toDF("t")
+    assert(one[Double](good.select(TextAnalysis.qualityScore(col("t")))) == 1.0)
+    assert(one[Double](junk.select(TextAnalysis.qualityScore(col("t")))) <= 0.25)
+  }
+
+  test("ratios are bounded and sane") {
+    val df = Seq("abc, def!").toDF("t")
+    // 2 punct chars of 9
+    assert(math.abs(one[Double](df.select(TextAnalysis.punctRatio(col("t")))) - 2.0 / 9) < 1e-12)
+    // 6 alpha chars of 9
+    assert(math.abs(one[Double](df.select(TextAnalysis.alphaRatio(col("t")))) - 6.0 / 9) < 1e-12)
+  }
+
+  test("docFingerprint matches the polynomial definition") {
+    val df = Seq("abc").toDF("t")
+    // ((0*31+97)*31+98)*31+99 = 96354
+    assert(one[Long](df.select(TextAnalysis.docFingerprint(col("t")))) == 96354L)
+    // identical text → identical fingerprint; different text → different
+    val two = Seq("same text", "same text", "other").toDF("t")
+    val fps = two.select(TextAnalysis.docFingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("shingleFingerprints yields one hash per distinct k-gram") {
+    val df = Seq("abab").toDF("t")
+    val fps = df.select(TextAnalysis.shingleFingerprints(col("t"), 2))
+      .head().getSeq[Long](0)
+    assert(fps.length == 2) // "ab", "ba" (second "ab" deduped)
+  }
+}
