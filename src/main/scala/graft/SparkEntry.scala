@@ -24,7 +24,8 @@ object SparkEntry {
       SinkQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
-      TextQueries.defs
+      TextQueries.defs ++
+      StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       SinkQueries.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
-      TextQueries.oracles
+      TextQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.events
+import graft.streaming.EventStreams
+
+/**
+ * Streaming-operator semantics pinned on BOUNDED input: the same transforms
+ * run unbounded in [[graft.streaming.EventStreams]] (ScalaTest drives them
+ * through MemoryStream); here the identical logical plans run over the
+ * `events` table so the DuckDB oracle can state expected results. Spark's
+ * epoch-aligned 1-hour windows equal date_trunc('hour'); session_window
+ * equals the SQL gap-islands formulation.
+ */
+object StreamQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1h windows per event type
+    "st1_windowed_counts" -> ((s, dir) => {
+      EventStreams.windowedCounts(events(s, dir))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // session windows (30 min gap) per user
+    "st2_sessions" -> ((s, dir) => {
+      EventStreams.sessionWindows(events(s, dir))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("session_end").cast("long") - col("session_start").cast("long"))
+            .as("max_session_sec"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st2_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |per_session AS (
+        |  -- session_window end = last event + gap, so duration carries +1800s
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    date_diff('second', MIN(ts), MAX(ts)) + 1800 AS dur_sec
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(dur_sec) AS BIGINT) AS max_session_sec
+        |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event for typed stateful processing. */
+case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Session state carried between micro-batches. */
+case class SessionState(start: Long, lastTs: Long, nEvents: Int, sumValue: Double)
+
+/** Emitted when a session times out. */
+case class SessionResult(user_id: Long, startTs: Timestamp, endTs: Timestamp,
+    nEvents: Int, sumValue: Double, durationSec: Long)
+
+/**
+ * Structured Streaming operators over the `events` shape. Every transform
+ * here accepts an unbounded OR bounded DataFrame — the logical plan is
+ * identical, so the batch oracle queries in [[graft.queries.StreamQueries]]
+ * pin the same semantics the streaming tests exercise incrementally.
+ *
+ * Scale notes: windowed aggregates shuffle on (window, key) with map-side
+ * partial aggregation; watermarks bound state. The custom sessionizer keys
+ * state by user_id — state size is O(active users), not O(events).
+ */
+object EventStreams {
+
+  /** Tumbling-window counts per event type with a watermark bounding state
+    * and dropping late data. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // decimal sum: partition-order-independent, bit-identical across
+      // engines (double accumulation is not associative)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window top activity per user. */
+  def slidingUserActivity(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
+
+  /** Declarative sessionization: built-in `session_window` with a gap. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /**
+   * Custom stateful sessionization via `flatMapGroupsWithState`: sessions
+   * close after `gapMs` of event-time inactivity (watermark-driven
+   * timeouts — deterministic, no wall-clock dependence), emitting one
+   * `SessionResult` per closed session. The state API surface the built-in
+   * session_window can't express (emit-on-close with custom payloads).
+   * Callers must apply `withWatermark("ts", ...)` upstream.
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionResult] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionResult(userId, new Timestamp(s.start),
+              new Timestamp(s.lastTs), s.nEvents, s.sumValue,
+              (s.lastTs - s.start) / 1000))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionResult]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionResult(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastTs), s.nEvents, s.sumValue,
+                    (s.lastTs - s.start) / 1000)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Stream-friendly dedup: drop repeated event_ids within the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** File-source entry point: read a parquet events directory as a stream —
+    * the production shape (`readStream` → transforms → `writeStream`). */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}
