@@ -25,7 +25,8 @@ object SparkEntry {
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       TextQueries.defs ++
-      StreamQueries.defs
+      StreamQueries.defs ++
+      MultimodalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       TextQueries.oracles ++
-      StreamQueries.oracles
+      StreamQueries.oracles ++
+      MultimodalQueries.oracles
 }

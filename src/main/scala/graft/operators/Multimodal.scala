@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A media record: opaque bytes + typed metadata travelling together. */
+case class MediaRecord(
+    media_id: Long,
+    kind: String,          // image | audio | video | text
+    bytes: Array[Byte],
+    mime_type: String,
+    n_bytes: Long)
+
+/** Decoded representation produced by the (stubbed) codec layer. */
+case class DecodedImage(width: Int, height: Int, pixels: Array[Float])
+
+/** Extracted feature row: fixed-width embedding + provenance. */
+case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    embedding: Array[Float],
+    decode_width: Int,
+    decode_height: Int,
+    batch_size: Int)
+
+/**
+ * Multimodal pipeline plumbing: image/audio/video as opaque `binary`
+ * columns with typed metadata, processed by batched `mapPartitions` — the
+ * Spark-side shape (schema, partitioning, batch assembly) is real and
+ * tested; only the codec itself is a STUB (this container has no imaging
+ * libraries), clearly marked below and swappable for a JNI/ONNX decoder
+ * without touching the plan.
+ *
+ * Scale design: bytes never hit the driver; partitions are sized by byte
+ * volume (not row count) so one task holds a bounded decode working set;
+ * records batch inside each partition exactly like GPU inference wants.
+ */
+object Multimodal {
+
+  /** Pack a string column as a media-bytes frame (the text modality; also
+    * the test harness for the binary plumbing — byte counts and hashes are
+    * verifiable against any engine). */
+  def packText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("text").as("kind"),
+      encode(col(textCol), "UTF-8").as("bytes"),
+      lit("text/plain").as("mime_type"),
+      octet_length(col(textCol)).cast("long").as("n_bytes"))
+
+  /** Repartition by cumulative byte volume so each decode task holds at
+    * most ~`targetBytesPerPartition` of media in memory. */
+  def repartitionForDecode(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    val totalBytes = df.agg(sum(col("n_bytes"))).head().getLong(0)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+    df.repartition(parts, col("media_id"))
+  }
+
+  // ---- STUB codec layer -----------------------------------------------------
+  // Real decoders (JPEG/PNG/WAV/MP4) need native libraries not present in
+  // this container. The stubs below are DETERMINISTIC FAKES that preserve
+  // the data-flow contract: bytes in → dimensioned float planes out. Swap
+  // `decodeImageStub` for an actual codec to productionize; nothing else
+  // changes.
+
+  /** STUB: "decode" bytes into a WxH float plane. Deterministic: dims from
+    * byte length, pixels from a rolling transform of the bytes. */
+  def decodeImageStub(bytes: Array[Byte]): DecodedImage = {
+    val n = math.max(bytes.length, 1)
+    val width = math.max(1, math.min(64, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val height = math.max(1, math.ceil(n.toDouble / width).toInt)
+    val pixels = new Array[Float](width * height)
+    var i = 0
+    while (i < pixels.length) {
+      pixels(i) = if (i < n) ((bytes(i % n) & 0xFF) / 255.0f) else 0.0f
+      i += 1
+    }
+    DecodedImage(width, height, pixels)
+  }
+
+  /** STUB: nearest-neighbor resize of a decoded plane — the arithmetic is
+    * real; only the source plane is fake. */
+  def resizeStub(img: DecodedImage, w: Int, h: Int): DecodedImage = {
+    val out = new Array[Float](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(img.height - 1, y * img.height / h)
+      var x = 0
+      while (x < w) {
+        val sx = math.min(img.width - 1, x * img.width / w)
+        out(y * w + x) = img.pixels(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, out)
+  }
+
+  /** STUB: sample every `everyN`-th fixed-size frame from a byte stream
+    * (the video path: container demux is faked as fixed-size chunks). */
+  def frameSampleStub(bytes: Array[Byte], frameSize: Int, everyN: Int): Seq[Array[Byte]] =
+    bytes.grouped(frameSize).zipWithIndex
+      .collect { case (frame, i) if i % everyN == 0 => frame }
+      .toSeq
+
+  /** Mean/std/quartile summary of a plane → fixed 8-dim embedding. Real
+    * math over the (stub-)decoded plane. */
+  def planeEmbedding(img: DecodedImage): Array[Float] = {
+    val p = img.pixels
+    val n = math.max(p.length, 1)
+    val mean = p.sum / n
+    val variance = p.map(v => (v - mean) * (v - mean)).sum / n
+    val sorted = p.sorted
+    def q(f: Double): Float = sorted(math.min(n - 1, (f * n).toInt))
+    Array(mean, math.sqrt(variance).toFloat, q(0.25), q(0.5), q(0.75),
+      img.width.toFloat, img.height.toFloat, n.toFloat)
+  }
+
+  /**
+   * Batched decode + feature extraction: `mapPartitions` assembles
+   * `batchSize` records, "decodes" each, resizes to 16×16, and emits one
+   * embedding per record tagged with the batch size it rode in (the shape a
+   * GPU inference step needs — contiguous batches, bounded memory).
+   */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 32): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch-level work happens here (a real pipeline hands the whole
+        // batch to the codec/model at once)
+        batch.map { rec =>
+          val decoded = decodeImageStub(rec.bytes)
+          val resized = resizeStub(decoded, 16, 16)
+          MediaFeatures(rec.media_id, rec.kind, planeEmbedding(resized),
+            decoded.width, decoded.height, batch.size)
+        }
+      }
+    }
+  }
+}

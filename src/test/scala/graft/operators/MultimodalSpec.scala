@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: binary schema, partition sizing, batch assembly,
+  * deterministic stub codec. */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val media = Multimodal.packText(
+    Seq((1L, "hello world"), (2L, "a" * 100), (3L, "short"))
+      .toDF("id", "text"), "id", "text")
+
+  test("packText produces binary bytes with typed metadata") {
+    val rows = media.orderBy("media_id").collect()
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    assert(rows.map(_.getAs[Long]("n_bytes")).toSeq == Seq(11L, 100L, 5L))
+    assert(rows.forall(_.getAs[String]("mime_type") == "text/plain"))
+    assert(new String(rows(0).getAs[Array[Byte]]("bytes"), "UTF-8") == "hello world")
+  }
+
+  test("repartitionForDecode sizes partitions by byte volume") {
+    val parts = Multimodal.repartitionForDecode(media, targetBytesPerPartition = 60)
+    assert(parts.rdd.getNumPartitions == 2) // 116 bytes / 60 → 2 partitions
+  }
+
+  test("stub decode is deterministic and dimension-sane") {
+    val a = Multimodal.decodeImageStub("hello world".getBytes)
+    val b = Multimodal.decodeImageStub("hello world".getBytes)
+    assert(a.width == b.width && a.height == b.height)
+    assert(a.pixels.toSeq == b.pixels.toSeq)
+    assert(a.width * a.height >= 11)
+    assert(a.pixels.forall(p => p >= 0.0f && p <= 1.0f))
+  }
+
+  test("resize preserves bounds; frame sampling picks every Nth chunk") {
+    val img = Multimodal.decodeImageStub((0 until 100).map(_.toByte).toArray)
+    val r = Multimodal.resizeStub(img, 16, 16)
+    assert(r.width == 16 && r.height == 16 && r.pixels.length == 256)
+    val frames = Multimodal.frameSampleStub((0 until 100).map(_.toByte).toArray, 10, 3)
+    assert(frames.length == 4) // chunks 0,3,6,9 of the ten 10-byte chunks
+    assert(frames.head.length == 10)
+  }
+
+  test("extractFeatures batches inside partitions and embeds each record") {
+    val ds = media.as[MediaRecord].repartition(1)
+    val feats = Multimodal.extractFeatures(ds, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 3)
+    assert(feats.forall(_.embedding.length == 8))
+    // one partition, batch size 2 → batches of 2 and 1
+    assert(feats.map(_.batch_size).sorted.toSeq == Seq(1, 2, 2))
+    // embedding is deterministic
+    val again = Multimodal.extractFeatures(ds, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
+  }
+}
