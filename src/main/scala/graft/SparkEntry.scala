@@ -26,7 +26,8 @@ object SparkEntry {
       SimilarityQueries.defs ++
       TextQueries.defs ++
       StreamQueries.defs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++
+      SessionQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       TextQueries.oracles ++
       StreamQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      SessionQueries.oracles
 }

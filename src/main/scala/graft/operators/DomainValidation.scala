@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.{isBlank, txt}
+import graft.standards.{SdtmDomain, Standards, VariableType}
+
+/**
+ * Per-domain validation driver (`checks/mod.rs:24-77` — checks 1-8 in
+ * order) producing a typed `Seq[Issue]`. Every per-variable statistic
+ * rides ONE fused aggregation over the frame; only the V5 duplicate-SEQ
+ * check needs its own groupBy job. Cross-domain checks live in
+ * [[Validate]] (X1-X5 anti-joins).
+ */
+object DomainValidation {
+
+  private val DateSuffixes =
+    Seq("DTC", "DTM", "STDTC", "ENDTC") // anchored ISO checks (dates.rs:27)
+
+  private def isDateVar(name: String): Boolean =
+    Seq("DTC", "DTM", "DT", "TM").exists(name.endsWith) &&
+      !name.endsWith("CAT") // cheap guard; mirrors suffix list semantics
+
+  /** Run V1-V8 over one domain frame. `declaredLengths` feeds V6. */
+  def validateDomain(df: DataFrame, domain: SdtmDomain,
+      notCollected: Set[String] = Set.empty,
+      declaredLengths: Map[String, Int] = Map.empty): Seq[Issue] = {
+    val issues = Seq.newBuilder[Issue]
+    val present = df.columns.map(c => c.toUpperCase -> c).toMap
+    val vars = domain.orderedVariables
+
+    // V1/V2 absence checks need no scan
+    vars.foreach { v =>
+      val here = present.contains(v.name.toUpperCase)
+      if (!here && v.isRequired)
+        issues += Issue(domain.name, v.name, "RequiredMissing", "Reject", 0, Nil)
+      if (!here && v.isExpected && !notCollected.contains(v.name))
+        issues += Issue(domain.name, v.name, "ExpectedMissing", "Warning", 0, Nil)
+    }
+
+    val presentVars = vars.filter(v => present.contains(v.name.toUpperCase))
+    if (presentVars.isEmpty) return issues.result()
+
+    // one fused aggregation: blanks, type conformance, ISO shape, lengths,
+    // CT membership counts + samples
+    val aggs = Seq.newBuilder[Column]
+    aggs += count(lit(1)).as("__total")
+    presentVars.foreach { v =>
+      val c = col(present(v.name.toUpperCase))
+      val n = v.name
+      aggs += sum(when(isBlank(c), 1L).otherwise(0L)).as(s"${n}__blank")
+      if (v.dataType == VariableType.Num)
+        aggs += sum(when(!isBlank(c) && !txt(c).rlike(Validate.NumericRegex), 1L)
+          .otherwise(0L)).as(s"${n}__badnum")
+      if (isDateVar(n))
+        aggs += sum(when(!isBlank(c) && !txt(c).rlike(Validate.IsoDateRegex), 1L)
+          .otherwise(0L)).as(s"${n}__baddate")
+      declaredLengths.get(n).foreach { len =>
+        aggs += sum(when(length(txt(c)) > len, 1L).otherwise(0L)).as(s"${n}__overlen")
+        aggs += max(length(txt(c))).as(s"${n}__maxlen")
+      }
+      v.firstCodelistCode.foreach { code =>
+        val allowed = Standards.ctRegistry.lookupMap(code).keys.toSeq
+        if (allowed.nonEmpty) {
+          val bad = !isBlank(c) && !upper(txt(c)).isin(allowed: _*)
+          aggs += sum(when(bad, 1L).otherwise(0L)).as(s"${n}__badct")
+          aggs += slice(sort_array(collect_set(when(bad, txt(c)))), 1, 5).as(s"${n}__ctsamples")
+        }
+      }
+    }
+    val row = df.agg(aggs.result().head, aggs.result().tail: _*).head()
+    val total = row.getAs[Long]("__total")
+
+    presentVars.foreach { v =>
+      val n = v.name
+      val blanks = row.getAs[Long](s"${n}__blank")
+      if (v.isRequired) {
+        if (blanks == total)
+          issues += Issue(domain.name, n, "RequiredMissing", "Reject", total, Nil)
+        else if (blanks > 0)
+          issues += Issue(domain.name, n, "RequiredEmpty", "Error", blanks, Nil)
+      } else if (v.isExpected && blanks == total && !notCollected.contains(n))
+        issues += Issue(domain.name, n, "ExpectedEmpty", "Warning", total, Nil)
+      if (v.isIdentifier && blanks > 0)
+        issues += Issue(domain.name, n, "IdentifierNull", "Error", blanks, Nil)
+      if (v.dataType == VariableType.Num) {
+        val bad = row.getAs[Long](s"${n}__badnum")
+        if (bad > 0) issues += Issue(domain.name, n, "NonNumeric", "Error", bad, Nil)
+      }
+      if (isDateVar(n)) {
+        val bad = row.getAs[Long](s"${n}__baddate")
+        if (bad > 0) issues += Issue(domain.name, n, "NonIso8601", "Error", bad, Nil)
+      }
+      declaredLengths.get(n).foreach { len =>
+        val over = row.getAs[Long](s"${n}__overlen")
+        if (over > 0)
+          issues += Issue(domain.name, n, "LengthExceeded", "Warning", over,
+            Seq(s"max=${row.getAs[Int](s"${n}__maxlen")}", s"declared=$len"))
+      }
+      v.firstCodelistCode.foreach { code =>
+        if (Standards.ctRegistry.lookupMap(code).nonEmpty) {
+          val bad = row.getAs[Long](s"${n}__badct")
+          if (bad > 0) {
+            val extensible = Standards.ctRegistry.get(code).exists(_.extensible)
+            val samples = row.getSeq[String](row.fieldIndex(s"${n}__ctsamples"))
+            issues += Issue(domain.name, n, "InvalidCtValue",
+              if (extensible) "Info" else "Error", bad, samples)
+          }
+        }
+      }
+    }
+
+    // V5 — duplicate SEQ (own groupBy; shuffles on the subject key only)
+    val seqVar = s"${domain.name.toUpperCase}SEQ"
+    for {
+      seqCol <- present.get(seqVar)
+      subjCol <- present.get("USUBJID")
+    } {
+      val dup = Validate.duplicateSeqCount(df, subjCol, seqCol).head()
+      if (dup.getLong(0) > 0)
+        issues += Issue(domain.name, seqVar, "DuplicateSeq", "Error",
+          dup.getLong(0), Nil)
+    }
+    issues.result()
+  }
+
+  /** Study-wide cross-domain checks X1-X5 over a domain registry. */
+  def validateCrossDomain(domains: Map[String, DataFrame]): Seq[Issue] = {
+    val issues = Seq.newBuilder[Issue]
+    val upper = domains.map { case (k, v) => k.toUpperCase -> v }
+
+    upper.get("DM").foreach { dm =>
+      if (dm.columns.contains("USUBJID")) {
+        upper.filterNot(_._1 == "DM").foreach { case (code, df) =>
+          if (df.columns.contains("USUBJID")) {
+            val orphans = Validate.orphanSubjects(df, dm, "USUBJID")
+            val r = orphans.agg(count(lit(1)),
+              slice(sort_array(collect_set(col("USUBJID"))), 1, 5)).head()
+            if (r.getLong(0) > 0)
+              issues += Issue(code, "USUBJID", "SubjectNotInDm", "Error",
+                r.getLong(0), r.getSeq[String](1))
+          }
+        }
+      }
+    }
+
+    val codes = upper.keys.toSeq
+    upper.filter { case (c, df) =>
+      Seq("CO", "RELREC").contains(c) && df.columns.contains("RDOMAIN")
+    }.foreach { case (code, df) =>
+      val bad = Validate.invalidRdomain(df, "RDOMAIN", codes)
+      val n = bad.count()
+      if (n > 0) issues += Issue(code, "RDOMAIN", "InvalidRdomain", "Error", n, Nil)
+    }
+
+    upper.get("RELSUB").foreach { rs =>
+      if (Seq("USUBJID", "RSUBJID").forall(rs.columns.contains)) {
+        val missing = Validate.missingReciprocal(rs, "USUBJID", "RSUBJID").count()
+        if (missing > 0)
+          issues += Issue("RELSUB", "RSUBJID", "MissingReciprocal", "Warning", missing, Nil)
+      }
+    }
+    issues.result()
+  }
+}

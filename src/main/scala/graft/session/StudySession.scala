@@ -1,0 +1,185 @@
+package graft.session
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sinks.{XmlSinks, XmlVariable, XmlCodelist, XptWriter}
+import graft.sources.CsvIngest
+import graft.standards.{SdtmDomain, Standards, VariableType}
+
+/** Per-domain state inside a session (DomainState —
+  * `crates/tss-gui/src/service/study.rs:122-142`). */
+case class DomainState(
+    code: String,
+    source: DataFrame,
+    headers: graft.sources.CsvHeaders,
+    hints: Map[String, ColumnHint],
+    mapping: MappingState)
+
+/**
+ * E1/E2/E3 — study lifecycle orchestration (SURVEY §3), Spark-first:
+ *
+ *  - E1 create: per-domain CSV scans (parallel plans), ONE hints
+ *    aggregation per domain, driver-side scoring/suggestion;
+ *  - E2 preview+validate: normalization is a single unexecuted projection;
+ *    validation fires one fused aggregate per domain + broadcast anti-joins
+ *    study-wide;
+ *  - E3 export: per-domain XPT / Dataset-XML / Define-XML with one
+ *    stats aggregate per domain feeding the writers.
+ *
+ * Mirrors `service/study.rs:27-153`, `service/preview.rs:46-86`,
+ * `service/export.rs:127-276`.
+ */
+class StudySession(val spark: SparkSession, val studyId: String) {
+
+  private val domains = scala.collection.mutable.LinkedHashMap[String, DomainState]()
+
+  def domainState(code: String): Option[DomainState] = domains.get(code.toUpperCase)
+  def domainCodes: Seq[String] = domains.keys.toSeq
+
+  /** E1 step — ingest one assigned (domain, csv) pair: scan, RELSUB
+    * augmentation, hints, scoring suggestions. */
+  def addDomain(code: String, csvPath: String, headerRows: Int = 1): DomainState = {
+    val codeU = code.toUpperCase
+    val (raw, headers) = CsvIngest.readCsvTable(spark, csvPath, headerRows)
+    val df0 = if (codeU == "RELSUB") Reshape.ensureRelsubBidirectional(raw) else raw
+    val df = df0.cache()
+    val dataCols = df.columns.filterNot(_ == CsvIngest.RowIdCol).toSeq
+    val labels = headers.labels
+      .map(ls => headers.columns.zip(ls).toMap).getOrElse(Map.empty)
+    val hints = Mapping.columnHints(df.select(dataCols.map(col): _*), labels)
+
+    val domainMeta = Standards.domain(codeU).getOrElse(
+      SdtmDomain(codeU, None, None, None, Nil))
+    val varMetas = domainMeta.variables.map(v =>
+      VarMeta(v.name, v.label, v.isRequired))
+    val state = new MappingState(codeU, varMetas)
+    state.applySuggestions(Mapping.suggestAll(dataCols, varMetas, hints))
+    val ds = DomainState(codeU, df, headers, hints, state)
+    domains(codeU) = ds
+    ds
+  }
+
+  /** Accept every scorer suggestion (the auto-accept path used in tests
+    * and batch pipelines; interactive flows call mapping.acceptManual). */
+  def acceptAllSuggestions(code: String): Unit =
+    domainState(code).foreach { ds =>
+      Standards.domain(ds.code).foreach(_.variables.foreach { v =>
+        ds.mapping.acceptSuggestion(v.name) // no-op unless Suggested
+      })
+    }
+
+  private def contextFor(ds: DomainState): NormalizationContext = {
+    val refDate = domains.get("DM").flatMap { dm =>
+      dm.mapping.columnFor("RFSTDTC")
+        .filter(dm.source.columns.contains)
+        .flatMap(c => RuleInference.referenceDateFrom(dm.source, c))
+    }
+    NormalizationContext(
+      studyId = studyId,
+      domainCode = ds.code,
+      mappings = Standards.domain(ds.code).map(_.variables.flatMap(v =>
+        ds.mapping.columnFor(v.name).map(v.name -> _)).toMap).getOrElse(Map.empty),
+      omitted = ds.mapping.omitted,
+      referenceDate = refDate)
+  }
+
+  /** E2 — normalized preview: one projection, lazily planned. `_row_id`
+    * rides along for deterministic export ordering. */
+  def preview(code: String): Option[DataFrame] =
+    for {
+      ds <- domainState(code)
+      domain <- Standards.domain(ds.code)
+    } yield RuleInference.normalizeDomain(ds.source, domain, contextFor(ds),
+      keepRowId = true)
+
+  /** E2 — validate one domain's normalized frame. */
+  def validate(code: String): Seq[Issue] =
+    (for {
+      ds <- domainState(code)
+      domain <- Standards.domain(ds.code)
+      frame <- preview(code)
+    } yield DomainValidation.validateDomain(frame, domain)).getOrElse(Nil)
+
+  /** E2 — study-wide cross-domain checks over normalized frames. */
+  def validateCross(): Seq[Issue] =
+    DomainValidation.validateCrossDomain(
+      domainCodes.flatMap(c => preview(c).map(c -> _)).toMap)
+
+  /** E3 — export every domain: XPT + Dataset-XML per domain, one
+    * Define-XML over all. Returns written paths. */
+  def exportAll(outDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(outDir))
+    val written = Seq.newBuilder[String]
+    val defineDatasets = Seq.newBuilder[XmlSinks.DefineDataset]
+    val usedCodelists = scala.collection.mutable.LinkedHashSet[String]()
+
+    domainCodes.sorted.foreach { code =>
+      val domain = Standards.domain(code).get
+      val frame = preview(code).get.cache()
+      val presentVars = domain.orderedVariables.filter(v => frame.columns.contains(v.name))
+      val varNames = presentVars.map(_.name)
+
+      // XPT (numeric SDTM vars ride as doubles; file order = source order)
+      val xptPath = s"$outDir/${code.toLowerCase}.xpt"
+      val typed = frame.orderBy(col(CsvIngest.RowIdCol)).select(presentVars.map { v =>
+        if (v.dataType == VariableType.Num) col(v.name).cast("double").as(v.name)
+        else col(v.name)
+      }: _*)
+      XptWriter.writeDataFrame(typed, xptPath, code, domain.label.getOrElse(code),
+        labels = presentVars.map(v => v.name -> v.label.getOrElse(v.name)).toMap)
+      written += xptPath
+
+      // Dataset-XML
+      val xmlPath = s"$outDir/${code.toLowerCase}.xml"
+      XmlSinks.writeDatasetXmlFile(frame, xmlPath, code, studyId, "3.4",
+        varNames, orderCol = Some(CsvIngest.RowIdCol))
+      written += xmlPath
+
+      // Define-XML entry (one stats agg per domain)
+      val stats = XmlSinks.varStats(frame, varNames)
+      defineDatasets += XmlSinks.DefineDataset(
+        name = code, domain = code,
+        label = domain.label.getOrElse(code),
+        structure = domain.structure.getOrElse(""),
+        klass = domain.className.getOrElse(""),
+        variables = domain.variablesByRole.filter(v => frame.columns.contains(v.name))
+          .map { v =>
+            v.firstCodelistCode.foreach(usedCodelists += _)
+            XmlVariable(v.name, v.label.getOrElse(""),
+              isNumeric = v.dataType == VariableType.Num,
+              required = v.isRequired, identifier = v.isIdentifier,
+              expected = v.isExpected,
+              codelistOid = v.firstCodelistCode.map(c => s"CL.$c"))
+          },
+        stats = stats)
+    }
+
+    val codelists = usedCodelists.toSeq.flatMap(code =>
+      Standards.ctRegistry.get(code).map(cl =>
+        XmlCodelist(s"CL.$code", cl.name, cl.extensible,
+          cl.terms.map(_.submissionValue).distinct)))
+    val definePath = s"$outDir/define.xml"
+    XmlSinks.writeDefineXmlFile(definePath, studyId, "3.4",
+      defineDatasets.result(), codelists)
+    written += definePath
+    written.result()
+  }
+}
+
+object StudySession {
+
+  /** E1 — create a session from a folder + domain→file assignments
+    * (`study.rs:27-153`). */
+  def create(spark: SparkSession, studyId: String, folder: String,
+      assignments: Map[String, String], headerRows: Int = 1): StudySession = {
+    val s = new StudySession(spark, studyId)
+    assignments.toSeq.sortBy(_._1).foreach { case (code, file) =>
+      s.addDomain(code, Paths.get(folder, file).toString, headerRows)
+    }
+    s
+  }
+}

@@ -1,0 +1,157 @@
+package graft.session
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sinks.XptReader
+import graft.standards.Standards
+
+/** End-to-end study pipeline: CSV → map → normalize → validate → export
+  * (E1/E2/E3 over a mockdata-shaped mini-study). */
+class StudySessionSpec extends SparkSpec {
+
+  private lazy val studyDir = {
+    val d = Paths.get("target", "tmp", "study1")
+    Files.createDirectories(d)
+    Files.write(d.resolve("dm.csv"),
+      ("SUBJID,RFSTDTC,BRTHDTC,AGE,SEX,SEXLBL\n" +
+        "101,2024-01-10,15/03/1980,44,male,Male\n" +
+        "102,2024-01-12,1975-07,48,F,Female\n" +
+        "103,2024-01-15,1990-01-01,34,X,Other\n").getBytes)
+    Files.write(d.resolve("ae.csv"),
+      ("SUBJID,AETERM,AESEV,AESTDTC,AEENDTC\n" +
+        "101,Headache,mild,2024-01-12,2024-01-13\n" +
+        "101,Nausea,Grade 2,2024-01-20,\n" +
+        "102,Fatigue,SEVERE,14/01/2024,2024-01-18\n" +
+        "999,Phantom,MILD,2024-01-11,\n").getBytes)
+    d.toString
+  }
+
+  private lazy val session = StudySession.create(spark, "GRAFT1", studyDir,
+    Map("DM" -> "dm.csv", "AE" -> "ae.csv"))
+
+  test("E1: scoring suggests the obvious mappings") {
+    val dm = session.domainState("DM").get
+    assert(dm.mapping.columnFor("SUBJID").contains("SUBJID"))
+    assert(dm.mapping.columnFor("RFSTDTC").contains("RFSTDTC"))
+    assert(dm.mapping.columnFor("SEX").contains("SEX"))
+    assert(dm.mapping.columnFor("AGE").contains("AGE"))
+    val ae = session.domainState("AE").get
+    assert(ae.mapping.columnFor("AETERM").contains("AETERM"))
+    assert(ae.mapping.columnFor("AESTDTC").contains("AESTDTC"))
+  }
+
+  test("E2: normalization derives constants, USUBJID, dates, CT, study day") {
+    val dm = session.preview("DM").get.orderBy("USUBJID").collect()
+    assert(dm.map(_.getAs[String]("STUDYID")).distinct.toSeq == Seq("GRAFT1"))
+    assert(dm.map(_.getAs[String]("DOMAIN")).distinct.toSeq == Seq("DM"))
+    assert(dm.map(_.getAs[String]("USUBJID")).toSeq ==
+      Seq("GRAFT1-101", "GRAFT1-102", "GRAFT1-103"))
+    // BRTHDTC: euro date normalized, partial preserved
+    assert(dm.map(_.getAs[String]("BRTHDTC")).toSeq ==
+      Seq("1980-03-15", "1975-07", "1990-01-01"))
+    // SEX CT: synonym "male"→M, M/F pass, miss preserved
+    assert(dm.map(_.getAs[String]("SEX")).toSeq == Seq("M", "F", "X"))
+    // AGE numeric
+    assert(dm.map(_.getAs[Double]("AGE")).toSeq == Seq(44.0, 48.0, 34.0))
+
+    val ae = session.preview("AE").get.orderBy("_row_id").collect()
+    // AESEQ windows per subject in file order
+    assert(ae.map(r => (r.getAs[String]("USUBJID"), r.getAs[Long]("AESEQ"))).toSeq ==
+      Seq(("GRAFT1-101", 1L), ("GRAFT1-101", 2L), ("GRAFT1-102", 1L), ("GRAFT1-999", 1L)))
+    // AESEV CT with synonyms (mild→MILD, Grade 2→MODERATE)
+    assert(ae.map(_.getAs[String]("AESEV")).toSeq ==
+      Seq("MILD", "MODERATE", "SEVERE", "MILD"))
+    // AESTDY vs DM.RFSTDTC (first parseable = 2024-01-10): 12th → day 3
+    assert(ae.map(r => Option(r.getAs[Integer]("AESTDY")).map(_.toInt)).toSeq ==
+      Seq(Some(3), Some(11), Some(5), Some(2)))
+  }
+
+  test("E2: validation flags missing required vars, bad CT, and orphans") {
+    val dmIssues = session.validate("DM")
+    // COUNTRY is Required in DM and absent from the source → Reject
+    assert(dmIssues.exists(i => i.variable == "COUNTRY" && i.kind == "RequiredMissing"
+      && i.severity == "Reject"))
+    // SEX value "X" resolves to no CT term (non-extensible C66731)
+    val sexIssue = dmIssues.find(i => i.variable == "SEX" && i.kind == "InvalidCtValue")
+    assert(sexIssue.exists(i => i.severity == "Error" && i.samples == Seq("X")))
+    // populated required vars are clean
+    assert(!dmIssues.exists(i => i.variable == "USUBJID"))
+    val cross = session.validateCross()
+    val orphan = cross.find(_.kind == "SubjectNotInDm")
+    assert(orphan.isDefined)
+    assert(orphan.get.count == 1)
+    assert(orphan.get.samples == Seq("GRAFT1-999"))
+  }
+
+  test("E3: export produces readable XPT + both XML documents") {
+    val outDir = "target/tmp/study1_out"
+    val written = session.exportAll(outDir)
+    assert(written.exists(_.endsWith("dm.xpt")))
+    assert(written.exists(_.endsWith("ae.xml")))
+    assert(written.exists(_.endsWith("define.xml")))
+
+    val dm = XptReader.read(s"$outDir/dm.xpt")
+    assert(dm.name == "DM")
+    assert(dm.rows.size == 3)
+    val useIdx = dm.columns.indexWhere(_.name == "USUBJID")
+    assert(dm.rows.map(_(useIdx)).toSet ==
+      Set("GRAFT1-101", "GRAFT1-102", "GRAFT1-103"))
+
+    val define = new String(Files.readAllBytes(Paths.get(s"$outDir/define.xml")), "UTF-8")
+    assert(define.contains("""<ItemGroupDef OID="IG.DM""""))
+    assert(define.contains("""<ItemGroupDef OID="IG.AE""""))
+    assert(define.contains("""CodeListOID="CL.C66731""""))
+    val aeXml = new String(Files.readAllBytes(Paths.get(s"$outDir/ae.xml")), "UTF-8")
+    assert(aeXml.contains("""data:ItemGroupDataSeq="4""""))
+    assert(aeXml.contains("""<ItemData ItemOID="IT.AE.AETERM" Value="Headache"/>"""))
+  }
+
+  test("K4: snapshot round trip + change detection") {
+    val assignments = Map("DM" -> "dm.csv", "AE" -> "ae.csv")
+    val snap = Persistence.snapshotOf(session, studyDir, assignments)
+    val path = "target/tmp/study1.graft.json"
+    Persistence.save(snap, path)
+    val loaded = Persistence.load(path)
+    assert(loaded == snap)
+    assert(loaded.mappings("DM")("SEX") == "SEX")
+    assert(Persistence.changedSources(loaded, studyDir).isEmpty)
+    Files.write(Paths.get(studyDir, "ae.csv"), "SUBJID\n1\n".getBytes)
+    assert(Persistence.changedSources(loaded, studyDir) == Seq("AE"))
+    // restore for other tests
+    Files.write(Paths.get(studyDir, "ae.csv"),
+      ("SUBJID,AETERM,AESEV,AESTDTC,AEENDTC\n" +
+        "101,Headache,mild,2024-01-12,2024-01-13\n").getBytes)
+  }
+}
+
+/** Standards loader pins (S8/S9). */
+class StandardsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("SDTM-IG loads with ordered variables") {
+    val dm = Standards.domain("DM").get
+    assert(dm.label.contains("Demographics"))
+    assert(dm.orderedVariables.head.name == "STUDYID")
+    assert(dm.variable("AGE").get.dataType == graft.standards.VariableType.Num)
+    assert(dm.variable("SEX").get.firstCodelistCode.contains("C66731"))
+    assert(Standards.domain("SUPPQUAL").isDefined)
+  }
+
+  test("CT registry: synonyms resolve case-insensitively") {
+    val sex = Standards.ctRegistry.get("C66731").get
+    assert(!sex.extensible)
+    assert(sex.resolve("male").contains("M"))
+    assert(sex.resolve(" F ").contains("F"))
+    assert(sex.resolve("unk").contains("U"))
+    assert(sex.resolve("nope").isEmpty)
+    val ageu = Standards.ctRegistry.get("C66781").get
+    assert(ageu.extensible)
+    assert(ageu.resolve("Year").contains("YEARS"))
+  }
+
+  test("SUPP template clone renames correctly") {
+    val supp = Standards.domain("SUPPQUAL").get.asSuppDomain("AE", Some("Adverse Events"))
+    assert(supp.name == "SUPPAE")
+    assert(supp.label.contains("Supplemental Qualifiers for Adverse Events"))
+  }
+}
