@@ -56,9 +56,18 @@ object Normalize {
   def seqNumber(subject: Column, rowId: Column): Column =
     row_number().over(Window.partitionBy(txt(subject)).orderBy(rowId)).cast(LongType)
 
-  /** N4/N5 — datetime normalization; empty stays empty. */
+  /** Structural ISO-8601 shape (digit positions only, no range checks) —
+    * the regex twin of `Iso8601.isValidIsoShape` (datetime.rs:100-182). */
+  private val IsoShapeRegex =
+    "^\\d{4}(-\\d{2}(-\\d{2}(T\\d{2}:\\d{2}(:\\d{2}.*)?)?)?)?$"
+
+  /** N4/N5 — datetime normalization; empty stays empty. Fast path: values
+    * already in ISO shape pass through inside codegen (the common case on
+    * clean data — the UDF only fires for the format cascade). */
   def iso8601(c: Column): Column =
-    when(txt(c) === "", lit("")).otherwise(iso8601Udf(txt(c)))
+    when(txt(c) === "", lit(""))
+      .when(txt(c).rlike(IsoShapeRegex), txt(c))
+      .otherwise(iso8601Udf(txt(c)))
 
   /** N6 — duration normalization; empty stays empty, unparseable preserved. */
   def isoDuration(c: Column): Column =

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-mitigation primitives for hot keys at scale. AQE's skew-join
+ * handling (enabled in [[graft.Graft.session]]) covers joins at runtime;
+ * these cover the aggregation side, where one giant key (a viral user, an
+ * empty-string USUBJID, a default enum value) funnels into a single
+ * reducer.
+ *
+ * Pattern: two-phase salted aggregation — partial aggregate on
+ * (key, salt), then final aggregate on key. Both phases map-side combine,
+ * so the hot key's rows split across `saltBuckets` reducers in phase one
+ * and only `saltBuckets` pre-aggregated rows meet in phase two.
+ */
+object Skew {
+
+  /** Deterministic salt in [0, buckets): spreads rows of the same key
+    * without RNG (pmod of a row-local hash). */
+  def salt(buckets: Int, cols: Column*): Column =
+    pmod(xxhash64(cols :+ monotonically_increasing_id(): _*), lit(buckets.toLong))
+
+  /**
+   * Salted count/sum aggregation: semantically identical to
+   * `df.groupBy(keys).agg(count, sum(valueCol))` but skew-proof.
+   */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", salt(saltBuckets, keyCols: _*))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum"))
+  }
+
+  /**
+   * Salted distinct count (exact): phase one dedups (key, salt, value)
+   * locally, phase two counts distinct values per key from the thinned
+   * stream. For extreme cardinality prefer `approx_count_distinct`.
+   */
+  def saltedDistinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    // value-derived salt (no row id): duplicates of the same value land in
+    // the same bucket, so phase one actually dedups them
+    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(saltBuckets.toLong)))
+      .select(keyCols :+ col("__salt") :+ col(valueCol): _*)
+      .distinct()
+      .groupBy(keyCols: _*)
+      .agg(countDistinct(col(valueCol)).as("n_distinct"))
+  }
+
+  /** Replicated broadcast join for a skewed build side is just
+    * `broadcast()`; for large-large joins with known hot keys, split the
+    * hot keys out, broadcast-join them, and union with the sort-merge rest. */
+  def hotKeySplitJoin(facts: DataFrame, dim: DataFrame, key: String,
+      hotKeys: Seq[Any]): DataFrame = {
+    val hot = facts.where(col(key).isin(hotKeys: _*))
+      .join(broadcast(dim.where(col(key).isin(hotKeys: _*))), key)
+    val cold = facts.where(!col(key).isin(hotKeys: _*) || col(key).isNull)
+      .join(dim.where(!col(key).isin(hotKeys: _*) || col(key).isNull), key)
+    hot.unionByName(cold)
+  }
+}

@@ -36,9 +36,15 @@ case class DomainState(
 class StudySession(val spark: SparkSession, val studyId: String) {
 
   private val domains = scala.collection.mutable.LinkedHashMap[String, DomainState]()
+  private val suppConfigs =
+    scala.collection.mutable.Map[String, Seq[(String, SuppColumnConfig)]]()
 
   def domainState(code: String): Option[DomainState] = domains.get(code.toUpperCase)
   def domainCodes: Seq[String] = domains.keys.toSeq
+
+  /** Route extra source columns of a domain to SUPP-- (G1 config). */
+  def configureSupp(code: String, configs: Seq[(String, SuppColumnConfig)]): Unit =
+    suppConfigs(code.toUpperCase) = configs
 
   /** E1 step — ingest one assigned (domain, csv) pair: scan, RELSUB
     * augmentation, hints, scoring suggestions. */
@@ -156,6 +162,28 @@ class StudySession(val spark: SparkSession, val studyId: String) {
               codelistOid = v.firstCodelistCode.map(c => s"CL.$c"))
           },
         stats = stats)
+    }
+
+    // SUPP-- datasets: source extras joined to the normalized USUBJID/SEQ on
+    // _row_id, unpivoted via stack (G1), written as SUPP{code}.xpt
+    suppConfigs.toSeq.sortBy(_._1).foreach { case (code, configs) =>
+      (domainState(code), preview(code)) match {
+        case (Some(ds), Some(normalized)) =>
+          val idCols = Seq("USUBJID", s"${code}SEQ").filter(normalized.columns.contains)
+          val joined = ds.source.join(
+            normalized.select((idCols :+ CsvIngest.RowIdCol).map(col): _*),
+            Seq(CsvIngest.RowIdCol))
+          Reshape.buildSupp(code, studyId, joined, configs).foreach { supp =>
+            val suppName = Reshape.suppDomainName(code)
+            val path = s"$outDir/${suppName.toLowerCase}.xpt"
+            XptWriter.writeDataFrame(
+              supp.orderBy("QNAM", "USUBJID", "IDVARVAL"), path, suppName,
+              Reshape.suppDomainLabel(code,
+                Standards.domain(code).flatMap(_.label)))
+            written += path
+          }
+        case _ =>
+      }
     }
 
     val codelists = usedCodelists.toSeq.flatMap(code =>

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Salted aggregation equals plain aggregation; generated domains render. */
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val skewed = {
+    // one hot key with 1000 rows, 10 cold keys with 10 each
+    val hot = (1 to 1000).map(i => ("HOT", i.toDouble))
+    val cold = for (k <- 1 to 10; i <- 1 to 10) yield (s"K$k", i.toDouble)
+    (hot ++ cold).toDF("k", "v")
+  }
+
+  test("saltedCountSum matches the unsalted aggregation exactly") {
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedCountSum(skewed, Seq("k"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedDistinctCount is exact") {
+    val out = Skew.saltedDistinctCount(skewed, Seq("k"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("HOT") == 1000)
+    assert(out("K1") == 10)
+  }
+
+  test("hotKeySplitJoin equals a plain join") {
+    val dim = Seq(("HOT", "hot-dim"), ("K1", "k1-dim"), ("K2", "k2-dim"))
+      .toDF("k", "label")
+    val plain = skewed.join(dim, "k").groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val split = Skew.hotKeySplitJoin(skewed, dim, "k", Seq("HOT"))
+      .groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(split == plain)
+  }
+}
+
+/** G4 generated domains materialize and validate. */
+class GeneratedDomainsSpec extends SparkSpec {
+
+  test("relsub entries render with reciprocal augmentation") {
+    val df = GeneratedDomains.relsub(spark, Seq(
+      RelsubEntry("ST", "A", "B", "MOTHER, BIOLOGICAL"),
+      RelsubEntry("ST", "C", "D", "SPOUSE")))
+    assert(df.count() == 4) // both reciprocals appended
+    assert(df.columns.toSeq == Seq("STUDYID", "DOMAIN", "USUBJID", "RSUBJID", "SREL"))
+  }
+
+  test("co/relrec/relspec render with the documented shapes") {
+    assert(GeneratedDomains.co(spark, Seq(CoEntry("ST", "AE", "S1", 1, "note")))
+      .columns.toSeq == Seq("STUDYID", "DOMAIN", "RDOMAIN", "USUBJID", "COSEQ", "COVAL", "CODTC"))
+    assert(GeneratedDomains.relrec(spark, Seq(
+      RelrecEntry("ST", "AE", "S1", "AESEQ", "1", "ONE", "R1"))).count() == 1)
+    assert(GeneratedDomains.relspec(spark, Seq(
+      RelspecEntry("ST", "S1", "SPEC1", "BLOOD"))).count() == 1)
+  }
+}

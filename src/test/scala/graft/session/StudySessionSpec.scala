@@ -84,9 +84,16 @@ class StudySessionSpec extends SparkSpec {
     assert(orphan.get.samples == Seq("GRAFT1-999"))
   }
 
-  test("E3: export produces readable XPT + both XML documents") {
+  test("E3: export produces readable XPT + both XML documents + SUPP") {
     val outDir = "target/tmp/study1_out"
+    session.configureSupp("DM", Seq(
+      "SEXLBL" -> graft.operators.SuppColumnConfig("QSEXLBL", "Sex Label", "CRF")))
     val written = session.exportAll(outDir)
+    val supp = XptReader.read(s"$outDir/suppdm.xpt")
+    assert(supp.name == "SUPPDM")
+    assert(supp.rows.size == 3)
+    val qvalIdx = supp.columns.indexWhere(_.name == "QVAL")
+    assert(supp.rows.map(_(qvalIdx)).toSet == Set("Male", "Female", "Other"))
     assert(written.exists(_.endsWith("dm.xpt")))
     assert(written.exists(_.endsWith("ae.xml")))
     assert(written.exists(_.endsWith("define.xml")))
