@@ -27,7 +27,8 @@ object SparkEntry {
       TextQueries.defs ++
       StreamQueries.defs ++
       MultimodalQueries.defs ++
-      SessionQueries.defs
+      SessionQueries.defs ++
+      SemiStructuredQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       TextQueries.oracles ++
       StreamQueries.oracles ++
       MultimodalQueries.oracles ++
-      SessionQueries.oracles
+      SessionQueries.oracles ++
+      SemiStructuredQueries.oracles
 }

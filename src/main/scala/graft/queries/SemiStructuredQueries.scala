@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+
+import graft.Graft.{events, table}
+import graft.streaming.EventStreams
+
+/**
+ * Semi-structured + OLAP-shape coverage: JSON extraction (from_json — the
+ * schema-on-read path for `events.props`), ROLLUP grouping sets, and the
+ * sliding-window variant of the streaming aggregate. All full-oracle.
+ */
+object SemiStructuredQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON schema-on-read: typed extraction, null on absent key
+    "j1_json_extract" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      ev.select(col("event_id"),
+          from_json(col("props"), schema).getField("k").as("k"),
+          get_json_object(col("props"), "$.missing").as("absent"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_absent"))
+        .orderBy("k_mod")
+    }),
+
+    // ROLLUP: subtotals + grand total with grouping-level indicator
+    "r1_rollup" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+          grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("lvl"))
+        .orderBy(col("lvl"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // sliding 1h window, 30m slide — each event lands in two windows
+    "st3_sliding" -> ((s, dir) => {
+      EventStreams.slidingUserActivity(events(s, dir))
+        .groupBy(col("window_start"))
+        .agg(count(lit(1)).as("n_user_windows"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy("window_start")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "r1_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, n, revenue, lvl FROM (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    CASE WHEN GROUPING(o_orderstatus) = 1 THEN 3
+        |         WHEN GROUPING(o_orderpriority) = 1 THEN 1
+        |         ELSE 0 END AS lvl
+        |  FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority))
+        |ORDER BY lvl, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "st3_sliding" ->
+      """WITH expanded AS (
+        |  -- a 1h window sliding by 30m puts each event in exactly two
+        |  -- epoch-aligned window starts: floor30(ts) and floor30(ts)-30m
+        |  SELECT user_id, TIMESTAMP '1970-01-01'
+        |    + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS window_start
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, TIMESTAMP '1970-01-01'
+        |    + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
+        |  FROM events),
+        |per_user AS (
+        |  SELECT window_start, user_id, COUNT(*) AS n_events
+        |  FROM expanded GROUP BY 1, 2)
+        |SELECT window_start, COUNT(*) AS n_user_windows,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events
+        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
