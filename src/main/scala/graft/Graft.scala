@@ -18,6 +18,8 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // native expressions (graft_iso8601/graft_duration) on the SQL surface
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
       // read as long and rebuild micros in events() below.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

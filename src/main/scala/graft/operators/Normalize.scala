@@ -20,13 +20,20 @@ import graft.functions.{Iso8601, IsoDuration, Numerics}
  */
 object Normalize {
 
-  // ---- UDFs (executor-side, pure, null-safe) -------------------------------
+  // ---- parser kernels (executor-side, pure, null-safe) ---------------------
+  // N4/N6 ride native Catalyst expressions (graft.expressions.IsoNormalize /
+  // DurationNormalize): the generated code calls the parser statically on the
+  // UnsafeRow's UTF8String — no ScalaUDF converters, stays in codegen.
+
+  import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
 
   /** N4/N5 — ISO-8601 datetime/date normalization (executor.rs:217-257). */
-  val iso8601Udf = udf((s: String) => Iso8601.toIso8601(s))
+  def iso8601Expr(c: Column): Column =
+    exprCol(graft.expressions.IsoNormalize(colExpr(c)))
 
   /** N6 — ISO-8601 duration; preserves original on failure (executor.rs:259-297). */
-  val isoDurationUdf = udf((s: String) => IsoDuration.normalize(s))
+  def isoDurationExpr(c: Column): Column =
+    exprCol(graft.expressions.DurationNormalize(colExpr(c)))
 
   /** N7 helper — study day with full format-cascade date parsing. */
   val studyDayUdf = udf((event: String, ref: String) =>
@@ -67,11 +74,11 @@ object Normalize {
   def iso8601(c: Column): Column =
     when(txt(c) === "", lit(""))
       .when(txt(c).rlike(IsoShapeRegex), txt(c))
-      .otherwise(iso8601Udf(txt(c)))
+      .otherwise(iso8601Expr(txt(c)))
 
   /** N6 — duration normalization; empty stays empty, unparseable preserved. */
   def isoDuration(c: Column): Column =
-    when(txt(c) === "", lit("")).otherwise(isoDurationUdf(txt(c)))
+    when(txt(c) === "", lit("")).otherwise(isoDurationExpr(txt(c)))
 
   /**
    * N7 — study day relative to a scalar reference date (DM.RFSTDTC).

@@ -1,0 +1,13 @@
+/*
+ * Bridge into Spark's private[sql] Column↔Expression converters — the
+ * standard pattern third-party Spark extension libraries use to attach
+ * native Catalyst expressions to the public Column API.
+ */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
