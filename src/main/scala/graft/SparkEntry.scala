@@ -28,7 +28,8 @@ object SparkEntry {
       StreamQueries.defs ++
       MultimodalQueries.defs ++
       SessionQueries.defs ++
-      SemiStructuredQueries.defs
+      SemiStructuredQueries.defs ++
+      OlapQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       StreamQueries.oracles ++
       MultimodalQueries.oracles ++
       SessionQueries.oracles ++
-      SemiStructuredQueries.oracles
+      SemiStructuredQueries.oracles ++
+      OlapQueries.oracles
 }

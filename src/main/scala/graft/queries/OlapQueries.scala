@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Graft.table
+
+/**
+ * Remaining OLAP shapes with full oracles: pivot (wide conditional
+ * aggregation), set operations (INTERSECT/EXCEPT), scalar subquery, and
+ * CUBE grouping sets.
+ */
+object OlapQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pivot order status × priority into wide counts
+    "o1_pivot" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("2-HIGH", "high")
+        .withColumnRenamed("3-MEDIUM", "medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "notspec")
+        .withColumnRenamed("5-LOW", "low")
+        .orderBy("o_orderstatus")
+    }),
+
+    // set ops: customers with orders in both years (INTERSECT) minus a
+    // blocklist (EXCEPT)
+    "o2_setops" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      val blocked = table(s, dir, "customer")
+        .where(col("c_custkey") % 17 === 0).select(col("c_custkey").as("o_custkey"))
+      y95.intersect(y96).except(blocked).orderBy("o_custkey")
+    }),
+
+    // scalar subquery: orders above the global average price, per status
+    "o3_scalar_subquery" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val avgPrice = o.agg(avg(col("o_totalprice"))).head().getDouble(0)
+      o.where(col("o_totalprice") > avgPrice)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // CUBE: all grouping-set combinations with level ids
+    "o4_cube" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "o1_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o2_setops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_custkey % 17 = 0
+        |ORDER BY o_custkey""".stripMargin,
+
+    "o3_scalar_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o4_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CASE WHEN GROUPING(l_returnflag) = 1 AND GROUPING(l_linestatus) = 1 THEN 3
+        |       WHEN GROUPING(l_returnflag) = 1 THEN 2
+        |       WHEN GROUPING(l_linestatus) = 1 THEN 1
+        |       ELSE 0 END AS lvl
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin
+  )
+}

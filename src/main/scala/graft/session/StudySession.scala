@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.sinks.{XmlSinks, XmlVariable, XmlCodelist, XptWriter}
-import graft.sources.CsvIngest
+import graft.sources.{CsvIngest, ItemMeta, ItemsMetadata}
 import graft.standards.{SdtmDomain, Standards, VariableType}
 
 /** Per-domain state inside a session (DomainState —
@@ -38,6 +38,23 @@ class StudySession(val spark: SparkSession, val studyId: String) {
   private val domains = scala.collection.mutable.LinkedHashMap[String, DomainState]()
   private val suppConfigs =
     scala.collection.mutable.Map[String, Seq[(String, SuppColumnConfig)]]()
+  private var itemsMetadata: Map[String, ItemMeta] = Map.empty
+  private var studyCodelists: Map[String, Map[String, String]] = Map.empty
+
+  /** E1 step — load Items.csv study metadata (S7 statistical detection) and
+    * study codelists; labels feed the scorer's label boost, codelists feed
+    * the M1/M2 decode applied at ingest (`study.rs:43-49`). Call BEFORE
+    * addDomain. */
+  def loadItemsMetadata(itemsCsvPath: String,
+      codelists: Map[String, Map[String, String]] = Map.empty): Unit = {
+    val (df, _) = CsvIngest.readCsvTable(spark, itemsCsvPath)
+    val dataCols = df.columns.filterNot(_ == CsvIngest.RowIdCol)
+    val scores = ItemsMetadata.analyzeColumns(df.select(dataCols.map(col): _*))
+    ItemsMetadata.detectSchema(scores).foreach { schema =>
+      itemsMetadata = ItemsMetadata.loadItems(df, schema)
+    }
+    studyCodelists = codelists
+  }
 
   def domainState(code: String): Option[DomainState] = domains.get(code.toUpperCase)
   def domainCodes: Seq[String] = domains.keys.toSeq
@@ -51,12 +68,17 @@ class StudySession(val spark: SparkSession, val studyId: String) {
   def addDomain(code: String, csvPath: String, headerRows: Int = 1): DomainState = {
     val codeU = code.toUpperCase
     val (raw, headers) = CsvIngest.readCsvTable(spark, csvPath, headerRows)
-    val df0 = if (codeU == "RELSUB") Reshape.ensureRelsubBidirectional(raw) else raw
-    val df = df0.cache()
+    val augmented = if (codeU == "RELSUB") Reshape.ensureRelsubBidirectional(raw) else raw
+    // M1/M2 — study-codelist decode for coded columns present in the frame
+    val decodeable = studyCodelists.filter { case (c, _) => augmented.columns.contains(c) }
+    val df = Reshape.applyStudyCodelists(augmented, decodeable).cache()
     val dataCols = df.columns.filterNot(_ == CsvIngest.RowIdCol).toSeq
-    val labels = headers.labels
+    // column labels: double-header row, else Items.csv item labels (S7)
+    val headerLabels = headers.labels
       .map(ls => headers.columns.zip(ls).toMap).getOrElse(Map.empty)
-    val hints = Mapping.columnHints(df.select(dataCols.map(col): _*), labels)
+    val itemLabels = dataCols.flatMap(c => itemsMetadata.get(c).map(c -> _.label)).toMap
+    val hints = Mapping.columnHints(df.select(dataCols.map(col): _*),
+      itemLabels ++ headerLabels)
 
     val domainMeta = Standards.domain(codeU).getOrElse(
       SdtmDomain(codeU, None, None, None, Nil))

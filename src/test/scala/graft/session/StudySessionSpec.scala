@@ -114,6 +114,35 @@ class StudySessionSpec extends SparkSpec {
     assert(aeXml.contains("""<ItemData ItemOID="IT.AE.AETERM" Value="Headache"/>"""))
   }
 
+  test("E1: Items.csv metadata wires labels and codelist decode into ingest") {
+    val d = Paths.get("target", "tmp", "study_items")
+    Files.createDirectories(d)
+    Files.write(d.resolve("Items.csv"),
+      ("ItemID,ItemLabel,DataType,Mandatory,FormatName,Length\n" +
+        "SUBJID,Subject identifier as recorded in EDC,text,Y,,20\n" +
+        "SEXCD,Sex of the participant coded,text,C,SEXFMT,1\n" +
+        "AGE,Age at informed consent in years,integer,N,,3\n" +
+        "VSDT,Visit date for the encounter,text,N,DATEFMT,10\n" +
+        "WT,Body weight measured at screening,integer,N,,6\n" +
+        "HT,Standing height without shoes,integer,N,,6\n" +
+        "AETERM,Reported adverse event verbatim term,text,N,,20\n" +
+        "CMTRT,Concomitant medication reported name,text,N,CMFMT,20\n").getBytes)
+    Files.write(d.resolve("dm.csv"),
+      ("SUBJID,SEXCD,AGE\n101,1,44\n102,2,48\n103,9,34\n").getBytes)
+    val s2 = new StudySession(spark, "GRAFT2")
+    s2.loadItemsMetadata(d.resolve("Items.csv").toString,
+      codelists = Map("SEXCD" -> Map("1" -> "M", "2" -> "F")))
+    s2.addDomain("DM", d.resolve("dm.csv").toString)
+    val ds = s2.domainState("DM").get
+    // decode created a SEX column from SEXCD (M1), visible to mapping
+    assert(ds.source.columns.contains("SEX"))
+    // Items labels reached the hints
+    assert(ds.hints("AGE").label.contains("Age at informed consent in years"))
+    val preview = s2.preview("DM").get.orderBy("USUBJID").collect()
+    assert(preview.map(r => Option(r.getAs[String]("SEX")).getOrElse("")).toSeq ==
+      Seq("M", "F", ""))
+  }
+
   test("K4: snapshot round trip + change detection") {
     val assignments = Map("DM" -> "dm.csv", "AE" -> "ae.csv")
     val snap = Persistence.snapshotOf(session, studyDir, assignments)
