@@ -152,12 +152,11 @@ class StudySessionSpec extends SparkSpec {
     assert(loaded == snap)
     assert(loaded.mappings("DM")("SEX") == "SEX")
     assert(Persistence.changedSources(loaded, studyDir).isEmpty)
+    val original = Files.readAllBytes(Paths.get(studyDir, "ae.csv"))
     Files.write(Paths.get(studyDir, "ae.csv"), "SUBJID\n1\n".getBytes)
     assert(Persistence.changedSources(loaded, studyDir) == Seq("AE"))
-    // restore for other tests
-    Files.write(Paths.get(studyDir, "ae.csv"),
-      ("SUBJID,AETERM,AESEV,AESTDTC,AEENDTC\n" +
-        "101,Headache,mild,2024-01-12,2024-01-13\n").getBytes)
+    // restore byte-identical content so cached frames stay valid on rescan
+    Files.write(Paths.get(studyDir, "ae.csv"), original)
   }
 }
 
