@@ -33,8 +33,10 @@ object Bucketing {
     spark.table(left).join(spark.table(right), key)
 
   /** Count shuffle exchanges in a frame's executed plan (0 for a correctly
-    * co-located join) — the assertion hook for plan tests and CI. */
+    * co-located join) — the assertion hook for plan tests and CI. Matches
+    * every shuffle flavor (hash, range, single-partition); broadcast
+    * exchanges are not shuffles and are excluded. */
   def shuffleExchanges(df: DataFrame): Int =
-    "ShuffleExchange|Exchange hashpartitioning".r
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
       .findAllIn(df.queryExecution.executedPlan.toString).size
 }

@@ -73,7 +73,9 @@ object Dedup {
         tokens.join(freq.select("token"), Seq("token"))
       case None => tokens
     }
-    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("size"))
+    // sizes from the SAME filtered relation as intersections — mixing
+    // spaces would silently deflate every score under maxDocFreq
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("size"))
     val a = filtered.select(col("id").as("i"), col("token"))
     val b = filtered.select(col("id").as("j"), col("token"))
     a.join(b, Seq("token"))
@@ -227,11 +229,13 @@ object Dedup {
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** L2-normalize a float/double array into array<double>. */
+  /** L2-normalize a float/double array into array<double>. Zero vectors
+    * normalize to zero (not NaN), so their cosines are 0, never poisoning
+    * threshold comparisons. */
   def l2Normalize(v: Column): Column = {
     val d = transform(v, _.cast("double"))
     val norm = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
-    transform(d, x => x / norm)
+    transform(d, x => when(norm > 0, x / norm).otherwise(lit(0.0)))
   }
 
   /** Brute-force cosine near-dup pairs (verification / small-corpus path;
@@ -258,7 +262,13 @@ object Dedup {
    */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = df.select(size(col(vecCol))).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => // empty corpus → empty result, same schema
+        val spark = df.sparkSession
+        import spark.implicits._
+        return Seq.empty[(Long, Long, Double)].toDF("i", "j", "cosine")
+    }
     val planes = randomHyperplanes(bits, dim, seed)
     val n = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v")).cache()
     val sigBits = planes.zipWithIndex.map { case (p, i) =>

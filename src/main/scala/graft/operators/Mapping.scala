@@ -206,8 +206,17 @@ class MappingState(val domain: String, variables: Seq[VarMeta]) {
   }
 
   def acceptSuggestion(variable: String): Either[String, Unit] =
-    if (statusOf(variable) == Suggested) { status(variable) = Accepted; Right(()) }
-    else Left(s"$variable has no pending suggestion")
+    if (statusOf(variable) == Suggested) {
+      // promoting a suggestion claims its column exclusively, releasing it
+      // from any other variable (same invariant as acceptManual)
+      assignment.get(variable).foreach { column =>
+        assignment.filter(_._2 == column).keys.filter(_ != variable).foreach { other =>
+          assignment.remove(other); status(other) = Unmapped
+        }
+      }
+      status(variable) = Accepted
+      Right(())
+    } else Left(s"$variable has no pending suggestion")
 
   /** Required variables cannot be not-collected (state.rs:316+). */
   def markNotCollected(variable: String): Either[String, Unit] =

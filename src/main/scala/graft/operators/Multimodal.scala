@@ -48,10 +48,14 @@ object Multimodal {
       lit("text/plain").as("mime_type"),
       octet_length(col(textCol)).cast("long").as("n_bytes"))
 
-  /** Repartition by cumulative byte volume so each decode task holds at
-    * most ~`targetBytesPerPartition` of media in memory. */
+  /** Size the partition COUNT by total byte volume so the average decode
+    * task holds ~`targetBytesPerPartition`. Distribution is hash-by-id, so
+    * a single record far above the target still lands whole in one task —
+    * cap oversized media upstream (or split containers into chunks) if the
+    * corpus has them. */
   def repartitionForDecode(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val totalBytes = df.agg(sum(col("n_bytes"))).head().getLong(0)
+    val row = df.agg(sum(col("n_bytes"))).head()
+    val totalBytes = if (row.isNullAt(0)) 0L else row.getLong(0)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
     df.repartition(parts, col("media_id"))
   }

@@ -83,20 +83,33 @@ object Normalize {
   /**
    * N7 — study day relative to a scalar reference date (DM.RFSTDTC).
    * `(event - ref) + 1` on/after the reference else `(event - ref)`; no day 0.
-   * Fast path: valid ISO `YYYY-MM-DD...` prefixes go through built-in
-   * `datediff` (codegen); everything else falls back to the cascade UDF.
+   * Fast path: values whose WHOLE text is a valid ISO shape go through
+   * `try_to_date` (codegen-safe under Spark 4 ANSI mode — plain `to_date`
+   * would crash the job on `2023-02-30`); everything else falls back to the
+   * cascade UDF, so both paths agree on dirty data.
    */
   def studyDay(eventDtc: Column, refDate: Option[String]): Column = refDate match {
     case None => lit(null).cast(IntegerType)
     case Some(ref) =>
-      val refD = to_date(lit(ref.take(10)))
-      val isoPrefix = txt(eventDtc).substr(1, 10)
-      val fastOk = isoPrefix.rlike("^\\d{4}-\\d{2}-\\d{2}$")
-      val d = datediff(to_date(isoPrefix), refD)
+      // the reference date may arrive in any cascade-parseable spelling —
+      // normalize to ISO on the driver so the literal below is fold-safe
+      val refIso = Iso8601.dateForStudyDay(ref) match {
+        case Some(d) => d.toString
+        case None => return lit(null).cast(IntegerType)
+      }
+      val refD = to_date(lit(refIso))
+      val v = txt(eventDtc)
+      val isoPrefix = v.substr(1, 10)
+      // full-value shape check: '2023-01-15garbage' must NOT take the fast
+      // path (the cascade rejects it → null; the paths must agree)
+      val fastOk = v.rlike(
+        "^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}(:\\d{2}.*)?)?$")
+      val eventD = try_to_date(isoPrefix)
+      val d = datediff(eventD, refD)
       val fast = when(d >= 0, d + 1).otherwise(d)
-      when(txt(eventDtc) === "", lit(null).cast(IntegerType))
-        .when(fastOk && to_date(isoPrefix).isNotNull, fast)
-        .otherwise(studyDayUdf(txt(eventDtc), lit(ref)))
+      when(v === "", lit(null).cast(IntegerType))
+        .when(fastOk && eventD.isNotNull, fast)
+        .otherwise(studyDayUdf(v, lit(refIso)))
         .cast(IntegerType)
   }
 
@@ -147,13 +160,19 @@ object Normalize {
   }
 
   /** Scalar RFSTDTC extraction: first parseable date value of DM.RFSTDTC in
-    * source row order (preview.rs:174-190) — a driver-collected scalar. */
+    * source row order (preview.rs:174-190) — a driver-collected scalar.
+    * Streams row batches (early exit on first hit) instead of capping the
+    * scan, matching the reference's full-column walk. */
   def firstReferenceDate(dm: DataFrame, rfstdtcCol: String, rowId: String): Option[String] = {
-    val rows = dm.select(txt(col(rfstdtcCol)).as("v"), col(rowId).as("_rid"))
+    val it = dm.select(txt(col(rfstdtcCol)).as("v"), col(rowId).as("_rid"))
       .where(col("v") =!= "")
       .orderBy(col("_rid"))
-      .limit(100).collect()
-    rows.iterator.map(_.getString(0))
-      .find(v => Iso8601.dateForStudyDay(v).isDefined)
+      .toLocalIterator()
+    var found: Option[String] = None
+    while (found.isEmpty && it.hasNext) {
+      val v = it.next().getString(0)
+      if (Iso8601.dateForStudyDay(v).isDefined) found = Some(v)
+    }
+    found
   }
 }

@@ -39,7 +39,9 @@ object Reshape {
   def buildSupp(domainCode: String, studyId: String, df: DataFrame,
       configs: Seq[(String, SuppColumnConfig)]): Option[DataFrame] = {
     val included = configs.filter { case (c, _) => df.columns.contains(c) }
-    if (included.isEmpty) return None
+    // no USUBJID column ⇒ every row would be skipped — return None like the
+    // reference (export.rs treats a missing subject column as all-empty)
+    if (included.isEmpty || !df.columns.contains("USUBJID")) return None
 
     val seqVar = s"${domainCode.toUpperCase}SEQ"
     val (idvar, idvarCol) =

@@ -115,12 +115,21 @@ object Validate {
     * columns, then anti-join references against it. keyCols: domain code →
     * (DataFrame, key column names). */
   def relrecKeyTable(domains: Map[String, (DataFrame, Seq[String])]): DataFrame = {
+    require(domains.nonEmpty, "relrecKeyTable needs at least one domain frame")
     val frames = for {
       (code, (df, cols)) <- domains.toSeq.sortBy(_._1)
       c <- cols if df.columns.contains(c)
     } yield df.select(lit(code.toUpperCase).as("rdomain"), lit(c.toUpperCase).as("idvar"),
       txt(col(c)).as("idvarval")).where(col("idvarval") =!= "").distinct()
-    frames.reduce(_ unionByName _).distinct()
+    frames match {
+      case Nil =>
+        // no listed key column exists in any frame → empty key table (every
+        // reference dangles), not an empty-reduce crash
+        val spark = domains.head._2._1.sparkSession
+        import spark.implicits._
+        Seq.empty[(String, String, String)].toDF("rdomain", "idvar", "idvarval")
+      case fs => fs.reduce(_ unionByName _).distinct()
+    }
   }
 
   def danglingRecordRefs(relrec: DataFrame, keys: DataFrame,

@@ -38,6 +38,16 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(1)._3 - 7.0 / 9) < 1e-12)
   }
 
+  test("jaccard under maxDocFreq scores within the filtered token space") {
+    // 'the' appears in 4 of 5 docs; cap 3 removes it from BOTH the
+    // intersection and the set sizes — docs 1/2 are still identical in the
+    // filtered space, so their jaccard stays 1.0
+    val pairs = Dedup.tokenJaccardPairs(corpus, "doc_id", "text", 0.99,
+        maxDocFreq = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.contains((1L, 2L, 1.0)))
+  }
+
   test("ngram shingles slide correctly") {
     val df = Seq((1L, "abcde")).toDF("id", "text")
     val grams = Dedup.docShingles(df, "id", "text", 3)

@@ -89,6 +89,16 @@ class MappingSpec extends AnyFunSuite {
     assert(st.markNotCollected("AGE").isRight)
   }
 
+  test("mapping state: accepting a suggestion releases the column elsewhere") {
+    val st = new MappingState("AE", Seq(VarMeta("AETERM"), VarMeta("AEDECOD")))
+    assert(st.acceptManual("AETERM", "col_x").isRight)
+    st.applySuggestions(Seq(Suggestion("col_x", "AEDECOD", 0.9, Nil)))
+    assert(st.acceptSuggestion("AEDECOD").isRight)
+    // one column → one variable, even across the suggestion path
+    assert(st.columnFor("AETERM").isEmpty)
+    assert(st.toConfig == Map("AEDECOD" -> "col_x"))
+  }
+
   test("mapping state: only accepted mappings export") {
     val st = new MappingState("AE", Seq(VarMeta("AETERM"), VarMeta("AEDECOD")))
     st.applySuggestions(Seq(Suggestion("TERM", "AETERM", 0.9, Nil),

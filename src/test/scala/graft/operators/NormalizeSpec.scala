@@ -40,6 +40,26 @@ class NormalizeSpec extends SparkSpec {
     assert(out == Seq(Some(6), Some(6), None, None))
   }
 
+  test("N7 study day: shaped-but-invalid dates null out instead of crashing ANSI") {
+    // '2023-02-30' passes the shape regex; plain to_date would throw under
+    // Spark 4 ANSI mode — must yield null via try_to_date + cascade
+    val df = Seq("2023-02-30", "2023-13-01", "2023-01-15garbage", "2023-01-15")
+      .toDF("d")
+    val out = df.select(Normalize.studyDay(col("d"), Some("2023-01-10")).as("dy"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    assert(out == Seq(None, None, None, Some(6)))
+  }
+
+  test("N7 study day: reference date in any cascade spelling") {
+    val df = Seq("2024-01-15").toDF("d")
+    val out = df.select(Normalize.studyDay(col("d"), Some("10-Jan-2024")).as("dy"))
+      .head()
+    assert(out.getInt(0) == 6)
+    // unparseable reference → all null, no crash
+    val none = df.select(Normalize.studyDay(col("d"), Some("garbage")).as("dy")).head()
+    assert(none.isNullAt(0))
+  }
+
   test("N8 ct normalize: synonym hit, miss preserves original") {
     val lookup = spark.sparkContext.broadcast(Map("MALE" -> "M", "M" -> "M"))
     val df = Seq("male", " M ", "unknown", "").toDF("v")

@@ -72,6 +72,14 @@ class ValidateSpec extends SparkSpec {
     assert(out == Seq(("S2", "R9")))
   }
 
+  test("X5 empty key table: no listed column exists → all references dangle") {
+    val ae = Seq("1").toDF("AESEQ")
+    val keys = Validate.relrecKeyTable(Map("AE" -> (ae, Seq("NOPE"))))
+    assert(keys.isEmpty)
+    val refs = Seq(("AE", "AESEQ", "1")).toDF("rdomain", "idvar", "idvarval")
+    assert(Validate.danglingRecordRefs(refs, keys).count() == 1)
+  }
+
   test("X5 record refs against union key table") {
     val ae = Seq(("1"), ("2")).toDF("AESEQ")
     val keys = Validate.relrecKeyTable(Map("AE" -> (ae, Seq("AESEQ"))))
