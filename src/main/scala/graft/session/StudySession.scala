@@ -88,6 +88,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
     state.applySuggestions(Mapping.suggestAll(dataCols, varMetas, hints))
     val ds = DomainState(codeU, df, headers, hints, state)
     domains(codeU) = ds
+    if (codeU == "DM") refDateCache = None // new DM invalidates the memo
     ds
   }
 
@@ -100,12 +101,23 @@ class StudySession(val spark: SparkSession, val studyId: String) {
       })
     }
 
-  private def contextFor(ds: DomainState): NormalizationContext = {
-    val refDate = domains.get("DM").flatMap { dm =>
-      dm.mapping.columnFor("RFSTDTC")
-        .filter(dm.source.columns.contains)
-        .flatMap(c => RuleInference.referenceDateFrom(dm.source, c))
+  // DM reference date is fixed once DM is ingested — memoized so repeated
+  // preview/validate/export calls do not re-run the DM scan-and-sort job
+  private var refDateCache: Option[Option[String]] = None
+
+  private def referenceDate: Option[String] = {
+    if (refDateCache.isEmpty) {
+      refDateCache = Some(domains.get("DM").flatMap { dm =>
+        dm.mapping.columnFor("RFSTDTC")
+          .filter(dm.source.columns.contains)
+          .flatMap(c => RuleInference.referenceDateFrom(dm.source, c))
+      })
     }
+    refDateCache.get
+  }
+
+  private def contextFor(ds: DomainState): NormalizationContext = {
+    val refDate = referenceDate
     NormalizationContext(
       studyId = studyId,
       domainCode = ds.code,
@@ -145,7 +157,11 @@ class StudySession(val spark: SparkSession, val studyId: String) {
     val defineDatasets = Seq.newBuilder[XmlSinks.DefineDataset]
     val usedCodelists = scala.collection.mutable.LinkedHashSet[String]()
 
-    domainCodes.sorted.foreach { code =>
+    // only domains with IG metadata can export (preview needs the variable
+    // list); unknown codes were ingestable for mapping work but are skipped
+    val exportable = domainCodes.sorted.filter(c =>
+      Standards.domain(c).isDefined && preview(c).isDefined)
+    exportable.foreach { code =>
       val domain = Standards.domain(code).get
       val frame = preview(code).get.cache()
       val presentVars = domain.orderedVariables.filter(v => frame.columns.contains(v.name))

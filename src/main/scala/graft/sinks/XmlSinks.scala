@@ -1,6 +1,7 @@
 package graft.sinks
 
-import java.io.{BufferedWriter, FileWriter, Writer}
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter, Writer}
+import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -53,6 +54,9 @@ object XmlSinks {
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
       case '\'' => sb.append("&apos;")
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+        // control chars are illegal in XML 1.0 even escaped — drop them
+        ()
       case c => sb.append(c)
     }
     sb.toString
@@ -120,15 +124,19 @@ object XmlSinks {
       case Some(c) => df.orderBy(col(c)).select(present.map(col): _*)
       case None => df.select(present.map(col): _*)
     }
+    // OIDs sanitize exactly like Define-XML builds them, so the two
+    // documents cross-reference (escape() alone would diverge on spaces)
+    val dsOid = sanitizeOid(datasetName)
+    val itemOids = present.map(v => s"IT.$dsOid.${sanitizeOid(v)}")
     val it = ordered.toLocalIterator()
     var seq = 0L
     while (it.hasNext) {
       val r: Row = it.next()
       seq += 1
-      w.write(s"""    <ItemGroupData ItemGroupOID="IG.${escape(datasetName)}" data:ItemGroupDataSeq="$seq">\n""")
+      w.write(s"""    <ItemGroupData ItemGroupOID="IG.$dsOid" data:ItemGroupDataSeq="$seq">\n""")
       present.indices.foreach { i =>
         renderValue(if (r.isNullAt(i)) null else r.get(i)).foreach { text =>
-          w.write(s"""      <ItemData ItemOID="IT.${escape(datasetName)}.${escape(present(i))}" Value="${escape(text)}"/>\n""")
+          w.write(s"""      <ItemData ItemOID="${itemOids(i)}" Value="${escape(text)}"/>\n""")
         }
       }
       w.write("    </ItemGroupData>\n")
@@ -138,10 +146,14 @@ object XmlSinks {
     seq
   }
 
+  private def utf8Writer(path: String): Writer =
+    new BufferedWriter(new OutputStreamWriter(
+      new FileOutputStream(path), StandardCharsets.UTF_8))
+
   def writeDatasetXmlFile(df: DataFrame, path: String, datasetName: String,
       studyId: String, igVersion: String, variables: Seq[String],
       orderCol: Option[String] = None): Long = {
-    val w = new BufferedWriter(new FileWriter(path))
+    val w = utf8Writer(path)
     try writeDatasetXml(df, w, datasetName, studyId, igVersion, variables, orderCol)
     finally w.close()
   }
@@ -246,7 +258,7 @@ object XmlSinks {
 
   def writeDefineXmlFile(path: String, studyId: String, igVersion: String,
       datasets: Seq[DefineDataset], codelists: Seq[XmlCodelist]): Unit = {
-    val w = new BufferedWriter(new FileWriter(path))
+    val w = utf8Writer(path)
     try writeDefineXml(w, studyId, igVersion, datasets, codelists)
     finally w.close()
   }

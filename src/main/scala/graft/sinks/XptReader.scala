@@ -66,8 +66,12 @@ object XptReader {
 
     val rows = (0 until totalRows).flatMap { r =>
       val base = dataStart + r * rowLen
-      // trailing pad region: a row that is entirely blanks inside the final
-      // 80-byte record is padding, not data
+      // Trailing pad region: a row that is entirely blanks inside the final
+      // 80-byte record is treated as padding. This is THE inherent V5
+      // ambiguity — a final record whose char columns are all genuinely
+      // blank is indistinguishable from pad bytes; SAS and other readers
+      // apply the same heuristic. (Num columns make rows unambiguous: a
+      // missing value is 0x2E, not blank.)
       val allBlank = (base until base + rowLen).forall(bytes(_) == ' '.toByte)
       if (allBlank && base + rowLen > bytes.length - 80) None
       else {

@@ -103,7 +103,10 @@ object XptWriter {
     writeAscii(lib2, 0, date, 16)
     out.write(lib2)
 
-    out.write(headerRecord("MEMBER  ", "0" * 17 + "160" + "0" * 8 + "140  "))
+    // TS-140 member header: 17 zeros, "16", 8 zeros, "140", 2 spaces —
+    // exactly 32 chars (one stray zero here shifts the namestr-size field
+    // and strict readers reject the file)
+    out.write(headerRecord("MEMBER  ", "0" * 17 + "16" + "0" * 8 + "140  "))
     out.write(headerRecord("DSCRPTR "))
     val mem1 = new Array[Byte](80)
     java.util.Arrays.fill(mem1, ' '.toByte)

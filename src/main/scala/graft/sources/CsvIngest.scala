@@ -141,12 +141,16 @@ object CsvIngest {
   }
 
   private def dedupe(names: Seq[String]): Seq[String] = {
-    val seen = scala.collection.mutable.Map[String, Int]()
+    val used = scala.collection.mutable.Set[String]()
     names.map { n =>
       val base = if (n.isEmpty) "_c" else n
-      val k = seen.getOrElse(base, 0)
-      seen(base) = k + 1
-      if (k == 0) base else s"${base}_$k"
+      // probe until globally unique: header "a,a,a_1" must not synthesize a
+      // second "a_1"
+      var candidate = base
+      var k = 1
+      while (used.contains(candidate)) { candidate = s"${base}_$k"; k += 1 }
+      used += candidate
+      candidate
     }
   }
 

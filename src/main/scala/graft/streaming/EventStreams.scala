@@ -92,7 +92,11 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                  // max: a late intra-batch straggler must not regress the
+                  // session end (and with it the timeout) backwards
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    start = math.min(s.start, t),
+                    nEvents = s.nEvents + 1,
                     sumValue = s.sumValue + e.value))
                 case Some(s) =>
                   closed ::= SessionResult(userId, new Timestamp(s.start),
@@ -105,7 +109,11 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // flatMapGroupsWithState does NOT drop late rows, so a
+              // straggler can compute a timeout below the watermark —
+              // Spark throws on that; clamp to watermark+1
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastTs + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

@@ -92,6 +92,17 @@ class XptSpec extends SparkSpec {
       "HEADER RECORD*******LIBRARY HEADER RECORD!!!!!!!")
   }
 
+  test("member header matches the strict TS-140 layout") {
+    val df = Seq(("A", 1.0)).toDF("ID", "VAL")
+    val path = tmp.resolve("strict.xpt").toString
+    XptWriter.writeDataFrame(df, path, "T", "")
+    val content = new String(Files.readAllBytes(Paths.get(path)), "US-ASCII")
+    // the regex strict readers (python xport) use for the member header
+    val memberRe =
+      ("HEADER RECORD\\*{7}MEMBER  HEADER RECORD!{7}0{17}160{8}(140|136)  ").r
+    assert(memberRe.findFirstIn(content).isDefined, content.substring(240, 320))
+  }
+
   test("declared lengths override observed; blanks floor at 1") {
     val df = Seq(("x", ""), ("yy", "")).toDF("A", "B")
     val cols = XptWriter.columnsFor(df, declaredLengths = Map("A" -> 20))

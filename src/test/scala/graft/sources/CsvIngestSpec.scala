@@ -75,6 +75,14 @@ class CsvIngestSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("A", "A_1", "_c", CsvIngest.RowIdCol))
   }
 
+  test("dedupe never collides with a pre-existing column name") {
+    val p = write("dup2.csv", "a,a,a_1\n1,2,3\n")
+    val (df, _) = CsvIngest.readCsvTable(spark, p)
+    val names = df.columns.filterNot(_ == CsvIngest.RowIdCol).toSeq
+    assert(names.distinct.size == names.size, names.toString)
+    assert(names.head == "a" && names.size == 3)
+  }
+
   test("shape validation flags empties and wide frames") {
     val p = write("shape.csv", "A,B\n1,2\n")
     val (df, headers) = CsvIngest.readCsvTable(spark, p)
