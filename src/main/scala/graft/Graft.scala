@@ -40,7 +40,9 @@ object Graft {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: Column./ is DOUBLE division, and epoch nanos
+      // (~1.7e18) exceed double's 53-bit mantissa — `div` keeps exact longs
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (point-in-time) join — the temporal operator Spark SQL lacks: for
+ * every left row, attach the LATEST right row of the same key with
+ * `rightTime <= leftTime` (inclusive), optionally within a tolerance.
+ * The workhorse of feature backfills ("user state as of this event") and
+ * slowly-changing-dimension lookups.
+ *
+ * Implementation is the distributed-idiomatic union+window, per the
+ * composition-first preference (SURVEY §7.3): tag both sides, union, and
+ * carry the right payload forward with `last(_, ignoreNulls)` over
+ * (key ORDER BY time, side) — ONE shuffle on the key, no join explosion,
+ * no per-key collect. Matches DuckDB's native ASOF JOIN semantics, which
+ * the oracle uses directly.
+ */
+object AsOfJoin {
+
+  /**
+   * @param left       probe side
+   * @param right      reference side (its non-key, non-time columns append)
+   * @param key        equi-join key column name (present on both sides)
+   * @param leftTime   event-time column on `left`
+   * @param rightTime  event-time column on `right`
+   * @param toleranceSeconds max allowed (leftTime - rightTime); None = ∞
+   *
+   * Right payload columns must not contain genuine nulls (the ignoreNulls
+   * carry-forward would skip them); pre-coalesce if they do.
+   */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val payload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
+    val leftOther = left.columns.filterNot(_ == key).toSeq
+    val timeType = right.schema(rightTime).dataType
+
+    val lSide = left.select(
+      Seq(col(key), col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(timeType).as("__rt")) ++
+        leftOther.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val rSide = right.select(
+      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightTime).as("__rt")) ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(c => col(c).as(s"__p_$c")): _*)
+
+    // at equal time the right row sorts first, so rt <= lt is inclusive
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
+      df.withColumn(s"__v_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }.withColumn("__vt", last(col("__rt"), ignoreNulls = true).over(w))
+
+    val withinTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("__vt").isNotNull &&
+          (col("__t").cast("long") - col("__vt").cast("long")) <= tol
+      case None => col("__vt").isNotNull
+    }
+    carried.where(col("__side") === 1).select(
+      (col(key) +: leftOther.map(col)) ++
+        Seq(when(withinTol, col("__vt")).otherwise(lit(null)).as(s"matched_$rightTime")) ++
+        payload.map(c => when(withinTol, col(s"__v_$c")).otherwise(lit(null)).as(c)): _*)
+  }
+}

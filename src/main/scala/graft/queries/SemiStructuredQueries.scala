@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 import graft.Graft.{events, table}
+import graft.operators.AsOfJoin
 import graft.streaming.EventStreams
 
 /**
@@ -38,6 +39,19 @@ object SemiStructuredQueries {
         .orderBy(col("lvl"), col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // as-of join: every event gets the user's latest prior-or-equal
+    // purchase (the point-in-time feature-backfill shape)
+    "st4_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("pvalue"))
+      AsOfJoin.asOf(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, key = "user_id", leftTime = "ts", rightTime = "pts")
+        .select(col("event_id"), col("user_id"), col("matched_pts"), col("pvalue"))
+        .orderBy("event_id")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -65,6 +79,15 @@ object SemiStructuredQueries {
         |         ELSE 0 END AS lvl
         |  FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority))
         |ORDER BY lvl, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "st4_asof" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts AS pts, value AS pvalue FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, p.pts AS matched_pts, p.pvalue
+        |FROM events e
+        |ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY e.event_id""".stripMargin,
 
     "st3_sliding" ->
       """WITH expanded AS (
