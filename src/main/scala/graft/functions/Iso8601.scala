@@ -42,12 +42,25 @@ object Iso8601 {
       .parseCaseInsensitive()
       .appendPattern(pattern)
       .toFormatter(Locale.ENGLISH)
-      .withResolverStyle(ResolverStyle.SMART)
+      // STRICT: '31/04/2024' must fail (and be preserved for validation to
+      // flag), not be silently adjusted to 2024-04-30 as SMART would
+      .withResolverStyle(ResolverStyle.STRICT)
+
+  /** Seconds-with-fraction formatter: accepts 1-9 fractional digits like
+    * the reference's `%.f` (an exact-width `.SSS` would reject `.12`). */
+  private def fracFmt(base: String): DateTimeFormatter =
+    new DateTimeFormatterBuilder()
+      .parseCaseInsensitive()
+      .appendPattern(base)
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+      .toFormatter(Locale.ENGLISH)
+      .withResolverStyle(ResolverStyle.STRICT)
 
   // Full datetime formats, in reference priority order
   // (datetime.rs:186-201). Single-letter fields accept 1-2 digits.
   private val dateTimeFormats: Array[DateTimeFormatter] = Array(
-    "uuuu-M-d'T'H:m:s.SSS",
+    fracFmt("uuuu-M-d'T'H:m:s"),
+    fracFmt("uuuu-M-d H:m:s")) ++ Array(
     "uuuu-M-d'T'H:m:s",
     "uuuu-M-d'T'H:m",
     "uuuu-M-d H:m:s",

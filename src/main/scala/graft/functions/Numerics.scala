@@ -23,9 +23,11 @@ object Numerics {
     val cleaned = t.replace(",", "").replace(" ", "").replace(" ", "")
     val lower = cleaned.toLowerCase
     lower match {
-      case "nan"                 => Some(Double.NaN)
-      case "inf" | "infinity"    => Some(Double.PositiveInfinity)
-      case "-inf" | "-infinity"  => Some(Double.NegativeInfinity)
+      // signed spellings included: Rust's f64::from_str (the reference's
+      // parser) accepts them all
+      case "nan" | "+nan" | "-nan"             => Some(Double.NaN)
+      case "inf" | "infinity" | "+inf" | "+infinity" => Some(Double.PositiveInfinity)
+      case "-inf" | "-infinity"                => Some(Double.NegativeInfinity)
       case _ =>
         if (FloatShape.matches(cleaned))
           try Some(cleaned.toDouble) catch { case _: Exception => None }

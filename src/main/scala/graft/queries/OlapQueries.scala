@@ -41,10 +41,16 @@ object OlapQueries {
       y95.intersect(y96).except(blocked).orderBy("o_custkey")
     }),
 
-    // scalar subquery: orders above the global average price, per status
+    // scalar subquery: orders above the global average price, per status.
+    // Threshold = exact decimal sum cast to double, divided by the count —
+    // bit-identical in both engines (a plain double avg is partition-order-
+    // dependent in its last ulp and could flip boundary rows)
     "o3_scalar_subquery" -> ((s, dir) => {
       val o = table(s, dir, "orders")
-      val avgPrice = o.agg(avg(col("o_totalprice"))).head().getDouble(0)
+      val r = o.agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"),
+        count(lit(1))).head()
+      val avgPrice = r.getDouble(0) / r.getLong(1)
       o.where(col("o_totalprice") > avgPrice)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -85,7 +91,9 @@ object OlapQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
-        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o4_cube" ->

@@ -21,7 +21,8 @@ object SessionQueries {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val d = Paths.get("target", "tmp", s"session_$tag")
     val out = d.resolve("dm.csv")
-    if (!Files.exists(out)) {
+    // always regenerate (existence-keyed caching would serve stale fixtures)
+    locally {
       Files.createDirectories(d)
       val src = table(s, dir, "customer").select(
         col("c_custkey").as("SUBJID"),
@@ -36,9 +37,11 @@ object SessionQueries {
         .orderBy(col("SUBJID").cast("long"))
       val stage = d.resolve("stage").toString
       src.coalesce(1).write.mode("overwrite").option("header", "true").csv(stage)
-      val part = Files.list(Paths.get(stage)).filter(_.toString.endsWith(".csv"))
-        .findFirst().get()
-      Files.copy(part, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val listing = Files.list(Paths.get(stage))
+      try {
+        val part = listing.filter(_.toString.endsWith(".csv")).findFirst().get()
+        Files.copy(part, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally listing.close()
     }
     d.toString
   }

@@ -227,7 +227,7 @@ object ValidateQueries {
         |  SELECT DISTINCT CAST(l_suppkey % 7 AS VARCHAR) AS usubjid,
         |         CAST(l_partkey % 11 AS VARCHAR) AS rsubjid
         |  FROM lineitem
-        |  WHERE CAST(l_suppkey % 7 AS VARCHAR) <> CAST(l_partkey % 7 AS VARCHAR))
+        |  WHERE CAST(l_suppkey % 7 AS VARCHAR) <> CAST(l_partkey % 11 AS VARCHAR))
         |SELECT usubjid, rsubjid FROM pairs p
         |WHERE NOT EXISTS (SELECT 1 FROM pairs q
         |                  WHERE q.usubjid = p.rsubjid AND q.rsubjid = p.usubjid)

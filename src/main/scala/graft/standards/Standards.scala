@@ -72,14 +72,15 @@ case class Codelist(
     extensible: Boolean,
     terms: Seq[CtTerm]) {
 
-  /** upper(spelling) → canonical submission value, covering submission
-    * values and synonyms. */
+  /** upper(spelling) → canonical submission value. Submission values of
+    * ALL terms index before any synonym, so one term's synonym can never
+    * shadow another term's canonical spelling (find_submission_value —
+    * ct/types.rs:187-205 checks submission values first). */
   lazy val index: Map[String, String] = {
     val m = scala.collection.mutable.Map[String, String]()
-    terms.foreach { t =>
-      m.getOrElseUpdate(t.submissionValue.toUpperCase, t.submissionValue)
-      t.synonyms.foreach(s => m.getOrElseUpdate(s.trim.toUpperCase, t.submissionValue))
-    }
+    terms.foreach(t => m.getOrElseUpdate(t.submissionValue.toUpperCase, t.submissionValue))
+    terms.foreach(t =>
+      t.synonyms.foreach(s => m.getOrElseUpdate(s.trim.toUpperCase, t.submissionValue)))
     m.toMap
   }
 

@@ -49,6 +49,17 @@ class Iso8601Spec extends AnyFunSuite {
     assert(Iso8601.toIso8601("1999") == "1999")
   }
 
+  test("invalid calendar dates are preserved, never silently adjusted") {
+    // SMART resolution would fabricate 2024-04-30 / 2024-02-29 here
+    assert(Iso8601.toIso8601("31/04/2024") == "31/04/2024")
+    assert(Iso8601.toIso8601("30.02.2024") == "30.02.2024")
+  }
+
+  test("fractional seconds of any width normalize") {
+    assert(Iso8601.toIso8601("2024-1-5T10:30:45.12") == "2024-01-05T10:30:45")
+    assert(Iso8601.toIso8601("2024-1-5 10:30:45.123456") == "2024-01-05T10:30:45")
+  }
+
   test("unparseable input is preserved, not nulled") {
     for (v <- Seq("not a date", "99/99/9999", "tomorrow"))
       assert(Iso8601.toIso8601(v) == v)

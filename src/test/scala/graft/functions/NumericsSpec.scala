@@ -19,6 +19,10 @@ class NumericsSpec extends AnyFunSuite {
     assert(Numerics.parse("NaN").exists(_.isNaN))
     assert(Numerics.parse("inf").contains(Double.PositiveInfinity))
     assert(Numerics.parse("-Infinity").contains(Double.NegativeInfinity))
+    // signed variants Rust's f64 parser accepts
+    assert(Numerics.parse("+inf").contains(Double.PositiveInfinity))
+    assert(Numerics.parse("+Infinity").contains(Double.PositiveInfinity))
+    assert(Numerics.parse("-nan").exists(_.isNaN))
   }
 
   test("failures yield None") {

@@ -172,6 +172,16 @@ class StandardsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Standards.domain("SUPPQUAL").isDefined)
   }
 
+  test("CT: a synonym never shadows another term's submission value") {
+    import graft.standards.{Codelist, CtTerm}
+    val cl = Codelist("X", "Test", extensible = false, Seq(
+      CtTerm("C1", "MILD", Seq("LOW")),
+      CtTerm("C2", "LOW", Nil)))
+    // submission values of ALL terms resolve before any synonym
+    assert(cl.resolve("low").contains("LOW"))
+    assert(cl.resolve("mild").contains("MILD"))
+  }
+
   test("CT registry: synonyms resolve case-insensitively") {
     val sex = Standards.ctRegistry.get("C66731").get
     assert(!sex.extensible)
