@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{Iso8601, IsoDuration}
@@ -31,7 +31,8 @@ object IsoEval {
 case class IsoNormalize(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_iso8601 requires STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = StringType
@@ -51,7 +52,8 @@ case class IsoNormalize(child: Expression) extends UnaryExpression {
 case class DurationNormalize(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_duration requires STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = StringType
@@ -68,12 +70,20 @@ case class DurationNormalize(child: Expression) extends UnaryExpression {
 }
 
 object IsoExpressions {
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = { children =>
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${children.length}")
+    build(children.head)
+  }
+
   /** (name, info, builder) triples for FunctionRegistry injection. */
   def registryEntries: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_iso8601",
       new ExpressionInfo(classOf[IsoNormalize].getName, "graft_iso8601"),
-      (children: Seq[Expression]) => IsoNormalize(children.head)),
+      unary("graft_iso8601")(IsoNormalize(_))),
     ("graft_duration",
       new ExpressionInfo(classOf[DurationNormalize].getName, "graft_duration"),
-      (children: Seq[Expression]) => DurationNormalize(children.head)))
+      unary("graft_duration")(DurationNormalize(_))))
 }

@@ -37,6 +37,11 @@ object AsOfJoin {
     val payload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val leftOther = left.columns.filterNot(_ == key).toSeq
     val timeType = right.schema(rightTime).dataType
+    val clash = payload.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns: ${clash.mkString(", ")} — rename before joining")
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "column names starting with __ are reserved by asOf")
 
     val lSide = left.select(
       Seq(col(key), col(leftTime).as("__t"), lit(1).as("__side"),
@@ -57,11 +62,15 @@ object AsOfJoin {
       df.withColumn(s"__v_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
     }.withColumn("__vt", last(col("__rt"), ignoreNulls = true).over(w))
 
+    // null keys never match (ASOF equi-join semantics; the window would
+    // otherwise group null-key rows together); tolerance compares at
+    // microsecond precision — cast('long') would truncate to seconds and
+    // accept matches up to ~1s past the bound
     val withinTol = toleranceSeconds match {
       case Some(tol) =>
-        col("__vt").isNotNull &&
-          (col("__t").cast("long") - col("__vt").cast("long")) <= tol
-      case None => col("__vt").isNotNull
+        col(key).isNotNull && col("__vt").isNotNull &&
+          (unix_micros(col("__t")) - unix_micros(col("__vt"))) <= tol * 1000000L
+      case None => col(key).isNotNull && col("__vt").isNotNull
     }
     carried.where(col("__side") === 1).select(
       (col(key) +: leftOther.map(col)) ++

@@ -50,7 +50,11 @@ object OlapQueries {
       val r = o.agg(
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"),
         count(lit(1))).head()
-      val avgPrice = r.getDouble(0) / r.getLong(1)
+      // empty table → SUM is null → threshold +∞ filters everything, like
+      // the oracle's NULL comparison
+      val avgPrice =
+        if (r.isNullAt(0) || r.getLong(1) == 0) Double.PositiveInfinity
+        else r.getDouble(0) / r.getLong(1)
       o.where(col("o_totalprice") > avgPrice)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
