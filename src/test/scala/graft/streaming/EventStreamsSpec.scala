@@ -96,6 +96,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.contains((2L, 1, 5.0)))
   }
 
+  test("file source → windowed agg → parquet sink equals the batch result") {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get("target", "tmp", "stream_e2e")
+    val inDir = base.resolve("in").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    Seq(inDir, outDir, ckpt).foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+    val batch = Seq(
+      (ts(0), "click", 1.0), (ts(10), "view", 2.0), (ts(50), "click", 3.0))
+      .toDF("ts", "event_type", "value")
+    batch.write.parquet(inDir)
+
+    // production shape: readStream → transform → writeStream(files)
+    val stream = EventStreams.readEventStream(spark, inDir, batch.schema)
+    val q = EventStreams.windowedCounts(stream, windowLen = "30 minutes",
+        watermark = "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // append mode only emits windows the watermark closed; the final
+    // window (10:30, holding the 10:50 event) stays open — expect the
+    // 10:00 window's two rows
+    val streamed = spark.read.parquet(outDir)
+      .select("event_type", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == Set(("click", 1L), ("view", 1L)))
+
+    // the identical transform over the bounded frame agrees on those windows
+    val batchOut = EventStreams.windowedCounts(batch, windowLen = "30 minutes")
+      .where(col("window_start") === ts(0))
+      .select("event_type", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batchOut == streamed)
+  }
+
   test("dedupEvents drops duplicate ids within the watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
