@@ -14,10 +14,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet footer cache, so per-query
     // numbers reflect steady state rather than first-query JVM startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+    // noop sink (not count()) so Catalyst can't prune the projected
+    // expressions out from under the timer — every query runs its full work
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // failures report -1, never a normal-looking elapsed time

@@ -7,21 +7,30 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.PlanCheck [sfDir] [query ...] */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val verbose = args.contains("-v")
+    val rest = args.filterNot(_ == "-v")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = Graft.session("plancheck")
     names.foreach { q =>
       try {
-        val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+        val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+        // under AQE the plan is only finalized (join strategy chosen, codegen
+        // stages collapsed and annotated) after execution — run it first
+        qe.toRdd.count()
+        val plan = qe.executedPlan.toString
         // plan toString truncates long filter lists — count non-empty
         // brackets by their opening character
         val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
         val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
         val smj = "SortMergeJoin".r.findAllIn(plan).size
         val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-        val wscg = "WholeStageCodegen".r.findAllIn(plan).size
+        // Spark 4 renders codegen stages as "*(n)" operator prefixes, not
+        // "WholeStageCodegen" nodes — count distinct stage ids
+        val wscg = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
         val exch = "Exchange".r.findAllIn(plan).size
         println(f"$q%-22s pushedFilters=$pushed bhj=$bhj smj=$smj bnl=$bnl wscg=$wscg exchange=$exch")
+        if (verbose) println(plan)
       } catch {
         case e: Throwable => println(f"$q%-22s ERROR ${e.getMessage.take(80)}")
       }

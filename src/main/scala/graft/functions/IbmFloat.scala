@@ -21,19 +21,22 @@ object IbmFloat {
     val bits = java.lang.Double.doubleToLongBits(abs)
     var e = ((bits >> 52) & 0x7FF).toInt - 1023
     var mant = bits & 0xFFFFFFFFFFFFFL
-    if (e == -1023) { // subnormal: normalize
+    if (e == -1023) { // subnormal: normalize so the top set bit lands at 52
+      // (every subnormal still underflows to IBM zero below — 16^-65 is far
+      // above 2^-1022 — but keep the algebra exact in case this is reused)
       val lead = java.lang.Long.numberOfLeadingZeros(mant) - 11
-      mant = (mant << (lead + 1)) & 0xFFFFFFFFFFFFFL
-      e = -1022 - (lead + 1)
+      mant = (mant << lead) & 0xFFFFFFFFFFFFFL
+      e = -1022 - lead
     }
     mant |= 1L << 52
     // value = mant * 2^(e-52); want frac56 * 16^(E-64) * 2^-56
     val s = Math.floorMod(e + 260, 4)
     val ibmExp = (e + 260 - s) / 4
     if (ibmExp < 0) return new Array[Byte](8) // underflow → 0
-    if (ibmExp > 127) // overflow → clamp to max magnitude
-      return Array((sign << 7 | 0x7F).toByte, 0xFF.toByte, 0xFF.toByte,
-        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    if (ibmExp > 127) // overflow: never silently alter submission data
+      throw new IllegalArgumentException(
+        s"value $d exceeds IBM hex-float range (|x| <= ~7.23e75) and cannot " +
+          "be written to XPT")
     val frac = mant << s // < 2^56
     val out = new Array[Byte](8)
     out(0) = ((sign << 7) | ibmExp).toByte

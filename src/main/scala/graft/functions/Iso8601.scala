@@ -58,9 +58,11 @@ object Iso8601 {
 
   // Full datetime formats, in reference priority order
   // (datetime.rs:186-201). Single-letter fields accept 1-2 digits.
+  // Only the T-separated form accepts fractional seconds: the reference
+  // cascade has %.f on "%Y-%m-%dT%H:%M:%S" only, so '2024-01-15 10:30:45.5'
+  // must be preserved-as-unknown, not normalized (cascade parity).
   private val dateTimeFormats: Array[DateTimeFormatter] = Array(
-    fracFmt("uuuu-M-d'T'H:m:s"),
-    fracFmt("uuuu-M-d H:m:s")) ++ Array(
+    fracFmt("uuuu-M-d'T'H:m:s")) ++ Array(
     "uuuu-M-d'T'H:m:s",
     "uuuu-M-d'T'H:m",
     "uuuu-M-d H:m:s",

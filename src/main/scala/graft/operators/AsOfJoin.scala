@@ -28,8 +28,10 @@ object AsOfJoin {
    * @param rightTime  event-time column on `right`
    * @param toleranceSeconds max allowed (leftTime - rightTime); None = ∞
    *
-   * Right payload columns must not contain genuine nulls (the ignoreNulls
-   * carry-forward would skip them); pre-coalesce if they do.
+   * The right row is carried forward as ONE struct with a single
+   * `last(_, ignoreNulls)`, so every output row's payload fields (and
+   * matched time) come from the same right row — genuine nulls inside
+   * payload columns are preserved, never skipped.
    */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
@@ -43,24 +45,29 @@ object AsOfJoin {
     require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
       "column names starting with __ are reserved by asOf")
 
+    // the whole right row travels as ONE struct — a single ignoreNulls
+    // carry-forward can then never stitch fields from different right rows,
+    // and genuine nulls inside payload columns survive
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val pkgType = StructType(StructField("__rt", timeType) +:
+      payload.map(c => StructField(s"__p_$c", right.schema(c).dataType)))
     val lSide = left.select(
       Seq(col(key), col(leftTime).as("__t"), lit(1).as("__side"),
-        lit(null).cast(timeType).as("__rt")) ++
-        leftOther.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+        lit(null).cast(pkgType).as("__pkg")) ++
+        leftOther.map(col): _*)
     val rSide = right.select(
       Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
-        col(rightTime).as("__rt")) ++
-        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(c => col(c).as(s"__p_$c")): _*)
+        struct(col(rightTime).as("__rt") +:
+          payload.map(c => col(c).as(s"__p_$c")): _*).as("__pkg")) ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // at equal time the right row sorts first, so rt <= lt is inclusive
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(s"__v_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }.withColumn("__vt", last(col("__rt"), ignoreNulls = true).over(w))
+    val carried = lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__pkg"), ignoreNulls = true).over(w))
+      .withColumn("__vt", col("__m.__rt"))
 
     // null keys never match (ASOF equi-join semantics; the window would
     // otherwise group null-key rows together); tolerance compares at
@@ -75,6 +82,6 @@ object AsOfJoin {
     carried.where(col("__side") === 1).select(
       (col(key) +: leftOther.map(col)) ++
         Seq(when(withinTol, col("__vt")).otherwise(lit(null)).as(s"matched_$rightTime")) ++
-        payload.map(c => when(withinTol, col(s"__v_$c")).otherwise(lit(null)).as(c)): _*)
+        payload.map(c => when(withinTol, col(s"__m.__p_$c")).otherwise(lit(null)).as(c)): _*)
   }
 }

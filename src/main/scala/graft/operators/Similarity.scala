@@ -47,14 +47,24 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, centroidIdCol: String = "centroid_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
-    val cents = centroids.select(col(centroidIdCol).as("cid"),
-      l2Normalize(col(vecCol)).as("cv"))
-    val w = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid").asc)
-    c.crossJoin(broadcast(cents))
-      .withColumn("__sim", dotProduct(col("v"), col("cv")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("centroid_id"))
+    // Centroids are broadcast-small by construction: fold them into ONE
+    // array-of-structs literal and take the argmax with transform+array_max.
+    // Assignment becomes a pure projection over the corpus scan — no
+    // crossJoin row expansion, no exchange — and the literal keeps the
+    // expression tree constant-size regardless of centroid count.
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .select(col(centroidIdCol).cast("long").as("cid"), l2Normalize(col(vecCol)).as("cv"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "ivfAssign: centroid set is empty")
+    val centLit = typedlit(cents)
+    // struct ordering compares fields left-to-right: max by (sim, -cid) =
+    // highest similarity, ties broken toward the smaller centroid id
+    val scored = transform(centLit, cent =>
+      struct(dotProduct(col("v"), cent.getField("_2")).as("sim"),
+        (-cent.getField("_1")).as("ncid")))
+    c.withColumn("__best", array_max(scored))
+      .select(col("id"), col("v"), (-col("__best.ncid")).as("centroid_id"))
   }
 
   /**

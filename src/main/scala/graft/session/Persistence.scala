@@ -51,12 +51,16 @@ object Persistence {
   def load(path: String): ProjectSnapshot =
     mapper.readValue(Files.readAllBytes(Paths.get(path)), classOf[ProjectSnapshot])
 
-  /** Domains whose source file content changed since the snapshot. */
+  /** Domains whose source file content changed since the snapshot. A file
+    * that went missing/unreadable since the snapshot counts as changed
+    * rather than aborting the whole scan. */
   def changedSources(snapshot: ProjectSnapshot, folder: String): Seq[String] =
     snapshot.assignments.toSeq.sortBy(_._1).collect {
       case (domain, file)
-          if snapshot.sourceHashes.get(domain)
-            .exists(_ != sha256(Paths.get(folder, file).toString)) =>
+          if snapshot.sourceHashes.get(domain).exists { old =>
+            scala.util.Try(sha256(Paths.get(folder, file).toString))
+              .map(_ != old).getOrElse(true)
+          } =>
         domain
     }.map(_.toString)
 

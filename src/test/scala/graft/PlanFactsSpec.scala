@@ -1,0 +1,47 @@
+package graft
+
+/**
+ * Plan-shape regression pins over the real sf0.001 testdata: whole-stage
+ * codegen present on hot projection queries, no all-pairs join on the d7
+ * scale path, no exchange inside IVF assignment. Facts are read from the
+ * POST-execution plan — under AQE the join strategy and codegen stages only
+ * exist once the adaptive plan is finalized.
+ */
+class PlanFactsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(sfDir).isDirectory
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    qe.executedPlan.toString
+  }
+
+  /** Distinct whole-stage-codegen stages: Spark 4 renders them as "*(n)". */
+  private def wscg(plan: String): Int =
+    "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+
+  test("hot projection queries run inside whole-stage codegen") {
+    assume(haveData)
+    for (q <- Seq("t1_token_counts", "n4_iso_datetime", "n6_duration")) {
+      val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(wscg(p) > 0, s"$q lost whole-stage codegen:\n$p")
+    }
+  }
+
+  test("d7 embedding near-dup uses banded LSH, never an all-pairs join") {
+    assume(haveData)
+    val p = finalPlan(SparkEntry.queries("d7_emb_neardup")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"d7 regressed to all-pairs:\n$p")
+  }
+
+  test("ivf assignment is a pure projection: no exchange, no join") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("id", "v")
+    val cents = Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 1.0))).toDF("centroid_id", "v")
+    val p = finalPlan(graft.operators.Similarity.ivfAssign(corpus, cents, "id", "v"))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"ivfAssign should not shuffle or join:\n$p")
+  }
+}

@@ -55,9 +55,12 @@ class Iso8601Spec extends AnyFunSuite {
     assert(Iso8601.toIso8601("30.02.2024") == "30.02.2024")
   }
 
-  test("fractional seconds of any width normalize") {
+  test("fractional seconds of any width normalize (T-separated only)") {
     assert(Iso8601.toIso8601("2024-1-5T10:30:45.12") == "2024-01-05T10:30:45")
-    assert(Iso8601.toIso8601("2024-1-5 10:30:45.123456") == "2024-01-05T10:30:45")
+    assert(Iso8601.toIso8601("2024-1-5T10:30:45.123456") == "2024-01-05T10:30:45")
+    // reference cascade has %.f only on the T form — space+fraction is
+    // preserved-as-unknown (datetime.rs parity)
+    assert(Iso8601.toIso8601("2024-1-5 10:30:45.123456") == "2024-1-5 10:30:45.123456")
   }
 
   test("unparseable input is preserved, not nulled") {

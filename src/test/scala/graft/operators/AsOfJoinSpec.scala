@@ -44,6 +44,20 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, Some(100.0)), (2L, Some(101.0)), (3L, None), (4L, None), (5L, None)))
   }
 
+  test("genuine nulls in payload columns never stitch fields across rows") {
+    // quote at 10:09 has px=null, size=7 — a trade after it must see
+    // (null, 7) from THAT row, not px=100.0 carried from the earlier row
+    val q = Seq(
+      ("A", ts(0), Option(100.0), Option(5L)),
+      ("A", ts(9), Option.empty[Double], Option(7L)))
+      .toDF("sym", "qt", "px", "size")
+    val out = AsOfJoin.asOf(trades.where($"trade_id" === 2L), q, "sym", "t", "qt")
+      .collect().head
+    assert(out.getAs[Timestamp]("matched_qt") == ts(9))
+    assert(out.isNullAt(out.fieldIndex("px")))
+    assert(out.getAs[Long]("size") == 7L)
+  }
+
   test("left columns and row count are preserved") {
     val out = AsOfJoin.asOf(trades, quotes, "sym", "t", "qt")
     assert(out.count() == trades.count())

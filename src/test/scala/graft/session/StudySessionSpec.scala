@@ -157,6 +157,10 @@ class StudySessionSpec extends SparkSpec {
     assert(Persistence.changedSources(loaded, studyDir) == Seq("AE"))
     // restore byte-identical content so cached frames stay valid on rescan
     Files.write(Paths.get(studyDir, "ae.csv"), original)
+    // a vanished source counts as changed, not a crash
+    val gone = snap.copy(assignments = snap.assignments + ("VS" -> "no_such.csv"),
+      sourceHashes = snap.sourceHashes + ("VS" -> "deadbeef"))
+    assert(Persistence.changedSources(gone, studyDir) == Seq("VS"))
   }
 }
 

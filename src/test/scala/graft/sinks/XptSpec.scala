@@ -42,6 +42,13 @@ class IbmFloatSpec extends AnyFunSuite {
     // IBM hex float spans ~5.4e-79 .. 7.2e75; IEEE subnormals underflow
     assert(IbmFloat.fromIbmBytes(IbmFloat.toIbmBytes(1e-100)) == 0.0)
   }
+
+  test("values above IBM max magnitude throw instead of silently clamping") {
+    intercept[IllegalArgumentException](IbmFloat.toIbmBytes(1e80))
+    intercept[IllegalArgumentException](IbmFloat.toIbmBytes(-1e80))
+    // the documented max is representable
+    assert(IbmFloat.fromIbmBytes(IbmFloat.toIbmBytes(7.2e75)) == 7.2e75)
+  }
 }
 
 /** XPT container round trip + structure pins (TS-140). */
