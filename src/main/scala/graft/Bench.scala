@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,14 +18,24 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
     // noop sink (not count()) so Catalyst can't prune the projected
-    // expressions out from under the timer — every query runs its full work
+    // expressions out from under the timer — every query runs its full work.
+    // Median of `runs` measurements per query: one-off machine noise (page
+    // cache, GC, competing load) dominated several BENCH_r02 outliers, and a
+    // single sample can't distinguish that from a real regression.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // drop anything a query cached so the next run (and the next query)
+        // re-does its full work against a cold cache manager
+        spark.catalog.clearCache()
+        if (ok) elapsed else -1.0
+      }
       // failures report -1, never a normal-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.expressions.IsoExpressions
+import graft.expressions.{IsoExpressions, VectorExpressions}
 
 /**
  * Session extension point: registers graft's native Catalyst expressions
@@ -14,17 +14,19 @@ import graft.expressions.IsoExpressions
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    IsoExpressions.registryEntries.foreach { case (name, info, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info, builder))
-    }
+    (IsoExpressions.registryEntries ++ VectorExpressions.registryEntries)
+      .foreach { case (name, info, builder) =>
+        ext.injectFunction((FunctionIdentifier(name), info, builder))
+      }
 }
 
 object GraftExtensions {
   /** Programmatic registration on an already-built session (the extensions
     * config only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    IsoExpressions.registryEntries.foreach { case (name, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), info, builder)
-    }
+    (IsoExpressions.registryEntries ++ VectorExpressions.registryEntries)
+      .foreach { case (name, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(
+          FunctionIdentifier(name), info, builder)
+      }
 }

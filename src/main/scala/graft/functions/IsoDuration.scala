@@ -24,11 +24,55 @@ object IsoDuration {
     rest.forall(c => c.isDigit || c == '.' || c == 'T' || "YMDHMS".contains(c))
   }
 
-  private def parseF64(s: String): Option[Double] =
-    try { if (s.isEmpty) None else Some(s.toDouble) } catch { case _: Exception => None }
+  // Exception-free numeric parses: validate the shape with one char scan,
+  // then hand off to the JDK parser only when it cannot throw. (The previous
+  // try/catch versions threw once per non-numeric token — measurable on the
+  // n6 hot path, where every free-text duration started with a failed
+  // full-string toDouble.)
 
-  private def parseI64(s: String): Option[Long] =
-    try Some(s.toLong) catch { case _: Exception => None }
+  /** Plain decimal with optional sign/fraction/exponent — the subset of
+    * `Double.parseDouble`'s language the duration grammar means ("Infinity",
+    * "NaN", hex floats, and trailing d/f type suffixes are not durations). */
+  private def parseF64(s: String): Option[Double] = {
+    val len = s.length
+    var i = 0
+    if (len > 0 && (s.charAt(0) == '+' || s.charAt(0) == '-')) i = 1
+    if (i >= len) return None
+    var digits = 0
+    var dots = 0
+    var ok = true
+    var j = i
+    while (ok && j < len) {
+      val c = s.charAt(j)
+      if (c >= '0' && c <= '9') { digits += 1; j += 1 }
+      else if (c == '.' && dots == 0) { dots = 1; j += 1 }
+      else if ((c == 'e' || c == 'E') && digits > 0 && j + 1 < len) {
+        var k = j + 1
+        val ec = s.charAt(k)
+        if (ec == '+' || ec == '-') k += 1
+        ok = k < len
+        while (ok && k < len) {
+          val d = s.charAt(k); ok = d >= '0' && d <= '9'; k += 1
+        }
+        j = len
+      } else ok = false
+    }
+    if (ok && digits > 0) Some(java.lang.Double.parseDouble(s)) else None
+  }
+
+  /** Digits with optional sign, ≤18 digits (no Long overflow possible). */
+  private def parseI64(s: String): Option[Long] = {
+    val len = s.length
+    val i = if (len > 0 && (s.charAt(0) == '+' || s.charAt(0) == '-')) 1 else 0
+    if (i >= len || len - i > 18) return None
+    var j = i
+    while (j < len) {
+      val c = s.charAt(j)
+      if (c < '0' || c > '9') return None
+      j += 1
+    }
+    Some(java.lang.Long.parseLong(s))
+  }
 
   /** Decimal days → ISO duration (duration.rs:79-104). */
   def fromDays(days: Double): String = {
@@ -86,8 +130,24 @@ object IsoDuration {
       else None
     }.nextOption()
 
+  /** Lower-cased whitespace split without the per-call regex compile of
+    * `split("\\s+")`. */
+  private def words(value: String): Array[String] = {
+    val lower = value.toLowerCase(java.util.Locale.ENGLISH)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val len = lower.length
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(lower.charAt(i))) i += 1
+      val st = i
+      while (i < len && !Character.isWhitespace(lower.charAt(i))) i += 1
+      if (i > st) out += lower.substring(st, i)
+    }
+    out.toArray
+  }
+
   private def parseText(value: String): Option[String] = {
-    val parts = value.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val parts = words(value)
     val acc = new Parts
     var i = 0
     var progressed = false

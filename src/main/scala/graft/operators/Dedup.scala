@@ -225,18 +225,20 @@ object Dedup {
 
   // ---- embedding cosine ---------------------------------------------------
 
-  /** Dot product of two double arrays (index-order accumulation). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
 
-  /** L2-normalize a float/double array into array<double>. Zero vectors
+  /** Dot product of two double arrays (index-order accumulation) — a native
+    * codegen'd kernel ([[graft.expressions.VecDot]]): the `zip_with` +
+    * `aggregate` HOF formulation it replaces was CodegenFallback (interpreted,
+    * boxed per element) in every similarity hot path. */
+  def dotProduct(a: Column, b: Column): Column =
+    exprCol(graft.expressions.VecDot(colExpr(a), colExpr(b)))
+
+  /** L2-normalize a numeric array into array<double>. Zero vectors
     * normalize to zero (not NaN), so their cosines are 0, never poisoning
-    * threshold comparisons. */
-  def l2Normalize(v: Column): Column = {
-    val d = transform(v, _.cast("double"))
-    val norm = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
-    transform(d, x => when(norm > 0, x / norm).otherwise(lit(0.0)))
-  }
+    * threshold comparisons. Native kernel ([[graft.expressions.VecL2Norm]]). */
+  def l2Normalize(v: Column): Column =
+    exprCol(graft.expressions.VecL2Norm(colExpr(v)))
 
   /** Brute-force cosine near-dup pairs (verification / small-corpus path;
     * the scale path is [[embeddingNearDupsLsh]]). */

@@ -15,12 +15,15 @@ import graft.standards.{SdtmDomain, Standards, VariableType}
  */
 object DomainValidation {
 
+  /** Known date/time variable-name suffixes requiring ISO-8601 validation —
+    * the reference's exact list (checks/dates.rs:27), case-insensitive. */
   private val DateSuffixes =
-    Seq("DTC", "DTM", "STDTC", "ENDTC") // anchored ISO checks (dates.rs:27)
+    Seq("DTC", "DTM", "DT", "TM", "STDTC", "ENDTC", "STDT", "ENDT")
 
-  private def isDateVar(name: String): Boolean =
-    Seq("DTC", "DTM", "DT", "TM").exists(name.endsWith) &&
-      !name.endsWith("CAT") // cheap guard; mirrors suffix list semantics
+  private def isDateVar(name: String): Boolean = {
+    val u = name.toUpperCase
+    DateSuffixes.exists(u.endsWith)
+  }
 
   /** Run V1-V8 over one domain frame. `declaredLengths` feeds V6. */
   def validateDomain(df: DataFrame, domain: SdtmDomain,
@@ -125,10 +128,13 @@ object DomainValidation {
     issues.result()
   }
 
-  /** Study-wide cross-domain checks X1-X5 over a domain registry. */
+  /** Study-wide cross-domain checks X1-X5 over a domain registry. Without a
+    * DM frame there is no subject reference — all cross-domain validation is
+    * skipped, exactly like the reference (validate/mod.rs:102-112). */
   def validateCrossDomain(domains: Map[String, DataFrame]): Seq[Issue] = {
     val issues = Seq.newBuilder[Issue]
     val upper = domains.map { case (k, v) => k.toUpperCase -> v }
+    if (!upper.contains("DM")) return Nil
 
     upper.get("DM").foreach { dm =>
       if (dm.columns.contains("USUBJID")) {
@@ -155,10 +161,71 @@ object DomainValidation {
     }
 
     upper.get("RELSUB").foreach { rs =>
+      // RSUBJID must reference a DM subject (cross_domain.rs:153-174)
+      for (dm <- upper.get("DM") if rs.columns.contains("RSUBJID")
+          && dm.columns.contains("USUBJID")) {
+        val r = Validate.orphanSubjects(
+            rs.select(txt(col("RSUBJID")).as("USUBJID")), dm, "USUBJID")
+          .agg(count(lit(1)), slice(sort_array(collect_set(col("USUBJID"))), 1, 5)).head()
+        if (r.getLong(0) > 0)
+          issues += Issue("RELSUB", "RSUBJID", "RsubjidNotInDm", "Error",
+            r.getLong(0), r.getSeq[String](1))
+      }
       if (Seq("USUBJID", "RSUBJID").forall(rs.columns.contains)) {
         val missing = Validate.missingReciprocal(rs, "USUBJID", "RSUBJID").count()
         if (missing > 0)
           issues += Issue("RELSUB", "RSUBJID", "MissingReciprocal", "Warning", missing, Nil)
+      }
+    }
+
+    // X4 — RELSPEC parent chain: every non-empty PARENT must match a REFID of
+    // the same subject (cross_domain.rs:232-293). Counted per ROW like the
+    // reference, not per distinct pair. A RELSPEC without a REFID column means
+    // no parent can resolve — every non-empty PARENT row is broken.
+    upper.get("RELSPEC").foreach { rsp =>
+      val cols = rsp.columns.map(_.toUpperCase).toSet
+      if (cols.contains("USUBJID") && cols.contains("PARENT")) {
+        val withRef = if (cols.contains("REFID")) rsp else rsp.withColumn("REFID", lit(""))
+        val refids = withRef
+          .select(txt(col("USUBJID")).as("USUBJID"), txt(col("REFID")).as("PARENT"))
+          .where(col("PARENT") =!= "").distinct()
+        val broken = withRef.where(!isBlank(col("PARENT")))
+          .select(txt(col("USUBJID")).as("USUBJID"), txt(col("PARENT")).as("PARENT"))
+          .join(broadcast(refids), Seq("USUBJID", "PARENT"), "left_anti")
+        val r = broken.agg(count(lit(1)), slice(sort_array(
+          collect_set(concat_ws(":", col("USUBJID"), col("PARENT")))), 1, 5)).head()
+        if (r.getLong(0) > 0)
+          issues += Issue("RELSPEC", "PARENT", "BrokenParentChain", "Error",
+            r.getLong(0), r.getSeq[String](1))
+      }
+    }
+
+    // X5 — RELREC record references: RDOMAIN+IDVAR+IDVARVAL must hit an
+    // existing record key. Key table = the referenced domains' --SEQ/--GRPID/
+    // --REFID/--LNKID + VISITNUM values (cross_domain.rs:300-384); one issue
+    // per referenced RDOMAIN, like the reference's per-domain grouping.
+    upper.get("RELREC").foreach { rr =>
+      val cols = rr.columns.map(_.toUpperCase).toSet
+      if (Seq("RDOMAIN", "IDVAR", "IDVARVAL").forall(cols.contains)) {
+        val keySources = upper.filterNot(_._1 == "RELREC").map { case (code, df) =>
+          code -> (df, Seq(s"${code}SEQ", s"${code}GRPID", s"${code}REFID",
+            s"${code}LNKID", "VISITNUM"))
+        }
+        if (keySources.nonEmpty) {
+          val keys = Validate.relrecKeyTable(keySources)
+          // dataset-level relationships (empty IDVARVAL) and rows with a blank
+          // RDOMAIN/IDVAR are out of scope, as in check_relrec
+          val scoped = rr.where(!isBlank(col("RDOMAIN")) && !isBlank(col("IDVAR")))
+          val dangling = Validate.danglingRecordRefs(scoped, keys, "RDOMAIN", "IDVAR", "IDVARVAL")
+          dangling.groupBy(col("rdomain"))
+            .agg(count(lit(1)).as("n"), slice(sort_array(
+              collect_set(concat_ws("=", col("idvar"), col("idvarval")))), 1, 5).as("samples"))
+            .orderBy(col("rdomain"))
+            .collect().foreach { row =>
+              issues += Issue("RELREC", row.getString(0), "DanglingRecordRef", "Error",
+                row.getLong(1), row.getSeq[String](2))
+            }
+        }
       }
     }
     issues.result()

@@ -43,28 +43,34 @@ object Similarity {
    * replace them without touching the search path). Returns the corpus
    * tagged with `centroid_id` — at scale this is the partitioning/bucketing
    * key, so one bucket's vectors co-locate.
+   *
+   * Contract: the centroid set is collected EAGERLY on the driver at call
+   * time (it is broadcast-small by construction — the reference object rides
+   * into generated code) and must be non-empty. Assignment is then a pure
+   * projection over the corpus scan: no crossJoin row expansion, no
+   * exchange, and the per-row argmax is a compiled primitive loop
+   * ([[graft.expressions.NearestCentroidIdx]]) — the expression tree stays
+   * constant-size regardless of centroid count. The `centroid_id` output
+   * keeps the source id column's values and type verbatim (ties on cosine
+   * break toward the smallest centroid id, matching a max-by-(sim, -id)).
    */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, centroidIdCol: String = "centroid_id"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
     val c = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
-    // Centroids are broadcast-small by construction: fold them into ONE
-    // array-of-structs literal and take the argmax with transform+array_max.
-    // Assignment becomes a pure projection over the corpus scan — no
-    // crossJoin row expansion, no exchange — and the literal keeps the
-    // expression tree constant-size regardless of centroid count.
-    val cents: Seq[(Long, Seq[Double])] = centroids
-      .select(col(centroidIdCol).cast("long").as("cid"), l2Normalize(col(vecCol)).as("cv"))
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(cents.nonEmpty, "ivfAssign: centroid set is empty")
-    val centLit = typedlit(cents)
-    // struct ordering compares fields left-to-right: max by (sim, -cid) =
-    // highest similarity, ties broken toward the smaller centroid id
-    val scored = transform(centLit, cent =>
-      struct(dotProduct(col("v"), cent.getField("_2")).as("sim"),
-        (-cent.getField("_1")).as("ncid")))
-    c.withColumn("__best", array_max(scored))
-      .select(col("id"), col("v"), (-col("__best.ncid")).as("centroid_id"))
+    // ordered by id so the kernel's first-wins tie-break lands on the
+    // smallest centroid id, deterministically
+    val rows = centroids
+      .select(col(centroidIdCol).as("cid"), l2Normalize(col(vecCol)).as("cv"))
+      .orderBy(col("cid"))
+      .collect()
+    require(rows.nonEmpty, "ivfAssign: centroid set is empty")
+    val matrix: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
+    // original id values (any orderable type) survive via array indexing
+    val idLit = array(rows.toSeq.map(r => lit(r.get(0))): _*)
+    val idx = exprCol(graft.expressions.NearestCentroidIdx(colExpr(col("v")), matrix))
+    c.select(col("id"), col("v"),
+      element_at(idLit, idx + 1).as("centroid_id"))
   }
 
   /**

@@ -15,9 +15,10 @@ import graft.operators.Similarity
  */
 object SimilarityQueries {
 
+  // raw float arrays — VecL2Norm widens to double inside its codegen'd
+  // kernel, so no interpreted transform-cast rides the corpus scan
   private def emb(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    table(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for 10 query vectors

@@ -100,12 +100,17 @@ case class TerminologyRegistry(codelists: Map[String, Codelist]) {
 /**
  * S8/S9 — embedded standards loaders (SURVEY §2.1). Pure driver-side
  * metadata: classpath CSVs in the reference's documented layouts
- * (`sdtm_ig.rs:163-189` build; CT two-pass parse `ct/loader.rs:112-190`).
- * Content here is a public-knowledge SDTM-IG v3.4 / CT subset; drop a
- * fuller CSV in `resources/standards/` to widen coverage — the loader is
- * format-complete.
+ * (`sdtm_ig.rs:163-189` build; ADaM structure mapping `adam_ig.rs:70-170`;
+ * CT two-pass parse `ct/loader.rs:112-190`). Three implementation guides
+ * are embedded — SDTM-IG v3.4, SEND-IG v3.1.1, ADaM-IG v1.3, all public
+ * CDISC metadata — selected via [[Standards.domains]]/[[Standards.domain]];
+ * the CT catalog is a public-knowledge subset (drop a fuller SDTM_CT.csv in
+ * `resources/standards/` to widen it — the loader is format-complete).
  */
 object Standards {
+
+  /** Implementation guides this build embeds. */
+  val StandardIds: Seq[String] = Seq("sdtm", "send", "adam")
 
   private def readResource(path: String): Seq[String] = {
     val in = getClass.getResourceAsStream(path)
@@ -122,10 +127,11 @@ object Standards {
     }
   }
 
-  /** S8 — SDTM-IG domains + variables from Datasets.csv / Variables.csv. */
-  lazy val sdtmIg: Seq[SdtmDomain] = {
-    val datasets = parseCsv(readResource("/standards/Datasets.csv"))
-    val variables = parseCsv(readResource("/standards/Variables.csv"))
+  /** S8 — IG domains + variables from a Datasets.csv / Variables.csv pair
+    * (the layout SDTM-IG and SEND-IG share). */
+  private def loadIg(datasetsPath: String, variablesPath: String): Seq[SdtmDomain] = {
+    val datasets = parseCsv(readResource(datasetsPath))
+    val variables = parseCsv(readResource(variablesPath))
     val varsByDataset = variables.groupBy(_("Dataset Name"))
     datasets.map { d =>
       val ds = d("Dataset Name")
@@ -151,8 +157,78 @@ object Standards {
     }
   }
 
-  def domain(code: String): Option[SdtmDomain] =
-    sdtmIg.find(_.name.equalsIgnoreCase(code))
+  /** SDTM-IG v3.4 (63 domains). */
+  lazy val sdtmIg: Seq[SdtmDomain] =
+    loadIg("/standards/sdtm/Datasets.csv", "/standards/sdtm/Variables.csv")
+
+  /** SEND-IG v3.1.1 — same CSV layout as SDTM-IG. */
+  lazy val sendIg: Seq[SdtmDomain] =
+    loadIg("/standards/send/Datasets.csv", "/standards/send/Variables.csv")
+
+  /**
+   * ADaM-IG v1.3 — different layout: DataStructures.csv defines ADSL/BDS/TTE
+   * and Variables.csv references structures by their LONG name
+   * ("Subject-Level Analysis Dataset"), so a long→short mapping is built
+   * first, with and without the " Structure" suffix (`adam_ig.rs:96-110`).
+   * Variable order is file order (ADaM CSVs carry no order column).
+   */
+  lazy val adamIg: Seq[SdtmDomain] = {
+    val structures = parseCsv(readResource("/standards/adam/DataStructures.csv"))
+      .filter(_("Data Structure Name").trim.nonEmpty)
+    val longToShort = structures.flatMap { s =>
+      val short = s("Data Structure Name").trim.toUpperCase
+      val long = s("Data Structure Description").trim.toUpperCase
+      val entries = Seq.newBuilder[(String, String)]
+      if (long.nonEmpty) {
+        entries += long -> short
+        if (long.endsWith(" STRUCTURE"))
+          entries += long.stripSuffix(" STRUCTURE") -> short
+      }
+      entries.result()
+    }.toMap
+    val variables = parseCsv(readResource("/standards/adam/Variables.csv"))
+    val varsByStructure = variables.zipWithIndex.groupBy { case (v, _) =>
+      val key = v("Data Structure Name").trim.toUpperCase
+      longToShort.getOrElse(key, key)
+    }
+    structures.map { s =>
+      val short = s("Data Structure Name").trim.toUpperCase
+      val vars = varsByStructure.getOrElse(short, Nil).map { case (v, i) =>
+        SdtmVariable(
+          name = v("Variable Name"),
+          label = Option(v("Variable Label")).filter(_.nonEmpty),
+          dataType = VariableType.parse(v("Type")),
+          codelistCodes = v("CDISC CT Codelist Code(s)").split("[;,]")
+            .map(_.trim).filter(_.nonEmpty).toSeq,
+          describedValueDomain = Option(v("Described Value Domain(s)")).filter(_.nonEmpty),
+          role = None,
+          core = Option(v("Core")).filter(_.nonEmpty),
+          order = Some(i + 1),
+          datasetName = short)
+      }
+      SdtmDomain(
+        name = short,
+        label = Option(s("Data Structure Description")).filter(_.nonEmpty),
+        className = Option(s("Class")).filter(_.nonEmpty),
+        structure = Option(s("CDISC Notes")).filter(_.nonEmpty),
+        variables = vars)
+    }
+  }
+
+  /** Standard selector: "sdtm" | "send" | "adam". */
+  def domains(standard: String): Seq[SdtmDomain] = standard.toLowerCase match {
+    case "sdtm" => sdtmIg
+    case "send" => sendIg
+    case "adam" => adamIg
+    case other => throw new IllegalArgumentException(
+      s"unknown standard '$other' (expected one of ${StandardIds.mkString("/")})")
+  }
+
+  def domain(standard: String, code: String): Option[SdtmDomain] =
+    domains(standard).find(_.name.equalsIgnoreCase(code))
+
+  /** Default standard (SDTM) — the surface the study session uses. */
+  def domain(code: String): Option[SdtmDomain] = domain("sdtm", code)
 
   /** S9 — CT catalog: two-pass parse (codelist rows have blank
     * `Codelist Code`; term rows carry the parent's code; synonyms split on

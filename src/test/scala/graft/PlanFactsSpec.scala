@@ -36,12 +36,29 @@ class PlanFactsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"d7 regressed to all-pairs:\n$p")
   }
 
-  test("ivf assignment is a pure projection: no exchange, no join") {
+  test("ivf assignment is a pure projection: no exchange, no join, no interpreted HOF") {
     import spark.implicits._
     val corpus = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("id", "v")
     val cents = Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 1.0))).toDF("centroid_id", "v")
     val p = finalPlan(graft.operators.Similarity.ivfAssign(corpus, cents, "id", "v"))
     assert(!p.contains("Exchange") && !p.contains("Join"),
       s"ivfAssign should not shuffle or join:\n$p")
+    assert(!p.contains("transform(") && !p.contains("aggregate(") && !p.contains("zip_with"),
+      s"ivfAssign argmax must be the compiled kernel, not interpreted HOFs:\n$p")
+  }
+
+  test("similarity hot kernels are compiled expressions, not interpreted HOFs") {
+    assume(haveData)
+    // zip_with/aggregate/transform lambdas are CodegenFallback: interpreted,
+    // boxed per element — banned from the per-row kernels of the ANN and
+    // embedding-dedup paths (BENCH_r02's sim2 regression was exactly this)
+    for (q <- Seq("sim1_brute_topk", "sim2_ivf_topk")) {
+      val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("zip_with") && !p.contains("aggregate("),
+        s"$q hot path regressed to interpreted HOF vector math:\n$p")
+    }
+    val p7 = finalPlan(SparkEntry.queries("d7_emb_neardup")(spark, sfDir))
+    assert(!p7.contains("zip_with") && !p7.contains("aggregate("),
+      s"d7 cosine verification regressed to interpreted HOF vector math:\n$p7")
   }
 }

@@ -68,6 +68,49 @@ class Iso8601Spec extends AnyFunSuite {
       assert(Iso8601.toIso8601(v) == v)
   }
 
+  test("month names are case-insensitive, abbreviation or full only") {
+    assert(Iso8601.toIso8601("15-JAN-2024") == "2024-01-15")
+    assert(Iso8601.toIso8601("15-january-2024") == "2024-01-15")
+    assert(Iso8601.toIso8601("SEP 15, 2024") == "2024-09-15")
+    // 'Sept' is neither the 3-letter abbreviation nor the full name
+    assert(Iso8601.toIso8601("15-Sept-2024") == "15-Sept-2024")
+  }
+
+  test("lowercase 't' separator is accepted in the cascade") {
+    assert(Iso8601.toIso8601("2024-1-5t10:30") == "2024-01-05T10:30:00")
+  }
+
+  test("leap-year day validation is exact") {
+    assert(Iso8601.toIso8601("29.02.2024") == "2024-02-29") // leap
+    assert(Iso8601.toIso8601("29.02.2023") == "29.02.2023") // not leap
+    assert(Iso8601.toIso8601("29.02.1900") == "29.02.1900") // century, not leap
+    assert(Iso8601.toIso8601("29.02.2000") == "2000-02-29") // 400-year leap
+  }
+
+  test("datetime slash forms keep the day-first preference") {
+    assert(Iso8601.toIso8601("05/03/2024 10:30") == "2024-03-05T10:30:00")
+    assert(Iso8601.toIso8601("01/15/2024 10:30:45") == "2024-01-15T10:30:45")
+  }
+
+  test("out-of-range time fields fail the cascade") {
+    for (v <- Seq("2024-1-5 24:00", "2024-1-5 10:60", "2024-1-5 10:30:61"))
+      assert(Iso8601.toIso8601(v) == v)
+  }
+
+  test("month 13 fails the month-year partial") {
+    assert(Iso8601.toIso8601("13/2024") == "13/2024")
+  }
+
+  test("doubled separators and stray text fail, like the strict formatters") {
+    for (v <- Seq("15  Jan 2024", "Jan 15,2024", "2024-01-15extra",
+        "024-01-15", "2024-001-15"))
+      assert(Iso8601.toIso8601(v) == v)
+  }
+
+  test("outer whitespace is trimmed before the cascade") {
+    assert(Iso8601.toIso8601(" 15/01/2024 ") == "2024-01-15")
+  }
+
   test("null and empty → empty") {
     assert(Iso8601.toIso8601(null) == "")
     assert(Iso8601.toIso8601("") == "")

@@ -84,6 +84,40 @@ class StudySessionSpec extends SparkSpec {
     assert(orphan.get.samples == Seq("GRAFT1-999"))
   }
 
+  test("E2: X4/X5 surface through session.validateCross (RELSPEC chain, RELREC refs)") {
+    val d = Paths.get("target", "tmp", "study_rel")
+    Files.createDirectories(d)
+    Files.write(d.resolve("dm.csv"),
+      ("SUBJID,RFSTDTC,SEX\n101,2024-01-10,M\n102,2024-01-12,F\n").getBytes)
+    Files.write(d.resolve("ae.csv"),
+      ("SUBJID,AETERM,AESEV,AESTDTC\n101,Headache,MILD,2024-01-12\n" +
+        "102,Fatigue,SEVERE,2024-01-14\n").getBytes)
+    // SAMPLE-3's PARENT points at a REFID no row of subject 101 carries
+    Files.write(d.resolve("relspec.csv"),
+      ("SUBJID,REFID,PARENT,LEVEL,SPEC\n" +
+        "101,SAMPLE-1,,1,BLOOD\n" +
+        "101,SAMPLE-2,SAMPLE-1,2,PLASMA\n" +
+        "101,SAMPLE-3,MISSING-REF,2,SERUM\n").getBytes)
+    // AESEQ=1 exists (valid); AESEQ=99 dangles
+    Files.write(d.resolve("relrec.csv"),
+      ("SUBJID,RDOMAIN,IDVAR,IDVARVAL,RELTYPE,RELID\n" +
+        "101,AE,AESEQ,1,ONE,R1\n" +
+        "101,AE,AESEQ,99,ONE,R2\n").getBytes)
+    val rel = StudySession.create(spark, "GRAFT1", d.toString,
+      Map("DM" -> "dm.csv", "AE" -> "ae.csv",
+        "RELSPEC" -> "relspec.csv", "RELREC" -> "relrec.csv"))
+    val cross = rel.validateCross()
+    val chain = cross.find(_.kind == "BrokenParentChain")
+    assert(chain.isDefined, s"no BrokenParentChain in $cross")
+    assert(chain.get.count == 1)
+    assert(chain.get.samples == Seq("GRAFT1-101:MISSING-REF"))
+    val dangling = cross.find(_.kind == "DanglingRecordRef")
+    assert(dangling.isDefined, s"no DanglingRecordRef in $cross")
+    assert(dangling.get.variable == "AE")
+    assert(dangling.get.count == 1)
+    assert(dangling.get.samples == Seq("AESEQ=99"))
+  }
+
   test("E3: export produces readable XPT + both XML documents + SUPP") {
     val outDir = "target/tmp/study1_out"
     session.configureSupp("DM", Seq(
