@@ -181,19 +181,29 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------------
 
-  /** 64-bit SimHash per doc: bit j set when Σ±1 over token-hash bit j is
-    * positive. One explode + one 64-column aggregate. */
-  def simhash(tokens: DataFrame, idCol: String = "id"): DataFrame = {
-    val h = xxhash64(col("token"))
-    val bitSums = (0 until 64).map { j =>
+  /** SimHash per doc: bit j set when Σ±1 over token-hash bit j is positive.
+    * One explode + one `bits`-column aggregate. The token hash is pluggable:
+    * the default xxhash64 is Spark-internal (fast, 64-bit); pass
+    * [[portableTokenHash]] (+ bits = 56) when the fingerprints must be
+    * reproducible by another engine (oracle-checked pipelines). */
+  def simhash(tokens: DataFrame, idCol: String = "id",
+      hash: Column = xxhash64(col("token")), bits: Int = 64): DataFrame = {
+    val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__b$j")
     }
-    val agg = tokens.withColumn("__h", h).groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(j =>
+    val agg = tokens.withColumn("__h", hash).groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits).map(j =>
       when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     agg.select(col(idCol).as("id"), fp.as("simhash"))
   }
+
+  /** Engine-portable token hash: the first 56 bits of standard MD5, so any
+    * engine with an md5() can reproduce the fingerprints bit-for-bit
+    * (cryptographic diffusion; 56 bits keeps the hex→int conversion inside
+    * a signed 64-bit long on both sides). */
+  def portableTokenHash: Column =
+    conv(substring(md5(col("token")), 1, 14), 16, 10).cast("long")
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -205,9 +215,10 @@ object Dedup {
    * here, unlike MinHash.
    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3, bands: Int = 4): DataFrame = {
-    val fps = simhash(docTokens(df, idCol, textCol)).cache()
-    val width = 64 / bands
+      maxDistance: Int = 3, bands: Int = 4,
+      hash: Column = xxhash64(col("token")), bits: Int = 64): DataFrame = {
+    val fps = simhash(docTokens(df, idCol, textCol), hash = hash, bits = bits).cache()
+    val width = bits / bands
     val banded = fps.select(col("id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -59,6 +59,19 @@ class StudySession(val spark: SparkSession, val studyId: String) {
   def domainState(code: String): Option[DomainState] = domains.get(code.toUpperCase)
   def domainCodes: Seq[String] = domains.keys.toSeq
 
+  /** Split-domain dataset names: a >2-char code whose 2-letter prefix is a
+    * splittable parent (LBCH → LB, FAAE → FA) resolves IG metadata, DOMAIN
+    * value, and --SEQ naming through the parent, while files, XPT member
+    * name, and Define-XML ItemGroupDefs keep the dataset name
+    * (`export/types.rs:12-72`). */
+  def baseDomainCode(code: String): String = {
+    val u = code.toUpperCase
+    if (u.length > 2 && StudySession.SplitBases.contains(u.take(2))) u.take(2) else u
+  }
+
+  private def domainMetaFor(code: String): Option[SdtmDomain] =
+    Standards.domain(baseDomainCode(code))
+
   /** Route extra source columns of a domain to SUPP-- (G1 config). */
   def configureSupp(code: String, configs: Seq[(String, SuppColumnConfig)]): Unit =
     suppConfigs(code.toUpperCase) = configs
@@ -80,7 +93,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
     val hints = Mapping.columnHints(df.select(dataCols.map(col): _*),
       itemLabels ++ headerLabels)
 
-    val domainMeta = Standards.domain(codeU).getOrElse(
+    val domainMeta = domainMetaFor(codeU).getOrElse(
       SdtmDomain(codeU, None, None, None, Nil))
     val varMetas = domainMeta.variables.map(v =>
       VarMeta(v.name, v.label, v.isRequired))
@@ -96,7 +109,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
     * and batch pipelines; interactive flows call mapping.acceptManual). */
   def acceptAllSuggestions(code: String): Unit =
     domainState(code).foreach { ds =>
-      Standards.domain(ds.code).foreach(_.variables.foreach { v =>
+      domainMetaFor(ds.code).foreach(_.variables.foreach { v =>
         ds.mapping.acceptSuggestion(v.name) // no-op unless Suggested
       })
     }
@@ -120,8 +133,8 @@ class StudySession(val spark: SparkSession, val studyId: String) {
     val refDate = referenceDate
     NormalizationContext(
       studyId = studyId,
-      domainCode = ds.code,
-      mappings = Standards.domain(ds.code).map(_.variables.flatMap(v =>
+      domainCode = baseDomainCode(ds.code),
+      mappings = domainMetaFor(ds.code).map(_.variables.flatMap(v =>
         ds.mapping.columnFor(v.name).map(v.name -> _)).toMap).getOrElse(Map.empty),
       omitted = ds.mapping.omitted,
       referenceDate = refDate)
@@ -132,7 +145,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
   def preview(code: String): Option[DataFrame] =
     for {
       ds <- domainState(code)
-      domain <- Standards.domain(ds.code)
+      domain <- domainMetaFor(ds.code)
     } yield RuleInference.normalizeDomain(ds.source, domain, contextFor(ds),
       keepRowId = true)
 
@@ -140,7 +153,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
   def validate(code: String): Seq[Issue] =
     (for {
       ds <- domainState(code)
-      domain <- Standards.domain(ds.code)
+      domain <- domainMetaFor(ds.code)
       frame <- preview(code)
     } yield DomainValidation.validateDomain(frame, domain)).getOrElse(Nil)
 
@@ -160,9 +173,10 @@ class StudySession(val spark: SparkSession, val studyId: String) {
     // only domains with IG metadata can export (preview needs the variable
     // list); unknown codes were ingestable for mapping work but are skipped
     val exportable = domainCodes.sorted.filter(c =>
-      Standards.domain(c).isDefined && preview(c).isDefined)
+      domainMetaFor(c).isDefined && preview(c).isDefined)
     exportable.foreach { code =>
-      val domain = Standards.domain(code).get
+      val domain = domainMetaFor(code).get
+      val base = baseDomainCode(code)
       val frame = preview(code).get.cache()
       val presentVars = domain.orderedVariables.filter(v => frame.columns.contains(v.name))
       val varNames = presentVars.map(_.name)
@@ -173,7 +187,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
         if (v.dataType == VariableType.Num) col(v.name).cast("double").as(v.name)
         else col(v.name)
       }: _*)
-      XptWriter.writeDataFrame(typed, xptPath, code, domain.label.getOrElse(code),
+      XptWriter.writeDataFrame(typed, xptPath, code, domain.label.getOrElse(base),
         labels = presentVars.map(v => v.name -> v.label.getOrElse(v.name)).toMap)
       written += xptPath
 
@@ -186,7 +200,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
       // Define-XML entry (one stats agg per domain)
       val stats = XmlSinks.varStats(frame, varNames)
       defineDatasets += XmlSinks.DefineDataset(
-        name = code, domain = code,
+        name = code, domain = base,
         label = domain.label.getOrElse(code),
         structure = domain.structure.getOrElse(""),
         klass = domain.className.getOrElse(""),
@@ -217,7 +231,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
             XptWriter.writeDataFrame(
               supp.orderBy("QNAM", "USUBJID", "IDVARVAL"), path, suppName,
               Reshape.suppDomainLabel(code,
-                Standards.domain(code).flatMap(_.label)))
+                domainMetaFor(code).flatMap(_.label)))
             written += path
           }
         case _ =>
@@ -237,6 +251,10 @@ class StudySession(val spark: SparkSession, val studyId: String) {
 }
 
 object StudySession {
+
+  /** 2-letter SDTM parents whose datasets are commonly split into named
+    * subsets (export/types.rs:60-66). */
+  val SplitBases: Set[String] = Set("LB", "FA", "QS", "VS", "EG", "PC", "PP")
 
   /** E1 — create a session from a folder + domain→file assignments
     * (`study.rs:27-153`). */

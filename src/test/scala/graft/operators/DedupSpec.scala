@@ -90,6 +90,63 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((1L, 2L))) // distance 0 must always surface
   }
 
+  // ---- containment + recall pins (LSH vs exact, seeded corpus) ------------
+
+  // 60 base docs of 30 vocabulary words; each has a perturbed twin with 2
+  // words swapped out → twin-pair jaccard = 28/32 = 0.875, above the 0.8
+  // threshold but below 1, so banding recall is genuinely exercised
+  private lazy val nearDupCorpus = {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 200).map(i => s"w$i")
+    (0 until 60).flatMap { i =>
+      val base = rnd.shuffle(vocab).take(30)
+      val twin = base.drop(2) ++ Seq(s"x${i}a", s"x${i}b")
+      Seq((i * 2L, base.mkString(" ")), (i * 2L + 1, twin.mkString(" ")))
+    }.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH pairs ⊆ exact jaccard pairs, recall ≥ design bound") {
+    val exact = Dedup.tokenJaccardPairs(nearDupCorpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(nearDupCorpus, "doc_id", "text",
+        threshold = 0.8, numHashes = 32, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 60, s"corpus should yield ≥60 true pairs, got ${exact.size}")
+    // candidate verification makes containment unconditional
+    assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh -- exact}")
+    // design bound: P(catch | j=0.875, 8 bands of 4) = 1-(1-j⁴)⁸ ≈ 0.9991;
+    // 0.95 leaves margin while still catching a broken banding scheme
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall below design bound")
+  }
+
+  test("simhash banding output equals brute-force hamming pairs (lossless)") {
+    val tokens = Dedup.docTokens(nearDupCorpus, "doc_id", "text")
+    val fps = Dedup.simhash(tokens).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      (i, fi) <- fps; (j, fj) <- fps if i < j
+      if java.lang.Long.bitCount(fi ^ fj) <= 3
+    } yield (i, j)).toSet
+    val banded = Dedup.simhashNearDups(nearDupCorpus, "doc_id", "text",
+        maxDistance = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"pigeonhole banding must be lossless: missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
+  test("portable token hash equals the first 56 bits of standard MD5") {
+    val toks = Seq("hello", "world", "graft").toDF("token")
+    val got = toks.select(Dedup.portableTokenHash.as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = Seq("hello", "world", "graft").map { s =>
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16)
+    }
+    assert(got == want)
+  }
+
   test("cosine near-dup: brute and LSH agree on scaled copies") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),

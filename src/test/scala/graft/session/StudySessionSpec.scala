@@ -118,6 +118,37 @@ class StudySessionSpec extends SparkSpec {
     assert(dangling.get.samples == Seq("AESEQ=99"))
   }
 
+  test("E3: split-domain dataset (LBCH) exports under its own name with parent DOMAIN") {
+    val d = Paths.get("target", "tmp", "study_split")
+    Files.createDirectories(d)
+    Files.write(d.resolve("dm.csv"),
+      ("SUBJID,RFSTDTC,SEX\n101,2024-01-10,M\n").getBytes)
+    Files.write(d.resolve("lbch.csv"),
+      ("SUBJID,LBTESTCD,LBORRES,LBDTC\n" +
+        "101,ALT,34,2024-01-11\n101,AST,28,2024-01-11\n").getBytes)
+    val split = StudySession.create(spark, "GRAFT1", d.toString,
+      Map("DM" -> "dm.csv", "LBCH" -> "lbch.csv"))
+    assert(split.baseDomainCode("LBCH") == "LB")
+    assert(split.baseDomainCode("FAAE") == "FA")
+    assert(split.baseDomainCode("AE") == "AE")
+    // metadata resolves through the parent: LBTESTCD is an LB variable
+    val pv = split.preview("LBCH").get.orderBy("_row_id").collect()
+    assert(pv.map(_.getAs[String]("DOMAIN")).distinct.toSeq == Seq("LB"))
+    assert(pv.map(_.getAs[String]("LBTESTCD")).toSeq == Seq("ALT", "AST"))
+
+    val outDir = "target/tmp/study_split_out"
+    val written = split.exportAll(outDir)
+    assert(written.exists(_.endsWith("lbch.xpt")))
+    val xpt = XptReader.read(s"$outDir/lbch.xpt")
+    assert(xpt.name == "LBCH")
+    val domIdx = xpt.columns.indexWhere(_.name == "DOMAIN")
+    assert(xpt.rows.map(_(domIdx)).toSet == Set("LB"))
+    // Define-XML keys the ItemGroupDef by dataset name, Domain by parent
+    val define = new String(Files.readAllBytes(Paths.get(s"$outDir/define.xml")), "UTF-8")
+    assert(define.contains("""<ItemGroupDef OID="IG.LBCH" Name="LBCH""""))
+    assert(define.contains("""Domain="LB""""))
+  }
+
   test("E3: export produces readable XPT + both XML documents + SUPP") {
     val outDir = "target/tmp/study1_out"
     session.configureSupp("DM", Seq(
