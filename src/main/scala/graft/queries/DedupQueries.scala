@@ -87,6 +87,10 @@ object DedupQueries {
       // scale path: random-hyperplane LSH. Exact-colinear dupes share every
       // band; corpus max non-dup cosine ≈0.51 < 0.8 threshold, so the pair
       // set is identical to brute force and the full oracle still holds.
+      // DATA-DEPENDENT: regenerated testdata with non-colinear pairs near
+      // the 0.8 threshold could introduce silent LSH false negatives — if
+      // the oracle ever mismatches here, fix the data assumption or widen
+      // the bands; NEVER downgrade this query to a rows-only check.
       Dedup.embeddingNearDupsLsh(e.unionByName(copies), "vec_id", "v", 0.8)
         .select(col("i"), col("j"))
         .orderBy("i", "j")

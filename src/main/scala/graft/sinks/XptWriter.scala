@@ -135,6 +135,7 @@ object XptWriter {
     out.write(headerRecord("OBS     "))
     val rowLen = columns.map(_.length).sum
     var written = 0L
+    var rowIdx = 0L
     rows.foreach { row =>
       val buf = new Array[Byte](rowLen)
       var off = 0
@@ -148,7 +149,14 @@ object XptWriter {
             case x: Number => x.doubleValue()
             case s: String => Numerics.parse(s).getOrElse(Double.NaN)
           }
-          System.arraycopy(IbmFloat.toIbmBytes(d), 0, buf, off, 8)
+          // annotate range failures with the offending variable and row so
+          // the user can locate the datum (the kernel only knows the value)
+          try System.arraycopy(IbmFloat.toIbmBytes(d), 0, buf, off, 8)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"XPT write failed at variable ${c.name}, data row $rowIdx: ${e.getMessage}", e)
+          }
         } else {
           val s = v match {
             case null => ""
@@ -164,6 +172,7 @@ object XptWriter {
       }
       out.write(buf)
       written += rowLen
+      rowIdx += 1
     }
     val tailPad = ((80 - written % 80) % 80).toInt
     if (tailPad > 0) out.write((" " * tailPad).getBytes(StandardCharsets.US_ASCII))

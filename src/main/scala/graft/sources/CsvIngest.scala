@@ -94,6 +94,33 @@ object CsvIngest {
     } finally r.close()
   }
 
+  /** Driver-side UTF-8 transcode for non-UTF-8 inputs (S2): Spark's text-line
+    * splitter assumes single-byte newlines, so a UTF-16 file either scans
+    * whole-file-in-one-task (`multiLine`) or must be transcoded first. Under
+    * the reference's 500 MB input cap (reader.rs:15) a one-pass streaming
+    * transcode on the driver is cheap, and it makes the scan SPLITTABLE — a
+    * big UTF-16 file then parallelizes like any UTF-8 file instead of
+    * serializing into a single task. The BOM is dropped. */
+  private def transcodeToUtf8(path: String, cs: Charset): String = {
+    val tmp = Files.createTempFile("graft-utf8-", ".csv")
+    tmp.toFile.deleteOnExit()
+    val in = new BufferedReader(new InputStreamReader(new FileInputStream(path), cs), 1 << 16)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp.toFile), StandardCharsets.UTF_8), 1 << 16)
+    try {
+      val buf = new Array[Char](1 << 16)
+      var first = true
+      var n = in.read(buf)
+      while (n > 0) {
+        val off = if (first && buf(0) == '\uFEFF') 1 else 0
+        first = false
+        out.write(buf, off, n - off)
+        n = in.read(buf)
+      }
+    } finally { in.close(); out.close() }
+    tmp.toString
+  }
+
   /** S4 — header schema probe (`reader.rs:239-264`): 1 header row = names;
     * 2 rows = labels then names. */
   def readCsvSchema(path: String, headerRows: Int): Either[String, CsvHeaders] = {
@@ -124,17 +151,15 @@ object CsvIngest {
     val dedupedNames = dedupe(headers.columns)
     val schema = StructType(dedupedNames.map(StructField(_, StringType, nullable = true)))
     val cs = sniffEncoding(path)
-    // Non-UTF-8 charsets need multiLine: Spark's default line splitter
-    // assumes single-byte newlines, which shreds UTF-16. multiLine reads the
-    // file whole per task — acceptable under the reference's 500 MB cap
-    // (reader.rs:15); huge UTF-16 inputs should be transcoded upstream.
-    val reader = spark.read
+    // Non-UTF-8 inputs are transcoded once on the driver (see
+    // transcodeToUtf8) so the executor scan always runs Spark's splittable
+    // single-byte-newline fast path — never a whole-file multiLine task.
+    val scanPath = if (cs == StandardCharsets.UTF_8) path else transcodeToUtf8(path, cs)
+    val df = spark.read
       .schema(schema)
       .option("header", "false")
-      .option("encoding", cs.name())
       .option("mode", "PERMISSIVE")
-    val df = (if (cs == StandardCharsets.UTF_8) reader
-              else reader.option("multiLine", "true")).csv(path)
+      .csv(scanPath)
       .withColumn(RowIdCol, monotonically_increasing_id())
       .where(col(RowIdCol) >= headers.skipRows)
     (df, headers)

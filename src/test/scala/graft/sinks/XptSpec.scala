@@ -49,6 +49,16 @@ class IbmFloatSpec extends AnyFunSuite {
     // the documented max is representable
     assert(IbmFloat.fromIbmBytes(IbmFloat.toIbmBytes(7.2e75)) == 7.2e75)
   }
+
+  test("writer annotates range failures with variable name and row index") {
+    val out = new java.io.ByteArrayOutputStream()
+    val cols = Seq(XptColumn("AVAL", "Analysis Value", isNumeric = true, 8))
+    val rows = Iterator[Seq[Any]](Seq(1.0), Seq(1e80))
+    val e = intercept[IllegalArgumentException](
+      XptWriter.write(out, "AD", "label", cols, rows))
+    assert(e.getMessage.contains("AVAL"), e.getMessage)
+    assert(e.getMessage.contains("row 1"), e.getMessage)
+  }
 }
 
 /** XPT container round trip + structure pins (TS-140). */

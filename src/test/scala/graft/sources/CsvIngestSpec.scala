@@ -69,6 +69,26 @@ class CsvIngestSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Ana", "Bo"))
   }
 
+  test("UTF-16 ingest scans splittably (more than one input partition)") {
+    // 4000 rows ≈ 120 KB as UTF-16; with a 16 KB partition ceiling the scan
+    // must fan out — the old multiLine path forced one whole-file task
+    val content = "SUBJID,NAME\n" +
+      (1 to 4000).map(i => s"$i,subject-name-$i").mkString("\n") + "\n"
+    val p = write("utf16big.csv", content, StandardCharsets.UTF_16LE,
+      bom = Array(0xFF.toByte, 0xFE.toByte))
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 16 * 1024)
+    try {
+      val (df, _) = CsvIngest.readCsvTable(spark, p)
+      assert(df.rdd.getNumPartitions > 1,
+        s"UTF-16 scan still single-partition (${df.rdd.getNumPartitions})")
+      assert(df.count() == 4000)
+      val last = df.orderBy(org.apache.spark.sql.functions.col(CsvIngest.RowIdCol).desc)
+        .select("NAME").head().getString(0)
+      assert(last == "subject-name-4000")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
+
   test("duplicate and empty header names are deduped") {
     val p = write("dup.csv", "A,A,\n1,2,3\n")
     val (df, _) = CsvIngest.readCsvTable(spark, p)
