@@ -5,8 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft.{isBlank, txt}
 
-/** Typed validation finding (issue.rs:47-141 has 17 variants; we model the
-  * shared shape: domain, variable, kind, severity, count, samples). */
+/** Typed validation finding — the shared shape (domain, variable, kind,
+  * severity, count, samples) of every reference issue variant
+  * (issue.rs:47-141). Kind crosswalk to the reference enum:
+  * RequiredMissing/RequiredEmpty/ExpectedMissing/IdentifierNull verbatim;
+  * ExpectedEmpty = ExpectedMissing's all-blank case; NonIso8601 =
+  * InvalidDate; LengthExceeded = TextTooLong; NonNumeric = DataTypeMismatch;
+  * DuplicateSeq = DuplicateSequence; InvalidCtValue = CtViolation;
+  * SubjectNotInDm = UsubjidNotInDm; InvalidRdomain verbatim; RsubjidNotInDm
+  * = RelsubNotInDm; MissingReciprocal = RelsubNotBidirectional;
+  * BrokenParentChain = RelspecInvalidParent; DanglingRecordRef =
+  * RelrecInvalidReference. (The remaining reference variant, ParentNotFound,
+  * is declared but never constructed there.) */
 case class Issue(
     domain: String,
     variable: String,

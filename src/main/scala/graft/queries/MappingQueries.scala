@@ -79,7 +79,61 @@ object MappingQueries {
       """SELECT v FROM (
         |  SELECT DISTINCT trim(o_orderpriority) AS v FROM orders
         |  WHERE trim(coalesce(o_orderpriority,'')) <> ''
-        |  ORDER BY v LIMIT 5) ORDER BY v""".stripMargin
-    // f3_suggest: JW scoring is not SQL-expressible → rows-only check.
+        |  ORDER BY v LIMIT 5) ORDER BY v""".stripMargin,
+
+    // Full F3 scorer + F4 greedy assignment replayed in SQL. DuckDB's
+    // jaro_winkler_similarity is the same rapidfuzz convention as our
+    // kernel (0.7 boost threshold, prefix ≤4, p=0.1 — verified equal to 6
+    // decimals on this pair matrix); boosts/penalties mirror
+    // Mapping.computeScore and the recursive CTE replays the greedy
+    // best-first 1:1 assignment with the same stable tie-break
+    // (score DESC, then variable-then-column enumeration order). The
+    // fixture names carry no separators, so normalizeName reduces to
+    // lower().
+    "f3_suggest" ->
+      """WITH RECURSIVE
+        |src AS (SELECT c_name AS c1, CAST(c_custkey AS VARCHAR) AS c2,
+        |               c_mktsegment AS c3, CAST(c_nationkey AS VARCHAR) AS c4 FROM customer),
+        |numstats AS (
+        |  SELECT 'SUBJID' AS col, 1 AS col_ord,
+        |         SUM(CASE WHEN trim(c1) <> '' THEN 1 ELSE 0 END) AS nn,
+        |         SUM(CASE WHEN trim(c1) <> '' AND regexp_full_match(trim(c1), '[+-]?((\d+\.?\d*)|(\.\d+))([eE][+-]?\d+)?') THEN 1 ELSE 0 END) AS num FROM src
+        |  UNION ALL
+        |  SELECT 'AESEQ', 2,
+        |         SUM(CASE WHEN trim(c2) <> '' THEN 1 ELSE 0 END),
+        |         SUM(CASE WHEN trim(c2) <> '' AND regexp_full_match(trim(c2), '[+-]?((\d+\.?\d*)|(\.\d+))([eE][+-]?\d+)?') THEN 1 ELSE 0 END) FROM src
+        |  UNION ALL
+        |  SELECT 'AETERM', 3,
+        |         SUM(CASE WHEN trim(c3) <> '' THEN 1 ELSE 0 END),
+        |         SUM(CASE WHEN trim(c3) <> '' AND regexp_full_match(trim(c3), '[+-]?((\d+\.?\d*)|(\.\d+))([eE][+-]?\d+)?') THEN 1 ELSE 0 END) FROM src
+        |  UNION ALL
+        |  SELECT 'NATIONCD', 4,
+        |         SUM(CASE WHEN trim(c4) <> '' THEN 1 ELSE 0 END),
+        |         SUM(CASE WHEN trim(c4) <> '' AND regexp_full_match(trim(c4), '[+-]?((\d+\.?\d*)|(\.\d+))([eE][+-]?\d+)?') THEN 1 ELSE 0 END) FROM src),
+        |hints AS (SELECT col, col_ord, (nn > 0 AND num * 1.0 / nn > 0.9) AS is_num FROM numstats),
+        |vars(var, var_ord) AS (VALUES ('USUBJID', 1), ('AESEQ', 2), ('AETERM', 3), ('AEDECOD', 4)),
+        |scores AS (
+        |  SELECT h.col, v.var, h.col_ord, v.var_ord,
+        |    jaro_winkler_similarity(lower(h.col), lower(v.var))
+        |    * (CASE WHEN h.col LIKE '%SEQ' AND v.var LIKE '%SEQ' THEN 1.05
+        |            WHEN h.col LIKE '%SEQ' OR v.var LIKE '%SEQ' THEN 0.6 ELSE 1 END)
+        |    * (CASE WHEN h.col LIKE '%CD' AND v.var NOT LIKE '%CD' THEN 0.7 ELSE 1 END)
+        |    * (CASE WHEN v.var LIKE '%CD' AND h.col NOT LIKE '%CD' THEN 0.8 ELSE 1 END)
+        |    * (CASE WHEN (v.var LIKE '%N') <> h.is_num THEN 0.85 ELSE 1 END) AS score
+        |  FROM hints h CROSS JOIN vars v),
+        |cand AS (SELECT * FROM scores WHERE score >= 0.5),
+        |g(n, cols_used, vars_used, col, var, score) AS (
+        |  SELECT 1, [c.col], [c.var], c.col, c.var, c.score
+        |  FROM (SELECT * FROM cand ORDER BY score DESC, var_ord, col_ord LIMIT 1) c
+        |  UNION ALL
+        |  SELECT g.n + 1, list_append(g.cols_used, c.col), list_append(g.vars_used, c.var),
+        |         c.col, c.var, c.score
+        |  FROM g, LATERAL (
+        |    SELECT * FROM cand
+        |    WHERE NOT list_contains(g.cols_used, cand.col)
+        |      AND NOT list_contains(g.vars_used, cand.var)
+        |    ORDER BY score DESC, var_ord, col_ord LIMIT 1) c)
+        |SELECT col AS source_column, var AS target_variable, ROUND(score, 6) AS score
+        |FROM g ORDER BY target_variable""".stripMargin
   )
 }

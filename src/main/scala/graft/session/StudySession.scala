@@ -33,7 +33,8 @@ case class DomainState(
  * Mirrors `service/study.rs:27-153`, `service/preview.rs:46-86`,
  * `service/export.rs:127-276`.
  */
-class StudySession(val spark: SparkSession, val studyId: String) {
+class StudySession(val spark: SparkSession, val studyId: String,
+    val standard: String = "sdtm") {
 
   private val domains = scala.collection.mutable.LinkedHashMap[String, DomainState]()
   private val suppConfigs =
@@ -44,16 +45,27 @@ class StudySession(val spark: SparkSession, val studyId: String) {
   /** E1 step — load Items.csv study metadata (S7 statistical detection) and
     * study codelists; labels feed the scorer's label boost, codelists feed
     * the M1/M2 decode applied at ingest (`study.rs:43-49`). Call BEFORE
-    * addDomain. */
+    * addDomain. Codelists come from `codeListsCsvPath` (the EDC-export
+    * CodeLists.csv companion file, routed to columns via each item's
+    * FormatName) and/or the pre-built `codelists` map (column → value map),
+    * which wins on conflicts. */
   def loadItemsMetadata(itemsCsvPath: String,
-      codelists: Map[String, Map[String, String]] = Map.empty): Unit = {
+      codelists: Map[String, Map[String, String]] = Map.empty,
+      codeListsCsvPath: Option[String] = None,
+      codeListsHeaderRows: Int = 2): Unit = {
     val (df, _) = CsvIngest.readCsvTable(spark, itemsCsvPath)
     val dataCols = df.columns.filterNot(_ == CsvIngest.RowIdCol)
     val scores = ItemsMetadata.analyzeColumns(df.select(dataCols.map(col): _*))
     ItemsMetadata.detectSchema(scores).foreach { schema =>
       itemsMetadata = ItemsMetadata.loadItems(df, schema)
     }
-    studyCodelists = codelists
+    val fromCsv = codeListsCsvPath.map { p =>
+      val (cdf, _) = CsvIngest.readCsvTable(spark, p, codeListsHeaderRows)
+      val byFormat = ItemsMetadata.loadCodelists(cdf.drop(CsvIngest.RowIdCol))
+      itemsMetadata.values.flatMap(m => m.formatName.flatMap(f =>
+        byFormat.get(f.toUpperCase).map(m.id -> _))).toMap
+    }.getOrElse(Map.empty)
+    studyCodelists = fromCsv ++ codelists
   }
 
   def domainState(code: String): Option[DomainState] = domains.get(code.toUpperCase)
@@ -70,7 +82,7 @@ class StudySession(val spark: SparkSession, val studyId: String) {
   }
 
   private def domainMetaFor(code: String): Option[SdtmDomain] =
-    Standards.domain(baseDomainCode(code))
+    Standards.domain(standard, baseDomainCode(code))
 
   /** Route extra source columns of a domain to SUPP-- (G1 config). */
   def configureSupp(code: String, configs: Seq[(String, SuppColumnConfig)]): Unit =
@@ -257,10 +269,12 @@ object StudySession {
   val SplitBases: Set[String] = Set("LB", "FA", "QS", "VS", "EG", "PC", "PP")
 
   /** E1 — create a session from a folder + domain→file assignments
-    * (`study.rs:27-153`). */
+    * (`study.rs:27-153`). `standard` selects the implementation guide the
+    * study is authored against: "sdtm" (default), "send", or "adam". */
   def create(spark: SparkSession, studyId: String, folder: String,
-      assignments: Map[String, String], headerRows: Int = 1): StudySession = {
-    val s = new StudySession(spark, studyId)
+      assignments: Map[String, String], headerRows: Int = 1,
+      standard: String = "sdtm"): StudySession = {
+    val s = new StudySession(spark, studyId, standard)
     assignments.toSeq.sortBy(_._1).foreach { case (code, file) =>
       s.addDomain(code, Paths.get(folder, file).toString, headerRows)
     }

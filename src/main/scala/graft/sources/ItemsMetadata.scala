@@ -141,6 +141,31 @@ object ItemsMetadata {
 
   /** Load item metadata under a detected schema: id → ItemMeta, collected on
     * the driver (Items.csv is metadata-sized — hundreds of rows). */
+  /**
+   * CodeLists.csv loader — the EDC-export companion of Items.csv
+   * (mockdata fixture layout: FormatName, DataType, CodeValue, CodeText
+   * under a label+name double header). Returns format name (uppercased) →
+   * (code value → decoded text). Header names are matched space- and
+   * case-insensitively so "Format Name"/"FormatName" spellings both work.
+   * The reference ships this fixture but only models the type
+   * (metadata/types.rs:180-214) — parsing it closes the study-codelist
+   * ingestion gap.
+   */
+  def loadCodelists(df: DataFrame): Map[String, Map[String, String]] = {
+    val byNorm = df.columns.map(c => c.replaceAll("\\s", "").toUpperCase -> c).toMap
+    (byNorm.get("FORMATNAME"), byNorm.get("CODEVALUE"), byNorm.get("CODETEXT")) match {
+      case (Some(f), Some(v), Some(t)) =>
+        df.select(txt(col(f)).as("f"), txt(col(v)).as("v"), txt(col(t)).as("t"))
+          .where(col("f") =!= "" && col("v") =!= "")
+          .collect()
+          .groupBy(_.getString(0).toUpperCase)
+          .map { case (fmt, rows) =>
+            fmt -> rows.map(r => r.getString(1) -> r.getString(2)).toMap
+          }
+      case _ => Map.empty
+    }
+  }
+
   def loadItems(df: DataFrame, schema: ItemsSchema): Map[String, ItemMeta] = {
     val cols = df.columns
     def c(r: ColumnRole): Column = txt(col(cols(r.index)))

@@ -118,6 +118,27 @@ class StudySessionSpec extends SparkSpec {
     assert(dangling.get.samples == Seq("AESEQ=99"))
   }
 
+  test("E1: a SEND study resolves SEND-only domains through the selector") {
+    val d = Paths.get("target", "tmp", "study_send")
+    Files.createDirectories(d)
+    Files.write(d.resolve("dm.csv"),
+      ("SUBJID,RFSTDTC,SEX\n101,2024-01-10,M\n").getBytes)
+    // MA (Macroscopic Findings) exists only in SEND-IG
+    Files.write(d.resolve("ma.csv"),
+      ("SUBJID,MATESTCD,MAORRES,MADTC\n101,GROSPATH,UNREMARKABLE,2024-01-20\n").getBytes)
+    val send = StudySession.create(spark, "TOX1", d.toString,
+      Map("DM" -> "dm.csv", "MA" -> "ma.csv"), standard = "send")
+    val ma = send.preview("MA")
+    assert(ma.isDefined, "SEND session should resolve MA metadata")
+    val row = ma.get.orderBy("_row_id").collect().head
+    assert(row.getAs[String]("DOMAIN") == "MA")
+    assert(row.getAs[String]("MATESTCD") == "GROSPATH")
+    // the same study under SDTM cannot represent MA (no IG metadata)
+    val sdtm = StudySession.create(spark, "TOX1", d.toString,
+      Map("DM" -> "dm.csv", "MA" -> "ma.csv"))
+    assert(sdtm.preview("MA").isEmpty)
+  }
+
   test("E3: split-domain dataset (LBCH) exports under its own name with parent DOMAIN") {
     val d = Paths.get("target", "tmp", "study_split")
     Files.createDirectories(d)
@@ -205,6 +226,22 @@ class StudySessionSpec extends SparkSpec {
     assert(ds.hints("AGE").label.contains("Age at informed consent in years"))
     val preview = s2.preview("DM").get.orderBy("USUBJID").collect()
     assert(preview.map(r => Option(r.getAs[String]("SEX")).getOrElse("")).toSeq ==
+      Seq("M", "F", ""))
+
+    // CodeLists.csv routes format-keyed codelists to columns via FormatName
+    // (EDC-export fixture layout: label header + name header)
+    Files.write(d.resolve("CodeLists.csv"),
+      ("\"Format Name\",\"Data Type\",\"Code Value\",\"Code Text\"\n" +
+        "\"FormatName\",\"DataType\",\"CodeValue\",\"CodeText\"\n" +
+        "\"SEXFMT\",\"integer\",\"1\",\"M\"\n" +
+        "\"SEXFMT\",\"integer\",\"2\",\"F\"\n" +
+        "\"CMFMT\",\"text\",\"A\",\"Aspirin\"\n").getBytes)
+    val s3 = new StudySession(spark, "GRAFT2")
+    s3.loadItemsMetadata(d.resolve("Items.csv").toString,
+      codeListsCsvPath = Some(d.resolve("CodeLists.csv").toString))
+    s3.addDomain("DM", d.resolve("dm.csv").toString)
+    val pv3 = s3.preview("DM").get.orderBy("USUBJID").collect()
+    assert(pv3.map(r => Option(r.getAs[String]("SEX")).getOrElse("")).toSeq ==
       Seq("M", "F", ""))
   }
 
