@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 import graft.Graft.{events, table}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.EventStreams
 
 /**
@@ -52,6 +52,24 @@ object SemiStructuredQueries {
         .orderBy("event_id")
     }),
 
+    // binned range join: clicks landing inside the 10 minutes after each
+    // error (incident attribution) — equi-join on time bins, never a
+    // nested-loop BETWEEN join
+    "rj1_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val tenMinUs = 600000000L
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("interval_id"),
+          unix_micros(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + tenMinUs)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("point_id"), unix_micros(col("ts")).as("pt"))
+      RangeJoin.intervalJoin(clicks, "pt", errs, "lo", "hi", binSize = tenMinUs)
+        .select(col("interval_id"), col("point_id"),
+          ((col("pt") - col("lo")) / 1000000L).cast("long").as("delta_s"))
+        .orderBy("interval_id", "point_id")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -88,6 +106,17 @@ object SemiStructuredQueries {
         |FROM events e
         |ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.pts
         |ORDER BY e.event_id""".stripMargin,
+
+    "rj1_interval_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),
+        |err AS (SELECT event_id AS interval_id, us AS lo, us + 600000000 AS hi
+        |        FROM ev WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS point_id, us AS pt
+        |        FROM ev WHERE event_type = 'click')
+        |SELECT err.interval_id, clk.point_id,
+        |       CAST((clk.pt - err.lo) // 1000000 AS BIGINT) AS delta_s
+        |FROM clk JOIN err ON clk.pt >= err.lo AND clk.pt <= err.hi
+        |ORDER BY interval_id, point_id""".stripMargin,
 
     "st3_sliding" ->
       """WITH expanded AS (
