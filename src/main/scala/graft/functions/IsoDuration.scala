@@ -60,16 +60,24 @@ object IsoDuration {
     if (ok && digits > 0) Some(java.lang.Double.parseDouble(s)) else None
   }
 
-  /** Digits with optional sign, ≤18 digits (no Long overflow possible). */
+  /** Digits with optional sign; 19-digit values are range-checked against
+    * Long.MaxValue lexicographically so no parse can throw. */
   private def parseI64(s: String): Option[Long] = {
     val len = s.length
     val i = if (len > 0 && (s.charAt(0) == '+' || s.charAt(0) == '-')) 1 else 0
-    if (i >= len || len - i > 18) return None
+    val digits = len - i
+    if (i >= len || digits > 19) return None
     var j = i
     while (j < len) {
       val c = s.charAt(j)
       if (c < '0' || c > '9') return None
       j += 1
+    }
+    if (digits == 19) {
+      // |Long.MinValue| = Long.MaxValue + 1, so the negative bound differs
+      val limit = if (len > 0 && s.charAt(0) == '-') "9223372036854775808"
+                  else "9223372036854775807"
+      if (s.substring(i).compareTo(limit) > 0) return None
     }
     Some(java.lang.Long.parseLong(s))
   }

@@ -134,19 +134,19 @@ object DomainValidation {
   def validateCrossDomain(domains: Map[String, DataFrame]): Seq[Issue] = {
     val issues = Seq.newBuilder[Issue]
     val upper = domains.map { case (k, v) => k.toUpperCase -> v }
-    if (!upper.contains("DM")) return Nil
+    // DM is the subject reference for everything below — guaranteed present
+    // past this point
+    val dm = upper.getOrElse("DM", return Nil)
 
-    upper.get("DM").foreach { dm =>
-      if (dm.columns.contains("USUBJID")) {
-        upper.filterNot(_._1 == "DM").foreach { case (code, df) =>
-          if (df.columns.contains("USUBJID")) {
-            val orphans = Validate.orphanSubjects(df, dm, "USUBJID")
-            val r = orphans.agg(count(lit(1)),
-              slice(sort_array(collect_set(col("USUBJID"))), 1, 5)).head()
-            if (r.getLong(0) > 0)
-              issues += Issue(code, "USUBJID", "SubjectNotInDm", "Error",
-                r.getLong(0), r.getSeq[String](1))
-          }
+    if (dm.columns.contains("USUBJID")) {
+      upper.filterNot(_._1 == "DM").foreach { case (code, df) =>
+        if (df.columns.contains("USUBJID")) {
+          val orphans = Validate.orphanSubjects(df, dm, "USUBJID")
+          val r = orphans.agg(count(lit(1)),
+            slice(sort_array(collect_set(col("USUBJID"))), 1, 5)).head()
+          if (r.getLong(0) > 0)
+            issues += Issue(code, "USUBJID", "SubjectNotInDm", "Error",
+              r.getLong(0), r.getSeq[String](1))
         }
       }
     }
@@ -161,11 +161,12 @@ object DomainValidation {
     }
 
     upper.get("RELSUB").foreach { rs =>
-      // RSUBJID must reference a DM subject (cross_domain.rs:153-174)
-      for (dm <- upper.get("DM") if rs.columns.contains("RSUBJID")
-          && dm.columns.contains("USUBJID")) {
+      // Non-empty RSUBJID must reference a DM subject; blank RSUBJID (pool
+      // relationships) is explicitly skipped (cross_domain.rs:158-160)
+      if (rs.columns.contains("RSUBJID") && dm.columns.contains("USUBJID")) {
         val r = Validate.orphanSubjects(
-            rs.select(txt(col("RSUBJID")).as("USUBJID")), dm, "USUBJID")
+            rs.select(txt(col("RSUBJID")).as("USUBJID")).where(col("USUBJID") =!= ""),
+            dm, "USUBJID")
           .agg(count(lit(1)), slice(sort_array(collect_set(col("USUBJID"))), 1, 5)).head()
         if (r.getLong(0) > 0)
           issues += Issue("RELSUB", "RSUBJID", "RsubjidNotInDm", "Error",

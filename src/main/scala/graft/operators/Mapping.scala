@@ -177,6 +177,10 @@ object MappingStatus extends Enumeration {
 class MappingState(val domain: String, variables: Seq[VarMeta]) {
   import MappingStatus._
 
+  /** Target variable names in IG order (snapshot/persistence iterates these
+    * so it never needs a second metadata lookup). */
+  def variableNames: Seq[String] = variables.map(_.name)
+
   private val varsByName = variables.map(v => v.name -> v).toMap
   private val status = scala.collection.mutable.Map[String, MappingStatus.Value]() ++
     variables.map(_.name -> Unmapped)

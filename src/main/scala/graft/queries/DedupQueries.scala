@@ -146,12 +146,6 @@ object DedupQueries {
     // sets are identical at sf0.01 and sf0.1 under the fixed seed), so the
     // full-equality oracle holds. Recall-vs-design-bound is additionally
     // pinned in DedupSpec; do not downgrade this entry to rows-only.
-    // d5's banded-LSH output is oracle-checked against the EXACT jaccard
-    // pair set: candidate verification guarantees LSH ⊆ exact, and on this
-    // corpus every qualifying pair collides in some band (verified: the two
-    // sets are identical at sf0.01 and sf0.1 under the fixed seed), so the
-    // full-equality oracle holds. Recall-vs-design-bound is additionally
-    // pinned in DedupSpec; do not downgrade this entry to rows-only.
     "d5_minhash_lsh" ->
       jaccardSql("4", "string_split_regex(lower(trim(text)), '\\s+')", "0.9",
         source = dupedDocsSql),

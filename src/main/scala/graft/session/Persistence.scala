@@ -16,7 +16,8 @@ case class ProjectSnapshot(
     assignments: Map[String, String],
     mappings: Map[String, Map[String, String]], // domain → (variable → column)
     omitted: Map[String, Seq[String]],
-    sourceHashes: Map[String, String])
+    sourceHashes: Map[String, String],
+    standard: String = "sdtm") // implementation guide the study is authored against
 
 /**
  * K4 — project persistence: JSON snapshot + SHA-256 source-change
@@ -24,7 +25,8 @@ case class ProjectSnapshot(
  */
 object Persistence {
 
-  val FormatVersion = 1
+  // v2 adds the `standard` field (v1 files load as SDTM)
+  val FormatVersion = 2
 
   private val mapper = {
     val m = new ObjectMapper()
@@ -48,8 +50,12 @@ object Persistence {
     Files.write(Paths.get(path),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(snapshot))
 
-  def load(path: String): ProjectSnapshot =
-    mapper.readValue(Files.readAllBytes(Paths.get(path)), classOf[ProjectSnapshot])
+  def load(path: String): ProjectSnapshot = {
+    val snap = mapper.readValue(Files.readAllBytes(Paths.get(path)), classOf[ProjectSnapshot])
+    // version-1 files predate the standard selector: Jackson leaves the
+    // absent field null, which means SDTM
+    if (snap.standard == null) snap.copy(standard = "sdtm") else snap
+  }
 
   /** Domains whose source file content changed since the snapshot. A file
     * that went missing/unreadable since the snapshot counts as changed
@@ -64,7 +70,9 @@ object Persistence {
         domain
     }.map(_.toString)
 
-  /** Build a snapshot from a live session. */
+  /** Build a snapshot from a live session. Mappings iterate the session's
+    * own mapping state (not a fresh Standards lookup), so SEND/ADaM studies
+    * and split-domain datasets (LBCH, …) persist their mappings too. */
   def snapshotOf(session: StudySession, folder: String,
       assignments: Map[String, String]): ProjectSnapshot =
     ProjectSnapshot(
@@ -73,12 +81,13 @@ object Persistence {
       assignments = assignments,
       mappings = session.domainCodes.map { c =>
         val ds = session.domainState(c).get
-        c -> graft.standards.Standards.domain(c).map(_.variables.flatMap(v =>
-          ds.mapping.columnFor(v.name).map(v.name -> _)).toMap).getOrElse(Map.empty)
+        c -> ds.mapping.variableNames.flatMap(v =>
+          ds.mapping.columnFor(v).map(v -> _)).toMap
       }.toMap,
       omitted = session.domainCodes.map(c =>
         c -> session.domainState(c).get.mapping.omitted.toSeq.sorted).toMap,
       sourceHashes = assignments.map { case (d, f) =>
         d -> sha256(Paths.get(folder, f).toString)
-      })
+      },
+      standard = session.standard)
 }

@@ -199,7 +199,9 @@ class StudySession(val spark: SparkSession, val studyId: String,
         if (v.dataType == VariableType.Num) col(v.name).cast("double").as(v.name)
         else col(v.name)
       }: _*)
-      XptWriter.writeDataFrame(typed, xptPath, code, domain.label.getOrElse(base),
+      // same label fallback as the DefineDataset below — XPT and Define-XML
+      // must agree on the dataset label
+      XptWriter.writeDataFrame(typed, xptPath, code, domain.label.getOrElse(code),
         labels = presentVars.map(v => v.name -> v.label.getOrElse(v.name)).toMap)
       written += xptPath
 

@@ -100,13 +100,29 @@ object CsvIngest {
     * the reference's 500 MB input cap (reader.rs:15) a one-pass streaming
     * transcode on the driver is cheap, and it makes the scan SPLITTABLE — a
     * big UTF-16 file then parallelizes like any UTF-8 file instead of
-    * serializing into a single task. The BOM is dropped. */
+    * serializing into a single task. The BOM is dropped.
+    *
+    * The copy lands in the JVM temp dir under a name derived from the
+    * source's (path, size, mtime), so re-reading an unchanged file reuses
+    * the existing copy instead of re-transcoding. Like the CSV ingest
+    * surface as a whole, this assumes driver-visible local files (the
+    * reference's desktop model); on a cluster the raw CSVs live on shared
+    * storage and the transcoded copy must be written there instead. */
   private def transcodeToUtf8(path: String, cs: Charset): String = {
-    val tmp = Files.createTempFile("graft-utf8-", ".csv")
-    tmp.toFile.deleteOnExit()
+    val src = Paths.get(path)
+    val key = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val id = s"${src.toAbsolutePath}|${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
+      md.digest(id.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+    }
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-utf8-$key.csv")
+    if (Files.exists(tmp)) return tmp.toString
+    // write to a private .part file and move into place atomically, so a
+    // crashed half-written transcode is never mistaken for a finished one
+    val part = Files.createTempFile(tmp.getParent, s"graft-utf8-$key", ".part")
     val in = new BufferedReader(new InputStreamReader(new FileInputStream(path), cs), 1 << 16)
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(tmp.toFile), StandardCharsets.UTF_8), 1 << 16)
+      new java.io.FileOutputStream(part.toFile), StandardCharsets.UTF_8), 1 << 16)
     try {
       val buf = new Array[Char](1 << 16)
       var first = true
@@ -118,6 +134,9 @@ object CsvIngest {
         n = in.read(buf)
       }
     } finally { in.close(); out.close() }
+    Files.move(part, tmp, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toFile.deleteOnExit()
     tmp.toString
   }
 

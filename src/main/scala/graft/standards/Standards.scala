@@ -187,13 +187,15 @@ object Standards {
       entries.result()
     }.toMap
     val variables = parseCsv(readResource("/standards/adam/Variables.csv"))
-    val varsByStructure = variables.zipWithIndex.groupBy { case (v, _) =>
+    val varsByStructure = variables.groupBy { v =>
       val key = v("Data Structure Name").trim.toUpperCase
       longToShort.getOrElse(key, key)
     }
     structures.map { s =>
       val short = s("Data Structure Name").trim.toUpperCase
-      val vars = varsByStructure.getOrElse(short, Nil).map { case (v, i) =>
+      // order = 1-based position WITHIN the structure (matching how the
+      // SDTM/SEND CSVs number per dataset), not the global file row
+      val vars = varsByStructure.getOrElse(short, Nil).zipWithIndex.map { case (v, i) =>
         SdtmVariable(
           name = v("Variable Name"),
           label = Option(v("Variable Label")).filter(_.nonEmpty),

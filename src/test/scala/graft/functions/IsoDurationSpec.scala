@@ -44,4 +44,13 @@ class IsoDurationSpec extends AnyFunSuite {
     assert(IsoDuration.normalize(null) == "")
     assert(IsoDuration.normalize("") == "")
   }
+
+  test("19-digit integers parse to the Long limit; 20 digits preserve") {
+    assert(IsoDuration.normalize("9223372036854775807 seconds") ==
+      "PT9223372036854775807S")
+    assert(IsoDuration.normalize("9223372036854775808 seconds") ==
+      "9223372036854775808 seconds") // Long.MaxValue + 1 must not throw
+    assert(IsoDuration.normalize("99999999999999999999 seconds") ==
+      "99999999999999999999 seconds")
+  }
 }

@@ -89,4 +89,18 @@ class ValidateSpec extends SparkSpec {
       .select("idvarval").collect().map(_.getString(0)).toSeq
     assert(out == Seq("9"))
   }
+
+  test("cross-domain: blank RSUBJID is never an orphan; no DM skips everything") {
+    val dm = Seq("GRAFT-1", "GRAFT-2").toDF("USUBJID")
+    // blank RSUBJID = pool relationship, explicitly skipped by the reference
+    val rs = Seq(("GRAFT-1", ""), ("GRAFT-2", "  "), ("GRAFT-1", "GRAFT-9"))
+      .toDF("USUBJID", "RSUBJID")
+    val issues = DomainValidation.validateCrossDomain(Map("DM" -> dm, "RELSUB" -> rs))
+    val orphan = issues.find(_.kind == "RsubjidNotInDm")
+    assert(orphan.isDefined, issues.toString)
+    assert(orphan.get.count == 1 && orphan.get.samples == Seq("GRAFT-9"))
+    // without DM there is no subject reference — the reference returns
+    // nothing at all (validate/mod.rs:102-112)
+    assert(DomainValidation.validateCrossDomain(Map("RELSUB" -> rs)).isEmpty)
+  }
 }

@@ -137,6 +137,12 @@ class StudySessionSpec extends SparkSpec {
     val sdtm = StudySession.create(spark, "TOX1", d.toString,
       Map("DM" -> "dm.csv", "MA" -> "ma.csv"))
     assert(sdtm.preview("MA").isEmpty)
+
+    // snapshots carry the standard and the non-SDTM domain's mappings
+    val snap = Persistence.snapshotOf(send, d.toString,
+      Map("DM" -> "dm.csv", "MA" -> "ma.csv"))
+    assert(snap.standard == "send")
+    assert(snap.mappings("MA").get("MATESTCD").contains("MATESTCD"))
   }
 
   test("E3: split-domain dataset (LBCH) exports under its own name with parent DOMAIN") {

@@ -51,9 +51,11 @@ class StandardsSpec extends AnyFunSuite {
     assert(adsl.variables.size >= 30)
     val bds = Standards.domain("adam", "BDS").get
     assert(bds.variables.exists(_.name == "PARAMCD"))
-    // file order becomes variable order
+    // file order becomes variable order, numbered 1..n WITHIN the structure
     val orders = bds.orderedVariables.flatMap(_.order)
     assert(orders == orders.sorted)
+    assert(orders.headOption.contains(1),
+      s"BDS order should restart at 1, got ${orders.take(3)}")
   }
 
   test("unknown standard is rejected, lookups are case-insensitive") {
