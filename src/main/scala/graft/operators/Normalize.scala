@@ -130,6 +130,21 @@ object Normalize {
     f(c.cast(StringType))
   }
 
+  /** N8 via closure capture instead of an explicit Broadcast handle:
+    * codelists are metadata-sized, so shipping the map inside the task
+    * closure costs the same as a broadcast WITHOUT leaking a broadcast
+    * variable per normalizeDomain call (broadcasts are never auto-destroyed;
+    * a long-lived session re-planning previews leaked one per CT rule). */
+  def ctNormalize(c: Column, lookup: Map[String, String]): Column = {
+    val f = udf { (v: String) =>
+      if (v == null) "" else {
+        val t = v.trim
+        if (t.isEmpty) "" else lookup.getOrElse(t.toUpperCase, t)
+      }
+    }
+    f(c.cast(StringType))
+  }
+
   /** N8 variant without Spark plumbing, for tests / driver-side use. */
   def ctNormalizeLocal(v: String, lookup: Map[String, String]): String = {
     if (v == null) return ""

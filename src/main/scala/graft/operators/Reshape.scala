@@ -127,41 +127,55 @@ object Reshape {
    * the only shuffle and both sides partition on it.
    */
   def ensureRelsubBidirectional(df: DataFrame, rowId: String = "_row_id"): DataFrame = {
-    val cols = df.columns
-    if (!Seq("USUBJID", "RSUBJID", "SREL").forall(cols.contains)) return df
+    if (!Seq("USUBJID", "RSUBJID", "SREL").forall(df.columns.contains)) return df
 
-    val keyed = df
-      .withColumn("__u", txt(col("USUBJID")))
-      .withColumn("__r", txt(col("RSUBJID")))
-    val existing = keyed.select(col("__u"), col("__r")).distinct()
+    // normalize the relationship fields in place; every OTHER source column
+    // (POOLID, RSDEVID, the ingest _row_id, …) rides along untouched —
+    // generated reciprocal rows carry null there (the reference only
+    // fabricates the relationship fields)
+    var keyed = df
+      .withColumn("USUBJID", txt(col("USUBJID")))
+      .withColumn("RSUBJID", txt(col("RSUBJID")))
+      .withColumn("SREL", txt(col("SREL")))
+    if (!df.columns.contains("STUDYID")) keyed = keyed.withColumn("STUDYID", lit(""))
+    if (!df.columns.contains("DOMAIN")) keyed = keyed.withColumn("DOMAIN", lit("RELSUB"))
+    val cols = keyed.columns
+    val hasRowId = cols.contains(rowId)
 
-    val ordered = if (cols.contains(rowId)) col(rowId) else monotonically_increasing_id()
+    val existing = keyed.select(col("USUBJID").as("__u"), col("RSUBJID").as("__r")).distinct()
+    val ordered = if (hasRowId) col(rowId) else monotonically_increasing_id()
     val candidates = keyed
       .withColumn("__recip", reciprocalUdf(col("SREL")))
       .where(col("__recip").isNotNull)
       // reverse pair must not already exist
-      .join(existing.select(col("__u").as("__r"), col("__r").as("__u")),
-        Seq("__u", "__r"), "left_anti")
+      .join(existing.select(col("__u").as("RSUBJID"), col("__r").as("USUBJID")),
+        Seq("USUBJID", "RSUBJID"), "left_anti")
       // one reciprocal per reverse pair: first source row wins
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__r"), col("__u")).orderBy(ordered)))
+        Window.partitionBy(col("RSUBJID"), col("USUBJID")).orderBy(ordered)))
       .where(col("__rn") === 1)
 
-    val reverseRows = candidates.select(
-      (if (cols.contains("STUDYID")) txt(col("STUDYID")) else lit("")).as("STUDYID"),
-      (if (cols.contains("DOMAIN")) txt(col("DOMAIN")) else lit("RELSUB")).as("DOMAIN"),
-      col("__r").as("USUBJID"),
-      col("__u").as("RSUBJID"),
-      col("__recip").as("SREL"))
+    // generated rows order AFTER every source row: rowId = max(source) + n
+    val numbered =
+      if (hasRowId)
+        candidates
+          .withColumn("__gn", row_number().over(
+            Window.orderBy(col("RSUBJID"), col("USUBJID"))))
+          .crossJoin(broadcast(keyed.agg(
+            coalesce(max(col(rowId)), lit(0L)).as("__maxrid"))))
+      else candidates
 
-    val base = df.select(
-      (if (cols.contains("STUDYID")) txt(col("STUDYID")) else lit("")).as("STUDYID"),
-      (if (cols.contains("DOMAIN")) txt(col("DOMAIN")) else lit("RELSUB")).as("DOMAIN"),
-      txt(col("USUBJID")).as("USUBJID"),
-      txt(col("RSUBJID")).as("RSUBJID"),
-      txt(col("SREL")).as("SREL"))
+    val reverseRows = numbered.select(cols.toSeq.map {
+      case "USUBJID" => col("RSUBJID").as("USUBJID")
+      case "RSUBJID" => col("USUBJID").as("RSUBJID")
+      case "SREL"    => col("__recip").as("SREL")
+      case c if c == "STUDYID" || c == "DOMAIN" => col(c)
+      case c if c == rowId && hasRowId =>
+        (col("__maxrid") + col("__gn").cast("long")).as(rowId)
+      case c => lit(null).cast(keyed.schema(c).dataType).as(c)
+    }: _*)
 
-    base.unionByName(reverseRows)
+    keyed.unionByName(reverseRows)
   }
 
   // ---- M1/M2: study-codelist decode ----------------------------------------

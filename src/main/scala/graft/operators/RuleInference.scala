@@ -61,6 +61,9 @@ object RuleInference {
     if (name == "USUBJID") return UsubjidPrefix
     if (name.endsWith("SEQ") && name.startsWith(domainCode) && name.length > 3)
       return SequenceNumber
+    // NB: deliberately unconditional like the reference (inference.rs:71-75):
+    // VISITDY derives "VISITDTC", which no IG domain defines, so it resolves
+    // to null downstream — reference-faithful, if surprising
     if (name.endsWith("DY") && name.length > 2)
       return StudyDay(name.dropRight(2) + "DTC")
     if (name.endsWith("DUR") || dvd.contains("duration")) return Iso8601Duration
@@ -121,8 +124,9 @@ object RuleInference {
       case Iso8601DateTime | Iso8601Date => Normalize.iso8601(source)
       case Iso8601Duration => Normalize.isoDuration(source)
       case CtNormalization(code) =>
-        val lookup = spark.sparkContext.broadcast(Standards.ctRegistry.lookupMap(code))
-        Normalize.ctNormalize(source, lookup)
+        // closure-captured map (metadata-sized) — a per-call broadcast here
+        // leaked one broadcast variable per CT rule per re-planned preview
+        Normalize.ctNormalize(source, Standards.ctRegistry.lookupMap(code))
       case NumericConversion => Normalize.numeric(source)
       case CopyDirect =>
         sourceOpt.map(c => Normalize.copyDirect(df, c)).getOrElse(lit(""))

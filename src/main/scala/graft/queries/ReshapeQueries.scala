@@ -47,6 +47,7 @@ object ReshapeQueries {
           .otherwise(lit("GUARDIAN")).as("SREL"),
         col("c_custkey").as("_row_id"))
       Reshape.ensureRelsubBidirectional(relsub)
+        .select("STUDYID", "DOMAIN", "USUBJID", "RSUBJID", "SREL")
         .orderBy("USUBJID", "RSUBJID", "SREL")
     }),
 

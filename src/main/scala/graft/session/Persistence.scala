@@ -8,8 +8,12 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 
 /** Snapshot of a study's configuration (K4 — `.tss` project files,
   * `crates/tss-persistence/src/lib.rs:14-28`; rkyv binary there, JSON
-  * here — the content is what matters: assignments, accepted mappings,
-  * omitted variables, source hashes for change detection). */
+  * here — the content is what matters: assignments, current mappings,
+  * omitted variables, source hashes for change detection). `mappings`
+  * stores the CURRENT variable→column assignment, whether scorer-suggested
+  * or user-accepted — reopening a project restores the working state the
+  * user last saw, acceptance status and all pending suggestions included
+  * in one assignment map. */
 case class ProjectSnapshot(
     formatVersion: Int,
     studyId: String,

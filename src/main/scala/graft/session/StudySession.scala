@@ -112,6 +112,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
     val state = new MappingState(codeU, varMetas)
     state.applySuggestions(Mapping.suggestAll(dataCols, varMetas, hints))
     val ds = DomainState(codeU, df, headers, hints, state)
+    domains.get(codeU).foreach(_.source.unpersist()) // re-add frees the old cache
     domains(codeU) = ds
     if (codeU == "DM") refDateCache = None // new DM invalidates the memo
     ds
@@ -126,19 +127,26 @@ class StudySession(val spark: SparkSession, val studyId: String,
       })
     }
 
-  // DM reference date is fixed once DM is ingested — memoized so repeated
-  // preview/validate/export calls do not re-run the DM scan-and-sort job
-  private var refDateCache: Option[Option[String]] = None
+  // DM reference date is memoized per RFSTDTC source column, so repeated
+  // preview/validate/export calls skip the DM scan-and-sort job BUT a
+  // re-mapped RFSTDTC (acceptManual after the first preview) recomputes —
+  // study days must always follow the current mapping
+  private var refDateCache: Option[(Option[String], Option[String])] = None
 
   private def referenceDate: Option[String] = {
-    if (refDateCache.isEmpty) {
-      refDateCache = Some(domains.get("DM").flatMap { dm =>
-        dm.mapping.columnFor("RFSTDTC")
-          .filter(dm.source.columns.contains)
-          .flatMap(c => RuleInference.referenceDateFrom(dm.source, c))
-      })
+    val mappedCol = domains.get("DM").flatMap(dm =>
+      dm.mapping.columnFor("RFSTDTC").filter(dm.source.columns.contains))
+    refDateCache match {
+      case Some((key, v)) if key == mappedCol => v
+      case _ =>
+        val v = for {
+          dm <- domains.get("DM")
+          c <- mappedCol
+          d <- RuleInference.referenceDateFrom(dm.source, c)
+        } yield d
+        refDateCache = Some((mappedCol, v))
+        v
     }
-    refDateCache.get
   }
 
   private def contextFor(ds: DomainState): NormalizationContext = {
@@ -193,6 +201,15 @@ class StudySession(val spark: SparkSession, val studyId: String,
       val presentVars = domain.orderedVariables.filter(v => frame.columns.contains(v.name))
       val varNames = presentVars.map(_.name)
 
+      // ONE stats aggregate per domain feeds both writers: the XPT observed
+      // lengths and the Define-XML maxLength/has_data come from the same
+      // numbers, so the two artifacts can never disagree (and export runs
+      // one scan fewer per domain)
+      val stats = XmlSinks.varStats(frame, varNames)
+      val charLengths = presentVars.filter(_.dataType != VariableType.Num).flatMap { v =>
+        stats.get(v.name).map(s => v.name -> math.max(s.maxLength, 1))
+      }.toMap
+
       // XPT (numeric SDTM vars ride as doubles; file order = source order)
       val xptPath = s"$outDir/${code.toLowerCase}.xpt"
       val typed = frame.orderBy(col(CsvIngest.RowIdCol)).select(presentVars.map { v =>
@@ -202,7 +219,8 @@ class StudySession(val spark: SparkSession, val studyId: String,
       // same label fallback as the DefineDataset below — XPT and Define-XML
       // must agree on the dataset label
       XptWriter.writeDataFrame(typed, xptPath, code, domain.label.getOrElse(code),
-        labels = presentVars.map(v => v.name -> v.label.getOrElse(v.name)).toMap)
+        labels = presentVars.map(v => v.name -> v.label.getOrElse(v.name)).toMap,
+        declaredLengths = charLengths)
       written += xptPath
 
       // Dataset-XML
@@ -210,9 +228,6 @@ class StudySession(val spark: SparkSession, val studyId: String,
       XmlSinks.writeDatasetXmlFile(frame, xmlPath, code, studyId, "3.4",
         varNames, orderCol = Some(CsvIngest.RowIdCol))
       written += xmlPath
-
-      // Define-XML entry (one stats agg per domain)
-      val stats = XmlSinks.varStats(frame, varNames)
       defineDatasets += XmlSinks.DefineDataset(
         name = code, domain = base,
         label = domain.label.getOrElse(code),
@@ -220,14 +235,20 @@ class StudySession(val spark: SparkSession, val studyId: String,
         klass = domain.className.getOrElse(""),
         variables = domain.variablesByRole.filter(v => frame.columns.contains(v.name))
           .map { v =>
-            v.firstCodelistCode.foreach(usedCodelists += _)
+            // only reference codelists the CT catalog can actually define —
+            // a CodeListRef without a matching CodeList element is a broken
+            // OID that fails define.xml validation
+            val resolved = v.firstCodelistCode
+              .filter(c => Standards.ctRegistry.get(c).isDefined)
+            resolved.foreach(usedCodelists += _)
             XmlVariable(v.name, v.label.getOrElse(""),
               isNumeric = v.dataType == VariableType.Num,
               required = v.isRequired, identifier = v.isIdentifier,
               expected = v.isExpected,
-              codelistOid = v.firstCodelistCode.map(c => s"CL.$c"))
+              codelistOid = resolved.map(c => s"CL.$c"))
           },
         stats = stats)
+      frame.unpersist()
     }
 
     // SUPP-- datasets: source extras joined to the normalized USUBJID/SEQ on
@@ -236,17 +257,43 @@ class StudySession(val spark: SparkSession, val studyId: String,
       (domainState(code), preview(code)) match {
         case (Some(ds), Some(normalized)) =>
           val idCols = Seq("USUBJID", s"${code}SEQ").filter(normalized.columns.contains)
-          val joined = ds.source.join(
+          // select ONLY the configured supp columns from the raw side: a
+          // source that itself carries USUBJID/--SEQ columns must not
+          // collide with the normalized ids on the join output
+          val suppSrcCols = (configs.map(_._1)
+            .filter(ds.source.columns.contains)
+            .filterNot(idCols.contains) :+ CsvIngest.RowIdCol).distinct
+          val joined = ds.source.select(suppSrcCols.map(col): _*).join(
             normalized.select((idCols :+ CsvIngest.RowIdCol).map(col): _*),
             Seq(CsvIngest.RowIdCol))
           Reshape.buildSupp(code, studyId, joined, configs).foreach { supp =>
             val suppName = Reshape.suppDomainName(code)
+            val suppLabel = Reshape.suppDomainLabel(code,
+              domainMetaFor(code).flatMap(_.label))
             val path = s"$outDir/${suppName.toLowerCase}.xpt"
-            XptWriter.writeDataFrame(
-              supp.orderBy("QNAM", "USUBJID", "IDVARVAL"), path, suppName,
-              Reshape.suppDomainLabel(code,
-                domainMetaFor(code).flatMap(_.label)))
+            val orderedSupp = supp.orderBy("QNAM", "USUBJID", "IDVARVAL")
+            XptWriter.writeDataFrame(orderedSupp, path, suppName, suppLabel)
             written += path
+            // the define.xml must describe every dataset in the package —
+            // SUPP-- gets an ItemGroupDef from the SUPPQUAL template
+            // (SdtmDomain.asSuppDomain), variables limited to the frame
+            Standards.domain("SUPPQUAL").foreach { tmpl =>
+              val suppDomain = tmpl.asSuppDomain(code, domainMetaFor(code).flatMap(_.label))
+              val presentSupp = suppDomain.variablesByRole
+                .filter(v => supp.columns.contains(v.name))
+              defineDatasets += XmlSinks.DefineDataset(
+                name = suppName, domain = baseDomainCode(code),
+                label = suppLabel,
+                structure = suppDomain.structure.getOrElse(""),
+                klass = suppDomain.className.getOrElse("Relationship"),
+                variables = presentSupp.map { v =>
+                  XmlVariable(v.name, v.label.getOrElse(""),
+                    isNumeric = v.dataType == VariableType.Num,
+                    required = v.isRequired, identifier = v.isIdentifier,
+                    expected = v.isExpected, codelistOid = None)
+                },
+                stats = XmlSinks.varStats(supp, presentSupp.map(_.name)))
+            }
           }
         case _ =>
       }

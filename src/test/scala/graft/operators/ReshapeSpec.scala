@@ -57,6 +57,20 @@ class ReshapeSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("G3 preserves extra source columns; generated rows order last") {
+    val df = Seq(
+      ("ST", "RELSUB", "A", "B", "SPOUSE", "POOL1", 1L),
+      ("ST", "RELSUB", "E", "F", "GUARDIAN", "POOL2", 2L))
+      .toDF("STUDYID", "DOMAIN", "USUBJID", "RSUBJID", "SREL", "POOLID", "_row_id")
+    val out = Reshape.ensureRelsubBidirectional(df).orderBy("_row_id").collect()
+    // POOLID survives on source rows, is null on the generated reciprocal
+    assert(out.map(_.getAs[String]("POOLID")).toSeq == Seq("POOL1", "POOL2", null))
+    // the generated row's _row_id continues past the source maximum
+    val gen = out.last
+    assert(gen.getAs[String]("USUBJID") == "B" && gen.getAs[String]("RSUBJID") == "A")
+    assert(gen.getAs[Long]("_row_id") > 2L)
+  }
+
   test("G3 leaves frames without the key columns untouched") {
     val df = Seq(("A", "B")).toDF("X", "Y")
     assert(Reshape.ensureRelsubBidirectional(df).collect().toSeq ==

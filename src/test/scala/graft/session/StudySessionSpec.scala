@@ -200,7 +200,13 @@ class StudySessionSpec extends SparkSpec {
     val define = new String(Files.readAllBytes(Paths.get(s"$outDir/define.xml")), "UTF-8")
     assert(define.contains("""<ItemGroupDef OID="IG.DM""""))
     assert(define.contains("""<ItemGroupDef OID="IG.AE""""))
+    // every dataset in the package is described — SUPPDM included
+    assert(define.contains("""<ItemGroupDef OID="IG.SUPPDM""""))
     assert(define.contains("""CodeListOID="CL.C66731""""))
+    // no CodeListRef may dangle: every referenced OID has a CodeList element
+    val refs = """CodeListOID="(CL\.[^"]+)"""".r.findAllMatchIn(define).map(_.group(1)).toSet
+    val defs = """<CodeList OID="(CL\.[^"]+)"""".r.findAllMatchIn(define).map(_.group(1)).toSet
+    assert(refs.subsetOf(defs), s"dangling CodeListRefs: ${refs -- defs}")
     val aeXml = new String(Files.readAllBytes(Paths.get(s"$outDir/ae.xml")), "UTF-8")
     assert(aeXml.contains("""data:ItemGroupDataSeq="4""""))
     assert(aeXml.contains("""<ItemData ItemOID="IT.AE.AETERM" Value="Headache"/>"""))
