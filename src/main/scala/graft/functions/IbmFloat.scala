@@ -12,9 +12,10 @@ package graft.functions
 object IbmFloat {
 
   /** Encode an IEEE double as 8 IBM bytes. NaN encodes as the SAS missing
-    * value (0x2E '.', then zeros). */
+    * value (0x2E '.', then zeros). Always returns a fresh array — callers
+    * may patch bytes in place without corrupting shared state. */
   def toIbmBytes(d: Double): Array[Byte] = {
-    if (d.isNaN) return missingBytes
+    if (d.isNaN) return missingBytes.clone()
     if (d == 0.0) return new Array[Byte](8)
     val sign = if (d < 0) 1L else 0L
     val abs = math.abs(d)

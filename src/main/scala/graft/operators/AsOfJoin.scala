@@ -61,9 +61,12 @@ object AsOfJoin {
           payload.map(c => col(c).as(s"__p_$c")): _*).as("__pkg")) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    // at equal time the right row sorts first, so rt <= lt is inclusive
+    // at equal time the right row sorts first, so rt <= lt is inclusive;
+    // __pkg as the final sort key makes ties among right rows at the SAME
+    // (key, time) deterministic — without it, last() would pick whichever
+    // row shuffle order delivered
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__pkg").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lSide.unionByName(rSide)
       .withColumn("__m", last(col("__pkg"), ignoreNulls = true).over(w))

@@ -135,6 +135,10 @@ object Dedup {
     * consecutive signature slots. Docs sharing any band-bucket are
     * candidates. */
   def lshBuckets(signatures: DataFrame, rowsPerBand: Int, numHashes: Int): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"lshBuckets: numHashes ($numHashes) must be a positive multiple of " +
+        s"rowsPerBand ($rowsPerBand) — a remainder would silently drop " +
+        "signature slots and rowsPerBand > numHashes would yield zero bands")
     val bands = numHashes / rowsPerBand
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -162,6 +166,9 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 32, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {
+    // cache lifecycle: the token relation feeds both signature building and
+    // candidate verification; the cache lives until the caller clears it
+    // (spark.catalog.clearCache(), as Bench does between queries)
     val tokens = docTokens(df, idCol, textCol).cache()
     val cands = lshCandidates(
       lshBuckets(minhashSignatures(tokens, numHashes, seed), rowsPerBand, numHashes))
@@ -275,7 +282,11 @@ object Dedup {
    */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head(1) match {
+    // hyperplane dimension comes from the first NON-NULL vector; null or
+    // off-dimension rows are excluded up front — before this filter they
+    // were dropped implicitly via null dot products (or crashed dim probing)
+    val nonNull = df.where(col(vecCol).isNotNull)
+    val dim = nonNull.select(size(col(vecCol))).head(1) match {
       case Array(r) => r.getInt(0)
       case _ => // empty corpus → empty result, same schema
         val spark = df.sparkSession
@@ -283,7 +294,8 @@ object Dedup {
         return Seq.empty[(Long, Long, Double)].toDF("i", "j", "cosine")
     }
     val planes = randomHyperplanes(bits, dim, seed)
-    val n = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v")).cache()
+    val n = nonNull.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v")).cache()
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
       when(dotProduct(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))

@@ -111,6 +111,8 @@ object Multimodal {
     * math over the (stub-)decoded plane. */
   def planeEmbedding(img: DecodedImage): Array[Float] = {
     val p = img.pixels
+    if (p.isEmpty)
+      return Array(0f, 0f, 0f, 0f, 0f, img.width.toFloat, img.height.toFloat, 0f)
     val n = math.max(p.length, 1)
     val mean = p.sum / n
     val variance = p.map(v => (v - mean) * (v - mean)).sum / n

@@ -44,13 +44,16 @@ object Skew {
   def saltedDistinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    // value-derived salt (no row id): duplicates of the same value land in
-    // the same bucket, so phase one actually dedups them
+    // value-derived salt: each distinct value lands in exactly ONE
+    // (key, salt) bucket, so per-bucket distinct counts sum to the exact
+    // total. Phase one counts distinct within (key, salt) — a hot key's
+    // value set splits across `saltBuckets` reducers instead of one —
+    // and phase two sums `saltBuckets` tiny partials per key.
     df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(saltBuckets.toLong)))
-      .select(keyCols :+ col("__salt") :+ col(valueCol): _*)
-      .distinct()
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(countDistinct(col(valueCol)).as("__part"))
       .groupBy(keyCols: _*)
-      .agg(countDistinct(col(valueCol)).as("n_distinct"))
+      .agg(sum(col("__part")).cast("long").as("n_distinct"))
   }
 
   /** Replicated broadcast join for a skewed build side is just

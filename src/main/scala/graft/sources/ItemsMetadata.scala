@@ -167,7 +167,10 @@ object ItemsMetadata {
   }
 
   def loadItems(df: DataFrame, schema: ItemsSchema): Map[String, ItemMeta] = {
-    val cols = df.columns
+    // role indexes come from analyzeColumns over the _row_id-free column
+    // list — resolve against the same basis, wherever the ingest row id
+    // happens to sit in this frame
+    val cols = df.columns.filterNot(_ == CsvIngest.RowIdCol)
     def c(r: ColumnRole): Column = txt(col(cols(r.index)))
     val sel = df.select(
       c(schema.id).as("id"),

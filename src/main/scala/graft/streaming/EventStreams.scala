@@ -9,8 +9,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event for typed stateful processing. */
 case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
-/** Session state carried between micro-batches. */
-case class SessionState(start: Long, lastTs: Long, nEvents: Int, sumValue: Double)
+/** One open session span (epoch millis). */
+case class SessionSpan(start: Long, lastTs: Long, nEvents: Int, sumValue: Double)
+
+/** Session state carried between micro-batches: open spans, oldest first —
+  * a LIST, because out-of-order arrivals can open an earlier session that
+  * must not merge into (or corrupt) the current one. */
+case class SessionState(spans: Seq[SessionSpan])
 
 /** Emitted when a session times out. */
 case class SessionResult(user_id: Long, startTs: Timestamp, endTs: Timestamp,
@@ -58,7 +63,10 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // decimal sum: partition-order-independent (see windowedCounts)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double").as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
@@ -73,50 +81,47 @@ object EventStreams {
    */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionResult] = {
     import events.sparkSession.implicits._
+
+    def toResult(userId: Long, s: SessionSpan): SessionResult =
+      SessionResult(userId, new Timestamp(s.start), new Timestamp(s.lastTs),
+        s.nEvents, s.sumValue, (s.lastTs - s.start) / 1000)
+
+    // gap-merge spans sorted by start — session_window's chain rule, so an
+    // out-of-order straggler older than (current start − gap) seeds its own
+    // span instead of stretching the current session backwards
+    def mergeSpans(spans: Seq[SessionSpan]): List[SessionSpan] =
+      spans.sortBy(s => (s.start, s.lastTs)).foldLeft(List.empty[SessionSpan]) {
+        case (cur :: done, next) if next.start <= cur.lastTs + gapMs =>
+          cur.copy(lastTs = math.max(cur.lastTs, next.lastTs),
+            nEvents = cur.nEvents + next.nEvents,
+            sumValue = cur.sumValue + next.sumValue) :: done
+        case (acc, next) => next :: acc
+      }.reverse
+
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionResult](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionResult(userId, new Timestamp(s.start),
-              new Timestamp(s.lastTs), s.nEvents, s.sumValue,
-              (s.lastTs - s.start) / 1000))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[SessionResult]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  // max: a late intra-batch straggler must not regress the
-                  // session end (and with it the timeout) backwards
-                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
-                    start = math.min(s.start, t),
-                    nEvents = s.nEvents + 1,
-                    sumValue = s.sumValue + e.value))
-                case Some(s) =>
-                  closed ::= SessionResult(userId, new Timestamp(s.start),
-                    new Timestamp(s.lastTs), s.nEvents, s.sumValue,
-                    (s.lastTs - s.start) / 1000)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // flatMapGroupsWithState does NOT drop late rows, so a
-              // straggler can compute a timeout below the watermark —
-              // Spark throws on that; clamp to watermark+1
-              val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(s.lastTs + gapMs, wm + 1))
-            }
-            closed.reverseIterator
+          // timeout invocations arrive with an empty iterator — the same
+          // merge-then-expire pass handles both cases uniformly
+          val carried = state.getOption.map(_.spans).getOrElse(Seq.empty)
+          val incoming = rows.map(e =>
+            SessionSpan(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+          val merged = mergeSpans(carried ++ incoming)
+          // a span is closed once the watermark passes its end + gap — no
+          // event at or below the watermark can extend it anymore
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(_.lastTs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionState(open))
+            // the earliest still-open span drives the next timeout; clamped
+            // above the watermark (Spark rejects timeouts at/below it, and
+            // late rows can compute one)
+            state.setTimeoutTimestamp(math.max(open.map(_.lastTs).min + gapMs, wm + 1))
           }
+          closed.iterator.map(toResult(userId, _))
       }
   }
 

@@ -96,6 +96,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.contains((2L, 1, 5.0)))
   }
 
+  test("stateful sessionizer: old straggler seeds its own session, never stretches the current one") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 1h delay keeps the out-of-order event ABOVE the watermark — Spark
+    // drops stateful-operator input below it before the function runs
+    val withWm = input.toDS().withWatermark("ts", "1 hour").as[Event]
+    val q = EventStreams.sessionize(withWm, gapMs = 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_straggler")
+      .outputMode("append").start()
+    // batch 1: a session at t=10min
+    input.addData(Event(1L, ts(10), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: straggler at t=0 — 10min before the open session, far beyond
+    // the 1min gap; session_window semantics = two separate sessions
+    input.addData(Event(1L, ts(0), "a", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both
+    input.addData(Event(9L, ts(180), "z", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(9L, ts(185), "z", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_straggler").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getInt(3), r.getDouble(4), r.getLong(5))).toSet
+    // two single-event sessions of zero duration — NOT one 10-minute span
+    assert(sessions == Set((1, 1.0, 0L), (1, 2.0, 0L)), sessions.toString)
+  }
+
   test("file source → windowed agg → parquet sink equals the batch result") {
     import java.nio.file.{Files, Paths}
     val base = Paths.get("target", "tmp", "stream_e2e")
