@@ -253,8 +253,10 @@ object Iso8601 {
           }
         }
       } else if (k1 == '-' && tk.kind(3) == '-' && tk.kind(5) == ' ' &&
-          isF2(tk, 0) && isYear(tk, 4)) {
-        // d-MMM-uuuu H:m[:s]
+          isF2(tk, 0) && isYear(tk, 4) && tk.kind(2) == 'A' &&
+          tk.b(2) - tk.a(2) == 3) {
+        // d-MMM-uuuu H:m[:s] — the datetime cascade has only the 3-letter
+        // abbreviation form (the full-name d-MMMM-uuuu exists date-only)
         val mo = monthOf(s, tk, 2)
         val t = timeTail(tk, 6, allowFrac = false)
         if (mo > 0 && t >= 0 && validDate(tk.a(4), mo, tk.a(0)))
@@ -276,12 +278,14 @@ object Iso8601 {
               validDate(tk.a(4), tk.a(2), tk.a(0)))
             return AtDate(LocalDate.of(tk.a(4), tk.a(2), tk.a(0)))
         } else {
-          // d-MMM-uuuu / d-MMMM-uuuu, then uuuu-MMM-d
+          // d-MMM-uuuu / d-MMMM-uuuu (abbrev or full), then uuuu-MMM-d
+          // (the year-first form exists with the 3-letter abbreviation only)
           val mo = monthOf(s, tk, 2)
           if (mo > 0) {
             if (isF2(tk, 0) && isYear(tk, 4) && validDate(tk.a(4), mo, tk.a(0)))
               return AtDate(LocalDate.of(tk.a(4), mo, tk.a(0)))
-            if (isYear(tk, 0) && isF2(tk, 4) && validDate(tk.a(0), mo, tk.a(4)))
+            if (isYear(tk, 0) && isF2(tk, 4) && tk.b(2) - tk.a(2) == 3 &&
+                validDate(tk.a(0), mo, tk.a(4)))
               return AtDate(LocalDate.of(tk.a(0), mo, tk.a(4)))
           }
         }
