@@ -141,7 +141,10 @@ object DomainValidation {
     if (dm.columns.contains("USUBJID")) {
       upper.filterNot(_._1 == "DM").foreach { case (code, df) =>
         if (df.columns.contains("USUBJID")) {
-          val orphans = Validate.orphanSubjects(df, dm, "USUBJID")
+          // blank USUBJIDs are skipped — they belong to the per-domain
+          // identifier-null check, not X1 (cross_domain.rs:62-64)
+          val scoped = df.where(txt(col("USUBJID")) =!= "")
+          val orphans = Validate.orphanSubjects(scoped, dm, "USUBJID")
           val r = orphans.agg(count(lit(1)),
             slice(sort_array(collect_set(col("USUBJID"))), 1, 5)).head()
           if (r.getLong(0) > 0)

@@ -106,9 +106,13 @@ object Validate {
   /** Pairs (u, r) with no reciprocal (r, u) in the same frame — a self
     * anti-join on the swapped key. */
   def missingReciprocal(pairs: DataFrame, u: String, r: String): DataFrame = {
-    val swapped = pairs.select(txt(col(r)).as(u), txt(col(u)).as(r)).distinct()
-    pairs.select(txt(col(u)).as(u), txt(col(r)).as(r)).distinct()
-      .join(swapped, Seq(u, r), "left_anti")
+    // only fully-populated pairs participate — the reference builds its
+    // relationship set from non-empty (u, r) only (cross_domain.rs:184-190)
+    val populated = pairs
+      .select(txt(col(u)).as(u), txt(col(r)).as(r))
+      .where(col(u) =!= "" && col(r) =!= "")
+    val swapped = populated.select(col(r).as(u), col(u).as(r)).distinct()
+    populated.distinct().join(swapped, Seq(u, r), "left_anti")
   }
 
   // ---- X4: parent chain within a subject --------------------------------------

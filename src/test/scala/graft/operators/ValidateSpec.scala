@@ -90,6 +90,15 @@ class ValidateSpec extends SparkSpec {
     assert(out == Seq("9"))
   }
 
+  test("cross-domain: blank USUBJID rows are not X1 orphans") {
+    val dm = Seq("GRAFT-1").toDF("USUBJID")
+    val ae = Seq("GRAFT-1", "", "  ", "GRAFT-9").toDF("USUBJID")
+    val issues = DomainValidation.validateCrossDomain(Map("DM" -> dm, "AE" -> ae))
+    val orphan = issues.find(_.kind == "SubjectNotInDm")
+    assert(orphan.isDefined)
+    assert(orphan.get.count == 1 && orphan.get.samples == Seq("GRAFT-9"))
+  }
+
   test("cross-domain: blank RSUBJID is never an orphan; no DM skips everything") {
     val dm = Seq("GRAFT-1", "GRAFT-2").toDF("USUBJID")
     // blank RSUBJID = pool relationship, explicitly skipped by the reference
