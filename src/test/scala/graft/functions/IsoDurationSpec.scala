@@ -45,6 +45,15 @@ class IsoDurationSpec extends AnyFunSuite {
     assert(IsoDuration.normalize("") == "")
   }
 
+  test("negative text components keep the reference's component format") {
+    // duration.rs formats signed component values directly (i64 grammar):
+    // bare numerics get the leading-sign form, text components the inline
+    // sign — both reference-faithful
+    assert(IsoDuration.normalize("-2") == "-P2D")
+    assert(IsoDuration.normalize("-2 days") == "P-2D")
+    assert(IsoDuration.normalize("-3589d") == "P-3589D")
+  }
+
   test("19-digit integers parse to the Long limit; 20 digits preserve") {
     assert(IsoDuration.normalize("9223372036854775807 seconds") ==
       "PT9223372036854775807S")
