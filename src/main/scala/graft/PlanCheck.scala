@@ -32,7 +32,8 @@ object PlanCheck {
         println(f"$q%-22s pushedFilters=$pushed bhj=$bhj smj=$smj bnl=$bnl wscg=$wscg exchange=$exch")
         if (verbose) println(plan)
       } catch {
-        case e: Throwable => println(f"$q%-22s ERROR ${e.getMessage.take(80)}")
+        case e: Throwable =>
+          println(f"$q%-22s ERROR ${String.valueOf(e.getMessage).take(80)}")
       }
     }
     spark.stop()

@@ -47,8 +47,10 @@ object MappingQueries {
         VarMeta("AEDECOD", Some("Dictionary-Derived Term")))
       val out = Mapping.suggestAll(src.columns.toSeq, vars, hints, minConfidence = 0.5)
       import s.implicits._
+      // HALF_UP to 6 decimals — the same tie mode as DuckDB's ROUND and
+      // Spark's round() used everywhere else (math.rint is half-to-even)
       out.map(x => (x.sourceColumn, x.targetVariable,
-          math.rint(x.score * 1e6) / 1e6))
+          BigDecimal(x.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
         .toDF("source_column", "target_variable", "score")
         .orderBy("target_variable")
     })

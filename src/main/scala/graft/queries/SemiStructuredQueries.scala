@@ -40,7 +40,12 @@ object SemiStructuredQueries {
     }),
 
     // as-of join: every event gets the user's latest prior-or-equal
-    // purchase (the point-in-time feature-backfill shape)
+    // purchase (the point-in-time feature-backfill shape).
+    // DATA-DEPENDENT: assumes no two purchases share one (user_id, ts) —
+    // our side breaks such ties deterministically (max payload struct)
+    // while DuckDB's ASOF JOIN picks an unspecified row; regenerated
+    // testdata with same-microsecond purchases would need a tie-break
+    // column added to BOTH sides, never a downgrade to rows-only.
     "st4_asof" -> ((s, dir) => {
       val ev = events(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")

@@ -20,29 +20,18 @@ object SessionQueries {
   private def studyCsv(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val d = Paths.get("target", "tmp", s"session_$tag")
-    val out = d.resolve("dm.csv")
-    // always regenerate (existence-keyed caching would serve stale fixtures)
-    locally {
-      Files.createDirectories(d)
-      val src = table(s, dir, "customer").select(
-        col("c_custkey").as("SUBJID"),
-        date_format(expr("timestamp '1995-06-01' + make_interval(0,0,0,c_custkey % 300)"),
-          "yyyy-MM-dd").as("RFSTDTC"),
-        date_format(expr("timestamp '1970-01-01' + make_interval(c_custkey % 50,0,0,c_custkey % 28)"),
-          "dd.MM.yyyy").as("BRTHDTC"),
-        (col("c_custkey") % 90 + 18).as("AGE"),
-        when(col("c_custkey") % 3 === 0, lit("male"))
-          .when(col("c_custkey") % 3 === 1, lit("F"))
-          .otherwise(lit("other")).as("SEX"))
-        .orderBy(col("SUBJID").cast("long"))
-      val stage = d.resolve("stage").toString
-      src.coalesce(1).write.mode("overwrite").option("header", "true").csv(stage)
-      val listing = Files.list(Paths.get(stage))
-      try {
-        val part = listing.filter(_.toString.endsWith(".csv")).findFirst().get()
-        Files.copy(part, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally listing.close()
-    }
+    val src = table(s, dir, "customer").select(
+      col("c_custkey").as("SUBJID"),
+      date_format(expr("timestamp '1995-06-01' + make_interval(0,0,0,c_custkey % 300)"),
+        "yyyy-MM-dd").as("RFSTDTC"),
+      date_format(expr("timestamp '1970-01-01' + make_interval(c_custkey % 50,0,0,c_custkey % 28)"),
+        "dd.MM.yyyy").as("BRTHDTC"),
+      (col("c_custkey") % 90 + 18).as("AGE"),
+      when(col("c_custkey") % 3 === 0, lit("male"))
+        .when(col("c_custkey") % 3 === 1, lit("F"))
+        .otherwise(lit("other")).as("SEX"))
+      .orderBy(col("SUBJID").cast("long"))
+    Fixtures.writeSingleCsv(src, d, "dm.csv")
     d.toString
   }
 

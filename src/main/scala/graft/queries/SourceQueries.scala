@@ -15,22 +15,9 @@ import graft.sources.CsvIngest
  */
 object SourceQueries {
 
-  /** Materialize a table as a single CSV file (driver-adjacent tmp dir).
-    * Always regenerated — caching on existence would serve stale fixtures
-    * if the source parquet changed between runs. */
-  private def toCsv(s: SparkSession, df: DataFrame, tag: String): String = {
-    val dir = Paths.get("target", "tmp", s"csv_$tag")
-    val out = dir.resolve("data.csv")
-    Files.createDirectories(dir)
-    val stage = dir.resolve("stage").toString
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(stage)
-    val listing = Files.list(Paths.get(stage))
-    try {
-      val part = listing.filter(_.toString.endsWith(".csv")).findFirst().get()
-      Files.copy(part, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally listing.close()
-    out.toString
-  }
+  /** Materialize a table as a single CSV file (driver-adjacent tmp dir). */
+  private def toCsv(s: SparkSession, df: DataFrame, tag: String): String =
+    Fixtures.writeSingleCsv(df, Paths.get("target", "tmp", s"csv_$tag"), "data.csv")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S4 — CSV scan round trip with header probe + row-order preservation
