@@ -25,10 +25,13 @@ object DomainValidation {
     DateSuffixes.exists(u.endsWith)
   }
 
-  /** Run V1-V8 over one domain frame. `declaredLengths` feeds V6. */
+  /** Run V1-V8 over one domain frame. `declaredLengths` feeds V6; `ct` is
+    * the study's CT registry (standard-aware — a SEND study validates
+    * against SEND-first resolution order). */
   def validateDomain(df: DataFrame, domain: SdtmDomain,
       notCollected: Set[String] = Set.empty,
-      declaredLengths: Map[String, Int] = Map.empty): Seq[Issue] = {
+      declaredLengths: Map[String, Int] = Map.empty,
+      ct: graft.standards.TerminologyRegistry = Standards.ctRegistry): Seq[Issue] = {
     val issues = Seq.newBuilder[Issue]
     val present = df.columns.map(c => c.toUpperCase -> c).toMap
     val vars = domain.orderedVariables
@@ -64,7 +67,7 @@ object DomainValidation {
         aggs += max(length(txt(c))).as(s"${n}__maxlen")
       }
       v.firstCodelistCode.foreach { code =>
-        val allowed = Standards.ctRegistry.lookupMap(code).keys.toSeq
+        val allowed = ct.lookupMap(code).keys.toSeq
         if (allowed.nonEmpty) {
           val bad = !isBlank(c) && !upper(txt(c)).isin(allowed: _*)
           aggs += sum(when(bad, 1L).otherwise(0L)).as(s"${n}__badct")
@@ -102,10 +105,10 @@ object DomainValidation {
             Seq(s"max=${row.getAs[Int](s"${n}__maxlen")}", s"declared=$len"))
       }
       v.firstCodelistCode.foreach { code =>
-        if (Standards.ctRegistry.lookupMap(code).nonEmpty) {
+        if (ct.lookupMap(code).nonEmpty) {
           val bad = row.getAs[Long](s"${n}__badct")
           if (bad > 0) {
-            val extensible = Standards.ctRegistry.get(code).exists(_.extensible)
+            val extensible = ct.get(code).exists(_.extensible)
             val samples = row.getSeq[String](row.fieldIndex(s"${n}__ctsamples"))
             issues += Issue(domain.name, n, "InvalidCtValue",
               if (extensible) "Info" else "Error", bad, samples)

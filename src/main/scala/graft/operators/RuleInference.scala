@@ -37,7 +37,8 @@ case class NormalizationContext(
     domainCode: String,
     mappings: Map[String, String] = Map.empty,
     omitted: Set[String] = Set.empty,
-    referenceDate: Option[String] = None)
+    referenceDate: Option[String] = None,
+    standard: String = "sdtm")
 
 /**
  * The reference's "planner": infer one transform per target variable purely
@@ -126,7 +127,7 @@ object RuleInference {
       case CtNormalization(code) =>
         // closure-captured map (metadata-sized) — a per-call broadcast here
         // leaked one broadcast variable per CT rule per re-planned preview
-        Normalize.ctNormalize(source, Standards.ctRegistry.lookupMap(code))
+        Normalize.ctNormalize(source, Standards.ct(ctx.standard).lookupMap(code))
       case NumericConversion => Normalize.numeric(source)
       case CopyDirect =>
         sourceOpt.map(c => Normalize.copyDirect(df, c)).getOrElse(lit(""))

@@ -157,7 +157,8 @@ class StudySession(val spark: SparkSession, val studyId: String,
       mappings = domainMetaFor(ds.code).map(_.variables.flatMap(v =>
         ds.mapping.columnFor(v.name).map(v.name -> _)).toMap).getOrElse(Map.empty),
       omitted = ds.mapping.omitted,
-      referenceDate = refDate)
+      referenceDate = refDate,
+      standard = standard)
   }
 
   /** E2 — normalized preview: one projection, lazily planned. `_row_id`
@@ -175,7 +176,8 @@ class StudySession(val spark: SparkSession, val studyId: String,
       ds <- domainState(code)
       domain <- domainMetaFor(ds.code)
       frame <- preview(code)
-    } yield DomainValidation.validateDomain(frame, domain)).getOrElse(Nil)
+    } yield DomainValidation.validateDomain(frame, domain,
+      ct = Standards.ct(standard))).getOrElse(Nil)
 
   /** E2 — study-wide cross-domain checks over normalized frames. */
   def validateCross(): Seq[Issue] =
@@ -239,7 +241,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
             // a CodeListRef without a matching CodeList element is a broken
             // OID that fails define.xml validation
             val resolved = v.firstCodelistCode
-              .filter(c => Standards.ctRegistry.get(c).isDefined)
+              .filter(c => Standards.ct(standard).get(c).isDefined)
             resolved.foreach(usedCodelists += _)
             XmlVariable(v.name, v.label.getOrElse(""),
               isNumeric = v.dataType == VariableType.Num,
@@ -277,7 +279,8 @@ class StudySession(val spark: SparkSession, val studyId: String,
             // the define.xml must describe every dataset in the package —
             // SUPP-- gets an ItemGroupDef from the SUPPQUAL template
             // (SdtmDomain.asSuppDomain), variables limited to the frame
-            Standards.domain("SUPPQUAL").foreach { tmpl =>
+            Standards.domain(standard, "SUPPQUAL")
+              .orElse(Standards.domain("SUPPQUAL")).foreach { tmpl =>
               val suppDomain = tmpl.asSuppDomain(code, domainMetaFor(code).flatMap(_.label))
               val presentSupp = suppDomain.variablesByRole
                 .filter(v => supp.columns.contains(v.name))
@@ -300,7 +303,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
     }
 
     val codelists = usedCodelists.toSeq.flatMap(code =>
-      Standards.ctRegistry.get(code).map(cl =>
+      Standards.ct(standard).get(code).map(cl =>
         XmlCodelist(s"CL.$code", cl.name, cl.extensible,
           cl.terms.map(_.submissionValue).distinct)))
     val definePath = s"$outDir/define.xml"

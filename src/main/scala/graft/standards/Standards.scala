@@ -89,12 +89,31 @@ case class Codelist(
   def resolve(value: String): Option[String] = index.get(value.trim.toUpperCase)
 }
 
-/** Loaded CT catalog (`TerminologyRegistry` — `ct/loader.rs:85-103`). */
-case class TerminologyRegistry(codelists: Map[String, Codelist]) {
-  def get(code: String): Option[Codelist] = codelists.get(code.trim)
+/** One CT publication file's worth of codelists (`TerminologyCatalog` —
+  * `ct/types.rs:222-264`): label like "SEND CT", quarterly version date,
+  * publishing set ("SDTM" / "SEND" / "ADaM" / ...). */
+case class TerminologyCatalog(
+    label: String,
+    version: Option[String],
+    publishingSet: Option[String],
+    codelists: Map[String, Codelist])
+
+/** Multi-catalog CT registry (`TerminologyRegistry` — `ct/types.rs:296-398`).
+  * `catalogs` is already in resolution priority order — [[Standards.ct]]
+  * orders the study's own publishing set first, then SDTM CT, SEND CT, and
+  * the remaining catalogs alphabetically, mirroring `catalogs_in_order`
+  * (`ct/types.rs:379-398`); `get` returns the first catalog's definition of
+  * a codelist code. */
+case class TerminologyRegistry(catalogs: Seq[TerminologyCatalog]) {
+  def get(code: String): Option[Codelist] = {
+    val key = code.trim.toUpperCase
+    catalogs.iterator.flatMap(_.codelists.get(key)).nextOption()
+  }
   /** Broadcastable lookup map for one codelist. */
   def lookupMap(code: String): Map[String, String] =
     get(code).map(_.index).getOrElse(Map.empty)
+  /** Codes resolvable through any catalog. */
+  lazy val codes: Set[String] = catalogs.flatMap(_.codelists.keys).toSet
 }
 
 /**
@@ -232,27 +251,95 @@ object Standards {
   /** Default standard (SDTM) — the surface the study session uses. */
   def domain(code: String): Option[SdtmDomain] = domain("sdtm", code)
 
-  /** S9 — CT catalog: two-pass parse (codelist rows have blank
-    * `Codelist Code`; term rows carry the parent's code; synonyms split on
-    * `;`). */
-  lazy val ctRegistry: TerminologyRegistry = {
-    val rows = parseCsv(readResource("/standards/SDTM_CT.csv"))
+  /** Embedded CT publication date (one quarterly release; the reference
+    * embeds three — `embedded.rs:47-145` — same layout, same loader). */
+  val CtVersion = "2025-03-28"
+
+  /** S9 — parse one CT CSV into codelists: two-pass parse (codelist rows
+    * have blank `Codelist Code`; term rows carry the parent's code; synonyms
+    * split on `;`) — `ct/loader.rs:112-190`. */
+  private def parseCtCodelists(lines: Seq[String]): Map[String, Codelist] = {
+    val rows = parseCsv(lines)
     val (clRows, termRows) = rows.partition(_("Codelist Code").trim.isEmpty)
-    val termsByParent = termRows.groupBy(_("Codelist Code").trim)
-    val codelists = clRows.map { cl =>
+    val termsByParent = termRows.groupBy(_("Codelist Code").trim.toUpperCase)
+    clRows.map { cl =>
       val code = cl("Code").trim
-      val terms = termsByParent.getOrElse(code, Nil).map { t =>
+      val terms = termsByParent.getOrElse(code.toUpperCase, Nil).map { t =>
         CtTerm(
           code = t("Code").trim,
           submissionValue = t("CDISC Submission Value").trim,
           synonyms = t("CDISC Synonym(s)").split(";").map(_.trim).filter(_.nonEmpty).toSeq)
       }
-      code -> Codelist(
+      code.toUpperCase -> Codelist(
         code = code,
         name = cl("Codelist Name").trim,
         extensible = cl("Codelist Extensible (Yes/No)").trim.equalsIgnoreCase("Yes"),
         terms = terms)
     }.toMap
-    TerminologyRegistry(codelists)
   }
+
+  /** Filename → (label, version, publishing set), mirroring
+    * `parse_ct_metadata_from_filename` (`ct/loader.rs:196-215`):
+    * `SEND_CT_2025-03-28.csv` → ("SEND CT", Some("2025-03-28"), Some("SEND")). */
+  private def ctMetadataFromFilename(filename: String): (String, Option[String], Option[String]) = {
+    val base = filename.stripSuffix(".csv")
+    base.split("_CT_", 2) match {
+      case Array(set, version) =>
+        (s"$set CT", Some(version).filter(_.nonEmpty), Some(set).filter(_.nonEmpty))
+      case _ => (base, None, None)
+    }
+  }
+
+  /** All embedded CT catalogs for [[CtVersion]], plus the curated SDTM CT
+    * subset. The full quarterly exports under
+    * `resources/standards/terminology/` are the reference's own embedded
+    * copies of publicly published CDISC Controlled Terminology (see the
+    * provenance README); the reference snapshot ships no SDTM CT export, so
+    * SDTM-specific codelists absent from the sibling publications (RACE,
+    * ETHNIC, AESEV, ...) come from the curated `SDTM_CT.csv` and everything
+    * shared (UNIT, ROUTE, FREQ, AGEU, SEX, NY, ...) resolves through the
+    * SEND/ADaM/CDASH/Define-XML/Protocol catalogs in the registry's
+    * documented fallback order. */
+  lazy val ctCatalogs: Seq[TerminologyCatalog] = {
+    val curated = TerminologyCatalog("SDTM CT", None, Some("SDTM"),
+      parseCtCodelists(readResource("/standards/SDTM_CT.csv")))
+    val published = Seq("ADaM", "CDASH", "Define-XML", "Protocol", "SEND").map { set =>
+      val filename = s"${set}_CT_$CtVersion.csv"
+      val (label, version, pubSet) = ctMetadataFromFilename(filename)
+      TerminologyCatalog(label, version, pubSet,
+        parseCtCodelists(readResource(s"/standards/terminology/$CtVersion/$filename")))
+    }
+    curated +: published
+  }
+
+  /** CT registry for a study standard: the standard's own publishing set
+    * resolves first, then SDTM CT, SEND CT, then the rest alphabetically
+    * (`ct/loader.rs:85-103` primary marking + `ct/types.rs:379-398` order). */
+  def ct(standard: String): TerminologyRegistry = ctCache.synchronized {
+    ctCache.getOrElseUpdate(standard.toLowerCase, {
+      val primary = standard.toLowerCase match {
+        case "sdtm" => "SDTM"
+        case "send" => "SEND"
+        case "adam" => "ADAM"
+        case other => other.toUpperCase
+      }
+      val ordered = ctCatalogs.sortBy { c =>
+        val set = c.publishingSet.getOrElse("").toUpperCase
+        val rank =
+          if (set == primary) 0
+          else set match {
+            case "SDTM" => 1
+            case "SEND" => 2
+            case _ => 3
+          }
+        (rank, c.label.toUpperCase)
+      }
+      TerminologyRegistry(ordered)
+    })
+  }
+  private val ctCache = scala.collection.mutable.Map[String, TerminologyRegistry]()
+
+  /** Default CT registry (SDTM-first order) — the pre-r4 single-registry
+    * surface; standard-aware callers should use [[ct]]. */
+  lazy val ctRegistry: TerminologyRegistry = ct("sdtm")
 }

@@ -47,6 +47,18 @@ class ValidateSpec extends SparkSpec {
     assert(out == Seq("OTHER"))
   }
 
+  test("SEND-only codelist (DM.SPECIES C77808) validates through the SEND registry") {
+    import graft.standards.Standards
+    val dm = Seq(("STUDY1", "S1", "RAT"), ("STUDY1", "S2", "SPARKLEDOG"))
+      .toDF("STUDYID", "USUBJID", "SPECIES")
+    val domain = Standards.domain("send", "DM").get
+    val issues = DomainValidation.validateDomain(dm, domain, ct = Standards.ct("send"))
+    val ctIssue = issues.find(i => i.variable == "SPECIES" && i.kind == "InvalidCtValue")
+    // C77808 is extensible → Info, one bad distinct value, sampled
+    assert(ctIssue.exists(i => i.count == 1 && i.severity == "Info"), issues.toString)
+    assert(ctIssue.exists(_.samples.contains("SPARKLEDOG")))
+  }
+
   test("X1 orphan subjects via broadcast anti-join") {
     val dom = Seq(("S1", 1), ("S2", 2), ("S3", 3)).toDF("usubjid", "n")
     val dm = Seq("S1", "S3").toDF("usubjid")

@@ -63,4 +63,49 @@ class StandardsSpec extends AnyFunSuite {
     assert(Standards.domain("sdtm", "dm").map(_.name).contains("DM"))
     assert(Standards.domain("SEND", "ex").isDefined)
   }
+
+  // ---- Controlled Terminology: full embedded quarterly exports -------------
+
+  test("CT catalogs load the full embedded publication set") {
+    val labels = Standards.ctCatalogs.map(_.label).toSet
+    assert(labels == Set("SDTM CT", "ADaM CT", "CDASH CT", "Define-XML CT",
+      "Protocol CT", "SEND CT"))
+    val send = Standards.ctCatalogs.find(_.label == "SEND CT").get
+    assert(send.version.contains(Standards.CtVersion))
+    assert(send.publishingSet.contains("SEND"))
+    // the full SEND CT quarterly export carries 140+ codelists
+    assert(send.codelists.size >= 140,
+      s"expected >=140 SEND CT codelists, got ${send.codelists.size}")
+    assert(Standards.ct("sdtm").codes.size >= 150)
+  }
+
+  test("CT registry resolves realistic vocabularies (UNIT/ROUTE/FREQ via fallback)") {
+    val sdtm = Standards.ct("sdtm")
+    // SDTM-specific lists come from the curated catalog
+    assert(sdtm.get("C74457").exists(_.terms.size >= 5)) // RACE
+    assert(sdtm.get("C66790").exists(!_.extensible)) // ETHNIC
+    // shared lists fall through to the published SEND CT export with
+    // realistic term counts (UNIT ~900, ROUTE ~140, FREQ ~100)
+    assert(sdtm.get("C71620").exists(_.terms.size >= 900), "UNIT")
+    assert(sdtm.get("C66729").exists(_.terms.size >= 100), "ROUTE")
+    assert(sdtm.get("C71113").exists(_.terms.size >= 80), "FREQ")
+    assert(sdtm.lookupMap("C71620").contains("MG/DL"))
+  }
+
+  test("CT resolution order follows the study standard") {
+    // SDTM studies resolve SEX from the curated SDTM catalog (4 terms incl.
+    // INTERSEX); SEND studies resolve it from the SEND CT export
+    val viaSdtm = Standards.ct("sdtm").get("C66731").get
+    assert(viaSdtm.resolve("Male").contains("M"))
+    val viaSend = Standards.ct("send").get("C66731").get
+    assert(viaSend.terms.nonEmpty)
+    // ADaM-only codelists (Date Imputation Flag) exist only through the ADaM
+    // CT export and resolve for every standard via the alphabetical tail
+    assert(Standards.ct("adam").get("C81223").exists(_.name == "Date Imputation Flag"))
+    assert(Standards.ct("sdtm").get("C81223").isDefined)
+    // ADaM registry puts its own publication first
+    assert(Standards.ct("adam").catalogs.head.label == "ADaM CT")
+    assert(Standards.ct("send").catalogs.head.label == "SEND CT")
+    assert(Standards.ct("sdtm").catalogs.head.label == "SDTM CT")
+  }
 }
