@@ -13,34 +13,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT + codegen + parquet footer cache, so per-query
-    // numbers reflect steady state rather than first-query JVM startup
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    val names = SparkEntry.queries.keys.toVector.sorted
+    val failed = scala.collection.mutable.Set[String]()
     // noop sink (not count()) so Catalyst can't prune the projected
     // expressions out from under the timer — every query runs its full work.
-    // Median of `runs` measurements per query: one-off machine noise (page
-    // cache, GC, competing load) dominated several BENCH_r02 outliers, and a
-    // single sample can't distinguish that from a real regression.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // drop anything a query cached so the next run (and the next query)
-        // re-does its full work against a cold cache manager
-        spark.catalog.clearCache()
-        if (ok) elapsed else -1.0
-      }
-      // failures report -1, never a normal-looking elapsed time
-      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.length / 2))
+    def runOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try {
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed += name; false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop anything the query cached so the next one re-does its full work,
+      // and collect the garbage it left so its GC debt isn't billed to the
+      // next query's timer
+      spark.catalog.clearCache()
+      System.gc()
+      if (ok) elapsed else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Samples are taken in interleaved rounds (q1..qN, q1..qN, ...) rather
+    // than back-to-back per query: a transient noise window (competing load,
+    // page-cache eviction, JIT deopt storm) then corrupts at most ONE sample
+    // of each query instead of all of them, and the median discards it.
+    // BENCH_r04's 44% phantom regression came from exactly that failure mode.
+    // Round 0 is an untimed warmup of every query — JIT, codegen cache,
+    // parquet footers — so timed rounds measure steady state.
+    names.foreach(runOne)
+    val samples = Vector.fill(runs) {
+      Thread.sleep(200) // settle after the GC burst before the next round
+      names.map(n => n -> runOne(n)).toMap
+    }
+    val results = names.map { n =>
+      val ts = samples.map(_(n))
+      if (failed(n)) n -> (-1.0, -1.0)
+      else n -> (ts.sorted.apply(ts.length / 2), ts.min)
+    }
+    def jmap(f: ((Double, Double)) => Double) =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (med, _)) if med >= 0 => med }.sum
+    val totalMin = results.collect { case (_, (_, mn)) if mn >= 0 => mn }.sum
+    // median is the headline (robust to one bad round); min is the noise
+    // floor — a large median/min gap flags ambient load, not a regression
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"total_min":$totalMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

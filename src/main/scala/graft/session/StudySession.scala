@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
-import graft.sinks.{XmlSinks, XmlVariable, XmlCodelist, XptWriter}
+import graft.sinks.{CtStandard, XmlSinks, XmlVariable, XmlCodelist, XptWriter}
 import graft.sources.{CsvIngest, ItemMeta, ItemsMetadata}
 import graft.standards.{SdtmDomain, Standards, VariableType}
 
@@ -225,16 +225,24 @@ class StudySession(val spark: SparkSession, val studyId: String,
         declaredLengths = charLengths)
       written += xptPath
 
+      // Trial Design / Study Reference datasets are reference data, not
+      // subject data (is_reference_domain — export/common.rs:74-80): they
+      // ride in <ReferenceData> in Dataset-XML and carry
+      // def:IsReferenceData="Yes" in Define-XML
+      val isRefData = domain.className.exists(c =>
+        c.equalsIgnoreCase("Trial Design") || c.equalsIgnoreCase("Study Reference"))
+
       // Dataset-XML
       val xmlPath = s"$outDir/${code.toLowerCase}.xml"
       XmlSinks.writeDatasetXmlFile(frame, xmlPath, code, studyId, "3.4",
-        varNames, orderCol = Some(CsvIngest.RowIdCol))
+        varNames, orderCol = Some(CsvIngest.RowIdCol), isReferenceData = isRefData)
       written += xmlPath
       defineDatasets += XmlSinks.DefineDataset(
         name = code, domain = base,
         label = domain.label.getOrElse(code),
         structure = domain.structure.getOrElse(""),
         klass = domain.className.getOrElse(""),
+        isReferenceData = isRefData,
         variables = domain.variablesByRole.filter(v => frame.columns.contains(v.name))
           .map { v =>
             // only reference codelists the CT catalog can actually define —
@@ -302,13 +310,24 @@ class StudySession(val spark: SparkSession, val studyId: String,
       }
     }
 
+    // each codelist links to the CT publication it resolved from; the
+    // distinct publications become the def:Standards section
+    // (define_xml.rs:377-400: OID = STD.CT.{publishingSet}.{version})
+    val ctStandards = scala.collection.mutable.LinkedHashMap[String, CtStandard]()
     val codelists = usedCodelists.toSeq.flatMap(code =>
-      Standards.ct(standard).get(code).map(cl =>
+      Standards.ct(standard).getWithCatalog(code).map { case (cl, cat) =>
+        val stdOid = for (set <- cat.publishingSet; ver <- cat.version) yield {
+          val oid = s"STD.CT.${XmlSinks.sanitizeOid(set)}.${XmlSinks.sanitizeOid(ver)}"
+          ctStandards.getOrElseUpdate(oid,
+            CtStandard(oid, "CDISC/NCI", set, ver))
+          oid
+        }
         XmlCodelist(s"CL.$code", cl.name, cl.extensible,
-          cl.terms.map(_.submissionValue).distinct)))
+          cl.terms.map(_.submissionValue).distinct, standardOid = stdOid)
+      })
     val definePath = s"$outDir/define.xml"
     XmlSinks.writeDefineXmlFile(definePath, studyId, "3.4",
-      defineDatasets.result(), codelists)
+      defineDatasets.result(), codelists, ctStandards.values.toSeq)
     written += definePath
     written.result()
   }

@@ -19,8 +19,15 @@ case class XmlVariable(
     codelistOid: Option[String] = None,
     declaredLength: Option[Int] = None)
 
-/** One codelist rendered into Define-XML. */
-case class XmlCodelist(oid: String, name: String, extensible: Boolean, values: Seq[String])
+/** One codelist rendered into Define-XML. `standardOid` links the list to
+  * its CT publication in the `def:Standards` section (define_xml.rs:316). */
+case class XmlCodelist(oid: String, name: String, extensible: Boolean, values: Seq[String],
+    standardOid: Option[String] = None)
+
+/** One CT publication for the `def:Standards` section
+  * (`CtStandard` — define_xml.rs:64-70,203-216): OID is
+  * `STD.CT.{publishingSet}.{version}`, name is the issuing body. */
+case class CtStandard(oid: String, name: String, publishingSet: String, version: String)
 
 /** Per-variable data-dependent stats feeding the writers. */
 case class VarStats(maxLength: Int, hasData: Boolean)
@@ -152,15 +159,17 @@ object XmlSinks {
 
   def writeDatasetXmlFile(df: DataFrame, path: String, datasetName: String,
       studyId: String, igVersion: String, variables: Seq[String],
-      orderCol: Option[String] = None): Long = {
+      orderCol: Option[String] = None, isReferenceData: Boolean = false): Long = {
     val w = utf8Writer(path)
-    try writeDatasetXml(df, w, datasetName, studyId, igVersion, variables, orderCol)
+    try writeDatasetXml(df, w, datasetName, studyId, igVersion, variables, orderCol,
+      isReferenceData)
     finally w.close()
   }
 
   // ---- K3: Define-XML 2.1 ---------------------------------------------------
 
-  /** One dataset entry in the Define document. */
+  /** One dataset entry in the Define document. `isReferenceData` marks
+    * Trial Design / Study Reference class datasets (common.rs:74-80). */
   case class DefineDataset(
       name: String,
       domain: String,
@@ -168,7 +177,8 @@ object XmlSinks {
       structure: String,
       klass: String,
       variables: Seq[XmlVariable],
-      stats: Map[String, VarStats])
+      stats: Map[String, VarStats],
+      isReferenceData: Boolean = false)
 
   /**
    * Write Define-XML 2.1: ItemGroupDef per dataset (present variables in
@@ -178,6 +188,7 @@ object XmlSinks {
    */
   def writeDefineXml(w: Writer, studyId: String, igVersion: String,
       datasets: Seq[DefineDataset], codelists: Seq[XmlCodelist],
+      ctStandards: Seq[CtStandard] = Nil,
       creationDateTime: String = "2020-01-01T00:00:00Z"): Unit = {
     val studyOid = s"STDY.${sanitizeOid(studyId)}"
     val fileOid = s"$studyOid.Define-XML_$DefineXmlVersion"
@@ -196,11 +207,23 @@ object XmlSinks {
     w.write(s"""    <MetaDataVersion OID="${escape(mdvOid)}" Name="Study ${escape(studyId)}, Data Definitions"""")
     w.write(s""" Description="SDTM ${escape(igVersion)} metadata definitions for ${escape(studyId)}" def:DefineVersion="$DefineXmlVersion">\n""")
 
+    // def:Standards — the CT publications the codelists below resolve from
+    // (define_xml.rs:203-216; sorted by OID like the reference's BTreeMap)
+    if (ctStandards.nonEmpty) {
+      w.write("      <def:Standards>\n")
+      ctStandards.sortBy(_.oid).foreach { s =>
+        w.write(s"""        <def:Standard OID="${escape(s.oid)}" Name="${escape(s.name)}" Type="CT"""")
+        w.write(s""" PublishingSet="${escape(s.publishingSet)}" Version="${escape(s.version)}" Status="Final"/>\n""")
+      }
+      w.write("      </def:Standards>\n")
+    }
+
     datasets.sortBy(_.name).foreach { ds =>
       val dsOid = sanitizeOid(ds.name)
       w.write(s"""      <ItemGroupDef OID="IG.$dsOid" Name="${escape(ds.name)}" Repeating="Yes"""")
       w.write(s""" Domain="${escape(ds.domain)}" SASDatasetName="${escape(ds.name.take(8))}"""")
       w.write(s""" def:Label="${escape(ds.label)}" def:Class="${escape(ds.klass)}"""")
+      if (ds.isReferenceData) w.write(""" def:IsReferenceData="Yes"""")
       w.write(s""" def:Structure="${escape(ds.structure)}">\n""")
       var keySeq = 1
       ds.variables.zipWithIndex.foreach { case (v, idx) =>
@@ -242,6 +265,7 @@ object XmlSinks {
 
     codelists.sortBy(_.oid).foreach { cl =>
       w.write(s"""      <CodeList OID="${escape(cl.oid)}" Name="${escape(cl.name)}" DataType="text"""")
+      cl.standardOid.foreach(so => w.write(s""" def:StandardOID="${escape(so)}""""))
       if (cl.extensible) w.write(""" def:Extensible="Yes"""")
       w.write(">\n")
       cl.values.foreach { v =>
@@ -257,9 +281,10 @@ object XmlSinks {
   }
 
   def writeDefineXmlFile(path: String, studyId: String, igVersion: String,
-      datasets: Seq[DefineDataset], codelists: Seq[XmlCodelist]): Unit = {
+      datasets: Seq[DefineDataset], codelists: Seq[XmlCodelist],
+      ctStandards: Seq[CtStandard] = Nil): Unit = {
     val w = utf8Writer(path)
-    try writeDefineXml(w, studyId, igVersion, datasets, codelists)
+    try writeDefineXml(w, studyId, igVersion, datasets, codelists, ctStandards)
     finally w.close()
   }
 }

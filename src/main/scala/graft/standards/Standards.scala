@@ -109,6 +109,15 @@ case class TerminologyRegistry(catalogs: Seq[TerminologyCatalog]) {
     val key = code.trim.toUpperCase
     catalogs.iterator.flatMap(_.codelists.get(key)).nextOption()
   }
+  /** Same priority-ordered resolve, but also returns the catalog that won —
+    * Define-XML needs its publishingSet/version for `def:Standards`
+    * (`TerminologyRegistry::resolve` returns the catalog too —
+    * ct/types.rs:296-330, consumed at define_xml.rs:377-400). */
+  def getWithCatalog(code: String): Option[(Codelist, TerminologyCatalog)] = {
+    val key = code.trim.toUpperCase
+    catalogs.iterator
+      .flatMap(c => c.codelists.get(key).map(_ -> c)).nextOption()
+  }
   /** Broadcastable lookup map for one codelist. */
   def lookupMap(code: String): Map[String, String] =
     get(code).map(_.index).getOrElse(Map.empty)

@@ -70,5 +70,39 @@ class XmlSinksSpec extends SparkSpec {
     assert(xml.contains("""<def:Origin Type="Not Available"/>"""))
     assert(xml.contains("""<CodeListItem CodedValue="M">"""))
     assert(xml.contains("def:DefineVersion=\"2.1.0\""))
+    // no CT publications passed → no def:Standards section
+    assert(!xml.contains("<def:Standards>"))
+  }
+
+  test("Define-XML: def:Standards section, def:StandardOID, def:IsReferenceData") {
+    val df = Seq(("TA1", "SCRN"), ("TA2", "TRT")).toDF("ETCD", "EPOCH")
+    val vars = Seq(
+      XmlVariable("ETCD", "Element Code", required = true, identifier = true),
+      XmlVariable("EPOCH", "Epoch", codelistOid = Some("CL.C99079")))
+    val ta = XmlSinks.DefineDataset("TA", "TA", "Trial Arms",
+      "One record per planned Element per Arm", "TRIAL DESIGN", vars,
+      XmlSinks.varStats(df, vars.map(_.name)), isReferenceData = true)
+    val std = CtStandard("STD.CT.SDTM.2025-03-28", "CDISC/NCI", "SDTM", "2025-03-28")
+    val w = new StringWriter
+    XmlSinks.writeDefineXml(w, "STUDY1", "3.4", Seq(ta),
+      Seq(XmlCodelist("CL.C99079", "Epoch", extensible = true, Seq("SCREENING", "TREATMENT"),
+        standardOid = Some(std.oid))),
+      ctStandards = Seq(std))
+    val xml = w.toString
+    // def:Standards block carries the CT publication (define_xml.rs:203-216)
+    assert(xml.contains("<def:Standards>"))
+    assert(xml.contains("""<def:Standard OID="STD.CT.SDTM.2025-03-28" Name="CDISC/NCI" Type="CT" PublishingSet="SDTM" Version="2025-03-28" Status="Final"/>"""))
+    // trial-design dataset marked as reference data (common.rs:74-80)
+    assert(xml.contains("""def:IsReferenceData="Yes""""))
+    // codelist links back to its publication (define_xml.rs:316)
+    assert(xml.contains("""<CodeList OID="CL.C99079" Name="Epoch" DataType="text" def:StandardOID="STD.CT.SDTM.2025-03-28" def:Extensible="Yes">"""))
+  }
+
+  test("Dataset-XML: reference-data domains ride in ReferenceData container") {
+    val df = Seq(Tuple1("TA1")).toDF("ETCD")
+    val w = new StringWriter
+    XmlSinks.writeDatasetXml(df, w, "TA", "S", "3.4", Seq("ETCD"), isReferenceData = true)
+    assert(w.toString.contains("<ReferenceData StudyOID="))
+    assert(!w.toString.contains("<ClinicalData"))
   }
 }
