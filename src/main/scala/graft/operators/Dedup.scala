@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Scoped cache for the near-dup pipelines: populate `df`'s cache with one
+    * job (so parallel DAG branches never race to compute the same partition
+    * — the source of "Block already exists" warnings), build the result,
+    * materialize it with an eager localCheckpoint (the result is the SMALL
+    * side — candidate pairs, not the corpus), and always release the cache.
+    * Repeated calls therefore never accumulate cached token/signature
+    * relations across the session. */
+  private def withScopedCache(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val cached = df.cache()
+    try {
+      cached.count()
+      body(cached).localCheckpoint(eager = true)
+    } finally cached.unpersist(blocking = false)
+  }
+
   // ---- exact --------------------------------------------------------------
 
   /** Exact dedup: one survivor (min `idCol`) per identical `textCol`.
@@ -165,26 +180,25 @@ object Dedup {
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 32, rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    // cache lifecycle: the token relation feeds both signature building and
-    // candidate verification; the cache lives until the caller clears it
-    // (spark.catalog.clearCache(), as Bench does between queries)
-    val tokens = docTokens(df, idCol, textCol).cache()
-    val cands = lshCandidates(
-      lshBuckets(minhashSignatures(tokens, numHashes, seed), rowsPerBand, numHashes))
-    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("size"))
-    val inter = cands
-      .join(tokens.select(col("id").as("i"), col("token")), Seq("i"))
-      .join(tokens.select(col("id").as("j"), col("token")), Seq("j", "token"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
-      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), col("jaccard"))
-  }
+      seed: Long = 42L): DataFrame =
+    // the token relation feeds signature building, sizes, AND candidate
+    // verification — cached for the duration of this call only
+    withScopedCache(docTokens(df, idCol, textCol)) { tokens =>
+      val cands = lshCandidates(
+        lshBuckets(minhashSignatures(tokens, numHashes, seed), rowsPerBand, numHashes))
+      val sizes = tokens.groupBy("id").agg(count(lit(1)).as("size"))
+      val inter = cands
+        .join(tokens.select(col("id").as("i"), col("token")), Seq("i"))
+        .join(tokens.select(col("id").as("j"), col("token")), Seq("j", "token"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
+        .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("i"), col("j"), col("jaccard"))
+    }
 
   // ---- SimHash ------------------------------------------------------------
 
@@ -223,23 +237,23 @@ object Dedup {
    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, bands: Int = 4,
-      hash: Column = xxhash64(col("token")), bits: Int = 64): DataFrame = {
-    val fps = simhash(docTokens(df, idCol, textCol), hash = hash, bits = bits).cache()
-    val width = bits / bands
-    val banded = fps.select(col("id"), col("simhash"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        hamming(col("a.simhash"), col("b.simhash")).as("distance"))
-      .distinct()
-      .where(col("distance") <= maxDistance)
-  }
+      hash: Column = xxhash64(col("token")), bits: Int = 64): DataFrame =
+    withScopedCache(simhash(docTokens(df, idCol, textCol), hash = hash, bits = bits)) { fps =>
+      val width = bits / bands
+      val banded = fps.select(col("id"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
+        .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("i"), col("b.id").as("j"),
+          hamming(col("a.simhash"), col("b.simhash")).as("distance"))
+        .distinct()
+        .where(col("distance") <= maxDistance)
+    }
 
   // ---- embedding cosine ---------------------------------------------------
 
@@ -294,25 +308,26 @@ object Dedup {
         return Seq.empty[(Long, Long, Double)].toDF("i", "j", "cosine")
     }
     val planes = randomHyperplanes(bits, dim, seed)
-    val n = nonNull.where(size(col(vecCol)) === dim)
-      .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v")).cache()
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dotProduct(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val width = bits / bands
-    val banded = n.withColumn("sig", sigBits)
-      .select(col("id"), col("v"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        dotProduct(col("a.v"), col("b.v")).as("cosine"))
-      .distinct()
-      .where(col("cosine") >= threshold)
+    withScopedCache(nonNull.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))) { n =>
+      val sigBits = planes.zipWithIndex.map { case (p, i) =>
+        val planeCol = array(p.map(lit): _*)
+        when(dotProduct(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val width = bits / bands
+      val banded = n.withColumn("sig", sigBits)
+        .select(col("id"), col("v"), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
+        .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("i"), col("b.id").as("j"),
+          dotProduct(col("a.v"), col("b.v")).as("cosine"))
+        .distinct()
+        .where(col("cosine") >= threshold)
+    }
   }
 }

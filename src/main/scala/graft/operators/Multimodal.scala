@@ -52,10 +52,18 @@ object Multimodal {
     * task holds ~`targetBytesPerPartition`. Distribution is hash-by-id, so
     * a single record far above the target still lands whole in one task —
     * cap oversized media upstream (or split containers into chunks) if the
-    * corpus has them. */
-  def repartitionForDecode(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val row = df.agg(sum(col("n_bytes"))).head()
-    val totalBytes = if (row.isNullAt(0)) 0L else row.getLong(0)
+    * corpus has them.
+    *
+    * `totalBytesHint`: pass the corpus byte volume when the caller already
+    * knows it (catalog stats, an ingest-time counter, a prior aggregate) —
+    * otherwise this runs ONE extra `sum(n_bytes)` job over the frame before
+    * the decode pass. */
+  def repartitionForDecode(df: DataFrame, targetBytesPerPartition: Long,
+      totalBytesHint: Option[Long] = None): DataFrame = {
+    val totalBytes = totalBytesHint.getOrElse {
+      val row = df.agg(sum(col("n_bytes"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
     df.repartition(parts, col("media_id"))
   }

@@ -71,6 +71,25 @@ object Validate {
   def samples(c: Column, bad: Column, n: Int = 5): Column =
     slice(sort_array(collect_set(when(bad, txt(c)))), 1, n)
 
+  /** Config key gating the X1/X5 broadcast hints (bytes; ≤ 0 disables the
+    * hint entirely). */
+  val BroadcastThresholdKey = "spark.graft.validate.broadcastThreshold"
+  val BroadcastThresholdDefault: Long = 64L << 20
+
+  /** Broadcast hint only when Catalyst's size estimate fits the configured
+    * threshold. At submission scale the subject/key dimensions are tiny and
+    * the hint wins; at 100× the estimate (derived from the scan size)
+    * exceeds the threshold, the hint is withheld, and AQE picks the join
+    * strategy from ACTUAL runtime sizes — an unconditional hint would force
+    * a driver-side collect of an unbounded table and OOM instead. */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    val threshold = df.sparkSession.conf
+      .get(BroadcastThresholdKey, BroadcastThresholdDefault.toString).toLong
+    if (threshold > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
+  }
+
   // ---- V5: duplicate sequence numbers within a subject ----------------------
   /** Count of surplus rows: sum(count-1) over duplicated (subject, seq). */
   def duplicateSeqCount(df: DataFrame, subject: String, seq: String): DataFrame =
@@ -95,7 +114,7 @@ object Validate {
   def orphanSubjects(domain: DataFrame, dm: DataFrame, key: String): DataFrame = {
     val dmKeys = dm.select(txt(col(key)).as(key)).distinct()
     domain.withColumn(key, txt(col(key)))
-      .join(broadcast(dmKeys), Seq(key), "left_anti")
+      .join(maybeBroadcast(dmKeys), Seq(key), "left_anti")
   }
 
   // ---- X2: RDOMAIN must name a submitted domain ------------------------------
@@ -152,5 +171,5 @@ object Validate {
       .select(upper(txt(col(rdomain))).as("rdomain"), upper(txt(col(idvar))).as("idvar"),
         txt(col(idvarval)).as("idvarval"))
       .where(col("idvarval") =!= "")
-      .join(broadcast(keys), Seq("rdomain", "idvar", "idvarval"), "left_anti")
+      .join(maybeBroadcast(keys), Seq("rdomain", "idvar", "idvarval"), "left_anti")
 }

@@ -35,6 +35,12 @@ object CsvIngest {
     * offset — the SEQ window and XML row numbering order by this. */
   val RowIdCol = "_row_id"
 
+  /** Config key for the UTF-8 transcode cache directory. Default is the
+    * driver's JVM temp dir (fine for local mode); on a cluster point it at
+    * storage every executor can read (shared mount), or the transcoded scan
+    * path won't resolve on the workers. */
+  val TranscodeDirKey = "spark.graft.csv.transcodeDir"
+
   // ---- S2: encoding detection ----------------------------------------------
 
   /** BOM sniff (`reader.rs:97-133`): UTF-8 / UTF-16 LE / UTF-16 BE; default
@@ -102,20 +108,24 @@ object CsvIngest {
     * big UTF-16 file then parallelizes like any UTF-8 file instead of
     * serializing into a single task. The BOM is dropped.
     *
-    * The copy lands in the JVM temp dir under a name derived from the
-    * source's (path, size, mtime), so re-reading an unchanged file reuses
-    * the existing copy instead of re-transcoding. Like the CSV ingest
-    * surface as a whole, this assumes driver-visible local files (the
-    * reference's desktop model); on a cluster the raw CSVs live on shared
-    * storage and the transcoded copy must be written there instead. */
-  private def transcodeToUtf8(path: String, cs: Charset): String = {
+    * The copy lands in `cacheDir` (default: the JVM temp dir; set
+    * [[TranscodeDirKey]] to a shared mount on a cluster — executors must be
+    * able to read the transcoded path, so driver-local tmp only works in
+    * local mode) under a name derived from the source's (path, size,
+    * mtime), so re-reading an unchanged file reuses the existing copy
+    * instead of re-transcoding. */
+  private def transcodeToUtf8(path: String, cs: Charset,
+      cacheDir: Option[String] = None): String = {
     val src = Paths.get(path)
     val key = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val id = s"${src.toAbsolutePath}|${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
       md.digest(id.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
     }
-    val tmp = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-utf8-$key.csv")
+    val dir = cacheDir.map(Paths.get(_)).getOrElse(
+      Paths.get(System.getProperty("java.io.tmpdir")))
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"graft-utf8-$key.csv")
     if (Files.exists(tmp)) return tmp.toString
     // write to a private .part file and move into place atomically, so a
     // crashed half-written transcode is never mistaken for a finished one
@@ -173,7 +183,10 @@ object CsvIngest {
     // Non-UTF-8 inputs are transcoded once on the driver (see
     // transcodeToUtf8) so the executor scan always runs Spark's splittable
     // single-byte-newline fast path — never a whole-file multiLine task.
-    val scanPath = if (cs == StandardCharsets.UTF_8) path else transcodeToUtf8(path, cs)
+    val scanPath =
+      if (cs == StandardCharsets.UTF_8) path
+      else transcodeToUtf8(path, cs,
+        cacheDir = Option(spark.conf.get(TranscodeDirKey, null)))
     val df = spark.read
       .schema(schema)
       .option("header", "false")

@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** True when the session's SQL cache manager holds no cached plans —
+    * lets tests assert that operators release every `Dataset.cache()` they
+    * take (localCheckpoint persists RDD-level only and doesn't register
+    * here, so scoped-cache leaks are isolated from checkpoint storage). */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -163,4 +163,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L))) // identical direction collides in every band
     assert(lsh.toSet.subsetOf(brute.toSet)) // LSH verified results ⊆ brute
   }
+
+  test("near-dup pipelines release their caches (repeated calls don't leak)") {
+    spark.catalog.clearCache()
+    (1 to 2).foreach { _ =>
+      Dedup.minhashNearDups(corpus, "doc_id", "text", 0.5).count()
+      Dedup.simhashNearDups(corpus, "doc_id", "text", maxDistance = 20).count()
+    }
+    // the scoped token/fingerprint caches must all have been released —
+    // only the localCheckpoint result storage (RDD-level, not a cached
+    // plan) may outlive the calls
+    assert(org.apache.spark.sql.GraftBridge.noCachedPlans(spark))
+  }
 }

@@ -27,6 +27,26 @@ class MultimodalSpec extends SparkSpec {
     assert(parts.rdd.getNumPartitions == 2) // 116 bytes / 60 → 2 partitions
   }
 
+  test("repartitionForDecode with a byte hint runs no job") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val parts = Multimodal.repartitionForDecode(media, targetBytesPerPartition = 60,
+        totalBytesHint = Some(116L))
+      // plan construction must stay lazy — the pre-counted corpus skips
+      // the sum(n_bytes) aggregate entirely (listener delivery is async;
+      // a job the hint failed to avoid would have blocked in head() long
+      // enough for its start event to land within the settle window)
+      Thread.sleep(300)
+      assert(jobs.get() == 0)
+      assert(parts.rdd.getNumPartitions == 2)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("stub decode is deterministic and dimension-sane") {
     val a = Multimodal.decodeImageStub("hello world".getBytes)
     val b = Multimodal.decodeImageStub("hello world".getBytes)

@@ -67,6 +67,30 @@ class ValidateSpec extends SparkSpec {
     assert(out == Seq("S2"))
   }
 
+  test("X1/X5 broadcast hint is withheld under threshold 0, results identical") {
+    val dom = Seq(("S1", 1), ("S2", 2), ("S3", 3)).toDF("usubjid", "n")
+    val dm = Seq("S1", "S3").toDF("usubjid")
+    val refs = Seq(("AE", "AESEQ", "1"), ("AE", "AESEQ", "9")).toDF("rdomain", "idvar", "idvarval")
+    val keys = Seq(("AE", "AESEQ", "1")).toDF("rdomain", "idvar", "idvarval")
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    // default threshold: tiny dimensions get the hint
+    assert(hinted(Validate.orphanSubjects(dom, dm, "usubjid")))
+    assert(hinted(Validate.danglingRecordRefs(refs, keys)))
+    spark.conf.set(Validate.BroadcastThresholdKey, "0")
+    try {
+      // threshold 0: no hint anywhere — AQE owns the join strategy — and
+      // the shuffled plan returns the same rows
+      val x1 = Validate.orphanSubjects(dom, dm, "usubjid")
+      val x5 = Validate.danglingRecordRefs(refs, keys)
+      assert(!hinted(x1) && !hinted(x5))
+      assert(x1.select("usubjid").collect().map(_.getString(0)).toSeq == Seq("S2"))
+      assert(x5.select("idvarval").collect().map(_.getString(0)).toSeq == Seq("9"))
+    } finally spark.conf.unset(Validate.BroadcastThresholdKey)
+  }
+
   test("X3 reciprocal pairs") {
     val pairs = Seq(("A", "B"), ("B", "A"), ("A", "C")).toDF("u", "r")
     val out = Validate.missingReciprocal(pairs, "u", "r")

@@ -69,6 +69,21 @@ class CsvIngestSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Ana", "Bo"))
   }
 
+  test("transcode cache directory is configurable (cluster shared storage)") {
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft-transcode-spec")
+    val content = "SUBJID,NAME\n201,Cy\n"
+    val p = write("utf16dir.csv", content, StandardCharsets.UTF_16LE,
+      bom = Array(0xFF.toByte, 0xFE.toByte))
+    spark.conf.set(CsvIngest.TranscodeDirKey, cacheDir.toString)
+    try {
+      val (df, _) = CsvIngest.readCsvTable(spark, p)
+      assert(df.count() == 1)
+      // the UTF-8 copy landed in the configured directory, not java.io.tmpdir
+      val copies = cacheDir.toFile.listFiles().filter(_.getName.startsWith("graft-utf8-"))
+      assert(copies.length == 1, copies.mkString(","))
+    } finally spark.conf.unset(CsvIngest.TranscodeDirKey)
+  }
+
   test("UTF-16 ingest scans splittably (more than one input partition)") {
     // 4000 rows ≈ 120 KB as UTF-16; with a 16 KB partition ceiling the scan
     // must fan out — the old multiLine path forced one whole-file task
