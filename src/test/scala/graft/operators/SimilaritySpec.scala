@@ -36,6 +36,19 @@ class SimilaritySpec extends SparkSpec {
     assert(idx(3L) == 200L && idx(4L) == 200L)
   }
 
+  test("ivf assignment preserves non-numeric centroid id values and type") {
+    // string bucket names must survive verbatim — no numeric cast in the
+    // assignment path (an ANSI cast would throw; a silent cast would flip
+    // the output schema to bigint)
+    val centroids = Seq(("east", Array(1.0, 0.0)), ("north", Array(0.0, 1.0)))
+      .toDF("centroid_id", "v")
+    val out = Similarity.ivfAssign(vecs, centroids, "id", "v")
+    assert(out.schema("centroid_id").dataType.typeName == "string")
+    val idx = out.select("id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(idx(1L) == "east" && idx(3L) == "north")
+  }
+
   test("ivf with all probes matches brute force exactly") {
     val centroids = Seq((100L, Array(1.0, 0.0)), (200L, Array(0.0, 1.0)))
       .toDF("centroid_id", "v")

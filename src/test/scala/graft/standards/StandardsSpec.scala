@@ -90,6 +90,26 @@ class StandardsSpec extends AnyFunSuite {
     assert(sdtm.get("C66729").exists(_.terms.size >= 100), "ROUTE")
     assert(sdtm.get("C71113").exists(_.terms.size >= 80), "FREQ")
     assert(sdtm.lookupMap("C71620").contains("MG/DL"))
+    // VSTESTCD/LBTESTCD resolve through the SEND publication's exports
+    assert(sdtm.get("C66741").exists(_.terms.size >= 30), "VSTESTCD")
+    assert(sdtm.get("C65047").exists(_.terms.size >= 100), "LBTESTCD")
+  }
+
+  test("curated SDTM-only codelists carry realistic term sets") {
+    val sdtm = Standards.ct("sdtm")
+    // full OMB race categories + NOT REPORTED/UNKNOWN
+    val race = sdtm.get("C74457").get
+    assert(race.terms.size >= 8, race.terms.map(_.submissionValue).toString)
+    assert(race.resolve("not reported").contains("NOT REPORTED"))
+    assert(sdtm.get("C66790").exists(_.terms.size >= 4), "ETHNIC")
+    assert(sdtm.lookupMap("C66768").contains("RECOVERED/RESOLVED WITH SEQUELAE"), "OUT")
+    // DSDECOD (NCOMPLT), EPOCH, DSCAT — SDTM-only lists absent from every
+    // sibling publication, now resolvable
+    val ncomplt = sdtm.get("C66727").get
+    assert(ncomplt.extensible && ncomplt.terms.size >= 10)
+    assert(ncomplt.resolve("Subject Withdrew Consent").contains("WITHDRAWAL BY SUBJECT"))
+    assert(sdtm.get("C99079").exists(_.terms.size >= 7), "EPOCH")
+    assert(sdtm.lookupMap("C74558").contains("PROTOCOL MILESTONE"), "DSCAT")
   }
 
   test("CT resolution order follows the study standard") {
