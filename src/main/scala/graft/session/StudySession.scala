@@ -52,8 +52,9 @@ class StudySession(val spark: SparkSession, val studyId: String,
   def loadItemsMetadata(itemsCsvPath: String,
       codelists: Map[String, Map[String, String]] = Map.empty,
       codeListsCsvPath: Option[String] = None,
-      codeListsHeaderRows: Int = 2): Unit = {
-    val (df, _) = CsvIngest.readCsvTable(spark, itemsCsvPath)
+      codeListsHeaderRows: Int = 2,
+      itemsHeaderRows: Int = 1): Unit = {
+    val (df, _) = CsvIngest.readCsvTable(spark, itemsCsvPath, itemsHeaderRows)
     val dataCols = df.columns.filterNot(_ == CsvIngest.RowIdCol)
     val scores = ItemsMetadata.analyzeColumns(df.select(dataCols.map(col): _*))
     ItemsMetadata.detectSchema(scores).foreach { schema =>
