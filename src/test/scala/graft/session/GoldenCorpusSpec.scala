@@ -33,6 +33,11 @@ class GoldenCorpusSpec extends SparkSpec {
   private def resourceDir: Path = {
     val url = getClass.getResource("/golden/GOLD1_DM.csv")
     assert(url != null, "golden fixture resources missing from test classpath")
+    // requires an exploded-directory test classpath (sbt's default): the
+    // fixture paths are handed to CsvIngest/Spark, which need real files,
+    // so a jarred resource classpath can never serve this suite
+    assert(url.getProtocol == "file",
+      s"golden fixtures must be plain files on disk, got: $url")
     Paths.get(url.toURI).getParent
   }
 
@@ -93,6 +98,7 @@ class GoldenCorpusSpec extends SparkSpec {
   }
 
   test("golden export: semantic spot checks (split DOMAIN, SUPP, RELSUB augmentation)") {
+    firstExport // force the export — this test must not depend on suite order
     val out = "target/tmp/golden_out1"
     val dm = XptReader.read(s"$out/dm.xpt")
     assert(dm.rows.size == 4)
@@ -114,6 +120,7 @@ class GoldenCorpusSpec extends SparkSpec {
   }
 
   test("golden export: hashes match the committed goldens") {
+    firstExport // force the export — this test must not depend on suite order
     val goldensPath = sourceGoldenDir.resolve("goldens.txt")
     val definePath = sourceGoldenDir.resolve("expected_define.xml")
     if (sys.env.get("GOLDEN_UPDATE").contains("1")) {
