@@ -24,13 +24,33 @@ case class ProjectSnapshot(
     standard: String = "sdtm") // implementation guide the study is authored against
 
 /**
- * K4 — project persistence: JSON snapshot + SHA-256 source-change
- * detection (`io/hash.rs:15-42`).
+ * K4 — project persistence (`crates/tss-persistence/src/io/save.rs:78-106`,
+ * `io/load.rs:34-77`, `io/hash.rs:15-42`).
+ *
+ * Canonical on-disk form mirrors the reference's `.tss` container:
+ *
+ * {{{
+ *   4 bytes   magic "GTS\x01"
+ *   4 bytes   schema version, u32 little-endian
+ *   N bytes   payload
+ * }}}
+ *
+ * The payload is gzip-compressed JSON rather than the reference's rkyv
+ * archive — zero-copy deserialization has no JVM idiom, and a
+ * field-tolerant JSON codec is what gives the format its forward-
+ * evolution story here (new optional fields load as null/default from
+ * old files). Saves are atomic (temp file + fsync + rename) so a crash
+ * mid-save never corrupts the previous snapshot; loads reject files
+ * with a version newer than this build and still accept the bare-JSON
+ * snapshots earlier releases wrote.
  */
 object Persistence {
 
   // v2 adds the `standard` field (v1 files load as SDTM)
   val FormatVersion = 2
+
+  /** `types/mod.rs:36` — 3 id bytes + one format-generation byte. */
+  val MagicBytes: Array[Byte] = Array('G'.toByte, 'T'.toByte, 'S'.toByte, 0x01.toByte)
 
   private val mapper = {
     val m = new ObjectMapper()
@@ -50,12 +70,71 @@ object Persistence {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  def save(snapshot: ProjectSnapshot, path: String): Unit =
+  /** Write the binary `.tss` container atomically (`io/save.rs:14-61`):
+    * serialize to a sibling temp file, fsync, then rename over the target
+    * so an interrupted save leaves the previous snapshot intact. */
+  def save(snapshot: ProjectSnapshot, path: String): Unit = {
+    val target = Paths.get(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(serialize(snapshot)))
+      ch.force(true)
+    } finally ch.close()
+    try
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { // filesystems without atomic rename-over (some network mounts)
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Human-readable save for debugging/diffing; `load` accepts both. */
+  def saveJson(snapshot: ProjectSnapshot, path: String): Unit =
     Files.write(Paths.get(path),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(snapshot))
 
+  private[session] def serialize(snapshot: ProjectSnapshot): Array[Byte] = {
+    val payload = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      try gz.write(mapper.writeValueAsBytes(snapshot)) finally gz.close()
+      bos.toByteArray
+    }
+    val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(MagicBytes).putInt(FormatVersion).put(payload)
+    out.array()
+  }
+
   def load(path: String): ProjectSnapshot = {
-    val snap = mapper.readValue(Files.readAllBytes(Paths.get(path)), classOf[ProjectSnapshot])
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val json =
+      if (bytes.length >= 4 && bytes.take(4).sameElements(MagicBytes)) {
+        // binary container: validate header (`io/load.rs:34-65`)
+        if (bytes.length < 9)
+          throw new IllegalArgumentException(s"$path: truncated snapshot (no payload)")
+        val version = java.nio.ByteBuffer.wrap(bytes, 4, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        if (version > FormatVersion)
+          throw new IllegalArgumentException(
+            s"$path: snapshot version $version is newer than this build's " +
+              s"max supported $FormatVersion")
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes, 8, bytes.length - 8))
+        try in.readAllBytes() finally in.close()
+      } else if (bytes.nonEmpty && bytes(0) == '{'.toByte) {
+        bytes // legacy bare-JSON snapshot from earlier releases
+      } else {
+        throw new IllegalArgumentException(
+          s"$path: not a graft project snapshot (bad magic bytes)")
+      }
+    val snap = mapper.readValue(json, classOf[ProjectSnapshot])
     // version-1 files predate the standard selector: Jackson leaves the
     // absent field null, which means SDTM
     if (snap.standard == null) snap.copy(standard = "sdtm") else snap

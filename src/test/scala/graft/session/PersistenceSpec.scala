@@ -1,0 +1,118 @@
+package graft.session
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary `.tss`-container format + auto-save policy (K4 —
+  * `crates/tss-persistence/src/io/{save,load}.rs`, `autosave/`).
+  * Spark-free: the snapshot codec and dirty tracking are driver-side.
+  */
+class PersistenceSpec extends AnyFunSuite {
+
+  private val snap = ProjectSnapshot(
+    formatVersion = Persistence.FormatVersion,
+    studyId = "S1",
+    assignments = Map("DM" -> "dm.csv"),
+    mappings = Map("DM" -> Map("SEX" -> "SEX", "USUBJID" -> "SUBJ")),
+    omitted = Map("DM" -> Seq("DROPME")),
+    sourceHashes = Map("DM" -> ("ab" * 32)),
+    standard = "send")
+
+  private def tmpPath(name: String): String = {
+    Files.createDirectories(Paths.get("target/tmp"))
+    s"target/tmp/$name"
+  }
+
+  test("binary container: header is magic + little-endian version, round trip exact") {
+    val p = tmpPath("persist_bin.tss")
+    Persistence.save(snap, p)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    assert(bytes.take(4).sameElements(Persistence.MagicBytes))
+    val version = java.nio.ByteBuffer.wrap(bytes, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(version == Persistence.FormatVersion)
+    assert(Persistence.load(p) == snap)
+  }
+
+  test("atomic save: overwrite leaves no temp file and the new content wins") {
+    val p = tmpPath("persist_atomic.tss")
+    Persistence.save(snap, p)
+    Persistence.save(snap.copy(studyId = "S2"), p)
+    assert(Persistence.load(p).studyId == "S2")
+    assert(!Files.exists(Paths.get(p + ".tmp")))
+  }
+
+  test("legacy bare-JSON snapshots still load, including v1 without standard") {
+    val p = tmpPath("persist_legacy.json")
+    Persistence.saveJson(snap, p)
+    assert(Persistence.load(p) == snap)
+    // v1 file: no standard field at all — loads as SDTM
+    val v1 = """{"formatVersion":1,"studyId":"OLD","assignments":{},
+      "mappings":{},"omitted":{},"sourceHashes":{}}"""
+    val p1 = tmpPath("persist_v1.json")
+    Files.write(Paths.get(p1), v1.getBytes("UTF-8"))
+    assert(Persistence.load(p1).standard == "sdtm")
+  }
+
+  test("load rejects newer versions and foreign files") {
+    // newer-version container: bump the header version field
+    val newer = Persistence.serialize(snap)
+    java.nio.ByteBuffer.wrap(newer, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Persistence.FormatVersion + 1)
+    val pNew = tmpPath("persist_newer.tss")
+    Files.write(Paths.get(pNew), newer)
+    val eNew = intercept[IllegalArgumentException](Persistence.load(pNew))
+    assert(eNew.getMessage.contains("newer"))
+    // not a snapshot at all
+    val pBad = tmpPath("persist_bad.tss")
+    Files.write(Paths.get(pBad), "XPTgarbage".getBytes("UTF-8"))
+    val eBad = intercept[IllegalArgumentException](Persistence.load(pBad))
+    assert(eBad.getMessage.contains("magic"))
+  }
+
+  // ---- auto-save policy ----------------------------------------------------
+
+  /** Manually-advanced clock so debounce decisions need no sleeping. */
+  private class FakeClock { var now = 0L; val fn: () => Long = () => now }
+
+  test("dirty tracker: debounce waits for quiet, max delay forces through") {
+    val clock = new FakeClock
+    val t = new DirtyTracker(clock.fn)
+    val cfg = AutoSaveConfig(debounceMs = 2000, maxDelayMs = 30000)
+    assert(!t.isDirty && !t.shouldAutoSave(cfg))
+
+    t.markDirty()
+    clock.now = 1999
+    assert(!t.shouldAutoSave(cfg), "debounce window still open")
+    clock.now = 2000
+    assert(t.shouldAutoSave(cfg), "quiet for debounceMs")
+
+    // an edit stream that never goes quiet: each change resets the debounce
+    // timer, but the max-delay clock anchored at the FIRST unsaved change
+    // eventually forces the save
+    t.saveComplete()
+    var ts = 10000L
+    while (ts < 39500L) { clock.now = ts; t.markDirty(); ts += 500 }
+    clock.now = 39500 // 500ms after last change (< debounce), 29.5s after first
+    assert(!t.shouldAutoSave(cfg))
+    clock.now = 40000 // 30s after the first unsaved change
+    assert(t.shouldAutoSave(cfg), "maxDelayMs forces a save mid-stream")
+  }
+
+  test("dirty tracker: in-flight and failed saves") {
+    val clock = new FakeClock
+    val t = new DirtyTracker(clock.fn)
+    val cfg = AutoSaveConfig(debounceMs = 100, maxDelayMs = 1000)
+    t.markDirty()
+    clock.now = 200
+    t.startSave()
+    assert(t.isSaving && !t.shouldAutoSave(cfg), "no double-save while in flight")
+    t.saveFailed()
+    assert(t.isDirty && t.shouldAutoSave(cfg), "failed save retries next tick")
+    t.startSave(); t.saveComplete()
+    assert(!t.isDirty && !t.shouldAutoSave(cfg))
+    assert(t.msSinceFirstUnsaved.isEmpty, "max-delay anchor resets on save")
+    assert(AutoSaveConfig.disabled.shouldSave(Long.MaxValue, Long.MaxValue) == false)
+  }
+}

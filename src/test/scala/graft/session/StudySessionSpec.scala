@@ -260,7 +260,7 @@ class StudySessionSpec extends SparkSpec {
   test("K4: snapshot round trip + change detection") {
     val assignments = Map("DM" -> "dm.csv", "AE" -> "ae.csv")
     val snap = Persistence.snapshotOf(session, studyDir, assignments)
-    val path = "target/tmp/study1.graft.json"
+    val path = "target/tmp/study1.tss"
     Persistence.save(snap, path)
     val loaded = Persistence.load(path)
     assert(loaded == snap)
