@@ -30,45 +30,65 @@ object AutoSaveConfig {
   * the default `System.nanoTime`-based clock.
   */
 final class DirtyTracker(clock: () => Long = DirtyTracker.monotonicMs) {
+  // a poller thread typically drives shouldAutoSave while the session
+  // thread mutates — every access synchronizes on `this` for visibility
   private var dirty = false
   private var saving = false
   private var lastChange: Option[Long] = None
   private var firstUnsavedChange: Option[Long] = None
+  // edits are counted so a markDirty landing WHILE a save is serializing
+  // (and therefore not captured by it) survives that save's completion
+  private var changeSeq = 0L
+  private var savedSeq = 0L
 
-  def isDirty: Boolean = dirty
-  def isSaving: Boolean = saving
+  def isDirty: Boolean = synchronized(dirty)
+  def isSaving: Boolean = synchronized(saving)
 
   /** Record a mutation. The first change since the last successful save
     * also anchors the max-delay clock. */
-  def markDirty(): Unit = {
+  def markDirty(): Unit = synchronized {
     val now = clock()
     dirty = true
+    changeSeq += 1
     lastChange = Some(now)
     if (firstUnsavedChange.isEmpty) firstUnsavedChange = Some(now)
   }
 
-  def startSave(): Unit = saving = true
+  /** Snapshot serialization begins: changes up to this point will be in
+    * the file; later ones must stay dirty past saveComplete(). */
+  def startSave(): Unit = synchronized {
+    saving = true
+    savedSeq = changeSeq
+  }
 
-  def saveComplete(): Unit = {
-    dirty = false
+  def saveComplete(): Unit = synchronized {
     saving = false
-    firstUnsavedChange = None
+    if (changeSeq == savedSeq) {
+      dirty = false
+      firstUnsavedChange = None
+    }
+    // else: an edit raced the save and is NOT in the file — keep dirty (and
+    // the existing max-delay anchor, conservatively early) so the next
+    // auto-save tick persists it
   }
 
   /** A failed save stays dirty so the next tick retries. */
-  def saveFailed(): Unit = saving = false
+  def saveFailed(): Unit = synchronized { saving = false }
 
-  def msSinceLastChange: Option[Long] = lastChange.map(clock() - _)
-  def msSinceFirstUnsaved: Option[Long] = firstUnsavedChange.map(clock() - _)
+  def msSinceLastChange: Option[Long] = synchronized(lastChange.map(clock() - _))
+  def msSinceFirstUnsaved: Option[Long] =
+    synchronized(firstUnsavedChange.map(clock() - _))
 
   /** One auto-save tick: true when the policy says persist now. Never true
     * while a save is already in flight. */
-  def shouldAutoSave(config: AutoSaveConfig): Boolean =
+  def shouldAutoSave(config: AutoSaveConfig): Boolean = synchronized {
     dirty && !saving && config.enabled &&
-      ((msSinceLastChange, msSinceFirstUnsaved) match {
-        case (Some(l), Some(f)) => config.shouldSave(l, f)
-        case _                  => false
+      ((lastChange, firstUnsavedChange) match {
+        case (Some(l), Some(f)) =>
+          val now = clock(); config.shouldSave(now - l, now - f)
+        case _ => false
       })
+  }
 }
 
 object DirtyTracker {

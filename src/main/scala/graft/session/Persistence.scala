@@ -77,20 +77,27 @@ object Persistence {
     val target = Paths.get(path)
     Option(target.getParent).foreach(Files.createDirectories(_))
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     try {
-      ch.write(java.nio.ByteBuffer.wrap(serialize(snapshot)))
-      ch.force(true)
-    } finally ch.close()
-    try
-      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { // filesystems without atomic rename-over (some network mounts)
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val buf = java.nio.ByteBuffer.wrap(serialize(snapshot))
+        while (buf.hasRemaining) ch.write(buf) // write() may be partial
+        ch.force(true)
+      } finally ch.close()
+      try
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { // filesystems without atomic rename-over (some network mounts)
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch {
+      case e: Throwable => // never leave a stale/truncated temp file behind
+        scala.util.Try(Files.deleteIfExists(tmp))
+        throw e
     }
   }
 
@@ -100,6 +107,10 @@ object Persistence {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(snapshot))
 
   private[session] def serialize(snapshot: ProjectSnapshot): Array[Byte] = {
+    // header version = the snapshot's own declared version, so the two
+    // never disagree; refuse to stamp a version this build can't reload
+    require(snapshot.formatVersion >= 1 && snapshot.formatVersion <= FormatVersion,
+      s"snapshot formatVersion ${snapshot.formatVersion} outside supported 1..$FormatVersion")
     val payload = {
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -108,7 +119,7 @@ object Persistence {
     }
     val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put(MagicBytes).putInt(FormatVersion).put(payload)
+    out.put(MagicBytes).putInt(snapshot.formatVersion).put(payload)
     out.array()
   }
 
@@ -119,8 +130,10 @@ object Persistence {
         // binary container: validate header (`io/load.rs:34-65`)
         if (bytes.length < 9)
           throw new IllegalArgumentException(s"$path: truncated snapshot (no payload)")
-        val version = java.nio.ByteBuffer.wrap(bytes, 4, 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        // the header field is u32: compare unsigned so a version with the
+        // top bit set still reads as "newer", not negative
+        val version = Integer.toUnsignedLong(java.nio.ByteBuffer.wrap(bytes, 4, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
         if (version > FormatVersion)
           throw new IllegalArgumentException(
             s"$path: snapshot version $version is newer than this build's " +

@@ -64,6 +64,14 @@ class PersistenceSpec extends AnyFunSuite {
     Files.write(Paths.get(pNew), newer)
     val eNew = intercept[IllegalArgumentException](Persistence.load(pNew))
     assert(eNew.getMessage.contains("newer"))
+    // u32 semantics: a version with the sign bit set is "newer", not negative
+    val signBit = Persistence.serialize(snap)
+    java.nio.ByteBuffer.wrap(signBit, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x80000000)
+    val pSign = tmpPath("persist_signbit.tss")
+    Files.write(Paths.get(pSign), signBit)
+    val eSign = intercept[IllegalArgumentException](Persistence.load(pSign))
+    assert(eSign.getMessage.contains("newer"))
     // not a snapshot at all
     val pBad = tmpPath("persist_bad.tss")
     Files.write(Paths.get(pBad), "XPTgarbage".getBytes("UTF-8"))
@@ -91,7 +99,7 @@ class PersistenceSpec extends AnyFunSuite {
     // an edit stream that never goes quiet: each change resets the debounce
     // timer, but the max-delay clock anchored at the FIRST unsaved change
     // eventually forces the save
-    t.saveComplete()
+    t.startSave(); t.saveComplete()
     var ts = 10000L
     while (ts < 39500L) { clock.now = ts; t.markDirty(); ts += 500 }
     clock.now = 39500 // 500ms after last change (< debounce), 29.5s after first
@@ -114,5 +122,22 @@ class PersistenceSpec extends AnyFunSuite {
     assert(!t.isDirty && !t.shouldAutoSave(cfg))
     assert(t.msSinceFirstUnsaved.isEmpty, "max-delay anchor resets on save")
     assert(AutoSaveConfig.disabled.shouldSave(Long.MaxValue, Long.MaxValue) == false)
+  }
+
+  test("dirty tracker: an edit landing mid-save survives that save's completion") {
+    val clock = new FakeClock
+    val t = new DirtyTracker(clock.fn)
+    val cfg = AutoSaveConfig(debounceMs = 100, maxDelayMs = 1000)
+    t.markDirty()
+    clock.now = 200
+    t.startSave() // snapshot serialized WITHOUT what comes next
+    clock.now = 250
+    t.markDirty() // racing edit: not captured by the in-flight save
+    t.saveComplete()
+    assert(t.isDirty, "racing edit must remain unsaved-dirty")
+    clock.now = 400
+    assert(t.shouldAutoSave(cfg), "next tick persists the racing edit")
+    t.startSave(); t.saveComplete()
+    assert(!t.isDirty)
   }
 }
