@@ -99,4 +99,44 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /**
+   * Spherical k-means refinement of IVF centroids (Lloyd iterations): each
+   * round assigns every corpus vector to its nearest centroid (the same
+   * compiled [[ivfAssign]] projection the index build uses) and replaces
+   * each centroid with its cluster's element-wise mean direction. Output
+   * has the same `(centroidIdCol, vecCol)` shape as the input, so it drops
+   * straight into [[ivfAssign]]/[[ivfTopK]].
+   *
+   * Scale shape: one corpus scan + one `(cluster, dimension)`-keyed
+   * aggregation per iteration — partial aggregation does the heavy lifting
+   * map-side, and nothing data-sized ever reaches the driver (only the
+   * centroid set itself, which is broadcast-small by the IVF contract).
+   * `iters` is a bounded hyperparameter, so the driver-side loop is fixed
+   * work, not data-dependent. A cluster that captures no vectors keeps its
+   * previous centroid rather than vanishing (k stays constant).
+   */
+  def kmeansRefine(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, iters: Int = 5,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    require(iters >= 0, s"kmeansRefine: iters must be >= 0, got $iters")
+    var cents = centroids.select(col(centroidIdCol), col(vecCol))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol, centroidIdCol)
+      // element-wise cluster mean: explode to (cluster, dim) cells, average,
+      // then reassemble the vector in dimension order
+      val means = assigned
+        .select(col(centroidIdCol), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col(centroidIdCol), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col(centroidIdCol))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          c => c.getField("m")).as(vecCol))
+      // empty clusters keep their previous centroid (left join + coalesce)
+      cents = cents.select(col(centroidIdCol), col(vecCol).as("__prev"))
+        .join(means, Seq(centroidIdCol), "left")
+        .select(col(centroidIdCol),
+          coalesce(col(vecCol), col("__prev")).as(vecCol))
+    }
+    cents
+  }
 }

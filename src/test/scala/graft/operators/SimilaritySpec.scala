@@ -74,4 +74,42 @@ class SimilaritySpec extends SparkSpec {
     // self excluded → {2}
     assert(out == Set(2L))
   }
+
+  test("k-means refinement pulls seed centroids onto the true cluster directions") {
+    // two tight clusters around (1,0) and (0,1); seeds deliberately bad —
+    // both in the first quadrant but closest to different clusters
+    val pts = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.99, 0.14)), (3L, Array(0.99, -0.14)),
+      (4L, Array(0.0, 1.0)), (5L, Array(0.14, 0.99)), (6L, Array(-0.14, 0.99))
+    ).toDF("id", "v")
+    val seeds = Seq(("cx", Array(0.8, 0.6)), ("cy", Array(0.6, 0.8)))
+      .toDF("centroid_id", "v")
+    val refined = Similarity.kmeansRefine(pts, seeds, "id", "v", iters = 3)
+    // shape is drop-in for ivfAssign: same columns, ids verbatim
+    assert(refined.columns.toSeq == Seq("centroid_id", "v"))
+    val assign = Similarity.ivfAssign(pts, refined, "id", "v")
+      .select("id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(1L, 2L, 3L).map(assign) == Set("cx"))
+    assert(Set(4L, 5L, 6L).map(assign) == Set("cy"))
+    // refined centroid ≈ mean direction of its cluster (x-cluster mean tilts
+    // to pure (1,0) after normalization-averaging; y likewise)
+    val cx = refined.where(col("centroid_id") === "cx")
+      .select("v").head().getSeq[Double](0)
+    assert(cx(0) > 0.99 && math.abs(cx(1)) < 0.01)
+  }
+
+  test("k-means refinement keeps empty clusters and is a no-op at zero iters") {
+    val pts = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.99, 0.14))).toDF("id", "v")
+    val seeds = Seq((10L, Array(1.0, 0.0)), (20L, Array(-1.0, 0.0)))
+      .toDF("centroid_id", "v")
+    val refined = Similarity.kmeansRefine(pts, seeds, "id", "v", iters = 2)
+    val byId = refined.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(byId.keySet == Set(10L, 20L), "empty cluster must not vanish")
+    assert(byId(20L) == Seq(-1.0, 0.0), "empty cluster keeps its previous centroid")
+    val zero = Similarity.kmeansRefine(pts, seeds, "id", "v", iters = 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(zero == Map(10L -> Seq(1.0, 0.0), 20L -> Seq(-1.0, 0.0)))
+  }
 }
