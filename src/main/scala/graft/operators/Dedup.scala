@@ -17,20 +17,16 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Scoped cache for the near-dup pipelines: populate `df`'s cache with one
-    * job (so parallel DAG branches never race to compute the same partition
-    * — the source of "Block already exists" warnings), build the result,
-    * materialize it with an eager localCheckpoint (the result is the SMALL
-    * side — candidate pairs, not the corpus), and always release the cache.
-    * Repeated calls therefore never accumulate cached token/signature
-    * relations across the session. */
-  private def withScopedCache(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
-    val cached = df.cache()
-    try {
-      cached.count()
-      body(cached).localCheckpoint(eager = true)
-    } finally cached.unpersist(blocking = false)
-  }
+  // Caching note: these pipelines deliberately hold NO cache and stay fully
+  // lazy. An earlier revision cached the token/fingerprint relations and
+  // eagerly localCheckpoint'ed the result — that accumulated executor-pinned
+  // storage across calls, truncated lineage (an executor loss after the call
+  // made the result unrecoverable instead of recomputable), and blinded the
+  // plan-regression pins because construction executed the query. Lazy
+  // recompute-from-lineage is the shape that survives a 1000-executor run:
+  // the self-join sides below are identical subplans, so Catalyst's
+  // ReuseExchange computes their shuffle once, and the remaining token-scan
+  // repetition is cheap projection work against a column-pruned scan.
 
   // ---- exact --------------------------------------------------------------
 
@@ -56,6 +52,14 @@ object Dedup {
   }
 
   // ---- token / n-gram sets ------------------------------------------------
+
+  /** Distinct lowercase whitespace tokens per document, as one array cell:
+    * (id, toks). A pure projection off the source scan — no explode, no
+    * shuffle — for consumers that want whole sets (candidate verification). */
+  def docTokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_remove(array_distinct(split(lower(trim(col(textCol))), "\\s+")), "")
+        .as("toks"))
 
   /** Distinct lowercase whitespace tokens per document: (id, token). */
   def docTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -180,25 +184,29 @@ object Dedup {
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 32, rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame =
-    // the token relation feeds signature building, sizes, AND candidate
-    // verification — cached for the duration of this call only
-    withScopedCache(docTokens(df, idCol, textCol)) { tokens =>
-      val cands = lshCandidates(
-        lshBuckets(minhashSignatures(tokens, numHashes, seed), rowsPerBand, numHashes))
-      val sizes = tokens.groupBy("id").agg(count(lit(1)).as("size"))
-      val inter = cands
-        .join(tokens.select(col("id").as("i"), col("token")), Seq("i"))
-        .join(tokens.select(col("id").as("j"), col("token")), Seq("j", "token"))
-        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
-        .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
-        .where(col("jaccard") >= threshold)
-        .select(col("i"), col("j"), col("jaccard"))
-    }
+      seed: Long = 42L): DataFrame = {
+    // Fully lazy, no cache: candidate pairs are DISTINCT (i, j) — each pair
+    // is verified exactly once however many bands it collides in — and
+    // verification streams the thin (id, token) relation through two hash
+    // joins + a count aggregate. Measured equal to the array_intersect
+    // formulation (which allocates a per-pair hash set on non-primitive
+    // arrays) and it spills better at scale: rows stream through the join
+    // while whole-set arrays would materialize per matched pair.
+    val tokens = docTokens(df, idCol, textCol)
+    val cands = lshCandidates(
+      lshBuckets(minhashSignatures(tokens, numHashes, seed), rowsPerBand, numHashes))
+    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("size"))
+    cands
+      .join(tokens.select(col("id").as("i"), col("token")), Seq("i"))
+      .join(tokens.select(col("id").as("j"), col("token")), Seq("j", "token"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
 
   // ---- SimHash ------------------------------------------------------------
 
@@ -237,23 +245,25 @@ object Dedup {
    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, bands: Int = 4,
-      hash: Column = xxhash64(col("token")), bits: Int = 64): DataFrame =
-    withScopedCache(simhash(docTokens(df, idCol, textCol), hash = hash, bits = bits)) { fps =>
-      val width = bits / bands
-      val banded = fps.select(col("id"), col("simhash"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
-        .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("i"), col("b.id").as("j"),
-          hamming(col("a.simhash"), col("b.simhash")).as("distance"))
-        .distinct()
-        .where(col("distance") <= maxDistance)
-    }
+      hash: Column = xxhash64(col("token")), bits: Int = 64): DataFrame = {
+    // the self-join's two sides are the same subplan — ReuseExchange
+    // computes the banded shuffle once, no cache needed
+    val fps = simhash(docTokens(df, idCol, textCol), hash = hash, bits = bits)
+    val width = bits / bands
+    val banded = fps.select(col("id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        hamming(col("a.simhash"), col("b.simhash")).as("distance"))
+      .distinct()
+      .where(col("distance") <= maxDistance)
+  }
 
   // ---- embedding cosine ---------------------------------------------------
 
@@ -308,26 +318,26 @@ object Dedup {
         return Seq.empty[(Long, Long, Double)].toDF("i", "j", "cosine")
     }
     val planes = randomHyperplanes(bits, dim, seed)
-    withScopedCache(nonNull.where(size(col(vecCol)) === dim)
-      .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))) { n =>
-      val sigBits = planes.zipWithIndex.map { case (p, i) =>
-        val planeCol = array(p.map(lit): _*)
-        when(dotProduct(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val width = bits / bands
-      val banded = n.withColumn("sig", sigBits)
-        .select(col("id"), col("v"), explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
-        .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("i"), col("b.id").as("j"),
-          dotProduct(col("a.v"), col("b.v")).as("cosine"))
-        .distinct()
-        .where(col("cosine") >= threshold)
-    }
+    // self-join sides are the same subplan → ReuseExchange, no cache
+    val n = nonNull.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dotProduct(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val width = bits / bands
+    val banded = n.withColumn("sig", sigBits)
+      .select(col("id"), col("v"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        dotProduct(col("a.v"), col("b.v")).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= threshold)
   }
 }

@@ -63,7 +63,10 @@ object DedupQueries {
       val docs = dupedDocs(s, dir).where(col("doc_id") % 4 === 0)
       Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
         .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("i", "j")
+        // deterministic total order without orderBy's range-partitioner
+        // sampling job, which re-executes the verification stage; the
+        // result is test-scale small, so one sort task is cheap
+        .repartition(1).sortWithinPartitions("i", "j")
     }),
 
     // SimHash near-dups with the engine-portable MD5-derived token hash:

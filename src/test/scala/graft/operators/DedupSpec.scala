@@ -164,15 +164,17 @@ class DedupSpec extends SparkSpec {
     assert(lsh.toSet.subsetOf(brute.toSet)) // LSH verified results ⊆ brute
   }
 
-  test("near-dup pipelines release their caches (repeated calls don't leak)") {
+  test("near-dup pipelines hold no cache at all (repeated calls don't leak)") {
     spark.catalog.clearCache()
     (1 to 2).foreach { _ =>
       Dedup.minhashNearDups(corpus, "doc_id", "text", 0.5).count()
       Dedup.simhashNearDups(corpus, "doc_id", "text", maxDistance = 20).count()
+      Dedup.embeddingNearDupsLsh(
+        Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("id", "v"),
+        "id", "v", 0.9, bits = 8, bands = 4).count()
     }
-    // the scoped token/fingerprint caches must all have been released —
-    // only the localCheckpoint result storage (RDD-level, not a cached
-    // plan) may outlive the calls
+    // the pipelines are fully lazy and uncached by design — nothing may
+    // accumulate in the cache manager (or executor storage) across calls
     assert(org.apache.spark.sql.GraftBridge.noCachedPlans(spark))
   }
 }
