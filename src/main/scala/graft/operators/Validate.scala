@@ -71,8 +71,8 @@ object Validate {
   def samples(c: Column, bad: Column, n: Int = 5): Column =
     slice(sort_array(collect_set(when(bad, txt(c)))), 1, n)
 
-  /** Config key gating the X1/X5 broadcast hints (bytes; ≤ 0 disables the
-    * hint entirely). */
+  /** Config key gating the X1/X5 broadcast hints (plain bytes or a Spark
+    * size spelling like "64m"; 0 disables the hint entirely). */
   val BroadcastThresholdKey = "spark.graft.validate.broadcastThreshold"
   val BroadcastThresholdDefault: Long = 64L << 20
 
@@ -81,10 +81,25 @@ object Validate {
     * the hint wins; at 100× the estimate (derived from the scan size)
     * exceeds the threshold, the hint is withheld, and AQE picks the join
     * strategy from ACTUAL runtime sizes — an unconditional hint would force
-    * a driver-side collect of an unbounded table and OOM instead. */
+    * a driver-side collect of an unbounded table and OOM instead.
+    *
+    * Known tradeoffs, deliberate: (a) a source with no stats (e.g. a
+    * LogicalRDD from createDataFrame) estimates sizeInBytes = defaultSize =
+    * Long.MaxValue and is treated as too-big — conservative, AQE still
+    * recovers the broadcast at runtime; (b) reading `.stats` optimizes the
+    * dimension subtree on the driver once per call — these dimensions are
+    * distinct-of-a-column plans, small to optimize. The threshold accepts
+    * Spark size spellings ("64m", "1g") or plain bytes. */
   def maybeBroadcast(df: DataFrame): DataFrame = {
-    val threshold = df.sparkSession.conf
-      .get(BroadcastThresholdKey, BroadcastThresholdDefault.toString).toLong
+    val raw = df.sparkSession.conf
+      .get(BroadcastThresholdKey, BroadcastThresholdDefault.toString)
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"$BroadcastThresholdKey: cannot parse '$raw' as a byte size " +
+            "(use plain bytes or a size suffix like 64m)", e)
+      }
     if (threshold > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
       broadcast(df)
     else df

@@ -146,7 +146,11 @@ object CsvIngest {
     } finally { in.close(); out.close() }
     Files.move(part, tmp, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    tmp.toFile.deleteOnExit()
+    // JVM-exit cleanup only for the implicit local-tmp default. A configured
+    // cacheDir is shared cluster storage: deleting on driver exit would
+    // defeat cross-run reuse and race concurrent jobs mid-scan — its
+    // lifecycle belongs to the storage owner (TTL policy), not this JVM.
+    if (cacheDir.isEmpty) tmp.toFile.deleteOnExit()
     tmp.toString
   }
 

@@ -11,6 +11,11 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Drain the async SparkListener bus — lets tests make deterministic
+    * negative assertions ("no job ran") without sleeping. */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** True when the session's SQL cache manager holds no cached plans —
     * lets tests assert that operators release every `Dataset.cache()` they
     * take (localCheckpoint persists RDD-level only and doesn't register

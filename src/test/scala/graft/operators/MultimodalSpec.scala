@@ -38,10 +38,11 @@ class MultimodalSpec extends SparkSpec {
       val parts = Multimodal.repartitionForDecode(media, targetBytesPerPartition = 60,
         totalBytesHint = Some(116L))
       // plan construction must stay lazy — the pre-counted corpus skips
-      // the sum(n_bytes) aggregate entirely (listener delivery is async;
-      // a job the hint failed to avoid would have blocked in head() long
-      // enough for its start event to land within the settle window)
-      Thread.sleep(300)
+      // the sum(n_bytes) aggregate entirely. Drain the async listener bus
+      // instead of sleeping so the negative assertion is deterministic: a
+      // job the hint failed to avoid has certainly posted its start event
+      // once the bus is empty.
+      org.apache.spark.sql.GraftBridge.waitForListenerBus(spark)
       assert(jobs.get() == 0)
       assert(parts.rdd.getNumPartitions == 2)
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -91,6 +91,18 @@ class ValidateSpec extends SparkSpec {
     } finally spark.conf.unset(Validate.BroadcastThresholdKey)
   }
 
+  test("broadcast threshold accepts size spellings and names the key on bad input") {
+    val dm = Seq("S1").toDF("usubjid")
+    spark.conf.set(Validate.BroadcastThresholdKey, "64m")
+    try assert(Validate.maybeBroadcast(dm) ne dm) // hinted: 1 row << 64m
+    finally spark.conf.unset(Validate.BroadcastThresholdKey)
+    spark.conf.set(Validate.BroadcastThresholdKey, "sixty-four")
+    try {
+      val e = intercept[IllegalArgumentException](Validate.maybeBroadcast(dm))
+      assert(e.getMessage.contains(Validate.BroadcastThresholdKey))
+    } finally spark.conf.unset(Validate.BroadcastThresholdKey)
+  }
+
   test("X3 reciprocal pairs") {
     val pairs = Seq(("A", "B"), ("B", "A"), ("A", "C")).toDF("u", "r")
     val out = Validate.missingReciprocal(pairs, "u", "r")
