@@ -60,6 +60,9 @@ object Multimodal {
     * the decode pass. */
   def repartitionForDecode(df: DataFrame, targetBytesPerPartition: Long,
       totalBytesHint: Option[Long] = None): DataFrame = {
+    require(totalBytesHint.forall(_ > 0),
+      s"repartitionForDecode: totalBytesHint must be positive, got " +
+        s"${totalBytesHint.get} — pass None to have the corpus measured")
     val totalBytes = totalBytesHint.getOrElse {
       val row = df.agg(sum(col("n_bytes"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
