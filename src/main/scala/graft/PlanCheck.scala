@@ -18,7 +18,10 @@ object PlanCheck {
         // under AQE the plan is only finalized (join strategy chosen, codegen
         // stages collapsed and annotated) after execution — run it first
         qe.toRdd.count()
-        val plan = qe.executedPlan.toString
+        // AQE's toString appends the pre-adaptive "== Initial Plan ==" after
+        // the final plan — drop it so the counts reflect what actually ran
+        // (the initial section inflated smj/exchange with joins AQE replaced)
+        val plan = qe.executedPlan.toString.split("== Initial Plan ==").head
         // plan toString truncates long filter lists — count non-empty
         // brackets by their opening character
         val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
