@@ -20,7 +20,11 @@ object PlanCheck {
         qe.toRdd.count()
         // AQE's toString appends the pre-adaptive "== Initial Plan ==" after
         // the final plan — drop it so the counts reflect what actually ran
-        // (the initial section inflated smj/exchange with joins AQE replaced)
+        // (the initial section inflated smj/exchange with joins AQE replaced).
+        // Safe to cut at the FIRST marker: plain toString never inlines
+        // subquery plan trees (verified on o3/sim2/x5 — exactly one
+        // Final/Initial marker pair per plan; only explain("formatted")
+        // prints a Subqueries section).
         val plan = qe.executedPlan.toString.split("== Initial Plan ==").head
         // plan toString truncates long filter lists — count non-empty
         // brackets by their opening character

@@ -70,7 +70,7 @@ object Similarity {
     val idLit = array(rows.toSeq.map(r => lit(r.get(0))): _*)
     val idx = exprCol(graft.expressions.NearestCentroidIdx(colExpr(col("v")), matrix))
     c.select(col("id"), col("v"),
-      element_at(idLit, idx + 1).as("centroid_id"))
+      element_at(idLit, idx + 1).as(centroidIdCol))
   }
 
   /**
@@ -89,10 +89,10 @@ object Similarity {
       .withColumn("__sim", dotProduct(col("qv"), col("cv")))
       .withColumn("__rn", row_number().over(wProbe))
       .where(col("__rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("centroid_id"))
+      .select(col("query_id"), col("qv"), col("cid").as(centroidIdCol))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
-    indexed.join(broadcast(probes), Seq("centroid_id"))
+    indexed.join(broadcast(probes), Seq(centroidIdCol))
       .select(col("query_id"), col("id"),
         dotProduct(col("v"), col("qv")).as("cosine"))
       .where(col("query_id") =!= col("id"))
@@ -121,6 +121,7 @@ object Similarity {
       centroidIdCol: String = "centroid_id"): DataFrame = {
     require(iters >= 0, s"kmeansRefine: iters must be >= 0, got $iters")
     var cents = centroids.select(col(centroidIdCol), col(vecCol))
+    val spark = corpus.sparkSession
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(corpus, cents, idCol, vecCol, centroidIdCol)
       // element-wise cluster mean: explode to (cluster, dim) cells, average,
@@ -132,10 +133,16 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           c => c.getField("m")).as(vecCol))
       // empty clusters keep their previous centroid (left join + coalesce)
-      cents = cents.select(col(centroidIdCol), col(vecCol).as("__prev"))
+      val next = cents.select(col(centroidIdCol), col(vecCol).as("__prev"))
         .join(means, Seq(centroidIdCol), "left")
         .select(col(centroidIdCol),
           coalesce(col(vecCol), col("__prev")).as(vecCol))
+      // localize the refined set (broadcast-small by the IVF contract) so
+      // each iteration's plan is independent — chaining the lazy plans
+      // would re-execute every prior iteration's corpus aggregation at each
+      // ivfAssign collect (O(iters²) corpus scans) and again on consumption
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }

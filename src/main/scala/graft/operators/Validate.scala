@@ -72,7 +72,8 @@ object Validate {
     slice(sort_array(collect_set(when(bad, txt(c)))), 1, n)
 
   /** Config key gating the X1/X5 broadcast hints (plain bytes or a Spark
-    * size spelling like "64m"; 0 disables the hint entirely). */
+    * size spelling like "64m"; 0 or any negative value disables the hint
+    * entirely). */
   val BroadcastThresholdKey = "spark.graft.validate.broadcastThreshold"
   val BroadcastThresholdDefault: Long = 64L << 20
 
@@ -93,13 +94,17 @@ object Validate {
   def maybeBroadcast(df: DataFrame): DataFrame = {
     val raw = df.sparkSession.conf
       .get(BroadcastThresholdKey, BroadcastThresholdDefault.toString)
+    // negative values disable the hint (the documented contract predating
+    // size-suffix support — byteStringAsBytes alone would reject them)
     val threshold =
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-      catch {
-        case e: NumberFormatException => throw new IllegalArgumentException(
-          s"$BroadcastThresholdKey: cannot parse '$raw' as a byte size " +
-            "(use plain bytes or a size suffix like 64m)", e)
-      }
+      if (raw.trim.startsWith("-")) 0L
+      else
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$BroadcastThresholdKey: cannot parse '$raw' as a byte size " +
+              "(use plain bytes or a size suffix like 64m)", e)
+        }
     if (threshold > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
       broadcast(df)
     else df

@@ -75,11 +75,14 @@ object Persistence {
     * so an interrupted save leaves the previous snapshot intact. */
   def save(snapshot: ProjectSnapshot, path: String): Unit = {
     val target = Paths.get(path)
-    Option(target.getParent).foreach(Files.createDirectories(_))
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    val dir = Option(target.getParent).getOrElse(Paths.get("."))
+    Files.createDirectories(dir)
+    // unique temp per save: a FIXED sibling name would let two concurrent
+    // saves (autosave poller + manual save) open the same temp file and
+    // scribble into each other's rename
+    val tmp = Files.createTempFile(dir, target.getFileName.toString + ".", ".tmp")
     try {
       val ch = java.nio.channels.FileChannel.open(tmp,
-        java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
       try {

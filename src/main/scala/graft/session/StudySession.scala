@@ -42,6 +42,14 @@ class StudySession(val spark: SparkSession, val studyId: String,
   private var itemsMetadata: Map[String, ItemMeta] = Map.empty
   private var studyCodelists: Map[String, Map[String, String]] = Map.empty
 
+  /** Unsaved-change tracking for debounced auto-save (K4 —
+    * `autosave/tracker.rs`). Session-level mutators mark it automatically;
+    * callers editing a domain's mapping state directly
+    * (`domainState(c).get.mapping.accept…`) should call
+    * `dirtyTracker.markDirty()` themselves, mirroring the reference GUI's
+    * explicit marks. Drive saves with [[autoSaveIfDue]]. */
+  val dirtyTracker = new DirtyTracker()
+
   /** E1 step — load Items.csv study metadata (S7 statistical detection) and
     * study codelists; labels feed the scorer's label boost, codelists feed
     * the M1/M2 decode applied at ingest (`study.rs:43-49`). Call BEFORE
@@ -67,6 +75,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
         byFormat.get(f.toUpperCase).map(m.id -> _))).toMap
     }.getOrElse(Map.empty)
     studyCodelists = fromCsv ++ codelists
+    dirtyTracker.markDirty()
   }
 
   def domainState(code: String): Option[DomainState] = domains.get(code.toUpperCase)
@@ -86,8 +95,10 @@ class StudySession(val spark: SparkSession, val studyId: String,
     Standards.domain(standard, baseDomainCode(code))
 
   /** Route extra source columns of a domain to SUPP-- (G1 config). */
-  def configureSupp(code: String, configs: Seq[(String, SuppColumnConfig)]): Unit =
+  def configureSupp(code: String, configs: Seq[(String, SuppColumnConfig)]): Unit = {
     suppConfigs(code.toUpperCase) = configs
+    dirtyTracker.markDirty()
+  }
 
   /** E1 step — ingest one assigned (domain, csv) pair: scan, RELSUB
     * augmentation, hints, scoring suggestions. */
@@ -116,6 +127,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
     domains.get(codeU).foreach(_.source.unpersist()) // re-add frees the old cache
     domains(codeU) = ds
     if (codeU == "DM") refDateCache = None // new DM invalidates the memo
+    dirtyTracker.markDirty()
     ds
   }
 
@@ -126,7 +138,26 @@ class StudySession(val spark: SparkSession, val studyId: String,
       domainMetaFor(ds.code).foreach(_.variables.foreach { v =>
         ds.mapping.acceptSuggestion(v.name) // no-op unless Suggested
       })
+      dirtyTracker.markDirty()
     }
+
+  /** One auto-save tick (`autosave/tracker.rs:95-106` + `io/save.rs`):
+    * persist a snapshot iff the debounce policy says the session is due.
+    * Returns true when a save happened. A failed save keeps the session
+    * dirty so the next tick retries. */
+  def autoSaveIfDue(folder: String, assignments: Map[String, String],
+      snapshotPath: String,
+      config: AutoSaveConfig = AutoSaveConfig()): Boolean = {
+    if (!dirtyTracker.shouldAutoSave(config)) return false
+    dirtyTracker.startSave()
+    try {
+      Persistence.save(Persistence.snapshotOf(this, folder, assignments), snapshotPath)
+      dirtyTracker.saveComplete()
+      true
+    } catch {
+      case e: Throwable => dirtyTracker.saveFailed(); throw e
+    }
+  }
 
   // DM reference date is memoized per RFSTDTC source column, so repeated
   // preview/validate/export calls skip the DM scan-and-sort job BUT a

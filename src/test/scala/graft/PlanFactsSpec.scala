@@ -15,7 +15,10 @@ class PlanFactsSpec extends SparkSpec {
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     val qe = df.queryExecution
     qe.toRdd.count()
-    qe.executedPlan.toString
+    // negative pins (no-BNL, no-HOF) must not trip on operators AQE
+    // REPLACED: the toString appends the pre-adaptive Initial Plan — keep
+    // only what actually ran (same truncation as PlanCheck)
+    qe.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   /** Distinct whole-stage-codegen stages: Spark 4 renders them as "*(n)". */

@@ -99,6 +99,21 @@ class SimilaritySpec extends SparkSpec {
     assert(cx(0) > 0.99 && math.abs(cx(1)) < 0.01)
   }
 
+  test("ivf assignment and refinement honor a custom centroid id column name") {
+    val centroids = Seq((100L, Array(1.0, 0.0)), (200L, Array(0.0, 1.0)))
+      .toDF("bucket", "v")
+    val idx = Similarity.ivfAssign(vecs, centroids, "id", "v", centroidIdCol = "bucket")
+    assert(idx.columns.contains("bucket"))
+    val refined = Similarity.kmeansRefine(vecs, centroids, "id", "v",
+      iters = 1, centroidIdCol = "bucket")
+    assert(refined.columns.toSeq == Seq("bucket", "v"))
+    val q = vecs.where(col("id") === 1)
+    val top = Similarity.ivfTopK(idx, centroids, q, "id", "v", k = 5, nProbe = 1,
+      centroidIdCol = "bucket")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(2L))
+  }
+
   test("k-means refinement keeps empty clusters and is a no-op at zero iters") {
     val pts = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.99, 0.14))).toDF("id", "v")
     val seeds = Seq((10L, Array(1.0, 0.0)), (20L, Array(-1.0, 0.0)))

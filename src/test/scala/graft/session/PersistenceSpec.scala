@@ -36,11 +36,16 @@ class PersistenceSpec extends AnyFunSuite {
   }
 
   test("atomic save: overwrite leaves no temp file and the new content wins") {
-    val p = tmpPath("persist_atomic.tss")
+    val dir = Files.createTempDirectory("persist_atomic")
+    val p = dir.resolve("snap.tss").toString
     Persistence.save(snap, p)
     Persistence.save(snap.copy(studyId = "S2"), p)
     assert(Persistence.load(p).studyId == "S2")
-    assert(!Files.exists(Paths.get(p + ".tmp")))
+    // unique per-save temps must all be cleaned up after the renames
+    val leftovers = Files.list(dir).iterator()
+    val names = scala.collection.mutable.Buffer[String]()
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(names.toSeq == Seq("snap.tss"), s"stray files: $names")
   }
 
   test("legacy bare-JSON snapshots still load, including v1 without standard") {
@@ -122,6 +127,14 @@ class PersistenceSpec extends AnyFunSuite {
     assert(!t.isDirty && !t.shouldAutoSave(cfg))
     assert(t.msSinceFirstUnsaved.isEmpty, "max-delay anchor resets on save")
     assert(AutoSaveConfig.disabled.shouldSave(Long.MaxValue, Long.MaxValue) == false)
+  }
+
+  test("negative threshold and disabled config still block auto-save") {
+    val clock = new FakeClock
+    val t = new DirtyTracker(clock.fn)
+    t.markDirty()
+    clock.now = 1000000
+    assert(!t.shouldAutoSave(AutoSaveConfig.disabled))
   }
 
   test("dirty tracker: an edit landing mid-save survives that save's completion") {

@@ -276,6 +276,28 @@ class StudySessionSpec extends SparkSpec {
       sourceHashes = snap.sourceHashes + ("VS" -> "deadbeef"))
     assert(Persistence.changedSources(gone, studyDir) == Seq("VS"))
   }
+
+  test("K4: session mutators mark dirty and autoSaveIfDue persists a snapshot") {
+    val s = new StudySession(spark, "AUTOSAVE1")
+    assert(!s.dirtyTracker.isDirty)
+    s.addDomain("DM", Paths.get(studyDir, "dm.csv").toString)
+    assert(s.dirtyTracker.isDirty, "addDomain must mark the session dirty")
+    val path = "target/tmp/autosave1.tss"
+    val assignments = Map("DM" -> "dm.csv")
+    // still inside the debounce window → no save
+    assert(!s.autoSaveIfDue(studyDir, assignments, path,
+      AutoSaveConfig(debounceMs = 60000, maxDelayMs = 120000)))
+    // quiet long enough (debounce 0) → saves and comes back clean
+    assert(s.autoSaveIfDue(studyDir, assignments, path,
+      AutoSaveConfig(debounceMs = 0, maxDelayMs = 0)))
+    assert(!s.dirtyTracker.isDirty)
+    assert(Persistence.load(path).studyId == "AUTOSAVE1")
+    // nothing new → idempotent no-op
+    assert(!s.autoSaveIfDue(studyDir, assignments, path,
+      AutoSaveConfig(debounceMs = 0, maxDelayMs = 0)))
+    s.configureSupp("DM", Nil)
+    assert(s.dirtyTracker.isDirty, "configureSupp must mark the session dirty")
+  }
 }
 
 /** Standards loader pins (S8/S9). */
