@@ -50,9 +50,10 @@ object Similarity {
    * projection over the corpus scan: no crossJoin row expansion, no
    * exchange, and the per-row argmax is a compiled primitive loop
    * ([[graft.expressions.NearestCentroidIdx]]) — the expression tree stays
-   * constant-size regardless of centroid count. The `centroid_id` output
-   * keeps the source id column's values and type verbatim (ties on cosine
-   * break toward the smallest centroid id, matching a max-by-(sim, -id)).
+   * constant-size regardless of centroid count. The centroid-id output
+   * column (named by `centroidIdCol`) keeps the source id column's values
+   * and type verbatim (ties on cosine break toward the smallest centroid
+   * id, matching a max-by-(sim, -id)).
    */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, centroidIdCol: String = "centroid_id"): DataFrame = {

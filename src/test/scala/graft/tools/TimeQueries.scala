@@ -1,21 +1,12 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Ad-hoc standalone timer for a subset of SparkEntry queries:
   * `Test/runMain graft.tools.TimeQueries <sfDir> <query> [query...]` —
   * warmup run + 3 timed noop-sink runs per query, prints median and min.
   */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Graft.session("time-queries")
     val sfDir = args(0)
     args.drop(1).foreach { name =>
       def run(): Double = {
