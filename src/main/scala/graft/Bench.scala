@@ -39,14 +39,18 @@ object Bench {
     // Round 0 is an untimed warmup of every query — JIT, codegen cache,
     // parquet footers — so timed rounds measure steady state.
     names.foreach(runOne)
+    // a transient warmup-only failure must not erase the query from the
+    // totals — that would publish a phantom speedup; only timed-round
+    // failures count (and then only the failed samples are discarded)
+    failed.clear()
     val samples = Vector.fill(runs) {
       Thread.sleep(200) // settle after the GC burst before the next round
       names.map(n => n -> runOne(n)).toMap
     }
     val results = names.map { n =>
-      val ts = samples.map(_(n))
-      if (failed(n)) n -> (-1.0, -1.0)
-      else n -> (ts.sorted.apply(ts.length / 2), ts.min)
+      val good = samples.map(_(n)).filter(_ >= 0)
+      if (good.isEmpty) n -> (-1.0, -1.0)
+      else n -> (good.sorted.apply(good.length / 2), good.min)
     }
     def jmap(f: ((Double, Double)) => Double) =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")

@@ -61,11 +61,13 @@ object Dedup {
       array_remove(array_distinct(split(lower(trim(col(textCol))), "\\s+")), "")
         .as("toks"))
 
-  /** Distinct lowercase whitespace tokens per document: (id, token). */
+  /** Distinct lowercase whitespace tokens per document: (id, token).
+    * Defined by exploding [[docTokenArrays]] so the tokenization rule
+    * exists exactly once — the exploded join path and the whole-set
+    * verification path can never silently diverge. */
   def docTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("token"))
-      .where(col("token") =!= "")
+    docTokenArrays(df, idCol, textCol)
+      .select(col("id"), explode(col("toks")).as("token"))
 
   /** Distinct character n-gram shingles per document: (id, token). */
   def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
@@ -322,7 +324,7 @@ object Dedup {
     val n = nonNull.where(size(col(vecCol)) === dim)
       .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dotProduct(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val width = bits / bands

@@ -127,9 +127,17 @@ object Similarity {
       val assigned = ivfAssign(corpus, cents, idCol, vecCol, centroidIdCol)
       // element-wise cluster mean: explode to (cluster, dim) cells, average,
       // then reassemble the vector in dimension order
+      // the mean goes through DECIMAL: a double sum's partition-merge order
+      // is nondeterministic, so avg() would yield last-ulp-different
+      // centroids run-to-run and a near-equidistant vector could flip its
+      // ivfAssign bucket between runs (decimal addition is exact, hence
+      // order-independent; components are unit-scale so 20 integer digits
+      // can't overflow)
       val means = assigned
         .select(col(centroidIdCol), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col(centroidIdCol), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col(centroidIdCol), col("pos"))
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy(col(centroidIdCol))
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           c => c.getField("m")).as(vecCol))

@@ -89,6 +89,13 @@ final class DirtyTracker(clock: () => Long = DirtyTracker.monotonicMs) {
         case _ => false
       })
   }
+
+  /** Atomic shouldAutoSave-then-startSave: with separate calls two
+    * concurrent tickers could both see "due" and both begin serializing;
+    * under one lock exactly one caller wins. */
+  def tryStartSave(config: AutoSaveConfig): Boolean = synchronized {
+    if (shouldAutoSave(config)) { startSave(); true } else false
+  }
 }
 
 object DirtyTracker {

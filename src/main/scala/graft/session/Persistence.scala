@@ -79,17 +79,26 @@ object Persistence {
     Files.createDirectories(dir)
     // unique temp per save: a FIXED sibling name would let two concurrent
     // saves (autosave poller + manual save) open the same temp file and
-    // scribble into each other's rename
-    val tmp = Files.createTempFile(dir, target.getFileName.toString + ".", ".tmp")
+    // scribble into each other's rename. Created as a REGULAR file, not
+    // Files.createTempFile — temp-file creation forces owner-only 0600
+    // bits that would survive the rename and lock group/other readers out
+    // of a previously world-readable snapshot; CREATE_NEW honors the umask.
+    val tmp = dir.resolve(
+      target.getFileName.toString + "." + java.util.UUID.randomUUID() + ".tmp")
     try {
       val ch = java.nio.channels.FileChannel.open(tmp,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
         val buf = java.nio.ByteBuffer.wrap(serialize(snapshot))
         while (buf.hasRemaining) ch.write(buf) // write() may be partial
         ch.force(true)
       } finally ch.close()
+      // an existing snapshot's permission bits survive the replace (the
+      // user may have chmod'd it); non-POSIX filesystems skip silently
+      if (Files.exists(target))
+        scala.util.Try(Files.setPosixFilePermissions(tmp,
+          Files.getPosixFilePermissions(target)))
       try
         Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

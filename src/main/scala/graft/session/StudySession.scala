@@ -47,8 +47,17 @@ class StudySession(val spark: SparkSession, val studyId: String,
     * callers editing a domain's mapping state directly
     * (`domainState(c).get.mapping.accept…`) should call
     * `dirtyTracker.markDirty()` themselves, mirroring the reference GUI's
-    * explicit marks. Drive saves with [[autoSaveIfDue]]. */
+    * explicit marks, and must do so from the session thread — only the
+    * session-level mutators below are guarded against a concurrent
+    * auto-save snapshot. Drive saves with [[autoSaveIfDue]]. */
   val dirtyTracker = new DirtyTracker()
+
+  // guards `domains`/`suppConfigs`/`itemsMetadata`/`studyCodelists` (and the
+  // MappingStates reached through them) between the session thread's
+  // mutators and the auto-save poller's snapshot read — without it a
+  // poller-thread snapshotOf can hit a ConcurrentModificationException or
+  // serialize a torn mix of pre- and post-edit mapping state
+  private val stateLock = new Object
 
   /** E1 step — load Items.csv study metadata (S7 statistical detection) and
     * study codelists; labels feed the scorer's label boost, codelists feed
@@ -61,10 +70,11 @@ class StudySession(val spark: SparkSession, val studyId: String,
       codelists: Map[String, Map[String, String]] = Map.empty,
       codeListsCsvPath: Option[String] = None,
       codeListsHeaderRows: Int = 2,
-      itemsHeaderRows: Int = 1): Unit = {
+      itemsHeaderRows: Int = 1): Unit = stateLock.synchronized {
     val (df, _) = CsvIngest.readCsvTable(spark, itemsCsvPath, itemsHeaderRows)
     val dataCols = df.columns.filterNot(_ == CsvIngest.RowIdCol)
-    val scores = ItemsMetadata.analyzeColumns(df.select(dataCols.map(col): _*))
+    val scores = ItemsMetadata.analyzeColumns(
+      df.select(dataCols.toIndexedSeq.map(col): _*))
     ItemsMetadata.detectSchema(scores).foreach { schema =>
       itemsMetadata = ItemsMetadata.loadItems(df, schema)
     }
@@ -95,14 +105,16 @@ class StudySession(val spark: SparkSession, val studyId: String,
     Standards.domain(standard, baseDomainCode(code))
 
   /** Route extra source columns of a domain to SUPP-- (G1 config). */
-  def configureSupp(code: String, configs: Seq[(String, SuppColumnConfig)]): Unit = {
-    suppConfigs(code.toUpperCase) = configs
-    dirtyTracker.markDirty()
-  }
+  def configureSupp(code: String, configs: Seq[(String, SuppColumnConfig)]): Unit =
+    stateLock.synchronized {
+      suppConfigs(code.toUpperCase) = configs
+      dirtyTracker.markDirty()
+    }
 
   /** E1 step — ingest one assigned (domain, csv) pair: scan, RELSUB
     * augmentation, hints, scoring suggestions. */
-  def addDomain(code: String, csvPath: String, headerRows: Int = 1): DomainState = {
+  def addDomain(code: String, csvPath: String, headerRows: Int = 1): DomainState =
+    stateLock.synchronized {
     val codeU = code.toUpperCase
     val (raw, headers) = CsvIngest.readCsvTable(spark, csvPath, headerRows)
     val augmented = if (codeU == "RELSUB") Reshape.ensureRelsubBidirectional(raw) else raw
@@ -133,13 +145,14 @@ class StudySession(val spark: SparkSession, val studyId: String,
 
   /** Accept every scorer suggestion (the auto-accept path used in tests
     * and batch pipelines; interactive flows call mapping.acceptManual). */
-  def acceptAllSuggestions(code: String): Unit =
+  def acceptAllSuggestions(code: String): Unit = stateLock.synchronized {
     domainState(code).foreach { ds =>
       domainMetaFor(ds.code).foreach(_.variables.foreach { v =>
         ds.mapping.acceptSuggestion(v.name) // no-op unless Suggested
       })
       dirtyTracker.markDirty()
     }
+  }
 
   /** One auto-save tick (`autosave/tracker.rs:95-106` + `io/save.rs`):
     * persist a snapshot iff the debounce policy says the session is due.
@@ -148,10 +161,16 @@ class StudySession(val spark: SparkSession, val studyId: String,
   def autoSaveIfDue(folder: String, assignments: Map[String, String],
       snapshotPath: String,
       config: AutoSaveConfig = AutoSaveConfig()): Boolean = {
-    if (!dirtyTracker.shouldAutoSave(config)) return false
-    dirtyTracker.startSave()
+    // one atomic check-then-claim: two concurrent tickers can't both pass
+    // a separate shouldAutoSave test and start duplicate saves
+    if (!dirtyTracker.tryStartSave(config)) return false
     try {
-      Persistence.save(Persistence.snapshotOf(this, folder, assignments), snapshotPath)
+      // snapshot under the same lock the mutators hold — a concurrent
+      // addDomain/accept can't tear the state mid-serialization; the disk
+      // write happens after release so edits only block for the read
+      val snap = stateLock.synchronized(
+        Persistence.snapshotOf(this, folder, assignments))
+      Persistence.save(snap, snapshotPath)
       dirtyTracker.saveComplete()
       true
     } catch {

@@ -195,7 +195,7 @@ object XptWriter {
       else {
         val row = df.agg(
           max(length(rtrim(coalesce(col(charCols.head).cast("string"), lit(""))))).as(charCols.head),
-          charCols.tail.map(c =>
+          charCols.tail.toIndexedSeq.map(c =>
             max(length(rtrim(coalesce(col(c).cast("string"), lit(""))))).as(c)): _*).head()
         charCols.map(c => c -> Option(row.getAs[Integer](c)).map(_.toInt).getOrElse(0)).toMap
       }

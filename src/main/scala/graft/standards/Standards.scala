@@ -105,10 +105,10 @@ case class TerminologyCatalog(
   * (`ct/types.rs:379-398`); `get` returns the first catalog's definition of
   * a codelist code. */
 case class TerminologyRegistry(catalogs: Seq[TerminologyCatalog]) {
-  def get(code: String): Option[Codelist] = {
-    val key = code.trim.toUpperCase
-    catalogs.iterator.flatMap(_.codelists.get(key)).nextOption()
-  }
+  // delegates to getWithCatalog so the trim/uppercase/first-catalog-wins
+  // rule exists exactly once — get and Define-XML's def:StandardOID can
+  // never resolve a code through different catalogs
+  def get(code: String): Option[Codelist] = getWithCatalog(code).map(_._1)
   /** Same priority-ordered resolve, but also returns the catalog that won —
     * Define-XML needs its publishingSet/version for `def:Standards`
     * (`TerminologyRegistry::resolve` returns the catalog too —

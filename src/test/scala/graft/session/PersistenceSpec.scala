@@ -137,6 +137,40 @@ class PersistenceSpec extends AnyFunSuite {
     assert(!t.shouldAutoSave(AutoSaveConfig.disabled))
   }
 
+  test("tryStartSave: exactly one of two concurrent tickers wins the save") {
+    val clock = new FakeClock
+    val t = new DirtyTracker(clock.fn)
+    val cfg = AutoSaveConfig(debounceMs = 100, maxDelayMs = 1000)
+    t.markDirty()
+    clock.now = 200
+    // both tickers see the session "due"; the atomic check-then-claim lets
+    // only the first begin serializing
+    assert(t.tryStartSave(cfg), "first ticker claims the save")
+    assert(!t.tryStartSave(cfg), "second ticker must lose while in flight")
+    t.saveComplete()
+    assert(!t.tryStartSave(cfg), "clean session has nothing to save")
+  }
+
+  test("atomic save honors the umask and keeps an existing snapshot's permissions") {
+    import java.nio.file.attribute.PosixFilePermissions
+    val dir = Files.createTempDirectory("persist_perms")
+    val p = dir.resolve("snap.tss")
+    Persistence.save(snap, p.toString)
+    // a fresh save must NOT carry temp-file owner-only 0600 bits: group or
+    // other readability (umask-derived, like any regular file) must survive
+    val fresh = Files.getPosixFilePermissions(p)
+    val probe = dir.resolve("umask_probe")
+    Files.write(probe, Array[Byte](1))
+    assert(fresh == Files.getPosixFilePermissions(probe),
+      s"snapshot perms $fresh differ from a plain file's")
+    // a chmod'd snapshot keeps its bits across an overwrite-save
+    Files.setPosixFilePermissions(p, PosixFilePermissions.fromString("rw-rw-r--"))
+    Persistence.save(snap.copy(studyId = "S2"), p.toString)
+    assert(Files.getPosixFilePermissions(p) ==
+      PosixFilePermissions.fromString("rw-rw-r--"))
+    assert(Persistence.load(p.toString).studyId == "S2")
+  }
+
   test("dirty tracker: an edit landing mid-save survives that save's completion") {
     val clock = new FakeClock
     val t = new DirtyTracker(clock.fn)
