@@ -132,12 +132,15 @@ object Similarity {
       // centroids run-to-run and a near-equidistant vector could flip its
       // ivfAssign bucket between runs (decimal addition is exact, hence
       // order-independent; components are unit-scale so 20 integer digits
-      // can't overflow)
+      // can't overflow). The sum casts to double BEFORE the divide so the
+      // mean is plain double arithmetic over a deterministic numerator —
+      // an oracle can replay it without matching Spark's decimal-division
+      // scale rules
       val means = assigned
         .select(col(centroidIdCol), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col(centroidIdCol), col("pos"))
-        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy(col(centroidIdCol))
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           c => c.getField("m")).as(vecCol))

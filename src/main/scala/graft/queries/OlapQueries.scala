@@ -62,6 +62,17 @@ object OlapQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // P21 — salted exact distinct count: semantically a plain
+    // count(DISTINCT user_id) per event type, but executed as the
+    // skew-proof two-phase plan (value-salted partial distincts, then a
+    // sum of partials). The oracle is the PLAIN form — passing proves the
+    // salted rewrite is an identity, which is the whole point of the op.
+    "sk1_salted_distinct" -> ((s, dir) => {
+      graft.operators.Skew.saltedDistinctCount(
+        table(s, dir, "events"), Seq("event_type"), "user_id", saltBuckets = 16)
+        .orderBy("event_type")
+    }),
+
     // CUBE: all grouping-set combinations with level ids
     "o4_cube" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -99,6 +110,10 @@ object OlapQueries {
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sk1_salted_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o4_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -7,11 +7,13 @@ import graft.Graft.table
 import graft.operators.Similarity
 
 /**
- * Similarity-search coverage over `embeddings`. Brute-force top-k carries a
- * full DuckDB oracle: scores round to 6 decimals and rank ties break on id,
- * so the 1-2 ulp accumulation differences between engines cannot flip the
- * comparison. IVF is approximate → rows-only here, recall pinned in
- * SimilaritySpec.
+ * Similarity-search coverage over `embeddings`, all with full DuckDB
+ * oracles. Brute-force top-k rounds scores to 6 decimals and breaks rank
+ * ties on id, so 1-2 ulp accumulation differences between engines cannot
+ * flip the comparison; sim2 (IVF) and sim3 (k-means refinement) replay the
+ * exact pipeline in SQL — see the per-oracle notes for why each is
+ * bit-exact. Approximation QUALITY (IVF recall, refinement inertia) is
+ * pinned in SimilaritySpec.
  */
 object SimilarityQueries {
 
@@ -29,6 +31,30 @@ object SimilarityQueries {
         .select(col("query_id"), col("rank"), col("id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ONE spherical-k-means refinement round over the same seed centroids,
+    // flattened to (centroid_id, n_members, pos, m) cells. One iteration is
+    // the provably-deterministic case: the seed assignment replays sim2's
+    // bit-exact machinery, cluster sums go through DECIMAL (exact, so both
+    // engines agree to the last place), and the mean is then one double
+    // division of identical operands — nothing downstream re-routes on the
+    // means, so no argmax can flip. Multi-iteration refinement is covered
+    // by SimilaritySpec (inertia-decrease + empty-cluster invariants).
+    "sim3_kmeans_refine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.where(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("centroid_id"), col("v"))
+      val refined = Similarity.kmeansRefine(e, centroids, "vec_id", "v", iters = 1)
+      val sizes = Similarity.ivfAssign(e, centroids, "vec_id", "v")
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_members"))
+      refined
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "m")))
+        .join(sizes, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          col("pos").cast("long").as("pos"), round(col("m"), 6).as("m"))
+        .orderBy("centroid_id", "pos")
     }),
 
     // IVF with centroid sample + 4 probes — "approximate" relative to exact
@@ -63,6 +89,47 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT query_id, rank, id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // One Lloyd round replayed in SQL. Bit-exactness argument: the seed
+    // assignment is sim2's verified machinery; per-(cluster, dim) sums go
+    // through DECIMAL(38,18) — decimal addition is exact, so the two
+    // engines' sums are the same rational number regardless of partition
+    // or row order — and mean = CAST(sum AS DOUBLE) / n is one double op
+    // on identical operands. ROUND(…, 6) then absorbs the last-ulp slack
+    // in the decimal→double conversion itself. Empty clusters (possible
+    // only with duplicate-vector centroids) keep the RAW seed centroid,
+    // mirroring kmeansRefine's coalesce-to-previous.
+    "sim3_kmeans_refine" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |norm AS (SELECT vec_id,
+        |    CASE WHEN sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN v]), (a,b) -> a+b)) > 0
+        |         THEN [x / sqrt(list_reduce(list_prepend(0.0, [y*y FOR y IN v]), (a,b) -> a+b)) FOR x IN v]
+        |         ELSE [0.0 FOR x IN v] END AS v
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM norm WHERE vec_id % 31 = 0),
+        |raw_cents AS (SELECT vec_id AS centroid_id, v AS rv FROM e WHERE vec_id % 31 = 0),
+        |positions AS (SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM norm) + 1)) AS i),
+        |assign AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT n.vec_id, n.v, c.centroid_id,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY list_reduce(list_prepend(0.0, [n.v[i] * c.cv[i] FOR i IN range(1, len(n.v)+1)]), (a,b) -> a+b) DESC,
+        |             c.centroid_id ASC) AS rn
+        |    FROM norm n CROSS JOIN cents c) WHERE rn = 1),
+        |sizes AS (SELECT centroid_id, COUNT(*) AS n_members FROM assign GROUP BY centroid_id),
+        |cells AS (
+        |  SELECT a.centroid_id, p.i - 1 AS pos,
+        |         CAST(SUM(CAST(a.v[p.i] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM assign a CROSS JOIN positions p
+        |  GROUP BY a.centroid_id, p.i)
+        |SELECT rc.centroid_id,
+        |       COALESCE(s.n_members, 0) AS n_members,
+        |       p.i - 1 AS pos,
+        |       ROUND(COALESCE(c.m, rc.rv[p.i]), 6) AS m
+        |FROM raw_cents rc CROSS JOIN positions p
+        |LEFT JOIN cells c ON c.centroid_id = rc.centroid_id AND c.pos = p.i - 1
+        |LEFT JOIN sizes s ON s.centroid_id = rc.centroid_id
+        |ORDER BY rc.centroid_id, pos""".stripMargin,
 
     // Full IVF pipeline replayed in SQL. Why this matches bit-for-bit: both
     // engines widen float→double exactly, and every reduction (norm, dot) is
