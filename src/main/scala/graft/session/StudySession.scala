@@ -235,6 +235,16 @@ class StudySession(val spark: SparkSession, val studyId: String,
     DomainValidation.validateCrossDomain(
       domainCodes.flatMap(c => preview(c).map(c -> _)).toMap)
 
+  /** Implementation-guide version string for the study's standard — rides
+    * into the XML writers' MDV OIDs and descriptions (the reference takes
+    * this as a caller option, `define_xml.rs:27-35`; deriving it from the
+    * session's standard selector keeps the two always consistent). */
+  def igVersion: String = standard.toLowerCase match {
+    case "send" => "3.1.1"
+    case "adam" => "1.3"
+    case _ => "3.4"
+  }
+
   /** E3 — export every domain: XPT + Dataset-XML per domain, one
     * Define-XML over all. Returns written paths. */
   def exportAll(outDir: String): Seq[String] = {
@@ -285,7 +295,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
 
       // Dataset-XML
       val xmlPath = s"$outDir/${code.toLowerCase}.xml"
-      XmlSinks.writeDatasetXmlFile(frame, xmlPath, code, studyId, "3.4",
+      XmlSinks.writeDatasetXmlFile(frame, xmlPath, code, studyId, igVersion,
         varNames, orderCol = Some(CsvIngest.RowIdCol), isReferenceData = isRefData)
       written += xmlPath
       defineDatasets += XmlSinks.DefineDataset(
@@ -377,7 +387,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
           cl.terms.map(_.submissionValue).distinct, standardOid = stdOid)
       })
     val definePath = s"$outDir/define.xml"
-    XmlSinks.writeDefineXmlFile(definePath, studyId, "3.4",
+    XmlSinks.writeDefineXmlFile(definePath, studyId, igVersion,
       defineDatasets.result(), codelists, ctStandards.values.toSeq)
     written += definePath
     written.result()
