@@ -18,7 +18,11 @@ case class ColumnHint(
 
 /** Target-variable metadata the scorer needs (subset of SdtmVariable —
   * `crates/tss-standards/src/sdtm_ig.rs`). */
-case class VarMeta(name: String, label: Option[String] = None, required: Boolean = false)
+/** Target-variable metadata for the scorer. `isNumeric` is the IG's
+  * DECLARED type when the caller has it (None ⇒ fall back to the
+  * reference's name heuristic, score.rs:202). */
+case class VarMeta(name: String, label: Option[String] = None,
+    required: Boolean = false, isNumeric: Option[Boolean] = None)
 
 /** One suggested column→variable assignment with its explained score. */
 case class Suggestion(sourceColumn: String, targetVariable: String, score: Double,
@@ -130,7 +134,11 @@ object Mapping {
     if (vu.endsWith("CD") && !cu.endsWith("CD")) { score *= 0.8; components += ("cd_expected" -> -0.2) }
 
     hint.foreach { h =>
-      val varIsNumeric = variable.name.endsWith("N")
+      // the reference infers "numeric variable" from a trailing N
+      // (score.rs:202) — safe in SDTM, but ADaM names like AGEGRyN make a
+      // numeric column prefer AGEGRyN (no penalty) over its exact match
+      // AGE (penalized); the IG's declared Num/Char type wins when known
+      val varIsNumeric = variable.isNumeric.getOrElse(variable.name.endsWith("N"))
       if (varIsNumeric != h.isNumeric) { score *= 0.85; components += ("type_mismatch" -> -0.15) }
     }
     Suggestion(column, variable.name, score, components.result())

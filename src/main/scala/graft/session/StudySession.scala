@@ -132,7 +132,8 @@ class StudySession(val spark: SparkSession, val studyId: String,
     val domainMeta = domainMetaFor(codeU).getOrElse(
       SdtmDomain(codeU, None, None, None, Nil))
     val varMetas = domainMeta.variables.map(v =>
-      VarMeta(v.name, v.label, v.isRequired))
+      VarMeta(v.name, v.label, v.isRequired,
+        isNumeric = Some(v.dataType == graft.standards.VariableType.Num)))
     val state = new MappingState(codeU, varMetas)
     state.applySuggestions(Mapping.suggestAll(dataCols, varMetas, hints))
     val ds = DomainState(codeU, df, headers, hints, state)
@@ -273,10 +274,16 @@ class StudySession(val spark: SparkSession, val studyId: String,
         stats.get(v.name).map(s => v.name -> math.max(s.maxLength, 1))
       }.toMap
 
-      // XPT (numeric SDTM vars ride as doubles; file order = source order)
+      // XPT (numeric SDTM vars ride as doubles; file order = source order).
+      // try_cast, not cast: normalization emits UNMAPPED variables as
+      // empty strings (the reference's total-function behavior), and under
+      // ANSI a plain cast of "" aborts the export — empty/unparseable
+      // numeric cells are missing values, exactly what XptWriter writes
+      // for a null (its own string fallback uses Numerics.parse the same
+      // way)
       val xptPath = s"$outDir/${code.toLowerCase}.xpt"
       val typed = frame.orderBy(col(CsvIngest.RowIdCol)).select(presentVars.map { v =>
-        if (v.dataType == VariableType.Num) col(v.name).cast("double").as(v.name)
+        if (v.dataType == VariableType.Num) col(v.name).try_cast("double").as(v.name)
         else col(v.name)
       }: _*)
       // same label fallback as the DefineDataset below — XPT and Define-XML
