@@ -23,6 +23,27 @@ object StreamQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // P-series stream-stream interval join, batch-replayed: every click
+    // joined to the same user's purchases within 30 minutes (the
+    // attribution shape). Streaming semantics (watermarked state expiry)
+    // are pinned in EventStreamsSpec; the join output itself is identical
+    // in batch, which is what the oracle checks.
+    "st5_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purch_ts"),
+          col("event_id").as("purch_id"))
+      EventStreams.intervalJoin(clicks, purchases, "user_id",
+          "click_ts", "purch_ts", maxDelay = "30 minutes")
+        .select(col("user_id"), col("click_id"), col("purch_id"),
+          (col("purch_ts").cast("long") - col("click_ts").cast("long"))
+            .as("delay_sec"))
+        .orderBy("user_id", "click_id", "purch_id")
+    }),
+
     // session windows (30 min gap) per user
     "st2_sessions" -> ((s, dir) => {
       EventStreams.sessionWindows(events(s, dir))
@@ -41,6 +62,15 @@ object StreamQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st5_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+        |  date_diff('second', c.ts, p.ts) AS delay_sec
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "st2_sessions" ->
       """WITH marked AS (

@@ -125,6 +125,32 @@ object EventStreams {
       }
   }
 
+  /**
+   * Watermarked stream-stream interval join — the attribution shape
+   * (impression/click → conversion within a window). Inner equi-join on
+   * `key` with the right event constrained to `[left ts, left ts +
+   * maxDelay]`; both sides carry watermarks, so Spark can bound the join
+   * state and expire rows the time condition can no longer match
+   * (state per side is O(events inside watermark+delay), not O(stream)).
+   * In batch the same plan is a plain range join, which is what the
+   * DuckDB oracle replays (`withWatermark` is a no-op in batch).
+   *
+   * Column naming contract: rename any colliding non-key columns on the
+   * two inputs BEFORE the call (the join output carries both sides).
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, maxDelay: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+      "inner")
+      .drop(r(key))
+  }
+
   /** Stream-friendly dedup: drop repeated event_ids within the watermark. */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -57,6 +57,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.find(_._1.startsWith("2024-01-01 10:00")).get._2 == 1L)
   }
 
+  test("intervalJoin matches click→purchase pairs within the delay, streaming") {
+    implicit val sc = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp, Long)]
+    val purchIn = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = clicksIn.toDF().toDF("user_id", "click_ts", "click_id")
+    val purchases = purchIn.toDF().toDF("user_id", "purch_ts", "purch_id")
+    val q = EventStreams.intervalJoin(clicks, purchases, "user_id",
+        "click_ts", "purch_ts", maxDelay = "30 minutes", watermark = "1 hour")
+      .select("user_id", "click_id", "purch_id")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    // user 1: purchase 10 min after the click → joins; a second purchase
+    // 45 min later is outside maxDelay; user 2's purchase PRECEDES the
+    // click → no match (the interval is one-sided)
+    clicksIn.addData((1L, ts(0), 100L), (2L, ts(30), 200L))
+    purchIn.addData((1L, ts(10), 900L), (1L, ts(45), 901L), (2L, ts(5), 902L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ij").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 100L, 900L)))
+  }
+
   test("session_window splits on gap in batch mode") {
     val df = Seq(
       (1L, ts(0), "a", 1.0), (1L, ts(10), "a", 1.0),   // session 1
