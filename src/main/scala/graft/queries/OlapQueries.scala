@@ -73,6 +73,23 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // exact percentiles per group: Spark `percentile` and DuckDB
+    // `quantile_cont` both use the R-7 definition (rank = p·(n−1), linear
+    // interpolation between order statistics); rounding to 4 absorbs the
+    // last-ulp interpolation slack. At 100 TB the approximate sketch
+    // (approx_percentile / approx_count_distinct, accuracy pinned in
+    // SkewSpec) replaces this — exact percentile keeps all values per
+    // group in memory.
+    "o5_percentiles" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // CUBE: all grouping-set combinations with level ids
     "o4_cube" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -114,6 +131,13 @@ object OlapQueries {
     "sk1_salted_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o5_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o4_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

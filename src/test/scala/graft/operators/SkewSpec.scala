@@ -42,6 +42,19 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(split == plain)
   }
+
+  test("approx_count_distinct stays within its error bound on a known cardinality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
+    // 10k distinct values; HLL++ at rsd=0.05 must land within ±3·rsd —
+    // the sketch is the 100-TB replacement for the exact salted distinct
+    // (fixed-size state per group vs a shuffle of the distinct values)
+    val exact = 10000
+    val df = (1 to exact).map(i => (i % 7, i)).toDF("g", "v")
+    val approx = df.agg(approx_count_distinct(col("v"), rsd = 0.05)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx=$approx vs exact=$exact drifted beyond 15%")
+  }
 }
 
 /** G4 generated domains materialize and validate. */
