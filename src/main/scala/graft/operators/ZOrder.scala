@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order (Morton) clustering for write-time data layout.
+ *
+ * At 100 TB the scan cost of a multi-dimensional filter is decided before
+ * the query runs, by how the writer laid rows into files: parquet prunes
+ * row groups on per-column min/max, and a sort by a single column gives
+ * tight ranges on that column only. Interleaving the bits of several
+ * quantized columns gives every participating column locality, so a
+ * predicate on ANY of them skips most row groups.
+ *
+ * All pure built-in column expressions (shift/mask/or chains — fixed-size
+ * expression tree, whole-stage codegen), no UDF, no shuffle beyond the
+ * final range partitioning. This is a library-side layout helper on plain
+ * parquet — the same idea table formats ship as `OPTIMIZE ZORDER BY`.
+ */
+object ZOrder {
+
+  /** Quantize any orderable numeric column into `bits` unsigned bits over
+    * the closed range [min, max] — out-of-range values clamp to the ends,
+    * nulls to bucket 0. The caller supplies the bounds (at scale they come
+    * from table statistics, not an extra pass). */
+  def quantize(c: Column, min: Double, max: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"quantize: bits must be in 1..31, got $bits")
+    require(max > min, s"quantize: max ($max) must exceed min ($min)")
+    val buckets = (1L << bits) - 1
+    val scaled = (c.cast("double") - lit(min)) / lit(max - min) * lit(buckets.toDouble)
+    val clamped = least(greatest(round(scaled, 0), lit(0.0)), lit(buckets.toDouble))
+    coalesce(clamped.cast("long"), lit(0L))
+  }
+
+  /** Morton z-value: interleave the low `bits` bits of each column —
+    * output bit `j·k + i` is bit `j` of column `i` (k = number of
+    * columns). Inputs must already be non-negative and fit in `bits` bits
+    * (use [[quantize]]); `k·bits` is capped at 62 so the arithmetic stays
+    * inside a signed long under ANSI mode. */
+  def zValue(bits: Int, cols: Column*): Column = {
+    val k = cols.size
+    require(k >= 1, "zValue: at least one column")
+    require(bits >= 1 && k * bits <= 62,
+      s"zValue: $k columns × $bits bits exceeds the 62-bit budget")
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Cluster a frame for writing: range-partition on the z-value (so file
+    * N holds one contiguous z-range) and sort inside each partition. The
+    * z column itself is dropped — it is a layout key, not data. */
+  def clusterByZOrder(df: DataFrame, z: Column, numPartitions: Int): DataFrame =
+    df.withColumn("__zorder", z)
+      .repartitionByRange(numPartitions, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+}

@@ -73,6 +73,20 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // Morton z-value over two quantized key columns — the write-time
+    // layout key behind clusterByZOrder (ZOrder.scala). The interleave is
+    // pure integer bit arithmetic, so the oracle replays it exactly;
+    // hash-equality proves the layout key every clustered write depends
+    // on is deterministic and engine-independent.
+    "z1_morton" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val x = pmod(col("o_custkey"), lit(1024)).cast("long")
+      val y = pmod(col("o_orderkey"), lit(1024)).cast("long")
+      o.select(col("o_orderkey"),
+          graft.operators.ZOrder.zValue(10, x, y).as("zval"))
+        .orderBy("zval", "o_orderkey")
+    }),
+
     // exact percentiles per group: Spark `percentile` and DuckDB
     // `quantile_cont` both use the R-7 definition (rank = p·(n−1), linear
     // interpolation between order statistics); rounding to 4 absorbs the
@@ -131,6 +145,14 @@ object OlapQueries {
     "sk1_salted_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "z1_morton" ->
+      """SELECT o_orderkey,
+        |  list_reduce([
+        |    (((o_custkey % 1024) >> j) & 1) * (1::BIGINT << (2*j)) +
+        |    (((o_orderkey % 1024) >> j) & 1) * (1::BIGINT << (2*j + 1))
+        |    FOR j IN range(0, 10)], (a, b) -> a + b) AS zval
+        |FROM orders ORDER BY zval, o_orderkey""".stripMargin,
 
     "o5_percentiles" ->
       """SELECT l_returnflag,

@@ -50,6 +50,31 @@ class PlanFactsSpec extends SparkSpec {
       s"ivfAssign argmax must be the compiled kernel, not interpreted HOFs:\n$p")
   }
 
+  test("sim3 refinement joins broadcast and its kernels stay compiled") {
+    assume(haveData)
+    val p = finalPlan(SparkEntry.queries("sim3_kmeans_refine")(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"),
+      s"sim3's small joins must broadcast, not sort-merge:\n$p")
+    assert(!p.contains("zip_with"),
+      s"sim3 vector math regressed to interpreted HOFs:\n$p")
+  }
+
+  test("sk1 salted distinct is pure aggregation — no join, no BNL") {
+    assume(haveData)
+    val p = finalPlan(SparkEntry.queries("sk1_salted_distinct")(spark, sfDir))
+    assert(!p.contains("Join"), s"sk1 must be two aggregation phases only:\n$p")
+  }
+
+  test("st5 interval join stays an equi-keyed broadcast/hash join, not BNL") {
+    assume(haveData)
+    // the time-range predicate must ride as a post-join filter on the
+    // user_id equi-join — a BroadcastNestedLoopJoin here would mean the
+    // equi-key was lost and the join degenerated to all-pairs
+    val p = finalPlan(SparkEntry.queries("st5_interval_join")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"st5 degenerated to an all-pairs join:\n$p")
+  }
+
   test("similarity hot kernels are compiled expressions, not interpreted HOFs") {
     assume(haveData)
     // zip_with/aggregate/transform lambdas are CodegenFallback: interpreted,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Morton z-value correctness against a bit-twiddling reference model,
+  * quantization edge cases, and the range-partitioned layout contract. */
+class ZOrderSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference interleave: bit j of column i lands at position j·k+i. */
+  private def zRef(bits: Int, xs: Seq[Long]): Long = {
+    val k = xs.size
+    var out = 0L
+    for (i <- xs.indices; j <- 0 until bits)
+      out |= (((xs(i) >> j) & 1L) << (j * k + i))
+    out
+  }
+
+  test("zValue matches the reference interleave for 2 and 3 columns") {
+    val rnd = new scala.util.Random(7)
+    val rows2 = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got2 = rows2.toDF("x", "y")
+      .select(ZOrder.zValue(16, col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == rows2.map { case (x, y) => zRef(16, Seq(x, y)) })
+
+    val rows3 = Seq.fill(100)(
+      (rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    val got3 = rows3.toDF("x", "y", "w")
+      .select(ZOrder.zValue(10, col("x"), col("y"), col("w")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got3 == rows3.map { case (x, y, w) => zRef(10, Seq(x, y, w)) })
+  }
+
+  test("zValue grows monotonically in each dimension holding the other fixed") {
+    val df = (0L until 64L).map(x => (x, 7L)).toDF("x", "y")
+      .select(col("x"), ZOrder.zValue(6, col("x"), col("y")).as("z"))
+    val zs = df.orderBy("x").collect().map(_.getLong(1)).toSeq
+    assert(zs == zs.sorted, "z must be monotonic in x for fixed y")
+  }
+
+  test("quantize clamps out-of-range values and maps null to bucket 0") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(50.0), Some(100.0), Some(250.0), None)
+      .toDF("v")
+      .select(ZOrder.quantize(col("v"), 0.0, 100.0, 8).as("q"))
+    val qs = df.collect().map(_.getLong(0)).toSeq
+    assert(qs == Seq(0L, 0L, 128L, 255L, 255L, 0L))
+  }
+
+  test("zValue rejects a bit budget past 62 and quantize bad bounds") {
+    intercept[IllegalArgumentException](ZOrder.zValue(32, col("a"), col("b")))
+    intercept[IllegalArgumentException](ZOrder.quantize(col("a"), 5.0, 5.0, 8))
+  }
+
+  test("clusterByZOrder keeps every row and yields disjoint z-ranges per partition") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(2000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val df = rows.toDF("x", "y")
+    val z = ZOrder.zValue(10, col("x"), col("y"))
+    val clustered = ZOrder.clusterByZOrder(df, z, numPartitions = 8)
+    assert(clustered.count() == 2000)
+    assert(clustered.columns.toSeq == Seq("x", "y"), "layout key must not leak")
+    // each output partition must hold one contiguous z-range (this is what
+    // makes per-file min/max stats selective): ranges may not overlap
+    val ranges = clustered
+      .select(ZOrder.zValue(10, col("x"), col("y")).as("z"),
+        spark_partition_id().as("pid"))
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo").collect().map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"partition z-ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+}
