@@ -96,6 +96,42 @@ object TextAnalysis {
     (lengthOk + stopOk + punctOk + alphaOk) / 4.0
   }
 
+  // ---- chunking --------------------------------------------------------------
+
+  /**
+   * P29 — token-window chunking with overlap: split each document into
+   * chunks of `chunkSize` whitespace tokens, consecutive chunks sharing
+   * `overlap` tokens (stride = chunkSize − overlap), the standard prep for
+   * fixed-context-window training. Output: (id, chunk_idx, n_chunk_tokens,
+   * chunk_text); blank documents yield zero chunks. One projection + one
+   * explode — chunks materialize rows, never a shuffle, so the operator
+   * runs at scan speed on any corpus.
+   */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1, s"chunkTokens: chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunkTokens: overlap ($overlap) must be in [0, chunkSize), " +
+        "or consecutive chunks would never advance")
+    val stride = chunkSize - overlap
+    // last chunk start = floor((n-1)/stride)·stride — every token is
+    // covered and no chunk starts at/past the end (double division is
+    // exact here: token counts sit far below 2^52)
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col("id"), col("__toks"),
+        explode(when(col("__n") <= 0, array().cast("array<bigint>"))
+          .otherwise(sequence(lit(0L),
+            floor((col("__n") - lit(1)) / lit(stride.toDouble)).cast("long"))))
+          .as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("__c"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("__c")).as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   // ---- fingerprinting --------------------------------------------------------
 
   private val FpPrime = 2147483647L // 2^31 - 1

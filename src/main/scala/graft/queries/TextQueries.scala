@@ -44,6 +44,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P29 — token-window chunking (32-token chunks, 8-token overlap)
+    "t5_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // polynomial rolling-hash fingerprint
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents").select(
@@ -63,6 +71,23 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // stride 24 = chunkSize 32 − overlap 8; DuckDB's 1-based inclusive
+    // list slice t[a:b] equals Spark's slice(t, a, len) with b capped at n
+    "t5_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    UNNEST(range(0, CASE WHEN len(t) <= 0 THEN 0
+        |                         ELSE (len(t) - 1) // 24 + 1 END)) AS i
+        |  FROM toks)
+        |SELECT doc_id, i AS chunk_idx,
+        |  len(t[(i*24 + 1):least(i*24 + 32, len(t))]) AS n_chunk_tokens,
+        |  array_to_string(t[(i*24 + 1):least(i*24 + 32, len(t))], ' ') AS chunk_text
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "t1_token_counts" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS n_tokens,

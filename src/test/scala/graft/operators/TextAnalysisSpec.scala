@@ -63,4 +63,21 @@ class TextAnalysisSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(fps.length == 2) // "ab", "ba" (second "ab" deduped)
   }
+
+  test("chunkTokens windows with overlap, covers every token, blank docs vanish") {
+    // 10 tokens, chunk 4, overlap 1 → stride 3 → starts 0,3,6,9
+    val df = Seq((1L, (1 to 10).map("w" + _).mkString(" ")), (2L, "   "), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4, "w1 w2 w3 w4"),
+      (1L, 1L, 4, "w4 w5 w6 w7"),
+      (1L, 2L, 4, "w7 w8 w9 w10"),
+      (1L, 3L, 1, "w10"), // tail chunk shorter than chunkSize, never empty
+      (3L, 0L, 1, "solo"))) // blank doc 2 contributes no rows
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 4, overlap = 4))
+  }
 }
