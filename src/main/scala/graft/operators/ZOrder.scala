@@ -29,8 +29,10 @@ object ZOrder {
     require(max > min, s"quantize: max ($max) must exceed min ($min)")
     val buckets = (1L << bits) - 1
     val scaled = (c.cast("double") - lit(min)) / lit(max - min) * lit(buckets.toDouble)
+    // NaN sorts ABOVE every double in Spark, so greatest/least would sweep
+    // NaN rows into the TOP bucket — route them to bucket 0 with nulls
     val clamped = least(greatest(round(scaled, 0), lit(0.0)), lit(buckets.toDouble))
-    coalesce(clamped.cast("long"), lit(0L))
+    coalesce(when(isnan(scaled), 0L).otherwise(clamped).cast("long"), lit(0L))
   }
 
   /** Morton z-value: interleave the low `bits` bits of each column —

@@ -62,7 +62,7 @@ object OlapQueries {
         .orderBy("o_orderstatus")
     }),
 
-    // P21 — salted exact distinct count: semantically a plain
+    // P25 — salted exact distinct count: semantically a plain
     // count(DISTINCT user_id) per event type, but executed as the
     // skew-proof two-phase plan (value-salted partial distincts, then a
     // sum of partials). The oracle is the PLAIN form — passing proves the
@@ -95,12 +95,17 @@ object OlapQueries {
     // SkewSpec) replaces this — exact percentile keeps all values per
     // group in memory.
     "o5_percentiles" -> ((s, dir) => {
+      // ONE percentile aggregate with an array of fractions: the sorted
+      // per-group value buffer is built once and probed twice, instead of
+      // two independent aggregate states each holding the group's values
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("__p"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("__p"), 1), 4).as("p50"),
+          round(element_at(col("__p"), 2), 4).as("p95"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
 

@@ -46,6 +46,12 @@ object SimilarityQueries {
       val centroids = e.where(col("vec_id") % 31 === 0)
         .select(col("vec_id").as("centroid_id"), col("v"))
       val refined = Similarity.kmeansRefine(e, centroids, "vec_id", "v", iters = 1)
+      // sizes re-run the assignment projection: in the fully-lazy no-cache
+      // design (see the d5 lesson in CLAUDE.md) the means consumer and the
+      // sizes consumer would each execute the scan anyway — sharing one
+      // `assigned` frame between two groupBys does not merge the scans,
+      // only a cache would, and caching inside a query builder blinds
+      // plan pins and truncates lineage
       val sizes = Similarity.ivfAssign(e, centroids, "vec_id", "v")
         .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_members"))
       refined

@@ -137,6 +137,9 @@ object EventStreams {
    *
    * Column naming contract: rename any colliding non-key columns on the
    * two inputs BEFORE the call (the join output carries both sides).
+   * The key and BOTH timestamp refs are dataset-qualified, so inputs whose
+   * timestamp columns share a name (the natural `ts`/`ts` call) resolve to
+   * the correct side instead of an ambiguous — or trivially-true — predicate.
    */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, maxDelay: String = "1 hour",
@@ -145,8 +148,8 @@ object EventStreams {
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       l(key) === r(key) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"),
       "inner")
       .drop(r(key))
   }

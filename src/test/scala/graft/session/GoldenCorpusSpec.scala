@@ -1,11 +1,5 @@
 package graft.session
 
-import java.nio.file.{Files, Path, Paths}
-import java.security.MessageDigest
-
-import scala.jdk.CollectionConverters._
-
-import graft.SparkSpec
 import graft.sinks.XptReader
 
 /**
@@ -13,8 +7,7 @@ import graft.sinks.XptReader
  * CSVs + Items.csv/CodeLists.csv companions, an LBCH split dataset, a
  * RELSUB/RELREC pair, a SUPP column) driven through the full
  * `StudySession.create → exportAll` pipeline, with every exported artifact
- * — XPT bytes, Dataset-XML, Define-XML — hash-pinned against committed
- * goldens (`src/test/resources/golden/goldens.txt`).
+ * — XPT bytes, Dataset-XML, Define-XML — hash-pinned via [[GoldenHarness]].
  *
  * This is the byte-level regression net over the spots CLAUDE.md lists as
  * regression-prone (TS-140 member headers, IBM floats, observed lengths,
@@ -28,27 +21,11 @@ import graft.sinks.XptReader
  * reference's public mockdata EDC export layout: label row + name row,
  * quoted Items/CodeLists companions — `mockdata/DEMO_GDISC_20240903_072908`).
  */
-class GoldenCorpusSpec extends SparkSpec {
+class GoldenCorpusSpec extends GoldenHarness {
 
-  private def resourceDir: Path = {
-    val url = getClass.getResource("/golden/GOLD1_DM.csv")
-    assert(url != null, "golden fixture resources missing from test classpath")
-    // requires an exploded-directory test classpath (sbt's default): the
-    // fixture paths are handed to CsvIngest/Spark, which need real files,
-    // so a jarred resource classpath can never serve this suite
-    assert(url.getProtocol == "file",
-      s"golden fixtures must be plain files on disk, got: $url")
-    Paths.get(url.toURI).getParent
-  }
-
-  // the checked-in source of truth lives in src/test/resources/golden; the
-  // classpath copy under target/ is what the running spec reads
-  private val sourceGoldenDir = Paths.get("src", "test", "resources", "golden")
-
-  private def sha256(p: Path): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
-  }
+  val anchorFixture = "GOLD1_DM.csv"
+  val goldensFile = "goldens.txt"
+  val expectedDefineFile = "expected_define.xml"
 
   private def buildSession(): StudySession = {
     val dir = resourceDir
@@ -64,13 +41,8 @@ class GoldenCorpusSpec extends SparkSpec {
     s
   }
 
-  private def export(outDir: String): Map[String, String] = {
-    val session = buildSession()
-    val written = session.exportAll(outDir)
-    written.map(p => Paths.get(p).getFileName.toString -> sha256(Paths.get(p))).toMap
-  }
-
-  private lazy val firstExport: Map[String, String] = export("target/tmp/golden_out1")
+  private lazy val firstExport: Map[String, String] =
+    exportHashes(buildSession(), "target/tmp/golden_out1")
 
   test("fixture metadata: Items.csv statistical detection wires labels and formats") {
     val s = buildSession()
@@ -120,40 +92,11 @@ class GoldenCorpusSpec extends SparkSpec {
   }
 
   test("golden export: hashes match the committed goldens") {
-    firstExport // force the export — this test must not depend on suite order
-    val goldensPath = sourceGoldenDir.resolve("goldens.txt")
-    val definePath = sourceGoldenDir.resolve("expected_define.xml")
-    if (sys.env.get("GOLDEN_UPDATE").contains("1")) {
-      val lines = firstExport.toSeq.sortBy(_._1).map { case (n, h) => s"$n $h" }
-      Files.write(goldensPath, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-      Files.copy(Paths.get("target/tmp/golden_out1/define.xml"), definePath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      info(s"goldens regenerated at $goldensPath — review and commit the diff")
-    } else {
-      assert(Files.exists(goldensPath),
-        "no committed goldens — run once with GOLDEN_UPDATE=1")
-      val expected = Files.readAllLines(goldensPath).asScala
-        .filter(_.nonEmpty).map { l =>
-          val Array(n, h) = l.split(" ", 2); n -> h
-        }.toMap
-      // define.xml compared as text first for a readable failure diff
-      val expectedDefine = new String(Files.readAllBytes(definePath), "UTF-8")
-      val actualDefine = new String(
-        Files.readAllBytes(Paths.get("target/tmp/golden_out1/define.xml")), "UTF-8")
-      assert(actualDefine == expectedDefine,
-        "define.xml drifted from expected_define.xml — if intentional, " +
-          "regenerate with GOLDEN_UPDATE=1 and review the diff")
-      assert(firstExport.keySet == expected.keySet,
-        s"export set drifted: ${firstExport.keySet} vs goldens ${expected.keySet}")
-      val mismatched = firstExport.filter { case (n, h) => expected(n) != h }.keys.toSeq.sorted
-      assert(mismatched.isEmpty,
-        s"artifacts drifted from goldens: $mismatched — if intentional, " +
-          "regenerate with GOLDEN_UPDATE=1")
-    }
+    checkOrUpdateGoldens(firstExport, "target/tmp/golden_out1")
   }
 
   test("golden export: byte-stable across two consecutive runs") {
-    val second = export("target/tmp/golden_out2")
+    val second = exportHashes(buildSession(), "target/tmp/golden_out2")
     assert(second == firstExport)
   }
 }

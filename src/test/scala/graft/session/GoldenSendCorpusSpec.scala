@@ -1,18 +1,13 @@
 package graft.session
 
-import java.nio.file.{Files, Path, Paths}
-import java.security.MessageDigest
+import java.nio.file.{Files, Paths}
 
-import scala.jdk.CollectionConverters._
-
-import graft.SparkSpec
 import graft.sinks.XptReader
 
 /**
  * SEND-standard golden corpus: a small nonclinical study (rat DM + BW
  * body-weight findings) driven through `StudySession(standard = "send")
- * → exportAll`, hash-pinned like [[GoldenCorpusSpec]] (goldens in
- * `src/test/resources/golden/goldens_send.txt`). This is the byte-level
+ * → exportAll`, hash-pinned via [[GoldenHarness]]. This is the byte-level
  * net over the SEND-specific surfaces the SDTM corpus can't reach: the
  * standard selector threading into IG metadata (BW is SEND-IG-only),
  * SEND CT codelist resolution (SPECIES C77808, BWTESTCD C89962 resolve
@@ -23,39 +18,22 @@ import graft.sinks.XptReader
  * Regenerate after an intentional export change with:
  *   GOLDEN_UPDATE=1 sbt "testOnly graft.session.GoldenSendCorpusSpec"
  */
-class GoldenSendCorpusSpec extends SparkSpec {
+class GoldenSendCorpusSpec extends GoldenHarness {
 
-  private def resourceDir: Path = {
-    val url = getClass.getResource("/golden/GOLD2_DM.csv")
-    assert(url != null, "golden SEND fixture resources missing from test classpath")
-    assert(url.getProtocol == "file",
-      s"golden fixtures must be plain files on disk, got: $url")
-    Paths.get(url.toURI).getParent
-  }
-
-  private val sourceGoldenDir = Paths.get("src", "test", "resources", "golden")
-
-  private def sha256(p: Path): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
-  }
+  val anchorFixture = "GOLD2_DM.csv"
+  val goldensFile = "goldens_send.txt"
+  val expectedDefineFile = "expected_define_send.xml"
 
   private def buildSession(): StudySession = {
-    val dir = resourceDir
     val s = new StudySession(spark, "GOLD2", standard = "send")
     Seq("DM", "BW").foreach { code =>
-      s.addDomain(code, dir.resolve(s"GOLD2_$code.csv").toString)
+      s.addDomain(code, resourceDir.resolve(s"GOLD2_$code.csv").toString)
     }
     s
   }
 
-  private def export(outDir: String): Map[String, String] = {
-    val session = buildSession()
-    val written = session.exportAll(outDir)
-    written.map(p => Paths.get(p).getFileName.toString -> sha256(Paths.get(p))).toMap
-  }
-
-  private lazy val firstExport: Map[String, String] = export("target/tmp/golden_send1")
+  private lazy val firstExport: Map[String, String] =
+    exportHashes(buildSession(), "target/tmp/golden_send1")
 
   test("SEND session: IG metadata resolves BW and the mappings auto-suggest") {
     val s = buildSession()
@@ -104,39 +82,11 @@ class GoldenSendCorpusSpec extends SparkSpec {
   }
 
   test("SEND export: hashes match the committed goldens") {
-    firstExport // force the export
-    val goldensPath = sourceGoldenDir.resolve("goldens_send.txt")
-    val definePath = sourceGoldenDir.resolve("expected_define_send.xml")
-    if (sys.env.get("GOLDEN_UPDATE").contains("1")) {
-      val lines = firstExport.toSeq.sortBy(_._1).map { case (n, h) => s"$n $h" }
-      Files.write(goldensPath, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-      Files.copy(Paths.get("target/tmp/golden_send1/define.xml"), definePath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      info(s"goldens regenerated at $goldensPath — review and commit the diff")
-    } else {
-      assert(Files.exists(goldensPath),
-        "no committed SEND goldens — run once with GOLDEN_UPDATE=1")
-      val expected = Files.readAllLines(goldensPath).asScala
-        .filter(_.nonEmpty).map { l =>
-          val Array(n, h) = l.split(" ", 2); n -> h
-        }.toMap
-      val expectedDefine = new String(Files.readAllBytes(definePath), "UTF-8")
-      val actualDefine = new String(
-        Files.readAllBytes(Paths.get("target/tmp/golden_send1/define.xml")), "UTF-8")
-      assert(actualDefine == expectedDefine,
-        "define.xml drifted from expected_define_send.xml — if intentional, " +
-          "regenerate with GOLDEN_UPDATE=1 and review the diff")
-      assert(firstExport.keySet == expected.keySet,
-        s"export set drifted: ${firstExport.keySet} vs goldens ${expected.keySet}")
-      val mismatched = firstExport.filter { case (n, h) => expected(n) != h }.keys.toSeq.sorted
-      assert(mismatched.isEmpty,
-        s"artifacts drifted from goldens: $mismatched — if intentional, " +
-          "regenerate with GOLDEN_UPDATE=1")
-    }
+    checkOrUpdateGoldens(firstExport, "target/tmp/golden_send1")
   }
 
   test("SEND export: byte-stable across two consecutive runs") {
-    val second = export("target/tmp/golden_send2")
+    val second = exportHashes(buildSession(), "target/tmp/golden_send2")
     assert(second == firstExport)
   }
 }
