@@ -44,6 +44,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P30 — deterministic 80/10/10 train/val/test split by MD5 bucket:
+    // the oracle recomputes every row's bucket and split bit-for-bit,
+    // proving assignments are engine-portable (re-runs, rewrites, and
+    // other engines agree on every row, forever)
+    "sa1_hash_split" -> ((s, dir) => {
+      graft.operators.Sampling.hashSplit(
+          table(s, dir, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"),
+          graft.operators.Sampling.hashBucket(col("doc_id"), 10000).as("bucket"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     // P29 — token-window chunking (32-token chunks, 8-token overlap)
     "t5_chunks" -> ((s, dir) => {
       TextAnalysis.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
@@ -71,6 +85,21 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same 56-bit-MD5 fold as the d6 simhash oracle; bucket bounds 8000 /
+    // 9000 are the rounded cumulative weights
+    "sa1_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // stride 24 = chunkSize 32 − overlap 8; DuckDB's 1-based inclusive
     // list slice t[a:b] equals Spark's slice(t, a, len) with b capped at n
     "t5_chunks" ->
