@@ -51,6 +51,41 @@ object Dedup {
       .select(col("__keep").as("survivor_id"), col(idCol).as("duplicate_id"))
   }
 
+  /**
+   * P31 — duplicate clustering: connected components over a pair list
+   * ((i, j) edges from any of the pair producers here), by bounded
+   * min-label propagation. Returns (id, cluster_id) for every node that
+   * appears in a pair; cluster_id = the component's minimum id once
+   * converged.
+   *
+   * Labels move ONE HOP per iteration, so `iters` must be ≥ the component
+   * diameter: near-dup components are dense (every member collides with a
+   * hub in some band), so the default converges for star/clique-shaped
+   * groups; a long CHAIN of borderline pairs needs more iterations — raise
+   * `iters`, or compare two successive outputs for equality to detect
+   * non-convergence. Each iteration is one equi-join + one min-aggregation
+   * (all map-side combinable); the plan depth grows linearly with
+   * `iters` — for genuinely deep graphs iterate externally with
+   * checkpoints rather than one enormous plan.
+   */
+  def duplicateClusters(pairs: DataFrame, iCol: String = "i",
+      jCol: String = "j", iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"duplicateClusters: iters must be >= 1, got $iters")
+    val sym = pairs.select(col(iCol).as("id"), col(jCol).as("nb"))
+      .union(pairs.select(col(jCol).as("id"), col(iCol).as("nb")))
+    var labels = sym.select(col("id")).distinct().withColumn("cluster_id", col("id"))
+    for (_ <- 1 to iters) {
+      val nbMin = sym
+        .join(labels.select(col("id").as("nb"), col("cluster_id").as("__nbc")), Seq("nb"))
+        .groupBy("id").agg(min("__nbc").as("__m"))
+      labels = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__m"), col("cluster_id")))
+            .as("cluster_id"))
+    }
+    labels
+  }
+
   // ---- token / n-gram sets ------------------------------------------------
 
   /** Distinct lowercase whitespace tokens per document, as one array cell:

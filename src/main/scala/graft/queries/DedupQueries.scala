@@ -42,6 +42,18 @@ object DedupQueries {
         .orderBy("survivor_id", "duplicate_id")
     }),
 
+    // P31 — duplicate clustering: components over the exact-dup pair list.
+    // The oracle states the semantic ground truth instead of replaying the
+    // propagation: exact-dup components ARE the same-text groups, so every
+    // member of a >1-sized text group must get cluster_id = the group's
+    // min doc_id (star components converge within the default iterations)
+    "d8_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.exactDupPairs(dupedDocs(s, dir), "doc_id", "text")
+      Dedup.duplicateClusters(pairs, "survivor_id", "duplicate_id")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // token-set Jaccard ≥ 0.8 over a 50-doc subset
     "d3_token_jaccard" -> ((s, dir) => {
       val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
@@ -132,6 +144,13 @@ object DedupQueries {
          |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep
          |  FROM ($dupedDocsSql))
          |WHERE doc_id <> keep ORDER BY 1, 2""".stripMargin,
+
+    "d8_dup_clusters" ->
+      s"""SELECT doc_id, cluster_id FROM (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id,
+         |         COUNT(*) OVER (PARTITION BY text) AS n
+         |  FROM ($dupedDocsSql))
+         |WHERE n > 1 ORDER BY doc_id""".stripMargin,
 
     "d3_token_jaccard" ->
       jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),

@@ -177,4 +177,19 @@ class DedupSpec extends SparkSpec {
     // accumulate in the cache manager (or executor storage) across calls
     assert(org.apache.spark.sql.GraftBridge.noCachedPlans(spark))
   }
+
+  test("duplicateClusters: stars converge fast, chains move one hop per iteration") {
+    def clusters(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+      Dedup.duplicateClusters(pairs.toDF("i", "j"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two disjoint components: a star {1,2,3} and an edge {10,11}
+    assert(clusters(Seq((1L, 2L), (1L, 3L), (10L, 11L)), 1) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a chain 1-2-3-4: after ONE iteration node 4 only sees neighbor 3's
+    // initial label — the documented one-hop-per-iteration contract
+    val oneHop = clusters(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1)
+    assert(oneHop(4L) == 3L && oneHop(2L) == 1L)
+    // diameter-many iterations reach the fixpoint
+    assert(clusters(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 3).values.toSet == Set(1L))
+  }
 }
