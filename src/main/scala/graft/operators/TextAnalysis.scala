@@ -96,6 +96,37 @@ object TextAnalysis {
     (lengthOk + stopOk + punctOk + alphaOk) / 4.0
   }
 
+  // ---- tf-idf ----------------------------------------------------------------
+
+  /** Raw term frequencies per document: (id, token, tf) — duplicates kept,
+    * unlike the dedup family's distinct token sets. One explode + one
+    * (id, token)-keyed count, map-side combinable. */
+  def termFrequencies(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+
+  /**
+   * P32 — smoothed TF-IDF: score = tf · (ln((N+1)/(df+1)) + 1), the
+   * sklearn-style smoothing that keeps corpus-wide terms positive. N is
+   * the corpus document count — ONE driver-collected scalar (the o3
+   * scalar-subquery shape), folded into the plan as a literal; df comes
+   * from a (token)-keyed distinct-doc count joined back to the term
+   * frequencies. Two shuffles total (term counts, doc frequencies), both
+   * keyed and partial-aggregated — the shape that survives any corpus
+   * size. `minDf` prunes hapax noise before the join.
+   */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val n = df.select(col(idCol)).distinct().count()
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    tf.join(dfreq, Seq("token"))
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        (col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)).as("score"))
+  }
+
   // ---- chunking --------------------------------------------------------------
 
   /**

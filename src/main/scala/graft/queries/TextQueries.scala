@@ -66,6 +66,21 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // P32 — top-3 TF-IDF terms per doc over a 10% subset; scores round to
+    // 6 decimals and rank ties break on token so cross-engine ln() ulp
+    // slack cannot flip the comparison (same discipline as sim1/f3)
+    "t6_tfidf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      val scored = TextAnalysis.tfidf(docs, "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("id").as("doc_id"), col("rank"), col("token"),
+          col("tf"), col("df"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // polynomial rolling-hash fingerprint
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents").select(
@@ -99,6 +114,27 @@ object TextQueries {
         |       WHEN bucket < 9000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "t6_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      UNNEST(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS token
+        |    FROM docs) GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM docs),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |         tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, token ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tf, df, ROUND(score, 6) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // stride 24 = chunkSize 32 − overlap 8; DuckDB's 1-based inclusive
     // list slice t[a:b] equals Spark's slice(t, a, len) with b capped at n

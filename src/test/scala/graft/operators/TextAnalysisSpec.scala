@@ -64,6 +64,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.length == 2) // "ab", "ba" (second "ab" deduped)
   }
 
+  test("tfidf: smoothed scores, df counts documents not occurrences, minDf prunes") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // apple: df=2 (two DOCS, though three occurrences); idf = ln(4/3)+1
+    val idf2 = math.log(4.0 / 3.0) + 1.0
+    val idf1 = math.log(4.0 / 2.0) + 1.0
+    assert(out == Set(
+      (1L, "apple", 2L, 2L, 2 * idf2),
+      (1L, "banana", 1L, 1L, idf1),
+      (2L, "apple", 1L, 2L, idf2),
+      (2L, "cherry", 1L, 1L, idf1),
+      (3L, "durian", 1L, 1L, idf1)))
+    // minDf=2 keeps only terms seen in >= 2 documents
+    val pruned = TextAnalysis.tfidf(df, "doc_id", "text", minDf = 2L)
+      .select("token").distinct().collect().map(_.getString(0)).toSet
+    assert(pruned == Set("apple"))
+  }
+
   test("chunkTokens windows with overlap, covers every token, blank docs vanish") {
     // 10 tokens, chunk 4, overlap 1 → stride 3 → starts 0,3,6,9
     val df = Seq((1L, (1 to 10).map("w" + _).mkString(" ")), (2L, "   "), (3L, "solo"))
