@@ -188,4 +188,33 @@ object TextAnalysis {
         lit(0L),
         (acc, x) => pmod(acc * FpBase + x, lit(FpPrime)))))
   }
+
+  /** POSITIONAL k-gram hashes (no dedup, source order) — winnowing needs
+    * the sequence, not the set. */
+  def shingleHashSeq(c: Column, k: Int): Column = {
+    val t = lower(trim(c))
+    transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => aggregate(
+        transform(split(t.substr(i, lit(k)), ""), ch => ascii(ch).cast("long")),
+        lit(0L),
+        (acc, x) => pmod(acc * FpBase + x, lit(FpPrime))))
+  }
+
+  /**
+   * P33 — winnowing (the MOSS fingerprint-selection algorithm): slide a
+   * `window`-wide frame over the positional k-gram hashes and keep each
+   * frame's minimum, deduplicated. Guarantees a fingerprint in every
+   * window (detection can't miss a match longer than window+k−1 chars)
+   * while storing only ~2/(window+1) of the hashes — the document-level
+   * sketch that makes corpus-scale overlap detection affordable. Texts
+   * shorter than a window keep their global minimum.
+   */
+  def winnowFingerprints(c: Column, k: Int, window: Int): Column = {
+    require(window >= 1, s"winnowFingerprints: window must be >= 1, got $window")
+    val hs = shingleHashSeq(c, k)
+    sort_array(array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - (window - 1), lit(1))),
+      i => array_min(slice(hs, i, lit(window))))))
+  }
 }

@@ -81,6 +81,17 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // P33 — winnowing selection over 5-gram hashes, window 4, exploded to
+    // (doc_id, fp) rows; docs shorter than one shingle are excluded on
+    // both sides so degenerate-substring semantics never differ
+    "t7_winnow" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .where(col("doc_id") % 20 === 0 && length(lower(trim(col("text")))) >= 5)
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprints(col("text"), 5, 4)).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
+
     // polynomial rolling-hash fingerprint
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents").select(
@@ -114,6 +125,27 @@ object TextQueries {
         |       WHEN bucket < 9000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the list_reduce seed quirk is benign: DuckDB starts the fold at the
+    // first element where Spark starts at 0 — (0·31 + x₀) mod p = x₀ since
+    // every ascii value sits below the modulus
+    "t7_winnow" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |  WHERE doc_id % 20 = 0 AND length(lower(trim(text))) >= 5),
+        |hs AS (
+        |  SELECT doc_id,
+        |    [list_reduce([CAST(ascii(c2) AS BIGINT) FOR c2 IN string_split(substr(t, CAST(i AS INT), 5), '')],
+        |       (acc, x) -> (acc * 31 + x) % 2147483647)
+        |     FOR i IN range(1, greatest(length(t) - 4, 1) + 1)] AS h
+        |  FROM docs),
+        |wins AS (
+        |  SELECT doc_id,
+        |    [list_min(h[CAST(i AS INT):CAST(i + 3 AS INT)])
+        |     FOR i IN range(1, greatest(len(h) - 3, 1) + 1)] AS fps
+        |  FROM hs)
+        |SELECT doc_id, UNNEST(list_sort(list_distinct(fps))) AS fp
+        |FROM wins ORDER BY doc_id, fp""".stripMargin,
 
     "t6_tfidf" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

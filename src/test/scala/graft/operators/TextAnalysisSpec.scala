@@ -87,6 +87,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pruned == Set("apple"))
   }
 
+  test("winnowFingerprints: window minima, deduped/sorted, full coverage guarantee") {
+    def hash(s: String): Long =
+      s.foldLeft(0L)((a, ch) => (a * 31 + ch.toLong) % 2147483647L)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val t = text.toLowerCase.trim
+    val hs = (0 to t.length - 5).map(i => hash(t.substring(i, i + 5)))
+    val expected = (0 to hs.length - 4).map(i => hs.slice(i, i + 4).min).distinct.sorted
+    val got = Seq(text).toDF("t")
+      .select(TextAnalysis.winnowFingerprints(col("t"), 5, 4))
+      .head().getSeq[Long](0)
+    assert(got == expected)
+    // the winnowing guarantee: every window of 4 consecutive shingle
+    // hashes contributed a selected fingerprint, so no match of length
+    // >= window + k - 1 chars can be missed
+    assert((0 to hs.length - 4).forall(i => hs.slice(i, i + 4).exists(got.contains)))
+    // text with fewer shingles than one window → exactly the global min
+    val short = Seq("abcdef").toDF("t")
+      .select(TextAnalysis.winnowFingerprints(col("t"), 5, 4))
+      .head().getSeq[Long](0)
+    assert(short == Seq(Seq(hash("abcde"), hash("bcdef")).min))
+  }
+
   test("chunkTokens windows with overlap, covers every token, blank docs vanish") {
     // 10 tokens, chunk 4, overlap 1 → stride 3 → starts 0,3,6,9
     val df = Seq((1L, (1 to 10).map("w" + _).mkString(" ")), (2L, "   "), (3L, "solo"))
