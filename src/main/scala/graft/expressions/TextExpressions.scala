@@ -1,0 +1,90 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Codegen-callable text-fingerprint kernels. The Column-HOF formulation of
+ * winnowing was quadratic AND interpreted: `slice(hashes, i, w)` embeds the
+ * whole shingle-hash subtree inside the window lambda, so every window
+ * recomputed every shingle hash of the document through CodegenFallback
+ * lambdas (~150 s/run over 250 small docs at sf0.1). The kernel computes
+ * the hash sequence once and keeps a flat two-loop shape — the same
+ * interpreted-HOF-to-native migration that took n4's ISO parsing from
+ * 255 s to 1.6 s.
+ */
+object TextEval {
+
+  private val FpPrime = 2147483647L // 2^31 - 1, matches TextAnalysis.FpPrime
+  private val FpBase = 31L
+
+  /**
+   * Winnowing fingerprints of lower(trim(text)): polynomial rolling hash of
+   * every k-codepoint shingle (h = Σ 31^i·cp mod 2^31−1, accumulated in
+   * source order exactly like the Column/DuckDB formulation), then the
+   * minimum of each `window`-wide frame, deduplicated and sorted.
+   * Texts with fewer than k codepoints hash their whole remainder; fewer
+   * shingles than a window keep the global minimum.
+   */
+  def winnow(str: UTF8String, k: Int, window: Int): ArrayData = {
+    val t = str.trim().toLowerCase.toString
+    val cps = t.codePoints().toArray
+    val m = math.max(cps.length - (k - 1), 1)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = i
+      val end = math.min(i + k, cps.length)
+      while (j < end) { acc = (acc * FpBase + cps(j)) % FpPrime; j += 1 }
+      hs(i) = acc
+      i += 1
+    }
+    val w = math.max(m - (window - 1), 1)
+    val mins = new Array[Long](w)
+    var x = 0
+    while (x < w) {
+      var mn = Long.MaxValue
+      var y = x
+      val e = math.min(x + window, m)
+      while (y < e) { if (hs(y) < mn) mn = hs(y); y += 1 }
+      mins(x) = mn
+      x += 1
+    }
+    java.util.Arrays.sort(mins)
+    // dedupe in place over the sorted minima
+    var out = 0
+    var r = 0
+    while (r < w) {
+      if (r == 0 || mins(r) != mins(r - 1)) { mins(out) = mins(r); out += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(mins, out))
+  }
+}
+
+/** Winnowing kernel: `string → array<bigint>` of selected fingerprints. */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow requires a STRING input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextEval.winnow(input.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextEval.winnow($c, $k, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}

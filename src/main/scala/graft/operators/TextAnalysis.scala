@@ -189,32 +189,24 @@ object TextAnalysis {
         (acc, x) => pmod(acc * FpBase + x, lit(FpPrime)))))
   }
 
-  /** POSITIONAL k-gram hashes (no dedup, source order) — winnowing needs
-    * the sequence, not the set. */
-  def shingleHashSeq(c: Column, k: Int): Column = {
-    val t = lower(trim(c))
-    transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => aggregate(
-        transform(split(t.substr(i, lit(k)), ""), ch => ascii(ch).cast("long")),
-        lit(0L),
-        (acc, x) => pmod(acc * FpBase + x, lit(FpPrime))))
-  }
-
   /**
    * P33 — winnowing (the MOSS fingerprint-selection algorithm): slide a
-   * `window`-wide frame over the positional k-gram hashes and keep each
-   * frame's minimum, deduplicated. Guarantees a fingerprint in every
-   * window (detection can't miss a match longer than window+k−1 chars)
-   * while storing only ~2/(window+1) of the hashes — the document-level
-   * sketch that makes corpus-scale overlap detection affordable. Texts
-   * shorter than a window keep their global minimum.
+   * `window`-wide frame over the positional k-gram rolling hashes and keep
+   * each frame's minimum, deduplicated and sorted. Guarantees a
+   * fingerprint in every window (detection can't miss a match longer than
+   * window+k−1 chars) while storing only ~2/(window+1) of the hashes — the
+   * document-level sketch that makes corpus-scale overlap detection
+   * affordable. Texts shorter than a window keep their global minimum.
+   *
+   * Implemented as a native codegen'd kernel
+   * ([[graft.expressions.WinnowFingerprintsExpr]]): the Column-HOF
+   * formulation re-evaluated the whole shingle-hash subtree inside the
+   * window lambda — quadratic AND interpreted.
    */
   def winnowFingerprints(c: Column, k: Int, window: Int): Column = {
+    require(k >= 1, s"winnowFingerprints: k must be >= 1, got $k")
     require(window >= 1, s"winnowFingerprints: window must be >= 1, got $window")
-    val hs = shingleHashSeq(c, k)
-    sort_array(array_distinct(transform(
-      sequence(lit(1), greatest(size(hs) - (window - 1), lit(1))),
-      i => array_min(slice(hs, i, lit(window))))))
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    exprCol(graft.expressions.WinnowFingerprintsExpr(colExpr(c), k, window))
   }
 }
