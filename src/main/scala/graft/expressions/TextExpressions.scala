@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object TextEval {
 
-  private val FpPrime = 2147483647L // 2^31 - 1, matches TextAnalysis.FpPrime
-  private val FpBase = 31L
+  // the SAME constants the Column fingerprint family uses — referenced,
+  // not copied, so tuning them cannot desynchronize the two
+  private val FpPrime = graft.operators.TextAnalysis.FpPrime
+  private val FpBase = graft.operators.TextAnalysis.FpBase
 
   /**
    * Winnowing fingerprints of lower(trim(text)): polynomial rolling hash of

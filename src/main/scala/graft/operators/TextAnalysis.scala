@@ -118,8 +118,11 @@ object TextAnalysis {
    */
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       minDf: Long = 1L): org.apache.spark.sql.DataFrame = {
-    val n = df.select(col(idCol)).distinct().count()
-    val tf = termFrequencies(df, idCol, textCol)
+    // null ids are excluded up front: they are not documents, and counting
+    // one would shift every idf against a COUNT(DISTINCT)-style oracle
+    val docs = df.where(col(idCol).isNotNull)
+    val n = docs.select(col(idCol)).distinct().count()
+    val tf = termFrequencies(docs, idCol, textCol)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
     tf.join(dfreq, Seq("token"))
@@ -165,8 +168,10 @@ object TextAnalysis {
 
   // ---- fingerprinting --------------------------------------------------------
 
-  private val FpPrime = 2147483647L // 2^31 - 1
-  private val FpBase = 31L
+  // shared with the native winnowing kernel (expressions/TextEval) — one
+  // definition so the fingerprint families can never silently diverge
+  private[graft] val FpPrime = 2147483647L // 2^31 - 1
+  private[graft] val FpBase = 31L
 
   /** Polynomial rolling hash of the trimmed text: h = Σ 31^i·byte mod
     * (2^31-1). Engine-portable (plain integer arithmetic, no xxhash), stays

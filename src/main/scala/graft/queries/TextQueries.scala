@@ -66,12 +66,14 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
-    // P32 — top-3 TF-IDF terms per doc over a 10% subset; scores round to
-    // 6 decimals and rank ties break on token so cross-engine ln() ulp
-    // slack cannot flip the comparison (same discipline as sim1/f3)
+    // P32 — top-3 TF-IDF terms per doc over a 10% subset; the RANKING
+    // itself runs on the 6-decimal-rounded score (not just the output), so
+    // cross-engine ln() ulp slack collapses into exact ties that the token
+    // tie-break then settles identically (the CLAUDE.md rank discipline)
     "t6_tfidf" -> ((s, dir) => {
       val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
       val scored = TextAnalysis.tfidf(docs, "doc_id", "text")
+        .withColumn("score", round(col("score"), 6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("score").desc, col("token").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -161,11 +163,13 @@ object TextQueries {
         |         tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
         |ranked AS (
-        |  SELECT doc_id, token, tf, df, score,
+        |  -- rank on the ROUNDED score (matching the Spark side) so ln()
+        |  -- ulp differences become exact ties broken by token
+        |  SELECT doc_id, token, tf, df, ROUND(score, 6) AS score,
         |         ROW_NUMBER() OVER (PARTITION BY doc_id
-        |                            ORDER BY score DESC, token ASC) AS rank
+        |                            ORDER BY ROUND(score, 6) DESC, token ASC) AS rank
         |  FROM scored)
-        |SELECT doc_id, rank, token, tf, df, ROUND(score, 6) AS score
+        |SELECT doc_id, rank, token, tf, df, score
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // stride 24 = chunkSize 32 − overlap 8; DuckDB's 1-based inclusive

@@ -75,6 +75,17 @@ class PlanFactsSpec extends SparkSpec {
       s"st5 degenerated to an all-pairs join:\n$p")
   }
 
+  test("t7 winnowing runs the native kernel, never the quadratic HOF formulation") {
+    assume(haveData)
+    // the Column-HOF version embedded the shingle-hash subtree inside the
+    // window lambda: quadratic AND interpreted (~150s/run at sf0.1); the
+    // kernel must stay in the plan and the HOF machinery must stay out
+    val p = finalPlan(SparkEntry.queries("t7_winnow")(spark, sfDir))
+    assert(p.contains("graft_winnow"), s"t7 lost the native winnow kernel:\n$p")
+    assert(!p.contains("transform(") && !p.contains("aggregate("),
+      s"t7 regressed to interpreted HOF winnowing:\n$p")
+  }
+
   test("similarity hot kernels are compiled expressions, not interpreted HOFs") {
     assume(haveData)
     // zip_with/aggregate/transform lambdas are CodegenFallback: interpreted,
