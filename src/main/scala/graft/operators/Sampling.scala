@@ -20,16 +20,20 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** Engine-portable deterministic bucket in [0, buckets): first 56 bits
-    * of MD5 of (salt ++ key) mod buckets. `salt` decorrelates independent
-    * samples over the same keys; nulls land in bucket 0 (empty-string
-    * key), keeping the function total. */
+  /** Engine-portable 56-bit hash of (salt ++ key): the first 14 hex chars
+    * of standard MD5 as a long. Nulls hash as the empty string, keeping
+    * the function total. The primitive under buckets, samples, splits,
+    * and per-key caps. */
+  def hashValue(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), coalesce(key.cast("string"), lit("")))),
+      1, 14), 16, 10).cast("long")
+
+  /** Engine-portable deterministic bucket in [0, buckets): [[hashValue]]
+    * mod buckets. `salt` decorrelates independent samples over the same
+    * keys. */
   def hashBucket(key: Column, buckets: Int, salt: String = ""): Column = {
     require(buckets >= 1, s"hashBucket: buckets must be >= 1, got $buckets")
-    pmod(
-      conv(substring(md5(concat(lit(salt), coalesce(key.cast("string"), lit("")))),
-        1, 14), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(hashValue(key, salt), lit(buckets.toLong))
   }
 
   /** Deterministic `fraction` sample: keeps rows whose bucket falls below
@@ -64,5 +68,25 @@ object Sampling {
       case (((name, _), bound), rest) => when(b < lit(bound), lit(name)).otherwise(rest)
     }
     df.withColumn(splitCol, out)
+  }
+
+  /**
+   * P34 — deterministic per-key cap (class balancing): keep at most
+   * `maxPerKey` rows per key, selected by portable hash order over
+   * `idCol` (ties broken by id). Unlike LIMIT-per-group over input order,
+   * the retained subset is a function of the DATA alone — stable across
+   * re-runs, partitionings, and engines — and is itself a uniform sample
+   * of the group (hash order is key-uniform). One window shuffle keyed by
+   * `keyCol`; a skewed hot key costs one partition's sort, the standard
+   * cap-then-continue mitigation at scale.
+   */
+  def cappedPerKey(df: DataFrame, keyCol: String, idCol: String,
+      maxPerKey: Int, salt: String = ""): DataFrame = {
+    require(maxPerKey >= 1, s"cappedPerKey: maxPerKey must be >= 1, got $maxPerKey")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPerKey)
+      .drop("__rn")
   }
 }

@@ -58,6 +58,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P34 — per-class cap: at most 10 docs per (doc_id % 7) class, chosen
+    // by portable hash order; the oracle replays the same MD5 ordering so
+    // the retained subset must agree row-for-row
+    "sa2_capped_per_key" -> ((s, dir) => {
+      val classed = table(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 7).as("klass"))
+      graft.operators.Sampling.cappedPerKey(classed, "klass", "doc_id", 10)
+        .orderBy("klass", "doc_id")
+    }),
+
     // P29 — token-window chunking (32-token chunks, 8-token overlap)
     "t5_chunks" -> ((s, dir) => {
       TextAnalysis.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
@@ -113,6 +123,21 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "sa2_capped_per_key" ->
+      """WITH h AS (
+        |  SELECT doc_id, doc_id % 7 AS klass,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, klass,
+        |         ROW_NUMBER() OVER (PARTITION BY klass
+        |                            ORDER BY hv ASC, doc_id ASC) AS rn
+        |  FROM h)
+        |SELECT doc_id, klass FROM ranked WHERE rn <= 10
+        |ORDER BY klass, doc_id""".stripMargin,
+
     // same 56-bit-MD5 fold as the d6 simhash oracle; bucket bounds 8000 /
     // 9000 are the rounded cumulative weights
     "sa1_hash_split" ->

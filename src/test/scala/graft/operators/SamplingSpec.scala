@@ -60,6 +60,26 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("cappedPerKey keeps at most N per key, deterministically, order-independent") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 1000L).map(k => (k % 5, k)).toDF("klass", "id")
+    val capped = Sampling.cappedPerKey(df, "klass", "id", 7)
+    val byClass = capped.groupBy("klass").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byClass.values.forall(_ == 7), s"every class capped at 7: $byClass")
+    // a class smaller than the cap survives whole
+    val small = Sampling.cappedPerKey(
+      Seq((0L, 1L), (0L, 2L)).toDF("klass", "id"), "klass", "id", 7)
+    assert(small.count() == 2)
+    // determinism + input-order independence: a shuffled input keeps the
+    // SAME rows (hash order is a function of the data, not the layout)
+    val shuffled = df.orderBy(col("id").desc).repartition(7)
+    val a = capped.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.cappedPerKey(shuffled, "klass", "id", 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("invalid fractions and weights are rejected") {
     intercept[IllegalArgumentException](Sampling.hashSample(keys, "k", 1.5))
     intercept[IllegalArgumentException](
