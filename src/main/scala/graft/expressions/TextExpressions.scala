@@ -31,6 +31,12 @@ object TextEval {
    * minimum of each `window`-wide frame, deduplicated and sorted.
    * Texts with fewer than k codepoints hash their whole remainder; fewer
    * shingles than a window keep the global minimum.
+   *
+   * Lowercasing follows `UTF8String.toLowerCase`: ASCII maps locale-free;
+   * non-ASCII goes through the JVM default locale (Spark's own semantics
+   * for `lower()`). The engine-parity guarantee is therefore pinned for
+   * ASCII corpora — non-ASCII case folding can differ from an oracle on a
+   * non-English-locale JVM, as it would for any `lower()`-based pipeline.
    */
   def winnow(str: UTF8String, k: Int, window: Int): ArrayData = {
     val t = str.trim().toLowerCase.toString

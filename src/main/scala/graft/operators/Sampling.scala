@@ -79,10 +79,18 @@ object Sampling {
    * of the group (hash order is key-uniform). One window shuffle keyed by
    * `keyCol`; a skewed hot key costs one partition's sort, the standard
    * cap-then-continue mitigation at scale.
+   *
+   * Contract: `idCol` must be unique within each key — duplicate ids get
+   * identical sort keys, and which of their payload rows survives a cap
+   * boundary would then depend on partitioning, voiding the determinism
+   * guarantee above.
    */
   def cappedPerKey(df: DataFrame, keyCol: String, idCol: String,
       maxPerKey: Int, salt: String = ""): DataFrame = {
     require(maxPerKey >= 1, s"cappedPerKey: maxPerKey must be >= 1, got $maxPerKey")
+    require(!df.columns.contains("__rn"),
+      "cappedPerKey: input already has a __rn column — rename it first " +
+        "(the operator would silently replace and drop it)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
       .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))

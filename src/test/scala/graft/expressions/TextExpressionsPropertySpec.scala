@@ -60,13 +60,19 @@ class TextExpressionsPropertySpec extends AnyFunSuite {
     val params = Gen.Parameters.default
     var seed = Seed(1234L)
     var i = 0
+    var evaluated = 0
     while (i < 3000) {
       gen.apply(params, seed).foreach { case (t, k, w) =>
         assert(kernel(t, k, w) == model(t, k, w),
           s"divergence on text='$t' k=$k window=$w")
+        evaluated += 1
       }
       seed = seed.next
       i += 1
     }
+    // a filtered generator returning None would silently skip draws and
+    // leave the suite green while testing nothing — the count keeps the
+    // claim honest
+    assert(evaluated == 3000, s"only $evaluated of 3000 draws evaluated")
   }
 }
