@@ -52,13 +52,28 @@ object Bench {
       if (good.isEmpty) n -> (-1.0, -1.0)
       else n -> (good.sorted.apply(good.length / 2), good.min)
     }
+    // 3-decimal (millisecond) values: full double precision tripled the
+    // line length and BENCH_r05's tail capture clipped the median block
+    // mid-JSON — precision below 1ms is noise anyway
+    def r3(v: Double) = math.rint(v * 1000) / 1000
     def jmap(f: ((Double, Double)) => Double) =
-      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, (med, _)) if med >= 0 => med }.sum
-    val totalMin = results.collect { case (_, (_, mn)) if mn >= 0 => mn }.sum
+      results.map { case (k, v) => "\"" + k + "\":" + r3(f(v)) }.mkString("{", ",", "}")
+    // a query with ZERO good samples must poison the totals, not silently
+    // deflate them — a persistently broken query would otherwise read as a
+    // faster run (the same phantom class the warmup-failure rule guards)
+    val broken = results.collect { case (n, (med, _)) if med < 0 => n }
+    val total = if (broken.nonEmpty) -1.0 else r3(results.map(_._2._1).sum)
+    val totalMin = if (broken.nonEmpty) -1.0 else r3(results.map(_._2._2).sum)
+    val brokenJson = broken.map("\"" + _ + "\"").mkString("[", ",", "]")
     // median is the headline (robust to one bad round); min is the noise
     // floor — a large median/min gap flags ambient load, not a regression
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"total_min":$totalMin,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"total_min":$totalMin,"failed":${broken.length},"failed_queries":$brokenJson,"sf":"$sfDir"}"""
+    // belt and braces vs output-tail truncation: the same line also lands
+    // in a file the driver (or a human) can always read whole
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_summary.json"),
+      (summary + "\n").getBytes("UTF-8")))
+    println(summary)
     spark.stop()
   }
 }

@@ -62,11 +62,12 @@ object Dedup {
    * diameter: near-dup components are dense (every member collides with a
    * hub in some band), so the default converges for star/clique-shaped
    * groups; a long CHAIN of borderline pairs needs more iterations — raise
-   * `iters`, or compare two successive outputs for equality to detect
-   * non-convergence. Each iteration is one equi-join + one min-aggregation
-   * (all map-side combinable); the plan depth grows linearly with
-   * `iters` — for genuinely deep graphs iterate externally with
-   * checkpoints rather than one enormous plan.
+   * `iters`, or use [[duplicateClustersConverged]], which iterates to the
+   * fixed point and REFUSES to return non-converged labels. Each iteration
+   * here is one equi-join + one min-aggregation (all map-side combinable);
+   * the plan depth grows linearly with `iters` — for genuinely deep graphs
+   * the converged variant checkpoints per round instead of building one
+   * enormous plan.
    */
   def duplicateClusters(pairs: DataFrame, iCol: String = "i",
       jCol: String = "j", iters: Int = 3): DataFrame = {
@@ -83,6 +84,52 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("__m"), col("cluster_id")))
             .as("cluster_id"))
     }
+    labels
+  }
+
+  /**
+   * P31 fixed-point variant: min-label propagation iterated EAGERLY until
+   * no label changes, so a chain-shaped component can never silently come
+   * back split (the bounded [[duplicateClusters]]'s documented failure
+   * mode). Each round localCheckpoints its label frame — the plan stays
+   * one-join deep regardless of graph diameter and the per-round
+   * changed-label count is a cheap aggregate over the checkpointed frame.
+   * Throws after `maxIters` non-converged rounds rather than returning
+   * wrong labels. Deliberately NOT used inside `queries()` builders —
+   * eager materialization there blinds plan pins (d8 keeps the bounded,
+   * fully-lazy form); this is the standalone tool for deep graphs.
+   */
+  def duplicateClustersConverged(pairs: DataFrame, iCol: String = "i",
+      jCol: String = "j", maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1, s"duplicateClustersConverged: maxIters must be >= 1, got $maxIters")
+    // the edge list is scanned every round — checkpoint it once so the
+    // upstream pair-producer pipeline (LSH, shingles, …) runs exactly once
+    val sym = pairs.select(col(iCol).as("id"), col(jCol).as("nb"))
+      .union(pairs.select(col(jCol).as("id"), col(iCol).as("nb")))
+      .localCheckpoint()
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      iter += 1
+      val nbMin = sym
+        .join(labels.select(col("id").as("nb"), col("cluster_id").as("__nbc")), Seq("nb"))
+        .groupBy("id").agg(min("__nbc").as("__m"))
+      val next = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__m"), col("cluster_id")))
+            .as("cluster_id"),
+          coalesce(col("__m") < col("cluster_id"), lit(false)).as("__changed"))
+        .localCheckpoint()
+      changed = next.where(col("__changed")).count()
+      // the superseded round's checkpoint blocks are reclaimed by the
+      // ContextCleaner once this reassignment drops the last reference
+      labels = next.drop("__changed")
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClustersConverged: not converged after $maxIters iterations " +
+        s"($changed labels still changing) — raise maxIters")
     labels
   }
 

@@ -155,14 +155,15 @@ object Reshape {
         Window.partitionBy(col("RSUBJID"), col("USUBJID")).orderBy(ordered)))
       .where(col("__rn") === 1)
 
-    // generated rows order AFTER every source row: rowId = max(source) + n
+    // generated rows order AFTER every source row: rowId = max(source) +
+    // winnerRowId + 1. Non-dense on purpose — each reverse pair's winner is
+    // a distinct source row, so the ids are unique and all above the source
+    // maximum WITHOUT a global row_number window (which would funnel every
+    // generated row through one partition to hand out a dense sequence)
     val numbered =
       if (hasRowId)
-        candidates
-          .withColumn("__gn", row_number().over(
-            Window.orderBy(col("RSUBJID"), col("USUBJID"))))
-          .crossJoin(broadcast(keyed.agg(
-            coalesce(max(col(rowId)), lit(0L)).as("__maxrid"))))
+        candidates.crossJoin(broadcast(keyed.agg(
+          coalesce(max(col(rowId)), lit(0L)).as("__maxrid"))))
       else candidates
 
     val reverseRows = numbered.select(cols.toSeq.map {
@@ -171,7 +172,7 @@ object Reshape {
       case "SREL"    => col("__recip").as("SREL")
       case c if c == "STUDYID" || c == "DOMAIN" => col(c)
       case c if c == rowId && hasRowId =>
-        (col("__maxrid") + col("__gn").cast("long")).as(rowId)
+        (col("__maxrid") + col(rowId).cast("long") + lit(1L)).as(rowId)
       case c => lit(null).cast(keyed.schema(c).dataType).as(c)
     }: _*)
 

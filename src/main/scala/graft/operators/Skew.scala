@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
-  /** Deterministic salt in [0, buckets): spreads rows of the same key
-    * without RNG (pmod of a row-local hash). */
+  /** Deterministic salt in [0, buckets): a pure content hash of the given
+    * columns, so a task retry under speculative execution re-salts every
+    * row identically (monotonically_increasing_id would re-salt by the
+    * retry's partition layout). Pass ALL row columns to spread a hot key;
+    * byte-identical rows share a bucket, which leaves counts/sums exact
+    * and only costs spread when a hot key is dominated by literal
+    * duplicate rows. */
   def salt(buckets: Int, cols: Column*): Column =
-    pmod(xxhash64(cols :+ monotonically_increasing_id(): _*), lit(buckets.toLong))
+    pmod(xxhash64(cols: _*), lit(buckets.toLong))
 
   /**
    * Salted count/sum aggregation: semantically identical to
@@ -29,7 +34,7 @@ object Skew {
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    df.withColumn("__salt", salt(saltBuckets, keyCols: _*))
+    df.withColumn("__salt", salt(saltBuckets, df.columns.map(col).toSeq: _*))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(keyCols: _*)

@@ -95,10 +95,14 @@ object Persistence {
         ch.force(true)
       } finally ch.close()
       // an existing snapshot's permission bits survive the replace (the
-      // user may have chmod'd it); non-POSIX filesystems skip silently
-      if (Files.exists(target))
-        scala.util.Try(Files.setPosixFilePermissions(tmp,
-          Files.getPosixFilePermissions(target)))
+      // user may have chmod'd it). Read-then-set both inside the Try, no
+      // exists() pre-check: a target vanishing concurrently degrades to
+      // umask defaults by design instead of by a swallowed race, and
+      // non-POSIX filesystems skip silently
+      scala.util.Try {
+        val perms = Files.getPosixFilePermissions(target)
+        Files.setPosixFilePermissions(tmp, perms)
+      }
       try
         Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -192,4 +192,26 @@ class DedupSpec extends SparkSpec {
     // diameter-many iterations reach the fixpoint
     assert(clusters(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 3).values.toSet == Set(1L))
   }
+
+  test("duplicateClustersConverged reaches fixpoint on chains the bounded form splits") {
+    // chain 1-2-…-8, diameter 7: the bounded default (3 iters) returns
+    // SPLIT labels — the silent failure mode the converged variant closes
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("i", "j")
+    val bounded = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded.values.toSet.size > 1)
+    val converged = Dedup.duplicateClustersConverged(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged == (1L to 8L).map(_ -> 1L).toMap)
+    // refuses to return non-converged labels instead of silently splitting
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClustersConverged(chain, maxIters = 2)
+    }
+    assert(e.getMessage.contains("not converged"))
+    // two disjoint components keep distinct minima
+    val two = Dedup.duplicateClustersConverged(
+      Seq((5L, 6L), (6L, 7L), (20L, 21L)).toDF("i", "j")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
+  }
 }

@@ -25,6 +25,24 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salt is a content hash: partition layout cannot change row salts") {
+    // a task retry re-reads its rows under a different layout — the salt
+    // must depend only on row CONTENT, so every physical arrangement
+    // yields bit-identical salted partials
+    def salted(df: org.apache.spark.sql.DataFrame) =
+      Skew.saltedCountSum(df, Seq("k"), "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = salted(skewed)
+    assert(salted(skewed.repartition(7)) == base)
+    assert(salted(skewed.repartition(1)) == base)
+    assert(salted(skewed.orderBy(desc("v"))) == base)
+    // and the per-row salt itself is layout-invariant, not just the sums
+    def salts(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__s", Skew.salt(16, df.columns.map(col).toSeq: _*))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(salts(skewed.repartition(13)) == salts(skewed))
+  }
+
   test("saltedDistinctCount is exact") {
     val out = Skew.saltedDistinctCount(skewed, Seq("k"), "v")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
