@@ -38,7 +38,9 @@ case class NormalizationContext(
     mappings: Map[String, String] = Map.empty,
     omitted: Set[String] = Set.empty,
     referenceDate: Option[String] = None,
-    standard: String = "sdtm")
+    standard: String = "sdtm",
+    // CT publication the study is pinned to (registry.rs:20 ct_version)
+    ctVersion: String = graft.standards.Standards.DefaultCtVersion)
 
 /**
  * The reference's "planner": infer one transform per target variable purely
@@ -127,7 +129,8 @@ object RuleInference {
       case CtNormalization(code) =>
         // closure-captured map (metadata-sized) — a per-call broadcast here
         // leaked one broadcast variable per CT rule per re-planned preview
-        Normalize.ctNormalize(source, Standards.ct(ctx.standard).lookupMap(code))
+        Normalize.ctNormalize(source,
+          Standards.ct(ctx.standard, ctx.ctVersion).lookupMap(code))
       case NumericConversion => Normalize.numeric(source)
       case CopyDirect =>
         sourceOpt.map(c => Normalize.copyDirect(df, c)).getOrElse(lit(""))

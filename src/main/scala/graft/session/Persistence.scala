@@ -21,7 +21,8 @@ case class ProjectSnapshot(
     mappings: Map[String, Map[String, String]], // domain → (variable → column)
     omitted: Map[String, Seq[String]],
     sourceHashes: Map[String, String],
-    standard: String = "sdtm") // implementation guide the study is authored against
+    standard: String = "sdtm", // implementation guide the study is authored against
+    ctVersion: String = null)  // CT publication pin (v3+; null = legacy file)
 
 /**
  * K4 — project persistence (`crates/tss-persistence/src/io/save.rs:78-106`,
@@ -46,8 +47,11 @@ case class ProjectSnapshot(
  */
 object Persistence {
 
-  // v2 adds the `standard` field (v1 files load as SDTM)
-  val FormatVersion = 2
+  // v2 adds `standard` (v1 files load as SDTM); v3 adds `ctVersion`
+  // (v1/v2 files load as 2025-03-28 — the ONLY publication those builds
+  // embedded, so a reopened legacy project keeps resolving exactly the
+  // terminology it was authored against, not the new default)
+  val FormatVersion = 3
 
   /** `types/mod.rs:36` — 3 id bytes + one format-generation byte. */
   val MagicBytes: Array[Byte] = Array('G'.toByte, 'T'.toByte, 'S'.toByte, 0x01.toByte)
@@ -164,9 +168,11 @@ object Persistence {
           s"$path: not a graft project snapshot (bad magic bytes)")
       }
     val snap = mapper.readValue(json, classOf[ProjectSnapshot])
-    // version-1 files predate the standard selector: Jackson leaves the
-    // absent field null, which means SDTM
-    if (snap.standard == null) snap.copy(standard = "sdtm") else snap
+    // absent fields from older formats load as null: v1 predates the
+    // standard selector (null = SDTM), v1/v2 predate the CT version pin
+    // (null = 2025-03-28, the publication those builds embedded)
+    val s1 = if (snap.standard == null) snap.copy(standard = "sdtm") else snap
+    if (s1.ctVersion == null) s1.copy(ctVersion = "2025-03-28") else s1
   }
 
   /** Domains whose source file content changed since the snapshot. A file
@@ -201,5 +207,6 @@ object Persistence {
       sourceHashes = assignments.map { case (d, f) =>
         d -> sha256(Paths.get(folder, f).toString)
       },
-      standard = session.standard)
+      standard = session.standard,
+      ctVersion = session.ctVersion)
 }

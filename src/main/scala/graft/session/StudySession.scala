@@ -34,7 +34,20 @@ case class DomainState(
  * `service/export.rs:127-276`.
  */
 class StudySession(val spark: SparkSession, val studyId: String,
-    val standard: String = "sdtm") {
+    val standard: String = "sdtm",
+    val ctVersion: String = Standards.DefaultCtVersion) {
+
+  require(Standards.CtVersions.contains(ctVersion),
+    s"unknown CT version '$ctVersion' (embedded: ${Standards.CtVersions.mkString(", ")})")
+
+  /** The CT registry every lookup in this session goes through — pinned to
+    * the study's terminology release (`registry.rs:20` `ct_version`): rule
+    * inference (N8), V8 membership checks, and the Define-XML
+    * `def:Standards` section all resolve through the SAME publication, so
+    * the exported define.xml reports exactly the release the data was
+    * validated against. */
+  def ctRegistry: graft.standards.TerminologyRegistry =
+    Standards.ct(standard, ctVersion)
 
   private val domains = scala.collection.mutable.LinkedHashMap[String, DomainState]()
   private val suppConfigs =
@@ -210,7 +223,8 @@ class StudySession(val spark: SparkSession, val studyId: String,
         ds.mapping.columnFor(v.name).map(v.name -> _)).toMap).getOrElse(Map.empty),
       omitted = ds.mapping.omitted,
       referenceDate = refDate,
-      standard = standard)
+      standard = standard,
+      ctVersion = ctVersion)
   }
 
   /** E2 — normalized preview: one projection, lazily planned. `_row_id`
@@ -229,7 +243,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
       domain <- domainMetaFor(ds.code)
       frame <- preview(code)
     } yield DomainValidation.validateDomain(frame, domain,
-      ct = Standards.ct(standard))).getOrElse(Nil)
+      ct = ctRegistry)).getOrElse(Nil)
 
   /** E2 — study-wide cross-domain checks over normalized frames. */
   def validateCross(): Seq[Issue] =
@@ -317,7 +331,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
             // a CodeListRef without a matching CodeList element is a broken
             // OID that fails define.xml validation
             val resolved = v.firstCodelistCode
-              .filter(c => Standards.ct(standard).get(c).isDefined)
+              .filter(c => ctRegistry.get(c).isDefined)
             resolved.foreach(usedCodelists += _)
             XmlVariable(v.name, v.label.getOrElse(""),
               isNumeric = v.dataType == VariableType.Num,
@@ -383,7 +397,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
     // (define_xml.rs:377-400: OID = STD.CT.{publishingSet}.{version})
     val ctStandards = scala.collection.mutable.LinkedHashMap[String, CtStandard]()
     val codelists = usedCodelists.toSeq.flatMap(code =>
-      Standards.ct(standard).getWithCatalog(code).map { case (cl, cat) =>
+      ctRegistry.getWithCatalog(code).map { case (cl, cat) =>
         val stdOid = for (set <- cat.publishingSet; ver <- cat.version) yield {
           val oid = s"STD.CT.${XmlSinks.sanitizeOid(set)}.${XmlSinks.sanitizeOid(ver)}"
           ctStandards.getOrElseUpdate(oid,
@@ -409,11 +423,13 @@ object StudySession {
 
   /** E1 — create a session from a folder + domain→file assignments
     * (`study.rs:27-153`). `standard` selects the implementation guide the
-    * study is authored against: "sdtm" (default), "send", or "adam". */
+    * study is authored against: "sdtm" (default), "send", or "adam";
+    * `ctVersion` pins the CT publication ([[graft.standards.Standards.CtVersions]]). */
   def create(spark: SparkSession, studyId: String, folder: String,
       assignments: Map[String, String], headerRows: Int = 1,
-      standard: String = "sdtm"): StudySession = {
-    val s = new StudySession(spark, studyId, standard)
+      standard: String = "sdtm",
+      ctVersion: String = graft.standards.Standards.DefaultCtVersion): StudySession = {
+    val s = new StudySession(spark, studyId, standard, ctVersion)
     assignments.toSeq.sortBy(_._1).foreach { case (code, file) =>
       s.addDomain(code, Paths.get(folder, file).toString, headerRows)
     }

@@ -260,9 +260,34 @@ object Standards {
   /** Default standard (SDTM) — the surface the study session uses. */
   def domain(code: String): Option[SdtmDomain] = domain("sdtm", code)
 
-  /** Embedded CT publication date (one quarterly release; the reference
-    * embeds three — `embedded.rs:47-145` — same layout, same loader). */
-  val CtVersion = "2025-03-28"
+  /** Embedded CT publication dates (the three quarterly releases the
+    * reference embeds — `embedded.rs:47-189`, `ct/loader.rs:23-52`
+    * `CtVersion` enum). A study pins the terminology release in force when
+    * it launched; each publication ships a different set of publishing-set
+    * catalogs (`ct_files_for_version` — `embedded.rs:152-189`). */
+  val CtVersions: Seq[String] = Seq("2024-03-29", "2025-03-28", "2025-09-26")
+
+  /** The reference's production default (`#[default] V2024_03_29` —
+    * `ct/loader.rs:23-31`). */
+  val DefaultCtVersion = "2024-03-29"
+
+  /** `CtVersion::latest()` — `ct/loader.rs:48-51`. */
+  val LatestCtVersion = "2025-09-26"
+
+  /** Publishing sets each publication ships (the reference snapshot's
+    * `data/terminology/<date>/` contents; no release carries an SDTM CT
+    * export — the curated subset below covers SDTM-specific codelists for
+    * every version). */
+  private val CtSetsByVersion: Map[String, Seq[String]] = Map(
+    "2024-03-29" -> Seq("ADaM", "DDF", "Define-XML", "MRCT", "Protocol", "SEND"),
+    "2025-03-28" -> Seq("ADaM", "CDASH", "Define-XML", "Protocol", "SEND"),
+    "2025-09-26" -> Seq("ADaM", "DDF", "Define-XML", "Glossary", "MRCT", "Protocol", "SEND"))
+
+  private def requireCtVersion(version: String): String = {
+    require(CtSetsByVersion.contains(version),
+      s"unknown CT version '$version' (embedded: ${CtVersions.mkString(", ")})")
+    version
+  }
 
   /** S9 — parse one CT CSV into codelists: two-pass parse (codelist rows
     * have blank `Codelist Code`; term rows carry the parent's code; synonyms
@@ -299,40 +324,52 @@ object Standards {
     }
   }
 
-  /** All embedded CT catalogs for [[CtVersion]], plus the curated SDTM CT
-    * subset. The full quarterly exports under
+  /** The curated SDTM CT subset — version-independent: no release in the
+    * reference snapshot ships an SDTM CT export, so SDTM-specific codelists
+    * (RACE, ETHNIC, AESEV, ...) resolve through this catalog under every
+    * [[CtVersions]] entry, and everything shared (UNIT, ROUTE, FREQ, AGEU,
+    * SEX, NY, ...) resolves through that version's published catalogs in
+    * the registry's documented fallback order. */
+  private lazy val curatedSdtmCt: TerminologyCatalog =
+    TerminologyCatalog("SDTM CT", None, Some("SDTM"),
+      parseCtCodelists(readResource("/standards/SDTM_CT.csv")))
+
+  /** All embedded CT catalogs for one publication date, plus the curated
+    * SDTM CT subset. The full quarterly exports under
     * `resources/standards/terminology/` are the reference's own embedded
     * copies of publicly published CDISC Controlled Terminology (see the
-    * provenance README); the reference snapshot ships no SDTM CT export, so
-    * SDTM-specific codelists absent from the sibling publications (RACE,
-    * ETHNIC, AESEV, ...) come from the curated `SDTM_CT.csv` and everything
-    * shared (UNIT, ROUTE, FREQ, AGEU, SEX, NY, ...) resolves through the
-    * SEND/ADaM/CDASH/Define-XML/Protocol catalogs in the registry's
-    * documented fallback order. */
-  lazy val ctCatalogs: Seq[TerminologyCatalog] = {
-    val curated = TerminologyCatalog("SDTM CT", None, Some("SDTM"),
-      parseCtCodelists(readResource("/standards/SDTM_CT.csv")))
-    val published = Seq("ADaM", "CDASH", "Define-XML", "Protocol", "SEND").map { set =>
-      val filename = s"${set}_CT_$CtVersion.csv"
-      val (label, version, pubSet) = ctMetadataFromFilename(filename)
-      TerminologyCatalog(label, version, pubSet,
-        parseCtCodelists(readResource(s"/standards/terminology/$CtVersion/$filename")))
+    * provenance README). */
+  def ctCatalogs(version: String): Seq[TerminologyCatalog] =
+    ctCatalogCache.synchronized {
+      ctCatalogCache.getOrElseUpdate(requireCtVersion(version), {
+        val published = CtSetsByVersion(version).map { set =>
+          val filename = s"${set}_CT_$version.csv"
+          val (label, ver, pubSet) = ctMetadataFromFilename(filename)
+          TerminologyCatalog(label, ver, pubSet,
+            parseCtCodelists(readResource(s"/standards/terminology/$version/$filename")))
+        }
+        curatedSdtmCt +: published
+      })
     }
-    curated +: published
-  }
+  private val ctCatalogCache = scala.collection.mutable.Map[String, Seq[TerminologyCatalog]]()
 
-  /** CT registry for a study standard: the standard's own publishing set
-    * resolves first, then SDTM CT, SEND CT, then the rest alphabetically
-    * (`ct/loader.rs:85-103` primary marking + `ct/types.rs:379-398` order). */
-  def ct(standard: String): TerminologyRegistry = ctCache.synchronized {
-    ctCache.getOrElseUpdate(standard.toLowerCase, {
+  /** Catalogs of the default publication. */
+  lazy val ctCatalogs: Seq[TerminologyCatalog] = ctCatalogs(DefaultCtVersion)
+
+  /** CT registry for a study standard under one CT publication: the
+    * standard's own publishing set resolves first, then SDTM CT, SEND CT,
+    * then the rest alphabetically (`ct/loader.rs:85-103` primary marking +
+    * `ct/types.rs:379-398` order; version selection `registry.rs:20`
+    * `ct_version` + `ct/loader.rs:88-103`). */
+  def ct(standard: String, version: String): TerminologyRegistry = ctCache.synchronized {
+    ctCache.getOrElseUpdate((standard.toLowerCase, requireCtVersion(version)), {
       val primary = standard.toLowerCase match {
         case "sdtm" => "SDTM"
         case "send" => "SEND"
         case "adam" => "ADAM"
         case other => other.toUpperCase
       }
-      val ordered = ctCatalogs.sortBy { c =>
+      val ordered = ctCatalogs(version).sortBy { c =>
         val set = c.publishingSet.getOrElse("").toUpperCase
         val rank =
           if (set == primary) 0
@@ -346,9 +383,13 @@ object Standards {
       TerminologyRegistry(ordered)
     })
   }
-  private val ctCache = scala.collection.mutable.Map[String, TerminologyRegistry]()
+  private val ctCache =
+    scala.collection.mutable.Map[(String, String), TerminologyRegistry]()
 
-  /** Default CT registry (SDTM-first order) — the pre-r4 single-registry
-    * surface; standard-aware callers should use [[ct]]. */
+  /** CT registry under the default publication date. */
+  def ct(standard: String): TerminologyRegistry = ct(standard, DefaultCtVersion)
+
+  /** Default CT registry (SDTM-first order, default publication) — the
+    * pre-r4 single-registry surface; standard-aware callers use [[ct]]. */
   lazy val ctRegistry: TerminologyRegistry = ct("sdtm")
 }

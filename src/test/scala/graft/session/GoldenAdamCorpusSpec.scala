@@ -22,7 +22,7 @@ class GoldenAdamCorpusSpec extends GoldenHarness {
   val expectedDefineFile = "expected_define_adam.xml"
 
   private def buildSession(): StudySession = {
-    val s = new StudySession(spark, "GOLD3", standard = "adam")
+    val s = new StudySession(spark, "GOLD3", standard = "adam", ctVersion = "2025-03-28")
     s.addDomain("ADSL", resourceDir.resolve("GOLD3_ADSL.csv").toString)
     s
   }

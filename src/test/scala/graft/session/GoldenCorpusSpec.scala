@@ -29,7 +29,7 @@ class GoldenCorpusSpec extends GoldenHarness {
 
   private def buildSession(): StudySession = {
     val dir = resourceDir
-    val s = new StudySession(spark, "GOLD1")
+    val s = new StudySession(spark, "GOLD1", ctVersion = "2025-03-28")
     s.loadItemsMetadata(dir.resolve("GOLD1_Items.csv").toString,
       codeListsCsvPath = Some(dir.resolve("GOLD1_CodeLists.csv").toString),
       itemsHeaderRows = 2)

@@ -25,7 +25,7 @@ class GoldenSendCorpusSpec extends GoldenHarness {
   val expectedDefineFile = "expected_define_send.xml"
 
   private def buildSession(): StudySession = {
-    val s = new StudySession(spark, "GOLD2", standard = "send")
+    val s = new StudySession(spark, "GOLD2", standard = "send", ctVersion = "2025-03-28")
     Seq("DM", "BW").foreach { code =>
       s.addDomain(code, resourceDir.resolve(s"GOLD2_$code.csv").toString)
     }

@@ -35,7 +35,9 @@ class PersistencePropertySpec extends AnyFunSuite {
       domains.map(d => Gen.listOf(str).map(l => d -> l.take(4)))).map(_.toMap)
     hashes <- strMap
     standard <- Gen.oneOf("sdtm", "send", "adam")
-  } yield ProjectSnapshot(version, studyId, assignments, mappings, omitted, hashes, standard)
+    ctVersion <- Gen.oneOf(graft.standards.Standards.CtVersions)
+  } yield ProjectSnapshot(version, studyId, assignments, mappings, omitted, hashes,
+    standard, ctVersion)
 
   test("binary container round-trips arbitrary snapshots bit-exactly") {
     val dir = Files.createTempDirectory("persist_prop")

@@ -17,7 +17,8 @@ class PersistenceSpec extends AnyFunSuite {
     mappings = Map("DM" -> Map("SEX" -> "SEX", "USUBJID" -> "SUBJ")),
     omitted = Map("DM" -> Seq("DROPME")),
     sourceHashes = Map("DM" -> ("ab" * 32)),
-    standard = "send")
+    standard = "send",
+    ctVersion = "2025-09-26")
 
   private def tmpPath(name: String): String = {
     Files.createDirectories(Paths.get("target/tmp"))
@@ -58,6 +59,16 @@ class PersistenceSpec extends AnyFunSuite {
     val p1 = tmpPath("persist_v1.json")
     Files.write(Paths.get(p1), v1.getBytes("UTF-8"))
     assert(Persistence.load(p1).standard == "sdtm")
+    // v1/v2 files predate the CT version pin: they load as 2025-03-28 (the
+    // only publication those builds embedded), NOT the current default —
+    // reopening a legacy project must keep its terminology unchanged
+    assert(Persistence.load(p1).ctVersion == "2025-03-28")
+    val v2 = """{"formatVersion":2,"studyId":"OLD2","assignments":{},
+      "mappings":{},"omitted":{},"sourceHashes":{},"standard":"send"}"""
+    val p2 = tmpPath("persist_v2.json")
+    Files.write(Paths.get(p2), v2.getBytes("UTF-8"))
+    assert(Persistence.load(p2).ctVersion == "2025-03-28")
+    assert(Persistence.load(p2).standard == "send")
   }
 
   test("load rejects newer versions and foreign files") {

@@ -145,6 +145,39 @@ class StudySessionSpec extends SparkSpec {
     assert(snap.mappings("MA").get("MATESTCD").contains("MATESTCD"))
   }
 
+  test("CT version pin threads into def:Standards, resolution, and snapshots") {
+    val d = Paths.get("target", "tmp", "study_ctver")
+    Files.createDirectories(d)
+    Files.write(d.resolve("dm.csv"),
+      ("SUBJID,RFSTDTC,SEX\n101,2024-01-10,M\n").getBytes)
+    val assign = Map("DM" -> "dm.csv")
+
+    // default = the reference's production default publication
+    val unpinned = StudySession.create(spark, "VER0", d.toString, assign,
+      standard = "send")
+    assert(unpinned.ctVersion == graft.standards.Standards.DefaultCtVersion)
+    unpinned.exportAll("target/tmp/study_ctver_out0")
+    val def0 = new String(Files.readAllBytes(
+      Paths.get("target/tmp/study_ctver_out0/define.xml")), "UTF-8")
+    assert(def0.contains("STD.CT.SEND.2024-03-29"), "default pin in def:Standards")
+
+    // a pinned session exports and resolves through ITS publication only
+    val pinned = StudySession.create(spark, "VER1", d.toString, assign,
+      standard = "send", ctVersion = "2025-09-26")
+    pinned.exportAll("target/tmp/study_ctver_out1")
+    val def1 = new String(Files.readAllBytes(
+      Paths.get("target/tmp/study_ctver_out1/define.xml")), "UTF-8")
+    assert(def1.contains("STD.CT.SEND.2025-09-26"))
+    assert(!def1.contains("2024-03-29"), "no leakage of the default date")
+
+    // the pin rides in the snapshot (format v3) and restores
+    val snap = Persistence.snapshotOf(pinned, d.toString, assign)
+    assert(snap.ctVersion == "2025-09-26")
+    // unknown pins fail fast at session construction
+    intercept[IllegalArgumentException](
+      new StudySession(spark, "VERX", ctVersion = "2023-01-01"))
+  }
+
   test("E3: split-domain dataset (LBCH) exports under its own name with parent DOMAIN") {
     val d = Paths.get("target", "tmp", "study_split")
     Files.createDirectories(d)

@@ -66,17 +66,43 @@ class StandardsSpec extends AnyFunSuite {
 
   // ---- Controlled Terminology: full embedded quarterly exports -------------
 
-  test("CT catalogs load the full embedded publication set") {
-    val labels = Standards.ctCatalogs.map(_.label).toSet
-    assert(labels == Set("SDTM CT", "ADaM CT", "CDASH CT", "Define-XML CT",
+  test("CT catalogs load each publication's full embedded set") {
+    // each quarterly release ships a different catalog mix
+    // (embedded.rs:152-189): default 2024-03-29 carries DDF/MRCT,
+    // 2025-03-28 swaps them for CDASH, 2025-09-26 adds Glossary
+    assert(Standards.ctCatalogs.map(_.label).toSet == Set("SDTM CT",
+      "ADaM CT", "DDF CT", "Define-XML CT", "MRCT CT", "Protocol CT", "SEND CT"))
+    assert(Standards.ctCatalogs("2025-03-28").map(_.label).toSet == Set("SDTM CT",
+      "ADaM CT", "CDASH CT", "Define-XML CT", "Protocol CT", "SEND CT"))
+    assert(Standards.ctCatalogs("2025-09-26").map(_.label).toSet == Set("SDTM CT",
+      "ADaM CT", "DDF CT", "Define-XML CT", "Glossary CT", "MRCT CT",
       "Protocol CT", "SEND CT"))
     val send = Standards.ctCatalogs.find(_.label == "SEND CT").get
-    assert(send.version.contains(Standards.CtVersion))
+    assert(send.version.contains(Standards.DefaultCtVersion))
     assert(send.publishingSet.contains("SEND"))
-    // the full SEND CT quarterly export carries 140+ codelists
-    assert(send.codelists.size >= 140,
-      s"expected >=140 SEND CT codelists, got ${send.codelists.size}")
+    // every release's full SEND CT quarterly export carries 139+ codelists
+    assert(send.codelists.size >= 139,
+      s"expected >=139 SEND CT codelists, got ${send.codelists.size}")
     assert(Standards.ct("sdtm").codes.size >= 150)
+  }
+
+  test("the same codelist resolves differently under two pinned CT versions") {
+    val old = Standards.ct("send", "2024-03-29")
+    val newer = Standards.ct("send", Standards.LatestCtVersion)
+    // DPDTNAVG joined SEND Cardiovascular Test Code (C120532) after the
+    // 2024-03-29 release — a study pinned to the launch-era terminology
+    // must NOT resolve it, one on the newer release must
+    assert(old.get("C120532").exists(_.resolve("DPDTNAVG").isEmpty))
+    assert(newer.get("C120532").exists(_.resolve("DPDTNAVG").contains("DPDTNAVG")))
+    // a codelist first published 2025-09-26 doesn't exist under older pins
+    assert(old.get("C204416").isEmpty)
+    assert(newer.get("C204416").isDefined)
+    // the default-version surface is the reference's production default
+    assert(Standards.DefaultCtVersion == "2024-03-29")
+    assert(Standards.ct("send") eq Standards.ct("send", "2024-03-29"))
+    // unknown versions are rejected loudly, not resolved to empty registries
+    val e = intercept[IllegalArgumentException](Standards.ct("sdtm", "2019-01-01"))
+    assert(e.getMessage.contains("2024-03-29"))
   }
 
   test("CT registry resolves realistic vocabularies (UNIT/ROUTE/FREQ via fallback)") {
