@@ -14,13 +14,19 @@ case class MediaRecord(
 /** Decoded representation produced by the (stubbed) codec layer. */
 case class DecodedImage(width: Int, height: Int, pixels: Array[Float])
 
-/** Extracted feature row: fixed-width embedding + provenance. */
+/** Extracted feature row: fixed-width embedding + provenance. The integer
+  * `plane_checksum` (byte-value sum of the resized plane) exists so the
+  * deterministic part of the stub pipeline is exactly replayable by an
+  * external engine — float embeddings can't be hash-compared across
+  * engines, an integer checksum can. */
 case class MediaFeatures(
     media_id: Long,
     kind: String,
+    n_bytes: Long,
     embedding: Array[Float],
     decode_width: Int,
     decode_height: Int,
+    plane_checksum: Long,
     batch_size: Int)
 
 /**
@@ -87,7 +93,9 @@ object Multimodal {
     val pixels = new Array[Float](width * height)
     var i = 0
     while (i < pixels.length) {
-      pixels(i) = if (i < n) ((bytes(i % n) & 0xFF) / 255.0f) else 0.0f
+      // bound by the REAL byte count, not n: n is clamped to >= 1 for the
+      // dimension math, and indexing bytes(0) of an empty record would throw
+      pixels(i) = if (i < bytes.length) ((bytes(i) & 0xFF) / 255.0f) else 0.0f
       i += 1
     }
     DecodedImage(width, height, pixels)
@@ -148,8 +156,18 @@ object Multimodal {
         batch.map { rec =>
           val decoded = decodeImageStub(rec.bytes)
           val resized = resizeStub(decoded, 16, 16)
-          MediaFeatures(rec.media_id, rec.kind, planeEmbedding(resized),
-            decoded.width, decoded.height, batch.size)
+          // integer byte-sum of the resized plane: pixel = byte/255 round
+          // trips exactly through float, so this is bit-stable and an
+          // external engine can replay it from the raw bytes
+          var checksum = 0L
+          var i = 0
+          while (i < resized.pixels.length) {
+            checksum += math.round(resized.pixels(i) * 255.0f).toLong
+            i += 1
+          }
+          MediaFeatures(rec.media_id, rec.kind, rec.n_bytes,
+            planeEmbedding(resized), decoded.width, decoded.height,
+            checksum, batch.size)
         }
       }
     }

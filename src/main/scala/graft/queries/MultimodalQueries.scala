@@ -7,9 +7,16 @@ import graft.Graft.table
 import graft.operators.{MediaRecord, Multimodal}
 
 /**
- * Multimodal plumbing coverage: the binary packing + metadata layer has a
- * full DuckDB oracle (byte counts, MD5 of the packed bytes); the stub-codec
- * feature extraction is Scala-side (rows-only, pinned in MultimodalSpec).
+ * Multimodal plumbing coverage. mm1: the binary packing + metadata layer
+ * (byte counts, MD5 of the packed bytes). mm2: the batched mapPartitions
+ * decode path — the CODEC stays a documented deterministic fake, but its
+ * deterministic geometry (decode dims from byte length) and the integer
+ * byte-sum of the 16×16 resized plane are exactly replayable in SQL from
+ * the raw text bytes (hex-pair extraction), so the gate now verifies that
+ * every record rides through the batch pipeline exactly once with the
+ * right bytes, dims, resize arithmetic, and an in-contract batch size.
+ * Float embeddings remain spec-pinned Scala-side (MultimodalSpec) — float
+ * sums can't be hash-compared across engines.
  */
 object MultimodalQueries {
 
@@ -22,13 +29,17 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
-    // batched stub decode + feature extraction (deterministic fake codec)
+    // batched stub decode + feature extraction (deterministic fake codec);
+    // batch_ok is layout-independent (every batch is 1..batchSize rows)
+    // where the raw batch_size is not (the tail batch of each partition
+    // is short, and partitioning is the planner's business)
     "mm2_features" -> ((s, dir) => {
       import s.implicits._
       val packed = Multimodal.packText(table(s, dir, "documents"), "doc_id", "text")
       val feats = Multimodal.extractFeatures(packed.as[MediaRecord], batchSize = 32)
-      feats.select(col("media_id"), col("decode_width"), col("decode_height"),
-          round(element_at(col("embedding"), 1).cast("double"), 6).as("mean_px"))
+      feats.select(col("media_id"), col("n_bytes"),
+          col("decode_width"), col("decode_height"), col("plane_checksum"),
+          col("batch_size").between(1, 32).as("batch_ok"))
         .orderBy("media_id")
     })
   )
@@ -38,6 +49,31 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id, 'text' AS kind, 'text/plain' AS mime_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS bytes_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replay the stub decode+resize from raw bytes: dims from byte length,
+    // nearest-neighbor 16x16 sample indices, byte values via hex pairs
+    "mm2_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS blen,
+        |         GREATEST(octet_length(encode(text)), 1) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, hx, blen, n,
+        |         GREATEST(1, LEAST(64, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS w
+        |  FROM m),
+        |gg AS (
+        |  SELECT *, GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) / w) AS BIGINT)) AS h
+        |  FROM g)
+        |SELECT doc_id AS media_id, CAST(blen AS BIGINT) AS n_bytes,
+        |  CAST(w AS INT) AS decode_width, CAST(h AS INT) AS decode_height,
+        |  CAST(list_sum([
+        |    CASE WHEN (LEAST(h-1, ((i//16)*h)//16) * w + LEAST(w-1, ((i%16)*w)//16)) < blen
+        |         THEN ('0x' || substring(hx, 2*(LEAST(h-1, ((i//16)*h)//16) * w + LEAST(w-1, ((i%16)*w)//16)) + 1, 2))::INT
+        |         ELSE 0 END
+        |    for i in range(256)]) AS BIGINT) AS plane_checksum,
+        |  TRUE AS batch_ok
+        |FROM gg ORDER BY media_id""".stripMargin
   )
 }

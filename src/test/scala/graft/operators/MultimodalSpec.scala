@@ -78,5 +78,22 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(ds, batchSize = 2)
       .collect().sortBy(_.media_id)
     assert(feats.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
+    // n_bytes provenance rides through the batch path untouched
+    assert(feats.map(_.n_bytes).toSeq == Seq(11L, 100L, 5L))
+    // plane_checksum is the exact integer byte-sum of the resized plane —
+    // the float byte/255 representation must round-trip losslessly
+    feats.foreach { f =>
+      val rec = media.as[MediaRecord].collect().find(_.media_id == f.media_id).get
+      val resized = Multimodal.resizeStub(Multimodal.decodeImageStub(rec.bytes), 16, 16)
+      val expected = resized.pixels.map(p => math.round(p * 255.0f).toLong).sum
+      assert(f.plane_checksum == expected, s"media ${f.media_id}")
+      assert(f.plane_checksum > 0)
+    }
+  }
+
+  test("stub decode survives empty byte arrays (dimension floor, zero plane)") {
+    val img = Multimodal.decodeImageStub(Array.emptyByteArray)
+    assert(img.width == 1 && img.height == 1)
+    assert(img.pixels.toSeq == Seq(0.0f))
   }
 }
