@@ -83,22 +83,30 @@ class StudySession(val spark: SparkSession, val studyId: String,
       codelists: Map[String, Map[String, String]] = Map.empty,
       codeListsCsvPath: Option[String] = None,
       codeListsHeaderRows: Int = 2,
-      itemsHeaderRows: Int = 1): Unit = stateLock.synchronized {
+      itemsHeaderRows: Int = 1): Unit = {
+    // ingest + scoring run OUTSIDE the lock: mutators are session-thread-
+    // only by contract, the lock exists so the auto-save poller's snapshot
+    // read never sees torn state — holding it across whole Spark jobs
+    // would block every snapshot (and every other mutator) for the full
+    // ingest. Only the shared-map writes below synchronize.
     val (df, _) = CsvIngest.readCsvTable(spark, itemsCsvPath, itemsHeaderRows)
     val dataCols = df.columns.filterNot(_ == CsvIngest.RowIdCol)
     val scores = ItemsMetadata.analyzeColumns(
       df.select(dataCols.toIndexedSeq.map(col): _*))
-    ItemsMetadata.detectSchema(scores).foreach { schema =>
-      itemsMetadata = ItemsMetadata.loadItems(df, schema)
-    }
+    val detected = ItemsMetadata.detectSchema(scores)
+      .map(schema => ItemsMetadata.loadItems(df, schema))
+    val itemsForRouting = detected.getOrElse(itemsMetadata)
     val fromCsv = codeListsCsvPath.map { p =>
       val (cdf, _) = CsvIngest.readCsvTable(spark, p, codeListsHeaderRows)
       val byFormat = ItemsMetadata.loadCodelists(cdf.drop(CsvIngest.RowIdCol))
-      itemsMetadata.values.flatMap(m => m.formatName.flatMap(f =>
+      itemsForRouting.values.flatMap(m => m.formatName.flatMap(f =>
         byFormat.get(f.toUpperCase).map(m.id -> _))).toMap
     }.getOrElse(Map.empty)
-    studyCodelists = fromCsv ++ codelists
-    dirtyTracker.markDirty()
+    stateLock.synchronized {
+      detected.foreach(itemsMetadata = _)
+      studyCodelists = fromCsv ++ codelists
+      dirtyTracker.markDirty()
+    }
   }
 
   def domainState(code: String): Option[DomainState] = domains.get(code.toUpperCase)
@@ -126,8 +134,10 @@ class StudySession(val spark: SparkSession, val studyId: String,
 
   /** E1 step — ingest one assigned (domain, csv) pair: scan, RELSUB
     * augmentation, hints, scoring suggestions. */
-  def addDomain(code: String, csvPath: String, headerRows: Int = 1): DomainState =
-    stateLock.synchronized {
+  def addDomain(code: String, csvPath: String, headerRows: Int = 1): DomainState = {
+    // same split as loadItemsMetadata: the CSV scan, RELSUB augmentation,
+    // hints aggregation, and scoring are Spark work that must not hold the
+    // snapshot lock; only the domains-map publish at the end does
     val codeU = code.toUpperCase
     val (raw, headers) = CsvIngest.readCsvTable(spark, csvPath, headerRows)
     val augmented = if (codeU == "RELSUB") Reshape.ensureRelsubBidirectional(raw) else raw
@@ -150,10 +160,12 @@ class StudySession(val spark: SparkSession, val studyId: String,
     val state = new MappingState(codeU, varMetas)
     state.applySuggestions(Mapping.suggestAll(dataCols, varMetas, hints))
     val ds = DomainState(codeU, df, headers, hints, state)
-    domains.get(codeU).foreach(_.source.unpersist()) // re-add frees the old cache
-    domains(codeU) = ds
-    if (codeU == "DM") refDateCache = None // new DM invalidates the memo
-    dirtyTracker.markDirty()
+    stateLock.synchronized {
+      domains.get(codeU).foreach(_.source.unpersist()) // re-add frees the old cache
+      domains(codeU) = ds
+      if (codeU == "DM") refDateCache = None // new DM invalidates the memo
+      dirtyTracker.markDirty()
+    }
     ds
   }
 

@@ -136,6 +136,20 @@ class StandardsSpec extends AnyFunSuite {
     assert(ncomplt.resolve("Subject Withdrew Consent").contains("WITHDRAWAL BY SUBJECT"))
     assert(sdtm.get("C99079").exists(_.terms.size >= 7), "EPOCH")
     assert(sdtm.lookupMap("C74558").contains("PROTOCOL MILESTONE"), "DSCAT")
+    // r6 tier: the most-referenced IG codelists previously unresolvable
+    assert(sdtm.lookupMap("C66728").contains("DURING/AFTER"), "STENRF")
+    assert(sdtm.get("C66728").exists(!_.extensible), "STENRF is closed")
+    assert(sdtm.get("C78735").exists(_.resolve("Investigator").contains("INVESTIGATOR")), "EVAL")
+    assert(sdtm.get("C78734").exists(_.resolve("CSF").contains("CEREBROSPINAL FLUID")), "SPEC synonym")
+    assert(sdtm.get("C78736").exists(_.terms.size == 4), "NRIND")
+    assert(sdtm.get("C66797").exists(_.terms.map(_.submissionValue).toSet ==
+      Set("INCLUSION", "EXCLUSION")), "IECAT")
+    assert(sdtm.get("C96777").exists(_.terms.size == 9), "EVALID")
+    assert(sdtm.get("C85492").exists(_.resolve("Magnetic Resonance Imaging").contains("MRI")), "METHOD")
+    // RDOMAIN terms generated from the embedded IG dataset list itself
+    val rdomain = sdtm.get("C66734").get
+    assert(rdomain.terms.size >= 60, s"DOMAIN terms: ${rdomain.terms.size}")
+    assert(rdomain.resolve("ae").contains("AE"))
   }
 
   test("CT resolution order follows the study standard") {
