@@ -20,12 +20,39 @@ object Skew {
   /** Deterministic salt in [0, buckets): a pure content hash of the given
     * columns, so a task retry under speculative execution re-salts every
     * row identically (monotonically_increasing_id would re-salt by the
-    * retry's partition layout). Pass ALL row columns to spread a hot key;
-    * byte-identical rows share a bucket, which leaves counts/sums exact
-    * and only costs spread when a hot key is dominated by literal
-    * duplicate rows. */
-  def salt(buckets: Int, cols: Column*): Column =
+    * retry's partition layout). Pass ALL row columns (see [[saltFor]]) to
+    * spread a hot key; passing ONLY the grouping keys yields a CONSTANT
+    * salt per key — zero spread, the mitigation silently does nothing —
+    * so include columns that vary within a key. Byte-identical rows share
+    * a bucket, which leaves counts/sums exact and only costs spread when
+    * a hot key is dominated by literal duplicate rows. */
+  def salt(buckets: Int, cols: Column*): Column = {
+    require(cols.nonEmpty, "salt needs at least one column")
     pmod(xxhash64(cols: _*), lit(buckets.toLong))
+  }
+
+  /** [[salt]] over every hashable column of `df` — the safe default: the
+    * caller can't accidentally feed a key-only (constant-per-key) column
+    * set, and un-hashable columns (maps, and nested types containing
+    * maps, which xxhash64 rejects at analysis) are filtered out rather
+    * than failing the whole frame. */
+  def saltFor(df: DataFrame, buckets: Int): Column = {
+    val hashable = df.schema.fields.filter(f => isHashable(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty, "no hashable columns to salt on")
+    salt(buckets, hashable.toSeq: _*)
+  }
+
+  /** xxhash64 (HashExpression) rejects MapType — map iteration order is
+    * undefined — including maps nested in arrays/structs. */
+  private[operators] def isHashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType      => false
+      case ArrayType(e, _) => isHashable(e)
+      case s: StructType   => s.fields.forall(f => isHashable(f.dataType))
+      case _               => true
+    }
+  }
 
   /**
    * Salted count/sum aggregation: semantically identical to
@@ -34,7 +61,7 @@ object Skew {
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    df.withColumn("__salt", salt(saltBuckets, df.columns.map(col).toSeq: _*))
+    df.withColumn("__salt", saltFor(df, saltBuckets))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(keyCols: _*)

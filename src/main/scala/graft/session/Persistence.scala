@@ -170,9 +170,18 @@ object Persistence {
     val snap = mapper.readValue(json, classOf[ProjectSnapshot])
     // absent fields from older formats load as null: v1 predates the
     // standard selector (null = SDTM), v1/v2 predate the CT version pin
-    // (null = 2025-03-28, the publication those builds embedded)
+    // (null = 2025-03-28, the publication those builds embedded). A v3+
+    // file declared the pin at save time, so a null there is corruption —
+    // fail fast rather than silently resolving against a pin the study
+    // was never authored with.
     val s1 = if (snap.standard == null) snap.copy(standard = "sdtm") else snap
-    if (s1.ctVersion == null) s1.copy(ctVersion = "2025-03-28") else s1
+    if (s1.ctVersion == null) {
+      if (s1.formatVersion >= 3)
+        throw new IllegalArgumentException(
+          s"$path: formatVersion ${s1.formatVersion} snapshot is missing " +
+            "ctVersion — corrupted or hand-edited file")
+      s1.copy(ctVersion = "2025-03-28")
+    } else s1
   }
 
   /** Domains whose source file content changed since the snapshot. A file

@@ -43,6 +43,31 @@ class SkewSpec extends SparkSpec {
     assert(salts(skewed.repartition(13)) == salts(skewed))
   }
 
+  test("saltedCountSum tolerates un-hashable (map) columns") {
+    // xxhash64 rejects MapType at analysis; the salt must skip such
+    // columns instead of failing the whole aggregation
+    val withMap = skewed.withColumn("m", map(col("k"), col("v")))
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedCountSum(withMap, Seq("k"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+    // nested maps are un-hashable too; top-level and nested both filtered
+    assert(!Skew.isHashable(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))))
+  }
+
+  test("saltFor actually spreads a hot key (not constant per key)") {
+    val spread = skewed.withColumn("__s", Skew.saltFor(skewed, 16))
+      .where(col("k") === "HOT").select("__s").distinct().count()
+    assert(spread > 4, s"hot key landed in only $spread salt buckets")
+    // and the degenerate empty-column call is rejected, not silent
+    intercept[IllegalArgumentException](Skew.salt(16))
+  }
+
   test("saltedDistinctCount is exact") {
     val out = Skew.saltedDistinctCount(skewed, Seq("k"), "v")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -71,6 +71,17 @@ class PersistenceSpec extends AnyFunSuite {
     assert(Persistence.load(p2).standard == "send")
   }
 
+  test("v3 snapshot with missing ctVersion is rejected, not backfilled") {
+    // the 2025-03-28 backfill is for pre-pin formats only; a v3 file
+    // declared its pin at save time, so a null there is corruption
+    val v3 = """{"formatVersion":3,"studyId":"BAD","assignments":{},
+      "mappings":{},"omitted":{},"sourceHashes":{},"standard":"sdtm"}"""
+    val p3 = tmpPath("persist_v3_noct.json")
+    Files.write(Paths.get(p3), v3.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Persistence.load(p3))
+    assert(e.getMessage.contains("ctVersion"))
+  }
+
   test("load rejects newer versions and foreign files") {
     // newer-version container: bump the header version field
     val newer = Persistence.serialize(snap)
