@@ -77,6 +77,44 @@ object Multimodal {
     df.repartition(parts, col("media_id"))
   }
 
+  // ---- Real codec (in-JDK) --------------------------------------------------
+
+  /** REAL image decode for PNG/JPEG/GIF/BMP via `javax.imageio.ImageIO` —
+    * ships in the JDK, so no native/library dependency. Produces the same
+    * [[DecodedImage]] contract as the stub: a single luminance plane
+    * (ITU-R BT.601 weights) normalized to [0,1]. Returns None when the
+    * bytes aren't a decodable image (no registered reader, truncated
+    * stream), letting callers fall back rather than poisoning the batch. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val pixels = new Array[Float](w * h)
+        var i = 0
+        while (i < pixels.length) {
+          val v = rgb(i)
+          val r = (v >> 16) & 0xFF
+          val g = (v >> 8) & 0xFF
+          val b = v & 0xFF
+          pixels(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+          i += 1
+        }
+        Some(DecodedImage(w, h, pixels))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Production codec for [[extractFeatures]]: real ImageIO decode when the
+    * bytes are a recognizable image, deterministic stub otherwise (text and
+    * other non-image modalities keep their fake-decode semantics). */
+  val imageOrStubCodec: Array[Byte] => DecodedImage =
+    bytes => decodeImage(bytes).getOrElse(decodeImageStub(bytes))
+
   // ---- STUB codec layer -----------------------------------------------------
   // Real decoders (JPEG/PNG/WAV/MP4) need native libraries not present in
   // this container. The stubs below are DETERMINISTIC FAKES that preserve
@@ -143,18 +181,22 @@ object Multimodal {
 
   /**
    * Batched decode + feature extraction: `mapPartitions` assembles
-   * `batchSize` records, "decodes" each, resizes to 16×16, and emits one
-   * embedding per record tagged with the batch size it rode in (the shape a
-   * GPU inference step needs — contiguous batches, bounded memory).
+   * `batchSize` records, decodes each via `codec`, resizes to 16×16, and
+   * emits one embedding per record tagged with the batch size it rode in
+   * (the shape a GPU inference step needs — contiguous batches, bounded
+   * memory). The default codec is the deterministic stub (externally
+   * replayable — see the mm2 oracle); pass [[imageOrStubCodec]] for real
+   * ImageIO decoding of PNG/JPEG/GIF/BMP bytes.
    */
-  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 32): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 32,
+      codec: Array[Byte] => DecodedImage = decodeImageStub): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // batch-level work happens here (a real pipeline hands the whole
         // batch to the codec/model at once)
         batch.map { rec =>
-          val decoded = decodeImageStub(rec.bytes)
+          val decoded = codec(rec.bytes)
           val resized = resizeStub(decoded, 16, 16)
           // integer byte-sum of the resized plane: pixel = byte/255 round
           // trips exactly through float, so this is bit-stable and an

@@ -96,4 +96,52 @@ class MultimodalSpec extends SparkSpec {
     assert(img.width == 1 && img.height == 1)
     assert(img.pixels.toSeq == Seq(0.0f))
   }
+
+  private def fixturePng: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/multimodal/gradient_6x4.png")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("real codec decodes the committed PNG fixture with exact dims and luma") {
+    // fixture: 6x4, pixel (x,y) = RGB(v, 255-v, v) with v = (y*6+x)*10
+    val img = Multimodal.decodeImage(fixturePng).get
+    assert(img.width == 6 && img.height == 4)
+    assert(img.pixels.length == 24)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val v = (y * 6 + x) * 10
+      val expected = (0.299f * v + 0.587f * (255 - v) + 0.114f * v) / 255.0f
+      val got = img.pixels(y * 6 + x)
+      assert(math.abs(got - expected) < 1e-6f, s"pixel ($x,$y): $got vs $expected")
+    }
+    // non-image bytes are a None, not an exception
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // truncated PNG (header only) must not throw either
+    assert(Multimodal.decodeImage(fixturePng.take(20)).isEmpty)
+  }
+
+  test("extractFeatures with the real codec decodes PNG bytes inside mapPartitions") {
+    val png = fixturePng
+    val frame = Seq(
+      (10L, "image", png, "image/png", png.length.toLong),
+      (11L, "text", "plain text rider".getBytes("UTF-8"), "text/plain", 16L))
+      .toDF("media_id", "kind", "bytes", "mime_type", "n_bytes")
+    val feats = Multimodal.extractFeatures(frame.as[MediaRecord].repartition(1),
+        batchSize = 2, codec = Multimodal.imageOrStubCodec)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    // the PNG record reports REAL decoded dims (6x4), not the stub's
+    // sqrt-of-byte-length geometry
+    assert(feats(0).decode_width == 6 && feats(0).decode_height == 4)
+    // both rode the same batch through the partition
+    assert(feats.map(_.batch_size).toSeq == Seq(2, 2))
+    // checksum = byte-sum of the 16x16 NN resize of the real luma plane
+    val resized = Multimodal.resizeStub(Multimodal.decodeImage(png).get, 16, 16)
+    val expected = resized.pixels.map(p => math.round(p * 255.0f).toLong).sum
+    assert(feats(0).plane_checksum == expected)
+    // the non-image record fell back to the stub codec deterministically
+    val stubDims = Multimodal.decodeImageStub("plain text rider".getBytes("UTF-8"))
+    assert(feats(1).decode_width == stubDims.width &&
+      feats(1).decode_height == stubDims.height)
+  }
 }
