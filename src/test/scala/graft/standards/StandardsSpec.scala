@@ -146,6 +146,18 @@ class StandardsSpec extends AnyFunSuite {
       Set("INCLUSION", "EXCLUSION")), "IECAT")
     assert(sdtm.get("C96777").exists(_.terms.size == 9), "EVALID")
     assert(sdtm.get("C85492").exists(_.resolve("Magnetic Resonance Imaging").contains("MRI")), "METHOD")
+    // r7 tier: full term sets lifted from the public 2025-03-28 catalog
+    // (same NCI codelists; all seven are extensible)
+    assert(sdtm.get("C71153").exists(_.terms.size >= 100), "EGTESTCD")
+    assert(sdtm.get("C71153").exists(
+      _.resolve("QT Interval, Aggregate").contains("QTAG")), "EGTESTCD synonym")
+    assert(sdtm.get("C66729").exists(_.resolve("Intravenous").contains("INTRAVENOUS")), "ROUTE")
+    assert(sdtm.get("C71113").exists(_.resolve("Twice Daily; BID").nonEmpty ||
+      sdtm.lookupMap("C71113").contains("BID")), "FREQ")
+    assert(sdtm.get("C71148").exists(_.terms.size >= 15), "POSITION")
+    assert(sdtm.get("C74456").exists(_.terms.size >= 1000), "LOC")
+    assert(sdtm.lookupMap("C99073").contains("BILATERAL"), "LAT")
+    assert(sdtm.get("C99074").exists(_.terms.size >= 40), "DIR")
     // RDOMAIN terms generated from the embedded IG dataset list itself
     val rdomain = sdtm.get("C66734").get
     assert(rdomain.terms.size >= 60, s"DOMAIN terms: ${rdomain.terms.size}")
