@@ -110,8 +110,8 @@ object Dedup {
     var labels = sym.select(col("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    var changed = true
+    while (changed && iter < maxIters) {
       iter += 1
       val nbMin = sym
         .join(labels.select(col("id").as("nb"), col("cluster_id").as("__nbc")), Seq("nb"))
@@ -122,14 +122,17 @@ object Dedup {
             .as("cluster_id"),
           coalesce(col("__m") < col("cluster_id"), lit(false)).as("__changed"))
         .localCheckpoint()
-      changed = next.where(col("__changed")).count()
+      // only "did ANY label move" matters — take(1) over the checkpointed
+      // blocks short-circuits at the first changed row in every round but
+      // the final (empty) one, where it costs the same scan count() did
+      changed = !next.where(col("__changed")).isEmpty
       // the superseded round's checkpoint blocks are reclaimed by the
       // ContextCleaner once this reassignment drops the last reference
       labels = next.drop("__changed")
     }
-    if (changed > 0) throw new IllegalStateException(
+    if (changed) throw new IllegalStateException(
       s"duplicateClustersConverged: not converged after $maxIters iterations " +
-        s"($changed labels still changing) — raise maxIters")
+        "(labels still changing) — raise maxIters")
     labels
   }
 

@@ -70,7 +70,7 @@ class StudySession(val spark: SparkSession, val studyId: String,
   // mutators and the auto-save poller's snapshot read — without it a
   // poller-thread snapshotOf can hit a ConcurrentModificationException or
   // serialize a torn mix of pre- and post-edit mapping state
-  private val stateLock = new Object
+  private[session] val stateLock = new Object
 
   /** E1 step — load Items.csv study metadata (S7 statistical detection) and
     * study codelists; labels feed the scorer's label boost, codelists feed

@@ -331,6 +331,44 @@ class StudySessionSpec extends SparkSpec {
     s.configureSupp("DM", Nil)
     assert(s.dirtyTracker.isDirty, "configureSupp must mark the session dirty")
   }
+
+  test("mutators run their Spark work outside the snapshot lock") {
+    // the narrowed-lock contract: addDomain's Spark phase (CSV scan, hints
+    // aggregation, scoring) must complete even while another thread holds
+    // stateLock — the lock guards only the final shared-map publish. A
+    // regression that hoists the lock over the Spark work times this
+    // test out instead of passing.
+    val s = new StudySession(spark, "LOCKTEST1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val worker = new Thread(() =>
+      s.addDomain("DM", Paths.get(studyDir, "dm.csv").toString))
+    try {
+      s.stateLock.synchronized {
+        worker.start()
+        // while we hold the lock: the worker must finish >=1 Spark job and
+        // park BLOCKED on the publish monitor, with nothing published yet
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while ((jobs.get() < 1 || worker.getState != Thread.State.BLOCKED) &&
+            System.nanoTime() < deadline) Thread.sleep(20)
+        assert(jobs.get() >= 1,
+          "worker ran no Spark jobs while the lock was held — Spark work has moved inside the lock")
+        assert(worker.getState == Thread.State.BLOCKED,
+          s"worker should be parked at the publish, was ${worker.getState}")
+        assert(s.domainState("DM").isEmpty, "publish happened under a held lock")
+      }
+      worker.join(30000)
+      assert(!worker.isAlive, "worker never finished after lock release")
+      assert(s.domainState("DM").isDefined)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      if (worker.isAlive) worker.interrupt()
+    }
+  }
 }
 
 /** Standards loader pins (S8/S9). */
