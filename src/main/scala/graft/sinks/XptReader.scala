@@ -21,8 +21,11 @@ object XptReader {
   private def ascii(b: Array[Byte], off: Int, len: Int): String =
     new String(b, off, len, StandardCharsets.US_ASCII)
 
-  def read(path: String): XptMember = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+  /** Parsed member layout shared by [[read]] and [[countRows]]. */
+  private case class Layout(dsName: String, dsLabel: String,
+      columns: Seq[XptColumn], dataStart: Int, rowLen: Int, totalRows: Int)
+
+  private def layout(bytes: Array[Byte], path: String): Layout = {
     require(ascii(bytes, 0, 20) == "HEADER RECORD*******", s"not an XPT file: $path")
 
     // locate NAMESTR header
@@ -62,18 +65,43 @@ object XptReader {
     require(obsOff >= 0, "no OBS header")
     val dataStart = obsOff + 80
     val rowLen = columns.map(_.length).sum
-    val totalRows = (bytes.length - dataStart) / rowLen
+    Layout(dsName, dsLabel, columns, dataStart, rowLen,
+      (bytes.length - dataStart) / rowLen)
+  }
+
+  /** Trailing pad region: a row that is entirely blanks inside the final
+    * 80-byte record is treated as padding. This is THE inherent V5
+    * ambiguity — a final record whose char columns are all genuinely
+    * blank is indistinguishable from pad bytes; SAS and other readers
+    * apply the same heuristic. (Num columns make rows unambiguous: a
+    * missing value is 0x2E, not blank.) */
+  private def isPadRow(bytes: Array[Byte], base: Int, rowLen: Int): Boolean =
+    base + rowLen > bytes.length - 80 &&
+      (base until base + rowLen).forall(bytes(_) == ' '.toByte)
+
+  /** Row count only — the same pad heuristic as [[read]], but no value
+    * decode and no row materialization: cardinality checks over large
+    * members cost one header parse plus a blank scan of the final record. */
+  def countRows(path: String): Long = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val l = layout(bytes, path)
+    var n = 0L
+    var r = 0
+    while (r < l.totalRows) {
+      if (!isPadRow(bytes, l.dataStart + r * l.rowLen, l.rowLen)) n += 1
+      r += 1
+    }
+    n
+  }
+
+  def read(path: String): XptMember = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val l = layout(bytes, path)
+    val Layout(dsName, dsLabel, columns, dataStart, rowLen, totalRows) = l
 
     val rows = (0 until totalRows).flatMap { r =>
       val base = dataStart + r * rowLen
-      // Trailing pad region: a row that is entirely blanks inside the final
-      // 80-byte record is treated as padding. This is THE inherent V5
-      // ambiguity — a final record whose char columns are all genuinely
-      // blank is indistinguishable from pad bytes; SAS and other readers
-      // apply the same heuristic. (Num columns make rows unambiguous: a
-      // missing value is 0x2E, not blank.)
-      val allBlank = (base until base + rowLen).forall(bytes(_) == ' '.toByte)
-      if (allBlank && base + rowLen > bytes.length - 80) None
+      if (isPadRow(bytes, base, rowLen)) None
       else {
         var off = base
         Some(columns.map { c =>

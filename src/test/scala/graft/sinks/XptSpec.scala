@@ -99,6 +99,24 @@ class XptSpec extends SparkSpec {
     assert(m.rows(2)(2) == "")
   }
 
+  test("countRows agrees with read across pad-ambiguous shapes") {
+    // several row widths so the data section ends at different offsets
+    // inside the final 80-byte record (the pad-heuristic window)
+    for (n <- Seq(1, 2, 3, 7, 10, 23)) {
+      val df = (1 to n).map(i => (s"S$i", i.toDouble)).toDF("ID", "VAL")
+      val path = tmp.resolve(s"count_$n.xpt").toString
+      XptWriter.writeDataFrame(df, path, "T", "")
+      assert(XptReader.countRows(path) == XptReader.read(path).rows.size.toLong, s"n=$n")
+      assert(XptReader.countRows(path) == n.toLong, s"n=$n")
+    }
+    // char-only member: rows CAN be all-blank — the count applies the same
+    // documented pad heuristic as read (final-record blanks are padding)
+    val charOnly = Seq(("A", "x"), ("", "")).toDF("C1", "C2")
+    val p = tmp.resolve("count_blank.xpt").toString
+    XptWriter.writeDataFrame(charOnly, p, "T", "")
+    assert(XptReader.countRows(p) == XptReader.read(p).rows.size.toLong)
+  }
+
   test("file is 80-byte-record aligned and starts with the library header") {
     val df = Seq(("A", 1.0)).toDF("ID", "VAL")
     val path = tmp.resolve("align.xpt").toString
