@@ -15,8 +15,18 @@ object IbmFloat {
     * value (0x2E '.', then zeros). Always returns a fresh array — callers
     * may patch bytes in place without corrupting shared state. */
   def toIbmBytes(d: Double): Array[Byte] = {
-    if (d.isNaN) return missingBytes.clone()
-    if (d == 0.0) return new Array[Byte](8)
+    val out = new Array[Byte](8)
+    toIbmBytesInto(d, out, 0)
+    out
+  }
+
+  /** Allocation-free variant of [[toIbmBytes]]: encode into `dest` at
+    * `off` (8 bytes overwritten). The XPT row writer encodes millions of
+    * values per member — one fresh array each was the hot allocation. */
+  def toIbmBytesInto(d: Double, dest: Array[Byte], off: Int): Unit = {
+    if (d.isNaN) { System.arraycopy(missingBytes, 0, dest, off, 8); return }
+    java.util.Arrays.fill(dest, off, off + 8, 0.toByte)
+    if (d == 0.0) return
     val sign = if (d < 0) 1L else 0L
     val abs = math.abs(d)
     val bits = java.lang.Double.doubleToLongBits(abs)
@@ -33,20 +43,18 @@ object IbmFloat {
     // value = mant * 2^(e-52); want frac56 * 16^(E-64) * 2^-56
     val s = Math.floorMod(e + 260, 4)
     val ibmExp = (e + 260 - s) / 4
-    if (ibmExp < 0) return new Array[Byte](8) // underflow → 0
+    if (ibmExp < 0) return // underflow → 0 (dest already zeroed)
     if (ibmExp > 127) // overflow: never silently alter submission data
       throw new IllegalArgumentException(
         s"value $d exceeds IBM hex-float range (|x| <= ~7.23e75) and cannot " +
           "be written to XPT")
     val frac = mant << s // < 2^56
-    val out = new Array[Byte](8)
-    out(0) = ((sign << 7) | ibmExp).toByte
+    dest(off) = ((sign << 7) | ibmExp).toByte
     var i = 0
     while (i < 7) {
-      out(7 - i) = ((frac >> (8 * i)) & 0xFF).toByte
+      dest(off + 7 - i) = ((frac >> (8 * i)) & 0xFF).toByte
       i += 1
     }
-    out
   }
 
   /** SAS missing numeric: '.' then seven zero bytes. */

@@ -134,18 +134,35 @@ object XmlSinks {
     // OIDs sanitize exactly like Define-XML builds them, so the two
     // documents cross-reference (escape() alone would diverge on spaces)
     val dsOid = sanitizeOid(datasetName)
-    val itemOids = present.map(v => s"IT.$dsOid.${sanitizeOid(v)}")
-    val it = ordered.toLocalIterator()
+    val itemOids = present.map(v => s"IT.$dsOid.${sanitizeOid(v)}").toArray
+    // render each row's ItemData block in the EXECUTORS — the per-value
+    // escape + string assembly is the expensive part of this sink and
+    // parallelizes perfectly; the driver only stitches fragments together
+    // with the (inherently sequential) ItemGroupDataSeq numbers, so the
+    // written bytes are identical to a driver-side row loop
+    val nCols = itemOids.length
+    val fragments = ordered.mapPartitions { rows =>
+      rows.map { r: Row =>
+        val sb = new java.lang.StringBuilder(48 * nCols)
+        var i = 0
+        while (i < nCols) {
+          renderValue(if (r.isNullAt(i)) null else r.get(i)).foreach { text =>
+            sb.append("      <ItemData ItemOID=\"").append(itemOids(i))
+              .append("\" Value=\"").append(escape(text)).append("\"/>\n")
+          }
+          i += 1
+        }
+        sb.toString
+      }
+    }(org.apache.spark.sql.Encoders.STRING)
+    val openPrefix = s"""    <ItemGroupData ItemGroupOID="IG.$dsOid" data:ItemGroupDataSeq=""""
+    val it = fragments.toLocalIterator()
     var seq = 0L
     while (it.hasNext) {
-      val r: Row = it.next()
+      val frag = it.next()
       seq += 1
-      w.write(s"""    <ItemGroupData ItemGroupOID="IG.$dsOid" data:ItemGroupDataSeq="$seq">\n""")
-      present.indices.foreach { i =>
-        renderValue(if (r.isNullAt(i)) null else r.get(i)).foreach { text =>
-          w.write(s"""      <ItemData ItemOID="${itemOids(i)}" Value="${escape(text)}"/>\n""")
-        }
-      }
+      w.write(openPrefix); w.write(seq.toString); w.write("\">\n")
+      w.write(frag)
       w.write("    </ItemGroupData>\n")
     }
     w.write(s"  </$container>\n</ODM>\n")
@@ -155,7 +172,7 @@ object XmlSinks {
 
   private def utf8Writer(path: String): Writer =
     new BufferedWriter(new OutputStreamWriter(
-      new FileOutputStream(path), StandardCharsets.UTF_8))
+      new FileOutputStream(path), StandardCharsets.UTF_8), 1 << 20)
 
   def writeDatasetXmlFile(df: DataFrame, path: String, datasetName: String,
       studyId: String, igVersion: String, variables: Seq[String],

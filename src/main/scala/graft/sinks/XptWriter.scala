@@ -134,12 +134,20 @@ object XptWriter {
 
     out.write(headerRecord("OBS     "))
     val rowLen = columns.map(_.length).sum
+    // hot loop over rows×columns: index arrays, one reused row buffer, and
+    // in-place IBM encode — the per-value allocations (zip pairs, fresh
+    // 8-byte arrays) dominated large members before
+    val nCols = columns.size
+    val colArr = columns.toArray
+    val buf = new Array[Byte](rowLen)
     var written = 0L
     var rowIdx = 0L
     rows.foreach { row =>
-      val buf = new Array[Byte](rowLen)
       var off = 0
-      columns.zip(row).foreach { case (c, v) =>
+      var i = 0
+      while (i < nCols) {
+        val c = colArr(i)
+        val v = row(i)
         if (c.isNumeric) {
           val d = v match {
             case null => Double.NaN
@@ -151,7 +159,7 @@ object XptWriter {
           }
           // annotate range failures with the offending variable and row so
           // the user can locate the datum (the kernel only knows the value)
-          try System.arraycopy(IbmFloat.toIbmBytes(d), 0, buf, off, 8)
+          try IbmFloat.toIbmBytesInto(d, buf, off)
           catch {
             case e: IllegalArgumentException =>
               throw new IllegalArgumentException(
@@ -169,6 +177,7 @@ object XptWriter {
           System.arraycopy(b, 0, buf, off, math.min(b.length, c.length))
         }
         off += c.length
+        i += 1
       }
       out.write(buf)
       written += rowLen
@@ -215,7 +224,7 @@ object XptWriter {
       labels: Map[String, String] = Map.empty,
       declaredLengths: Map[String, Int] = Map.empty): Seq[XptColumn] = {
     val cols = columnsFor(df, labels, declaredLengths)
-    val out = new BufferedOutputStream(new FileOutputStream(path))
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
     try {
       val it = df.toLocalIterator()
       val rows = new Iterator[Seq[Any]] {
