@@ -15,6 +15,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toVector.sorted
     val failed = scala.collection.mutable.Set[String]()
+    // Ambient-load sentinel: a fixed, data-independent CPU-bound job whose
+    // cost is a property of the MACHINE, not the code under test. Timed
+    // once before the warmup and once after the last timed round; the pair
+    // rides in the summary JSON. Historical steady-state is ~constant, so
+    // a sentinel far above its usual cost (or a large gap between the two)
+    // marks the whole window as polluted by competing load — BENCH_r04/r06
+    // both published phantom regressions that this self-identifies.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1, cpus.toInt)
+        .selectExpr("sum(id % 1000007) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // noop sink (not count()) so Catalyst can't prune the projected
     // expressions out from under the timer — every query runs its full work.
     def runOne(name: String): Double = {
@@ -38,6 +52,8 @@ object Bench {
     // BENCH_r04's 44% phantom regression came from exactly that failure mode.
     // Round 0 is an untimed warmup of every query — JIT, codegen cache,
     // parquet footers — so timed rounds measure steady state.
+    sentinel() // untimed: JIT/codegen for the sentinel job itself
+    val sentinelBefore = sentinel()
     names.foreach(runOne)
     // a transient warmup-only failure must not erase the query from the
     // totals — that would publish a phantom speedup; only timed-round
@@ -47,6 +63,7 @@ object Bench {
       Thread.sleep(200) // settle after the GC burst before the next round
       names.map(n => n -> runOne(n)).toMap
     }
+    val sentinelAfter = sentinel()
     val results = names.map { n =>
       val good = samples.map(_(n)).filter(_ >= 0)
       if (good.isEmpty) n -> (-1.0, -1.0)
@@ -67,7 +84,8 @@ object Bench {
     val brokenJson = broken.map("\"" + _ + "\"").mkString("[", ",", "]")
     // median is the headline (robust to one bad round); min is the noise
     // floor — a large median/min gap flags ambient load, not a regression
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"total_min":$totalMin,"failed":${broken.length},"failed_queries":$brokenJson,"sf":"$sfDir"}"""
+    val sentinelJson = s"[${r3(sentinelBefore)},${r3(sentinelAfter)}]"
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"total_min":$totalMin,"failed":${broken.length},"failed_queries":$brokenJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     // belt and braces vs output-tail truncation: the same line also lands
     // in a file the driver (or a human) can always read whole
     scala.util.Try(java.nio.file.Files.write(
@@ -81,6 +99,6 @@ object Bench {
     // So the very last line is a compact contract-only summary (medians,
     // no queries_min/failed_queries) sized ~1.6KB to fit the window;
     // queries_min lives in the full line above and bench_summary.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"total_min":$totalMin,"failed":${broken.length},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"total_min":$totalMin,"failed":${broken.length},"sentinel":$sentinelJson,"sf":"$sfDir"}""")
   }
 }

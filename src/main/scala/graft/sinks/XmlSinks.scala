@@ -135,36 +135,63 @@ object XmlSinks {
     // documents cross-reference (escape() alone would diverge on spaces)
     val dsOid = sanitizeOid(datasetName)
     val itemOids = present.map(v => s"IT.$dsOid.${sanitizeOid(v)}").toArray
-    // render each row's ItemData block in the EXECUTORS — the per-value
+    // render COMPLETE ItemGroupData blocks in the EXECUTORS — per-value
     // escape + string assembly is the expensive part of this sink and
-    // parallelizes perfectly; the driver only stitches fragments together
-    // with the (inherently sequential) ItemGroupDataSeq numbers, so the
-    // written bytes are identical to a driver-side row loop
+    // parallelizes perfectly. zipWithIndex supplies the global 1-based
+    // ItemGroupDataSeq (order-preserving; costs one partition-size job),
+    // and persist+count materializes every partition's render in ONE
+    // parallel job — toLocalIterator alone runs single-partition jobs
+    // back to back, serializing the render on one core. The driver then
+    // streams ~1 MiB pre-built chunks: pure IO, bytes identical to a
+    // driver-side row loop.
     val nCols = itemOids.length
-    val fragments = ordered.mapPartitions { rows =>
-      rows.map { r: Row =>
-        val sb = new java.lang.StringBuilder(48 * nCols)
-        var i = 0
-        while (i < nCols) {
-          renderValue(if (r.isNullAt(i)) null else r.get(i)).foreach { text =>
-            sb.append("      <ItemData ItemOID=\"").append(itemOids(i))
-              .append("\" Value=\"").append(escape(text)).append("\"/>\n")
-          }
-          i += 1
-        }
-        sb.toString
-      }
-    }(org.apache.spark.sql.Encoders.STRING)
     val openPrefix = s"""    <ItemGroupData ItemGroupOID="IG.$dsOid" data:ItemGroupDataSeq=""""
-    val it = fragments.toLocalIterator()
+    val chunkTarget = 1 << 20
+    val chunks = ordered.rdd.zipWithIndex().mapPartitions { it =>
+      val sb = new java.lang.StringBuilder(chunkTarget + (96 + 48 * nCols))
+      new Iterator[(Long, String)] {
+        private var pending: (Long, String) = _
+        private var rowsInChunk = 0L
+        private def fill(): Unit = {
+          while (pending == null && it.hasNext) {
+            val (r, idx) = it.next()
+            sb.append(openPrefix).append(idx + 1).append("\">\n")
+            var i = 0
+            while (i < nCols) {
+              renderValue(if (r.isNullAt(i)) null else r.get(i)).foreach { text =>
+                sb.append("      <ItemData ItemOID=\"").append(itemOids(i))
+                  .append("\" Value=\"").append(escape(text)).append("\"/>\n")
+              }
+              i += 1
+            }
+            sb.append("    </ItemGroupData>\n")
+            rowsInChunk += 1
+            if (sb.length >= chunkTarget) {
+              pending = (rowsInChunk, sb.toString); sb.setLength(0); rowsInChunk = 0
+            }
+          }
+          if (pending == null && rowsInChunk > 0) {
+            pending = (rowsInChunk, sb.toString); sb.setLength(0); rowsInChunk = 0
+          }
+        }
+        def hasNext: Boolean = { fill(); pending != null }
+        def next(): (Long, String) = {
+          fill()
+          if (pending == null) throw new NoSuchElementException
+          val p = pending; pending = null; p
+        }
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var seq = 0L
-    while (it.hasNext) {
-      val frag = it.next()
-      seq += 1
-      w.write(openPrefix); w.write(seq.toString); w.write("\">\n")
-      w.write(frag)
-      w.write("    </ItemGroupData>\n")
-    }
+    try {
+      chunks.count() // parallel materialization of every partition's render
+      val it = chunks.toLocalIterator
+      while (it.hasNext) {
+        val (n, text) = it.next()
+        w.write(text)
+        seq += n
+      }
+    } finally chunks.unpersist()
     w.write(s"  </$container>\n</ODM>\n")
     w.flush()
     seq

@@ -6,7 +6,7 @@ import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 import java.util.Locale
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType, NumericType}
 
@@ -80,14 +80,11 @@ object XptWriter {
     out
   }
 
-  /**
-   * Stream rows into an XPT member. `rows` yields one `Seq[Any]` per row
-   * aligned with `columns`: numerics as Double (null/None/NaN → missing),
-   * chars as String (null → blank).
-   */
-  def write(out: OutputStream, dsName: String, dsLabel: String,
-      columns: Seq[XptColumn], rows: Iterator[Seq[Any]],
-      created: LocalDateTime = LocalDateTime.of(2020, 1, 1, 0, 0, 0)): Unit = {
+  /** Library + member + NAMESTR + OBS header records — everything before
+    * the row bytes. Shared by the iterator and distributed write paths so
+    * the two emit identical containers. */
+  private def writeHeaders(out: OutputStream, dsName: String, dsLabel: String,
+      columns: Seq[XptColumn], created: LocalDateTime): Unit = {
     val date = sasDate(created)
 
     out.write(headerRecord("LIBRARY "))
@@ -133,6 +130,23 @@ object XptWriter {
     if (namestrPad > 0) out.write((" " * namestrPad).getBytes(StandardCharsets.US_ASCII))
 
     out.write(headerRecord("OBS     "))
+  }
+
+  /** Space-pad the data section to an 80-byte record boundary (TS-140). */
+  private def writeTailPad(out: OutputStream, dataBytes: Long): Unit = {
+    val tailPad = ((80 - dataBytes % 80) % 80).toInt
+    if (tailPad > 0) out.write((" " * tailPad).getBytes(StandardCharsets.US_ASCII))
+  }
+
+  /**
+   * Stream rows into an XPT member. `rows` yields one `Seq[Any]` per row
+   * aligned with `columns`: numerics as Double (null/None/NaN → missing),
+   * chars as String (null → blank).
+   */
+  def write(out: OutputStream, dsName: String, dsLabel: String,
+      columns: Seq[XptColumn], rows: Iterator[Seq[Any]],
+      created: LocalDateTime = LocalDateTime.of(2020, 1, 1, 0, 0, 0)): Unit = {
+    writeHeaders(out, dsName, dsLabel, columns, created)
     val rowLen = columns.map(_.length).sum
     // hot loop over rows×columns: index arrays, one reused row buffer, and
     // in-place IBM encode — the per-value allocations (zip pairs, fresh
@@ -183,9 +197,73 @@ object XptWriter {
       written += rowLen
       rowIdx += 1
     }
-    val tailPad = ((80 - written % 80) % 80).toInt
-    if (tailPad > 0) out.write((" " * tailPad).getBytes(StandardCharsets.US_ASCII))
+    writeTailPad(out, written)
     out.flush()
+  }
+
+  /** Encode one Spark Row (schema aligned with `colArr`) into `buf` —
+    * identical bytes to the iterator path's loop above. Runs in EXECUTORS
+    * for the distributed write; range failures carry the variable name and
+    * offending value (the global row number isn't known partition-side). */
+  private def encodeRowInto(r: Row, colArr: Array[XptColumn], buf: Array[Byte]): Unit = {
+    var off = 0
+    var i = 0
+    while (i < colArr.length) {
+      val c = colArr(i)
+      if (c.isNumeric) {
+        val d =
+          if (r.isNullAt(i)) Double.NaN
+          else r.get(i) match {
+            case x: Double => x
+            case x: Number => x.doubleValue()
+            case s: String => Numerics.parse(s).getOrElse(Double.NaN)
+            case _ => Double.NaN
+          }
+        try IbmFloat.toIbmBytesInto(d, buf, off)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"XPT write failed at variable ${c.name}, value $d: ${e.getMessage}", e)
+        }
+      } else {
+        val s = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
+        val b = s.getBytes(StandardCharsets.US_ASCII)
+        java.util.Arrays.fill(buf, off, off + c.length, ' '.toByte)
+        System.arraycopy(b, 0, buf, off, math.min(b.length, c.length))
+      }
+      off += c.length
+      i += 1
+    }
+  }
+
+  /** Per-partition row encoding into ~1 MiB byte chunks. The concatenation
+    * of all chunks in partition order is byte-identical to the driver-side
+    * row loop — only WHERE the encoding runs changes. */
+  private[sinks] def encodeChunks(df: DataFrame, cols: Seq[XptColumn]): Dataset[Array[Byte]] = {
+    val colArr = cols.toArray
+    val rowLen = colArr.map(_.length).sum
+    val chunkTarget = 1 << 20
+    df.mapPartitions { rows =>
+      val buf = new Array[Byte](rowLen)
+      val bos = new java.io.ByteArrayOutputStream(math.min(chunkTarget + rowLen, 1 << 21))
+      new Iterator[Array[Byte]] {
+        private var pending: Array[Byte] = _
+        private def fill(): Unit = {
+          while (pending == null && rows.hasNext) {
+            encodeRowInto(rows.next(), colArr, buf)
+            bos.write(buf)
+            if (bos.size >= chunkTarget) { pending = bos.toByteArray; bos.reset() }
+          }
+          if (pending == null && bos.size > 0) { pending = bos.toByteArray; bos.reset() }
+        }
+        def hasNext: Boolean = { fill(); pending != null }
+        def next(): Array[Byte] = {
+          fill()
+          if (pending == null) throw new NoSuchElementException
+          val p = pending; pending = null; p
+        }
+      }
+    }(Encoders.BINARY)
   }
 
   /**
@@ -219,32 +297,35 @@ object XptWriter {
 
   /** Write a DataFrame as one XPT member file. Numeric parity: integral
     * doubles and longs share the same IBM encoding; `--SEQ` longs become
-    * doubles exactly as the reference casts at write (`xpt.rs:100-120`). */
+    * doubles exactly as the reference casts at write (`xpt.rs:100-120`).
+    *
+    * Row encoding runs in the EXECUTORS: one parallel job materializes the
+    * encoded byte chunks (persist + count — `toLocalIterator` alone runs
+    * one single-partition job at a time, which would serialize the encode
+    * on one core), then the driver streams the chunks to the single
+    * regulatory file in partition order, doing IO only. */
   def writeDataFrame(df: DataFrame, path: String, dsName: String, dsLabel: String,
       labels: Map[String, String] = Map.empty,
       declaredLengths: Map[String, Int] = Map.empty): Seq[XptColumn] = {
     val cols = columnsFor(df, labels, declaredLengths)
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    val chunks = encodeChunks(df, cols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val it = df.toLocalIterator()
-      val rows = new Iterator[Seq[Any]] {
-        def hasNext: Boolean = it.hasNext
-        def next(): Seq[Any] = {
-          val r: Row = it.next()
-          cols.indices.map { i =>
-            if (r.isNullAt(i)) null
-            else if (cols(i).isNumeric) r.get(i) match {
-              case d: Double => d
-              case fl: Float => fl.toDouble
-              case n: Number => n.doubleValue()
-              case o => o
-            }
-            else r.get(i).toString
-          }
+      chunks.count() // materialize every partition's encode in ONE parallel job
+      val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+      try {
+        writeHeaders(out, dsName, dsLabel, cols, LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+        var written = 0L
+        val it = chunks.toLocalIterator()
+        while (it.hasNext) {
+          val b = it.next()
+          out.write(b)
+          written += b.length
         }
-      }
-      write(out, dsName, dsLabel, cols, rows)
-    } finally out.close()
+        writeTailPad(out, written)
+        out.flush()
+      } finally out.close()
+    } finally chunks.unpersist()
     cols
   }
 }
