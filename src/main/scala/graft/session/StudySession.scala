@@ -135,9 +135,19 @@ class StudySession(val spark: SparkSession, val studyId: String,
   /** E1 step — ingest one assigned (domain, csv) pair: scan, RELSUB
     * augmentation, hints, scoring suggestions. */
   def addDomain(code: String, csvPath: String, headerRows: Int = 1): DomainState = {
-    // same split as loadItemsMetadata: the CSV scan, RELSUB augmentation,
-    // hints aggregation, and scoring are Spark work that must not hold the
-    // snapshot lock; only the domains-map publish at the end does
+    val ds = buildDomainState(code, csvPath, headerRows)
+    publishDomain(ds)
+    ds
+  }
+
+  /** The Spark-heavy half of [[addDomain]] — scan, augment, hints,
+    * scoring — with no session-state writes, so [[StudySession.create]]
+    * can run several builds concurrently (independent files, independent
+    * jobs) and publish the results in deterministic order afterwards.
+    * Same split as loadItemsMetadata: this work must not hold the
+    * snapshot lock; only the domains-map publish does. */
+  private def buildDomainState(code: String, csvPath: String,
+      headerRows: Int): DomainState = {
     val codeU = code.toUpperCase
     val (raw, headers) = CsvIngest.readCsvTable(spark, csvPath, headerRows)
     val augmented = if (codeU == "RELSUB") Reshape.ensureRelsubBidirectional(raw) else raw
@@ -159,14 +169,14 @@ class StudySession(val spark: SparkSession, val studyId: String,
         isNumeric = Some(v.dataType == graft.standards.VariableType.Num)))
     val state = new MappingState(codeU, varMetas)
     state.applySuggestions(Mapping.suggestAll(dataCols, varMetas, hints))
-    val ds = DomainState(codeU, df, headers, hints, state)
-    stateLock.synchronized {
-      domains.get(codeU).foreach(_.source.unpersist()) // re-add frees the old cache
-      domains(codeU) = ds
-      if (codeU == "DM") refDateCache = None // new DM invalidates the memo
-      dirtyTracker.markDirty()
-    }
-    ds
+    DomainState(codeU, df, headers, hints, state)
+  }
+
+  private def publishDomain(ds: DomainState): Unit = stateLock.synchronized {
+    domains.get(ds.code).foreach(_.source.unpersist()) // re-add frees the old cache
+    domains(ds.code) = ds
+    if (ds.code == "DM") refDateCache = None // new DM invalidates the memo
+    dirtyTracker.markDirty()
   }
 
   /** Accept every scorer suggestion (the auto-accept path used in tests
@@ -273,86 +283,135 @@ class StudySession(val spark: SparkSession, val studyId: String,
   }
 
   /** E3 — export every domain: XPT + Dataset-XML per domain, one
-    * Define-XML over all. Returns written paths. */
+    * Define-XML over all. Returns written paths.
+    *
+    * The per-domain sink work runs CONCURRENTLY — two tasks per domain
+    * (stats+XPT, Dataset-XML) on a bounded pool, no task ever waiting on
+    * another, so the long pole (the largest domain's Dataset-XML) overlaps
+    * everything else instead of the whole export running serially. All
+    * session-state reads (previews, metadata, the DM reference date) happen
+    * on the caller's thread BEFORE the fork; the forked tasks touch only
+    * their own frames and the write paths, and every output byte is
+    * assembled in sorted-domain order afterwards, so the produced files are
+    * identical to the serial loop's (golden SHA-256 pins). */
   def exportAll(outDir: String): Seq[String] = {
     Files.createDirectories(Paths.get(outDir))
     val written = Seq.newBuilder[String]
-    val defineDatasets = Seq.newBuilder[XmlSinks.DefineDataset]
-    val usedCodelists = scala.collection.mutable.LinkedHashSet[String]()
 
     // only domains with IG metadata can export (preview needs the variable
-    // list); unknown codes were ingestable for mapping work but are skipped
+    // list); unknown codes were ingestable for mapping work but are skipped.
+    // Building the previews here also materializes the DM reference-date
+    // memo on this thread — the forked tasks below only run the plans.
     val exportable = domainCodes.sorted.filter(c =>
       domainMetaFor(c).isDefined && preview(c).isDefined)
-    exportable.foreach { code =>
+
+    // per-domain plan + metadata, resolved serially (cheap, driver-only)
+    case class DomainPlan(code: String, domain: SdtmDomain, frame: DataFrame,
+        presentVars: Seq[graft.standards.SdtmVariable], isRefData: Boolean)
+    val plans = exportable.map { code =>
       val domain = domainMetaFor(code).get
-      val base = baseDomainCode(code)
       val frame = preview(code).get.cache()
       val presentVars = domain.orderedVariables.filter(v => frame.columns.contains(v.name))
-      val varNames = presentVars.map(_.name)
-
-      // ONE stats aggregate per domain feeds both writers: the XPT observed
-      // lengths and the Define-XML maxLength/has_data come from the same
-      // numbers, so the two artifacts can never disagree (and export runs
-      // one scan fewer per domain)
-      val stats = XmlSinks.varStats(frame, varNames)
-      val charLengths = presentVars.filter(_.dataType != VariableType.Num).flatMap { v =>
-        stats.get(v.name).map(s => v.name -> math.max(s.maxLength, 1))
-      }.toMap
-
-      // XPT (numeric SDTM vars ride as doubles; file order = source order).
-      // try_cast, not cast: normalization emits UNMAPPED variables as
-      // empty strings (the reference's total-function behavior), and under
-      // ANSI a plain cast of "" aborts the export — empty/unparseable
-      // numeric cells are missing values, exactly what XptWriter writes
-      // for a null (its own string fallback uses Numerics.parse the same
-      // way)
-      val xptPath = s"$outDir/${code.toLowerCase}.xpt"
-      val typed = frame.orderBy(col(CsvIngest.RowIdCol)).select(presentVars.map { v =>
-        if (v.dataType == VariableType.Num) col(v.name).try_cast("double").as(v.name)
-        else col(v.name)
-      }: _*)
-      // same label fallback as the DefineDataset below — XPT and Define-XML
-      // must agree on the dataset label
-      XptWriter.writeDataFrame(typed, xptPath, code, domain.label.getOrElse(code),
-        labels = presentVars.map(v => v.name -> v.label.getOrElse(v.name)).toMap,
-        declaredLengths = charLengths)
-      written += xptPath
-
       // Trial Design / Study Reference datasets are reference data, not
       // subject data (is_reference_domain — export/common.rs:74-80): they
       // ride in <ReferenceData> in Dataset-XML and carry
       // def:IsReferenceData="Yes" in Define-XML
       val isRefData = domain.className.exists(c =>
         c.equalsIgnoreCase("Trial Design") || c.equalsIgnoreCase("Study Reference"))
+      DomainPlan(code, domain, frame, presentVars, isRefData)
+    }
 
-      // Dataset-XML
-      val xmlPath = s"$outDir/${code.toLowerCase}.xml"
-      XmlSinks.writeDatasetXmlFile(frame, xmlPath, code, studyId, igVersion,
-        varNames, orderCol = Some(CsvIngest.RowIdCol), isReferenceData = isRefData)
-      written += xmlPath
-      defineDatasets += XmlSinks.DefineDataset(
-        name = code, domain = base,
-        label = domain.label.getOrElse(code),
-        structure = domain.structure.getOrElse(""),
-        klass = domain.className.getOrElse(""),
-        isReferenceData = isRefData,
-        variables = domain.variablesByRole.filter(v => frame.columns.contains(v.name))
-          .map { v =>
-            // only reference codelists the CT catalog can actually define —
-            // a CodeListRef without a matching CodeList element is a broken
-            // OID that fails define.xml validation
-            val resolved = v.firstCodelistCode
-              .filter(c => ctRegistry.get(c).isDefined)
-            resolved.foreach(usedCodelists += _)
-            XmlVariable(v.name, v.label.getOrElse(""),
-              isNumeric = v.dataType == VariableType.Num,
-              required = v.isRequired, identifier = v.isIdentifier,
-              expected = v.isExpected,
-              codelistOid = resolved.map(c => s"CL.$c"))
-          },
-        stats = stats)
-      frame.unpersist()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(plans.size * 2, 8)))
+    val (defineByCode, codesByCode) =
+      try {
+        def submit[A](f: => A): () => A = {
+          val fut = pool.submit(new java.util.concurrent.Callable[A] { def call(): A = f })
+          // surface the task's own exception type (e.g. XPT overflow errors
+          // with variable context), not the pool's ExecutionException wrapper
+          () => try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+
+        // task A per domain: the shared stats aggregate, then XPT (which
+        // needs the observed char lengths) and the DefineDataset row
+        val statsXpt = plans.map { p =>
+          p.code -> submit {
+            val varNames = p.presentVars.map(_.name)
+            // ONE stats aggregate per domain feeds both writers: the XPT
+            // observed lengths and the Define-XML maxLength/has_data come
+            // from the same numbers, so the two artifacts can never
+            // disagree (and export runs one scan fewer per domain)
+            val stats = XmlSinks.varStats(p.frame, varNames)
+            val charLengths = p.presentVars.filter(_.dataType != VariableType.Num)
+              .flatMap(v => stats.get(v.name).map(s => v.name -> math.max(s.maxLength, 1)))
+              .toMap
+            // XPT (numeric SDTM vars ride as doubles; file order = source
+            // order). try_cast, not cast: normalization emits UNMAPPED
+            // variables as empty strings (the reference's total-function
+            // behavior), and under ANSI a plain cast of "" aborts the
+            // export — empty/unparseable numeric cells are missing values,
+            // exactly what XptWriter writes for a null (its own string
+            // fallback uses Numerics.parse the same way)
+            val typed = p.frame.orderBy(col(CsvIngest.RowIdCol)).select(p.presentVars.map { v =>
+              if (v.dataType == VariableType.Num) col(v.name).try_cast("double").as(v.name)
+              else col(v.name)
+            }: _*)
+            // same label fallback as the DefineDataset below — XPT and
+            // Define-XML must agree on the dataset label
+            XptWriter.writeDataFrame(typed, s"$outDir/${p.code.toLowerCase}.xpt",
+              p.code, p.domain.label.getOrElse(p.code),
+              labels = p.presentVars.map(v => v.name -> v.label.getOrElse(v.name)).toMap,
+              declaredLengths = charLengths)
+            val codes = Seq.newBuilder[String]
+            val define = XmlSinks.DefineDataset(
+              name = p.code, domain = baseDomainCode(p.code),
+              label = p.domain.label.getOrElse(p.code),
+              structure = p.domain.structure.getOrElse(""),
+              klass = p.domain.className.getOrElse(""),
+              isReferenceData = p.isRefData,
+              variables = p.domain.variablesByRole
+                .filter(v => p.frame.columns.contains(v.name))
+                .map { v =>
+                  // only reference codelists the CT catalog can actually
+                  // define — a CodeListRef without a matching CodeList
+                  // element is a broken OID that fails define.xml validation
+                  val resolved = v.firstCodelistCode
+                    .filter(c => ctRegistry.get(c).isDefined)
+                  resolved.foreach(codes += _)
+                  XmlVariable(v.name, v.label.getOrElse(""),
+                    isNumeric = v.dataType == VariableType.Num,
+                    required = v.isRequired, identifier = v.isIdentifier,
+                    expected = v.isExpected,
+                    codelistOid = resolved.map(c => s"CL.$c"))
+                },
+              stats = stats)
+            (define, codes.result())
+          }
+        }
+        // task B per domain: Dataset-XML (independent of stats)
+        val xmls = plans.map { p =>
+          submit {
+            XmlSinks.writeDatasetXmlFile(p.frame, s"$outDir/${p.code.toLowerCase}.xml",
+              p.code, studyId, igVersion, p.presentVars.map(_.name),
+              orderCol = Some(CsvIngest.RowIdCol), isReferenceData = p.isRefData)
+          }
+        }
+        val a = statsXpt.map { case (code, f) => code -> f() }.toMap
+        xmls.foreach(_())
+        (a.map { case (c, (d, _)) => c -> d }, a.map { case (c, (_, cs)) => c -> cs })
+      } finally {
+        pool.shutdown()
+        plans.foreach(_.frame.unpersist())
+      }
+
+    val defineDatasets = Seq.newBuilder[XmlSinks.DefineDataset]
+    val usedCodelists = scala.collection.mutable.LinkedHashSet[String]()
+    exportable.foreach { code =>
+      written += s"$outDir/${code.toLowerCase}.xpt"
+      written += s"$outDir/${code.toLowerCase}.xml"
+      defineDatasets += defineByCode(code)
+      codesByCode(code).foreach(usedCodelists += _)
     }
 
     // SUPP-- datasets: source extras joined to the normalized USUBJID/SEQ on
@@ -442,8 +501,31 @@ object StudySession {
       standard: String = "sdtm",
       ctVersion: String = graft.standards.Standards.DefaultCtVersion): StudySession = {
     val s = new StudySession(spark, studyId, standard, ctVersion)
-    assignments.toSeq.sortBy(_._1).foreach { case (code, file) =>
-      s.addDomain(code, Paths.get(folder, file).toString, headerRows)
+    val sorted = assignments.toSeq.sortBy(_._1)
+    if (sorted.size <= 1) {
+      sorted.foreach { case (code, file) =>
+        s.addDomain(code, Paths.get(folder, file).toString, headerRows)
+      }
+    } else {
+      // the per-domain builds (CSV scan, cache, hints aggregate, scoring)
+      // are independent Spark jobs over different files — run them
+      // concurrently, then publish in sorted-code order so domainCodes and
+      // snapshot serialization are identical to the serial loop's
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(sorted.size, 8))
+      try {
+        val built = sorted.map { case (code, file) =>
+          pool.submit(new java.util.concurrent.Callable[DomainState] {
+            def call(): DomainState =
+              s.buildDomainState(code, Paths.get(folder, file).toString, headerRows)
+          })
+        }
+        built.foreach { f =>
+          val ds = try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          s.publishDomain(ds)
+        }
+      } finally pool.shutdown()
     }
     s
   }

@@ -109,79 +109,101 @@ object XmlSinks {
    * `data:ItemGroupDataSeq` = 1-based row index in `orderCol` order, one
    * `ItemData` per non-empty cell, `ItemOID = IT.<ds>.<var>`.
    */
-  def writeDatasetXml(df: DataFrame, w: Writer, datasetName: String, studyId: String,
-      igVersion: String, variables: Seq[String], orderCol: Option[String] = None,
-      isReferenceData: Boolean = false,
-      creationDateTime: String = "2020-01-01T00:00:00Z"): Long = {
+  /** Everything before the first ItemGroupData / after the last one —
+    * shared by the Writer and part-file paths so their bytes can't
+    * diverge. Returns (prologue, epilogue). */
+  private def datasetXmlFrame(datasetName: String, studyId: String,
+      igVersion: String, isReferenceData: Boolean,
+      creationDateTime: String): (String, String) = {
     val studyOid = s"STDY.${sanitizeOid(studyId)}"
     val mdvOid = s"MDV.$studyOid.SDTMIG.${sanitizeOid(igVersion)}"
     val defineFileOid = s"$studyOid.Define-XML_$DefineXmlVersion"
     val container = if (isReferenceData) "ReferenceData" else "ClinicalData"
+    val p = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      s"""<ODM xmlns="$OdmNs" xmlns:xlink="$XlinkNs" xmlns:data="$DataNs"""" +
+      s""" data:DatasetXMLVersion="$DatasetXmlVersion" FileType="Snapshot"""" +
+      s""" FileOID="${escape(s"$defineFileOid(IG.$datasetName)")}"""" +
+      s""" PriorFileOID="${escape(defineFileOid)}" ODMVersion="1.3.2"""" +
+      s""" CreationDateTime="$creationDateTime" Originator="graft">\n""" +
+      s"""  <$container StudyOID="${escape(studyOid)}" MetaDataVersionOID="${escape(mdvOid)}">\n"""
+    (p, s"  </$container>\n</ODM>\n")
+  }
+
+  /** The globally-ordered, projected frame plus the per-column ItemOIDs
+    * (sanitized exactly like Define-XML builds them, so the two documents
+    * cross-reference; escape() alone would diverge on spaces). */
+  private def datasetXmlBody(df: DataFrame, datasetName: String,
+      variables: Seq[String], orderCol: Option[String]): (DataFrame, Array[String], String) = {
     val present = variables.filter(df.columns.contains)
-
-    w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
-    w.write(s"""<ODM xmlns="$OdmNs" xmlns:xlink="$XlinkNs" xmlns:data="$DataNs"""")
-    w.write(s""" data:DatasetXMLVersion="$DatasetXmlVersion" FileType="Snapshot"""")
-    w.write(s""" FileOID="${escape(s"$defineFileOid(IG.$datasetName)")}"""")
-    w.write(s""" PriorFileOID="${escape(defineFileOid)}" ODMVersion="1.3.2"""")
-    w.write(s""" CreationDateTime="$creationDateTime" Originator="graft">\n""")
-    w.write(s"""  <$container StudyOID="${escape(studyOid)}" MetaDataVersionOID="${escape(mdvOid)}">\n""")
-
     val ordered = orderCol match {
       case Some(c) => df.orderBy(col(c)).select(present.map(col): _*)
       case None => df.select(present.map(col): _*)
     }
-    // OIDs sanitize exactly like Define-XML builds them, so the two
-    // documents cross-reference (escape() alone would diverge on spaces)
     val dsOid = sanitizeOid(datasetName)
     val itemOids = present.map(v => s"IT.$dsOid.${sanitizeOid(v)}").toArray
-    // render COMPLETE ItemGroupData blocks in the EXECUTORS — per-value
-    // escape + string assembly is the expensive part of this sink and
-    // parallelizes perfectly. zipWithIndex supplies the global 1-based
-    // ItemGroupDataSeq (order-preserving; costs one partition-size job),
-    // and persist+count materializes every partition's render in ONE
-    // parallel job — toLocalIterator alone runs single-partition jobs
-    // back to back, serializing the render on one core. The driver then
-    // streams ~1 MiB pre-built chunks: pure IO, bytes identical to a
-    // driver-side row loop.
-    val nCols = itemOids.length
     val openPrefix = s"""    <ItemGroupData ItemGroupOID="IG.$dsOid" data:ItemGroupDataSeq=""""
+    (ordered, itemOids, openPrefix)
+  }
+
+  /** Render (row, 0-based global index) pairs into complete ItemGroupData
+    * blocks, emitted as (rowsInChunk, text) pieces of ~1 MiB. Runs in the
+    * EXECUTORS — per-value escape + string assembly is the expensive part
+    * of this sink and parallelizes perfectly; concatenating the chunks in
+    * order is byte-identical to a driver-side row loop. */
+  private def renderChunks(it: Iterator[(Row, Long)], itemOids: Array[String],
+      openPrefix: String): Iterator[(Long, String)] = {
+    val nCols = itemOids.length
     val chunkTarget = 1 << 20
-    val chunks = ordered.rdd.zipWithIndex().mapPartitions { it =>
-      val sb = new java.lang.StringBuilder(chunkTarget + (96 + 48 * nCols))
-      new Iterator[(Long, String)] {
-        private var pending: (Long, String) = _
-        private var rowsInChunk = 0L
-        private def fill(): Unit = {
-          while (pending == null && it.hasNext) {
-            val (r, idx) = it.next()
-            sb.append(openPrefix).append(idx + 1).append("\">\n")
-            var i = 0
-            while (i < nCols) {
-              renderValue(if (r.isNullAt(i)) null else r.get(i)).foreach { text =>
-                sb.append("      <ItemData ItemOID=\"").append(itemOids(i))
-                  .append("\" Value=\"").append(escape(text)).append("\"/>\n")
-              }
-              i += 1
+    val sb = new java.lang.StringBuilder(chunkTarget + (96 + 48 * nCols))
+    new Iterator[(Long, String)] {
+      private var pending: (Long, String) = _
+      private var rowsInChunk = 0L
+      private def fill(): Unit = {
+        while (pending == null && it.hasNext) {
+          val (r, idx) = it.next()
+          sb.append(openPrefix).append(idx + 1).append("\">\n")
+          var i = 0
+          while (i < nCols) {
+            renderValue(if (r.isNullAt(i)) null else r.get(i)).foreach { text =>
+              sb.append("      <ItemData ItemOID=\"").append(itemOids(i))
+                .append("\" Value=\"").append(escape(text)).append("\"/>\n")
             }
-            sb.append("    </ItemGroupData>\n")
-            rowsInChunk += 1
-            if (sb.length >= chunkTarget) {
-              pending = (rowsInChunk, sb.toString); sb.setLength(0); rowsInChunk = 0
-            }
+            i += 1
           }
-          if (pending == null && rowsInChunk > 0) {
+          sb.append("    </ItemGroupData>\n")
+          rowsInChunk += 1
+          if (sb.length >= chunkTarget) {
             pending = (rowsInChunk, sb.toString); sb.setLength(0); rowsInChunk = 0
           }
         }
-        def hasNext: Boolean = { fill(); pending != null }
-        def next(): (Long, String) = {
-          fill()
-          if (pending == null) throw new NoSuchElementException
-          val p = pending; pending = null; p
+        if (pending == null && rowsInChunk > 0) {
+          pending = (rowsInChunk, sb.toString); sb.setLength(0); rowsInChunk = 0
         }
       }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def hasNext: Boolean = { fill(); pending != null }
+      def next(): (Long, String) = {
+        fill()
+        if (pending == null) throw new NoSuchElementException
+        val p = pending; pending = null; p
+      }
+    }
+  }
+
+  def writeDatasetXml(df: DataFrame, w: Writer, datasetName: String, studyId: String,
+      igVersion: String, variables: Seq[String], orderCol: Option[String] = None,
+      isReferenceData: Boolean = false,
+      creationDateTime: String = "2020-01-01T00:00:00Z"): Long = {
+    val (prologue, epilogue) =
+      datasetXmlFrame(datasetName, studyId, igVersion, isReferenceData, creationDateTime)
+    val (ordered, itemOids, openPrefix) =
+      datasetXmlBody(df, datasetName, variables, orderCol)
+    w.write(prologue)
+    // zipWithIndex supplies the global 1-based ItemGroupDataSeq
+    // (order-preserving; costs one partition-size job); the driver streams
+    // the rendered chunks into the caller's Writer
+    val chunks = ordered.rdd.zipWithIndex()
+      .mapPartitions(renderChunks(_, itemOids, openPrefix))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var seq = 0L
     try {
       chunks.count() // parallel materialization of every partition's render
@@ -192,7 +214,7 @@ object XmlSinks {
         seq += n
       }
     } finally chunks.unpersist()
-    w.write(s"  </$container>\n</ODM>\n")
+    w.write(epilogue)
     w.flush()
     seq
   }
@@ -201,13 +223,49 @@ object XmlSinks {
     new BufferedWriter(new OutputStreamWriter(
       new FileOutputStream(path), StandardCharsets.UTF_8), 1 << 20)
 
+  /** File variant: each partition renders AND UTF-8-encodes its blocks
+    * into a part file beside the destination in one parallel job, and the
+    * driver assembles prologue + parts + epilogue with zero-copy
+    * `FileChannel.transferTo` — no persisted chunk RDD holding ~the whole
+    * document in the block store, no re-encode on the driver. Bytes are
+    * identical to the Writer path (shared prologue/epilogue + renderer);
+    * the golden corpus pins them. Same reachability note as
+    * [[XptWriter.writeDataFrame]]: the destination's parent must be
+    * storage both executors and driver can reach. */
   def writeDatasetXmlFile(df: DataFrame, path: String, datasetName: String,
       studyId: String, igVersion: String, variables: Seq[String],
       orderCol: Option[String] = None, isReferenceData: Boolean = false): Long = {
-    val w = utf8Writer(path)
-    try writeDatasetXml(df, w, datasetName, studyId, igVersion, variables, orderCol,
-      isReferenceData)
-    finally w.close()
+    val (prologue, epilogue) =
+      datasetXmlFrame(datasetName, studyId, igVersion, isReferenceData,
+        "2020-01-01T00:00:00Z")
+    val (ordered, itemOids, openPrefix) =
+      datasetXmlBody(df, datasetName, variables, orderCol)
+    val partsDir = java.nio.file.Paths.get(path + ".parts")
+    XptWriter.deleteRecursively(partsDir)
+    java.nio.file.Files.createDirectories(partsDir)
+    try {
+      val partsDirStr = partsDir.toString
+      val manifest = ordered.rdd.zipWithIndex().mapPartitionsWithIndex { (pidx, it) =>
+        val out = new java.io.BufferedOutputStream(
+          new FileOutputStream(new java.io.File(partsDirStr, f"part-$pidx%05d")), 1 << 20)
+        var rows = 0L
+        try renderChunks(it, itemOids, openPrefix).foreach { case (n, text) =>
+          out.write(text.getBytes(StandardCharsets.UTF_8))
+          rows += n
+        } finally out.close()
+        Iterator.single((pidx, rows))
+      }.collect().sortBy(_._1)
+      val fos = new FileOutputStream(path)
+      try {
+        fos.write(prologue.getBytes(StandardCharsets.UTF_8))
+        val ch = fos.getChannel
+        manifest.foreach { case (pidx, rows) =>
+          if (rows > 0) XptWriter.transferFile(partsDir.resolve(f"part-$pidx%05d"), ch)
+        }
+        fos.write(epilogue.getBytes(StandardCharsets.UTF_8))
+      } finally fos.close()
+      manifest.map(_._2).sum
+    } finally XptWriter.deleteRecursively(partsDir)
   }
 
   // ---- K3: Define-XML 2.1 ---------------------------------------------------

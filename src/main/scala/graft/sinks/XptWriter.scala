@@ -6,7 +6,7 @@ import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 import java.util.Locale
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType, NumericType}
 
@@ -236,35 +236,22 @@ object XptWriter {
     }
   }
 
-  /** Per-partition row encoding into ~1 MiB byte chunks. The concatenation
-    * of all chunks in partition order is byte-identical to the driver-side
-    * row loop — only WHERE the encoding runs changes. */
-  private[sinks] def encodeChunks(df: DataFrame, cols: Seq[XptColumn]): Dataset[Array[Byte]] = {
-    val colArr = cols.toArray
-    val rowLen = colArr.map(_.length).sum
-    val chunkTarget = 1 << 20
-    df.mapPartitions { rows =>
-      val buf = new Array[Byte](rowLen)
-      val bos = new java.io.ByteArrayOutputStream(math.min(chunkTarget + rowLen, 1 << 21))
-      new Iterator[Array[Byte]] {
-        private var pending: Array[Byte] = _
-        private def fill(): Unit = {
-          while (pending == null && rows.hasNext) {
-            encodeRowInto(rows.next(), colArr, buf)
-            bos.write(buf)
-            if (bos.size >= chunkTarget) { pending = bos.toByteArray; bos.reset() }
-          }
-          if (pending == null && bos.size > 0) { pending = bos.toByteArray; bos.reset() }
-        }
-        def hasNext: Boolean = { fill(); pending != null }
-        def next(): Array[Byte] = {
-          fill()
-          if (pending == null) throw new NoSuchElementException
-          val p = pending; pending = null; p
-        }
-      }
-    }(Encoders.BINARY)
+  /** Concatenate `src` onto `dst` with zero-copy kernel transfers. */
+  private[sinks] def transferFile(src: java.nio.file.Path,
+      dst: java.nio.channels.FileChannel): Unit = {
+    val in = java.nio.channels.FileChannel.open(src)
+    try {
+      val size = in.size()
+      var pos = 0L
+      while (pos < size) pos += in.transferTo(pos, size - pos, dst)
+    } finally in.close()
   }
+
+  private[sinks] def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
 
   /**
    * Column metadata for a DataFrame: numeric Spark types → Num(8); strings →
@@ -299,33 +286,52 @@ object XptWriter {
     * doubles and longs share the same IBM encoding; `--SEQ` longs become
     * doubles exactly as the reference casts at write (`xpt.rs:100-120`).
     *
-    * Row encoding runs in the EXECUTORS: one parallel job materializes the
-    * encoded byte chunks (persist + count — `toLocalIterator` alone runs
-    * one single-partition job at a time, which would serialize the encode
-    * on one core), then the driver streams the chunks to the single
-    * regulatory file in partition order, doing IO only. */
+    * Row encoding runs in the EXECUTORS: each partition encodes and writes
+    * its rows to a part file beside the destination in ONE parallel job
+    * (`toLocalIterator` alone runs one single-partition job at a time,
+    * which would serialize the encode on one core; a persisted chunk RDD
+    * would hold the whole encoded dataset in the block store), then the
+    * driver assembles headers + parts + tail pad with zero-copy
+    * `FileChannel.transferTo` — pure kernel IO, no re-heap of the bytes.
+    * The destination's parent must be storage both executors and driver
+    * can reach (true in local mode and for the shared mounts a
+    * single-file regulatory artifact lands on in cluster mode). */
   def writeDataFrame(df: DataFrame, path: String, dsName: String, dsLabel: String,
       labels: Map[String, String] = Map.empty,
       declaredLengths: Map[String, Int] = Map.empty): Seq[XptColumn] = {
     val cols = columnsFor(df, labels, declaredLengths)
-    val chunks = encodeChunks(df, cols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val colArr = cols.toArray
+    val rowLen = colArr.map(_.length).sum
+    val partsDir = java.nio.file.Paths.get(path + ".parts")
+    deleteRecursively(partsDir)
+    java.nio.file.Files.createDirectories(partsDir)
     try {
-      chunks.count() // materialize every partition's encode in ONE parallel job
-      val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+      val partsDirStr = partsDir.toString
+      val manifest = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+        val buf = new Array[Byte](rowLen)
+        val out = new BufferedOutputStream(
+          new FileOutputStream(new java.io.File(partsDirStr, f"part-$idx%05d")), 1 << 20)
+        var n = 0L
+        try while (rows.hasNext) {
+          encodeRowInto(rows.next(), colArr, buf)
+          out.write(buf)
+          n += 1
+        } finally out.close()
+        Iterator.single((idx, n))
+      }.collect().sortBy(_._1)
+      val fos = new FileOutputStream(path)
       try {
-        writeHeaders(out, dsName, dsLabel, cols, LocalDateTime.of(2020, 1, 1, 0, 0, 0))
-        var written = 0L
-        val it = chunks.toLocalIterator()
-        while (it.hasNext) {
-          val b = it.next()
-          out.write(b)
-          written += b.length
+        val bos = new BufferedOutputStream(fos, 1 << 16)
+        writeHeaders(bos, dsName, dsLabel, cols, LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+        bos.flush() // channel writes below share the stream's file position
+        val ch = fos.getChannel
+        manifest.foreach { case (idx, n) =>
+          if (n > 0) transferFile(partsDir.resolve(f"part-$idx%05d"), ch)
         }
-        writeTailPad(out, written)
-        out.flush()
-      } finally out.close()
-    } finally chunks.unpersist()
+        writeTailPad(bos, manifest.map(_._2).sum * rowLen)
+        bos.flush()
+      } finally fos.close()
+    } finally deleteRecursively(partsDir)
     cols
   }
 }
