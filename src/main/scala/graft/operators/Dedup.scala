@@ -427,4 +427,44 @@ object Dedup {
       .distinct()
       .where(col("cosine") >= threshold)
   }
+
+  /**
+   * P37 — exact anti-join against a reference corpus with a bloom-filter
+   * prefilter: keep the rows of `df` whose `keyCol` does NOT appear in
+   * `ref(refKeyCol)` (incremental dedup — "drop everything already in the
+   * training set").
+   *
+   * A bloom filter over the reference keys (built distributed, broadcast
+   * once) splits `df` in a scan-speed projection: bloom-NEGATIVE rows are
+   * *provably* absent from the reference (no false negatives) and go
+   * straight to the output without ever shuffling; only the ~fpp tail of
+   * bloom-positive rows pays the exact anti-join that removes false
+   * positives. The result is EXACTLY the plain anti-join (the oracle
+   * replays it as NOT IN), but at 100 TB the shuffle carries fpp·|df| +
+   * |true matches| rows instead of |df| — the two extra scans of `df` are
+   * the cheap side of that trade. Keys compare as strings on both sides so
+   * the bloom's hashing and the join agree on equality; null/blank keys
+   * can never equal a reference key (SQL null semantics) and ride the
+   * definitely-absent branch.
+   *
+   * Sizing: ~1.2 bytes/key at fpp=0.03 — a 10^8-key reference broadcasts
+   * ~120 MB, fine for executor memory; far beyond that, raise fpp (the
+   * exact join keeps correctness) or pre-partition both sides instead.
+   */
+  def bloomAntiJoin(df: DataFrame, keyCol: String, ref: DataFrame,
+      refKeyCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    require(expectedItems > 0, s"bloomAntiJoin: expectedItems must be > 0")
+    require(fpp > 0 && fpp < 1, s"bloomAntiJoin: fpp must be in (0,1), got $fpp")
+    val refKeys = ref.select(col(refKeyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+    val bloom = refKeys.stat.bloomFilter("__k", expectedItems, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val key = col(keyCol).cast("string")
+    val definitelyAbsent = df.where(!mightContain(key))
+    val candidates = df.where(mightContain(key))
+      .join(refKeys, key === col("__k"), "left_anti")
+    definitelyAbsent.union(candidates)
+  }
 }

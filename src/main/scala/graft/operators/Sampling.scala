@@ -97,4 +97,38 @@ object Sampling {
       .where(col("__rn") <= maxPerKey)
       .drop("__rn")
   }
+
+  /**
+   * P36 — stratified proportional sample: keep EXACTLY round(fraction·n_s)
+   * rows from each stratum s of size n_s, chosen by portable hash order
+   * over `idCol` (ties broken by id). [[hashSample]] is only proportional
+   * in expectation — a small or unlucky stratum can be over/under-sampled;
+   * this variant guarantees the per-stratum allocation, the property
+   * class-balanced eval sets and capped-domain corpus mixes need, while
+   * keeping every [[hashValue]] determinism guarantee (re-runs, engines,
+   * partitionings all agree row-for-row).
+   *
+   * One shuffle keyed by the stratum: row_number and the stratum size are
+   * two window functions over the SAME partitioning, so Spark plans a
+   * single exchange+sort. A skewed giant stratum costs one partition's
+   * sort — same mitigation story as [[cappedPerKey]].
+   *
+   * Contracts: `idCol` unique per stratum (as in [[cappedPerKey]]); pass a
+   * binary-exact `fraction` (k/2^m, e.g. 0.25) when the rounding boundary
+   * must be engine-portable — round(fraction·n) in double is exact there.
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"stratifiedSample: fraction must be in [0, 1], got $fraction")
+    for (c <- Seq("__rn", "__n"); if df.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"stratifiedSample: input already has a $c column — rename it first")
+    val byStratum = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val w = byStratum.orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(byStratum))
+      .where(col("__rn") <= round(lit(fraction) * col("__n")))
+      .drop("__rn", "__n")
+  }
 }

@@ -166,6 +166,94 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  // ---- PII redaction ---------------------------------------------------------
+
+  /** P38 — redaction rules as (name, pattern, replacement token), applied
+    * in list order (earlier classes win overlaps). Patterns restrict
+    * themselves to the regex subset java.util.regex and RE2 evaluate
+    * identically — no lookaround, no backreferences, ASCII classes — so
+    * any RE2-based engine (and the DuckDB oracle) reproduces the redaction
+    * byte-for-byte. Extend freely under the same constraint. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}", "[PHONE]"))
+
+  /** P38 — replace every match of every PII class with its token,
+    * sequentially in pattern order. A chain of codegen'd regexp_replace
+    * projections — scan-speed, no shuffle, no UDF. */
+  def redactPii(c: Column,
+      patterns: Seq[(String, String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(c) { case (acc, (_, pattern, token)) =>
+      regexp_replace(acc, pattern, token)
+    }
+
+  /** Match count of one PII class on the ORIGINAL text (counts are
+    * per-class independent; the sequential redaction above decides
+    * overlaps, the counts don't). */
+  def piiCount(c: Column, name: String,
+      patterns: Seq[(String, String, String)] = PiiPatterns): Column = {
+    val p = patterns.find(_._1 == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"piiCount: unknown PII class '$name' (have: ${patterns.map(_._1).mkString(", ")})"))
+    regexp_count(c, lit(p._2))
+  }
+
+  // ---- repetition signals ----------------------------------------------------
+
+  /** Token n-grams (n ≤ 4) as space-joined strings, built by zipping n
+    * shifted slices of the token array — a CONSTANT number of linear array
+    * ops per document, never a per-window `slice` inside a lambda (that
+    * shape re-slices per element and goes quadratic — the t7 lesson).
+    * Fewer than n tokens → empty array. */
+  private[operators] def ngramArray(toks: Column, n: Int): Column = {
+    require(n >= 1 && n <= 4, s"ngramArray: n must be in [1,4], got $n")
+    if (n == 1) toks
+    else {
+      val cnt = size(toks) - (n - 1)
+      val joined = (2 to n).foldLeft(slice(toks, lit(1), cnt)) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k), cnt), (a, b) => concat(a, lit(" "), b))
+      }
+      when(cnt > 0, joined).otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /**
+   * P35 — fraction of a document's token n-grams claimed by its single
+   * most frequent n-gram (Gopher-style "top n-gram fraction"; high values
+   * flag template/boilerplate text). Computed per row with zero shuffles:
+   * sort the n-grams, then one linear fold finds the longest equal run.
+   * The fold is an interpreted higher-order function — linear in document
+   * length, acceptable per-row work (the native-kernel escape hatch in
+   * expressions/TextExpressions exists if a corpus makes it hot).
+   * No n-grams at all → 0.0.
+   */
+  def topNgramFraction(c: Column, n: Int): Column = {
+    val grams = ngramArray(tokens(c), n)
+    val total = size(grams)
+    val best = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    when(total > 0, best.cast("double") / total).otherwise(lit(0.0))
+  }
+
+  /** P35 — fraction of a document's token n-grams that are repeats of an
+    * n-gram already seen in the same document (1 − distinct/total; the
+    * Gopher "duplicate n-gram fraction" family). No n-grams → 0.0. */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val grams = ngramArray(tokens(c), n)
+    val total = size(grams)
+    when(total > 0,
+      (total - size(array_distinct(grams))).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
   // ---- fingerprinting --------------------------------------------------------
 
   // shared with the native winnowing kernel (expressions/TextEval) — one

@@ -36,6 +36,18 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P37 — incremental dedup against a reference corpus: bloom-negative
+    // rows skip the shuffle entirely, the fpp tail is verified by an exact
+    // anti-join; the oracle is the PLAIN anti-join the operator must equal
+    "d9_bloom_antijoin" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.where(col("doc_id") % 3 === 0).select(col("text"))
+      Dedup.bloomAntiJoin(docs, "text", ref, "text",
+          expectedItems = 100000L, fpp = 0.03)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // duplicate pair listing
     "d2_dup_pairs" -> ((s, dir) => {
       Dedup.exactDupPairs(dupedDocs(s, dir), "doc_id", "text")
@@ -138,6 +150,11 @@ object DedupQueries {
          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM ($dupedDocsSql))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "d9_bloom_antijoin" ->
+      """SELECT doc_id FROM documents
+        |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin,
 
     "d2_dup_pairs" ->
       s"""SELECT keep AS survivor_id, doc_id AS duplicate_id FROM (

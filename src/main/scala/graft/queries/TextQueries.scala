@@ -68,6 +68,17 @@ object TextQueries {
         .orderBy("klass", "doc_id")
     }),
 
+    // P36 — exact stratified proportional sample: 25% of every
+    // (doc_id % 5) stratum, chosen by portable-MD5 hash order; the oracle
+    // replays the allocation row-for-row (0.25 is binary-exact, so the
+    // round(0.25·n) boundary is engine-portable)
+    "sa3_stratified" -> ((s, dir) => {
+      val classed = table(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 5).as("stratum"))
+      graft.operators.Sampling.stratifiedSample(classed, "stratum", "doc_id", 0.25)
+        .orderBy("stratum", "doc_id")
+    }),
+
     // P29 — token-window chunking (32-token chunks, 8-token overlap)
     "t5_chunks" -> ((s, dir) => {
       TextAnalysis.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
@@ -104,6 +115,40 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     }),
 
+    // P35 — Gopher-style repetition/boilerplate signals: the top-unigram /
+    // top-bigram fractions and duplicate bi-/tri-gram fractions, all
+    // per-row array math (zero shuffles); the oracle rebuilds every
+    // n-gram multiset in SQL and derives the same ratios
+    "t8_repetition" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextAnalysis.topNgramFraction(col("text"), 1), 6).as("top1_frac"),
+        round(TextAnalysis.topNgramFraction(col("text"), 2), 6).as("top2_frac"),
+        round(TextAnalysis.dupNgramFraction(col("text"), 2), 6).as("dup2_frac"),
+        round(TextAnalysis.dupNgramFraction(col("text"), 3), 6).as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // P38 — PII redaction: the corpus text is deterministically enriched
+    // with synthetic PII (emails/IPs varying by doc_id, constant phone/SSN)
+    // on BOTH sides, then redacted; the oracle replays the same
+    // regexp_replace chain in RE2 — byte-equal output proves the pattern
+    // set is engine-portable
+    "t9_redact" -> ((s, dir) => {
+      val enriched = concat(col("text"),
+        lit(" u"), col("doc_id").cast("string"),
+        lit("@ex.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1 555-123-4567 ssn 123-45-6789"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.redactPii(enriched).as("redacted"),
+        TextAnalysis.piiCount(enriched, "email").as("n_email"),
+        TextAnalysis.piiCount(enriched, "ipv4").as("n_ip"),
+        TextAnalysis.piiCount(enriched, "phone").as("n_phone"),
+        TextAnalysis.piiCount(enriched, "ssn").as("n_ssn"))
+        .orderBy("doc_id")
+    }),
+
     // polynomial rolling-hash fingerprint
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents").select(
@@ -123,6 +168,70 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // patterns transcribed verbatim from TextAnalysis.PiiPatterns; DuckDB
+    // needs the 'g' flag (regexp_replace is first-match by default) and
+    // counts via len(regexp_extract_all) (no regexp_count in 1.0)
+    "t9_redact" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    text || ' u' || CAST(doc_id AS VARCHAR) || '@ex.com ip 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-123-4567 ssn 123-45-6789' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "t8_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(l) AS g FROM toks),
+        |g2 AS (SELECT doc_id,
+        |         unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS g FROM toks),
+        |g3 AS (SELECT doc_id,
+        |         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                 FOR i IN range(1, len(l) - 1)]) AS g FROM toks),
+        |c1 AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |m1 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top1 FROM c1 GROUP BY doc_id),
+        |m2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2,
+        |              CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup2 FROM c2 GROUP BY doc_id),
+        |m3 AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup3 FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(coalesce(m1.top1, 0), 6) AS top1_frac,
+        |  round(coalesce(m2.top2, 0), 6) AS top2_frac,
+        |  round(coalesce(m2.dup2, 0), 6) AS dup2_frac,
+        |  round(coalesce(m3.dup3, 0), 6) AS dup3_frac
+        |FROM documents d
+        |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sa3_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, doc_id % 5 AS stratum,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, stratum,
+        |         ROW_NUMBER() OVER (PARTITION BY stratum
+        |                            ORDER BY hv ASC, doc_id ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY stratum) AS n
+        |  FROM h)
+        |SELECT doc_id, stratum FROM ranked WHERE rn <= round(0.25 * n)
+        |ORDER BY stratum, doc_id""".stripMargin,
+
     "sa2_capped_per_key" ->
       """WITH h AS (
         |  SELECT doc_id, doc_id % 7 AS klass,

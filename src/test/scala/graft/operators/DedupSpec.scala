@@ -214,4 +214,32 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(two == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("bloomAntiJoin equals the plain anti-join, even with a saturated bloom") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"text-${i % 150}")).toDF("id", "t")
+    val ref = (0L until 150L).filter(_ % 4 == 0).map(k => s"text-$k").toDF("rt")
+    val exact = docs.join(ref, docs("t") === ref("rt"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.bloomAntiJoin(docs, "t", ref, "rt",
+      expectedItems = 1000L, fpp = 0.03)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == exact)
+    // deliberately undersized bloom (expectedItems 1, fpp near-max): false
+    // positives flood the candidate branch and the exact join must still
+    // remove every one of them — correctness cannot depend on fpp
+    val saturated = Dedup.bloomAntiJoin(docs, "t", ref, "rt",
+      expectedItems = 1L, fpp = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(saturated == exact)
+    // null keys never match a reference key → always kept (SQL anti-join
+    // null semantics), whatever branch they ride
+    val withNulls = docs.union(Seq((9001L, null.asInstanceOf[String]),
+      (9002L, "text-0")).toDF("id", "t"))
+    val gotNulls = Dedup.bloomAntiJoin(withNulls, "t", ref, "rt")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotNulls.contains(9001L) && !gotNulls.contains(9002L))
+    intercept[IllegalArgumentException](
+      Dedup.bloomAntiJoin(docs, "t", ref, "rt", fpp = 1.5))
+  }
 }

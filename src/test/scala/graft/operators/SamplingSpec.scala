@@ -86,4 +86,26 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit(keys, "k", Seq("a" -> 0.5, "b" -> 0.3)))
     intercept[IllegalArgumentException](Sampling.hashBucket(col("k"), 0))
   }
+
+  test("stratifiedSample keeps exactly round(fraction*n) per stratum, deterministically") {
+    // uneven strata: sizes 10, 25, 3 — hashSample could miss the small one
+    // entirely; the stratified allocation cannot
+    val rows = ((1L to 10L).map(_ -> "a") ++ (11L to 35L).map(_ -> "b") ++
+      (36L to 38L).map(_ -> "c")).toDF("id", "s")
+    val out = Sampling.stratifiedSample(rows, "s", "id", 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perStratum = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // round(0.25*10)=3 (2.5 rounds half-up), round(0.25*25)=6, round(0.25*3)=1
+    assert(perStratum == Map("a" -> 3, "b" -> 6, "c" -> 1))
+    // re-run on a different partitioning → identical row set
+    val again = Sampling.stratifiedSample(rows.repartition(7), "s", "id", 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+    // fraction edges: 0 keeps nothing, 1 keeps everything
+    assert(Sampling.stratifiedSample(rows, "s", "id", 0.0).count() == 0)
+    assert(Sampling.stratifiedSample(rows, "s", "id", 1.0).count() == 38)
+    intercept[IllegalArgumentException](Sampling.stratifiedSample(rows, "s", "id", 1.5))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(rows.withColumn("__n", lit(1)), "s", "id", 0.5))
+  }
 }

@@ -125,4 +125,46 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 4, overlap = 4))
   }
+
+  test("repetition signals: top/dup n-gram fractions with hand-checked values") {
+    // tokens: a b a b a → unigrams {a:3, b:2} top1 = 3/5
+    // bigrams: "a b","b a","a b","b a" → top2 = 2/4, dup2 = (4-2)/4
+    // trigrams: "a b a","b a b","a b a" → dup3 = (3-2)/3
+    val df = Seq("a b a b a").toDF("t")
+    def v(c: org.apache.spark.sql.Column): Double =
+      df.select(c).head().getDouble(0)
+    assert(v(TextAnalysis.topNgramFraction(col("t"), 1)) == 3.0 / 5)
+    assert(v(TextAnalysis.topNgramFraction(col("t"), 2)) == 2.0 / 4)
+    assert(v(TextAnalysis.dupNgramFraction(col("t"), 2)) == 2.0 / 4)
+    assert(v(TextAnalysis.dupNgramFraction(col("t"), 3)) == 1.0 / 3)
+    // all-identical tokens: maximal repetition on every signal
+    val same = Seq("x x x x").toDF("t")
+    assert(same.select(TextAnalysis.topNgramFraction(col("t"), 2)).head().getDouble(0) == 1.0)
+    assert(same.select(TextAnalysis.dupNgramFraction(col("t"), 2)).head().getDouble(0) == 2.0 / 3)
+    // degenerate inputs: blank text and fewer tokens than n → 0.0, no error
+    for (t <- Seq("", "   ", "solo")) {
+      val d = Seq(t).toDF("t")
+      assert(d.select(TextAnalysis.topNgramFraction(col("t"), 2)).head().getDouble(0) == 0.0)
+      assert(d.select(TextAnalysis.dupNgramFraction(col("t"), 3)).head().getDouble(0) == 0.0)
+    }
+    intercept[IllegalArgumentException](TextAnalysis.ngramArray(col("t"), 5))
+  }
+
+  test("redactPii masks every class, counts match, clean text passes through") {
+    val df = Seq(
+      "mail a.b+c@test.org and root@10.0.0.1 host 192.168.1.254 " +
+        "call +44 201-555-0199 ssn 123-45-6789 twice 987-65-4321").toDF("t")
+    val red = df.select(TextAnalysis.redactPii(col("t"))).head().getString(0)
+    // root@10.0.0.1 is NOT an email (the TLD must be letters) — its host
+    // part redacts as an IP instead
+    assert(red == "mail [EMAIL] and root@[IP] host [IP] " +
+      "call [PHONE] ssn [SSN] twice [SSN]")
+    def n(name: String): Int =
+      df.select(TextAnalysis.piiCount(col("t"), name)).head().getInt(0)
+    assert(n("email") == 1 && n("ipv4") == 2 && n("phone") == 1 && n("ssn") == 2)
+    val clean = Seq("no pii here, just words and 3 numbers").toDF("t")
+    assert(clean.select(TextAnalysis.redactPii(col("t"))).head().getString(0) ==
+      "no pii here, just words and 3 numbers")
+    intercept[IllegalArgumentException](TextAnalysis.piiCount(col("t"), "nope"))
+  }
 }
