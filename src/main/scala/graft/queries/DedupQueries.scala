@@ -151,10 +151,15 @@ object DedupQueries {
          |  FROM ($dupedDocsSql))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: a NULL text in the reference subquery would
+    // make NOT IN return zero rows, while the operator's left_anti join
+    // (correctly) keeps null-keyed rows — NOT EXISTS replays anti-join
+    // null semantics exactly
     "d9_bloom_antijoin" ->
-      """SELECT doc_id FROM documents
-        |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
-        |ORDER BY doc_id""".stripMargin,
+      """SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents r
+        |                  WHERE r.doc_id % 3 = 0 AND r.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d2_dup_pairs" ->
       s"""SELECT keep AS survivor_id, doc_id AS duplicate_id FROM (

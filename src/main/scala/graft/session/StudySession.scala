@@ -401,7 +401,13 @@ class StudySession(val spark: SparkSession, val studyId: String,
         xmls.foreach(_())
         (a.map { case (c, (d, _)) => c -> d }, a.map { case (c, (_, cs)) => c -> cs })
       } finally {
-        pool.shutdown()
+        // on failure, sibling tasks must stop BEFORE this method returns —
+        // a zombie sink still writing part files into outDir would race a
+        // caller's retry into the same directory. shutdownNow interrupts
+        // the tasks' Spark-job waits; the bounded drain is belt-and-braces
+        // (on the success path both are no-ops: every task already ran)
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
         plans.foreach(_.frame.unpersist())
       }
 
@@ -513,19 +519,32 @@ object StudySession {
       // snapshot serialization are identical to the serial loop's
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(sorted.size, 8))
+      val built = sorted.map { case (code, file) =>
+        pool.submit(new java.util.concurrent.Callable[DomainState] {
+          def call(): DomainState =
+            s.buildDomainState(code, Paths.get(folder, file).toString, headerRows)
+        })
+      }
       try {
-        val built = sorted.map { case (code, file) =>
-          pool.submit(new java.util.concurrent.Callable[DomainState] {
-            def call(): DomainState =
-              s.buildDomainState(code, Paths.get(folder, file).toString, headerRows)
-          })
-        }
         built.foreach { f =>
           val ds = try f.get()
           catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
           s.publishDomain(ds)
         }
-      } finally pool.shutdown()
+        pool.shutdown()
+      } catch {
+        case e: Throwable =>
+          // the session is being abandoned: stop in-flight builds, then
+          // unpersist every frame any build cached (published or not —
+          // the caller never receives `s`, so nothing would ever free them)
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          built.foreach { f =>
+            if (f.isDone && !f.isCancelled)
+              scala.util.Try(f.get().source.unpersist())
+          }
+          throw e
+      }
     }
     s
   }

@@ -104,11 +104,6 @@ object XmlSinks {
 
   // ---- K2: Dataset-XML ------------------------------------------------------
 
-  /**
-   * Write one domain as Dataset-XML: `ItemGroupData` per row with
-   * `data:ItemGroupDataSeq` = 1-based row index in `orderCol` order, one
-   * `ItemData` per non-empty cell, `ItemOID = IT.<ds>.<var>`.
-   */
   /** Everything before the first ItemGroupData / after the last one —
     * shared by the Writer and part-file paths so their bytes can't
     * diverge. Returns (prologue, epilogue). */
@@ -189,6 +184,11 @@ object XmlSinks {
     }
   }
 
+  /**
+   * Write one domain as Dataset-XML: `ItemGroupData` per row with
+   * `data:ItemGroupDataSeq` = 1-based row index in `orderCol` order, one
+   * `ItemData` per non-empty cell, `ItemOID = IT.<ds>.<var>`.
+   */
   def writeDatasetXml(df: DataFrame, w: Writer, datasetName: String, studyId: String,
       igVersion: String, variables: Seq[String], orderCol: Option[String] = None,
       isReferenceData: Boolean = false,
@@ -243,16 +243,23 @@ object XmlSinks {
     val partsDir = java.nio.file.Paths.get(path + ".parts")
     XptWriter.deleteRecursively(partsDir)
     java.nio.file.Files.createDirectories(partsDir)
+    // zipWithIndex needs a partition-size job before the write job; persist
+    // the sorted projection across the two so the orderBy sort runs ONCE,
+    // not once per job (the hot path writes ~the whole dataset)
+    val sortedRdd = ordered.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val partsDirStr = partsDir.toString
-      val manifest = ordered.rdd.zipWithIndex().mapPartitionsWithIndex { (pidx, it) =>
-        val out = new java.io.BufferedOutputStream(
-          new FileOutputStream(new java.io.File(partsDirStr, f"part-$pidx%05d")), 1 << 20)
+      val manifest = sortedRdd.zipWithIndex().mapPartitionsWithIndex { (pidx, it) =>
+        val part = new XptWriter.PartFile(partsDirStr, pidx)
         var rows = 0L
-        try renderChunks(it, itemOids, openPrefix).foreach { case (n, text) =>
-          out.write(text.getBytes(StandardCharsets.UTF_8))
-          rows += n
-        } finally out.close()
+        try {
+          renderChunks(it, itemOids, openPrefix).foreach { case (n, text) =>
+            part.stream.write(text.getBytes(StandardCharsets.UTF_8))
+            rows += n
+          }
+          part.commit()
+        } catch { case e: Throwable => part.abort(); throw e }
         Iterator.single((pidx, rows))
       }.collect().sortBy(_._1)
       val fos = new FileOutputStream(path)
@@ -265,7 +272,10 @@ object XmlSinks {
         fos.write(epilogue.getBytes(StandardCharsets.UTF_8))
       } finally fos.close()
       manifest.map(_._2).sum
-    } finally XptWriter.deleteRecursively(partsDir)
+    } finally {
+      sortedRdd.unpersist()
+      XptWriter.deleteRecursively(partsDir)
+    }
   }
 
   // ---- K3: Define-XML 2.1 ---------------------------------------------------

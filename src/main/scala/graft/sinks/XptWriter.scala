@@ -236,6 +236,30 @@ object XptWriter {
     }
   }
 
+  /** Open partition `idx`'s part file for writing via an attempt-unique
+    * temp name; `commit()` atomically renames it into place. Speculative
+    * or zombie duplicate attempts of the same partition then race only on
+    * the rename — last COMPLETE file wins, a half-written attempt is never
+    * visible under the final name (the FileOutputCommitter pattern). */
+  private[sinks] final class PartFile(partsDir: String, idx: Int) {
+    private val attempt =
+      Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    private val finalPath = java.nio.file.Paths.get(partsDir, f"part-$idx%05d")
+    private val tmpPath = java.nio.file.Paths.get(partsDir, f"part-$idx%05d.a$attempt")
+    val stream = new BufferedOutputStream(
+      new FileOutputStream(tmpPath.toFile), 1 << 20)
+    def commit(): Unit = {
+      stream.close()
+      java.nio.file.Files.move(tmpPath, finalPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def abort(): Unit = {
+      scala.util.Try(stream.close())
+      scala.util.Try(java.nio.file.Files.deleteIfExists(tmpPath))
+    }
+  }
+
   /** Concatenate `src` onto `dst` with zero-copy kernel transfers. */
   private[sinks] def transferFile(src: java.nio.file.Path,
       dst: java.nio.channels.FileChannel): Unit = {
@@ -308,15 +332,17 @@ object XptWriter {
     try {
       val partsDirStr = partsDir.toString
       val manifest = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+        val part = new PartFile(partsDirStr, idx)
         val buf = new Array[Byte](rowLen)
-        val out = new BufferedOutputStream(
-          new FileOutputStream(new java.io.File(partsDirStr, f"part-$idx%05d")), 1 << 20)
         var n = 0L
-        try while (rows.hasNext) {
-          encodeRowInto(rows.next(), colArr, buf)
-          out.write(buf)
-          n += 1
-        } finally out.close()
+        try {
+          while (rows.hasNext) {
+            encodeRowInto(rows.next(), colArr, buf)
+            part.stream.write(buf)
+            n += 1
+          }
+          part.commit()
+        } catch { case e: Throwable => part.abort(); throw e }
         Iterator.single((idx, n))
       }.collect().sortBy(_._1)
       val fos = new FileOutputStream(path)
