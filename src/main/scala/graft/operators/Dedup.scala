@@ -467,4 +467,46 @@ object Dedup {
       .join(refKeys, key === col("__k"), "left_anti")
     definitelyAbsent.union(candidates)
   }
+
+  /**
+   * P39 — benchmark decontamination: for every document, count the
+   * DISTINCT token n-grams it shares with a benchmark/eval corpus and
+   * flag any document with at least one hit (the standard "n-gram
+   * overlap" decontamination step every serious pretraining pipeline runs
+   * so eval questions don't leak into the training set).
+   *
+   * Shape: the benchmark side collapses to its distinct n-gram set —
+   * benchmarks are eval suites, tiny next to a training corpus — and is
+   * broadcast, so the corpus side never shuffles for the probe: explode
+   * distinct n-grams per document, broadcast-hash semi-probe, then ONE
+   * keyed count aggregation (map-side combinable) and a left join back to
+   * the id spine for the zero rows. At 100 TB the only data-sized shuffle
+   * is the (id)-keyed count of MATCHED n-grams — a vanishingly small
+   * subset when the corpus is clean. Set `broadcastBench = false` for a
+   * pathologically large reference (AQE then picks the join side).
+   *
+   * Tokenization and n-gram construction reuse [[TextAnalysis.tokens]] /
+   * [[TextAnalysis.ngramArray]] — one rule shared with the repetition
+   * signals, so the families can never silently diverge.
+   */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = benchmark.select(
+        explode(TextAnalysis.ngramArray(
+          TextAnalysis.tokens(col(benchTextCol)), n)).as("__g"))
+      .distinct()
+    val probeSide = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.ngramArray(
+        TextAnalysis.tokens(col(textCol)), n))).as("__g"))
+    val hits = docGrams.join(probeSide, Seq("__g"))
+      .groupBy("id").agg(count(lit(1)).as("n_matched"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(coalesce(col("n_matched"), lit(0L)) > 0, "Y").otherwise("N")
+          .as("contaminated"))
+  }
 }

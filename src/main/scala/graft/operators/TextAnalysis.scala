@@ -166,6 +166,47 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /**
+   * P40 — concat-and-split sequence packing: lay every document's tokens
+   * end-to-end and cut the stream into fixed `seqLen` training windows
+   * (the GPT-style packing that turns a ragged corpus into dense
+   * fixed-context batches). Emits per document its shard, token count,
+   * cumulative token offset within the shard, and the window it starts in
+   * (`bin_id` = offset DIV seqLen, `bin_offset` = offset MOD seqLen) —
+   * documents crossing a window boundary are inherent to concat-and-split.
+   *
+   * A GLOBAL prefix sum does not distribute, so packing is per-shard —
+   * exactly how production pipelines shard their output files: documents
+   * land in `shards` buckets by portable hash ([[Sampling.hashBucket]]),
+   * and within a shard are ordered by portable hash then id, making the
+   * layout a function of the DATA alone (re-runs, engines, partitionings
+   * all agree). One window shuffle keyed by shard; pick `shards` ≈ the
+   * output file count so each shard's running sum stays a single
+   * partition's linear scan. Offsets are exact integer arithmetic —
+   * no double division anywhere.
+   */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, seqLen: Int, shards: Int,
+      salt: String = ""): org.apache.spark.sql.DataFrame = {
+    require(seqLen >= 1, s"packSequences: seqLen must be >= 1, got $seqLen")
+    require(shards >= 1, s"packSequences: shards must be >= 1, got $shards")
+    for (c <- Seq("shard", "n_tokens", "tok_offset", "bin_id", "bin_offset", "__hv")
+         if df.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"packSequences: input already has a $c column — rename it first")
+    val base = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      Sampling.hashBucket(col(idCol), shards, salt).as("shard"),
+      Sampling.hashValue(col(idCol), salt).as("__hv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      .orderBy(col("__hv").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("id"), col("shard"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset DIV $seqLen").as("bin_id"),
+        pmod(col("tok_offset"), lit(seqLen.toLong)).as("bin_offset"))
+  }
+
   // ---- PII redaction ---------------------------------------------------------
 
   /** P38 — redaction rules as (name, pattern, replacement token), applied

@@ -48,6 +48,20 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P39 — benchmark decontamination: the "benchmark" is every doc_id
+    // divisible by 97; every other document reports how many distinct
+    // token trigrams it shares with that eval set and a Y/N leak flag.
+    // The oracle rebuilds both trigram sets in SQL and replays the
+    // distinct-intersection count row-for-row
+    "d10_decontaminate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.decontaminate(
+          d.where(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          d.where(col("doc_id") % 97 === 0), "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // duplicate pair listing
     "d2_dup_pairs" -> ((s, dir) => {
       Dedup.exactDupPairs(dupedDocs(s, dir), "doc_id", "text")
@@ -160,6 +174,27 @@ object DedupQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM documents r
         |                  WHERE r.doc_id % 3 = 0 AND r.text = d.text)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // trigram construction identical to the t8 oracle's g3 CTE
+    "d10_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                          FOR i IN range(1, len(l) - 1)]) AS g
+        |  FROM toks WHERE doc_id % 97 = 0),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                                       FOR i IN range(1, len(l) - 1)])) AS g
+        |  FROM toks WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_matched FROM dg JOIN bg USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_matched, 0) AS n_matched,
+        |  CASE WHEN coalesce(h.n_matched, 0) > 0 THEN 'Y' ELSE 'N' END AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     "d2_dup_pairs" ->
       s"""SELECT keep AS survivor_id, doc_id AS duplicate_id FROM (

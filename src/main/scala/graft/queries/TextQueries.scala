@@ -115,6 +115,18 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     }),
 
+    // P40 — concat-and-split sequence packing: 8 shards, 256-token
+    // windows; the oracle replays the portable-MD5 shard assignment and
+    // in-shard ordering, then derives the same prefix sums and window
+    // coordinates with integer arithmetic — every document's placement
+    // must agree bit-for-bit
+    "t10_pack" -> ((s, dir) => {
+      TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
+          seqLen = 256, shards = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // P35 — Gopher-style repetition/boilerplate signals: the top-unigram /
     // top-bigram fractions and duplicate bi-/tri-gram fractions, all
     // per-row array math (zero shuffles); the oracle rebuilds every
@@ -215,6 +227,26 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // same 56-bit-MD5 fold as sa1; sums cast back to BIGINT (DuckDB sums
+    // to HUGEINT), // is integer division
+    "t10_pack" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS n_tokens,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, hv % 8 AS shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY hv % 8
+        |      ORDER BY hv ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM h)
+        |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens, tok_offset,
+        |  tok_offset // 256 AS bin_id, tok_offset % 256 AS bin_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "sa3_stratified" ->
       """WITH h AS (

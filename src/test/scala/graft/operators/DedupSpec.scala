@@ -242,4 +242,30 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.bloomAntiJoin(docs, "t", ref, "rt", fpp = 1.5))
   }
+
+  test("decontaminate counts distinct shared n-grams and flags leaks") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+    // bench trigrams: {"alpha beta gamma", "beta gamma delta"}
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // shares both bench trigrams
+      (11L, "alpha beta gamma alpha beta gamma"), // distinct overlap = 1
+      (12L, "zeta eta theta iota"), // clean
+      (13L, "alpha beta")) // fewer tokens than n → no trigrams at all
+      .toDF("id", "text")
+    val expected = Set((10L, 2L, "Y"), (11L, 1L, "Y"), (12L, 0L, "N"), (13L, 0L, "N"))
+    val got = Dedup.decontaminate(docs, "id", "text", bench, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected)
+    // the non-broadcast path is the same relation
+    val unbroadcast = Dedup.decontaminate(docs, "id", "text", bench, "text",
+      n = 3, broadcastBench = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(unbroadcast == expected)
+    // repeated bench occurrences of a trigram still count once per doc
+    val fatBench = bench.union(bench)
+    val again = Dedup.decontaminate(docs, "id", "text", fatBench, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(again == expected)
+  }
 }

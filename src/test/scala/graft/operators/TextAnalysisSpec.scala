@@ -150,6 +150,45 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.ngramArray(col("t"), 5))
   }
 
+  test("packSequences lays tokens end-to-end per shard, exactly and order-independently") {
+    val docs = (1L to 60L)
+      .map(i => (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" ")))
+      .toDF("id", "text")
+    val got = TextAnalysis.packSequences(docs, "id", "text", seqLen = 7, shards = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // independent model: same 56-bit MD5 fold, per-shard prefix sums
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(i: Long): Long = java.lang.Long.parseLong(
+      md.digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(14), 16)
+    val expected = (1L to 60L).map(i => (i, hv(i), (i % 5) + 1))
+      .groupBy { case (_, h, _) => h % 3 }
+      .flatMap { case (shard, rows) =>
+        rows.sortBy { case (i, h, _) => (h, i) }
+          .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, acc), (i, _, n)) =>
+            (i, n, acc, acc + n)
+          }.tail.map { case (i, n, off, _) =>
+            i -> (shard, n, off, off / 7, off % 7)
+          }
+      }
+    assert(got == expected)
+    // layout is a function of the data alone — input order must not matter
+    val shuffled = TextAnalysis.packSequences(
+        docs.orderBy(col("text"), col("id").desc).repartition(7),
+        "id", "text", seqLen = 7, shards = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(shuffled == got)
+    intercept[IllegalArgumentException](
+      TextAnalysis.packSequences(docs, "id", "text", seqLen = 0, shards = 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.packSequences(docs.withColumn("shard", lit(1)),
+        "id", "text", seqLen = 7, shards = 3))
+  }
+
   test("redactPii masks every class, counts match, clean text passes through") {
     val df = Seq(
       "mail a.b+c@test.org and root@10.0.0.1 host 192.168.1.254 " +
