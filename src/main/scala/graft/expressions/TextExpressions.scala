@@ -73,6 +73,55 @@ object TextEval {
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(mins, out))
   }
+
+  /**
+   * Token n-gram multiset statistics of lower(trim(text)) in one pass:
+   * `[top, distinct, total]` — the highest single n-gram multiplicity,
+   * the distinct n-gram count, and the total n-gram count. Tokenization
+   * matches the Column family exactly (trim spaces, lowercase, split on
+   * `\s+`, drop empties); n-grams join with a single space, as
+   * [[graft.operators.TextAnalysis.ngramArray]] does. Fewer than n
+   * tokens → `[0, 0, 0]`.
+   *
+   * Replaces the t8 hot path's array_sort + interpreted `aggregate` fold
+   * (the longest-equal-run formulation): one tokenize + one hash-count
+   * per document instead of four CodegenFallback lambda trees — the same
+   * migration that fixed t7 and n4.
+   */
+  def ngramStats(str: UTF8String, n: Int): ArrayData = {
+    val t = str.trim().toLowerCase.toString
+    val toks0 = t.split("\\s+")
+    var nToks = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) nToks += 1; i += 1 }
+    val toks = if (nToks == toks0.length) toks0 else {
+      val a = new Array[String](nToks)
+      var o = 0; i = 0
+      while (i < toks0.length) { if (toks0(i).nonEmpty) { a(o) = toks0(i); o += 1 }; i += 1 }
+      a
+    }
+    val total = toks.length - (n - 1)
+    if (total <= 0 || toks.length == 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array(0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, java.lang.Long](total * 2)
+    var top = 0L
+    i = 0
+    val sb = new java.lang.StringBuilder
+    while (i < total) {
+      val g = if (n == 1) toks(i) else {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        sb.toString
+      }
+      val prev = counts.get(g)
+      val c = if (prev == null) 1L else prev.longValue() + 1L
+      counts.put(g, c)
+      if (c > top) top = c
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(top, counts.size.toLong, total.toLong))
+  }
 }
 
 /** Winnowing kernel: `string → array<bigint>` of selected fingerprints. */
@@ -94,5 +143,28 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, window: Int)
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextEval.winnow($c, $k, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}
+
+/** N-gram statistics kernel: `string → array<bigint>` of
+  * `[top multiplicity, distinct count, total count]` for order-`n` token
+  * n-grams ([[TextEval.ngramStats]]). */
+case class NgramStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ngram_stats requires a STRING input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextEval.ngramStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextEval.ngramStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramStatsExpr =
     copy(child = newChild)
 }

@@ -260,38 +260,40 @@ object TextAnalysis {
     }
   }
 
+  /** One-pass n-gram multiset statistics `[top, distinct, total]` via the
+    * native codegen kernel ([[graft.expressions.NgramStatsExpr]]) — the
+    * shared primitive under both repetition fractions. Identical
+    * tokenization and n-gram joining as [[ngramArray]]. */
+  def ngramStats(c: Column, n: Int): Column = {
+    require(n >= 1, s"ngramStats: n must be >= 1, got $n")
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    exprCol(graft.expressions.NgramStatsExpr(colExpr(c), n))
+  }
+
   /**
    * P35 — fraction of a document's token n-grams claimed by its single
    * most frequent n-gram (Gopher-style "top n-gram fraction"; high values
-   * flag template/boilerplate text). Computed per row with zero shuffles:
-   * sort the n-grams, then one linear fold finds the longest equal run.
-   * The fold is an interpreted higher-order function — linear in document
-   * length, acceptable per-row work (the native-kernel escape hatch in
-   * expressions/TextExpressions exists if a corpus makes it hot).
-   * No n-grams at all → 0.0.
+   * flag template/boilerplate text). Zero shuffles, and the per-row work
+   * is the native [[ngramStats]] kernel — the first formulation
+   * (array_sort + interpreted `aggregate` fold over the longest equal
+   * run) was t8's 10s-per-round bench hot spot, the same
+   * CodegenFallback-lambda trap t7 hit. No n-grams at all → 0.0.
    */
   def topNgramFraction(c: Column, n: Int): Column = {
-    val grams = ngramArray(tokens(c), n)
-    val total = size(grams)
-    val best = aggregate(
-      array_sort(grams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
-    when(total > 0, best.cast("double") / total).otherwise(lit(0.0))
+    val s = ngramStats(c, n)
+    when(s.getItem(2) > 0,
+      s.getItem(0).cast("double") / s.getItem(2)).otherwise(lit(0.0))
   }
 
   /** P35 — fraction of a document's token n-grams that are repeats of an
     * n-gram already seen in the same document (1 − distinct/total; the
-    * Gopher "duplicate n-gram fraction" family). No n-grams → 0.0. */
+    * Gopher "duplicate n-gram fraction" family). Same kernel as
+    * [[topNgramFraction]] — identical calls collapse via subexpression
+    * elimination. No n-grams → 0.0. */
   def dupNgramFraction(c: Column, n: Int): Column = {
-    val grams = ngramArray(tokens(c), n)
-    val total = size(grams)
-    when(total > 0,
-      (total - size(array_distinct(grams))).cast("double") / total)
+    val s = ngramStats(c, n)
+    when(s.getItem(2) > 0,
+      (s.getItem(2) - s.getItem(1)).cast("double") / s.getItem(2))
       .otherwise(lit(0.0))
   }
 

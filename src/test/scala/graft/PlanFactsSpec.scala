@@ -86,6 +86,17 @@ class PlanFactsSpec extends SparkSpec {
       s"t7 regressed to interpreted HOF winnowing:\n$p")
   }
 
+  test("t8 repetition signals run the native ngram-stats kernel, not HOF folds") {
+    assume(haveData)
+    // the first formulation (array_sort + interpreted `aggregate` fold per
+    // fraction) was the slowest query in the whole bench (10s min at
+    // sf0.1); the kernel must stay and the lambda machinery must stay out
+    val p = finalPlan(SparkEntry.queries("t8_repetition")(spark, sfDir))
+    assert(p.contains("graft_ngram_stats"), s"t8 lost the native kernel:\n$p")
+    assert(!p.contains("aggregate(") && !p.contains("array_sort("),
+      s"t8 regressed to interpreted HOF n-gram folds:\n$p")
+  }
+
   test("similarity hot kernels are compiled expressions, not interpreted HOFs") {
     assume(haveData)
     // zip_with/aggregate/transform lambdas are CodegenFallback: interpreted,

@@ -75,4 +75,37 @@ class TextExpressionsPropertySpec extends AnyFunSuite {
     // claim honest
     assert(evaluated == 3000, s"only $evaluated of 3000 draws evaluated")
   }
+
+  // ---- ngram stats kernel ----------------------------------------------------
+
+  private def ngramModel(text: String, n: Int): Seq[Long] = {
+    val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+      .reverse.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    if (grams.isEmpty) Seq(0L, 0L, 0L)
+    else Seq(grams.groupBy(identity).values.map(_.size).max.toLong,
+      grams.distinct.size.toLong, grams.size.toLong)
+  }
+
+  test("ngramStats kernel ≡ reference model on 3000 random (text, n) shapes") {
+    val gen = for {
+      t <- genText
+      n <- Gen.chooseNum(1, 4)
+    } yield (t, n)
+    val params = Gen.Parameters.default
+    var seed = Seed(5678L)
+    var i = 0
+    var evaluated = 0
+    while (i < 3000) {
+      gen.apply(params, seed).foreach { case (t, n) =>
+        val got = TextEval.ngramStats(UTF8String.fromString(t), n).toLongArray().toSeq
+        assert(got == ngramModel(t, n), s"divergence on text='$t' n=$n")
+        evaluated += 1
+      }
+      seed = seed.next
+      i += 1
+    }
+    assert(evaluated == 3000, s"only $evaluated of 3000 draws evaluated")
+  }
 }
