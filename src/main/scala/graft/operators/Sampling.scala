@@ -131,4 +131,57 @@ object Sampling {
       .where(col("__rn") <= round(lit(fraction) * col("__n")))
       .drop("__rn", "__n")
   }
+
+  /**
+   * P41 — corpus mixing to a target domain distribution: given per-domain
+   * target weights (the Pile/LLaMA-style data-mix recipe), keep the
+   * LARGEST corpus whose domain proportions match the weights exactly and
+   * whose per-domain draws are limited by availability — the total is set
+   * by the binding domain (N = floor(min over d of n_d / w_d)), each
+   * domain keeps its floor(N·w_d) first rows in portable hash order.
+   * Deterministic end to end: re-runs, engines, and partitionings agree
+   * on every kept row.
+   *
+   * Shape at scale: one map-side-combinable count per domain (domains are
+   * few — the collect is the o3 scalar-subquery pattern, bytes not data),
+   * quotas broadcast back as literals, then ONE window shuffle keyed by
+   * domain for the ranked cap. A skewed giant domain costs one
+   * partition's sort, the same story as [[cappedPerKey]].
+   *
+   * Contracts: `idCol` unique per domain; weights positive, summing to ~1;
+   * pass binary-exact weights (k/2^m) when the quota boundary must be
+   * engine-portable (N·w_d in double is then exact, so floor agrees with
+   * any engine's integer arithmetic). Domains not in `weights` are
+   * dropped; a weight whose domain is absent from the data pins N to 0 —
+   * the mix is unachievable and the result is empty, never silently
+   * disproportionate.
+   */
+  def mixCorpus(df: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixCorpus: need at least one domain, all weights positive")
+    val total = weights.values.sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"mixCorpus: weights must sum to 1, got $total")
+    require(!df.columns.contains("__rn"),
+      "mixCorpus: input already has a __rn column — rename it first")
+    require(df.schema(domainCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"mixCorpus: $domainCol must be STRING (weights key on domain names)")
+    val counts = df.where(col(domainCol).isin(weights.keys.toSeq: _*))
+      .groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = weights.map { case (d, w) =>
+      math.floor(counts.getOrElse(d, 0L) / w) }.min.toLong
+    val quotas = weights.map { case (d, w) => d -> math.floor(n * w).toLong }
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (d, q)) =>
+      when(col(domainCol) === d, lit(q)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(domainCol))
+      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+    df.where(col(domainCol).isin(weights.keys.toSeq: _*))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quotaCol)
+      .drop("__rn")
+  }
 }

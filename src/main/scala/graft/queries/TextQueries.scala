@@ -115,6 +115,21 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     }),
 
+    // P41 — corpus mixing: domains web/books/code (doc_id % 3) to a
+    // 1/2 : 1/4 : 1/4 target mix; equal-sized domains make books/code the
+    // binding constraint. Binary-exact weights keep every quota boundary
+    // engine-portable; the oracle recomputes N and the quotas with integer
+    // arithmetic and replays the portable-hash keep set row-for-row
+    "sa4_mix" -> ((s, dir) => {
+      val domains = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "web")
+          .when(col("doc_id") % 3 === 1, "books")
+          .otherwise("code").as("domain"))
+      graft.operators.Sampling.mixCorpus(domains, "domain", "doc_id",
+          Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25))
+        .orderBy("domain", "doc_id")
+    }),
+
     // P40 — concat-and-split sequence packing: 8 shards, 256-token
     // windows; the oracle replays the portable-MD5 shard assignment and
     // in-shard ordering, then derives the same prefix sums and window
@@ -227,6 +242,32 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // N = min over domains of n_d·(1/w_d) — weights 1/2,1/4,1/4 make 1/w
+    // the integers 2,4,4, so the whole computation is integer arithmetic
+    // on both engines; quotas are N//2, N//4
+    "sa4_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'web'
+        |         WHEN doc_id % 3 = 1 THEN 'books'
+        |         ELSE 'code' END AS domain
+        |  FROM documents),
+        |c AS (SELECT domain, count(*) AS n FROM d GROUP BY 1),
+        |nn AS (SELECT min(CASE domain WHEN 'web' THEN n * 2 ELSE n * 4 END) AS n FROM c),
+        |h AS (
+        |  SELECT doc_id, domain,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |                 FOR ch IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM d),
+        |ranked AS (
+        |  SELECT doc_id, domain,
+        |         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hv ASC, doc_id ASC) AS rn
+        |  FROM h)
+        |SELECT doc_id, domain FROM ranked, nn
+        |WHERE rn <= (CASE domain WHEN 'web' THEN nn.n // 2 ELSE nn.n // 4 END)
+        |ORDER BY domain, doc_id""".stripMargin,
 
     // same 56-bit-MD5 fold as sa1; sums cast back to BIGINT (DuckDB sums
     // to HUGEINT), // is integer division

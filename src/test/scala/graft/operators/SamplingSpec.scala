@@ -108,4 +108,38 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(rows.withColumn("__n", lit(1)), "s", "id", 0.5))
   }
+
+  test("mixCorpus hits the target mix exactly, bound by the scarcest domain") {
+    // availability: web 100, books 20, code 60; weights 1/2, 1/4, 1/4 →
+    // N bound by books: min(200, 80, 240) = 80 → quotas 40 / 20 / 15? no:
+    // floor(80·0.25) = 20 books (all of them), 20 code, 40 web
+    val rows = ((1L to 100L).map(_ -> "web") ++ (101L to 120L).map(_ -> "books") ++
+      (121L to 180L).map(_ -> "code")).toDF("id", "d")
+    val out = Sampling.mixCorpus(rows, "d", "id",
+      Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val per = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(per == Map("web" -> 40, "books" -> 20, "code" -> 20))
+    // partitioning-independence: the kept row SET is a function of the data
+    val again = Sampling.mixCorpus(rows.repartition(7).orderBy(col("id").desc),
+      "d", "id", Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+    // domains outside the recipe are dropped, not mixed in
+    val extra = rows.union(Seq((900L, "junk")).toDF("id", "d"))
+    assert(Sampling.mixCorpus(extra, "d", "id",
+      Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25))
+      .where(col("d") === "junk").count() == 0)
+    // an absent-but-weighted domain makes the mix unachievable → empty
+    assert(Sampling.mixCorpus(rows, "d", "id",
+      Map("web" -> 0.5, "absent" -> 0.5)).count() == 0)
+    intercept[IllegalArgumentException](
+      Sampling.mixCorpus(rows, "d", "id", Map("web" -> 0.5, "books" -> 0.3)))
+    intercept[IllegalArgumentException](
+      Sampling.mixCorpus(rows.withColumn("__rn", lit(1)), "d", "id",
+        Map("web" -> 1.0)))
+    intercept[IllegalArgumentException](
+      Sampling.mixCorpus(rows.withColumn("di", col("id") % 3), "di", "id",
+        Map("0" -> 1.0)))
+  }
 }
