@@ -122,6 +122,50 @@ object TextEval {
     }
     UnsafeArrayData.fromPrimitiveArray(Array(top, counts.size.toLong, total.toLong))
   }
+
+  private val InvLn2 = 1.0 / math.log(2.0)
+
+  /**
+   * Lexical-diversity statistics of lower(trim(text)) in one pass:
+   * `[entropy, ttr, distinct, total]` — Shannon entropy of the token
+   * unigram distribution in bits (H = log2(n) − (Σ c·log2 c)/n, the
+   * algebraic form the DuckDB oracle states verbatim so both engines sum
+   * the same per-term series), type-token ratio (distinct/total), and the
+   * raw counts as exact doubles. Tokenization matches [[ngramStats]]
+   * (trim, lowercase, split `\s+`, drop empties). Empty input →
+   * `[0, 0, 0, 0]`.
+   *
+   * log2 is evaluated as ln·(1/ln 2) on both engines' IEEE doubles; the
+   * query layer rounds to 6 decimals (the t6 discipline) so cross-libm
+   * ulp drift can never reach the compared value.
+   */
+  def lexicalStats(str: UTF8String): ArrayData = {
+    val t = str.trim().toLowerCase.toString
+    val toks = t.split("\\s+")
+    val counts = new java.util.HashMap[String, java.lang.Long](toks.length * 2)
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      if (tok.nonEmpty) {
+        val prev = counts.get(tok)
+        counts.put(tok, if (prev == null) 1L else prev.longValue() + 1L)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0L)
+      return UnsafeArrayData.fromPrimitiveArray(Array(0.0, 0.0, 0.0, 0.0))
+    var sumClog = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      if (c > 1L) sumClog += c * (math.log(c.toDouble) * InvLn2)
+    }
+    val entropy = math.log(n.toDouble) * InvLn2 - sumClog / n
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(entropy, counts.size.toDouble / n, counts.size.toDouble, n.toDouble))
+  }
 }
 
 /** Winnowing kernel: `string → array<bigint>` of selected fingerprints. */
@@ -166,5 +210,28 @@ case class NgramStatsExpr(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextEval.ngramStats($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): NgramStatsExpr =
+    copy(child = newChild)
+}
+
+/** Lexical-diversity kernel: `string → array<double>` of
+  * `[entropy bits, type-token ratio, distinct tokens, total tokens]`
+  * ([[TextEval.lexicalStats]]). */
+case class LexicalStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lexical_stats requires a STRING input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_lexical_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextEval.lexicalStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextEval.lexicalStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LexicalStatsExpr =
     copy(child = newChild)
 }

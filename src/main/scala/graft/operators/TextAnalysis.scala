@@ -96,6 +96,29 @@ object TextAnalysis {
     (lengthOk + stopOk + punctOk + alphaOk) / 4.0
   }
 
+  // ---- lexical diversity -----------------------------------------------------
+
+  /** P42 — one-pass lexical-diversity statistics `[entropy bits, type-token
+    * ratio, distinct tokens, total tokens]` via the native codegen kernel
+    * ([[graft.expressions.LexicalStatsExpr]]). Same tokenization as
+    * [[tokens]]; identical calls collapse via subexpression elimination, so
+    * projecting all four components tokenizes each document exactly once. */
+  def lexicalStats(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    exprCol(graft.expressions.LexicalStatsExpr(colExpr(c)))
+  }
+
+  /** P42 — Shannon entropy of the document's token unigram distribution in
+    * bits (0 for blank input; log2(n) for an all-distinct document). Low
+    * entropy flags template/keyword-stuffed text that per-n-gram fractions
+    * ([[topNgramFraction]]) can miss when the repetition is spread over
+    * many distinct n-grams. */
+  def wordEntropy(c: Column): Column = lexicalStats(c).getItem(0)
+
+  /** P42 — type-token ratio (distinct tokens / total tokens; 0 for blank
+    * input), the classic lexical-diversity score. */
+  def typeTokenRatio(c: Column): Column = lexicalStats(c).getItem(1)
+
   // ---- tf-idf ----------------------------------------------------------------
 
   /** Raw term frequencies per document: (id, token, tf) — duplicates kept,

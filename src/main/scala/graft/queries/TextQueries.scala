@@ -156,6 +156,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P42 — lexical-diversity signals: token-unigram Shannon entropy and
+    // type-token ratio from the one-pass native kernel; the oracle
+    // rebuilds the unigram counts in SQL and states the identical
+    // algebraic form (log2(n) − Σc·log2(c)/n), with both floats rounded
+    // at 6 decimals (the t6 discipline for cross-libm ulp drift)
+    "t11_lexical" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextAnalysis.wordEntropy(col("text")), 6).as("entropy"),
+        round(TextAnalysis.typeTokenRatio(col("text")), 6).as("ttr"),
+        TextAnalysis.lexicalStats(col("text")).getItem(2).cast("long").as("n_distinct"),
+        TextAnalysis.lexicalStats(col("text")).getItem(3).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // P38 — PII redaction: the corpus text is deterministically enriched
     // with synthetic PII (emails/IPs varying by doc_id, constant phone/SSN)
     // on BOTH sides, then redacted; the oracle replays the same
@@ -242,6 +257,29 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // same algebraic entropy form as the kernel: log2(n) − (Σ c·log2 c)/n,
+    // log2 spelled ln·(1/ln 2) so both engines run the same IEEE ops;
+    // c = 1 terms contribute exactly 0 and are skipped on both sides
+    "t11_lexical" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS nd,
+        |               sum(CASE WHEN c > 1 THEN c * (ln(c) * (1.0 / ln(2))) ELSE 0 END) AS sc
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN coalesce(a.n, 0) > 0
+        |        THEN ln(a.n) * (1.0 / ln(2)) - a.sc / a.n ELSE 0 END, 6) AS entropy,
+        |  round(CASE WHEN coalesce(a.n, 0) > 0
+        |        THEN CAST(a.nd AS DOUBLE) / a.n ELSE 0 END, 6) AS ttr,
+        |  coalesce(a.nd, 0) AS n_distinct,
+        |  coalesce(a.n, 0) AS n_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // N = min over domains of n_d·(1/w_d) — weights 1/2,1/4,1/4 make 1/w
     // the integers 2,4,4, so the whole computation is integer arithmetic

@@ -150,6 +150,28 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.ngramArray(col("t"), 5))
   }
 
+  test("lexical stats: entropy / type-token ratio with hand-checked values") {
+    def stats(t: String): (Double, Double, Double, Double) = {
+      val a = Seq(t).toDF("t").select(TextAnalysis.lexicalStats(col("t")))
+        .head().getSeq[Double](0)
+      (a(0), a(1), a(2), a(3))
+    }
+    // {a:2, b:1, c:1} over n=4: H = log2(4) − (2·log2 2)/4 = 2 − 0.5 = 1.5
+    val (h, ttr, nd, n) = stats("a b A c")
+    assert(math.abs(h - 1.5) < 1e-12)
+    assert(ttr == 0.75 && nd == 3.0 && n == 4.0)
+    // all-identical tokens: zero entropy; all-distinct: log2(n) entropy
+    assert(stats("x x x x")._1 == 0.0)
+    assert(math.abs(stats("p q r s")._1 - 2.0) < 1e-12)
+    // blank input → all zeros, no error
+    for (t <- Seq("", "   ")) assert(stats(t) == (0.0, 0.0, 0.0, 0.0))
+    // accessor columns agree with the array slots
+    val df = Seq("the cat sat on the mat").toDF("t")
+    assert(df.select(TextAnalysis.wordEntropy(col("t"))).head().getDouble(0) ==
+      df.select(TextAnalysis.lexicalStats(col("t")).getItem(0)).head().getDouble(0))
+    assert(df.select(TextAnalysis.typeTokenRatio(col("t"))).head().getDouble(0) == 5.0 / 6)
+  }
+
   test("packSequences lays tokens end-to-end per shard, exactly and order-independently") {
     val docs = (1L to 60L)
       .map(i => (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" ")))
