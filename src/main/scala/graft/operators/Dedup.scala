@@ -136,6 +136,42 @@ object Dedup {
     labels
   }
 
+  /**
+   * P43 — duplicate-cluster retention: given a scored corpus and a
+   * duplicate pair list (from any pair producer here — exact, Jaccard,
+   * LSH, SimHash), keep exactly ONE document per duplicate cluster — the
+   * best-scoring member, ties broken to the lowest id — and pass every
+   * unpaired document through. This is the retention step production
+   * dedup pipelines run after near-dup detection: don't just drop
+   * duplicates, keep the highest-quality representative of each group
+   * (FineWeb/Gopher-style "keep best of cluster").
+   *
+   * Returns every input document as (id, cluster_id, score, kept) —
+   * cluster_id is the component min-id for clustered docs and the doc's
+   * own id for singletons, so downstream filters are one `where(kept)`.
+   *
+   * Scale shape: label propagation touches only docs that appear in a
+   * pair (tiny vs the corpus); the cluster map joins back by id
+   * (broadcastable when small, plain equi-join otherwise); the argmax is
+   * ONE window shuffle keyed by cluster_id — cluster sizes are bounded by
+   * the dup-group sizes, so no skewed giant partition. Callers with
+   * float scores should pre-round them (the t6 rank discipline) so the
+   * argmax is engine-portable.
+   */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, iCol: String = "i", jCol: String = "j",
+      iters: Int = 3): DataFrame = {
+    val clusters = duplicateClusters(pairs, iCol, jCol, iters)
+    val scored = docs.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+        col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("kept", row_number().over(w) === 1)
+  }
+
   // ---- token / n-gram sets ------------------------------------------------
 
   /** Distinct lowercase whitespace tokens per document, as one array cell:

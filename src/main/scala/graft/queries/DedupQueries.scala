@@ -80,6 +80,23 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P43 — duplicate-cluster retention: keep the best-scoring member of
+    // every exact-dup cluster (synthetic integer quality (doc_id·37)%101,
+    // ties to lowest id), singletons pass through. The oracle states the
+    // ground truth directly: exact-dup components ARE the same-text
+    // groups, so kept = argmax(score, −id) within each text group and
+    // cluster_id = the group min id (own id when unique)
+    "d11_retention" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir)
+        .withColumn("score", (col("doc_id") * 37) % 101)
+      val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+      Dedup.keepBestPerCluster(docs, "doc_id", "score",
+          pairs, "survivor_id", "duplicate_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("score"),
+          col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // token-set Jaccard ≥ 0.8 over a 50-doc subset
     "d3_token_jaccard" -> ((s, dir) => {
       val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
@@ -208,6 +225,18 @@ object DedupQueries {
          |         COUNT(*) OVER (PARTITION BY text) AS n
          |  FROM ($dupedDocsSql))
          |WHERE n > 1 ORDER BY doc_id""".stripMargin,
+
+    "d11_retention" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN n > 1 THEN grp_min ELSE doc_id END AS cluster_id,
+         |  score,
+         |  row_number() OVER (PARTITION BY text ORDER BY score DESC, doc_id) = 1 AS kept
+         |FROM (
+         |  SELECT doc_id, text, (doc_id * 37) % 101 AS score,
+         |         MIN(doc_id) OVER (PARTITION BY text) AS grp_min,
+         |         COUNT(*) OVER (PARTITION BY text) AS n
+         |  FROM ($dupedDocsSql))
+         |ORDER BY doc_id""".stripMargin,
 
     "d3_token_jaccard" ->
       jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),

@@ -215,6 +215,24 @@ class DedupSpec extends SparkSpec {
     assert(two == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("keepBestPerCluster keeps the argmax per cluster, singletons pass through") {
+    // component {1,2,3} (star), component {10,11}, singletons 20 and 21
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 0L),
+      (20L, 7L), (21L, 0L)).toDF("doc", "q")
+    val pairs = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.keepBestPerCluster(docs, "doc", "q", pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // score tie 2-vs-3 breaks to the LOWER id; the star hub 1 loses on score
+    assert(got == Map(
+      1L -> ((1L, 5L, false)), 2L -> ((1L, 9L, true)), 3L -> ((1L, 9L, false)),
+      10L -> ((10L, 1L, true)), 11L -> ((10L, 0L, false)),
+      20L -> ((20L, 7L, true)), 21L -> ((21L, 0L, true))))
+    // exactly one kept doc per cluster, and every input row comes back
+    assert(got.size == 7)
+    assert(got.values.count(_._3) == 4)
+  }
+
   test("bloomAntiJoin equals the plain anti-join, even with a saturated bloom") {
     import spark.implicits._
     val docs = (1L to 400L).map(i => (i, s"text-${i % 150}")).toDF("id", "t")
