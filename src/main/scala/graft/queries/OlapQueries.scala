@@ -109,6 +109,20 @@ object OlapQueries {
         .orderBy("l_returnflag")
     }),
 
+    // P44 — per-user rolling features over the event stream: lag delta,
+    // trailing-5-row count/mean (decimal-summed), lifetime sequence
+    // number; ONE window shuffle for the whole feature set. The oracle
+    // states the identical frames; event_id tiebreak makes the order
+    // total on both engines
+    "o6_rolling" -> ((s, dir) => {
+      graft.operators.TimeSeries.rollingFeatures(
+          graft.Graft.events(s, dir), "user_id", "ts", "event_id", "value",
+          lookback = 5)
+        .select(col("user_id"), col("event_id"), col("seq"), col("prev_n"),
+          round(col("delta"), 6).as("delta"), col("prev_mean"))
+        .orderBy("user_id", "seq")
+    }),
+
     // CUBE: all grouping-set combinations with level ids
     "o4_cube" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -165,6 +179,24 @@ object OlapQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // count(value) (not count(*)) so null-skipping matches Spark's frame
+    // count; the decimal sum replays the operator's money-sum discipline
+    "o6_rolling" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER w AS seq,
+        |    value - lag(value) OVER w AS d,
+        |    count(value) OVER wf AS prev_n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, seq, prev_n,
+        |  round(d, 6) AS delta,
+        |  CASE WHEN prev_n > 0 THEN round(s / prev_n, 6) END AS prev_mean
+        |FROM f ORDER BY user_id, seq""".stripMargin,
 
     "o4_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
