@@ -97,6 +97,64 @@ object VecEval {
     l2(x, anyNull)
   }
 
+  /**
+   * Product-quantization encode: subspace `mi` covers dimensions
+   * `[mi·dsub, (mi+1)·dsub)`; its code is the 0-based argmin squared-L2
+   * codebook row over that slice (first/lowest code wins exact ties —
+   * and ties ARE exact cross-engine because the fold runs in ascending
+   * dimension order). Codebook rows are FULL-length vectors indexed at
+   * the same offsets, so codebooks built from sample vectors need no
+   * pre-slicing. Missing dimensions (short row or book) drop out of the
+   * overlap, matching [[nearestCentroid]]'s prefix rule.
+   */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]], dsub: Int): ArrayData = {
+    val out = new Array[Int](books.length)
+    var mi = 0
+    while (mi < books.length) {
+      val off = mi * dsub
+      val book = books(mi)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < book.length) {
+        val c = book(k)
+        val n = math.min(off + dsub, math.min(c.length, v.numElements()))
+        var d = 0.0
+        var i = off
+        while (i < n) { val t = v.getDouble(i) - c(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /**
+   * Asymmetric-distance computation over PQ codes: `tables(q)(mi)(code)`
+   * holds query q's squared-L2 distance to codebook row `code` in
+   * subspace `mi`; a row's approximate distance to q is the
+   * ascending-`mi` sequential sum of its code lookups (order fixed so an
+   * oracle's ordered fold reproduces every bit). Returns one distance
+   * per query — the whole query set is answered in a single pass over
+   * the codes column.
+   */
+  def pqAdcDists(codes: ArrayData, tables: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Double](tables.length)
+    var q = 0
+    while (q < tables.length) {
+      val tab = tables(q)
+      val m = math.min(codes.numElements(), tab.length)
+      var d = 0.0
+      var mi = 0
+      while (mi < m) { d += tab(mi)(codes.getInt(mi)); mi += 1 }
+      out(q) = d
+      q += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 0-based index of the max-dot-product centroid; first (lowest index)
     * wins ties. Rows shorter/longer than a centroid use the overlapping
     * prefix. Requires non-null elements (feed it [[VecL2Norm]] output). */
@@ -209,6 +267,57 @@ case class NearestCentroidIdx(child: Expression, cents: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidIdx =
+    copy(child = newChild)
+}
+
+/** PQ encode kernel: `array<double> → array<int>` of per-subspace codes
+  * ([[VecEval.pqEncode]]). The codebook tensor rides as a reference object
+  * (the [[NearestCentroidIdx]] plan-size discipline). */
+case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double]]],
+    dsub: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode requires ARRAY<DOUBLE> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecEval.pqEncode(input.asInstanceOf[ArrayData], books, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.VecEval.pqEncode($c, $ref, $dsub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** ADC kernel: `array<int>` codes → `array<double>` of approximate
+  * distances, one per query table ([[VecEval.pqAdcDists]]). */
+case class PqAdcDistsExpr(child: Expression, tables: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc requires ARRAY<INT> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecEval.pqAdcDists(input.asInstanceOf[ArrayData], tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTables", tables, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.VecEval.pqAdcDists($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcDistsExpr =
     copy(child = newChild)
 }
 

@@ -158,4 +158,97 @@ object Similarity {
     }
     cents
   }
+
+  // ---- product quantization --------------------------------------------------
+
+  /**
+   * P45 — PQ codebooks from a deterministic sample: the `k` lowest-id
+   * corpus vectors become the codebook rows of EVERY subspace (row j of
+   * subspace m = sample vector j's dims [m·dsub, (m+1)·dsub), read in
+   * place — no slicing materialized). A k-means per subspace can replace
+   * this without touching the encode/search path, exactly like
+   * [[kmeansRefine]] upgrades [[ivfAssign]] centroids. Requires the
+   * dimension count to split evenly into `m` subspaces.
+   *
+   * Returns (books, dsub): `books(mi)(code)` is a FULL-length vector —
+   * [[graft.expressions.PqEncodeExpr]] indexes it at the subspace offsets.
+   */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): (Array[Array[Array[Double]]], Int) = {
+    require(m >= 1, s"pqCodebooks: m must be >= 1, got $m")
+    require(k >= 1, s"pqCodebooks: k must be >= 1, got $k")
+    val rows = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(k)
+      .collect()
+    require(rows.nonEmpty, "pqCodebooks: corpus is empty")
+    val sample = rows.map(_.getSeq[Double](1).toArray)
+    val d = sample.head.length
+    require(d % m == 0, s"pqCodebooks: dimension $d does not split into $m subspaces")
+    (Array.fill(m)(sample), d / m)
+  }
+
+  /**
+   * P45 — product-quantization encode: compress each vector to `m`
+   * small codes (the 100-TB ANN memory story: 64 float dims → 8 codes is
+   * a 32× index shrink, and downstream search never touches the raw
+   * vectors). A pure compiled projection over the corpus scan — the
+   * codebook tensor rides into generated code as a reference object, no
+   * join, no shuffle. Returns (id, codes array<int>).
+   */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      dsub: Int, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    require(books.nonEmpty && dsub >= 1, "pqEncode: empty codebooks or dsub < 1")
+    corpus.select(col(idCol).as("id"),
+      exprCol(graft.expressions.PqEncodeExpr(
+        colExpr(col(vecCol).cast("array<double>")), books, dsub)).as("codes"))
+  }
+
+  /**
+   * P46 — asymmetric-distance (ADC) top-k over PQ codes: each query
+   * precomputes its distance table to every codebook row (driver-side —
+   * queries are broadcast-small by the [[bruteForceTopK]] contract), and
+   * the WHOLE query set is then answered in one compiled pass over the
+   * codes column (per row: m table lookups per query, never the raw
+   * vectors). One posexplode + one per-query window: rank by the
+   * 6-decimal-rounded distance with an id tie-break (the t6 rank
+   * discipline — ADC distances are approximations, so a stable tiny-eps
+   * rank needs the rounding on BOTH engines).
+   */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Double]]], dsub: Int,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    val qRows = queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .orderBy(col("qid"))
+      .collect()
+    require(qRows.nonEmpty, "pqAdcTopK: query set is empty")
+    val tables: Array[Array[Array[Double]]] = qRows.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      books.zipWithIndex.map { case (book, mi) =>
+        val off = mi * dsub
+        book.map { c =>
+          val n = math.min(off + dsub, math.min(c.length, qv.length))
+          var d = 0.0
+          var i = off
+          while (i < n) { val t = qv(i) - c(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    }
+    val qidLit = array(qRows.toSeq.map(r => lit(r.get(0))): _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    codes
+      .select(col("id"), posexplode(
+        exprCol(graft.expressions.PqAdcDistsExpr(colExpr(col("codes")), tables)))
+        .as(Seq("__q", "__d")))
+      .select(element_at(qidLit, col("__q") + 1).as("query_id"), col("id"),
+        round(col("__d"), 6).as("adc_dist"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

@@ -63,6 +63,31 @@ object SimilarityQueries {
         .orderBy("centroid_id", "pos")
     }),
 
+    // P45 — PQ encode: 64 float dims → 8 codes (codebooks = the 16
+    // lowest-id vectors, read in place per subspace). Deterministic like
+    // sim2: every squared-L2 fold runs in ascending dimension order on
+    // both engines, so argmin routing (ties to the lowest code) is exact
+    "sim4_pq_encode" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (books, dsub) = Similarity.pqCodebooks(e, "vec_id", "v", m = 8, k = 16)
+      Similarity.pqEncode(e, books, dsub, "vec_id", "v")
+        .select(col("id").as("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+        .orderBy("vec_id", "m")
+    }),
+
+    // P46 — ADC top-5 per query over the PQ codes: per-query distance
+    // tables on the driver, one compiled pass over the codes column for
+    // the whole query set; ranks on the 6-decimal-rounded distance with
+    // an id tie-break (the t6 discipline)
+    "sim5_adc_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (books, dsub) = Similarity.pqCodebooks(e, "vec_id", "v", m = 8, k = 16)
+      val codes = Similarity.pqEncode(e, books, dsub, "vec_id", "v")
+      val queries = e.where(col("vec_id") % 125 === 0)
+      Similarity.pqAdcTopK(codes, queries, books, dsub, "vec_id", "v", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF with centroid sample + 4 probes — "approximate" relative to exact
     // kNN, but fully DETERMINISTIC given the data: assignment, probing, and
     // ranking are pure double arithmetic in a fixed order, so the oracle
@@ -136,6 +161,77 @@ object SimilarityQueries {
         |LEFT JOIN cells c ON c.centroid_id = rc.centroid_id AND c.pos = p.i - 1
         |LEFT JOIN sizes s ON s.centroid_id = rc.centroid_id
         |ORDER BY rc.centroid_id, pos""".stripMargin,
+
+    // PQ encode replayed in SQL: codebook row j of every subspace = the
+    // j-th lowest-id vector, indexed in place at the subspace offsets;
+    // each squared-L2 is the sequential ascending-dimension fold
+    // (list_reduce over list_prepend(0.0, …) = VecEval's while-loop), so
+    // distances are bit-identical and the argmin tie-break (lowest code)
+    // routes identically
+    "sim4_pq_encode" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |books AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v AS bv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |dists AS (
+        |  SELECT t.vec_id, m.m, b.code,
+        |    list_reduce(list_prepend(0.0,
+        |      [(t.v[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)]) *
+        |       (t.v[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)])
+        |       FOR i IN range(1, 9)]), (a, x) -> a + x) AS d
+        |  FROM e t CROSS JOIN range(8) m(m) CROSS JOIN books b)
+        |SELECT vec_id, m, code FROM (
+        |  SELECT vec_id, m, code,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                            ORDER BY d ASC, code ASC) AS rn
+        |  FROM dists) WHERE rn = 1
+        |ORDER BY vec_id, m""".stripMargin,
+
+    // ADC replayed in SQL: the same encode CTEs, per-query tables via the
+    // same sequential fold, and the per-row total = the ascending-m
+    // ordered fold over the 8 table lookups (list(d ORDER BY m) fixes the
+    // accumulation order; a plain SUM would be order-nondeterministic in
+    // its last ulp). Ranks on the ROUNDED distance with id tie-break on
+    // both sides
+    "sim5_adc_topk" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |books AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v AS bv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |enc_d AS (
+        |  SELECT t.vec_id, m.m, b.code,
+        |    list_reduce(list_prepend(0.0,
+        |      [(t.v[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)]) *
+        |       (t.v[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)])
+        |       FOR i IN range(1, 9)]), (a, x) -> a + x) AS d
+        |  FROM e t CROSS JOIN range(8) m(m) CROSS JOIN books b),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                              ORDER BY d ASC, code ASC) AS rn
+        |    FROM enc_d) WHERE rn = 1),
+        |queries AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 125 = 0),
+        |qtab AS (
+        |  SELECT q.query_id, m.m, b.code,
+        |    list_reduce(list_prepend(0.0,
+        |      [(q.qv[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)]) *
+        |       (q.qv[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)])
+        |       FOR i IN range(1, 9)]), (a, x) -> a + x) AS d
+        |  FROM queries q CROSS JOIN range(8) m(m) CROSS JOIN books b),
+        |tot AS (
+        |  SELECT t.query_id, c.vec_id AS id,
+        |         list_reduce(list_prepend(0.0, list(t.d ORDER BY t.m)),
+        |                     (a, x) -> a + x) AS dtot
+        |  FROM enc c JOIN qtab t ON t.m = c.m AND t.code = c.code
+        |  GROUP BY t.query_id, c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, id, ROUND(dtot, 6) AS adc_dist,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY ROUND(dtot, 6) ASC, id ASC) AS rank
+        |  FROM tot WHERE query_id <> id)
+        |SELECT query_id, id, adc_dist, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Full IVF pipeline replayed in SQL. Why this matches bit-for-bit: both
     // engines widen float→double exactly, and every reduction (norm, dot) is

@@ -127,4 +127,44 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(zero == Map(10L -> Seq(1.0, 0.0), 20L -> Seq(-1.0, 0.0)))
   }
+
+  // 4-dim corpus, 2 subspaces of 2 dims; ids 1 and 2 are the codebook
+  private lazy val pqCorpus = Seq(
+    (1L, Array(0.0, 0.0, 10.0, 10.0)),
+    (2L, Array(5.0, 5.0, 0.0, 0.0)),
+    (3L, Array(0.1, 0.1, 0.2, 0.1)),   // sub0 near code0, sub1 near code1
+    (4L, Array(4.9, 5.2, 9.0, 9.0))    // sub0 near code1, sub1 near code0
+  ).toDF("id", "v")
+
+  test("pqEncode picks the per-subspace argmin code, ties to the lowest code") {
+    val (books, dsub) = Similarity.pqCodebooks(pqCorpus, "id", "v", m = 2, k = 2)
+    assert(dsub == 2 && books.length == 2 && books(0).length == 2)
+    val codes = Similarity.pqEncode(pqCorpus, books, dsub, "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // codebook vectors encode to themselves (distance 0 in every subspace)
+    assert(codes(1L) == Seq(0, 0) && codes(2L) == Seq(1, 1))
+    assert(codes(3L) == Seq(0, 1) && codes(4L) == Seq(1, 0))
+    // dimension count must split evenly into subspaces
+    intercept[IllegalArgumentException](
+      Similarity.pqCodebooks(pqCorpus, "id", "v", m = 3, k = 2))
+  }
+
+  test("pqAdcTopK ranks by the summed per-subspace table distances") {
+    val (books, dsub) = Similarity.pqCodebooks(pqCorpus, "id", "v", m = 2, k = 2)
+    val codes = Similarity.pqEncode(pqCorpus, books, dsub, "id", "v")
+    val queries = pqCorpus.where(col("id") === 3)
+    val got = Similarity.pqAdcTopK(codes, queries, books, dsub, "id", "v", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getDouble(2)))
+    // query 3's tables: sub0 → d(code0)=0.02, d(code1)=48.02;
+    //                   sub1 → d(code0)=194.05, d(code1)=0.05.
+    // doc2=(1,1): 48.02+0.05=48.07 | doc1=(0,0): 0.02+194.05=194.07 |
+    // doc4=(1,0): 48.02+194.05=242.07; self (3) excluded → order 2, 1, 4
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L))
+    assert(got.map(_._3).toSeq == Seq(48.07, 194.07, 242.07))
+    // every rank row carries the query id
+    val qids = Similarity.pqAdcTopK(codes, queries, books, dsub, "id", "v", k = 3)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(qids == Seq(3L))
+  }
 }
