@@ -96,9 +96,20 @@ object Bench {
     // the driver keeps only the LAST 2000 bytes of output and parses the
     // JSON it finds there — the full summary above is ~3.2KB and got
     // clipped mid-line two rounds running (BENCH_r05/r06 `parsed: null`).
-    // So the very last line is a compact contract-only summary (medians,
-    // no queries_min/failed_queries) sized ~1.6KB to fit the window;
-    // queries_min lives in the full line above and bench_summary.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"total_min":$totalMin,"failed":${broken.length},"sentinel":$sentinelJson,"sf":"$sfDir"}""")
+    // So the very last line is a compact contract-only summary: medians at
+    // CENTISECOND precision (10ms — the query count crossed the point where
+    // millisecond medians alone overflow the window; full 1ms values live
+    // in the line above and bench_summary.json), no queries_min/
+    // failed_queries. If growth ever pushes even that past the window, the
+    // per-query map is dropped entirely rather than shipping JSON that
+    // parses as a clipped prefix.
+    def r2(v: Double) = math.rint(v * 100) / 100
+    val qmap2 = results.map { case (k, v) => "\"" + k + "\":" + r2(v._1) }
+      .mkString("{", ",", "}")
+    val contract =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qmap2,"total_min":$totalMin,"failed":${broken.length},"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+    val slim =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"failed":${broken.length},"sentinel":$sentinelJson,"queries_in":"bench_summary.json","sf":"$sfDir"}"""
+    println(if (contract.length <= 1900) contract else slim)
   }
 }

@@ -123,6 +123,27 @@ object OlapQueries {
         .orderBy("user_id", "seq")
     }),
 
+    // P47 — per-event-type z-score standardization: one window shuffle,
+    // decimal-summed moments; the oracle replays the identical op
+    // sequence (decimal sums → double mean/variance/sd), so both engines
+    // compute the same doubles and the 6-decimal round is pure insurance
+    "o7_zscore" -> ((s, dir) => {
+      graft.operators.Features.zscore(
+          graft.Graft.events(s, dir), "event_type", "value")
+        .select(col("event_id"), col("event_type"), round(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // P48 — fixed-width value histogram per event type: 20 bins over
+    // [0, 500), outliers clamped to the edge bins; one map-side-combinable
+    // groupBy
+    "o8_histogram" -> ((s, dir) => {
+      graft.operators.Features.histogram(
+          graft.Graft.events(s, dir), "event_type", "value",
+          lo = 0.0, hi = 500.0, bins = 20)
+        .orderBy("event_type", "bin")
+    }),
+
     // CUBE: all grouping-set combinations with level ids
     "o4_cube" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -197,6 +218,30 @@ object OlapQueries {
         |  round(d, 6) AS delta,
         |  CASE WHEN prev_n > 0 THEN round(s / prev_n, 6) END AS prev_mean
         |FROM f ORDER BY user_id, seq""".stripMargin,
+
+    // identical op sequence as Features.zscore: exact decimal window sums
+    // → double mean → variance (clamped at 0) → sd → z
+    "o7_zscore" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,12))) OVER g AS DOUBLE) AS msum,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) OVER g AS DOUBLE) AS qsum,
+        |    CAST(COUNT(value) OVER g AS DOUBLE) AS n
+        |  FROM events
+        |  WINDOW g AS (PARTITION BY event_type))
+        |SELECT event_id, event_type,
+        |  round(CASE
+        |    WHEN sqrt(greatest(qsum / n - (msum / n) * (msum / n), 0)) > 0
+        |    THEN (value - msum / n) /
+        |         sqrt(greatest(qsum / n - (msum / n) * (msum / n), 0))
+        |    ELSE 0 END, 6) AS z
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "o8_histogram" ->
+      """SELECT event_type,
+        |  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "o4_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
