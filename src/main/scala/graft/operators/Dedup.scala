@@ -161,7 +161,14 @@ object Dedup {
   def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, iCol: String = "i", jCol: String = "j",
       iters: Int = 3): DataFrame = {
-    val clusters = duplicateClusters(pairs, iCol, jCol, iters)
+    // the cluster map holds only docs that appear in a pair — smaller than
+    // the corpus by construction, but NOT broadcast-safe at scale (dup
+    // rates of a few percent on a 100-TB corpus dwarf any driver). Its
+    // post-aggregation size estimate is unknown, so without the hint the
+    // planner falls back to sort-merge; shuffle-hash keeps the equi-join
+    // shuffle but skips both sides' sorts (AQE still upgrades to broadcast
+    // when the map turns out tiny at runtime).
+    val clusters = duplicateClusters(pairs, iCol, jCol, iters).hint("shuffle_hash")
     val scored = docs.select(col(idCol).as("id"), col(scoreCol).as("score"))
       .join(clusters, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"),
