@@ -155,6 +155,27 @@ object VecEval {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /**
+   * Scaled matrix–vector product: `out(r) = scale · Σ_i m(r)(i)·v(i)`,
+   * each row an ascending-index sequential fold (an oracle's ordered
+   * fold reproduces every bit). Rows and the vector overlap-prefix like
+   * [[nearestCentroid]].
+   */
+  def matvec(v: ArrayData, m: Array[Array[Double]], scale: Double): ArrayData = {
+    val out = new Array[Double](m.length)
+    var r = 0
+    while (r < m.length) {
+      val row = m(r)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += row(i) * v.getDouble(i); i += 1 }
+      out(r) = s * scale
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 0-based index of the max-dot-product centroid; first (lowest index)
     * wins ties. Rows shorter/longer than a centroid use the overlapping
     * prefix. Requires non-null elements (feed it [[VecL2Norm]] output). */
@@ -267,6 +288,32 @@ case class NearestCentroidIdx(child: Expression, cents: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidIdx =
+    copy(child = newChild)
+}
+
+/** Scaled matvec kernel: `array<double> → array<double>`
+  * ([[VecEval.matvec]]); the matrix rides as a reference object. */
+case class MatVecExpr(child: Expression, m: Array[Array[Double]], scale: Double)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_matvec requires ARRAY<DOUBLE> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_matvec"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecEval.matvec(input.asInstanceOf[ArrayData], m, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matvecM", m, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VecEval.matvec($c, $ref, ${scale}D)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
     copy(child = newChild)
 }
 

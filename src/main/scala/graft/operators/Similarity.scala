@@ -206,6 +206,34 @@ object Similarity {
   }
 
   /**
+   * P50 — signed random projection (Johnson–Lindenstrauss): project each
+   * vector to `dOut` dims with a ±1 sign matrix, scaled by 1/√dOut — the
+   * dimensionality-reduction front end that cuts ANN/LSH cost before any
+   * index is built. The sign matrix is a pure function of (salt, j, i)
+   * through portable MD5 (first hex nibble ≥ 8 → −1), so it is never
+   * stored, any engine regenerates it bit-identically, and at 100 TB the
+   * operator is a stateless compiled projection (matrix rides into
+   * codegen as a reference object) — no shuffle, no broadcast, no join.
+   */
+  def randomProject(corpus: DataFrame, idCol: String, vecCol: String,
+      dOut: Int, salt: String = "rp"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    require(dOut >= 1, s"randomProject: dOut must be >= 1, got $dOut")
+    val head = corpus.select(col(vecCol)).limit(1).collect()
+    require(head.nonEmpty, "randomProject: corpus is empty")
+    val dIn = head(0).getSeq[Any](0).length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Array[Array[Double]] = Array.tabulate(dOut, dIn) { (j, i) =>
+      val b = md.digest(s"$salt:$j:$i".getBytes("UTF-8"))(0)
+      if ((b & 0x80) != 0) -1.0 else 1.0
+    }
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    corpus.select(col(idCol).as("id"),
+      exprCol(graft.expressions.MatVecExpr(
+        colExpr(col(vecCol).cast("array<double>")), signs, scale)).as("rv"))
+  }
+
+  /**
    * P46 — asymmetric-distance (ADC) top-k over PQ codes: each query
    * precomputes its distance table to every codebook row (driver-side —
    * queries are broadcast-small by the [[bruteForceTopK]] contract), and

@@ -88,6 +88,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // P50 — signed random projection: 64 → 16 dims with the MD5-derived
+    // ±1 matrix and binary-exact 1/√16 = 0.25 scaling; the oracle
+    // regenerates the same signs from md5 and folds in the same ascending
+    // dimension order
+    "sim6_random_projection" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.randomProject(e, "vec_id", "v", dOut = 16)
+        .select(col("id").as("vec_id"), posexplode(col("rv")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos"), round(col("val"), 6).as("val"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // IVF with centroid sample + 4 probes — "approximate" relative to exact
     // kNN, but fully DETERMINISTIC given the data: assignment, probing, and
     // ranking are pure double arithmetic in a fixed order, so the oracle
@@ -161,6 +173,24 @@ object SimilarityQueries {
         |LEFT JOIN cells c ON c.centroid_id = rc.centroid_id AND c.pos = p.i - 1
         |LEFT JOIN sizes s ON s.centroid_id = rc.centroid_id
         |ORDER BY rc.centroid_id, pos""".stripMargin,
+
+    // sign(j,i) = −1 iff the first hex nibble of md5('rp:j:i') ≥ 8 —
+    // regenerated inline; the projection is the ascending-i ordered fold
+    // (same IEEE op sequence as VecEval.matvec), then one exact ·0.25
+    "sim6_random_projection" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |proj AS (
+        |  SELECT e.vec_id, j.j,
+        |    list_reduce(list_prepend(0.0,
+        |      [e.v[CAST(i AS INT)] *
+        |       (CASE WHEN instr('0123456789abcdef',
+        |                substr(md5('rp:' || j.j || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 >= 8
+        |             THEN -1.0 ELSE 1.0 END)
+        |       FOR i IN range(1, 65)]),
+        |      (a, x) -> a + x) AS p
+        |  FROM e CROSS JOIN range(16) j(j))
+        |SELECT vec_id, CAST(j AS INT) AS pos, round(p * 0.25, 6) AS val
+        |FROM proj ORDER BY vec_id, pos""".stripMargin,
 
     // PQ encode replayed in SQL: codebook row j of every subspace = the
     // j-th lowest-id vector, indexed in place at the subspace offsets;

@@ -171,6 +171,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P49 — count-min sketch frequency estimates: 2 hash rows × 16
+    // buckets over every token occurrence (width << vocabulary, so
+    // collisions are real and estimates genuinely exceed some exact
+    // counts); portable-MD5 bucketing lets the oracle rebuild the sketch
+    // cell-for-cell and replay every min-estimate
+    "t12_cms" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sketch = graft.operators.Sketches.countMinSketch(
+        toks, "token", rows = 2, width = 16)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      graft.operators.Sketches.cmsEstimate(
+          sketch, exact.select("token"), "token", rows = 2, width = 16)
+        .withColumnRenamed("item", "token")
+        .join(exact, Seq("token"))
+        .orderBy("token")
+    }),
+
     // P38 — PII redaction: the corpus text is deterministically enriched
     // with synthetic PII (emails/IPs varying by doc_id, constant phone/SSN)
     // on BOTH sides, then redacted; the oracle replays the same
@@ -257,6 +275,34 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // sketch cells rebuilt via the portable-MD5 fold (the sa1/sa2 idiom):
+    // bucket(r, tok) = first-14-hex-digit fold of md5('cms' || r || ':'
+    // || tok) mod 16; estimates are min over rows with empty cells as 0
+    "t12_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY 1),
+        |cells AS (
+        |  SELECT r.r,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |                 FOR ch IN string_split(substr(md5('cms' || r.r || ':' || t.token), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 16 AS bucket,
+        |    count(*) AS n
+        |  FROM toks t CROSS JOIN range(2) r(r)
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT e.token, min(coalesce(c.n, 0)) AS cms_est
+        |  FROM exact e CROSS JOIN range(2) r(r)
+        |  LEFT JOIN cells c ON c.r = r.r AND c.bucket =
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |                 FOR ch IN string_split(substr(md5('cms' || r.r || ':' || e.token), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 16
+        |  GROUP BY 1)
+        |SELECT e.token, s.cms_est, e.exact_n
+        |FROM exact e JOIN est s USING (token) ORDER BY token""".stripMargin,
 
     // same algebraic entropy form as the kernel: log2(n) − (Σ c·log2 c)/n,
     // log2 spelled ln·(1/ln 2) so both engines run the same IEEE ops;

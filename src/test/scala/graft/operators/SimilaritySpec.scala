@@ -149,6 +149,25 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqCodebooks(pqCorpus, "id", "v", m = 3, k = 2))
   }
 
+  test("randomProject applies the MD5-derived sign matrix with 1/sqrt(dOut) scale") {
+    // basis vector e_2 isolates column i=2: out(j) = sign(j, 2) · 0.5
+    val df = Seq((1L, Array(0.0, 0.0, 1.0)), (2L, Array(0.0, 0.0, 1.0)))
+      .toDF("id", "v")
+    val got = Similarity.randomProject(df, "id", "v", dOut = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (0 until 4).map { j =>
+      val b = md.digest(s"rp:$j:2".getBytes("UTF-8"))(0)
+      (if ((b & 0x80) != 0) -1.0 else 1.0) * 0.5
+    }
+    assert(got(1L) == expected)
+    // identical inputs project identically; the matrix has both signs
+    assert(got(1L) == got(2L))
+    assert(expected.map(math.signum).toSet.size >= 1)
+    intercept[IllegalArgumentException](
+      Similarity.randomProject(df, "id", "v", dOut = 0))
+  }
+
   test("pqAdcTopK ranks by the summed per-subspace table distances") {
     val (books, dsub) = Similarity.pqCodebooks(pqCorpus, "id", "v", m = 2, k = 2)
     val codes = Similarity.pqEncode(pqCorpus, books, dsub, "id", "v")
