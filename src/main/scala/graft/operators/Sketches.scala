@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -55,5 +55,60 @@ object Sketches {
       .join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+  }
+
+  /** Flajolet et al.'s bias constant α_m for an m-register HLL. */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /**
+   * P51 — HyperLogLog distinct estimate per group: 2^p registers, each
+   * holding the max leading-zero rank of the 56-bit portable hash routed
+   * to it (low p bits = register, high bits = rank source). Two keyed
+   * shuffles, BOTH bounded by the sketch, not the data: the (group,
+   * register) combine emits ≤ 2^p cells per group per partition, and the
+   * final fold sums the register terms as exact powers-of-two LONGS
+   * (Σ 2^(maxRank−M_j) ≤ 2^58) so the harmonic mean is order-independent
+   * — the float sum a naive port would use is partition-order-dependent
+   * and would break replay. Small-range linear counting (E ≤ 2.5m with
+   * empty registers) matches the published estimator. Returns groupCols
+   * + `hll_est` (double, unrounded).
+   */
+  def hllDistinct(items: DataFrame, itemCol: String, groupCols: Seq[String],
+      p: Int = 6, salt: String = "hll:"): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllDistinct: p must be in [4, 16], got $p")
+    val m = 1 << p
+    val maxRank = 56 - p + 1 // w has 56-p bits; all-zero w ranks maxRank
+    val group = groupCols.map(col)
+    val h = Sampling.hashValue(col(itemCol), salt)
+    val w = shiftright(h, p)
+    val rank = when(w === 0L, lit(maxRank))
+      .otherwise(lit(maxRank) - length(bin(w)))
+    // register term 2^(maxRank−M_j) as an exact long (pow of 2 is exact in
+    // double, and the cast is safe: maxRank ≤ 53); empty registers — never
+    // shuffled — contribute 2^maxRank each, added from the present-count
+    val registers = items
+      .select(group :+ h.bitwiseAND(lit((m - 1).toLong)).as("register")
+        :+ rank.as("rank"): _*)
+      .groupBy(group :+ col("register"): _*)
+      .agg(max(col("rank")).as("mj"))
+    val scaleTerm = math.pow(2.0, maxRank).toLong
+    val numerator = hllAlpha(m) * (m.toLong * m).toDouble * scaleTerm.toDouble
+    val est = registers
+      .groupBy(group: _*)
+      .agg(
+        sum(pow(lit(2.0), lit(maxRank) - col("mj")).cast("long")).as("s_present"),
+        count(lit(1)).as("n_regs"))
+      .withColumn("s", col("s_present") + (lit(m.toLong) - col("n_regs")) * lit(scaleTerm))
+      .withColumn("v", lit(m.toLong) - col("n_regs"))
+    val raw: Column = lit(numerator) / col("s")
+    est.select(group :+
+      when(col("v") > 0L && raw <= lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+        .otherwise(raw).as("hll_est"): _*)
   }
 }

@@ -73,6 +73,30 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P51 — HyperLogLog distinct estimates per event type, sketched over
+    // two columns at once: user_id (150 distinct << 2.5m → the linear-
+    // counting branch) and event_id (12k distinct → the raw harmonic-mean
+    // branch), each beside its exact count. Register sums are exact
+    // power-of-two longs, so the oracle rebuilds every register and
+    // replays both correction branches bit-for-bit.
+    "sk2_hll" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val users = graft.operators.Sketches
+        .hllDistinct(e, "user_id", Seq("event_type"))
+        .withColumnRenamed("hll_est", "hll_users")
+      val ids = graft.operators.Sketches
+        .hllDistinct(e, "event_id", Seq("event_type"))
+        .withColumnRenamed("hll_est", "hll_events")
+      val exact = e.groupBy("event_type").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_id")).as("n_events"))
+      users.join(ids, Seq("event_type")).join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          round(col("hll_users"), 3).as("hll_users"), col("n_users"),
+          round(col("hll_events"), 3).as("hll_events"), col("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Morton z-value over two quantized key columns — the write-time
     // layout key behind clusterByZOrder (ZOrder.scala). The interleave is
     // pure integer bit arithmetic, so the oracle replays it exactly;
@@ -185,6 +209,54 @@ object OlapQueries {
     "sk1_salted_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // registers rebuilt from the portable-MD5 fold: low 6 bits route, the
+    // 50-bit quotient's leading-zero rank via bin(); per-register terms are
+    // CAST(pow(2,51−mj) AS BIGINT) summed exactly, absent registers add
+    // 2^51 each from the present-count — then the same α·m²·2^51/S vs
+    // m·ln(m/V) branch as the operator. e0 literals force DOUBLE (DuckDB
+    // parses bare decimals as DECIMAL, which would break IEEE parity)
+    "sk2_hll" ->
+      """WITH hll AS (
+        |  SELECT event_type, colname, round(CASE
+        |      WHEN v > 0 AND (0.709e0 * 4096.0e0 * 2251799813685248.0e0 / s) <= 160.0e0
+        |      THEN 64.0e0 * ln(64.0e0 / v)
+        |      ELSE 0.709e0 * 4096.0e0 * 2251799813685248.0e0 / s END, 3) AS est
+        |  FROM (
+        |    SELECT event_type, colname,
+        |      CAST(s_present + (64 - n_regs) * CAST(2251799813685248 AS BIGINT) AS BIGINT) AS s,
+        |      64 - n_regs AS v
+        |    FROM (
+        |      SELECT event_type, colname,
+        |        sum(CAST(pow(2.0e0, 51 - mj) AS BIGINT)) AS s_present,
+        |        count(*) AS n_regs
+        |      FROM (
+        |        SELECT event_type, colname, hv % 64 AS register,
+        |          max(CASE WHEN hv // 64 = 0 THEN 51
+        |              ELSE 51 - length(bin(hv // 64)) END) AS mj
+        |        FROM (
+        |          SELECT event_type, colname,
+        |            list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |                FOR ch IN string_split(substr(md5('hll:' || item), 1, 14), '')],
+        |              (acc, x) -> acc * 16 + x) AS hv
+        |          FROM (
+        |            SELECT DISTINCT event_type, 'u' AS colname,
+        |              CAST(user_id AS VARCHAR) AS item FROM events
+        |            UNION ALL
+        |            SELECT DISTINCT event_type, 'e' AS colname,
+        |              CAST(event_id AS VARCHAR) AS item FROM events))
+        |        GROUP BY 1, 2, 3)
+        |      GROUP BY 1, 2))),
+        |exact AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |    COUNT(DISTINCT event_id) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT x.event_type, u.est AS hll_users, x.n_users,
+        |  e.est AS hll_events, x.n_events
+        |FROM exact x
+        |JOIN hll u ON u.event_type = x.event_type AND u.colname = 'u'
+        |JOIN hll e ON e.event_type = x.event_type AND e.colname = 'e'
+        |ORDER BY x.event_type""".stripMargin,
 
     "z1_morton" ->
       """SELECT o_orderkey,

@@ -46,4 +46,34 @@ class SketchesSpec extends SparkSpec {
     assert(ghost.head == 0L)
     intercept[IllegalArgumentException](Sketches.countMinSketch(df, "item", 0, 4))
   }
+
+  test("hll estimate tracks cardinality within the published error bound") {
+    // 5000 distinct keys, each duplicated — m=64 gives σ ≈ 1.04/√64 = 13%;
+    // 3σ = 39% is a deterministic check (the sketch has no RNG), the
+    // margin just avoids pinning one hash layout's luck
+    val df = (0 until 5000).flatMap(i => Seq(s"k$i", s"k$i")).toDF("item")
+      .withColumn("g", lit("all"))
+    val est = Sketches.hllDistinct(df, "item", Seq("g"))
+      .collect().head.getDouble(1)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.39, s"est=$est")
+    // small range: 3 distinct of 64 registers → linear counting
+    // m·ln(m/(m−3)) regardless of duplicates
+    val small = Seq("a", "b", "c", "a").toDF("item").withColumn("g", lit("all"))
+    val smallEst = Sketches.hllDistinct(small, "item", Seq("g"))
+      .collect().head.getDouble(1)
+    assert(smallEst == 64.0 * math.log(64.0 / 61.0))
+    intercept[IllegalArgumentException](Sketches.hllDistinct(small, "item", Seq("g"), p = 3))
+  }
+
+  test("hll is partitioning-invariant and duplicate-insensitive") {
+    val base = (0 until 300).map(i => s"v$i") ++ (0 until 300).map(i => s"v$i")
+    val a = base.toDF("item").withColumn("g", pmod(length(col("item")), lit(2)))
+    val b = base.toDF("item").repartition(7).withColumn("g", pmod(length(col("item")), lit(2)))
+    val dedup = base.distinct.toDF("item").withColumn("g", pmod(length(col("item")), lit(2)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllDistinct(df, "item", Seq("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(run(a) == run(b), "same data, different partitioning → same sketch")
+    assert(run(a) == run(dedup), "duplicates must not move any register")
+  }
 }
