@@ -189,6 +189,22 @@ object TextQueries {
         .orderBy("token")
     }),
 
+    // P52 — benchmark decontamination: every doc scored by the fraction
+    // of its distinct trigrams found in a probe set (docs with
+    // doc_id % 97 = 0 play the benchmark — they must self-score 1.0);
+    // the join runs on 56-bit portable gram hashes, which the oracle
+    // regenerates to replay hits, misses, and the 0.2 flag line exactly
+    "t13_decontam" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.operators.Decontaminate.ngramContamination(
+          d, "doc_id", "text",
+          d.where(col("doc_id") % 97 === 0), "text", n = 3,
+          flagThreshold = 0.2)
+        .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+          round(col("contamination"), 6).as("contamination"), col("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // P38 — PII redaction: the corpus text is deterministically enriched
     // with synthetic PII (emails/IPs varying by doc_id, constant phone/SSN)
     // on BOTH sides, then redacted; the oracle replays the same
@@ -275,6 +291,42 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // trigrams deduped as STRINGS first, hashed second (exactly the
+    // operator's array_distinct-then-hash order, so even a hash collision
+    // inside one doc replays identically); probe set = distinct hashes of
+    // the doc_id % 97 = 0 docs; flag compares the UNROUNDED fraction
+    "t13_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                           FOR i IN range(1, len(l) - 1)]) AS g
+        |    FROM toks)),
+        |gh AS (
+        |  SELECT doc_id,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('dc:' || g), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS h
+        |  FROM dg),
+        |p AS (SELECT DISTINCT h FROM gh WHERE doc_id % 97 = 0),
+        |c AS (
+        |  SELECT gh.doc_id, count(*) AS n_ngrams, count(p.h) AS n_contaminated
+        |  FROM gh LEFT JOIN p ON p.h = gh.h
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT d.doc_id,
+        |    coalesce(c.n_ngrams, 0) AS n_ngrams,
+        |    coalesce(c.n_contaminated, 0) AS n_contaminated,
+        |    CASE WHEN coalesce(c.n_ngrams, 0) = 0 THEN 0.0e0
+        |         ELSE CAST(c.n_contaminated AS DOUBLE) / c.n_ngrams END AS frac
+        |  FROM documents d LEFT JOIN c USING (doc_id))
+        |SELECT doc_id, n_ngrams, n_contaminated,
+        |  round(frac, 6) AS contamination, frac >= 0.2e0 AS flagged
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // sketch cells rebuilt via the portable-MD5 fold (the sa1/sa2 idiom):
     // bucket(r, tok) = first-14-hex-digit fold of md5('cms' || r || ':'
