@@ -184,4 +184,44 @@ object Sampling {
       .where(col("__rn") <= quotaCol)
       .drop("__rn")
   }
+
+  /**
+   * P53 — fractional epoch replication, the upsampling half of corpus
+   * mixing ([[mixCorpus]] is the downsampling half): each row whose
+   * domain has weight w appears floor(w) times, plus once more iff the
+   * portable hash of its key falls under frac(w)·2^56 — so a domain with
+   * w = 2.25 contributes every row twice and a deterministic quarter of
+   * its rows a third time, the "epochs per source" dial of an LLM
+   * data-mix recipe. Appends `epochCol` (0-based replica index).
+   *
+   * Zero shuffles at any scale: the weight map compiles to a CASE chain
+   * over the domain column (no join — recipes are a handful of literals)
+   * and replication is a per-row explode. Every decision is a pure
+   * function of (key, salt), so task retries, re-runs, and other engines
+   * regenerate the identical corpus — no RNG state anywhere. Thresholds
+   * truncate toward zero (any engine's floor-to-integer agrees); domains
+   * absent from `weights` get w = 0 and drop out, never silently pass
+   * through at w = 1.
+   */
+  def epochReplicate(df: DataFrame, keyCol: String, domainCol: String,
+      weights: Map[String, Double], salt: String = "mix:",
+      epochCol: String = "epoch"): DataFrame = {
+    require(weights.nonEmpty, "epochReplicate: need at least one domain")
+    require(weights.values.forall(w => w >= 0.0 && w <= 1000.0),
+      "epochReplicate: weights must be in [0, 1000]")
+    require(!df.columns.contains(epochCol),
+      s"epochReplicate: input already has a $epochCol column")
+    val twoTo56 = 72057594037927936.0 // 2^56, the hashValue range
+    val sorted = weights.toSeq.sortBy(_._1)
+    def chain(f: Double => Long): Column =
+      sorted.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+        when(col(domainCol) === d, lit(f(w))).otherwise(acc)
+      }
+    val base = chain(w => math.floor(w).toLong)
+    val thr = chain(w => ((w - math.floor(w)) * twoTo56).toLong)
+    val n = base + when(hashValue(col(keyCol), salt) < thr, 1L).otherwise(0L)
+    df.select(col("*"),
+      explode(when(n > 0L, sequence(lit(0L), n - 1L))
+        .otherwise(array().cast("array<bigint>"))).as(epochCol))
+  }
 }

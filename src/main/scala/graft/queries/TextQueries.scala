@@ -79,6 +79,20 @@ object TextQueries {
         .orderBy("stratum", "doc_id")
     }),
 
+    // P53 — fractional epoch replication: per-source weight
+    // 0.25 + (N%8)·0.5 (binary-exact, so frac·2^56 thresholds are too);
+    // src0/src8/src16 keep a quarter of their docs, src7/src15 run 3 full
+    // epochs plus a deterministic 75% fourth — the oracle recomputes
+    // weight, threshold, and replica list per row and must agree on every
+    // (doc_id, epoch)
+    "sa4_epochs" -> ((s, dir) => {
+      val w = (0 until 20).map(i => s"src$i" -> (0.25 + (i % 8) * 0.5)).toMap
+      graft.operators.Sampling.epochReplicate(
+          table(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", w)
+        .orderBy("doc_id", "epoch")
+    }),
+
     // P29 — token-window chunking (32-token chunks, 8-token overlap)
     "t5_chunks" -> ((s, dir) => {
       TextAnalysis.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
@@ -291,6 +305,28 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // weight rebuilt from the source index; the extra-epoch line is
+    // h < floor(frac(w)·2^56) with the truncating floor spelled out
+    // (DuckDB CAST double→BIGINT rounds-to-nearest, Scala toLong
+    // truncates — floor() makes them agree); range(0, n) is empty at
+    // n = 0, dropping w<1 misses exactly like the operator's explode
+    "sa4_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    0.25e0 + (CAST(substr(source, 4) AS INT) % 8) * 0.5e0 AS w,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS h
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(w) AS BIGINT) +
+        |    CASE WHEN h < CAST(floor((w - floor(w)) * 72057594037927936.0e0) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT doc_id, source, unnest(range(0, n)) AS epoch
+        |FROM n ORDER BY doc_id, epoch""".stripMargin,
 
     // trigrams deduped as STRINGS first, hashed second (exactly the
     // operator's array_distinct-then-hash order, so even a hash collision

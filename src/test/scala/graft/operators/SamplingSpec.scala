@@ -142,4 +142,35 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixCorpus(rows.withColumn("di", col("id") % 3), "di", "id",
         Map("0" -> 1.0)))
   }
+
+  test("epochReplicate: floor(w) full epochs plus a frac(w) hash slice") {
+    val rows = ((1L to 40L).map(_ -> "twice") ++ (41L to 80L).map(_ -> "half") ++
+      (81L to 90L).map(_ -> "junk")).toDF("id", "d")
+    val out = Sampling.epochReplicate(rows, "id", "d",
+        Map("twice" -> 2.0, "half" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // integer weight: every row exactly w times, epochs numbered 0..w−1
+    val twice = out.filter(_._2 == "twice")
+    assert(twice.length == 80)
+    assert(twice.groupBy(_._1).values.forall(_.map(_._3).sorted.sameElements(Seq(0L, 1L))))
+    // fractional weight: a strict hash-chosen subset at epoch 0 only
+    val half = out.filter(_._2 == "half")
+    assert(half.nonEmpty && half.length < 40 && half.forall(_._3 == 0L))
+    // unmapped domains drop out; determinism under repartition
+    assert(!out.exists(_._2 == "junk"))
+    val again = Sampling.epochReplicate(rows.repartition(7), "id", "d",
+        Map("twice" -> 2.0, "half" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == again.toSet && out.length == again.length)
+    // w = 2.5: between 2 and 3 copies per row, never outside
+    val mid = Sampling.epochReplicate(rows.where(col("d") === "twice"), "id", "d",
+        Map("twice" -> 2.5))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(mid.values.forall(n => n == 2 || n == 3) && mid.values.exists(_ == 3))
+    intercept[IllegalArgumentException](
+      Sampling.epochReplicate(rows, "id", "d", Map.empty[String, Double]))
+    intercept[IllegalArgumentException](
+      Sampling.epochReplicate(rows.withColumn("epoch", lit(1)), "id", "d",
+        Map("twice" -> 1.0)))
+  }
 }
