@@ -85,7 +85,7 @@ object TextQueries {
     // epochs plus a deterministic 75% fourth — the oracle recomputes
     // weight, threshold, and replica list per row and must agree on every
     // (doc_id, epoch)
-    "sa4_epochs" -> ((s, dir) => {
+    "sa5_epochs" -> ((s, dir) => {
       val w = (0 until 20).map(i => s"src$i" -> (0.25 + (i % 8) * 0.5)).toMap
       graft.operators.Sampling.epochReplicate(
           table(s, dir, "documents").select("doc_id", "source"),
@@ -311,7 +311,7 @@ object TextQueries {
     // (DuckDB CAST double→BIGINT rounds-to-nearest, Scala toLong
     // truncates — floor() makes them agree); range(0, n) is empty at
     // n = 0, dropping w<1 misses exactly like the operator's explode
-    "sa4_epochs" ->
+    "sa5_epochs" ->
       """WITH d AS (
         |  SELECT doc_id, source,
         |    0.25e0 + (CAST(substr(source, 4) AS INT) % 8) * 0.5e0 AS w,
