@@ -224,4 +224,43 @@ object Sampling {
       explode(when(n > 0L, sequence(lit(0L), n - 1L))
         .otherwise(array().cast("array<bigint>"))).as(epochCol))
   }
+
+  /**
+   * P54 — token-budget subsampling: per-domain budgets measured in TOKENS
+   * (the unit a training run actually buys), filled greedily in portable
+   * hash order — keep each row while the running token total stays within
+   * its domain's budget, then stop. The cut is a strict prefix: the first
+   * row that would overflow is dropped and nothing after it is
+   * reconsidered, so the kept set is a pure function of (data, budgets,
+   * salt) — no backfill heuristics that would make the boundary
+   * order-sensitive. Appends `cum_tokens` (the running total that
+   * justified keeping the row).
+   *
+   * One window shuffle keyed by domain; the running sum is exact integer
+   * arithmetic, so every engine agrees on the boundary row. A skewed
+   * giant domain costs one partition's sort — the [[cappedPerKey]] story;
+   * at 100 TB, budgets >> single-partition capacity would instead bucket
+   * the hash order (range-partition the hash, allocate per bucket), which
+   * composes from [[hashBucket]] + this per bucket. Domains without a
+   * budget are dropped, never passed through uncapped.
+   */
+  def tokenBudget(df: DataFrame, domainCol: String, idCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudget: need at least one domain budget")
+    require(budgets.values.forall(_ >= 0L),
+      "tokenBudget: budgets must be non-negative")
+    require(!df.columns.contains("cum_tokens"),
+      "tokenBudget: input already has a cum_tokens column — rename it first")
+    // absent domains get budget −1: cum_tokens ≥ 0 can never pass
+    val sorted = budgets.toSeq.sortBy(_._1)
+    val b = sorted.foldLeft(lit(-1L)) { case (acc, (d, q)) =>
+      when(col(domainCol) === d, lit(q)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .where(col("cum_tokens") <= b)
+  }
 }

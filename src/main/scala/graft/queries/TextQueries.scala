@@ -93,6 +93,20 @@ object TextQueries {
         .orderBy("doc_id", "epoch")
     }),
 
+    // P54 — token-budget subsampling: per-source budgets of
+    // 300 + (N%4)·100 tokens filled greedily in portable-hash order; the
+    // oracle replays the hash order and the exact integer running sum, so
+    // the boundary row of every domain must agree
+    "sa6_token_budget" -> ((s, dir) => {
+      val budgets = (0 until 20)
+        .map(i => s"src$i" -> (300L + (i % 4) * 100L)).toMap
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.tokenBudget(
+          docs, "source", "doc_id", "n_tokens", budgets)
+        .orderBy("source", "cum_tokens", "doc_id")
+    }),
+
     // P29 — token-window chunking (32-token chunks, 8-token overlap)
     "t5_chunks" -> ((s, dir) => {
       TextAnalysis.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
@@ -305,6 +319,28 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // hash order and inclusive running sum replayed with the portable-MD5
+    // fold; the budget is rebuilt from the source index — the cum is
+    // monotone, so cum <= budget is the same strict prefix on both sides
+    "sa6_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c
+        |WHERE cum_tokens <= 300 + (CAST(substr(source, 4) AS INT) % 4) * 100
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
 
     // weight rebuilt from the source index; the extra-epoch line is
     // h < floor(frac(w)·2^56) with the truncating floor spelled out

@@ -173,4 +173,34 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochReplicate(rows.withColumn("epoch", lit(1)), "id", "d",
         Map("twice" -> 1.0)))
   }
+
+  test("tokenBudget keeps the hash-order prefix that fits the domain budget") {
+    val rows = (1L to 30L).map(i => (i, if (i <= 20) "a" else "b", 10L))
+      .toDF("id", "d", "toks")
+    // a: 20 docs × 10 tokens, budget 95 → exactly 9 kept; b: all 10 fit
+    val out = Sampling.tokenBudget(rows, "d", "id", "toks",
+        Map("a" -> 95L, "b" -> 1000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val (as, bs) = out.partition(_._2 == "a")
+    assert(as.length == 9 && as.map(_._3).max == 90L)
+    assert(bs.length == 10 && bs.map(_._3).max == 100L)
+    // the kept set is the hash-order prefix, invariant under partitioning
+    val again = Sampling.tokenBudget(rows.repartition(7), "d", "id", "toks",
+        Map("a" -> 95L, "b" -> 1000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+    // zero budget keeps nothing but zero-token rows never sneak past −1
+    assert(Sampling.tokenBudget(rows, "d", "id", "toks",
+      Map("a" -> 0L)).count() == 0)
+    val zeroTok = Seq((1L, "c", 0L)).toDF("id", "d", "toks")
+    assert(Sampling.tokenBudget(zeroTok, "d", "id", "toks",
+      Map("c" -> 0L)).count() == 1) // 0 tokens fit a 0 budget
+    assert(Sampling.tokenBudget(zeroTok, "d", "id", "toks",
+      Map("other" -> 5L)).count() == 0) // unbudgeted domain dropped
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudget(rows, "d", "id", "toks", Map("a" -> -1L)))
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudget(rows.withColumn("cum_tokens", lit(1)), "d", "id",
+        "toks", Map("a" -> 5L)))
+  }
 }
