@@ -368,4 +368,45 @@ object TextAnalysis {
     import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
     exprCol(graft.expressions.WinnowFingerprintsExpr(colExpr(c), k, window))
   }
+
+  /** Corpus top-k vocabulary by occurrence count, ties broken by token
+    * text ascending (the deterministic-rank discipline: counts are exact
+    * integers, so the cut line is engine-portable). Distributed top-k —
+    * `orderBy.limit` plans as TakeOrderedAndProject, never a
+    * single-partition sort of the full vocabulary. */
+  def topKVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"topKVocab: k must be >= 1, got $k")
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(k)
+      .select("token")
+  }
+
+  /**
+   * P55 — out-of-vocabulary rate per document against the corpus's own
+   * [[topKVocab]]: the tokenizer-coverage signal (how much of each doc a
+   * k-entry vocabulary fails to cover). Counts OCCURRENCES, not types —
+   * a doc repeating one rare token is as uncovered as one spraying many.
+   * Token-less docs survive with rate 0.
+   *
+   * Scale shape: the vocab pass is one map-side-combinable count + a
+   * distributed top-k (bytes, not data, to the driver); the scoring pass
+   * broadcasts the k-row vocab into a left join — k is a design constant
+   * (32k–256k entries for real tokenizers), always broadcast-sized.
+   */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = broadcast(topKVocab(docs, textCol, k).withColumn("iv", lit(1)))
+    docs.select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy("id")
+      .agg(
+        count(col("token")).as("n_tokens"),
+        count(when(col("token").isNotNull && col("iv").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")))
+  }
 }

@@ -93,6 +93,17 @@ object TextQueries {
         .orderBy("doc_id", "epoch")
     }),
 
+    // P55 — OOV rate vs the corpus's own top-20 vocabulary (31 distinct
+    // tokens at sf0.01, so the cut is real and the count-tie line is
+    // settled by the token-asc tie-break on both sides); occurrences, not
+    // types
+    "t14_oov" -> ((s, dir) => {
+      TextAnalysis.oovRate(table(s, dir, "documents"), "doc_id", "text", k = 20)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
     // P54 — token-budget subsampling: per-source budgets of
     // 300 + (N%4)·100 tokens filled greedily in portable-hash order; the
     // oracle replays the hash order and the exact integer running sum, so
@@ -319,6 +330,31 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // vocab = ORDER BY count DESC, token LIMIT 20 (the same deterministic
+    // tie-break), then per-doc occurrence counting over a left join
+    "t14_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS c FROM toks GROUP BY 1
+        |    ORDER BY c DESC, token LIMIT 20)),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON v.token = t.token
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_tokens, 0) AS n_tokens,
+        |  coalesce(p.n_oov, 0) AS n_oov,
+        |  round(CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0e0
+        |        ELSE CAST(p.n_oov AS DOUBLE) / p.n_tokens END, 6) AS oov_rate
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // hash order and inclusive running sum replayed with the portable-MD5
     // fold; the budget is rebuilt from the source index — the cum is

@@ -228,4 +228,30 @@ class TextAnalysisSpec extends SparkSpec {
       "no pii here, just words and 3 numbers")
     intercept[IllegalArgumentException](TextAnalysis.piiCount(col("t"), "nope"))
   }
+
+  test("oovRate scores occurrence coverage against the top-k vocab") {
+    // counts: common×6 (3 docs × 2), mid×2, rare×1, solo×1 → k=2 vocab is
+    // {common, mid}; 'mid rare' ties at c=2? no: mid=2, rare=1
+    val docs = Seq(
+      (1L, "common common mid"),
+      (2L, "common common rare"),
+      (3L, "common common mid solo"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.topKVocab(docs, "text", 2)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab == Set("common", "mid"))
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(3L) == ((4L, 1L, 0.25)))
+    assert(out(4L) == ((0L, 0L, 0.0)), "token-less doc survives at rate 0")
+    // count ties fall to token-asc: 'aa' beats 'bb' at equal counts
+    val tied = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    assert(TextAnalysis.topKVocab(tied, "text", 1)
+      .collect().map(_.getString(0)).toSeq == Seq("aa"))
+    intercept[IllegalArgumentException](TextAnalysis.topKVocab(docs, "text", 0))
+  }
 }
