@@ -552,4 +552,53 @@ object Dedup {
         when(coalesce(col("n_matched"), lit(0L)) > 0, "Y").otherwise("N")
           .as("contaminated"))
   }
+
+  /**
+   * P52 — graded variant of [[decontaminate]]: instead of P39's
+   * any-hit Y/N, score each document by the FRACTION of its distinct
+   * n-grams found in the probe corpus and flag at `flagThreshold` — the
+   * dial between "touched an eval question" and "IS an eval question"
+   * (partial-overlap docs can stay; verbatim inclusions go).
+   *
+   * Scale differences from P39, deliberate: both sides collapse to
+   * DISTINCT 56-bit portable hashes of their n-grams before the join, so
+   * the shuffle carries 8-byte keys — never gram strings — and the probe
+   * side is NOT force-broadcast (a 100-TB probe union can exceed any
+   * broadcast budget; AQE broadcasts it when it fits). Hash collisions
+   * mark a gram contaminated identically in any engine — the hash is the
+   * join key on both sides, so the operator stays deterministic.
+   * Documents with fewer than n tokens score 0. Tokenization and n-gram
+   * construction are the same [[TextAnalysis.tokens]] /
+   * [[TextAnalysis.ngramArray]] rules as P39 and the repetition signals.
+   */
+  def ngramContamination(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int = 3,
+      flagThreshold: Double = 0.5): DataFrame = {
+    require(n >= 1 && n <= 4, s"ngramContamination: n must be in [1,4], got $n")
+    require(flagThreshold >= 0.0 && flagThreshold <= 1.0,
+      s"ngramContamination: flagThreshold must be in [0,1], got $flagThreshold")
+    def grams(c: Column) =
+      array_distinct(TextAnalysis.ngramArray(TextAnalysis.tokens(c), n))
+    // explode_outer keeps gram-less docs as one null-gram row, so they
+    // survive to the output with n_ngrams = 0 (count skips the null)
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+      explode_outer(grams(col(textCol))).as("g"))
+      .select(col("doc_id"), Sampling.hashValue(col("g"), "dc:").as("gh"),
+        col("g").isNotNull.as("present"))
+    val probeGrams = probes
+      .select(explode(grams(col(probeTextCol))).as("g"))
+      .select(Sampling.hashValue(col("g"), "dc:").as("gh"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    docGrams
+      .join(probeGrams, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(when(col("present"), lit(1))).as("n_ngrams"),
+        count(when(col("present"), col("hit"))).as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_ngrams") === 0L, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") / col("n_ngrams")))
+      .withColumn("flagged", col("contamination") >= lit(flagThreshold))
+  }
 }

@@ -235,7 +235,7 @@ object TextQueries {
     // regenerates to replay hits, misses, and the 0.2 flag line exactly
     "t13_decontam" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      graft.operators.Decontaminate.ngramContamination(
+      graft.operators.Dedup.ngramContamination(
           d, "doc_id", "text",
           d.where(col("doc_id") % 97 === 0), "text", n = 3,
           flagThreshold = 0.2)

@@ -4,14 +4,14 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Contamination fractions, gram-less docs, thresholds, determinism. */
+/** Graded contamination (Dedup.ngramContamination): fractions, gram-less docs, thresholds, determinism. */
 class DecontaminateSpec extends SparkSpec {
 
   import spark.implicits._
 
   private def run(docs: Seq[(Long, String)], probes: Seq[String],
       n: Int = 3, threshold: Double = 0.5) =
-    Decontaminate.ngramContamination(
+    Dedup.ngramContamination(
         docs.toDF("doc_id", "text"), "doc_id", "text",
         probes.toDF("text"), "text", n, threshold)
       .collect()
@@ -49,7 +49,7 @@ class DecontaminateSpec extends SparkSpec {
     val docs = (0L until 40L).map(i => i -> s"tok$i tok${i + 1} tok${i + 2} tok${i + 3}")
     val probes = Seq("tok5 tok6 tok7 tok8 tok9")
     val a = run(docs, probes)
-    val b = Decontaminate.ngramContamination(
+    val b = Dedup.ngramContamination(
         docs.toDF("doc_id", "text").repartition(7), "doc_id", "text",
         probes.toDF("text").repartition(3), "text", 3, 0.5)
       .collect()
