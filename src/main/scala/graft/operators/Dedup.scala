@@ -472,6 +472,34 @@ object Dedup {
   }
 
   /**
+   * P56 — semantic dedup (the SemDeDup recipe): drop every row that has
+   * ANY smaller-id neighbor within `threshold` cosine, kept or not.
+   * Deliberately DOMINANCE — one candidate pass, no iteration. It is
+   * more aggressive than greedy keep-first (which compares only against
+   * survivors, so a row whose only near neighbor was itself dropped
+   * stays) and cheaper than transitive closure (no fixed-point rounds);
+   * all three policies coincide when near-dup neighborhoods are cliques,
+   * the overwhelmingly common case of exact and scaled copies. For
+   * component semantics compose [[duplicateClusters]] + the d11
+   * retention instead.
+   *
+   * Candidates come from [[embeddingNearDupsLsh]] (banded hyperplane
+   * buckets — never all pairs), so at 100 TB the cost is the LSH
+   * pipeline plus one left-anti join of the corpus against the distinct
+   * dominated-id set, which is at most one id per dropped row. Returns
+   * the surviving rows with their original columns.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val dominated = embeddingNearDupsLsh(df, idCol, vecCol, threshold,
+      bits, bands, seed)
+      .select(col("j").as(idCol)) // (i, j) pairs carry i < j: j falls
+      .distinct()
+    df.join(dominated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * P37 — exact anti-join against a reference corpus with a bloom-filter
    * prefilter: keep the rows of `df` whose `keyCol` does NOT appear in
    * `ref(refKeyCol)` (incremental dedup — "drop everything already in the

@@ -152,6 +152,23 @@ object DedupQueries {
       Dedup.embeddingNearDupsLsh(e.unionByName(copies), "vec_id", "v", 0.8)
         .select(col("i"), col("j"))
         .orderBy("i", "j")
+    }),
+
+    // P56 — semantic dedup: colinear copies injected BELOW the base id for
+    // vec_id % 10 = 0 (the copy survives, the base falls) and ABOVE
+    // otherwise (the base survives) — an orientation bug in the dominance
+    // rule flips whole blocks of the survivor set. Same far-from-threshold
+    // data contract as d7 (max non-dup cosine ≈0.51 vs τ=0.8)
+    "d12_semdedup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = e.select(
+        when(col("vec_id") % 10 === 0, col("vec_id") - 100000)
+          .otherwise(col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x * 1.5).as("v"))
+      Dedup.semanticDedup(e.unionByName(copies), "vec_id", "v", 0.8)
+        .select("vec_id")
+        .orderBy("vec_id")
     })
   )
 
@@ -293,6 +310,27 @@ object DedupQueries {
         |SELECT a.vec_id AS i, b.vec_id AS j
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.8
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // survivors = rows with no smaller-id neighbor at cosine >= 0.8; the
+    // brute-force NOT EXISTS replays the LSH pipeline exactly because
+    // colinear pairs collide in every band (the d7 data contract)
+    "d12_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT CASE WHEN vec_id % 10 = 0 THEN vec_id - 100000
+        |              ELSE vec_id + 100000 END,
+        |         [x * 1.5 FOR x IN v]
+        |  FROM base)
+        |SELECT c.vec_id FROM corpus c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus o
+        |  WHERE o.vec_id < c.vec_id
+        |    AND list_cosine_similarity(o.v, c.v) >= 0.8)
+        |ORDER BY vec_id""".stripMargin
   )
 }

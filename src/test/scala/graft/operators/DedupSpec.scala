@@ -164,6 +164,36 @@ class DedupSpec extends SparkSpec {
     assert(lsh.toSet.subsetOf(brute.toSet)) // LSH verified results ⊆ brute
   }
 
+  test("semanticDedup keeps the lowest id of each neighborhood, by dominance") {
+    // 1∥2∥3 colinear (all pairwise cos 1) → only 1 survives; 7 orthogonal
+    // to everything survives; 5 close to 1 (cos ≈0.994 ≥ 0.95) falls to 1
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(2.0, 0.0, 0.0, 0.0)),
+      (3L, Array(5.0, 0.0, 0.0, 0.0)),
+      (5L, Array(0.9, 0.1, 0.0, 0.0)),
+      (7L, Array(0.0, 0.0, 1.0, 0.0))
+    ).toDF("id", "v")
+    val kept = Dedup.semanticDedup(vecs, "id", "v", 0.95, bits = 8, bands = 4)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 7L)))
+    // dominance is stricter than greedy-keep-first: c falls to the
+    // already-dropped b (a~b ≈0.9864, b~c ≈0.9878, a~c ≈0.9487 < τ —
+    // greedy-vs-survivors would have kept c)
+    val chain = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 1.0 / 6.0)), (3L, Array(1.0, 1.0 / 3.0))
+    ).toDF("id", "v")
+    val chainKept = Dedup.semanticDedup(chain, "id", "v", 0.98,
+        // 1-bit bands: ANY shared sign bit makes a candidate, so the
+        // near-but-not-colinear pairs can't be lost to a signature miss
+        bits = 8, bands = 8)
+      .collect().map(_.getLong(0)).sorted
+    assert(chainKept.sameElements(Array(1L)))
+    // survivors keep their original columns untouched
+    val cols = Dedup.semanticDedup(vecs, "id", "v", 0.95, bits = 8, bands = 4).columns
+    assert(cols.sameElements(Array("id", "v")))
+  }
+
   test("near-dup pipelines hold no cache at all (repeated calls don't leak)") {
     spark.catalog.clearCache()
     (1 to 2).foreach { _ =>
