@@ -409,4 +409,37 @@ object TextAnalysis {
         when(col("n_tokens") === 0L, lit(0.0))
           .otherwise(col("n_oov").cast("double") / col("n_tokens")))
   }
+
+  /**
+   * P57 — inverted-index construction: per token, document frequency,
+   * occurrence count, and the posting list of the first `maxPostings`
+   * doc ids ascending — the retrieval-side artifact a curation pipeline
+   * builds for corpus search and doc-frequency filters.
+   *
+   * Scale discipline: postings are CAPPED BEFORE the collect — a
+   * row_number window keyed by token keeps ids ≤ maxPostings, so a
+   * stopword's posting list can never materialize unbounded in an agg
+   * buffer (the uncapped collect_list is the memory mine every naive
+   * index build steps on). df/occ stay exact full counts from a
+   * map-side-combinable agg on the same shuffle key; two token-keyed
+   * shuffles total.
+   */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxPostings: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPostings >= 1,
+      s"invertedIndex: maxPostings must be >= 1, got $maxPostings")
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "id").agg(count(lit(1)).as("occ"))
+    val stats = perDoc.groupBy("token").agg(
+      count(lit(1)).as("df"), sum(col("occ")).as("occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("id").asc)
+    val capped = perDoc
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPostings)
+      .groupBy("token")
+      .agg(sort_array(collect_list(col("id"))).as("postings"))
+    stats.join(capped, Seq("token"))
+  }
 }

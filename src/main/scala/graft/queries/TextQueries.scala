@@ -93,6 +93,16 @@ object TextQueries {
         .orderBy("doc_id", "epoch")
     }),
 
+    // P57 — inverted index with 5-entry posting lists; postings joined to
+    // '|' strings so the hash compare sees one scalar per token
+    "iv1_inverted" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(table(s, dir, "documents"), "doc_id", "text",
+          maxPostings = 5)
+        .select(col("token"), col("df"), col("occurrences"),
+          concat_ws("|", col("postings")).as("postings"))
+        .orderBy("token")
+    }),
+
     // P55 — OOV rate vs the corpus's own top-20 vocabulary (31 distinct
     // tokens at sf0.01, so the cut is real and the count-tie line is
     // settled by the token-asc tie-break on both sides); occurrences, not
@@ -330,6 +340,28 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // df/occ from the full counts; postings = the 5 lowest doc ids per
+    // token, joined with '|' exactly like the Spark side
+    "iv1_inverted" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |per AS (SELECT token, doc_id, count(*) AS occ FROM toks GROUP BY 1, 2),
+        |stats AS (SELECT token, count(*) AS df, sum(occ) AS occurrences
+        |          FROM per GROUP BY 1),
+        |capped AS (
+        |  SELECT token, array_to_string(list(doc_id ORDER BY doc_id), '|') AS postings
+        |  FROM (
+        |    SELECT token, doc_id,
+        |      row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |    FROM per)
+        |  WHERE rn <= 5 GROUP BY 1)
+        |SELECT s.token, s.df, s.occurrences, c.postings
+        |FROM stats s JOIN capped c USING (token)
+        |ORDER BY s.token""".stripMargin,
 
     // vocab = ORDER BY count DESC, token LIMIT 20 (the same deterministic
     // tie-break), then per-doc occurrence counting over a left join

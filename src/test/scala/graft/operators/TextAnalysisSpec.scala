@@ -254,4 +254,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("aa"))
     intercept[IllegalArgumentException](TextAnalysis.topKVocab(docs, "text", 0))
   }
+
+  test("invertedIndex: exact df/occ, postings capped to the lowest ids") {
+    val docs = Seq(
+      (3L, "x x y"),
+      (1L, "x z"),
+      (2L, "x y"),
+      (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    // x: df 4, 5 occurrences (doc 3 has two), postings capped to [1, 2]
+    assert(out("x") == ((4L, 5L, Seq(1L, 2L))))
+    assert(out("y") == ((2L, 2L, Seq(2L, 3L))))
+    assert(out("z") == ((1L, 1L, Seq(1L))))
+    // cap 1 keeps only the lowest id; full stats unchanged
+    val one = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](3)))).toMap
+    assert(one("x") == ((4L, Seq(1L))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 0))
+  }
 }
