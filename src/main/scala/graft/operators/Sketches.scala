@@ -57,6 +57,35 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
   }
 
+  /**
+   * P58 — streaming count-min sketch: the batch [[countMinSketch]] cells
+   * per tumbling event-time window, over an unbounded stream. Plain
+   * windowed aggregation — no custom state — so Spark's incremental
+   * aggregation maintains the cells and the watermark expires them:
+   * state is O(windows-in-watermark · rows · width), a CONSTANT per
+   * window regardless of stream rate, which is the entire point of
+   * sketching a stream. Cells are the same portable-MD5 buckets as the
+   * batch sketch, so a window's cells equal the batch sketch of that
+   * window's events — replayable by any engine.
+   */
+  def streamingCountMin(stream: DataFrame, tsCol: String, itemCol: String,
+      rows: Int, width: Int, windowLen: String = "1 hour",
+      watermark: String = "2 hours", salt: String = "cms"): DataFrame = {
+    require(rows >= 1, s"streamingCountMin: rows must be >= 1, got $rows")
+    require(width >= 1, s"streamingCountMin: width must be >= 1, got $width")
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(array((0 until rows).map { r =>
+        struct(lit(r).as("r"),
+          Sampling.hashBucket(col(itemCol), width, s"$salt$r:").as("bucket"))
+      }: _*)).as("cell"))
+      .groupBy(window(col(tsCol), windowLen),
+        col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("r"),
+        col("bucket"), col("n"))
+  }
+
   /** Flajolet et al.'s bias constant α_m for an m-register HLL. */
   private def hllAlpha(m: Int): Double = m match {
     case 16 => 0.673

@@ -65,6 +65,40 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sketches.hllDistinct(small, "item", Seq("g"), p = 3))
   }
 
+  test("streaming cms cells equal the batch sketch of each window's events") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(minute: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Sketches.streamingCountMin(
+        input.toDF().toDF("ts", "item"), "ts", "item",
+        rows = 2, width = 8, windowLen = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scms")
+      .outputMode("update").start()
+    // two windows: [10:00,10:10) gets a,a,b — [10:10,10:20) gets a,c
+    input.addData((ts(1), "a"), (ts(3), "a"), (ts(7), "b"), (ts(12), "a"), (ts(15), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scms")
+      .groupBy("window_start", "r", "bucket").agg(max("n").as("n")) // update mode: keep latest
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    def batchCells(items: Seq[String]) =
+      Sketches.countMinSketch(items.toDF("item"), "item", 2, 8)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w1 = batchCells(Seq("a", "a", "b"))
+    val w2 = batchCells(Seq("a", "c"))
+    val gotW1 = got.collect { case ((w, r, b), n) if w == ts(0) => (r, b) -> n }
+    val gotW2 = got.collect { case ((w, r, b), n) if w == ts(10) => (r, b) -> n }
+    assert(gotW1 == w1, "window 1 cells must equal the batch sketch")
+    assert(gotW2 == w2, "window 2 cells must equal the batch sketch")
+    intercept[IllegalArgumentException](
+      Sketches.streamingCountMin(input.toDF().toDF("ts", "item"), "ts", "item",
+        rows = 0, width = 8))
+  }
+
   test("hll is partitioning-invariant and duplicate-insensitive") {
     val base = (0 until 300).map(i => s"v$i") ++ (0 until 300).map(i => s"v$i")
     val a = base.toDF("item").withColumn("g", pmod(length(col("item")), lit(2)))
