@@ -488,6 +488,13 @@ object Dedup {
    * pipeline plus one left-anti join of the corpus against the distinct
    * dominated-id set, which is at most one id per dropped row. Returns
    * the surviving rows with their original columns.
+   *
+   * Carve-out, inherited from the LSH candidate stage: rows with a NULL
+   * vector or a dimension different from the corpus's first non-null
+   * vector never enter candidate generation, so they always SURVIVE —
+   * indistinguishable here from "no near neighbor". A mixed-dimension
+   * corpus must be split (or validated) by the caller first; this
+   * operator will not dedup across the dimension boundary.
    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, bands: Int = 4,

@@ -260,7 +260,14 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
       .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
-    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+    // the strict-prefix contract needs a monotone running sum — a negative
+    // count (corrupt upstream, signed delta passed by mistake) would let
+    // rows re-enter after the cut, so it fails loudly instead
+    val tok = when(col(tokenCol) < 0,
+      raise_error(concat(lit("tokenBudget: negative token count at "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(col(tokenCol).cast("long"))
+    df.withColumn("cum_tokens", sum(tok).over(w))
       .where(col("cum_tokens") <= b)
   }
 }

@@ -219,8 +219,12 @@ object Similarity {
       dOut: Int, salt: String = "rp"): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
     require(dOut >= 1, s"randomProject: dOut must be >= 1, got $dOut")
-    val head = corpus.select(col(vecCol)).limit(1).collect()
-    require(head.nonEmpty, "randomProject: corpus is empty")
+    // dimension from the first NON-NULL vector (the embeddingNearDupsLsh
+    // rule — a null first row must not crash the probe); null vectors
+    // project to null, shorter/longer rows use matvec's overlap-prefix
+    val head = corpus.select(col(vecCol))
+      .where(col(vecCol).isNotNull).limit(1).collect()
+    require(head.nonEmpty, "randomProject: corpus has no non-null vectors")
     val dIn = head(0).getSeq[Any](0).length
     val md = java.security.MessageDigest.getInstance("MD5")
     val signs: Array[Array[Double]] = Array.tabulate(dOut, dIn) { (j, i) =>

@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
  */
 object Sketches {
 
+  /** The rows-way (r, bucket) cell expansion every CMS entry point shares
+    * — ONE definition so sketch build, point estimates, and the streaming
+    * variant can never drift apart in salt composition or struct shape
+    * (the cells must stay bit-identical across all three AND the SQL
+    * oracles). */
+  private def cmsCells(itemCol: Column, rows: Int, width: Int,
+      salt: String): Column = {
+    require(rows >= 1, s"count-min sketch: rows must be >= 1, got $rows")
+    require(width >= 1, s"count-min sketch: width must be >= 1, got $width")
+    explode(array((0 until rows).map { r =>
+      struct(lit(r).as("r"),
+        Sampling.hashBucket(itemCol, width, s"$salt$r:").as("bucket"))
+    }: _*))
+  }
+
   /**
    * P49 — count-min sketch over an item column (duplicates = occurrences):
    * `rows` independent hash rows of `width` buckets; cell (r, b) counts
@@ -23,36 +38,31 @@ object Sketches {
    * cells are absent (estimate readers coalesce to 0).
    */
   def countMinSketch(items: DataFrame, itemCol: String, rows: Int, width: Int,
-      salt: String = "cms"): DataFrame = {
-    require(rows >= 1, s"countMinSketch: rows must be >= 1, got $rows")
-    require(width >= 1, s"countMinSketch: width must be >= 1, got $width")
+      salt: String = "cms"): DataFrame =
     items
-      .select(explode(array((0 until rows).map { r =>
-        struct(lit(r).as("r"),
-          Sampling.hashBucket(col(itemCol), width, s"$salt$r:").as("bucket"))
-      }: _*)).as("cell"))
+      .select(cmsCells(col(itemCol), rows, width, salt).as("cell"))
       .groupBy(col("cell.r").as("r"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /**
    * P49 — point estimates from a count-min sketch: for each probe item,
    * est = min over hash rows of its cell count (the classic CM upper
    * bound: never below the true count, above it only when every row
-   * collides). The probe side expands `rows`-way and left-joins the
-   * sketch cells — broadcast-sized by construction (≤ rows·width cells).
+   * collides). The sketch side is ≤ rows·width cells — broadcast when
+   * that bound is small (the design point), left to the planner when a
+   * caller configures a sketch too large to pin on every executor.
    */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
       rows: Int, width: Int, salt: String = "cms"): DataFrame = {
-    require(rows >= 1, s"cmsEstimate: rows must be >= 1, got $rows")
-    require(width >= 1, s"cmsEstimate: width must be >= 1, got $width")
+    // 2^22 cells ≈ 100 MB of (int, long, long) rows — past any sane
+    // broadcast budget; rows·width is caller-controlled, so gate it
+    val sketchSide =
+      if (rows.toLong * width <= (1L << 22)) broadcast(sketch) else sketch
     probes
-      .select(col(itemCol).as("item"), explode(array((0 until rows).map { r =>
-        struct(lit(r).as("r"),
-          Sampling.hashBucket(col(itemCol), width, s"$salt$r:").as("bucket"))
-      }: _*)).as("cell"))
+      .select(col(itemCol).as("item"),
+        cmsCells(col(itemCol), rows, width, salt).as("cell"))
       .select(col("item"), col("cell.r").as("r"), col("cell.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .join(sketchSide, Seq("r", "bucket"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
   }
@@ -70,21 +80,15 @@ object Sketches {
    */
   def streamingCountMin(stream: DataFrame, tsCol: String, itemCol: String,
       rows: Int, width: Int, windowLen: String = "1 hour",
-      watermark: String = "2 hours", salt: String = "cms"): DataFrame = {
-    require(rows >= 1, s"streamingCountMin: rows must be >= 1, got $rows")
-    require(width >= 1, s"streamingCountMin: width must be >= 1, got $width")
+      watermark: String = "2 hours", salt: String = "cms"): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
-      .select(col(tsCol), explode(array((0 until rows).map { r =>
-        struct(lit(r).as("r"),
-          Sampling.hashBucket(col(itemCol), width, s"$salt$r:").as("bucket"))
-      }: _*)).as("cell"))
+      .select(col(tsCol), cmsCells(col(itemCol), rows, width, salt).as("cell"))
       .groupBy(window(col(tsCol), windowLen),
         col("cell.r").as("r"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("r"),
         col("bucket"), col("n"))
-  }
 
   /** Flajolet et al.'s bias constant α_m for an m-register HLL. */
   private def hllAlpha(m: Int): Double = m match {
@@ -110,6 +114,12 @@ object Sketches {
   def hllDistinct(items: DataFrame, itemCol: String, groupCols: Seq[String],
       p: Int = 6, salt: String = "hll:"): DataFrame = {
     require(p >= 4 && p <= 16, s"hllDistinct: p must be in [4, 16], got $p")
+    val internal = Set("register", "rank", "mj", "s_present", "n_regs",
+      "s", "v", "hll_est")
+    val clash = groupCols.filter(internal)
+    require(clash.isEmpty,
+      s"hllDistinct: group column(s) ${clash.mkString(", ")} collide with " +
+        "internal names — rename them first")
     val m = 1 << p
     val maxRank = 56 - p + 1 // w has 56-p bits; all-zero w ranks maxRank
     val group = groupCols.map(col)

@@ -237,7 +237,7 @@ object OlapQueries {
         |        FROM (
         |          SELECT event_type, colname,
         |            list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
-        |                FOR ch IN string_split(substr(md5('hll:' || item), 1, 14), '')],
+        |                FOR ch IN string_split(substr(md5('hll:' || coalesce(item, '')), 1, 14), '')],
         |              (acc, x) -> acc * 16 + x) AS hv
         |          FROM (
         |            SELECT DISTINCT event_type, 'u' AS colname,

@@ -397,7 +397,7 @@ object TextQueries {
         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |      x -> x <> '')) AS BIGINT) AS n_tokens,
         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
-        |        FOR ch IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |        FOR ch IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
         |      (acc, x) -> acc * 16 + x) AS h
         |  FROM documents),
         |c AS (
@@ -420,7 +420,7 @@ object TextQueries {
         |  SELECT doc_id, source,
         |    0.25e0 + (CAST(substr(source, 4) AS INT) % 8) * 0.5e0 AS w,
         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
-        |        FOR ch IN string_split(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |        FOR ch IN string_split(substr(md5('mix:' || coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
         |      (acc, x) -> acc * 16 + x) AS h
         |  FROM documents),
         |n AS (
@@ -534,7 +534,7 @@ object TextQueries {
         |h AS (
         |  SELECT doc_id, domain,
         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
-        |                 FOR ch IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |                 FOR ch IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
         |      (acc, x) -> acc * 16 + x) AS hv
         |  FROM d),
         |ranked AS (
@@ -552,7 +552,7 @@ object TextQueries {
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS n_tokens,
         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
-        |                 FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
         |      (acc, x) -> acc * 16 + x) AS hv
         |  FROM documents),
         |o AS (
@@ -569,7 +569,7 @@ object TextQueries {
       """WITH h AS (
         |  SELECT doc_id, doc_id % 5 AS stratum,
         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
-        |                 FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
         |      (acc, x) -> acc * 16 + x) AS hv
         |  FROM documents),
         |ranked AS (
@@ -585,7 +585,7 @@ object TextQueries {
       """WITH h AS (
         |  SELECT doc_id, doc_id % 7 AS klass,
         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
-        |                 FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
         |      (acc, x) -> acc * 16 + x) AS hv
         |  FROM documents),
         |ranked AS (
@@ -602,7 +602,7 @@ object TextQueries {
       """WITH b AS (
         |  SELECT doc_id,
         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
-        |                 FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
         |      (acc, x) -> acc * 16 + x) % 10000 AS bucket
         |  FROM documents)
         |SELECT doc_id, bucket,

@@ -202,5 +202,11 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.tokenBudget(rows.withColumn("cum_tokens", lit(1)), "d", "id",
         "toks", Map("a" -> 5L)))
+    // a negative token count would break the monotone strict-prefix cut —
+    // it must fail loudly, not let later rows re-enter under the budget
+    val negative = Seq((1L, "a", 60L), (2L, "a", -30L)).toDF("id", "d", "toks")
+    val ex = intercept[Exception](
+      Sampling.tokenBudget(negative, "d", "id", "toks", Map("a" -> 100L)).count())
+    assert(ex.getMessage != null)
   }
 }

@@ -161,11 +161,24 @@ class SimilaritySpec extends SparkSpec {
       (if ((b & 0x80) != 0) -1.0 else 1.0) * 0.5
     }
     assert(got(1L) == expected)
-    // identical inputs project identically; the matrix has both signs
+    // identical inputs project identically
     assert(got(1L) == got(2L))
-    assert(expected.map(math.signum).toSet.size >= 1)
+    // the full 4×3 sign matrix must contain BOTH signs (a bug that reads
+    // the wrong md5 bit and emits all +1 would otherwise pass)
+    val allSigns = (for (j <- 0 until 4; i <- 0 until 3) yield {
+      val b = md.digest(s"rp:$j:$i".getBytes("UTF-8"))(0)
+      if ((b & 0x80) != 0) -1.0 else 1.0
+    }).toSet
+    assert(allSigns == Set(-1.0, 1.0))
     intercept[IllegalArgumentException](
       Similarity.randomProject(df, "id", "v", dOut = 0))
+    // a null first row must not crash the dimension probe (the
+    // embeddingNearDupsLsh rule); null vectors project to null
+    val ragged = Seq((1L, null: Array[Double]), (2L, Array(0.0, 0.0, 1.0)))
+      .toDF("id", "v")
+    val r = Similarity.randomProject(ragged, "id", "v", dOut = 4)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(1L).isEmpty && r(2L).nonEmpty)
   }
 
   test("pqAdcTopK ranks by the summed per-subspace table distances") {

@@ -63,6 +63,9 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getDouble(1)
     assert(smallEst == 64.0 * math.log(64.0 / 61.0))
     intercept[IllegalArgumentException](Sketches.hllDistinct(small, "item", Seq("g"), p = 3))
+    // group columns must not shadow the sketch's internal names
+    intercept[IllegalArgumentException](
+      Sketches.hllDistinct(small.withColumnRenamed("g", "rank"), "item", Seq("rank")))
   }
 
   test("streaming cms cells equal the batch sketch of each window's events") {
