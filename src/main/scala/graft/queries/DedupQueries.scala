@@ -169,6 +169,31 @@ object DedupQueries {
       Dedup.semanticDedup(e.unionByName(copies), "vec_id", "v", 0.8)
         .select("vec_id")
         .orderBy("vec_id")
+    }),
+
+    // P59 — the full curation pipeline as ONE lazy plan: quality floor
+    // (≥30 tokens) → exact dedup (min-id survivor per text) → benchmark
+    // decontamination (drop ≥0.8 trigram overlap vs the doc_id%97 probe
+    // set) → 90/5/5 hash split. Every stage is an operator with its own
+    // green oracle; this query proves they COMPOSE deterministically —
+    // the oracle replays all four stages in sequence and must agree on
+    // every surviving (doc_id, n_tokens, split) row
+    "pipe1_curation" -> ((s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      val probes = table(s, dir, "documents").where(col("doc_id") % 97 === 0)
+      val quality = corpus
+        .where(graft.operators.TextAnalysis.tokenCount(col("text")) >= 30)
+      val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+      val scored = Dedup.ngramContamination(deduped, "doc_id", "text",
+        probes, "text", n = 3, flagThreshold = 0.8)
+      val kept = deduped
+        .join(scored.where(!col("flagged")).select("doc_id"), Seq("doc_id"))
+      graft.operators.Sampling.hashSplit(
+          kept.select(col("doc_id"),
+            graft.operators.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("n_tokens")),
+          "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .orderBy("doc_id")
     })
   )
 
@@ -331,6 +356,71 @@ object DedupQueries {
         |  SELECT 1 FROM corpus o
         |  WHERE o.vec_id < c.vec_id
         |    AND list_cosine_similarity(o.v, c.v) >= 0.8)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // four-stage sequential replay: the quality floor and dedup reuse the
+    // d1 idioms, contamination the t13 trigram-hash fold ('dc:' salt,
+    // strings deduped before hashing), the split the sa1 bucket CASE with
+    // 0.9/0.95 bounds; survivors always have n_ngrams >= 1 (>= 30 tokens)
+    "pipe1_curation" ->
+      s"""WITH corpus AS ($dupedDocsSql),
+         |probes AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+         |quality AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM corpus
+         |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> x <> '')) >= 30),
+         |dedup AS (
+         |  SELECT doc_id, text, n_tokens FROM (
+         |    SELECT doc_id, text, n_tokens,
+         |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM quality) WHERE rn = 1),
+         |dg AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT d.doc_id,
+         |      unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+         |              FOR i IN range(1, len(l) - 1)]) AS g
+         |    FROM (SELECT doc_id,
+         |            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |              x -> x <> '') AS l
+         |          FROM dedup) d)),
+         |dh AS (
+         |  SELECT doc_id,
+         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+         |        FOR ch IN string_split(substr(md5('dc:' || g), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) AS h
+         |  FROM dg),
+         |pg AS (
+         |  SELECT DISTINCT
+         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+         |        FOR ch IN string_split(substr(md5('dc:' || g), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) AS h
+         |  FROM (
+         |    SELECT DISTINCT unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+         |                    FOR i IN range(1, len(l) - 1)]) AS g
+         |    FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |            x -> x <> '') AS l
+         |          FROM probes))),
+         |scored AS (
+         |  SELECT dh.doc_id, count(*) AS n_g, count(pg.h) AS n_hit
+         |  FROM dh LEFT JOIN pg ON pg.h = dh.h
+         |  GROUP BY 1),
+         |kept AS (
+         |  SELECT d.doc_id, d.n_tokens
+         |  FROM dedup d JOIN scored s USING (doc_id)
+         |  WHERE NOT (CAST(s.n_hit AS DOUBLE) / s.n_g >= 0.8))
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN bucket < 9000 THEN 'train'
+         |       WHEN bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+         |        FOR ch IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) % 10000 AS bucket
+         |  FROM kept)
+         |ORDER BY doc_id""".stripMargin
   )
 }
