@@ -424,6 +424,50 @@ object TextAnalysis {
    * map-side-combinable agg on the same shuffle key; two token-keyed
    * shuffles total.
    */
+  /**
+   * P60 — pointwise mutual information over ADJACENT token pairs:
+   * PMI(a,b) = ln( (c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok)) ), the
+   * collocation signal (word2vec-era preprocessing, multiword-expression
+   * mining). `minPairCount` prunes the heavy tail BEFORE the unigram
+   * joins — rare pairs dominate the pair space and carry no signal.
+   *
+   * Scale shape: one map-side-combinable pair count (adjacent pairs
+   * only — corpus-linear, never a per-window cross product), one unigram
+   * count, two joins of the pruned pair table against the vocab-sized
+   * unigram table (AQE broadcasts the small side). The two normalizing
+   * totals travel as scalar literals (the o3 pattern — bytes, not data):
+   * N_pairs is the PRE-prune total, so pruning changes coverage, never
+   * the score of a surviving pair.
+   */
+  def pmiPairs(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minPairCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minPairCount >= 1,
+      s"pmiPairs: minPairCount must be >= 1, got $minPairCount")
+    val toks = docs.select(tokens(col(textCol)).as("l"))
+    val pairs = toks
+      .select(explode(ngramArray(col("l"), 2)).as("g"))
+      .select(split(col("g"), " ", 2).getItem(0).as("a"),
+        split(col("g"), " ", 2).getItem(1).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("l")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val totals = pairs.agg(sum(col("c_ab"))).head()
+    val nPairs = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val nTok = uni.agg(sum(col("c"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(nPairs > 0 && nTok > 0, "pmiPairs: corpus has no token pairs")
+    pairs
+      .where(col("c_ab") >= minPairCount)
+      .join(uni.withColumnRenamed("token", "a").withColumnRenamed("c", "c_a"), Seq("a"))
+      .join(uni.withColumnRenamed("token", "b").withColumnRenamed("c", "c_b"), Seq("b"))
+      .select(col("a"), col("b"), col("c_ab"),
+        log((col("c_ab").cast("double") / nPairs) /
+          ((col("c_a").cast("double") / nTok) * (col("c_b").cast("double") / nTok)))
+          .as("pmi"))
+  }
+
   def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, maxPostings: Int): org.apache.spark.sql.DataFrame = {
     require(maxPostings >= 1,

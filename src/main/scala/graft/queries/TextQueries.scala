@@ -93,6 +93,17 @@ object TextQueries {
         .orderBy("doc_id", "epoch")
     }),
 
+    // P60 — adjacent-pair PMI with min count 5; both engines compute the
+    // identical double op sequence before ln, so round(·,6) is the usual
+    // cross-libm insurance (the t6/t11 discipline)
+    "t15_pmi" -> ((s, dir) => {
+      TextAnalysis.pmiPairs(table(s, dir, "documents"), "text",
+          minPairCount = 5)
+        .select(col("a"), col("b"), col("c_ab"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("a", "b")
+    }),
+
     // P57 — inverted index with 5-entry posting lists; postings joined to
     // '|' strings so the hash compare sees one scalar per token
     "iv1_inverted" -> ((s, dir) => {
@@ -340,6 +351,35 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // same op sequence: (c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok)) then
+    // ln; N_pairs is the PRE-prune total on both sides
+    "t15_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS l
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b,
+        |    count(*) AS c_ab
+        |  FROM (SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS g
+        |        FROM toks)
+        |  GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT token, count(*) AS c
+        |  FROM (SELECT unnest(l) AS token FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM pairs),
+        |tott AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni)
+        |SELECT p.a, p.b, p.c_ab,
+        |  round(ln((CAST(p.c_ab AS DOUBLE) / t.n_pairs) /
+        |           ((CAST(ua.c AS DOUBLE) / tt.n_tok) *
+        |            (CAST(ub.c AS DOUBLE) / tt.n_tok))), 6) AS pmi
+        |FROM pairs p
+        |JOIN uni ua ON ua.token = p.a
+        |JOIN uni ub ON ub.token = p.b
+        |CROSS JOIN tot t CROSS JOIN tott tt
+        |WHERE p.c_ab >= 5
+        |ORDER BY p.a, p.b""".stripMargin,
 
     // df/occ from the full counts; postings = the 5 lowest doc ids per
     // token, joined with '|' exactly like the Spark side

@@ -277,4 +277,27 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 0))
   }
+
+  test("pmiPairs scores adjacent collocations against independence") {
+    // corpus: 'a b' always adjacent (perfect collocation), 'c' independent
+    // docs: 'a b c', 'a b', 'c a b' → pairs: (a,b)×3, (b,c)×1, (c,a)×1
+    // N_pairs = 5, N_tok = 8; c_a = c_b = 3, c_c = 2
+    val docs = Seq("a b c", "a b", "c a b").toDF("text")
+    val out = TextAnalysis.pmiPairs(docs, "text", minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def pmi(cab: Long, ca: Long, cb: Long) =
+      math.log((cab.toDouble / 5) / ((ca.toDouble / 8) * (cb.toDouble / 8)))
+    assert(out(("a", "b")) == ((3L, pmi(3, 3, 3))))
+    assert(out(("b", "c")) == ((1L, pmi(1, 3, 2))))
+    assert(out(("c", "a")) == ((1L, pmi(1, 2, 3))))
+    assert(out(("a", "b"))._2 > 0, "perfect collocation must score positive")
+    // pruning drops rare pairs but keeps surviving scores IDENTICAL
+    // (N_pairs is the pre-prune total)
+    val pruned = TextAnalysis.pmiPairs(docs, "text", minPairCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(pruned.keySet == Set(("a", "b")))
+    assert(pruned(("a", "b")) == out(("a", "b"))._2)
+    intercept[IllegalArgumentException](TextAnalysis.pmiPairs(docs, "text", 0))
+  }
 }
