@@ -176,6 +176,30 @@ object VecEval {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /**
+   * Int8-style scalar quantization: `code(d) = floor((x_d − min_d)·255 /
+   * (max_d − min_d) + 0.5)` clamped to [0, 255]; a zero-range dimension
+   * codes 0. The exact op sequence (subtract, ·255, divide, +0.5, floor,
+   * clamp) is the contract an oracle replays. Dims = the overlapping
+   * prefix of (v, mins).
+   */
+  def sqEncode(v: ArrayData, mins: Array[Double], maxs: Array[Double]): ArrayData = {
+    val n = math.min(v.numElements(), mins.length)
+    val out = new Array[Int](n)
+    var d = 0
+    while (d < n) {
+      val range = maxs(d) - mins(d)
+      out(d) =
+        if (range == 0.0) 0
+        else {
+          val c = math.floor((v.getDouble(d) - mins(d)) * 255.0 / range + 0.5)
+          math.min(math.max(c, 0.0), 255.0).toInt
+        }
+      d += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 0-based index of the max-dot-product centroid; first (lowest index)
     * wins ties. Rows shorter/longer than a centroid use the overlapping
     * prefix. Requires non-null elements (feed it [[VecL2Norm]] output). */
@@ -314,6 +338,34 @@ case class MatVecExpr(child: Expression, m: Array[Array[Double]], scale: Double)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
+    copy(child = newChild)
+}
+
+/** Scalar-quantization kernel: `array<double> → array<int>` of per-dim
+  * uint8 codes ([[VecEval.sqEncode]]); min/max arrays ride as reference
+  * objects. */
+case class SqEncodeExpr(child: Expression, mins: Array[Double],
+    maxs: Array[Double]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq_encode requires ARRAY<DOUBLE> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecEval.sqEncode(input.asInstanceOf[ArrayData], mins, maxs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val mx = ctx.addReferenceObj("sqMaxs", maxs, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VecEval.sqEncode($c, $mn, $mx)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncodeExpr =
     copy(child = newChild)
 }
 

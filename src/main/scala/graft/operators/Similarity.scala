@@ -206,6 +206,40 @@ object Similarity {
   }
 
   /**
+   * P61 — int8 scalar quantization: per-dimension min/max over the corpus
+   * (exact extrema — no sums, so no order dependence), then each vector
+   * encoded to uint8 codes by the compiled [[graft.expressions.SqEncodeExpr]]
+   * kernel: floor((x−min)·255/(max−min) + 0.5), clamped; zero-range dims
+   * code 0. The 4×-to-8× memory cut that makes billion-vector indexes fit
+   * in RAM — PQ's simpler sibling (per-dim, no codebook training).
+   *
+   * Shape at scale: ONE map-side-combinable min/max aggregation (the
+   * per-dim stats are 2·dims doubles to the driver — bytes, not data),
+   * then a stateless compiled projection; the stats ride into codegen as
+   * reference objects. Re-runs over the same corpus regenerate identical
+   * codes — extrema are deterministic regardless of partitioning.
+   */
+  def sqQuantize(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    val stats = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"))
+      .orderBy("d").collect()
+    require(stats.nonEmpty, "sqQuantize: corpus has no vector elements")
+    // every dim present in every (non-null) vector: a shorter vector would
+    // silently get extrema from a subset and mis-code the rest
+    require(stats.zipWithIndex.forall { case (r, i) => r.getInt(0) == i } &&
+        stats.map(_.getLong(3)).distinct.length == 1,
+      "sqQuantize: ragged corpus — vectors must share one dimensionality")
+    val mins = stats.map(_.getDouble(1))
+    val maxs = stats.map(_.getDouble(2))
+    corpus.select(col(idCol).as("id"),
+      exprCol(graft.expressions.SqEncodeExpr(
+        colExpr(col(vecCol).cast("array<double>")), mins, maxs)).as("codes"))
+  }
+
+  /**
    * P50 — signed random projection (Johnson–Lindenstrauss): project each
    * vector to `dOut` dims with a ±1 sign matrix, scaled by 1/√dOut — the
    * dimensionality-reduction front end that cuts ANN/LSH cost before any

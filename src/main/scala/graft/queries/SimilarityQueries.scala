@@ -88,6 +88,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // P61 — int8 scalar quantization: per-dim corpus extrema, then the
+    // exact floor((x−min)·255/(max−min)+0.5) sequence per element — the
+    // oracle recomputes extrema and codes with the identical IEEE ops, so
+    // every (vec_id, pos, code) must match
+    "sim7_sq_encode" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.sqQuantize(e, "vec_id", "v")
+        .select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .orderBy("vec_id", "pos")
+    }),
+
     // P50 — signed random projection: 64 → 16 dims with the MD5-derived
     // ±1 matrix and binary-exact 1/√16 = 0.25 scaling; the oracle
     // regenerates the same signs from md5 and folds in the same ascending
@@ -173,6 +185,25 @@ object SimilarityQueries {
         |LEFT JOIN cells c ON c.centroid_id = rc.centroid_id AND c.pos = p.i - 1
         |LEFT JOIN sizes s ON s.centroid_id = rc.centroid_id
         |ORDER BY rc.centroid_id, pos""".stripMargin,
+
+    // extrema recomputed per dim, then the identical subtract/·255/
+    // divide/+0.5/floor/clamp sequence (e0 literals keep every constant
+    // a DOUBLE)
+    "sim7_sq_encode" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT d.d, min(e.v[d.d + 1]) AS mn, max(e.v[d.d + 1]) AS mx
+        |  FROM e CROSS JOIN range(64) d(d) GROUP BY 1)
+        |SELECT e.vec_id, CAST(m.d AS INT) AS pos,
+        |  CASE WHEN m.mx - m.mn = 0 THEN 0
+        |       ELSE CAST(least(greatest(
+        |         floor((e.v[m.d + 1] - m.mn) * 255.0e0 / (m.mx - m.mn) + 0.5e0),
+        |         0.0e0), 255.0e0) AS INT)
+        |  END AS code
+        |FROM e CROSS JOIN dims m
+        |ORDER BY vec_id, pos""".stripMargin,
 
     // sign(j,i) = −1 iff the first hex nibble of md5('rp:j:i') ≥ 8 —
     // regenerated inline; the projection is the ascending-i ordered fold

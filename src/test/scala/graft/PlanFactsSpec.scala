@@ -103,7 +103,8 @@ class PlanFactsSpec extends SparkSpec {
     // boxed per element — banned from the per-row kernels of the ANN and
     // embedding-dedup paths (BENCH_r02's sim2 regression was exactly this)
     for (q <- Seq("sim1_brute_topk", "sim2_ivf_topk", "sim4_pq_encode",
-        "sim5_adc_topk", "sim6_random_projection", "d12_semdedup")) {
+        "sim5_adc_topk", "sim6_random_projection", "sim7_sq_encode",
+        "d12_semdedup")) {
       val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
       assert(!p.contains("zip_with") && !p.contains("aggregate("),
         s"$q hot path regressed to interpreted HOF vector math:\n$p")

@@ -181,6 +181,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1L).isEmpty && r(2L).nonEmpty)
   }
 
+  test("sqQuantize codes per-dim extrema to the uint8 grid") {
+    // dim 0 spans [0, 10]: 0→0, 5→128 (127.5+0.5 floors to 128), 10→255;
+    // dim 1 is constant (zero range) → always 0
+    val df = Seq(
+      (1L, Array(0.0, 7.0)),
+      (2L, Array(5.0, 7.0)),
+      (3L, Array(10.0, 7.0))
+    ).toDF("id", "v")
+    val got = Similarity.sqQuantize(df, "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(0, 0))
+    assert(got(2L) == Seq(128, 0))
+    assert(got(3L) == Seq(255, 0))
+    // partitioning-invariant: extrema are exact, not order-dependent
+    val again = Similarity.sqQuantize(df.repartition(3), "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == again)
+    // ragged corpora are rejected, not silently mis-coded
+    val ragged = Seq((1L, Array(1.0)), (2L, Array(1.0, 2.0))).toDF("id", "v")
+    intercept[IllegalArgumentException](Similarity.sqQuantize(ragged, "id", "v"))
+  }
+
   test("pqAdcTopK ranks by the summed per-subspace table distances") {
     val (books, dsub) = Similarity.pqCodebooks(pqCorpus, "id", "v", m = 2, k = 2)
     val codes = Similarity.pqEncode(pqCorpus, books, dsub, "id", "v")
