@@ -221,17 +221,20 @@ object Similarity {
    */
   def sqQuantize(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    // uniform dimensionality among non-null vectors, checked on SIZES —
+    // a per-dim count check alone cannot see zero-length vectors (they
+    // contribute no exploded rows and would sail through to empty codes)
+    val sizes = corpus.where(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
+      .head()
+    require(!sizes.isNullAt(0) && sizes.getInt(0) == sizes.getInt(1) &&
+        sizes.getInt(0) >= 1,
+      "sqQuantize: vectors must share one non-zero dimensionality " +
+        s"(saw sizes ${if (sizes.isNullAt(0)) "none" else s"${sizes.getInt(0)}..${sizes.getInt(1)}"})")
     val stats = corpus
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
-      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
-        count(lit(1)).as("n"))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy("d").collect()
-    require(stats.nonEmpty, "sqQuantize: corpus has no vector elements")
-    // every dim present in every (non-null) vector: a shorter vector would
-    // silently get extrema from a subset and mis-code the rest
-    require(stats.zipWithIndex.forall { case (r, i) => r.getInt(0) == i } &&
-        stats.map(_.getLong(3)).distinct.length == 1,
-      "sqQuantize: ragged corpus — vectors must share one dimensionality")
     val mins = stats.map(_.getDouble(1))
     val maxs = stats.map(_.getDouble(2))
     corpus.select(col(idCol).as("id"),

@@ -54,10 +54,12 @@ object Sketches {
    */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
       rows: Int, width: Int, salt: String = "cms"): DataFrame = {
-    // 2^22 cells ≈ 100 MB of (int, long, long) rows — past any sane
-    // broadcast budget; rows·width is caller-controlled, so gate it
+    // force-broadcast only sketches clearly inside Spark's default 10 MB
+    // broadcast budget (2^18 cells ≈ 6 MB of (int, long, long) rows);
+    // larger caller-configured sketches fall back to the planner, which
+    // still broadcasts when its own threshold allows
     val sketchSide =
-      if (rows.toLong * width <= (1L << 22)) broadcast(sketch) else sketch
+      if (rows.toLong * width <= (1L << 18)) broadcast(sketch) else sketch
     probes
       .select(col(itemCol).as("item"),
         cmsCells(col(itemCol), rows, width, salt).as("cell"))

@@ -422,57 +422,16 @@ object TextAnalysis {
    * buffer (the uncapped collect_list is the memory mine every naive
    * index build steps on). df/occ stay exact full counts from a
    * map-side-combinable agg on the same shuffle key; two token-keyed
-   * shuffles total.
+   * shuffles total. Null-id docs are dropped up front — an index keyed
+   * by id cannot point at them, and a null would otherwise consume a
+   * posting slot that collect_list then silently drops.
    */
-  /**
-   * P60 — pointwise mutual information over ADJACENT token pairs:
-   * PMI(a,b) = ln( (c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok)) ), the
-   * collocation signal (word2vec-era preprocessing, multiword-expression
-   * mining). `minPairCount` prunes the heavy tail BEFORE the unigram
-   * joins — rare pairs dominate the pair space and carry no signal.
-   *
-   * Scale shape: one map-side-combinable pair count (adjacent pairs
-   * only — corpus-linear, never a per-window cross product), one unigram
-   * count, two joins of the pruned pair table against the vocab-sized
-   * unigram table (AQE broadcasts the small side). The two normalizing
-   * totals travel as scalar literals (the o3 pattern — bytes, not data):
-   * N_pairs is the PRE-prune total, so pruning changes coverage, never
-   * the score of a surviving pair.
-   */
-  def pmiPairs(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      minPairCount: Long): org.apache.spark.sql.DataFrame = {
-    require(minPairCount >= 1,
-      s"pmiPairs: minPairCount must be >= 1, got $minPairCount")
-    val toks = docs.select(tokens(col(textCol)).as("l"))
-    val pairs = toks
-      .select(explode(ngramArray(col("l"), 2)).as("g"))
-      .select(split(col("g"), " ", 2).getItem(0).as("a"),
-        split(col("g"), " ", 2).getItem(1).as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val uni = toks.select(explode(col("l")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("c"))
-    val totals = pairs.agg(sum(col("c_ab"))).head()
-    val nPairs = if (totals.isNullAt(0)) 0L else totals.getLong(0)
-    val nTok = uni.agg(sum(col("c"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    require(nPairs > 0 && nTok > 0, "pmiPairs: corpus has no token pairs")
-    pairs
-      .where(col("c_ab") >= minPairCount)
-      .join(uni.withColumnRenamed("token", "a").withColumnRenamed("c", "c_a"), Seq("a"))
-      .join(uni.withColumnRenamed("token", "b").withColumnRenamed("c", "c_b"), Seq("b"))
-      .select(col("a"), col("b"), col("c_ab"),
-        log((col("c_ab").cast("double") / nPairs) /
-          ((col("c_a").cast("double") / nTok) * (col("c_b").cast("double") / nTok)))
-          .as("pmi"))
-  }
-
   def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, maxPostings: Int): org.apache.spark.sql.DataFrame = {
     require(maxPostings >= 1,
       s"invertedIndex: maxPostings must be >= 1, got $maxPostings")
     val perDoc = docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
       .groupBy("token", "id").agg(count(lit(1)).as("occ"))
     val stats = perDoc.groupBy("token").agg(
@@ -485,5 +444,51 @@ object TextAnalysis {
       .groupBy("token")
       .agg(sort_array(collect_list(col("id"))).as("postings"))
     stats.join(capped, Seq("token"))
+  }
+
+  /**
+   * P60 — pointwise mutual information over ADJACENT token pairs:
+   * PMI(a,b) = ln( (c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok)) ), the
+   * collocation signal (word2vec-era preprocessing, multiword-expression
+   * mining). `minPairCount` prunes the heavy tail BEFORE the unigram
+   * joins — rare pairs dominate the pair space and carry no signal.
+   *
+   * Scale shape: one map-side-combinable pair count (adjacent pairs
+   * only — corpus-linear, never a per-window cross product), one unigram
+   * count, two joins of the pruned pair table against the vocab-sized
+   * unigram table (AQE broadcasts the small side). The two normalizing
+   * totals travel as scalar literals (the o3 pattern — bytes, not data)
+   * and come from ONE token-length aggregation — N_tok = Σ len(l),
+   * N_pairs = Σ max(len(l)−1, 0) — not from re-aggregating the exploded
+   * pair/unigram tables (that formulation tokenized the corpus twice
+   * more at build time). N_pairs is the PRE-prune total, so pruning
+   * changes coverage, never the score of a surviving pair.
+   */
+  def pmiPairs(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minPairCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minPairCount >= 1,
+      s"pmiPairs: minPairCount must be >= 1, got $minPairCount")
+    val toks = docs.select(tokens(col(textCol)).as("l"))
+    val totals = toks.agg(
+      sum(size(col("l")).cast("long")).as("nt"),
+      sum(greatest(size(col("l")) - 1, lit(0)).cast("long")).as("np")).head()
+    val nTok = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val nPairs = if (totals.isNullAt(1)) 0L else totals.getLong(1)
+    require(nPairs > 0 && nTok > 0, "pmiPairs: corpus has no token pairs")
+    val pairs = toks
+      .select(explode(ngramArray(col("l"), 2)).as("g"))
+      .select(split(col("g"), " ", 2).getItem(0).as("a"),
+        split(col("g"), " ", 2).getItem(1).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("l")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    pairs
+      .where(col("c_ab") >= minPairCount)
+      .join(uni.withColumnRenamed("token", "a").withColumnRenamed("c", "c_a"), Seq("a"))
+      .join(uni.withColumnRenamed("token", "b").withColumnRenamed("c", "c_b"), Seq("b"))
+      .select(col("a"), col("b"), col("c_ab"),
+        log((col("c_ab").cast("double") / nPairs) /
+          ((col("c_a").cast("double") / nTok) * (col("c_b").cast("double") / nTok)))
+          .as("pmi"))
   }
 }

@@ -198,9 +198,14 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.sqQuantize(df.repartition(3), "id", "v")
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(got == again)
-    // ragged corpora are rejected, not silently mis-coded
+    // ragged corpora are rejected, not silently mis-coded — including the
+    // zero-length vector a per-dim count check can't see (it contributes
+    // no exploded rows)
     val ragged = Seq((1L, Array(1.0)), (2L, Array(1.0, 2.0))).toDF("id", "v")
     intercept[IllegalArgumentException](Similarity.sqQuantize(ragged, "id", "v"))
+    val withEmpty = Seq((1L, Array.empty[Double]), (2L, Array(1.0, 2.0)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException](Similarity.sqQuantize(withEmpty, "id", "v"))
   }
 
   test("pqAdcTopK ranks by the summed per-subspace table distances") {

@@ -274,6 +274,14 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getSeq[Long](3)))).toMap
     assert(one("x") == ((4L, Seq(1L))))
+    // null-id docs are dropped entirely — they must not consume a posting
+    // slot that collect_list then silently drops, nor inflate df
+    val dirty = docs.union(Seq((null.asInstanceOf[java.lang.Long], "x y"))
+      .toDF("doc_id", "text"))
+    val cleaned = TextAnalysis.invertedIndex(dirty, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](3)))).toMap
+    assert(cleaned("x") == ((4L, Seq(1L, 2L))) && cleaned("y") == ((2L, Seq(2L, 3L))))
     intercept[IllegalArgumentException](
       TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 0))
   }
