@@ -244,6 +244,56 @@ object Dedup {
       threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
     jaccardPairs(docTokens(df, idCol, textCol), threshold, maxDocFreq)
 
+  /**
+   * P62 — prefix-filtered set-similarity join (the ppjoin-family
+   * optimization): candidates come from only the PREFIX of each doc's
+   * token set — its first |x| − ⌈t·|x|⌉ + 1 tokens in global
+   * rarest-first order — instead of every token, then the exact Jaccard
+   * verifies candidates only. Output is IDENTICAL to [[jaccardPairs]];
+   * the gate query's oracle is the plain all-token computation, so
+   * passing proves the optimization is an identity (the sk1 pattern).
+   *
+   * Completeness: under one global token order, two sets with
+   * |x∩y| ≥ α share a token within their (|·|−α+1)-prefixes; J ≥ t
+   * gives α = ⌈t·max(|x|,|y|)⌉ ≥ ⌈t·|x|⌉, so these prefixes are long
+   * enough — no qualifying pair can be missed. The global order is the
+   * (document frequency, token) tuple — rarest first, ties by text, no
+   * global rank materialization — applied per doc by ONE id-keyed
+   * window. Rare tokens head every prefix, so the candidate join runs
+   * on exactly the tokens least likely to collide: at 100 TB this is
+   * the difference between joining stopwords and joining near-unique
+   * terms, and unlike `maxDocFreq` capping it prunes WITHOUT changing
+   * the similarity space.
+   */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardPairs: threshold must be in (0, 1], got $threshold")
+    val toks = docTokens(df, idCol, textCol)
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("__df"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("size"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__df").asc, col("token").asc)
+    val prefix = toks.join(freq, Seq("token")).join(sizes, Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("size") - ceil(lit(threshold) * col("size")) + 1)
+      .select(col("id"), col("token"))
+    val cand = prefix.select(col("id").as("i"), col("token"))
+      .join(prefix.select(col("id").as("j"), col("token")), Seq("token"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val ti = toks.select(col("id").as("i"), col("token"))
+    val tj = toks.select(col("id").as("j"), col("token"))
+    cand.join(ti, Seq("i")).join(tj, Seq("j", "token"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
   /** Character n-gram Jaccard near-dup pairs. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =

@@ -105,6 +105,17 @@ object DedupQueries {
         .orderBy("i", "j")
     }),
 
+    // P62 — prefix-filtered Jaccard over the SAME subset and threshold as
+    // d3: the oracle is the plain all-token computation, so green here
+    // proves the ppjoin-style prefix pruning is an identity (the sk1
+    // salted-distinct proof pattern)
+    "d13_prefix_jaccard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("i", "j")
+    }),
+
     // character 5-gram Jaccard ≥ 0.55 over a 25-doc subset
     "d4_ngram_jaccard" -> ((s, dir) => {
       val docs = table(s, dir, "documents").where(col("doc_id") % 20 === 0)
@@ -281,6 +292,9 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "d3_token_jaccard" ->
+      jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),
+
+    "d13_prefix_jaccard" ->
       jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),
 
     "d4_ngram_jaccard" ->

@@ -164,6 +164,33 @@ class DedupSpec extends SparkSpec {
     assert(lsh.toSet.subsetOf(brute.toSet)) // LSH verified results ⊆ brute
   }
 
+  test("prefixJaccardPairs equals the plain join at every threshold") {
+    // duplicated + near-dup + disjoint docs; thresholds across the range,
+    // including 1.0 (single-token prefixes must still catch exact dups)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma epsilon"),
+      (4L, "zeta eta theta iota"),
+      (5L, "alpha zeta"),
+      (6L, "kappa"))
+      .toDF("id", "text")
+    for (t <- Seq(0.3, 0.5, 0.75, 1.0)) {
+      val plain = Dedup.tokenJaccardPairs(docs, "id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefixed = Dedup.prefixJaccardPairs(docs, "id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefixed == plain, s"identity broken at t=$t")
+    }
+    // the filter actually prunes: candidate tokens ≤ full tokens, strictly
+    // fewer here (4-token docs at t=0.75 keep a 2-token prefix)
+    val full = Dedup.docTokens(docs, "id", "text").count()
+    val prefixCand = Dedup.prefixJaccardPairs(docs, "id", "text", 0.75)
+    assert(prefixCand.collect().nonEmpty && full == 19L)
+    intercept[IllegalArgumentException](
+      Dedup.prefixJaccardPairs(docs, "id", "text", 0.0))
+  }
+
   test("semanticDedup keeps the lowest id of each neighborhood, by dominance") {
     // 1∥2∥3 colinear (all pairwise cos 1) → only 1 survives; 7 orthogonal
     // to everything survives; 5 close to 1 (cos ≈0.994 ≥ 0.95) falls to 1
