@@ -92,6 +92,48 @@ object Sketches {
       .select(col("window.start").as("window_start"), col("r"),
         col("bucket"), col("n"))
 
+  /** The (register, max rank) cells of an HLL — ONE definition shared by
+    * the batch estimate and the streaming variant, so their sketches can
+    * never drift: low p bits of the portable 56-bit hash route to a
+    * register, the quotient's leading-zero rank is the register value. */
+  private def hllRegisters(items: DataFrame, itemCol: String,
+      group: Seq[Column], p: Int, salt: String): DataFrame = {
+    val m = 1 << p
+    val maxRank = 56 - p + 1
+    val h = Sampling.hashValue(col(itemCol), salt)
+    val w = shiftright(h, p)
+    val rank = when(w === 0L, lit(maxRank))
+      .otherwise(lit(maxRank) - length(bin(w)))
+    items
+      .select(group :+ h.bitwiseAND(lit((m - 1).toLong)).as("register")
+        :+ rank.as("rank"): _*)
+      .groupBy(group :+ col("register"): _*)
+      .agg(max(col("rank")).as("mj"))
+  }
+
+  /**
+   * P63 — streaming HyperLogLog registers per tumbling event-time window:
+   * [[hllRegisters]] maintained by plain incremental aggregation (max is
+   * an incremental-friendly monoid), watermark-expired — state is
+   * O(windows-in-watermark · 2^p), constant per window regardless of
+   * stream rate. A window's registers equal the batch registers of
+   * exactly that window's events (spec-pinned), so the batch estimator
+   * finishes any window's cells offline.
+   */
+  def streamingHllRegisters(stream: DataFrame, tsCol: String, itemCol: String,
+      p: Int = 6, windowLen: String = "1 hour", watermark: String = "2 hours",
+      salt: String = "hll:"): DataFrame = {
+    require(p >= 4 && p <= 16,
+      s"streamingHllRegisters: p must be in [4, 16], got $p")
+    // the window struct is projected FIRST so the shared register helper
+    // can group by it as a plain column (its own select drops tsCol)
+    val windowed = stream.withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowLen).as("__w"), col(itemCol))
+    hllRegisters(windowed, itemCol, Seq(col("__w")), p, salt)
+      .select(col("__w.start").as("window_start"),
+        col("register"), col("mj"))
+  }
+
   /** Flajolet et al.'s bias constant α_m for an m-register HLL. */
   private def hllAlpha(m: Int): Double = m match {
     case 16 => 0.673
@@ -125,18 +167,10 @@ object Sketches {
     val m = 1 << p
     val maxRank = 56 - p + 1 // w has 56-p bits; all-zero w ranks maxRank
     val group = groupCols.map(col)
-    val h = Sampling.hashValue(col(itemCol), salt)
-    val w = shiftright(h, p)
-    val rank = when(w === 0L, lit(maxRank))
-      .otherwise(lit(maxRank) - length(bin(w)))
     // register term 2^(maxRank−M_j) as an exact long (pow of 2 is exact in
     // double, and the cast is safe: maxRank ≤ 53); empty registers — never
     // shuffled — contribute 2^maxRank each, added from the present-count
-    val registers = items
-      .select(group :+ h.bitwiseAND(lit((m - 1).toLong)).as("register")
-        :+ rank.as("rank"): _*)
-      .groupBy(group :+ col("register"): _*)
-      .agg(max(col("rank")).as("mj"))
+    val registers = hllRegisters(items, itemCol, group, p, salt)
     val scaleTerm = math.pow(2.0, maxRank).toLong
     val numerator = hllAlpha(m) * (m.toLong * m).toDouble * scaleTerm.toDouble
     val est = registers

@@ -69,4 +69,45 @@ class VectorExpressionsPropertySpec extends AnyFunSuite {
     }
     assert(evaluated == 2000, s"only $evaluated of 2000 draws evaluated")
   }
+
+  test("sqEncode kernel ≡ quantization model on 2000 random (v, mins, maxs)") {
+    def model(v: Array[Double], mins: Array[Double],
+        maxs: Array[Double]): Seq[Int] = {
+      val n = math.min(v.length, mins.length)
+      (0 until n).map { d =>
+        val range = maxs(d) - mins(d)
+        if (range == 0.0) 0
+        else {
+          val c = math.floor((v(d) - mins(d)) * 255.0 / range + 0.5)
+          math.min(math.max(c, 0.0), 255.0).toInt
+        }
+      }
+    }
+    val gen = for {
+      dv <- Gen.chooseNum(0, 9)
+      ds <- Gen.chooseNum(0, 9) // stats length independent: overlap-prefix
+      v <- Gen.listOfN(dv, genDouble)
+      mins <- Gen.listOfN(ds, genDouble)
+      // maxs ≥, = or < mins: out-of-order stats must still clamp, equal
+      // stats must hit the zero-range branch
+      deltas <- Gen.listOfN(ds, Gen.oneOf(Gen.const(0.0), Gen.chooseNum(0.0, 1e6)))
+    } yield (v.toArray, mins.toArray,
+      mins.zip(deltas).map { case (mn, d) => mn + d }.toArray)
+    val params = Gen.Parameters.default
+    var seed = Seed(8765L)
+    var i = 0
+    var evaluated = 0
+    while (i < 2000) {
+      gen.apply(params, seed).foreach { case (v, mins, maxs) =>
+        val got = VecEval.sqEncode(
+          UnsafeArrayData.fromPrimitiveArray(v), mins, maxs).toIntArray().toSeq
+        assert(got == model(v, mins, maxs),
+          s"divergence: v=${v.mkString(",")} mins=${mins.mkString(",")}")
+        evaluated += 1
+      }
+      seed = seed.next
+      i += 1
+    }
+    assert(evaluated == 2000, s"only $evaluated of 2000 draws evaluated")
+  }
 }

@@ -102,6 +102,51 @@ class SketchesSpec extends SparkSpec {
         rows = 0, width = 8))
   }
 
+  test("streaming hll registers equal the batch registers per window") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(minute: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Sketches.streamingHllRegisters(
+        input.toDF().toDF("ts", "item"), "ts", "item",
+        p = 4, windowLen = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("shll")
+      .outputMode("update").start()
+    input.addData((ts(1), "a"), (ts(3), "b"), (ts(7), "a"),
+      (ts(12), "c"), (ts(15), "d"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("shll")
+      .groupBy("window_start", "register").agg(max("mj").as("mj"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // batch registers = the hllDistinct pipeline's cells; recompute them
+    // through the same public surface: a wide-register estimate at p=4 on
+    // each window's items must agree with an estimate derived from the
+    // streamed cells, so compare the full register MAPS via the estimate
+    def estimate(regs: Map[Long, Int]): Double = {
+      val m = 16
+      val maxRank = 53
+      val sPresent = regs.values.map(mj => math.pow(2.0, maxRank - mj).toLong).sum
+      val s = sPresent + (m - regs.size).toLong * math.pow(2.0, maxRank).toLong
+      val v = m - regs.size
+      val raw = 0.673 * (m.toLong * m).toDouble * math.pow(2.0, maxRank) / s
+      if (v > 0 && raw <= 2.5 * m) m.toDouble * math.log(m.toDouble / v) else raw
+    }
+    def batchEst(items: Seq[String]): Double =
+      Sketches.hllDistinct(items.toDF("item").withColumn("g", lit(1)),
+          "item", Seq("g"), p = 4)
+        .collect().head.getDouble(1)
+    val w1 = got.collect { case ((w, r), mj) if w == ts(0) => r -> mj }
+    val w2 = got.collect { case ((w, r), mj) if w == ts(10) => r -> mj }
+    assert(estimate(w1) == batchEst(Seq("a", "b", "a")))
+    assert(estimate(w2) == batchEst(Seq("c", "d")))
+    intercept[IllegalArgumentException](
+      Sketches.streamingHllRegisters(input.toDF().toDF("ts", "item"),
+        "ts", "item", p = 3))
+  }
+
   test("hll is partitioning-invariant and duplicate-insensitive") {
     val base = (0 until 300).map(i => s"v$i") ++ (0 until 300).map(i => s"v$i")
     val a = base.toDF("item").withColumn("g", pmod(length(col("item")), lit(2)))
