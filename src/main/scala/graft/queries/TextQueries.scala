@@ -390,7 +390,8 @@ object TextQueries {
         |      x -> x <> '')) AS token
         |  FROM documents),
         |per AS (SELECT token, doc_id, count(*) AS occ FROM toks GROUP BY 1, 2),
-        |stats AS (SELECT token, count(*) AS df, sum(occ) AS occurrences
+        |stats AS (SELECT token, count(*) AS df,
+        |            CAST(sum(occ) AS BIGINT) AS occurrences
         |          FROM per GROUP BY 1),
         |capped AS (
         |  SELECT token, array_to_string(list(doc_id ORDER BY doc_id), '|') AS postings
@@ -442,8 +443,8 @@ object TextQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM t)
         |SELECT doc_id, source, n_tokens, cum_tokens
         |FROM c

@@ -21,13 +21,36 @@ for name in sorted(oracle):
     if not files:
         fails.append((name, "no spark output")); continue
     try:
-        got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
-        exp = con.sql(sql).df()
+        got_rel = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
+        exp_rel = con.sql(sql)
+        # Column TYPE FAMILIES must match before values: the driver's
+        # hasher coerces integer widths identically (INTEGER vs BIGINT is
+        # fine — 12 driver-green queries differ only in width), but
+        # HUGEINT/DECIMAL take a different pandas encoding than BIGINT
+        # and change the hashed values — r7 shipped 2 red queries because
+        # this gate compared values only with coercing pandas ==.
+        def family(t):
+            t = str(t).upper()
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            if t.startswith("DECIMAL"):
+                return "decimal"
+            return t  # HUGEINT, VARCHAR, BOOLEAN, DATE, TIMESTAMP*, ...
+        gtypes = dict(zip(got_rel.columns, [family(t) for t in got_rel.types]))
+        etypes = dict(zip(exp_rel.columns, [family(t) for t in exp_rel.types]))
+        got, exp = got_rel.df(), exp_rel.df()
     except Exception as e:
         fails.append((name, f"query error: {e}")); continue
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         fails.append((name, f"schema mismatch: spark={gcols} oracle={ecols}")); continue
+    tbad = [f"{c}: spark={gtypes[c]} oracle={etypes[c]}"
+            for c in gcols if gtypes[c] != etypes[c]]
+    if tbad:
+        fails.append((name, "dtype mismatch: " + "; ".join(tbad))); continue
     g = got[gcols].sort_values(gcols, kind="mergesort").reset_index(drop=True)
     e = exp[ecols].sort_values(ecols, kind="mergesort").reset_index(drop=True)
     if len(g) != len(e):
