@@ -44,6 +44,28 @@ object StreamQueries {
         .orderBy("user_id", "click_id", "purch_id")
     }),
 
+    // P58 batch-replayed: the streaming count-min cells over bounded
+    // input — withWatermark is a no-op on a batch plan
+    // (EliminateEventTimeWatermark), and the epoch-aligned 1h windows
+    // equal date_trunc('hour'), so the SAME streamingCountMin plan that
+    // SketchesSpec drives through MemoryStream lands under the DuckDB
+    // gate: every (window, r, bucket) cell replayed from portable MD5.
+    "sk3_streaming_cms" -> ((s, dir) => {
+      graft.operators.Sketches.streamingCountMin(
+          events(s, dir), "ts", "user_id", rows = 2, width = 16)
+        .orderBy("window_start", "r", "bucket")
+    }),
+
+    // P63 batch-replayed: streaming HLL registers per 1h window — same
+    // no-op-watermark equivalence as sk3; register cells are the shared
+    // hllRegisters helper, so this also pins batch/stream non-drift
+    // under the driver's hash gate.
+    "sk4_streaming_hll" -> ((s, dir) => {
+      graft.operators.Sketches.streamingHllRegisters(
+          events(s, dir), "ts", "user_id", p = 6)
+        .orderBy("window_start", "register")
+    }),
+
     // session windows (30 min gap) per user
     "st2_sessions" -> ((s, dir) => {
       EventStreams.sessionWindows(events(s, dir))
@@ -71,6 +93,37 @@ object StreamQueries {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // cell replay = the t12_cms idiom (md5('cms' || r || ':' || item)
+    // 14-hex-digit fold mod width) grouped by the hour window
+    "sk3_streaming_cms" ->
+      """WITH cells AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, r.r,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |                 FOR ch IN string_split(substr(md5('cms' || r.r || ':'
+        |                   || coalesce(CAST(user_id AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 16 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events CROSS JOIN range(2) r(r)
+        |  GROUP BY 1, 2, 3)
+        |SELECT window_start, r, bucket, n
+        |FROM cells ORDER BY window_start, r, bucket""".stripMargin,
+
+    // register replay = the sk2_hll idiom (low 6 bits route, leading-zero
+    // rank of the 50-bit quotient, max per register) per hour window
+    "sk4_streaming_hll" ->
+      """WITH hv AS (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('hll:'
+        |          || coalesce(CAST(user_id AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM events)
+        |SELECT window_start, hv % 64 AS register,
+        |  max(CASE WHEN hv // 64 = 0 THEN 51
+        |      ELSE 51 - length(bin(hv // 64)) END) AS mj
+        |FROM hv GROUP BY 1, 2
+        |ORDER BY window_start, register""".stripMargin,
 
     "st2_sessions" ->
       """WITH marked AS (
