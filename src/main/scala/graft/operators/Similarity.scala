@@ -162,21 +162,40 @@ object Similarity {
   // ---- product quantization --------------------------------------------------
 
   /**
-   * P45 — PQ codebooks from a deterministic sample: the `k` lowest-id
-   * corpus vectors become the codebook rows of EVERY subspace (row j of
-   * subspace m = sample vector j's dims [m·dsub, (m+1)·dsub), read in
-   * place — no slicing materialized). A k-means per subspace can replace
-   * this without touching the encode/search path, exactly like
-   * [[kmeansRefine]] upgrades [[ivfAssign]] centroids. Requires the
-   * dimension count to split evenly into `m` subspaces.
+   * P45 — PQ codebooks: seeded from a deterministic sample (the `k`
+   * lowest-id corpus vectors become the codebook rows of EVERY subspace —
+   * row j of subspace m = sample vector j's dims [m·dsub, (m+1)·dsub),
+   * read in place), then optionally refined by `iters` rounds of
+   * per-subspace Lloyd k-means. Requires the dimension count to split
+   * evenly into `m` subspaces.
+   *
+   * The refinement reuses the [[kmeansRefine]] shape with euclidean
+   * geometry: the assignment step IS the compiled
+   * [[graft.expressions.PqEncodeExpr]] kernel (per-subspace squared-L2
+   * argmin — one projection assigns ALL m subspaces in a single corpus
+   * pass), and the update step is ONE `(subspace, code, dim)`-keyed
+   * aggregation whose means go through DECIMAL sums (the sim3 rule:
+   * double partial-sum merge order is nondeterministic, and a
+   * last-ulp-different centroid could flip a near-equidistant vector's
+   * code between runs). Per iteration: one scan + one bounded shuffle
+   * (≤ m·k·dsub = k·d cells), and only that k·d-sized mean table reaches
+   * the driver — `iters` is a fixed hyperparameter, so driver work is
+   * bounded, not data-dependent. A (subspace, code) cell that captures no
+   * vectors keeps its previous row, so every subspace keeps exactly `k`
+   * rows.
    *
    * Returns (books, dsub): `books(mi)(code)` is a FULL-length vector —
-   * [[graft.expressions.PqEncodeExpr]] indexes it at the subspace offsets.
+   * [[graft.expressions.PqEncodeExpr]] indexes it at the subspace
+   * offsets (refined rows carry their subspace's means at those offsets
+   * and the previous row's values elsewhere, which encode/ADC never
+   * read).
    */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int): (Array[Array[Array[Double]]], Int) = {
+      m: Int, k: Int, iters: Int = 0): (Array[Array[Array[Double]]], Int) = {
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
     require(m >= 1, s"pqCodebooks: m must be >= 1, got $m")
     require(k >= 1, s"pqCodebooks: k must be >= 1, got $k")
+    require(iters >= 0, s"pqCodebooks: iters must be >= 0, got $iters")
     val rows = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(k)
@@ -185,7 +204,34 @@ object Similarity {
     val sample = rows.map(_.getSeq[Double](1).toArray)
     val d = sample.head.length
     require(d % m == 0, s"pqCodebooks: dimension $d does not split into $m subspaces")
-    (Array.fill(m)(sample), d / m)
+    val dsub = d / m
+    var books: Array[Array[Array[Double]]] = Array.fill(m)(sample)
+    for (_ <- 1 to iters) {
+      val cells = corpus
+        .select(col(vecCol).cast("array<double>").as("v"))
+        .select(col("v"),
+          exprCol(graft.expressions.PqEncodeExpr(colExpr(col("v")), books, dsub))
+            .as("codes"))
+        .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
+        .where(col("pos") < m * dsub)
+        .select((col("pos") / dsub).cast("int").as("mi"), col("pos"),
+          col("x"), col("codes"))
+        .select(col("mi"), element_at(col("codes"), col("mi") + 1).as("code"),
+          col("pos"), col("x"))
+      val means = cells
+        .groupBy(col("mi"), col("code"), col("pos"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("mx"))
+        .collect()
+      // empty (subspace, code) cells keep their previous row: start from a
+      // deep copy and overwrite only the observed means
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    (books, dsub)
   }
 
   /**

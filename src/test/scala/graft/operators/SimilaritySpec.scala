@@ -208,6 +208,49 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.sqQuantize(withEmpty, "id", "v"))
   }
 
+  test("per-subspace k-means codebooks beat the sample seed on ADC recall") {
+    // two tight clusters (A near 0, B near 10 on all dims) with BOTH seed
+    // ids (the k lowest) in cluster A — the sample codebook is then blind
+    // to the cluster structure, while Lloyd refinement recovers it
+    val corpus = Seq(
+      (1L, Array(0.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.1, 0.1, 0.1, 0.1)),
+      (3L, Array(0.05, 0.0, 0.0, 0.05)),
+      (4L, Array(0.0, 0.05, 0.05, 0.0)),
+      (7L, Array(10.0, 10.0, 10.0, 10.0)),
+      (8L, Array(10.1, 10.0, 10.0, 10.1)),
+      (9L, Array(10.0, 10.1, 10.1, 10.0)),
+      (10L, Array(9.9, 10.0, 10.0, 9.9))
+    ).toDF("id", "v")
+    val query = Seq((100L, Array(10.0, 10.05, 10.05, 10.0))).toDF("id", "v")
+    // exact L2 top-3 is {7, 9, 8} — all cluster B
+    def top3(books: Array[Array[Array[Double]]], dsub: Int): Seq[Long] = {
+      val codes = Similarity.pqEncode(corpus, books, dsub, "id", "v")
+      Similarity.pqAdcTopK(codes, query, books, dsub, "id", "v", k = 3)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    }
+    val truth = Set(7L, 8L, 9L)
+    val (sampleBooks, dsub) = Similarity.pqCodebooks(corpus, "id", "v", m = 2, k = 2)
+    val (refined, dsub2) = Similarity.pqCodebooks(corpus, "id", "v", m = 2, k = 2, iters = 3)
+    assert(dsub == 2 && dsub2 == 2)
+    // the seed sample codebook collapses cluster B onto seed id 2's code,
+    // so the false neighbor 2 outranks a true one — recall 2/3
+    val sampleTop = top3(sampleBooks, dsub)
+    assert(sampleTop == Seq(2L, 7L, 8L))
+    assert((sampleTop.toSet & truth).size == 2)
+    // refined codebooks separate the clusters — recall 3/3, exact order
+    assert(top3(refined, dsub2) == Seq(7L, 8L, 9L))
+    // refinement must actually move the rows (guards a vacuous pass)
+    assert(!refined(0).zip(sampleBooks(0)).forall { case (a, b) => a.sameElements(b) })
+    // iters = 0 returns the seed sample verbatim (sim4/sim5 contract)
+    val (zero, _) = Similarity.pqCodebooks(corpus, "id", "v", m = 2, k = 2, iters = 0)
+    assert(zero.flatten.map(_.toSeq) sameElements sampleBooks.flatten.map(_.toSeq))
+    // decimal-summed means: the refined books are partitioning-invariant
+    val (again, _) = Similarity.pqCodebooks(corpus.repartition(5), "id", "v",
+      m = 2, k = 2, iters = 3)
+    assert(again.flatten.map(_.toSeq).toSeq == refined.flatten.map(_.toSeq).toSeq)
+  }
+
   test("pqAdcTopK ranks by the summed per-subspace table distances") {
     val (books, dsub) = Similarity.pqCodebooks(pqCorpus, "id", "v", m = 2, k = 2)
     val codes = Similarity.pqEncode(pqCorpus, books, dsub, "id", "v")
