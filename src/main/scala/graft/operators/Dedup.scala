@@ -63,7 +63,16 @@ object Dedup {
    * hub in some band), so the default converges for star/clique-shaped
    * groups; a long CHAIN of borderline pairs needs more iterations — raise
    * `iters`, or use [[duplicateClustersConverged]], which iterates to the
-   * fixed point and REFUSES to return non-converged labels. Each iteration
+   * fixed point and REFUSES to return non-converged labels. When the bound
+   * BINDS (iters < diameter), the partial result is still exactly
+   * determined: label(id) = min id within `iters` hops — a pure function
+   * of the graph, invariant to partitioning and run order (spec-pinned),
+   * so an under-provisioned bound splits components deterministically
+   * rather than returning run-dependent labels. Choosing the bound at
+   * scale: component diameter grows with the CHAIN LENGTH of borderline
+   * pairs, not with corpus size — denser corpora add hub collisions
+   * (diameter-reducing), so 3–5 covers LSH/SimHash output; audit with
+   * the converged variant offline when the graph shape is unknown. Each iteration
    * here is one equi-join + one min-aggregation (all map-side combinable);
    * the plan depth grows linearly with `iters` — for genuinely deep graphs
    * the converged variant checkpoints per round instead of building one

@@ -250,6 +250,25 @@ class DedupSpec extends SparkSpec {
     assert(clusters(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 3).values.toSet == Set(1L))
   }
 
+  test("duplicateClusters: partial labels at a binding bound are exactly " +
+      "min-within-iters-hops, and partitioning-invariant") {
+    // chain 1-2-…-8 (diameter 7) under the default 3 iters: the bound
+    // BINDS, and the partial result is still a pure function of the graph
+    // — label(k) = min id within 3 hops = max(1, k-3). At 100× scale a
+    // long borderline-pair chain hits this same contract: labels are
+    // wrong-but-deterministic, never run-dependent garbage.
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("i", "j")
+    val expected = (1L to 8L).map(k => k -> math.max(1L, k - 3)).toMap
+    val got = Dedup.duplicateClusters(chain, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // identical under a different physical partitioning (min is
+    // order-independent; nothing in the propagation depends on layout)
+    val again = Dedup.duplicateClusters(chain.repartition(7), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == expected)
+  }
+
   test("duplicateClustersConverged reaches fixpoint on chains the bounded form splits") {
     // chain 1-2-…-8, diameter 7: the bounded default (3 iters) returns
     // SPLIT labels — the silent failure mode the converged variant closes
