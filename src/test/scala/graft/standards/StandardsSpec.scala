@@ -110,15 +110,20 @@ class StandardsSpec extends AnyFunSuite {
     // SDTM-specific lists come from the curated catalog
     assert(sdtm.get("C74457").exists(_.terms.size >= 5)) // RACE
     assert(sdtm.get("C66790").exists(!_.extensible)) // ETHNIC
-    // shared lists fall through to the published SEND CT export with
-    // realistic term counts (UNIT ~900, ROUTE ~140, FREQ ~100)
+    // shared lists (UNIT/ROUTE/FREQ, r8: also VSTESTCD/LBTESTCD) now live
+    // in the curated catalog — resolvable under EVERY version pin, with
+    // realistic term counts
     assert(sdtm.get("C71620").exists(_.terms.size >= 900), "UNIT")
     assert(sdtm.get("C66729").exists(_.terms.size >= 100), "ROUTE")
     assert(sdtm.get("C71113").exists(_.terms.size >= 80), "FREQ")
     assert(sdtm.lookupMap("C71620").contains("MG/DL"))
-    // VSTESTCD/LBTESTCD resolve through the SEND publication's exports
     assert(sdtm.get("C66741").exists(_.terms.size >= 30), "VSTESTCD")
     assert(sdtm.get("C65047").exists(_.terms.size >= 100), "LBTESTCD")
+    // ...which means a 2025-03-28-pinned SDTM study still resolves a
+    // codelist that publication's sibling exports don't ship (DDF is
+    // absent from 2025-03-28, so C171445 has no fallback there)
+    assert(Standards.ct("sdtm", "2025-03-28").get("C171445").isDefined,
+      "Mode of Subject Contact under a DDF-less pin")
   }
 
   test("curated SDTM-only codelists carry realistic term sets") {
@@ -158,6 +163,27 @@ class StandardsSpec extends AnyFunSuite {
     assert(sdtm.get("C74456").exists(_.terms.size >= 1000), "LOC")
     assert(sdtm.lookupMap("C99073").contains("BILATERAL"), "LAT")
     assert(sdtm.get("C99074").exists(_.terms.size >= 40), "DIR")
+    // r8 tier: 25 codelists / 8523 terms lifted verbatim from the
+    // embedded public catalogs (SDTM-branded NCI preferred terms in the
+    // SEND/DDF/Define-XML exports) — full UNIT, lab/vitals/ECG test
+    // code+name pairs, dosage form, PK units, specimen condition
+    assert(sdtm.get("C71620").exists(_.terms.size >= 930), "UNIT full")
+    assert(sdtm.get("C65047").exists(_.terms.size >= 2400), "LBTESTCD full")
+    assert(sdtm.get("C67154").exists(_.terms.size >= 2400), "LBTEST full")
+    assert(sdtm.get("C65047").exists(
+      _.resolve("Alanine Aminotransferase").contains("ALT")), "LBTESTCD synonym")
+    assert(sdtm.get("C66741").exists(
+      _.resolve("Systolic Blood Pressure").contains("SYSBP")), "VSTESTCD synonym")
+    assert(sdtm.get("C66726").exists(_.terms.size >= 190), "DOSFRM")
+    assert(sdtm.get("C71152").exists(_.terms.size >= 100), "EGTEST")
+    assert(sdtm.get("C90013").exists(_.terms.size >= 20), "EGLEAD")
+    assert(sdtm.get("C85493").exists(_.terms.size >= 380), "PKPARM")
+    assert(sdtm.get("C85839").exists(_.terms.size >= 380), "PKPARMCD")
+    assert(sdtm.get("C85494").exists(_.terms.size >= 600), "PKUNIT")
+    assert(sdtm.get("C78733").exists(_.terms.size >= 20), "SPECCOND")
+    assert(sdtm.get("C66789").exists(
+      _.terms.map(_.submissionValue) == Seq("NOT DONE")), "ND")
+    assert(sdtm.get("C78737").exists(_.terms.size == 2), "RELTYPE")
     // RDOMAIN terms generated from the embedded IG dataset list itself
     val rdomain = sdtm.get("C66734").get
     assert(rdomain.terms.size >= 60, s"DOMAIN terms: ${rdomain.terms.size}")
