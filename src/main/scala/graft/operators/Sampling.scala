@@ -71,6 +71,41 @@ object Sampling {
   }
 
   /**
+   * P66 — leakage-safe split: [[hashSplit]] keyed by DUPLICATE CLUSTER, so
+   * near-duplicate documents always land in the SAME split. Splitting on
+   * raw ids leaks training data into eval whenever a near-dup pair
+   * straddles the boundary — the contamination a dedup pass exists to
+   * prevent; hashing the cluster's min-label instead makes the split
+   * decision identical for every member. `pairs` is any pair-producer
+   * output here (exact, Jaccard, MinHash-LSH, SimHash); unpaired docs key
+   * on their own id (their cluster is themselves). Appends `split_key`
+   * (the cluster min-id, the doc's own id for singletons) and `splitCol`.
+   *
+   * Scale shape: [[Dedup.duplicateClusters]] touches only paired docs
+   * (tiny vs the corpus); the cluster map joins back by id with the
+   * shuffle-hash hint (the keepBestPerCluster adjudication: post-agg side
+   * has no stats, sort-merge is wasted sorts, broadcast would be wrong at
+   * scale — AQE still upgrades when the map is tiny); the split itself is
+   * a stateless projection. `idCol` values must be orderable and share a
+   * type with the pair columns (the min-label is compared and coalesced
+   * against them).
+   */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], iCol: String = "i", jCol: String = "j",
+      iters: Int = 3, salt: String = "", buckets: Int = 10000,
+      splitCol: String = "split"): DataFrame = {
+    require(!docs.columns.contains("split_key"),
+      "clusterSafeSplit: input already has a split_key column — rename it first")
+    val clusters = Dedup.duplicateClusters(pairs, iCol, jCol, iters)
+      .select(col("id").as(idCol), col("cluster_id").as("__cl"))
+      .hint("shuffle_hash")
+    val keyed = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("__cl"), col(idCol)))
+      .drop("__cl")
+    hashSplit(keyed, "split_key", splits, salt, buckets, splitCol)
+  }
+
+  /**
    * P34 — deterministic per-key cap (class balancing): keep at most
    * `maxPerKey` rows per key, selected by portable hash order over
    * `idCol` (ties broken by id). Unlike LIMIT-per-group over input order,

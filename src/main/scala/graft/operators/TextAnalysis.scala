@@ -464,6 +464,105 @@ object TextAnalysis {
    * more at build time). N_pairs is the PRE-prune total, so pruning
    * changes coverage, never the score of a surviving pair.
    */
+  /**
+   * P64 — bigram-LM perplexity scoring (the CCNet-style quality filter: a
+   * document's perplexity under a language model trained on the corpus —
+   * or any reference corpus — separates fluent text from boilerplate and
+   * garbage). Model: add-α smoothed bigram probabilities
+   * p(w|prev) = (c(prev,w) + α) / (c(prev) + α·V); score:
+   * perplexity = exp(−mean log p) over the document's adjacent bigrams.
+   * Returns (id, n_bigrams, perplexity) — null perplexity for docs with
+   * fewer than 2 tokens.
+   *
+   * Scale shape: the unigram/bigram count tables are map-side-combinable
+   * aggregations; scoring joins each bigram occurrence to the two count
+   * tables by token key (vocab-sized — AQE broadcasts them when small);
+   * only the scalar vocabulary size V reaches the driver. Portability:
+   * each log-prob is computed from exact integer counts, rounded at 9
+   * decimals, and per-doc sums run in DECIMAL (exact, order-independent
+   * — a double sum would drift with partition merge order); the final
+   * exp is one call on an identical double, rounded at 6 (the t6/t11
+   * cross-libm discipline).
+   */
+  def bigramPerplexity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, s"bigramPerplexity: alpha must be > 0, got $alpha")
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("l"))
+    val vRow = toks.select(explode(col("l")).as("t"))
+      .agg(count_distinct(col("t")).as("v")).head()
+    val v = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
+    require(v > 0, "bigramPerplexity: corpus has no tokens")
+    val uni = toks.select(explode(col("l")).as("prev"))
+      .groupBy("prev").agg(count(lit(1)).as("cu"))
+    val bigOcc = toks
+      .select(col("id"), explode(ngramArray(col("l"), 2)).as("g"))
+      .select(col("id"), split(col("g"), " ", 2).getItem(0).as("prev"),
+        split(col("g"), " ", 2).getItem(1).as("w"))
+    val big = bigOcc.groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+    val lp = round(log((col("cb") + lit(alpha)) / (col("cu") + lit(alpha * v))), 9)
+    val perDoc = bigOcc
+      .join(big, Seq("prev", "w"))
+      .join(uni, Seq("prev"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lp.cast("decimal(38,18)")).cast("double").as("__slp"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(exp(-(col("__slp") / col("n_bigrams"))), 6).as("perplexity"))
+  }
+
+  /**
+   * P65 — BM25 ranked retrieval: top-k documents for a bag of query terms
+   * under Okapi BM25 (the Lucene idf form, which keeps idf positive when
+   * a term hits most docs):
+   * score = Σ_t ln(1 + (N−df+0.5)/(df+0.5)) · tf·(k1+1) /
+   *         (tf + k1·(1−b+b·dl/avgdl)).
+   * Returns (id, score, rank), rank 1..k by (score desc, id asc).
+   *
+   * Scale shape: tokens are filtered to the query's terms BEFORE any
+   * aggregation (the corpus-sized explode collapses immediately); df is
+   * a ≤|terms|-row table (broadcast); N and avgdl travel as scalar
+   * literals (one corpus-length aggregation, the pmi totals pattern);
+   * the final top-k is TakeOrderedAndProject, never a full sort.
+   * Portability: per-(doc, term) scores round at 9 decimals and sum in
+   * DECIMAL; the doc score rounds at 6 with an id tie-break (the t6
+   * rank discipline).
+   */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: query terms must be non-empty")
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    val terms = queryTerms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("l"))
+    val totals = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("l")).cast("long")).as("sdl")).head()
+    val n = totals.getLong(0)
+    require(n > 0, "bm25TopK: corpus is empty")
+    val avgdl = (if (totals.isNullAt(1)) 0L else totals.getLong(1)).toDouble / n
+    require(avgdl > 0, "bm25TopK: corpus has no tokens")
+    val tf = toks
+      .select(col("id"), size(col("l")).as("dl"), explode(col("l")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = round(idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl") / lit(avgdl))), 9)
+    val scored = tf.join(broadcast(df), Seq("w"))
+      .groupBy("id")
+      .agg(round(sum(termScore.cast("decimal(38,18)")).cast("double"), 6)
+        .as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+  }
+
   def pmiPairs(docs: org.apache.spark.sql.DataFrame, textCol: String,
       minPairCount: Long): org.apache.spark.sql.DataFrame = {
     require(minPairCount >= 1,

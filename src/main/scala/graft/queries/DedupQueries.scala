@@ -97,6 +97,21 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P66 — leakage-safe split: the split key is the duplicate-cluster
+    // min-label, so every member of a dup cluster lands in one split.
+    // Exact-dup clusters ARE the same-text groups, so the oracle keys the
+    // md5 split on the group min id directly (the d8 ground-truth trick)
+    "sa7_cluster_split" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir)
+      val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+      graft.operators.Sampling.clusterSafeSplit(docs.select("doc_id"),
+          "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          "survivor_id", "duplicate_id")
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // token-set Jaccard ≥ 0.8 over a 50-doc subset
     "d3_token_jaccard" -> ((s, dir) => {
       val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
@@ -290,6 +305,27 @@ object DedupQueries {
          |         COUNT(*) OVER (PARTITION BY text) AS n
          |  FROM ($dupedDocsSql))
          |ORDER BY doc_id""".stripMargin,
+
+    "sa7_cluster_split" ->
+      s"""WITH docs AS ($dupedDocsSql),
+         |keyed AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n > 1 THEN grp_min ELSE doc_id END AS split_key
+         |  FROM (SELECT doc_id,
+         |          MIN(doc_id) OVER (PARTITION BY text) AS grp_min,
+         |          COUNT(*) OVER (PARTITION BY text) AS n
+         |        FROM docs)),
+         |b AS (
+         |  SELECT doc_id, split_key,
+         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+         |                 FOR c IN string_split(substr(md5(coalesce(CAST(split_key AS VARCHAR), '')), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) % 10000 AS bucket
+         |  FROM keyed)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN bucket < 8000 THEN 'train'
+         |       WHEN bucket < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "d3_token_jaccard" ->
       jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),

@@ -104,6 +104,27 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // P64 — bigram-LM perplexity (CCNet-style quality signal): add-1
+    // smoothed bigram model trained on the corpus itself; the oracle
+    // rebuilds the counts and replays every rounded log-prob through the
+    // same DECIMAL sum
+    "t16_perplexity" -> ((s, dir) => {
+      TextAnalysis.bigramPerplexity(table(s, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // P65 — BM25 top-10 for a 3-term query (Lucene idf form); N/avgdl
+    // travel as literals, per-term scores round at 9 then DECIMAL-sum,
+    // ranks tie-break on id (the t6 discipline)
+    "iv2_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "vector"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    }),
+
     // P57 — inverted index with 5-entry posting lists; postings joined to
     // '|' strings so the hash compare sees one scalar per token
     "iv1_inverted" -> ((s, dir) => {
@@ -380,6 +401,72 @@ object TextQueries {
         |CROSS JOIN tot t CROSS JOIN tott tt
         |WHERE p.c_ab >= 5
         |ORDER BY p.a, p.b""".stripMargin,
+
+    // counts rebuilt from scratch; log-probs from exact integer counts,
+    // rounded at 9, summed in DECIMAL (order-independent), one exp at the
+    // end rounded at 6 — the operator's exact portability recipe
+    "t16_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |vv AS (SELECT count(DISTINCT t) AS v
+        |       FROM (SELECT unnest(l) AS t FROM toks)),
+        |uni AS (SELECT t AS prev, count(*) AS cu
+        |        FROM (SELECT unnest(l) AS t FROM toks) GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, string_split(g, ' ')[1] AS prev,
+        |         string_split(g, ' ')[2] AS w
+        |  FROM (SELECT doc_id,
+        |          unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS g
+        |        FROM toks)),
+        |big AS (SELECT prev, w, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |occ AS (
+        |  SELECT bg.doc_id,
+        |    round(ln((cb + 1.0e0) / (cu + CAST(vv.v AS DOUBLE))), 9) AS lp
+        |  FROM bg JOIN big USING (prev, w) JOIN uni USING (prev)
+        |  CROSS JOIN vv),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) AS slp
+        |  FROM occ GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  round(exp(-(p.slp / p.n_bigrams)), 6) AS perplexity
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // every constant-involving double op spelled in the operator's
+    // association order (avgdl = sdl/n, k1+1, b*dl/avgdl) so both engines
+    // run the same IEEE sequence; per-term scores round at 9 and sum in
+    // DECIMAL like the Spark side
+    "iv2_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(len(l)) AS BIGINT) AS sdl FROM toks),
+        |t AS (SELECT doc_id, len(l) AS dl, unnest(l) AS w FROM toks),
+        |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+        |       WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(ln(1.0e0 + (st.n - df.df + 0.5e0) / (df.df + 0.5e0)) *
+        |      (tf.tf * (1.2e0 + 1.0e0)) /
+        |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * tf.dl /
+        |        (CAST(st.sdl AS DOUBLE) / st.n))), 9) AS s
+        |  FROM tf JOIN df USING (w) CROSS JOIN st),
+        |agg AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // df/occ from the full counts; postings = the 5 lowest doc ids per
     // token, joined with '|' exactly like the Spark side

@@ -60,6 +60,28 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("clusterSafeSplit lands every cluster member in one split, singletons as hashSplit") {
+    // clusters: {1,2,3} (chain), {10,11}; singletons 20, 21
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.clusterSafeSplit(docs, "id", pairs, splits)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the LEAKAGE property: one split per cluster, keyed on the min label
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(1L)._1 == 1L)
+    assert(got(10L) == got(11L) && got(10L)._1 == 10L)
+    // singletons key on their own id — identical to a plain hashSplit
+    val plain = Sampling.hashSplit(Seq(20L, 21L).toDF("split_key"), "split_key", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(20L) == ((20L, plain(20L))) && got(21L) == ((21L, plain(21L))))
+    // every doc appears exactly once with a split
+    assert(got.size == 7 && got.values.forall(v => Set("train", "val", "test")(v._2)))
+    // a pre-existing split_key column is rejected, not silently replaced
+    intercept[IllegalArgumentException](Sampling.clusterSafeSplit(
+      docs.withColumn("split_key", lit(1L)), "id", pairs, splits))
+  }
+
   test("cappedPerKey keeps at most N per key, deterministically, order-independent") {
     import org.apache.spark.sql.functions.col
     val df = (1L to 1000L).map(k => (k % 5, k)).toDF("klass", "id")

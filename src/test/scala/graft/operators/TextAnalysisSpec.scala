@@ -308,4 +308,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pruned(("a", "b")) == out(("a", "b"))._2)
     intercept[IllegalArgumentException](TextAnalysis.pmiPairs(docs, "text", 0))
   }
+
+  test("bigramPerplexity replays the add-1 model exactly; short docs score null") {
+    // corpus: "a b a b" + "a b" + "a" → bigrams (a,b):3, (b,a):1;
+    // unigrams a:4, b:3; V = 2
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text")
+    def lp(cb: Long, cu: Long) = BigDecimal(math.log((cb + 1.0) / (cu + 2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def ppl(lps: Seq[BigDecimal]) = BigDecimal(
+      math.exp(-(lps.sum.toDouble / lps.size)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = lp(3, 4) // p(b|a) = 4/6
+    val pBA = lp(1, 3) // p(a|b) = 2/5
+    val got = TextAnalysis.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((3L, Some(ppl(Seq(pAB, pBA, pAB))))))
+    assert(got(2L) == ((1L, Some(ppl(Seq(pAB))))))
+    // fewer than 2 tokens → no bigrams → null perplexity, not 0
+    assert(got(3L) == ((0L, None)) && got(4L) == ((0L, None)))
+    // partitioning-invariant (decimal sums)
+    val again = TextAnalysis.bigramPerplexity(docs.repartition(4), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(again(1L) == got(1L)._2.map(identity))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bigramPerplexity(docs, "doc_id", "text", alpha = 0.0))
+  }
+
+  test("bm25TopK ranks by the Okapi score with the Lucene idf") {
+    // N = 3, dl = (3, 2, 4), avgdl = 3; tf: d1 x:2 y:1, d2 x:1, d3 y:4;
+    // df(x) = df(y) = 2
+    val docs = Seq((1L, "x y x"), (2L, "x z"), (3L, "y y y y"))
+      .toDF("doc_id", "text")
+    def s(tf: Long, df: Long, dl: Long) = BigDecimal(
+      math.log(1.0 + (3L - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def score(parts: Seq[BigDecimal]) =
+      BigDecimal(parts.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val d1 = score(Seq(s(2, 2, 3), s(1, 2, 3)))
+    val d3 = score(Seq(s(4, 2, 4)))
+    assert(got.toSeq == Seq((1L, d1, 1), (3L, d3, 2)))
+    assert(d1 > d3, "two matched terms must outrank one")
+    // terms are case/space-normalized and deduplicated
+    val norm = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq(" X ", "x", "Y"), k = 2).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(norm.toSeq == got.toSeq)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", Nil, k = 2))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 0))
+  }
 }
