@@ -106,6 +106,45 @@ object Sampling {
   }
 
   /**
+   * P67 — deterministic weighted sample without replacement
+   * (Efraimidis–Spirakis A-ES): each row draws key = −ln(u)/w with u a
+   * hash-derived uniform in (0, 1], and the k SMALLEST keys win — the
+   * classic one-pass weighted reservoir, made fully deterministic by
+   * sourcing u from the portable 56-bit MD5 of the id instead of an RNG
+   * (same data → same sample, on every engine, forever). This is the
+   * quality-weighted selection step of corpus mixing: w doubles a row's
+   * odds exactly as A-ES prescribes, while [[hashSample]] stays the
+   * uniform case. Returns the winners as (id, weight, skey, rank),
+   * rank 1..k by (skey asc, id asc).
+   *
+   * Scale shape: a stateless projection (hash, ln, divide) followed by
+   * TakeOrderedAndProject — no shuffle beyond the top-k collect; nothing
+   * data-sized on the driver. Portability: u = (h+1)/2^56 where both
+   * engines round the long→double conversion identically; keys round at
+   * 9 decimals with an id tie-break (the t6 rank discipline) so the
+   * selection boundary is engine-portable. Non-positive or null weights
+   * raise (a silent drop would skew the sample), mirroring the sa6
+   * negative-count rule.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val u = (hashValue(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(math.pow(2.0, 56))
+    val skey = when(col(weightCol).isNull || col(weightCol) <= 0,
+      raise_error(concat(lit("weightedSample: non-positive weight for id "),
+        col(idCol).cast("string"))))
+      .otherwise(round(-log(u) / col(weightCol), 9))
+    df.select(col(idCol).as("id"), col(weightCol).as("weight"),
+        skey.as("skey"))
+      .orderBy(col("skey").asc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey").asc, col("id").asc)))
+  }
+
+  /**
    * P34 — deterministic per-key cap (class balancing): keep at most
    * `maxPerKey` rows per key, selected by portable hash order over
    * `idCol` (ties broken by id). Unlike LIMIT-per-group over input order,

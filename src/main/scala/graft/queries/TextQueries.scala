@@ -58,6 +58,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P67 — weighted sample: 50 docs drawn by Efraimidis-Spirakis keys
+    // −ln(u)/w with hash-derived uniforms and weight doc_id % 5 + 1; the
+    // oracle replays every key and the selection boundary exactly
+    "sa8_weighted" -> ((s, dir) => {
+      graft.operators.Sampling.weightedSample(
+          table(s, dir, "documents")
+            .select(col("doc_id"), (col("doc_id") % 5 + 1).as("w")),
+          "doc_id", "w", k = 50)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    }),
+
     // P34 — per-class cap: at most 10 docs per (doc_id % 7) class, chosen
     // by portable hash order; the oracle replays the same MD5 ordering so
     // the retained subset must agree row-for-row
@@ -738,6 +750,23 @@ object TextQueries {
         |       WHEN bucket < 9000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // u = (h+1)/2^56 — both engines round the long->double conversion
+    // identically; keys rounded at 9 with the id tie-break
+    "sa8_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, doc_id % 5 + 1 AS weight,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, weight,
+        |    round(-ln(CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0) / weight, 9) AS skey
+        |  FROM h)
+        |SELECT doc_id, weight, skey,
+        |  CAST(row_number() OVER (ORDER BY skey, doc_id) AS INT) AS rank
+        |FROM s ORDER BY skey, doc_id LIMIT 50""".stripMargin,
 
     // the list_reduce seed quirk is benign: DuckDB starts the fold at the
     // first element where Spark starts at 0 — (0·31 + x₀) mod p = x₀ since

@@ -82,6 +82,46 @@ class SamplingSpec extends SparkSpec {
       docs.withColumn("split_key", lit(1L)), "id", pairs, splits))
   }
 
+  test("weightedSample replays Efraimidis-Spirakis keys; heavy weights win more") {
+    def hash56(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16)
+    }
+    def skey(id: Long, w: Long): Double = {
+      val u = (hash56(id.toString) + 1L).toDouble / math.pow(2.0, 56)
+      BigDecimal(-math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val docs = (1L to 20L).map(i => (i, i % 3 + 1)).toDF("id", "w")
+    val got = Sampling.weightedSample(docs, "id", "w", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // the exact A-ES selection: 5 smallest keys, ties to the lowest id
+    val expected = (1L to 20L).map(i => (i, i % 3 + 1, skey(i, i % 3 + 1)))
+      .sortBy { case (id, _, s) => (s, id) }.take(5)
+      .zipWithIndex.map { case ((id, w, s), r) => (id, w, s, r + 1) }
+    assert(got.toSeq == expected)
+    // statistical shape: weight 10 beats weight 1 in the winner set
+    val skewed = (1L to 5000L).map(i => (i, if (i % 2 == 0) 10L else 1L))
+      .toDF("id", "w")
+    val winners = Sampling.weightedSample(skewed, "id", "w", k = 500)
+      .collect().map(r => r.getLong(1))
+    val heavy = winners.count(_ == 10L)
+    assert(heavy > 350, s"weight-10 rows won only $heavy of 500")
+    // partitioning-invariant
+    val again = Sampling.weightedSample(docs.repartition(7), "id", "w", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(again.toSeq == got.toSeq)
+    // non-positive weights raise rather than silently skewing the draw
+    val bad = Seq((1L, 0L), (2L, 3L)).toDF("id", "w")
+    val e = intercept[Exception](Sampling.weightedSample(bad, "id", "w", 1).collect())
+    assert(e.getMessage.contains("non-positive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
+    intercept[IllegalArgumentException](Sampling.weightedSample(docs, "id", "w", 0))
+  }
+
   test("cappedPerKey keeps at most N per key, deterministically, order-independent") {
     import org.apache.spark.sql.functions.col
     val df = (1L to 1000L).map(k => (k % 5, k)).toDF("klass", "id")
