@@ -34,16 +34,25 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events table with `ts` rebuilt as a micros TimestampType (the parquet
-    * file stores TIMESTAMP(NANOS), which Spark reads as long — truncation to
-    * micros matches DuckDB's internal micros representation). */
+  /** events table with `ts` normalized to a micros TimestampType (LTZ)
+    * regardless of the physical parquet shape. The testdata has shipped
+    * `ts` as TIMESTAMP(NANOS) (read as long via nanosAsLong) and as
+    * Timestamp(isAdjustedToUTC=false, micros) (read as TIMESTAMP_NTZ) across
+    * regenerations; downstream queries do epoch math (`unix_micros`,
+    * `cast(... as bigint)`) that is NTZ-illegal, so all shapes funnel to LTZ
+    * here — never patch the individual queries for a type drift. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division: Column./ is DOUBLE division, and epoch nanos
-      // (~1.7e18) exceed double's 53-bit mantissa — `div` keeps exact longs
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: Column./ is DOUBLE division, and epoch nanos
+        // (~1.7e18) exceed double's 53-bit mantissa — `div` keeps exact longs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is UTC, so the wall-clock reading equals the instant
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /**

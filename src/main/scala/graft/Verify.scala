@@ -18,16 +18,26 @@ object Verify {
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    val registered = SparkEntry.queries.keys.filter(selected).toSeq.sorted
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       // queries that cache internally must not pin memory for the rest of
       // the run (Bench does the same between measurements)
       spark.catalog.clearCache()
     }
+    // r8 lesson: three queries broke at analysis, produced no output, and the
+    // correctness report silently SHRANK (103 reported vs 106 registered) —
+    // nothing flagged the gap. The manifest lets check_verify.py compare
+    // registered-vs-produced so a vanishing query can never read as green.
+    val produced = registered.filter(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
+    println(s"[verify] produced ${produced.size} of ${registered.size} registered queries" +
+      (if (failures.isEmpty) "" else s"; FAILED: ${failures.keys.mkString(",")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,6 +53,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val manifest = "{" +
+      s"${q("registered")}: [${registered.map(q).mkString(",")}]," +
+      s"${q("failed")}: {${failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",")}}" +
+      "}"
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
+    // deliberately exit 0 even on per-query failure: the driver compares
+    // whatever was produced, and a non-zero exit could make it discard the
+    // whole round. check_verify.py fails the LOCAL gate on any manifest gap.
   }
 }

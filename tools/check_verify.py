@@ -14,6 +14,31 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, okc, skip = [], 0, 0
+
+# Registered-vs-produced check (r8 lesson: 3 queries broke at analysis and
+# the correctness report silently shrank). Every registered query — oracle'd
+# or rows-only — must have an output dir with at least one parquet part.
+manifest_path = f"{outdir}/manifest.json"
+if os.path.exists(manifest_path):
+    manifest = json.load(open(manifest_path))
+    registered = manifest.get("registered", [])
+    produced = [n for n in registered
+                if glob.glob(f"{outdir}/{n}/*.parquet")]
+    print(f"registered {len(registered)}, produced {len(produced)}")
+    for n in registered:
+        if n not in produced:
+            why = manifest.get("failed", {}).get(n, "no output dir")
+            fails.append((n, f"MISSING OUTPUT: {why}"))
+    for n in registered:
+        if n not in oracle and glob.glob(f"{outdir}/{n}/*.parquet"):
+            # rows-only query: weaker driver check — require >0 rows here
+            nrows = con.sql(f"SELECT count(*) FROM '{outdir}/{n}/*.parquet'").fetchone()[0]
+            if nrows == 0:
+                fails.append((n, "rows-only query produced 0 rows"))
+            else:
+                okc += 1
+else:
+    print("WARNING: no manifest.json — registered-vs-produced check skipped")
 for name in sorted(oracle):
     sql = oracle[name]
     spark_path = f"{outdir}/{name}"
