@@ -243,11 +243,14 @@ object XmlSinks {
     val partsDir = java.nio.file.Paths.get(path + ".parts")
     XptWriter.deleteRecursively(partsDir)
     java.nio.file.Files.createDirectories(partsDir)
-    // zipWithIndex needs a partition-size job before the write job; persist
-    // the sorted projection across the two so the orderBy sort runs ONCE,
-    // not once per job (the hot path writes ~the whole dataset)
+    // zipWithIndex runs a partition-size job before the write job. Do NOT
+    // persist the Row RDD across the two: caching 600k boxed Rows in the
+    // block store costs 7-15s at sf0.1 (measured r9 — it was the whole
+    // e3 export regression) while the sort's shuffle files are reused
+    // across jobs anyway, so only the cheap post-shuffle within-partition
+    // sort re-executes (~0.5s). Both jobs read identical shuffle output,
+    // so the order — and with it ItemGroupDataSeq — is deterministic.
     val sortedRdd = ordered.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val partsDirStr = partsDir.toString
       val manifest = sortedRdd.zipWithIndex().mapPartitionsWithIndex { (pidx, it) =>
@@ -273,7 +276,6 @@ object XmlSinks {
       } finally fos.close()
       manifest.map(_._2).sum
     } finally {
-      sortedRdd.unpersist()
       XptWriter.deleteRecursively(partsDir)
     }
   }
