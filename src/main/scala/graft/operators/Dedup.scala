@@ -52,6 +52,35 @@ object Dedup {
   }
 
   /**
+   * P72 — soft dedup: instead of dropping duplicates, DOWNWEIGHT them.
+   * Every row in an exact-duplicate group of size n gets weight 1/n (so a
+   * document's total training influence is constant no matter how many
+   * times it was crawled), plus a deterministic independent keep decision
+   * with probability 1/n (u ≤ 1/n with u the portable-MD5 uniform of the
+   * id — [[graft.operators.Sampling.hashValue]]) so the expected kept
+   * count per group is exactly 1 while which copies survive stays a pure
+   * function of the data. The "soft" alternative to [[exactDedup]] used
+   * when duplication frequency itself is signal (boilerplate vs. popular
+   * content). Returns (id, n_dups, weight, kept).
+   *
+   * Scale shape: one window shuffle keyed by the 64-bit text hash (8-byte
+   * keys, hash-collision safe via the text tiebreak in the key, same as
+   * [[exactDedup]]); the keep decision is a stateless projection. No
+   * joins, no driver-side state.
+   */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+    val u = (Sampling.hashValue(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(math.pow(2.0, 56))
+    df.select(col(idCol), col(textCol))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .select(col(idCol).as("id"), col("n_dups"),
+        (lit(1.0) / col("n_dups")).as("weight"),
+        (u <= lit(1.0) / col("n_dups")).as("kept"))
+  }
+
+  /**
    * P31 — duplicate clustering: connected components over a pair list
    * ((i, j) edges from any of the pair producers here), by bounded
    * min-label propagation. Returns (id, cluster_id) for every node that

@@ -42,4 +42,32 @@ object RangeJoin {
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /**
+   * P68 — binned interval-OVERLAP join: every left interval `[llo, lhi]`
+   * against every right interval `[rlo, rhi]` with a non-empty inclusive
+   * intersection (`llo <= rhi && rlo <= lhi`). Same motivation as
+   * [[intervalJoin]] — the naive `ON` form plans as a nested-loop join —
+   * and the same cure: both sides replicate to the bins they cover and the
+   * predicate becomes an equi-join on the bin key plus the exact residual
+   * filter. A pair whose intervals share several bins would match once per
+   * shared bin, so each pair is counted ONLY in the bin that contains the
+   * start of the intersection (`greatest(llo, rlo)`) — every overlapping
+   * pair has exactly one such bin, making the output duplicate-free
+   * without a `distinct` shuffle. Column names must be disjoint across the
+   * two sides (callers rename beforehand).
+   */
+  def overlapJoin(left: DataFrame, lloCol: String, lhiCol: String,
+      right: DataFrame, rloCol: String, rhiCol: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"overlapJoin: binSize must be positive, got $binSize")
+    val l = left.withColumn("__bin",
+      explode(sequence(binOf(col(lloCol), binSize), binOf(col(lhiCol), binSize))))
+    val r = right.withColumn("__bin",
+      explode(sequence(binOf(col(rloCol), binSize), binOf(col(rhiCol), binSize))))
+    l.join(r, Seq("__bin"))
+      .where(col(lloCol) <= col(rhiCol) && col(rloCol) <= col(lhiCol) &&
+        col("__bin") === binOf(greatest(col(lloCol), col(rloCol)), binSize))
+      .drop("__bin")
+  }
 }

@@ -145,6 +145,41 @@ object Sampling {
   }
 
   /**
+   * P69 — deterministic per-key weighted reservoir: the k smallest
+   * Efraimidis–Spirakis keys WITHIN each stratum win, i.e. an independent
+   * [[weightedSample]] per key in one pass. The stratified flavor of
+   * corpus mixing: "n docs per source, odds proportional to quality
+   * weight", fully deterministic via the same hash-derived uniforms (same
+   * data → same reservoir on every engine). Returns
+   * (key, id, weight, skey, rank 1..≤k per key).
+   *
+   * Scale shape: a stateless key projection plus ONE window shuffle keyed
+   * by `keyCol` — no per-key top-k collects, nothing data-sized on the
+   * driver; a skewed hot key costs one partition's sort (the sa2 rule).
+   * Same portability discipline as [[weightedSample]]: u = (h+1)/2^56,
+   * keys rounded at 9 decimals, id tie-break; non-positive or null
+   * weights raise rather than silently skew the sample.
+   */
+  def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"weightedSamplePerKey: k must be >= 1, got $k")
+    val u = (hashValue(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(math.pow(2.0, 56))
+    val skey = when(col(weightCol).isNull || col(weightCol) <= 0,
+      raise_error(concat(lit("weightedSamplePerKey: non-positive weight for id "),
+        col(idCol).cast("string"))))
+      .otherwise(round(-log(u) / col(weightCol), 9))
+    // the window runs over the RENAMED projection below — partition on
+    // "key", not keyCol (which may no longer exist)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      .orderBy(col("skey").asc, col("id").asc)
+    df.select(col(keyCol).as("key"), col(idCol).as("id"),
+        col(weightCol).as("weight"), skey.as("skey"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
    * P34 — deterministic per-key cap (class balancing): keep at most
    * `maxPerKey` rows per key, selected by portable hash order over
    * `idCol` (ties broken by id). Unlike LIMIT-per-group over input order,

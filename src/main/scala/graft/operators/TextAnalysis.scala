@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -94,6 +94,83 @@ object TextAnalysis {
     val punctOk = when(punctRatio(c) <= 0.2, 1.0).otherwise(0.0)
     val alphaOk = when(alphaRatio(c) >= 0.7, 1.0).otherwise(0.0)
     (lengthOk + stopOk + punctOk + alphaOk) / 4.0
+  }
+
+  /**
+   * P70 — Gopher-style rule filter (Rae et al. 2021, Table A1 subset):
+   * the composite document gate most pretraining pipelines run before any
+   * model-based scoring. Emits the individual signals plus the `keep`
+   * conjunction so downstream can audit WHICH rule dropped a document:
+   *
+   *   - `n_words` in [minWords, maxWords]            (default 50..100,000)
+   *   - `mean_word_len` in [3, 10] characters
+   *   - `n_stop_hits` ≥ 2 distinct English stopwords
+   *   - `alpha_word_frac` ≥ 0.8 of words contain an alphabetic character
+   *   - `symbol_word_ratio` ≤ 0.1 ('#' or '...' per word)
+   *
+   * Line-based rules (bullet/ellipsis line starts) are omitted: this
+   * corpus carries no line structure. Tokenization = [[tokens]], shared
+   * with every other text operator. Pure per-row projection — no shuffle,
+   * no UDFs; ratios round at 6 decimals (the t3 discipline).
+   */
+  def gopherFlags(c: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val toks = tokens(c)
+    val nWords = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / greatest(nWords, lit(1))
+    val stopArr = array(LanguageProfiles("en").map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(toks), stopArr))
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(nWords, lit(1))
+    val symbolRatio =
+      (size(filter(toks, t => t.contains("#"))) +
+        size(filter(toks, t => t.contains("...")))).cast("double") /
+        greatest(nWords, lit(1))
+    val wordsOk = nWords >= minWords && nWords <= maxWords
+    val lenOk = meanLen >= 3.0 && meanLen <= 10.0
+    val stopOk = stopHits >= 2
+    val alphaOk = alphaFrac >= 0.8
+    val symbolOk = symbolRatio <= 0.1
+    struct(
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      stopHits.as("n_stop_hits"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      round(symbolRatio, 6).as("symbol_word_ratio"),
+      (wordsOk && lenOk && stopOk && alphaOk && symbolOk).as("keep"))
+  }
+
+  /**
+   * P71 — exact phrase occurrence count via positional postings: how many
+   * times the n-token `phrase` appears (consecutively, in order) in each
+   * document. The distributed shape is an inverted POSITIONAL index —
+   * (term, id, pos) postings for the phrase's terms only (the broadcast
+   * isin filter collapses the explode before any shuffle), chained by
+   * n−1 equi-joins on (id, pos + i); occurrences then count per document.
+   * At corpus scale this is the standard phrase-query plan over a
+   * positional index: work scales with the phrase terms' posting lists,
+   * never with corpus length. Tokenization = [[tokens]]. Returns
+   * (id, n_matches > 0).
+   */
+  def phraseCount(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseCount: phrase must have at least one token")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phraseCount: phrase tokens must be non-empty and whitespace-free, got $phrase")
+    val terms = phrase.map(_.toLowerCase)
+    val postings = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .where(col("term").isin(terms: _*))
+    val first = postings.where(col("term") === terms.head)
+      .select(col("id"), col("pos"))
+    val chained = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      val next = postings.where(col("term") === t)
+        .select(col("id").as("__nid"), (col("pos") - i).as("__npos"))
+      acc.join(next, col("id") === col("__nid") && col("pos") === col("__npos"))
+        .select(col("id"), col("pos"))
+    }
+    chained.groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
   }
 
   // ---- lexical diversity -----------------------------------------------------

@@ -36,6 +36,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P72 — soft dedup: duplicates downweighted (w = 1/n per exact-text
+    // group) instead of dropped, with a deterministic keep draw at
+    // probability 1/n from the portable-MD5 uniform — the oracle replays
+    // group sizes, weights, and every keep decision bit-for-bit
+    "d14_soft_dedup" -> ((s, dir) => {
+      Dedup.softDedupWeights(dupedDocs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // P37 — incremental dedup against a reference corpus: bloom-negative
     // rows skip the shuffle entirely, the fpp tail is verified by an exact
     // anti-join; the oracle is the PLAIN anti-join the operator must equal
@@ -244,6 +254,23 @@ object DedupQueries {
        |ORDER BY i, j""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the hv fold is the shared sa8 idiom (first 14 hex chars of MD5 as a
+    // long); 1.0e0 (not 1.0) keeps weight DOUBLE — a bare literal would
+    // type the division DECIMAL and fail the dtype gate
+    "d14_soft_dedup" ->
+      s"""WITH d AS ($dupedDocsSql),
+         |g AS (SELECT doc_id, CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_dups
+         |      FROM d),
+         |h AS (
+         |  SELECT doc_id, n_dups,
+         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+         |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) AS hv
+         |  FROM g)
+         |SELECT doc_id, n_dups, 1.0e0 / n_dups AS weight,
+         |  (CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0) <= (1.0e0 / n_dups) AS kept
+         |FROM h ORDER BY doc_id""".stripMargin,
+
     "d1_exact_dedup" ->
       s"""SELECT doc_id FROM (
          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -75,6 +75,32 @@ object SemiStructuredQueries {
         .orderBy("interval_id", "point_id")
     }),
 
+    // P68 — binned interval-OVERLAP join: each error's 10-minute aftermath
+    // window against each purchase's 5-minute run-up window (incident
+    // exposure attribution). Equi-join on time bins with the
+    // start-of-intersection bin responsible for each pair — never a
+    // nested-loop join, no post-hoc distinct. Durations stay in micros
+    // end-to-end (no double division to trip the floor/round cast split).
+    "rj2_overlap_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val tenMinUs = 600000000L
+      val fiveMinUs = 300000000L
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          unix_micros(col("ts")).as("e_lo"))
+        .withColumn("e_hi", col("e_lo") + tenMinUs)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"),
+          (unix_micros(col("ts")) - fiveMinUs).as("p_lo"),
+          unix_micros(col("ts")).as("p_hi"))
+      RangeJoin.overlapJoin(errs, "e_lo", "e_hi",
+          purchases, "p_lo", "p_hi", binSize = tenMinUs)
+        .select(col("error_id"), col("purch_id"),
+          (least(col("e_hi"), col("p_hi")) -
+            greatest(col("e_lo"), col("p_lo"))).as("overlap_us"))
+        .orderBy("error_id", "purch_id")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -122,6 +148,17 @@ object SemiStructuredQueries {
         |       CAST((clk.pt - err.lo) // 1000000 AS BIGINT) AS delta_s
         |FROM clk JOIN err ON clk.pt >= err.lo AND clk.pt <= err.hi
         |ORDER BY interval_id, point_id""".stripMargin,
+
+    "rj2_overlap_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),
+        |err AS (SELECT event_id AS error_id, us AS e_lo, us + 600000000 AS e_hi
+        |        FROM ev WHERE event_type = 'error'),
+        |pur AS (SELECT event_id AS purch_id, us - 300000000 AS p_lo, us AS p_hi
+        |        FROM ev WHERE event_type = 'purchase')
+        |SELECT err.error_id, pur.purch_id,
+        |       CAST(least(err.e_hi, pur.p_hi) - greatest(err.e_lo, pur.p_lo) AS BIGINT) AS overlap_us
+        |FROM err JOIN pur ON err.e_lo <= pur.p_hi AND pur.p_lo <= err.e_hi
+        |ORDER BY error_id, purch_id""".stripMargin,
 
     "st3_sliding" ->
       """WITH expanded AS (

@@ -324,6 +324,42 @@ object TextQueries {
         col("doc_id"),
         TextAnalysis.docFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // P69 — per-source weighted reservoir: 5 docs per source, odds
+    // proportional to n_chars, via A-ES keys inside one window — the
+    // oracle replays every hash, key, and rank
+    "sa9_reservoir" -> ((s, dir) => {
+      graft.operators.Sampling.weightedSamplePerKey(
+          table(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", "n_chars", k = 5)
+        .withColumnRenamed("key", "source")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("source", "rank")
+    }),
+
+    // P70 — Gopher rule filter with the published thresholds (50-word
+    // minimum splits this corpus: token counts run 10..100); every signal
+    // and the keep conjunction replayed by the oracle
+    "t17_gopher" -> ((s, dir) => {
+      val f = TextAnalysis.gopherFlags(col("text"))
+      table(s, dir, "documents").select(col("doc_id"), f.as("f"))
+        .select(col("doc_id"), col("f.n_words"), col("f.mean_word_len"),
+          col("f.n_stop_hits"), col("f.alpha_word_frac"),
+          col("f.symbol_word_ratio"), col("f.keep"))
+        .orderBy("doc_id")
+    }),
+
+    // P71 — positional-index phrase count: occurrences of the two-token
+    // phrase "table value" per document via posting-list joins; the
+    // oracle counts consecutive positions directly per document (the
+    // d13 identity-proof pattern)
+    "iv3_phrase" -> ((s, dir) => {
+      TextAnalysis.phraseCount(
+          table(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "value"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -868,6 +904,76 @@ object TextQueries {
          |        list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // sa8's hv fold partitioned by source; weight = n_chars stays BIGINT
+    // on both sides (no aggregate, so no HUGEINT risk)
+    "sa9_reservoir" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars AS weight,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, doc_id, weight,
+        |    round(-ln(CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0) / weight, 9) AS skey
+        |  FROM h),
+        |r AS (
+        |  SELECT source, doc_id, weight, skey,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT source, doc_id, weight, skey, rank FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // keep gates evaluate the UNROUNDED signals (raw CTE), exactly like
+    // the operator; only the output columns round at 6 decimals
+    "t17_gopher" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |raw AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n_words,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        [CAST(length(t2) AS BIGINT) FOR t2 IN toks]), (a, x) -> a + x) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS mean_raw,
+         |    len(list_intersect(list_distinct(toks), $EnStops)) AS n_stop_hits,
+         |    CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-z]'))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS alpha_raw,
+         |    CAST(len(list_filter(toks, t2 -> contains(t2, '#')))
+         |       + len(list_filter(toks, t2 -> contains(t2, '...'))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS symbol_raw
+         |  FROM d)
+         |SELECT doc_id, n_words,
+         |  ROUND(mean_raw, 6) AS mean_word_len,
+         |  n_stop_hits,
+         |  ROUND(alpha_raw, 6) AS alpha_word_frac,
+         |  ROUND(symbol_raw, 6) AS symbol_word_ratio,
+         |  (n_words >= 50 AND n_words <= 100000
+         |   AND mean_raw >= 3.0e0 AND mean_raw <= 10.0e0
+         |   AND n_stop_hits >= 2
+         |   AND alpha_raw >= 0.8e0
+         |   AND symbol_raw <= 0.1e0) AS keep
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    // direct per-document consecutive-pair count — the distributed
+    // postings-join must equal the plain definition (identity proof)
+    // plain (non-interpolated) triple quote: \s+ must be written with ONE
+    // backslash here — only the s-interpolator collapses \\ to \
+    "iv3_phrase" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len([i FOR i IN range(1, len(toks))
+        |              IF toks[CAST(i AS INT)] = 'table'
+        |             AND toks[CAST(i AS INT) + 1] = 'value']) AS BIGINT) AS n_matches
+        |  FROM d)
+        |SELECT doc_id, n_matches FROM c
+        |WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id,

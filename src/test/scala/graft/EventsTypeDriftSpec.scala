@@ -18,9 +18,9 @@ class EventsTypeDriftSpec extends SparkSpec {
 
   // the three r8-broken queries plus the other events() consumers — cheap
   // at 90 rows, so run the full set
-  private val eventQueries = Seq("rj1_interval_join", "st2_sessions",
-    "st5_interval_join", "st1_windowed_counts", "st3_sliding", "st4_asof",
-    "sk3_streaming_cms", "sk4_streaming_hll")
+  private val eventQueries = Seq("rj1_interval_join", "rj2_overlap_join",
+    "st2_sessions", "st5_interval_join", "st1_windowed_counts", "st3_sliding",
+    "st4_asof", "sk3_streaming_cms", "sk4_streaming_hll")
 
   /** 90 events over 3 users / 3 types, spaced so the 30-min interval join
     * and 10-min range join both match some (not all) pairs. */

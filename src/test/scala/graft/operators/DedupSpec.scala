@@ -362,4 +362,39 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(again == expected)
   }
+
+  test("softDedupWeights downweights by group size; singletons always kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "alpha"), (4L, "alpha"),
+      (5L, "beta"), (6L, "beta"),
+      (7L, "gamma")
+    ).toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      assert(got(id)._1 == 4L); assert(got(id)._2 == 0.25)
+    }
+    for (id <- Seq(5L, 6L)) { assert(got(id)._1 == 2L); assert(got(id)._2 == 0.5) }
+    // a singleton's keep draw is u <= 1 — always true, never dropped
+    assert(got(7L) == ((1L, 1.0, true)))
+    // the keep decision is the id's portable uniform against 1/n: replay it
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(14), 16) + 1).toDouble / math.pow(2.0, 56)
+    }
+    for (id <- 1L to 7L)
+      assert(got(id)._3 == (u(id) <= got(id)._2), s"keep mismatch for id $id")
+    // kept count per group has expectation 1 — sanity: not ALL kept in the
+    // size-4 group (P[all 4 kept] = 4^-4; these fixed ids do not hit it)
+    assert(Seq(1L, 2L, 3L, 4L).count(got(_)._3) < 4)
+    // deterministic under repartitioning
+    val again = Dedup.softDedupWeights(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(again == got)
+  }
 }

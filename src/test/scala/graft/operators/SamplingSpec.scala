@@ -271,4 +271,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.tokenBudget(negative, "d", "id", "toks", Map("a" -> 100L)).count())
     assert(ex.getMessage != null)
   }
+
+  test("weightedSamplePerKey is an independent weightedSample inside every key") {
+    val docs = (1L to 60L).map(i => (i, s"k${i % 3}", i % 7 + 1)).toDF("id", "key", "w")
+    val got = Sampling.weightedSamplePerKey(docs, "key", "id", "w", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(4)))
+    // ≤ k winners per key, ranks 1..n contiguous within each key
+    val byKey = got.groupBy(_._1)
+    assert(byKey.keySet == Set("k0", "k1", "k2"))
+    byKey.values.foreach { rows =>
+      assert(rows.length <= 4)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // each key's winners = the global operator restricted to that key
+    for (k <- Seq("k0", "k1", "k2")) {
+      val solo = Sampling.weightedSample(docs.where(col("key") === k), "id", "w", k = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(byKey(k).map(_._2).toSet == solo, s"key $k diverges from weightedSample")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.weightedSamplePerKey(docs.repartition(7), "key", "id", "w", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(4))).sorted.toSeq
+    assert(again == got.sorted.toSeq)
+    // non-positive weights raise; k is validated
+    val bad = Seq((1L, "a", 0)).toDF("id", "key", "w")
+    intercept[Exception](Sampling.weightedSamplePerKey(bad, "key", "id", "w", 1).collect())
+    intercept[IllegalArgumentException](
+      Sampling.weightedSamplePerKey(docs, "key", "id", "w", 0))
+  }
 }

@@ -365,4 +365,64 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 0))
   }
+
+  test("gopherFlags computes every signal and the keep conjunction") {
+    // 6 words: "the of data model is good" — 2+ stop hits, all alphabetic,
+    // mean length (3+2+4+5+2+4)/6 = 10/3
+    val docs = Seq(
+      (1L, "the of data model is good"),
+      (2L, "zz11 ## ##"),               // no stops, symbolic, short
+      (3L, "a b " + Seq.fill(60)("the data").mkString(" ")) // 122 words
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.gopherFlags(col("text"), minWords = 5, maxWords = 100).as("f"))
+      .select(col("doc_id"), col("f.n_words"), col("f.mean_word_len"),
+        col("f.n_stop_hits"), col("f.alpha_word_frac"),
+        col("f.symbol_word_ratio"), col("f.keep"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getInt(1) == 6)
+    assert(math.abs(d1.getDouble(2) - 10.0 / 3) < 1e-6)
+    assert(d1.getInt(3) == 3) // the, of, is
+    assert(d1.getDouble(4) == 1.0)
+    assert(d1.getDouble(5) == 0.0)
+    assert(d1.getBoolean(6)) // every gate passes at minWords = 5
+    val d2 = got(2L)
+    assert(d2.getInt(3) == 0)
+    assert(math.abs(d2.getDouble(5) - 2.0 / 3) < 1e-6) // two '##' words
+    assert(!d2.getBoolean(6)) // fails words/stop/alpha/symbol gates
+    val d3 = got(3L)
+    assert(d3.getInt(1) == 122)
+    assert(!d3.getBoolean(6)) // over maxWords = 100 despite good signals
+    // the published default keeps the 122-word doc (50..100k window)
+    val defGot = docs.where(col("doc_id") === 3L)
+      .select(TextAnalysis.gopherFlags(col("text")).getField("keep"))
+      .head().getBoolean(0)
+    assert(defGot)
+  }
+
+  test("phraseCount counts consecutive occurrences via posting joins") {
+    val docs = Seq(
+      (1L, "big data makes big data pipelines"), // "big data" ×2
+      (2L, "Big Data is upper cased"),           // case-folded match
+      (3L, "data big"),                          // reversed — no match
+      (4L, "big league data"),                   // not consecutive
+      (5L, "a a a a")                            // overlapping self-phrase
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseCount(docs, "doc_id", "text", Seq("big", "data"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L)) // 3, 4 absent: zero matches drop
+    // overlapping occurrences all count ("a a" in "a a a a" → 3)
+    val self = TextAnalysis.phraseCount(docs, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(self == Map(5L -> 3L))
+    // single-token phrase = plain term frequency
+    val one = TextAnalysis.phraseCount(docs, "doc_id", "text", Seq("big"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.phraseCount(docs, "doc_id", "text", Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.phraseCount(docs, "doc_id", "text", Seq("two words")))
+  }
 }
