@@ -26,6 +26,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // a reused outDir may hold this query's output from a PREVIOUS run
+        // (an analysis-time failure never reaches mode("overwrite")'s
+        // delete) — remove it so stale parquet can't impersonate a pass
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
       }
       // queries that cache internally must not pin memory for the rest of
       // the run (Bench does the same between measurements)

@@ -28,6 +28,25 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), coalesce(key.cast("string"), lit("")))),
       1, 14), 16, 10).cast("long")
 
+  /** Portable uniform in (0, 1]: ([[hashValue]] + 1) / 2^56. The SINGLE
+    * definition behind every keep-draw and A-ES key — the sa8/sa9/d14
+    * oracles replay the +1 offset and 2^56 divisor bit-for-bit, so the
+    * construction must never fork per call site (the Sketches
+    * shared-cells rule: one definition → batch and every caller cannot
+    * drift). */
+  def uniform01(key: Column, salt: String = ""): Column =
+    (hashValue(key, salt) + lit(1L)).cast("double") / lit(math.pow(2.0, 56))
+
+  /** Efraimidis–Spirakis selection key −ln(u)/w from [[uniform01]],
+    * rounded at 9 decimals (the t6 rank discipline); non-positive or null
+    * weights raise `opName`-prefixed, never silently skew the sample. */
+  private[operators] def aesKey(id: Column, weight: Column, salt: String,
+      opName: String): Column =
+    when(weight.isNull || weight <= 0,
+      raise_error(concat(lit(s"$opName: non-positive weight for id "),
+        id.cast("string"))))
+      .otherwise(round(-log(uniform01(id, salt)) / weight, 9))
+
   /** Engine-portable deterministic bucket in [0, buckets): [[hashValue]]
     * mod buckets. `salt` decorrelates independent samples over the same
     * keys. */
@@ -89,14 +108,28 @@ object Sampling {
    * a stateless projection. `idCol` values must be orderable and share a
    * type with the pair columns (the min-label is compared and coalesced
    * against them).
+   *
+   * LEAKAGE CAVEAT when the iteration bound BINDS: `iters` must be ≥ the
+   * largest pair-graph component's diameter, or members of one long CHAIN
+   * of borderline near-dups get different partial labels (min id within
+   * `iters` hops — the [[Dedup.duplicateClusters]] contract) and CAN land
+   * in different splits — exactly the contamination this operator exists
+   * to prevent, silently. LSH output is dense (star/clique-shaped), so
+   * the default covers it; for adversarial or unknown pair graphs set
+   * `converged = true`, which routes through
+   * [[Dedup.duplicateClustersConverged]] and REFUSES (throws past
+   * `iters`) rather than returning leak-prone partial labels.
    */
   def clusterSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
       splits: Seq[(String, Double)], iCol: String = "i", jCol: String = "j",
       iters: Int = 3, salt: String = "", buckets: Int = 10000,
-      splitCol: String = "split"): DataFrame = {
+      splitCol: String = "split", converged: Boolean = false): DataFrame = {
     require(!docs.columns.contains("split_key"),
       "clusterSafeSplit: input already has a split_key column — rename it first")
-    val clusters = Dedup.duplicateClusters(pairs, iCol, jCol, iters)
+    val labeled =
+      if (converged) Dedup.duplicateClustersConverged(pairs, iCol, jCol, maxIters = iters)
+      else Dedup.duplicateClusters(pairs, iCol, jCol, iters)
+    val clusters = labeled
       .select(col("id").as(idCol), col("cluster_id").as("__cl"))
       .hint("shuffle_hash")
     val keyed = docs.join(clusters, Seq(idCol), "left")
@@ -129,12 +162,7 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"weightedSample: k must be >= 1, got $k")
-    val u = (hashValue(col(idCol), salt) + lit(1L)).cast("double") /
-      lit(math.pow(2.0, 56))
-    val skey = when(col(weightCol).isNull || col(weightCol) <= 0,
-      raise_error(concat(lit("weightedSample: non-positive weight for id "),
-        col(idCol).cast("string"))))
-      .otherwise(round(-log(u) / col(weightCol), 9))
+    val skey = aesKey(col(idCol), col(weightCol), salt, "weightedSample")
     df.select(col(idCol).as("id"), col(weightCol).as("weight"),
         skey.as("skey"))
       .orderBy(col("skey").asc, col("id").asc)
@@ -163,12 +191,7 @@ object Sampling {
   def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
       weightCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"weightedSamplePerKey: k must be >= 1, got $k")
-    val u = (hashValue(col(idCol), salt) + lit(1L)).cast("double") /
-      lit(math.pow(2.0, 56))
-    val skey = when(col(weightCol).isNull || col(weightCol) <= 0,
-      raise_error(concat(lit("weightedSamplePerKey: non-positive weight for id "),
-        col(idCol).cast("string"))))
-      .otherwise(round(-log(u) / col(weightCol), 9))
+    val skey = aesKey(col(idCol), col(weightCol), salt, "weightedSamplePerKey")
     // the window runs over the RENAMED projection below — partition on
     // "key", not keyCol (which may no longer exist)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))

@@ -29,6 +29,12 @@ if os.path.exists(manifest_path):
         if n not in produced:
             why = manifest.get("failed", {}).get(n, "no output dir")
             fails.append((n, f"MISSING OUTPUT: {why}"))
+    # a manifest-recorded failure fails the gate even if stale parquet from
+    # a previous run survives in the reused outDir (Verify also deletes the
+    # dir on failure; this is the belt to that suspender)
+    for n, why in manifest.get("failed", {}).items():
+        if n in produced:
+            fails.append((n, f"FAILED IN VERIFY (stale output present): {why}"))
     for n in registered:
         if n not in oracle and glob.glob(f"{outdir}/{n}/*.parquet"):
             # rows-only query: weaker driver check — require >0 rows here
