@@ -71,8 +71,7 @@ object Dedup {
   def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
       salt: String = ""): DataFrame = {
     val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
-    val u = (Sampling.hashValue(col(idCol), salt) + lit(1L)).cast("double") /
-      lit(math.pow(2.0, 56))
+    val u = Sampling.uniform01(col(idCol), salt)
     df.select(col(idCol), col(textCol))
       .withColumn("n_dups", count(lit(1)).over(w))
       .select(col(idCol).as("id"), col("n_dups"),
@@ -281,6 +280,46 @@ object Dedup {
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
     jaccardPairs(docTokens(df, idCol, textCol), threshold, maxDocFreq)
+
+  /**
+   * P74 — containment pairs: |A∩B| / min(|A|, |B|) ≥ threshold over token
+   * SETS. Containment catches ASYMMETRIC duplication — a short document
+   * quoted wholesale inside a long one scores J = |A|/|B| ≈ 0 on Jaccard
+   * (the union is dominated by the long side) but containment 1.0; it is
+   * the right detector for quote inclusion, boilerplate wrappers, and
+   * expanded re-posts. Same candidate generation and scale shape as
+   * [[jaccardPairs]] (token equi-join, sizes from the same filtered
+   * relation, optional stop-token cap), only the denominator differs.
+   * Returns (i, j, containment) with i < j.
+   */
+  def containmentPairs(tokens: DataFrame, threshold: Double,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        val freq = tokens.groupBy("token").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap)
+        tokens.join(freq.select("token"), Seq("token"))
+      case None => tokens
+    }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("size"))
+    val a = filtered.select(col("id").as("i"), col("token"))
+    val b = filtered.select(col("id").as("j"), col("token"))
+    a.join(b, Seq("token"))
+      .where(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("si"), col("sj")))
+      .where(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("containment"))
+  }
+
+  /** Token-set containment pairs over raw text (exact, join-on-token). */
+  def tokenContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
+    containmentPairs(docTokens(df, idCol, textCol), threshold, maxDocFreq)
 
   /**
    * P62 — prefix-filtered set-similarity join (the ppjoin-family

@@ -366,4 +366,80 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /**
+   * P73 — Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+   * 1998): from each query's `nCandidates` nearest neighbors, greedily
+   * select `k` balancing relevance against redundancy —
+   * score(d) = λ·cos(q,d) − (1−λ)·max over selected s of cos(d,s).
+   * The retrieval-augmentation shape: the index returns near-duplicates
+   * of one passage; MMR swaps redundant hits for diverse ones.
+   *
+   * Scale shape: the candidate stage is [[bruteForceTopK]]'s plan (an IVF
+   * candidate stage drops in identically) — corpus scanned once, queries
+   * broadcast, per-query window cut. The greedy stage is inherently
+   * sequential per query over |queries|·nCandidates rows, k-sized by
+   * construction — a sanctioned driver collect (the pqAdcTopK rule), never
+   * corpus-sized. Determinism: all cosines round at 6 decimals, score
+   * ties break on the smaller id, and the penalty coefficient is computed
+   * as `1.0 - lambda` on BOTH engines (0.3 is not binary-exact — an
+   * oracle writing the literal would diverge in the last ulp). `idCol`
+   * must be long-castable (embedding ids). Returns
+   * (query_id, id, qs, rank 1..≤k per query).
+   */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nCandidates: Int = 20, k: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    require(nCandidates >= 1, s"mmrRerank: nCandidates must be >= 1, got $nCandidates")
+    require(k >= 1 && k <= nCandidates,
+      s"mmrRerank: k must be in [1, nCandidates], got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda must be in [0, 1], got $lambda")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      l2Normalize(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      l2Normalize(col(vecCol)).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qs").desc, col("id").asc)
+    val cands = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        round(dotProduct(col("v"), col("qv")), 6).as("qs"), col("v"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nCandidates)
+    val rows = cands.select("query_id", "id", "qs", "v").collect()
+    val mu = 1.0 - lambda
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 } // ascending — the VecEval fold
+      s
+    }
+    final case class Cand(id: Long, qs: Double, v: Array[Double])
+    val out = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
+      case (qid, rs) =>
+        val cs = rs.map(r => Cand(r.getLong(1), r.getDouble(2),
+          r.getSeq[Double](3).toArray)).sortBy(c => (-c.qs, c.id))
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Cand]
+        while (sel.size < k && sel.size < cs.length) {
+          val best = cs.iterator.filterNot(c => sel.exists(_.id == c.id))
+            .map { cand =>
+              val maxSim =
+                if (sel.isEmpty) 0.0
+                else sel.iterator.map(s => round6(dot(cand.v, s.v))).max
+              (lambda * cand.qs - mu * maxSim, cand)
+            }
+            .reduceLeft { (a, b) =>
+              if (b._1 > a._1 || (b._1 == a._1 && b._2.id < a._2.id)) b else a
+            }
+          sel += best._2
+        }
+        sel.iterator.zipWithIndex.map { case (s, i) => (qid, s.id, s.qs, i + 1) }
+    }
+    import spark.implicits._
+    out.toDF("query_id", "id", "qs", "rank")
+  }
 }

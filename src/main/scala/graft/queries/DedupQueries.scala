@@ -130,6 +130,17 @@ object DedupQueries {
         .orderBy("i", "j")
     }),
 
+    // P74 — containment |A∩B|/min(|A|,|B|): the asymmetric-duplication
+    // detector (short doc quoted inside a long one scores ~0 Jaccard but
+    // containment 1); same candidate machinery as d3, different
+    // denominator, direct SQL replay
+    "d15_containment" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      Dedup.tokenContainmentPairs(docs, "doc_id", "text", 0.9)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("i", "j")
+    }),
+
     // P62 — prefix-filtered Jaccard over the SAME subset and threshold as
     // d3: the oracle is the plain all-token computation, so green here
     // proves the ppjoin-style prefix pruning is an identity (the sk1
@@ -356,6 +367,21 @@ object DedupQueries {
 
     "d3_token_jaccard" ->
       jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),
+
+    "d15_containment" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (SELECT DISTINCT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM docs)
+        |  WHERE token <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, ROUND(CAST(inter AS DOUBLE) / least(si.sz, sj.sz), 6) AS containment
+        |FROM pairs JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+        |WHERE CAST(inter AS DOUBLE) / least(si.sz, sj.sz) >= 0.9
+        |ORDER BY i, j""".stripMargin,
 
     "d13_prefix_jaccard" ->
       jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),

@@ -88,6 +88,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // P73 — MMR re-ranking: top-20 candidates per query (rounded cosine,
+    // id tie-break), then greedy λ-relevance / (1−λ)-redundancy selection
+    // of 5; the oracle replays the greedy walk in a recursive CTE with
+    // the identical rounded cosines and (1.0 − 0.7) penalty coefficient
+    "sim8_mmr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mmrRerank(e, e.where(col("vec_id") % 1000 === 0),
+          "vec_id", "v", nCandidates = 20, k = 5, lambda = 0.7)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // P61 — int8 scalar quantization: per-dim corpus extrema, then the
     // exact floor((x−min)·255/(max−min)+0.5) sequence per element — the
     // oracle recomputes extrema and codes with the identical IEEE ops, so
@@ -293,6 +305,52 @@ object SimilarityQueries {
         |  FROM tot WHERE query_id <> id)
         |SELECT query_id, id, adc_dist, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // MMR replayed in SQL: sim2's normalization + ascending-index folds
+    // give bit-identical rounded cosines; the greedy walk is a recursive
+    // CTE whose LATERAL picks the (score DESC, id ASC) argmax each step —
+    // the f3 greedy-replay mechanics. The penalty coefficient is written
+    // (1.0e0 - 0.7e0), NOT 0.3e0: 0.3 is not binary-exact and the Scala
+    // side computes 1.0 - lambda, so the literal would diverge in the
+    // last ulp.
+    "sim8_mmr" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |norm AS (SELECT vec_id,
+        |    CASE WHEN sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN v]), (a,b) -> a+b)) > 0
+        |         THEN [x / sqrt(list_reduce(list_prepend(0.0, [y*y FOR y IN v]), (a,b) -> a+b)) FOR x IN v]
+        |         ELSE [0.0 FOR x IN v] END AS v
+        |  FROM e),
+        |qrys AS (SELECT vec_id AS query_id, v AS qv FROM norm WHERE vec_id % 1000 = 0),
+        |scored AS (
+        |  SELECT q.query_id, n.vec_id AS id, n.v,
+        |    round(list_reduce(list_prepend(0.0, [n.v[i] * q.qv[i] FOR i IN range(1, len(n.v)+1)]), (a,b) -> a+b), 6) AS qs
+        |  FROM norm n CROSS JOIN qrys q WHERE n.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, id, v, qs FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qs DESC, id ASC) AS rn
+        |    FROM scored) WHERE rn <= 20),
+        |psim AS (
+        |  SELECT a.query_id, a.id AS ai, b.id AS bi,
+        |    round(list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)]), (x,y) -> x+y), 6) AS sim
+        |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id),
+        |g(query_id, n, sel, id, qs) AS (
+        |  SELECT query_id, 1, [id], id, qs FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY 0.7e0 * qs DESC, id ASC) AS rn
+        |    FROM cand) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.query_id, g.n + 1, list_append(g.sel, c.id), c.id, c.qs
+        |  FROM g, LATERAL (
+        |    SELECT c2.id, c2.qs,
+        |      0.7e0 * c2.qs - (1.0e0 - 0.7e0) * coalesce(
+        |        (SELECT max(p.sim) FROM psim p
+        |         WHERE p.query_id = g.query_id AND p.ai = c2.id
+        |           AND list_contains(g.sel, p.bi)), 0.0e0) AS score
+        |    FROM cand c2
+        |    WHERE c2.query_id = g.query_id AND NOT list_contains(g.sel, c2.id)
+        |    ORDER BY score DESC, c2.id ASC LIMIT 1) c
+        |  WHERE g.n < 5)
+        |SELECT query_id, id AS vec_id, qs, CAST(n AS INT) AS rank
+        |FROM g ORDER BY query_id, rank""".stripMargin,
 
     // Full IVF pipeline replayed in SQL. Why this matches bit-for-bit: both
     // engines widen float→double exactly, and every reduction (norm, dot) is

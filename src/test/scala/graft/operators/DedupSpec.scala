@@ -363,6 +363,29 @@ class DedupSpec extends SparkSpec {
     assert(again == expected)
   }
 
+  test("containmentPairs flags subset duplication that Jaccard misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "a b c"),               // fully contained in 1: C = 1.0, J = 0.3
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.tokenContainmentPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to Jaccard at any near-dup threshold
+    assert(Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.8).count() == 0)
+    // a stop-token cap that kills the shared tokens removes the pair
+    val capped = Dedup.tokenContainmentPairs(docs, "doc_id", "text", 0.9,
+      maxDocFreq = Some(1L))
+    assert(capped.count() == 0)
+    // threshold is inclusive on the boundary: 2 of 3 tokens shared → 2/3
+    val partial = Seq((1L, "a b c d"), (2L, "a b z")).toDF("doc_id", "text")
+    val twoThirds = Dedup.tokenContainmentPairs(partial, "doc_id", "text", 2.0 / 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(twoThirds == Seq((1L, 2L)))
+  }
+
   test("softDedupWeights downweights by group size; singletons always kept") {
     import spark.implicits._
     val docs = Seq(

@@ -251,6 +251,41 @@ class SimilaritySpec extends SparkSpec {
     assert(again.flatten.map(_.toSeq).toSeq == refined.flatten.map(_.toSeq).toSeq)
   }
 
+  test("mmrRerank trades redundant relevance for diversity; lambda=1 is pure top-k") {
+    // q = (1,1,0); id 1 nearly duplicates id 2 (both ~aligned with x̂),
+    // id 3 is equally relevant as id 2 but orthogonal to 1 and 2 — pure
+    // top-2 keeps the near-dup pair, MMR swaps in the diverse doc
+    val corpus = Seq(
+      (1L, Array(1.0, 0.05, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0)),
+      (4L, Array(-1.0, 0.0, 0.0))
+    ).toDF("vec_id", "v")
+    val query = Seq((100L, Array(1.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val brute = Similarity.bruteForceTopK(corpus, query, "vec_id", "v", k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(brute == Seq(1L, 2L)) // cos ties between 2 and 3 break to id 2
+    val mmr = Similarity.mmrRerank(corpus, query, "vec_id", "v",
+        nCandidates = 4, k = 2, lambda = 0.7)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(mmr.toSeq == Seq((100L, 1L, 1), (100L, 3L, 2)),
+      s"MMR should swap the near-dup for the diverse doc, got ${mmr.toSeq}")
+    // λ = 1 disables the redundancy penalty → pure relevance order
+    val pure = Similarity.mmrRerank(corpus, query, "vec_id", "v",
+        nCandidates = 4, k = 2, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(pure == brute)
+    // deterministic under repartitioning
+    val again = Similarity.mmrRerank(corpus.repartition(3), query, "vec_id", "v",
+        nCandidates = 4, k = 2, lambda = 0.7)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(again.toSeq == mmr.toSeq)
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(corpus, query, "vec_id", "v", nCandidates = 2, k = 3))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(corpus, query, "vec_id", "v", k = 1, lambda = 1.5))
+  }
+
   test("pqAdcTopK ranks by the summed per-subspace table distances") {
     val (books, dsub) = Similarity.pqCodebooks(pqCorpus, "id", "v", m = 2, k = 2)
     val codes = Similarity.pqEncode(pqCorpus, books, dsub, "id", "v")
