@@ -203,6 +203,55 @@ object Sampling {
   }
 
   /**
+   * P75 — temperature-flattened domain sampling (the multilingual /
+   * multi-source rebalancing rule, XLM-R style): domain d with share
+   * p_d = n_d/N is accepted at rate p_d^(1/T−1) normalized so the
+   * smallest (for T > 1) domain keeps everything — the kept corpus
+   * approaches the tempered distribution p^(1/T)/Z without replication.
+   * T = 1 keeps all rows; T → ∞ flattens toward uniform. Per-row keeps
+   * are the deterministic [[uniform01]] draw against the 9-decimal
+   * rounded rate (the sa8 ln precedent: libm pow differs across engines
+   * only below the rounding floor). Returns
+   * (id, domain, n_domain, rate, kept).
+   *
+   * Scale shape: one tiny groupBy for domain counts (collected — one row
+   * per domain, k-sized by construction, the bm25 scalar-literal rule),
+   * then a stateless broadcast-joined projection; no unpartitioned
+   * windows, nothing corpus-sized on the driver.
+   */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      temperature: Double, salt: String = ""): DataFrame = {
+    require(temperature > 0.0,
+      s"temperatureSample: temperature must be > 0, got $temperature")
+    val spark = df.sparkSession
+    val stats = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_domain"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    require(stats.nonEmpty, "temperatureSample: input is empty")
+    val n = stats.map(_._2).sum.toDouble
+    val terms = stats.map { case (d, nd) =>
+      (d, nd, math.pow(nd / n, 1.0 / temperature - 1.0))
+    }
+    val maxTerm = terms.map(_._3).max
+    val rateRows = terms.map { case (d, nd, t) =>
+      (d, nd, BigDecimal(t / maxTerm).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import scala.jdk.CollectionConverters._
+    val rates = spark.createDataFrame(rateRows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__domain",
+          df.schema(domainCol).dataType),
+        org.apache.spark.sql.types.StructField("n_domain",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rate",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    df.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), col("domain") <=> col("__domain"))
+      .select(col("id"), col("domain"), col("n_domain"), col("rate"),
+        (uniform01(col("id"), salt) <= col("rate")).as("kept"))
+  }
+
+  /**
    * P34 — deterministic per-key cap (class balancing): keep at most
    * `maxPerKey` rows per key, selected by portable hash order over
    * `idCol` (ties broken by id). Unlike LIMIT-per-group over input order,

@@ -338,6 +338,21 @@ object TextQueries {
         .orderBy("source", "rank")
     }),
 
+    // P75 — temperature-flattened domain sampling at T = 2 over a
+    // synthetic 60/30/10 skew: rates sqrt-flatten toward uniform (the
+    // smallest domain keeps all rows); the oracle replays counts, pow,
+    // the 9-decimal rate, and every keep draw
+    "sa10_temperature" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 < 6, lit("big"))
+          .when(col("doc_id") % 10 < 9, lit("mid"))
+          .otherwise(lit("small")).as("domain"))
+      graft.operators.Sampling.temperatureSample(d, "domain", "doc_id",
+          temperature = 2.0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // P70 — Gopher rule filter with the published thresholds (50-word
     // minimum splits this corpus: token counts run 10..100); every signal
     // and the keep conjunction replayed by the oracle
@@ -924,6 +939,30 @@ object TextQueries {
         |  FROM s)
         |SELECT source, doc_id, weight, skey, rank FROM r
         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // exponent written 1.0e0/2.0e0 - 1.0e0 (= -0.5 exactly, matching the
+    // Scala 1.0/T - 1.0); the rate rounds at 9 decimals AFTER the
+    // max-normalization, the sa8 libm firewall
+    "sa10_temperature" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid'
+        |         ELSE 'small' END AS domain
+        |  FROM documents),
+        |g AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_domain FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_domain) AS DOUBLE) AS n FROM g),
+        |t AS (SELECT domain, n_domain,
+        |        pow(n_domain / tot.n, 1.0e0 / 2.0e0 - 1.0e0) AS term FROM g, tot),
+        |m AS (SELECT max(term) AS mx FROM t),
+        |r AS (SELECT domain, n_domain, round(term / m.mx, 9) AS rate FROM t, m),
+        |h AS (SELECT doc_id, domain,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM d)
+        |SELECT h.doc_id, h.domain, r.n_domain, r.rate,
+        |  (CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0) <= r.rate AS kept
+        |FROM h JOIN r USING (domain) ORDER BY doc_id""".stripMargin,
 
     // keep gates evaluate the UNROUNDED signals (raw CTE), exactly like
     // the operator; only the output columns round at 6 decimals

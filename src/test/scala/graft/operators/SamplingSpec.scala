@@ -272,6 +272,36 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("temperatureSample flattens domain shares toward the tempered distribution") {
+    // 80/20 skew, T = 2: rates are sqrt(p_min/p_d) → small keeps 1.0,
+    // big keeps sqrt(20/80) = 0.5
+    val docs = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small"))
+      .toDF("id", "domain")
+    val got = Sampling.temperatureSample(docs, "domain", "id", temperature = 2.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == 100)
+    val byDomain = got.groupBy(_._2)
+    assert(byDomain("big").forall(r => r._3 == 80L && r._4 == 0.5))
+    assert(byDomain("small").forall(r => r._3 == 20L && r._4 == 1.0))
+    // the smallest domain keeps EVERY row (u <= 1 always)
+    assert(byDomain("small").forall(_._5))
+    // the big domain keeps roughly half (hash-uniform; exact set is pinned
+    // by determinism below, the bound guards gross rate misapplication)
+    val keptBig = byDomain("big").count(_._5)
+    assert(keptBig > 20 && keptBig < 60, s"kept $keptBig of 80 at rate 0.5")
+    // T = 1 is the identity: every rate 1, everything kept
+    val id = Sampling.temperatureSample(docs, "domain", "id", temperature = 1.0)
+      .collect()
+    assert(id.forall(r => r.getDouble(3) == 1.0 && r.getBoolean(4)))
+    // deterministic under repartitioning
+    val again = Sampling.temperatureSample(docs.repartition(7), "domain", "id", 2.0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).sortBy(_._1).toSeq
+    assert(again == got.map(r => (r._1, r._5)).sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureSample(docs, "domain", "id", 0.0))
+  }
+
   test("weightedSamplePerKey is an independent weightedSample inside every key") {
     val docs = (1L to 60L).map(i => (i, s"k${i % 3}", i % 7 + 1)).toDF("id", "key", "w")
     val got = Sampling.weightedSamplePerKey(docs, "key", "id", "w", k = 4)
