@@ -28,12 +28,19 @@ object Verify {
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         // a reused outDir may hold this query's output from a PREVIOUS run
         // (an analysis-time failure never reaches mode("overwrite")'s
-        // delete) — remove it so stale parquet can't impersonate a pass
-        val stale = Paths.get(s"$outDir/$name")
-        if (Files.exists(stale)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
+        // delete) — remove it so stale parquet can't impersonate a pass.
+        // Best-effort: a cleanup IOException must not abort the run (the
+        // manifest below is what makes the round comparable at all), and
+        // check_verify fails manifest-failed names regardless.
+        scala.util.Try {
+          val stale = Paths.get(s"$outDir/$name")
+          if (Files.exists(stale)) {
+            import scala.jdk.CollectionConverters._
+            val walk = Files.walk(stale)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => scala.util.Try(Files.delete(p)))
+            finally walk.close()
+          }
         }
       }
       // queries that cache internally must not pin memory for the rest of

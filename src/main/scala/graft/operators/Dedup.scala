@@ -250,8 +250,14 @@ object Dedup {
    * `maxDocFreq` (a token in half the corpus generates |corpus|²/4 pairs and
    * proves nothing about similarity).
    */
-  def jaccardPairs(tokens: DataFrame, threshold: Double,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+  /** Shared candidate machinery for set-overlap pair scorers: token
+    * equi-join candidates (i < j) with intersection and both set sizes.
+    * Sizes come from the SAME filtered relation as intersections — mixing
+    * spaces would silently deflate every score under maxDocFreq. Returns
+    * (i, j, inter, si, sj); [[jaccardPairs]] and [[containmentPairs]]
+    * differ only in the score they derive from it. */
+  private def overlapCandidates(tokens: DataFrame,
+      maxDocFreq: Option[Long]): DataFrame = {
     val filtered = maxDocFreq match {
       case Some(cap) =>
         val freq = tokens.groupBy("token").agg(count(lit(1)).as("__df"))
@@ -259,8 +265,6 @@ object Dedup {
         tokens.join(freq.select("token"), Seq("token"))
       case None => tokens
     }
-    // sizes from the SAME filtered relation as intersections — mixing
-    // spaces would silently deflate every score under maxDocFreq
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("size"))
     val a = filtered.select(col("id").as("i"), col("token"))
     val b = filtered.select(col("id").as("j"), col("token"))
@@ -270,11 +274,15 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
       .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+  }
+
+  def jaccardPairs(tokens: DataFrame, threshold: Double,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    overlapCandidates(tokens, maxDocFreq)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
-  }
 
   /** Token-set Jaccard near-dup pairs (exact, join-on-token). */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -293,28 +301,12 @@ object Dedup {
    * Returns (i, j, containment) with i < j.
    */
   def containmentPairs(tokens: DataFrame, threshold: Double,
-      maxDocFreq: Option[Long] = None): DataFrame = {
-    val filtered = maxDocFreq match {
-      case Some(cap) =>
-        val freq = tokens.groupBy("token").agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= cap)
-        tokens.join(freq.select("token"), Seq("token"))
-      case None => tokens
-    }
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("size"))
-    val a = filtered.select(col("id").as("i"), col("token"))
-    val b = filtered.select(col("id").as("j"), col("token"))
-    a.join(b, Seq("token"))
-      .where(col("i") < col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
-      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+      maxDocFreq: Option[Long] = None): DataFrame =
+    overlapCandidates(tokens, maxDocFreq)
       .withColumn("containment",
         col("inter").cast("double") / least(col("si"), col("sj")))
       .where(col("containment") >= threshold)
       .select(col("i"), col("j"), col("containment"))
-  }
 
   /** Token-set containment pairs over raw text (exact, join-on-token). */
   def tokenContainmentPairs(df: DataFrame, idCol: String, textCol: String,

@@ -126,8 +126,13 @@ object Sampling {
       splitCol: String = "split", converged: Boolean = false): DataFrame = {
     require(!docs.columns.contains("split_key"),
       "clusterSafeSplit: input already has a split_key column — rename it first")
+    // the converged path gets at least the standalone tool's default
+    // budget: reusing a small `iters` (meant for the bounded path) as
+    // maxIters would make the escape hatch throw on ordinary graphs that
+    // WOULD converge a few rounds later
     val labeled =
-      if (converged) Dedup.duplicateClustersConverged(pairs, iCol, jCol, maxIters = iters)
+      if (converged) Dedup.duplicateClustersConverged(pairs, iCol, jCol,
+        maxIters = math.max(iters, 50))
       else Dedup.duplicateClusters(pairs, iCol, jCol, iters)
     val clusters = labeled
       .select(col("id").as(idCol), col("cluster_id").as("__cl"))

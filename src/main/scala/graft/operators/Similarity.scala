@@ -409,13 +409,23 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= nCandidates)
     val rows = cands.select("query_id", "id", "qs", "v").collect()
+    // ragged or null-normed vectors make the candidate kernel emit null
+    // cosines and would give the greedy stage a THIRD dot semantics —
+    // reject loudly (the sim7 ragged-corpus rule) instead of diverging
+    // from the oracle
+    rows.foreach { r =>
+      require(!r.isNullAt(2),
+        s"mmrRerank: null cosine for id ${r.getLong(1)} — ragged vector?")
+    }
+    val dims = rows.map(_.getSeq[Double](3).length).distinct
+    require(dims.length <= 1,
+      s"mmrRerank: candidate vectors must share one dimensionality, saw ${dims.sorted.mkString(",")}")
     val mu = 1.0 - lambda
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def dot(a: Array[Double], b: Array[Double]): Double = {
-      val n = math.min(a.length, b.length)
       var s = 0.0; var i = 0
-      while (i < n) { s += a(i) * b(i); i += 1 } // ascending — the VecEval fold
+      while (i < a.length) { s += a(i) * b(i); i += 1 } // ascending — the VecEval fold
       s
     }
     final case class Cand(id: Long, qs: Double, v: Array[Double])
@@ -423,13 +433,19 @@ object Similarity {
       case (qid, rs) =>
         val cs = rs.map(r => Cand(r.getLong(1), r.getDouble(2),
           r.getSeq[Double](3).toArray)).sortBy(c => (-c.qs, c.id))
+        // one rounded sim per candidate pair, computed once (the oracle's
+        // psim CTE) — the walk below only looks sims up
+        val idx = cs.zipWithIndex.map { case (c, i) => c.id -> i }.toMap
+        val sim = Array.tabulate(cs.length, cs.length) { (i, j) =>
+          if (i == j) 1.0 else round6(dot(cs(i).v, cs(j).v))
+        }
         val sel = scala.collection.mutable.ArrayBuffer.empty[Cand]
         while (sel.size < k && sel.size < cs.length) {
           val best = cs.iterator.filterNot(c => sel.exists(_.id == c.id))
             .map { cand =>
               val maxSim =
                 if (sel.isEmpty) 0.0
-                else sel.iterator.map(s => round6(dot(cand.v, s.v))).max
+                else sel.iterator.map(s => sim(idx(cand.id))(idx(s.id))).max
               (lambda * cand.qs - mu * maxSim, cand)
             }
             .reduceLeft { (a, b) =>

@@ -284,6 +284,11 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrRerank(corpus, query, "vec_id", "v", nCandidates = 2, k = 3))
     intercept[IllegalArgumentException](
       Similarity.mmrRerank(corpus, query, "vec_id", "v", k = 1, lambda = 1.5))
+    // ragged corpora are rejected (the sim7 rule) — a truncated vector
+    // would otherwise give the greedy stage a third dot semantics
+    val ragged = corpus.union(Seq((9L, Array(1.0, 0.0))).toDF("vec_id", "v"))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(ragged, query, "vec_id", "v", nCandidates = 5, k = 2))
   }
 
   test("pqAdcTopK ranks by the summed per-subspace table distances") {
