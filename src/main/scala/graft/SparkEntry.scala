@@ -33,7 +33,8 @@ object SparkEntry {
     MappingQueries.defs, SourceQueries.defs, ReshapeQueries.defs,
     SinkQueries.defs, DedupQueries.defs, SimilarityQueries.defs,
     TextQueries.defs, StreamQueries.defs, MultimodalQueries.defs,
-    SessionQueries.defs, SemiStructuredQueries.defs, OlapQueries.defs)
+    SessionQueries.defs, SemiStructuredQueries.defs, OlapQueries.defs,
+    PrivacyQueries.defs)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,7 +44,8 @@ object SparkEntry {
       MappingQueries.oracles, SourceQueries.oracles, ReshapeQueries.oracles,
       SinkQueries.oracles, DedupQueries.oracles, SimilarityQueries.oracles,
       TextQueries.oracles, StreamQueries.oracles, MultimodalQueries.oracles,
-      SessionQueries.oracles, SemiStructuredQueries.oracles, OlapQueries.oracles)
+      SessionQueries.oracles, SemiStructuredQueries.oracles, OlapQueries.oracles,
+      PrivacyQueries.oracles)
     val orphanOracles = out.keySet -- queries.keySet
     if (orphanOracles.nonEmpty)
       throw new IllegalStateException(

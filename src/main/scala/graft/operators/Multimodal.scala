@@ -214,4 +214,64 @@ object Multimodal {
       }
     }
   }
+
+  /**
+   * P76 — 64-bit average-hash (aHash) perceptual fingerprint: decode,
+   * 8×8 nearest-neighbor resize, bit i set iff pixel i is above the plane
+   * mean. The mean comparison is INTEGER (64·v_i > Σv over the
+   * round(pixel·255) values — the mm2 checksum idiom), so the hash is
+   * bit-stable across engines and, under the stub codec, exactly
+   * replayable from the raw bytes in SQL. Emitted as four 16-bit chunk
+   * columns (media_id, c0..c3) — the simhash banding layout: any pair
+   * within hamming distance 3 shares at least one equal chunk
+   * (pigeonhole over 4 chunks), so the chunks double as complete LSH
+   * candidate keys for [[phashNearDupPairs]].
+   */
+  def perceptualHash(media: Dataset[MediaRecord],
+      codec: Array[Byte] => DecodedImage = decodeImageStub): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { rec =>
+      val resized = resizeStub(codec(rec.bytes), 8, 8)
+      val v = resized.pixels.map(p => math.round(p * 255.0f).toLong)
+      val s = v.sum
+      val chunks = Array.fill(4)(0)
+      var i = 0
+      while (i < 64) {
+        if (64L * v(i) > s) chunks(i / 16) |= (1 << (i % 16))
+        i += 1
+      }
+      (rec.media_id, chunks(0), chunks(1), chunks(2), chunks(3))
+    }.toDF("media_id", "c0", "c1", "c2", "c3")
+  }
+
+  /**
+   * P76 — perceptual near-dup pairs within `maxHamming` (must be < 4):
+   * chunk-equality equi-join generates candidates — complete by
+   * pigeonhole, so this is never an all-pairs scan — and the exact
+   * 64-bit hamming distance verifies them. Returns (i, j, hamming),
+   * i < j, each pair once.
+   */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"phashNearDupPairs: maxHamming must be in [0, 3] — 4 chunks only " +
+        s"guarantee candidate completeness below 4 bit flips; got $maxHamming")
+    val bands = hashes.select(col("media_id"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("band", "value")))
+    val cand = bands.select(col("media_id").as("i"), col("band"), col("value"))
+      .join(bands.select(col("media_id").as("j"), col("band"), col("value")),
+        Seq("band", "value"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val ha = hashes.select(col("media_id").as("i"), col("c0").as("ac0"),
+      col("c1").as("ac1"), col("c2").as("ac2"), col("c3").as("ac3"))
+    val hb = hashes.select(col("media_id").as("j"), col("c0").as("bc0"),
+      col("c1").as("bc1"), col("c2").as("bc2"), col("c3").as("bc3"))
+    cand.join(ha, Seq("i")).join(hb, Seq("j"))
+      .withColumn("hamming", expr(
+        "bit_count(ac0 ^ bc0) + bit_count(ac1 ^ bc1) + " +
+          "bit_count(ac2 ^ bc2) + bit_count(ac3 ^ bc3)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+  }
 }

@@ -29,6 +29,24 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P76 — perceptual near-dup over a planted-duplicate corpus: aHash
+    // chunks band the 64-bit fingerprint, chunk equality generates
+    // candidates, exact hamming verifies; the oracle recomputes every
+    // hash from raw bytes and compares ALL pairs, so green proves the
+    // banding is an identity (the d5 pattern)
+    "mm3_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val duped = d.withColumn("key", col("doc_id") % 100).alias("a")
+        .join(d.withColumn("key", col("doc_id"))
+          .select(col("key"), col("text").as("base_text")).alias("b"), Seq("key"))
+        .select(col("a.doc_id").as("doc_id"), col("base_text").as("text"))
+      val hashes = Multimodal.perceptualHash(
+        Multimodal.packText(duped, "doc_id", "text").as[MediaRecord])
+      Multimodal.phashNearDupPairs(hashes, maxHamming = 3)
+        .orderBy("i", "j")
+    }),
+
     // batched stub decode + feature extraction (deterministic fake codec);
     // batch_ok is layout-independent (every batch is 1..batchSize rows)
     // where the raw batch_size is not (the tail batch of each partition
@@ -50,6 +68,48 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS bytes_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full aHash replay from raw bytes (the mm2 hex-pair idiom at 8x8)
+    // plus an ALL-PAIRS hamming comparison — the banded Spark plan must
+    // equal the brute-force definition exactly
+    "mm3_phash_neardup" ->
+      """WITH d AS (
+        |  SELECT a.doc_id AS doc_id, b.text AS text
+        |  FROM documents a JOIN documents b ON a.doc_id % 100 = b.doc_id),
+        |m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS blen,
+        |         GREATEST(octet_length(encode(text)), 1) AS n
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, hx, blen, n,
+        |         GREATEST(1, LEAST(64, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS w
+        |  FROM m),
+        |gg AS (
+        |  SELECT *, GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) / w) AS BIGINT)) AS h
+        |  FROM g),
+        |v AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN (LEAST(h-1, ((i//8)*h)//8) * w + LEAST(w-1, ((i%8)*w)//8)) < blen
+        |          THEN ('0x' || substring(hx, 2*(LEAST(h-1, ((i//8)*h)//8) * w + LEAST(w-1, ((i%8)*w)//8)) + 1, 2))::INT
+        |          ELSE 0 END
+        |     FOR i IN range(64)] AS vals
+        |  FROM gg),
+        |s AS (SELECT doc_id, vals, list_sum(vals) AS tot FROM v),
+        |hh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << i) ELSE 0 END FOR i IN range(16)]) AS INT) AS c0,
+        |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-16)) ELSE 0 END FOR i IN range(16, 32)]) AS INT) AS c1,
+        |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-32)) ELSE 0 END FOR i IN range(32, 48)]) AS INT) AS c2,
+        |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-48)) ELSE 0 END FOR i IN range(48, 64)]) AS INT) AS c3
+        |  FROM s)
+        |SELECT a.doc_id AS i, b2.doc_id AS j,
+        |  CAST(bit_count(xor(a.c0, b2.c0)) + bit_count(xor(a.c1, b2.c1))
+        |     + bit_count(xor(a.c2, b2.c2)) + bit_count(xor(a.c3, b2.c3)) AS INT) AS hamming
+        |FROM hh a JOIN hh b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.c0, b2.c0)) + bit_count(xor(a.c1, b2.c1))
+        |    + bit_count(xor(a.c2, b2.c2)) + bit_count(xor(a.c3, b2.c3)) <= 3
+        |ORDER BY i, j""".stripMargin,
 
     // replay the stub decode+resize from raw bytes: dims from byte length,
     // nearest-neighbor 16x16 sample indices, byte values via hex pairs

@@ -144,4 +144,42 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).decode_width == stubDims.width &&
       feats(1).decode_height == stubDims.height)
   }
+
+  test("perceptualHash chunks + banded near-dup pairs equal brute-force hamming") {
+    def rec(id: Long, text: String): MediaRecord = {
+      val b = text.getBytes("UTF-8")
+      MediaRecord(id, "text", b, "text/plain", b.length.toLong)
+    }
+    // 1 and 2 identical (hamming 0); 3 a small perturbation of 1;
+    // 4 and 5 unrelated content
+    val recs = Seq(
+      rec(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      rec(2L, "the quick brown fox jumps over the lazy dog again and again"),
+      rec(3L, "the quick brown fox jumps over the lazy dog again and agaiN"),
+      rec(4L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzz AAAA zzzz AAAA zzzzzzzzzzzz"),
+      rec(5L, "totally different content with its own byte distribution!!")
+    )
+    val hashes = Multimodal.perceptualHash(spark.createDataset(recs)).cache()
+    val hs = hashes.collect().map(r => r.getLong(0) ->
+      Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // chunk values are 16-bit
+    assert(hs.values.flatten.forall(c => c >= 0 && c <= 0xFFFF))
+    assert(hs(1L).toSeq == hs(2L).toSeq) // identical bytes → identical hash
+    // the banded join must equal the brute-force definition at every
+    // allowed threshold (pigeonhole completeness)
+    def brute(maxHam: Int) = (for {
+      i <- recs.map(_.media_id); j <- recs.map(_.media_id) if i < j
+      ham = (0 until 4).map(c => Integer.bitCount(hs(i)(c) ^ hs(j)(c))).sum
+      if ham <= maxHam
+    } yield (i, j, ham)).toSet
+    for (maxHam <- 0 to 3) {
+      val got = Multimodal.phashNearDupPairs(hashes, maxHam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(maxHam), s"maxHamming=$maxHam: $got vs ${brute(maxHam)}")
+    }
+    assert(Multimodal.phashNearDupPairs(hashes, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    intercept[IllegalArgumentException](Multimodal.phashNearDupPairs(hashes, 4))
+    hashes.unpersist()
+  }
 }
