@@ -47,4 +47,51 @@ object TimeSeries {
           round((sum(dec).over(frame).cast("double") / col("prev_n")), 6)))
       .withColumn("seq", row_number().over(w))
   }
+
+  /**
+   * P78 — sequential funnel: for each key, the greedy earliest timestamp
+   * chain through `steps` — t₁ = min ts of step 1, tₖ = min ts of step k
+   * STRICTLY AFTER tₖ₋₁ — the ordered-subsequence match every product /
+   * conversion analysis runs, and (in a training-data pipeline) the
+   * session-trajectory filter ("users who actually completed X before
+   * Y"). Returns one row per key that reached step 1:
+   * (key, t_<step1>.., t_<stepK>.., funnel_depth), later steps null once
+   * the chain breaks; greedy-earliest is the standard funnel semantics
+   * and deterministic (mins only).
+   *
+   * Scale shape: step 1 is one keyed aggregation; each later step is a
+   * left join back to the (pre-filtered, tiny-per-step) event stream plus
+   * a re-aggregation — k−1 extra shuffles for a k-step funnel, all on the
+   * key column, no windows over whole histories, no per-key collects.
+   * Step names must be distinct (a repeated step would need rank-aware
+   * matching, not min-chaining).
+   */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel: steps must be distinct, got $steps")
+    def tcol(s: String) = s"t_$s"
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol).as("key"))
+      .agg(min(col(tsCol)).as(tcol(steps.head)))
+    var prev = tcol(steps.head)
+    for (s <- steps.tail) {
+      val e = events.where(col(typeCol) === s)
+        .select(col(keyCol).as("__k"), col(tsCol).as("__ts"))
+      val carried = acc.columns.toSeq
+      acc = acc.join(e, col("key") === col("__k") && col("__ts") > col(prev), "left")
+        .groupBy(carried.map(col): _*)
+        .agg(min(col("__ts")).as(tcol(s)))
+      prev = tcol(s)
+    }
+    // deepest-first chained CASE; step 1 is always non-null for emitted
+    // rows, so the chain is total without an otherwise
+    val branches = steps.zipWithIndex.reverse
+    var depth = when(col(tcol(branches.head._1)).isNotNull,
+      lit(branches.head._2 + 1))
+    for ((s, i) <- branches.tail)
+      depth = depth.when(col(tcol(s)).isNotNull, lit(i + 1))
+    acc.withColumn("funnel_depth", depth.cast("int"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 import graft.Graft.{events, table}
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, TimeSeries}
 import graft.streaming.EventStreams
 
 /**
@@ -101,6 +101,16 @@ object SemiStructuredQueries {
         .orderBy("error_id", "purch_id")
     }),
 
+    // P78 — sequential funnel signup → view → click → purchase: greedy
+    // earliest-timestamp chain per user, strictly increasing; the oracle
+    // replays each step's conditional MIN left-join exactly
+    "q7_funnel" -> ((s, dir) => {
+      TimeSeries.funnel(events(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -148,6 +158,32 @@ object SemiStructuredQueries {
         |       CAST((clk.pt - err.lo) // 1000000 AS BIGINT) AS delta_s
         |FROM clk JOIN err ON clk.pt >= err.lo AND clk.pt <= err.hi
         |ORDER BY interval_id, point_id""".stripMargin,
+
+    "q7_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t_signup, MIN(e.ts) AS t_view
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'view' AND e.ts > s1.t_signup
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t_signup, s2.t_view, MIN(e.ts) AS t_click
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'click' AND e.ts > s2.t_view
+        |  GROUP BY 1, 2, 3),
+        |s4 AS (
+        |  SELECT s3.user_id, s3.t_signup, s3.t_view, s3.t_click, MIN(e.ts) AS t_purchase
+        |  FROM s3 LEFT JOIN events e
+        |    ON e.user_id = s3.user_id AND e.event_type = 'purchase' AND e.ts > s3.t_click
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, t_signup, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 4
+        |            WHEN t_click IS NOT NULL THEN 3
+        |            WHEN t_view IS NOT NULL THEN 2
+        |            ELSE 1 END AS INT) AS funnel_depth
+        |FROM s4 ORDER BY user_id""".stripMargin,
 
     "rj2_overlap_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),

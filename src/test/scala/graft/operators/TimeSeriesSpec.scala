@@ -43,4 +43,32 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.rollingFeatures(ev, "user_id", "t", "event_id", "value", 0))
   }
+
+  test("funnel chains greedy-earliest strictly-increasing step times") {
+    val ev = Seq(
+      // user 1 completes a,b,c in order — but b's earliest is BEFORE a,
+      // so the chain must use the later b (greedy from a's min)
+      (1L, 1L, "b"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 5L, "c"),
+      // user 2 reaches a, then b, never c
+      (2L, 10L, "a"), (2L, 11L, "b"),
+      // user 3 has c before a only — depth 1
+      (3L, 1L, "c"), (3L, 2L, "a"),
+      // user 4 never does a — excluded entirely
+      (4L, 1L, "b"), (4L, 2L, "c"),
+      // user 5: a and b at the SAME tick — strict > rejects the tie
+      (5L, 7L, "a"), (5L, 7L, "b")
+    ).toDF("user_id", "t", "typ")
+    val got = TimeSeries.funnel(ev, "user_id", "t", "typ", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    assert(got(1L) == ((Some(2L), Some(3L), Some(5L), 3)))
+    assert(got(2L) == ((Some(10L), Some(11L), None, 2)))
+    assert(got(3L) == ((Some(2L), None, None, 1)))
+    assert(got(5L) == ((Some(7L), None, None, 1)))
+    intercept[IllegalArgumentException](
+      TimeSeries.funnel(ev, "user_id", "t", "typ", Nil))
+    intercept[IllegalArgumentException](
+      TimeSeries.funnel(ev, "user_id", "t", "typ", Seq("a", "a")))
+  }
 }
