@@ -186,4 +186,65 @@ object Sketches {
         lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
         .otherwise(raw).as("hll_est"): _*)
   }
+
+  /**
+   * P79 — exact heavy hitters via the classic two-pass shape: a
+   * Misra–Gries pass per partition nominates candidates, an exact second
+   * pass over only candidate rows verifies. Returns EXACTLY the items
+   * whose true count exceeds n/k (with `cnt` the exact count and
+   * `n_total` the corpus size) — a deterministic answer, not an estimate:
+   *
+   *   - Pass 1 (`mapPartitions`): Misra–Gries with k counters per
+   *     partition. A global heavy hitter (cnt > n/k = Σnₚ/k) exceeds
+   *     nₚ/k on at least one partition (pigeonhole), and MG with k
+   *     counters keeps every item whose local count exceeds nₚ/(k+1)
+   *     < nₚ/k — so the union of partition survivors is a GUARANTEED
+   *     superset of the heavy hitters. It is partitioning-dependent,
+   *     but only as a superset.
+   *   - Pass 2: broadcast the ≤ k·numPartitions candidates, left-semi
+   *     filter the corpus, one keyed count, strict `cnt·k > n` filter.
+   *     Any partitioning-dependent extra candidate fails the exact
+   *     filter, so the OUTPUT is invariant under repartitioning.
+   *
+   * Scale shape: pass 1 is a narrow scan emitting ≤ k items per
+   * partition; pass 2 shuffles only rows matching ≤ k·P candidate
+   * values (map-side combine bounds it further to ≤ k·P groups per
+   * partition). The corpus is scanned twice but never shuffled in bulk
+   * — the right trade at 100 TB, where a single full groupBy on a
+   * long-tail item column shuffles billions of singleton groups.
+   * `n_total` counts non-null items only (nulls can't be hitters).
+   */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"heavyHitters: k must be >= 2, got $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val vals = items
+      .select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val candidates = vals.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { s =>
+        counters.get(s) match {
+          case Some(c) => counters(s) = c + 1
+          case None if counters.size < k => counters(s) = 1L
+          case None =>
+            // decrement-all: each of the k+1 distinct items (the k
+            // counters plus the arrival) pays 1 — ≤ nₚ/(k+1) decrements
+            val dead = counters.iterator.collect {
+              case (key, 1L) => key
+            }.toList
+            counters.keysIterator.toList.foreach(key => counters(key) -= 1)
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("item").distinct()
+    val total = vals.groupBy().agg(count(lit(1)).as("n_total"))
+    vals
+      .join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .where(col("cnt") * lit(k.toLong) > col("n_total"))
+  }
 }

@@ -282,6 +282,18 @@ object TextQueries {
         .orderBy("token")
     }),
 
+    // P79 — exact heavy hitters over token occurrences: Misra–Gries
+    // candidate pass + exact verify returns precisely the tokens with
+    // count > n/20, so the oracle is the direct GROUP BY ... HAVING on
+    // the same tokenization (the sk1/d13 identity-proof pattern)
+    "sk5_heavyhitters" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      graft.operators.Sketches.heavyHitters(toks, "token", k = 20)
+        .withColumnRenamed("item", "token")
+        .orderBy("token")
+    }),
+
     // P52 — benchmark decontamination: every doc scored by the fraction
     // of its distinct trigrams found in a probe set (docs with
     // doc_id % 97 = 0 play the benchmark — they must self-score 1.0);
@@ -686,6 +698,19 @@ object TextQueries {
         |  GROUP BY 1)
         |SELECT e.token, s.cms_est, e.exact_n
         |FROM exact e JOIN est s USING (token) ORDER BY token""".stripMargin,
+
+    // the operator's two-pass MG+verify output is EXACTLY the tokens with
+    // cnt·20 > n, so the oracle computes that set directly (identity proof)
+    "sk5_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt, n.n_total
+        |FROM toks, n GROUP BY token, n.n_total
+        |HAVING count(*) * 20 > n.n_total
+        |ORDER BY token""".stripMargin,
 
     // same algebraic entropy form as the kernel: log2(n) − (Σ c·log2 c)/n,
     // log2 spelled ln·(1/ln 2) so both engines run the same IEEE ops;

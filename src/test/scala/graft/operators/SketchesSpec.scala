@@ -158,4 +158,34 @@ class SketchesSpec extends SparkSpec {
     assert(run(a) == run(b), "same data, different partitioning → same sketch")
     assert(run(a) == run(dedup), "duplicates must not move any register")
   }
+
+  test("heavy hitters returns exactly the items above n/k, any partitioning") {
+    // n = 100: a=40, b=25, c=10 (= n/10, strictly excluded), 25 singletons
+    val data = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c") ++
+      (0 until 25).map(i => s"x$i")
+    val expect = Map("a" -> 40L, "b" -> 25L) // cnt·10 > 100
+    for (parts <- Seq(1, 3, 16)) {
+      val df = data.toDF("item").repartition(parts)
+      val got = Sketches.heavyHitters(df, "item", k = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("heavy hitters: boundary strictness, nulls, long-tail superset pruning") {
+    // exact-boundary item (cnt·k == n) must NOT appear
+    val bnd = (Seq.fill(5)("e") ++ Seq.fill(5)("f")).toDF("item")
+    assert(Sketches.heavyHitters(bnd, "item", k = 2).count() == 0)
+    // nulls are neither hitters nor counted in the total: 3 of 4 non-null
+    val withNull = Seq(Some("a"), Some("a"), Some("a"), Some("b"), None, None)
+      .toDF("item")
+    val got = Sketches.heavyHitters(withNull, "item", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 3L, 4L)))
+    // a pure long tail (every count = 1, k << distinct) yields nothing even
+    // though MG nominates k candidates per partition
+    val tail = (0 until 200).map(i => s"t$i").toDF("item").repartition(5)
+    assert(Sketches.heavyHitters(tail, "item", k = 4).count() == 0)
+    intercept[IllegalArgumentException](Sketches.heavyHitters(bnd, "item", 1))
+  }
 }
