@@ -94,4 +94,47 @@ object TimeSeries {
       depth = depth.when(col(tcol(s)).isNotNull, lit(i + 1))
     acc.withColumn("funnel_depth", depth.cast("int"))
   }
+
+  /**
+   * P80 — cohort retention matrix: keys are cohorted by the calendar
+   * bucket of their FIRST event (bucket = epoch-micros div
+   * `bucketMicros`), and each (cohort, offset) cell counts the distinct
+   * keys active `offset` buckets after their cohort bucket — the
+   * retention triangle every growth/engagement analysis reads, and (for
+   * training data) the activity decay curve behind user-lifetime
+   * sampling weights. Returns (cohort, bucket_offset, n_active,
+   * n_cohort, retention) with retention = n_active/n_cohort rounded at
+   * 6 decimals; offset 0 always exists with n_active = n_cohort.
+   *
+   * Scale shape: one keyed agg for first-events, a shuffle_hash join
+   * back on the key (the post-agg side has no stats — without the hint
+   * the planner falls back to sort-merge, the d11 lesson; broadcast
+   * would be wrong at 10⁹ keys), a distinct on (cohort, offset, key)
+   * and its re-agg — all keyed shuffles, no windows over whole
+   * histories. Cohort sizes are bounded by the observed time range over
+   * `bucketMicros` (hundreds, by design), so THAT side broadcasts
+   * explicitly. Calendar-aligned offsets (bucket(ts) − bucket(first)),
+   * the standard cohort semantics.
+   */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1L,
+      s"cohortRetention: bucketMicros must be >= 1, got $bucketMicros")
+    // `div` keeps exact longs (epoch micros ~1.7e15 are double-safe, but
+    // stay integral on principle — the Graft.events() nanos lesson)
+    val byKey = events.select(col(keyCol).as("key"),
+      expr(s"unix_micros(`$tsCol`) div ${bucketMicros}L").as("b"))
+    val first = byKey.groupBy("key").agg(min(col("b")).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    byKey
+      .join(first.hint("shuffle_hash"), Seq("key"))
+      .select(col("cohort"), (col("b") - col("cohort")).as("bucket_offset"),
+        col("key"))
+      .distinct()
+      .groupBy(col("cohort"), col("bucket_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("n_cohort"), 6))
+  }
 }

@@ -111,6 +111,16 @@ object SemiStructuredQueries {
         .orderBy("user_id")
     }),
 
+    // P80 — daily cohort retention over users (weekly buckets would
+    // collapse this 30-day corpus into one cohort): cohort = epoch-day
+    // of a user's first event, cells = distinct users active N days
+    // after their cohort day
+    "q8_cohort" -> ((s, dir) => {
+      TimeSeries.cohortRetention(events(s, dir), "user_id", "ts",
+          bucketMicros = 86400000000L)
+        .orderBy("cohort", "bucket_offset")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -184,6 +194,24 @@ object SemiStructuredQueries {
         |            WHEN t_view IS NOT NULL THEN 2
         |            ELSE 1 END AS INT) AS funnel_depth
         |FROM s4 ORDER BY user_id""".stripMargin,
+
+    "q8_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS b
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(b) AS cohort FROM e GROUP BY 1),
+        |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        |          FROM f GROUP BY 1),
+        |act AS (SELECT DISTINCT f.cohort, e.b - f.cohort AS bucket_offset,
+        |               e.user_id
+        |        FROM e JOIN f USING (user_id)),
+        |cells AS (SELECT cohort, bucket_offset,
+        |                 CAST(COUNT(*) AS BIGINT) AS n_active
+        |          FROM act GROUP BY 1, 2)
+        |SELECT c.cohort, c.bucket_offset, c.n_active, s.n_cohort,
+        |  round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        |FROM cells c JOIN sizes s USING (cohort)
+        |ORDER BY cohort, bucket_offset""".stripMargin,
 
     "rj2_overlap_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),

@@ -71,4 +71,28 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.funnel(ev, "user_id", "t", "typ", Seq("a", "a")))
   }
+
+  test("cohortRetention: calendar buckets, distinct-per-cell, offset 0 full") {
+    // bucket = 10s; user 1 starts bucket 0, active 0/1/2 (twice in 1);
+    // user 2 starts bucket 0, active 0 only; user 3 starts bucket 1,
+    // active 1 and 3
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(12)), (1L, ts(15)), (1L, ts(25)),
+      (2L, ts(3)),
+      (3L, ts(11)), (3L, ts(35)))
+      .toDF("user_id", "t")
+    val got = TimeSeries.cohortRetention(ev, "user_id", "t",
+        bucketMicros = 10000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)),      // both cohort-0 users at offset 0
+      (0L, 1L) -> ((1L, 2L, 0.5)),      // user 1 counted ONCE despite 2 events
+      (0L, 2L) -> ((1L, 2L, 0.5)),
+      (1L, 0L) -> ((1L, 1L, 1.0)),
+      (1L, 2L) -> ((1L, 1L, 1.0))))     // user 3: bucket 3 − cohort 1
+    intercept[IllegalArgumentException](
+      TimeSeries.cohortRetention(ev, "user_id", "t", 0L))
+  }
 }
