@@ -137,4 +137,37 @@ object TimeSeries {
       .withColumn("retention",
         round(col("n_active").cast("double") / col("n_cohort"), 6))
   }
+
+  /**
+   * P81 — first-order Markov transition matrix over per-key event
+   * sequences: count every adjacent (state → next state) pair in each
+   * key's (ts, tie)-ordered history and emit row-normalized transition
+   * probabilities — the session-path model behind next-action
+   * prediction, trajectory filtering ("drop bot-like loops"), and
+   * synthetic-sequence generation. Returns (from_type, to_type, cnt,
+   * n_from, prob) with prob = cnt/n_from rounded at 6 decimals;
+   * sequence-final events have no successor and contribute nothing.
+   *
+   * Scale shape: ONE keyed window shuffle for the lead (per-key
+   * histories, the sessionizer's partitioning), then a (from, to) agg
+   * that map-side combines to ≤ |states|² cells per partition, then a
+   * window over the tiny agged frame for row totals. The tiebreaker
+   * makes the order total — equal timestamps otherwise leave `lead`
+   * partition-order-dependent (the as-of tie discipline).
+   */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val rows = Window.partitionBy(col("from_type"))
+    events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_from", sum(col("cnt")).over(rows))
+      .withColumn("prob",
+        round(col("cnt").cast("double") / col("n_from"), 6))
+  }
 }

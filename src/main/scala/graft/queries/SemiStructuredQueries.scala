@@ -121,6 +121,15 @@ object SemiStructuredQueries {
         .orderBy("cohort", "bucket_offset")
     }),
 
+    // P81 — Markov transition matrix over per-user event sequences,
+    // event_id as the total-order tiebreaker; the oracle replays the
+    // same lead/agg/row-normalize pipeline
+    "q9_transitions" -> ((s, dir) => {
+      TimeSeries.transitionMatrix(events(s, dir), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("from_type", "to_type")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -194,6 +203,21 @@ object SemiStructuredQueries {
         |            WHEN t_view IS NOT NULL THEN 2
         |            ELSE 1 END AS INT) AS funnel_depth
         |FROM s4 ORDER BY user_id""".stripMargin,
+
+    "q9_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cells AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(SUM(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+        |  round(CAST(cnt AS DOUBLE) /
+        |        SUM(cnt) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM cells ORDER BY from_type, to_type""".stripMargin,
 
     "q8_cohort" ->
       """WITH e AS (

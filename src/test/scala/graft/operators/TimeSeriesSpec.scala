@@ -95,4 +95,24 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.cohortRetention(ev, "user_id", "t", 0L))
   }
+
+  test("transitionMatrix: adjacency per key, tie order, row-normalized") {
+    val ev = Seq(
+      // user 1: a→b→a→c; user 2: b→c; equal ts on user 2 resolved by id
+      (1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "b"), (1L, ts(3), 12L, "a"),
+      (1L, ts(4), 13L, "c"),
+      (2L, ts(5), 20L, "b"), (2L, ts(5), 21L, "c"),
+      // user 3: single event — no transitions
+      (3L, ts(9), 30L, "a"))
+      .toDF("user_id", "t", "event_id", "typ")
+    val got = TimeSeries.transitionMatrix(ev, "user_id", "t", "event_id", "typ")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 2L, 0.5)),
+      ("a", "c") -> ((1L, 2L, 0.5)),
+      ("b", "a") -> ((1L, 2L, 0.5)),
+      ("b", "c") -> ((1L, 2L, 0.5))))   // no cross-user pair, no (c, *)
+  }
 }
