@@ -62,4 +62,42 @@ object Features {
       .groupBy(col(keyCol), col("bin"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /**
+   * P82 — group-wise winsorization: clamp `valueCol` into its group's
+   * [pLo, pHi] exact R-7 percentile band — the outlier treatment that
+   * keeps a row (unlike trimming) while bounding its leverage, standard
+   * before scale-sensitive feature transforms. Adds `lo`/`hi` (the band,
+   * rounded at 4), `winsorized` (the clamped value, rounded at 4) and
+   * `clipped` (raw value outside the raw band).
+   *
+   * Shapes: ONE percentile aggregate per group builds each band (the o5
+   * sorted-buffer-once idiom), joined back on the group key with a
+   * shuffle_hash hint (post-agg side has no stats — without the hint the
+   * planner falls back to sort-merge, the d11 lesson; broadcast would be
+   * wrong at high group cardinality). Exact percentile holds a group's
+   * values in memory — at 100 TB swap in approx_percentile, same shape.
+   * Cross-engine: both engines interpolate R-7 on identical operands;
+   * boundary flags compare data points against a bound that is either an
+   * exact order statistic or strictly between two distinct ones, so ulp
+   * slack cannot flip `clipped` (outputs still round at 4).
+   */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bands = df
+      .groupBy(col(keyCol))
+      .agg(expr(s"percentile(`$valueCol`, array($pLo, $pHi))").as("__p"))
+      .select(col(keyCol), element_at(col("__p"), 1).as("__lo"),
+        element_at(col("__p"), 2).as("__hi"))
+    df.join(bands.hint("shuffle_hash"), Seq(keyCol))
+      .withColumn("lo", round(col("__lo"), 4))
+      .withColumn("hi", round(col("__hi"), 4))
+      .withColumn("winsorized",
+        round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 4))
+      .withColumn("clipped",
+        col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

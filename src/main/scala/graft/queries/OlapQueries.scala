@@ -133,6 +133,18 @@ object OlapQueries {
         .orderBy("l_returnflag")
     }),
 
+    // P82 — winsorize extended price into its return-flag group's
+    // [p05, p95] band; the oracle replays bands (quantile_cont = R-7),
+    // clamp, and flags
+    "o9_winsorize" -> ((s, dir) => {
+      graft.operators.Features.winsorize(
+          table(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+              "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", pLo = 0.05, pHi = 0.95)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // P44 — per-user rolling features over the event stream: lag delta,
     // trailing-5-row count/mean (decimal-summed), lifetime sequence
     // number; ONE window shuffle for the whole feature set. The oracle
@@ -272,6 +284,23 @@ object OlapQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bands and flags computed on UNROUNDED quantiles (raw CTE), exactly
+    // like the operator; only the output columns round at 4
+    "o9_winsorize" ->
+      """WITH bands AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05e0) AS blo,
+        |    quantile_cont(l_extendedprice, 0.95e0) AS bhi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  l.l_extendedprice,
+        |  round(b.blo, 4) AS lo, round(b.bhi, 4) AS hi,
+        |  round(least(greatest(l.l_extendedprice, b.blo), b.bhi), 4)
+        |    AS winsorized,
+        |  (l.l_extendedprice < b.blo OR l.l_extendedprice > b.bhi) AS clipped
+        |FROM lineitem l JOIN bands b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // count(value) (not count(*)) so null-skipping matches Spark's frame
     // count; the decimal sum replays the operator's money-sum discipline

@@ -37,4 +37,22 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.histogram(df, "k", "x", 5.0, 5.0, 3))
   }
+
+  test("winsorize clamps into the group's R-7 band and flags clipped rows") {
+    // group a: 0..10 → p25 = 2.5 (interpolated), p75 = 7.5
+    val a = (0 to 10).map(i => ("a", i.toLong, i.toDouble))
+    val b = Seq(("b", 100L, 5.0), ("b", 101L, 5.0)) // constant group: lo = hi
+    val got = Features.winsorize((a ++ b).toDF("k", "id", "x"), "k", "x",
+        pLo = 0.25, pHi = 0.75)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(0L) == ((2.5, 7.5, 2.5, true)))
+    assert(got(2L) == ((2.5, 7.5, 2.5, true)))    // 2 < 2.5 → clipped up
+    assert(got(5L) == ((2.5, 7.5, 5.0, false)))
+    assert(got(8L) == ((2.5, 7.5, 7.5, true)))
+    assert(got(100L) == ((5.0, 5.0, 5.0, false))) // degenerate band keeps value
+    intercept[IllegalArgumentException](
+      Features.winsorize(a.toDF("k", "id", "x"), "k", "x", 0.9, 0.1))
+  }
 }
