@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -166,6 +166,13 @@ object TextEval {
     UnsafeArrayData.fromPrimitiveArray(
       Array(entropy, counts.size.toDouble / n, counts.size.toDouble, n.toDouble))
   }
+
+  /** Jaro–Winkler similarity as a data-plane kernel: delegates to the
+    * driver-side scorer ([[graft.functions.JaroWinkler]]) so the mapping
+    * engine and the record-linkage operator can never disagree on the
+    * algorithm (match window, 0.7 boost threshold, 4-char/0.1 prefix). */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    graft.functions.JaroWinkler.similarity(a.toString, b.toString)
 }
 
 /** Winnowing kernel: `string → array<bigint>` of selected fingerprints. */
@@ -234,4 +241,31 @@ case class LexicalStatsExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): LexicalStatsExpr =
     copy(child = newChild)
+}
+
+/** Jaro–Winkler kernel: `(string, string) → double` similarity in [0, 1]
+  * ([[TextEval.jaroWinkler]]) — codegen-friendly, stays inside
+  * whole-stage codegen on the linkage hot path. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaro_winkler requires STRING inputs, got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextEval.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextEval.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
 }

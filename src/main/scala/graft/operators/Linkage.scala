@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.JaroWinklerExpr
+
+/**
+ * Record linkage / entity resolution blocking — finding rows that refer
+ * to the same real-world entity without an all-pairs comparison. The
+ * mapping engine's Jaro–Winkler scorer (driver-side, metadata-sized;
+ * `Mapping.scala`) reappears here as a compiled data-plane kernel
+ * ([[graft.expressions.JaroWinklerExpr]]) so both surfaces share one
+ * algorithm.
+ */
+object Linkage {
+
+  /** Jaro–Winkler similarity of two string columns in [0, 1] — the exact
+    * scorer the schema matcher uses, as a codegen expression. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column => exprCol, expression => colExpr}
+    exprCol(JaroWinklerExpr(colExpr(a), colExpr(b)))
+  }
+
+  /**
+   * P83 — sorted-neighborhood candidate pairs (Hernández–Stolfo): within
+   * each block, rows sorted by (`sortCol`, `idCol`) are compared only to
+   * their next `window − 1` neighbors — the classic linkage blocking
+   * that turns O(n²) matching into O(n·w), catching near-identical
+   * records that sort adjacently. Emits one row per neighbor pair:
+   * (block, id_a, id_b, key_a, key_b, jw) with `jw` the Jaro–Winkler
+   * similarity of the sort keys rounded at 6 (callers threshold it);
+   * id_a is always the LOWER-ranked row, and each (id_a, id_b) pair is
+   * unique (rank b − rank a has one solution per offset).
+   *
+   * Scale shape: ONE window shuffle on the block key for ranks, then an
+   * offset explode (window − 1 rows per record) equi-joined on
+   * (block, rank) — the iv3 positional-postings pattern, no
+   * BroadcastNestedLoop, no theta join. A block is one rank partition,
+   * so block keys must be chosen with bounded size (the classic SNM
+   * discipline: multi-pass with different block/sort keys, not one
+   * giant block); the tie on `idCol` makes each rank order total —
+   * without it, equal sort keys would make the pair set
+   * partition-order-dependent.
+   */
+  def sortedNeighborhood(df: DataFrame, idCol: String, sortCol: String,
+      blockCol: String, window: Int): DataFrame = {
+    require(window >= 2,
+      s"sortedNeighborhood: window must be >= 2, got $window")
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("skey").asc, col("id").asc)
+    val ranked = df
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        col(sortCol).as("skey"))
+      .withColumn("rnk", row_number().over(w))
+    val probes = ranked
+      .select(col("block"), col("id").as("id_a"), col("skey").as("key_a"),
+        col("rnk").as("__base"),
+        explode(array((1 until window).map(lit): _*)).as("__off"))
+      .select(col("block"), col("id_a"), col("key_a"),
+        (col("__base") + col("__off")).as("rnk"))
+    probes
+      .join(ranked, Seq("block", "rnk"))
+      .select(col("block"), col("id_a"), col("id").as("id_b"),
+        col("key_a"), col("skey").as("key_b"),
+        round(jaroWinkler(col("key_a"), col("skey")), 6).as("jw"))
+  }
+}

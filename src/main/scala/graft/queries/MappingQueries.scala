@@ -31,6 +31,18 @@ object MappingQueries {
       vals.toDF("v").orderBy("v")
     }),
 
+    // P83 — sorted-neighborhood linkage candidates: customers blocked by
+    // market segment, sorted by name, window 4; jw runs the SAME
+    // Jaro–Winkler as the mapping scorer, now as a codegen kernel, and
+    // the oracle replays rank, neighbor offsets, and DuckDB's
+    // jaro_winkler_similarity (parity established by f3)
+    "f4_snm" -> ((s, dir) => {
+      graft.operators.Linkage.sortedNeighborhood(
+          table(s, dir, "customer"), "c_custkey", "c_name", "c_mktsegment",
+          window = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // F3/F4 — scorer + greedy 1:1 assignment over an SDTM-ish renamed frame;
     // JW math is driver-side (rows-only check here, exact cases in ScalaTest)
     "f3_suggest" -> ((s, dir) => {
@@ -92,6 +104,19 @@ object MappingQueries {
     // (score DESC, then variable-then-column enumeration order). The
     // fixture names carry no separators, so normalizeName reduces to
     // lower().
+    "f4_snm" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment AS block, c_custkey AS id, c_name AS skey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_name, c_custkey) AS rnk
+        |  FROM customer)
+        |SELECT a.block, a.id AS id_a, b.id AS id_b,
+        |  a.skey AS key_a, b.skey AS key_b,
+        |  round(jaro_winkler_similarity(a.skey, b.skey), 6) AS jw
+        |FROM r a JOIN r b
+        |  ON a.block = b.block AND b.rnk - a.rnk BETWEEN 1 AND 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "f3_suggest" ->
       """WITH RECURSIVE
         |src AS (SELECT c_name AS c1, CAST(c_custkey AS VARCHAR) AS c2,
