@@ -39,4 +39,45 @@ object Privacy {
     df.withColumn("qid_group_n", count(lit(1)).over(w))
       .withColumn("kept", col("qid_group_n") >= k)
   }
+
+  /**
+   * P84 — Laplace-mechanism noisy counts (Dwork et al.): per-group exact
+   * counts released with additive Laplace(sensitivity/ε) noise — the
+   * ε-differentially-private aggregate release behind private telemetry
+   * and training-data statistics. Returns (groupCols…, n, noise,
+   * noisy_n) with noisy_n = max(0, n + noise) clamped at the standard
+   * non-negativity post-processing (post-processing preserves DP).
+   *
+   * The noise draw is DERANDOMIZED the repo's way ([[Sampling.uniform01]]
+   * on the group key + salt): same data + salt → same release, every
+   * engine replays it. That makes repeated calls with the same salt
+   * reuse ONE draw (which is exactly what the ε budget requires — fresh
+   * randomness per release needs a fresh salt, and callers own that
+   * budget accounting). Inverse-CDF: noise = −b·sign(u−½)·ln(1−2|u−½|),
+   * the log argument clamped at 2⁻⁵⁶ (u = 1 would otherwise hit ln 0),
+   * rounded at 9 decimals — the sa8 libm firewall, so the one ln() call
+   * sees identical operands on every engine. Scale shape: one keyed agg
+   * with map-side combine; noise is a pure projection.
+   */
+  def laplaceNoisyCounts(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, sensitivity: Double = 1.0,
+      salt: String = "dp"): DataFrame = {
+    require(groupCols.nonEmpty, "laplaceNoisyCounts: at least one group column")
+    require(epsilon > 0, s"laplaceNoisyCounts: epsilon must be > 0, got $epsilon")
+    require(sensitivity > 0,
+      s"laplaceNoisyCounts: sensitivity must be > 0, got $sensitivity")
+    val b = sensitivity / epsilon
+    val key = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    val u = Sampling.uniform01(key, salt)
+    val p = u - lit(0.5)
+    val noise = round(
+      -lit(b) * signum(p) *
+        log(greatest(lit(1.0) - lit(2.0) * abs(p), lit(math.pow(2.0, -56)))),
+      9)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", noise)
+      .withColumn("noisy_n",
+        greatest(lit(0.0), col("n").cast("double") + col("noise")))
+  }
 }

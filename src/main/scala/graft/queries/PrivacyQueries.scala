@@ -23,6 +23,18 @@ object PrivacyQueries {
       Privacy.kAnonymityFilter(c,
           Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
         .orderBy("c_custkey")
+    }),
+
+    // P84 — ε = 0.5 Laplace counts per (event_type, value-band): the
+    // banded second key makes group sizes range widely, so clamping and
+    // both noise signs occur; the oracle replays the md5 uniform and the
+    // clamped inverse-CDF through the 9-decimal firewall
+    "pv2_dp_counts" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(col("event_type"),
+        floor(col("value") / 25).cast("long").as("band"))
+      Privacy.laplaceNoisyCounts(e, Seq("event_type", "band"),
+          epsilon = 0.5)
+        .orderBy("event_type", "band")
     })
   )
 
@@ -36,6 +48,32 @@ object PrivacyQueries {
         |FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
         |        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
         |      FROM customer)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // uniform = the repo-standard (md5-fold + 1) / 2^56; b = 1/0.5 = 2;
+    // log argument clamped at 2^-56 exactly like the operator; e0
+    // suffixes force DOUBLE literals
+    "pv2_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT event_type, band, n,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('dp' ||
+        |          concat_ws('|', event_type, CAST(band AS VARCHAR))), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM g),
+        |d AS (
+        |  SELECT event_type, band, n,
+        |    round(-2.0e0 * sign(uu - 0.5e0) *
+        |      ln(greatest(1.0e0 - 2.0e0 * abs(uu - 0.5e0),
+        |                  1.0e0 / 72057594037927936.0e0)), 9) AS noise
+        |  FROM (SELECT *, CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0 AS uu
+        |        FROM h))
+        |SELECT event_type, band, n, noise,
+        |  greatest(0.0e0, CAST(n AS DOUBLE) + noise) AS noisy_n
+        |FROM d ORDER BY event_type, band""".stripMargin
   )
 }

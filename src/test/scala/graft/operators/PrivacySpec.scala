@@ -46,4 +46,38 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.kAnonymityFilter(rows.withColumn("kept", lit(true)), Seq("country"), k = 2))
   }
+
+  test("laplaceNoisyCounts: deterministic draw, scale, clamp, salt decorrelation") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    def run(eps: Double, salt: String = "dp") =
+      Privacy.laplaceNoisyCounts(df, Seq("k"), epsilon = eps, salt = salt)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val got = run(0.5)
+    // replay the draw by hand for one group: u from the shared helper
+    val uA = spark.range(1)
+      .select(graft.operators.Sampling.uniform01(lit("a"), "dp"))
+      .head.getDouble(0)
+    val pA = uA - 0.5
+    val expA = BigDecimal(-2.0 * math.signum(pA) *
+        math.log(math.max(1.0 - 2.0 * math.abs(pA), math.pow(2.0, -56))))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a")._1 == 50L && got("a")._2 == expA)
+    assert(got("a")._3 == math.max(0.0, 50.0 + expA))
+    // re-running with the same salt reuses the identical draw
+    assert(run(0.5) == got)
+    // tighter ε → proportionally larger |noise| (b doubles, same u)
+    val loose = run(0.25)
+    for (k <- Seq("a", "b", "c"))
+      assert(math.abs(loose(k)._2 - 2.0 * got(k)._2) < 1e-8, k)
+    // a different salt draws fresh noise
+    assert(run(0.5, salt = "dp2") != got)
+    // small group + negative draw can clamp to zero, never below
+    assert(got.values.forall(_._3 >= 0.0))
+    intercept[IllegalArgumentException](
+      Privacy.laplaceNoisyCounts(df, Seq("k"), epsilon = 0.0))
+    intercept[IllegalArgumentException](
+      Privacy.laplaceNoisyCounts(df, Nil, epsilon = 1.0))
+  }
 }
