@@ -61,7 +61,10 @@ object Linkage {
       .select(col("block"), col("id_a"), col("key_a"),
         (col("__base") + col("__off")).as("rnk"))
     probes
-      .join(ranked, Seq("block", "rnk"))
+      // post-window sides carry no stats — pin shuffle-hash so the
+      // planner can never fall back to sort-merge (the d11 lesson);
+      // both sides already shuffle by block for the rank window
+      .join(ranked.hint("shuffle_hash"), Seq("block", "rnk"))
       .select(col("block"), col("id_a"), col("id").as("id_b"),
         col("key_a"), col("skey").as("key_b"),
         round(jaroWinkler(col("key_a"), col("skey")), 6).as("jw"))
