@@ -457,6 +457,54 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /**
+   * P85 — cross-corpus near-dup detection: MinHash-LSH candidates BETWEEN
+   * a new batch and an existing reference corpus, exact-Jaccard-verified
+   * — the "dedup this crawl against the training set we already have"
+   * pass an incremental pipeline runs on every ingest, where
+   * re-deduplicating the full union (minhashNearDups over new ∪ ref)
+   * would re-shuffle the whole reference corpus for every small batch.
+   * Returns (new_id, ref_id, jaccard ≥ threshold); ids may collide
+   * across corpora — the pair is (new, ref) positional, never i<j.
+   *
+   * Scale shape: signatures/bands per corpus use the SAME hash family
+   * and banding (shared helpers — the sketch one-definition rule), so
+   * candidates are an equi-join on (band, bucket) with the big reference
+   * side partitioned once; verification streams the two thin token
+   * relations through hash joins for candidate pairs only, exactly like
+   * [[minhashNearDups]]. Exact copies share every band (identical
+   * signatures), so recall on true duplicates is 1 regardless of
+   * banding; borderline pairs keep the standard S-curve recall.
+   */
+  def crossCorpusNearDups(newDf: DataFrame, refDf: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int = 32,
+      rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val newToks = docTokens(newDf, idCol, textCol)
+    val refToks = docTokens(refDf, idCol, textCol)
+    def buckets(t: DataFrame) =
+      lshBuckets(minhashSignatures(t, numHashes, seed), rowsPerBand, numHashes)
+    val cands = buckets(newToks).as("a")
+      .join(buckets(refToks).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("new_id"), col("b.id").as("ref_id"))
+      .distinct()
+    val newSizes = newToks.groupBy("id").agg(count(lit(1)).as("size"))
+    val refSizes = refToks.groupBy("id").agg(count(lit(1)).as("size"))
+    cands
+      .join(newToks.select(col("id").as("new_id"), col("token")), Seq("new_id"))
+      .join(refToks.select(col("id").as("ref_id"), col("token")),
+        Seq("ref_id", "token"))
+      .groupBy("new_id", "ref_id").agg(count(lit(1)).as("inter"))
+      .join(newSizes.select(col("id").as("new_id"), col("size").as("si")),
+        Seq("new_id"))
+      .join(refSizes.select(col("id").as("ref_id"), col("size").as("sj")),
+        Seq("ref_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("jaccard"))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash per doc: bit j set when Σ±1 over token-hash bit j is positive.

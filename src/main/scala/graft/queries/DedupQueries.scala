@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.table
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /**
  * Deduplication coverage over the `documents` / `embeddings` tables. The
@@ -169,6 +169,26 @@ object DedupQueries {
         // sampling job, which re-executes the verification stage; the
         // result is test-scale small, so one sort task is cheap
         .repartition(1).sortWithinPartitions("i", "j")
+    }),
+
+    // P85 — cross-corpus dedup: a "recrawl batch" (exact copies of the
+    // %7=0 docs plus 12-token truncations of the %7=3 docs, shifted ids)
+    // LSH-matched against the full corpus. Copies share every band →
+    // recall 1; truncations sit at J≈0.4 and must NOT match. The oracle
+    // is exact all-pairs Jaccard between the same two corpora.
+    "d16_cross_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val recrawls = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val truncated = d.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12)).as("text"))
+      Dedup.crossCorpusNearDups(recrawls.union(truncated), d,
+          "doc_id", "text", threshold = 0.9)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        // the d5 sort discipline: orderBy's range-partitioner sampling
+        // would re-execute the verification stage
+        .repartition(1).sortWithinPartitions("new_id", "ref_id")
     }),
 
     // SimHash near-dups with the engine-portable MD5-derived token hash:
@@ -402,6 +422,38 @@ object DedupQueries {
     "d5_minhash_lsh" ->
       jaccardSql("4", "string_split_regex(lower(trim(text)), '\\s+')", "0.9",
         source = dupedDocsSql),
+
+    // exact all-pairs Jaccard between the constructed recrawl batch and
+    // the corpus — the d5 identity argument, cross-corpus edition
+    "d16_cross_dedup" ->
+      """WITH newb AS (
+        |  SELECT doc_id + 1000000 AS new_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    list_slice(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                           x -> x <> ''), 1, 12)
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |ntok AS (SELECT DISTINCT new_id, t AS token
+        |         FROM newb, UNNEST(toks) u(t) WHERE t <> ''),
+        |rtok AS (SELECT DISTINCT doc_id AS ref_id, token FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+        |  FROM documents)),
+        |nsz AS (SELECT new_id, COUNT(*) AS sz FROM ntok GROUP BY 1),
+        |rsz AS (SELECT ref_id, COUNT(*) AS sz FROM rtok GROUP BY 1),
+        |pairs AS (
+        |  SELECT n.new_id, r.ref_id, COUNT(*) AS inter
+        |  FROM ntok n JOIN rtok r ON n.token = r.token
+        |  GROUP BY 1, 2)
+        |SELECT p.new_id, p.ref_id,
+        |  ROUND(CAST(inter AS DOUBLE) / (a.sz + b.sz - inter), 6) AS jaccard
+        |FROM pairs p JOIN nsz a ON a.new_id = p.new_id
+        |             JOIN rsz b ON b.ref_id = p.ref_id
+        |WHERE CAST(inter AS DOUBLE) / (a.sz + b.sz - inter) >= 0.9e0
+        |ORDER BY p.new_id, p.ref_id""".stripMargin,
 
     // d6 recomputes the 56-bit MD5-derived simhash per document in SQL and
     // takes ALL pairs at hamming ≤ 3 — equality with the Spark side holds

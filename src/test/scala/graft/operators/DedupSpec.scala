@@ -420,4 +420,28 @@ class DedupSpec extends SparkSpec {
         ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
     assert(again == got)
   }
+
+  test("crossCorpusNearDups matches new docs against the reference only") {
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "red green blue")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // exact copy of ref 1 (id collides with ref 1!)
+      (20L, "one two three four five six seven eight nine ten"), // superset: J = 5/10
+      (30L, "totally novel words here")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(fresh, ref, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // only the exact copy passes 0.9; the id collision is fine because
+    // pairs are positional (new, ref), never i<j
+    assert(got == Set((1L, 1L, 1.0)))
+    // new docs are never matched against each other, ref never against ref
+    val dupNew = Seq(
+      (40L, "alpha beta gamma delta epsilon"),
+      (41L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(dupNew, ref, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((40L, 1L), (41L, 1L)))
+  }
 }
