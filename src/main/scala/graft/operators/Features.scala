@@ -100,4 +100,37 @@ object Features {
         col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /**
+   * P86 — quantile-bucket scoring: each value column gains an
+   * `<col>_score` in 1..`buckets`, 1 + the number of corpus-wide R-7
+   * quantile cutoffs the value strictly exceeds — the RFM-style scoring
+   * rule, and the scale-safe alternative to `ntile`: a global ntile
+   * needs a TOTAL order (one-partition window), while cutoff comparison
+   * is one tiny aggregate row broadcast into a pure projection. Ties at
+   * a cutoff all land in the lower bucket (deterministic, unlike
+   * ntile's arbitrary split of ties across buckets); nulls score 1.
+   *
+   * Cross-engine: cutoffs are interpolated on identical sorted operands
+   * (the o9 winsorize argument — a cutoff is an exact order statistic or
+   * strictly between two distinct ones, so ulp slack cannot flip a
+   * strict comparison against a data point).
+   */
+  def quantileScores(df: DataFrame, valueCols: Seq[String],
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"quantileScores: buckets must be >= 2, got $buckets")
+    require(valueCols.nonEmpty, "quantileScores: at least one value column")
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val aggs = valueCols.map(c =>
+      expr(s"percentile(`$c`, array(${fracs.mkString(", ")}))").as(s"__q_$c"))
+    val cutoffs = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(cutoffs)) // 1-row scalar side
+    valueCols.foldLeft(joined) { (acc, c) =>
+      val score = fracs.indices
+        .map(i => when(col(c) > element_at(col(s"__q_$c"), i + 1), 1)
+          .otherwise(0))
+        .reduce(_ + _) + lit(1)
+      acc.withColumn(s"${c}_score", score.cast("int"))
+    }.drop(valueCols.map(c => s"__q_$c"): _*)
+  }
 }

@@ -145,6 +145,28 @@ object OlapQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // P86 — RFM customer scoring: recency/frequency/monetary aggregates
+    // per customer, each scored 1-5 against corpus-wide quintile cutoffs
+    // (the scale-safe ntile alternative — one scalar cutoff row broadcast
+    // into a projection, no global-order window)
+    "q10_rfm" -> ((s, dir) => {
+      val cust = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("recency_date"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("__m"))
+        .withColumn("monetary", col("__m").cast("double"))
+        .withColumn("recency_days",
+          datediff(col("recency_date"), to_date(lit("1970-01-01"))).cast("long"))
+        .drop("__m")
+      graft.operators.Features.quantileScores(cust,
+          Seq("recency_days", "frequency", "monetary"), buckets = 5)
+        .withColumn("rfm",
+          (col("recency_days_score") * 100 + col("frequency_score") * 10 +
+            col("monetary_score")).cast("int"))
+        .orderBy("o_custkey")
+    }),
+
     // P44 — per-user rolling features over the event stream: lag delta,
     // trailing-5-row count/mean (decimal-summed), lifetime sequence
     // number; ONE window shuffle for the whole feature set. The oracle
@@ -284,6 +306,46 @@ object OlapQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quintile cutoffs via quantile_cont (R-7 = Spark percentile); scores
+    // count strictly-exceeded cutoffs, ties land low on both engines
+    "q10_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    MAX(CAST(o_orderdate AS DATE)) AS recency_date,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |c2 AS (SELECT *,
+        |         CAST(recency_date - DATE '1970-01-01' AS BIGINT) AS recency_days
+        |       FROM cust),
+        |q AS (SELECT
+        |    quantile_cont(recency_days, [0.2e0, 0.4e0, 0.6e0, 0.8e0]) AS qr,
+        |    quantile_cont(frequency,    [0.2e0, 0.4e0, 0.6e0, 0.8e0]) AS qf,
+        |    quantile_cont(monetary,     [0.2e0, 0.4e0, 0.6e0, 0.8e0]) AS qm
+        |  FROM c2),
+        |s AS (SELECT c2.*,
+        |    CAST(1 + (CASE WHEN recency_days > qr[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN recency_days > qr[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN recency_days > qr[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN recency_days > qr[4] THEN 1 ELSE 0 END) AS INT)
+        |      AS recency_days_score,
+        |    CAST(1 + (CASE WHEN frequency > qf[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN frequency > qf[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN frequency > qf[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN frequency > qf[4] THEN 1 ELSE 0 END) AS INT)
+        |      AS frequency_score,
+        |    CAST(1 + (CASE WHEN monetary > qm[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN monetary > qm[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN monetary > qm[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN monetary > qm[4] THEN 1 ELSE 0 END) AS INT)
+        |      AS monetary_score
+        |  FROM c2, q)
+        |SELECT o_custkey, recency_date, frequency, monetary, recency_days,
+        |  recency_days_score, frequency_score, monetary_score,
+        |  CAST(recency_days_score * 100 + frequency_score * 10 +
+        |       monetary_score AS INT) AS rfm
+        |FROM s ORDER BY o_custkey""".stripMargin,
 
     // bands and flags computed on UNROUNDED quantiles (raw CTE), exactly
     // like the operator; only the output columns round at 4

@@ -55,4 +55,25 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.winsorize(a.toDF("k", "id", "x"), "k", "x", 0.9, 0.1))
   }
+
+  test("quantileScores buckets by strict cutoff comparison, ties land low") {
+    // 1..10 quintile cutoffs (R-7): 2.8, 4.6, 6.4, 8.2
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val got = Features.quantileScores(df, Seq("x"), buckets = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3,
+      6L -> 3, 7L -> 4, 8L -> 4, 9L -> 5, 10L -> 5))
+    // constant column: every cutoff equals the value, strict > → all score 1
+    val const = Seq((1L, 7.0), (2L, 7.0)).toDF("id", "x")
+    assert(Features.quantileScores(const, Seq("x"), 5)
+      .collect().map(_.getInt(2)).toSet == Set(1))
+    // nulls score 1 and multiple columns score independently
+    val multi = Seq((1L, Some(1.0), 10.0), (2L, Some(9.0), 1.0),
+      (3L, None, 5.0)).toDF("id", "x", "y")
+    val m = Features.quantileScores(multi, Seq("x", "y"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4)))).toMap
+    assert(m(1L) == ((1, 2)) && m(2L) == ((2, 1)) && m(3L)._1 == 1)
+    intercept[IllegalArgumentException](Features.quantileScores(df, Nil, 5))
+    intercept[IllegalArgumentException](Features.quantileScores(df, Seq("x"), 1))
+  }
 }
