@@ -133,4 +133,38 @@ object Features {
       acc.withColumn(s"${c}_score", score.cast("int"))
     }.drop(valueCols.map(c => s"__q_$c"): _*)
   }
+
+  /**
+   * P87 — MAD-based robust outliers (Iglewicz–Hoaglin modified z-score):
+   * per group, m = median, MAD = median(|x − m|), z = 0.6745·(x − m)/MAD,
+   * flagged when |z| > `cutoff` — the outlier rule that (unlike the P47
+   * z-score) a few extreme values cannot mask, since medians have a 50%
+   * breakdown point. Adds `med`, `mad`, `mz` (all rounded at 6) and
+   * `outlier`; MAD = 0 groups (≥ half the group identical) pin z = 0 —
+   * the standard convention, nothing is flagged on a degenerate scale.
+   *
+   * Shape: two exact-percentile keyed aggs with their joins back on the
+   * group key (shuffle_hash — the post-agg no-stats rule). Cross-engine:
+   * the median is ROUNDED AT 6 BEFORE deviations are computed, so the
+   * second percentile pass and the z numerator see identical operands on
+   * every engine — without that, a last-ulp median difference would
+   * cascade into the MAD ranks themselves.
+   */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, s"madOutliers: cutoff must be > 0, got $cutoff")
+    val med = df.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile(`$valueCol`, 0.5)"), 6).as("med"))
+    val withDev = df.join(med.hint("shuffle_hash"), Seq(keyCol))
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = withDev.groupBy(col(keyCol))
+      .agg(round(expr("percentile(`__dev`, 0.5)"), 6).as("mad"))
+    withDev.join(mad.hint("shuffle_hash"), Seq(keyCol))
+      .withColumn("mz",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (col(valueCol) - col("med")) / col("mad"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("outlier", abs(col("mz")) > cutoff)
+      .drop("__dev")
+  }
 }

@@ -167,6 +167,18 @@ object OlapQueries {
         .orderBy("o_custkey")
     }),
 
+    // P87 — MAD outliers over event values per type: uniform [0,100]
+    // values cap the modified z at ≈1.35, so cutoff 1.2 splits the
+    // corpus (tails flagged, bulk not); oracle replays median → rounded
+    // deviations → MAD → z exactly
+    "o10_mad" -> ((s, dir) => {
+      graft.operators.Features.madOutliers(
+          table(s, dir, "events")
+            .select("event_id", "event_type", "value"),
+          "event_type", "value", cutoff = 1.2)
+        .orderBy("event_id")
+    }),
+
     // P44 — per-user rolling features over the event stream: lag delta,
     // trailing-5-row count/mean (decimal-summed), lifetime sequence
     // number; ONE window shuffle for the whole feature set. The oracle
@@ -306,6 +318,29 @@ object OlapQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // median rounded at 6 BEFORE deviations (the operator's cascade
+    // firewall); MAD = 0 pins z = 0; flags compare the ROUNDED z
+    "o10_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5e0), 6) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |         abs(e.value - m.med) AS d
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(d, 0.5e0), 6) AS mad
+        |  FROM dev GROUP BY 1),
+        |z AS (
+        |  SELECT dev.event_id, dev.event_type, dev.value, dev.med, mad.mad,
+        |    CASE WHEN mad.mad > 0
+        |         THEN round(0.6745e0 * (dev.value - dev.med) / mad.mad, 6)
+        |         ELSE 0.0e0 END AS mz
+        |  FROM dev JOIN mad USING (event_type))
+        |SELECT event_id, event_type, value, med, mad, mz,
+        |       abs(mz) > 1.2e0 AS outlier
+        |FROM z ORDER BY event_id""".stripMargin,
 
     // quintile cutoffs via quantile_cont (R-7 = Spark percentile); scores
     // count strictly-exceeded cutoffs, ties land low on both engines

@@ -76,4 +76,26 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Features.quantileScores(df, Nil, 5))
     intercept[IllegalArgumentException](Features.quantileScores(df, Seq("x"), 1))
   }
+
+  test("madOutliers flags by modified z; MAD-0 groups flag nothing") {
+    // group a: median 5.5; deviations {4.5,1.5,0.5,0.5,3.5,94.5} sorted
+    // → MAD = (1.5 + 3.5) / 2 = 2.5
+    val a = Seq(1.0, 4.0, 5.0, 6.0, 9.0, 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) }
+    // group b: >half identical → MAD 0 → z = 0 everywhere, no flags
+    val b = Seq((10L, "b", 7.0), (11L, "b", 7.0), (12L, "b", 99.0))
+    val got = Features.madOutliers((a ++ b).toDF("id", "k", "x"), "k", "x",
+        cutoff = 3.5)
+      .collect() // columns: (k, id, x, med, mad, mz, outlier)
+      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(2L) == ((5.5, 2.5, -0.1349, false)))
+    val big = got(5L)
+    assert(big._1 == 5.5 && big._2 == 2.5 && big._4,
+      "the 100.0 point must be flagged")
+    assert(math.abs(big._3 - 0.6745 * 94.5 / 2.5) < 1e-5)
+    assert(Seq(10L, 11L, 12L).forall(i => got(i)._3 == 0.0 && !got(i)._4))
+    intercept[IllegalArgumentException](
+      Features.madOutliers(a.toDF("id", "k", "x"), "k", "x", 0.0))
+  }
 }
