@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Bounded-iteration graph analytics over edge lists — the link-analysis
+ * pass a training pipeline runs to weight documents by reference
+ * authority (page/citation graphs) or to rank entities in a derived
+ * co-occurrence graph before sampling.
+ *
+ * Everything is keyed joins + aggregations on the vertex id — the shape
+ * that scales to any edge count — with a FIXED iteration bound chosen by
+ * the caller (the d8 bounded-CC discipline: an unbounded fixpoint loop
+ * has no place inside a lazily-planned query).
+ *
+ * Engine portability: iteration state is FIXED-POINT (units of 10⁻¹²,
+ * held in BIGINT). Floating state would need a rounding firewall between
+ * rounds, and `round(double, 12)` is NOT portable — Spark rounds the
+ * double's shortest decimal string while DuckDB/libc round the exact
+ * binary value, and full-precision iterative values hit the disagreement
+ * region constantly (measured: 1-ulp splits within 2k vertices). Integer
+ * div/mul/sum are exact everywhere; the ≤10⁻¹² per-op truncation loss is
+ * far below any ranking use.
+ */
+object Graph {
+
+  /** Fixed-point scale: 1.0 ≡ 10¹² (12 decimal digits of rank). */
+  val Scale: Long = 1000000000000L
+
+  /**
+   * P88 — PageRank with `iters` power iterations and damping d =
+   * `dampingPct`/100:
+   *
+   *   pr₀(v)    = Scale div N
+   *   prₖ₊₁(v) = ((100−d%)·Scale div 100) div N
+   *              + (d% · Σ_{u→v} (prₖ(u) div outdeg(u))) div 100
+   *
+   * over the DISTINCT edge set, vertices = endpoints of edges. Returns
+   * (v, pr_fp, pr): the exact fixed-point rank and its double reading
+   * (one exact long→double conversion + one division — deterministic).
+   * Callers pass graphs where every vertex has outdeg ≥ 1 (e.g.
+   * symmetrized co-occurrence graphs); vertices appearing only as
+   * destinations would leak their mass (the standard dangling-node
+   * caveat — redistribute upstream if the graph has them).
+   *
+   * Scale shape: one distinct + one degree agg up front, then per
+   * iteration a shuffle_hash join of the rank frame with the edge list
+   * (both post-shuffle sides are stats-free — without the hint the
+   * planner falls back to sort-merge, the d11 lesson; broadcast would be
+   * wrong at web-graph vertex counts), a map-side-combinable BIGINT sum
+   * per destination, and a left join back onto the vertex frame. No
+   * windows, no collects — N itself is one distributed count reduced to
+   * a scalar. Overflow headroom: Σ contributions ≤ Scale = 10¹², times
+   * dampingPct ≤ 10¹⁴ ≪ 2⁶² (the ANSI-mode rule).
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      dampingPct: Int = 85, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"pageRank: dampingPct must be in [1,99], got $dampingPct")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    val n = verts.count()
+    require(n > 0, "pageRank: empty graph")
+    val teleport = ((100L - dampingPct) * Scale / 100L) / n
+    val withDeg = e.join(deg.hint("shuffle_hash"), Seq("src"))
+    var pr = verts.withColumn("pr_fp", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val sums = pr
+        .join(withDeg.hint("shuffle_hash"), col("v") === col("src"))
+        .select(col("dst").as("v"),
+          expr("pr_fp div outdeg").as("__c"))
+        .groupBy("v")
+        .agg(sum(col("__c")).as("__s"))
+      pr = verts.join(sums.hint("shuffle_hash"), Seq("v"), "left")
+        .withColumn("pr_fp",
+          lit(teleport) +
+            expr(s"(${dampingPct}L * coalesce(__s, 0L)) div 100"))
+        .drop("__s")
+    }
+    pr.withColumn("pr", col("pr_fp").cast("double") / lit(Scale.toDouble))
+  }
+}

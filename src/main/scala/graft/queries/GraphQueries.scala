@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+
+/**
+ * Graph analytics over derived edge lists (operators/Graph.scala).
+ *
+ * The oracle replays each power iteration as an unrolled CTE chain with
+ * the identical arithmetic (DECIMAL-summed contributions, 12-decimal
+ * rounds between rounds), so hash-equality proves the iterative joins
+ * compute the textbook recurrence exactly.
+ */
+object GraphQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P88 — PageRank over the part co-purchase graph: parts are linked
+    // when they appear in the same order (symmetric edges, so outdeg ≥ 1
+    // everywhere and no dangling mass); 3 damped power iterations. The
+    // per-order self-join fans out quadratically in lines-per-order,
+    // which TPC-H (and real baskets) bound at single digits — linear in
+    // practice.
+    "gr1_pagerank" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val edges = a.join(b, Seq("ok"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+          dampingPct = 85, iters = 3)
+        .orderBy("v")
+    })
+  )
+
+  /** One unrolled fixed-point PageRank iteration: prev CTE -> next CTE.
+    * Kept as a generator so the three rounds cannot drift apart
+    * textually. All arithmetic is BIGINT (the operator's fixed-point
+    * firewall — see Graph.scala on why round(double,12) is NOT
+    * cross-engine portable); `//` on positive BIGINTs matches Spark's
+    * `div` exactly. */
+  private def prIter(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT verts.v,
+       |    CAST((CAST(15 AS BIGINT) * 1000000000000 // 100) // n.n
+       |         + (CAST(85 AS BIGINT) * coalesce(s.s, 0)) // 100
+       |         AS BIGINT) AS fp
+       |  FROM verts CROSS JOIN n
+       |  LEFT JOIN (
+       |    SELECT e.dst AS v, CAST(SUM(p.fp // d.outdeg) AS BIGINT) AS s
+       |    FROM $prev p
+       |    JOIN edges e ON e.src = p.v
+       |    JOIN deg d ON d.src = p.v
+       |    GROUP BY 1) s ON s.v = verts.v)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "gr1_pagerank" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM edges GROUP BY 1),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+         |pr0 AS (SELECT v, CAST(CAST(1000000000000 AS BIGINT) // n.n AS BIGINT) AS fp
+         |        FROM verts CROSS JOIN n),
+         |${prIter("pr0", "pr1")},
+         |${prIter("pr1", "pr2")},
+         |${prIter("pr2", "pr3")}
+         |SELECT v, fp AS pr_fp,
+         |  CAST(fp AS DOUBLE) / 1000000000000.0e0 AS pr
+         |FROM pr3 ORDER BY v""".stripMargin
+  )
+}

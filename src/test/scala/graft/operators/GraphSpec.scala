@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PageRank semantics: hand-computed fixed-point recurrence, mass
+  * conservation, structural ordering. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank matches the hand-computed fixed-point recurrence on a line graph") {
+    // 1 <-> 2 <-> 3 (symmetrized): deg(1)=deg(3)=1, deg(2)=2.
+    // Scale = 1e12, n = 3: pr0 = 333333333333 each. One iteration, d = 85%:
+    //   teleport = (150000000000) div 3 = 50000000000
+    //   pr1(1) = 50000000000 + (85 * (333333333333 div 2)) div 100
+    //          = 50000000000 + (85 * 166666666666) div 100 = 191666666666
+    //   pr1(2) = 50000000000 + (85 * 666666666666) div 100 = 616666666666
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    val got = ranks(Graph.pageRank(edges, "s", "d", dampingPct = 85, iters = 1))
+    assert(got == Map(1L -> 191666666666L, 2L -> 616666666666L,
+      3L -> 191666666666L))
+  }
+
+  test("pageRank conserves mass (within truncation) and ranks the hub highest") {
+    // star: 0 at the center of 1..4, symmetrized
+    val edges = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("s", "d")
+    val got = ranks(Graph.pageRank(edges, "s", "d", dampingPct = 85, iters = 3))
+    assert(got.size == 5)
+    // each fixed-point op truncates < 1 unit of 1e-12; 3 rounds x 5
+    // vertices x a few ops stays far under 1e-9 of lost mass
+    assert(math.abs(got.values.sum - Graph.Scale) < 1000L)
+    assert((1L to 4L).forall(i => got(0L) > got(i)))
+    assert((1L to 4L).forall(i => got(i) == got(1L))) // leaves identical
+  }
+
+  test("pageRank dedups repeated edges and rejects bad parameters") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("s", "d")
+    // two vertices in a 2-cycle: pr stays exactly uniform at Scale/2
+    // regardless of the duplicated edge (no truncation: every div is exact)
+    val got = ranks(Graph.pageRank(edges, "s", "d", iters = 2))
+    assert(got == Map(1L -> Graph.Scale / 2, 2L -> Graph.Scale / 2))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges, "s", "d", iters = 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges, "s", "d", dampingPct = 100))
+  }
+}
