@@ -41,6 +41,53 @@ object Privacy {
   }
 
   /**
+   * P89 — ℓ-diversity filter (Machanavajjhala et al.): k-anonymity keeps
+   * a row when its QID group is big enough, but a big group whose
+   * SENSITIVE attribute is constant still leaks (the homogeneity
+   * attack). A row is releasable only if its QID group carries at least
+   * `l` DISTINCT sensitive values. Emits every input row plus
+   * `sens_distinct` (the group's distinct sensitive count),
+   * `sens_entropy` (the group's Shannon entropy in nats — entropy
+   * ℓ-diversity compares it against ln ℓ) and `kept` (distinct ≥ l).
+   * Null sensitive values form their own value (conservative — an
+   * absent attribute is itself a disclosure).
+   *
+   * Scale shape: a (QID, sensitive) pair-count agg (map-side
+   * combinable), a window over the pair frame (one row per distinct
+   * pair — tiny relative to the data) for group totals, a per-QID
+   * re-agg, and one shuffle_hash join back onto the rows (post-agg side
+   * has no stats — the d11 rule). Entropy terms go through the libm
+   * firewall: −p·ln p is rounded at 9 and DECIMAL-summed, so every
+   * engine adds identical operands in any order.
+   */
+  def lDiversityFilter(df: DataFrame, qidCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"lDiversityFilter: l must be >= 1, got $l")
+    require(qidCols.nonEmpty, "lDiversityFilter: at least one quasi-identifier column")
+    val missing = (qidCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"lDiversityFilter: columns not in input: ${missing.mkString(", ")}")
+    require(!qidCols.contains(sensitiveCol),
+      s"lDiversityFilter: sensitive column $sensitiveCol cannot be a quasi-identifier")
+    val reserved = Seq("sens_distinct", "sens_entropy", "kept")
+    require(!reserved.exists(df.columns.contains),
+      s"lDiversityFilter: input already has one of ${reserved.mkString("/")} — rename it first")
+    val pairs = df.groupBy((qidCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(qidCols.map(col): _*)
+    val p = col("__cnt").cast("double") / col("__gn").cast("double")
+    val groups = pairs
+      .withColumn("__gn", sum(col("__cnt")).over(w))
+      .withColumn("__term",
+        round(-p * log(p), 9).cast("decimal(28,9)"))
+      .groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("sens_distinct"),
+        sum(col("__term")).cast("double").as("sens_entropy"))
+    df.join(groups.hint("shuffle_hash"), qidCols)
+      .withColumn("kept", col("sens_distinct") >= l)
+  }
+
+  /**
    * P84 — Laplace-mechanism noisy counts (Dwork et al.): per-group exact
    * counts released with additive Laplace(sensitivity/ε) noise — the
    * ε-differentially-private aggregate release behind private telemetry

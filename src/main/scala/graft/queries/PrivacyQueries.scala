@@ -25,6 +25,18 @@ object PrivacyQueries {
         .orderBy("c_custkey")
     }),
 
+    // P89 — ℓ = 10 over (nation, segment) QID groups with the balance
+    // band as the sensitive attribute: ~125 groups of ~12 rows at
+    // sf0.01, distinct bands straddle 10, so both outcomes occur
+    "pv3_ldiversity" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      Privacy.lDiversityFilter(c,
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 10)
+        .orderBy("c_custkey")
+    }),
+
     // P84 — ε = 0.5 Laplace counts per (event_type, value-band): the
     // banded second key makes group sizes range widely, so clamping and
     // both noise signs occur; the oracle replays the md5 uniform and the
@@ -48,6 +60,35 @@ object PrivacyQueries {
         |FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
         |        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
         |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // entropy terms −p·ln p rounded at 9 then DECIMAL-summed (the libm
+    // firewall); the decimal cast collapses the p=1 group's −0.0 to 0 on
+    // both engines
+    "pv3_ldiversity" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |pc AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band AS sv,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY 1, 2, 3),
+        |pw AS (
+        |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment)
+        |                 AS BIGINT) AS gn
+        |  FROM pc),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS sens_distinct,
+        |    CAST(SUM(CAST(round(-(CAST(cnt AS DOUBLE) / CAST(gn AS DOUBLE)) *
+        |          ln(CAST(cnt AS DOUBLE) / CAST(gn AS DOUBLE)), 9)
+        |        AS DECIMAL(28,9))) AS DOUBLE) AS sens_entropy
+        |  FROM pw GROUP BY 1, 2)
+        |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.bal_band,
+        |  g.sens_distinct, g.sens_entropy,
+        |  g.sens_distinct >= 10 AS kept
+        |FROM base b JOIN g USING (c_nationkey, c_mktsegment)
         |ORDER BY c_custkey""".stripMargin,
 
     // uniform = the repo-standard (md5-fold + 1) / 2^56; b = 1/0.5 = 2;

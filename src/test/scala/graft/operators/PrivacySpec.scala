@@ -47,6 +47,40 @@ class PrivacySpec extends SparkSpec {
       Privacy.kAnonymityFilter(rows.withColumn("kept", lit(true)), Seq("country"), k = 2))
   }
 
+  test("lDiversityFilter gates on distinct sensitive values and computes entropy") {
+    // group (us): sensitive {x, x, y, z} → 3 distinct,
+    //   entropy = −(½ln½ + ¼ln¼ + ¼ln¼) = 1.5·ln2 ≈ 1.039720771
+    // group (de): sensitive {x, x}       → 1 distinct, entropy 0
+    val rows = Seq(
+      (1L, "us", "x"), (2L, "us", "x"), (3L, "us", "y"), (4L, "us", "z"),
+      (5L, "de", "x"), (6L, "de", "x")
+    ).toDF("id", "country", "diag")
+    val got = Privacy.lDiversityFilter(rows, Seq("country"), "diag", l = 2)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val entUs = BigDecimal(-0.5 * math.log(0.5))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble +
+      2 * BigDecimal(-0.25 * math.log(0.25))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3L && got(1L)._3 == true)
+    // decimal-sum-then-convert vs double-added spec value: allow 1 ulp
+    assert(math.abs(got(1L)._2 - entUs) < 1e-12)
+    assert(got(5L) == ((1L, 0.0, false))) // homogeneous group suppressed
+    // null sensitive values count as a value of their own
+    val withNull = Seq((1L, "us", Some("x")), (2L, "us", None))
+      .toDF("id", "country", "diag")
+    val nd = Privacy.lDiversityFilter(withNull, Seq("country"), "diag", l = 2)
+      .collect().map(r => r.getLong(3)).distinct
+    assert(nd.toSeq == Seq(2L))
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityFilter(rows, Seq("country"), "diag", l = 0))
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityFilter(rows, Seq("country"), "country", l = 2))
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityFilter(rows, Seq("country"), "nope", l = 2))
+  }
+
   test("laplaceNoisyCounts: deterministic draw, scale, clamp, salt decorrelation") {
     val df = (Seq.fill(50)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
       .toDF("k")
