@@ -135,6 +135,54 @@ object Features {
   }
 
   /**
+   * P90 — per-group simple linear regression (OLS y = a + b·x): slope,
+   * intercept and r² from the five moment sums — the per-segment trend
+   * fit behind drift monitoring ("is this domain's quality decaying over
+   * time?") and millions-of-groups feature extraction, where one keyed
+   * aggregation replaces a per-group model fit. Returns one row per
+   * group: (key, n, slope, intercept, r2) rounded at 6; groups with
+   * constant x (or n = 1) have no defined fit → null slope/intercept/r2,
+   * and constant-y groups pin r2 null (0/0).
+   *
+   * Engine portability: x and y are cast to DECIMAL(18,6) FIRST (exact
+   * for any ≤6-decimal input, and the double→decimal cast at low scale
+   * cannot hit the shortest-string-vs-binary tie zone that full-
+   * precision products would), so all five sums are exact decimal
+   * arithmetic; the closed-form solution is then a fixed sequence of
+   * double ops on identical operands. One map-side-combinable groupBy —
+   * no window, no join.
+   */
+  def olsFit(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dx = col(xCol).cast("decimal(18,6)")
+    val dy = col(yCol).cast("decimal(18,6)")
+    // a row missing either coordinate is no observation at all — without
+    // this filter the five sums would disagree on which rows they cover
+    val sums = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("__sx"),
+        sum(dy).cast("double").as("__sy"),
+        sum(dx * dy).cast("double").as("__sxy"),
+        sum(dx * dx).cast("double").as("__sxx"),
+        sum(dy * dy).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val den = nd * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nd * col("__syy") - col("__sy") * col("__sy")
+    val slope = num / den
+    sums
+      .withColumn("slope", when(col("__sxx").isNotNull && den > 0,
+        round(slope, 6)))
+      .withColumn("intercept", when(col("__sxx").isNotNull && den > 0,
+        round((col("__sy") - slope * col("__sx")) / nd, 6)))
+      .withColumn("r2", when(col("__sxx").isNotNull && den > 0 && deny > 0,
+        round(num * num / (den * deny), 6)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /**
    * P87 — MAD-based robust outliers (Iglewicz–Hoaglin modified z-score):
    * per group, m = median, MAD = median(|x − m|), z = 0.6745·(x − m)/MAD,
    * flagged when |z| > `cutoff` — the outlier rule that (unlike the P47

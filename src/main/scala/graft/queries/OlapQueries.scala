@@ -179,6 +179,18 @@ object OlapQueries {
         .orderBy("event_id")
     }),
 
+    // P90 — per-supplier OLS fit of extended price against quantity
+    // (slope ≈ the supplier's average unit price): ~100 groups of ~600
+    // points at sf0.01; the oracle replays the five decimal moment sums
+    // and the identical closed-form double sequence
+    "o11_ols" -> ((s, dir) => {
+      graft.operators.Features.olsFit(
+          table(s, dir, "lineitem")
+            .select("l_suppkey", "l_quantity", "l_extendedprice"),
+          "l_suppkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_suppkey")
+    }),
+
     // P44 — per-user rolling features over the event stream: lag delta,
     // trailing-5-row count/mean (decimal-summed), lifetime sequence
     // number; ONE window shuffle for the whole feature set. The oracle
@@ -398,6 +410,42 @@ object OlapQueries {
         |  (l.l_extendedprice < b.blo OR l.l_extendedprice > b.bhi) AS clipped
         |FROM lineitem l JOIN bands b USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // five exact decimal moment sums → the identical closed-form double
+    // sequence (same parenthesization as Features.olsFit); slope guard
+    // den > 0, r2 additionally deny > 0. Product casts are DECIMAL(19,6):
+    // DuckDB multiplies two width-18 decimals in int64 and overflows —
+    // width 19 forces int128 (product type (38,12)); the rationals are
+    // exact either way, so Spark's (18,6)-based products match
+    "o11_ols" ->
+      """WITH s AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) *
+        |             CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) *
+        |             CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) *
+        |             CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT l_suppkey, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+        |    sx, sy
+        |  FROM s)
+        |SELECT l_suppkey, n,
+        |  CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+        |  CASE WHEN den > 0
+        |       THEN round((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6)
+        |  END AS intercept,
+        |  CASE WHEN den > 0 AND deny > 0
+        |       THEN round(num * num / (den * deny), 6) END AS r2
+        |FROM f ORDER BY l_suppkey""".stripMargin,
 
     // count(value) (not count(*)) so null-skipping matches Spark's frame
     // count; the decimal sum replays the operator's money-sum discipline

@@ -56,6 +56,31 @@ class FeaturesSpec extends SparkSpec {
       Features.winsorize(a.toDF("k", "id", "x"), "k", "x", 0.9, 0.1))
   }
 
+  test("olsFit recovers exact lines and nulls out degenerate groups") {
+    val df = Seq(
+      // a: perfect line y = 2x - 1
+      ("a", 1.0, 1.0), ("a", 2.0, 3.0), ("a", 3.0, 5.0),
+      // b: constant x -> no fit
+      ("b", 2.0, 1.0), ("b", 2.0, 9.0),
+      // c: constant y -> slope 0, intercept y, r2 undefined (0/0)
+      ("c", 1.0, 4.0), ("c", 3.0, 4.0)
+    ).toDF("k", "x", "y")
+    val got = Features.olsFit(df, "k", "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a") == ((3L, Some(2.0), Some(-1.0), Some(1.0))))
+    assert(got("b") == ((2L, None, None, None)))
+    assert(got("c") == ((2L, Some(0.0), Some(4.0), None)))
+    // null coordinates drop the whole observation from every sum
+    val withNull = Seq(("a", Some(1.0), Some(1.0)), ("a", Some(2.0), Some(3.0)),
+      ("a", Some(3.0), Some(5.0)), ("a", None, Some(99.0)), ("a", Some(9.0), None))
+      .toDF("k", "x", "y")
+    val g2 = Features.olsFit(withNull, "k", "x", "y").collect().head
+    assert(g2.getLong(1) == 3L && g2.getDouble(2) == 2.0)
+  }
+
   test("quantileScores buckets by strict cutoff comparison, ties land low") {
     // 1..10 quintile cutoffs (R-7): 2.8, 4.6, 6.4, 8.2
     val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
