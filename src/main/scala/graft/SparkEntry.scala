@@ -34,7 +34,7 @@ object SparkEntry {
     SinkQueries.defs, DedupQueries.defs, SimilarityQueries.defs,
     TextQueries.defs, StreamQueries.defs, MultimodalQueries.defs,
     SessionQueries.defs, SemiStructuredQueries.defs, OlapQueries.defs,
-    PrivacyQueries.defs, GraphQueries.defs)
+    PrivacyQueries.defs, GraphQueries.defs, MiningQueries.defs)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,7 +45,7 @@ object SparkEntry {
       SinkQueries.oracles, DedupQueries.oracles, SimilarityQueries.oracles,
       TextQueries.oracles, StreamQueries.oracles, MultimodalQueries.oracles,
       SessionQueries.oracles, SemiStructuredQueries.oracles, OlapQueries.oracles,
-      PrivacyQueries.oracles, GraphQueries.oracles)
+      PrivacyQueries.oracles, GraphQueries.oracles, MiningQueries.oracles)
     val orphanOracles = out.keySet -- queries.keySet
     if (orphanOracles.nonEmpty)
       throw new IllegalStateException(

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Frequent-pair association mining over basket data — the co-occurrence
+ * rule extraction behind recommendations ("customers who bought A...")
+ * and, in a training pipeline, co-occurrence-graph construction and
+ * spurious-correlation audits over tags/entities per document.
+ */
+object Association {
+
+  /**
+   * P91 — size-2 association rules: for every ordered item pair (a → b)
+   * co-occurring in at least `minPairCount` baskets,
+   *
+   *   support    = n_ab / N
+   *   confidence = n_ab / n_a
+   *   lift       = (n_ab · N) / (n_a · n_b)
+   *
+   * with N = number of baskets, n_x = baskets containing x. Both
+   * directions of each unordered co-occurrence are emitted (confidence
+   * is asymmetric). All three measures are fixed sequences of double ops
+   * on exact BIGINT counts, rounded at 6 — nothing engine-dependent.
+   *
+   * Scale shape: a distinct projection to (basket, item), a self-join on
+   * the basket key — fan-out bounded by items-per-basket, single digits
+   * in market baskets and bounded by construction in tag pipelines — an
+   * (a, b) pair agg with map-side combine, and two shuffle_hash joins
+   * against the per-item basket counts (post-agg sides, no stats — the
+   * d11 rule). The `minPairCount` filter runs BEFORE the joins, so the
+   * rule frame the joins see is already the (small) frequent subset.
+   * N is one distributed distinct-count reduced to a scalar.
+   */
+  def assocRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1,
+      s"assocRules: minPairCount must be >= 1, got $minPairCount")
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val nBaskets = bi.select("b").distinct().count()
+    require(nBaskets > 0, "assocRules: no baskets")
+    val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val left = bi.toDF("b", "ia")
+    val right = bi.toDF("b", "ib")
+    val pairs = left.join(right, Seq("b"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    val rules = pairs.select(col("ia").as("antecedent"),
+        col("ib").as("consequent"), col("n_ab"))
+      .union(pairs.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("n_ab")))
+    rules
+      .join(itemCounts.withColumnRenamed("n_i", "n_a").hint("shuffle_hash"),
+        col("antecedent") === col("i")).drop("i")
+      .join(itemCounts.withColumnRenamed("n_i", "n_b").hint("shuffle_hash"),
+        col("consequent") === col("i")).drop("i")
+      .withColumn("support",
+        round(col("n_ab").cast("double") / lit(nBaskets.toDouble), 6))
+      .withColumn("confidence",
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6))
+      .withColumn("lift",
+        round(col("n_ab").cast("double") * lit(nBaskets.toDouble) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+  }
+}

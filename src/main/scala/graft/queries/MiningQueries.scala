@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+
+/**
+ * Pattern-mining coverage (operators/Association.scala): co-occurrence
+ * rule extraction over basket-shaped data.
+ */
+object MiningQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P91 — association rules over order baskets (order = basket,
+    // part = item), minPairCount = 2: at sf0.01 random co-purchases put
+    // a long tail of pairs at exactly 2 baskets and a head higher, so
+    // every measure exercises non-trivial values; both rule directions
+    // emitted, tie-broken deterministically by the (antecedent,
+    // consequent) sort
+    "fi1_assoc" -> ((s, dir) => {
+      graft.operators.Association.assocRules(
+          table(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minPairCount = 2L)
+        .orderBy("antecedent", "consequent")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the same distinct-project / self-join / agg / measure sequence;
+    // all measures are double ops on exact BIGINT counts with the
+    // operator's parenthesization
+    "fi1_assoc" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM bi),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS ia, c.i AS ib, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2),
+        |rules AS (
+        |  SELECT ia AS antecedent, ib AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT ib AS antecedent, ia AS consequent, n_ab FROM pairs)
+        |SELECT r.antecedent, r.consequent, r.n_ab,
+        |  a.n_i AS n_a, c.n_i AS n_b,
+        |  round(CAST(r.n_ab AS DOUBLE) / CAST(n.nb AS DOUBLE), 6) AS support,
+        |  round(CAST(r.n_ab AS DOUBLE) / CAST(a.n_i AS DOUBLE), 6) AS confidence,
+        |  round(CAST(r.n_ab AS DOUBLE) * CAST(n.nb AS DOUBLE) /
+        |        (CAST(a.n_i AS DOUBLE) * CAST(c.n_i AS DOUBLE)), 6) AS lift
+        |FROM rules r
+        |JOIN ic a ON a.i = r.antecedent
+        |JOIN ic c ON c.i = r.consequent
+        |CROSS JOIN n
+        |ORDER BY antecedent, consequent""".stripMargin
+  )
+}
