@@ -285,6 +285,33 @@ object Sampling {
   }
 
   /**
+   * P92 — exactly-balanced stratified K-fold assignment: every row gains
+   * `fold` ∈ [0, k), with each stratum's rows dealt round-robin in
+   * portable hash order — so within every stratum the fold sizes differ
+   * by at most one (the cross-validation contract [[hashBucket]] alone
+   * only meets in expectation; a plain `id % k` would additionally
+   * correlate with any id-structured collection order). Same determinism
+   * guarantees as every [[hashValue]] consumer: re-runs, engines and
+   * partitionings agree on every row's fold, and `salt` decorrelates
+   * independent foldings of the same corpus.
+   *
+   * One shuffle keyed by the stratum (a single window); a skewed giant
+   * stratum costs one partition's sort — the [[cappedPerKey]] story.
+   * Contract: `idCol` unique per stratum, else ties make the deal order
+   * partition-dependent.
+   */
+  def kFold(df: DataFrame, strataCol: String, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 2, s"kFold: k must be >= 2, got $k")
+    require(!df.columns.contains("fold"),
+      "kFold: input already has a fold column — rename it first")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("fold",
+      ((row_number().over(w) - lit(1)) % lit(k)).cast("int"))
+  }
+
+  /**
    * P36 — stratified proportional sample: keep EXACTLY round(fraction·n_s)
    * rows from each stratum s of size n_s, chosen by portable hash order
    * over `idCol` (ties broken by id). [[hashSample]] is only proportional

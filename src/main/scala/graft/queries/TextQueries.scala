@@ -58,6 +58,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P92 — 5-fold assignment stratified by language: every lang's docs
+    // dealt round-robin in portable hash order, so fold sizes within a
+    // stratum differ by at most one; the oracle replays the hash rank
+    "sa11_kfold" -> ((s, dir) => {
+      graft.operators.Sampling.kFold(
+          table(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", k = 5)
+        .orderBy("doc_id")
+    }),
+
     // P67 — weighted sample: 50 docs drawn by Efraimidis-Spirakis keys
     // −ln(u)/w with hash-derived uniforms and weight doc_id % 5 + 1; the
     // oracle replays every key and the selection boundary exactly
@@ -814,6 +824,18 @@ object TextQueries {
 
     // same 56-bit-MD5 fold as the d6 simhash oracle; bucket bounds 8000 /
     // 9000 are the rounded cumulative weights
+    "sa11_kfold" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST((row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) - 1) % 5
+        |       AS INT) AS fold
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "sa1_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -171,6 +171,30 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedSample(rows.withColumn("__n", lit(1)), "s", "id", 0.5))
   }
 
+  test("kFold deals balanced folds per stratum, deterministically") {
+    // strata sizes 10, 7, 1: fold sizes must differ by ≤1 within each
+    val rows = ((1L to 10L).map(_ -> "a") ++ (11L to 17L).map(_ -> "b") ++
+      Seq(18L -> "c")).toDF("id", "s")
+    val out = Sampling.kFold(rows, "s", "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.length == 18 && out.forall(t => t._3 >= 0 && t._3 < 3))
+    val sizes = out.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    assert(sizes(("a", 0)) == 4 && sizes(("a", 1)) == 3 && sizes(("a", 2)) == 3)
+    assert(Seq(0, 1, 2).map(f => sizes.getOrElse(("b", f), 0)).sorted == Seq(2, 2, 3))
+    assert(Seq(0, 1, 2).map(f => sizes.getOrElse(("c", f), 0)).sum == 1)
+    // partitioning-independent
+    val again = Sampling.kFold(rows.repartition(5), "s", "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSet == again.toSet)
+    // a different salt reshuffles the deal
+    val salted = Sampling.kFold(rows, "s", "id", k = 3, salt = "x")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(salted.toSet != out.toSet)
+    intercept[IllegalArgumentException](Sampling.kFold(rows, "s", "id", 1))
+    intercept[IllegalArgumentException](
+      Sampling.kFold(rows.withColumn("fold", lit(1)), "s", "id", 3))
+  }
+
   test("mixCorpus hits the target mix exactly, bound by the scarcest domain") {
     // availability: web 100, books 20, code 60; weights 1/2, 1/4, 1/4 →
     // N bound by books: min(200, 80, 240) = 80 → quotas 40 / 20 / 15? no:
