@@ -96,6 +96,60 @@ object TimeSeries {
   }
 
   /**
+   * P93 — truncated adjusted EWMA per key: the exponentially-weighted
+   * mean over each row's trailing `lookback` observations in
+   * (ts, tie) order,
+   *
+   *   ewma_i = Σ_{l<L} (1−α)^l·x_{i−l} / Σ_{l<L, present} (1−α)^l
+   *
+   * (pandas `ewm(adjust=True)` truncated at L) — the smoothed-signal
+   * feature behind trend/novelty detection over event streams. The
+   * recursive form s_i = α·x_i + (1−α)·s_{i−1} carries unbounded
+   * history — un-expressible as a bounded window and numerically
+   * explosive in its prefix-sum rewriting ((1−α)^{−i} overflows) — so
+   * the bounded-lookback form IS the scale-safe semantics, with the
+   * truncation error ≤ (1−α)^L of the oldest mass.
+   *
+   * Engine portability: the L weights are computed ONCE on the driver
+   * and embedded as literals in the plan (and, via
+   * [[ewmaWeightLiterals]], in an oracle's SQL text — a shortest
+   * round-trip double literal parses back to the identical double
+   * everywhere), so neither engine ever calls pow(); the weighted sum is
+   * an explicit left-to-right chain of ≤L fused multiply-adds on
+   * identical operands. One window shuffle keyed by `keyCol` for the
+   * whole feature; early rows (rank < L) renormalize over the present
+   * terms only.
+   */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, alpha: Double, lookback: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ewma: alpha must be in (0,1), got $alpha")
+    require(lookback >= 1, s"ewma: lookback must be >= 1, got $lookback")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val weights = ewmaWeights(alpha, lookback)
+    val terms = weights.zipWithIndex.map { case (wl, l) =>
+      val xl = if (l == 0) col(valueCol) else lag(col(valueCol), l).over(w)
+      (when(xl.isNotNull, lit(wl) * xl).otherwise(lit(0.0)),
+        when(xl.isNotNull, lit(wl)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma",
+      when(den > 0, round(num / den, 6)))
+  }
+
+  /** The (1−α)^l weight ladder shared by [[ewma]] and its oracles. */
+  def ewmaWeights(alpha: Double, lookback: Int): Seq[Double] =
+    (0 until lookback).map(l => math.pow(1.0 - alpha, l))
+
+  /** The same ladder as SQL double literals (shortest round-trip repr,
+    * e0-suffixed when bare — DuckDB parses bare decimals as DECIMAL). */
+  def ewmaWeightLiterals(alpha: Double, lookback: Int): Seq[String] =
+    ewmaWeights(alpha, lookback).map { d =>
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+
+  /**
    * P80 — cohort retention matrix: keys are cohorted by the calendar
    * bucket of their FIRST event (bucket = epoch-micros div
    * `bucketMicros`), and each (cohort, offset) cell counts the distinct

@@ -191,6 +191,18 @@ object OlapQueries {
         .orderBy("l_suppkey")
     }),
 
+    // P93 — truncated adjusted EWMA over each user's event values,
+    // α = 0.25, lookback 8: the weight ladder is embedded as literals on
+    // BOTH sides (neither engine calls pow), the weighted sum is an
+    // explicit left-to-right chain — see TimeSeries.ewma
+    "o12_ewma" -> ((s, dir) => {
+      graft.operators.TimeSeries.ewma(
+          graft.Graft.events(s, dir), "user_id", "ts", "event_id", "value",
+          alpha = 0.25, lookback = 8)
+        .select("user_id", "event_id", "value", "ewma")
+        .orderBy("event_id")
+    }),
+
     // P44 — per-user rolling features over the event stream: lag delta,
     // trailing-5-row count/mean (decimal-summed), lifetime sequence
     // number; ONE window shuffle for the whole feature set. The oracle
@@ -410,6 +422,38 @@ object OlapQueries {
         |  (l.l_extendedprice < b.blo OR l.l_extendedprice > b.bhi) AS clipped
         |FROM lineitem l JOIN bands b USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the identical lag ladder, weight literals and left-to-right
+    // term chain as TimeSeries.ewma (weights generated from the same
+    // helper, so the two sides cannot drift)
+    "o12_ewma" -> {
+      val ws = graft.operators.TimeSeries.ewmaWeightLiterals(0.25, 8)
+      val lags = (1 until 8)
+        .map(l => s"lag(value, $l) OVER w AS x$l").mkString(",\n    ")
+      def term(l: Int) = {
+        val x = if (l == 0) "value" else s"x$l"
+        s"CASE WHEN $x IS NOT NULL THEN ${ws(l)} * $x ELSE 0.0e0 END"
+      }
+      def wterm(l: Int) = {
+        val x = if (l == 0) "value" else s"x$l"
+        s"CASE WHEN $x IS NOT NULL THEN ${ws(l)} ELSE 0.0e0 END"
+      }
+      val num = (0 until 8).map(term).mkString("\n      + ")
+      val den = (0 until 8).map(wterm).mkString("\n      + ")
+      s"""WITH f AS (
+         |  SELECT user_id, event_id, value,
+         |    $lags
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (
+         |  SELECT user_id, event_id, value,
+         |    $num AS num,
+         |    $den AS den
+         |  FROM f)
+         |SELECT user_id, event_id, value,
+         |  CASE WHEN den > 0 THEN round(num / den, 6) END AS ewma
+         |FROM g ORDER BY event_id""".stripMargin
+    },
 
     // five exact decimal moment sums → the identical closed-form double
     // sequence (same parenthesization as Features.olsFit); slope guard

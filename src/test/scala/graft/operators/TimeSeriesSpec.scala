@@ -44,6 +44,34 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.rollingFeatures(ev, "user_id", "t", "event_id", "value", 0))
   }
 
+  test("ewma: truncated adjusted weighting with early-row renormalization") {
+    val ev = Seq(
+      (1L, ts(1), 10L, Some(10.0)), (1L, ts(2), 11L, Some(20.0)),
+      (1L, ts(3), 12L, Some(40.0)),
+      (2L, ts(1), 20L, Option.empty[Double]))
+      .toDF("user_id", "t", "event_id", "value")
+    val got = TimeSeries.ewma(ev, "user_id", "t", "event_id", "value",
+        alpha = 0.5, lookback = 2)
+      .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+    assert(got(10L) == Some(10.0))                   // lone term renormalizes to x
+    assert(got(11L) == Some(16.666667))              // (20 + .5*10)/1.5
+    assert(got(12L) == Some(33.333333))              // (40 + .5*20)/1.5
+    assert(got(20L) == None)                         // all-null window -> null
+    // lookback 1 degenerates to the value itself
+    val flat = TimeSeries.ewma(ev, "user_id", "t", "event_id", "value",
+        alpha = 0.5, lookback = 1)
+      .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+    assert(flat(12L) == Some(40.0) && flat(20L) == None)
+    // the weight ladder and its SQL literal form agree
+    assert(TimeSeries.ewmaWeights(0.25, 3) == Seq(1.0, 0.75, 0.5625))
+    assert(TimeSeries.ewmaWeightLiterals(0.25, 3) ==
+      Seq("1.0e0", "0.75e0", "0.5625e0"))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewma(ev, "user_id", "t", "event_id", "value", 1.0, 2))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewma(ev, "user_id", "t", "event_id", "value", 0.5, 0))
+  }
+
   test("funnel chains greedy-earliest strictly-increasing step times") {
     val ev = Seq(
       // user 1 completes a,b,c in order — but b's earliest is BEFORE a,
