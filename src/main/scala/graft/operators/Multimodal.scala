@@ -274,4 +274,38 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
   }
+
+  /**
+   * P94 — ViT-style patch-grid enumeration: one row per `patch`×`patch`
+   * tile of each media item's pixel plane, with edge tiles clamped to
+   * the remaining extent — the tiling plumbing a vision-training
+   * pipeline runs between decode and per-patch embedding. Returns the
+   * id + (patch_row, patch_col, x0, y0, pw, ph); rows with null or
+   * non-positive dimensions are dropped (undecodable media has no
+   * plane).
+   *
+   * Pure integer projection + one generator (explode of a
+   * ceil(w/p)·ceil(h/p)-element sequence, single digits for real patch
+   * sizes) — narrow, codegen'd, no shuffle; the downstream per-patch
+   * decode is where repartitionForDecode takes over.
+   */
+  def patchGrid(df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String, patch: Int): DataFrame = {
+    require(patch >= 1, s"patchGrid: patch must be >= 1, got $patch")
+    val p = lit(patch.toLong)
+    val d = df
+      .where(col(widthCol).isNotNull && col(heightCol).isNotNull &&
+        col(widthCol) > 0 && col(heightCol) > 0)
+      .withColumn("__nx", expr(s"(`$widthCol` + ${patch - 1}) div $patch"))
+      .withColumn("__ny", expr(s"(`$heightCol` + ${patch - 1}) div $patch"))
+    d.select(col("*"),
+        explode(sequence(lit(0L), col("__nx") * col("__ny") - 1)).as("__pid"))
+      .withColumn("patch_row", expr("__pid div __nx"))
+      .withColumn("patch_col", pmod(col("__pid"), col("__nx")))
+      .withColumn("x0", col("patch_col") * p)
+      .withColumn("y0", col("patch_row") * p)
+      .withColumn("pw", least(p, col(widthCol) - col("x0")))
+      .withColumn("ph", least(p, col(heightCol) - col("y0")))
+      .drop("__nx", "__ny", "__pid")
+  }
 }

@@ -47,6 +47,23 @@ object MultimodalQueries {
         .orderBy("i", "j")
     }),
 
+    // P94 — ViT patch grid over the stub codec's pixel planes: dims
+    // replay decodeImageStub's byte-count geometry (sqrt is IEEE
+    // correctly-rounded, so ceil(sqrt(n)) is portable), then one
+    // generator row per 16x16 tile with clamped edge extents
+    "mm4_patches" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          octet_length(col("text")).cast("long").as("n"))
+        .withColumn("w",
+          least(greatest(ceil(sqrt(col("n").cast("double"))), lit(1L)), lit(64L)))
+        .withColumn("h", greatest(expr("(n + w - 1) div w"), lit(1L)))
+      Multimodal.patchGrid(d, "media_id", "w", "h", patch = 16)
+        .select("media_id", "w", "h", "patch_row", "patch_col",
+          "x0", "y0", "pw", "ph")
+        .orderBy("media_id", "patch_row", "patch_col")
+    }),
+
     // batched stub decode + feature extraction (deterministic fake codec);
     // batch_ok is layout-independent (every batch is 1..batchSize rows)
     // where the raw batch_size is not (the tail batch of each partition
@@ -68,6 +85,32 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS bytes_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same stub geometry, grid arithmetic all-BIGINT; unnest(range(...))
+    // expands the per-item tile ids
+    "mm4_patches" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |dims AS (
+        |  SELECT media_id, n,
+        |    least(greatest(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1), 64) AS w
+        |  FROM d),
+        |dims2 AS (
+        |  SELECT media_id, w, greatest((n + w - 1) // w, 1) AS h FROM dims),
+        |g AS (
+        |  SELECT media_id, w, h,
+        |    (w + 15) // 16 AS nx, (h + 15) // 16 AS ny
+        |  FROM dims2),
+        |e AS (
+        |  SELECT media_id, w, h, nx, unnest(range(0, nx * ny)) AS pid FROM g)
+        |SELECT media_id, w, h,
+        |  pid // nx AS patch_row, pid % nx AS patch_col,
+        |  (pid % nx) * 16 AS x0, (pid // nx) * 16 AS y0,
+        |  least(16, w - (pid % nx) * 16) AS pw,
+        |  least(16, h - (pid // nx) * 16) AS ph
+        |FROM e ORDER BY media_id, patch_row, patch_col""".stripMargin,
 
     // full aHash replay from raw bytes (the mm2 hex-pair idiom at 8x8)
     // plus an ALL-PAIRS hamming comparison — the banded Spark plan must

@@ -182,4 +182,29 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.phashNearDupPairs(hashes, 4))
     hashes.unpersist()
   }
+
+  test("patchGrid tiles the plane and clamps edge patches") {
+    import spark.implicits._
+    val dims = Seq(
+      (1L, 32L, 32L),   // exact 2x2 grid of full tiles
+      (2L, 20L, 10L),   // ragged: 2x1 grid, clamped edges
+      (3L, 0L, 16L),    // degenerate -> dropped
+      (4L, 16L, 16L)    // single tile
+    ).toDF("id", "w", "h")
+    val got = Multimodal.patchGrid(dims, "id", "w", "h", patch = 16)
+      .select("id", "patch_row", "patch_col", "x0", "y0", "pw", "ph")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.keys.count(_._1 == 1L) == 4)
+    assert(got((1L, 1L, 1L)) == ((16L, 16L, 16L, 16L)))
+    assert(got.keys.count(_._1 == 2L) == 2)
+    assert(got((2L, 0L, 0L)) == ((0L, 0L, 16L, 10L)))
+    assert(got((2L, 0L, 1L)) == ((16L, 0L, 4L, 10L)))
+    assert(!got.keys.exists(_._1 == 3L))
+    assert(got((4L, 0L, 0L)) == ((0L, 0L, 16L, 16L)))
+    intercept[IllegalArgumentException](
+      Multimodal.patchGrid(dims, "id", "w", "h", patch = 0))
+  }
 }
