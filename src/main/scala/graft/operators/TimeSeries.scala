@@ -193,6 +193,48 @@ object TimeSeries {
   }
 
   /**
+   * P95 — Kaplan–Meier survival estimator per group: from one row per
+   * subject (group, time-to-event, observed-flag), the product-limit
+   * curve S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over the distinct OBSERVED event
+   * times, with nᵢ = subjects still at risk (time ≥ tᵢ, censored
+   * subjects leave the risk set at their censoring time and create no
+   * step) — churn/retention curves, and in a training pipeline the
+   * label-horizon analysis behind survival-aware sampling. Returns
+   * (group, time, n_event, at_risk, survival).
+   *
+   * Shape: one keyed agg onto the (group, time) grid, three windows over
+   * the SAME group partitioning (total, removed-before, cumulative), no
+   * joins; grid size is bounded by distinct times per group, not
+   * subjects. Engine portability: the cumulative product runs as
+   * exp(Σ ln) with each ln(1 − d/n) ROUNDED AT 9 and DECIMAL-summed (the
+   * libm firewall — a bare double cumprod would compound 1-ulp libm
+   * differences), and a d = n step clamps the factor at 2⁻⁵⁶ (ln 0
+   * otherwise; survival rounds to 0 at 6 decimals, the true value).
+   */
+  def kaplanMeier(df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val grid = df.groupBy(col(groupCol), col(timeCol))
+      .agg(sum(col(eventCol).cast("long")).as("n_event"),
+        count(lit(1)).as("n_total"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val wBefore = Window.partitionBy(col(groupCol)).orderBy(col(timeCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(timeCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val f = lit(1.0) - col("n_event").cast("double") / col("at_risk").cast("double")
+    grid
+      .withColumn("at_risk",
+        sum(col("n_total")).over(wAll) -
+          coalesce(sum(col("n_total")).over(wBefore), lit(0L)))
+      .where(col("n_event") > 0)
+      .withColumn("__lf",
+        round(log(greatest(f, lit(math.pow(2.0, -56)))), 9).cast("decimal(28,9)"))
+      .withColumn("survival",
+        round(exp(sum(col("__lf")).over(wCum).cast("double")), 6))
+      .drop("__lf", "n_total")
+  }
+
+  /**
    * P81 — first-order Markov transition matrix over per-key event
    * sequences: count every adjacent (state → next state) pair in each
    * key's (ts, tie)-ordered history and emit row-normalized transition

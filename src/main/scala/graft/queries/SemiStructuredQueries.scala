@@ -130,6 +130,30 @@ object SemiStructuredQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // P95 — Kaplan-Meier churn curves per market segment: subject =
+    // customer, time = days between first and last order, observed
+    // (churned) when the last order predates the corpus horizon by a
+    // year; the oracle replays grid, risk sets and the exp(Σ rounded-ln)
+    // product limit exactly
+    "q11_survival" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+      val cutoff = o.agg(max(col("d"))).head.getDate(0)
+        .toLocalDate.minusDays(365)
+      val subj = o.groupBy("o_custkey")
+        .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+        .withColumn("t", datediff(col("last_d"), col("first_d")).cast("long"))
+        .withColumn("ev",
+          (col("last_d") <= lit(java.sql.Date.valueOf(cutoff))).cast("int"))
+        .join(table(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          Seq("o_custkey"))
+      TimeSeries.kaplanMeier(
+          subj.select(col("c_mktsegment").as("seg"), col("t"), col("ev")),
+          "seg", "t", "ev")
+        .orderBy("seg", "t")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -203,6 +227,41 @@ object SemiStructuredQueries {
         |            WHEN t_view IS NOT NULL THEN 2
         |            ELSE 1 END AS INT) AS funnel_depth
         |FROM s4 ORDER BY user_id""".stripMargin,
+
+    // product limit via exp(Σ ln) with each ln rounded at 9 and
+    // DECIMAL-summed (the libm firewall); d = n steps clamp at 2^-56
+    "q11_survival" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |cut AS (SELECT MAX(d) - 365 AS cutoff FROM o),
+        |subj AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(MAX(o.d) - MIN(o.d) AS BIGINT) AS t,
+        |    CASE WHEN MAX(o.d) <= (SELECT cutoff FROM cut) THEN 1 ELSE 0 END AS ev
+        |  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY o.o_custkey, c.c_mktsegment),
+        |grid AS (
+        |  SELECT seg, t, CAST(SUM(ev) AS BIGINT) AS n_event,
+        |         CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg, t, n_event,
+        |    CAST(SUM(n_total) OVER (PARTITION BY seg)
+        |         - COALESCE(SUM(n_total) OVER (PARTITION BY seg ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS at_risk
+        |  FROM grid),
+        |e AS (
+        |  SELECT seg, t, n_event, at_risk,
+        |    CAST(round(ln(greatest(
+        |        1.0e0 - CAST(n_event AS DOUBLE) / CAST(at_risk AS DOUBLE),
+        |        1.0e0 / 72057594037927936.0e0)), 9) AS DECIMAL(28,9)) AS lf
+        |  FROM r WHERE n_event > 0)
+        |SELECT seg, t, n_event, at_risk,
+        |  round(exp(CAST(SUM(lf) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+        |    AS survival
+        |FROM e ORDER BY seg, t""".stripMargin,
 
     "q9_transitions" ->
       """WITH pairs AS (

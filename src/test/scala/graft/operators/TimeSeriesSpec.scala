@@ -100,6 +100,33 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.funnel(ev, "user_id", "t", "typ", Seq("a", "a")))
   }
 
+  test("kaplanMeier: textbook product limit with censoring and risk sets") {
+    // classic example: times 1,2*,3,4,5* (starred censored), n=5:
+    //   t=1: n=5, d=1 -> S = 4/5 = 0.8
+    //   t=3: n=3, d=1 -> S = 0.8 * 2/3 = 0.533333
+    //   t=4: n=2, d=1 -> S = 0.533333... * 1/2 = 0.266667
+    // censored times 2 and 5 shrink the risk set but add no step
+    val subj = Seq(("g", 1L, 1), ("g", 2L, 0), ("g", 3L, 1),
+      ("g", 4L, 1), ("g", 5L, 0)).toDF("grp", "t", "ev")
+    val got = TimeSeries.kaplanMeier(subj, "grp", "t", "ev")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L))
+    assert(got(1L) == ((1L, 5L, 0.8)))
+    assert(got(3L)._2 == 3L && math.abs(got(3L)._3 - 0.533333) < 2e-6)
+    assert(got(4L)._2 == 2L && math.abs(got(4L)._3 - 0.266667) < 2e-6)
+    // everyone dies at the last step -> survival rounds to exactly 0
+    val all = Seq(("h", 1L, 1), ("h", 1L, 1)).toDF("grp", "t", "ev")
+    val g2 = TimeSeries.kaplanMeier(all, "grp", "t", "ev").collect().head
+    assert(g2.getLong(2) == 2L && g2.getLong(3) == 2L && g2.getDouble(4) == 0.0)
+    // ties at one time aggregate into a single step
+    val tied = Seq(("i", 2L, 1), ("i", 2L, 1), ("i", 4L, 0))
+      .toDF("grp", "t", "ev")
+    val g3 = TimeSeries.kaplanMeier(tied, "grp", "t", "ev").collect()
+    assert(g3.length == 1 && g3.head.getLong(2) == 2L &&
+      g3.head.getLong(3) == 3L)
+  }
+
   test("cohortRetention: calendar buckets, distinct-per-cell, offset 0 full") {
     // bucket = 10s; user 1 starts bucket 0, active 0/1/2 (twice in 1);
     // user 2 starts bucket 0, active 0 only; user 3 starts bucket 1,
