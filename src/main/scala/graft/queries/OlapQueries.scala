@@ -111,6 +111,19 @@ object OlapQueries {
         .orderBy("zval", "o_orderkey")
     }),
 
+    // P96 — Hilbert layout key over the same quantized pair as
+    // z1_morton: the kernel walks the per-bit quadrant-rank + rotate;
+    // the oracle replays the walk as a list_reduce fold over a packed
+    // (x, y, d) BIGINT state — pure integer arithmetic on both sides
+    "z2_hilbert" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val x = pmod(col("o_custkey"), lit(1024)).cast("long")
+      val y = pmod(col("o_orderkey"), lit(1024)).cast("long")
+      o.select(col("o_orderkey"),
+          graft.operators.ZOrder.hilbertValue(10, x, y).as("hval"))
+        .orderBy("hval", "o_orderkey")
+    }),
+
     // exact percentiles per group: Spark `percentile` and DuckDB
     // `quantile_cont` both use the R-7 definition (rank = p·(n−1), linear
     // interpolation between order statistics); rounding to 4 absorbs the
@@ -335,6 +348,35 @@ object OlapQueries {
         |    (((o_orderkey % 1024) >> j) & 1) * (1::BIGINT << (2*j + 1))
         |    FOR j IN range(0, 10)], (a, b) -> a + b) AS zval
         |FROM orders ORDER BY zval, o_orderkey""".stripMargin,
+
+    // the xy2d walk as a fold: state packs (x, y, d) into one BIGINT
+    // (x + y·2^20 + d·2^40 — x,y stay < 2^20, d < 2^20 at bits=10, so
+    // everything is far inside int64); each step reads rx/ry from the
+    // packed fields, rotates, and accumulates the quadrant rank
+    "z2_hilbert" -> {
+      val X = "(acc % 1048576)"
+      val Y = "((acc // 1048576) % 1048576)"
+      val D = "(acc // 1099511627776)"
+      val RX = s"(($X) // s)" // 0/1: the quadrant-local walk keeps x,y < 2s
+      val RY = s"(($Y) // s)"
+      val XL = s"($X - $RX * s)"
+      val YL = s"($Y - $RY * s)"
+      val rot = s"CASE WHEN $RX = 0 AND $RY = 0 THEN 0 " +
+        s"WHEN $RX = 0 THEN 1 WHEN $RY = 0 THEN 3 ELSE 2 END"
+      val newD = s"($D + s * s * ($rot))"
+      val newX = s"(CASE WHEN $RY = 1 THEN $XL WHEN $RX = 0 THEN $YL " +
+        s"ELSE s - 1 - $YL END)"
+      val newY = s"(CASE WHEN $RY = 1 THEN $YL WHEN $RX = 0 THEN $XL " +
+        s"ELSE s - 1 - $XL END)"
+      val svals = (0 until 10).map(i => 1L << (9 - i)).mkString(", ")
+      s"""SELECT o_orderkey,
+         |  list_reduce(list_concat(
+         |      [CAST((o_custkey % 1024) + (o_orderkey % 1024) * 1048576 AS BIGINT)],
+         |      [$svals]),
+         |    (acc, s) -> $newX + $newY * 1048576 + $newD * 1099511627776)
+         |    // 1099511627776 AS hval
+         |FROM orders ORDER BY hval, o_orderkey""".stripMargin
+    },
 
     "o5_percentiles" ->
       """SELECT l_returnflag,

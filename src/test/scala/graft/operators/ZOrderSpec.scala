@@ -76,4 +76,34 @@ class ZOrderSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("hilbertValue: known cells, bijectivity, and step-1 adjacency") {
+    import graft.expressions.LayoutEval
+    // the canonical 2x2 walk
+    assert(LayoutEval.xy2d(1, 0, 0) == 0L)
+    assert(LayoutEval.xy2d(1, 0, 1) == 1L)
+    assert(LayoutEval.xy2d(1, 1, 1) == 2L)
+    assert(LayoutEval.xy2d(1, 1, 0) == 3L)
+    // bits = 3: the 64-cell curve is a bijection AND every consecutive
+    // pair of indices is a Manhattan-distance-1 grid step — the locality
+    // property Morton lacks (its quadrant jumps are distance > 1)
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L)
+      yield (LayoutEval.xy2d(3, x, y), x, y)
+    assert(cells.map(_._1).sorted == (0L until 64L))
+    val byD = cells.map(t => t._1 -> ((t._2, t._3))).toMap
+    for (d <- 0L until 63L) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step at d=$d")
+    }
+    // the Column kernel (codegen path) agrees with the direct walk
+    val df = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+    val viaCol = df.select(col("x"), col("y"),
+        ZOrder.hilbertValue(3, col("x"), col("y")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((d, x, y) <- cells) assert(viaCol((x, y)) == d)
+    intercept[IllegalArgumentException](
+      ZOrder.hilbertValue(32, col("x"), col("y")))
+  }
 }
