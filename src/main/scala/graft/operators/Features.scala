@@ -182,6 +182,177 @@ object Features {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** The Benford expected first-digit masses log₁₀(1 + 1/d), d = 1..9 —
+    * computed once here so the operator and any oracle generator embed
+    * the IDENTICAL double literals (the EWMA weight-ladder rule). */
+  val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** [[BenfordP]] as SQL double literals (shortest round-trip repr,
+    * e0-suffixed when bare). */
+  def benfordPLiterals: Seq[String] = BenfordP.map { d =>
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /**
+   * P101 — Benford first-digit audit per group: the fraud/corruption
+   * screen (and data-quality drift alarm) that compares each group's
+   * leading-digit distribution against Benford's law. Input values must
+   * be POSITIVE INTEGERS in their smallest unit (money → cents — the
+   * caller converts exactly through DECIMAL); non-positive and null
+   * rows are dropped. Returns a DENSIFIED (group, digit 1..9) grid:
+   * n, total, share, benford_p, dev = |share − p|, and the group's
+   * l1 distance Σ dev repeated per row — absent digits contribute their
+   * full expected mass, so l1 is the true distance, not an
+   * observed-digits approximation.
+   *
+   * Shape: the first digit is a 17-branch integer CASE chain (no
+   * log10 — a float log at a decade boundary is exactly the kind of
+   * knife-edge the firewall rules exist for), one map-side-combinable
+   * (group, digit) agg, a groups × 9 generator grid, and windows over
+   * that tiny grid. Portability: counts exact; share/dev are fixed
+   * double sequences; the expected masses are [[BenfordP]] literals
+   * embedded identically on both sides; l1 sums 9-rounded devs through
+   * DECIMAL.
+   */
+  def benfordAudit(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    // 10^18 down to 10^1: v div the largest power of ten <= v
+    val fd = (18 to 1 by -1).foldRight(v) { (p, rest) =>
+      val pow = (1 to p).foldLeft(1L)((a, _) => a * 10) // exact integer 10^p
+      when(v >= pow, expr(s"CAST(`$valueCol` AS BIGINT) div ${pow}L"))
+        .otherwise(rest)
+    }
+    val counts = df
+      .where(v.isNotNull && v > 0)
+      .select(col(groupCol), fd.as("digit"))
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(1L), lit(9L))).as("digit"))
+    val p = (1 to 8).foldRight(lit(BenfordP(8)): Column) { (d, rest) =>
+      when(col("digit") === d, lit(BenfordP(d - 1))).otherwise(rest)
+    }
+    val wg = Window.partitionBy(col(groupCol))
+    val shareRaw = col("n").cast("double") / col("total").cast("double")
+    grid.join(counts.hint("shuffle_hash"), Seq(groupCol, "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total", sum(col("n")).over(wg))
+      .withColumn("benford_p", p)
+      .withColumn("__dev", abs(shareRaw - col("benford_p")))
+      .withColumn("share", round(shareRaw, 6))
+      .withColumn("dev", round(col("__dev"), 6))
+      .withColumn("l1",
+        round(sum(round(col("__dev"), 9).cast("decimal(28,9)")).over(wg)
+          .cast("double"), 6))
+      .drop("__dev")
+  }
+
+  /**
+   * P97 — χ² test of independence between two categorical columns: the
+   * contingency-cell frame with observed counts, expected counts under
+   * independence (row·col/N), per-cell contributions (o−e)²/e, and the
+   * table-level statistic + degrees of freedom repeated on every row —
+   * the drift/association audit a data pipeline runs between a feature
+   * and a label (or a source and a quality tier) before training.
+   *
+   * Shape: ONE map-side-combinable (a, b) count agg; margins and the
+   * statistic come from windows over the CELL frame (bounded by
+   * |A|·|B|, not rows), and the distinct-level counts for dof are one
+   * tiny agg broadcast back. Engine portability: o, margins and N are
+   * exact BIGINTs; e and each contribution are fixed double sequences on
+   * them; χ² sums the contributions ROUNDED AT 9 through DECIMAL (the
+   * libm-free cousin of the survival firewall — double summation order
+   * would otherwise differ). Null categories form their own level (SQL
+   * grouping semantics — conservative, like the privacy gates).
+   */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val wa = Window.partitionBy(col(aCol))
+    val wb = Window.partitionBy(col(bCol))
+    val wAll = Window.partitionBy()
+    val levels = cells.agg(
+      countDistinct(col(aCol)).as("__ra"), countDistinct(col(bCol)).as("__cb"))
+    val e = col("row_n").cast("double") * col("col_n").cast("double") /
+      col("n").cast("double")
+    cells
+      .withColumn("row_n", sum(col("o")).over(wa))
+      .withColumn("col_n", sum(col("o")).over(wb))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("expected", e)
+      .withColumn("__contrib",
+        round((col("o").cast("double") - col("expected")) *
+          (col("o").cast("double") - col("expected")) / col("expected"), 9))
+      .withColumn("chi2",
+        round(sum(col("__contrib").cast("decimal(28,9)")).over(wAll)
+          .cast("double"), 6))
+      .crossJoin(broadcast(levels))
+      .withColumn("dof", ((col("__ra") - 1) * (col("__cb") - 1)).cast("long"))
+      .withColumn("contrib", round(col("__contrib"), 6))
+      .withColumn("expected", round(col("expected"), 6))
+      .drop("__contrib", "__ra", "__cb")
+  }
+
+  /**
+   * P102 — Mann–Whitney U rank-sum test between two groups of a value
+   * column (normal approximation with tie correction): U from pooled
+   * average ranks, z = (U_A − n_A·n_B/2) / σ with
+   * σ² = (n_A·n_B/12)·((N+1) − Σ(t³−t)/(N(N−1))) — the distribution-
+   * free A/B comparison for skewed metrics (revenue, latency) where the
+   * t-test's normality assumption fails. Returns ONE row: (n_a, n_b,
+   * r_a, u_a, u_b, z); all-tied data (σ = 0) pins z null.
+   *
+   * Shape: pooled ranking is one global-order window (the o5 exact-
+   * statistic caveat: a rank TEST runs on a sample or a group slice, not
+   * the raw 100 TB — at that scale bucket the values first); average
+   * ranks are k or k.5 — exact in DECIMAL(28,1) — so the rank sum is
+   * order-independent; the tie term Σ(t³−t) is exact BIGINT (t ≤ N
+   * keeps t³ ≪ 2⁶² for any sane sample); the closing z is a fixed
+   * double sequence with one IEEE-exact sqrt, rounded at 6.
+   */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "mannWhitney: groups must differ")
+    val g = col(groupCol).cast("string")
+    val pool = df
+      .where((g === groupA || g === groupB) && col(valueCol).isNotNull)
+      .select(g.as("__g"), col(valueCol).as("__v"))
+    val w = Window.orderBy(col("__v").asc)
+    val tiesW = Window.partitionBy(col("__v"))
+    // doubled average rank 2·minrank + (t−1) stays an exact BIGINT, so
+    // the rank sum needs no decimal division (whose result type differs
+    // between engines); r_a halves it once, in one double op
+    val ranked = pool
+      .withColumn("__minr", rank().over(w).cast("long"))
+      .withColumn("__t", count(lit(1)).over(tiesW))
+      .withColumn("__avgr2",
+        lit(2L) * col("__minr") + col("__t") - lit(1L))
+    val ties = pool.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__tt"))
+      .agg(coalesce(sum(col("__tt") * col("__tt") * col("__tt") - col("__tt")),
+        lit(0L)).as("__tie3"))
+    val agg = ranked.agg(
+      sum(when(col("__g") === groupA, lit(1L)).otherwise(lit(0L))).as("n_a"),
+      sum(when(col("__g") === groupB, lit(1L)).otherwise(lit(0L))).as("n_b"),
+      (sum(when(col("__g") === groupA, col("__avgr2")).otherwise(lit(0L)))
+        .cast("double") / lit(2.0)).as("r_a"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    val ua = col("r_a") - (na * (na + lit(1.0)) / lit(2.0))
+    val sigma2 = (na * nb / lit(12.0)) *
+      ((nn + lit(1.0)) - col("__tie3").cast("double") /
+        (nn * (nn - lit(1.0))))
+    val sigma = sqrt(sigma2)
+    agg.crossJoin(broadcast(ties))
+      .withColumn("u_a", ua)
+      .withColumn("u_b", na * nb - ua)
+      .withColumn("z", when(sigma > 0,
+        round((col("u_a") - na * nb / lit(2.0)) / sigma, 6)))
+      .drop("__tie3")
+  }
+
   /**
    * P87 — MAD-based robust outliers (Iglewicz–Hoaglin modified z-score):
    * per group, m = median, MAD = median(|x − m|), z = 0.6745·(x − m)/MAD,

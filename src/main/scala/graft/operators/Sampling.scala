@@ -285,6 +285,45 @@ object Sampling {
   }
 
   /**
+   * P98 — deterministic negative sampling over an interaction table: for
+   * every distinct (user, item) positive, `k` pseudo-random candidate
+   * items drawn from the CONTIGUOUS id range [itemMin, itemMax] by the
+   * portable hash (draw j's candidate = hash(user|item|j) mod range),
+   * then candidates the user actually interacted with are anti-joined
+   * away — the contrastive-pair construction behind recommendation /
+   * embedding training, reproducible row-for-row across engines and
+   * re-runs (an RNG-based sampler is neither). Returns (user, item, j,
+   * neg_item); a draw that collides with ANY of the user's positives is
+   * dropped, not redrawn (callers wanting exactly k use a larger k and
+   * cap — redraw loops are unbounded and data-dependent).
+   *
+   * Shape: distinct + a k-way generator (narrow), then ONE anti-join
+   * keyed on (user, candidate) — the d9 bloom-antijoin family at scale.
+   * Non-contiguous id spaces need a dense-index join first (an extra
+   * keyed join, same shape).
+   */
+  def negativeSample(df: DataFrame, userCol: String, itemCol: String,
+      k: Int, itemMin: Long, itemMax: Long, salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"negativeSample: k must be >= 1, got $k")
+    require(itemMax >= itemMin,
+      s"negativeSample: empty item range [$itemMin, $itemMax]")
+    val n = itemMax - itemMin + 1
+    val pos = df.select(col(userCol).as("user"), col(itemCol).as("item"))
+      .where(col("user").isNotNull && col("item").isNotNull)
+      .distinct()
+    val key = concat_ws("|", col("user").cast("string"),
+      col("item").cast("string"), col("j").cast("string"))
+    val cands = pos
+      .select(col("user"), col("item"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("neg_item", pmod(hashValue(key, salt), lit(n)) + lit(itemMin))
+    cands.join(
+        pos.select(col("user"), col("item").as("neg_item")),
+        Seq("user", "neg_item"), "left_anti")
+      .select("user", "item", "j", "neg_item")
+  }
+
+  /**
    * P92 — exactly-balanced stratified K-fold assignment: every row gains
    * `fold` ∈ [0, k), with each stratum's rows dealt round-robin in
    * portable hash order — so within every stratum the fold sizes differ

@@ -640,6 +640,54 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w))
   }
 
+  /**
+   * P99 — query-likelihood retrieval with Dirichlet smoothing (Zhai &
+   * Lafferty): score(q, d) = Σ_t ln((tf + μ·p(t|C)) / (|d| + μ)) with
+   * p(t|C) = cf/|C| — the language-modeling ranking that complements
+   * [[bm25TopK]] (absent terms still contribute smoothed mass, so short
+   * docs aren't auto-ranked by tf alone). Query terms absent from the
+   * ENTIRE corpus are dropped (their ln 0 is undefined, and they shift
+   * every document equally). Returns the top-`k` (id, score, rank).
+   *
+   * Shape: token explode → per-(doc, term) tf and per-term collection
+   * frequency, the tiny term frame broadcast-cross-joined onto the
+   * doc-length frame (docs × |q| rows), one shuffle_hash left join for
+   * the tf, a keyed agg, TakeOrderedAndProject top-k. Portability: the
+   * one ln per (doc, term) rounds at 9 and sums in DECIMAL; scores
+   * round at 6 with the id tie-break (the t6 rank discipline).
+   */
+  def qldTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int,
+      mu: Double = 2000.0): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "qldTopK: query terms must be non-empty")
+    require(k >= 1, s"qldTopK: k must be >= 1, got $k")
+    require(mu > 0, s"qldTopK: mu must be > 0, got $mu")
+    val terms = queryTerms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("l"))
+    val dl = toks.select(col("id"), size(col("l")).cast("long").as("dl"))
+    val ctRow = toks.agg(sum(size(col("l")).cast("long"))).head()
+    val ct = if (ctRow.isNullAt(0)) 0L else ctRow.getLong(0)
+    require(ct > 0, "qldTopK: corpus has no tokens")
+    val hits = toks.select(col("id"), explode(col("l")).as("w"))
+      .where(col("w").isin(terms: _*))
+    val occ = hits.groupBy("w").agg(count(lit(1)).as("cf"))
+    val tf = hits.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val pc = col("cf").cast("double") / lit(ct.toDouble)
+    val termScore = round(log(
+      (coalesce(col("tf"), lit(0L)).cast("double") + lit(mu) * pc) /
+        (col("dl").cast("double") + lit(mu))), 9)
+    val scored = dl.crossJoin(broadcast(occ))
+      .join(tf.hint("shuffle_hash"), Seq("id", "w"), "left")
+      .groupBy("id")
+      .agg(round(sum(termScore.cast("decimal(38,18)")).cast("double"), 6)
+        .as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+  }
+
   def pmiPairs(docs: org.apache.spark.sql.DataFrame, textCol: String,
       minPairCount: Long): org.apache.spark.sql.DataFrame = {
     require(minPairCount >= 1,

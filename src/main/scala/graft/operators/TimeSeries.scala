@@ -193,6 +193,43 @@ object TimeSeries {
   }
 
   /**
+   * P100 — top-k frequent event paths: the most common length-`n`
+   * consecutive event-type sequences across all keys' (ts, tie)-ordered
+   * histories — the path-mining generalization of the P81 bigram
+   * transition matrix (n = 2 reproduces its counts), used for journey
+   * analysis and, in a training pipeline, trajectory-template discovery
+   * before sequence filtering. Returns (path_0..path_{n−1}, cnt, rank),
+   * the top `k` by count with the full path tuple as the deterministic
+   * tie-break.
+   *
+   * Shape: ONE keyed window shuffle for the n−1 leads (same partitioning
+   * as the sessionizer), a map-side-combinable path agg bounded by
+   * |types|ⁿ cells, and a TakeOrderedAndProject top-k — never a full
+   * sort. Sequences shorter than n at a key's tail contribute nothing
+   * (their leads are null).
+   */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"topPaths: n must be >= 2, got $n")
+    require(k >= 1, s"topPaths: k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val paths = (0 until n).map { i =>
+      val c = if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w)
+      c.as(s"path_$i")
+    }
+    val pathCols = (0 until n).map(i => col(s"path_$i"))
+    val scored = events.select(paths: _*)
+      .where(pathCols.map(_.isNotNull).reduce(_ && _))
+      .groupBy(pathCols: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc +: pathCols.map(_.asc): _*)
+      .limit(k)
+    val rankW = Window.orderBy(col("cnt").desc +: pathCols.map(_.asc): _*)
+    scored.withColumn("rank", row_number().over(rankW))
+  }
+
+  /**
    * P95 — Kaplan–Meier survival estimator per group: from one row per
    * subject (group, time-to-event, observed-flag), the product-limit
    * curve S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over the distinct OBSERVED event

@@ -204,6 +204,38 @@ object OlapQueries {
         .orderBy("l_suppkey")
     }),
 
+    // P102 — Mann-Whitney rank-sum comparison of returned vs non-
+    // returned line prices: pooled ranks with tie correction, one
+    // summary row; exact integer rank arithmetic end to end
+    "o15_mannwhitney" -> ((s, dir) => {
+      graft.operators.Features.mannWhitney(
+          table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", groupA = "R", groupB = "N")
+    }),
+
+    // P101 — Benford first-digit audit of order totals per priority:
+    // money converts to exact cents through DECIMAL, the first digit is
+    // an integer CASE chain (no float log at decade boundaries), the
+    // expected masses are shared literals
+    "o14_benford" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      graft.operators.Features.benfordAudit(o, "o_orderpriority", "cents")
+        .orderBy("o_orderpriority", "digit")
+    }),
+
+    // P97 — χ² independence audit between event type and value band:
+    // cell counts, margins and the statistic all replay from exact
+    // BIGINTs; contributions round at 9 and DECIMAL-sum into chi2
+    "o13_chisq" -> ((s, dir) => {
+      graft.operators.Features.chiSquare(
+          table(s, dir, "events").select(col("event_type"),
+            floor(col("value") / 50).cast("long").as("band")),
+          "event_type", "band")
+        .orderBy("event_type", "band")
+    }),
+
     // P93 — truncated adjusted EWMA over each user's event values,
     // α = 0.25, lookback 8: the weight ladder is embedded as literals on
     // BOTH sides (neither engine calls pow), the weighted sum is an
@@ -464,6 +496,128 @@ object OlapQueries {
         |  (l.l_extendedprice < b.blo OR l.l_extendedprice > b.bhi) AS clipped
         |FROM lineitem l JOIN bands b USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // doubled average ranks keep the rank sum in exact BIGINTs; the
+    // closing z mirrors the operator's parenthesization op for op
+    "o15_mannwhitney" ->
+      """WITH pool AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'N') AND l_extendedprice IS NOT NULL),
+        |ranked AS (
+        |  SELECT g, v,
+        |    CAST(rank() OVER (ORDER BY v) AS BIGINT) AS minr,
+        |    CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS t
+        |  FROM pool),
+        |ties AS (
+        |  SELECT CAST(coalesce(SUM(tt * tt * tt - tt), 0) AS BIGINT) AS tie3
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM pool GROUP BY v)),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN 2 * minr + t - 1 ELSE 0 END)
+        |         AS DOUBLE) / 2.0e0 AS r_a
+        |  FROM ranked),
+        |f AS (
+        |  SELECT n_a, n_b, r_a, tie3,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(n_a + n_b AS DOUBLE) AS nn
+        |  FROM a CROSS JOIN ties),
+        |g AS (
+        |  SELECT n_a, n_b, r_a, na, nb, nn, tie3,
+        |    r_a - (na * (na + 1.0e0) / 2.0e0) AS u_a
+        |  FROM f)
+        |SELECT n_a, n_b, r_a, u_a, na * nb - u_a AS u_b,
+        |  CASE WHEN sqrt((na * nb / 12.0e0) * ((nn + 1.0e0) -
+        |         CAST(tie3 AS DOUBLE) / (nn * (nn - 1.0e0)))) > 0
+        |       THEN round((u_a - na * nb / 2.0e0) /
+        |         sqrt((na * nb / 12.0e0) * ((nn + 1.0e0) -
+        |           CAST(tie3 AS DOUBLE) / (nn * (nn - 1.0e0)))), 6)
+        |  END AS z
+        |FROM g""".stripMargin,
+
+    // digit chain and Benford masses generated from the operator's own
+    // constants (Features.benfordPLiterals) so the sides cannot drift;
+    // densified grid, l1 = DECIMAL sum of 9-rounded deviations
+    "o14_benford" -> {
+      val ps = graft.operators.Features.benfordPLiterals
+      val pCase = (1 to 9)
+        .map(d => s"WHEN digit = $d THEN ${ps(d - 1)}").mkString(" ")
+      val fdCase = (18 to 1 by -1).map { p =>
+        val pow = (1 to p).foldLeft(1L)((a, _) => a * 10)
+        s"WHEN cents >= $pow THEN cents // $pow"
+      }.mkString("\n         ")
+      s"""WITH vals AS (
+         |  SELECT o_orderpriority,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |f AS (
+         |  SELECT o_orderpriority,
+         |    CASE $fdCase ELSE cents END AS digit
+         |  FROM vals WHERE cents > 0),
+         |counts AS (
+         |  SELECT o_orderpriority, digit, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM f GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT o_orderpriority, unnest(range(1, 10)) AS digit
+         |  FROM (SELECT DISTINCT o_orderpriority FROM counts)),
+         |g AS (
+         |  SELECT grid.o_orderpriority, grid.digit,
+         |    CAST(coalesce(counts.n, 0) AS BIGINT) AS n
+         |  FROM grid LEFT JOIN counts
+         |    ON counts.o_orderpriority = grid.o_orderpriority
+         |   AND counts.digit = grid.digit),
+         |t AS (
+         |  SELECT *,
+         |    CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total,
+         |    CASE $pCase END AS benford_p
+         |  FROM g),
+         |x AS (
+         |  SELECT *,
+         |    abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - benford_p) AS devr
+         |  FROM t)
+         |SELECT o_orderpriority, digit, n, total,
+         |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+         |  benford_p,
+         |  round(devr, 6) AS dev,
+         |  round(CAST(SUM(CAST(round(devr, 9) AS DECIMAL(28,9)))
+         |      OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6) AS l1
+         |FROM x ORDER BY o_orderpriority, digit""".stripMargin
+    },
+
+    // margins/N exact BIGINT windows over the cell frame; e and the
+    // contributions are the operator's double sequences; chi2 =
+    // DECIMAL-sum of 9-rounded contributions
+    "o13_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, band, o,
+        |    CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+        |    CAST(SUM(o) OVER (PARTITION BY band) AS BIGINT) AS col_n,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |x AS (
+        |  SELECT *, CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) /
+        |            CAST(n AS DOUBLE) AS e_raw
+        |  FROM m),
+        |c AS (
+        |  SELECT *, round((CAST(o AS DOUBLE) - e_raw) *
+        |                  (CAST(o AS DOUBLE) - e_raw) / e_raw, 9) AS contrib9
+        |  FROM x),
+        |lv AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ra,
+        |              CAST(COUNT(DISTINCT band) AS BIGINT) AS cb FROM cells)
+        |SELECT event_type, band, o, row_n, col_n, n,
+        |  round(e_raw, 6) AS expected,
+        |  round(CAST(SUM(CAST(contrib9 AS DECIMAL(28,9))) OVER () AS DOUBLE), 6)
+        |    AS chi2,
+        |  CAST((lv.ra - 1) * (lv.cb - 1) AS BIGINT) AS dof,
+        |  round(contrib9, 6) AS contrib
+        |FROM c CROSS JOIN lv
+        |ORDER BY event_type, band""".stripMargin,
 
     // the identical lag ladder, weight literals and left-to-right
     // term chain as TimeSeries.ewma (weights generated from the same

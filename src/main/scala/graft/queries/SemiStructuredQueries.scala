@@ -154,6 +154,15 @@ object SemiStructuredQueries {
         .orderBy("seg", "t")
     }),
 
+    // P100 — top-20 event-type trigram paths across user histories;
+    // the oracle replays the double lead, the path agg and the
+    // (cnt desc, path) tie-broken rank
+    "q12_paths" -> ((s, dir) => {
+      TimeSeries.topPaths(events(s, dir), "user_id", "ts", "event_id",
+          "event_type", n = 3, k = 20)
+        .orderBy("rank")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -262,6 +271,24 @@ object SemiStructuredQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
         |    AS survival
         |FROM e ORDER BY seg, t""".stripMargin,
+
+    "q12_paths" ->
+      """WITH g AS (
+        |  SELECT event_type AS path_0,
+        |    lead(event_type, 1) OVER w AS path_1,
+        |    lead(event_type, 2) OVER w AS path_2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT path_0, path_1, path_2, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM g
+        |  WHERE path_0 IS NOT NULL AND path_1 IS NOT NULL
+        |    AND path_2 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT path_0, path_1, path_2, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, path_0, path_1, path_2)
+        |       AS INT) AS rank
+        |FROM c ORDER BY cnt DESC, path_0, path_1, path_2 LIMIT 20""".stripMargin,
 
     "q9_transitions" ->
       """WITH pairs AS (

@@ -58,6 +58,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P98 — deterministic negative sampling over the customer–part
+    // interaction table (k = 3 draws per positive from the contiguous
+    // part-id range); the oracle replays every md5 draw and the
+    // NOT-EXISTS interaction filter
+    "sa12_negatives" -> ((s, dir) => {
+      val inter = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          Seq("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("it"))
+      val r = table(s, dir, "part")
+        .agg(min(col("p_partkey")), max(col("p_partkey"))).head
+      graft.operators.Sampling.negativeSample(inter, "cust", "it",
+          k = 3, itemMin = r.getLong(0), itemMax = r.getLong(1))
+        .select(col("user").as("u"), col("item").as("it"),
+          col("j"), col("neg_item"))
+        .orderBy("u", "it", "j")
+    }),
+
     // P92 — 5-fold assignment stratified by language: every lang's docs
     // dealt round-robin in portable hash order, so fold sizes within a
     // stratum differ by at most one; the oracle replays the hash rank
@@ -142,6 +162,17 @@ object TextQueries {
     // ranks tie-break on id (the t6 discipline)
     "iv2_bm25" -> ((s, dir) => {
       TextAnalysis.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "vector"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    }),
+
+    // P99 — Dirichlet query-likelihood ranking over the same query terms
+    // as iv2_bm25 (μ = 2000): absent terms contribute smoothed mass, so
+    // the two rankings legitimately differ; the oracle replays every
+    // (doc, term) ln through the 9-decimal firewall
+    "iv4_qld" -> ((s, dir) => {
+      TextAnalysis.qldTopK(table(s, dir, "documents"), "doc_id", "text",
           Seq("hash", "join", "vector"), k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy("rank")
@@ -553,6 +584,36 @@ object TextQueries {
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // p(t|C) parenthesized exactly as the operator (mu * (cf / ct) —
+    // (mu*cf)/ct would round differently); missing tf coalesces to 0
+    "iv4_qld" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM toks),
+        |ct AS (SELECT CAST(sum(len(l)) AS BIGINT) AS ct FROM toks),
+        |t AS (SELECT doc_id, unnest(l) AS w FROM toks),
+        |occ AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM t
+        |        WHERE w IN ('hash', 'join', 'vector') GROUP BY 1),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dl.doc_id,
+        |    round(ln((CAST(coalesce(tf.tf, 0) AS DOUBLE) +
+        |              2000.0e0 * (CAST(occ.cf AS DOUBLE) / CAST(ct.ct AS DOUBLE))) /
+        |             (CAST(dl.dl AS DOUBLE) + 2000.0e0)), 9) AS s
+        |  FROM dl CROSS JOIN occ CROSS JOIN ct
+        |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = occ.w),
+        |agg AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     // df/occ from the full counts; postings = the 5 lowest doc ids per
     // token, joined with '|' exactly like the Spark side
     "iv1_inverted" ->
@@ -824,6 +885,33 @@ object TextQueries {
 
     // same 56-bit-MD5 fold as the d6 simhash oracle; bucket bounds 8000 /
     // 9000 are the rounded cumulative weights
+    // md5 draw = the pv2 salt||concat_ws idiom; range arithmetic all
+    // BIGINT; candidate collisions with ANY of the user's positives
+    // are anti-joined away on both sides
+    "sa12_negatives" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |rng AS (SELECT CAST(MIN(p_partkey) AS BIGINT) AS lo,
+        |               CAST(MAX(p_partkey) AS BIGINT) AS hi FROM part),
+        |c AS (SELECT u, it, unnest(range(0, 3)) AS j FROM pos),
+        |h AS (
+        |  SELECT u, it, j,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('neg' ||
+        |          concat_ws('|', CAST(u AS VARCHAR), CAST(it AS VARCHAR),
+        |                    CAST(j AS VARCHAR))), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM c),
+        |n AS (
+        |  SELECT h.u, h.it, h.j, hv % (rng.hi - rng.lo + 1) + rng.lo AS neg_item
+        |  FROM h CROSS JOIN rng)
+        |SELECT u, it, j, neg_item
+        |FROM n
+        |WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                  WHERE p.u = n.u AND p.it = n.neg_item)
+        |ORDER BY u, it, j""".stripMargin,
+
     "sa11_kfold" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

@@ -56,6 +56,84 @@ class FeaturesSpec extends SparkSpec {
       Features.winsorize(a.toDF("k", "id", "x"), "k", "x", 0.9, 0.1))
   }
 
+  test("mannWhitney: textbook U with ties; degenerate data pins z null") {
+    // A = {1, 2, 2}, B = {2, 3}: pooled avg ranks 1, 3, 3, 3, 5
+    // R_A = 7, U_A = 7 - 3*4/2 = 1, U_B = 3*2 - 1 = 5
+    // ties: value 2 has t = 3 -> tie3 = 24; N = 5
+    // sigma^2 = (6/12) * (6 - 24/20) = 2.4, z = (1 - 3)/sqrt(2.4)
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("A", 2.0), ("B", 2.0), ("B", 3.0))
+      .toDF("g", "v")
+    val r = Features.mannWhitney(rows, "g", "v", "A", "B").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0)
+    val expZ = BigDecimal(-2.0 / math.sqrt(2.4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == expZ)
+    // identical samples -> U = n^2/2, z = 0
+    val same = Seq(("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val r2 = Features.mannWhitney(same, "g", "v", "A", "B").collect().head
+    assert(r2.isNullAt(5)) // all tied: sigma = 0
+    intercept[IllegalArgumentException](
+      Features.mannWhitney(rows, "g", "v", "A", "A"))
+  }
+
+  test("benfordAudit: exact digits, densified grid, l1 with absent-digit mass") {
+    // group a: 1..99 -> every first digit appears exactly 11 times;
+    // group b: constant 5 -> digit 5 holds all mass, the other 8 rows
+    // come from densification with n = 0
+    val rows = ((1L to 99L).map(v => ("a", v)) ++ Seq(("b", 5L), ("b", 5L)) ++
+      Seq(("a", 0L), ("a", -3L))).toDF("g", "v") // non-positive dropped
+    // columns: g, digit, n, total, benford_p, share, dev, l1
+    val got = Features.benfordAudit(rows, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(7)))).toMap
+    assert(got.size == 18)
+    for (d <- 1L to 9L) {
+      val (n, total, p, share, _) = got(("a", d))
+      assert(n == 11L && total == 99L && p == Features.BenfordP(d.toInt - 1))
+      assert(share == BigDecimal(11.0 / 99.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got(("b", 5L))._1 == 2L && got(("b", 5L))._2 == 2L)
+    assert(got(("b", 1L))._1 == 0L)
+    // l1(b) = (1 - p5) + sum of the other digits' expected masses
+    val p5 = Features.BenfordP(4)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expectedL1 = ((1 to 9).map(d =>
+      if (d == 5) r9(1.0 - p5) else r9(Features.BenfordP(d - 1)))
+      .sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("b", 5L))._5 == expectedL1)
+    // multi-digit magnitudes strip to the leading digit
+    val wide = Seq(("c", 123456789L), ("c", 900000000000000000L))
+      .toDF("g", "v")
+    val digs = Features.benfordAudit(wide, "g", "v")
+      .where(col("n") > 0).collect().map(_.getLong(1)).sorted.toSeq
+    assert(digs == Seq(1L, 9L))
+  }
+
+  test("chiSquare: textbook 2x2 contingency table") {
+    // observed: (a,1)=10 (a,2)=20 (b,1)=20 (b,2)=10 → e = 15 everywhere,
+    // contrib = 25/15 each, chi2 = 4 * 1.666666667 = 6.666667, dof = 1
+    val rows = (Seq.fill(10)(("a", 1)) ++ Seq.fill(20)(("a", 2)) ++
+      Seq.fill(20)(("b", 1)) ++ Seq.fill(10)(("b", 2))).toDF("k", "v")
+    val got = Features.chiSquare(rows, "k", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getLong(8), r.getDouble(9))))
+      .toMap
+    assert(got.size == 4)
+    val cell = got(("a", 1))
+    assert(cell == ((10L, 30L, 30L, 60L, 15.0, 6.666667, 1L, 1.666667)))
+    assert(got.values.forall(c => c._6 == 6.666667 && c._7 == 1L))
+    // a uniform table has zero statistic
+    val flat = (Seq.fill(5)(("a", 1)) ++ Seq.fill(5)(("a", 2)) ++
+      Seq.fill(5)(("b", 1)) ++ Seq.fill(5)(("b", 2))).toDF("k", "v")
+    assert(Features.chiSquare(flat, "k", "v").collect()
+      .forall(r => r.getDouble(7) == 0.0))
+  }
+
   test("olsFit recovers exact lines and nulls out degenerate groups") {
     val df = Seq(
       // a: perfect line y = 2x - 1

@@ -195,6 +195,31 @@ class SamplingSpec extends SparkSpec {
       Sampling.kFold(rows.withColumn("fold", lit(1)), "s", "id", 3))
   }
 
+  test("negativeSample: deterministic draws, interaction filter, id range") {
+    val inter = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 3L))
+      .toDF("u", "it")
+    val out = Sampling.negativeSample(inter, "u", "it",
+        k = 8, itemMin = 1L, itemMax = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // draws land in the id range, never on one of the user's positives
+    assert(out.nonEmpty)
+    assert(out.forall(t => t._4 >= 1L && t._4 <= 3L))
+    assert(out.filter(_._1 == 1L).forall(t => t._4 == 3L))
+    assert(out.filter(_._1 == 2L).forall(t => t._4 != 3L))
+    assert(out.forall(t => t._3 >= 0 && t._3 < 8))
+    // duplicate interactions collapse: at most k rows per (u, it)
+    assert(out.groupBy(t => (t._1, t._2)).values.forall(_.size <= 8))
+    // partitioning-independent
+    val again = Sampling.negativeSample(inter.repartition(5), "u", "it",
+        k = 8, itemMin = 1L, itemMax = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+    intercept[IllegalArgumentException](
+      Sampling.negativeSample(inter, "u", "it", 0, 1L, 3L))
+    intercept[IllegalArgumentException](
+      Sampling.negativeSample(inter, "u", "it", 2, 5L, 3L))
+  }
+
   test("mixCorpus hits the target mix exactly, bound by the scarcest domain") {
     // availability: web 100, books 20, code 60; weights 1/2, 1/4, 1/4 →
     // N bound by books: min(200, 80, 240) = 80 → quotas 40 / 20 / 15? no:

@@ -425,4 +425,31 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.phraseCount(docs, "doc_id", "text", Seq("two words")))
   }
+
+  test("qldTopK scores by smoothed log-likelihood; corpus-absent terms drop") {
+    import spark.implicits._
+    // ct = 5, cf(a) = 2 -> p(a|C) = 0.4; mu = 1:
+    //   d1 (tf 2, dl 3): ln(2.4/4)   = ln 0.6      -> -0.510826
+    //   d2 (tf 0, dl 2): ln(0.4/3)                  -> -2.014903
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.qldTopK(docs, "doc_id", "text", Seq("a"), k = 10,
+        mu = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, -0.510826, 1), (2L, -2.014903, 2)))
+    // a term absent from the whole corpus changes nothing (it is dropped,
+    // not scored as ln 0)
+    val withGhost = TextAnalysis.qldTopK(docs, "doc_id", "text",
+        Seq("a", "zzz"), k = 10, mu = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(withGhost.toSeq == got.toSeq)
+    // absent-term smoothing still ranks docs with NO query term at all
+    val got2 = TextAnalysis.qldTopK(docs, "doc_id", "text", Seq("c"), k = 10,
+        mu = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got2 == Map(2L -> 1, 1L -> 2))
+    intercept[IllegalArgumentException](
+      TextAnalysis.qldTopK(docs, "doc_id", "text", Nil, 5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.qldTopK(docs, "doc_id", "text", Seq("a"), 5, mu = 0.0))
+  }
 }

@@ -100,6 +100,29 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.funnel(ev, "user_id", "t", "typ", Seq("a", "a")))
   }
 
+  test("topPaths mines frequent n-grams per key order, ranked with ties broken") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "A"), (1L, ts(2), 2L, "B"), (1L, ts(3), 3L, "A"),
+      (1L, ts(4), 4L, "B"),
+      (2L, ts(1), 5L, "A"), (2L, ts(2), 6L, "B"), (2L, ts(3), 7L, "A"))
+      .toDF("user_id", "t", "event_id", "event_type")
+    val tri = TimeSeries.topPaths(ev, "user_id", "t", "event_id",
+        "event_type", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    assert(tri.toSeq == Seq(("A", "B", "A", 2L, 1), ("B", "A", "B", 1L, 2)))
+    // n = 2 reproduces the transition-matrix counts
+    val bi = TimeSeries.topPaths(ev, "user_id", "t", "event_id",
+        "event_type", n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi == Map(("A", "B") -> 3L, ("B", "A") -> 2L))
+    // k truncates after the (cnt desc, path) order
+    assert(TimeSeries.topPaths(ev, "user_id", "t", "event_id",
+      "event_type", n = 3, k = 1).collect().map(_.getInt(4)).toSeq == Seq(1))
+    intercept[IllegalArgumentException](
+      TimeSeries.topPaths(ev, "user_id", "t", "event_id", "event_type", 1, 5))
+  }
+
   test("kaplanMeier: textbook product limit with censoring and risk sets") {
     // classic example: times 1,2*,3,4,5* (starred censored), n=5:
     //   t=1: n=5, d=1 -> S = 4/5 = 0.8
