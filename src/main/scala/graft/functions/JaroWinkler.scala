@@ -44,7 +44,13 @@ object JaroWinkler {
       i += 1
     }
     val m = matches.toDouble
-    (m / len1 + m / len2 + (m - transpositions / 2.0) / m) / 3.0
+    // transpositions halve by INTEGER division (floor): the textbook "half
+    // the out-of-order matches" as DuckDB, rapidfuzz and classic Winkler
+    // implement it. Keeping the fraction (x/2.0) scores odd counts lower
+    // by 1/(6m) and broke oracle parity the first time a q-gram candidate
+    // pair had 3 out-of-order matches (f5; SNM pairs never hit an odd
+    // count because adjacent sorted names differ by substitution only).
+    (m / len1 + m / len2 + (m - transpositions / 2) / m) / 3.0
   }
 
   /** Standard Winkler modification: prefix bonus up to 4 chars, p=0.1. */

@@ -69,4 +69,55 @@ object Linkage {
         col("key_a"), col("skey").as("key_b"),
         round(jaroWinkler(col("key_a"), col("skey")), 6).as("jw"))
   }
+
+  /**
+   * P103 — q-gram blocking (Gravano et al.): candidate pairs are rows
+   * sharing at least one RARE q-gram of the normalized key, verified by
+   * Jaro–Winkler ≥ `minJw` — the second classic blocking scheme beside
+   * [[sortedNeighborhood]], catching matches that sort far apart (SNM's
+   * blind spot: a typo in the first character). Emits (id_a, id_b,
+   * key_a, key_b, jw), id_a < id_b, each pair once.
+   *
+   * The `maxGramFreq` cap is the scale guard: a stop-gram shared by
+   * millions of rows would turn the bucket self-join quadratic (the LSH
+   * band-size discipline); capped grams bound candidates by
+   * Σ f·(f−1)/2 over rare grams. Recall caveat, documented not hidden:
+   * a pair whose EVERY shared gram is frequent is missed — multi-pass
+   * with different q / key normalizations is the standard mitigation.
+   * Shape: gram explode (narrow) → gram-frequency agg + filter →
+   * bucket self-join on the gram key → distinct pairs → one keyed join
+   * back for keys + the compiled JW kernel. Keys shorter than q form
+   * one whole-string gram.
+   */
+  def qgramBlocking(df: DataFrame, idCol: String, keyCol: String, q: Int,
+      maxGramFreq: Long, minJw: Double): DataFrame = {
+    require(q >= 2, s"qgramBlocking: q must be >= 2, got $q")
+    require(maxGramFreq >= 2,
+      s"qgramBlocking: maxGramFreq must be >= 2, got $maxGramFreq")
+    require(minJw >= 0.0 && minJw <= 1.0,
+      s"qgramBlocking: minJw must be in [0, 1], got $minJw")
+    val base = df.select(col(idCol).as("id"),
+        lower(trim(col(keyCol))).as("key"))
+      .where(col("id").isNotNull && col("key").isNotNull && col("key") =!= "")
+    val grams = base.select(col("id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, greatest(length(key) - $q, 0)), " +
+            s"i -> substring(key, i + 1, $q))"))).as("gram"))
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("__f"))
+      .where(col("__f") <= maxGramFreq)
+      .select("gram")
+    val blocked = grams.join(rare.hint("shuffle_hash"), Seq("gram"))
+    val pairs = blocked.select(col("gram"), col("id").as("id_a"))
+      .join(blocked.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("key").as("key_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("key").as("key_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("jw", round(jaroWinkler(col("key_a"), col("key_b")), 6))
+      .where(col("jw") >= minJw)
+      .select("id_a", "id_b", "key_a", "key_b", "jw")
+  }
 }

@@ -43,6 +43,17 @@ object MappingQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // P103 — q-gram blocking over customer names: rare-gram buckets
+    // (freq <= 20) generate 7.4k candidates, JW >= 0.98 keeps ~100 true
+    // near-matches; the oracle replays grams, the cap, the bucket join
+    // and DuckDB's own jaro_winkler (the kernel's reference algorithm)
+    "f5_qgram" -> ((s, dir) => {
+      graft.operators.Linkage.qgramBlocking(
+          table(s, dir, "customer"), "c_custkey", "c_name",
+          q = 4, maxGramFreq = 20L, minJw = 0.98)
+        .orderBy("id_a", "id_b")
+    }),
+
     // F3/F4 — scorer + greedy 1:1 assignment over an SDTM-ish renamed frame;
     // JW math is driver-side (rows-only check here, exact cases in ScalaTest)
     "f3_suggest" -> ((s, dir) => {
@@ -115,6 +126,30 @@ object MappingQueries {
         |  round(jaro_winkler_similarity(a.skey, b.skey), 6) AS jw
         |FROM r a JOIN r b
         |  ON a.block = b.block AND b.rnk - a.rnk BETWEEN 1 AND 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "f5_qgram" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, lower(trim(c_name)) AS key
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |    AND lower(trim(c_name)) <> ''),
+        |grams AS (
+        |  SELECT id, unnest(list_distinct(
+        |    [substr(key, i + 1, 4)
+        |     FOR i IN range(0, greatest(len(key) - 4, 0) + 1)])) AS gram
+        |  FROM base),
+        |rare AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) <= 20),
+        |blocked AS (SELECT g.gram, g.id FROM grams g JOIN rare USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM blocked a JOIN blocked b ON a.gram = b.gram AND a.id < b.id)
+        |SELECT p.id_a, p.id_b, x.key AS key_a, y.key AS key_b,
+        |  round(jaro_winkler_similarity(x.key, y.key), 6) AS jw
+        |FROM pairs p
+        |JOIN base x ON x.id = p.id_a
+        |JOIN base y ON y.id = p.id_b
+        |WHERE round(jaro_winkler_similarity(x.key, y.key), 6) >= 0.98e0
         |ORDER BY id_a, id_b""".stripMargin,
 
     "f3_suggest" ->

@@ -45,4 +45,31 @@ class LinkageSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Linkage.sortedNeighborhood(df, "id", "name", "seg", 1))
   }
+
+  test("qgramBlocking: rare-gram candidates, frequency cap, JW verify") {
+    val df = Seq(
+      (1L, "jonathan smith"), (2L, "jonathan smyth"),   // near-match
+      (3L, "martha jones"), (4L, "zzzz")                // unrelated
+    ).toDF("id", "name")
+    val got = Linkage.qgramBlocking(df, "id", "name", q = 4,
+        maxGramFreq = 3L, minJw = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+    assert(got.head._3 > 0.9 && got.head._3 < 1.0)
+    // a stop-gram shared by everyone generates no candidates once capped:
+    // three rows sharing only the frequent prefix pair up only via rare tails
+    val stop = Seq((1L, "aaaa1"), (2L, "aaaa2"), (3L, "aaaa3"))
+      .toDF("id", "name")
+    assert(Linkage.qgramBlocking(stop, "id", "name", 4, 2L, 0.0).count() == 0)
+    // raising the cap re-admits the shared gram -> all three pairs
+    assert(Linkage.qgramBlocking(stop, "id", "name", 4, 3L, 0.0).count() == 3)
+    // keys shorter than q match on the whole-string gram
+    val short = Seq((1L, "ab"), (2L, "ab"), (3L, "cd")).toDF("id", "name")
+    val sp = Linkage.qgramBlocking(short, "id", "name", 4, 5L, 0.0).collect()
+    assert(sp.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Linkage.qgramBlocking(df, "id", "name", 1, 5L, 0.5))
+    intercept[IllegalArgumentException](
+      Linkage.qgramBlocking(df, "id", "name", 3, 5L, 1.5))
+  }
 }
