@@ -204,6 +204,19 @@ object OlapQueries {
         .orderBy("l_suppkey")
     }),
 
+    // P104 — snapshot drift report between the even and odd halves of
+    // the event stream: per-column null-rate delta, cardinality ratio,
+    // mean shift; each side's profile is ONE aggregation pass
+    "dq1_drift" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val a = e.where(pmod(col("event_id"), lit(2)) === 0)
+      val b = e.where(pmod(col("event_id"), lit(2)) === 1)
+      graft.operators.Profiling.driftReport(a, b,
+          Seq("user_id", "event_type", "value"))
+        .orderBy("column")
+    }),
+
     // P102 — Mann-Whitney rank-sum comparison of returned vs non-
     // returned line prices: pooled ranks with tie correction, one
     // summary row; exact integer rank arithmetic end to end
@@ -496,6 +509,52 @@ object OlapQueries {
         |  (l.l_extendedprice < b.blo OR l.l_extendedprice > b.bhi) AS clipped
         |FROM lineitem l JOIN bands b USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // profile branches generated per (column, side) from one helper so
+    // the six branches cannot drift; numeric stats mirror the operator's
+    // round/decimal ops, string columns carry null numeric stats
+    "dq1_drift" -> {
+      def branch(c: String, isNum: Boolean, side: Int): String = {
+        val numStats = if (isNum)
+          s"""round(CAST(MIN($c) AS DOUBLE), 6) AS min_v,
+             |    round(CAST(MAX($c) AS DOUBLE), 6) AS max_v,
+             |    round(CAST(SUM(CAST($c AS DECIMAL(38,12))) AS DOUBLE) /
+             |          CAST(COUNT($c) AS DOUBLE), 6) AS mean_v""".stripMargin
+        else
+          "CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, " +
+            "CAST(NULL AS DOUBLE) AS mean_v"
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_null,
+           |    CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |    $numStats
+           |  FROM events WHERE event_id % 2 = $side""".stripMargin
+      }
+      def side(s: Int): String = Seq(
+        branch("user_id", isNum = true, s),
+        branch("event_type", isNum = false, s),
+        branch("value", isNum = true, s)).mkString("\n  UNION ALL\n  ")
+      s"""WITH pa AS (
+         |  ${side(0)}),
+         |pb AS (
+         |  ${side(1)})
+         |SELECT pa."column",
+         |  pa.n_rows AS n_rows_a, pa.n_null AS n_null_a,
+         |  pa.n_distinct AS n_distinct_a, pa."min_v" AS min_v_a,
+         |  pa."max_v" AS max_v_a, pa."mean_v" AS mean_v_a,
+         |  pb.n_rows AS n_rows_b, pb.n_null AS n_null_b,
+         |  pb.n_distinct AS n_distinct_b, pb."min_v" AS min_v_b,
+         |  pb."max_v" AS max_v_b, pb."mean_v" AS mean_v_b,
+         |  round(abs(CAST(pa.n_null AS DOUBLE) / CAST(pa.n_rows AS DOUBLE) -
+         |            CAST(pb.n_null AS DOUBLE) / CAST(pb.n_rows AS DOUBLE)), 6)
+         |    AS d_null_rate,
+         |  CASE WHEN pa.n_distinct > 0
+         |       THEN round(CAST(pb.n_distinct AS DOUBLE) /
+         |                  CAST(pa.n_distinct AS DOUBLE), 6) END AS r_distinct,
+         |  round(abs(pa."mean_v" - pb."mean_v"), 6) AS d_mean
+         |FROM pa JOIN pb ON pb."column" = pa."column"
+         |ORDER BY pa."column"""".stripMargin
+    },
 
     // doubled average ranks keep the rank sum in exact BIGINTs; the
     // closing z mirrors the operator's parenthesization op for op
