@@ -458,4 +458,34 @@ object Similarity {
     import spark.implicits._
     out.toDF("query_id", "id", "qs", "rank")
   }
+
+  /**
+   * P105 — recall@k ranking evaluation: given a ground-truth result set
+   * and an approximate one (both (query, id) frames, e.g.
+   * [[bruteForceTopK]] vs [[ivfTopK]]), the per-query overlap fraction
+   * |truth ∩ approx| / k — the quality audit every ANN deployment runs
+   * before trading exactness for speed, as an engine operator instead
+   * of a notebook. Queries whose approximate set misses everything
+   * still appear (recall 0) — the query universe comes from the TRUTH
+   * side, so an empty approximate result can never silently inflate
+   * the average.
+   *
+   * Shape: one (query, id)-keyed join for the intersection, a keyed
+   * count, and a left join back onto the distinct query list — all
+   * equi-joins, any corpus size. Exact integer counts; recall is one
+   * double division rounded at 6.
+   */
+  def recallAtK(truth: DataFrame, approx: DataFrame, queryCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
+    val t = truth.select(col(queryCol).as("query_id"), col(idCol).as("id"))
+    val a = approx.select(col(queryCol).as("query_id"), col(idCol).as("id"))
+    val qs = t.select("query_id").distinct()
+    val m = t.join(a.hint("shuffle_hash"), Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_match"))
+    qs.join(m.hint("shuffle_hash"), Seq("query_id"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .withColumn("recall",
+        round(col("n_match").cast("double") / lit(k.toDouble), 6))
+  }
 }

@@ -124,6 +124,24 @@ object SimilarityQueries {
         .orderBy("vec_id", "pos")
     }),
 
+    // P105 — recall@5 of the IVF index against brute-force ground truth
+    // for the same 10 query vectors: both rankings replay bit-exactly
+    // (sim1/sim2), so the intersection counts are deterministic; this
+    // corpus's 4-probe IVF recalls everything (recall 1.0 per query) —
+    // the oracle proves THAT, not a trivial equality
+    "sim9_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(e, queries, "vec_id", "v", k = 5)
+      val centroids = e.where(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("centroid_id"), col("v"))
+      val indexed = Similarity.ivfAssign(e, centroids, "vec_id", "v")
+      val approx = Similarity.ivfTopK(indexed, centroids, queries,
+        "vec_id", "v", k = 5, nProbe = 4)
+      Similarity.recallAtK(truth, approx, "query_id", "id", k = 5)
+        .orderBy("query_id")
+    }),
+
     // IVF with centroid sample + 4 probes — "approximate" relative to exact
     // kNN, but fully DETERMINISTIC given the data: assignment, probing, and
     // ranking are pure double arithmetic in a fixed order, so the oracle
@@ -358,6 +376,62 @@ object SimilarityQueries {
     // Spark side, list_reduce(list_prepend(0.0, …)) here — so the IEEE
     // doubles are identical, argmax routing and ranks agree exactly, and
     // the rounded cosines hash-match (verified at sf0.01 and sf0.1).
+    // both rankings replayed verbatim from the sim1/sim2 oracles, then
+    // intersected; the query universe comes from the truth side
+    "sim9_recall" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |bs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         list_cosine_similarity(c.v, q.v) AS cos
+        |  FROM e c JOIN e q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |bt AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT query_id, id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY cos DESC, id ASC) AS rank
+        |    FROM bs) WHERE rank <= 5),
+        |norm AS (SELECT vec_id,
+        |    CASE WHEN sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN v]), (a,b) -> a+b)) > 0
+        |         THEN [x / sqrt(list_reduce(list_prepend(0.0, [y*y FOR y IN v]), (a,b) -> a+b)) FOR x IN v]
+        |         ELSE [0.0 FOR x IN v] END AS v
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM norm WHERE vec_id % 31 = 0),
+        |assign AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT n.vec_id, n.v, c.centroid_id,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY list_reduce(list_prepend(0.0, [n.v[i] * c.cv[i] FOR i IN range(1, len(n.v)+1)]), (a,b) -> a+b) DESC,
+        |             c.centroid_id ASC) AS rn
+        |    FROM norm n CROSS JOIN cents c) WHERE rn = 1),
+        |queries AS (SELECT vec_id AS query_id, v AS qv FROM norm WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT q.query_id, q.qv, c.centroid_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_reduce(list_prepend(0.0, [q.qv[i] * c.cv[i] FOR i IN range(1, len(q.qv)+1)]), (a,b) -> a+b) DESC,
+        |             c.centroid_id ASC) AS rn
+        |    FROM queries q CROSS JOIN cents c) WHERE rn <= 4),
+        |sc2 AS (
+        |  SELECT p.query_id, a.vec_id AS id,
+        |         list_reduce(list_prepend(0.0, [a.v[i] * p.qv[i] FOR i IN range(1, len(a.v)+1)]), (a2,b2) -> a2+b2) AS cos
+        |  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+        |  WHERE p.query_id <> a.vec_id),
+        |ai AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT query_id, id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY cos DESC, id ASC) AS rank
+        |    FROM sc2) WHERE rank <= 5),
+        |m AS (
+        |  SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+        |  FROM bt JOIN ai ON ai.query_id = bt.query_id AND ai.id = bt.id
+        |  GROUP BY 1),
+        |qs AS (SELECT DISTINCT query_id FROM bt)
+        |SELECT qs.query_id, CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match,
+        |  round(CAST(coalesce(m.n_match, 0) AS DOUBLE) / 5.0e0, 6) AS recall
+        |FROM qs LEFT JOIN m ON m.query_id = qs.query_id
+        |ORDER BY qs.query_id""".stripMargin,
+
     "sim2_ivf_topk" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
         |norm AS (SELECT vec_id,

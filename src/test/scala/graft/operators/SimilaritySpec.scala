@@ -309,4 +309,21 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id").distinct().collect().map(_.getLong(0)).toSeq
     assert(qids == Seq(3L))
   }
+
+  test("recallAtK: per-query overlap, zero-recall queries still appear") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L),
+      (3L, 31L)).toDF("q", "i")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 98L),
+      (3L, 99L)).toDF("q", "i")
+    val got = Similarity.recallAtK(truth, approx, "q", "i", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 1.0)), 2L -> ((1L, 0.5)), 3L -> ((0L, 0.0))))
+    // extra approximate rows beyond truth's queries never create rows
+    val extra = approx.union(Seq((9L, 1L)).toDF("q", "i"))
+    assert(Similarity.recallAtK(truth, extra, "q", "i", 2).count() == 3)
+    intercept[IllegalArgumentException](
+      Similarity.recallAtK(truth, approx, "q", "i", 0))
+  }
 }
