@@ -245,6 +245,42 @@ object DedupQueries {
     // green oracle; this query proves they COMPOSE deterministically —
     // the oracle replays all four stages in sequence and must agree on
     // every surviving (doc_id, n_tokens, split) row
+    // P106 — incremental-ingest curation: a synthetic incoming batch
+    // (exact recrawls + truncated fetches + genuinely-new augmented
+    // docs) deduped AGAINST the existing corpus (cross-corpus LSH, the
+    // d16 machinery — the full union is never re-deduplicated), then
+    // quality-gated, then capped per language in portable hash order.
+    // Attrition by construction: recrawls die at dedup (jaccard 1),
+    // truncations die at quality (12 tokens < 30), augmented docs
+    // (8 unique suffix tokens push jaccard ≈ 0.76 < 0.9) reach the cap.
+    // The oracle replays all four stages sequentially, with the dedup
+    // stage as the exact all-pairs computation (the LSH identity proof).
+    "pipe2_incremental" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val aug = (0 until 8).map(i =>
+        concat(lit(s"zz$i"), col("doc_id").cast("string")))
+      val batch = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"))
+        .union(d.where(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
+              .as("text"),
+            col("lang")))
+        .union(d.where(col("doc_id") % 7 === 5)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat_ws(" ", col("text") +: aug: _*).as("text"), col("lang")))
+      val dups = Dedup.crossCorpusNearDups(batch, d, "doc_id", "text",
+        threshold = 0.9)
+      val survivors = batch.join(
+        dups.select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val quality = survivors
+        .where(graft.operators.TextAnalysis.tokenCount(col("text")) >= 30)
+      graft.operators.Sampling.cappedPerKey(
+          quality.select("doc_id", "lang"), "lang", "doc_id", maxPerKey = 20)
+        .orderBy("doc_id")
+    }),
+
     "pipe1_curation" -> ((s, dir) => {
       val corpus = dupedDocs(s, dir)
       val probes = table(s, dir, "documents").where(col("doc_id") % 97 === 0)
@@ -425,6 +461,67 @@ object DedupQueries {
 
     // exact all-pairs Jaccard between the constructed recrawl batch and
     // the corpus — the d5 identity argument, cross-corpus edition
+    // four stages replayed sequentially; dedup = exact all-pairs jaccard
+    // (the d16 identity proof), cap = the sa2 md5-rank idiom. NOTE this
+    // string is s-INTERPOLATED: \\s+ here reaches DuckDB as \s+ (the
+    // iv3 escape lesson)
+    "pipe2_incremental" -> {
+      val augSql = (0 until 8)
+        .map(i => s"'zz$i' || CAST(doc_id AS VARCHAR)").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text, lang FROM d
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    array_to_string(list_slice(list_filter(
+         |      string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''),
+         |      1, 12), ' '),
+         |    lang
+         |  FROM d WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, concat_ws(' ', text, $augSql), lang
+         |  FROM d WHERE doc_id % 7 = 5),
+         |btok AS (SELECT DISTINCT doc_id AS new_id, t AS token FROM (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS t
+         |  FROM batch)),
+         |rtok AS (SELECT DISTINCT doc_id AS ref_id, token FROM (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS token
+         |  FROM d)),
+         |bsz AS (SELECT new_id, COUNT(*) AS sz FROM btok GROUP BY 1),
+         |rsz AS (SELECT ref_id, COUNT(*) AS sz FROM rtok GROUP BY 1),
+         |pairs AS (
+         |  SELECT n.new_id, r.ref_id, COUNT(*) AS inter
+         |  FROM btok n JOIN rtok r ON n.token = r.token
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT p.new_id
+         |  FROM pairs p JOIN bsz a ON a.new_id = p.new_id
+         |               JOIN rsz b ON b.ref_id = p.ref_id
+         |  WHERE CAST(inter AS DOUBLE) / (a.sz + b.sz - inter) >= 0.9e0),
+         |surv AS (SELECT * FROM batch
+         |         WHERE doc_id NOT IN (SELECT new_id FROM dups)),
+         |qual AS (
+         |  SELECT doc_id, lang FROM surv
+         |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                        x -> x <> '')) >= 30),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+         |                 FOR c IN string_split(substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) AS hv
+         |  FROM qual),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |                       ORDER BY hv ASC, doc_id ASC) AS rn
+         |  FROM h)
+         |SELECT doc_id, lang FROM ranked WHERE rn <= 20
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "d16_cross_dedup" ->
       """WITH newb AS (
         |  SELECT doc_id + 1000000 AS new_id,
