@@ -484,21 +484,24 @@ object Dedup {
     def buckets(t: DataFrame) =
       lshBuckets(minhashSignatures(t, numHashes, seed), rowsPerBand, numHashes)
     val cands = buckets(newToks).as("a")
-      .join(buckets(refToks).as("b"),
+      // post-shuffle derived sides carry no stats — pin shuffle-hash so
+      // the bucket join can never fall back to sort-merge (the d11 rule)
+      .join(buckets(refToks).as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("new_id"), col("b.id").as("ref_id"))
       .distinct()
     val newSizes = newToks.groupBy("id").agg(count(lit(1)).as("size"))
     val refSizes = refToks.groupBy("id").agg(count(lit(1)).as("size"))
     cands
-      .join(newToks.select(col("id").as("new_id"), col("token")), Seq("new_id"))
-      .join(refToks.select(col("id").as("ref_id"), col("token")),
-        Seq("ref_id", "token"))
+      .join(newToks.select(col("id").as("new_id"), col("token"))
+        .hint("shuffle_hash"), Seq("new_id"))
+      .join(refToks.select(col("id").as("ref_id"), col("token"))
+        .hint("shuffle_hash"), Seq("ref_id", "token"))
       .groupBy("new_id", "ref_id").agg(count(lit(1)).as("inter"))
-      .join(newSizes.select(col("id").as("new_id"), col("size").as("si")),
-        Seq("new_id"))
-      .join(refSizes.select(col("id").as("ref_id"), col("size").as("sj")),
-        Seq("ref_id"))
+      .join(newSizes.select(col("id").as("new_id"), col("size").as("si"))
+        .hint("shuffle_hash"), Seq("new_id"))
+      .join(refSizes.select(col("id").as("ref_id"), col("size").as("sj"))
+        .hint("shuffle_hash"), Seq("ref_id"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
       .where(col("jaccard") >= threshold)

@@ -108,7 +108,10 @@ object Linkage {
       .select("gram")
     val blocked = grams.join(rare.hint("shuffle_hash"), Seq("gram"))
     val pairs = blocked.select(col("gram"), col("id").as("id_a"))
-      .join(blocked.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      // both sides are the same derived (stats-free) frame — hint the
+      // bucket self-join too, or the planner falls back to sort-merge
+      .join(blocked.select(col("gram"), col("id").as("id_b"))
+        .hint("shuffle_hash"), Seq("gram"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     pairs

@@ -84,7 +84,10 @@ object Profiling {
     val right = pb.select(col("column") +: sel.map(c => col(c).as(s"${c}_b")): _*)
     val nullRate = (s: String) =>
       col(s"n_null_$s").cast("double") / col(s"n_rows_$s").cast("double")
-    left.join(right, Seq("column"), "full_outer")
+    // both sides profile the SAME column list, so the key sets are equal
+    // by construction — an inner join (broadcastable k-row frames, no
+    // sort-merge) over a full-outer (which forces SMJ) loses nothing
+    left.join(broadcast(right), Seq("column"))
       .withColumn("d_null_rate", round(abs(nullRate("a") - nullRate("b")), 6))
       .withColumn("r_distinct",
         when(col("n_distinct_a") > 0,
