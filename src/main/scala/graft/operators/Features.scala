@@ -354,6 +354,101 @@ object Features {
   }
 
   /**
+   * P107 — Pearson correlation matrix over a set of numeric columns:
+   * one row per unordered column pair (upper triangle, positional
+   * order) with the shared observation count and r rounded at 6 — the
+   * redundancy screen a feature pipeline runs before training (drop
+   * one of every near-collinear pair). Rows with ANY of the columns
+   * null are excluded entirely (listwise deletion), so every pair sees
+   * the identical n and the matrix is internally consistent.
+   *
+   * Shape: ALL k + k(k+1)/2 moment sums come from ONE map-side-
+   * combinable aggregate over the single pass (the o11 OLS discipline:
+   * values cast to DECIMAL(18,6) first, products at (19,6), so every
+   * sum is exact and partition-order-free); the pair explosion is a
+   * projection of that one 1-row frame. r is then a fixed double
+   * sequence per pair; degenerate columns (zero variance) null their
+   * pairs' r.
+   */
+  def corrMatrix(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.size >= 2,
+      s"corrMatrix: need at least 2 columns, got ${valueCols.size}")
+    require(valueCols.distinct.size == valueCols.size,
+      s"corrMatrix: columns must be distinct, got $valueCols")
+    def dec(c: String) = col(c).cast("decimal(18,6)")
+    def dec19(c: String) = col(c).cast("decimal(19,6)")
+    val complete = df.where(valueCols.map(col(_).isNotNull).reduce(_ && _))
+    val sumAggs = valueCols.map(c => sum(dec(c)).cast("double").as(s"__s_$c"))
+    val prodAggs = for {
+      (a, i) <- valueCols.zipWithIndex
+      b <- valueCols.drop(i)
+    } yield sum(dec19(a) * dec19(b)).cast("double").as(s"__p_${a}_$b")
+    val moments = complete.agg(count(lit(1)).as("n"),
+      (sumAggs ++ prodAggs): _*)
+    val nd = col("n").cast("double")
+    val pairs = for {
+      (a, i) <- valueCols.zipWithIndex
+      b <- valueCols.drop(i + 1)
+    } yield {
+      val num = nd * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      val dena = nd * col(s"__p_${a}_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val denb = nd * col(s"__p_${b}_$b") - col(s"__s_$b") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(dena > 0 && denb > 0,
+          round(num / (sqrt(dena) * sqrt(denb)), 6)).as("r"))
+    }
+    moments
+      .select(col("n"), explode(array(pairs: _*)).as("__pair"))
+      .select(col("__pair.col_a").as("col_a"), col("__pair.col_b").as("col_b"),
+        col("n"), col("__pair.r").as("r"))
+  }
+
+  /**
+   * P108 — Spearman rank correlation between two columns: Pearson r on
+   * pooled average ranks — the monotone-association measure that is
+   * robust to the heavy tails where Pearson saturates, standard in
+   * feature screening. Returns ONE row (n, rho); ties get average
+   * ranks; degenerate inputs (either column constant) pin rho null.
+   *
+   * Engine portability (the o15 doubled-rank discipline): average
+   * ranks are k or k.5, so DOUBLED ranks 2·minrank + (t−1) are exact
+   * BIGINTs; their products accumulate in DECIMAL(38,0) (exact at any
+   * n — the BIGINT bound 2⁶² would cap n near 10⁶), and the closing
+   * rho is a fixed double sequence on the exact sums (the doubling
+   * cancels between numerator and denominator). The pooled rank is one
+   * global-order window — the o5/o15 exact-statistic caveat: a rank
+   * statistic runs on a sample or group slice, not the raw 100 TB.
+   */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def doubled(c: String, out: String)(d: DataFrame): DataFrame = {
+      val w = Window.orderBy(col(c).asc)
+      val tw = Window.partitionBy(col(c))
+      d.withColumn(out,
+        lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(tw) - lit(1L))
+    }
+    val ranked = doubled(yCol, "__dy")(doubled(xCol, "__dx")(
+      df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+        .select(col(xCol), col(yCol))))
+    val sums = ranked.agg(count(lit(1)).as("n"),
+      sum((col("__dx") * col("__dy")).cast("decimal(38,0)"))
+        .cast("double").as("__sxy"),
+      sum((col("__dx") * col("__dx")).cast("decimal(38,0)"))
+        .cast("double").as("__sxx"),
+      sum((col("__dy") * col("__dy")).cast("decimal(38,0)"))
+        .cast("double").as("__syy"),
+      sum(col("__dx").cast("decimal(38,0)")).cast("double").as("__sx"),
+      sum(col("__dy").cast("decimal(38,0)")).cast("double").as("__sy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val denx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nd * col("__syy") - col("__sy") * col("__sy")
+    sums
+      .withColumn("rho", when(denx > 0 && deny > 0,
+        round(num / (sqrt(denx) * sqrt(deny)), 6)))
+      .drop("__sxy", "__sxx", "__syy", "__sx", "__sy")
+  }
+
+  /**
    * P87 — MAD-based robust outliers (Iglewicz–Hoaglin modified z-score):
    * per group, m = median, MAD = median(|x − m|), z = 0.6745·(x − m)/MAD,
    * flagged when |z| > `cutoff` — the outlier rule that (unlike the P47

@@ -272,6 +272,188 @@ object TimeSeries {
   }
 
   /**
+   * P110 — gap detection over per-key event streams: every pair of
+   * consecutive events (in (ts, tie) order) whose spacing is at least
+   * `minGapMicros` — the coverage/outage finder behind data-freshness
+   * monitoring and the session-boundary audit complementing the P14
+   * sessionizer. Returns (key, gap_start_us, gap_end_us, gap_us) as
+   * exact epoch-micro BIGINTs (timestamps leave as integers so the
+   * oracle never compares timezone-typed columns).
+   *
+   * Shape: ONE keyed window shuffle for the lag — the sessionizer's
+   * partitioning — then a pure filter; nothing aggregates, so the
+   * operator streams at any key cardinality. The tiebreaker makes the
+   * order total (equal timestamps yield a 0-micro gap and can never
+   * pass a positive threshold, but the ORDER must still be total for
+   * the lag to be deterministic).
+   */
+  def gaps(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, minGapMicros: Long): DataFrame = {
+    require(minGapMicros >= 1L,
+      s"gaps: minGapMicros must be >= 1, got $minGapMicros")
+    // epoch micros order ≡ timestamp order (unix_micros is monotone), so
+    // the lag window runs on the projected integer column
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us").asc, col("__tie").asc)
+    events
+      .select(col(keyCol), expr(s"unix_micros(`$tsCol`)").as("__us"),
+        col(tieCol).as("__tie"))
+      .withColumn("gap_start_us", lag(col("__us"), 1).over(w))
+      .where(col("gap_start_us").isNotNull &&
+        col("__us") - col("gap_start_us") >= minGapMicros)
+      .select(col(keyCol), col("gap_start_us"),
+        col("__us").as("gap_end_us"),
+        (col("__us") - col("gap_start_us")).as("gap_us"))
+  }
+
+  /**
+   * P109 — first/last-touch conversion attribution: for each key that
+   * converted (has at least one `conversionType` event), the earliest
+   * and latest non-conversion events strictly before the FIRST
+   * conversion — the marketing-attribution primitive, and (for training
+   * data) the trigger-context extractor ("what preceded the outcome
+   * label"). Returns (key, conv_us, first_us, first_type, last_us,
+   * last_type, n_touches); keys whose conversion has no prior touch are
+   * absent (no attributable channel).
+   *
+   * Shape: one keyed agg for the first conversion (min over the
+   * (ts, tie) struct — exact, no window), a shuffle_hash join back on
+   * the key (post-agg side has no stats — the d11 rule), and one more
+   * keyed agg taking min/max (ts, tie, type) structs — the struct
+   * ordering IS the total event order because the tiebreaker is unique,
+   * so first/last are deterministic without any window sort.
+   */
+  def attribution(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, conversionType: String): DataFrame = {
+    val us = expr(s"unix_micros(`$tsCol`)")
+    val base = events.select(col(keyCol).as("key"), us.as("__us"),
+      col(tieCol).as("__tie"), col(typeCol).as("__type"))
+    val conv = base.where(col("__type") === conversionType)
+      .groupBy(col("key"))
+      .agg(min(struct(col("__us"), col("__tie"))).as("__c"))
+      .select(col("key"), col("__c.__us").as("__cus"),
+        col("__c.__tie").as("__ctie"))
+    base.where(col("__type") =!= conversionType)
+      .join(conv.hint("shuffle_hash"), Seq("key"))
+      .where(col("__us") < col("__cus") ||
+        (col("__us") === col("__cus") && col("__tie") < col("__ctie")))
+      .groupBy(col("key"))
+      .agg(first(col("__cus")).as("conv_us"),
+        min(struct(col("__us"), col("__tie"), col("__type"))).as("__f"),
+        max(struct(col("__us"), col("__tie"), col("__type"))).as("__l"),
+        count(lit(1)).as("n_touches"))
+      .select(col("key"), col("conv_us"),
+        col("__f.__us").as("first_us"), col("__f.__type").as("first_type"),
+        col("__l.__us").as("last_us"), col("__l.__type").as("last_type"),
+        col("n_touches"))
+  }
+
+  /**
+   * P111 — OHLC bars: per (key, fixed time bucket), the opening /
+   * highest / lowest / closing value plus event count and decimal-exact
+   * value sum — the downsampled-series representation behind candlestick
+   * analytics and, in a feature pipeline, fixed-rate signal compression
+   * before sequence modeling. Bucket = epoch-micros div `bucketMicros`
+   * (exact integer division).
+   *
+   * Shape: ONE map-side-combinable keyed agg — open/close are
+   * `min_by`/`max_by` over the (ts, tie) struct (the unique tiebreaker
+   * makes them deterministic without a window sort), high/low are plain
+   * min/max, and the sum goes through DECIMAL. No window, no join:
+   * exactly the aggregation shape that scales to unbounded streams.
+   */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1L,
+      s"ohlcBars: bucketMicros must be >= 1, got $bucketMicros")
+    val us = expr(s"unix_micros(`$tsCol`)")
+    val ord = struct(us.as("__us"), col(tieCol).as("__tie"))
+    events
+      .groupBy(col(keyCol), expr(
+        s"unix_micros(`$tsCol`) div ${bucketMicros}L").as("bucket"))
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(18,6)")).cast("double"), 6)
+          .as("vsum"))
+      .withColumn("bucket_start_us", col("bucket") * bucketMicros)
+  }
+
+  /**
+   * P112 — CUSUM change detection per key: the one-sided cumulative-sum
+   * statistic s_i = max(0, s_{i−1} + (x_i − k)) with reference k,
+   * flagged when s crosses `threshold` — the classic upward-shift
+   * detector for drift monitoring over metric streams. The recursive
+   * form is not window-expressible, but its closed form is:
+   * s_i = P_i − min(0, min_{j≤i} P_j) with P the running sum of
+   * (x − k) — two cumulative windows over ONE keyed partitioning.
+   *
+   * Engine portability: x and k go through DECIMAL(18,6) so P, the
+   * running min and s are EXACT decimal arithmetic end to end — no
+   * rounding firewall needed, partition order cannot move anything, and
+   * the threshold comparison is exact (no knife-edge float compare).
+   * Outputs round to double only for the report.
+   */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, reference: BigDecimal,
+      threshold: BigDecimal): DataFrame = {
+    require(threshold > 0, s"cusum: threshold must be > 0, got $threshold")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val k = lit(reference.underlying).cast("decimal(18,6)")
+    val p = sum(col(valueCol).cast("decimal(18,6)") - k).over(cum)
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
+    df.withColumn("__p", p)
+      .withColumn("__s", col("__p") - least(zero, min(col("__p")).over(cum)))
+      .withColumn("s", round(col("__s").cast("double"), 6))
+      .withColumn("alarm",
+        col("__s") > lit(threshold.underlying).cast("decimal(18,6)"))
+      .drop("__p", "__s")
+  }
+
+  /**
+   * P113 — regular-grid resampling with forward fill: per key, the full
+   * bucket grid from its first to its last event (bucket = epoch-micros
+   * div `bucketMicros`), each cell carrying the last observed value in
+   * that bucket (`obs`, null for empty cells) and the forward-filled
+   * series (`ffill`) — the gap-free fixed-rate series every downstream
+   * window model assumes, aligned exactly like pandas `resample().ffill()`.
+   *
+   * Shape: one keyed agg per (key, bucket) for in-bucket last values
+   * (max_by over the (ts, tie) struct — deterministic), one tiny
+   * per-key span agg whose `sequence()` explode mints the grid (grid
+   * size = time-range/bucket, bounded by design, never by row count),
+   * a shuffle_hash join of grid to observations, and ONE keyed window
+   * for the ignore-nulls last_value fill. Values are carried verbatim
+   * (no arithmetic) — nothing to round.
+   */
+  def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1L,
+      s"resampleFfill: bucketMicros must be >= 1, got $bucketMicros")
+    val base = events.select(col(keyCol).as("key"),
+      expr(s"unix_micros(`$tsCol`) div ${bucketMicros}L").as("bucket"),
+      expr(s"unix_micros(`$tsCol`)").as("__us"),
+      col(tieCol).as("__tie"), col(valueCol).as("__v"))
+    val lastPerBucket = base
+      .groupBy(col("key"), col("bucket"))
+      .agg(max_by(col("__v"), struct(col("__us"), col("__tie"))).as("obs"))
+    val grid = base.groupBy(col("key"))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col("key"),
+        explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(lastPerBucket.hint("shuffle_hash"), Seq("key", "bucket"), "left")
+      .withColumn("bucket_us", col("bucket") * bucketMicros)
+      .withColumn("ffill", last(col("obs"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("obs").isNull)
+  }
+
+  /**
    * P81 — first-order Markov transition matrix over per-key event
    * sequences: count every adjacent (state → next state) pair in each
    * key's (ts, tie)-ordered history and emit row-normalized transition

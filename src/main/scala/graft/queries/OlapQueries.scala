@@ -249,6 +249,59 @@ object OlapQueries {
         .orderBy("event_type", "band")
     }),
 
+    // P107 — Pearson correlation matrix over the four lineitem
+    // measures: all moment sums in ONE decimal-exact aggregate, pair
+    // rows projected from the single 1-row frame
+    "o16_corr" -> ((s, dir) => {
+      graft.operators.Features.corrMatrix(
+          table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // P108 — Spearman rank correlation between quantity and price:
+    // doubled average ranks (exact BIGINTs), DECIMAL-summed products,
+    // one closing double sequence
+    "o17_spearman" -> ((s, dir) => {
+      graft.operators.Features.spearman(
+          table(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+    }),
+
+    // P111 — 6-hour OHLC bars of event values per event type: open and
+    // close via min_by/max_by over the (ts, event_id) struct, sum
+    // through DECIMAL; one map-side-combinable agg
+    "o18_ohlc" -> ((s, dir) => {
+      graft.operators.TimeSeries.ohlcBars(
+          graft.Graft.events(s, dir), "event_type", "ts", "event_id",
+          "value", bucketMicros = 21600000000L)
+        .select("event_type", "bucket", "bucket_start_us", "open", "high",
+          "low", "close", "n", "vsum")
+        .orderBy("event_type", "bucket")
+    }),
+
+    // P112 — CUSUM upward-shift detection per event type (reference 60
+    // above the ~49.6 value mean, threshold 400): the closed-form
+    // prefix-sum/running-min rewrite, exact DECIMAL end to end
+    "o19_cusum" -> ((s, dir) => {
+      graft.operators.TimeSeries.cusum(
+          graft.Graft.events(s, dir), "event_type", "ts", "event_id",
+          "value", reference = BigDecimal(60), threshold = BigDecimal(400))
+        .select("event_type", "event_id", "value", "s", "alarm")
+        .orderBy("event_id")
+    }),
+
+    // P113 — 6-hour forward-filled resampling of each user's value
+    // series: per-(user, bucket) last value, sequence()-minted grid,
+    // one keyed ignore-nulls fill window
+    "o20_resample" -> ((s, dir) => {
+      graft.operators.TimeSeries.resampleFfill(
+          graft.Graft.events(s, dir), "user_id", "ts", "event_id", "value",
+          bucketMicros = 21600000000L)
+        .withColumnRenamed("key", "user_id")
+        .select("user_id", "bucket", "bucket_us", "obs", "ffill", "is_gap")
+        .orderBy("user_id", "bucket")
+    }),
+
     // P93 — truncated adjusted EWMA over each user's event values,
     // α = 0.25, lookback 8: the weight ladder is embedded as literals on
     // BOTH sides (neither engine calls pow), the weighted sum is an
@@ -787,6 +840,149 @@ object OlapQueries {
         |  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // moment names and the r formula are generated from the operator's
+    // own column list so the sides cannot drift; products at (19,6)
+    // (the o11 int128 rule), listwise-complete rows
+    "o16_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cols.map(c =>
+        s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS s_$c")
+      val prods = for {
+        (a, i) <- cols.zipWithIndex; b <- cols.drop(i)
+      } yield s"""CAST(SUM(CAST($a AS DECIMAL(19,6)) *
+                 |             CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS p_${a}_$b""".stripMargin
+      val pairSelects = (for {
+        (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+      } yield {
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |  CASE WHEN (CAST(n AS DOUBLE) * p_${a}_$a - s_$a * s_$a) > 0
+           |        AND (CAST(n AS DOUBLE) * p_${b}_$b - s_$b * s_$b) > 0
+           |       THEN round((CAST(n AS DOUBLE) * p_${a}_$b - s_$a * s_$b) /
+           |         (sqrt(CAST(n AS DOUBLE) * p_${a}_$a - s_$a * s_$a) *
+           |          sqrt(CAST(n AS DOUBLE) * p_${b}_$b - s_$b * s_$b)), 6)
+           |  END AS r
+           |FROM m""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH c AS (
+         |  SELECT * FROM lineitem
+         |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${(sums ++ prods).mkString(",\n    ")}
+         |  FROM c)
+         |SELECT col_a, col_b, n, r FROM (
+         |$pairSelects)
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
+    // the o15 doubled-rank discipline: 2·minrank + (t−1) BIGINTs,
+    // DECIMAL(38,0)-exact moment sums, the operator's closing double
+    // sequence verbatim
+    "o17_spearman" ->
+      """WITH pool AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT
+        |    2 * CAST(rank() OVER (ORDER BY x) AS BIGINT) +
+        |      CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS dx,
+        |    2 * CAST(rank() OVER (ORDER BY y) AS BIGINT) +
+        |      CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS dy
+        |  FROM pool),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+        |         AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))
+        |         AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+        |         AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy
+        |  FROM r)
+        |SELECT n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        |        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+        |       THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |         (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |          sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS rho
+        |FROM s""".stripMargin,
+
+    // open/close via rank-1 rows under the identical (us, event_id)
+    // total order; vsum replays the decimal money-sum rule
+    "o18_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 21600000000 AS bucket,
+        |         epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT event_type, bucket,
+        |  CAST(bucket * 21600000000 AS BIGINT) AS bucket_start_us,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vsum
+        |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    // the closed-form rewrite replayed in exact DECIMAL: running sum of
+    // (x − 60), inclusive running min, s = p − least(0, min); only the
+    // report column casts to double
+    "o19_cusum" ->
+      """WITH s AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    SUM(CAST(value AS DECIMAL(18,6)) - CAST(60 AS DECIMAL(18,6)))
+        |      OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type, event_id, value, p,
+        |    MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM s)
+        |SELECT event_type, event_id, value,
+        |  round(CAST(p - LEAST(CAST(0 AS DECIMAL(38,6)), mn) AS DOUBLE), 6) AS s,
+        |  (p - LEAST(CAST(0 AS DECIMAL(38,6)), mn)) > CAST(400 AS DECIMAL(18,6))
+        |    AS alarm
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    // per-bucket last value under the (us, event_id) order, range-
+    // unnested grid, ignore-nulls fill (DuckDB's default cumulative
+    // frame matches Spark's)
+    "o20_resample" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+        |         epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |lastv AS (
+        |  SELECT user_id, bucket, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY us DESC, event_id DESC) AS rd
+        |    FROM o)
+        |  WHERE rd = 1),
+        |spanr AS (
+        |  SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        |  FROM o GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM spanr),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, l.value AS obs
+        |  FROM grid g LEFT JOIN lastv l
+        |    ON l.user_id = g.user_id AND l.bucket = g.bucket)
+        |SELECT user_id, bucket, CAST(bucket * 21600000000 AS BIGINT) AS bucket_us,
+        |  obs,
+        |  last_value(obs IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY bucket) AS ffill,
+        |  obs IS NULL AS is_gap
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "o4_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

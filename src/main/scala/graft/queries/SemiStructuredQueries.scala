@@ -163,6 +163,25 @@ object SemiStructuredQueries {
         .orderBy("rank")
     }),
 
+    // P109 — first/last-touch attribution of purchases: earliest and
+    // latest non-purchase events strictly before each user's FIRST
+    // purchase; struct min/max over (us, event_id) replaces any window
+    // sort, and the oracle replays the same total order via rank-1 rows
+    "q13_attribution" -> ((s, dir) => {
+      TimeSeries.attribution(events(s, dir), "user_id", "ts", "event_id",
+          "event_type", conversionType = "purchase")
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id")
+    }),
+
+    // P110 — ≥24h gaps in each user's event stream: one keyed lag
+    // window then a pure filter; exact epoch-micro integers end to end
+    "q14_gaps" -> ((s, dir) => {
+      TimeSeries.gaps(events(s, dir), "user_id", "ts", "event_id",
+          minGapMicros = 86400000000L)
+        .orderBy("user_id", "gap_start_us", "gap_end_us")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -289,6 +308,51 @@ object SemiStructuredQueries {
         |  CAST(row_number() OVER (ORDER BY cnt DESC, path_0, path_1, path_2)
         |       AS INT) AS rank
         |FROM c ORDER BY cnt DESC, path_0, path_1, path_2 LIMIT 20""".stripMargin,
+
+    // the first conversion and the first/last prior touch all resolve
+    // under the identical (epoch-micros, event_id) total order the
+    // operator's struct min/max encode
+    "q13_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, us AS conv_us, event_id AS conv_id FROM (
+        |    SELECT user_id, epoch_us(ts) AS us, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1),
+        |touch AS (
+        |  SELECT e.user_id, epoch_us(e.ts) AS us, e.event_id, e.event_type,
+        |         c.conv_us
+        |  FROM events e JOIN conv c ON e.user_id = c.user_id
+        |  WHERE e.event_type <> 'purchase'
+        |    AND (epoch_us(e.ts) < c.conv_us OR
+        |         (epoch_us(e.ts) = c.conv_us AND e.event_id < c.conv_id))),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY us DESC, event_id DESC) AS rd,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_touches
+        |  FROM touch)
+        |SELECT f.user_id, f.conv_us,
+        |  f.us AS first_us, f.event_type AS first_type,
+        |  l.us AS last_us, l.event_type AS last_type, f.n_touches
+        |FROM r f JOIN r l ON l.user_id = f.user_id AND l.rd = 1
+        |WHERE f.ra = 1
+        |ORDER BY f.user_id""".stripMargin,
+
+    "q14_gaps" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id, prev_us AS gap_start_us, us AS gap_end_us,
+        |  CAST(us - prev_us AS BIGINT) AS gap_us
+        |FROM o
+        |WHERE prev_us IS NOT NULL AND us - prev_us >= 86400000000
+        |ORDER BY user_id, gap_start_us, gap_end_us""".stripMargin,
 
     "q9_transitions" ->
       """WITH pairs AS (

@@ -201,4 +201,43 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.madOutliers(a.toDF("id", "k", "x"), "k", "x", 0.0))
   }
+
+  test("corrMatrix: upper-triangle pairs, listwise deletion, degenerate nulls") {
+    val df = Seq(
+      (Some(1.0), 2.0, 4.0, 5.0), (Some(2.0), 4.0, 3.0, 5.0),
+      (Some(3.0), 6.0, 2.0, 5.0), (Some(4.0), 8.0, 1.0, 5.0),
+      (None, 1.0, 1.0, 1.0)) // null a → row excluded everywhere
+      .toDF("a", "b", "c", "d")
+    val got = Features.corrMatrix(df, Seq("a", "b", "c", "d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3))))).toMap
+    assert(got.size == 6)
+    assert(got(("a", "b")) == ((4L, Some(1.0))))    // b = 2a exactly
+    assert(got(("a", "c")) == ((4L, Some(-1.0))))   // c = 5 − a
+    assert(got(("b", "c")) == ((4L, Some(-1.0))))
+    // constant column d: zero variance → null r, but n still 4
+    assert(got(("a", "d")) == ((4L, None)))
+    assert(got(("b", "d")) == ((4L, None)))
+    assert(got(("c", "d")) == ((4L, None)))
+    intercept[IllegalArgumentException](Features.corrMatrix(df, Seq("a")))
+    intercept[IllegalArgumentException](Features.corrMatrix(df, Seq("a", "a")))
+  }
+
+  test("spearman: monotone ±1, average ranks on ties, constant → null") {
+    // strictly monotone, wildly nonlinear: rho = 1 regardless of shape
+    val mono = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 1e6)).toDF("x", "y")
+    assert(Features.spearman(mono, "x", "y").head.getDouble(1) == 1.0)
+    val anti = Seq((1.0, 9.0), (2.0, 5.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Features.spearman(anti, "x", "y").head.getDouble(1) == -1.0)
+    // ties take average ranks on both sides: doubled-rank vectors equal
+    val tied = Seq((1.0, 5.0), (1.0, 5.0), (2.0, 7.0)).toDF("x", "y")
+    val r = Features.spearman(tied, "x", "y").head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.0)
+    // constant x: zero rank variance → null; null rows drop first
+    val const = Seq((Some(1.0), 1.0), (Some(1.0), 2.0),
+      (Option.empty[Double], 3.0)).toDF("x", "y")
+    val c = Features.spearman(const, "x", "y").head
+    assert(c.getLong(0) == 2L && c.isNullAt(1))
+  }
 }

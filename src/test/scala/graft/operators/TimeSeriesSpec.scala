@@ -193,4 +193,104 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "a") -> ((1L, 2L, 0.5)),
       ("b", "c") -> ((1L, 2L, 0.5))))   // no cross-user pair, no (c, *)
   }
+
+  test("gaps: threshold filter, keyed lag, tie rows never gap") {
+    val ev = Seq(
+      (1L, ts(1), 10L), (1L, ts(5), 11L), (1L, ts(6), 12L), (1L, ts(20), 13L),
+      (2L, ts(1), 20L), (2L, ts(1), 21L), // equal ts → 0 gap, filtered
+      (3L, ts(9), 30L))                   // lone event → no pair
+      .toDF("user_id", "t", "event_id")
+    val got = TimeSeries.gaps(ev, "user_id", "t", "event_id",
+        minGapMicros = 4000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set(
+      (1L, 1000000L, 5000000L, 4000000L),    // exactly at threshold: kept
+      (1L, 6000000L, 20000000L, 14000000L))) // 5→6 (1s) filtered
+    intercept[IllegalArgumentException](
+      TimeSeries.gaps(ev, "user_id", "t", "event_id", 0L))
+  }
+
+  test("attribution: first/last touch before FIRST conversion, tie order") {
+    val ev = Seq(
+      // user 1: click, view, PURCHASE, click (after conv — ignored), PURCHASE
+      (1L, ts(1), 10L, "click"), (1L, ts(2), 11L, "view"),
+      (1L, ts(3), 12L, "purchase"), (1L, ts(4), 13L, "click"),
+      (1L, ts(5), 14L, "purchase"),
+      // user 2: purchase with no prior touch → absent from output
+      (2L, ts(1), 20L, "purchase"),
+      // user 3: no conversion → absent
+      (3L, ts(1), 30L, "click"),
+      // user 4: click at the SAME ts as the purchase but smaller id → counts
+      (4L, ts(5), 40L, "click"), (4L, ts(5), 41L, "purchase"))
+      .toDF("user_id", "t", "event_id", "typ")
+    val got = TimeSeries.attribution(ev, "user_id", "t", "event_id", "typ",
+        conversionType = "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getString(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set(1L, 4L))
+    assert(got(1L) == ((3000000L, 1000000L, "click", 2000000L, "view", 2L)))
+    assert(got(4L) == ((5000000L, 5000000L, "click", 5000000L, "click", 1L)))
+  }
+
+  test("ohlcBars: deterministic open/close, decimal vsum, bucketing") {
+    val ev = Seq(
+      (1L, ts(1), 10L, 5.0), (1L, ts(2), 11L, 9.0), (1L, ts(3), 12L, 1.0),
+      (1L, ts(12), 13L, 7.0),
+      // key 2: equal ts — open is the smaller event_id
+      (2L, ts(4), 20L, 3.0), (2L, ts(4), 21L, 8.0))
+      .toDF("k", "t", "event_id", "v")
+    val got = TimeSeries.ohlcBars(ev, "k", "t", "event_id", "v",
+        bucketMicros = 10000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7), r.getLong(8)))).toMap
+    assert(got((1L, 0L)) == ((5.0, 9.0, 1.0, 1.0, 3L, 15.0, 0L)))
+    assert(got((1L, 1L)) == ((7.0, 7.0, 7.0, 7.0, 1L, 7.0, 10000000L)))
+    assert(got((2L, 0L)) == ((3.0, 8.0, 3.0, 8.0, 2L, 11.0, 0L)))
+    intercept[IllegalArgumentException](
+      TimeSeries.ohlcBars(ev, "k", "t", "event_id", "v", 0L))
+  }
+
+  test("cusum: closed form equals the recursion, exact decimal compare") {
+    // x − k: 0, −10, +20 → recursive s: 0, 0, 20
+    val ev = Seq(
+      (1L, ts(1), 10L, 10.0), (1L, ts(2), 11L, 0.0), (1L, ts(3), 12L, 30.0),
+      // key 2: drift never recovers → s stays 0
+      (2L, ts(1), 20L, 1.0), (2L, ts(2), 21L, 2.0))
+      .toDF("k", "t", "event_id", "v")
+    val got = TimeSeries.cusum(ev, "k", "t", "event_id", "v",
+        reference = BigDecimal(10), threshold = BigDecimal(15))
+      .collect().map(r => r.getLong(2) -> ((r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(got(10L) == ((0.0, false)))
+    assert(got(11L) == ((0.0, false)))
+    assert(got(12L) == ((20.0, true)))   // crosses 15
+    assert(got(20L) == ((0.0, false)) && got(21L) == ((0.0, false)))
+    intercept[IllegalArgumentException](
+      TimeSeries.cusum(ev, "k", "t", "event_id", "v",
+        BigDecimal(10), BigDecimal(0)))
+  }
+
+  test("resampleFfill: full grid, in-bucket last wins, ignore-null fill") {
+    val ev = Seq(
+      // bucket 0 has two events — the later (t3) value is the cell's obs
+      (1L, ts(1), 10L, 1.0), (1L, ts(3), 11L, 2.0),
+      (1L, ts(35), 12L, 9.0), // bucket 3; buckets 1-2 are gaps
+      (2L, ts(5), 20L, 4.0))
+      .toDF("user_id", "t", "event_id", "v")
+    val got = TimeSeries.resampleFfill(ev, "user_id", "t", "event_id", "v",
+        bucketMicros = 10000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(4)), r.getBoolean(5), r.getLong(3))))
+      .toMap
+    assert(got.size == 5)
+    assert(got((1L, 0L)) == ((Some(2.0), Some(2.0), false, 0L)))
+    assert(got((1L, 1L)) == ((None, Some(2.0), true, 10000000L)))
+    assert(got((1L, 2L)) == ((None, Some(2.0), true, 20000000L)))
+    assert(got((1L, 3L)) == ((Some(9.0), Some(9.0), false, 30000000L)))
+    assert(got((2L, 0L)) == ((Some(4.0), Some(4.0), false, 0L)))
+    intercept[IllegalArgumentException](
+      TimeSeries.resampleFfill(ev, "user_id", "t", "event_id", "v", 0L))
+  }
 }
