@@ -95,4 +95,98 @@ object Profiling {
             col("n_distinct_a").cast("double"), 6)))
       .withColumn("d_mean", round(abs(col("mean_v_a") - col("mean_v_b")), 6))
   }
+
+  /**
+   * P115 — key-skew diagnostics: for each monitored column, one row of
+   * distribution-shape measures over its value frequencies — row count,
+   * key cardinality, heaviest-key share, top-`topK` share, Gini
+   * coefficient and Shannon entropy — the report that predicts which
+   * join/groupBy keys will hot-spot a 1000-executor shuffle BEFORE the
+   * job runs (the operational companion to the P21 salting operators).
+   *
+   * Shape: per column, ONE keyed frequency agg (map-side combinable),
+   * then rank/total windows over the FREQUENCY frame — bounded by
+   * distinct keys, not rows (the o5 caveat applies only to that frame).
+   * Portability: Gini comes from the exact integer rank-weighted sum
+   * (2·Σrᵢfᵢ)/(n·N) − (n+1)/n — tie order cannot move it because equal
+   * frequencies commute inside the sum — and entropy terms −p·ln p
+   * round at 9 and DECIMAL-sum (the libm firewall). Null keys coalesce
+   * to '' (the hashValue convention) so both engines group them alike.
+   */
+  def keySkew(df: DataFrame, keyCols: Seq[String], topK: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew: at least one column")
+    require(topK >= 1, s"keySkew: topK must be >= 1, got $topK")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"keySkew: columns not in input: ${missing.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val perCol = keyCols.map { c =>
+      val freq = df
+        .select(coalesce(col(c).cast("string"), lit("")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("f"))
+      val wAsc = Window.orderBy(col("f").asc, col("k").asc)
+      val wDesc = Window.orderBy(col("f").desc, col("k").desc)
+      val wAll = Window.partitionBy()
+      val p = col("f").cast("double") / col("nn").cast("double")
+      val stats = freq
+        .withColumn("r", row_number().over(wAsc).cast("long"))
+        .withColumn("rd", row_number().over(wDesc).cast("long"))
+        .withColumn("nn", sum(col("f")).over(wAll))
+        .agg(max(col("nn")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("f")).as("__max_f"),
+          sum(when(col("rd") <= topK, col("f")).otherwise(lit(0L))).as("__top_f"),
+          sum(col("r") * col("f")).as("__srf"),
+          sum(round(-p * log(p), 9).cast("decimal(28,9)")).as("__ent"))
+      val nk = col("n_keys").cast("double")
+      val nr = col("n_rows").cast("double")
+      stats.select(lit(c).as("column"), col("n_rows"), col("n_keys"),
+        round(col("__max_f").cast("double") / nr, 6).as("max_share"),
+        round(col("__top_f").cast("double") / nr, 6).as("top_share"),
+        round(lit(2.0) * col("__srf").cast("double") / (nk * nr) -
+          (col("n_keys") + lit(1L)).cast("double") / nk, 6).as("gini"),
+        round(col("__ent").cast("double"), 6).as("entropy"))
+    }
+    perCol.reduce(_ unionByName _)
+  }
+
+  /**
+   * P116 — snapshot change-data-capture diff: classify every key of two
+   * table versions as added / removed / changed (with the list of
+   * changed columns) — the incremental-ingest delta detector that turns
+   * "re-read 100 TB" into "process the rows that moved", and the audit
+   * trail behind the P106 incremental pipeline. Unchanged keys are NOT
+   * emitted (the whole point is that the delta is small).
+   *
+   * Shape: ONE full-outer join on the key — hinted shuffle_hash (Spark
+   * supports full-outer in shuffled-hash since 3.1; unhinted, two
+   * no-stats snapshot sides fall to sort-merge, the d11 rule) — then a
+   * pure projection. Change tests are null-safe (`<=>` negated), so a
+   * value flipping to/from null counts as a change; `changed_cols`
+   * joins the differing column names with ',' in declaration order.
+   */
+  def cdcDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "cdcDiff: at least one compare column")
+    val o = oldDf.select(col(keyCol).as("__ko") +:
+      compareCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(col(keyCol).as("__kn") +:
+      compareCols.map(c => col(c).as(s"__n_$c")): _*)
+    val diffs = compareCols.map(c =>
+      c -> !(col(s"__o_$c") <=> col(s"__n_$c")))
+    val anyDiff = diffs.map(_._2).reduce(_ || _)
+    val changeType = when(col("__kn").isNull, lit("removed"))
+      .when(col("__ko").isNull, lit("added"))
+      .when(anyDiff, lit("changed"))
+      .otherwise(lit("unchanged"))
+    val changedCols = concat_ws(",",
+      diffs.map { case (c, d) => when(d, lit(c)) }: _*)
+    o.join(n.hint("shuffle_hash"), col("__ko") === col("__kn"), "full_outer")
+      .withColumn("change_type", changeType)
+      .where(col("change_type") =!= "unchanged")
+      .select(coalesce(col("__ko"), col("__kn")).as(keyCol),
+        col("change_type"),
+        when(col("change_type") === "changed", changedCols)
+          .otherwise(lit("")).as("changed_cols"))
+  }
 }

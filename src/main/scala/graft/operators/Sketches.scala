@@ -188,6 +188,62 @@ object Sketches {
   }
 
   /**
+   * P114 — KMV (k minimum values, "bottom-k") distinct-count sketch per
+   * group: hash every item with the portable 56-bit MD5, keep each
+   * group's k smallest DISTINCT hashes, and estimate distinct counts as
+   * (k−1)·2⁵⁶/h₍ₖ₎ — the classic order-statistics estimator, and (unlike
+   * HLL) a sketch whose state supports set-INTERSECTION estimates too.
+   * Groups with fewer than k distinct hashes report them exactly.
+   * Returns (group, n_exact, n_hashes, kmv_estimate) with the exact
+   * count beside the estimate (the sk2 audit convention).
+   *
+   * Shapes: one distinct on (group, hash) — hash collisions between
+   * distinct items merge, exactly as the estimator assumes — then a
+   * per-group bottom-k (window over the DISTINCT-hash frame; at 100 TB
+   * per-group distinct counts swap in a bottom-k typed aggregate, same
+   * output) and one keyed agg; the exact side is one countDistinct,
+   * joined with the shuffle_hash hint (post-agg no-stats rule).
+   * Portability: hashes are data-determined integers, the k-th minimum
+   * is exact, and the estimate is ONE double division on identical
+   * operands with the scale numerator embedded as a shared literal.
+   */
+  def kmvDistinct(items: DataFrame, itemCol: String, groupCols: Seq[String],
+      k: Int, salt: String = "kmv:"): DataFrame = {
+    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+    val group = groupCols.map(col)
+    val nonNull = items.where(col(itemCol).isNotNull)
+    val hashes = nonNull
+      .select(group :+ Sampling.hashValue(col(itemCol), salt).as("__h"): _*)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group: _*).orderBy(col("__h").asc)
+    val sketch = hashes
+      .withColumn("__r", row_number().over(w))
+      .groupBy(group: _*)
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("__r") === k, col("__h"))).as("__hk"))
+    val exact = nonNull.groupBy(group: _*)
+      .agg(countDistinct(col(itemCol)).as("n_exact"))
+    val est = when(col("n_hashes") < k, col("n_hashes").cast("double"))
+      .otherwise(lit(kmvScale(k)) / col("__hk").cast("double"))
+    exact.join(sketch.hint("shuffle_hash"), groupCols)
+      .withColumn("kmv_estimate", round(est, 6))
+      .drop("__hk")
+  }
+
+  /** The (k−1)·2⁵⁶ estimator numerator, computed once so the operator
+    * and any oracle generator embed the IDENTICAL double literal (the
+    * EWMA weight-ladder rule); exact for any sane k (k−1 < 2⁷). */
+  def kmvScale(k: Int): Double = (k - 1).toDouble * math.pow(2.0, 56)
+
+  /** [[kmvScale]] as a SQL double literal (shortest round-trip repr,
+    * e0-suffixed when bare). */
+  def kmvScaleLiteral(k: Int): String = {
+    val s = kmvScale(k).toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /**
    * P79 — exact heavy hitters via the classic two-pass shape: a
    * Misra–Gries pass per partition nominates candidates, an exact second
    * pass over only candidate rows verifies. Returns EXACTLY the items

@@ -249,6 +249,47 @@ object OlapQueries {
         .orderBy("event_type", "band")
     }),
 
+    // P114 — KMV bottom-16 distinct-user sketch per event type beside
+    // the exact count: portable MD5 hashes, exact k-th minimum, one
+    // shared estimator literal on both sides
+    "sk6_kmv" -> ((s, dir) => {
+      graft.operators.Sketches.kmvDistinct(
+          table(s, dir, "events"), "user_id", Seq("event_type"), k = 16)
+        .orderBy("event_type")
+    }),
+
+    // P115 — key-skew diagnostics over three prospective shuffle keys
+    // (dense user_id, 5-level event_type, near-unique value): share /
+    // Gini / entropy per column from one frequency agg each
+    "dq2_skew" -> ((s, dir) => {
+      graft.operators.Profiling.keySkew(
+          table(s, dir, "events"), Seq("user_id", "event_type", "value"),
+          topK = 10)
+        .orderBy("column")
+    }),
+
+    // P116 — snapshot CDC between two constructed order-table versions:
+    // old = keys %3≠0; new = keys %5≠0 with +1.00 on %7 totals (exact
+    // through DECIMAL) and a flipped %11 status — every class present
+    "dq3_cdc" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val prev = o.where(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus",
+          "o_orderpriority")
+      val next = o.where(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0,
+            (col("o_totalprice").cast("decimal(18,2)") +
+              lit(BigDecimal("1.00"))).cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_orderpriority"))
+      graft.operators.Profiling.cdcDiff(prev, next, "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
     // P107 — Pearson correlation matrix over the four lineitem
     // measures: all moment sums in ONE decimal-exact aggregate, pair
     // rows projected from the single 1-row frame
@@ -840,6 +881,113 @@ object OlapQueries {
         |  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // hashes replay Sampling.hashValue with the 'kmv:' salt; the
+    // estimator numerator literal is generated from Sketches.kmvScale
+    // so the sides cannot drift
+    "sk6_kmv" -> {
+      val scale = graft.operators.Sketches.kmvScaleLiteral(16)
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+         |                 FOR c IN string_split(
+         |                   substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+         |                          1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |  FROM h),
+         |a AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+         |         max(CASE WHEN rn = 16 THEN hv END) AS hk
+         |  FROM r GROUP BY 1),
+         |e AS (
+         |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT e.event_type, e.n_exact, a.n_hashes,
+         |  round(CASE WHEN a.n_hashes < 16 THEN CAST(a.n_hashes AS DOUBLE)
+         |        ELSE $scale / CAST(a.hk AS DOUBLE) END, 6) AS kmv_estimate
+         |FROM e JOIN a ON a.event_type = e.event_type
+         |ORDER BY e.event_type""".stripMargin
+    },
+
+    // per-column frequency frame replayed with the identical rank/total
+    // windows; Gini from the exact integer rank-weighted sum, entropy
+    // terms round at 9 and DECIMAL-sum (the libm firewall); generated
+    // per column from the operator's own column list
+    "dq2_skew" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS "column", n_rows, n_keys,
+           |  round(CAST(max_f AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS max_share,
+           |  round(CAST(top_f AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top_share,
+           |  round(2.0e0 * CAST(srf AS DOUBLE) /
+           |        (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) -
+           |        CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) AS gini,
+           |  round(CAST(ent AS DOUBLE), 6) AS entropy
+           |FROM (
+           |  SELECT CAST(MAX(nn) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |    CAST(MAX(f) AS BIGINT) AS max_f,
+           |    CAST(SUM(CASE WHEN rd <= 10 THEN f ELSE 0 END) AS BIGINT) AS top_f,
+           |    CAST(SUM(r * f) AS BIGINT) AS srf,
+           |    SUM(CAST(round(-(CAST(f AS DOUBLE) / CAST(nn AS DOUBLE)) *
+           |        ln(CAST(f AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+           |      AS DECIMAL(28,9))) AS ent
+           |  FROM (
+           |    SELECT f, k,
+           |      CAST(row_number() OVER (ORDER BY f ASC, k ASC) AS BIGINT) AS r,
+           |      CAST(row_number() OVER (ORDER BY f DESC, k DESC) AS BIGINT) AS rd,
+           |      CAST(SUM(f) OVER () AS BIGINT) AS nn
+           |    FROM (
+           |      SELECT coalesce(CAST($c AS VARCHAR), '') AS k,
+           |        CAST(COUNT(*) AS BIGINT) AS f
+           |      FROM events GROUP BY 1)))""".stripMargin
+      Seq("user_id", "event_type", "value").map(block)
+        .mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+    },
+
+    // full-outer on the key, null-safe IS DISTINCT FROM change tests,
+    // changed column names joined in declaration order; +1.00 replayed
+    // through DECIMAL so both engines see identical doubles
+    "dq3_cdc" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |                   CAST(1.00 AS DECIMAL(18,2)) AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |j AS (
+        |  SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+        |    o.o_totalprice AS otp, n.o_totalprice AS ntp,
+        |    o.o_orderstatus AS ost, n.o_orderstatus AS nst,
+        |    o.o_orderpriority AS opr, n.o_orderpriority AS npr
+        |  FROM o FULL OUTER JOIN n ON n.o_orderkey = o.o_orderkey),
+        |c AS (
+        |  SELECT coalesce(ko, kn) AS o_orderkey,
+        |    CASE WHEN kn IS NULL THEN 'removed'
+        |         WHEN ko IS NULL THEN 'added'
+        |         WHEN (otp IS DISTINCT FROM ntp) OR (ost IS DISTINCT FROM nst)
+        |              OR (opr IS DISTINCT FROM npr) THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type,
+        |    concat_ws(',',
+        |      CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END,
+        |      CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
+        |      CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END)
+        |      AS cc
+        |  FROM j)
+        |SELECT o_orderkey, change_type,
+        |  CASE WHEN change_type = 'changed' THEN cc ELSE '' END AS changed_cols
+        |FROM c WHERE change_type <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // moment names and the r formula are generated from the operator's
     // own column list so the sides cannot drift; products at (19,6)

@@ -32,4 +32,51 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getDouble(14) == 0.333333)    // 1 distinct / 3 distinct
     assert(r.getDouble(15) == 3.0)         // |2 - 5|
   }
+
+  test("keySkew: shares, Gini and entropy from the frequency frame") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val r = Profiling.keySkew(df, Seq("k"), topK = 1).collect().head
+    // columns: column, n_rows, n_keys, max_share, top_share, gini, entropy
+    assert(r.getString(0) == "k" && r.getLong(1) == 6L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.5)          // a = 3/6
+    assert(r.getDouble(4) == 0.5)          // top-1 share = heaviest key
+    // freqs asc (1,2,3): G = 2·(1+4+9)/(3·6) − 4/3 = 0.222222
+    assert(r.getDouble(5) == 0.222222)
+    // −Σ p·ln p with 9-rounded terms: .346573590+.366204096+.298626578
+    assert(r.getDouble(6) == 1.011404)
+    // uniform distribution: gini → (n−1)/(3n)-free zero-skew baseline
+    val uni = Seq("a", "b", "c").toDF("k")
+    val u = Profiling.keySkew(uni, Seq("k")).collect().head
+    assert(u.getDouble(5) == 0.0 && u.getDouble(3) == 0.333333)
+    // null keys coalesce to '' and count as a key
+    val n = Profiling.keySkew(Seq(Some("x"), None).toDF("k"), Seq("k"))
+      .collect().head
+    assert(n.getLong(2) == 2L)
+    intercept[IllegalArgumentException](Profiling.keySkew(df, Nil))
+    intercept[IllegalArgumentException](Profiling.keySkew(df, Seq("zz")))
+    intercept[IllegalArgumentException](Profiling.keySkew(df, Seq("k"), 0))
+  }
+
+  test("cdcDiff: added/removed/changed with null-safe column lists") {
+    val prev = Seq(
+      (1L, Some("v1"), "s1"), (2L, Some("same"), "s2"),
+      (3L, Some("old"), "s3"), (4L, Some("old"), "oldS"),
+      (6L, Option.empty[String], "s6"))
+      .toDF("id", "c1", "c2")
+    val next = Seq(
+      (2L, Some("same"), "s2"), (3L, Some("new"), "s3"),
+      (4L, Some("new"), "newS"), (5L, Some("v5"), "s5"),
+      (6L, Some("filled"), "s6"))
+      .toDF("id", "c1", "c2")
+    val got = Profiling.cdcDiff(prev, next, "id", Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got == Map(
+      1L -> (("removed", "")),
+      3L -> (("changed", "c1")),
+      4L -> (("changed", "c1,c2")),
+      5L -> (("added", "")),
+      6L -> (("changed", "c1"))))          // null → value IS a change
+    intercept[IllegalArgumentException](Profiling.cdcDiff(prev, next, "id", Nil))
+  }
 }

@@ -188,4 +188,27 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.heavyHitters(tail, "item", k = 4).count() == 0)
     intercept[IllegalArgumentException](Sketches.heavyHitters(bnd, "item", 1))
   }
+
+  test("kmvDistinct: exact below k, order-statistics estimate at k") {
+    val items = (Seq("x", "y", "z", "w", "v", "x", "x").map(("a", _)) ++
+      Seq(("b", "q"), ("b", "r"), ("b", "q")) ++
+      Seq(("c", null))).toDF("g", "item")
+    val got = Sketches.kmvDistinct(items, "item", Seq("g"), k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // null-only group vanishes entirely (no non-null items)
+    assert(got.keySet == Set("a", "b"))
+    // below k: the estimate IS the distinct-hash count
+    assert(got("b") == ((2L, 2L, 2.0)))
+    // at k: (k−1)·2^56 / h_(k), h_(k) replayed through the same hash
+    val (nExact, nHashes, est) = got("a")
+    assert(nExact == 5L && nHashes == 5L)
+    val h3 = items.where($"g" === "a")
+      .select(Sampling.hashValue($"item", "kmv:").as("h"))
+      .distinct().orderBy($"h").collect().map(_.getLong(0)).apply(2)
+    assert(est == BigDecimal(Sketches.kmvScale(3) / h3.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    intercept[IllegalArgumentException](
+      Sketches.kmvDistinct(items, "item", Seq("g"), k = 1))
+  }
 }
