@@ -806,4 +806,55 @@ object Dedup {
           .otherwise(col("n_contaminated").cast("double") / col("n_ngrams")))
       .withColumn("flagged", col("contamination") >= lit(flagThreshold))
   }
+
+  /**
+   * P119 — MOSS-style overlap pairs from winnow fingerprints: document
+   * pairs sharing ≥ `minShared` [[TextAnalysis.winnowFingerprints]]
+   * values, scored overlap = shared / min(|fpᵢ|, |fpⱼ|) — the
+   * containment-flavored plagiarism/boilerplate detector that catches
+   * partial-copy inclusion (a prefix excerpt scores ~1 against its
+   * source) where whole-document Jaccard dilutes away.
+   *
+   * Shape: fingerprints explode once; fingerprints occurring in more
+   * than `maxFpFreq` documents are dropped from MATCHING (the q-gram
+   * stop-gram cap — corpus-boilerplate shingles otherwise make the
+   * self-join quadratic) but still count toward each document's size, so
+   * boilerplate can't manufacture overlap evidence. Equi self-join on
+   * the fingerprint value, pair agg, two size joins — all shuffle_hash
+   * (post-agg no-stats rule). Exact integer counts; one division,
+   * rounded at 6.
+   */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, window: Int, minShared: Long,
+      maxFpFreq: Long = 1000L): DataFrame = {
+    require(minShared >= 1L,
+      s"winnowOverlapPairs: minShared must be >= 1, got $minShared")
+    require(maxFpFreq >= 1L,
+      s"winnowOverlapPairs: maxFpFreq must be >= 1, got $maxFpFreq")
+    val fps = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.winnowFingerprints(col(textCol), k, window))
+        .as("fp"))
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("sz"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxFpFreq).select("fp")
+    val kept = fps.join(rare.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    // explicit renamed projections: a .as-alias self-join downstream of
+    // the semi join resolves both `id` refs to one side (reversed pairs)
+    val lhs = kept.select(col("id").as("__ia"), col("fp"))
+    val rhs = kept.select(col("id").as("__jb"), col("fp"))
+    lhs.join(rhs.hint("shuffle_hash"), Seq("fp"))
+      .where(col("__ia") < col("__jb"))
+      .groupBy(col("__ia").as("i"), col("__jb").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .join(sizes.select(col("id").as("i"), col("sz").as("si"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("sz").as("sj"))
+        .hint("shuffle_hash"), Seq("j"))
+      .withColumn("overlap",
+        round(col("shared").cast("double") /
+          least(col("si"), col("sj")).cast("double"), 6))
+      // using-joins float their key to the front — pin the column order
+      .select("i", "j", "shared", "si", "sj", "overlap")
+  }
 }

@@ -715,4 +715,43 @@ object TextAnalysis {
           ((col("c_a").cast("double") / nTok) * (col("c_b").cast("double") / nTok)))
           .as("pmi"))
   }
+
+  /**
+   * P118 — Jensen–Shannon divergence between two corpora's token
+   * OCCURRENCE distributions: jsd = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m) with
+   * m = ½(p+q) — the symmetric, bounded ([0, ln 2]) distribution-shift
+   * measure a pipeline runs between train and validation splits (or two
+   * crawl snapshots) to catch vocabulary drift BEFORE a model does.
+   * Returns ONE row: (n_a, n_b, n_vocab, jsd).
+   *
+   * Shape: two map-side-combinable token aggs, one full-outer token join
+   * (shuffle_hash — two post-agg no-stats sides, the dq3 rule), one
+   * scalar totals broadcast, one closing agg. Portability: probabilities
+   * are double divisions of exact counts on identical operands; each
+   * ln term rounds at 9 and DECIMAL-sums (the libm firewall); the two
+   * halves combine as one fixed double sequence rounded at 6.
+   */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(out))
+    val joined = counts(a, "__ca")
+      .join(counts(b, "__cb").hint("shuffle_hash"), Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("__ca"), lit(0L)).as("ca"),
+        coalesce(col("__cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val p = col("ca").cast("double") / col("n_a").cast("double")
+    val q = col("cb").cast("double") / col("n_b").cast("double")
+    val m = lit(0.5) * (p + q)
+    joined.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        when(col("ca") > 0, round(p * log(p / m), 9)).otherwise(lit(0.0))
+          .cast("decimal(28,9)").as("__tp"),
+        when(col("cb") > 0, round(q * log(q / m), 9)).otherwise(lit(0.0))
+          .cast("decimal(28,9)").as("__tq"))
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_vocab"),
+        round(lit(0.5) * sum(col("__tp")).cast("double") +
+          lit(0.5) * sum(col("__tq")).cast("double"), 6).as("jsd"))
+  }
 }

@@ -197,6 +197,20 @@ object DedupQueries {
         .repartition(1).sortWithinPartitions("new_id", "ref_id")
     }),
 
+    // P119 — MOSS-style winnow-overlap pairs: base corpus (%10 docs)
+    // plus 150-char excerpts (shifted ids) — excerpts score overlap ≈ 1
+    // against their sources (fps(prefix) ⊆ fps(full)); the stop-shingle
+    // cap (40) drops corpus-boilerplate fingerprints from matching
+    "d17_winnow_pairs" -> ((s, dir) => {
+      val base = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val excerpts = base.select((col("doc_id") + 5000).as("doc_id"),
+        substring(col("text"), 1, 150).as("text"))
+      Dedup.winnowOverlapPairs(base.union(excerpts), "doc_id", "text",
+          k = 5, window = 4, minShared = 2, maxFpFreq = 40)
+        .orderBy("i", "j")
+    }),
+
     // SimHash near-dups with the engine-portable MD5-derived token hash:
     // banding with bands > maxDistance is pigeonhole-lossless, so the output
     // is EXACTLY the all-pairs hamming≤3 set — which the DuckDB oracle
@@ -560,6 +574,43 @@ object DedupQueries {
         |             JOIN rsz b ON b.ref_id = p.ref_id
         |WHERE CAST(inter AS DOUBLE) / (a.sz + b.sz - inter) >= 0.9e0
         |ORDER BY p.new_id, p.ref_id""".stripMargin,
+
+    // the t7 winnow replay (same rolling-hash fold and window minima)
+    // over the constructed corpus, then the cap / pair / size sequence
+    "d17_winnow_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000, substr(text, 1, 150)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |docs AS (SELECT doc_id, lower(trim(text)) AS t FROM corpus),
+        |hs AS (
+        |  SELECT doc_id,
+        |    [list_reduce([CAST(ascii(c2) AS BIGINT)
+        |                  FOR c2 IN string_split(substr(t, CAST(i AS INT), 5), '')],
+        |       (acc, x) -> (acc * 31 + x) % 2147483647)
+        |     FOR i IN range(1, greatest(length(t) - 4, 1) + 1)] AS h
+        |  FROM docs),
+        |wins AS (
+        |  SELECT doc_id,
+        |    [list_min(h[CAST(i AS INT):CAST(i + 3 AS INT)])
+        |     FOR i IN range(1, greatest(len(h) - 3, 1) + 1)] AS fps
+        |  FROM hs),
+        |fp AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM fp GROUP BY 1),
+        |rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM fp GROUP BY 1)
+        |         WHERE n <= 40),
+        |kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r ON r.fp = f.fp),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.i, p.j, p.shared, si.sz AS si, sj.sz AS sj,
+        |  round(CAST(p.shared AS DOUBLE) /
+        |        CAST(least(si.sz, sj.sz) AS DOUBLE), 6) AS overlap
+        |FROM pairs p JOIN sz si ON si.doc_id = p.i
+        |             JOIN sz sj ON sj.doc_id = p.j
+        |ORDER BY p.i, p.j""".stripMargin,
 
     // d6 recomputes the 56-bit MD5-derived simhash per document in SQL and
     // takes ALL pairs at hamming ≤ 3 — equality with the Spark side holds

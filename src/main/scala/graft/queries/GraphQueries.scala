@@ -33,6 +33,22 @@ object GraphQueries {
       graft.operators.Graph.pageRank(edges, "src", "dst",
           dampingPct = 85, iters = 3)
         .orderBy("v")
+    }),
+
+    // P117 — per-node triangle counts over the same part co-purchase
+    // graph: degree-ordered wedge enumeration closed by a semi-join; the
+    // oracle counts the identical triangles by plain id-order three-way
+    // join, proving the orientation is an identity
+    "gr2_triangles" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val edges = a.join(b, Seq("ok"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .orderBy("node")
     })
   )
 
@@ -73,6 +89,26 @@ object GraphQueries {
          |${prIter("pr2", "pr3")}
          |SELECT v, fp AS pr_fp,
          |  CAST(fp AS DOUBLE) / 1000000000000.0e0 AS pr
-         |FROM pr3 ORDER BY v""".stripMargin
+         |FROM pr3 ORDER BY v""".stripMargin,
+
+    // id-ordered canonical triangle enumeration (u < v < w, three-way
+    // join) — independent of the operator's degree orientation, same set
+    "gr2_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT a AS node FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

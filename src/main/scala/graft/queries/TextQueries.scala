@@ -249,6 +249,16 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     }),
 
+    // P118 — Jensen-Shannon divergence between the even- and odd-id
+    // halves of the corpus token distributions: 9-rounded decimal-summed
+    // ln terms, one full-outer vocabulary join, one scalar totals row
+    "t18_jsd" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      TextAnalysis.jsDivergence(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1), "text")
+    }),
+
     // P41 — corpus mixing: domains web/books/code (doc_id % 3) to a
     // 1/2 : 1/4 : 1/4 target mix; equal-sized domains make books/code the
     // binding constraint. Binary-exact weights keep every quota boundary
@@ -974,6 +984,50 @@ object TextQueries {
         |  FROM hs)
         |SELECT doc_id, UNNEST(list_sort(list_distinct(fps))) AS fp
         |FROM wins ORDER BY doc_id, fp""".stripMargin,
+
+    // identical p/q/m parenthesization and the 9-round + DECIMAL-sum
+    // firewall on each ln term; n_a/n_b ride every term row, MIN'd at
+    // the end (they are constant)
+    "t18_jsd" ->
+      """WITH ta AS (
+        |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS rca FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        |    FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+        |tb AS (
+        |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS rcb FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(coalesce(rca, 0) AS BIGINT) AS ca,
+        |         CAST(coalesce(rcb, 0) AS BIGINT) AS cb
+        |  FROM ta FULL OUTER JOIN tb ON tb.token = ta.token),
+        |tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+        |  FROM j),
+        |terms AS (
+        |  SELECT n_a, n_b,
+        |    CASE WHEN ca > 0 THEN CAST(round(
+        |      (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)) *
+        |      ln((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+        |         (0.5e0 * (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |                   CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)))), 9)
+        |      AS DECIMAL(28,9))
+        |    ELSE CAST(0 AS DECIMAL(28,9)) END AS tp,
+        |    CASE WHEN cb > 0 THEN CAST(round(
+        |      (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+        |      ln((CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |         (0.5e0 * (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |                   CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)))), 9)
+        |      AS DECIMAL(28,9))
+        |    ELSE CAST(0 AS DECIMAL(28,9)) END AS tq
+        |  FROM j CROSS JOIN tot)
+        |SELECT CAST(MIN(n_a) AS BIGINT) AS n_a, CAST(MIN(n_b) AS BIGINT) AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |  round(0.5e0 * CAST(SUM(tp) AS DOUBLE) +
+        |        0.5e0 * CAST(SUM(tq) AS DOUBLE), 6) AS jsd
+        |FROM terms""".stripMargin,
 
     "t6_tfidf" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

@@ -444,4 +444,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((40L, 1L), (41L, 1L)))
   }
+
+  test("winnowOverlapPairs: containment scoring, prefix inclusion, stop cap") {
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, textA),
+      (2L, textA),                       // exact copy: overlap 1
+      (3L, textA.substring(0, 24)),      // prefix: fps(3) ⊆ fps(1) → overlap 1
+      (4L, "zzzz qqqq wwww kkkk mmmm"))  // disjoint alphabet: no pairs
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 2, maxFpFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val (s12, si12, sj12, o12) = got((1L, 2L))
+    assert(o12 == 1.0 && s12 == si12 && si12 == sj12)
+    assert(got((1L, 3L))._4 == 1.0)      // prefix containment scores 1
+    assert(got((2L, 3L))._4 == 1.0)
+    // cap 2: every fingerprint of the identical trio occurs 3 times →
+    // dropped from matching → no pairs survive minShared
+    val trio = Seq((1L, textA), (2L, textA), (3L, textA)).toDF("doc_id", "text")
+    assert(Dedup.winnowOverlapPairs(trio, "doc_id", "text", 5, 4, 2L, 2L)
+      .count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.winnowOverlapPairs(docs, "doc_id", "text", 5, 4, 0L))
+    intercept[IllegalArgumentException](
+      Dedup.winnowOverlapPairs(docs, "doc_id", "text", 5, 4, 2L, 0L))
+  }
 }

@@ -47,4 +47,27 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(edges, "s", "d", dampingPct = 100))
   }
+
+  test("triangleCounts: each triangle once per node, junk edges ignored") {
+    // K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}; plus noise —
+    // a duplicate reversed edge, a self-loop, and a triangle-free edge
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (2L, 1L),           // reverse duplicate of (1,2)
+      (5L, 5L),           // self-loop: dropped
+      (6L, 7L))           // no triangle: nodes absent from output
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // a clique counts C(n-1, 2) per node: K4 complete → 3 each
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val full = Graph.triangleCounts(k4, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle-free graph → empty output
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.triangleCounts(path, "s", "d").count() == 0)
+  }
 }

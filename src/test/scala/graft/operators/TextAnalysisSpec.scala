@@ -452,4 +452,22 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.qldTopK(docs, "doc_id", "text", Seq("a"), 5, mu = 0.0))
   }
+
+  test("jsDivergence: zero on identical, ln 2 on disjoint, textbook value") {
+    val a = Seq("x y z", "x x").toDF("text")
+    val same = TextAnalysis.jsDivergence(a, a, "text").head
+    // columns: n_a, n_b, n_vocab, jsd
+    assert(same.getLong(0) == 5L && same.getLong(1) == 5L)
+    assert(same.getLong(2) == 3L && same.getDouble(3) == 0.0)
+    // disjoint vocabularies: jsd = ln 2 exactly (every term is p·ln 2)
+    val b = Seq("q r", "q").toDF("text")
+    val far = TextAnalysis.jsDivergence(a, b, "text").head
+    assert(far.getLong(2) == 5L && far.getDouble(3) == 0.693147)
+    // hand case: P = (2/3, 1/3), Q = (1/3, 2/3) over {x, y} →
+    // jsd = (2/3)ln(4/3) + (1/3)ln(2/3) with 9-rounded terms = 0.056633
+    val pa = Seq("x x y").toDF("text")
+    val pb = Seq("x y y").toDF("text")
+    assert(TextAnalysis.jsDivergence(pa, pb, "text").head.getDouble(3)
+      == 0.056633)
+  }
 }
