@@ -308,4 +308,35 @@ object Multimodal {
       .withColumn("ph", least(p, col(heightCol) - col("y0")))
       .drop("__nx", "__ny", "__pid")
   }
+
+  /**
+   * P122 — fixed-hop analysis-frame enumeration for audio/video: one
+   * row per `hop`-strided window of each media item's sample axis —
+   * the 1-D cousin of [[patchGrid]], and the framing plumbing an
+   * audio-training pipeline runs between demux and per-frame feature
+   * extraction (the decode itself stays behind the stub codec, like
+   * every multimodal op here). Frames start at f·hop for every start
+   * inside the item; tail frames clamp to the remaining samples
+   * (`flen` < `frameLen`). `t0_ms` = start·1000 div rate — exact
+   * integer milliseconds, no float time axis.
+   *
+   * Pure integer projection + one bounded generator explode — narrow,
+   * codegen'd, no shuffle. Items with null/non-positive length or rate
+   * are dropped (no sample axis to frame).
+   */
+  def frameSample(df: DataFrame, idCol: String, nSamplesCol: String,
+      rateCol: String, frameLen: Int, hop: Int): DataFrame = {
+    require(frameLen >= 1, s"frameSample: frameLen must be >= 1, got $frameLen")
+    require(hop >= 1, s"frameSample: hop must be >= 1, got $hop")
+    val d = df.where(col(nSamplesCol).isNotNull && col(rateCol).isNotNull &&
+      col(nSamplesCol) > 0 && col(rateCol) > 0)
+    d.select(col("*"),
+        explode(sequence(lit(0L),
+          expr(s"(`$nSamplesCol` + ${hop - 1}) div $hop") - 1)).as("frame_idx"))
+      .withColumn("start_sample", col("frame_idx") * hop)
+      .withColumn("flen",
+        least(lit(frameLen.toLong), col(nSamplesCol) - col("start_sample")))
+      .withColumn("t0_ms",
+        expr(s"(start_sample * 1000) div `$rateCol`"))
+  }
 }

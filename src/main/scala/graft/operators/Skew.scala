@@ -99,4 +99,54 @@ object Skew {
       .join(dim.where(!col(key).isin(hotKeys: _*) || col(key).isNull), key)
     hot.unionByName(cold)
   }
+
+  /**
+   * P120 — range-partition boundary planner with a balance audit: what
+   * Spark's RangePartitioner does internally (sample, take quantile
+   * cutoffs), surfaced as a deterministic operator — sample rows by the
+   * portable hash draw ([[Sampling.uniform01]] ≤ `samplePct`, so the
+   * sample is a function of the DATA, not of partitioning or RNG), take
+   * the (i/n)-quantile cutoffs of `keyCol` over the sample (exact R-7 —
+   * one sorted buffer over the sample only, the o5 shape), then audit
+   * the plan by bucketing the FULL table against the broadcast cutoffs
+   * (ties land low — the quantileScores rule). Returns one row per
+   * planned partition: (part, lo, hi, n_rows) with lo/hi the bounding
+   * cutoffs (null at the ends, rounded at 4 for the report; bucketing
+   * uses the unrounded doubles).
+   *
+   * Cross-engine: cutoffs are R-7 interpolations on identical sorted
+   * sample operands; every full-table comparison is a strict `>`
+   * against a cutoff BOTH engines computed identically, so ulp slack
+   * cannot flip a row (the o9/q10 argument). Choose binary-exact
+   * `samplePct` values (0.25, 0.5) so the sample-membership compare is
+   * exact too.
+   */
+  def rangeBoundaries(df: DataFrame, keyCol: String, sampleKey: Column,
+      numPartitions: Int, samplePct: Double): DataFrame = {
+    require(numPartitions >= 2,
+      s"rangeBoundaries: numPartitions must be >= 2, got $numPartitions")
+    require(samplePct > 0 && samplePct <= 1,
+      s"rangeBoundaries: samplePct must be in (0,1], got $samplePct")
+    val fracs = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val cuts = df
+      .where(col(keyCol).isNotNull &&
+        Sampling.uniform01(sampleKey, "rb:") <= samplePct)
+      .agg(expr(s"percentile(`$keyCol`, array(${fracs.mkString(", ")}))")
+        .as("__cuts"))
+    val bucket = fracs.indices
+      .map(i => when(col(keyCol) > element_at(col("__cuts"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    df.where(col(keyCol).isNotNull)
+      .join(broadcast(cuts)) // 1-row scalar side
+      .groupBy(bucket.cast("int").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("__cuts")).as("__c"))
+      .select(col("part"),
+        when(col("part") > 0, round(element_at(col("__c"), col("part")), 4))
+          .as("lo"),
+        when(col("part") < numPartitions - 1,
+          round(element_at(col("__c"), col("part") + 1), 4)).as("hi"),
+        col("n_rows"))
+  }
 }

@@ -454,6 +454,49 @@ object TimeSeries {
   }
 
   /**
+   * P121 — lag-k autocorrelation per key: Pearson r between each
+   * series' (x_t, x_{t−lag}) pairs in (ts, tie) order — the
+   * periodicity/persistence probe run before seasonal modeling, and the
+   * repetition detector for metric streams (a bot's heartbeat
+   * autocorrelates; organic traffic doesn't). Returns (key, n, acf)
+   * with n the pair count; keys with < 2 pairs or zero variance on
+   * either margin null out (the o11 degenerate rule).
+   *
+   * Shape: ONE keyed window shuffle for the lag, then a map-side-
+   * combinable per-key moment agg — the o11 OLS discipline (values cast
+   * DECIMAL(18,6), products (19,6), all five sums exact) closed by a
+   * fixed double sequence per key.
+   */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, lag: Int): DataFrame = {
+    require(lag >= 1, s"autocorrelation: lag must be >= 1, got $lag")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val paired = df
+      .withColumn("__x", org.apache.spark.sql.functions.lag(col(valueCol), lag).over(w))
+      .where(col("__x").isNotNull && col(valueCol).isNotNull)
+    val dx = col("__x").cast("decimal(18,6)")
+    val dy = col(valueCol).cast("decimal(18,6)")
+    val dx19 = col("__x").cast("decimal(19,6)")
+    val dy19 = col(valueCol).cast("decimal(19,6)")
+    val sums = paired.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("__sx"),
+        sum(dy).cast("double").as("__sy"),
+        sum(dx19 * dy19).cast("double").as("__sxy"),
+        sum(dx19 * dx19).cast("double").as("__sxx"),
+        sum(dy19 * dy19).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val denx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nd * col("__syy") - col("__sy") * col("__sy")
+    sums
+      .withColumn("acf", when(denx > 0 && deny > 0,
+        round(num / (sqrt(denx) * sqrt(deny)), 6)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /**
    * P81 — first-order Markov transition matrix over per-key event
    * sequences: count every adjacent (state → next state) pair in each
    * key's (ts, tie)-ordered history and emit row-normalized transition

@@ -64,6 +64,22 @@ object MultimodalQueries {
         .orderBy("media_id", "patch_row", "patch_col")
     }),
 
+    // P122 — fixed-hop frame enumeration over a fake audio corpus
+    // (n_samples = 100x byte count, rate cycles 8/12/16 kHz): clamped
+    // tails, exact integer millisecond timeline
+    "mm5_frames" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("media_id"),
+          (octet_length(col("text")).cast("long") * 100).as("n_samples"),
+          (lit(8000L) + pmod(col("doc_id"), lit(3)) * 4000L).as("rate"))
+      Multimodal.frameSample(d, "media_id", "n_samples", "rate",
+          frameLen = 2048, hop = 1024)
+        .select("media_id", "n_samples", "rate", "frame_idx",
+          "start_sample", "flen", "t0_ms")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // batched stub decode + feature extraction (deterministic fake codec);
     // batch_ok is layout-independent (every batch is 1..batchSize rows)
     // where the raw batch_size is not (the tail batch of each partition
@@ -88,6 +104,24 @@ object MultimodalQueries {
 
     // same stub geometry, grid arithmetic all-BIGINT; unnest(range(...))
     // expands the per-item tile ids
+    // the mm4 geometry-replay pattern in 1-D: same octet_length(encode)
+    // byte count, integer division framing, `//` ≡ Spark's div
+    "mm5_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) * 100 AS n_samples,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT media_id, n_samples, rate,
+        |    unnest(range(0, (n_samples + 1023) // 1024)) AS frame_idx
+        |  FROM m WHERE n_samples > 0 AND rate > 0)
+        |SELECT media_id, n_samples, rate, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 1024 AS BIGINT) AS start_sample,
+        |  CAST(least(2048, n_samples - frame_idx * 1024) AS BIGINT) AS flen,
+        |  CAST((frame_idx * 1024 * 1000) // rate AS BIGINT) AS t0_ms
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
     "mm4_patches" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id,

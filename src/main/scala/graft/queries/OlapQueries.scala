@@ -249,6 +249,27 @@ object OlapQueries {
         .orderBy("event_type", "band")
     }),
 
+    // P121 — lag-1 autocorrelation of each event type's value series:
+    // one keyed lag window, decimal-exact moment sums, the o11 closing
+    // double sequence
+    "o21_autocorr" -> ((s, dir) => {
+      graft.operators.TimeSeries.autocorrelation(
+          graft.Graft.events(s, dir), "event_type", "ts", "event_id",
+          "value", lag = 1)
+        .orderBy("event_type")
+    }),
+
+    // P120 — 8-way range-partition plan for lineitem prices from a 25%
+    // portable-hash sample, audited by bucketing the full table against
+    // the broadcast cutoffs (ties land low)
+    "z3_boundaries" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      graft.operators.Skew.rangeBoundaries(li, "l_extendedprice",
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+          numPartitions = 8, samplePct = 0.25)
+        .orderBy("part")
+    }),
+
     // P114 — KMV bottom-16 distinct-user sketch per event type beside
     // the exact count: portable MD5 hashes, exact k-th minimum, one
     // shared estimator literal on both sides
@@ -881,6 +902,78 @@ object OlapQueries {
         |  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the o11 moment-cast pattern over lag pairs; the acf formula
+    // mirrors the operator's parenthesization op for op
+    "o21_autocorr" ->
+      """WITH p AS (
+        |  SELECT event_type, value AS y,
+        |    lag(value, 1) OVER (PARTITION BY event_type
+        |                        ORDER BY ts, event_id) AS x
+        |  FROM events),
+        |f AS (SELECT event_type, x, y FROM p
+        |      WHERE x IS NOT NULL AND y IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        |        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+        |       THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |         (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |          sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS acf
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // sample membership replays uniform01 (md5 + 1 over 2^56 — the sa8
+    // idiom) with the binary-exact 0.25 compare; cutoffs via
+    // quantile_cont on the identical sample (o5 R-7 parity); strict->
+    // bucketing with ties low (the q10 rule)
+    "z3_boundaries" ->
+      """WITH keyed AS (
+        |  SELECT l_extendedprice AS k,
+        |    CAST(l_orderkey AS VARCHAR) || '_' ||
+        |      CAST(l_linenumber AS VARCHAR) AS sk
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |samp AS (
+        |  SELECT k FROM (
+        |    SELECT k,
+        |      CAST(list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                        FOR c IN string_split(
+        |                          substr(md5('rb:' || sk), 1, 14), '')],
+        |        (acc, x) -> acc * 16 + x) + 1 AS DOUBLE)
+        |        / 72057594037927936.0e0 AS u
+        |    FROM keyed)
+        |  WHERE u <= 0.25e0),
+        |cuts AS (
+        |  SELECT quantile_cont(k, [0.125e0, 0.25e0, 0.375e0, 0.5e0,
+        |                           0.625e0, 0.75e0, 0.875e0]) AS c
+        |  FROM samp),
+        |b AS (
+        |  SELECT
+        |    (CASE WHEN k > c[1] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN k > c[2] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN k > c[3] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN k > c[4] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN k > c[5] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN k > c[6] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN k > c[7] THEN 1 ELSE 0 END) AS part
+        |  FROM keyed CROSS JOIN cuts),
+        |g AS (SELECT CAST(part AS INT) AS part, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |      FROM b GROUP BY 1)
+        |SELECT g.part,
+        |  CASE WHEN g.part > 0 THEN round(c[g.part], 4) END AS lo,
+        |  CASE WHEN g.part < 7 THEN round(c[g.part + 1], 4) END AS hi,
+        |  g.n_rows
+        |FROM g CROSS JOIN cuts ORDER BY g.part""".stripMargin,
 
     // hashes replay Sampling.hashValue with the 'kmv:' salt; the
     // estimator numerator literal is generated from Sketches.kmvScale

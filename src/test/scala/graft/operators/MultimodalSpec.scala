@@ -207,4 +207,29 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.patchGrid(dims, "id", "w", "h", patch = 0))
   }
+
+  test("frameSample: hop grid, clamped tail, integer ms, junk dropped") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Some(3000L), Some(1000L)),   // 3 frames, tail clamps to 952
+      (2L, Some(100L), Some(8000L)),    // single short frame
+      (3L, Some(0L), Some(8000L)),      // zero samples: dropped
+      (4L, Option.empty[Long], Some(8000L)),
+      (5L, Some(4096L), Option.empty[Long]))
+      .toDF("id", "n", "rate")
+    val got = Multimodal.frameSample(media, "id", "n", "rate",
+        frameLen = 2048, hop = 1024)
+      .select("id", "frame_idx", "start_sample", "flen", "t0_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(got((1L, 0L)) == ((0L, 2048L, 0L)))
+    assert(got((1L, 1L)) == ((1024L, 1976L, 1024L)))   // clamp: 3000−1024
+    assert(got((1L, 2L)) == ((2048L, 952L, 2048L)))
+    assert(got((2L, 0L)) == ((0L, 100L, 0L)))
+    intercept[IllegalArgumentException](
+      Multimodal.frameSample(media, "id", "n", "rate", 0, 1))
+    intercept[IllegalArgumentException](
+      Multimodal.frameSample(media, "id", "n", "rate", 2048, 0))
+  }
 }

@@ -98,6 +98,33 @@ class SkewSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact <= 0.15,
       s"approx=$approx vs exact=$exact drifted beyond 15%")
   }
+
+  test("rangeBoundaries: R-7 cutoffs at full sample, ties low, end nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // samplePct 1.0 → the sample IS the table; keys 1..8 into 4 parts:
+    // cutoffs q(.25)=2.75, q(.5)=4.5, q(.75)=6.25 → 2 rows per part
+    val df = (1L to 8L).map(i => (i, i.toDouble)).toDF("id", "k")
+    val got = Skew.rangeBoundaries(df, "k", col("id"), numPartitions = 4,
+        samplePct = 1.0)
+      .collect().map(r => r.getInt(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(got == Map(
+      0 -> ((None, Some(2.75), 2L)),
+      1 -> ((Some(2.75), Some(4.5), 2L)),
+      2 -> ((Some(4.5), Some(6.25), 2L)),
+      3 -> ((Some(6.25), None, 2L))))
+    // a value exactly AT a cutoff lands in the lower part (strict >)
+    val ties = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 2.0))
+      .toDF("id", "k")
+    val t = Skew.rangeBoundaries(ties, "k", col("id"), 2, 1.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(t == Map(0 -> 3L, 1 -> 1L)) // median 1.0; the three 1.0s land low
+    intercept[IllegalArgumentException](
+      Skew.rangeBoundaries(df, "k", col("id"), 1, 1.0))
+    intercept[IllegalArgumentException](
+      Skew.rangeBoundaries(df, "k", col("id"), 4, 0.0))
+  }
 }
 
 /** G4 generated domains materialize and validate. */

@@ -272,6 +272,25 @@ class TimeSeriesSpec extends SparkSpec {
         BigDecimal(10), BigDecimal(0)))
   }
 
+  test("autocorrelation: ±1 on perfect lag relations, degenerate nulls") {
+    val ev = (
+      (1 to 5).map(i => (1L, ts(i), i * 10L, i.toDouble)) ++      // linear → 1
+      (1 to 4).map(i => (2L, ts(i), 20L + i, 7.0)) ++             // constant → null
+      (1 to 4).map(i => (3L, ts(i), 30L + i,
+        if (i % 2 == 0) 1.0 else -1.0)) ++                        // alternating → −1
+      Seq((4L, ts(1), 40L, 5.0)))                                 // 1 row: no pairs
+      .toDF("k", "t", "event_id", "v")
+    val got = TimeSeries.autocorrelation(ev, "k", "t", "event_id", "v", lag = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((4L, Some(1.0))))
+    assert(got(2L) == ((3L, None)))
+    assert(got(3L) == ((3L, Some(-1.0))))
+    intercept[IllegalArgumentException](
+      TimeSeries.autocorrelation(ev, "k", "t", "event_id", "v", 0))
+  }
+
   test("resampleFfill: full grid, in-bucket last wins, ignore-null fill") {
     val ev = Seq(
       // bucket 0 has two events — the later (t3) value is the cell's obs
