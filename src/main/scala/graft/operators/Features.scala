@@ -449,6 +449,44 @@ object Features {
   }
 
   /**
+   * P125 — CUPED adjustment (Deng et al.): reduce an experiment
+   * metric's variance with a pre-period covariate, y_cuped = y −
+   * θ·(x − μₓ) with θ = cov(x,y)/var(x) — the standard A/B-testing
+   * variance-reduction transform (same mean, strictly less variance
+   * when x correlates). Input is one row per unit with pre-metric `x`
+   * and post-metric `y`; adds `theta` (repeated, rounded at 6) and
+   * `y_cuped` (rounded at 6). Zero pre-period variance degenerates to
+   * θ = 0 → y unchanged.
+   *
+   * Shape: θ and μₓ come from ONE decimal-exact moment aggregate (the
+   * o11 casts) broadcast back as a scalar row; the adjustment is a pure
+   * projection — fixed double sequences on identical operands.
+   */
+  def cupedAdjust(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dx = col(xCol).cast("decimal(18,6)")
+    val dy = col(yCol).cast("decimal(18,6)")
+    val dx19 = col(xCol).cast("decimal(19,6)")
+    val dy19 = col(yCol).cast("decimal(19,6)")
+    val m = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("__n"),
+        sum(dx).cast("double").as("__sx"),
+        sum(dy).cast("double").as("__sy"),
+        sum(dx19 * dy19).cast("double").as("__sxy"),
+        sum(dx19 * dx19).cast("double").as("__sxx"))
+    val nd = col("__n").cast("double")
+    val den = nd * col("__sxx") - col("__sx") * col("__sx")
+    val thetaRaw = when(den > 0,
+      (nd * col("__sxy") - col("__sx") * col("__sy")) / den).otherwise(lit(0.0))
+    df.join(broadcast(m)) // 1-row scalar side
+      .withColumn("__theta", thetaRaw)
+      .withColumn("__mu", col("__sx") / nd)
+      .withColumn("theta", round(col("__theta"), 6))
+      .withColumn("y_cuped",
+        round(col(yCol) - col("__theta") * (col(xCol) - col("__mu")), 6))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__theta", "__mu")
+  }
+
+  /**
    * P87 — MAD-based robust outliers (Iglewicz–Hoaglin modified z-score):
    * per group, m = median, MAD = median(|x − m|), z = 0.6745·(x − m)/MAD,
    * flagged when |z| > `cutoff` — the outlier rule that (unlike the P47

@@ -139,4 +139,58 @@ object Graph {
     tri.select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
   }
+
+  /**
+   * P124 — Adamic–Adar link prediction: for every NON-adjacent node
+   * pair sharing ≥ `minCommon` neighbors, score = Σ_z 1/ln(deg(z)) over
+   * the common neighbors z — rare shared neighbors are strong evidence,
+   * hubs are weak — returning the top-`k` candidate links. The related-
+   * entity suggester over co-occurrence graphs, and (in a dedup
+   * pipeline) the "these two clusters are probably one" reviewer queue.
+   *
+   * Shape: wedges enumerate per CENTER z, with centers capped at
+   * `maxDegree` (a hub's C(deg,2) pair fan-out is the quadratic
+   * killer, and its 1/ln(deg) weight is asymptotically worthless —
+   * the LSH band-size discipline applied to graphs); the existing-edge
+   * anti-join and all joins are shuffle_hash equi-joins; top-k is
+   * TakeOrderedAndProject on the ROUNDED score with (u, v) tie-break
+   * (the t6 ranking rule). Each 1/ln term rounds at 9 and DECIMAL-sums
+   * (the libm firewall).
+   */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int, minCommon: Long, k: Int): DataFrame = {
+    require(maxDegree >= 2, s"adamicAdar: maxDegree must be >= 2, got $maxDegree")
+    require(minCommon >= 1L, s"adamicAdar: minCommon must be >= 1, got $minCommon")
+    require(k >= 1, s"adamicAdar: k must be >= 1, got $k")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("u").as("z"), col("v").as("nb"))
+      .union(und.select(col("v").as("z"), col("u").as("nb")))
+    val centers = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
+      .select(col("node").as("z"),
+        round(lit(1.0) / log(col("deg").cast("double")), 9)
+          .cast("decimal(28,9)").as("__w"))
+    val eligible = adj.join(centers.hint("shuffle_hash"), Seq("z"))
+    // explicit renamed projections (the winnowOverlapPairs lesson: a
+    // .as-alias self-join downstream of joins can mis-resolve)
+    val lhs = eligible.select(col("z"), col("nb").as("__u"), col("__w"))
+    val rhs = eligible.select(col("z"), col("nb").as("__v"))
+    val cand = lhs.join(rhs.hint("shuffle_hash"), Seq("z"))
+      .where(col("__u") < col("__v"))
+    val scored = cand
+      .join(und.select(col("u").as("__u"), col("v").as("__v"))
+        .hint("shuffle_hash"), Seq("__u", "__v"), "left_anti")
+      .groupBy(col("__u").as("u"), col("__v").as("v"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(col("__w")).cast("double"), 6).as("score"))
+      .where(col("n_common") >= minCommon)
+    scored
+      .orderBy(col("score").desc, col("u").asc, col("v").asc)
+      .limit(k)
+  }
 }

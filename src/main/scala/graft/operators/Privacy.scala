@@ -127,4 +127,68 @@ object Privacy {
       .withColumn("noisy_n",
         greatest(lit(0.0), col("n").cast("double") + col("noise")))
   }
+
+  /**
+   * P123 — t-closeness audit (Li et al.): per quasi-identifier class,
+   * the earth-mover's distance between the class's sensitive-value
+   * distribution and the GLOBAL one — the attack k-anonymity and
+   * l-diversity both miss (a class can be diverse yet skewed: "all
+   * high-salary"). For an ORDERED numeric sensitive attribute with the
+   * standard equal-spacing metric, EMD = Σᵢ |Σ_{j≤i}(pⱼ−qⱼ)| / (m−1)
+   * over the m global values in order. Returns one row per class:
+   * (qid…, n, emd, kept = emd ≤ t).
+   *
+   * Shape: one global value agg (m bounded by the generalized bands —
+   * callers pass BANDED sensitives, that's the t-closeness setting),
+   * one (class, value) agg, a classes × values grid via a broadcast
+   * cross join of the tiny value frame, and ONE class-keyed window.
+   * Portability: cumulative sums run over exact INTEGER counts (a
+   * double cumsum would pair additions differently across engines —
+   * DuckDB's windowed sums are segment trees); each |r| is a fixed
+   * double sequence on exact ints, rounded at 9, DECIMAL-summed.
+   */
+  def tCloseness(df: DataFrame, qidCols: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(qidCols.nonEmpty, "tCloseness: at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"tCloseness: t must be in (0,1), got $t")
+    require(!qidCols.contains(sensitiveCol),
+      s"tCloseness: sensitive column $sensitiveCol cannot be a quasi-identifier")
+    val base = df.where(col(sensitiveCol).isNotNull)
+    val global = base.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__gc"))
+    val vw = org.apache.spark.sql.expressions.Window.orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val values = global
+      .withColumn("__cumg", sum(col("__gc")).over(vw))
+      .withColumn("__gtot",
+        sum(col("__gc")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__m",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select("__v", "__cumg", "__gtot", "__m")
+    val classCnt = base
+      .groupBy((qidCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__cc"))
+    val classes = base.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val grid = classes.crossJoin(broadcast(values))
+      .join(classCnt.hint("shuffle_hash"), qidCols :+ "__v", "left")
+      .withColumn("__cc", coalesce(col("__cc"), lit(0L)))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCols.map(col): _*).orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val r = col("__cumc").cast("double") / col("n").cast("double") -
+      col("__cumg").cast("double") / col("__gtot").cast("double")
+    grid
+      .withColumn("__cumc", sum(col("__cc")).over(cw))
+      .withColumn("__term", round(abs(r), 9).cast("decimal(28,9)"))
+      .groupBy((qidCols.map(col) :+ col("n")): _*)
+      .agg(sum(col("__term")).cast("double").as("__s"),
+        max(col("__m")).as("__mm"))
+      // m = 1: one global value → every class matches it → distance 0
+      .withColumn("emd", when(col("__mm") > 1L,
+        round(col("__s") / (col("__mm") - lit(1L)).cast("double"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("kept", col("emd") <= t)
+      .drop("__s", "__mm")
+  }
 }

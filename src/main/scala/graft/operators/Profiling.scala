@@ -151,6 +151,39 @@ object Profiling {
   }
 
   /**
+   * P126 — declarative row-level expectations (deequ/dbt-test style):
+   * evaluate a named list of boolean rules over a table in ONE fused
+   * aggregation pass and report (rule, n_rows, n_violations, pass) per
+   * rule — the generic data-quality gate an ingest pipeline runs before
+   * promoting a batch (the domain-specific V1–V8 validation family,
+   * generalized). A row violates a rule when the predicate is false OR
+   * null (three-valued logic is strict here: an unevaluable rule is a
+   * violation, the conservative reading).
+   *
+   * Shape: one aggregate computes every rule's violation count
+   * map-side-combinably; the per-rule reshape is a projection of the
+   * single 1-row frame (the corrMatrix explode pattern). Rules are
+   * arbitrary Column predicates — range, regex, set membership,
+   * cross-column — anything row-local.
+   */
+  def expectRows(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectRows: at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"expectRows: rule names must be distinct, got ${rules.map(_._1)}")
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val structs = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"))
+    }
+    row.select(col("__n"), explode(array(structs: _*)).as("__r"))
+      .select(col("__r.rule").as("rule"), col("__n").as("n_rows"),
+        coalesce(col("__r.n_violations"), lit(0L)).as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /**
    * P116 — snapshot change-data-capture diff: classify every key of two
    * table versions as added / removed / changed (with the list of
    * changed columns) — the incremental-ingest delta detector that turns

@@ -49,6 +49,23 @@ object GraphQueries {
         .select("src", "dst")
       graft.operators.Graph.triangleCounts(edges, "src", "dst")
         .orderBy("node")
+    }),
+
+    // P124 — top-50 Adamic-Adar link predictions over the co-purchase
+    // graph: non-adjacent part pairs with ≥ 3 common neighbors, centers
+    // capped at degree 50 (hub fan-out discipline), 1/ln terms 9-rounded
+    // and DECIMAL-summed
+    "gr3_adamic" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val edges = a.join(b, Seq("ok"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.adamicAdar(edges, "src", "dst",
+          maxDegree = 50, minCommon = 3L, k = 50)
+        .orderBy(col("score").desc, col("u").asc, col("v").asc)
     })
   )
 
@@ -109,6 +126,37 @@ object GraphQueries {
         |  UNION ALL SELECT b FROM t
         |  UNION ALL SELECT c FROM t)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
-        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same center-capped wedge enumeration with a NOT EXISTS
+    // anti-join; ranking on the rounded score with (u, v) tie-break
+    "gr3_adamic" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |centers AS (
+        |  SELECT node AS z,
+        |    CAST(round(1.0e0 / ln(CAST(deg AS DOUBLE)), 9) AS DECIMAL(28,9))
+        |      AS w
+        |  FROM deg WHERE deg >= 2 AND deg <= 50),
+        |adj AS (SELECT u AS z, v AS nb FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |el AS (SELECT adj.z, adj.nb, c.w FROM adj JOIN centers c ON c.z = adj.z),
+        |cand AS (
+        |  SELECT a.nb AS u, b.nb AS v, a.w
+        |  FROM el a JOIN el b ON a.z = b.z AND a.nb < b.nb),
+        |miss AS (
+        |  SELECT c.u, c.v, c.w FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = c.u AND e.v = c.v)),
+        |sc AS (
+        |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    round(CAST(SUM(w) AS DOUBLE), 6) AS score
+        |  FROM miss GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT u, v, n_common, score FROM sc
+        |ORDER BY score DESC, u, v LIMIT 50""".stripMargin
   )
 }

@@ -249,6 +249,35 @@ object OlapQueries {
         .orderBy("event_type", "band")
     }),
 
+    // P125 — CUPED variance reduction over the event stream: pre-period
+    // (first 15 days) per-user value sum as covariate, post-period sum
+    // as metric; theta from one decimal-exact moment row
+    "o22_cuped" -> ((s, dir) => {
+      val cut = expr("timestamp'2024-01-16 00:00:00'")
+      val dec = col("value").cast("decimal(18,6)")
+      val perUser = graft.Graft.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("ts") < cut, dec)), lit(BigDecimal(0)))
+          .cast("double").as("x"),
+          coalesce(sum(when(col("ts") >= cut, dec)), lit(BigDecimal(0)))
+            .cast("double").as("y"))
+      graft.operators.Features.cupedAdjust(perUser, "x", "y")
+        .orderBy("user_id")
+    }),
+
+    // P126 — declarative row expectations over orders in ONE fused agg;
+    // the not-millennial rule fails deliberately so both outcomes occur
+    "dq4_expectations" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      graft.operators.Profiling.expectRows(o, Seq(
+        "orderkey_not_null" -> col("o_orderkey").isNotNull,
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format" -> col("o_orderpriority").rlike("^[1-5]-"),
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "orderkey_not_millennial" -> (col("o_orderkey") % 1000 =!= 0)))
+        .orderBy("rule")
+    }),
+
     // P121 — lag-1 autocorrelation of each event type's value series:
     // one keyed lag window, decimal-exact moment sums, the o11 closing
     // double sequence
@@ -902,6 +931,62 @@ object OlapQueries {
         |  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-user halves replay the decimal conditional sums; theta and mu
+    // come from the identical moment row and the adjustment mirrors the
+    // operator's parenthesization
+    "o22_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS x,
+        |    CAST(coalesce(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+        |  FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+        |t AS (
+        |  SELECT n, sx,
+        |    CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        |         THEN (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |              (CAST(n AS DOUBLE) * sxx - sx * sx)
+        |         ELSE 0.0e0 END AS th
+        |  FROM m)
+        |SELECT user_id, x, y,
+        |  round(th, 6) AS theta,
+        |  round(y - th * (x - sx / CAST(n AS DOUBLE)), 6) AS y_cuped
+        |FROM pu CROSS JOIN t ORDER BY user_id""".stripMargin,
+
+    // one fused CASE-sum aggregate, reshaped per rule; regex via RE2
+    "dq4_expectations" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN coalesce(
+        |        regexp_matches(o_orderpriority, '^[1-5]-'), false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN coalesce(o_totalprice > 0, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |    CAST(SUM(CASE WHEN coalesce(o_orderkey % 1000 <> 0, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v5
+        |  FROM orders)
+        |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'orderkey_not_null' AS rule, n_rows, v1 AS n_violations FROM a
+        |  UNION ALL SELECT 'status_in_domain', n_rows, v2 FROM a
+        |  UNION ALL SELECT 'priority_format', n_rows, v3 FROM a
+        |  UNION ALL SELECT 'totalprice_positive', n_rows, v4 FROM a
+        |  UNION ALL SELECT 'orderkey_not_millennial', n_rows, v5 FROM a)
+        |ORDER BY rule""".stripMargin,
 
     // the o11 moment-cast pattern over lag pairs; the acf formula
     // mirrors the operator's parenthesization op for op

@@ -37,6 +37,17 @@ object PrivacyQueries {
         .orderBy("c_custkey")
     }),
 
+    // P123 — t = 0.1 closeness of each market segment's balance-band
+    // distribution against the global one: ordered EMD from exact
+    // integer cumulative counts; both outcomes occur
+    "pv4_tcloseness" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      Privacy.tCloseness(c, Seq("c_mktsegment"), "bal_band", t = 0.1)
+        .orderBy("c_mktsegment")
+    }),
+
     // P84 — ε = 0.5 Laplace counts per (event_type, value-band): the
     // banded second key makes group sizes range widely, so clamping and
     // both noise signs occur; the oracle replays the md5 uniform and the
@@ -51,6 +62,53 @@ object PrivacyQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // cumulative counts stay exact BIGINTs on both sides (window double
+    // sums pair additions differently — DuckDB's windowed aggregation is
+    // a segment tree); |r| rounds at 9 and DECIMAL-sums
+    "pv4_tcloseness" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS gc FROM base GROUP BY 1),
+        |vals AS (
+        |  SELECT v,
+        |    CAST(SUM(gc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumg,
+        |    CAST(SUM(gc) OVER () AS BIGINT) AS gtot,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM g),
+        |cc AS (SELECT c_mktsegment, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM base GROUP BY 1, 2),
+        |cls AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM base GROUP BY 1),
+        |grid AS (
+        |  SELECT cls.c_mktsegment, cls.n, vals.v, vals.cumg, vals.gtot, vals.m,
+        |    CAST(coalesce(cc.cnt, 0) AS BIGINT) AS cnt
+        |  FROM cls CROSS JOIN vals
+        |  LEFT JOIN cc ON cc.c_mktsegment = cls.c_mktsegment AND cc.v = vals.v),
+        |x AS (
+        |  SELECT c_mktsegment, n, m, cumg, gtot,
+        |    CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumc
+        |  FROM grid),
+        |e AS (
+        |  SELECT c_mktsegment, n,
+        |    SUM(CAST(round(abs(CAST(cumc AS DOUBLE) / CAST(n AS DOUBLE) -
+        |        CAST(cumg AS DOUBLE) / CAST(gtot AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) AS s,
+        |    CAST(MAX(m) AS BIGINT) AS mm
+        |  FROM x GROUP BY 1, 2)
+        |SELECT c_mktsegment, n,
+        |  CASE WHEN mm > 1
+        |       THEN round(CAST(s AS DOUBLE) / CAST(mm - 1 AS DOUBLE), 6)
+        |       ELSE 0.0e0 END AS emd,
+        |  (CASE WHEN mm > 1
+        |        THEN round(CAST(s AS DOUBLE) / CAST(mm - 1 AS DOUBLE), 6)
+        |        ELSE 0.0e0 END) <= 0.1e0 AS kept
+        |FROM e ORDER BY c_mktsegment""".stripMargin,
+
     // floor() before the BIGINT cast — CAST(double AS BIGINT) ROUNDS in
     // DuckDB while Spark's floor().cast matches floor semantics
     "pv1_kanon" ->

@@ -224,6 +224,23 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Features.corrMatrix(df, Seq("a", "a")))
   }
 
+  test("cupedAdjust: exact-covariate adjustment kills all variance") {
+    // y = 2x exactly → theta = 2, mu = 2 → every adjusted value is 4
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0))
+      .toDF("id", "x", "y")
+    val got = Features.cupedAdjust(df, "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == Map(1L -> ((2.0, 4.0)), 2L -> ((2.0, 4.0)),
+      3L -> ((2.0, 4.0))))
+    // zero pre-period variance: theta 0, metric unchanged
+    val const = Seq((1L, 5.0, 2.0), (2L, 5.0, 9.0)).toDF("id", "x", "y")
+    val c = Features.cupedAdjust(const, "x", "y")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(c == Map(1L -> ((0.0, 2.0)), 2L -> ((0.0, 9.0))))
+  }
+
   test("spearman: monotone ±1, average ranks on ties, constant → null") {
     // strictly monotone, wildly nonlinear: rho = 1 regardless of shape
     val mono = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 1e6)).toDF("x", "y")

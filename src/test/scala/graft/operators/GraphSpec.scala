@@ -70,4 +70,32 @@ class GraphSpec extends SparkSpec {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
     assert(Graph.triangleCounts(path, "s", "d").count() == 0)
   }
+
+  test("adamicAdar: 1/ln weights, adjacency exclusion, degree cap") {
+    // centers 10 (deg 3) and 20 (deg 2); 1-2 share both, 1-3/2-3 only 10
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L))
+      .toDF("s", "d")
+    val got = Graph.adamicAdar(edges, "s", "d",
+        maxDegree = 50, minCommon = 2L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // (10,20) via centers 1 and 2 (deg 2 each): 2·round9(1/ln 2)
+    // (1,2) via centers 10 (deg 3) and 20 (deg 2)
+    assert(got == Map(
+      (10L, 20L) -> ((2L, 2.88539)),
+      (1L, 2L) -> ((2L, 2.352934))))
+    // making 1-2 an edge removes it from the candidates
+    val withEdge = edges.union(Seq((1L, 2L)).toDF("s", "d"))
+    val g2 = Graph.adamicAdar(withEdge, "s", "d", 50, 2L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!g2.contains((1L, 2L)) && g2.contains((10L, 20L)))
+    // degree cap 2 excludes center 10 (deg 3): its exclusive wedges
+    // (1,3)/(2,3) vanish; (1,2) survives via center 20, (10,20) via 1/2
+    val capped = Graph.adamicAdar(edges, "s", "d", 2, 1L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((10L, 20L) -> 2L, (1L, 2L) -> 1L))
+    intercept[IllegalArgumentException](Graph.adamicAdar(edges, "s", "d", 1, 1L, 5))
+    intercept[IllegalArgumentException](Graph.adamicAdar(edges, "s", "d", 5, 0L, 5))
+    intercept[IllegalArgumentException](Graph.adamicAdar(edges, "s", "d", 5, 1L, 0))
+  }
 }

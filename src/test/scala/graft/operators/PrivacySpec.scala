@@ -114,4 +114,28 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.laplaceNoisyCounts(df, Nil, epsilon = 1.0))
   }
+
+  test("tCloseness: ordered EMD against the global distribution") {
+    // global over {1, 2} is uniform; A is all-1s, B all-2s, C balanced
+    val df = Seq(
+      ("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L), ("C", 1L), ("C", 2L))
+      .toDF("qid", "v")
+    val got = Privacy.tCloseness(df, Seq("qid"), "v", t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // m = 2 → emd = |cum_1(p − q)| = |1 − 0.5| = 0.5 for the skewed pair
+    assert(got == Map(
+      "A" -> ((2L, 0.5, false)),
+      "B" -> ((2L, 0.5, false)),
+      "C" -> ((2L, 0.0, true))))
+    // a single global value: every class trivially matches (emd 0)
+    val one = Seq(("A", 7L), ("B", 7L)).toDF("qid", "v")
+    assert(Privacy.tCloseness(one, Seq("qid"), "v", 0.1)
+      .collect().forall(r => r.getDouble(2) == 0.0 && r.getBoolean(3)))
+    intercept[IllegalArgumentException](Privacy.tCloseness(df, Nil, "v", 0.1))
+    intercept[IllegalArgumentException](
+      Privacy.tCloseness(df, Seq("qid"), "v", 0.0))
+    intercept[IllegalArgumentException](
+      Privacy.tCloseness(df, Seq("v"), "v", 0.1))
+  }
 }

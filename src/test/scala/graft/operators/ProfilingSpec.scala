@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.SparkSpec
 
 /** Column profiling + snapshot drift semantics. */
@@ -55,6 +57,26 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profiling.keySkew(df, Nil))
     intercept[IllegalArgumentException](Profiling.keySkew(df, Seq("zz")))
     intercept[IllegalArgumentException](Profiling.keySkew(df, Seq("k"), 0))
+  }
+
+  test("expectRows: fused counts, null predicates violate, pass flags") {
+    val df = Seq(
+      (Some(1L), Some(10.0)), (Some(2L), Some(-3.0)),
+      (Some(3L), None), (Option.empty[Long], Some(5.0)))
+      .toDF("id", "x")
+    val got = Profiling.expectRows(df, Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "x_positive" -> (col("x") > 0),     // null x → null pred → violation
+        "always" -> lit(true)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      "id_not_null" -> ((4L, 1L, false)),
+      "x_positive" -> ((4L, 2L, false)),   // the −3 and the null
+      "always" -> ((4L, 0L, true))))
+    intercept[IllegalArgumentException](Profiling.expectRows(df, Nil))
+    intercept[IllegalArgumentException](Profiling.expectRows(df,
+      Seq("a" -> lit(true), "a" -> lit(false))))
   }
 
   test("cdcDiff: added/removed/changed with null-safe column lists") {
