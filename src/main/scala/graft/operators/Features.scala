@@ -449,6 +449,49 @@ object Features {
   }
 
   /**
+   * P127 — Welch's unequal-variance t-test between two groups: the
+   * parametric companion to the P102 rank-sum test (use this when the
+   * metric is near-normal, Mann–Whitney when it's skewed). Returns ONE
+   * row (n_a, n_b, mean_a, mean_b, t, dof) with the Welch–Satterthwaite
+   * degrees of freedom; groups need n ≥ 2 and positive variance on at
+   * least one side or t/dof null out.
+   *
+   * Shape: ONE map-side-combinable agg computes both groups' decimal-
+   * exact moments (conditional sums — no second pass, no join); the
+   * statistic is a fixed double sequence on the exact sums, rounded at
+   * 6. Sample variance uses the (q − s·s/n)/(n−1) form with a 0 clamp
+   * against rounding residue (the o7 discipline).
+   */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "welchTTest: groups must differ")
+    val g = col(groupCol).cast("string")
+    val x = col(valueCol)
+    def side(grp: String, tag: String) = Seq(
+      sum(when(g === grp, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(g === grp, x.cast("decimal(18,6)"))).cast("double").as(s"__s_$tag"),
+      sum(when(g === grp, x.cast("decimal(19,6)") * x.cast("decimal(19,6)")))
+        .cast("double").as(s"__q_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val m = df.where(x.isNotNull && (g === groupA || g === groupB))
+      .agg(aggs.head, aggs.tail: _*)
+    def nd(t: String) = col(s"n_$t").cast("double")
+    def mean(t: String) = col(s"__s_$t") / nd(t)
+    def variance(t: String) = greatest(
+      (col(s"__q_$t") - col(s"__s_$t") * col(s"__s_$t") / nd(t)) /
+        (nd(t) - lit(1.0)), lit(0.0))
+    val se2 = variance("a") / nd("a") + variance("b") / nd("b")
+    val dof = (se2 * se2) /
+      ((variance("a") / nd("a")) * (variance("a") / nd("a")) / (nd("a") - lit(1.0)) +
+        (variance("b") / nd("b")) * (variance("b") / nd("b")) / (nd("b") - lit(1.0)))
+    val defined = col("n_a") >= 2L && col("n_b") >= 2L && se2 > 0
+    m.select(col("n_a"), col("n_b"),
+      round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+      when(defined, round((mean("a") - mean("b")) / sqrt(se2), 6)).as("t"),
+      when(defined, round(dof, 6)).as("dof"))
+  }
+
+  /**
    * P125 — CUPED adjustment (Deng et al.): reduce an experiment
    * metric's variance with a pre-period covariate, y_cuped = y −
    * θ·(x − μₓ) with θ = cov(x,y)/var(x) — the standard A/B-testing

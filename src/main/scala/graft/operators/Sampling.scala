@@ -522,4 +522,29 @@ object Sampling {
     df.withColumn("cum_tokens", sum(tok).over(w))
       .where(col("cum_tokens") <= b)
   }
+
+  /**
+   * P129 — systematic sampling in portable hash order: keep every
+   * `k`-th row of the (hashValue, id)-ordered sequence — the
+   * exact-fraction complement to [[hashSplit]]'s per-row draws (a hash
+   * split's kept count is binomial; systematic keeps EXACTLY ⌈n/k⌉
+   * rows, which budget-constrained eval-set carving needs). The hash
+   * order makes the stride unbiased w.r.t. any natural ordering of the
+   * data. Adds `sample_rank` (1-based position among kept rows).
+   *
+   * The ordering window is global (the o5/sa6 exact-statistic caveat:
+   * a deterministic total order costs a single-partition sort — at
+   * 100 TB carve per-shard budgets with one window per shard key, or
+   * fall back to hashSplit's stateless draws when exactness can relax).
+   */
+  def systematicSample(df: DataFrame, idCol: String, k: Int,
+      salt: String = "sys:"): DataFrame = {
+    require(k >= 1, s"systematicSample: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .where(pmod(col("__rn"), lit(k.toLong)) === 1L % k)
+      .withColumn("sample_rank", expr(s"((__rn - 1) div $k) + 1"))
+      .drop("__rn")
+  }
 }

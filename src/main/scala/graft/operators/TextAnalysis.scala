@@ -717,6 +717,57 @@ object TextAnalysis {
   }
 
   /**
+   * P128 — Zipf-law fit of the corpus token-frequency distribution:
+   * OLS of ln(freq) on ln(rank) over the top `maxRank` vocabulary
+   * entries — slope ≈ −1 for natural language, and deviations flag
+   * synthetic/templated corpora (too flat) or boilerplate floods (too
+   * steep): a one-row corpus-health summary. Returns (n_ranks, slope,
+   * intercept, r2) rounded at 6.
+   *
+   * Shape: one token agg, a TakeOrderedAndProject top-maxRank (never a
+   * full vocabulary sort), a rank window over the CAPPED frame, one
+   * closing moment agg. Portability: both ln's round at 9 BEFORE the
+   * regression (the libm firewall), so the moment sums run on identical
+   * decimal-exact operands; the closed form is the o11 sequence.
+   */
+  def zipfFit(docs: DataFrame, textCol: String, maxRank: Int): DataFrame = {
+    require(maxRank >= 3, s"zipfFit: maxRank must be >= 3, got $maxRank")
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(maxRank)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("token").asc)
+    val pts = counts
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .select(round(log(col("__r").cast("double")), 9)
+          .cast("decimal(18,9)").as("__x"),
+        round(log(col("c").cast("double")), 9)
+          .cast("decimal(18,9)").as("__y"))
+    val sums = pts.agg(count(lit(1)).as("n_ranks"),
+      sum(col("__x")).cast("double").as("__sx"),
+      sum(col("__y")).cast("double").as("__sy"),
+      sum((col("__x").cast("decimal(19,9)") * col("__y").cast("decimal(19,9)")))
+        .cast("double").as("__sxy"),
+      sum((col("__x").cast("decimal(19,9)") * col("__x").cast("decimal(19,9)")))
+        .cast("double").as("__sxx"),
+      sum((col("__y").cast("decimal(19,9)") * col("__y").cast("decimal(19,9)")))
+        .cast("double").as("__syy"))
+    val nd = col("n_ranks").cast("double")
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val den = nd * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nd * col("__syy") - col("__sy") * col("__sy")
+    val slope = num / den
+    sums
+      .withColumn("slope", when(den > 0, round(slope, 6)))
+      .withColumn("intercept",
+        when(den > 0, round((col("__sy") - slope * col("__sx")) / nd, 6)))
+      .withColumn("r2",
+        when(den > 0 && deny > 0, round(num * num / (den * deny), 6)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /**
    * P118 — Jensen–Shannon divergence between two corpora's token
    * OCCURRENCE distributions: jsd = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m) with
    * m = ½(p+q) — the symmetric, bounded ([0, ln 2]) distribution-shift

@@ -249,6 +249,15 @@ object OlapQueries {
         .orderBy("event_type", "band")
     }),
 
+    // P127 — Welch's t between returned and non-returned line prices
+    // (the parametric companion to o15 on the same data): both groups'
+    // decimal moments from ONE fused agg
+    "o23_welch" -> ((s, dir) => {
+      graft.operators.Features.welchTTest(
+          table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", groupA = "R", groupB = "N")
+    }),
+
     // P125 — CUPED variance reduction over the event stream: pre-period
     // (first 15 days) per-user value sum as covariate, post-period sum
     // as metric; theta from one decimal-exact moment row
@@ -931,6 +940,45 @@ object OlapQueries {
         |  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the operator's exact conditional moment sums and the identical
+    // mean/variance/se2/dof parenthesization; variances clamp at 0
+    "o23_welch" ->
+      """WITH pool AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS sb,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN CAST(v AS DECIMAL(19,6)) *
+        |      CAST(v AS DECIMAL(19,6)) END) AS DOUBLE) AS qa,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN CAST(v AS DECIMAL(19,6)) *
+        |      CAST(v AS DECIMAL(19,6)) END) AS DOUBLE) AS qb
+        |  FROM pool),
+        |f AS (
+        |  SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |         sa, sb, qa, qb
+        |  FROM m),
+        |v AS (
+        |  SELECT *, sa / na AS ma, sb / nb AS mb,
+        |    greatest((qa - sa * sa / na) / (na - 1.0e0), 0.0e0) AS va,
+        |    greatest((qb - sb * sb / nb) / (nb - 1.0e0), 0.0e0) AS vb
+        |  FROM f),
+        |z AS (SELECT *, va / na + vb / nb AS se2 FROM v)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        |       THEN round((ma - mb) / sqrt(se2), 6) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        |       THEN round((se2 * se2) /
+        |         ((va / na) * (va / na) / (na - 1.0e0) +
+        |          (vb / nb) * (vb / nb) / (nb - 1.0e0)), 6) END AS dof
+        |FROM z""".stripMargin,
 
     // per-user halves replay the decimal conditional sums; theta and mu
     // come from the identical moment row and the adjustment mirrors the

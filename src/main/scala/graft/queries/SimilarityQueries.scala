@@ -23,6 +23,33 @@ object SimilarityQueries {
     table(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P130 — hybrid retrieval (the RAG shape): BM25 lexical candidates
+    // (top-50 on the iv2 query terms) re-ranked by exact embedding
+    // cosine against doc 7's vector, top-10 out. Composition of two
+    // verified stages — the oracle replays both; ranking on the ROUNDED
+    // cosine with doc_id tie-break (the t6 rule)
+    "pipe3_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cands = graft.operators.TextAnalysis.bm25TopK(
+          table(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "vector"), k = 50)
+        .select(col("id").as("doc_id"), col("score").as("bm25"),
+          col("rank").as("bm25_rank"))
+      val e = emb(s, dir).select(col("vec_id").as("doc_id"),
+        graft.operators.Dedup.l2Normalize(col("v")).as("nv"))
+      val qv = e.where(col("doc_id") === 7).select(col("nv").as("qv"))
+      cands.join(e.hint("shuffle_hash"), Seq("doc_id"))
+        .where(col("doc_id") =!= 7)
+        .crossJoin(broadcast(qv))
+        .withColumn("cosine",
+          round(graft.operators.Dedup.dotProduct(col("nv"), col("qv")), 6))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("doc_id").asc)))
+        .where(col("rank") <= 10)
+        .select("doc_id", "bm25", "bm25_rank", "cosine", "rank")
+        .orderBy("rank")
+    }),
+
     // exact cosine top-5 for 10 query vectors
     "sim1_brute_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -160,6 +187,48 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // stage 1 is the iv2 BM25 replay at LIMIT 50; stage 2 the sim1
+    // cosine replay against vec 7; final rank on the rounded cosine
+    "pipe3_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(len(l)) AS BIGINT) AS sdl FROM toks),
+        |t AS (SELECT doc_id, len(l) AS dl, unnest(l) AS w FROM toks),
+        |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+        |       WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(ln(1.0e0 + (st.n - df.df + 0.5e0) / (df.df + 0.5e0)) *
+        |      (tf.tf * (1.2e0 + 1.0e0)) /
+        |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * tf.dl /
+        |        (CAST(st.sdl AS DOUBLE) / st.n))), 9) AS s
+        |  FROM tf JOIN df USING (w) CROSS JOIN st),
+        |agg AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY 1),
+        |cand AS (
+        |  SELECT doc_id, score AS bm25,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |      AS bm25_rank
+        |  FROM agg ORDER BY score DESC, doc_id LIMIT 50),
+        |e AS (SELECT vec_id,
+        |        [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |qv AS (SELECT v FROM e WHERE vec_id = 7),
+        |cosd AS (
+        |  SELECT c.doc_id, c.bm25, c.bm25_rank,
+        |    round(list_cosine_similarity(e.v, qv.v), 6) AS cosine
+        |  FROM cand c JOIN e ON e.vec_id = c.doc_id CROSS JOIN qv
+        |  WHERE c.doc_id <> 7)
+        |SELECT doc_id, bm25, bm25_rank, cosine,
+        |  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS rank
+        |FROM cosd ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin,
+
     "sim1_brute_topk" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),

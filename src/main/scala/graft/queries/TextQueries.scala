@@ -249,6 +249,20 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     }),
 
+    // P128 — Zipf exponent of the corpus vocabulary (top 500 ranks):
+    // both logs 9-rounded before the decimal-exact regression
+    "t19_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfFit(table(s, dir, "documents"), "text", maxRank = 500)
+    }),
+
+    // P129 — every-5th systematic sample of documents in portable hash
+    // order: exactly ceil(n/5) rows, unlike a hash split's binomial keep
+    "sa13_systematic" -> ((s, dir) => {
+      graft.operators.Sampling.systematicSample(
+          table(s, dir, "documents").select("doc_id", "lang"), "doc_id", k = 5)
+        .orderBy("sample_rank")
+    }),
+
     // P118 — Jensen-Shannon divergence between the even- and odd-id
     // halves of the corpus token distributions: 9-rounded decimal-summed
     // ln terms, one full-outer vocabulary join, one scalar totals row
@@ -984,6 +998,66 @@ object TextQueries {
         |  FROM hs)
         |SELECT doc_id, UNNEST(list_sort(list_distinct(fps))) AS fp
         |FROM wins ORDER BY doc_id, fp""".stripMargin,
+
+    // rank and frequency logs round at 9 into DECIMAL(18,9) points; the
+    // o11 closing sequence; the 500-rank cut is deterministic under the
+    // (count desc, token asc) order
+    "t19_zipf" ->
+      """WITH vocab AS (
+        |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        |    FROM documents) GROUP BY 1
+        |  ORDER BY c DESC, token ASC LIMIT 500),
+        |pts AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, token ASC)
+        |      AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM vocab),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,9)) * CAST(y AS DECIMAL(19,9)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,9)) * CAST(x AS DECIMAL(19,9)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,9)) * CAST(y AS DECIMAL(19,9)))
+        |      AS DOUBLE) AS syy
+        |  FROM pts),
+        |f AS (
+        |  SELECT n_ranks,
+        |    CAST(n_ranks AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n_ranks AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n_ranks AS DOUBLE) * syy - sy * sy AS deny,
+        |    sx, sy
+        |  FROM s)
+        |SELECT n_ranks,
+        |  CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+        |  CASE WHEN den > 0
+        |       THEN round((sy - (num / den) * sx) / CAST(n_ranks AS DOUBLE), 6)
+        |  END AS intercept,
+        |  CASE WHEN den > 0 AND deny > 0
+        |       THEN round(num * num / (den * deny), 6) END AS r2
+        |FROM f""".stripMargin,
+
+    // the sa1 hash replay with the 'sys:' salt; `//` ≡ Spark's div on
+    // the positive ranks
+    "sa13_systematic" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |                 FOR c IN string_split(
+        |                   substr(md5('sys:' || CAST(doc_id AS VARCHAR)),
+        |                          1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang, CAST((rn - 1) // 5 + 1 AS BIGINT) AS sample_rank
+        |FROM r WHERE rn % 5 = 1 ORDER BY sample_rank""".stripMargin,
 
     // identical p/q/m parenthesization and the 9-round + DECIMAL-sum
     // firewall on each ln term; n_a/n_b ride every term row, MIN'd at

@@ -224,6 +224,30 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Features.corrMatrix(df, Seq("a", "a")))
   }
 
+  test("welchTTest: textbook symmetric case, degenerate null guard") {
+    // identical groups: t = 0; var = 1 each → se2 = 2/3, dof = 4
+    val df = (Seq(1.0, 2.0, 3.0).map(("R", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("N", _)) ++
+      Seq(("X", 99.0))) // unrelated group is ignored
+      .toDF("g", "v")
+    val r = Features.welchTTest(df, "g", "v", "R", "N").head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 4.0)
+    // a genuinely shifted pair has a negative t of the mirrored size
+    val shifted = (Seq(1.0, 2.0, 3.0).map(("R", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("N", _))).toDF("g", "v")
+    val s = Features.welchTTest(shifted, "g", "v", "R", "N").head
+    assert(s.getDouble(4) < -10 && s.getDouble(5) == 4.0)
+    // both groups constant: zero pooled se → t and dof null
+    val const = Seq(("R", 5.0), ("R", 5.0), ("N", 7.0), ("N", 7.0))
+      .toDF("g", "v")
+    val c = Features.welchTTest(const, "g", "v", "R", "N").head
+    assert(c.isNullAt(4) && c.isNullAt(5))
+    intercept[IllegalArgumentException](
+      Features.welchTTest(df, "g", "v", "R", "R"))
+  }
+
   test("cupedAdjust: exact-covariate adjustment kills all variance") {
     // y = 2x exactly → theta = 2, mu = 2 → every adjusted value is 4
     val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0))

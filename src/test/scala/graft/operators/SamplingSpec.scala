@@ -378,4 +378,19 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.weightedSamplePerKey(docs, "key", "id", "w", 0))
   }
+
+  test("systematicSample: exact ceil(n/k) rows, stable, k=1 keeps all") {
+    val df = (1L to 7L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val got = Sampling.systematicSample(df, "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 3)                              // ceil(7/3)
+    assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)) // dense ranks
+    // deterministic: the same call returns the identical row set
+    val again = Sampling.systematicSample(df, "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.sortBy(_._2).toSeq == got.sortBy(_._2).toSeq)
+    assert(Sampling.systematicSample(df, "id", k = 1).count() == 7)
+    intercept[IllegalArgumentException](
+      Sampling.systematicSample(df, "id", 0))
+  }
 }

@@ -453,6 +453,21 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.qldTopK(docs, "doc_id", "text", Seq("a"), 5, mu = 0.0))
   }
 
+  test("zipfFit recovers an exact power law and caps the rank window") {
+    // freq = 12/rank exactly: slope −1, r2 = 1, intercept = ln 12
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val r = TextAnalysis.zipfFit(Seq(text).toDF("text"), "text", 500).head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0 && r.getDouble(3) == 1.0)
+    assert(r.getDouble(2) == 2.484907) // ln 12
+    // maxRank caps the fitted window
+    val capped = TextAnalysis.zipfFit(Seq(text).toDF("text"), "text", 3).head
+    assert(capped.getLong(0) == 3L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.zipfFit(Seq(text).toDF("text"), "text", 2))
+  }
+
   test("jsDivergence: zero on identical, ln 2 on disjoint, textbook value") {
     val a = Seq("x y z", "x x").toDF("text")
     val same = TextAnalysis.jsDivergence(a, a, "text").head
