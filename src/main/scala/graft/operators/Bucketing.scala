@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Bucketed-table helpers: co-locate repeatedly-joined tables on their join
@@ -39,4 +40,41 @@ object Bucketing {
   def shuffleExchanges(df: DataFrame): Int =
     "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
       .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  /**
+   * P131 — small-file compaction planner (next-fit bin packing): assign
+   * id-ordered files to output bins so each bin holds ~`targetBytes` —
+   * the remedy for the small-files problem that turns a 100 TB table of
+   * million-row parquet shards into footer-scan hell. Next-fit: a file
+   * opens a new bin exactly when the running total has reached the
+   * target, so a bin overflows by at most one file (the deterministic,
+   * single-pass discipline; best-fit would need per-bin state). Returns
+   * the input + (bin, bin_bytes, bin_files); id order preserves any
+   * natural locality (time-ordered ingest files stay adjacent).
+   *
+   * Shape: one cumulative window in id order (exact integer bytes — the
+   * sa6 monotone-prefix rule, negative sizes fail loudly) and one
+   * windowed total per bin. The id-order window is global (o5 caveat:
+   * real compaction planners run per table partition — partition the
+   * window by the table-partition key at scale, same arithmetic).
+   */
+  def compactionPlan(files: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1L,
+      s"compactionPlan: targetBytes must be >= 1, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sz = when(col(sizeCol) < 0,
+      raise_error(concat(lit("compactionPlan: negative size at "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(col(sizeCol).cast("long"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bin"))
+    files
+      .withColumn("__cum", sum(sz).over(w))
+      // the bin that was OPEN when this file arrived: prior bytes div target
+      .withColumn("bin", expr(s"(__cum - `$sizeCol`) div ${targetBytes}L"))
+      .withColumn("bin_bytes", sum(col(sizeCol).cast("long")).over(wb))
+      .withColumn("bin_files", count(lit(1)).over(wb))
+      .drop("__cum")
+  }
 }

@@ -454,6 +454,71 @@ object TimeSeries {
   }
 
   /**
+   * P132 — top-k period-over-period movers: per key, the decimal-exact
+   * metric total in period A and period B, ranked by |Δ| — the "what
+   * changed most since last week" report behind drift triage and
+   * anomaly review queues. Returns (key, val_a, val_b, delta, rank);
+   * keys absent from a period contribute an exact 0.
+   *
+   * Shape: ONE fused conditional aggregate per key (no join of two
+   * period scans), then a TakeOrderedAndProject top-k. Ranking compares
+   * EXACT DECIMAL |Δ| (no float knife-edge at the cut line), ties break
+   * on the key; the report columns round at 2 (money).
+   */
+  def topMovers(df: DataFrame, keyCol: String, periodCol: Column,
+      valueCol: String, periodA: Any, periodB: Any, k: Int): DataFrame = {
+    require(k >= 1, s"topMovers: k must be >= 1, got $k")
+    val dec = col(valueCol).cast("decimal(18,2)")
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")
+    val agged = df
+      .where(periodCol === lit(periodA) || periodCol === lit(periodB))
+      .groupBy(col(keyCol))
+      .agg(coalesce(sum(when(periodCol === lit(periodA), dec)), zero).as("__a"),
+        coalesce(sum(when(periodCol === lit(periodB), dec)), zero).as("__b"))
+      .withColumn("__d", col("__b") - col("__a"))
+    agged
+      .orderBy(abs(col("__d")).desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol),
+        round(col("__a").cast("double"), 2).as("val_a"),
+        round(col("__b").cast("double"), 2).as("val_b"),
+        round(col("__d").cast("double"), 2).as("delta"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        abs(col("delta")).desc, col(keyCol).asc)))
+  }
+
+  /**
+   * P133 — stream-disorder audit: for each event, its lateness relative
+   * to the high-water mark of everything that ARRIVED before it
+   * (arrival order = `arrivalCol`, the ingest sequence) — exactly the
+   * statistic that tells you what `withWatermark` delay a streaming job
+   * needs (the P14/P15 operators' tuning input): a watermark below the
+   * observed lateness tail silently DROPS those events. Returns only
+   * the out-of-order events (late_us > 0) with is_late flagging those
+   * beyond `watermarkMicros`.
+   *
+   * Shape: one running-max window in arrival order over exact epoch
+   * micros, then a filter. The window is global here (a stream's
+   * watermark is global); at scale audit per source partition —
+   * partitionBy the shard key, same arithmetic (the o5 caveat).
+   */
+  def disorderAudit(events: DataFrame, tsCol: String, arrivalCol: String,
+      watermarkMicros: Long): DataFrame = {
+    require(watermarkMicros >= 0L,
+      s"disorderAudit: watermarkMicros must be >= 0, got $watermarkMicros")
+    val w = Window.orderBy(col(arrivalCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(arrivalCol), expr(s"unix_micros(`$tsCol`)").as("__us"))
+      .withColumn("__hwm", max(col("__us")).over(w))
+      .where(col("__hwm").isNotNull && col("__hwm") > col("__us"))
+      .select(col(arrivalCol), col("__us").as("event_us"),
+        col("__hwm").as("hwm_us"),
+        (col("__hwm") - col("__us")).as("late_us"))
+      .withColumn("is_late", col("late_us") > watermarkMicros)
+  }
+
+  /**
    * P121 — lag-k autocorrelation per key: Pearson r between each
    * series' (x_t, x_{t−lag}) pairs in (ts, tie) order — the
    * periodicity/persistence probe run before seasonal modeling, and the

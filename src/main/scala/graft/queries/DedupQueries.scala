@@ -183,14 +183,17 @@ object DedupQueries {
       val truncated = d.where(col("doc_id") % 7 === 3)
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12)).as("text"))
-      // rowsPerBand 2 (b=16): the default r=4 banding deterministically
-      // missed two correlated J=0.903 cross-pairs on the sf0.001 corpus
-      // (docs 154/343 vs 99 — found r9 by the local all-SF gate). At r=2
-      // the design miss bound at J=0.9 is (1−0.81)^16 ≈ 3e-12; candidates
-      // are exact-verified, so more bands only moves LSH toward the
-      // oracle's exact pair set, never past it.
+      // 33 hashes / rowsPerBand 3 (b=11): the default r=4/b=8 banding
+      // deterministically missed two correlated J=0.903 cross-pairs on
+      // the sf0.001 corpus (docs 154/343 vs 99 — found r9 by the local
+      // all-SF gate); design miss bound at J=0.9 is (1−0.9³)^11 ≈ 4e-7.
+      // r=2/b=16 also fixed it but floods verification with random
+      // J≈0.1 candidates (~15% band-collision rate → 21.7s at sf0.1);
+      // r=3 cuts that rate ~13× (~1%) while keeping the recall.
+      // Candidates are exact-verified, so more-sensitive banding only
+      // moves LSH toward the oracle's exact pair set, never past it.
       Dedup.crossCorpusNearDups(recrawls.union(truncated), d,
-          "doc_id", "text", threshold = 0.9, rowsPerBand = 2)
+          "doc_id", "text", threshold = 0.9, numHashes = 33, rowsPerBand = 3)
         .withColumn("jaccard", round(col("jaccard"), 6))
         // the d5 sort discipline: orderBy's range-partitioner sampling
         // would re-execute the verification stage
@@ -289,11 +292,12 @@ object DedupQueries {
         .union(d.where(col("doc_id") % 7 === 5)
           .select((col("doc_id") + 3000000).as("doc_id"),
             concat_ws(" ", col("text") +: aug: _*).as("text"), col("lang")))
-      // rowsPerBand 2 — the d16 recall fix; the dedup stage's oracle is
-      // exact all-pairs, so band sensitivity must cover the corpus's
-      // minimum above-threshold jaccard at every SF
+      // 33/3 banding — the d16 recall fix at the d16 candidate cost (see
+      // d16's comment); the dedup stage's oracle is exact all-pairs, so
+      // band sensitivity must cover the corpus's minimum above-threshold
+      // jaccard at every SF
       val dups = Dedup.crossCorpusNearDups(batch, d, "doc_id", "text",
-        threshold = 0.9, rowsPerBand = 2)
+        threshold = 0.9, numHashes = 33, rowsPerBand = 3)
       val survivors = batch.join(
         dups.select(col("new_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")

@@ -249,6 +249,24 @@ object OlapQueries {
         .orderBy("event_type", "band")
     }),
 
+    // P131 — next-fit compaction plan packing documents into ~5000-char
+    // output bins in id order; exact integer running totals
+    "z4_compaction" -> ((s, dir) => {
+      graft.operators.Bucketing.compactionPlan(
+          table(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", targetBytes = 5000L)
+        .orderBy("doc_id")
+    }),
+
+    // P132 — top-25 customer revenue movers 1995 → 1996: one fused
+    // conditional decimal agg, exact-decimal |delta| ranking
+    "o24_movers" -> ((s, dir) => {
+      graft.operators.TimeSeries.topMovers(
+          table(s, dir, "orders"), "o_custkey", year(col("o_orderdate")),
+          "o_totalprice", 1995, 1996, k = 25)
+        .orderBy("rank")
+    }),
+
     // P127 — Welch's t between returned and non-returned line prices
     // (the parametric companion to o15 on the same data): both groups'
     // decimal moments from ONE fused agg
@@ -940,6 +958,47 @@ object OlapQueries {
         |  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the identical cumulative window and (cum − size) // target bin
+    // assignment; all integers
+    "z4_compaction" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars, CAST((cum - n_chars) // 5000 AS BIGINT) AS bin
+        |  FROM f)
+        |SELECT doc_id, n_chars, bin,
+        |  CAST(SUM(n_chars) OVER (PARTITION BY bin) AS BIGINT) AS bin_bytes,
+        |  CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // exact-decimal conditional sums and |delta| ordering; report
+    // columns round at 2 only after the cut
+    "o24_movers" ->
+      """WITH p AS (
+        |  SELECT o_custkey,
+        |    coalesce(SUM(CASE WHEN year(o_orderdate) = 1995
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS a,
+        |    coalesce(SUM(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS b
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT o_custkey, a, b, b - a AS dd FROM p
+        |  ORDER BY abs(b - a) DESC, o_custkey LIMIT 25)
+        |SELECT o_custkey,
+        |  round(CAST(a AS DOUBLE), 2) AS val_a,
+        |  round(CAST(b AS DOUBLE), 2) AS val_b,
+        |  round(CAST(dd AS DOUBLE), 2) AS delta,
+        |  CAST(row_number() OVER (ORDER BY abs(dd) DESC, o_custkey) AS INT)
+        |    AS rank
+        |FROM d ORDER BY rank""".stripMargin,
 
     // the operator's exact conditional moment sums and the identical
     // mean/variance/se2/dof parenthesization; variances clamp at 0

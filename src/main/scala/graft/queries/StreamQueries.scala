@@ -17,6 +17,25 @@ import graft.streaming.EventStreams
 object StreamQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P133 — watermark-tuning disorder audit over a simulated 16-shard
+    // ingest: shards (event_id % 16) are internally time-ordered and
+    // merged round-robin (arrival = local_seq·16 + shard), so lateness
+    // measures genuine cross-shard skew; is_late marks events a 1-hour
+    // watermark would DROP
+    "st6_lateness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_id"), col("ts"))
+        .withColumn("shard", pmod(col("event_id"), lit(16L)))
+      val sw = Window.partitionBy(col("shard"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val arrivals = e
+        .withColumn("arrival",
+          row_number().over(sw).cast("long") * 16L + col("shard"))
+      graft.operators.TimeSeries.disorderAudit(arrivals, "ts", "arrival",
+          watermarkMicros = 3600000000L)
+        .orderBy("arrival")
+    }),
+
     // tumbling 1h windows per event type
     "st1_windowed_counts" -> ((s, dir) => {
       EventStreams.windowedCounts(events(s, dir))
@@ -79,6 +98,28 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical shard/merge construction, running max over the
+    // strictly-preceding arrival frame, exact epoch-micro integers
+    "st6_lateness" ->
+      """WITH sh AS (
+        |  SELECT event_id, epoch_us(ts) AS us, event_id % 16 AS shard
+        |  FROM events),
+        |arr AS (
+        |  SELECT us,
+        |    CAST(row_number() OVER (PARTITION BY shard
+        |      ORDER BY us, event_id) AS BIGINT) * 16 + shard AS arrival
+        |  FROM sh),
+        |h AS (
+        |  SELECT arrival, us,
+        |    max(us) OVER (ORDER BY arrival
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM arr)
+        |SELECT arrival, us AS event_us, hwm AS hwm_us,
+        |  CAST(hwm - us AS BIGINT) AS late_us,
+        |  hwm - us > 3600000000 AS is_late
+        |FROM h WHERE hwm IS NOT NULL AND hwm > us
+        |ORDER BY arrival""".stripMargin,
+
     "st1_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,

@@ -50,4 +50,26 @@ class BucketingSpec extends SparkSpec {
     assert(agg.count() == 50)
     assert(Bucketing.shuffleExchanges(agg) == 0)
   }
+
+  test("compactionPlan: next-fit bins, one-file overflow, giant files") {
+    import org.apache.spark.sql.functions.col
+    // sizes 3,3,3 on target 5: bin 0 holds {1,2} (6 ≥ 5 closes it), 3 → bin 1
+    val files = Seq((1L, 3L), (2L, 3L), (3L, 3L)).toDF("id", "size")
+    val got = Bucketing.compactionPlan(files, "id", "size", targetBytes = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((0L, 6L, 2L)), 2L -> ((0L, 6L, 2L)),
+      3L -> ((1L, 3L, 1L))))
+    // a giant file spans targets: bin ids stay monotone, may skip
+    val giant = Seq((1L, 12L), (2L, 2L)).toDF("id", "size")
+    val g = Bucketing.compactionPlan(giant, "id", "size", 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g == Map(1L -> 0L, 2L -> 2L))   // 12 // 5 = 2 opens bin 2
+    // negative sizes fail loudly (the sa6 monotone-prefix rule)
+    val bad = Seq((1L, -1L)).toDF("id", "size")
+    intercept[Exception](
+      Bucketing.compactionPlan(bad, "id", "size", 5L).collect())
+    intercept[IllegalArgumentException](
+      Bucketing.compactionPlan(files, "id", "size", 0L))
+  }
 }

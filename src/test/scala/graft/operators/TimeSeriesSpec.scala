@@ -272,6 +272,42 @@ class TimeSeriesSpec extends SparkSpec {
         BigDecimal(10), BigDecimal(0)))
   }
 
+  test("topMovers: exact-decimal delta ranking, absent periods are zero") {
+    val df = Seq(
+      (1L, 1995, 100.0), (1L, 1996, 150.0),   // delta +50
+      (2L, 1995, 100.0), (2L, 1996, 20.0),    // delta −80
+      (3L, 1996, 10.0),                       // absent 1995 → a = 0
+      (4L, 1995, 5.0), (4L, 1996, 5.0),       // delta 0
+      (5L, 1997, 999.0))                      // other period ignored
+      .toDF("k", "y", "v")
+    val got = TimeSeries.topMovers(df, "k", col("y"), "v", 1995, 1996, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    assert(got == Map(
+      2L -> ((100.0, 20.0, -80.0, 1)),
+      1L -> ((100.0, 150.0, 50.0, 2)),
+      3L -> ((0.0, 10.0, 10.0, 3))))
+    intercept[IllegalArgumentException](
+      TimeSeries.topMovers(df, "k", col("y"), "v", 1995, 1996, 0))
+  }
+
+  test("disorderAudit: lateness vs the arrival high-water mark") {
+    // arrival order 1..5 with event times 10, 30, 20, 40, 25 (seconds):
+    // arrivals 3 and 5 are late (by 10s and 15s)
+    val ev = Seq((1L, ts(10)), (2L, ts(30)), (3L, ts(20)), (4L, ts(40)),
+      (5L, ts(25))).toDF("arrival", "t")
+    val got = TimeSeries.disorderAudit(ev, "t", "arrival",
+        watermarkMicros = 12000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      3L -> ((10000000L, false)),   // within the 12s watermark
+      5L -> ((15000000L, true))))   // would be dropped
+    intercept[IllegalArgumentException](
+      TimeSeries.disorderAudit(ev, "t", "arrival", -1L))
+  }
+
   test("autocorrelation: ±1 on perfect lag relations, degenerate nulls") {
     val ev = (
       (1 to 5).map(i => (1L, ts(i), i * 10L, i.toDouble)) ++      // linear → 1
