@@ -77,4 +77,48 @@ object Bucketing {
       .withColumn("bin_files", count(lit(1)).over(wb))
       .drop("__cum")
   }
+
+  /**
+   * P137 — zone-map effectiveness audit: lay the table out in
+   * `orderCols` order, cut it into `rowsPerFile`-row files, and report
+   * each file's min/max band for `valueCol` plus `overlaps` — how many
+   * OTHER files' bands intersect it. Zone maps (parquet row-group
+   * min/max) prune a point/range predicate exactly when bands don't
+   * overlap: `overlaps ≈ 0` means the layout clusters the column and
+   * scans skip, `overlaps ≈ nFiles` means zone maps are useless for it.
+   * Run it for the sort column and for a candidate predicate column
+   * before choosing a table's layout — THE physical-design question at
+   * 100 TB, answered from a sample instead of folklore.
+   *
+   * Shape: one row_number window in layout order (o5 global-order
+   * caveat — at scale the audit runs per table partition), one tiny
+   * per-file aggregate (n/rowsPerFile rows), and a broadcast self-join
+   * on band intersection over that file frame (file counts are
+   * thousands, not rows). Bands are exact data values — no arithmetic,
+   * no rounding, engine-identical.
+   */
+  def zoneMapAudit(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      rowsPerFile: Int): DataFrame = {
+    require(orderCols.nonEmpty, "zoneMapAudit: orderCols must be non-empty")
+    require(rowsPerFile >= 1,
+      s"zoneMapAudit: rowsPerFile must be >= 1, got $rowsPerFile")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col(_).asc): _*)
+    val perFile = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("file_id", expr(s"(__rn - 1) div ${rowsPerFile}L"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    val other = perFile.select(col("file_id").as("__f2"),
+      col("lo").as("__lo2"), col("hi").as("__hi2"))
+    perFile.join(broadcast(other),
+        col("file_id") =!= col("__f2") &&
+          col("lo") <= col("__hi2") && col("__lo2") <= col("hi"),
+        "left")
+      .groupBy(col("file_id"), col("n_rows"), col("lo"), col("hi"))
+      .agg(sum(when(col("__f2").isNotNull, 1L).otherwise(0L))
+        .cast("long").as("overlaps"))
+  }
 }

@@ -562,4 +562,39 @@ object Features {
       .withColumn("outlier", abs(col("mz")) > cutoff)
       .drop("__dev")
   }
+
+  /**
+   * P134 — smoothed target (mean) encoding for a high-cardinality
+   * categorical: encoded(c) = (Σ_c y + m·prior) / (n_c + m) with the
+   * global mean as prior — the standard leak-light categorical encoder
+   * (a raw per-category mean overfits rare categories; the m-weighted
+   * prior pulls a 1-row category almost to the corpus mean). Emits one
+   * row per category: `n` and `encoded` (rounded at 9).
+   *
+   * Shape: ONE keyed decimal aggregate per category plus ONE global
+   * 1-row moment aggregate broadcast back (the P125 scalar-row idiom) —
+   * two map-side-combinable passes, no window, no per-row state.
+   * Cross-engine: both sums are DECIMAL (order-independent), the prior
+   * and the encoding are a fixed double sequence on identical operands,
+   * rounded only at the end — at 6 decimals, not 9: encoded values carry
+   * the target's magnitude (~1e5 here), and 9 fractional digits on a 6
+   * integer-digit double is the last-ulp zone where engines' roundings
+   * legitimately disagree.
+   */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 20.0): DataFrame = {
+    require(smoothing >= 0, s"targetEncode: smoothing must be >= 0, got $smoothing")
+    val dec = col(targetCol).cast("decimal(18,6)")
+    val g = df.where(col(targetCol).isNotNull && col(catCol).isNotNull)
+    val global = g.agg(sum(dec).cast("double").as("__gs"),
+      count(lit(1)).as("__gn"))
+    g.groupBy(col(catCol))
+      .agg(sum(dec).cast("double").as("__s"), count(lit(1)).as("n"))
+      .join(broadcast(global)) // 1-row scalar side
+      .withColumn("encoded",
+        round((col("__s") + lit(smoothing) *
+          (col("__gs") / col("__gn").cast("double"))) /
+          (col("n").cast("double") + lit(smoothing)), 6))
+      .drop("__s", "__gs", "__gn")
+  }
 }

@@ -339,4 +339,70 @@ object Multimodal {
       .withColumn("t0_ms",
         expr(s"(start_sample * 1000) div `$rateCol`"))
   }
+
+  /** One rung of the [[aspectBuckets]] ladder: the driver-computed,
+    * engine-portable constants for a target aspect ratio — `lnLit` is
+    * the 9-rounded natural log as a shortest-round-trip literal string
+    * (embedded on BOTH the Spark and oracle sides, the o12 ladder
+    * idiom), (`tw`, `th`) the snapped target resolution. */
+  final case class AspectRung(bucket: Int, ratio: Double, lnLit: String,
+      tw: Long, th: Long)
+
+  /** Build the bucket ladder for [[aspectBuckets]]: for each ratio r,
+    * target dims solve w·h ≈ `area` with w/h = r, each snapped to the
+    * nearest positive multiple of `snap` (the SDXL 64-px convention).
+    * All libm calls (ln, sqrt) happen HERE, once, on the driver — the
+    * sa8 libm firewall: neither engine's runtime math library is ever
+    * trusted to agree on a constant. */
+  def aspectLadder(ratios: Seq[Double], area: Long = 1048576L,
+      snap: Long = 64L): Seq[AspectRung] = {
+    require(ratios.nonEmpty, "aspectLadder: ratios must be non-empty")
+    require(ratios.forall(_ > 0), "aspectLadder: ratios must be positive")
+    ratios.sorted.zipWithIndex.map { case (r, i) =>
+      val h = math.sqrt(area.toDouble / r)
+      def snapTo(x: Double): Long = math.max(snap, math.round(x / snap) * snap)
+      val lnR = BigDecimal(math.log(r))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      AspectRung(i, r, lnR.underlying.toPlainString + "e0",
+        snapTo(r * h), snapTo(h))
+    }
+  }
+
+  /**
+   * P136 — aspect-ratio bucketing (the SDXL batching prerequisite):
+   * assign each image to the ladder rung minimizing |ln(w/h) − ln(r)|
+   * so a training batch can share one padded resolution without extreme
+   * crops. Emits bucket id, bucket ratio, target (tw, th) and the log
+   * distance; ties on the 9-rounded distance break to the smaller
+   * bucket id (deterministic).
+   *
+   * Shape: the k-rung ladder is a broadcast cross join (the adjudicated
+   * 1-row/k-row BNL class) into a pure projection + one per-id
+   * row_number window — at 100 TB the window partitions by image id, so
+   * no global order is ever needed. Cross-engine: ln runs on the data
+   * once per row and rounds at 9 (the P124 discipline); the rung
+   * constants are driver literals, never engine libm.
+   */
+  def aspectBuckets(df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String, ladder: Seq[AspectRung]): DataFrame = {
+    require(ladder.nonEmpty, "aspectBuckets: ladder must be non-empty")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // Parse each rung's literal exactly as the oracle's SQL parser will —
+    // shortest-round-trip decimal strings parse to the identical double.
+    val lf = spark.createDataFrame(ladder.map(r =>
+        (r.bucket, r.ratio, java.lang.Double.parseDouble(r.lnLit), r.tw, r.th)))
+      .toDF("bucket", "ratio", "__lnr", "tw", "th")
+    val lnA = round(log(col(widthCol).cast("double") /
+      col(heightCol).cast("double")), 9)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist").asc, col("bucket").asc)
+    df.where(col(widthCol).isNotNull && col(heightCol).isNotNull &&
+        col(widthCol) > 0 && col(heightCol) > 0)
+      .crossJoin(broadcast(lf))
+      .withColumn("dist", round(abs(lnA - col("__lnr")), 9))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__lnr")
+  }
 }

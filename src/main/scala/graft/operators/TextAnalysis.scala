@@ -97,6 +97,32 @@ object TextAnalysis {
   }
 
   /**
+   * P135 — Flesch reading-ease readability: 206.835 − 1.015·(W/S) −
+   * 84.6·(Y/W) over fully regex-deterministic counts — W = alphabetic
+   * runs `[A-Za-z]+`, S = sentence-terminator runs `[.!?]+` (min 1),
+   * Y = vowel-group runs `[AEIOUYaeiouy]+` (the standard syllable
+   * heuristic; silent-e refinements are dictionary-bound and
+   * deliberately omitted so any engine with RE2 replays the counts
+   * bit-for-bit). Wordless text scores null. The pretraining use:
+   * readability bands stratify a corpus for curriculum mixing, and
+   * extreme scores flag OCR noise / boilerplate.
+   *
+   * Returns struct(n_words, n_sents, n_syll, flesch) — a pure per-row
+   * projection, no shuffle; flesch is a fixed double sequence on exact
+   * integer counts, rounded at 4.
+   */
+  def readability(c: Column): Column = {
+    val w = regexp_count(c, lit("[A-Za-z]+")).cast("long")
+    val sTerm = greatest(regexp_count(c, lit("[.!?]+")).cast("long"), lit(1L))
+    val y = regexp_count(c, lit("[AEIOUYaeiouy]+")).cast("long")
+    val flesch = when(w > 0,
+      round(lit(206.835) - lit(1.015) * (w.cast("double") / sTerm.cast("double"))
+        - lit(84.6) * (y.cast("double") / w.cast("double")), 4))
+    struct(w.as("n_words"), sTerm.as("n_sents"), y.as("n_syll"),
+      flesch.as("flesch"))
+  }
+
+  /**
    * P70 — Gopher-style rule filter (Rae et al. 2021, Table A1 subset):
    * the composite document gate most pretraining pipelines run before any
    * model-based scoring. Emits the individual signals plus the `keep`

@@ -20,6 +20,11 @@ import graft.operators.{MediaRecord, Multimodal}
  */
 object MultimodalQueries {
 
+  /** mm6's bucket ladder — exact-decimal ratios (both engines parse them
+    * to identical doubles); ONE definition feeds the query and oracle. */
+  private val AspectRatios =
+    Seq(0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary column + typed metadata, checksummed
     "mm1_pack" -> ((s, dir) => {
@@ -80,6 +85,21 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // P136 — SDXL-style aspect-ratio bucketing over a synthetic dims
+    // grid (64..1600 × 64..896): nearest ladder rung in 9-rounded log
+    // space, ties to the smaller bucket; rung constants are driver
+    // literals shared with the oracle
+    "mm6_aspect" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          (lit(64L) + pmod(col("doc_id"), lit(97L)) * 16L).as("w"),
+          (lit(64L) + pmod(col("doc_id"), lit(53L)) * 16L).as("h"))
+      Multimodal.aspectBuckets(d, "media_id", "w", "h",
+          Multimodal.aspectLadder(AspectRatios))
+        .select("media_id", "w", "h", "bucket", "ratio", "tw", "th", "dist")
+        .orderBy("media_id")
+    }),
+
     // batched stub decode + feature extraction (deterministic fake codec);
     // batch_ok is layout-independent (every batch is 1..batchSize rows)
     // where the raw batch_size is not (the tail batch of each partition
@@ -101,6 +121,34 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS bytes_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the identical rung-constant table (driver literals — engine libm is
+    // never consulted for a constant), 9-rounded ln on the data, and the
+    // identical (dist, bucket) tie order
+    "mm6_aspect" -> {
+      val rungs = graft.operators.Multimodal.aspectLadder(AspectRatios)
+      val vals = rungs.map(r =>
+        s"(${r.bucket}, ${r.ratio}e0, ${r.lnLit}, ${r.tw}, ${r.th})")
+        .mkString(", ")
+      s"""WITH l(bucket, ratio, lnr, tw, th) AS (VALUES $vals),
+         |d AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(64 + (doc_id % 97) * 16 AS BIGINT) AS w,
+         |    CAST(64 + (doc_id % 53) * 16 AS BIGINT) AS h
+         |  FROM documents),
+         |sc AS (
+         |  SELECT media_id, w, h, bucket, ratio,
+         |    CAST(tw AS BIGINT) AS tw, CAST(th AS BIGINT) AS th,
+         |    round(abs(round(ln(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)), 9)
+         |      - lnr), 9) AS dist
+         |  FROM d, l),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY media_id
+         |    ORDER BY dist ASC, bucket ASC) AS rn
+         |  FROM sc)
+         |SELECT media_id, w, h, bucket, ratio, tw, th, dist
+         |FROM r WHERE rn = 1 ORDER BY media_id""".stripMargin
+    },
 
     // same stub geometry, grid arithmetic all-BIGINT; unnest(range(...))
     // expands the per-item tile ids

@@ -267,6 +267,29 @@ object OlapQueries {
         .orderBy("rank")
     }),
 
+    // P134 — smoothed target encoding of the high-cardinality customer
+    // key by order value: (sum + m·prior)/(n + m), prior = global mean
+    "o25_target_enc" -> ((s, dir) => {
+      graft.operators.Features.targetEncode(
+          table(s, dir, "orders"), "o_custkey", "o_totalprice",
+          smoothing = 20.0)
+        .orderBy("o_custkey")
+    }),
+
+    // P137 — zone-map effectiveness audit of a shipdate-ordered layout:
+    // 2000-row files, per-file date bands + band-overlap counts (adjacent
+    // files share at most a boundary date → near-zero overlaps = the
+    // column prunes)
+    "z5_zonemap" -> ((s, dir) => {
+      val d = table(s, dir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("sd"),
+          col("l_orderkey"), col("l_linenumber"))
+      graft.operators.Bucketing.zoneMapAudit(
+          d, Seq("sd", "l_orderkey", "l_linenumber"), "sd",
+          rowsPerFile = 2000)
+        .orderBy("file_id")
+    }),
+
     // P127 — Welch's t between returned and non-returned line prices
     // (the parametric companion to o15 on the same data): both groups'
     // decimal moments from ONE fused agg
@@ -999,6 +1022,49 @@ object OlapQueries {
         |  CAST(row_number() OVER (ORDER BY abs(dd) DESC, o_custkey) AS INT)
         |    AS rank
         |FROM d ORDER BY rank""".stripMargin,
+
+    // decimal sums both sides, the identical
+    // (s + m·(gs/gn)) / (n + m) double sequence, round at 9
+    "o25_target_enc" ->
+      """WITH g AS (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS gs,
+        |    CAST(COUNT(*) AS BIGINT) AS gn
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+        |p AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT o_custkey, n,
+        |  round((s + 20.0e0 * (gs / CAST(gn AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) + 20.0e0), 6) AS encoded
+        |FROM p, g ORDER BY o_custkey""".stripMargin,
+
+    // the identical layout window, integer file cut, and band-intersection
+    // self-join; bands are exact DATE data values
+    "z5_zonemap" ->
+      """WITH d AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS sd, l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+        |r AS (
+        |  SELECT sd,
+        |    row_number() OVER (ORDER BY sd, l_orderkey, l_linenumber) AS rn
+        |  FROM d),
+        |f AS (
+        |  SELECT CAST((rn - 1) // 2000 AS BIGINT) AS file_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    min(sd) AS lo, max(sd) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT f.file_id, f.n_rows, f.lo, f.hi,
+        |  CAST(coalesce(SUM(CASE WHEN o.file_id IS NOT NULL THEN 1 END), 0)
+        |    AS BIGINT) AS overlaps
+        |FROM f LEFT JOIN f o
+        |  ON f.file_id <> o.file_id AND f.lo <= o.hi AND o.lo <= f.hi
+        |GROUP BY 1, 2, 3, 4 ORDER BY f.file_id""".stripMargin,
 
     // the operator's exact conditional moment sums and the identical
     // mean/variance/se2/dof parenthesization; variances clamp at 0

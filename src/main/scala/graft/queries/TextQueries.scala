@@ -255,6 +255,18 @@ object TextQueries {
       TextAnalysis.zipfFit(table(s, dir, "documents"), "text", maxRank = 500)
     }),
 
+    // P135 — Flesch reading ease over regex-deterministic counts; the
+    // curriculum-stratification / OCR-noise signal
+    "t20_readability" -> ((s, dir) => {
+      val r = TextAnalysis.readability(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), r.getField("n_words").as("n_words"),
+          r.getField("n_sents").as("n_sents"),
+          r.getField("n_syll").as("n_syll"),
+          r.getField("flesch").as("flesch"))
+        .orderBy("doc_id")
+    }),
+
     // P129 — every-5th systematic sample of documents in portable hash
     // order: exactly ceil(n/5) rows, unlike a hash split's binomial keep
     "sa13_systematic" -> ((s, dir) => {
@@ -1040,6 +1052,30 @@ object TextQueries {
         |  CASE WHEN den > 0 AND deny > 0
         |       THEN round(num * num / (den * deny), 6) END AS r2
         |FROM f""".stripMargin,
+
+    // identical regex run counts (RE2 ⊇ these patterns) and the identical
+    // double sequence; counts stay exact BIGINTs, flesch rounds at 4
+    "t20_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |    AS n_sents,
+        |  CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS BIGINT)
+        |    AS n_syll,
+        |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) > 0 THEN
+        |    round(206.835e0
+        |      - 1.015e0 *
+        |        (CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE)
+        |         / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |             AS DOUBLE))
+        |      - 84.6e0 *
+        |        (CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))
+        |            AS DOUBLE)
+        |         / CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |             AS DOUBLE)), 4)
+        |  END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the sa1 hash replay with the 'sys:' salt; `//` ≡ Spark's div on
     // the positive ranks

@@ -72,4 +72,30 @@ class BucketingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Bucketing.compactionPlan(files, "id", "size", 0L))
   }
+
+  test("zoneMapAudit: clustered layout → zero overlaps, shuffled → full") {
+    import spark.implicits._
+    // 12 rows, 3 files of 4; value == layout key → disjoint bands
+    val rows = (1L to 12L).map(i => (i, i)).toDF("id", "v")
+    val good = Bucketing.zoneMapAudit(rows, Seq("id"), "v", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(good == Map(0L -> ((4L, 1L, 4L, 0L)), 1L -> ((4L, 5L, 8L, 0L)),
+      2L -> ((4L, 9L, 12L, 0L))))
+    // layout uncorrelated with v (id mod 3 stripes v across every file):
+    // every file's band overlaps every other file's
+    val striped = (1L to 12L).map(i => (i % 3 * 100 + i, i)).toDF("id", "v")
+    val bad = Bucketing.zoneMapAudit(striped, Seq("id"), "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(bad.values.toSet == Set(2L))
+    // null values are excluded from the layout entirely
+    val withNull = (Seq((0L, Option.empty[Long])) ++
+      (1L to 4L).map(i => (i, Some(i)))).toDF("id", "v")
+    assert(Bucketing.zoneMapAudit(withNull, Seq("id"), "v", 2)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == 4L)
+    intercept[IllegalArgumentException](
+      Bucketing.zoneMapAudit(rows, Seq.empty, "v", 4))
+    intercept[IllegalArgumentException](
+      Bucketing.zoneMapAudit(rows, Seq("id"), "v", 0))
+  }
 }

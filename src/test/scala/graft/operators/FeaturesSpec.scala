@@ -281,4 +281,23 @@ class FeaturesSpec extends SparkSpec {
     val c = Features.spearman(const, "x", "y").head
     assert(c.getLong(0) == 2L && c.isNullAt(1))
   }
+
+  test("targetEncode pulls rare categories to the prior, big ones to " +
+      "their mean; nulls drop") {
+    // global mean over non-null rows = (10·4 + 20·1)/5 = 12
+    val df = Seq(("a", Some(10.0)), ("a", Some(10.0)), ("a", Some(10.0)),
+      ("a", Some(10.0)), ("b", Some(20.0)), ("b", Option.empty[Double]))
+      .toDF("cat", "y")
+    val got = Features.targetEncode(df, "cat", "y", smoothing = 4.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // a: (40 + 4·12)/(4+4) = 11; b: (20 + 48)/5 = 13.6
+    assert(got == Map("a" -> ((4L, 11.0)), "b" -> ((1L, 13.6))))
+    // smoothing 0 degenerates to the raw category mean
+    val raw = Features.targetEncode(df, "cat", "y", smoothing = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(raw == Map("a" -> 10.0, "b" -> 20.0))
+    intercept[IllegalArgumentException](
+      Features.targetEncode(df, "cat", "y", smoothing = -1.0))
+  }
 }

@@ -232,4 +232,31 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.frameSample(media, "id", "n", "rate", 2048, 0))
   }
+
+  test("aspectBuckets picks the nearest log-space rung; ties break low") {
+    import spark.implicits._
+    val ladder = Multimodal.aspectLadder(Seq(0.5, 1.0, 2.0))
+    // snapped targets for area 2^20: 1.0 → 1024×1024; 2.0 → 1472×704
+    assert(ladder.map(r => (r.ratio, r.tw, r.th)) ==
+      Seq((0.5, 704L, 1472L), (1.0, 1024L, 1024L), (2.0, 1472L, 704L)))
+    val imgs = Seq((1L, 100L, 100L),  // square → bucket 1 exactly
+      (2L, 400L, 100L),               // 4:1 → nearest is 2.0
+      (3L, 100L, 399L),               // ~1:4 → nearest is 0.5
+      (4L, 0L, 50L)                   // dropped: non-positive dim
+    ).toDF("id", "w", "h")
+    val got = Multimodal.aspectBuckets(imgs, "id", "w", "h", ladder)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getDouble(4), r.getDouble(7)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 == 1 && got(1L)._3 == 0.0)
+    assert(got(2L)._1 == 2 && got(3L)._1 == 0)
+    // duplicate rungs tie on distance exactly → smaller bucket id wins
+    val dup = Multimodal.aspectLadder(Seq(1.0, 1.0))
+    val sq = Seq((9L, 100L, 100L)).toDF("id", "w", "h")
+    assert(Multimodal.aspectBuckets(sq, "id", "w", "h", dup)
+      .head.getInt(3) == 0)
+    intercept[IllegalArgumentException](
+      Multimodal.aspectBuckets(imgs, "id", "w", "h", Seq.empty))
+    intercept[IllegalArgumentException](Multimodal.aspectLadder(Seq(-1.0)))
+  }
 }

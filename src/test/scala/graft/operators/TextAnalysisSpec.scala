@@ -485,4 +485,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.jsDivergence(pa, pb, "text").head.getDouble(3)
       == 0.056633)
   }
+
+  test("readability: regex counts and the Flesch formula; wordless → null") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "The cat sat."),        // 3 words, 1 sent, 3 vowel groups
+      (2L, "Hi! Go now."),         // 3 words, 2 sents, 3 vowel groups
+      (3L, "12345 !!!")            // no words → null score
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.readability(col("text")).as("r"))
+      .select("id", "r.n_words", "r.n_sents", "r.n_syll", "r.flesch")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 3 && got(1L).getLong(2) == 1 &&
+      got(1L).getLong(3) == 3)
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(got(1L).getDouble(4) == 119.19)
+    // sentence runs: "!" and "." are two terminator runs
+    assert(got(2L).getLong(2) == 2)
+    // 206.835 − 1.015·1.5 − 84.6·1 = 120.7125 → rounds at 4
+    assert(got(2L).getDouble(4) == 120.7125)
+    assert(got(3L).getLong(1) == 0 && got(3L).isNullAt(4))
+    assert(got(3L).getLong(2) == 1) // sentence floor keeps the ratio total
+  }
 }
