@@ -193,4 +193,62 @@ object Graph {
       .orderBy(col("score").desc, col("u").asc, col("v").asc)
       .limit(k)
   }
+
+  /**
+   * P140 — neighbor-set Jaccard link prediction: for non-adjacent pairs
+   * sharing ≥ `minCommon` neighbors, score = |Γ(u)∩Γ(v)| /
+   * (deg(u) + deg(v) − |common|) — the normalized companion to
+   * [[adamicAdar]] (same candidate generation, set-overlap weighting
+   * instead of rarity weighting; Jaccard favors proportional overlap,
+   * A-A favors rare witnesses — run both, compare queues). Top-`k` by
+   * rounded score with (u, v) tie-break.
+   *
+   * Shapes: identical wedge enumeration with centers capped at
+   * `maxDegree` (common counts therefore exclude hub witnesses —
+   * documented estimator bias shared with A-A, and the reason the
+   * quadratic fan-out is bounded); endpoint degrees are TRUE degrees
+   * joined back per pair (shuffle_hash, post-agg no-stats). Score is
+   * ONE double division of exact BIGINTs, rounded at 9 — no libm at
+   * all, so no rounding firewall is even needed.
+   */
+  def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int, minCommon: Long, k: Int): DataFrame = {
+    require(maxDegree >= 2,
+      s"neighborJaccard: maxDegree must be >= 2, got $maxDegree")
+    require(minCommon >= 1L,
+      s"neighborJaccard: minCommon must be >= 1, got $minCommon")
+    require(k >= 1, s"neighborJaccard: k must be >= 1, got $k")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("u").as("z"), col("v").as("nb"))
+      .union(und.select(col("v").as("z"), col("u").as("nb")))
+    val centers = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
+      .select(col("node").as("z"))
+    val eligible = adj.join(centers.hint("shuffle_hash"), Seq("z"))
+    // explicit renamed projections (the winnowOverlapPairs lesson)
+    val lhs = eligible.select(col("z"), col("nb").as("__u"))
+    val rhs = eligible.select(col("z"), col("nb").as("__v"))
+    val counted = lhs.join(rhs.hint("shuffle_hash"), Seq("z"))
+      .where(col("__u") < col("__v"))
+      .join(und.select(col("u").as("__u"), col("v").as("__v"))
+        .hint("shuffle_hash"), Seq("__u", "__v"), "left_anti")
+      .groupBy(col("__u").as("u"), col("__v").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+    counted
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v"))
+        .hint("shuffle_hash"), Seq("v"))
+      .withColumn("score", round(col("n_common").cast("double") /
+        (col("deg_u") + col("deg_v") - col("n_common")).cast("double"), 9))
+      .select("u", "v", "n_common", "deg_u", "deg_v", "score")
+      .orderBy(col("score").desc, col("u").asc, col("v").asc)
+      .limit(k)
+  }
 }

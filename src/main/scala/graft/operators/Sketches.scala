@@ -303,4 +303,41 @@ object Sketches {
       .join(broadcast(total))
       .where(col("cnt") * lit(k.toLong) > col("n_total"))
   }
+
+  /**
+   * P138 — AMS (Alon–Matias–Szegedy) F₂ sketch: `estimators` independent
+   * ±1-sign counters, each Σᵢ signᵣ(i)·fᵢ; counter² is an unbiased
+   * estimate of the second frequency moment Σᵢ fᵢ² — the self-join size,
+   * THE statistic a join planner wants before picking a strategy on a
+   * skewed key (F₂ ≫ n ⇒ the equi-join explodes). Emits per-estimator
+   * (counter, est) beside the exact F₂ and the ratio, so the query IS
+   * the estimator-quality audit.
+   *
+   * Shapes: one keyed count per item, one bounded explode (R rows per
+   * DISTINCT item, not per row), one keyed agg — all exact BIGINT
+   * arithmetic (counter ≤ n < 2³¹ keeps counter² < 2⁶², the ANSI bound).
+   * Signs replay from the portable MD5 ([[Sampling.hashValue]] of
+   * "r:item" with the "ams" salt) — any engine reproduces the sketch
+   * bit-for-bit, which is the point: sketches are only mergeable across
+   * systems when the hash is a contract, not an implementation detail.
+   */
+  def amsF2(items: DataFrame, itemCol: String, estimators: Int): DataFrame = {
+    require(estimators >= 1, s"amsF2: estimators must be >= 1, got $estimators")
+    val counts = items.where(col(itemCol).isNotNull)
+      .groupBy(col(itemCol).as("__item"))
+      .agg(count(lit(1)).as("__c"))
+    val exact = counts.agg(sum(col("__c") * col("__c")).as("f2_exact"))
+    counts
+      .select(col("__item"), col("__c"),
+        explode(sequence(lit(0), lit(estimators - 1))).as("estimator"))
+      .withColumn("__sign", lit(1L) - lit(2L) *
+        pmod(Sampling.hashValue(concat(col("estimator").cast("string"),
+          lit(":"), col("__item").cast("string")), "ams"), lit(2L)))
+      .groupBy(col("estimator"))
+      .agg(sum(col("__sign") * col("__c")).as("counter"))
+      .withColumn("est", col("counter") * col("counter"))
+      .join(broadcast(exact)) // 1-row scalar side
+      .withColumn("ratio",
+        round(col("est").cast("double") / col("f2_exact").cast("double"), 6))
+  }
 }

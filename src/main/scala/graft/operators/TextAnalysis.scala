@@ -423,6 +423,39 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /**
+   * P139 — cross-document boilerplate detection: an n-gram occurring in
+   * ≥ `minDocs` DISTINCT documents is template text (headers, footers,
+   * license blocks — the repetition Gopher's WITHIN-document fractions
+   * cannot see), and each document reports the fraction of its n-gram
+   * stream claimed by such grams. High `template_frac` docs are
+   * scraped-template noise a pretraining mix wants down-weighted.
+   * Documents with fewer than n tokens have no n-gram stream and drop.
+   *
+   * Shapes: explode n-grams once, ONE distinct on (doc, gram) feeding a
+   * keyed spread count, then a shuffle_hash join of the common-gram set
+   * back onto the gram stream (post-agg no-stats rule; broadcast would
+   * be wrong — the common set scales with the corpus) and one per-doc
+   * agg. Same tokenization + gram joining as every text operator
+   * ([[tokens]]/[[ngramArray]]), so the oracle replays it verbatim.
+   */
+  def crossDocNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long): DataFrame = {
+    require(minDocs >= 2L, s"crossDocNgrams: minDocs must be >= 2, got $minDocs")
+    val grams = df
+      .select(col(idCol), explode(ngramArray(tokens(col(textCol)), n)).as("gram"))
+    val spread = grams.distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select(col("gram"), lit(1L).as("__bp"))
+    grams.join(spread.hint("shuffle_hash"), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("template_frac",
+        round(col("n_common").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   // ---- fingerprinting --------------------------------------------------------
 
   // shared with the native winnowing kernel (expressions/TextEval) — one

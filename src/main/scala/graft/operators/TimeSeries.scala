@@ -593,4 +593,37 @@ object TimeSeries {
       .withColumn("prob",
         round(col("cnt").cast("double") / col("n_from"), 6))
   }
+
+  /**
+   * P141 — day-of-week seasonal profile: per weekday, the mean of
+   * `valueCol` and its index against the whole-corpus mean (index > 1 ⇒ the
+   * day runs hot) — the multiplicative seasonal factor a forecast
+   * divides out, and the batch-scheduling signal ("Mondays are 1.4×,
+   * size the cluster for it"). Weekday is pure epoch-day arithmetic —
+   * days since Monday 1970-01-05 mod 7, so 0 = Monday — never the
+   * engine's locale-dependent dayofweek().
+   *
+   * Shapes: ONE map-side-combinable keyed agg (≤ 7 groups) plus the
+   * 1-row global moment broadcast back (the P125 scalar-row idiom).
+   * DECIMAL sums; means and the index are fixed double sequences on
+   * identical operands, rounded at 6.
+   */
+  def seasonalProfile(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,6)")
+    val d = df.where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("dow",
+        pmod(datediff(to_date(col(tsCol)), lit("1970-01-05").cast("date")),
+          lit(7)))
+    val global = d.agg(sum(dec).cast("double").as("__gs"),
+      count(lit(1)).as("__gn"))
+    d.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(dec).cast("double").as("__s"))
+      .join(broadcast(global)) // 1-row scalar side
+      .withColumn("mean_v", round(col("__s") / col("n").cast("double"), 6))
+      .withColumn("seas_idx",
+        round((col("__s") / col("n").cast("double")) /
+          (col("__gs") / col("__gn").cast("double")), 6))
+      .drop("__s", "__gs", "__gn")
+  }
 }

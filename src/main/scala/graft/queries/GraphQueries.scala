@@ -66,6 +66,22 @@ object GraphQueries {
       graft.operators.Graph.adamicAdar(edges, "src", "dst",
           maxDegree = 50, minCommon = 3L, k = 50)
         .orderBy(col("score").desc, col("u").asc, col("v").asc)
+    }),
+
+    // P140 — neighbor-set Jaccard link prediction over the same
+    // co-purchase graph: set-overlap scoring beside gr3's rarity
+    // weighting; score is one double division of exact BIGINTs
+    "gr4_jaccard" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val edges = a.join(b, Seq("ok"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.neighborJaccard(edges, "src", "dst",
+          maxDegree = 50, minCommon = 3L, k = 50)
+        .orderBy(col("score").desc, col("u").asc, col("v").asc)
     })
   )
 
@@ -157,6 +173,37 @@ object GraphQueries {
         |    round(CAST(SUM(w) AS DOUBLE), 6) AS score
         |  FROM miss GROUP BY 1, 2 HAVING COUNT(*) >= 3)
         |SELECT u, v, n_common, score FROM sc
-        |ORDER BY score DESC, u, v LIMIT 50""".stripMargin
+        |ORDER BY score DESC, u, v LIMIT 50""".stripMargin,
+
+    // the gr3 candidate enumeration without weights; true endpoint
+    // degrees join back; |common|/(du+dv-|common|) on exact BIGINTs
+    "gr4_jaccard" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |centers AS (SELECT node AS z FROM deg WHERE deg >= 2 AND deg <= 50),
+        |adj AS (SELECT u AS z, v AS nb FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |el AS (SELECT adj.z, adj.nb FROM adj JOIN centers c ON c.z = adj.z),
+        |cand AS (
+        |  SELECT a.nb AS u, b.nb AS v
+        |  FROM el a JOIN el b ON a.z = b.z AND a.nb < b.nb),
+        |miss AS (
+        |  SELECT c.u, c.v FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = c.u AND e.v = c.v)),
+        |sc AS (
+        |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM miss GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |wd AS (
+        |  SELECT sc.u, sc.v, sc.n_common, du.deg AS deg_u, dv.deg AS deg_v
+        |  FROM sc JOIN deg du ON du.node = sc.u JOIN deg dv ON dv.node = sc.v)
+        |SELECT u, v, n_common, deg_u, deg_v,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(deg_u + deg_v - n_common AS DOUBLE), 9) AS score
+        |FROM wd ORDER BY score DESC, u, v LIMIT 50""".stripMargin
   )
 }

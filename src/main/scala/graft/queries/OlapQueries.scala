@@ -290,6 +290,23 @@ object OlapQueries {
         .orderBy("file_id")
     }),
 
+    // P138 — AMS F2 sketch over the event user-id stream: 16 ±1-sign
+    // estimators vs the exact second moment, portable-MD5 signs
+    "sk7_ams" -> ((s, dir) => {
+      graft.operators.Sketches.amsF2(
+          graft.Graft.events(s, dir).select("user_id"), "user_id",
+          estimators = 16)
+        .orderBy("estimator")
+    }),
+
+    // P141 — weekday seasonal profile of event values: epoch-day dow
+    // (0 = Monday), per-day mean and index vs the corpus mean
+    "o26_seasonality" -> ((s, dir) => {
+      graft.operators.TimeSeries.seasonalProfile(
+          graft.Graft.events(s, dir), "ts", "value")
+        .orderBy("dow")
+    }),
+
     // P127 — Welch's t between returned and non-returned line prices
     // (the parametric companion to o15 on the same data): both groups'
     // decimal moments from ONE fused agg
@@ -1065,6 +1082,53 @@ object OlapQueries {
         |FROM f LEFT JOIN f o
         |  ON f.file_id <> o.file_id AND f.lo <= o.hi AND o.lo <= f.hi
         |GROUP BY 1, 2, 3, 4 ORDER BY f.file_id""".stripMargin,
+
+    // per-item counts, the portable-MD5 sign replay (the sa13 fold), all
+    // arithmetic exact BIGINT until the final audited ratio
+    "sk7_ams" ->
+      """WITH counts AS (
+        |  SELECT user_id AS item, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM counts),
+        |e AS (SELECT unnest(range(0, 16)) AS estimator),
+        |h AS (
+        |  SELECT e.estimator, c.c,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('ams' ||
+        |          CAST(e.estimator AS VARCHAR) || ':' ||
+        |          CAST(c.item AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM e, counts c),
+        |s AS (
+        |  SELECT estimator,
+        |    CAST(SUM((1 - 2 * (hv % 2)) * c) AS BIGINT) AS counter
+        |  FROM h GROUP BY 1)
+        |SELECT CAST(estimator AS INT) AS estimator, counter,
+        |  counter * counter AS est, f2_exact,
+        |  round(CAST(counter * counter AS DOUBLE) /
+        |    CAST(f2_exact AS DOUBLE), 6) AS ratio
+        |FROM s, ex ORDER BY estimator""".stripMargin,
+
+    // the identical epoch-day weekday and (s/n)/(gs/gn) double sequence;
+    // decimal sums both sides, round at 6
+    "o26_seasonality" ->
+      """WITH d AS (
+        |  SELECT datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+        |      AS dow,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (
+        |  SELECT CAST(SUM(v) AS DOUBLE) AS gs, CAST(COUNT(*) AS BIGINT) AS gn
+        |  FROM d),
+        |p AS (
+        |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS s
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(dow AS INT) AS dow, n,
+        |  round(s / CAST(n AS DOUBLE), 6) AS mean_v,
+        |  round((s / CAST(n AS DOUBLE)) / (gs / CAST(gn AS DOUBLE)), 6)
+        |    AS seas_idx
+        |FROM p, g ORDER BY dow""".stripMargin,
 
     // the operator's exact conditional moment sums and the identical
     // mean/variance/se2/dof parenthesization; variances clamp at 0

@@ -267,6 +267,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P139 — cross-document boilerplate: 4-grams in >= 3 distinct docs
+    // are template text; per-doc fraction of the gram stream claimed
+    "t21_boilerplate" -> ((s, dir) => {
+      TextAnalysis.crossDocNgrams(table(s, dir, "documents"),
+          "doc_id", "text", n = 4, minDocs = 3L)
+        .orderBy("doc_id")
+    }),
+
     // P129 — every-5th systematic sample of documents in portable hash
     // order: exactly ceil(n/5) rows, unlike a hash split's binomial keep
     "sa13_systematic" -> ((s, dir) => {
@@ -1052,6 +1060,30 @@ object TextQueries {
         |  CASE WHEN den > 0 AND deny > 0
         |       THEN round(num * num / (den * deny), 6) END AS r2
         |FROM f""".stripMargin,
+
+    // the t13 gram construction at n=4, DISTINCT (doc, gram) spread
+    // counts, LEFT-join membership; one double division rounded at 6
+    "t21_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+        |            FOR i IN range(1, len(l) - 2)]) AS gram
+        |  FROM toks),
+        |sd AS (SELECT DISTINCT doc_id, gram FROM g),
+        |common AS (SELECT gram FROM sd GROUP BY 1 HAVING COUNT(*) >= 3),
+        |j AS (
+        |  SELECT g.doc_id, (c.gram IS NOT NULL) AS bp
+        |  FROM g LEFT JOIN common c ON g.gram = c.gram)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  round(CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS template_frac
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // identical regex run counts (RE2 ⊇ these patterns) and the identical
     // double sequence; counts stay exact BIGINTs, flesch rounds at 4

@@ -98,4 +98,36 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.adamicAdar(edges, "s", "d", 5, 0L, 5))
     intercept[IllegalArgumentException](Graph.adamicAdar(edges, "s", "d", 5, 1L, 0))
   }
+
+  test("neighborJaccard scores |common|/(du+dv-common); adjacents excluded") {
+    import spark.implicits._
+    // star witnesses: 1 and 2 share neighbors {10, 11}; 1-2 not adjacent.
+    // deg(1) = deg(2) = 2 → J = 2/(2+2-2) = 1.0
+    // 1 and 10 ARE adjacent → never a candidate pair.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L)).toDF("s", "d")
+    val got = Graph.neighborJaccard(edges, "s", "d",
+        maxDegree = 10, minCommon = 1L, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // pairs through shared centers 10 (deg 3) and 11 (deg 2)
+    assert(got((1L, 2L)) == ((2L, 2L, 2L, 1.0)))
+    // 1-3 share only center 10: J = 1/(2+1-1) = 0.5; same for 2-3
+    assert(got((1L, 3L)) == ((1L, 2L, 1L, 0.5)))
+    assert(got((2L, 3L)) == ((1L, 2L, 1L, 0.5)))
+    // non-adjacent (10, 11) is witnessed by centers 1 and 2: J = 2/3
+    assert(got((10L, 11L)) ==
+      ((2L, 3L, 2L, BigDecimal(2.0 / 3.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // capping centers at degree 2 removes node 10 as a witness:
+    // 1-3 / 2-3 lose their only witness; 1-2 keeps center 11, and
+    // (10, 11) keeps its degree-2 witnesses 1 and 2
+    val capped = Graph.neighborJaccard(edges, "s", "d",
+        maxDegree = 2, minCommon = 1L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 1L, (10L, 11L) -> 2L))
+    intercept[IllegalArgumentException](
+      Graph.neighborJaccard(edges, "s", "d", 1, 1L, 5))
+  }
 }

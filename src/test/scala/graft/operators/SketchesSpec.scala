@@ -211,4 +211,26 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.kmvDistinct(items, "item", Seq("g"), k = 1))
   }
+  test("amsF2: counters replay the hash signs; est = counter^2; exact F2") {
+    import spark.implicits._
+    // items: a x3, b x2, c x1 -> F2 = 9 + 4 + 1 = 14
+    val items = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .toDF("item")
+    val got = Sketches.amsF2(items, "item", estimators = 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 4)
+    // replay the signs by hand per estimator
+    def sign(e: Int, item: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ams$e:$item".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2L)
+    }
+    for (e <- 0 until 4) {
+      val counter = 3 * sign(e, "a") + 2 * sign(e, "b") + sign(e, "c")
+      assert(got(e) == ((counter, counter * counter, 14L)))
+    }
+    intercept[IllegalArgumentException](Sketches.amsF2(items, "item", 0))
+  }
 }

@@ -508,4 +508,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L).getLong(1) == 0 && got(3L).isNullAt(4))
     assert(got(3L).getLong(2) == 1) // sentence floor keeps the ratio total
   }
+
+  test("crossDocNgrams flags grams spread across >= minDocs documents") {
+    val df = Seq(
+      (1L, "a b c d x"),   // grams: "a b c d" (common), "b c d x"
+      (2L, "a b c d y"),   // "a b c d", "b c d y"
+      (3L, "a b c d z"),   // "a b c d", "b c d z"
+      (4L, "p q r s t"),   // nothing shared
+      (5L, "p q")          // < 4 tokens → no grams, row drops
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.crossDocNgrams(df, "doc_id", "text", 4, 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 1L, 0.5)), 4L -> ((2L, 0L, 0.0))))
+    // repeating the common gram inside ONE doc does not add spread
+    val rep = Seq((1L, "a b c d a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.crossDocNgrams(rep, "doc_id", "text", 4, 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 0L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.crossDocNgrams(df, "doc_id", "text", 4, 1L))
+  }
 }

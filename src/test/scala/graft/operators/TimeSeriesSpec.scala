@@ -348,4 +348,21 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.resampleFfill(ev, "user_id", "t", "event_id", "v", 0L))
   }
+
+  test("seasonalProfile: epoch-day weekday, mean and index vs corpus mean") {
+    import spark.implicits._
+    // 2024-01-01 was a Monday (dow 0); 2024-01-06 a Saturday (dow 5)
+    val ev = Seq(
+      ("2024-01-01 10:00:00", Some(10.0)),  // Mon
+      ("2024-01-08 09:00:00", Some(30.0)),  // Mon
+      ("2024-01-06 12:00:00", Some(20.0)),  // Sat
+      ("2024-01-06 13:00:00", Option.empty[Double])) // null value drops
+      .toDF("t", "v")
+      .select(org.apache.spark.sql.functions.to_timestamp($"t").as("t"), $"v")
+    val got = TimeSeries.seasonalProfile(ev, "t", "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    // corpus mean = 20: Mon mean 20 → idx 1.0; Sat mean 20 → idx 1.0
+    assert(got == Map(0 -> ((2L, 20.0, 1.0)), 5 -> ((1L, 20.0, 1.0))))
+  }
 }
