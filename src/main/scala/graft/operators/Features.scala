@@ -597,4 +597,37 @@ object Features {
           (col("n").cast("double") + lit(smoothing)), 6))
       .drop("__s", "__gs", "__gn")
   }
+
+  /**
+   * P143 — Hill tail-index estimator over the top-`k` order statistics:
+   * α = k / Σᵢ ln(xᵢ/x₍ₖ₎) with x₍ₖ₎ the smallest retained value — the
+   * standard heavy-tail exponent fit (α ≲ 2 ⇒ infinite variance: key
+   * frequencies, file sizes, degree distributions). In a data pipeline
+   * this is the skew forecast: the α of a join key's frequency tail
+   * says whether salting will be needed BEFORE the job runs.
+   * One row: (k, xk, alpha); a degenerate tail (all top-k equal) has
+   * no defined exponent → null alpha.
+   *
+   * Shapes: top-k is TakeOrderedAndProject (never a full sort); the
+   * scalar (x₍ₖ₎, k) row broadcasts back (P125 idiom). Ties at the cut
+   * are harmless: equal values → identical ln multiset. Each ln rounds
+   * at 9 and DECIMAL-sums (the P124 libm firewall); α is one double
+   * division, rounded at 6.
+   */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"hillTailIndex: k must be >= 2, got $k")
+    val top = df.where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("double").as("__v"))
+      .orderBy(col("__v").desc).limit(k)
+    val ref = top.agg(min(col("__v")).as("xk"), count(lit(1)).as("k"))
+    top.join(broadcast(ref)) // 1-row scalar side
+      .select(col("k"), col("xk"),
+        round(log(col("__v") / col("xk")), 9).cast("decimal(28,9)").as("__t"))
+      .groupBy(col("k"), col("xk"))
+      .agg(sum(col("__t")).cast("double").as("__h"))
+      .withColumn("alpha",
+        when(col("__h") > 0,
+          round(col("k").cast("double") / col("__h"), 6)))
+      .drop("__h")
+  }
 }

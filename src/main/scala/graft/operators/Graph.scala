@@ -251,4 +251,46 @@ object Graph {
       .orderBy(col("score").desc, col("u").asc, col("v").asc)
       .limit(k)
   }
+
+  /**
+   * P144 — bounded k-core peeling: `iters` rounds of "drop every node
+   * with degree < k, recompute degrees on the surviving subgraph" — the
+   * density filter that separates a graph's cohesive core from its
+   * tendrils (community seeding, spam-ring detection, and the node
+   * screen before expensive per-node graph features). Returns the nodes
+   * alive after round `iters` with their CURRENT degree — a
+   * deterministic PARTIAL peel when the bound binds (the d8 bounded-CC
+   * discipline: the bound is a latency contract, and round counts
+   * needed in practice are small because each round strictly shrinks
+   * the graph); `in_core` marks nodes whose degree already satisfies k,
+   * so `iters` has converged exactly when every row has it true.
+   *
+   * Shapes: each round is one keyed degree agg + two left-semi
+   * shuffle_hash joins on the endpoint — all equi-keyed, nothing
+   * quadratic; lineage grows linearly in `iters` like the d11 chain
+   * (localCheckpoint past ~10 rounds at scale).
+   */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"kCorePeel: k must be >= 2, got $k")
+    require(iters >= 1 && iters <= 20,
+      s"kCorePeel: iters must be in [1, 20], got $iters")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    var alive = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    for (_ <- 1 to iters) {
+      val keep = alive.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("a"))
+      alive = alive
+        .join(keep.hint("shuffle_hash"), Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")).hint("shuffle_hash"),
+          Seq("b"), "left_semi")
+    }
+    alive.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .withColumn("in_core", col("deg") >= k)
+  }
 }

@@ -547,4 +547,32 @@ object Sampling {
       .withColumn("sample_rank", expr(s"((__rn - 1) div $k) + 1"))
       .drop("__rn")
   }
+
+  /**
+   * P145 — class-balanced downsampling: every class keeps exactly
+   * min-class-count rows, chosen in portable hash order — the
+   * imbalance fix for classifier training data (a 99:1 class mix
+   * otherwise teaches the prior, not the signal). Same key (+salt) →
+   * same verdict forever, and the kept set is engine-replayable: rank
+   * within class by (MD5 hash, id) and keep rank ≤ min count. Null
+   * classes drop (no stratum to balance against).
+   *
+   * Shapes: one tiny per-class count agg reduced to a broadcast scalar
+   * (the P125 idiom), one per-class window (partitioned — scales with
+   * executors, never a global order), one filter. Appends
+   * `sample_rank` (1-based within class).
+   */
+  def balancedDownsample(df: DataFrame, classCol: String, idCol: String,
+      salt: String = "bal:"): DataFrame = {
+    val d = df.where(col(classCol).isNotNull)
+    val minN = d.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__minn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+    d.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(minN)) // 1-row scalar side
+      .where(col("sample_rank") <= col("__minn"))
+      .drop("__minn")
+  }
 }

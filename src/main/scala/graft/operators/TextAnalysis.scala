@@ -456,6 +456,32 @@ object TextAnalysis {
         round(col("n_common").cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /**
+   * P142 — feature hashing (the Weinberger hashing trick): every token
+   * maps to bucket = portable-hash mod `dims` with a ±1 sign from an
+   * independent hash, and a document's sparse feature vector is the
+   * per-(doc, bucket) sign sum — fixed dimensionality with NO vocabulary
+   * pass, the property that makes it THE text featurizer for streaming
+   * and 100 TB corpora (a vocabulary-indexed TF matrix needs a global
+   * dictionary build + broadcast; this needs nothing). Signed sums make
+   * collisions cancel in expectation instead of inflating counts.
+   * Emits only occupied buckets: (id, bucket, weight, n_tokens).
+   *
+   * Shapes: one explode + one keyed agg, map-side combinable, all exact
+   * BIGINT. Both hashes replay from the portable MD5 with distinct
+   * salts ("fh:" route, "fhs:" sign) — the sketch hash-as-contract rule.
+   */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 2, s"featureHash: dims must be >= 2, got $dims")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .withColumn("bucket", Sampling.hashBucket(col("__tok"), dims, "fh:"))
+      .withColumn("__sign", lit(1L) - lit(2L) *
+        pmod(Sampling.hashValue(col("__tok"), "fhs:"), lit(2L)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).as("weight"), count(lit(1)).as("n_tokens"))
+  }
+
   // ---- fingerprinting --------------------------------------------------------
 
   // shared with the native winnowing kernel (expressions/TextEval) — one

@@ -82,6 +82,21 @@ object GraphQueries {
       graft.operators.Graph.neighborJaccard(edges, "src", "dst",
           maxDegree = 50, minCommon = 3L, k = 50)
         .orderBy(col("score").desc, col("u").asc, col("v").asc)
+    }),
+
+    // P144 — 3-round 75-core peel of the co-purchase graph: the
+    // cohesive-core screen; rounds strictly shrink the graph, the
+    // bounded partial peel is deterministic (the d8 discipline)
+    "gr5_kcore" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val edges = a.join(b, Seq("ok"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.kCorePeel(edges, "src", "dst", k = 75, iters = 3)
+        .orderBy("node")
     })
   )
 
@@ -105,7 +120,33 @@ object GraphQueries {
        |    JOIN deg d ON d.src = p.v
        |    GROUP BY 1) s ON s.v = verts.v)""".stripMargin
 
+  /** One unrolled k-core peel round: keep the edges whose BOTH endpoints
+    * have degree ≥ 75 in the previous round's edge set. A generator so
+    * the three rounds cannot drift apart textually (the prIter rule). */
+  private def kcIter(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT e.a, e.b FROM $prev e
+       |  WHERE e.a IN (SELECT a FROM $prev GROUP BY a HAVING COUNT(*) >= 75)
+       |    AND e.b IN (SELECT a FROM $prev GROUP BY a HAVING COUNT(*) >= 75))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the identical bounded peel, unrolled; final degrees on the round-3
+    // survivor subgraph
+    "gr5_kcore" ->
+      s"""WITH und AS (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         |                  greatest(a.l_partkey, b.l_partkey) AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |a0 AS (SELECT u AS a, v AS b FROM und
+         |       UNION ALL SELECT v, u FROM und),
+         |${kcIter("a0", "a1")},
+         |${kcIter("a1", "a2")},
+         |${kcIter("a2", "a3")}
+         |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+         |  COUNT(*) >= 75 AS in_core
+         |FROM a3 GROUP BY 1 ORDER BY node""".stripMargin,
+
     "gr1_pagerank" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -307,6 +307,13 @@ object OlapQueries {
         .orderBy("dow")
     }),
 
+    // P143 — Hill tail-index of the order-value distribution over the
+    // top-500 order statistics: the skew forecast for a money column
+    "o27_hill" -> ((s, dir) => {
+      graft.operators.Features.hillTailIndex(
+        table(s, dir, "orders"), "o_totalprice", k = 500)
+    }),
+
     // P127 — Welch's t between returned and non-returned line prices
     // (the parametric companion to o15 on the same data): both groups'
     // decimal moments from ONE fused agg
@@ -1129,6 +1136,22 @@ object OlapQueries {
         |  round((s / CAST(n AS DOUBLE)) / (gs / CAST(gn AS DOUBLE)), 6)
         |    AS seas_idx
         |FROM p, g ORDER BY dow""".stripMargin,
+
+    // identical top-k multiset (ties at the cut share a value), 9-rounded
+    // decimal-summed ln ratios, one closing double division
+    "o27_hill" ->
+      """WITH top AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |  ORDER BY v DESC LIMIT 500),
+        |r AS (SELECT min(v) AS xk, CAST(COUNT(*) AS BIGINT) AS k FROM top),
+        |t AS (
+        |  SELECT k, xk, CAST(round(ln(v / xk), 9) AS DECIMAL(28,9)) AS t
+        |  FROM top, r),
+        |s AS (SELECT k, xk, CAST(SUM(t) AS DOUBLE) AS h FROM t GROUP BY 1, 2)
+        |SELECT k, xk,
+        |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
+        |FROM s""".stripMargin,
 
     // the operator's exact conditional moment sums and the identical
     // mean/variance/se2/dof parenthesization; variances clamp at 0

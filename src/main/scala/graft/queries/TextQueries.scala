@@ -275,6 +275,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P142 — 64-dim hashing-trick features: signed per-bucket token
+    // sums, no vocabulary pass; portable-MD5 route + sign hashes
+    "t22_feature_hash" -> ((s, dir) => {
+      TextAnalysis.featureHash(table(s, dir, "documents"),
+          "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "bucket")
+    }),
+
+    // P145 — class-balanced downsample of documents by language: every
+    // lang keeps exactly min-class-count rows in portable hash order
+    "sa14_balanced" -> ((s, dir) => {
+      graft.operators.Sampling.balancedDownsample(
+          table(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id")
+        .orderBy("lang", "sample_rank")
+    }),
+
     // P129 — every-5th systematic sample of documents in portable hash
     // order: exactly ceil(n/5) rows, unlike a hash split's binomial keep
     "sa13_systematic" -> ((s, dir) => {
@@ -1108,6 +1125,49 @@ object TextQueries {
         |             AS DOUBLE)), 4)
         |  END AS flesch
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both MD5 folds replayed per token ('fh:' route, 'fhs:' sign);
+    // sums stay exact BIGINTs
+    "t22_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('fh:' || tok), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 64 AS bucket,
+        |    1 - 2 * (list_reduce(
+        |      [CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('fhs:' || tok), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 2) AS sgn
+        |  FROM toks)
+        |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS weight,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    // the sa1 hash replay with the 'bal:' salt; per-class hash-order
+    // ranks against the scalar min class count
+    "sa14_balanced" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(
+        |          substr(md5('bal:' || CAST(doc_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM h),
+        |m AS (SELECT CAST(min(cnt) AS BIGINT) AS minn FROM (
+        |  SELECT COUNT(*) AS cnt FROM d GROUP BY lang))
+        |SELECT doc_id, lang, sample_rank FROM r, m
+        |WHERE sample_rank <= minn ORDER BY lang, sample_rank""".stripMargin,
 
     // the sa1 hash replay with the 'sys:' salt; `//` ≡ Spark's div on
     // the positive ranks

@@ -300,4 +300,26 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.targetEncode(df, "cat", "y", smoothing = -1.0))
   }
+
+  test("hillTailIndex: exact Pareto tail recovers alpha; flat tail → null") {
+    import spark.implicits._
+    // doubling ladder: top-5 = {320, 160, 80, 40, 20}, xk = 20 —
+    // ratios 16, 8, 4, 2, 1 are EXACT doubles, so the spec's ln
+    // operands match the operator's bit-for-bit
+    val xs = Seq(320.0, 160.0, 80.0, 40.0, 20.0, 10.0, 5.0).toDF("v")
+    val r = Features.hillTailIndex(xs, "v", k = 5).head
+    val h = Seq(16.0, 8.0, 4.0, 2.0, 1.0)
+      .map(x => BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 20.0)
+    assert(r.getDouble(2) == BigDecimal(5.0 / h.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant values: every ln ratio is 0 → no tail exponent
+    val flat = Seq.fill(6)(7.0).toDF("v")
+    assert(Features.hillTailIndex(flat, "v", k = 4).head.isNullAt(2))
+    // non-positive values are excluded before the cut
+    val mixed = (Seq(-5.0, 0.0) ++ (1 to 4).map(_.toDouble)).toDF("v")
+    assert(Features.hillTailIndex(mixed, "v", k = 10).head.getLong(0) == 4L)
+    intercept[IllegalArgumentException](Features.hillTailIndex(xs, "v", 1))
+  }
 }

@@ -130,4 +130,31 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.neighborJaccard(edges, "s", "d", 1, 1L, 5))
   }
+
+  test("kCorePeel cascades: a chain peels from the ends inward") {
+    import spark.implicits._
+    // path 1-2-3-4-5: 2-core is empty, but round 1 only removes the
+    // endpoints (deg 1); each round peels the new endpoints
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    def nodes(iters: Int): Set[Long] =
+      Graph.kCorePeel(path, "s", "d", k = 2, iters = iters)
+        .collect().map(_.getLong(0)).toSet
+    assert(nodes(1) == Set(2L, 3L, 4L))
+    // round 2 drops 2 and 4; node 3 is left edgeless → gone too
+    assert(nodes(2) == Set.empty[Long])
+    // triangle + tail: the triangle IS a 2-core, the tail peels; the
+    // converged rows all carry in_core = true
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("s", "d")
+    val got = Graph.kCorePeel(tri, "s", "d", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(1L -> ((2L, true)), 2L -> ((2L, true)),
+      3L -> ((2L, true))))
+    // a bound that binds reports the partial peel with in_core = false
+    val partial = Graph.kCorePeel(path, "s", "d", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(partial == Map(2L -> false, 3L -> true, 4L -> false))
+    intercept[IllegalArgumentException](Graph.kCorePeel(path, "s", "d", 1, 3))
+    intercept[IllegalArgumentException](Graph.kCorePeel(path, "s", "d", 2, 0))
+  }
 }

@@ -393,4 +393,25 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.systematicSample(df, "id", 0))
   }
+
+  test("balancedDownsample keeps exactly min-class-count rows per class") {
+    import spark.implicits._
+    val rows = ((1L to 10L).map(i => (i, "big")) ++
+      (11L to 13L).map(i => (i, "small")) ++
+      Seq((99L, null.asInstanceOf[String]))).toDF("id", "cls")
+    val got = Sampling.balancedDownsample(rows, "cls", "id")
+    val byClass = got.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byClass == Map("big" -> 3, "small" -> 3))
+    // ranks are dense 1..minN within each class
+    assert(got.collect().groupBy(_.getString(1)).values
+      .forall(_.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L)))
+    // deterministic: identical keep set on re-run
+    val again = Sampling.balancedDownsample(rows, "cls", "id")
+    assert(again.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ==
+      got.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+    // the small class keeps EVERY row (it defines the quota)
+    assert(got.collect().filter(_.getString(1) == "small")
+      .map(_.getLong(0)).toSet == Set(11L, 12L, 13L))
+  }
 }

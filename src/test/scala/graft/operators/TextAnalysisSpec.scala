@@ -530,4 +530,28 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.crossDocNgrams(df, "doc_id", "text", 4, 1L))
   }
+
+  test("featureHash: signed bucket sums replay the MD5 route and sign") {
+    val df = Seq((1L, "cat dog cat"), (2L, "")).toDF("doc_id", "text")
+    def hv(salt: String, tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def bucket(t: String) = hv("fh:", t) % 64
+    def sign(t: String) = 1L - 2L * (hv("fhs:", t) % 2L)
+    val got = TextAnalysis.featureHash(df, "doc_id", "text", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val expected =
+      if (bucket("cat") == bucket("dog"))
+        Map((1L, bucket("cat")) -> ((2L * sign("cat") + sign("dog"), 3L)))
+      else Map(
+        (1L, bucket("cat")) -> ((2L * sign("cat"), 2L)),
+        (1L, bucket("dog")) -> ((sign("dog"), 1L)))
+    assert(got == expected) // doc 2 has no tokens → no rows
+    intercept[IllegalArgumentException](
+      TextAnalysis.featureHash(df, "doc_id", "text", 1))
+  }
 }
