@@ -630,4 +630,46 @@ object Features {
           round(col("k").cast("double") / col("__h"), 6)))
       .drop("__h")
   }
+
+  /**
+   * P148 — difference-in-differences: with a treatment flag and a
+   * pre/post flag, DiD = (ȳ_treat,post − ȳ_treat,pre) −
+   * (ȳ_ctrl,post − ȳ_ctrl,pre) — the workhorse causal estimate when
+   * randomization wasn't available (feature rollouts by cohort, infra
+   * migrations by cluster), differencing out both the group's fixed
+   * offset and the shared time trend. One row: the four cell means
+   * (`m_tpre`…, rounded at 6), cell counts, and `did` (rounded at 6);
+   * any empty cell → null did (the estimate does not exist).
+   *
+   * Shapes: ONE fused conditional aggregate (the o23 Welch idiom) —
+   * eight DECIMAL/count cells in a single map-side-combinable pass; the
+   * estimate is a fixed double sequence on identical operands.
+   */
+  def didEstimate(df: DataFrame, treatCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,6)")
+    val cells = Seq(("tpre", true, false), ("tpost", true, true),
+      ("cpre", false, false), ("cpost", false, true))
+    val aggs = cells.flatMap { case (tag, t, p) =>
+      val m = col(treatCol) === t && col(postCol) === p
+      Seq(sum(when(m, dec)).cast("double").as(s"__s_$tag"),
+        count(when(m, lit(1))).as(s"n_$tag"))
+    }
+    def mean(tag: String) = col(s"__s_$tag") / col(s"n_$tag").cast("double")
+    val allCells = cells.map { case (tag, _, _) => col(s"n_$tag") > 0 }
+      .reduce(_ && _)
+    val withMeans = cells.foldLeft(
+      df.where(col(treatCol).isNotNull && col(postCol).isNotNull &&
+          col(valueCol).isNotNull)
+        .agg(aggs.head, aggs.tail: _*)) { case (acc, (tag, _, _)) =>
+      acc.withColumn(s"m_$tag", when(col(s"n_$tag") > 0, round(mean(tag), 6)))
+    }
+    withMeans
+      .withColumn("did", when(allCells,
+        round((mean("tpost") - mean("tpre")) - (mean("cpost") - mean("cpre")),
+          6)))
+      .select(col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+        col("m_tpre"), col("m_tpost"), col("m_cpre"), col("m_cpost"),
+        col("did"))
+  }
 }

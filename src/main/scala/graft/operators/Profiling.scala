@@ -222,4 +222,40 @@ object Profiling {
         when(col("change_type") === "changed", changedCols)
           .otherwise(lit("")).as("changed_cols"))
   }
+
+  /**
+   * P149 — referential-integrity audit (the dbt `relationships` test as
+   * an engine operator): for each named (child.fk → parent.pk) relation,
+   * one row of `n_child` / `n_nonnull` / `n_orphans` / `orphan_rate` —
+   * run BEFORE a pipeline consumes a join, because a silently dangling
+   * FK turns an inner join into a row-dropper and a left join into a
+   * null-sprayer. Null FKs are counted separately, not as orphans (the
+   * SQL convention: null never references).
+   *
+   * Shapes per relation: one child-side fused count agg + one left-anti
+   * join against the DISTINCT parent key (shuffle_hash — parent key
+   * sets scale with the dimension, broadcast only if the caller already
+   * knows it's small) reduced to a count, cross-joined scalar rows.
+   * Relations union into one report frame.
+   */
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(relations.nonEmpty, "fkAudit: at least one relation")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val nonNull = child.where(col(childKey).isNotNull)
+        .select(col(childKey).as("__fk"))
+      val stats = child.agg(count(lit(1)).as("n_child"),
+        count(col(childKey)).as("n_nonnull"))
+      val orphans = nonNull
+        .join(parent.select(col(parentKey).as("__fk")).distinct()
+          .hint("shuffle_hash"), Seq("__fk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      stats.join(orphans) // two 1-row frames
+        .select(lit(name).as("relation"), col("n_child"), col("n_nonnull"),
+          col("n_orphans"),
+          round(col("n_orphans").cast("double") /
+            greatest(col("n_nonnull"), lit(1L)).cast("double"), 6)
+            .as("orphan_rate"))
+    }.reduce(_.unionByName(_))
+  }
 }

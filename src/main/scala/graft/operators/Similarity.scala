@@ -488,4 +488,75 @@ object Similarity {
       .withColumn("recall",
         round(col("n_match").cast("double") / lit(k.toDouble), 6))
   }
+
+  /**
+   * P146 — greedy k-center coreset (farthest-first traversal, Gonzalez
+   * 1985): from a candidate pool, pick k points so each new pick is the
+   * one FARTHEST (max-min cosine distance) from everything picked so
+   * far — the 2-approximation to optimal k-center cover, and the
+   * diversity-first data-selection rule (seed labeling batches, pick
+   * eval exemplars, initialize k-means++-style). Emits (rank, vec_id,
+   * d) with `d` the distance to the nearest earlier center at selection
+   * time (the traversal's own cover radius sequence; null for the
+   * seed). Seed = smallest id — deterministic, no RNG.
+   *
+   * Scale shape: the POOL is the scale valve — at 100 TB the pool comes
+   * from a hash sample or per-partition pre-selection (both engine
+   * operators here), and the greedy stage is a sanctioned pool-sized
+   * driver walk exactly like [[mmrRerank]]'s (quadratic in |pool|,
+   * never in the corpus — hard-capped). Determinism: normalization and
+   * ascending-index dots match the VecEval folds, pairwise cosines
+   * round at 6 (computed ONCE, the walk only looks them up), distance
+   * ties break on the smaller id.
+   */
+  def kCenterCoreset(pool: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"kCenterCoreset: k must be >= 1, got $k")
+    val spark = pool.sparkSession
+    val rows = pool
+      .select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("v"))
+      .collect()
+    require(rows.nonEmpty, "kCenterCoreset: empty pool")
+    require(rows.length <= 100000,
+      s"kCenterCoreset: pool of ${rows.length} exceeds the driver-walk cap; " +
+        "pre-sample the pool (hashSample / per-partition selection)")
+    val cs = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dims = cs.map(_._2.length).distinct
+    require(dims.length == 1,
+      s"kCenterCoreset: pool vectors must share one dimensionality, saw ${dims.sorted.mkString(",")}")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 } // ascending — VecEval
+      s
+    }
+    val n = cs.length
+    val sim = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 1.0 else round6(dot(cs(i)._2, cs(j)._2))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer(0) // smallest id seeds
+    val out = scala.collection.mutable.ArrayBuffer(
+      (1, cs(0)._1, Option.empty[Double]))
+    while (selected.size < k && selected.size < n) {
+      // max over candidates of (min over selected of 1 − sim) = max of
+      // (1 − max sim); ties → smaller id (cs is id-sorted, so keep first)
+      var bestI = -1; var bestD = Double.NegativeInfinity
+      var ci = 0
+      while (ci < n) {
+        if (!selected.contains(ci)) {
+          var maxSim = Double.NegativeInfinity
+          selected.foreach { s => if (sim(ci)(s) > maxSim) maxSim = sim(ci)(s) }
+          val d = 1.0 - maxSim
+          if (d > bestD) { bestD = d; bestI = ci }
+        }
+        ci += 1
+      }
+      selected += bestI
+      out += ((selected.size, cs(bestI)._1, Some(bestD)))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "vec_id", "d")
+  }
 }

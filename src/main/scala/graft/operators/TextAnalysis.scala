@@ -482,6 +482,40 @@ object TextAnalysis {
       .agg(sum(col("__sign")).as("weight"), count(lit(1)).as("n_tokens"))
   }
 
+  /**
+   * P147 — dataset-card summary (the "datasheet for datasets" table):
+   * per group (+ an ALL rollup row), doc counts, exact-dup distinct
+   * counts (MD5 of the text), token totals and means, and mean
+   * [[qualityScore]] — the one-pass corpus report a training run's data
+   * card quotes, as an engine operator instead of five notebook cells.
+   *
+   * Shapes: ONE rollup aggregate over a single projection pass — every
+   * metric map-side combines (countDistinct shuffles its hash, the
+   * standard two-phase distinct). Quality scores are exact quarters, so
+   * the DECIMAL sum is exact; means are one double division rounded at
+   * 6. Null group values would collide with the rollup row's label —
+   * callers with nullable groups must pre-coalesce (documented, not
+   * hidden: the grouping()-based label needs grouping_id inside agg).
+   */
+  def corpusCard(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    df.select(col(groupCol), col(charsCol),
+        md5(col(textCol)).as("__h"),
+        tokenCount(col(textCol)).cast("long").as("__nt"),
+        qualityScore(col(textCol)).cast("decimal(18,6)").as("__q"))
+      .rollup(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("n_unique"),
+        sum(col("__nt")).as("total_tokens"),
+        round(sum(col("__nt")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_tokens"),
+        round(sum(col(charsCol)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_chars"),
+        round(sum(col("__q")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_quality"))
+      .withColumn(groupCol, coalesce(col(groupCol), lit("ALL")))
+  }
+
   // ---- fingerprinting --------------------------------------------------------
 
   // shared with the native winnowing kernel (expressions/TextEval) — one

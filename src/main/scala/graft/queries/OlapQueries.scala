@@ -314,6 +314,32 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P148 — difference-in-differences over the event stream: odd users
+    // "treated", the Jan-16 cut splits pre/post; one fused 8-cell agg
+    "o28_did" -> ((s, dir) => {
+      val cut = expr("timestamp'2024-01-16 00:00:00'")
+      val d = graft.Graft.events(s, dir).select(
+        (col("user_id") % 2 === 1).as("treat"),
+        (col("ts") >= cut).as("post"), col("value"))
+      graft.operators.Features.didEstimate(d, "treat", "post", "value")
+    }),
+
+    // P149 — referential-integrity audit: two intact FK relations and a
+    // deliberately broken one (customer thinned to every 3rd key)
+    "dq5_referential" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val lineitem = table(s, dir, "lineitem")
+      val customer = table(s, dir, "customer")
+      graft.operators.Profiling.fkAudit(Seq(
+        ("lineitem.orderkey->orders", lineitem, "l_orderkey",
+          orders, "o_orderkey"),
+        ("orders.custkey->customer", orders, "o_custkey",
+          customer, "c_custkey"),
+        ("orders.custkey->customer_mod3", orders, "o_custkey",
+          customer.where(col("c_custkey") % 3 === 0), "c_custkey")))
+        .orderBy("relation")
+    }),
+
     // P127 — Welch's t between returned and non-returned line prices
     // (the parametric companion to o15 on the same data): both groups'
     // decimal moments from ONE fused agg
@@ -1152,6 +1178,86 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // the identical 8 conditional cells and the identical
+    // (m_tpost − m_tpre) − (m_cpost − m_cpre) double sequence
+    "o28_did" ->
+      """WITH d AS (
+        |  SELECT (user_id % 2 = 1) AS t,
+        |    (ts >= TIMESTAMP '2024-01-16 00:00:00') AS p,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN v END) AS DOUBLE) AS s_tpre,
+        |    CAST(COUNT(CASE WHEN t AND NOT p THEN 1 END) AS BIGINT) AS n_tpre,
+        |    CAST(SUM(CASE WHEN t AND p THEN v END) AS DOUBLE) AS s_tpost,
+        |    CAST(COUNT(CASE WHEN t AND p THEN 1 END) AS BIGINT) AS n_tpost,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN v END) AS DOUBLE)
+        |      AS s_cpre,
+        |    CAST(COUNT(CASE WHEN NOT t AND NOT p THEN 1 END) AS BIGINT)
+        |      AS n_cpre,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN v END) AS DOUBLE) AS s_cpost,
+        |    CAST(COUNT(CASE WHEN NOT t AND p THEN 1 END) AS BIGINT) AS n_cpost
+        |  FROM d)
+        |SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+        |  CASE WHEN n_tpre > 0
+        |       THEN round(s_tpre / CAST(n_tpre AS DOUBLE), 6) END AS m_tpre,
+        |  CASE WHEN n_tpost > 0
+        |       THEN round(s_tpost / CAST(n_tpost AS DOUBLE), 6) END AS m_tpost,
+        |  CASE WHEN n_cpre > 0
+        |       THEN round(s_cpre / CAST(n_cpre AS DOUBLE), 6) END AS m_cpre,
+        |  CASE WHEN n_cpost > 0
+        |       THEN round(s_cpost / CAST(n_cpost AS DOUBLE), 6) END AS m_cpost,
+        |  CASE WHEN n_tpre > 0 AND n_tpost > 0 AND n_cpre > 0 AND n_cpost > 0
+        |       THEN round((s_tpost / CAST(n_tpost AS DOUBLE)
+        |                   - s_tpre / CAST(n_tpre AS DOUBLE))
+        |                  - (s_cpost / CAST(n_cpost AS DOUBLE)
+        |                     - s_cpre / CAST(n_cpre AS DOUBLE)), 6)
+        |  END AS did
+        |FROM m""".stripMargin,
+
+    // three scalar audits unioned; NOT EXISTS replays the left-anti
+    "dq5_referential" ->
+      """WITH r1 AS (
+        |  SELECT 'lineitem.orderkey->orders' AS relation,
+        |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+        |    CAST((SELECT COUNT(l_orderkey) FROM lineitem) AS BIGINT)
+        |      AS n_nonnull,
+        |    CAST((SELECT COUNT(*) FROM lineitem c
+        |          WHERE c.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |            SELECT 1 FROM orders p
+        |            WHERE p.o_orderkey = c.l_orderkey)) AS BIGINT)
+        |      AS n_orphans),
+        |r2 AS (
+        |  SELECT 'orders.custkey->customer' AS relation,
+        |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+        |    CAST((SELECT COUNT(o_custkey) FROM orders) AS BIGINT)
+        |      AS n_nonnull,
+        |    CAST((SELECT COUNT(*) FROM orders c
+        |          WHERE c.o_custkey IS NOT NULL AND NOT EXISTS (
+        |            SELECT 1 FROM customer p
+        |            WHERE p.c_custkey = c.o_custkey)) AS BIGINT)
+        |      AS n_orphans),
+        |r3 AS (
+        |  SELECT 'orders.custkey->customer_mod3' AS relation,
+        |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+        |    CAST((SELECT COUNT(o_custkey) FROM orders) AS BIGINT)
+        |      AS n_nonnull,
+        |    CAST((SELECT COUNT(*) FROM orders c
+        |          WHERE c.o_custkey IS NOT NULL AND NOT EXISTS (
+        |            SELECT 1 FROM customer p
+        |            WHERE p.c_custkey % 3 = 0
+        |              AND p.c_custkey = c.o_custkey)) AS BIGINT)
+        |      AS n_orphans)
+        |SELECT relation, n_child, n_nonnull, n_orphans,
+        |  round(CAST(n_orphans AS DOUBLE) /
+        |    CAST(greatest(n_nonnull, 1) AS DOUBLE), 6) AS orphan_rate
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |      UNION ALL SELECT * FROM r3)
+        |ORDER BY relation""".stripMargin,
 
     // the operator's exact conditional moment sums and the identical
     // mean/variance/se2/dof parenthesization; variances clamp at 0

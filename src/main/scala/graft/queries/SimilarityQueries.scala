@@ -127,6 +127,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // P146 — farthest-first k-center coreset over the 1-in-7 pool:
+    // seed = smallest id, then 11 max-min cosine-distance picks; the
+    // oracle replays the walk in a recursive CTE (the sim8 mechanics)
+    "sim10_kcenter" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.kCenterCoreset(e.where(col("vec_id") % 7 === 0),
+          "vec_id", "v", k = 12)
+        .orderBy("rank")
+    }),
+
     // P61 — int8 scalar quantization: per-dim corpus extrema, then the
     // exact floor((x−min)·255/(max−min)+0.5) sequence per element — the
     // oracle recomputes extrema and codes with the identical IEEE ops, so
@@ -392,6 +402,37 @@ object SimilarityQueries {
         |  FROM tot WHERE query_id <> id)
         |SELECT query_id, id, adc_dist, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the sim8 recursion shape: pairwise 6-rounded cosines computed once
+    // (psim), LATERAL argmax of 1 − max-sim-to-selected with id
+    // tie-break; seed = min pool id with null d
+    "sim10_kcenter" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |norm AS (SELECT vec_id,
+        |    CASE WHEN sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN v]), (a,b) -> a+b)) > 0
+        |         THEN [x / sqrt(list_reduce(list_prepend(0.0, [y*y FOR y IN v]), (a,b) -> a+b)) FOR x IN v]
+        |         ELSE [0.0 FOR x IN v] END AS v
+        |  FROM e),
+        |pool AS (SELECT vec_id AS id, v FROM norm WHERE vec_id % 7 = 0),
+        |psim AS (
+        |  SELECT a.id AS ai, b.id AS bi,
+        |    round(list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)]), (x,y) -> x+y), 6) AS sim
+        |  FROM pool a JOIN pool b ON a.id <> b.id),
+        |g(n, sel, id, d) AS (
+        |  SELECT 1, [id], id, CAST(NULL AS DOUBLE)
+        |  FROM (SELECT id FROM pool ORDER BY id LIMIT 1)
+        |  UNION ALL
+        |  SELECT g.n + 1, list_append(g.sel, c.id), c.id, c.d
+        |  FROM g, LATERAL (
+        |    SELECT c2.id,
+        |      1.0e0 - (SELECT max(p.sim) FROM psim p
+        |               WHERE p.ai = c2.id AND list_contains(g.sel, p.bi)) AS d
+        |    FROM pool c2 WHERE NOT list_contains(g.sel, c2.id)
+        |    ORDER BY d DESC, c2.id ASC LIMIT 1) c
+        |  WHERE g.n < 12)
+        |SELECT CAST(n AS INT) AS rank, id AS vec_id, d
+        |FROM g ORDER BY rank""".stripMargin,
 
     // MMR replayed in SQL: sim2's normalization + ascending-index folds
     // give bit-identical rounded cosines; the greedy walk is a recursive

@@ -275,6 +275,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P147 — dataset-card summary per language + ALL rollup: counts,
+    // exact-dup distincts, token totals/means, mean quality — one pass
+    "pipe4_datacard" -> ((s, dir) => {
+      TextAnalysis.corpusCard(table(s, dir, "documents"),
+          "lang", "text", "n_chars")
+        .orderBy("lang")
+    }),
+
     // P142 — 64-dim hashing-trick features: signed per-bucket token
     // sums, no vocabulary pass; portable-MD5 route + sign hashes
     "t22_feature_hash" -> ((s, dir) => {
@@ -1125,6 +1133,42 @@ object TextQueries {
         |             AS DOUBLE)), 4)
         |  END AS flesch
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the t3 quality gates verbatim (exact quarters → exact DECIMAL
+    // sums), md5 distincts, ROLLUP(lang) with the 'ALL' label
+    "pipe4_datacard" ->
+      s"""WITH base AS (
+         |  SELECT lang, n_chars, md5(text) AS h,
+         |    CAST(len(toks) AS BIGINT) AS nt,
+         |    CAST((
+         |      (CASE WHEN len(toks) >= 5 AND length(trim(text)) >= 30
+         |            THEN 1.0 ELSE 0.0 END)
+         |      + (CASE WHEN CAST(len(list_filter(toks,
+         |              t2 -> list_contains($EnStops, t2))) AS DOUBLE)
+         |            / greatest(len(toks), 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
+         |      + (CASE WHEN CAST(length(t) -
+         |              length(regexp_replace(t, '[^a-z0-9\\s]', '', 'g'))
+         |              AS DOUBLE)
+         |            / greatest(length(t), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+         |      + (CASE WHEN CAST(length(t) -
+         |              length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE)
+         |            / greatest(length(t), 1) >= 0.7 THEN 1.0 ELSE 0.0 END)
+         |    ) / 4.0 AS DECIMAL(18,6)) AS q
+         |  FROM (SELECT lang, n_chars, text, lower(trim(text)) AS t,
+         |          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |            x -> x <> '') AS toks
+         |        FROM documents))
+         |SELECT coalesce(lang, 'ALL') AS lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+         |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         |  round(CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS mean_tokens,
+         |  round(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS mean_chars,
+         |  round(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS mean_quality
+         |FROM base GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin,
 
     // both MD5 folds replayed per token ('fh:' route, 'fhs:' sign);
     // sums stay exact BIGINTs

@@ -322,4 +322,22 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.hillTailIndex(mixed, "v", k = 10).head.getLong(0) == 4L)
     intercept[IllegalArgumentException](Features.hillTailIndex(xs, "v", 1))
   }
+
+  test("didEstimate: textbook 2x2; empty cell pins did null") {
+    import spark.implicits._
+    // treat: 10 → 13 (+3); control: 20 → 21 (+1) → DiD = +2
+    val rows = Seq(
+      (true, false, 10.0), (true, true, 13.0),
+      (false, false, 20.0), (false, true, 21.0))
+      .toDF("t", "p", "y")
+    val r = Features.didEstimate(rows, "t", "p", "y").head
+    assert((0 to 3).map(r.getLong) == Seq(1L, 1L, 1L, 1L))
+    assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 13.0)
+    assert(r.getDouble(6) == 20.0 && r.getDouble(7) == 21.0)
+    assert(r.getDouble(8) == 2.0)
+    // missing control-post cell → no estimate
+    val sparse = rows.where(!($"t" === false && $"p" === true))
+    val s = Features.didEstimate(sparse, "t", "p", "y").head
+    assert(s.getLong(3) == 0L && s.isNullAt(7) && s.isNullAt(8))
+  }
 }

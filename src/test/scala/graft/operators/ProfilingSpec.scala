@@ -101,4 +101,20 @@ class ProfilingSpec extends SparkSpec {
       6L -> (("changed", "c1"))))          // null → value IS a change
     intercept[IllegalArgumentException](Profiling.cdcDiff(prev, next, "id", Nil))
   }
+
+  test("fkAudit counts orphans per relation; null FKs are not orphans") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L),
+      Option.empty[Long]).toDF("fk")
+    val got = Profiling.fkAudit(Seq(
+        ("ok", parent.toDF("fk"), "fk", parent, "pk"),
+        ("broken", child, "fk", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("ok") == ((3L, 3L, 0L, 0.0)))
+    // 5 child rows, 4 non-null, 2 orphans (both 9s), rate 0.5
+    assert(got("broken") == ((5L, 4L, 2L, 0.5)))
+    intercept[IllegalArgumentException](Profiling.fkAudit(Nil))
+  }
 }

@@ -326,4 +326,31 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.recallAtK(truth, approx, "q", "i", 0))
   }
+
+  test("kCenterCoreset walks farthest-first from the smallest id") {
+    import spark.implicits._
+    // three orthogonal axes + a near-duplicate of the seed:
+    // seed = id 1 (x-axis); both axes y and z are at distance 1.0 from
+    // it — tie → smaller id (2); then z (3) at distance 1.0 from the
+    // set; the near-dup (4) comes last with a small distance
+    val pool = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)),
+      (4L, Seq(0.8, 0.6, 0.0))).toDF("id", "v")
+    val got = Similarity.kCenterCoreset(pool, "id", "v", k = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got(1) == ((1L, None)))
+    assert(got(2) == ((2L, Some(1.0))))
+    assert(got(3) == ((3L, Some(1.0))))
+    // nearest center to (0.8, 0.6, 0) is the seed: cos = 0.8 → d = 0.2
+    assert(got(4)._1 == 4L)
+    assert(math.abs(got(4)._2.get - 0.2) < 1e-9)
+    // k larger than the pool stops at the pool size
+    assert(Similarity.kCenterCoreset(pool, "id", "v", k = 9).count() == 4)
+    intercept[IllegalArgumentException](
+      Similarity.kCenterCoreset(pool, "id", "v", 0))
+  }
 }

@@ -554,4 +554,24 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.featureHash(df, "doc_id", "text", 1))
   }
+
+  test("corpusCard rolls up per group + ALL; dup texts collapse n_unique") {
+    val df = Seq(
+      (1L, "en", "one two three", 13L),
+      (2L, "en", "one two three", 13L),   // exact dup of doc 1
+      (3L, "de", "vier", 4L)).toDF("doc_id", "lang", "text", "n_chars")
+    val got = TextAnalysis.corpusCard(df, "lang", "text", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet == Set("en", "de", "ALL"))
+    assert(got("en") == ((2L, 1L, 6L, 3.0, 13.0)))
+    assert(got("de") == ((1L, 1L, 1L, 1.0, 4.0)))
+    assert(got("ALL")._1 == 3L && got("ALL")._2 == 2L && got("ALL")._3 == 7L)
+    // quality means are exact quarters averaged: every text here fails
+    // the length gates identically → group means equal the ALL mean
+    val q = TextAnalysis.corpusCard(df, "lang", "text", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(q.values.toSet.size <= 2)
+  }
 }
