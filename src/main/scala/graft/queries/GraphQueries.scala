@@ -53,8 +53,10 @@ object GraphQueries {
 
     // P124 — top-50 Adamic-Adar link predictions over the co-purchase
     // graph: non-adjacent part pairs with ≥ 3 common neighbors, centers
-    // capped at degree 50 (hub fan-out discipline), 1/ln terms 9-rounded
-    // and DECIMAL-summed
+    // capped at degree 90 (hub fan-out discipline; this graph's degree
+    // MEDIAN is ~115, so the original ≤50 cap admitted ~1 center and
+    // the query was vacuously empty — retuned r9s4), 1/ln terms
+    // 9-rounded and DECIMAL-summed
     "gr3_adamic" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey"))
@@ -64,7 +66,7 @@ object GraphQueries {
         .where(col("src") =!= col("dst"))
         .select("src", "dst")
       graft.operators.Graph.adamicAdar(edges, "src", "dst",
-          maxDegree = 50, minCommon = 3L, k = 50)
+          maxDegree = 90, minCommon = 3L, k = 50)
         .orderBy(col("score").desc, col("u").asc, col("v").asc)
     }),
 
@@ -80,7 +82,7 @@ object GraphQueries {
         .where(col("src") =!= col("dst"))
         .select("src", "dst")
       graft.operators.Graph.neighborJaccard(edges, "src", "dst",
-          maxDegree = 50, minCommon = 3L, k = 50)
+          maxDegree = 90, minCommon = 3L, k = 50)
         .orderBy(col("score").desc, col("u").asc, col("v").asc)
     }),
 
@@ -199,7 +201,7 @@ object GraphQueries {
         |  SELECT node AS z,
         |    CAST(round(1.0e0 / ln(CAST(deg AS DOUBLE)), 9) AS DECIMAL(28,9))
         |      AS w
-        |  FROM deg WHERE deg >= 2 AND deg <= 50),
+        |  FROM deg WHERE deg >= 2 AND deg <= 90),
         |adj AS (SELECT u AS z, v AS nb FROM und
         |        UNION ALL SELECT v, u FROM und),
         |el AS (SELECT adj.z, adj.nb, c.w FROM adj JOIN centers c ON c.z = adj.z),
@@ -226,7 +228,7 @@ object GraphQueries {
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
-        |centers AS (SELECT node AS z FROM deg WHERE deg >= 2 AND deg <= 50),
+        |centers AS (SELECT node AS z FROM deg WHERE deg >= 2 AND deg <= 90),
         |adj AS (SELECT u AS z, v AS nb FROM und
         |        UNION ALL SELECT v, u FROM und),
         |el AS (SELECT adj.z, adj.nb FROM adj JOIN centers c ON c.z = adj.z),
