@@ -153,8 +153,12 @@ object DedupQueries {
     }),
 
     // character 5-gram Jaccard ≥ 0.55 over a 25-doc subset
+    // runs on the DUPLICATED corpus: raw documents share no char-5-gram
+    // at ≥ 0.55 (every doc's shingle set is unique — verified r9s4, the
+    // query was vacuously empty), while the planted duplicates give the
+    // threshold real pairs to find
     "d4_ngram_jaccard" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      val docs = dupedDocs(s, dir).where(col("doc_id") % 20 === 0)
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.55)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("i", "j")
@@ -474,7 +478,7 @@ object DedupQueries {
         """[substr(lower(trim(text)), i, 5)
           |  for i in range(1, greatest(length(lower(trim(text))) - 4, 1) + 1)
           |  if length(substr(lower(trim(text)), i, 5)) = 5]""".stripMargin,
-        "0.55"),
+        "0.55", source = dupedDocsSql),
 
     // d5's banded-LSH output is oracle-checked against the EXACT jaccard
     // pair set: candidate verification guarantees LSH ⊆ exact, and on this

@@ -23,15 +23,18 @@ object StreamQueries {
     // measures genuine cross-shard skew; is_late marks events a 1-hour
     // watermark would DROP
     "st6_lateness" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // deterministic delivery-delay model: each event arrives its own
+      // hash-derived 0..2h later (ms resolution), so the arrival order
+      // genuinely interleaves — a rank-based shard merge of THIS corpus
+      // is already globally ts-sorted (ts is monotone in event_id) and
+      // produced zero late events at every SF (caught r9s4). event_id
+      // in the low digits makes the arrival key a total order.
       val e = events(s, dir).select(col("event_id"), col("ts"))
-        .withColumn("shard", pmod(col("event_id"), lit(16L)))
-      val sw = Window.partitionBy(col("shard"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val arrivals = e
         .withColumn("arrival",
-          row_number().over(sw).cast("long") * 16L + col("shard"))
-      graft.operators.TimeSeries.disorderAudit(arrivals, "ts", "arrival",
+          (expr("unix_micros(ts) div 1000") +
+            pmod(graft.operators.Sampling.hashValue(col("event_id"), "lat:"),
+              lit(7200000L))) * lit(1000000L) + col("event_id"))
+      graft.operators.TimeSeries.disorderAudit(e, "ts", "arrival",
           watermarkMicros = 3600000000L)
         .orderBy("arrival")
     }),
@@ -98,23 +101,28 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // the identical shard/merge construction, running max over the
-    // strictly-preceding arrival frame, exact epoch-micro integers
+    // the identical hash-jittered delivery construction (sa1 MD5 fold,
+    // 'lat:' salt), running max over the strictly-preceding arrival
+    // frame, exact epoch-micro integers
     "st6_lateness" ->
       """WITH sh AS (
-        |  SELECT event_id, epoch_us(ts) AS us, event_id % 16 AS shard
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |        FOR c IN string_split(
+        |          substr(md5('lat:' || CAST(event_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
         |  FROM events),
         |arr AS (
         |  SELECT us,
-        |    CAST(row_number() OVER (PARTITION BY shard
-        |      ORDER BY us, event_id) AS BIGINT) * 16 + shard AS arrival
+        |    (us // 1000 + hv % 7200000) * 1000000 + event_id AS arrival
         |  FROM sh),
         |h AS (
         |  SELECT arrival, us,
         |    max(us) OVER (ORDER BY arrival
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
         |  FROM arr)
-        |SELECT arrival, us AS event_us, hwm AS hwm_us,
+        |SELECT CAST(arrival AS BIGINT) AS arrival, us AS event_us,
+        |  hwm AS hwm_us,
         |  CAST(hwm - us AS BIGINT) AS late_us,
         |  hwm - us > 3600000000 AS is_late
         |FROM h WHERE hwm IS NOT NULL AND hwm > us

@@ -399,7 +399,11 @@ object TextQueries {
     "sk5_heavyhitters" -> ((s, dir) => {
       val toks = table(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      graft.operators.Sketches.heavyHitters(toks, "token", k = 20)
+      // k = 40: this corpus's ~29-word vocabulary tops out at ~3.5%
+      // share, so the n/20 = 5% bar returned ZERO hitters at every SF
+      // (vacuous green, caught r9s4); n/40 = 2.5% makes the exact
+      // two-pass answer non-trivial on both sides
+      graft.operators.Sketches.heavyHitters(toks, "token", k = 40)
         .withColumnRenamed("item", "token")
         .orderBy("token")
     }),
@@ -849,7 +853,7 @@ object TextQueries {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt, n.n_total
         |FROM toks, n GROUP BY token, n.n_total
-        |HAVING count(*) * 20 > n.n_total
+        |HAVING count(*) * 40 > n.n_total
         |ORDER BY token""".stripMargin,
 
     // same algebraic entropy form as the kernel: log2(n) − (Σ c·log2 c)/n,

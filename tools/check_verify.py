@@ -86,6 +86,13 @@ for name in sorted(oracle):
     e = exp[ecols].sort_values(ecols, kind="mergesort").reset_index(drop=True)
     if len(g) != len(e):
         fails.append((name, f"row count: spark={len(g)} oracle={len(e)}")); continue
+    # Vacuous-green guard (r9s4 lesson: gr3/d4/sk5/st6 were EMPTY on both
+    # sides — threshold/parameter choices that produce nothing still
+    # hash-match). An intentionally-empty query must be allowlisted here.
+    EMPTY_OK = set()
+    if len(g) == 0 and name not in EMPTY_OK:
+        fails.append((name, "VACUOUS: both sides empty — retune the query "
+                      "or allowlist it in EMPTY_OK")); continue
     bad = None
     for c in gcols:
         gv, ev = g[c], e[c]
