@@ -238,6 +238,38 @@ object Profiling {
    * knows it's small) reduced to a count, cross-joined scalar rows.
    * Relations union into one report frame.
    */
+  /**
+   * P152 — per-column test battery (dbt's `not_null` + `unique` generics
+   * as one report): for each column, `n_null` (not-null violations),
+   * `n_distinct` (exact), and `dup_violations` = non-null − distinct
+   * (0 ⇔ the column could be a key) — the first audit run against any
+   * inbound table, and the `is_unique` evidence a join planner wants
+   * before trusting a "key".
+   *
+   * Shapes: ONE fused aggregate computes every column's count +
+   * countDistinct in a single pass (distincts expand per-column —
+   * Spark's standard multi-distinct expansion, still one scan), then
+   * the 1-row frame reshapes per column via an explode of struct
+   * literals (the dq4 reshape idiom). All exact BIGINTs.
+   */
+  def columnTests(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnTests: at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"), count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        (col(s"__nn_$c") - col(s"__nd_$c")).as("dup_violations"))
+    }: _*))
+    one.select(rows.as("r")).select("r.*")
+      .withColumn("is_unique",
+        col("n_null") === 0L && col("dup_violations") === 0L)
+  }
+
   def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(relations.nonEmpty, "fkAudit: at least one relation")

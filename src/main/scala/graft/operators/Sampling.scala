@@ -562,6 +562,64 @@ object Sampling {
    * executors, never a global order), one filter. Appends
    * `sample_rank` (1-based within class).
    */
+  /**
+   * P151 — Neyman optimal stratified-sample allocation: given a total
+   * `budget`, allocate n_h ∝ N_h·σ_h (stratum size × population sd) —
+   * the variance-minimizing split of a fixed labeling/eval budget
+   * across strata, the answer to "how many QA samples from each
+   * source?". Fractional quotas resolve by largest-remainder with
+   * stratum-name tie-break, so Σ alloc == budget EXACTLY. Strata with
+   * zero spread (σ = 0, incl. singletons) get weight 0 — a constant
+   * stratum needs one probe, which the remainder rule may still give
+   * it; degenerate ALL-zero weights fall back to N_h weighting.
+   *
+   * Shapes: one keyed decimal moment agg (strata-sized frame), a 1-row
+   * total broadcast back, one remainder-rank window over the strata
+   * frame. Cross-engine: σ rounds at 6, the weight N·σ rounds at 6 and
+   * DECIMAL-sums into the total, quota/floor/remainder are a fixed
+   * double sequence on identical operands.
+   */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"neymanAllocation: budget must be >= 0, got $budget")
+    val dec = col(valueCol).cast("decimal(18,6)")
+    val dec19 = col(valueCol).cast("decimal(19,6)")
+    val m = df.where(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_stratum"),
+        sum(dec).cast("double").as("__s"),
+        sum(dec19 * dec19).cast("double").as("__q"))
+    val nd = col("n_stratum").cast("double")
+    val variance = greatest(
+      col("__q") / nd - (col("__s") / nd) * (col("__s") / nd), lit(0.0))
+    val weighted = m
+      .withColumn("sd", round(sqrt(variance), 6))
+      .withColumn("__w", round(nd * col("sd"), 6).cast("decimal(28,6)"))
+    val tot = weighted.agg(sum(col("__w")).as("__tw"),
+      sum(col("n_stratum")).as("__tn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(stratumCol).asc)
+    val quotas = weighted.join(broadcast(tot)) // 1-row scalar side
+      .withColumn("__quota",
+        when(col("__tw") > 0,
+          lit(budget.toDouble) * col("__w").cast("double") /
+            col("__tw").cast("double"))
+          .otherwise(lit(budget.toDouble) * nd / col("__tn").cast("double")))
+      .withColumn("__base", floor(col("__quota")).cast("long"))
+      .withColumn("__rem", round(col("__quota") - col("__base"), 6))
+    val spare = lit(budget) - sum(col("__base"))
+      .over(org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing))
+    quotas
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("alloc",
+        (col("__base") + when(col("__rank") <= spare, 1L).otherwise(0L))
+          .cast("long"))
+      .select(col(stratumCol), col("n_stratum"), col("sd"),
+        round(col("__quota"), 6).as("quota"), col("alloc"))
+  }
+
   def balancedDownsample(df: DataFrame, classCol: String, idCol: String,
       salt: String = "bal:"): DataFrame = {
     val d = df.where(col(classCol).isNotNull)

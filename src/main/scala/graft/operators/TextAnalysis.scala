@@ -516,6 +516,68 @@ object TextAnalysis {
       .withColumn(groupCol, coalesce(col(groupCol), lit("ALL")))
   }
 
+  /**
+   * P153 — RAKE keyphrase extraction (Rose et al. 2010): candidate
+   * phrases are maximal stopword-free token runs; each word scores
+   * deg/freq (deg = Σ phrase-length over its occurrences — co-occurrence
+   * degree including itself, freq = occurrence count, both per doc);
+   * a phrase scores the sum of its members' scores, and the top-`k`
+   * distinct phrases per doc come back ranked — the zero-model keyword
+   * tagger for corpus browsing/faceting, and a cheap retrieval field.
+   *
+   * Shapes: one posexplode, the gaps-and-islands window (island id =
+   * pos − rank-among-nonstop, partitioned per doc — scales with docs),
+   * one phrase agg (sort_array over the in-phrase struct keeps member
+   * order deterministic), one per-(doc, word) stat agg joined back
+   * (shuffle_hash), top-k per doc via window. Cross-engine: word scores
+   * are ONE exact-integer division rounded at 6 and DECIMAL-summED into
+   * the phrase score (addition order cannot matter); rank ties break on
+   * the phrase string.
+   */
+  def rakePhrases(df: DataFrame, idCol: String, textCol: String,
+      k: Int, stops: Seq[String] = LanguageProfiles("en")): DataFrame = {
+    require(k >= 1, s"rakePhrases: k must be >= 1, got $k")
+    val stopArr = array(stops.map(lit): _*)
+    val toks = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val nonstop = toks.where(!array_contains(stopArr, col("tok")))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos").asc)
+    val islands = nonstop
+      .withColumn("__grp", col("pos") - row_number().over(wIsl))
+    val phrases = islands
+      .groupBy(col(idCol), col("__grp"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    // per-(doc, word) RAKE stats over phrase-member occurrences
+    val members = islands.join(phrases.hint("shuffle_hash"),
+      Seq(idCol.toString, "__grp"))
+    val wordStats = members
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("__freq"), sum(col("plen")).as("__deg"))
+      .withColumn("__wscore",
+        round(col("__deg").cast("double") / col("__freq").cast("double"), 6)
+          .cast("decimal(28,6)"))
+    // score each ISLAND (so a phrase repeated in a doc is not
+    // double-summed), then collapse identical phrases below
+    val scored = members
+      .join(wordStats.hint("shuffle_hash"), Seq(idCol.toString, "tok"))
+      .groupBy(col(idCol), col("__grp"), col("phrase"), col("plen"))
+      .agg(sum(col("__wscore")).cast("double").as("score"))
+    // identical phrases in one doc collapse to one candidate
+    val distinctPhrases = scored
+      .groupBy(col(idCol), col("phrase"))
+      .agg(max(col("plen")).as("plen"), max(col("score")).as("score"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("phrase").asc)
+    distinctPhrases
+      .withColumn("rank", row_number().over(wTop).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   // ---- fingerprinting --------------------------------------------------------
 
   // shared with the native winnowing kernel (expressions/TextEval) — one

@@ -608,6 +608,59 @@ object TimeSeries {
    * DECIMAL sums; means and the index are fixed double sequences on
    * identical operands, rounded at 6.
    */
+  /**
+   * P150 — Mann–Kendall trend test per key: S = Σ_{i<j} sign(x_j − x_i)
+   * over the ordered series, tie-corrected variance, and the normal
+   * z-statistic — the NONPARAMETRIC monotone-trend detector (no
+   * linearity or normality assumed, robust to outliers), the standard
+   * first question against drifting metrics. Emits (key, n, s, var_s,
+   * z, trend) with trend the ±1.96 two-sided call; all-tied series
+   * (var 0) and keys with < 2 points have no test → dropped/null.
+   *
+   * CALLER CONTRACT: the pair stage is quadratic in points-per-key —
+   * feed RESAMPLED series (e.g. [[resampleFfill]]'s daily grid or a
+   * per-period aggregate), never raw events; with bounded series
+   * length the self-join is a per-key constant. Cross-engine: feed
+   * values ALREADY rounded (sign compares rounded operands), S and the
+   * tie sums are exact BIGINTs, var = one /18 division, z's sqrt is
+   * IEEE-exact; z rounds at 6 and the trend label reads the ROUNDED z.
+   */
+  def mannKendall(points: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val a = points.select(col(keyCol).as("__k"), col(ordCol).as("__oa"),
+      col(valueCol).as("__va"))
+    val b = points.select(col(keyCol).as("__k"), col(ordCol).as("__ob"),
+      col(valueCol).as("__vb"))
+    val sAgg = a.join(b.hint("shuffle_hash"), Seq("__k"))
+      .where(col("__oa") < col("__ob"))
+      .groupBy(col("__k"))
+      .agg(sum(when(col("__vb") > col("__va"), 1L)
+        .when(col("__vb") < col("__va"), -1L).otherwise(0L)).as("s"))
+    val nAgg = points.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("n"))
+    val ties = points
+      .groupBy(col(keyCol).as("__k"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2L) * col("__t") + 5))
+        .as("__tsum"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+      col("__tsum")).cast("double") / lit(18.0)
+    nAgg.join(sAgg.hint("shuffle_hash"), Seq("__k"))
+      .join(ties.hint("shuffle_hash"), Seq("__k"))
+      .withColumn("var_s", round(varS, 6))
+      .withColumn("z", when(varS > 0,
+        round(when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0)), 6)))
+      .withColumn("trend",
+        when(col("z").isNull, lit(null).cast("string"))
+          .when(col("z") >= 1.96, lit("increasing"))
+          .when(col("z") <= -1.96, lit("decreasing"))
+          .otherwise(lit("none")))
+      .select(col("__k").as(keyCol), col("n"), col("s"), col("var_s"),
+        col("z"), col("trend"))
+  }
+
   def seasonalProfile(df: DataFrame, tsCol: String,
       valueCol: String): DataFrame = {
     val dec = col(valueCol).cast("decimal(18,6)")

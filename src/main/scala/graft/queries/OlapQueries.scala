@@ -314,6 +314,37 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P150 — Mann-Kendall monotone-trend test on the daily mean value
+    // per event type (30-point resampled series — the quadratic pair
+    // stage is a per-key constant)
+    "o29_trend" -> ((s, dir) => {
+      val daily = graft.Graft.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("v"))
+      graft.operators.TimeSeries.mannKendall(daily, "event_type", "day", "v")
+        .orderBy("event_type")
+    }),
+
+    // P151 — Neyman allocation of a 1000-sample budget across order
+    // priorities by N_h·sigma_h; largest-remainder makes it sum exactly
+    "sa15_neyman" -> ((s, dir) => {
+      graft.operators.Sampling.neymanAllocation(
+          table(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+          budget = 1000L)
+        .orderBy("o_orderpriority")
+    }),
+
+    // P152 — dbt-style not_null/unique battery over five order columns
+    // in one fused pass
+    "dq6_column_tests" -> ((s, dir) => {
+      graft.operators.Profiling.columnTests(table(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy("column")
+    }),
+
     // P148 — difference-in-differences over the event stream: odd users
     // "treated", the Jan-16 cut splits pre/post; one fused 8-cell agg
     "o28_did" -> ((s, dir) => {
@@ -1178,6 +1209,105 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // pairwise signs on the 6-rounded daily means, exact BIGINT S and
+    // tie sums, one /18 division; z reads the UNrounded variance, the
+    // trend label reads the ROUNDED z (both sides)
+    "o29_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM daily GROUP BY 1),
+        |t AS (SELECT event_type,
+        |        CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |      FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+        |            FROM daily GROUP BY 1, 2)
+        |      GROUP BY 1),
+        |j AS (
+        |  SELECT n.event_type, n.n, s.s,
+        |    CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum AS DOUBLE)
+        |      / 18.0e0 AS vs
+        |  FROM n JOIN s ON s.event_type = n.event_type
+        |         JOIN t ON t.event_type = n.event_type),
+        |zc AS (
+        |  SELECT event_type, n, s, round(vs, 6) AS var_s,
+        |    CASE WHEN vs > 0 THEN
+        |      round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vs)
+        |                 WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(vs)
+        |                 ELSE 0.0e0 END, 6)
+        |    END AS z
+        |  FROM j)
+        |SELECT event_type, n, s, var_s, z,
+        |  CASE WHEN z IS NULL THEN NULL
+        |       WHEN z >= 1.96e0 THEN 'increasing'
+        |       WHEN z <= -1.96e0 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM zc ORDER BY event_type""".stripMargin,
+
+    // 6-rounded sd and N·sd weights DECIMAL-summed; quota/floor/
+    // remainder the identical double sequence; largest-remainder rank
+    // with stratum tie-break
+    "sa15_neyman" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_stratum,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(19,6)) *
+        |      CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE) AS q
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT o_orderpriority, n_stratum,
+        |    round(sqrt(greatest(q / CAST(n_stratum AS DOUBLE) -
+        |      (s / CAST(n_stratum AS DOUBLE)) *
+        |      (s / CAST(n_stratum AS DOUBLE)), 0.0e0)), 6) AS sd
+        |  FROM m),
+        |w2 AS (SELECT *, CAST(round(CAST(n_stratum AS DOUBLE) * sd, 6)
+        |         AS DECIMAL(28,6)) AS wgt FROM w),
+        |tot AS (SELECT SUM(wgt) AS tw, CAST(SUM(n_stratum) AS BIGINT) AS tn
+        |        FROM w2),
+        |qt AS (
+        |  SELECT w2.*,
+        |    CASE WHEN tot.tw > 0
+        |         THEN 1000.0e0 * CAST(wgt AS DOUBLE) / CAST(tw AS DOUBLE)
+        |         ELSE 1000.0e0 * CAST(n_stratum AS DOUBLE)
+        |              / CAST(tn AS DOUBLE) END AS quota
+        |  FROM w2, tot),
+        |b AS (SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+        |        round(quota - floor(quota), 6) AS rem FROM qt),
+        |sp AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS spare FROM b),
+        |r AS (SELECT b.*, row_number() OVER
+        |        (ORDER BY rem DESC, o_orderpriority ASC) AS rk FROM b)
+        |SELECT o_orderpriority, n_stratum, sd, round(quota, 6) AS quota,
+        |  CAST(base + CASE WHEN rk <= sp.spare THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r, sp ORDER BY o_orderpriority""".stripMargin,
+
+    // one sub-audit per column, unioned; exact counts only
+    "dq6_column_tests" -> {
+      val colSql = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(COUNT($c) - COUNT(DISTINCT $c) AS BIGINT)
+           |    AS dup_violations,
+           |  (COUNT(*) - COUNT($c) = 0 AND
+           |   COUNT($c) - COUNT(DISTINCT $c) = 0) AS is_unique
+           |FROM orders""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\n")
+      s"""SELECT * FROM ($colSql) ORDER BY "column""""
+    },
 
     // the identical 8 conditional cells and the identical
     // (m_tpost − m_tpre) − (m_cpost − m_cpre) double sequence

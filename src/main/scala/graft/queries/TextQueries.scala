@@ -275,6 +275,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P153 — RAKE keyphrases: top-3 stopword-delimited phrase runs per
+    // doc by summed word deg/freq scores
+    "t23_rake" -> ((s, dir) => {
+      TextAnalysis.rakePhrases(table(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // P147 — dataset-card summary per language + ALL rollup: counts,
     // exact-dup distincts, token totals/means, mean quality — one pass
     "pipe4_datacard" -> ((s, dir) => {
@@ -1137,6 +1145,58 @@ object TextQueries {
         |             AS DOUBLE)), 4)
         |  END AS flesch
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // gaps-and-islands phrase runs (pos − nonstop-rank), string_agg in
+    // pos order, 6-rounded word scores DECIMAL-summed per island; rank
+    // ties break on the phrase string
+    "t23_rake" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '') AS l
+         |  FROM documents),
+         |pos0 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d),
+         |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS tok
+         |         FROM pos0),
+         |ns AS (SELECT doc_id, pos, tok FROM toks
+         |       WHERE NOT list_contains($EnStops, tok)),
+         |isl AS (
+         |  SELECT doc_id, pos, tok,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM ns),
+         |ph AS (
+         |  SELECT doc_id, grp,
+         |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS plen
+         |  FROM isl GROUP BY 1, 2),
+         |mem AS (
+         |  SELECT isl.doc_id, isl.grp, isl.tok, ph.phrase, ph.plen
+         |  FROM isl JOIN ph
+         |    ON ph.doc_id = isl.doc_id AND ph.grp = isl.grp),
+         |ws AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(SUM(plen) AS BIGINT) AS deg
+         |  FROM mem GROUP BY 1, 2),
+         |ws2 AS (
+         |  SELECT doc_id, tok,
+         |    CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+         |      AS DECIMAL(28,6)) AS wscore
+         |  FROM ws),
+         |sc AS (
+         |  SELECT m.doc_id, m.grp, m.phrase, m.plen,
+         |    CAST(SUM(w.wscore) AS DOUBLE) AS score
+         |  FROM mem m JOIN ws2 w
+         |    ON w.doc_id = m.doc_id AND w.tok = m.tok
+         |  GROUP BY 1, 2, 3, 4),
+         |dp AS (SELECT doc_id, phrase, CAST(max(plen) AS BIGINT) AS plen,
+         |         max(score) AS score
+         |       FROM sc GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, phrase ASC) AS INT) AS rank
+         |      FROM dp)
+         |SELECT doc_id, phrase, plen, score, rank FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // the t3 quality gates verbatim (exact quarters → exact DECIMAL
     // sums), md5 distincts, ROLLUP(lang) with the 'ALL' label

@@ -117,4 +117,22 @@ class ProfilingSpec extends SparkSpec {
     assert(got("broken") == ((5L, 4L, 2L, 0.5)))
     intercept[IllegalArgumentException](Profiling.fkAudit(Nil))
   }
+
+  test("columnTests: null/dup counts per column in one pass") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (Some(2L), "a"), (Option.empty[Long], "b"))
+      .toDF("id", "grp")
+    val got = Profiling.columnTests(df, Seq("id", "grp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    // id: 3 rows, 1 null, 2 distinct, 0 dups — NOT unique (null present)
+    assert(got("id") == ((3L, 1L, 2L, 0L, false)))
+    // grp: 0 nulls, 2 distinct, 1 dup
+    assert(got("grp") == ((3L, 0L, 2L, 1L, false)))
+    val key = Profiling.columnTests(df.where($"id".isNotNull), Seq("id"))
+      .head
+    assert(key.getBoolean(5)) // non-null + distinct ⇒ key candidate
+    intercept[IllegalArgumentException](Profiling.columnTests(df, Nil))
+  }
 }

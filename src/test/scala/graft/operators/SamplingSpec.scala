@@ -414,4 +414,26 @@ class SamplingSpec extends SparkSpec {
     assert(got.collect().filter(_.getString(1) == "small")
       .map(_.getLong(0)).toSet == Set(11L, 12L, 13L))
   }
+
+  test("neymanAllocation: n·sigma weighting, exact budget, spread-0 fallback") {
+    import spark.implicits._
+    // stratum a: sd 1 over 4 rows (w=4); b: sd 2 over 2 rows (w=4);
+    // c: constant (sd 0, w 0) → quota 0, remainder rule decides spares
+    val rows = Seq(("a", 1.0), ("a", 3.0), ("a", 1.0), ("a", 3.0),
+      ("b", 0.0), ("b", 4.0), ("c", 9.0), ("c", 9.0)).toDF("s", "v")
+    val got = Sampling.neymanAllocation(rows, "s", "v", budget = 9L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(4)))).toMap
+    assert(got("a") == ((4L, 1.0, 5L)))   // quota 4.5, rem .5, rank 1 → +1
+    assert(got("b") == ((2L, 2.0, 4L)))   // quota 4.5, rem .5, rank 2
+    assert(got("c") == ((2L, 0.0, 0L)))
+    assert(got.values.map(_._3).sum == 9L) // sums to the budget exactly
+    // all-constant strata fall back to N_h weighting
+    val flat = Seq(("x", 1.0), ("x", 1.0), ("y", 2.0)).toDF("s", "v")
+    val f = Sampling.neymanAllocation(flat, "s", "v", budget = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(f == Map("x" -> 2L, "y" -> 1L))
+    intercept[IllegalArgumentException](
+      Sampling.neymanAllocation(rows, "s", "v", -1L))
+  }
 }

@@ -574,4 +574,24 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
     assert(q.values.toSet.size <= 2)
   }
+
+  test("rakePhrases: stopword-split islands, deg/freq scores, ranked top-k") {
+    // islands: "deep learning" (2), "deep learning rate" (3),
+    // "learning" (1). Word deg/freq: deep (2+3)/2 = 2.5,
+    // learning (2+3+1)/3 = 2.0, rate 3/1 = 3.0 → phrase scores
+    // 4.5 / 7.5 / 2.0
+    val df = Seq(
+      (1L, "the deep learning of a deep learning rate for learning"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakePhrases(df, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getString(1),
+        (r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got.keySet ==
+      Set("deep learning", "deep learning rate", "learning"))
+    assert(got("deep learning rate") == ((3L, 7.5, 1)))
+    assert(got("deep learning") == ((2L, 4.5, 2)))
+    assert(got("learning") == ((1L, 2.0, 3)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.rakePhrases(df, "doc_id", "text", 0))
+  }
 }

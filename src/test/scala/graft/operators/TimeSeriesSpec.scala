@@ -365,4 +365,30 @@ class TimeSeriesSpec extends SparkSpec {
     // corpus mean = 20: Mon mean 20 → idx 1.0; Sat mean 20 → idx 1.0
     assert(got == Map(0 -> ((2L, 20.0, 1.0)), 5 -> ((1L, 20.0, 1.0))))
   }
+
+  test("mannKendall: textbook S on a monotone series; ties shrink var") {
+    import spark.implicits._
+    // strictly increasing 5-pointer: every pair is +1 → S = 10,
+    // var = 5·4·15/18 = 50/3, z = 9/sqrt(50/3)
+    val up = (1 to 5).map(i => ("a", i.toLong, i.toDouble))
+    // all-tied series: S = 0, var = 0 → no test
+    val flat = (1 to 4).map(i => ("b", i.toLong, 7.0))
+    val got = TimeSeries.mannKendall((up ++ flat).toDF("k", "t", "v"),
+        "k", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 5L && a.getLong(2) == 10L)
+    val varS = 50.0 / 3.0
+    assert(a.getDouble(4) == BigDecimal(9.0 / math.sqrt(varS))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(a.getString(5) == "increasing")
+    val b = got("b")
+    assert(b.getLong(2) == 0L && b.getDouble(3) == 0.0 && b.isNullAt(4) &&
+      b.isNullAt(5))
+    // reversing the series flips the sign
+    val down = up.map { case (k, t, v) => ("c", t, -v) }
+    val c = TimeSeries.mannKendall(down.toDF("k", "t", "v"), "k", "t", "v")
+      .head
+    assert(c.getLong(2) == -10L && c.getString(5) == "decreasing")
+  }
 }
