@@ -645,6 +645,78 @@ object Features {
    * eight DECIMAL/count cells in a single map-side-combinable pass; the
    * estimate is a fixed double sequence on identical operands.
    */
+  /**
+   * P154 — Weight-of-Evidence encoding + Information Value: per category
+   * c, woe_c = ln(((n1_c + 0.5)/N1) / ((n0_c + 0.5)/N0)) (the 0.5
+   * Laplace guard keeps empty cells finite) and iv_term =
+   * (n1_c/N1 − n0_c/N0)·woe_c; `iv` repeats the category sum — the
+   * credit-scoring categorical encoder, and IV is the standard
+   * predictive-power screen (< 0.02 useless, > 0.5 suspicious).
+   *
+   * Shapes: ONE keyed conditional count agg + the 1-row totals
+   * broadcast (P125 idiom); the iv sum is a window over the
+   * category-sized frame. Cross-engine: counts exact, woe/iv_term round
+   * at 9 post-ln (the libm firewall), iv DECIMAL-sums the rounded
+   * terms.
+   */
+  def woeEncode(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val pos = when(col(labelCol), 1L).otherwise(0L)
+    val per = df.where(col(catCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(pos).as("n1"), sum(lit(1L) - pos).as("n0"))
+    val tot = per.agg(sum(col("n1")).as("__N1"), sum(col("n0")).as("__N0"))
+    val woe = round(log(
+      ((col("n1").cast("double") + lit(0.5)) / col("__N1").cast("double")) /
+        ((col("n0").cast("double") + lit(0.5)) / col("__N0").cast("double"))),
+      9)
+    val ivTerm = round(
+      (col("n1").cast("double") / col("__N1").cast("double") -
+        col("n0").cast("double") / col("__N0").cast("double")) * col("woe"), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per.join(broadcast(tot)) // 1-row scalar side
+      .withColumn("woe", woe)
+      .withColumn("iv_term", ivTerm)
+      .withColumn("iv", round(
+        sum(col("iv_term").cast("decimal(28,9)")).over(w).cast("double"), 6))
+      .drop("__N1", "__N0")
+  }
+
+  /**
+   * P155 — Gini concentration coefficient: with x sorted ascending and
+   * ranked 1..n, G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — the inequality
+   * summary ("the top 1% of keys hold 40% of the rows") that turns key
+   * skew into ONE comparable number; read it next to the P143 Hill α
+   * before choosing salting. One row: (n, total, gini). Non-positive
+   * totals (all-zero values) have no defined coefficient → null.
+   *
+   * Shapes: one global rank window (o5 caveat — at 100 TB rank via
+   * range-partitioned prefix counts, same arithmetic); Σ i·x and Σx
+   * are exact DECIMAL (rank·value products stay decimal), the closing
+   * formula one double sequence rounded at 6. Ties are harmless:
+   * consecutive ranks over equal values sum identically whatever the
+   * tie order.
+   */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    val d = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("decimal(18,2)").as("__x"))
+      .withColumn("__i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__x").asc))
+        .cast("long"))
+    d.agg(count(lit(1)).as("n"),
+        sum(col("__x")).cast("decimal(28,2)").as("__sx"),
+        sum(col("__x") * col("__i").cast("decimal(18,0)"))
+          .cast("decimal(38,2)").as("__six"))
+      .withColumn("total", round(col("__sx").cast("double"), 2))
+      .withColumn("gini",
+        when(col("__sx") > 0, round(
+          (lit(2.0) * col("__six").cast("double") -
+            (col("n") + 1).cast("double") * col("__sx").cast("double")) /
+            (col("n").cast("double") * col("__sx").cast("double")), 6)))
+      .select("n", "total", "gini")
+  }
+
   def didEstimate(df: DataFrame, treatCol: String, postCol: String,
       valueCol: String): DataFrame = {
     val dec = col(valueCol).cast("decimal(18,6)")

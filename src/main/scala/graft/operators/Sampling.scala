@@ -620,6 +620,29 @@ object Sampling {
         round(col("__quota"), 6).as("quota"), col("alloc"))
   }
 
+  /**
+   * P156 — temporal train/test split with an embargo gap: rows before
+   * (cutoff − embargo) train, rows at/after `cutoff` test, rows inside
+   * the gap are labeled `embargo` — the leakage-safe backtest split
+   * (a feature computed over a trailing window on a train row near the
+   * boundary would otherwise SEE test-period data; the embargo is the
+   * trailing-window length). Pure projection, no shuffle; exact
+   * microsecond comparisons.
+   */
+  def temporalSplit(df: DataFrame, tsCol: String, cutoff: String,
+      embargoMicros: Long): DataFrame = {
+    require(embargoMicros >= 0,
+      s"temporalSplit: embargoMicros must be >= 0, got $embargoMicros")
+    val cut = expr(s"timestamp'$cutoff'")
+    val trainEnd = expr(
+      s"timestamp_micros(unix_micros(timestamp'$cutoff') - ${embargoMicros}L)")
+    df.where(col(tsCol).isNotNull)
+      .withColumn("split",
+        when(col(tsCol) < trainEnd, lit("train"))
+          .when(col(tsCol) >= cut, lit("test"))
+          .otherwise(lit("embargo")))
+  }
+
   def balancedDownsample(df: DataFrame, classCol: String, idCol: String,
       salt: String = "bal:"): DataFrame = {
     val d = df.where(col(classCol).isNotNull)

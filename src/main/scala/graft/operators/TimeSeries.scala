@@ -661,6 +661,50 @@ object TimeSeries {
         col("z"), col("trend"))
   }
 
+  /**
+   * P157 — classical additive seasonal decomposition of a per-key daily
+   * series: trend = centered 7-day moving average (full windows only —
+   * edges null), seasonal = per-weekday mean of the detrended values,
+   * residual = v − trend − seasonal — the decomposition behind every
+   * "is this drop real or just Sunday?" question, as three columns
+   * instead of a modeling library. Weekday = epoch-day mod 7 (the P141
+   * rule, never locale dayofweek).
+   *
+   * CALLER CONTRACT: feed a RESAMPLED (key, day, v) grid with v already
+   * rounded (P113/P141 build one); gaps make the moving average window
+   * a row window over missing days — resample first. Shapes: one
+   * per-key ordered window (trend), one (key, dow) agg joined back
+   * (shuffle_hash), pure projections otherwise. Cross-engine: trend =
+   * DECIMAL-sum/7 rounded at 6, detrended values round at 6 BEFORE the
+   * seasonal mean (the o10 pre-round rule), every output rounds at 6.
+   */
+  def seasonalDecompose(points: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(dayCol).asc).rowsBetween(-3, 3)
+    val withTrend = points
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("__wn") === 7,
+          round(sum(col(valueCol).cast("decimal(18,6)")).over(w)
+            .cast("double") / lit(7.0), 6)))
+      .withColumn("dow",
+        pmod(datediff(col(dayCol), lit("1970-01-05").cast("date")), lit(7)))
+      .withColumn("__detr",
+        when(col("trend").isNotNull,
+          round(col(valueCol) - col("trend"), 6)))
+    val seasonal = withTrend.where(col("__detr").isNotNull)
+      .groupBy(col(keyCol), col("dow"))
+      .agg(round(sum(col("__detr").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("seasonal"))
+    withTrend
+      .join(seasonal.hint("shuffle_hash"), Seq(keyCol.toString, "dow"), "left")
+      .withColumn("resid",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          round(col(valueCol) - col("trend") - col("seasonal"), 6)))
+      .drop("__wn", "__detr")
+  }
+
   def seasonalProfile(df: DataFrame, tsCol: String,
       valueCol: String): DataFrame = {
     val dec = col(valueCol).cast("decimal(18,6)")

@@ -314,6 +314,47 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P154 — WoE/IV of order priority against the finished-status label
+    "o30_woe" -> ((s, dir) => {
+      val d = table(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_orderstatus") === "F").as("is_final"))
+      graft.operators.Features.woeEncode(d, "o_orderpriority", "is_final")
+        .orderBy("o_orderpriority")
+    }),
+
+    // P155 — Gini concentration of per-customer revenue: the one-number
+    // key-skew summary to read beside o27's Hill alpha
+    "o31_gini" -> ((s, dir) => {
+      val rev = table(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("revenue"))
+      graft.operators.Features.gini(rev, "revenue")
+    }),
+
+    // P156 — leakage-safe temporal split: Jan-20 cutoff, 1-day embargo
+    "sa16_timesplit" -> ((s, dir) => {
+      graft.operators.Sampling.temporalSplit(
+          graft.Graft.events(s, dir).select("event_id", "ts"),
+          "ts", "2024-01-20 00:00:00", embargoMicros = 86400000000L)
+        .select("event_id", "split")
+        .orderBy("event_id")
+    }),
+
+    // P157 — additive seasonal decomposition of the daily mean value
+    // per event type: 7-day centered trend, weekday seasonal, residual
+    "o32_decompose" -> ((s, dir) => {
+      val daily = graft.Graft.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("v"))
+      graft.operators.TimeSeries.seasonalDecompose(daily,
+          "event_type", "day", "v")
+        .select("event_type", "day", "v", "dow", "trend", "seasonal",
+          "resid")
+        .orderBy("event_type", "day")
+    }),
+
     // P150 — Mann-Kendall monotone-trend test on the daily mean value
     // per event type (30-point resampled series — the quadratic pair
     // stage is a per-key constant)
@@ -1209,6 +1250,102 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // exact conditional counts, 9-rounded post-ln woe read by iv_term,
+    // decimal-summed iv window
+    "o30_woe" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n0
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+        |               CAST(SUM(n0) AS BIGINT) AS t0 FROM per),
+        |x AS (
+        |  SELECT o_orderpriority, n1, n0, t1, t0,
+        |    round(ln(((CAST(n1 AS DOUBLE) + 0.5e0) / CAST(t1 AS DOUBLE)) /
+        |             ((CAST(n0 AS DOUBLE) + 0.5e0) / CAST(t0 AS DOUBLE))), 9)
+        |      AS woe
+        |  FROM per, tot),
+        |y AS (
+        |  SELECT o_orderpriority, n1, n0, woe,
+        |    round((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        |           - CAST(n0 AS DOUBLE) / CAST(t0 AS DOUBLE)) * woe, 9)
+        |      AS iv_term
+        |  FROM x),
+        |z AS (SELECT *, round(CAST(SUM(CAST(iv_term AS DECIMAL(28,9)))
+        |        OVER () AS DOUBLE), 6) AS iv FROM y)
+        |SELECT o_orderpriority, n1, n0, woe, iv_term, iv FROM z
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // decimal rank-value products, one closing double sequence
+    "o31_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x ASC) AS BIGINT)
+        |        AS i FROM rev),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DECIMAL(28,2)) AS sx,
+        |    CAST(SUM(x * CAST(i AS DECIMAL(18,0))) AS DECIMAL(38,2)) AS six
+        |  FROM r)
+        |SELECT n, round(CAST(sx AS DOUBLE), 2) AS total,
+        |  CASE WHEN sx > 0 THEN
+        |    round((2.0e0 * CAST(six AS DOUBLE)
+        |           - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |  END AS gini
+        |FROM a""".stripMargin,
+
+    // pure projection replay; cutoff − 1 day = Jan 19
+    "sa16_timesplit" ->
+      """SELECT event_id,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-19 00:00:00' THEN 'train'
+        |       WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    // the identical full-window-gated 7-day trend, pre-rounded detrended
+    // values, per-(key, dow) seasonal means, left-joined residuals
+    "o32_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, v,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      / 7.0e0, 6) AS tr
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, day, v,
+        |    CASE WHEN wn = 7 THEN tr END AS trend,
+        |    CAST(datediff('day', DATE '1970-01-05', day) % 7 AS INT) AS dow
+        |  FROM t),
+        |dt AS (SELECT *, CASE WHEN trend IS NOT NULL
+        |         THEN round(v - trend, 6) END AS detr FROM t2),
+        |se AS (
+        |  SELECT event_type, dow,
+        |    round(CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS seasonal
+        |  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.v, d.dow, d.trend, se.seasonal,
+        |  CASE WHEN d.trend IS NOT NULL AND se.seasonal IS NOT NULL
+        |       THEN round(d.v - d.trend - se.seasonal, 6) END AS resid
+        |FROM dt d LEFT JOIN se
+        |  ON se.event_type = d.event_type AND se.dow = d.dow
+        |ORDER BY d.event_type, d.day""".stripMargin,
 
     // pairwise signs on the 6-rounded daily means, exact BIGINT S and
     // tie sums, one /18 division; z reads the UNrounded variance, the

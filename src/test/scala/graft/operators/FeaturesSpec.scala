@@ -340,4 +340,40 @@ class FeaturesSpec extends SparkSpec {
     val s = Features.didEstimate(sparse, "t", "p", "y").head
     assert(s.getLong(3) == 0L && s.isNullAt(7) && s.isNullAt(8))
   }
+
+  test("woeEncode: Laplace-guarded log odds and the IV sum") {
+    import spark.implicits._
+    // cat a: 3 pos / 1 neg; cat b: 1 pos / 3 neg; N1 = N0 = 4
+    val rows = Seq(("a", true), ("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", false), ("b", false), ("b", false)).toDF("c", "y")
+    val got = Features.woeEncode(rows, "c", "y").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wa = r9(math.log((3.5 / 4.0) / (1.5 / 4.0)))
+    val wb = r9(math.log((1.5 / 4.0) / (3.5 / 4.0)))
+    assert(got("a")._1 == 3L && got("a")._2 == 1L && got("a")._3 == wa)
+    assert(got("b")._3 == wb)
+    // iv = Σ (p1 − p0)·woe over both categories, every term positive
+    val iv = BigDecimal(r9((3.0 / 4 - 1.0 / 4) * wa)) +
+      BigDecimal(r9((1.0 / 4 - 3.0 / 4) * wb))
+    assert(got("a")._4 == iv.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble)
+    assert(got("a")._4 == got("b")._4) // the sum repeats on every row
+  }
+
+  test("gini: 0 for equality, (n-1)/n-scaled for total concentration") {
+    import spark.implicits._
+    val equal = Seq.fill(4)(5.0).toDF("v")
+    assert(Features.gini(equal, "v").head.getDouble(2) == 0.0)
+    // all value on one unit of n=4: G = (n−1)/n · … textbook: with
+    // x = (0,0,0,12): Σi·x = 48, G = (96 − 5·12)/(4·12) = 0.75
+    val conc = Seq(0.0, 0.0, 0.0, 12.0).toDF("v")
+    val c = Features.gini(conc, "v").head
+    assert(c.getLong(0) == 4L && c.getDouble(1) == 12.0 &&
+      c.getDouble(2) == 0.75)
+    // all-zero totals: no defined coefficient
+    assert(Features.gini(Seq(0.0, 0.0).toDF("v"), "v").head.isNullAt(2))
+  }
 }

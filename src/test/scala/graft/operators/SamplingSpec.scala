@@ -436,4 +436,28 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.neymanAllocation(rows, "s", "v", -1L))
   }
+
+  test("temporalSplit labels train/embargo/test around the cutoff") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-10 00:00:00"),  // train
+      (2L, "2024-01-18 23:59:59"),  // train (just before the gap)
+      (3L, "2024-01-19 00:00:00"),  // embargo (gap start, inclusive)
+      (4L, "2024-01-19 23:59:59"),  // embargo
+      (5L, "2024-01-20 00:00:00"),  // test (cutoff, inclusive)
+      (6L, "2024-01-25 12:00:00"))  // test
+      .toDF("id", "t")
+      .select($"id", org.apache.spark.sql.functions.to_timestamp($"t").as("t"))
+    val got = Sampling.temporalSplit(ev, "t", "2024-01-20 00:00:00",
+        embargoMicros = 86400000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "embargo", 5L -> "test", 6L -> "test"))
+    // zero embargo degenerates to a plain two-way split
+    val z = Sampling.temporalSplit(ev, "t", "2024-01-20 00:00:00", 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!z.values.exists(_ == "embargo"))
+    intercept[IllegalArgumentException](
+      Sampling.temporalSplit(ev, "t", "2024-01-20 00:00:00", -1L))
+  }
 }

@@ -391,4 +391,33 @@ class TimeSeriesSpec extends SparkSpec {
       .head
     assert(c.getLong(2) == -10L && c.getString(5) == "decreasing")
   }
+
+  test("seasonalDecompose: flat series has zero seasonal; edges null") {
+    import spark.implicits._
+    import java.sql.Date
+    // 14 flat days: trend = 10 on the 8 interior days, seasonal = 0,
+    // resid = 0; the first/last 3 days have no full window
+    val days = (1 to 14).map(d =>
+      ("a", Date.valueOf(f"2024-01-$d%02d"), 10.0))
+    val got = TimeSeries.seasonalDecompose(days.toDF("k", "day", "v"),
+        "k", "day", "v")
+      .collect().map(r => r.getDate(2).toString ->
+        ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got("2024-01-01") == ((None, Some(0.0), None)))
+    assert(got("2024-01-04") == ((Some(10.0), Some(0.0), Some(0.0))))
+    assert(got("2024-01-11") == ((Some(10.0), Some(0.0), Some(0.0))))
+    assert(got("2024-01-12")._1.isEmpty)
+    // a weekly pattern decomposes into its own seasonal: +7 every
+    // Monday on a flat base keeps trend = base + 1 (one spike per
+    // centered window), seasonal picks up the rest
+    val spiky = (1 to 21).map { d =>
+      ("b", Date.valueOf(f"2024-01-$d%02d"), if (d % 7 == 1) 17.0 else 10.0)
+    }
+    val sp = TimeSeries.seasonalDecompose(spiky.toDF("k", "day", "v"),
+        "k", "day", "v")
+      .collect().map(r => r.getDate(2).toString ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    // every full window holds exactly one spike: trend = (6·10+17)/7 = 11
+    assert(sp("2024-01-10") == Some(11.0))
+  }
 }
