@@ -293,4 +293,50 @@ object Graph {
     alive.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .withColumn("in_core", col("deg") >= k)
   }
+
+  /**
+   * P159 — degree assortativity (Newman 2002): the Pearson correlation
+   * of endpoint degrees over the directed edge list (each undirected
+   * edge contributes both orientations, the standard convention) — one
+   * number separating hub-to-hub networks (r > 0, social graphs) from
+   * hub-to-leaf ones (r < 0, co-purchase/infrastructure), which
+   * predicts how a partition-by-vertex layout will balance. One row:
+   * (n_edges directed, r); degenerate degree variance → null.
+   *
+   * Shapes: canonical distinct, one degree agg, two shuffle_hash
+   * degree join-backs, ONE fused moment aggregate (the o11 casts —
+   * integer degrees make every decimal product exact); r is a fixed
+   * double sequence rounded at 6.
+   */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dir = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val pairs = dir
+      .join(deg.select(col("node").as("a"), col("deg").as("__x"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__y"))
+        .hint("shuffle_hash"), Seq("b"))
+    val dx = col("__x").cast("decimal(18,0)")
+    val dy = col("__y").cast("decimal(18,0)")
+    val m = pairs.agg(count(lit(1)).as("n_edges"),
+      sum(dx).cast("double").as("__sx"), sum(dy).cast("double").as("__sy"),
+      sum(dx * dy).cast("double").as("__sxy"),
+      sum(dx * dx).cast("double").as("__sxx"),
+      sum(dy * dy).cast("double").as("__syy"))
+    val nd = col("n_edges").cast("double")
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val denx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nd * col("__syy") - col("__sy") * col("__sy")
+    m.withColumn("r",
+        when(denx > 0 && deny > 0, round(num / sqrt(denx * deny), 6)))
+      .select("n_edges", "r")
+  }
 }

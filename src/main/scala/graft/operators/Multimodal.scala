@@ -383,6 +383,33 @@ object Multimodal {
    * once per row and rounds at 9 (the P124 discipline); the rung
    * constants are driver literals, never engine libm.
    */
+  /**
+   * P158 — letterbox resize geometry: for each image and its target
+   * frame (tw, th), the aspect-preserving scale = min(tw/w, th/h),
+   * the resized extent (rw, rh) = floor(dim·scale + 0.5) clamped into
+   * the frame, and the centering pads — the exact numbers a resize
+   * kernel needs, computed table-side so the GPU batch job is a pure
+   * map (and auditable: Σ pad area IS the wasted compute). Composes
+   * downstream of [[aspectBuckets]]. Pure projection, no shuffle.
+   * Cross-engine: scale and the half-up rounding are a fixed double
+   * sequence on exact integer operands; pads are integer div.
+   */
+  def letterbox(df: DataFrame, widthCol: String, heightCol: String,
+      targetWCol: String, targetHCol: String): DataFrame = {
+    val scale = least(
+      col(targetWCol).cast("double") / col(widthCol).cast("double"),
+      col(targetHCol).cast("double") / col(heightCol).cast("double"))
+    def fit(dim: String, target: String) = least(col(target),
+      floor(col(dim).cast("double") * scale + lit(0.5)).cast("long"))
+    df.where(col(widthCol).isNotNull && col(heightCol).isNotNull &&
+        col(widthCol) > 0 && col(heightCol) > 0)
+      .withColumn("scale", round(scale, 9))
+      .withColumn("rw", fit(widthCol, targetWCol))
+      .withColumn("rh", fit(heightCol, targetHCol))
+      .withColumn("pad_x", expr(s"(`$targetWCol` - rw) div 2"))
+      .withColumn("pad_y", expr(s"(`$targetHCol` - rh) div 2"))
+  }
+
   def aspectBuckets(df: DataFrame, idCol: String, widthCol: String,
       heightCol: String, ladder: Seq[AspectRung]): DataFrame = {
     require(ladder.nonEmpty, "aspectBuckets: ladder must be non-empty")

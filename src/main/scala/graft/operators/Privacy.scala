@@ -191,4 +191,31 @@ object Privacy {
       .withColumn("kept", col("emd") <= t)
       .drop("__s", "__mm")
   }
+
+  /**
+   * P160 — deterministic keyed pseudonymization + collision audit: each
+   * id maps to the first 16 hex chars of MD5(salt ‖ id) — a stable,
+   * join-preserving pseudonym (the same id tokenizes identically across
+   * tables and runs, so referential structure survives
+   * de-identification) — plus `collisions` (distinct ids − distinct
+   * pseudonyms, repeated on every row): the audit that the 64-bit token
+   * space didn't fold two subjects together. NOT encryption: the salt
+   * must stay secret, and rotating it re-keys the corpus (operational
+   * contract, documented here on purpose).
+   *
+   * Shapes: one distinct + projection; the audit is a 1-row broadcast
+   * scalar (P125 idiom). Engine-portable by the same MD5 contract as
+   * every hash in this repo.
+   */
+  def pseudonymize(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val mapped = df.where(col(idCol).isNotNull)
+      .select(col(idCol)).distinct()
+      .withColumn("pseudonym",
+        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 16))
+    val audit = mapped.agg(count(lit(1)).as("__nid"),
+      countDistinct(col("pseudonym")).as("__npseud"))
+    mapped.join(broadcast(audit)) // 1-row scalar side
+      .withColumn("collisions", (col("__nid") - col("__npseud")).cast("long"))
+      .drop("__nid", "__npseud")
+  }
 }

@@ -99,6 +99,19 @@ object GraphQueries {
         .select("src", "dst")
       graft.operators.Graph.kCorePeel(edges, "src", "dst", k = 75, iters = 3)
         .orderBy("node")
+    }),
+
+    // P159 — degree assortativity of the co-purchase graph: one Pearson
+    // r over directed endpoint-degree pairs
+    "gr6_assortativity" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val edges = a.join(b, Seq("ok"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.degreeAssortativity(edges, "src", "dst")
     })
   )
 
@@ -132,6 +145,41 @@ object GraphQueries {
        |    AND e.b IN (SELECT a FROM $prev GROUP BY a HAVING COUNT(*) >= 75))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the o16 moment discipline on exact integer degree pairs; both
+    // orientations of every undirected edge
+    "gr6_assortativity" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |dir AS (SELECT u AS a, v AS b FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |p AS (
+        |  SELECT CAST(da.deg AS DECIMAL(18,0)) AS x,
+        |         CAST(db.deg AS DECIMAL(18,0)) AS y
+        |  FROM dir JOIN deg da ON da.node = dir.a
+        |           JOIN deg db ON db.node = dir.b),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM p),
+        |f AS (
+        |  SELECT n_edges,
+        |    CAST(n_edges AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n_edges AS DOUBLE) * sxx - sx * sx AS denx,
+        |    CAST(n_edges AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM m)
+        |SELECT n_edges,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |       THEN round(num / sqrt(denx * deny), 6) END AS r
+        |FROM f""".stripMargin,
+
     // the identical bounded peel, unrolled; final degrees on the round-3
     // survivor subgraph
     "gr5_kcore" ->

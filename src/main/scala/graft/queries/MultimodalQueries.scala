@@ -100,6 +100,21 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P158 — letterbox geometry downstream of the mm6 bucket assignment:
+    // aspect-preserving scale, half-up resized extents, centering pads
+    "mm7_letterbox" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          (lit(64L) + pmod(col("doc_id"), lit(97L)) * 16L).as("w"),
+          (lit(64L) + pmod(col("doc_id"), lit(53L)) * 16L).as("h"))
+      val bucketed = Multimodal.aspectBuckets(d, "media_id", "w", "h",
+        Multimodal.aspectLadder(AspectRatios))
+      Multimodal.letterbox(bucketed, "w", "h", "tw", "th")
+        .select("media_id", "w", "h", "bucket", "tw", "th", "scale",
+          "rw", "rh", "pad_x", "pad_y")
+        .orderBy("media_id")
+    }),
+
     // batched stub decode + feature extraction (deterministic fake codec);
     // batch_ok is layout-independent (every batch is 1..batchSize rows)
     // where the raw batch_size is not (the tail batch of each partition
@@ -148,6 +163,49 @@ object MultimodalQueries {
          |  FROM sc)
          |SELECT media_id, w, h, bucket, ratio, tw, th, dist
          |FROM r WHERE rn = 1 ORDER BY media_id""".stripMargin
+    },
+
+    // the mm6 assignment extended by the identical scale/fit/pad double
+    // sequence; rw/rh read the UNrounded scale, `scale` rounds at 9
+    "mm7_letterbox" -> {
+      val rungs = graft.operators.Multimodal.aspectLadder(AspectRatios)
+      val vals = rungs.map(r =>
+        s"(${r.bucket}, ${r.ratio}e0, ${r.lnLit}, ${r.tw}, ${r.th})")
+        .mkString(", ")
+      s"""WITH l(bucket, ratio, lnr, tw, th) AS (VALUES $vals),
+         |d AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(64 + (doc_id % 97) * 16 AS BIGINT) AS w,
+         |    CAST(64 + (doc_id % 53) * 16 AS BIGINT) AS h
+         |  FROM documents),
+         |sc AS (
+         |  SELECT media_id, w, h, bucket,
+         |    CAST(tw AS BIGINT) AS tw, CAST(th AS BIGINT) AS th,
+         |    round(abs(round(ln(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)), 9)
+         |      - lnr), 9) AS dist
+         |  FROM d, l),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY media_id
+         |    ORDER BY dist ASC, bucket ASC) AS rn
+         |  FROM sc),
+         |pick AS (SELECT media_id, w, h, bucket, tw, th FROM r WHERE rn = 1),
+         |g AS (
+         |  SELECT *,
+         |    least(CAST(tw AS DOUBLE) / CAST(w AS DOUBLE),
+         |          CAST(th AS DOUBLE) / CAST(h AS DOUBLE)) AS sraw
+         |  FROM pick),
+         |fit AS (
+         |  SELECT media_id, w, h, bucket, tw, th,
+         |    round(sraw, 9) AS scale,
+         |    least(tw, CAST(floor(CAST(w AS DOUBLE) * sraw + 0.5e0)
+         |      AS BIGINT)) AS rw,
+         |    least(th, CAST(floor(CAST(h AS DOUBLE) * sraw + 0.5e0)
+         |      AS BIGINT)) AS rh
+         |  FROM g)
+         |SELECT media_id, w, h, bucket, tw, th, scale, rw, rh,
+         |  CAST((tw - rw) // 2 AS BIGINT) AS pad_x,
+         |  CAST((th - rh) // 2 AS BIGINT) AS pad_y
+         |FROM fit ORDER BY media_id""".stripMargin
     },
 
     // same stub geometry, grid arithmetic all-BIGINT; unnest(range(...))

@@ -314,6 +314,23 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P161 — log-log price elasticity per part brand (composition of
+    // P90's OLS over 9-rounded ln points): slope ≈ % qty per % price
+    "o33_elasticity" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .join(table(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+        .select(col("p_brand"),
+          // 6 decimals: olsFit's DECIMAL(18,6) cast then holds the
+          // points EXACTLY (a 9-rounded value would re-round inside)
+          round(log(col("l_extendedprice").cast("double") /
+            col("l_quantity").cast("double")), 6).as("x"),
+          round(log(col("l_quantity").cast("double")), 6).as("y"))
+      graft.operators.Features.olsFit(li, "p_brand", "x", "y")
+        .orderBy("p_brand")
+    }),
+
     // P154 — WoE/IV of order priority against the finished-status label
     "o30_woe" -> ((s, dir) => {
       val d = table(s, dir, "orders").select(col("o_orderpriority"),
@@ -1250,6 +1267,43 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // the o11 moment replay over 6-rounded log-log points (pre-rounded
+    // so the DECIMAL(18,6) point casts are exact on both sides)
+    "o33_elasticity" ->
+      """WITH pts AS (
+        |  SELECT p.p_brand,
+        |    CAST(round(ln(CAST(l.l_extendedprice AS DOUBLE) /
+        |      CAST(l.l_quantity AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(l.l_quantity AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+        |s AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS syy
+        |  FROM pts GROUP BY 1),
+        |f AS (
+        |  SELECT p_brand, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+        |    sx, sy
+        |  FROM s)
+        |SELECT p_brand, n,
+        |  CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+        |  CASE WHEN den > 0
+        |       THEN round((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6)
+        |  END AS intercept,
+        |  CASE WHEN den > 0 AND deny > 0
+        |       THEN round(num * num / (den * deny), 6) END AS r2
+        |FROM f ORDER BY p_brand""".stripMargin,
 
     // exact conditional counts, 9-rounded post-ln woe read by iv_term,
     // decimal-summed iv window

@@ -40,6 +40,14 @@ object PrivacyQueries {
     // P123 — t = 0.1 closeness of each market segment's balance-band
     // distribution against the global one: ordered EMD from exact
     // integer cumulative counts; both outcomes occur
+    // P160 — stable keyed pseudonyms for customer ids + the collision
+    // audit (distinct ids vs distinct 64-bit tokens)
+    "pv5_pseudonym" -> ((s, dir) => {
+      graft.operators.Privacy.pseudonymize(
+          table(s, dir, "customer"), "c_custkey", "pv5:")
+        .orderBy("c_custkey")
+    }),
+
     "pv4_tcloseness" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(
         col("c_mktsegment"),
@@ -62,6 +70,18 @@ object PrivacyQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical salted-MD5 prefix; collisions from one scalar audit
+    "pv5_pseudonym" ->
+      """WITH m AS (
+        |  SELECT DISTINCT c_custkey,
+        |    substr(md5('pv5:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+        |      AS pseudonym
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) - COUNT(DISTINCT pseudonym) AS BIGINT)
+        |        AS collisions FROM m)
+        |SELECT c_custkey, pseudonym, collisions FROM m, a
+        |ORDER BY c_custkey""".stripMargin,
+
     // cumulative counts stay exact BIGINTs on both sides (window double
     // sums pair additions differently — DuckDB's windowed aggregation is
     // a segment tree); |r| rounds at 9 and DECIMAL-sums

@@ -157,4 +157,16 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.kCorePeel(path, "s", "d", 1, 3))
     intercept[IllegalArgumentException](Graph.kCorePeel(path, "s", "d", 2, 0))
   }
+
+  test("degreeAssortativity: -1 on a star, null on degree-regular graphs") {
+    import spark.implicits._
+    // star: every edge joins the deg-4 hub to a deg-1 leaf → r = -1
+    val star = (1L to 4L).map(l => (0L, l)).toDF("s", "d")
+    val r = Graph.degreeAssortativity(star, "s", "d").head
+    assert(r.getLong(0) == 8L && r.getDouble(1) == -1.0)
+    // cycle: all degrees equal → zero variance → no coefficient
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val c = Graph.degreeAssortativity(cycle, "s", "d").head
+    assert(c.getLong(0) == 6L && c.isNullAt(1))
+  }
 }

@@ -259,4 +259,25 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.aspectBuckets(imgs, "id", "w", "h", Seq.empty))
     intercept[IllegalArgumentException](Multimodal.aspectLadder(Seq(-1.0)))
   }
+
+  test("letterbox: aspect-preserving fit, half-up extents, centered pads") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 200L, 100L, 100L, 100L),  // wide into square: fit on width
+      (2L, 100L, 300L, 100L, 100L),  // tall: 33.33 → rounds to 33
+      (3L, 50L, 50L, 100L, 100L),    // upscale 2×, no pads
+      (4L, 0L, 10L, 100L, 100L))     // dropped: degenerate dim
+      .toDF("id", "w", "h", "tw", "th")
+    val got = Multimodal.letterbox(rows, "w", "h", "tw", "th")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((100L, 50L, 0L, 25L)))   // 200×100 → 100×50, pad_y 25
+    assert(got(2L) == ((33L, 100L, 33L, 0L)))   // 100×300 → 33×100 (pads 33,34)
+    assert(got(3L) == ((100L, 100L, 0L, 0L)))
+    // scale column is the rounded min-ratio
+    val s1 = Multimodal.letterbox(rows, "w", "h", "tw", "th")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(s1(1L) == 0.5 && s1(3L) == 2.0)
+  }
 }
