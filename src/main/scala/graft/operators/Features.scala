@@ -632,6 +632,36 @@ object Features {
   }
 
   /**
+   * P163 — paired t-test: t = d̄ / (s_d/√n) over per-subject paired
+   * differences — the within-subject companion to P127's Welch test
+   * (pairing removes between-subject variance, which is usually most
+   * of it; use it whenever pre AND post exist for the SAME key).
+   * Feed a (key, diff) frame — e.g. post − pre per user. One row:
+   * (n, mean_d, sd_d, t); n < 2 or zero spread → null t.
+   *
+   * Shapes: ONE fused decimal moment agg (o11 casts). The closing
+   * formula is a fixed double sequence with SAMPLE sd (n−1), rounded
+   * at 6.
+   */
+  def pairedTTest(df: DataFrame, diffCol: String): DataFrame = {
+    val dec = col(diffCol).cast("decimal(18,6)")
+    val dec19 = col(diffCol).cast("decimal(19,6)")
+    val m = df.where(col(diffCol).isNotNull)
+      .agg(count(lit(1)).as("n"), sum(dec).cast("double").as("__s"),
+        sum(dec19 * dec19).cast("double").as("__q"))
+    val nd = col("n").cast("double")
+    val mean = col("__s") / nd
+    val varS = greatest((col("__q") - nd * mean * mean) / (nd - lit(1.0)),
+      lit(0.0))
+    m.withColumn("mean_d", round(mean, 6))
+      .withColumn("sd_d", when(col("n") >= 2, round(sqrt(varS), 6)))
+      .withColumn("t",
+        when(col("n") >= 2 && varS > 0,
+          round(mean / (sqrt(varS) / sqrt(nd)), 6)))
+      .select("n", "mean_d", "sd_d", "t")
+  }
+
+  /**
    * P148 — difference-in-differences: with a treatment flag and a
    * pre/post flag, DiD = (ȳ_treat,post − ȳ_treat,pre) −
    * (ȳ_ctrl,post − ȳ_ctrl,pre) — the workhorse causal estimate when

@@ -321,6 +321,74 @@ object Sketches {
    * bit-for-bit, which is the point: sketches are only mergeable across
    * systems when the hash is a contract, not an implementation detail.
    */
+  /** The [[hdrQuantiles]] bucket ladder: (threshold, width) pairs — a
+    * value ≥ threshold rounds down to a multiple of the paired width;
+    * below 100 buckets are exact singletons. ONE definition feeds the
+    * operator and any oracle generator (the cmsCells shared-cells rule). */
+  def hdrLadder: Seq[(Long, Long)] = {
+    def p10(e: Int): Long = (1 to e).foldLeft(1L)((a, _) => a * 10)
+    (17 to 2 by -1).map(d => (p10(d), p10(d - 1)))
+  }
+
+  /**
+   * P162 — HDR-style log-bucketed quantile histogram: integer values
+   * round down to two significant decimal digits (buckets of relative
+   * width ≤ 10%, ≤ ~1,700 buckets over the full BIGINT range), counts
+   * per bucket, and each requested quantile estimated as the lowest
+   * bucket whose cumulative count reaches ceil(q·n) — the MERGEABLE
+   * quantile structure (bucket counts add across partitions, shards,
+   * days) that replaces exact percentile sort-buffers at 100 TB, with
+   * a hard relative-error bound instead of a sampling guarantee.
+   * Emits per quantile: (q, target_rank, est_lo, exact, ratio) — the
+   * exact R-7 percentile rides along so the query IS the error audit.
+   *
+   * Shapes: one keyed bucket agg (map-side combinable), a cumulative
+   * window over the ≤1,700-bucket frame, the exact side one percentile
+   * aggregate. Cross-engine: bucketing is integer CASE-ladder
+   * arithmetic ([[hdrLadder]] both sides); ceil(q·n) runs the
+   * IDENTICAL double product (a non-binary-exact q may ceil "up a
+   * rank" — deterministically, on both engines).
+   */
+  def hdrQuantiles(df: DataFrame, valueCol: String,
+      quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty, "hdrQuantiles: at least one quantile")
+    require(quantiles.forall(q => q > 0 && q <= 1),
+      s"hdrQuantiles: quantiles must be in (0, 1], got $quantiles")
+    val c = col(valueCol).cast("long")
+    val d = df.where(col(valueCol).isNotNull && c >= 1L).select(c.as("__c"))
+    val widthCase = hdrLadder
+      .map { case (thr, w) => s"WHEN __c >= ${thr}L THEN ${w}L" }
+      .mkString("CASE ", " ", " ELSE 1L END")
+    val counts = d
+      .withColumn("bucket_lo", expr(s"(__c div ($widthCase)) * ($widthCase)"))
+      .groupBy(col("bucket_lo")).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_lo").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("__cum", sum(col("__cnt")).over(w))
+    val exact = d.agg(count(lit(1)).as("__n"),
+      expr(s"percentile(__c, array(${quantiles.mkString(", ")}))").as("__ex"))
+    val qf = quantiles.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"), lit(i + 1).as("__qi"))
+    }
+    val grid = cum.join(broadcast(exact))
+      .select(col("bucket_lo"), col("__cum"), col("__n"), col("__ex"),
+        explode(array(qf: _*)).as("__q"))
+      .select(col("__q.q").as("q"), col("__q.__qi").as("__qi"),
+        col("bucket_lo"), col("__cum"), col("__n"), col("__ex"))
+      .withColumn("target_rank",
+        ceil(col("q") * col("__n").cast("double")).cast("long"))
+      .where(col("__cum") >= col("target_rank"))
+    grid.groupBy(col("q"), col("__qi"), col("target_rank"))
+      .agg(min(col("bucket_lo")).as("est_lo"),
+        max(element_at(col("__ex"), col("__qi"))).as("__exact"))
+      .withColumn("exact", round(col("__exact"), 6))
+      .withColumn("ratio",
+        when(col("__exact") > 0,
+          round(col("est_lo").cast("double") / col("__exact"), 6)))
+      .select("q", "target_rank", "est_lo", "exact", "ratio")
+  }
+
   def amsF2(items: DataFrame, itemCol: String, estimators: Int): DataFrame = {
     require(estimators >= 1, s"amsF2: estimators must be >= 1, got $estimators")
     val counts = items.where(col(itemCol).isNotNull)

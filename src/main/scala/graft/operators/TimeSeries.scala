@@ -519,6 +519,45 @@ object TimeSeries {
   }
 
   /**
+   * P164 — watermark-delay sweep: for each candidate delay D in the
+   * grid, the count and fraction of events whose [[disorderAudit]]
+   * lateness exceeds D — i.e. the events `withWatermark(D)` would
+   * silently DROP. The table answers the streaming job's central
+   * sizing question (state retention vs completeness) with data
+   * instead of folklore: pick the knee of the curve. `n_total` counts
+   * every event (on-time ones can never drop).
+   *
+   * Shapes: one disorder pass (a single running-max window), a
+   * broadcast cross join against the tiny delay grid (the adjudicated
+   * k-row class), one keyed agg. Exact integer micros throughout; the
+   * fraction is one double division rounded at 6.
+   */
+  def watermarkSweep(events: DataFrame, tsCol: String, arrivalCol: String,
+      delaysMicros: Seq[Long]): DataFrame = {
+    require(delaysMicros.nonEmpty, "watermarkSweep: at least one delay")
+    require(delaysMicros.forall(_ >= 0),
+      s"watermarkSweep: delays must be >= 0, got $delaysMicros")
+    val total = events
+      .where(col(tsCol).isNotNull && col(arrivalCol).isNotNull)
+      .agg(count(lit(1)).as("n_total"))
+    val late = disorderAudit(events, tsCol, arrivalCol, watermarkMicros = 0L)
+    val grid = events.sparkSession
+      .createDataFrame(delaysMicros.sorted.map(Tuple1(_)))
+      .toDF("delay_us")
+    late
+      .select(col("late_us"))
+      .crossJoin(broadcast(grid))
+      .groupBy(col("delay_us"))
+      .agg(sum(when(col("late_us") > col("delay_us"), 1L).otherwise(0L))
+        .as("n_dropped"))
+      .join(broadcast(total)) // 1-row scalar side
+      .withColumn("dropped_frac",
+        round(col("n_dropped").cast("double") /
+          col("n_total").cast("double"), 6))
+      .select("delay_us", "n_dropped", "n_total", "dropped_frac")
+  }
+
+  /**
    * P121 — lag-k autocorrelation per key: Pearson r between each
    * series' (x_t, x_{t−lag}) pairs in (ts, tie) order — the
    * periodicity/persistence probe run before seasonal modeling, and the

@@ -314,6 +314,31 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P162 — HDR log-bucket quantile sketch over order-value cents:
+    // mergeable two-significant-digit buckets, exact R-7 riding along
+    // as the error audit
+    "sk8_hdr" -> ((s, dir) => {
+      val cents = table(s, dir, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      graft.operators.Sketches.hdrQuantiles(cents, "cents",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
+    // P163 — paired t over per-user (post − pre) value sums around the
+    // Jan-16 cut: the within-subject companion to o23's Welch
+    "o34_paired_t" -> ((s, dir) => {
+      val cut = expr("timestamp'2024-01-16 00:00:00'")
+      val dec = col("value").cast("decimal(18,6)")
+      val perUser = graft.Graft.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg((coalesce(sum(when(col("ts") >= cut, dec)), lit(BigDecimal(0)))
+          - coalesce(sum(when(col("ts") < cut, dec)), lit(BigDecimal(0))))
+          .cast("double").as("d"))
+      graft.operators.Features.pairedTTest(perUser, "d")
+    }),
+
     // P161 — log-log price elasticity per part brand (composition of
     // P90's OLS over 9-rounded ln points): slope ≈ % qty per % price
     "o33_elasticity" -> ((s, dir) => {
@@ -1267,6 +1292,77 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // the shared hdrLadder CASE both sides; all-integer bucketing and
+    // cumulative ranks; quantile_cont is the R-7 exact side
+    "sk8_hdr" -> {
+      val whens = graft.operators.Sketches.hdrLadder
+        .map { case (thr, w) => s"WHEN c >= $thr THEN CAST($w AS BIGINT)" }
+        .mkString(" ")
+      s"""WITH v AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS c
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |d AS (SELECT c FROM v WHERE c >= 1),
+         |b AS (SELECT c, CASE $whens ELSE CAST(1 AS BIGINT) END AS w FROM d),
+         |counts AS (
+         |  SELECT CAST((c // w) * w AS BIGINT) AS bucket_lo,
+         |    COUNT(*) AS cnt
+         |  FROM b GROUP BY 1),
+         |cum AS (
+         |  SELECT bucket_lo, SUM(cnt) OVER (ORDER BY bucket_lo
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM counts),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         quantile_cont(c, [0.5, 0.9, 0.99]) AS qs FROM d),
+         |qg(q, qi) AS (VALUES (0.5e0, 1), (0.9e0, 2), (0.99e0, 3)),
+         |t AS (
+         |  SELECT q, qi,
+         |    CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT) AS target_rank
+         |  FROM qg, ex),
+         |est AS (
+         |  SELECT t.q, t.qi, t.target_rank, min(c2.bucket_lo) AS est_lo
+         |  FROM t JOIN cum c2 ON c2.cum >= t.target_rank
+         |  GROUP BY 1, 2, 3)
+         |SELECT est.q, est.target_rank, CAST(est.est_lo AS BIGINT) AS est_lo,
+         |  round(ex.qs[est.qi], 6) AS exact,
+         |  CASE WHEN ex.qs[est.qi] > 0
+         |       THEN round(CAST(est.est_lo AS DOUBLE) / ex.qs[est.qi], 6)
+         |  END AS ratio
+         |FROM est, ex ORDER BY est.q""".stripMargin
+    },
+
+    // the o22 per-user construction closed by one decimal moment row;
+    // sample (n−1) sd, identical parenthesization
+    "o34_paired_t" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |            THEN CAST(value AS DECIMAL(18,6)) END), 0)
+        |       - coalesce(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |            THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE)
+        |      AS d
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(d AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS q
+        |  FROM pu WHERE d IS NOT NULL)
+        |SELECT n, round(s / CAST(n AS DOUBLE), 6) AS mean_d,
+        |  CASE WHEN n >= 2 THEN round(sqrt(greatest(
+        |    (q - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE))
+        |       * (s / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0e0),
+        |    0.0e0)), 6) END AS sd_d,
+        |  CASE WHEN n >= 2 AND greatest(
+        |    (q - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE))
+        |       * (s / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0e0),
+        |    0.0e0) > 0
+        |  THEN round((s / CAST(n AS DOUBLE)) / (sqrt(greatest(
+        |    (q - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE))
+        |       * (s / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0e0),
+        |    0.0e0)) / sqrt(CAST(n AS DOUBLE))), 6) END AS t
+        |FROM m""".stripMargin,
 
     // the o11 moment replay over 6-rounded log-log points (pre-rounded
     // so the DECIMAL(18,6) point casts are exact on both sides)

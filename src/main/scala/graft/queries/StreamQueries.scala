@@ -39,6 +39,19 @@ object StreamQueries {
         .orderBy("arrival")
     }),
 
+    // P164 — watermark sweep over the st6 delivery-jitter stream: for
+    // each candidate delay, the events withWatermark(D) would drop
+    "st7_wsweep" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("ts"))
+        .withColumn("arrival",
+          (expr("unix_micros(ts) div 1000") +
+            pmod(graft.operators.Sampling.hashValue(col("event_id"), "lat:"),
+              lit(7200000L))) * lit(1000000L) + col("event_id"))
+      graft.operators.TimeSeries.watermarkSweep(e, "ts", "arrival",
+          Seq(0L, 600000000L, 1800000000L, 3600000000L, 7200000000L))
+        .orderBy("delay_us")
+    }),
+
     // tumbling 1h windows per event type
     "st1_windowed_counts" -> ((s, dir) => {
       EventStreams.windowedCounts(events(s, dir))
@@ -127,6 +140,41 @@ object StreamQueries {
         |  hwm - us > 3600000000 AS is_late
         |FROM h WHERE hwm IS NOT NULL AND hwm > us
         |ORDER BY arrival""".stripMargin,
+
+    // the st6 lateness construction crossed with the delay grid; exact
+    // integer micros, one closing division
+    "st7_wsweep" ->
+      """WITH sh AS (
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |        FOR c IN string_split(
+        |          substr(md5('lat:' || CAST(event_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM events),
+        |arr AS (
+        |  SELECT us,
+        |    (us // 1000 + hv % 7200000) * 1000000 + event_id AS arrival
+        |  FROM sh),
+        |h AS (
+        |  SELECT arrival, us,
+        |    max(us) OVER (ORDER BY arrival
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM arr),
+        |late AS (SELECT hwm - us AS late_us FROM h
+        |         WHERE hwm IS NOT NULL AND hwm > us),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events
+        |        WHERE ts IS NOT NULL),
+        |g(delay_us) AS (VALUES (0), (600000000), (1800000000),
+        |                       (3600000000), (7200000000)),
+        |agg AS (
+        |  SELECT CAST(g.delay_us AS BIGINT) AS delay_us,
+        |    CAST(SUM(CASE WHEN late_us > g.delay_us THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dropped
+        |  FROM late, g GROUP BY 1)
+        |SELECT delay_us, n_dropped, n_total,
+        |  round(CAST(n_dropped AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS dropped_frac
+        |FROM agg, tot ORDER BY delay_us""".stripMargin,
 
     "st1_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

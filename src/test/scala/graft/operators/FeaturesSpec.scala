@@ -376,4 +376,19 @@ class FeaturesSpec extends SparkSpec {
     // all-zero totals: no defined coefficient
     assert(Features.gini(Seq(0.0, 0.0).toDF("v"), "v").head.isNullAt(2))
   }
+
+  test("pairedTTest: textbook t on differences; degenerate spread → null") {
+    import spark.implicits._
+    // d = {1, 2, 3}: mean 2, sample sd 1, t = 2/(1/sqrt(3)) = 2·sqrt(3)
+    val r = Features.pairedTTest(Seq(1.0, 2.0, 3.0).toDF("d"), "d").head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.0 &&
+      r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == BigDecimal(2.0 * math.sqrt(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant differences: sd 0 → no t
+    val c = Features.pairedTTest(Seq(5.0, 5.0).toDF("d"), "d").head
+    assert(c.getDouble(2) == 0.0 && c.isNullAt(3))
+    // single observation: no sd at all
+    assert(Features.pairedTTest(Seq(4.0).toDF("d"), "d").head.isNullAt(2))
+  }
 }

@@ -233,4 +233,30 @@ class SketchesSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](Sketches.amsF2(items, "item", 0))
   }
+
+  test("hdrQuantiles: two-digit buckets, rank crossing, exact side") {
+    import spark.implicits._
+    // values 1..100: buckets are exact below 100, [100] → bucket 100.
+    // p50: target = ceil(0.5·100) = 50 → bucket 50 (exact = 50.5 by R-7)
+    val vs = (1L to 100L).toDF("v")
+    val got = Sketches.hdrQuantiles(vs, "v", Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0.5) == ((50L, 50L, 50.5)))
+    assert(got(0.99)._2 == 99L)
+    // a big value lands in a 10%-wide bucket: 123456 → width 10000 →
+    // bucket_lo 120000; with 9 small values it IS the p99 target
+    val skew = ((1L to 9L) :+ 123456L).toDF("v")
+    val s = Sketches.hdrQuantiles(skew, "v", Seq(0.99)).head
+    assert(s.getLong(2) == 120000L)
+    // the bucket bound is within 10% of the true order statistic
+    assert(120000L <= 123456L && 123456L < 120000L * 1.1)
+    // non-positive values are excluded (no log bucket)
+    assert(Sketches.hdrQuantiles(Seq(-5L, 0L, 7L).toDF("v"), "v", Seq(1.0))
+      .head.getLong(2) == 7L)
+    intercept[IllegalArgumentException](
+      Sketches.hdrQuantiles(vs, "v", Seq.empty))
+    intercept[IllegalArgumentException](
+      Sketches.hdrQuantiles(vs, "v", Seq(1.5)))
+  }
 }

@@ -420,4 +420,27 @@ class TimeSeriesSpec extends SparkSpec {
     // every full window holds exactly one spike: trend = (6·10+17)/7 = 11
     assert(sp("2024-01-10") == Some(11.0))
   }
+
+  test("watermarkSweep counts drops per candidate delay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    // arrival order: t=10 arrives, then t=4 (6s late), then t=9 (1s late)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:10"),
+      (2L, "2024-01-01 00:00:04"),
+      (3L, "2024-01-01 00:00:09"))
+      .toDF("arrival", "t")
+      .select($"arrival", to_timestamp($"t").as("t"))
+    val got = TimeSeries.watermarkSweep(ev, "t", "arrival",
+        Seq(0L, 2000000L, 10000000L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(0L) == ((2L, 3L, 0.666667)))        // both late events drop
+    assert(got(2000000L) == ((1L, 3L, 0.333333)))  // only the 6s-late one
+    assert(got(10000000L) == ((0L, 3L, 0.0)))      // watermark covers all
+    intercept[IllegalArgumentException](
+      TimeSeries.watermarkSweep(ev, "t", "arrival", Seq.empty))
+    intercept[IllegalArgumentException](
+      TimeSeries.watermarkSweep(ev, "t", "arrival", Seq(-1L)))
+  }
 }
