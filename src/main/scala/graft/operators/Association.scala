@@ -67,4 +67,54 @@ object Association {
         round(col("n_ab").cast("double") * lit(nBaskets.toDouble) /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6))
   }
+
+  /**
+   * P168 — sequential association rules (a THEN b on consecutive
+   * events per key): support = pair count / all consecutive pairs,
+   * confidence = P(next = b | current = a), lift = confidence /
+   * P(next = b) — the ORDERED cousin of [[assocRules]] (q9's
+   * transition matrix gives probabilities; this adds the
+   * vs-independence lift that separates "b follows a" from "b follows
+   * everything"). Pairs below `minCount` drop AFTER the totals are
+   * taken, so rare rules can't distort the marginals they're judged
+   * against.
+   *
+   * Shapes: one per-key ordered lead window (the q9 shape), one
+   * (from, to) agg, marginals via windows over the ≤|types|² agged
+   * frame, all exact BIGINTs until the three closing divisions
+   * (rounded at 6).
+   */
+  def sequentialRules(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L,
+      s"sequentialRules: minCount must be >= 1, got $minCount")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pair"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    val byTo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("to_type"))
+    pairs
+      .withColumn("__n", sum(col("n_pair")).over(all))
+      .withColumn("__nf", sum(col("n_pair")).over(byFrom))
+      .withColumn("__nt", sum(col("n_pair")).over(byTo))
+      .where(col("n_pair") >= minCount)
+      .withColumn("support",
+        round(col("n_pair").cast("double") / col("__n").cast("double"), 6))
+      .withColumn("confidence",
+        round(col("n_pair").cast("double") / col("__nf").cast("double"), 6))
+      .withColumn("lift",
+        round((col("n_pair").cast("double") / col("__nf").cast("double")) /
+          (col("__nt").cast("double") / col("__n").cast("double")), 6))
+      .drop("__n", "__nf", "__nt")
+  }
 }

@@ -121,4 +121,34 @@ object Bucketing {
       .agg(sum(when(col("__f2").isNotNull, 1L).otherwise(0L))
         .cast("long").as("overlaps"))
   }
+
+  /**
+   * P167 — zone-map prune simulation: for each predicate range
+   * [p_lo, p_hi] in a workload, how many files of a candidate layout
+   * must actually be read (file band intersects the range) and what
+   * fraction of the table that is — [[zoneMapAudit]] answered "does
+   * this layout cluster the column"; this answers the money question,
+   * "what will MY queries scan". Run per candidate layout, pick the
+   * cheapest — physical design as a query instead of a migration
+   * gamble.
+   *
+   * Shapes: both frames are metadata-sized (files, predicates); one
+   * broadcast non-equi join + keyed agg + 1-row total (the z5 band
+   * class). Bands/bounds are exact data values — no arithmetic beyond
+   * the closing division.
+   */
+  def pruneSimulation(fileBands: DataFrame,
+      predicates: DataFrame): DataFrame = {
+    val nf = fileBands.agg(count(lit(1)).as("n_files"))
+    predicates
+      .join(broadcast(fileBands.select(col("file_id"), col("lo"), col("hi"))),
+        col("lo") <= col("p_hi") && col("p_lo") <= col("hi"), "left")
+      .groupBy(col("pred_id"), col("p_lo"), col("p_hi"))
+      .agg(sum(when(col("file_id").isNotNull, 1L).otherwise(0L))
+        .cast("long").as("n_scanned"))
+      .join(broadcast(nf)) // 1-row scalar side
+      .withColumn("scan_frac",
+        round(col("n_scanned").cast("double") /
+          greatest(col("n_files"), lit(1L)).cast("double"), 6))
+  }
 }

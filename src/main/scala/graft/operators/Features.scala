@@ -632,6 +632,127 @@ object Features {
   }
 
   /**
+   * P169 — two-sample Kolmogorov–Smirnov statistic: D = max over the
+   * pooled support of |F_a(x) − F_b(x)| — the distribution-shape drift
+   * test that mean-based monitors (P127/P163) are blind to (a variance
+   * doubling with equal means walks straight past a t-test). One row:
+   * (n_a, n_b, d_stat). No p-value on purpose: the asymptotic series
+   * is iterative libm soup; compare D against the √((n_a+n_b)/(n_a·n_b))
+   * critical scaling offline.
+   *
+   * Shapes: one keyed count per distinct value (map-combinable), ONE
+   * ordered cumulative window over the DISTINCT-value frame (o5 caveat
+   * at 100 TB: pre-bucket values first — same statistic on the bucket
+   * grid), a broadcast totals row, a closing max. Exact integer
+   * cumulative counts; each |ΔF| is two divisions of exact ints,
+   * rounded at 9 before the max (ties in the max are harmless — equal
+   * rounded values ARE the max).
+   */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val d = df.where(col(valueCol).isNotNull && (g === groupA || g === groupB))
+    val counts = d.groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = d.agg(sum(when(g === groupA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(g === groupB, 1L).otherwise(0L)).as("n_b"))
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .join(broadcast(tot)) // 1-row scalar side
+      .withColumn("__gap", round(abs(
+        col("__cuma").cast("double") / col("n_a").cast("double") -
+          col("__cumb").cast("double") / col("n_b").cast("double")), 9))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__gap")).as("d_stat"))
+  }
+
+  /**
+   * P171 — sample-ratio-mismatch check (the A/B-test smoke alarm): a
+   * 1-df chi-square of the observed treatment/control split against the
+   * design ratio p — assignment bugs show up HERE before they corrupt
+   * any metric, and the test is absurdly sensitive at scale (a 50.5/49.5
+   * split on 1M users is a 5-sigma alarm). One row: (n_treat, n_ctrl,
+   * chi2, srm) with srm the χ²₁ > 3.841459 call on the rounded stat.
+   *
+   * One fused conditional count agg; chi2 is a fixed double sequence on
+   * exact counts, rounded at 6.
+   */
+  def srmCheck(df: DataFrame, treatCol: String,
+      expectedTreatFrac: Double = 0.5): DataFrame = {
+    require(expectedTreatFrac > 0 && expectedTreatFrac < 1,
+      s"srmCheck: expectedTreatFrac must be in (0, 1), got $expectedTreatFrac")
+    val m = df.where(col(treatCol).isNotNull)
+      .agg(sum(when(col(treatCol), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col(treatCol), 0L).otherwise(1L)).as("n_ctrl"))
+    val n = (col("n_treat") + col("n_ctrl")).cast("double")
+    val e1 = n * lit(expectedTreatFrac)
+    val e0 = n * lit(1.0 - expectedTreatFrac)
+    val chi2 = (col("n_treat").cast("double") - e1) *
+      (col("n_treat").cast("double") - e1) / e1 +
+      (col("n_ctrl").cast("double") - e0) *
+        (col("n_ctrl").cast("double") - e0) / e0
+    m.withColumn("chi2",
+        when(col("n_treat") + col("n_ctrl") > 0, round(chi2, 6)))
+      .withColumn("srm",
+        when(col("chi2").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2") > 3.841459))
+  }
+
+  /**
+   * P166 — Wald–Wolfowitz runs test per key: is the ordered series
+   * RANDOM around its median, or does it cluster/alternate? R = number
+   * of maximal same-side runs (values equal to the median are
+   * discarded, the standard convention); z = (R − μ)/σ with
+   * μ = 2n₁n₂/(n₁+n₂) + 1 — the residual-independence check to run on
+   * P157's residuals (too few runs ⇒ the decomposition missed
+   * structure). Emits (key, n1, n2, runs, z, random) with the ±1.96
+   * two-sided call on the ROUNDED z; either side empty or zero σ² →
+   * null z.
+   *
+   * Shapes: one keyed exact-percentile median (rounded at 6 BEFORE
+   * comparisons — the o10 pre-round rule) joined back shuffle_hash,
+   * one ordered lag window per key, one fused agg. The z formula runs
+   * in doubles over exact integer counts (the products overflow BIGINT
+   * past n ≈ 2M — doubles are the portable choice, same fixed
+   * sequence both engines).
+   */
+  def runsTest(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile(`$valueCol`, 0.5)"), 6).as("__med"))
+    val sided = df.join(med.hint("shuffle_hash"), Seq(keyCol.toString))
+      .where(col(valueCol) =!= col("__med"))
+      .withColumn("__above", col(valueCol) > col("__med"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol).asc)
+    val flagged = sided
+      .withColumn("__new",
+        when(lag(col("__above"), 1).over(w).isNull ||
+          lag(col("__above"), 1).over(w) =!= col("__above"), 1L)
+          .otherwise(0L))
+    val agged = flagged.groupBy(col(keyCol))
+      .agg(sum(when(col("__above"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__above"), 0L).otherwise(1L)).as("n2"),
+        sum(col("__new")).as("runs"))
+    val d1 = col("n1").cast("double")
+    val d2 = col("n2").cast("double")
+    val nn = d1 + d2
+    val mu = lit(2.0) * d1 * d2 / nn + lit(1.0)
+    val sig2 = lit(2.0) * d1 * d2 * (lit(2.0) * d1 * d2 - d1 - d2) /
+      (nn * nn * (nn - lit(1.0)))
+    agged
+      .withColumn("z",
+        when(col("n1") > 0 && col("n2") > 0 && sig2 > 0,
+          round((col("runs").cast("double") - mu) / sqrt(sig2), 6)))
+      .withColumn("random",
+        when(col("z").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z")) < 1.96))
+  }
+
+  /**
    * P163 — paired t-test: t = d̄ / (s_d/√n) over per-subject paired
    * differences — the within-subject companion to P127's Welch test
    * (pairing removes between-subject variance, which is usually most

@@ -239,6 +239,25 @@ object Profiling {
    * Relations union into one report frame.
    */
   /**
+   * P172 — freshness/staleness audit: per key (source, table, topic…),
+   * row count, latest timestamp, and staleness = global-latest −
+   * key-latest in whole seconds — the "is source X stuck?" monitor
+   * that catches a dead ingest BEFORE a consumer joins three-day-old
+   * data against today's. One keyed agg + a broadcast global-max row;
+   * exact microsecond integers, integer-div to seconds.
+   */
+  def freshness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val per = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), max(col(tsCol)).as("max_ts"))
+    val g = per.agg(max(col("max_ts")).as("__gmax"))
+    per.join(broadcast(g)) // 1-row scalar side
+      .withColumn("staleness_s",
+        expr("(unix_micros(__gmax) - unix_micros(max_ts)) div 1000000"))
+      .drop("__gmax")
+  }
+
+  /**
    * P152 — per-column test battery (dbt's `not_null` + `unique` generics
    * as one report): for each column, `n_null` (not-null violations),
    * `n_distinct` (exact), and `dup_violations` = non-null − distinct

@@ -578,6 +578,31 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /**
+   * P170 — language-ID evaluation: confusion matrix of [[langId]]
+   * against a trusted label plus overall accuracy (repeated per cell) —
+   * the quality gate on the classifier that ROUTES documents in a
+   * multilingual pipeline; a silent langid regression poisons every
+   * per-language corpus downstream, so the matrix belongs in the
+   * pipeline, not a notebook. One keyed cell agg + two windows over the
+   * ≤|langs|² frame; exact counts, one closing division.
+   */
+  def langIdEval(df: DataFrame, actualCol: String,
+      textCol: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.where(col(actualCol).isNotNull)
+      .select(col(actualCol).as("actual"), langId(col(textCol)).as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(all))
+      .withColumn("accuracy", round(
+        sum(when(col("actual") === col("predicted"), col("n"))
+          .otherwise(0L)).over(all).cast("double") /
+          col("n_total").cast("double"), 6))
+  }
+
   // ---- fingerprinting --------------------------------------------------------
 
   // shared with the native winnowing kernel (expressions/TextEval) — one

@@ -558,6 +558,44 @@ object TimeSeries {
   }
 
   /**
+   * P165 — seasonal-naive forecast backtest: forecast(day) =
+   * value(day − `lagDays`) by CALENDAR join (never a row lag — gapped
+   * series would silently shift), scored per key with MAE, MAPE (over
+   * non-zero actuals) and mean bias — the baseline every real forecast
+   * must beat, and the zero-model drift monitor ("this week looks
+   * nothing like last week"). Days without a lagged counterpart drop.
+   *
+   * Shapes: one shuffle_hash self-join on (key, day−lag), one keyed
+   * agg. Cross-engine: inputs are pre-rounded daily values, per-row
+   * error terms round (ratio at 9) and DECIMAL-sum, outputs round
+   * at 6.
+   */
+  def seasonalNaiveBacktest(points: DataFrame, keyCol: String,
+      dayCol: String, valueCol: String, lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1,
+      s"seasonalNaiveBacktest: lagDays must be >= 1, got $lagDays")
+    val prior = points.select(col(keyCol),
+      date_add(col(dayCol), lagDays).as(dayCol.toString),
+      col(valueCol).as("__f"))
+    points.join(prior.hint("shuffle_hash"), Seq(keyCol.toString, dayCol.toString))
+      .withColumn("__ae", abs(col(valueCol) - col("__f")).cast("decimal(18,6)"))
+      .withColumn("__ape",
+        when(col(valueCol) =!= 0,
+          round(abs(col(valueCol) - col("__f")) / abs(col(valueCol)), 9)
+            .cast("decimal(28,9)")))
+      .withColumn("__e", (col(valueCol) - col("__f")).cast("decimal(18,6)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__ae")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mae"),
+        when(count(col("__ape")) > 0,
+          round(sum(col("__ape")).cast("double") /
+            count(col("__ape")).cast("double"), 6)).as("mape"),
+        round(sum(col("__e")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("bias"))
+  }
+
+  /**
    * P121 — lag-k autocorrelation per key: Pearson r between each
    * series' (x_t, x_{t−lag}) pairs in (ts, tie) order — the
    * periodicity/persistence probe run before seasonal modeling, and the

@@ -18,6 +18,16 @@ object MiningQueries {
     // every measure exercises non-trivial values; both rule directions
     // emitted, tie-broken deterministically by the (antecedent,
     // consequent) sort
+    // P168 — sequential rules over consecutive per-user events: the
+    // ordered cousin of fi1 (adds the vs-independence lift q9's
+    // probabilities lack)
+    "fi2_seq_rules" -> ((s, dir) => {
+      graft.operators.Association.sequentialRules(
+          graft.Graft.events(s, dir), "user_id", "ts", "event_id",
+          "event_type", minCount = 10L)
+        .orderBy("from_type", "to_type")
+    }),
+
     "fi1_assoc" -> ((s, dir) => {
       graft.operators.Association.assocRules(
           table(s, dir, "lineitem")
@@ -28,6 +38,33 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the q9 lead construction; marginals from windowed sums (CAST — a
+    // windowed SUM(BIGINT) is HUGEINT, the r7 lesson); minCount filters
+    // AFTER the totals
+    "fi2_seq_rules" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *,
+        |    CAST(SUM(n_pair) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(n_pair) OVER (PARTITION BY from_type) AS BIGINT) AS nf,
+        |    CAST(SUM(n_pair) OVER (PARTITION BY to_type) AS BIGINT) AS nt
+        |  FROM c)
+        |SELECT from_type, to_type, n_pair,
+        |  round(CAST(n_pair AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+        |  round(CAST(n_pair AS DOUBLE) / CAST(nf AS DOUBLE), 6)
+        |    AS confidence,
+        |  round((CAST(n_pair AS DOUBLE) / CAST(nf AS DOUBLE)) /
+        |    (CAST(nt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS lift
+        |FROM t WHERE n_pair >= 10
+        |ORDER BY from_type, to_type""".stripMargin,
+
     // the same distinct-project / self-join / agg / measure sequence;
     // all measures are double ops on exact BIGINT counts with the
     // operator's parenthesization

@@ -314,6 +314,77 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P169 — two-sample KS distance between returned and non-returned
+    // line price distributions: the shape-drift companion to o23/o15
+    "o37_ks" -> ((s, dir) => {
+      graft.operators.Features.ksTest(table(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", groupA = "R", groupB = "N")
+    }),
+
+    // P171 — sample-ratio-mismatch alarm on the o28 assignment: odd
+    // users "treated", design ratio 50/50
+    "q15_srm" -> ((s, dir) => {
+      graft.operators.Features.srmCheck(
+        graft.Graft.events(s, dir)
+          .select((col("user_id") % 2 === 1).as("treat")), "treat")
+    }),
+
+    // P172 — per-type freshness: latest event and staleness vs the
+    // global high-water mark
+    "dq7_freshness" -> ((s, dir) => {
+      graft.operators.Profiling.freshness(
+          graft.Graft.events(s, dir), "event_type", "ts")
+        .orderBy("event_type")
+    }),
+
+    // P165 — seasonal-naive backtest (forecast = last week, same day)
+    // over the daily mean value per event type: MAE/MAPE/bias
+    "o35_backtest" -> ((s, dir) => {
+      val daily = graft.Graft.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("v"))
+      graft.operators.TimeSeries.seasonalNaiveBacktest(daily,
+          "event_type", "day", "v", lagDays = 7)
+        .orderBy("event_type")
+    }),
+
+    // P166 — runs test for randomness of the daily series around its
+    // median, per event type
+    "o36_runs" -> ((s, dir) => {
+      val daily = graft.Graft.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("v"))
+      graft.operators.Features.runsTest(daily, "event_type", "day", "v")
+        .orderBy("event_type")
+    }),
+
+    // P167 — prune simulation: a 5-predicate date workload against the
+    // z5 shipdate-ordered layout's file bands
+    "z6_prune_sim" -> ((s, dir) => {
+      val d = table(s, dir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("sd"),
+          col("l_orderkey"), col("l_linenumber"))
+      val bands = graft.operators.Bucketing.zoneMapAudit(
+          d, Seq("sd", "l_orderkey", "l_linenumber"), "sd",
+          rowsPerFile = 2000)
+        .select(col("file_id"), col("lo"), col("hi"))
+      val preds = s.createDataFrame(Seq(
+          (1, "1995-01-01", "1995-06-30"),
+          (2, "1996-01-01", "1996-12-31"),
+          (3, "1999-01-01", "2001-12-31"),
+          (4, "1995-03-01", "1995-03-31"),
+          (5, "1990-01-01", "1994-12-31")))
+        .toDF("pred_id", "p_lo_s", "p_hi_s")
+        .select(col("pred_id"), col("p_lo_s").cast("date").as("p_lo"),
+          col("p_hi_s").cast("date").as("p_hi"))
+      graft.operators.Bucketing.pruneSimulation(bands, preds)
+        .orderBy("pred_id")
+    }),
+
     // P162 — HDR log-bucket quantile sketch over order-value cents:
     // mergeable two-significant-digit buckets, exact R-7 riding along
     // as the error audit
@@ -1292,6 +1363,185 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // per-distinct-value cumulative counts, exact-int ratios rounded at
+    // 9 before the closing max
+    "o37_ks" ->
+      """WITH d AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),
+        |counts AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM d),
+        |cum AS (
+        |  SELECT
+        |    CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cumb
+        |  FROM counts)
+        |SELECT tot.n_a, tot.n_b,
+        |  max(round(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)), 9)) AS d_stat
+        |FROM cum, tot GROUP BY 1, 2""".stripMargin,
+
+    // exact conditional counts; (o−e)²/e with the identical expected
+    // doubles; srm reads the rounded chi2
+    "q15_srm" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_ctrl
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (
+        |  SELECT n_treat, n_ctrl,
+        |    CASE WHEN n_treat + n_ctrl > 0 THEN round(
+        |      (CAST(n_treat AS DOUBLE)
+        |        - CAST(n_treat + n_ctrl AS DOUBLE) * 0.5e0)
+        |      * (CAST(n_treat AS DOUBLE)
+        |         - CAST(n_treat + n_ctrl AS DOUBLE) * 0.5e0)
+        |      / (CAST(n_treat + n_ctrl AS DOUBLE) * 0.5e0)
+        |      + (CAST(n_ctrl AS DOUBLE)
+        |         - CAST(n_treat + n_ctrl AS DOUBLE) * 0.5e0)
+        |        * (CAST(n_ctrl AS DOUBLE)
+        |           - CAST(n_treat + n_ctrl AS DOUBLE) * 0.5e0)
+        |        / (CAST(n_treat + n_ctrl AS DOUBLE) * 0.5e0), 6)
+        |    END AS chi2
+        |  FROM m)
+        |SELECT n_treat, n_ctrl, chi2,
+        |  CASE WHEN chi2 IS NULL THEN NULL
+        |       ELSE chi2 > 3.841459e0 END AS srm
+        |FROM c""".stripMargin,
+
+    // keyed max-ts + the broadcast global high-water mark; exact micros,
+    // integer-div seconds
+    "dq7_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    max(ts) AS max_ts
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT max(max_ts) AS gmax FROM per)
+        |SELECT event_type, n, max_ts,
+        |  CAST((epoch_us(gmax) - epoch_us(max_ts)) // 1000000 AS BIGINT)
+        |    AS staleness_s
+        |FROM per, g ORDER BY event_type""".stripMargin,
+
+    // the calendar self-join (never a row lag), per-row decimal error
+    // terms, the 9-rounded ratio before the decimal sum
+    "o35_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.v, b.v AS f
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.day = a.day - 7)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(abs(v - f) AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+        |  CASE WHEN COUNT(CASE WHEN v <> 0 THEN 1 END) > 0 THEN
+        |    round(CAST(SUM(CASE WHEN v <> 0 THEN
+        |        CAST(round(abs(v - f) / abs(v), 9) AS DECIMAL(28,9)) END)
+        |      AS DOUBLE) /
+        |      CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS DOUBLE), 6)
+        |  END AS mape,
+        |  round(CAST(SUM(CAST(v - f AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS bias
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // 6-rounded median, IS DISTINCT FROM run boundaries, the identical
+    // double mu/sigma sequence on exact counts
+    "o36_runs" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |med AS (SELECT event_type, round(quantile_cont(v, 0.5), 6) AS m
+        |        FROM daily GROUP BY 1),
+        |sided AS (
+        |  SELECT d.event_type, d.day, d.v > med.m AS above
+        |  FROM daily d JOIN med ON med.event_type = d.event_type
+        |  WHERE d.v <> med.m),
+        |flg AS (
+        |  SELECT event_type, above,
+        |    CASE WHEN lag(above) OVER (PARTITION BY event_type ORDER BY day)
+        |         IS DISTINCT FROM above THEN 1 ELSE 0 END AS nw
+        |  FROM sided),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |    CAST(SUM(nw) AS BIGINT) AS runs
+        |  FROM flg GROUP BY 1),
+        |zc AS (
+        |  SELECT event_type, n1, n2, runs,
+        |    CASE WHEN n1 > 0 AND n2 > 0 AND
+        |      2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+        |        (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |         - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) /
+        |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+        |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+        |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0e0)) > 0
+        |    THEN round((CAST(runs AS DOUBLE) -
+        |      (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0e0)) /
+        |      sqrt(2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+        |        (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |         - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) /
+        |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+        |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+        |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0e0))), 6)
+        |    END AS z
+        |  FROM a)
+        |SELECT event_type, n1, n2, runs, z,
+        |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) < 1.96e0 END AS random
+        |FROM zc ORDER BY event_type""".stripMargin,
+
+    // the z5 band construction + a VALUES workload; inclusive range
+    // intersection, one closing division
+    "z6_prune_sim" ->
+      """WITH d AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS sd, l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+        |r AS (
+        |  SELECT sd,
+        |    row_number() OVER (ORDER BY sd, l_orderkey, l_linenumber) AS rn
+        |  FROM d),
+        |f AS (
+        |  SELECT CAST((rn - 1) // 2000 AS BIGINT) AS file_id,
+        |    min(sd) AS lo, max(sd) AS hi
+        |  FROM r GROUP BY 1),
+        |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM f),
+        |p(pred_id, p_lo, p_hi) AS (VALUES
+        |  (1, DATE '1995-01-01', DATE '1995-06-30'),
+        |  (2, DATE '1996-01-01', DATE '1996-12-31'),
+        |  (3, DATE '1999-01-01', DATE '2001-12-31'),
+        |  (4, DATE '1995-03-01', DATE '1995-03-31'),
+        |  (5, DATE '1990-01-01', DATE '1994-12-31')),
+        |j AS (
+        |  SELECT p.pred_id, p.p_lo, p.p_hi,
+        |    CAST(SUM(CASE WHEN f.file_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_scanned
+        |  FROM p LEFT JOIN f ON f.lo <= p.p_hi AND p.p_lo <= f.hi
+        |  GROUP BY 1, 2, 3)
+        |SELECT pred_id, p_lo, p_hi, n_scanned, n_files,
+        |  round(CAST(n_scanned AS DOUBLE) /
+        |    CAST(greatest(n_files, 1) AS DOUBLE), 6) AS scan_frac
+        |FROM j, nf ORDER BY pred_id""".stripMargin,
 
     // the shared hdrLadder CASE both sides; all-integer bucketing and
     // cumulative ranks; quantile_cont is the R-7 exact side

@@ -275,6 +275,13 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P170 — langId confusion matrix against the trusted lang label,
+    // with overall accuracy riding on every cell
+    "t24_langid_eval" -> ((s, dir) => {
+      TextAnalysis.langIdEval(table(s, dir, "documents"), "lang", "text")
+        .orderBy("actual", "predicted")
+    }),
+
     // P153 — RAKE keyphrases: top-3 stopword-delimited phrase runs per
     // doc by summed word deg/freq scores
     "t23_rake" -> ((s, dir) => {
@@ -1145,6 +1152,34 @@ object TextQueries {
         |             AS DOUBLE)), 4)
         |  END AS flesch
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the t2 scored construction with the actual label carried through;
+    // exact cell counts, one closing division
+    "t24_langid_eval" ->
+      s"""WITH scored AS (
+         |  SELECT lang AS actual,
+         |    (SELECT CASE WHEN max(s.sc) > 0
+         |            THEN first(s.lg ORDER BY s.sc DESC, s.lg ASC)
+         |            ELSE 'und' END
+         |     FROM (SELECT unnest([${Seq("de", "en", "es", "fr").map(profileSql).mkString(", ")}],
+         |                  recursive := true)) s(sc, lg)) AS predicted
+         |  FROM (SELECT lang,
+         |          list_distinct(list_filter(
+         |            string_split_regex(lower(trim(text)), '\\s+'),
+         |            t -> t <> '')) AS toks
+         |        FROM documents WHERE lang IS NOT NULL)),
+         |cells AS (
+         |  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM scored GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |    CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+         |      AS BIGINT) AS hits
+         |  FROM cells)
+         |SELECT actual, predicted, n, n_total,
+         |  round(CAST(hits AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         |    AS accuracy
+         |FROM cells, tot ORDER BY actual, predicted""".stripMargin,
 
     // gaps-and-islands phrase runs (pos − nonstop-rank), string_agg in
     // pos order, 6-rounded word scores DECIMAL-summed per island; rank

@@ -40,4 +40,37 @@ class AssociationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Association.assocRules(df, "basket", "item", minPairCount = 0L))
   }
+
+  test("sequentialRules: support/confidence/lift over consecutive pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    // user 1: a→b→a→b  (pairs ab, ba, ab); user 2: a→b (pair ab)
+    // pairs: ab x3, ba x1 → n = 4; from a: 3, from b: 1;
+    // into b: 3, into a: 1
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "a"),
+      (1L, "2024-01-01 00:00:02", 2L, "b"),
+      (1L, "2024-01-01 00:00:03", 3L, "a"),
+      (1L, "2024-01-01 00:00:04", 4L, "b"),
+      (2L, "2024-01-01 00:00:01", 5L, "a"),
+      (2L, "2024-01-01 00:00:02", 6L, "b"))
+      .toDF("u", "t", "e", "ty")
+      .select($"u", to_timestamp($"t").as("t"), $"e", $"ty")
+    val got = Association.sequentialRules(ev, "u", "t", "e", "ty")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // a→b: support 3/4, conf 3/3 = 1, lift 1 / (3/4) = 4/3
+    assert(got(("a", "b")) == ((3L, 0.75, 1.0, 1.333333)))
+    // b→a: support 1/4, conf 1, lift 1 / (1/4) = 4
+    assert(got(("b", "a")) == ((1L, 0.25, 1.0, 4.0)))
+    // minCount filters rules but NOT the marginals they're judged by
+    val filtered = Association.sequentialRules(ev, "u", "t", "e", "ty",
+        minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(filtered == Map(("a", "b") -> 0.75))
+    intercept[IllegalArgumentException](
+      Association.sequentialRules(ev, "u", "t", "e", "ty", 0L))
+  }
 }

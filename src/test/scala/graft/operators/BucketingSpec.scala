@@ -98,4 +98,20 @@ class BucketingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Bucketing.zoneMapAudit(rows, Seq("id"), "v", 0))
   }
+
+  test("pruneSimulation counts band-intersecting files per predicate") {
+    import spark.implicits._
+    val files = Seq((0L, 1L, 10L), (1L, 11L, 20L), (2L, 21L, 30L))
+      .toDF("file_id", "lo", "hi")
+    val preds = Seq((1, 5L, 15L),   // spans files 0 and 1
+      (2, 21L, 21L),                // point inside file 2
+      (3, 50L, 60L))                // nothing
+      .toDF("pred_id", "p_lo", "p_hi")
+    val got = Bucketing.pruneSimulation(files, preds)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(3), r.getDouble(5))))
+      .toMap
+    assert(got(1) == ((2L, 0.666667)))
+    assert(got(2) == ((1L, 0.333333)))
+    assert(got(3) == ((0L, 0.0)))
+  }
 }

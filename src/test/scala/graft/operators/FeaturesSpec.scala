@@ -391,4 +391,57 @@ class FeaturesSpec extends SparkSpec {
     // single observation: no sd at all
     assert(Features.pairedTTest(Seq(4.0).toDF("d"), "d").head.isNullAt(2))
   }
+
+  test("runsTest: alternating maximizes runs, blocks minimize; ties drop") {
+    import spark.implicits._
+    // perfectly alternating 1,9 x4 around median 5: 8 runs of size 1
+    val alt = (1 to 8).map(i => ("a", i.toLong,
+      if (i % 2 == 0) 9.0 else 1.0))
+    // two blocks: 1,1,1,1,9,9,9,9 → 2 runs
+    val blk = (1 to 8).map(i => ("b", i.toLong,
+      if (i <= 4) 1.0 else 9.0))
+    // a value AT the median is discarded: {1, 5, 9} → n1 = n2 = 1
+    val tie = Seq(("c", 1L, 1.0), ("c", 2L, 5.0), ("c", 3L, 9.0))
+    val got = Features.runsTest((alt ++ blk ++ tie).toDF("k", "t", "v"),
+        "k", "t", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((4L, 4L, 8L)))
+    assert(got("b") == ((4L, 4L, 2L)))
+    assert(got("c") == ((1L, 1L, 2L)))
+    // mu for n1=n2=4 is 5; alternating z > 0, blocked z < 0
+    val zs = Features.runsTest((alt ++ blk).toDF("k", "t", "v"),
+        "k", "t", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(zs("a") > 0 && zs("b") < 0)
+  }
+
+  test("ksTest: disjoint supports → D = 1; identical samples → D = 0") {
+    import spark.implicits._
+    val far = (1 to 5).map(i => ("a", i.toDouble)) ++
+      (11 to 15).map(i => ("b", i.toDouble))
+    val r = Features.ksTest(far.toDF("g", "v"), "g", "v", "a", "b").head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L && r.getDouble(2) == 1.0)
+    val same = (1 to 4).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+    assert(Features.ksTest(same.toDF("g", "v"), "g", "v", "a", "b")
+      .head.getDouble(2) == 0.0)
+    // textbook small case: a = {1, 2}, b = {2, 3} → max gap at v = 1: 0.5
+    val mid = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+    assert(Features.ksTest(mid.toDF("g", "v"), "g", "v", "a", "b")
+      .head.getDouble(2) == 0.5)
+  }
+
+  test("srmCheck: balanced split passes, skew alarms, ratio honored") {
+    import spark.implicits._
+    val ok = (1 to 100).map(i => i % 2 == 0).toDF("t")
+    val r1 = Features.srmCheck(ok, "t").head
+    assert(r1.getLong(0) == 50L && r1.getDouble(2) == 0.0 && !r1.getBoolean(3))
+    // 70/30 on n = 100 under a 50/50 design: chi2 = 2·400/50 = 16 → alarm
+    val skew = ((1 to 70).map(_ => true) ++ (1 to 30).map(_ => false)).toDF("t")
+    val r2 = Features.srmCheck(skew, "t").head
+    assert(r2.getDouble(2) == 16.0 && r2.getBoolean(3))
+    // the same 70/30 under a 70/30 DESIGN is exactly on target
+    assert(Features.srmCheck(skew, "t", 0.7).head.getDouble(2) == 0.0)
+    intercept[IllegalArgumentException](Features.srmCheck(ok, "t", 1.0))
+  }
 }

@@ -135,4 +135,21 @@ class ProfilingSpec extends SparkSpec {
     assert(key.getBoolean(5)) // non-null + distinct ⇒ key candidate
     intercept[IllegalArgumentException](Profiling.columnTests(df, Nil))
   }
+
+  test("freshness: staleness vs the global high-water mark, in seconds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val ev = Seq(
+      ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 12:00:00"),
+      ("b", "2024-01-01 11:59:30"),
+      ("c", "2023-12-30 12:00:00"))
+      .toDF("src", "t")
+      .select($"src", to_timestamp($"t").as("t"))
+    val got = Profiling.freshness(ev, "src", "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(got("a") == ((2L, 0L)))       // a owns the high-water mark
+    assert(got("b") == ((1L, 30L)))      // 30 s stale
+    assert(got("c") == ((1L, 2L * 86400L))) // two days stale
+  }
 }

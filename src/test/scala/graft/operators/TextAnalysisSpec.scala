@@ -594,4 +594,21 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.rakePhrases(df, "doc_id", "text", 0))
   }
+
+  test("langIdEval: confusion cells + overall accuracy on every row") {
+    val df = Seq(
+      ("en", "the cat is in the hat"),     // en stopwords → predicted en
+      ("en", "der hund ist von den zu"),   // de stopwords → MISpredicted de
+      ("de", "die das und der ist"),       // → de
+      ("de", "xyzzy qwerty")               // no hits → und
+    ).toDF("lang", "text")
+    val got = TextAnalysis.langIdEval(df, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(("en", "en"), ("en", "de"), ("de", "de"),
+      ("de", "und")))
+    // 2 of 4 on the diagonal
+    assert(got.values.forall(v => v._2 == 4L && v._3 == 0.5))
+    assert(got(("en", "en"))._1 == 1L && got(("de", "de"))._1 == 1L)
+  }
 }

@@ -443,4 +443,31 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.watermarkSweep(ev, "t", "arrival", Seq(-1L)))
   }
+
+  test("seasonalNaiveBacktest joins by calendar, scores MAE/MAPE/bias") {
+    import spark.implicits._
+    import java.sql.Date
+    // days 1..14, v = day index; forecast(d) = v(d−7) = v − 7 →
+    // every error is exactly +7
+    val pts = (1 to 14).map(d => ("a", Date.valueOf(f"2024-01-$d%02d"),
+      d.toDouble))
+    val r = TimeSeries.seasonalNaiveBacktest(pts.toDF("k", "day", "v"),
+        "k", "day", "v", lagDays = 7).head
+    assert(r.getLong(1) == 7L && r.getDouble(2) == 7.0 &&
+      r.getDouble(4) == 7.0)
+    // mape = mean over d=8..14 of 7/d
+    val mape = BigDecimal((8 to 14).map(d => BigDecimal(7.0 / d)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == mape)
+    // a GAP in the series produces no phantom forecast: drop day 3 →
+    // day 10 has no d−7 counterpart and disappears from the score set
+    val gapped = pts.filterNot(_._2.toString == "2024-01-03")
+    val g = TimeSeries.seasonalNaiveBacktest(gapped.toDF("k", "day", "v"),
+        "k", "day", "v", 7).head
+    assert(g.getLong(1) == 6L)
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalNaiveBacktest(pts.toDF("k", "day", "v"),
+        "k", "day", "v", 0))
+  }
 }
