@@ -631,6 +631,47 @@ object Features {
       .drop("__h")
   }
 
+  /** The z_{α/2} + z_β constant for [[mdeEstimate]] at α = 0.05 /
+    * power = 0.80, as a shortest-round-trip literal computed ONCE here
+    * (1.959964 + 0.841621) — the o12 driver-constant rule: neither
+    * engine's inverse-normal is ever consulted. */
+  val MdeZSum: Double = 2.801585
+
+  /**
+   * P174 — minimum-detectable-effect estimate (experiment power
+   * analysis): for a future 50/50 A/B on this population, the smallest
+   * absolute (and relative) lift a two-sample test at α = 0.05 /
+   * power = 0.80 would detect: mde = (z_{α/2}+z_β)·σ·2/√n — the "is
+   * this experiment even worth running" table, per segment. Emits
+   * (key, n, mean_v, sd, mde_abs, mde_rel); n < 2 or zero spread →
+   * null MDEs, zero mean → null relative.
+   *
+   * One keyed decimal moment agg; population σ; the closing sequence is
+   * fixed doubles with the z-sum embedded as a literal ([[MdeZSum]]),
+   * rounded at 6.
+   */
+  def mdeEstimate(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,6)")
+    val dec19 = col(valueCol).cast("decimal(19,6)")
+    val m = df.where(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(dec).cast("double").as("__s"),
+        sum(dec19 * dec19).cast("double").as("__q"))
+    val nd = col("n").cast("double")
+    val mean = col("__s") / nd
+    val variance = greatest(col("__q") / nd - mean * mean, lit(0.0))
+    val mdeAbs = lit(MdeZSum) * sqrt(variance) * lit(2.0) / sqrt(nd)
+    m.withColumn("mean_v", round(mean, 6))
+      .withColumn("sd", round(sqrt(variance), 6))
+      .withColumn("mde_abs",
+        when(col("n") >= 2 && variance > 0, round(mdeAbs, 6)))
+      .withColumn("mde_rel",
+        when(col("n") >= 2 && variance > 0 && mean =!= 0,
+          round(mdeAbs / mean, 6)))
+      .drop("__s", "__q")
+  }
+
   /**
    * P169 — two-sample Kolmogorov–Smirnov statistic: D = max over the
    * pooled support of |F_a(x) − F_b(x)| — the distribution-shape drift

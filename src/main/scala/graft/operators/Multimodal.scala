@@ -340,6 +340,31 @@ object Multimodal {
         expr(s"(start_sample * 1000) div `$rateCol`"))
   }
 
+  /**
+   * P175 — WebDataset-style shard manifest: pack media files into
+   * ~`targetBytes` tar shards in id order (next-fit — the
+   * [[Bucketing.compactionPlan]] discipline applied to media) and emit
+   * per shard (n_files, shard_bytes, manifest_md5 of the comma-joined
+   * id list in id order) — the manifest IS the reproducibility
+   * contract: a training job can verify every shard it streams against
+   * the table that planned it. Id order preserves pack locality.
+   *
+   * Shapes: one cumulative window in id order (z4's), one per-shard
+   * agg whose member list is sort_array'd before joining — collect
+   * order is plan-dependent, the sorted join is not.
+   */
+  def shardManifest(media: DataFrame, idCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    val planned = Bucketing.compactionPlan(media.select(col(idCol),
+      col(bytesCol)), idCol, bytesCol, targetBytes)
+    planned
+      .groupBy(col("bin").as("shard_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol).cast("long")).as("shard_bytes"),
+        md5(array_join(transform(sort_array(collect_list(col(idCol))),
+          _.cast("string")), ",")).as("manifest_md5"))
+  }
+
   /** One rung of the [[aspectBuckets]] ladder: the driver-computed,
     * engine-portable constants for a target aspect ratio — `lnLit` is
     * the 9-rounded natural log as a shortest-round-trip literal string

@@ -621,6 +621,33 @@ object Sampling {
   }
 
   /**
+   * P176 — split-leakage audit: given a duplicate-pair list and a split
+   * assignment, the per-(split, split) matrix of where pairs landed —
+   * `crossing = true` rows are train/eval CONTAMINATION (the model sees
+   * the eval answer's twin at training time, and the eval number is a
+   * lie). A plain hash split WILL leak (it splits dup groups
+   * binomially); P66's cluster-keyed split is the fix, and this audit
+   * is the proof either way — run it on every split before training.
+   *
+   * Shapes: two shuffle_hash assignment joins + one tiny matrix agg.
+   * Exact counts; split_a/split_b are ordered lexically so each
+   * unordered pair lands in ONE cell.
+   */
+  def splitLeakageAudit(pairs: DataFrame, assign: DataFrame,
+      pairICol: String, pairJCol: String, idCol: String,
+      splitCol: String): DataFrame = {
+    val a = assign.select(col(idCol).as(pairICol), col(splitCol).as("__si"))
+    val b = assign.select(col(idCol).as(pairJCol), col(splitCol).as("__sj"))
+    pairs
+      .join(a.hint("shuffle_hash"), Seq(pairICol))
+      .join(b.hint("shuffle_hash"), Seq(pairJCol))
+      .groupBy(least(col("__si"), col("__sj")).as("split_a"),
+        greatest(col("__si"), col("__sj")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crossing", col("split_a") =!= col("split_b"))
+  }
+
+  /**
    * P156 — temporal train/test split with an embargo gap: rows before
    * (cutoff − embargo) train, rows at/after `cutoff` test, rows inside
    * the gap are labeled `embargo` — the leakage-safe backtest split

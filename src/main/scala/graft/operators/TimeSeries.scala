@@ -558,6 +558,36 @@ object TimeSeries {
   }
 
   /**
+   * P173 — Theil–Sen slope per key: the MEDIAN of all pairwise slopes
+   * (v_j − v_i)/(day_j − day_i) — the robust trend estimate (29.3%
+   * breakdown point: a third of the points can be garbage before the
+   * slope moves) to read beside P150's Mann–Kendall direction test;
+   * OLS (P90) gives any single outlier unbounded leverage. Same caller
+   * contract as P150: feed RESAMPLED bounded series — the pair stage
+   * is quadratic per key. Emits (key, n_pairs, slope).
+   *
+   * Cross-engine: each slope is one double division of exact operands
+   * rounded at 9, the median is R-7 over identical rounded slopes,
+   * output rounds at 6.
+   */
+  def theilSenSlope(points: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val a = points.select(col(keyCol).as("__k"), col(dayCol).as("__da"),
+      col(valueCol).as("__va"))
+    val b = points.select(col(keyCol).as("__k"), col(dayCol).as("__db"),
+      col(valueCol).as("__vb"))
+    a.join(b.hint("shuffle_hash"), Seq("__k"))
+      .where(col("__da") < col("__db"))
+      .withColumn("__slope",
+        round((col("__vb") - col("__va")) /
+          datediff(col("__db"), col("__da")).cast("double"), 9))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__slope, 0.5)"), 6).as("slope"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /**
    * P165 — seasonal-naive forecast backtest: forecast(day) =
    * value(day − `lagDays`) by CALENDAR join (never a row lag — gapped
    * series would silently shift), scored per key with MAE, MAPE (over

@@ -29,6 +29,21 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P176 — split-leakage audit: exact-dup pairs vs an 80/10/10 hash
+    // split; crossing cells are train/eval contamination (a hash split
+    // WILL leak — the sa7 cluster split is the fix, this is the proof)
+    "sa17_leakage" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir)
+      val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+        .select(col("survivor_id").as("i"), col("duplicate_id").as("j"))
+      val assign = graft.operators.Sampling.hashSplit(
+        docs.select("doc_id"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "split:")
+      graft.operators.Sampling.splitLeakageAudit(pairs, assign,
+          "i", "j", "doc_id", "split")
+        .orderBy("split_a", "split_b")
+    }),
+
     // exact dedup: survivor = min doc_id per text
     "d1_exact_dedup" -> ((s, dir) => {
       Dedup.exactDedup(dupedDocs(s, dir), "doc_id", "text")
@@ -405,6 +420,36 @@ object DedupQueries {
         |  CASE WHEN coalesce(h.n_matched, 0) > 0 THEN 'Y' ELSE 'N' END AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // the d2 pair construction × the sa1 bucket replay ('split:' salt);
+    // lexical least/greatest cells, exact counts
+    "sa17_leakage" ->
+      s"""WITH pairs AS (
+         |  SELECT keep AS i, doc_id AS j FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep
+         |    FROM ($dupedDocsSql))
+         |  WHERE doc_id <> keep),
+         |assign AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < 8000 THEN 'train'
+         |         WHEN bucket < 9000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+         |          FOR c IN string_split(substr(md5('split:' ||
+         |            coalesce(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+         |        (acc, x) -> acc * 16 + x) % 10000 AS bucket
+         |    FROM ($dupedDocsSql))),
+         |j AS (
+         |  SELECT least(ai.split, aj.split) AS split_a,
+         |    greatest(ai.split, aj.split) AS split_b
+         |  FROM pairs
+         |  JOIN assign ai ON ai.doc_id = pairs.i
+         |  JOIN assign aj ON aj.doc_id = pairs.j)
+         |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  split_a <> split_b AS crossing
+         |FROM j GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
 
     "d2_dup_pairs" ->
       s"""SELECT keep AS survivor_id, doc_id AS duplicate_id FROM (

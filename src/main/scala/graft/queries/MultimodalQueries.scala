@@ -115,6 +115,17 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P175 — 4KB tar-shard manifests over the packed text corpus: z4's
+    // next-fit bins + an id-ordered md5 manifest per shard
+    "mm8_shards" -> ((s, dir) => {
+      val m = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+      Multimodal.shardManifest(m, "media_id", "n_bytes",
+          targetBytes = 4096L)
+        .orderBy("shard_id")
+    }),
+
     // batched stub decode + feature extraction (deterministic fake codec);
     // batch_ok is layout-independent (every batch is 1..batchSize rows)
     // where the raw batch_size is not (the tail batch of each partition
@@ -207,6 +218,26 @@ object MultimodalQueries {
          |  CAST((th - rh) // 2 AS BIGINT) AS pad_y
          |FROM fit ORDER BY media_id""".stripMargin
     },
+
+    // the z4 cumulative bin cut + string_agg manifest in id order
+    "mm8_shards" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT media_id, n,
+        |    CAST(SUM(n) OVER (ORDER BY media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM f),
+        |b AS (SELECT media_id, n, CAST((cum - n) // 4096 AS BIGINT)
+        |        AS shard_id FROM c)
+        |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n) AS BIGINT) AS shard_bytes,
+        |  md5(string_agg(CAST(media_id AS VARCHAR), ',' ORDER BY media_id))
+        |    AS manifest_md5
+        |FROM b GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     // same stub geometry, grid arithmetic all-BIGINT; unnest(range(...))
     // expands the per-item tile ids

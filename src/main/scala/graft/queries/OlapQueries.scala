@@ -314,6 +314,28 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P173 — Theil-Sen robust slope of the daily mean value per event
+    // type: the outlier-proof companion to o29's direction test
+    "o38_theilsen" -> ((s, dir) => {
+      val daily = graft.Graft.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("v"))
+      graft.operators.TimeSeries.theilSenSlope(daily,
+          "event_type", "day", "v")
+        .orderBy("event_type")
+    }),
+
+    // P174 — minimum detectable effect per event type for a future
+    // 50/50 A/B at alpha 0.05 / power 0.80
+    "q16_power" -> ((s, dir) => {
+      graft.operators.Features.mdeEstimate(
+          graft.Graft.events(s, dir).select("event_type", "value"),
+          "event_type", "value")
+        .orderBy("event_type")
+    }),
+
     // P169 — two-sample KS distance between returned and non-returned
     // line price distributions: the shape-drift companion to o23/o15
     "o37_ks" -> ((s, dir) => {
@@ -1363,6 +1385,53 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // pairwise 9-rounded slopes, R-7 median per key
+    "o38_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    round((b.v - a.v) /
+        |      CAST(datediff('day', a.day, b.day) AS DOUBLE), 9) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS slope
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // decimal moments; the z-sum is the shared driver literal (neither
+    // engine's inverse-normal is consulted); identical double sequence
+    "q16_power" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(19,6)) *
+        |      CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS q
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(s / CAST(n AS DOUBLE), 6) AS mean_v,
+        |  round(sqrt(greatest(q / CAST(n AS DOUBLE)
+        |    - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0e0)), 6)
+        |    AS sd,
+        |  CASE WHEN n >= 2 AND greatest(q / CAST(n AS DOUBLE)
+        |      - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0e0) > 0
+        |  THEN round(2.801585e0 * sqrt(greatest(q / CAST(n AS DOUBLE)
+        |      - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0e0))
+        |    * 2.0e0 / sqrt(CAST(n AS DOUBLE)), 6) END AS mde_abs,
+        |  CASE WHEN n >= 2 AND greatest(q / CAST(n AS DOUBLE)
+        |      - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0e0) > 0
+        |    AND s / CAST(n AS DOUBLE) <> 0
+        |  THEN round((2.801585e0 * sqrt(greatest(q / CAST(n AS DOUBLE)
+        |      - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0e0))
+        |    * 2.0e0 / sqrt(CAST(n AS DOUBLE)))
+        |    / (s / CAST(n AS DOUBLE)), 6) END AS mde_rel
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // per-distinct-value cumulative counts, exact-int ratios rounded at
     // 9 before the closing max

@@ -444,4 +444,22 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.srmCheck(skew, "t", 0.7).head.getDouble(2) == 0.0)
     intercept[IllegalArgumentException](Features.srmCheck(ok, "t", 1.0))
   }
+
+  test("mdeEstimate: the closed form on a known sigma; degenerates null") {
+    import spark.implicits._
+    // sigma = 1 (values ±1 around mean 10), n = 4:
+    // mde_abs = 2.801585 · 1 · 2 / 2 = 2.801585
+    val rows = Seq(("a", 9.0), ("a", 11.0), ("a", 9.0), ("a", 11.0),
+      ("b", 7.0)).toDF("k", "v")
+    val got = Features.mdeEstimate(rows, "k", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 4L && a.getDouble(2) == 10.0 &&
+      a.getDouble(3) == 1.0)
+    assert(a.getDouble(4) == 2.801585)
+    assert(a.getDouble(5) == BigDecimal(2.801585 / 10.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // singleton stratum: no variance, no MDE
+    assert(got("b").isNullAt(4) && got("b").isNullAt(5))
+  }
 }

@@ -280,4 +280,19 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
     assert(s1(1L) == 0.5 && s1(3L) == 2.0)
   }
+
+  test("shardManifest: next-fit bins with id-ordered md5 manifests") {
+    import spark.implicits._
+    // sizes 6,6,6 with target 10: shard 0 = {1,2} (cum 6 then 12 —
+    // next-fit lets the second overflow), shard 1 = {3}
+    val media = Seq((1L, 6L), (2L, 6L), (3L, 6L)).toDF("id", "bytes")
+    val got = Multimodal.shardManifest(media, "id", "bytes", 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def man(ids: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(ids.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0L) == ((2L, 12L, man("1,2"))))
+    assert(got(1L) == ((1L, 6L, man("3"))))
+  }
 }

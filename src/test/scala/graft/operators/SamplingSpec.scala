@@ -460,4 +460,19 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.temporalSplit(ev, "t", "2024-01-20 00:00:00", -1L))
   }
+
+  test("splitLeakageAudit: crossing cells expose train/eval twins") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("i", "j")
+    val assign = Seq((1L, "train"), (2L, "test"),  // crossing
+      (3L, "train"), (4L, "train"),                // contained
+      (5L, "test"), (6L, "train")).toDF("id", "split")
+    val got = Sampling.splitLeakageAudit(pairs, assign, "i", "j",
+        "id", "split")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    // both crossing pairs land in the SAME ordered (test, train) cell
+    assert(got == Map(("test", "train") -> ((2L, true)),
+      ("train", "train") -> ((1L, false))))
+  }
 }

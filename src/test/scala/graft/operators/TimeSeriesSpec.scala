@@ -470,4 +470,18 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.seasonalNaiveBacktest(pts.toDF("k", "day", "v"),
         "k", "day", "v", 0))
   }
+
+  test("theilSenSlope shrugs off the outlier OLS would chase") {
+    import spark.implicits._
+    import java.sql.Date
+    // y = 2x on days 1..9 with day 5 poisoned to 1000: the pairwise
+    // slope MEDIAN stays 2 (only 8 of 36 pairs touch the outlier)
+    val pts = (1 to 9).map { d =>
+      ("a", Date.valueOf(f"2024-01-$d%02d"),
+        if (d == 5) 1000.0 else 2.0 * d)
+    }
+    val r = TimeSeries.theilSenSlope(pts.toDF("k", "day", "v"),
+      "k", "day", "v").head
+    assert(r.getLong(1) == 36L && r.getDouble(2) == 2.0)
+  }
 }
