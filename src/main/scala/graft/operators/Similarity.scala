@@ -490,6 +490,41 @@ object Similarity {
   }
 
   /**
+   * P177 — reciprocal-rank fusion (Cormack et al. 2009): fuse N
+   * rankings of the same candidate space by Σ 1/(c + rank) — the
+   * standard score-free ensemble for heterogeneous retrievers (BM25
+   * scores and cosine scores aren't commensurable; RANKS are), and
+   * empirically hard to beat without training. Emits the fused top-`k`
+   * with `n_lists` (how many rankings surfaced the id — agreement is
+   * its own signal). c = 60 is the published default.
+   *
+   * Shapes: union of the (already tiny, top-k-sized) ranking frames,
+   * one keyed agg, TakeOrderedAndProject. Terms round at 9 and
+   * DECIMAL-sum; the final order is (rounded score desc, id).
+   */
+  def rrfFusion(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, c: Long = 60L): DataFrame = {
+    require(rankings.size >= 2, "rrfFusion: need at least two rankings")
+    require(k >= 1, s"rrfFusion: k must be >= 1, got $k")
+    require(c >= 0, s"rrfFusion: c must be >= 0, got $c")
+    val all = rankings
+      .map(_.select(col(idCol).as("id"), col(rankCol).as("__r")))
+      .reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("id").asc)
+    all
+      .withColumn("__term",
+        round(lit(1.0) / (lit(c) + col("__r")).cast("double"), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"),
+        round(sum(col("__term")).cast("double"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+  }
+
+  /**
    * P146 — greedy k-center coreset (farthest-first traversal, Gonzalez
    * 1985): from a candidate pool, pick k points so each new pick is the
    * one FARTHEST (max-min cosine distance) from everything picked so

@@ -389,6 +389,45 @@ object Sketches {
       .select("q", "target_rank", "est_lo", "exact", "ratio")
   }
 
+  /**
+   * P178 — capture–recapture (Lincoln–Petersen with Chapman's
+   * correction) population estimate: draw two INDEPENDENT deterministic
+   * hash samples, count the overlap m, and N̂ = (n₁+1)(n₂+1)/(m+1) − 1 —
+   * the "how big is the real corpus" estimator when you can sample but
+   * not enumerate (how many distinct pages does this domain have? how
+   * many unique users hit this path?). The true count rides along here
+   * because the table IS enumerable — the query audits the estimator.
+   * One row: (n1, n2, m, est_lp, est_chapman, n_true); m = 0 → null LP
+   * (Chapman stays finite — that's its point).
+   *
+   * Shapes: pure hash-bucket projections ([[Sampling.hashBucket]] with
+   * independent salts), one inner join for m, scalar counts. Exact
+   * integers; the estimates are one double sequence rounded at 2.
+   */
+  def captureRecapture(df: DataFrame, idCol: String,
+      samplePct: Int = 30): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 99,
+      s"captureRecapture: samplePct must be in [1, 99], got $samplePct")
+    val ids = df.where(col(idCol).isNotNull).select(col(idCol)).distinct()
+    val a = ids.where(Sampling.hashBucket(col(idCol), 100, "capA:") < samplePct)
+    val b = ids.where(Sampling.hashBucket(col(idCol), 100, "capB:") < samplePct)
+    val m = a.join(b.hint("shuffle_hash"), Seq(idCol.toString), "left_semi")
+      .agg(count(lit(1)).as("m"))
+    val counts = ids.agg(count(lit(1)).as("n_true"))
+      .join(a.agg(count(lit(1)).as("n1")))
+      .join(b.agg(count(lit(1)).as("n2")))
+      .join(m)
+    counts
+      .withColumn("est_lp",
+        when(col("m") > 0, round(col("n1").cast("double") *
+          col("n2").cast("double") / col("m").cast("double"), 2)))
+      .withColumn("est_chapman",
+        round((col("n1") + 1).cast("double") *
+          (col("n2") + 1).cast("double") /
+          (col("m") + 1).cast("double") - lit(1.0), 2))
+      .select("n1", "n2", "m", "est_lp", "est_chapman", "n_true")
+  }
+
   def amsF2(items: DataFrame, itemCol: String, estimators: Int): DataFrame = {
     require(estimators >= 1, s"amsF2: estimators must be >= 1, got $estimators")
     val counts = items.where(col(itemCol).isNotNull)

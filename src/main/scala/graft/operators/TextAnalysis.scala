@@ -603,6 +603,49 @@ object TextAnalysis {
           col("n_total").cast("double"), 6))
   }
 
+  /**
+   * P179 — Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β from log-log
+   * OLS over corpus checkpoints (every `checkpointEvery` docs in id
+   * order: cumulative tokens vs cumulative distinct vocabulary) — the
+   * sibling of P128's Zipf fit, and the capacity planner's curve ("how
+   * big does the embedding vocab get at 10× the corpus?"); β far from
+   * the 0.4–0.6 band flags synthetic/templated text. Returns the P90
+   * OLS frame keyed by the literal "corpus".
+   *
+   * Shapes: cumulative tokens from ONE ordered window (o5 caveat —
+   * checkpoint per partition at scale); vocabulary-at-checkpoint from
+   * each token's FIRST document (one keyed min) crossed with the tiny
+   * checkpoint frame — never a per-checkpoint distinct scan. Logs
+   * pre-round at 6 so olsFit's decimal casts are exact (the o33 rule).
+   */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+      checkpointEvery: Int): DataFrame = {
+    require(checkpointEvery >= 1,
+      s"heapsFit: checkpointEvery must be >= 1, got $checkpointEvery")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)
+    val cum = df
+      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("__nt"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cumtok", sum(col("__nt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val cps = cum
+      .where(pmod(col("__rn"), lit(checkpointEvery.toLong)) === 0L &&
+        col("__cumtok") > 0)
+      .select(col(idCol).as("__cpid"), col("__cumtok"))
+    val firstOcc = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(min(col(idCol)).as("__fd"))
+    val pts = firstOcc.crossJoin(broadcast(cps))
+      .groupBy(col("__cpid"), col("__cumtok"))
+      .agg(sum(when(col("__fd") <= col("__cpid"), 1L).otherwise(0L))
+        .as("__vocab"))
+      .where(col("__vocab") > 0)
+      .select(lit("corpus").as("corpus"),
+        round(log(col("__cumtok").cast("double")), 6).as("x"),
+        round(log(col("__vocab").cast("double")), 6).as("y"))
+    Features.olsFit(pts, "corpus", "x", "y")
+  }
+
   // ---- fingerprinting --------------------------------------------------------
 
   // shared with the native winnowing kernel (expressions/TextEval) — one

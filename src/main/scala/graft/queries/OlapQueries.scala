@@ -314,6 +314,31 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P178 — capture-recapture corpus-size estimate from two 30%
+    // independent hash samples of customers; the true count audits it
+    "o39_capture" -> ((s, dir) => {
+      graft.operators.Sketches.captureRecapture(
+        table(s, dir, "customer"), "c_custkey", samplePct = 30)
+    }),
+
+    // P180 — anomalous-days pipeline: o32's residuals screened by o10's
+    // MAD modified-z at 2.5 — two verified stages composed lazily
+    "pipe6_anomaly" -> ((s, dir) => {
+      val daily = graft.Graft.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("v"))
+      val resid = graft.operators.TimeSeries.seasonalDecompose(daily,
+          "event_type", "day", "v")
+        .where(col("resid").isNotNull)
+        .select("event_type", "day", "resid")
+      graft.operators.Features.madOutliers(resid, "event_type", "resid",
+          cutoff = 2.5)
+        .select("event_type", "day", "resid", "med", "mad", "mz", "outlier")
+        .orderBy("event_type", "day")
+    }),
+
     // P173 — Theil-Sen robust slope of the daily mean value per event
     // type: the outlier-proof companion to o29's direction test
     "o38_theilsen" -> ((s, dir) => {
@@ -1385,6 +1410,90 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // both MD5 sample draws replayed ('capA:'/'capB:'), exact counts,
+    // LP and Chapman closing sequences
+    "o39_capture" ->
+      """WITH ids AS (
+        |  SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_custkey IS NOT NULL),
+        |h AS (
+        |  SELECT c_custkey,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |        FOR c IN string_split(substr(md5('capA:' ||
+        |          CAST(c_custkey AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 100 AS ba,
+        |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+        |        FOR c IN string_split(substr(md5('capB:' ||
+        |          CAST(c_custkey AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 100 AS bb
+        |  FROM ids),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN ba < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN bb < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN ba < 30 AND bb < 30 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM h)
+        |SELECT n1, n2, m,
+        |  CASE WHEN m > 0 THEN round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / CAST(m AS DOUBLE), 2) END AS est_lp,
+        |  round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+        |    / CAST(m + 1 AS DOUBLE) - 1.0e0, 2) AS est_chapman,
+        |  n_true
+        |FROM m""".stripMargin,
+
+    // the o32 residual chain closed by the o10 med/MAD replay at 2.5
+    "pipe6_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, v,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      / 7.0e0, 6) AS tr
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, day, v,
+        |    CASE WHEN wn = 7 THEN tr END AS trend,
+        |    CAST(datediff('day', DATE '1970-01-05', day) % 7 AS INT) AS dow
+        |  FROM t),
+        |dt AS (SELECT *, CASE WHEN trend IS NOT NULL
+        |         THEN round(v - trend, 6) END AS detr FROM t2),
+        |se AS (
+        |  SELECT event_type, dow,
+        |    round(CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS seasonal
+        |  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2),
+        |res AS (
+        |  SELECT d.event_type, d.day,
+        |    round(d.v - d.trend - se.seasonal, 6) AS resid
+        |  FROM dt d JOIN se
+        |    ON se.event_type = d.event_type AND se.dow = d.dow
+        |  WHERE d.trend IS NOT NULL AND se.seasonal IS NOT NULL),
+        |med AS (SELECT event_type, round(quantile_cont(resid, 0.5), 6) AS med
+        |        FROM res GROUP BY 1),
+        |dev AS (
+        |  SELECT r.event_type, r.day, r.resid, m.med,
+        |    abs(r.resid - m.med) AS dv
+        |  FROM res r JOIN med m ON m.event_type = r.event_type),
+        |mad AS (SELECT event_type, round(quantile_cont(dv, 0.5), 6) AS mad
+        |        FROM dev GROUP BY 1),
+        |z AS (
+        |  SELECT d.event_type, d.day, d.resid, d.med, mad.mad,
+        |    CASE WHEN mad.mad > 0
+        |         THEN round(0.6745e0 * (d.resid - d.med) / mad.mad, 6)
+        |         ELSE 0.0e0 END AS mz
+        |  FROM dev d JOIN mad ON mad.event_type = d.event_type)
+        |SELECT event_type, day, resid, med, mad, mz,
+        |  abs(mz) > 2.5e0 AS outlier
+        |FROM z ORDER BY event_type, day""".stripMargin,
 
     // pairwise 9-rounded slopes, R-7 median per key
     "o38_theilsen" ->

@@ -275,6 +275,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P177 — reciprocal-rank fusion of the BM25 (iv2) and QLD (iv4)
+    // top-10 rankings: the score-free retriever ensemble
+    "pipe5_rrf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bm = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 10)
+      val ql = TextAnalysis.qldTopK(docs, "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 10)
+      graft.operators.Similarity.rrfFusion(Seq(bm, ql), "id", "rank",
+          k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    }),
+
+    // P179 — Heaps'-law exponent over 50-doc corpus checkpoints: the
+    // vocabulary-growth capacity curve beside t19's Zipf fit
+    "t25_heaps" -> ((s, dir) => {
+      TextAnalysis.heapsFit(table(s, dir, "documents"),
+        "doc_id", "text", checkpointEvery = 50)
+    }),
+
     // P170 — langId confusion matrix against the trusted lang label,
     // with overall accuracy riding on every cell
     "t24_langid_eval" -> ((s, dir) => {
@@ -1152,6 +1173,129 @@ object TextQueries {
         |             AS DOUBLE)), 4)
         |  END AS flesch
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both retriever oracles verbatim (iv2's BM25 chain, iv4's QLD
+    // chain) over ONE shared toks CTE, then the 9-rounded 1/(60+rank)
+    // terms DECIMAL-summed and re-ranked
+    "pipe5_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(len(l)) AS BIGINT) AS sdl FROM toks),
+        |t AS (SELECT doc_id, len(l) AS dl, unnest(l) AS w FROM toks),
+        |tf1 AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+        |        WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+        |df1 AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
+        |sc1 AS (
+        |  SELECT tf1.doc_id,
+        |    round(ln(1.0e0 + (st.n - df1.df + 0.5e0) / (df1.df + 0.5e0)) *
+        |      (tf1.tf * (1.2e0 + 1.0e0)) /
+        |      (tf1.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * tf1.dl /
+        |        (CAST(st.sdl AS DOUBLE) / st.n))), 9) AS s
+        |  FROM tf1 JOIN df1 USING (w) CROSS JOIN st),
+        |agg1 AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+        |  FROM sc1 GROUP BY 1),
+        |r1 AS (SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |           AS rank
+        |       FROM agg1 ORDER BY score DESC, doc_id LIMIT 10),
+        |dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM toks),
+        |ct AS (SELECT CAST(sum(len(l)) AS BIGINT) AS ct FROM toks),
+        |occ AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM t
+        |        WHERE w IN ('hash', 'join', 'vector') GROUP BY 1),
+        |tf2 AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t
+        |        WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |sc2 AS (
+        |  SELECT dl.doc_id,
+        |    round(ln((CAST(coalesce(tf2.tf, 0) AS DOUBLE) +
+        |              2000.0e0 * (CAST(occ.cf AS DOUBLE) /
+        |                CAST(ct.ct AS DOUBLE))) /
+        |             (CAST(dl.dl AS DOUBLE) + 2000.0e0)), 9) AS s
+        |  FROM dl CROSS JOIN occ CROSS JOIN ct
+        |  LEFT JOIN tf2 ON tf2.doc_id = dl.doc_id AND tf2.w = occ.w),
+        |agg2 AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+        |  FROM sc2 GROUP BY 1),
+        |r2 AS (SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |           AS rank
+        |       FROM agg2 ORDER BY score DESC, doc_id LIMIT 10),
+        |u AS (SELECT doc_id, rank FROM r1
+        |      UNION ALL SELECT doc_id, rank FROM r2),
+        |f AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        |    round(CAST(SUM(CAST(round(1.0e0 / CAST(60 + rank AS DOUBLE), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE), 6) AS rrf
+        |  FROM u GROUP BY 1),
+        |top AS (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 10)
+        |SELECT doc_id, n_lists, rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // row-numbered checkpoints, first-occurrence vocabulary counts,
+    // 6-pre-rounded log-log points into the o11 moment chain
+    "t25_heaps" ->
+      """WITH perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+        |    CAST(SUM(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumtok
+        |  FROM perdoc),
+        |cps AS (SELECT doc_id AS cpid, cumtok FROM cum
+        |        WHERE rn % 50 = 0 AND cumtok > 0),
+        |fo AS (
+        |  SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |    FROM documents) GROUP BY 1),
+        |pts AS (
+        |  SELECT cps.cpid, cps.cumtok,
+        |    CAST(SUM(CASE WHEN fo.fd <= cps.cpid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS vocab
+        |  FROM fo CROSS JOIN cps GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT 'corpus' AS corpus,
+        |    CAST(round(ln(CAST(cumtok AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM pts WHERE vocab > 0),
+        |s AS (
+        |  SELECT corpus, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS syy
+        |  FROM xy GROUP BY 1),
+        |f AS (
+        |  SELECT corpus, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+        |    sx, sy
+        |  FROM s)
+        |SELECT corpus, n,
+        |  CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+        |  CASE WHEN den > 0
+        |       THEN round((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6)
+        |  END AS intercept,
+        |  CASE WHEN den > 0 AND deny > 0
+        |       THEN round(num * num / (den * deny), 6) END AS r2
+        |FROM f""".stripMargin,
 
     // the t2 scored construction with the actual label carried through;
     // exact cell counts, one closing division

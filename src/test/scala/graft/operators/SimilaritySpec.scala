@@ -353,4 +353,24 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.kCenterCoreset(pool, "id", "v", 0))
   }
+
+  test("rrfFusion: agreement wins; singly-listed ids rank by 1/(c+r)") {
+    import spark.implicits._
+    val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val r2 = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
+    val got = Similarity.rrfFusion(Seq(r1, r2), "id", "rank", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    def t(r: Int) = BigDecimal(1.0 / (60.0 + r))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def s(rs: Int*) = BigDecimal(rs.map(t).sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20: ranks 2+1; 10: ranks 1+3; 40: rank 2; 30: rank 3
+    assert(got(20L) == ((2L, s(2, 1), 1)))
+    assert(got(10L) == ((2L, s(1, 3), 2)))
+    assert(got(40L) == ((1L, s(2), 3)))
+    assert(got(30L) == ((1L, s(3), 4)))
+    intercept[IllegalArgumentException](
+      Similarity.rrfFusion(Seq(r1), "id", "rank", 4))
+  }
 }

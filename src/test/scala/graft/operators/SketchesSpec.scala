@@ -259,4 +259,23 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.hdrQuantiles(vs, "v", Seq(1.5)))
   }
+
+  test("captureRecapture: the estimate tracks the true population") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    val r = Sketches.captureRecapture(ids, "id", samplePct = 30).head
+    val (n1, n2, m, nTrue) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(5))
+    assert(nTrue == 2000L && m > 0)
+    // hand-check both closed forms against the returned counts
+    assert(r.getDouble(3) == BigDecimal(n1.toDouble * n2.toDouble / m.toDouble)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // Chapman lands within 25% of truth on a 30% sample of 2000
+    assert(math.abs(r.getDouble(4) - 2000.0) < 500.0)
+    // duplicate ids collapse before sampling
+    val dup = (Seq(7L, 7L, 8L)).toDF("id")
+    assert(Sketches.captureRecapture(dup, "id").head.getLong(5) == 2L)
+    intercept[IllegalArgumentException](
+      Sketches.captureRecapture(ids, "id", 0))
+  }
 }

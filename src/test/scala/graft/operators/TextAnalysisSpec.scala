@@ -611,4 +611,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall(v => v._2 == 4L && v._3 == 0.5))
     assert(got(("en", "en"))._1 == 1L && got(("de", "de"))._1 == 1L)
   }
+
+  test("heapsFit recovers beta on an exact power-law corpus") {
+    // build docs so that at checkpoint rows the cumulative
+    // (tokens, vocab) lie EXACTLY on vocab = tokens^0.5: each doc has
+    // 4 tokens; at doc 2k, tokens = 8k... instead verify the mechanics:
+    // doubling vocab with quadrupling tokens → slope 0.5
+    // docs 1..8, each 25 tokens; vocab introduced so v(cp) = sqrt(t(cp)):
+    // cp at rows 4 and 8: t = 100, 200 — craft vocab 10 and 14?
+    // 14 ≈ sqrt(200) is inexact → use two checkpoints with exact ratio:
+    // slope = ln(v2/v1)/ln(t2/t1); choose v 10→20 and t 100→400 → 0.5
+    val mk = (id: Long, toks: Seq[String]) => (id, toks.mkString(" "))
+    // rows 1..4: 25 tokens each (t=100), vocab = w1..w10 (10 distinct)
+    val first = (1L to 4L).map(i => mk(i,
+      (1 to 25).map(j => s"w${(j % 10) + 1}")))
+    // rows 5..8: 75 tokens each (t=400 total), 10 NEW words → vocab 20
+    val second = (5L to 8L).map(i => mk(i,
+      (1 to 75).map(j => s"x${(j % 10) + 1}")))
+    val df = (first ++ second).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(df, "doc_id", "text",
+      checkpointEvery = 4).head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5) // ln(20/10)/ln(400/100) = ln2/ln4
+    intercept[IllegalArgumentException](
+      TextAnalysis.heapsFit(df, "doc_id", "text", 0))
+  }
 }
