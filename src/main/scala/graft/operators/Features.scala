@@ -824,20 +824,6 @@ object Features {
   }
 
   /**
-   * P148 — difference-in-differences: with a treatment flag and a
-   * pre/post flag, DiD = (ȳ_treat,post − ȳ_treat,pre) −
-   * (ȳ_ctrl,post − ȳ_ctrl,pre) — the workhorse causal estimate when
-   * randomization wasn't available (feature rollouts by cohort, infra
-   * migrations by cluster), differencing out both the group's fixed
-   * offset and the shared time trend. One row: the four cell means
-   * (`m_tpre`…, rounded at 6), cell counts, and `did` (rounded at 6);
-   * any empty cell → null did (the estimate does not exist).
-   *
-   * Shapes: ONE fused conditional aggregate (the o23 Welch idiom) —
-   * eight DECIMAL/count cells in a single map-side-combinable pass; the
-   * estimate is a fixed double sequence on identical operands.
-   */
-  /**
    * P154 — Weight-of-Evidence encoding + Information Value: per category
    * c, woe_c = ln(((n1_c + 0.5)/N1) / ((n0_c + 0.5)/N0)) (the 0.5
    * Laplace guard keeps empty cells finite) and iv_term =
@@ -909,6 +895,20 @@ object Features {
       .select("n", "total", "gini")
   }
 
+  /**
+   * P148 — difference-in-differences: with a treatment flag and a
+   * pre/post flag, DiD = (ȳ_treat,post − ȳ_treat,pre) −
+   * (ȳ_ctrl,post − ȳ_ctrl,pre) — the workhorse causal estimate when
+   * randomization wasn't available (feature rollouts by cohort, infra
+   * migrations by cluster), differencing out both the group's fixed
+   * offset and the shared time trend. One row: the four cell means
+   * (`m_tpre`…, rounded at 6), cell counts, and `did` (rounded at 6);
+   * any empty cell → null did (the estimate does not exist).
+   *
+   * Shapes: ONE fused conditional aggregate (the o23 Welch idiom) —
+   * eight DECIMAL/count cells in a single map-side-combinable pass; the
+   * estimate is a fixed double sequence on identical operands.
+   */
   def didEstimate(df: DataFrame, treatCol: String, postCol: String,
       valueCol: String): DataFrame = {
     val dec = col(valueCol).cast("decimal(18,6)")

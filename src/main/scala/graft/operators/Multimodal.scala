@@ -394,21 +394,6 @@ object Multimodal {
   }
 
   /**
-   * P136 — aspect-ratio bucketing (the SDXL batching prerequisite):
-   * assign each image to the ladder rung minimizing |ln(w/h) − ln(r)|
-   * so a training batch can share one padded resolution without extreme
-   * crops. Emits bucket id, bucket ratio, target (tw, th) and the log
-   * distance; ties on the 9-rounded distance break to the smaller
-   * bucket id (deterministic).
-   *
-   * Shape: the k-rung ladder is a broadcast cross join (the adjudicated
-   * 1-row/k-row BNL class) into a pure projection + one per-id
-   * row_number window — at 100 TB the window partitions by image id, so
-   * no global order is ever needed. Cross-engine: ln runs on the data
-   * once per row and rounds at 9 (the P124 discipline); the rung
-   * constants are driver literals, never engine libm.
-   */
-  /**
    * P158 — letterbox resize geometry: for each image and its target
    * frame (tw, th), the aspect-preserving scale = min(tw/w, th/h),
    * the resized extent (rw, rh) = floor(dim·scale + 0.5) clamped into
@@ -435,6 +420,21 @@ object Multimodal {
       .withColumn("pad_y", expr(s"(`$targetHCol` - rh) div 2"))
   }
 
+  /**
+   * P136 — aspect-ratio bucketing (the SDXL batching prerequisite):
+   * assign each image to the ladder rung minimizing |ln(w/h) − ln(r)|
+   * so a training batch can share one padded resolution without extreme
+   * crops. Emits bucket id, bucket ratio, target (tw, th) and the log
+   * distance; ties on the 9-rounded distance break to the smaller
+   * bucket id (deterministic).
+   *
+   * Shape: the k-rung ladder is a broadcast cross join (the adjudicated
+   * 1-row/k-row BNL class) into a pure projection + one per-id
+   * row_number window — at 100 TB the window partitions by image id, so
+   * no global order is ever needed. Cross-engine: ln runs on the data
+   * once per row and rounds at 9 (the P124 discipline); the rung
+   * constants are driver literals, never engine libm.
+   */
   def aspectBuckets(df: DataFrame, idCol: String, widthCol: String,
       heightCol: String, ladder: Seq[AspectRung]): DataFrame = {
     require(ladder.nonEmpty, "aspectBuckets: ladder must be non-empty")

@@ -224,21 +224,6 @@ object Profiling {
   }
 
   /**
-   * P149 — referential-integrity audit (the dbt `relationships` test as
-   * an engine operator): for each named (child.fk → parent.pk) relation,
-   * one row of `n_child` / `n_nonnull` / `n_orphans` / `orphan_rate` —
-   * run BEFORE a pipeline consumes a join, because a silently dangling
-   * FK turns an inner join into a row-dropper and a left join into a
-   * null-sprayer. Null FKs are counted separately, not as orphans (the
-   * SQL convention: null never references).
-   *
-   * Shapes per relation: one child-side fused count agg + one left-anti
-   * join against the DISTINCT parent key (shuffle_hash — parent key
-   * sets scale with the dimension, broadcast only if the caller already
-   * knows it's small) reduced to a count, cross-joined scalar rows.
-   * Relations union into one report frame.
-   */
-  /**
    * P172 — freshness/staleness audit: per key (source, table, topic…),
    * row count, latest timestamp, and staleness = global-latest −
    * key-latest in whole seconds — the "is source X stuck?" monitor
@@ -289,6 +274,21 @@ object Profiling {
         col("n_null") === 0L && col("dup_violations") === 0L)
   }
 
+  /**
+   * P149 — referential-integrity audit (the dbt `relationships` test as
+   * an engine operator): for each named (child.fk → parent.pk) relation,
+   * one row of `n_child` / `n_nonnull` / `n_orphans` / `orphan_rate` —
+   * run BEFORE a pipeline consumes a join, because a silently dangling
+   * FK turns an inner join into a row-dropper and a left join into a
+   * null-sprayer. Null FKs are counted separately, not as orphans (the
+   * SQL convention: null never references).
+   *
+   * Shapes per relation: one child-side fused count agg + one left-anti
+   * join against the DISTINCT parent key (shuffle_hash — parent key
+   * sets scale with the dimension, broadcast only if the caller already
+   * knows it's small) reduced to a count, cross-joined scalar rows.
+   * Relations union into one report frame.
+   */
   def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(relations.nonEmpty, "fkAudit: at least one relation")

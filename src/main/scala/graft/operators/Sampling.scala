@@ -549,20 +549,6 @@ object Sampling {
   }
 
   /**
-   * P145 — class-balanced downsampling: every class keeps exactly
-   * min-class-count rows, chosen in portable hash order — the
-   * imbalance fix for classifier training data (a 99:1 class mix
-   * otherwise teaches the prior, not the signal). Same key (+salt) →
-   * same verdict forever, and the kept set is engine-replayable: rank
-   * within class by (MD5 hash, id) and keep rank ≤ min count. Null
-   * classes drop (no stratum to balance against).
-   *
-   * Shapes: one tiny per-class count agg reduced to a broadcast scalar
-   * (the P125 idiom), one per-class window (partitioned — scales with
-   * executors, never a global order), one filter. Appends
-   * `sample_rank` (1-based within class).
-   */
-  /**
    * P151 — Neyman optimal stratified-sample allocation: given a total
    * `budget`, allocate n_h ∝ N_h·σ_h (stratum size × population sd) —
    * the variance-minimizing split of a fixed labeling/eval budget
@@ -670,6 +656,20 @@ object Sampling {
           .otherwise(lit("embargo")))
   }
 
+  /**
+   * P145 — class-balanced downsampling: every class keeps exactly
+   * min-class-count rows, chosen in portable hash order — the
+   * imbalance fix for classifier training data (a 99:1 class mix
+   * otherwise teaches the prior, not the signal). Same key (+salt) →
+   * same verdict forever, and the kept set is engine-replayable: rank
+   * within class by (MD5 hash, id) and keep rank ≤ min count. Null
+   * classes drop (no stratum to balance against).
+   *
+   * Shapes: one tiny per-class count agg reduced to a broadcast scalar
+   * (the P125 idiom), one per-class window (partitioned — scales with
+   * executors, never a global order), one filter. Appends
+   * `sample_rank` (1-based within class).
+   */
   def balancedDownsample(df: DataFrame, classCol: String, idCol: String,
       salt: String = "bal:"): DataFrame = {
     val d = df.where(col(classCol).isNotNull)

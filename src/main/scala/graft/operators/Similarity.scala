@@ -538,11 +538,14 @@ object Similarity {
    * Scale shape: the POOL is the scale valve — at 100 TB the pool comes
    * from a hash sample or per-partition pre-selection (both engine
    * operators here), and the greedy stage is a sanctioned pool-sized
-   * driver walk exactly like [[mmrRerank]]'s (quadratic in |pool|,
-   * never in the corpus — hard-capped). Determinism: normalization and
-   * ascending-index dots match the VecEval folds, pairwise cosines
-   * round at 6 (computed ONCE, the walk only looks them up), distance
-   * ties break on the smaller id.
+   * driver walk like [[mmrRerank]]'s, but O(k·n·dims) time and O(n)
+   * state via the classic min-distance array (each new center updates
+   * every candidate's distance-to-nearest-center once) — NEVER an
+   * n×n matrix, which at the cap would be gigabytes of driver heap.
+   * Determinism: normalization and ascending-index dots match the
+   * VecEval folds, each cosine rounds at 6 before the min/max logic,
+   * distance ties break on the smaller id (ascending scan keeps the
+   * first maximum).
    */
   def kCenterCoreset(pool: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -568,28 +571,38 @@ object Similarity {
       s
     }
     val n = cs.length
-    val sim = Array.tabulate(n, n) { (i, j) =>
-      if (i == j) 1.0 else round6(dot(cs(i)._2, cs(j)._2))
+    // minDist(j) = 1 − max over selected centers of round6(cos(j, center));
+    // NaN marks selected rows (never re-picked). Identical values to the
+    // pairwise-matrix formulation, O(n) state instead of O(n²).
+    val minDist = new Array[Double](n)
+    def absorb(centerIdx: Int): Unit = {
+      var j = 0
+      while (j < n) {
+        if (!minDist(j).isNaN && j != centerIdx) {
+          val d = 1.0 - round6(dot(cs(j)._2, cs(centerIdx)._2))
+          if (d < minDist(j)) minDist(j) = d
+        }
+        j += 1
+      }
+      minDist(centerIdx) = Double.NaN
     }
-    val selected = scala.collection.mutable.ArrayBuffer(0) // smallest id seeds
+    java.util.Arrays.fill(minDist, Double.PositiveInfinity)
     val out = scala.collection.mutable.ArrayBuffer(
       (1, cs(0)._1, Option.empty[Double]))
-    while (selected.size < k && selected.size < n) {
-      // max over candidates of (min over selected of 1 − sim) = max of
-      // (1 − max sim); ties → smaller id (cs is id-sorted, so keep first)
+    absorb(0) // smallest id seeds the traversal
+    var picked = 1
+    while (picked < k && picked < n) {
       var bestI = -1; var bestD = Double.NegativeInfinity
       var ci = 0
       while (ci < n) {
-        if (!selected.contains(ci)) {
-          var maxSim = Double.NegativeInfinity
-          selected.foreach { s => if (sim(ci)(s) > maxSim) maxSim = sim(ci)(s) }
-          val d = 1.0 - maxSim
-          if (d > bestD) { bestD = d; bestI = ci }
+        if (!minDist(ci).isNaN && minDist(ci) > bestD) {
+          bestD = minDist(ci); bestI = ci
         }
         ci += 1
       }
-      selected += bestI
-      out += ((selected.size, cs(bestI)._1, Some(bestD)))
+      picked += 1
+      out += ((picked, cs(bestI)._1, Some(bestD)))
+      absorb(bestI)
     }
     import spark.implicits._
     out.toSeq.toDF("rank", "vec_id", "d")

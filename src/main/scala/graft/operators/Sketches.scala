@@ -304,23 +304,6 @@ object Sketches {
       .where(col("cnt") * lit(k.toLong) > col("n_total"))
   }
 
-  /**
-   * P138 — AMS (Alon–Matias–Szegedy) F₂ sketch: `estimators` independent
-   * ±1-sign counters, each Σᵢ signᵣ(i)·fᵢ; counter² is an unbiased
-   * estimate of the second frequency moment Σᵢ fᵢ² — the self-join size,
-   * THE statistic a join planner wants before picking a strategy on a
-   * skewed key (F₂ ≫ n ⇒ the equi-join explodes). Emits per-estimator
-   * (counter, est) beside the exact F₂ and the ratio, so the query IS
-   * the estimator-quality audit.
-   *
-   * Shapes: one keyed count per item, one bounded explode (R rows per
-   * DISTINCT item, not per row), one keyed agg — all exact BIGINT
-   * arithmetic (counter ≤ n < 2³¹ keeps counter² < 2⁶², the ANSI bound).
-   * Signs replay from the portable MD5 ([[Sampling.hashValue]] of
-   * "r:item" with the "ams" salt) — any engine reproduces the sketch
-   * bit-for-bit, which is the point: sketches are only mergeable across
-   * systems when the hash is a contract, not an implementation detail.
-   */
   /** The [[hdrQuantiles]] bucket ladder: (threshold, width) pairs — a
     * value ≥ threshold rounds down to a multiple of the paired width;
     * below 100 buckets are exact singletons. ONE definition feeds the
@@ -414,9 +397,9 @@ object Sketches {
     val m = a.join(b.hint("shuffle_hash"), Seq(idCol.toString), "left_semi")
       .agg(count(lit(1)).as("m"))
     val counts = ids.agg(count(lit(1)).as("n_true"))
-      .join(a.agg(count(lit(1)).as("n1")))
-      .join(b.agg(count(lit(1)).as("n2")))
-      .join(m)
+      .join(broadcast(a.agg(count(lit(1)).as("n1")))) // 1-row scalar sides
+      .join(broadcast(b.agg(count(lit(1)).as("n2"))))
+      .join(broadcast(m))
     counts
       .withColumn("est_lp",
         when(col("m") > 0, round(col("n1").cast("double") *
@@ -428,6 +411,23 @@ object Sketches {
       .select("n1", "n2", "m", "est_lp", "est_chapman", "n_true")
   }
 
+  /**
+   * P138 — AMS (Alon–Matias–Szegedy) F₂ sketch: `estimators` independent
+   * ±1-sign counters, each Σᵢ signᵣ(i)·fᵢ; counter² is an unbiased
+   * estimate of the second frequency moment Σᵢ fᵢ² — the self-join size,
+   * THE statistic a join planner wants before picking a strategy on a
+   * skewed key (F₂ ≫ n ⇒ the equi-join explodes). Emits per-estimator
+   * (counter, est) beside the exact F₂ and the ratio, so the query IS
+   * the estimator-quality audit.
+   *
+   * Shapes: one keyed count per item, one bounded explode (R rows per
+   * DISTINCT item, not per row), one keyed agg — all exact BIGINT
+   * arithmetic (counter ≤ n < 2³¹ keeps counter² < 2⁶², the ANSI bound).
+   * Signs replay from the portable MD5 ([[Sampling.hashValue]] of
+   * "r:item" with the "ams" salt) — any engine reproduces the sketch
+   * bit-for-bit, which is the point: sketches are only mergeable across
+   * systems when the hash is a contract, not an implementation detail.
+   */
   def amsF2(items: DataFrame, itemCol: String, estimators: Int): DataFrame = {
     require(estimators >= 1, s"amsF2: estimators must be >= 1, got $estimators")
     val counts = items.where(col(itemCol).isNotNull)

@@ -702,20 +702,6 @@ object TimeSeries {
   }
 
   /**
-   * P141 — day-of-week seasonal profile: per weekday, the mean of
-   * `valueCol` and its index against the whole-corpus mean (index > 1 ⇒ the
-   * day runs hot) — the multiplicative seasonal factor a forecast
-   * divides out, and the batch-scheduling signal ("Mondays are 1.4×,
-   * size the cluster for it"). Weekday is pure epoch-day arithmetic —
-   * days since Monday 1970-01-05 mod 7, so 0 = Monday — never the
-   * engine's locale-dependent dayofweek().
-   *
-   * Shapes: ONE map-side-combinable keyed agg (≤ 7 groups) plus the
-   * 1-row global moment broadcast back (the P125 scalar-row idiom).
-   * DECIMAL sums; means and the index are fixed double sequences on
-   * identical operands, rounded at 6.
-   */
-  /**
    * P150 — Mann–Kendall trend test per key: S = Σ_{i<j} sign(x_j − x_i)
    * over the ordered series, tie-corrected variance, and the normal
    * z-statistic — the NONPARAMETRIC monotone-trend detector (no
@@ -812,6 +798,20 @@ object TimeSeries {
       .drop("__wn", "__detr")
   }
 
+  /**
+   * P141 — day-of-week seasonal profile: per weekday, the mean of
+   * `valueCol` and its index against the whole-corpus mean (index > 1 ⇒ the
+   * day runs hot) — the multiplicative seasonal factor a forecast
+   * divides out, and the batch-scheduling signal ("Mondays are 1.4×,
+   * size the cluster for it"). Weekday is pure epoch-day arithmetic —
+   * days since Monday 1970-01-05 mod 7, so 0 = Monday — never the
+   * engine's locale-dependent dayofweek().
+   *
+   * Shapes: ONE map-side-combinable keyed agg (≤ 7 groups) plus the
+   * 1-row global moment broadcast back (the P125 scalar-row idiom).
+   * DECIMAL sums; means and the index are fixed double sequences on
+   * identical operands, rounded at 6.
+   */
   def seasonalProfile(df: DataFrame, tsCol: String,
       valueCol: String): DataFrame = {
     val dec = col(valueCol).cast("decimal(18,6)")

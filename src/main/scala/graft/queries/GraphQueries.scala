@@ -15,6 +15,21 @@ import graft.Graft.table
  */
 object GraphQueries {
 
+  /** The part co-purchase edge list every gr* query analyzes: parts
+    * linked when they share an order. ONE definition (with its oracles'
+    * shared `und` CTE shape) so the six graph queries cannot drift. The
+    * per-order self-join fans out quadratically in lines-per-order,
+    * which TPC-H (and real baskets) bound at single digits. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val a = li.toDF("ok", "src")
+    val b = li.toDF("ok", "dst")
+    a.join(b, Seq("ok"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P88 — PageRank over the part co-purchase graph: parts are linked
     // when they appear in the same order (symmetric edges, so outdeg ≥ 1
@@ -23,13 +38,7 @@ object GraphQueries {
     // which TPC-H (and real baskets) bound at single digits — linear in
     // practice.
     "gr1_pagerank" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.toDF("ok", "src")
-      val b = li.toDF("ok", "dst")
-      val edges = a.join(b, Seq("ok"))
-        .where(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.Graph.pageRank(edges, "src", "dst",
           dampingPct = 85, iters = 3)
         .orderBy("v")
@@ -40,13 +49,7 @@ object GraphQueries {
     // oracle counts the identical triangles by plain id-order three-way
     // join, proving the orientation is an identity
     "gr2_triangles" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.toDF("ok", "src")
-      val b = li.toDF("ok", "dst")
-      val edges = a.join(b, Seq("ok"))
-        .where(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.Graph.triangleCounts(edges, "src", "dst")
         .orderBy("node")
     }),
@@ -58,13 +61,7 @@ object GraphQueries {
     // the query was vacuously empty — retuned r9s4), 1/ln terms
     // 9-rounded and DECIMAL-summed
     "gr3_adamic" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.toDF("ok", "src")
-      val b = li.toDF("ok", "dst")
-      val edges = a.join(b, Seq("ok"))
-        .where(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.Graph.adamicAdar(edges, "src", "dst",
           maxDegree = 90, minCommon = 3L, k = 50)
         .orderBy(col("score").desc, col("u").asc, col("v").asc)
@@ -74,13 +71,7 @@ object GraphQueries {
     // co-purchase graph: set-overlap scoring beside gr3's rarity
     // weighting; score is one double division of exact BIGINTs
     "gr4_jaccard" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.toDF("ok", "src")
-      val b = li.toDF("ok", "dst")
-      val edges = a.join(b, Seq("ok"))
-        .where(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.Graph.neighborJaccard(edges, "src", "dst",
           maxDegree = 90, minCommon = 3L, k = 50)
         .orderBy(col("score").desc, col("u").asc, col("v").asc)
@@ -90,13 +81,7 @@ object GraphQueries {
     // cohesive-core screen; rounds strictly shrink the graph, the
     // bounded partial peel is deterministic (the d8 discipline)
     "gr5_kcore" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.toDF("ok", "src")
-      val b = li.toDF("ok", "dst")
-      val edges = a.join(b, Seq("ok"))
-        .where(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.Graph.kCorePeel(edges, "src", "dst", k = 75, iters = 3)
         .orderBy("node")
     }),
@@ -104,13 +89,7 @@ object GraphQueries {
     // P159 — degree assortativity of the co-purchase graph: one Pearson
     // r over directed endpoint-degree pairs
     "gr6_assortativity" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.toDF("ok", "src")
-      val b = li.toDF("ok", "dst")
-      val edges = a.join(b, Seq("ok"))
-        .where(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.Graph.degreeAssortativity(edges, "src", "dst")
     })
   )
@@ -158,8 +137,8 @@ object GraphQueries {
         |dir AS (SELECT u AS a, v AS b FROM und
         |        UNION ALL SELECT v, u FROM und),
         |p AS (
-        |  SELECT CAST(da.deg AS DECIMAL(18,0)) AS x,
-        |         CAST(db.deg AS DECIMAL(18,0)) AS y
+        |  SELECT CAST(da.deg AS DECIMAL(19,0)) AS x,
+        |         CAST(db.deg AS DECIMAL(19,0)) AS y
         |  FROM dir JOIN deg da ON da.node = dir.a
         |           JOIN deg db ON db.node = dir.b),
         |m AS (

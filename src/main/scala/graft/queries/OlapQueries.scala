@@ -13,6 +13,21 @@ import graft.Graft.table
  */
 object OlapQueries {
 
+  /** The per-(event_type, day) 6-rounded daily mean value frame shared by
+    * every daily-series query (o29/o32/o35/o36/o38/pipe6) — ONE definition
+    * beside the oracles' identical `daily` CTE so the six cannot drift.
+    * CAVEAT shared with those operators' contracts: this is NOT
+    * gap-filled — it relies on every (type, day) cell being populated,
+    * which EventsDailyDensitySpec pins against the live testdata (a corpus
+    * regen with a missing day must fail THERE, loudly, not silently turn
+    * centered windows into misaligned row windows). */
+  private[queries] def dailyMeans(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.events(s, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("v"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pivot order status × priority into wide counts
     "o1_pivot" -> ((s, dir) => {
@@ -324,11 +339,7 @@ object OlapQueries {
     // P180 — anomalous-days pipeline: o32's residuals screened by o10's
     // MAD modified-z at 2.5 — two verified stages composed lazily
     "pipe6_anomaly" -> ((s, dir) => {
-      val daily = graft.Graft.events(s, dir)
-        .where(col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("v"))
+      val daily = dailyMeans(s, dir)
       val resid = graft.operators.TimeSeries.seasonalDecompose(daily,
           "event_type", "day", "v")
         .where(col("resid").isNotNull)
@@ -342,11 +353,7 @@ object OlapQueries {
     // P173 — Theil-Sen robust slope of the daily mean value per event
     // type: the outlier-proof companion to o29's direction test
     "o38_theilsen" -> ((s, dir) => {
-      val daily = graft.Graft.events(s, dir)
-        .where(col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("v"))
+      val daily = dailyMeans(s, dir)
       graft.operators.TimeSeries.theilSenSlope(daily,
           "event_type", "day", "v")
         .orderBy("event_type")
@@ -387,11 +394,7 @@ object OlapQueries {
     // P165 — seasonal-naive backtest (forecast = last week, same day)
     // over the daily mean value per event type: MAE/MAPE/bias
     "o35_backtest" -> ((s, dir) => {
-      val daily = graft.Graft.events(s, dir)
-        .where(col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("v"))
+      val daily = dailyMeans(s, dir)
       graft.operators.TimeSeries.seasonalNaiveBacktest(daily,
           "event_type", "day", "v", lagDays = 7)
         .orderBy("event_type")
@@ -400,11 +403,7 @@ object OlapQueries {
     // P166 — runs test for randomness of the daily series around its
     // median, per event type
     "o36_runs" -> ((s, dir) => {
-      val daily = graft.Graft.events(s, dir)
-        .where(col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("v"))
+      val daily = dailyMeans(s, dir)
       graft.operators.Features.runsTest(daily, "event_type", "day", "v")
         .orderBy("event_type")
     }),
@@ -503,11 +502,7 @@ object OlapQueries {
     // P157 — additive seasonal decomposition of the daily mean value
     // per event type: 7-day centered trend, weekday seasonal, residual
     "o32_decompose" -> ((s, dir) => {
-      val daily = graft.Graft.events(s, dir)
-        .where(col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("v"))
+      val daily = dailyMeans(s, dir)
       graft.operators.TimeSeries.seasonalDecompose(daily,
           "event_type", "day", "v")
         .select("event_type", "day", "v", "dow", "trend", "seasonal",
@@ -519,11 +514,7 @@ object OlapQueries {
     // per event type (30-point resampled series — the quadratic pair
     // stage is a per-key constant)
     "o29_trend" -> ((s, dir) => {
-      val daily = graft.Graft.events(s, dir)
-        .where(col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("v"))
+      val daily = dailyMeans(s, dir)
       graft.operators.TimeSeries.mannKendall(daily, "event_type", "day", "v")
         .orderBy("event_type")
     }),
@@ -1872,7 +1863,8 @@ object OlapQueries {
         |a AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(x) AS DECIMAL(28,2)) AS sx,
-        |    CAST(SUM(x * CAST(i AS DECIMAL(18,0))) AS DECIMAL(38,2)) AS six
+        |    CAST(SUM(CAST(x AS DECIMAL(19,2)) * CAST(i AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,2)) AS six
         |  FROM r)
         |SELECT n, round(CAST(sx AS DOUBLE), 2) AS total,
         |  CASE WHEN sx > 0 THEN

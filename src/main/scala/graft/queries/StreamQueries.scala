@@ -16,24 +16,35 @@ import graft.streaming.EventStreams
  */
 object StreamQueries {
 
+  /** The st6/st7 delivery-delay model, ONE definition: each event arrives
+    * a hash-derived 0..2h later (ms resolution) than its event time, and
+    * the arrival key is (jittered_ms)·10⁶ + event_id — a TOTAL order only
+    * while event_id < 10⁶. Ids at/above that radix would bleed into the
+    * millisecond digits and make arrival ties possible (window order then
+    * differs between engines — a flaky gate), so the construction fails
+    * LOUDLY instead (the raise_error fires per offending row). The oracle
+    * replays the identical fold, salt 'lat:'. */
+  private def jitteredArrivals(e: DataFrame): DataFrame =
+    e.withColumn("arrival",
+      (expr("unix_micros(ts) div 1000") +
+        pmod(graft.operators.Sampling.hashValue(
+          when(col("event_id") >= 1000000L || col("event_id") < 0L,
+            raise_error(concat(lit("jitteredArrivals: event_id outside " +
+              "[0, 1e6) breaks the arrival total order: "),
+              col("event_id").cast("string"))).cast("long"))
+            .otherwise(col("event_id")), "lat:"),
+          lit(7200000L))) * lit(1000000L) + col("event_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P133 — watermark-tuning disorder audit over a simulated 16-shard
-    // ingest: shards (event_id % 16) are internally time-ordered and
-    // merged round-robin (arrival = local_seq·16 + shard), so lateness
-    // measures genuine cross-shard skew; is_late marks events a 1-hour
-    // watermark would DROP
+    // P133 — watermark-tuning disorder audit over a simulated delayed
+    // delivery stream; is_late marks events a 1-hour watermark would DROP
     "st6_lateness" -> ((s, dir) => {
-      // deterministic delivery-delay model: each event arrives its own
-      // hash-derived 0..2h later (ms resolution), so the arrival order
-      // genuinely interleaves — a rank-based shard merge of THIS corpus
-      // is already globally ts-sorted (ts is monotone in event_id) and
-      // produced zero late events at every SF (caught r9s4). event_id
-      // in the low digits makes the arrival key a total order.
-      val e = events(s, dir).select(col("event_id"), col("ts"))
-        .withColumn("arrival",
-          (expr("unix_micros(ts) div 1000") +
-            pmod(graft.operators.Sampling.hashValue(col("event_id"), "lat:"),
-              lit(7200000L))) * lit(1000000L) + col("event_id"))
+      // the shared delivery-delay model (see jitteredArrivals): a
+      // rank-based shard merge of THIS corpus is already globally
+      // ts-sorted (ts is monotone in event_id) and produced zero late
+      // events at every SF (caught r9s4) — genuine disorder needs the
+      // hash jitter
+      val e = jitteredArrivals(events(s, dir).select(col("event_id"), col("ts")))
       graft.operators.TimeSeries.disorderAudit(e, "ts", "arrival",
           watermarkMicros = 3600000000L)
         .orderBy("arrival")
@@ -42,11 +53,7 @@ object StreamQueries {
     // P164 — watermark sweep over the st6 delivery-jitter stream: for
     // each candidate delay, the events withWatermark(D) would drop
     "st7_wsweep" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"), col("ts"))
-        .withColumn("arrival",
-          (expr("unix_micros(ts) div 1000") +
-            pmod(graft.operators.Sampling.hashValue(col("event_id"), "lat:"),
-              lit(7200000L))) * lit(1000000L) + col("event_id"))
+      val e = jitteredArrivals(events(s, dir).select(col("event_id"), col("ts")))
       graft.operators.TimeSeries.watermarkSweep(e, "ts", "arrival",
           Seq(0L, 600000000L, 1800000000L, 3600000000L, 7200000000L))
         .orderBy("delay_us")
