@@ -631,6 +631,46 @@ object Features {
       .drop("__h")
   }
 
+  /**
+   * P181 — two-proportion z-test: z = (p₁−p₀) / √(p̂(1−p̂)(1/n₁+1/n₀))
+   * with the pooled p̂ — THE conversion-rate comparison, closing the
+   * experimentation suite (P171 SRM guards assignment, P174 sizes the
+   * test, P148/P125 handle continuous metrics, this one handles the
+   * binary ones). One row: (n_treat, n_ctrl, x_treat, x_ctrl, p_treat,
+   * p_ctrl, z, significant) — the call reads the ROUNDED z at ±1.96;
+   * empty arms or a degenerate pooled rate (p̂ ∈ {0,1}) → null z.
+   *
+   * One fused 4-cell conditional count agg; the statistic is a fixed
+   * double sequence over exact counts, rounded at 6.
+   */
+  def twoProportionTest(df: DataFrame, treatCol: String,
+      successCol: String): DataFrame = {
+    val t = col(treatCol)
+    val sOk = col(successCol)
+    val m = df.where(t.isNotNull && sOk.isNotNull)
+      .agg(sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(t && sOk, 1L).otherwise(0L)).as("x_treat"),
+        sum(when(!t && sOk, 1L).otherwise(0L)).as("x_ctrl"))
+    val n1 = col("n_treat").cast("double")
+    val n0 = col("n_ctrl").cast("double")
+    val p1 = col("x_treat").cast("double") / n1
+    val p0 = col("x_ctrl").cast("double") / n0
+    val pooled = (col("x_treat") + col("x_ctrl")).cast("double") /
+      (col("n_treat") + col("n_ctrl")).cast("double")
+    val se = sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / n1 + lit(1.0) / n0))
+    m.withColumn("p_treat",
+        when(col("n_treat") > 0, round(p1, 6)))
+      .withColumn("p_ctrl",
+        when(col("n_ctrl") > 0, round(p0, 6)))
+      .withColumn("z",
+        when(col("n_treat") > 0 && col("n_ctrl") > 0 &&
+          pooled > 0 && pooled < 1, round((p1 - p0) / se, 6)))
+      .withColumn("significant",
+        when(col("z").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z")) > 1.96))
+  }
+
   /** The z_{α/2} + z_β constant for [[mdeEstimate]] at α = 0.05 /
     * power = 0.80, as a shortest-round-trip literal computed ONCE here
     * (1.959964 + 0.841621) — the o12 driver-constant rule: neither

@@ -365,6 +365,37 @@ object Multimodal {
           _.cast("string")), ",")).as("manifest_md5"))
   }
 
+  /**
+   * P184 — reproducible epoch shard ordering: for every training epoch,
+   * the shard visit order = rank of the portable hash of "epoch:shard"
+   * — a different but fully DETERMINISTIC shuffle per epoch, so a
+   * crashed run resumes mid-epoch on the exact order the original saw
+   * (RNG-shuffled loaders can't replay without checkpointing their
+   * state; a hash order IS its own checkpoint). Emits (epoch, shard_id,
+   * position). Pairs with [[shardManifest]]: manifest says what's in a
+   * shard, this says when each epoch reads it.
+   *
+   * Shapes: tiny cross join (epochs × shards — metadata-sized) + one
+   * per-epoch rank window. Pure MD5 arithmetic, id tie-break.
+   */
+  def epochShardOrder(shards: DataFrame, shardCol: String,
+      epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochShardOrder: epochs must be >= 1, got $epochs")
+    val spark = shards.sparkSession
+    val e = spark.createDataFrame((0 until epochs).map(Tuple1(_)))
+      .toDF("epoch")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"))
+      .orderBy(Sampling.hashValue(
+        concat(col("epoch").cast("string"), lit(":"),
+          col(shardCol).cast("string")), "epo:").asc,
+        col(shardCol).asc)
+    shards.select(col(shardCol)).distinct()
+      .crossJoin(broadcast(e))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("epoch"), col(shardCol), col("position"))
+  }
+
   /** One rung of the [[aspectBuckets]] ladder: the driver-computed,
     * engine-portable constants for a target aspect ratio — `lnLit` is
     * the 9-rounded natural log as a shortest-round-trip literal string

@@ -224,6 +224,40 @@ object Profiling {
   }
 
   /**
+   * P183 — dbt `accepted_values` as an engine operator: rows whose
+   * column value falls outside the allowlist, with up to `sampleK`
+   * distinct offending values (smallest first — deterministic) joined
+   * into one report row: (n_rows, n_null, n_violations, violation_rate,
+   * sample_values). Nulls are counted separately, never as violations
+   * (the P149 convention — use the not_null test for those).
+   *
+   * One fused conditional agg + one tiny distinct-offender aggregate
+   * (sort_array before the join keeps the sample order
+   * plan-independent). Exact counts, one closing division.
+   */
+  def acceptedValues(df: DataFrame, colName: String, allowed: Seq[String],
+      sampleK: Int = 5): DataFrame = {
+    require(allowed.nonEmpty, "acceptedValues: allowlist must be non-empty")
+    require(sampleK >= 1, s"acceptedValues: sampleK must be >= 1, got $sampleK")
+    val v = col(colName).cast("string")
+    val allowedArr = array(allowed.map(lit): _*)
+    val bad = v.isNotNull && !array_contains(allowedArr, v)
+    val stats = df.agg(count(lit(1)).as("n_rows"),
+      sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+    val sample = df.where(bad).select(v.as("__bad")).distinct()
+      .orderBy(col("__bad").asc).limit(sampleK)
+      .agg(array_join(sort_array(collect_list(col("__bad"))), ",")
+        .as("sample_values"))
+    stats.join(broadcast(sample)) // 1-row scalar side
+      .withColumn("violation_rate",
+        round(col("n_violations").cast("double") /
+          greatest(col("n_rows") - col("n_null"), lit(1L)).cast("double"), 6))
+      .select("n_rows", "n_null", "n_violations", "violation_rate",
+        "sample_values")
+  }
+
+  /**
    * P172 — freshness/staleness audit: per key (source, table, topic…),
    * row count, latest timestamp, and staleness = global-latest −
    * key-latest in whole seconds — the "is source X stuck?" monitor

@@ -607,6 +607,53 @@ object Sampling {
   }
 
   /**
+   * P182 — importance reweighting to a target class mix: per class,
+   * weight = target_share / current_share (rows of an over-represented
+   * class count for less) plus the effective sample size
+   * ESS = (Σ n_c·w_c)² / Σ n_c·w_c² repeated on every row — the honesty
+   * metric (ESS ≪ n means the reweighted corpus behaves like far fewer
+   * examples, and MORE data of the starved class beats bigger weights).
+   * The domain-mix tool pretraining runs instead of physically
+   * resampling. Classes absent from `targets` carry null weight
+   * (documented: decide drop-vs-keep explicitly downstream).
+   *
+   * Shapes: one keyed count, a broadcast target literal frame + 1-row
+   * total, windows over the class-sized frame. Weights round at 9 and
+   * the ESS terms are fixed double products DECIMAL-summed.
+   */
+  def importanceReweight(df: DataFrame, classCol: String,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "importanceReweight: targets must be non-empty")
+    require(targets.forall(_._2 > 0),
+      "importanceReweight: target shares must be positive")
+    val spark = df.sparkSession
+    val t = spark.createDataFrame(targets).toDF(classCol, "target_share")
+    val counts = df.where(col(classCol).isNotNull)
+      .groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val shared = counts
+      .join(broadcast(t), Seq(classCol), "left")
+      .withColumn("__ntot", sum(col("n")).over(all))
+      .withColumn("current_share",
+        round(col("n").cast("double") / col("__ntot").cast("double"), 9))
+      .withColumn("weight",
+        round(col("target_share") / col("current_share"), 9))
+    shared
+      .withColumn("__sw",
+        (col("n").cast("double") * col("weight")).cast("decimal(28,9)"))
+      .withColumn("__sw2",
+        (col("n").cast("double") * col("weight") * col("weight"))
+          .cast("decimal(28,9)"))
+      .withColumn("ess", round(
+        sum(col("__sw")).over(all).cast("double") *
+          sum(col("__sw")).over(all).cast("double") /
+          sum(col("__sw2")).over(all).cast("double"), 2))
+      .drop("__ntot", "__sw", "__sw2")
+  }
+
+  /**
    * P176 — split-leakage audit: given a duplicate-pair list and a split
    * assignment, the per-(split, split) matrix of where pairs landed —
    * `crossing = true` rows are train/eval CONTAMINATION (the model sees

@@ -126,6 +126,18 @@ object MultimodalQueries {
         .orderBy("shard_id")
     }),
 
+    // P184 — per-epoch deterministic shard visit order over the mm8
+    // shard plan: hash-ranked per epoch, resumable without RNG state
+    "mm9_epochs" -> ((s, dir) => {
+      val m = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+      val shards = Multimodal.shardManifest(m, "media_id", "n_bytes",
+        targetBytes = 4096L).select("shard_id")
+      Multimodal.epochShardOrder(shards, "shard_id", epochs = 3)
+        .orderBy("epoch", "position")
+    }),
+
     // batched stub decode + feature extraction (deterministic fake codec);
     // batch_ok is layout-independent (every batch is 1..batchSize rows)
     // where the raw batch_size is not (the tail batch of each partition
@@ -218,6 +230,35 @@ object MultimodalQueries {
          |  CAST((th - rh) // 2 AS BIGINT) AS pad_y
          |FROM fit ORDER BY media_id""".stripMargin
     },
+
+    // the mm8 bin cut's distinct shard ids × an epoch range, ranked by
+    // the 'epo:' MD5 fold with shard tie-break
+    "mm9_epochs" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT media_id, n,
+        |    CAST(SUM(n) OVER (ORDER BY media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM f),
+        |sh AS (SELECT DISTINCT CAST((cum - n) // 4096 AS BIGINT)
+        |         AS shard_id FROM c),
+        |e AS (SELECT unnest(range(0, 3)) AS epoch),
+        |h AS (
+        |  SELECT CAST(e.epoch AS INT) AS epoch, sh.shard_id,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('epo:' ||
+        |          CAST(e.epoch AS VARCHAR) || ':' ||
+        |          CAST(sh.shard_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM sh, e)
+        |SELECT epoch, shard_id,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY hv, shard_id) AS BIGINT) AS position
+        |FROM h ORDER BY epoch, position""".stripMargin,
 
     // the z4 cumulative bin cut + string_agg manifest in id order
     "mm8_shards" ->

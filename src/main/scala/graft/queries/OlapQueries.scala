@@ -329,6 +329,23 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P181 — two-proportion z on purchase conversion, odd users treated:
+    // the binary-metric test closing the experimentation suite
+    "q17_twoprop" -> ((s, dir) => {
+      graft.operators.Features.twoProportionTest(
+        graft.Graft.events(s, dir).select(
+          (col("user_id") % 2 === 1).as("treat"),
+          (col("event_type") === "purchase").as("conv")),
+        "treat", "conv")
+    }),
+
+    // P183 — dbt accepted_values on order status against {O, F}: the P
+    // rows surface as violations with a deterministic sample
+    "dq8_accepted" -> ((s, dir) => {
+      graft.operators.Profiling.acceptedValues(
+        table(s, dir, "orders"), "o_orderstatus", Seq("O", "F"))
+    }),
+
     // P178 — capture-recapture corpus-size estimate from two 30%
     // independent hash samples of customers; the true count audits it
     "o39_capture" -> ((s, dir) => {
@@ -1401,6 +1418,68 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // the identical 4 conditional cells; pooled-rate se with the
+    // identical parenthesization; significant reads the rounded z
+    "q17_twoprop" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_ctrl,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_treat,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_ctrl
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT *,
+        |    CAST(x_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS p1,
+        |    CAST(x_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE) AS p0,
+        |    CAST(x_treat + x_ctrl AS DOUBLE)
+        |      / CAST(n_treat + n_ctrl AS DOUBLE) AS pp
+        |  FROM m),
+        |zc AS (
+        |  SELECT n_treat, n_ctrl, x_treat, x_ctrl,
+        |    CASE WHEN n_treat > 0 THEN round(p1, 6) END AS p_treat,
+        |    CASE WHEN n_ctrl > 0 THEN round(p0, 6) END AS p_ctrl,
+        |    CASE WHEN n_treat > 0 AND n_ctrl > 0 AND pp > 0 AND pp < 1
+        |         THEN round((p1 - p0) / sqrt(pp * (1.0e0 - pp) *
+        |           (1.0e0 / CAST(n_treat AS DOUBLE)
+        |            + 1.0e0 / CAST(n_ctrl AS DOUBLE))), 6)
+        |    END AS z
+        |  FROM c)
+        |SELECT n_treat, n_ctrl, x_treat, x_ctrl, p_treat, p_ctrl, z,
+        |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 1.96e0 END
+        |    AS significant
+        |FROM zc""".stripMargin,
+
+    // exact conditional counts + the sorted distinct offender sample
+    "dq8_accepted" ->
+      """WITH s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM orders),
+        |sm AS (
+        |  SELECT coalesce(string_agg(v, ',' ORDER BY v), '')
+        |    AS sample_values
+        |  FROM (SELECT DISTINCT CAST(o_orderstatus AS VARCHAR) AS v
+        |        FROM orders
+        |        WHERE o_orderstatus IS NOT NULL
+        |          AND o_orderstatus NOT IN ('O', 'F')
+        |        ORDER BY v LIMIT 5))
+        |SELECT n_rows, n_null, n_violations,
+        |  round(CAST(n_violations AS DOUBLE) /
+        |    CAST(greatest(n_rows - n_null, 1) AS DOUBLE), 6)
+        |    AS violation_rate,
+        |  sample_values
+        |FROM s, sm""".stripMargin,
 
     // both MD5 sample draws replayed ('capA:'/'capB:'), exact counts,
     // LP and Chapman closing sequences

@@ -275,6 +275,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P182 — reweight the corpus to a target language mix; ESS says how
+    // many effective examples the reweighted corpus is worth
+    "sa18_reweight" -> ((s, dir) => {
+      graft.operators.Sampling.importanceReweight(
+          table(s, dir, "documents"), "lang",
+          Seq(("de", 0.2), ("en", 0.3), ("es", 0.2), ("fr", 0.2),
+            ("zh", 0.1)))
+        .orderBy("lang")
+    }),
+
     // P177 — reciprocal-rank fusion of the BM25 (iv2) and QLD (iv4)
     // top-10 rankings: the score-free retriever ensemble
     "pipe5_rrf" -> ((s, dir) => {
@@ -1173,6 +1183,38 @@ object TextQueries {
         |             AS DOUBLE)), 4)
         |  END AS flesch
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact class counts × the e0 target literals; weight reads the
+    // ROUNDED current share; ESS terms decimal-summed over windows
+    "sa18_reweight" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |t(lang, target_share) AS (VALUES
+        |  ('de', 0.2e0), ('en', 0.3e0), ('es', 0.2e0), ('fr', 0.2e0),
+        |  ('zh', 0.1e0)),
+        |j AS (
+        |  SELECT c.lang, c.n, t.target_share,
+        |    CAST(SUM(c.n) OVER () AS BIGINT) AS ntot
+        |  FROM counts c LEFT JOIN t USING (lang)),
+        |w AS (
+        |  SELECT lang, n, target_share,
+        |    round(CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE), 9)
+        |      AS current_share,
+        |    round(target_share /
+        |      round(CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE), 9), 9)
+        |      AS weight
+        |  FROM j),
+        |e AS (
+        |  SELECT *,
+        |    CAST(SUM(CAST(CAST(n AS DOUBLE) * weight AS DECIMAL(28,9)))
+        |      OVER () AS DOUBLE) AS sw,
+        |    CAST(SUM(CAST(CAST(n AS DOUBLE) * weight * weight
+        |      AS DECIMAL(28,9))) OVER () AS DOUBLE) AS sw2
+        |  FROM w)
+        |SELECT lang, n, target_share, current_share, weight,
+        |  round(sw * sw / sw2, 2) AS ess
+        |FROM e ORDER BY lang""".stripMargin,
 
     // both retriever oracles verbatim (iv2's BM25 chain, iv4's QLD
     // chain) over ONE shared toks CTE, then the 9-rounded 1/(60+rank)

@@ -462,4 +462,24 @@ class FeaturesSpec extends SparkSpec {
     // singleton stratum: no variance, no MDE
     assert(got("b").isNullAt(4) && got("b").isNullAt(5))
   }
+
+  test("twoProportionTest: textbook z; degenerate pooled rate nulls out") {
+    import spark.implicits._
+    // treat: 30/100 convert; ctrl: 20/100 → p̂ = 0.25,
+    // z = 0.1 / sqrt(0.25·0.75·(2/100))
+    val rows = ((1 to 30).map(_ => (true, true)) ++
+      (1 to 70).map(_ => (true, false)) ++
+      (1 to 20).map(_ => (false, true)) ++
+      (1 to 80).map(_ => (false, false))).toDF("t", "s")
+    val r = Features.twoProportionTest(rows, "t", "s").head
+    assert((0 to 3).map(r.getLong) == Seq(100L, 100L, 30L, 20L))
+    assert(r.getDouble(4) == 0.3 && r.getDouble(5) == 0.2)
+    val z = BigDecimal((0.3 - 0.2) /
+      math.sqrt(0.25 * (1.0 - 0.25) * (1.0 / 100 + 1.0 / 100)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) == z && !r.getBoolean(7) == (math.abs(z) <= 1.96))
+    // nobody converts anywhere: pooled rate 0 → no test
+    val dead = Seq((true, false), (false, false)).toDF("t", "s")
+    assert(Features.twoProportionTest(dead, "t", "s").head.isNullAt(6))
+  }
 }

@@ -295,4 +295,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0L) == ((2L, 12L, man("1,2"))))
     assert(got(1L) == ((1L, 6L, man("3"))))
   }
+
+  test("epochShardOrder: per-epoch hash permutations, replayable") {
+    import spark.implicits._
+    val shards = Seq(0L, 1L, 2L, 3L).toDF("shard_id")
+    val got = Multimodal.epochShardOrder(shards, "shard_id", epochs = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every epoch is a complete 1..4 permutation
+    assert(got.size == 12)
+    (0 until 3).foreach { e =>
+      assert((0L to 3L).map(s => got((e, s))).sorted == Seq(1L, 2L, 3L, 4L))
+    }
+    // epochs genuinely differ (3 identical permutations of 4 have odds
+    // (1/24)^2 under the hash — a collision here means the salt broke)
+    val perms = (0 until 3).map(e => (0L to 3L).map(s => got((e, s))))
+    assert(perms.distinct.size > 1)
+    // deterministic: the same call replays the identical order
+    val again = Multimodal.epochShardOrder(shards, "shard_id", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      Multimodal.epochShardOrder(shards, "shard_id", 0))
+  }
 }

@@ -152,4 +152,21 @@ class ProfilingSpec extends SparkSpec {
     assert(got("b") == ((1L, 30L)))      // 30 s stale
     assert(got("c") == ((1L, 2L * 86400L))) // two days stale
   }
+
+  test("acceptedValues: offenders counted and sampled; nulls separate") {
+    import spark.implicits._
+    val df = Seq(Some("O"), Some("F"), Some("P"), Some("X"), Some("P"),
+      Option.empty[String]).toDF("st")
+    val r = Profiling.acceptedValues(df, "st", Seq("O", "F")).head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 1L && r.getLong(2) == 3L)
+    // rate over non-null rows: 3/5
+    assert(r.getDouble(3) == 0.6)
+    assert(r.getString(4) == "P,X")
+    // a fully clean column reports an empty sample
+    val clean = Seq("O", "F").toDF("st")
+    val c = Profiling.acceptedValues(clean, "st", Seq("O", "F")).head
+    assert(c.getLong(2) == 0L && c.getString(4) == "")
+    intercept[IllegalArgumentException](
+      Profiling.acceptedValues(df, "st", Nil))
+  }
 }

@@ -475,4 +475,25 @@ class SamplingSpec extends SparkSpec {
     assert(got == Map(("test", "train") -> ((2L, true)),
       ("train", "train") -> ((1L, false))))
   }
+
+  test("importanceReweight: target/current weights and the ESS honesty") {
+    import spark.implicits._
+    // 80 a's, 20 b's reweighted to 50/50: w_a = .5/.8, w_b = .5/.2
+    val rows = ((1 to 80).map(_ => "a") ++ (1 to 20).map(_ => "b")).toDF("c")
+    val got = Sampling.importanceReweight(rows, "c",
+        Seq(("a", 0.5), ("b", 0.5)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got("a")._2 == 0.8 && got("a")._3 == 0.625)
+    assert(got("b")._2 == 0.2 && got("b")._3 == 2.5)
+    // ESS = (80·.625 + 20·2.5)² / (80·.625² + 20·2.5²) = 10000/156.25 = 64
+    assert(got.values.map(_._4).toSet == Set(64.0))
+    // a class missing from the targets carries null weight
+    val missing = Sampling.importanceReweight(rows, "c", Seq(("a", 1.0)))
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(!missing("a") && missing("b"))
+    intercept[IllegalArgumentException](
+      Sampling.importanceReweight(rows, "c", Nil))
+  }
 }
