@@ -632,6 +632,33 @@ object Features {
   }
 
   /**
+   * P186 — 2-D skyline (Pareto frontier, minimize both columns): rows
+   * no other row dominates (≤ on both coordinates, < on at least one)
+   * — the multi-objective shortlist operator (cheapest-AND-smallest
+   * parts, fastest-AND-freshest sources) relational engines usually
+   * lack. Coordinate-duplicates collapse to the smallest id
+   * (documented; strict-dominance keeps formal duplicates, a frontier
+   * wants one representative).
+   *
+   * Shape: ONE ordered window — sorted by (x, y, id), a row is on the
+   * frontier iff its y beats the running minimum of all predecessors
+   * (any dominator sorts earlier, so the check is complete). The o5
+   * global-window caveat applies; at scale pre-filter with a
+   * coarse-grid local skyline first (same operator per grid cell, then
+   * once over survivors — the standard two-phase skyline).
+   * Exact-value comparisons only — no arithmetic at all.
+   */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.orderBy(col(xCol).asc, col(yCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__pmin", min(col(yCol)).over(w))
+      .where(col("__pmin").isNull || col(yCol) < col("__pmin"))
+      .drop("__pmin")
+  }
+
+  /**
    * P181 — two-proportion z-test: z = (p₁−p₀) / √(p̂(1−p̂)(1/n₁+1/n₀))
    * with the pooled p̂ — THE conversion-rate comparison, closing the
    * experimentation suite (P171 SRM guards assignment, P174 sizes the

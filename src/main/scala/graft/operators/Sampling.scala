@@ -607,6 +607,41 @@ object Sampling {
   }
 
   /**
+   * P185 — rolling-origin evaluation splits (forecasting CV): for each
+   * fold cutoff c, train = rows before c, test = rows in [c, c+horizon)
+   * — the time-respecting cross-validation that random K-fold (P92)
+   * CANNOT provide for temporal data (it would train on the future).
+   * Emits per (fold, split): row count + the fold's cutoff — the audit
+   * table a backtest harness feeds from. Rows outside both windows
+   * drop for that fold.
+   *
+   * One broadcast fold-literal frame × the events (the adjudicated
+   * k-row class) + one keyed count agg. Exact timestamp comparisons.
+   */
+  def rollingOriginSplits(df: DataFrame, tsCol: String,
+      cutoffs: Seq[String], horizonDays: Int): DataFrame = {
+    require(cutoffs.nonEmpty, "rollingOriginSplits: at least one cutoff")
+    require(horizonDays >= 1,
+      s"rollingOriginSplits: horizonDays must be >= 1, got $horizonDays")
+    val spark = df.sparkSession
+    val folds = spark.createDataFrame(
+        cutoffs.sorted.zipWithIndex.map { case (c, i) => (i + 1, c) })
+      .toDF("fold", "__c")
+      .select(col("fold"), to_timestamp(col("__c")).as("cutoff"))
+    val hMicros = horizonDays.toLong * 86400000000L
+    df.where(col(tsCol).isNotNull)
+      .crossJoin(broadcast(folds))
+      .withColumn("split",
+        when(col(tsCol) < col("cutoff"), lit("train"))
+          .when(col(tsCol) < expr(
+            s"timestamp_micros(unix_micros(cutoff) + ${hMicros}L)"),
+            lit("test")))
+      .where(col("split").isNotNull)
+      .groupBy(col("fold"), col("cutoff"), col("split"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /**
    * P182 — importance reweighting to a target class mix: per class,
    * weight = target_share / current_share (rows of an over-represented
    * class count for less) plus the effective sample size

@@ -812,6 +812,43 @@ object TimeSeries {
    * DECIMAL sums; means and the index are fixed double sequences on
    * identical operands, rounded at 6.
    */
+  /**
+   * P187 — seasonal strength (Hyndman & Athanasopoulos): per key,
+   * F_s = max(0, 1 − var(resid)/var(detrended)) over a
+   * [[seasonalDecompose]] output — ONE number for "is this series'
+   * weekday pattern real" (≈0 no seasonality, →1 dominant), the triage
+   * that decides whether P141's multiplicative factors are worth
+   * applying. Emits (key, n, strength); degenerate detrended variance
+   * → null. Feed rows where `resid` is non-null.
+   *
+   * One fused decimal moment agg over the pre-rounded detrended/resid
+   * columns; population variances; a fixed double closing sequence
+   * rounded at 6.
+   */
+  def seasonalStrength(decomposed: DataFrame, keyCol: String): DataFrame = {
+    val detr = round(col("v") - col("trend"), 6)
+    val d6 = detr.cast("decimal(18,6)")
+    val d19 = detr.cast("decimal(19,6)")
+    val r6 = col("resid").cast("decimal(18,6)")
+    val r19 = col("resid").cast("decimal(19,6)")
+    val m = decomposed.where(col("resid").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(d6).cast("double").as("__sd"),
+        sum(d19 * d19).cast("double").as("__qd"),
+        sum(r6).cast("double").as("__sr"),
+        sum(r19 * r19).cast("double").as("__qr"))
+    val nd = col("n").cast("double")
+    val varD = greatest(
+      col("__qd") / nd - (col("__sd") / nd) * (col("__sd") / nd), lit(0.0))
+    val varR = greatest(
+      col("__qr") / nd - (col("__sr") / nd) * (col("__sr") / nd), lit(0.0))
+    m.withColumn("strength",
+        when(varD > 0,
+          round(greatest(lit(1.0) - varR / varD, lit(0.0)), 6)))
+      .select(col(keyCol), col("n"), col("strength"))
+  }
+
   def seasonalProfile(df: DataFrame, tsCol: String,
       valueCol: String): DataFrame = {
     val dec = col(valueCol).cast("decimal(18,6)")

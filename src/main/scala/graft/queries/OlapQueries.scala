@@ -329,6 +329,35 @@ object OlapQueries {
         table(s, dir, "orders"), "o_totalprice", k = 500)
     }),
 
+    // P185 — rolling-origin CV: three cutoffs, 5-day test horizon —
+    // the time-respecting alternative to random K-fold
+    "sa19_rolling_cv" -> ((s, dir) => {
+      graft.operators.Sampling.rollingOriginSplits(
+          graft.Graft.events(s, dir).select("event_id", "ts"), "ts",
+          Seq("2024-01-10 00:00:00", "2024-01-15 00:00:00",
+            "2024-01-20 00:00:00"), horizonDays = 5)
+        .orderBy("fold", "split")
+    }),
+
+    // P186 — cheapest-AND-smallest part frontier (minimize price and
+    // size): the 2-D skyline
+    "o40_skyline" -> ((s, dir) => {
+      graft.operators.Features.skyline2D(
+          table(s, dir, "part")
+            .select("p_partkey", "p_retailprice", "p_size"),
+          "p_retailprice", "p_size", "p_partkey")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    }),
+
+    // P187 — seasonal strength of each event type's weekday pattern
+    // over the o32 decomposition
+    "o41_seas_strength" -> ((s, dir) => {
+      val dec = graft.operators.TimeSeries.seasonalDecompose(
+        dailyMeans(s, dir), "event_type", "day", "v")
+      graft.operators.TimeSeries.seasonalStrength(dec, "event_type")
+        .orderBy("event_type")
+    }),
+
     // P181 — two-proportion z on purchase conversion, odd users treated:
     // the binary-metric test closing the experimentation suite
     "q17_twoprop" -> ((s, dir) => {
@@ -1418,6 +1447,93 @@ object OlapQueries {
         |SELECT k, xk,
         |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS alpha
         |FROM s""".stripMargin,
+
+    // VALUES fold frame × events; interval arithmetic on exact micros
+    "sa19_rolling_cv" ->
+      """WITH f(fold, cutoff) AS (VALUES
+        |  (1, TIMESTAMP '2024-01-10 00:00:00'),
+        |  (2, TIMESTAMP '2024-01-15 00:00:00'),
+        |  (3, TIMESTAMP '2024-01-20 00:00:00')),
+        |l AS (
+        |  SELECT f.fold, f.cutoff,
+        |    CASE WHEN e.ts < f.cutoff THEN 'train'
+        |         WHEN e.ts < f.cutoff + INTERVAL 5 DAY THEN 'test' END
+        |      AS split
+        |  FROM events e, f WHERE e.ts IS NOT NULL)
+        |SELECT CAST(fold AS INT) AS fold, cutoff, split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM l WHERE split IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY fold, split""".stripMargin,
+
+    // the identical (x, y, id)-ordered running-min dominance test —
+    // exact data values only
+    "o40_skyline" ->
+      """WITH d AS (
+        |  SELECT p_partkey, p_retailprice, p_size FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |m AS (
+        |  SELECT *, min(p_size) OVER (
+        |    ORDER BY p_retailprice, p_size, p_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+        |  FROM d)
+        |SELECT p_partkey, p_retailprice, p_size FROM m
+        |WHERE pmin IS NULL OR p_size < pmin
+        |ORDER BY p_retailprice, p_size, p_partkey""".stripMargin,
+
+    // the o32 residual chain; both variances from decimal moments over
+    // the pre-rounded columns; clamps mirror the operator
+    "o41_seas_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, v,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      / 7.0e0, 6) AS tr
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, day, v,
+        |    CASE WHEN wn = 7 THEN tr END AS trend,
+        |    CAST(datediff('day', DATE '1970-01-05', day) % 7 AS INT) AS dow
+        |  FROM t),
+        |dt AS (SELECT *, CASE WHEN trend IS NOT NULL
+        |         THEN round(v - trend, 6) END AS detr FROM t2),
+        |se AS (
+        |  SELECT event_type, dow,
+        |    round(CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS seasonal
+        |  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2),
+        |res2 AS (
+        |  SELECT d.event_type, round(d.v - d.trend, 6) AS detr,
+        |    round(d.v - d.trend - se.seasonal, 6) AS resid
+        |  FROM dt d JOIN se
+        |    ON se.event_type = d.event_type AND se.dow = d.dow
+        |  WHERE d.trend IS NOT NULL AND se.seasonal IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(detr AS DECIMAL(19,6)) *
+        |      CAST(detr AS DECIMAL(19,6))) AS DOUBLE) AS qd,
+        |    CAST(SUM(CAST(resid AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+        |    CAST(SUM(CAST(resid AS DECIMAL(19,6)) *
+        |      CAST(resid AS DECIMAL(19,6))) AS DOUBLE) AS qr
+        |  FROM res2 GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN greatest(qd / CAST(n AS DOUBLE)
+        |      - (sd / CAST(n AS DOUBLE)) * (sd / CAST(n AS DOUBLE)),
+        |      0.0e0) > 0
+        |  THEN round(greatest(1.0e0 -
+        |    greatest(qr / CAST(n AS DOUBLE)
+        |      - (sr / CAST(n AS DOUBLE)) * (sr / CAST(n AS DOUBLE)), 0.0e0)
+        |    / greatest(qd / CAST(n AS DOUBLE)
+        |      - (sd / CAST(n AS DOUBLE)) * (sd / CAST(n AS DOUBLE)), 0.0e0),
+        |    0.0e0), 6) END AS strength
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // the identical 4 conditional cells; pooled-rate se with the
     // identical parenthesization; significant reads the rounded z

@@ -482,4 +482,19 @@ class FeaturesSpec extends SparkSpec {
     val dead = Seq((true, false), (false, false)).toDF("t", "s")
     assert(Features.twoProportionTest(dead, "t", "s").head.isNullAt(6))
   }
+
+  test("skyline2D keeps exactly the non-dominated rows") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 1.0, 9L),   // frontier
+      (2L, 2.0, 5L),   // frontier
+      (3L, 3.0, 5L),   // dominated by 2 (same y, higher x)
+      (4L, 4.0, 2L),   // frontier
+      (5L, 5.0, 3L),   // dominated by 4
+      (6L, 1.0, 9L))   // coordinate-duplicate of 1 → collapses
+      .toDF("id", "x", "y")
+    val got = Features.skyline2D(pts, "x", "y", "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L))
+  }
 }

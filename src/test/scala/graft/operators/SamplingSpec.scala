@@ -496,4 +496,25 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.importanceReweight(rows, "c", Nil))
   }
+
+  test("rollingOriginSplits: expanding train windows, bounded test") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    // 10 daily events Jan 1..10
+    val ev = (1 to 10).map(d => (d.toLong, f"2024-01-$d%02d 12:00:00"))
+      .toDF("id", "t")
+      .select($"id", to_timestamp($"t").as("t"))
+    val got = Sampling.rollingOriginSplits(ev, "t",
+        Seq("2024-01-04 00:00:00", "2024-01-08 00:00:00"), horizonDays = 2)
+      .collect().map(r => (r.getInt(0), r.getString(2)) -> r.getLong(3))
+      .toMap
+    // fold 1: train = Jan 1-3 (3), test = Jan 4-5 (2)
+    // fold 2: train = Jan 1-7 (7), test = Jan 8-9 (2); Jan 10 drops
+    assert(got == Map((1, "train") -> 3L, (1, "test") -> 2L,
+      (2, "train") -> 7L, (2, "test") -> 2L))
+    intercept[IllegalArgumentException](
+      Sampling.rollingOriginSplits(ev, "t", Nil, 2))
+    intercept[IllegalArgumentException](
+      Sampling.rollingOriginSplits(ev, "t", Seq("2024-01-04 00:00:00"), 0))
+  }
 }

@@ -484,4 +484,24 @@ class TimeSeriesSpec extends SparkSpec {
       "k", "day", "v").head
     assert(r.getLong(1) == 36L && r.getDouble(2) == 2.0)
   }
+
+  test("seasonalStrength: flat residuals → 1, pure noise → 0") {
+    import spark.implicits._
+    import java.sql.Date
+    // a perfect weekly pattern: detrended variance all explained by the
+    // seasonal → residuals constant 0 → strength 1
+    val weekly = (1 to 21).map { d =>
+      ("a", Date.valueOf(f"2024-01-$d%02d"), if (d % 7 == 1) 17.0 else 10.0)
+    }
+    val dec = TimeSeries.seasonalDecompose(weekly.toDF("k", "day", "v"),
+      "k", "day", "v")
+    val s = TimeSeries.seasonalStrength(dec, "k").head
+    assert(s.getDouble(2) == 1.0)
+    // a flat series has zero detrended variance → no defined strength
+    val flat = (1 to 14).map(d => ("b", Date.valueOf(f"2024-01-$d%02d"), 5.0))
+    val f = TimeSeries.seasonalStrength(
+      TimeSeries.seasonalDecompose(flat.toDF("k", "day", "v"),
+        "k", "day", "v"), "k").head
+    assert(f.isNullAt(2))
+  }
 }
