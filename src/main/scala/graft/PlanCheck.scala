@@ -1,11 +1,35 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Plan-inspection utility: prints pushdown / join-strategy / codegen
   * facts for each query so plan regressions are visible at a glance.
   * Usage: runMain graft.PlanCheck [sfDir] [query ...] */
 object PlanCheck {
+
+  /** Count window operators with an EMPTY partition spec — each one
+    * funnels its whole input through a single task (the gr2/o40 scale
+    * killer class). Tree-walk instead of string-parse: the plan
+    * toString doesn't distinguish the partition bracket reliably.
+    * Descends into AQE wrappers and query stages; ReusedExchange is
+    * NOT re-descended (its subtree is counted at the original). */
+  def unpartitionedWindows(p: SparkPlan): Int = {
+    val self = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => 1
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => 1
+      case _ => 0
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq.empty
+      case other => other.children
+    }
+    self + kids.map(unpartitionedWindows).sum
+  }
   def main(args: Array[String]): Unit = {
     val verbose = args.contains("-v")
     val rest = args.filterNot(_ == "-v")
@@ -36,7 +60,8 @@ object PlanCheck {
         // "WholeStageCodegen" nodes — count distinct stage ids
         val wscg = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
         val exch = "Exchange".r.findAllIn(plan).size
-        println(f"$q%-22s pushedFilters=$pushed bhj=$bhj smj=$smj bnl=$bnl wscg=$wscg exchange=$exch")
+        val upw = unpartitionedWindows(qe.executedPlan)
+        println(f"$q%-22s pushedFilters=$pushed bhj=$bhj smj=$smj bnl=$bnl wscg=$wscg exchange=$exch unpartWin=$upw")
         if (verbose) println(plan)
       } catch {
         case e: Throwable =>

@@ -640,22 +640,34 @@ object Features {
    * (documented; strict-dominance keeps formal duplicates, a frontier
    * wants one representative).
    *
-   * Shape: ONE ordered window — sorted by (x, y, id), a row is on the
-   * frontier iff its y beats the running minimum of all predecessors
-   * (any dominator sorts earlier, so the check is complete). The o5
-   * global-window caveat applies; at scale pre-filter with a
-   * coarse-grid local skyline first (same operator per grid cell, then
-   * once over survivors — the standard two-phase skyline).
+   * Shape: the standard TWO-PHASE skyline. Phase 1 runs the running-min
+   * pass per deterministic hash shard (sorted by (x, y, id) inside each
+   * shard, a row survives iff its y beats the min of its in-shard
+   * predecessors) — partition-parallel, no global order. Phase 2 repeats
+   * the identical pass once over the union of shard survivors, which is
+   * frontier-sized. Skyline is prune-safe, so the result equals the
+   * one-pass global window for ANY shard assignment: a row the global
+   * pass keeps beats every predecessor, hence every in-shard and every
+   * survivor predecessor; a row it drops has a minimal-sort dominator,
+   * which by minimality survives both phases and kills it in phase 2.
    * Exact-value comparisons only — no arithmetic at all.
    */
   def skyline2D(df: DataFrame, xCol: String, yCol: String,
-      idCol: String): DataFrame = {
-    val w = Window.orderBy(col(xCol).asc, col(yCol).asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
-      .withColumn("__pmin", min(col(yCol)).over(w))
-      .where(col("__pmin").isNull || col(yCol) < col("__pmin"))
-      .drop("__pmin")
+      idCol: String, localShards: Int = 32): DataFrame = {
+    require(localShards >= 1,
+      s"skyline2D: localShards must be >= 1, got $localShards")
+    def pass(in: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      in.withColumn("__pmin",
+          min(col(yCol)).over(w.orderBy(col(xCol).asc, col(yCol).asc,
+            col(idCol).asc).rowsBetween(Window.unboundedPreceding, -1)))
+        .where(col("__pmin").isNull || col(yCol) < col("__pmin"))
+        .drop("__pmin")
+    val survivors = pass(
+      df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+        .withColumn("__shard",
+          pmod(xxhash64(col(idCol)), lit(localShards.toLong))),
+      Window.partitionBy(col("__shard"))).drop("__shard")
+    pass(survivors, Window.partitionBy())
   }
 
   /**

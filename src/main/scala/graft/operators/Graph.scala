@@ -99,12 +99,14 @@ object Graph {
    * node in ≥ 1 triangle — the clique-density diagnostic for dup-cluster
    * graphs and co-occurrence networks.
    *
-   * Shape: canonical distinct + one degree agg; the rank is one
-   * row_number window over the NODE frame (bounded by vertices, not
-   * edges — swap zipWithIndex in past ~10⁹ nodes); all joins are
-   * equi-keyed with shuffle_hash hints (post-agg no-stats rule). The
-   * oracle proves the orientation is an identity: it counts the same
-   * triangles by plain id-order three-way join.
+   * Shape: canonical distinct + one degree agg; the total order over
+   * nodes is the LEXICOGRAPHIC struct(deg, node) comparison directly —
+   * no dense rank, so there is NO global window anywhere in the plan
+   * (the r9 version ranked all nodes through one partition; struct
+   * ordering gives the identical total order shuffle-free). All joins
+   * are equi-keyed with shuffle_hash hints (post-agg no-stats rule).
+   * The oracle proves the orientation is an identity: it counts the
+   * same triangles by plain id-order three-way join.
    */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
@@ -115,25 +117,25 @@ object Graph {
       .distinct()
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("deg").asc, col("node").asc)
-    val ranked = deg
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .select("node", "rk")
+    // field names must match on both struct sides or the comparison /
+    // conditional would see two distinct StructTypes
+    val su = struct(col("du").as("d"), col("u").as("n"))
+    val sv = struct(col("dv").as("d"), col("v").as("n"))
     val e = und
-      .join(ranked.select(col("node").as("u"), col("rk").as("ru"))
+      .join(deg.select(col("node").as("u"), col("deg").as("du"))
         .hint("shuffle_hash"), Seq("u"))
-      .join(ranked.select(col("node").as("v"), col("rk").as("rv"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv"))
         .hint("shuffle_hash"), Seq("v"))
-      .select(when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
-        when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
-        greatest(col("ru"), col("rv")).as("rb"))
+      .select(when(su < sv, col("u")).otherwise(col("v")).as("a"),
+        when(su < sv, col("v")).otherwise(col("u")).as("b"),
+        when(su < sv, sv).otherwise(su).as("rb"))
     val wedges = e.as("e1")
       .join(e.as("e2").hint("shuffle_hash"),
         col("e1.a") === col("e2.a") && col("e1.rb") < col("e2.rb"))
       .select(col("e1.a").as("apex"), col("e1.b").as("x"), col("e2.b").as("y"))
-    // rank(x) < rank(y), so the closing edge — if present — is oriented
-    // (x → y); a left-semi keeps each closed wedge exactly once
+    // order(x) < order(y) in the struct(deg, node) total order, so the
+    // closing edge — if present — is oriented (x → y); a left-semi
+    // keeps each closed wedge exactly once
     val tri = wedges.join(e.as("e3").hint("shuffle_hash"),
       col("x") === col("e3.a") && col("y") === col("e3.b"), "left_semi")
     tri.select(explode(array(col("apex"), col("x"), col("y"))).as("node"))

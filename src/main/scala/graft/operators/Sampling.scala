@@ -532,20 +532,39 @@ object Sampling {
    * order makes the stride unbiased w.r.t. any natural ordering of the
    * data. Adds `sample_rank` (1-based position among kept rows).
    *
-   * The ordering window is global (the o5/sa6 exact-statistic caveat:
-   * a deterministic total order costs a single-partition sort — at
-   * 100 TB carve per-shard budgets with one window per shard key, or
-   * fall back to hashSplit's stateless draws when exactness can relax).
+   * The global rank is computed DISTRIBUTED (r10): the 56-bit hash
+   * domain splits into 64 contiguous range buckets (`hv div 2^50`), the
+   * row_number runs per bucket, and the exact global position is the
+   * bucket's exclusive prefix count (a 64-row offsets frame, the only
+   * unpartitioned window left — metadata-sized at any input scale) plus
+   * the local rank. Identical output to the single-window form for any
+   * input, so the oracle replays the same (hash, id) order unchanged.
    */
   def systematicSample(df: DataFrame, idCol: String, k: Int,
       salt: String = "sys:"): DataFrame = {
     require(k >= 1, s"systematicSample: k must be >= 1, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w).cast("long"))
+    // 2^56 / 64 buckets = 2^50 per range; integer `div` — double division
+    // would misbucket values past the 2^53 exact-integer range
+    val bucketed = df
+      .withColumn("__hv", hashValue(col(idCol), salt))
+      .withColumn("__bk", expr(s"__hv div ${1L << 50}L"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk"))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bk").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(offW), lit(0L)))
+      .select("__bk", "__off")
+    bucketed
+      .join(broadcast(offsets), Seq("__bk"))
+      .withColumn("__rn",
+        (col("__off") + row_number().over(local).cast("long")))
       .where(pmod(col("__rn"), lit(k.toLong)) === 1L % k)
       .withColumn("sample_rank", expr(s"((__rn - 1) div $k) + 1"))
-      .drop("__rn")
+      .drop("__rn", "__hv", "__bk", "__off")
   }
 
   /**

@@ -497,20 +497,52 @@ object TimeSeries {
    * the out-of-order events (late_us > 0) with is_late flagging those
    * beyond `watermarkMicros`.
    *
-   * Shape: one running-max window in arrival order over exact epoch
-   * micros, then a filter. The window is global here (a stream's
-   * watermark is global); at scale audit per source partition —
-   * partitionBy the shard key, same arithmetic (the o5 caveat).
+   * Shape (r10, distributed): the running max over the global arrival
+   * order is computed TWO-PHASE — the integral arrival key's observed
+   * [min, max] range (one scalar agg, broadcast) splits into `shards`
+   * contiguous buckets, the strict-predecessor max runs per bucket, and
+   * each bucket's high-water mark from all EARLIER buckets arrives as an
+   * exclusive prefix-max over the shards-sized bucket frame (the only
+   * unpartitioned window left — ≤ `shards` rows at any input scale).
+   * `greatest(prefix, local)` is exactly the global running max, so the
+   * output is identical to the single-window form and the oracle's
+   * global `max() OVER (ORDER BY arrival)` replay is unchanged.
+   * Requires an integral, non-null arrival key (an ingest sequence —
+   * the st6 queries build one; null arrivals are dropped).
    */
   def disorderAudit(events: DataFrame, tsCol: String, arrivalCol: String,
-      watermarkMicros: Long): DataFrame = {
+      watermarkMicros: Long, shards: Int = 64): DataFrame = {
     require(watermarkMicros >= 0L,
       s"disorderAudit: watermarkMicros must be >= 0, got $watermarkMicros")
-    val w = Window.orderBy(col(arrivalCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    events
+    require(shards >= 1, s"disorderAudit: shards must be >= 1, got $shards")
+    val base = events
+      .where(col(arrivalCol).isNotNull)
       .select(col(arrivalCol), expr(s"unix_micros(`$tsCol`)").as("__us"))
-      .withColumn("__hwm", max(col("__us")).over(w))
+    val bounds = base.agg(
+      min(col(arrivalCol).cast("long")).as("__lo"),
+      max(col(arrivalCol).cast("long")).as("__hi"))
+    // ceil width keeps every bucket index in [0, shards]; integer `div`
+    // (double division would misbucket past the 2^53 exact range)
+    val bucketed = base.join(broadcast(bounds))
+      .withColumn("__bk",
+        expr(s"(cast(`$arrivalCol` as bigint) - __lo) div " +
+          s"(((__hi - __lo) div ${shards}L) + 1L)"))
+      .drop("__lo", "__hi")
+    val local = Window.partitionBy(col("__bk"))
+      .orderBy(col(arrivalCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = bucketed.groupBy(col("__bk"))
+      .agg(max(col("__us")).as("__bm"))
+      .withColumn("__pm", max(col("__bm")).over(offW))
+      .select("__bk", "__pm")
+    bucketed
+      .join(broadcast(prior), Seq("__bk"))
+      // greatest() skips nulls: null prefix (first bucket) + null local
+      // (bucket-first row) → null, exactly the global no-predecessor case
+      .withColumn("__hwm",
+        greatest(col("__pm"), max(col("__us")).over(local)))
       .where(col("__hwm").isNotNull && col("__hwm") > col("__us"))
       .select(col(arrivalCol), col("__us").as("event_us"),
         col("__hwm").as("hwm_us"),
@@ -799,39 +831,34 @@ object TimeSeries {
   }
 
   /**
-   * P141 — day-of-week seasonal profile: per weekday, the mean of
-   * `valueCol` and its index against the whole-corpus mean (index > 1 ⇒ the
-   * day runs hot) — the multiplicative seasonal factor a forecast
-   * divides out, and the batch-scheduling signal ("Mondays are 1.4×,
-   * size the cluster for it"). Weekday is pure epoch-day arithmetic —
-   * days since Monday 1970-01-05 mod 7, so 0 = Monday — never the
-   * engine's locale-dependent dayofweek().
-   *
-   * Shapes: ONE map-side-combinable keyed agg (≤ 7 groups) plus the
-   * 1-row global moment broadcast back (the P125 scalar-row idiom).
-   * DECIMAL sums; means and the index are fixed double sequences on
-   * identical operands, rounded at 6.
-   */
-  /**
    * P187 — seasonal strength (Hyndman & Athanasopoulos): per key,
    * F_s = max(0, 1 − var(resid)/var(detrended)) over a
    * [[seasonalDecompose]] output — ONE number for "is this series'
    * weekday pattern real" (≈0 no seasonality, →1 dominant), the triage
    * that decides whether P141's multiplicative factors are worth
    * applying. Emits (key, n, strength); degenerate detrended variance
-   * → null. Feed rows where `resid` is non-null.
+   * → null. Feed rows where `residCol` is non-null. The value/trend/
+   * resid column names mirror [[seasonalDecompose]]'s defaults and are
+   * parameterized for callers that renamed them.
    *
    * One fused decimal moment agg over the pre-rounded detrended/resid
    * columns; population variances; a fixed double closing sequence
    * rounded at 6.
    */
-  def seasonalStrength(decomposed: DataFrame, keyCol: String): DataFrame = {
-    val detr = round(col("v") - col("trend"), 6)
+  def seasonalStrength(decomposed: DataFrame, keyCol: String,
+      valueCol: String = "v", trendCol: String = "trend",
+      residCol: String = "resid"): DataFrame = {
+    Seq(valueCol, trendCol, residCol).foreach { c =>
+      require(decomposed.columns.contains(c),
+        s"seasonalStrength: input is missing column '$c' — pass the " +
+          "seasonalDecompose output (or name its columns explicitly)")
+    }
+    val detr = round(col(valueCol) - col(trendCol), 6)
     val d6 = detr.cast("decimal(18,6)")
     val d19 = detr.cast("decimal(19,6)")
-    val r6 = col("resid").cast("decimal(18,6)")
-    val r19 = col("resid").cast("decimal(19,6)")
-    val m = decomposed.where(col("resid").isNotNull)
+    val r6 = col(residCol).cast("decimal(18,6)")
+    val r19 = col(residCol).cast("decimal(19,6)")
+    val m = decomposed.where(col(residCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(d6).cast("double").as("__sd"),
@@ -849,6 +876,20 @@ object TimeSeries {
       .select(col(keyCol), col("n"), col("strength"))
   }
 
+  /**
+   * P141 — day-of-week seasonal profile: per weekday, the mean of
+   * `valueCol` and its index against the whole-corpus mean (index > 1 ⇒ the
+   * day runs hot) — the multiplicative seasonal factor a forecast
+   * divides out, and the batch-scheduling signal ("Mondays are 1.4×,
+   * size the cluster for it"). Weekday is pure epoch-day arithmetic —
+   * days since Monday 1970-01-05 mod 7, so 0 = Monday — never the
+   * engine's locale-dependent dayofweek().
+   *
+   * Shapes: ONE map-side-combinable keyed agg (≤ 7 groups) plus the
+   * 1-row global moment broadcast back (the P125 scalar-row idiom).
+   * DECIMAL sums; means and the index are fixed double sequences on
+   * identical operands, rounded at 6.
+   */
   def seasonalProfile(df: DataFrame, tsCol: String,
       valueCol: String): DataFrame = {
     val dec = col(valueCol).cast("decimal(18,6)")

@@ -1343,7 +1343,9 @@ object OlapQueries {
         |FROM d ORDER BY rank""".stripMargin,
 
     // decimal sums both sides, the identical
-    // (s + m·(gs/gn)) / (n + m) double sequence, round at 9
+    // (s + m·(gs/gn)) / (n + m) double sequence, round at 6 (NOT 9 —
+    // 9 fractional digits on a 6-integer-digit double is the last-ulp
+    // zone where engines' roundings legitimately differ; P134 lesson)
     "o25_target_enc" ->
       """WITH g AS (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
