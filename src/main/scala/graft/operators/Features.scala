@@ -295,6 +295,113 @@ object Features {
   }
 
   /**
+   * P190 — Cramér's V association strength between two categoricals:
+   * V = √(χ² / (n·min(r−1, c−1))) ∈ [0, 1] — the effect-size reading
+   * [[chiSquare]]'s p-value-shaped χ² cannot give (χ² grows with n;
+   * V answers "is the association MATERIAL", the feature-selection and
+   * redundant-column screen). One row: (n, dof, ra, cb, chi2, v);
+   * a single-level side (min(r−1, c−1) = 0) → null v.
+   *
+   * Shape: the [[chiSquare]] cell frame (windows over |A|·|B| cells,
+   * never rows) closed by ONE count-distinct agg; χ² arrives already
+   * 6-rounded, the closing √ is IEEE-exact on identical operands,
+   * v rounds at 6.
+   */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chiSquare(df, aCol, bCol)
+    cells.agg(
+        max(col("n")).as("n"), max(col("dof")).as("dof"),
+        countDistinct(col(aCol)).as("ra"), countDistinct(col(bCol)).as("cb"),
+        max(col("chi2")).as("chi2"))
+      .withColumn("v",
+        when(least(col("ra"), col("cb")) > 1,
+          round(sqrt(col("chi2") /
+            (col("n") * (least(col("ra"), col("cb")) - 1)).cast("double")), 6)))
+  }
+
+  /** Cumulative Poisson(1) CDF ladder c_j = e^{-1}·Σ_{i=0..j} 1/i!,
+    * j = 0..maxDraw−1 — computed ONCE on the driver and embedded as
+    * literals on both sides (the o12 ladder idiom: neither engine calls
+    * exp), shared by [[bootstrapMeanCI]] and its oracles. */
+  def poissonCdf(maxDraw: Int): Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 until maxDraw).map { j =>
+      if (j > 0) fact *= j
+      cum += e1 / fact
+      cum
+    }
+  }
+
+  /** The same ladder as SQL double literals (shortest round-trip repr,
+    * e0-suffixed when bare — DuckDB parses bare decimals as DECIMAL). */
+  def poissonCdfLiterals(maxDraw: Int): Seq[String] =
+    poissonCdf(maxDraw).map { d =>
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+
+  /**
+   * P191 — Poisson-bootstrap confidence interval for a mean: each of
+   * `resamples` deterministic resamples gives every row multiplicity
+   * k ~ Poisson(1) (the classic streaming bootstrap — k is a pure
+   * function of (resample, id) via the portable hash, so NO resample
+   * materializes and a re-run reproduces bit-identically), the CI is
+   * the [loPct, hiPct] percentile band of the resample means — error
+   * bars for any corpus statistic WITHOUT distributional assumptions,
+   * the honesty metric for "is this week's mean move real". One row:
+   * (n_rows, mean_full, n_resamples, ci_lo, ci_hi).
+   *
+   * Shapes: one broadcast cross join against the `resamples`-row grid
+   * (the adjudicated k-row class — cost scales linearly in B, map-side
+   * combine collapses the shuffle to B rows), one B-group agg, one
+   * closing percentile agg over the B-row frame. Cross-engine: k counts
+   * thresholds from the shared [[poissonCdf]] literal ladder against
+   * the replayable uniform; resample means are Σk·v/Σk with DECIMAL
+   * sums, rounded at 6; percentiles are R-7 on 6-rounded means (the
+   * o5/P173 parity class).
+   */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      resamples: Int = 32, maxDraw: Int = 5,
+      loPct: Double = 2.5, hiPct: Double = 97.5): DataFrame = {
+    require(resamples >= 2,
+      s"bootstrapMeanCI: resamples must be >= 2, got $resamples")
+    require(maxDraw >= 2,
+      s"bootstrapMeanCI: maxDraw must be >= 2, got $maxDraw")
+    require(loPct > 0 && hiPct < 100 && loPct < hiPct,
+      s"bootstrapMeanCI: need 0 < loPct < hiPct < 100, got ($loPct, $hiPct)")
+    val base = df
+      .where(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valueCol).as("__v"))
+    val grid = df.sparkSession
+      .createDataFrame((0 until resamples).map(Tuple1(_))).toDF("b")
+    val u = Sampling.uniform01(
+      concat(col("b").cast("string"), lit(":"), col("__id").cast("string")),
+      "boot:")
+    val k = poissonCdf(maxDraw).map(c => when(u > c, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val res = base.crossJoin(broadcast(grid))
+      .withColumn("__k", k)
+      .groupBy(col("b"))
+      .agg(sum(col("__k")).as("__m"),
+        sum((col("__v").cast("decimal(18,6)") * col("__k"))
+          .cast("decimal(28,6)")).as("__sw"))
+      .where(col("__m") > 0) // an all-zero draw (P ≈ e^{-n}) just drops
+      .withColumn("__mean",
+        round(col("__sw").cast("double") / col("__m").cast("double"), 6))
+    val full = base.agg(count(lit(1)).as("n_rows"),
+      round(sum(col("__v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_full"))
+    res.agg(count(lit(1)).as("n_resamples"),
+        round(expr(s"percentile(__mean, ${loPct / 100})"), 6).as("ci_lo"),
+        round(expr(s"percentile(__mean, ${hiPct / 100})"), 6).as("ci_hi"))
+      .crossJoin(broadcast(full)) // 1-row scalar side
+      .select(col("n_rows"), col("mean_full"), col("n_resamples"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /**
    * P102 — Mann–Whitney U rank-sum test between two groups of a value
    * column (normal approximation with tie correction): U from pooled
    * average ranks, z = (U_A − n_A·n_B/2) / σ with

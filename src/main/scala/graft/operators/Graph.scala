@@ -143,6 +143,40 @@ object Graph {
   }
 
   /**
+   * P188 — local clustering coefficient per node:
+   * cc = 2·tri / (deg·(deg−1)) over the canonical undirected graph —
+   * "how clique-like is this node's neighborhood" (cc → 1: the
+   * neighbors all know each other — a dup cluster or a tight topic
+   * community; cc → 0 at equal degree: a hub bridging strangers). The
+   * node-level cohesion read beside [[triangleCounts]]'s raw counts
+   * and [[kCore]]'s global peel. Emits (node, deg, tri_cnt, cc) for
+   * every node with deg ≥ 2 (one edge defines no angle); nodes in no
+   * triangle carry cc = 0, not null — a star center's 0 is a finding.
+   *
+   * Shape: [[triangleCounts]] (degree-ordered wedges, no global
+   * window) + the same degree agg, one left equi-join; cc is one
+   * double division of exact BIGINTs, rounded at 6. deg·(deg−1) stays
+   * far below 2⁶² for any degree a sane graph admits.
+   */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(triangleCounts(edges, srcCol, dstCol).hint("shuffle_hash"),
+        Seq("node"), "left")
+      .withColumn("tri_cnt", coalesce(col("tri_cnt"), lit(0L)))
+      .withColumn("cc",
+        round(lit(2.0) * col("tri_cnt").cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6))
+  }
+
+  /**
    * P124 — Adamic–Adar link prediction: for every NON-adjacent node
    * pair sharing ≥ `minCommon` neighbors, score = Σ_z 1/ln(deg(z)) over
    * the common neighbors z — rare shared neighbors are strong evidence,

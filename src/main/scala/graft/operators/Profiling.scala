@@ -97,6 +97,62 @@ object Profiling {
   }
 
   /**
+   * P189 — Population Stability Index between a reference and a current
+   * segment of one frame: over fixed-width value bands,
+   * PSI = Σ (p − q)·ln(p/q) with p/q the smoothed band shares — THE
+   * model-monitoring drift score (industry reading: < 0.1 stable,
+   * 0.1–0.25 moderate shift, > 0.25 shifted — emitted as `drift_flag`
+   * on every row from the ROUNDED total). Laplace-smoothed shares
+   * (count+1)/(total+B) over the B observed bands keep one-sided bands
+   * finite without dropping them — an empty current band IS the drift.
+   * Emits one row per band: (band, n_ref, n_cur, p_ref, p_cur, contrib,
+   * psi, drift_flag). Rows where the segment or value is null drop.
+   *
+   * Shapes: ONE map-side-combinable (band, segment) count agg; totals
+   * and B from one tiny agg broadcast back (the P125 scalar-row idiom);
+   * the PSI total is a window over the band frame (bounded by the band
+   * ladder, never rows — the o13 class). Cross-engine: counts are exact
+   * BIGINTs, p/q identical double sequences on them, each ln rounds
+   * at 9, contributions round at 9 and DECIMAL-sum (the libm firewall),
+   * outputs round at 6.
+   */
+  def populationStability(df: DataFrame, segCol: String, valueCol: String,
+      bandWidth: Double): DataFrame = {
+    require(bandWidth > 0,
+      s"populationStability: bandWidth must be > 0, got $bandWidth")
+    val cells = df
+      .where(col(segCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / bandWidth).cast("long").as("band"))
+      .agg(
+        sum(when(!col(segCol), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col(segCol), 1L).otherwise(0L)).as("n_cur"))
+    val tot = cells.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"), count(lit(1)).as("__b"))
+    val p = (col("n_ref") + 1).cast("double") /
+      (col("__tr") + col("__b")).cast("double")
+    val q = (col("n_cur") + 1).cast("double") /
+      (col("__tc") + col("__b")).cast("double")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells.join(broadcast(tot)) // 1-row scalar side
+      .withColumn("p_ref", p)
+      .withColumn("p_cur", q)
+      .withColumn("__contrib",
+        round((col("p_ref") - col("p_cur")) *
+          round(log(col("p_ref") / col("p_cur")), 9), 9))
+      .withColumn("psi",
+        round(sum(col("__contrib").cast("decimal(28,9)")).over(wAll)
+          .cast("double"), 6))
+      .withColumn("drift_flag",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("shifted"))
+      .select(col("band"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+        round(col("__contrib"), 6).as("contrib"),
+        col("psi"), col("drift_flag"))
+  }
+
+  /**
    * P115 — key-skew diagnostics: for each monitored column, one row of
    * distribution-shape measures over its value frequencies — row count,
    * key cardinality, heaviest-key share, top-`topK` share, Gini

@@ -620,6 +620,121 @@ object TimeSeries {
   }
 
   /**
+   * P192 — Kendall's τ-b rank correlation per key between two series
+   * columns: over all day pairs, C = concordant (both move the same
+   * way), D = discordant, and τ-b = (C − D) / √(nx·ny) with nx/ny the
+   * pair counts untied in x/y — the tie-corrected, outlier-immune
+   * completion of the correlation trio (P107 Pearson assumes linearity,
+   * P108 Spearman breaks under heavy ties; τ-b is pure pair counting).
+   * Emits (key, n_pairs, concordant, discordant, tau_b); a side with
+   * every pair tied (nx·ny = 0) → null. Same caller contract as P173:
+   * feed RESAMPLED bounded series — the pair stage is quadratic per key.
+   *
+   * Shapes: one shuffle_hash self-join on the key (da < db), one fused
+   * integer count agg. Every count is an exact BIGINT; the closing
+   * √ is IEEE-exact on identical operands, τ rounds at 6.
+   */
+  def kendallTau(points: DataFrame, keyCol: String, dayCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val a = points.select(col(keyCol).as("__k"), col(dayCol).as("__da"),
+      col(xCol).as("__xa"), col(yCol).as("__ya"))
+    val b = points.select(col(keyCol).as("__k"), col(dayCol).as("__db"),
+      col(xCol).as("__xb"), col(yCol).as("__yb"))
+    val dx = when(col("__xb") > col("__xa"), 1)
+      .when(col("__xb") < col("__xa"), -1).otherwise(0)
+    val dy = when(col("__yb") > col("__ya"), 1)
+      .when(col("__yb") < col("__ya"), -1).otherwise(0)
+    a.join(b.hint("shuffle_hash"), Seq("__k"))
+      .where(col("__da") < col("__db"))
+      .withColumn("__p", dx * dy)
+      .withColumn("__nx", when(dx =!= 0, 1L).otherwise(0L))
+      .withColumn("__ny", when(dy =!= 0, 1L).otherwise(0L))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__p") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("__p") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(col("__nx")).as("__sx"), sum(col("__ny")).as("__sy"))
+      .withColumn("tau_b",
+        when(col("__sx") > 0 && col("__sy") > 0,
+          round((col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("__sx") * col("__sy")).cast("double")), 6)))
+      .drop("__sx", "__sy")
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /**
+   * P193 — single change-point detection per key (binary segmentation,
+   * first split): the day that best divides the series into two
+   * constant-mean regimes — argmin over candidate splits of
+   * SSE_left + SSE_right, both closed-form from prefix sums
+   * (SSE = Q − S²/n), with `gain` = SSE_total − SSE_split as the
+   * "did the level actually move" effect size. The level-shift
+   * localizer beside P93's smoother, P125's CUSUM (which ASSUMES a
+   * target mean) and P150's monotone-trend test. Emits (key, n_days,
+   * change_day, sse_total, sse_split, gain); change_day is the FIRST
+   * day of the new regime; keys with < 2·minSegment days emit nothing.
+   *
+   * Shapes: prefix sums and counts in per-KEY ordered windows
+   * (partitioned — never a global order), per-key totals from one agg
+   * joined back shuffle_hash, argmin via min(struct(cost, day)) — no
+   * rank window at all. Cross-engine: v (pre-rounded at 6 by contract)
+   * scales to an EXACT micro-unit BIGINT w = v·10⁶, so S is a BIGINT
+   * sum and Q a DECIMAL(38,0) integer sum — no decimal-product scale
+   * truncation can diverge (a (19,6)² product carries 12 fractional
+   * digits, which Spark's precision cap would shave where DuckDB keeps
+   * them; integers have no such cliff). Each SSE is then one fixed
+   * double sequence on identical exact integers, descaled by 10¹² and
+   * rounded at 6; the argmin compares rounded values with a day
+   * tie-break.
+   */
+  def changePoint(points: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, minSegment: Int = 3): DataFrame = {
+    require(minSegment >= 1,
+      s"changePoint: minSegment must be >= 1, got $minSegment")
+    // exact because v carries ≤6 fractional digits: the decimal product
+    // ends .000000, so Spark's truncating cast and DuckDB's rounding
+    // cast agree
+    val w6 = (col("__v").cast("decimal(18,6)") * 1000000).cast("long")
+    val wSq = (col("__w").cast("decimal(19,0)") *
+      col("__w").cast("decimal(19,0)"))
+    val wk = Window.partitionBy(col("__k")).orderBy(col("__d"))
+    val base = points
+      .where(col(keyCol).isNotNull && col(dayCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(dayCol).as("__d"),
+        col(valueCol).as("__v"))
+      .withColumn("__w", w6)
+    val pref = base
+      .withColumn("__i", row_number().over(wk).cast("long"))
+      .withColumn("__s", sum(col("__w")).over(wk))
+      .withColumn("__q", sum(wSq).over(wk))
+      .withColumn("__next_day", lead(col("__d"), 1).over(wk))
+    val tot = base
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__w")).as("__sn"),
+        sum(wSq).as("__qn"))
+    def sse(q: Column, s: Column, n: Column): Column =
+      q.cast("double") -
+        s.cast("double") * s.cast("double") / n.cast("double")
+    val cand = pref
+      .join(tot.hint("shuffle_hash"), Seq("__k"))
+      .where(col("__i") >= minSegment && col("__i") <= col("__n") - minSegment)
+      .withColumn("__sse_total",
+        round(sse(col("__qn"), col("__sn"), col("__n")) / 1.0e12, 6))
+      .withColumn("__cost",
+        round((sse(col("__q"), col("__s"), col("__i")) +
+          sse(col("__qn") - col("__q"), col("__sn") - col("__s"),
+            col("__n") - col("__i"))) / 1.0e12, 6))
+    cand.groupBy(col("__k"))
+      .agg(min(struct(col("__cost"), col("__next_day"))).as("__bs"),
+        max(col("__n")).as("n_days"), max(col("__sse_total")).as("sse_total"))
+      .select(col("__k").as(keyCol), col("n_days"),
+        col("__bs.__next_day").as("change_day"), col("sse_total"),
+        col("__bs.__cost").as("sse_split"))
+      .withColumn("gain", round(col("sse_total") - col("sse_split"), 6))
+  }
+
+  /**
    * P165 — seasonal-naive forecast backtest: forecast(day) =
    * value(day − `lagDays`) by CALENDAR join (never a row lag — gapped
    * series would silently shift), scored per key with MAE, MAPE (over

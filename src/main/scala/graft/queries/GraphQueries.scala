@@ -54,6 +54,15 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // P188 — local clustering coefficient over the same co-purchase
+    // graph: cc = 2·tri/(deg·(deg−1)) per node with deg ≥ 2; the oracle
+    // recomputes both moments by plain id-order identity
+    "gr7_clustercoef" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
+        .orderBy("node")
+    }),
+
     // P124 — top-50 Adamic-Adar link predictions over the co-purchase
     // graph: non-adjacent part pairs with ≥ 3 common neighbors, centers
     // capped at degree 90 (hub fan-out discipline; this graph's degree
@@ -213,6 +222,37 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM t)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the gr2 triangle identity + the canonical degree agg; cc is one
+    // double division of exact BIGINTs, rounded at 6
+    "gr7_clustercoef" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT a AS node FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t),
+        |tri AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+        |  FROM nodes GROUP BY 1)
+        |SELECT d.node, d.deg,
+        |  CAST(coalesce(tri.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+        |  round(2.0e0 * CAST(coalesce(tri.tri_cnt, 0) AS DOUBLE) /
+        |    CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS cc
+        |FROM deg d LEFT JOIN tri ON tri.node = d.node
+        |WHERE d.deg >= 2
+        |ORDER BY d.node""".stripMargin,
 
     // the same center-capped wedge enumeration with a NOT EXISTS
     // anti-join; ranking on the rounded score with (u, v) tie-break

@@ -382,6 +382,57 @@ object OlapQueries {
         table(s, dir, "customer"), "c_custkey", samplePct = 30)
     }),
 
+    // P190 — Cramér's V over the o13 contingency (event type × value
+    // band): the effect-size reading χ² alone can't give
+    "o42_cramersv" -> ((s, dir) => {
+      graft.operators.Features.cramersV(
+        graft.Graft.events(s, dir).select(col("event_type"),
+          floor(col("value") / 50).cast("long").as("band")),
+        "event_type", "band")
+    }),
+
+    // P192 — Kendall τ-b per event type between the daily mean value
+    // and the daily event count: do busy days run hot?
+    "o43_kendall" -> ((s, dir) => {
+      val d = graft.Graft.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("v"),
+          count(lit(1)).as("n"))
+      graft.operators.TimeSeries.kendallTau(d, "event_type", "day", "v", "n")
+        .orderBy("event_type")
+    }),
+
+    // P191 — Poisson-bootstrap 95% CI for the mean order value: 32
+    // deterministic hash resamples, R-7 percentile band
+    "o44_bootstrap" -> ((s, dir) => {
+      graft.operators.Features.bootstrapMeanCI(
+        table(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey", "o_totalprice", resamples = 32)
+    }),
+
+    // P193 — single change-point per event type over the daily mean
+    // series: the best two-regime split day and its variance gain
+    "o45_changepoint" -> ((s, dir) => {
+      graft.operators.TimeSeries.changePoint(
+          dailyMeans(s, dir), "event_type", "day", "v", minSegment = 3)
+        .orderBy("event_type")
+    }),
+
+    // P189 — PSI drift of the event value distribution, first half of
+    // the month (ref) vs the rest (cur), 25-wide bands
+    "dq9_psi" -> ((s, dir) => {
+      graft.operators.Profiling.populationStability(
+          graft.Graft.events(s, dir)
+            .where(col("ts").isNotNull)
+            .select((col("ts") >=
+              lit("2024-01-16 00:00:00").cast("timestamp")).as("cur"),
+              col("value")),
+          "cur", "value", bandWidth = 25.0)
+        .orderBy("band")
+    }),
+
     // P180 — anomalous-days pipeline: o32's residuals screened by o10's
     // MAD modified-z at 2.5 — two verified stages composed lazily
     "pipe6_anomaly" -> ((s, dir) => {
@@ -1631,6 +1682,197 @@ object OlapQueries {
         |    / CAST(m + 1 AS DOUBLE) - 1.0e0, 2) AS est_chapman,
         |  n_true
         |FROM m""".stripMargin,
+
+    // the o13 cell/margin/contrib replay closed by one agg; V reads the
+    // 6-rounded chi2 and exact BIGINT n·min(r−1, c−1)
+    "o42_cramersv" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, band, o,
+        |    CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+        |    CAST(SUM(o) OVER (PARTITION BY band) AS BIGINT) AS col_n,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |x AS (
+        |  SELECT *, CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) /
+        |            CAST(n AS DOUBLE) AS e_raw
+        |  FROM m),
+        |c AS (
+        |  SELECT *, round((CAST(o AS DOUBLE) - e_raw) *
+        |                  (CAST(o AS DOUBLE) - e_raw) / e_raw, 9) AS contrib9
+        |  FROM x),
+        |agg AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(contrib9 AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |      AS chi2
+        |  FROM c),
+        |lv AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ra,
+        |              CAST(COUNT(DISTINCT band) AS BIGINT) AS cb FROM cells)
+        |SELECT agg.n AS n, CAST((lv.ra - 1) * (lv.cb - 1) AS BIGINT) AS dof,
+        |  lv.ra AS ra, lv.cb AS cb, agg.chi2 AS chi2,
+        |  CASE WHEN least(lv.ra, lv.cb) > 1 THEN
+        |    round(sqrt(agg.chi2 /
+        |      CAST(agg.n * (least(lv.ra, lv.cb) - 1) AS DOUBLE)), 6) END AS v
+        |FROM agg CROSS JOIN lv""".stripMargin,
+
+    // pairwise sign counts on the 6-rounded daily means and exact daily
+    // counts; every aggregate an explicit BIGINT, one closing sqrt
+    "o43_kendall" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS dx,
+        |    CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS dy
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+        |    CAST(SUM(CASE WHEN dx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS sx,
+        |    CAST(SUM(CASE WHEN dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS sy
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n_pairs, cc AS concordant, dd AS discordant,
+        |  CASE WHEN sx > 0 AND sy > 0 THEN
+        |    round(CAST(cc - dd AS DOUBLE) / sqrt(CAST(sx * sy AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // the micro-unit integer-moment replay: w = v·10⁶ exact BIGINT,
+    // S BIGINT / Q DECIMAL(38,0) prefix sums, one double SSE sequence
+    // descaled by 1e12, argmin by (cost, day)
+    "o45_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wv AS (
+        |  SELECT event_type, day,
+        |    CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w
+        |  FROM daily),
+        |pref AS (
+        |  SELECT event_type, day, w,
+        |    CAST(row_number() OVER win AS BIGINT) AS i,
+        |    CAST(SUM(w) OVER win AS BIGINT) AS s,
+        |    SUM(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)))
+        |      OVER win AS q,
+        |    lead(day, 1) OVER win AS next_day
+        |  FROM wv WINDOW win AS (PARTITION BY event_type ORDER BY day)),
+        |tot AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(w) AS BIGINT) AS sn,
+        |    SUM(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))) AS qn
+        |  FROM wv GROUP BY 1),
+        |cand AS (
+        |  SELECT p.event_type, p.next_day, t.n,
+        |    round((CAST(t.qn AS DOUBLE) - CAST(t.sn AS DOUBLE) *
+        |        CAST(t.sn AS DOUBLE) / CAST(t.n AS DOUBLE)) / 1.0e12, 6)
+        |      AS sse_total,
+        |    round(((CAST(p.q AS DOUBLE) - CAST(p.s AS DOUBLE) *
+        |        CAST(p.s AS DOUBLE) / CAST(p.i AS DOUBLE)) +
+        |      (CAST(t.qn - p.q AS DOUBLE) - CAST(t.sn - p.s AS DOUBLE) *
+        |        CAST(t.sn - p.s AS DOUBLE) / CAST(t.n - p.i AS DOUBLE)))
+        |      / 1.0e12, 6) AS cost
+        |  FROM pref p JOIN tot t ON t.event_type = p.event_type
+        |  WHERE p.i >= 3 AND p.i <= t.n - 3),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cost, next_day) AS rn
+        |  FROM cand)
+        |SELECT event_type, n AS n_days, next_day AS change_day,
+        |  sse_total, cost AS sse_split, round(sse_total - cost, 6) AS gain
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // the smoothed-share PSI replay: exact BIGINT band counts, ln at 9,
+    // contributions at 9 DECIMAL-summed, flags read the ROUNDED total
+    "dq9_psi" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor(value / 25.0e0) AS BIGINT) AS band,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+        |    CAST(SUM(n_cur) AS BIGINT) AS tc,
+        |    CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM cells),
+        |x AS (
+        |  SELECT band, n_ref, n_cur,
+        |    CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE) AS p,
+        |    CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE) AS q
+        |  FROM cells CROSS JOIN t),
+        |c AS (
+        |  SELECT *, round((p - q) * round(ln(p / q), 9), 9) AS contrib9
+        |  FROM x),
+        |s AS (
+        |  SELECT round(CAST(SUM(CAST(contrib9 AS DECIMAL(28,9)))
+        |    AS DOUBLE), 6) AS psi
+        |  FROM c)
+        |SELECT band, n_ref, n_cur,
+        |  round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+        |  round(contrib9, 6) AS contrib, s.psi AS psi,
+        |  CASE WHEN s.psi < 0.1e0 THEN 'stable'
+        |       WHEN s.psi < 0.25e0 THEN 'moderate'
+        |       ELSE 'shifted' END AS drift_flag
+        |FROM c CROSS JOIN s ORDER BY band""".stripMargin,
+
+    // the boot:b:id hash-multiplicity replay against the shared
+    // Poisson(1) CDF ladder literals; R-7 quantiles on 6-rounded means
+    "o44_bootstrap" -> {
+      val cdf = graft.operators.Features.poissonCdfLiterals(5)
+      val kExpr = cdf.map(c => s"(CASE WHEN u > $c THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val bVals = (0 until 32).map(i => s"($i)").mkString(", ")
+      s"""WITH b(b) AS (VALUES $bVals),
+         |r AS (
+         |  SELECT b.b, o.o_totalprice AS v,
+         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+         |        FOR ch IN string_split(substr(md5('boot:' ||
+         |          CAST(b.b AS VARCHAR) || ':' ||
+         |          CAST(o.o_orderkey AS VARCHAR)), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) AS hv
+         |  FROM orders o CROSS JOIN b
+         |  WHERE o.o_orderkey IS NOT NULL AND o.o_totalprice IS NOT NULL),
+         |kk AS (
+         |  SELECT b, v,
+         |    CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0 AS u
+         |  FROM r),
+         |k2 AS (SELECT b, v, CAST($kExpr AS BIGINT) AS k FROM kk),
+         |means AS (
+         |  SELECT b, CAST(SUM(k) AS BIGINT) AS m,
+         |    SUM(CAST(CAST(v AS DECIMAL(18,6)) * k AS DECIMAL(28,6))) AS sw
+         |  FROM k2 GROUP BY b),
+         |mm AS (
+         |  SELECT round(CAST(sw AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mean_b
+         |  FROM means WHERE m > 0),
+         |f AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE), 6) AS mean_full
+         |  FROM orders
+         |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+         |ci AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+         |    round(quantile_cont(mean_b, 0.025e0), 6) AS ci_lo,
+         |    round(quantile_cont(mean_b, 0.975e0), 6) AS ci_hi
+         |  FROM mm)
+         |SELECT f.n_rows, f.mean_full, ci.n_resamples, ci.ci_lo, ci.ci_hi
+         |FROM f CROSS JOIN ci""".stripMargin
+    },
 
     // the o32 residual chain closed by the o10 med/MAD replay at 2.5
     "pipe6_anomaly" ->

@@ -496,5 +496,39 @@ class FeaturesSpec extends SparkSpec {
     val got = Features.skyline2D(pts, "x", "y", "id")
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 4L))
+    // shard count must not change the frontier (two-phase = global pass)
+    val one = Features.skyline2D(pts, "x", "y", "id", localShards = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == got)
+  }
+
+  test("cramersV: perfect association on observed cells, degenerate null") {
+    import spark.implicits._
+    // 2×2 with only the diagonal observed: chi2 = 2 over 4 rows,
+    // V = sqrt(2 / (4·1)) = 0.707107 (observed-cell semantics, as o13)
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L)).toDF("a", "b")
+    val r = Features.cramersV(df, "a", "b").head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)       // n, dof
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)       // ra, cb
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 0.707107)
+    // one-level side → no defined V
+    val flat = Seq(("A", 1L), ("A", 2L)).toDF("a", "b")
+    assert(Features.cramersV(flat, "a", "b").head.isNullAt(5))
+  }
+
+  test("bootstrapMeanCI: constant data pins the band, CI brackets") {
+    import spark.implicits._
+    val const = (1 to 100).map(i => (i.toLong, 7.5)).toDF("id", "v")
+    val r = Features.bootstrapMeanCI(const, "id", "v").head
+    assert(r.getLong(0) == 100L && r.getDouble(1) == 7.5)
+    assert(r.getLong(2) == 32L)
+    assert(r.getDouble(3) == 7.5 && r.getDouble(4) == 7.5)
+    // varied data: lo ≤ full mean ≤ hi, band strictly inside the range
+    val varied = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val v = Features.bootstrapMeanCI(varied, "id", "v").head
+    assert(v.getDouble(3) <= v.getDouble(1) && v.getDouble(1) <= v.getDouble(4))
+    assert(v.getDouble(3) > 1.0 && v.getDouble(4) < 200.0)
+    intercept[IllegalArgumentException](
+      Features.bootstrapMeanCI(const, "id", "v", resamples = 1))
   }
 }

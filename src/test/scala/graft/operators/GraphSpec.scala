@@ -71,6 +71,30 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(path, "s", "d").count() == 0)
   }
 
+  test("clusteringCoefficient: cliques are 1, bridges 0, deg-1 excluded") {
+    // K4 complete: every node deg 3, 3 triangles → cc = 2·3/(3·2) = 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val full = Graph.clusteringCoefficient(k4, "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(full == Map(1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)),
+      3L -> ((3L, 3L, 1.0)), 4L -> ((3L, 3L, 1.0))))
+    // path a-b-c: the center has deg 2 and no triangle → cc 0;
+    // the endpoints (deg 1) are excluded entirely
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val ctr = Graph.clusteringCoefficient(path, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ctr == Map(2L -> 0.0))
+    // triangle + pendant: node 1 has deg 3 (neighbors 2,3,4), 1 triangle
+    // → cc = 2/(3·2) = 0.333333
+    val pend = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("s", "d")
+    val got = Graph.clusteringCoefficient(pend, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.333333 && got(2L) == 1.0 && got(3L) == 1.0)
+    assert(!got.contains(4L)) // deg 1
+  }
+
   test("adamicAdar: 1/ln weights, adjacency exclusion, degree cap") {
     // centers 10 (deg 3) and 20 (deg 2); 1-2 share both, 1-3/2-3 only 10
     val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L))

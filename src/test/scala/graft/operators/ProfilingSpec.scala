@@ -169,4 +169,24 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profiling.acceptedValues(df, "st", Nil))
   }
+
+  test("populationStability: identical shares are stable, a flip is shifted") {
+    // same per-band counts on both segments → every contrib 0, psi 0
+    val same = Seq.tabulate(40) { i =>
+      (i % 2 == 0, if (i % 4 < 2) 10.0 else 30.0) }.toDF("cur", "v")
+    val s = Profiling.populationStability(same, "cur", "v", bandWidth = 25.0)
+      .orderBy("band").collect()
+    assert(s.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(s.forall(r => r.getDouble(6) == 0.0 && r.getString(7) == "stable"))
+    assert(s.forall(r => r.getDouble(3) == r.getDouble(4)))
+    // total distribution flip: ref all band 0, cur all band 1 → far
+    // past the 0.25 industry bar
+    val flip = (Seq.fill(20)((false, 10.0)) ++ Seq.fill(20)((true, 40.0)))
+      .toDF("cur", "v")
+    val f = Profiling.populationStability(flip, "cur", "v", bandWidth = 25.0)
+      .collect()
+    assert(f.forall(r => r.getString(7) == "shifted" && r.getDouble(6) > 0.25))
+    intercept[IllegalArgumentException](
+      Profiling.populationStability(same, "cur", "v", bandWidth = 0.0))
+  }
 }

@@ -504,4 +504,45 @@ class TimeSeriesSpec extends SparkSpec {
         "k", "day", "v"), "k").head
     assert(f.isNullAt(2))
   }
+
+  test("kendallTau: ±1 on monotone relations, tie side nulls out") {
+    import java.sql.Date
+    val days = (1 to 4).map(d => Date.valueOf(f"2024-01-$d%02d"))
+    val up = days.zipWithIndex.map { case (d, i) =>
+      ("u", d, i.toDouble, (i * 10).toDouble) }          // y rises with x
+    val down = days.zipWithIndex.map { case (d, i) =>
+      ("d", d, i.toDouble, (30 - i * 10).toDouble) }     // y falls as x rises
+    val tied = days.zipWithIndex.map { case (d, i) =>
+      ("t", d, 5.0, i.toDouble) }                        // x constant
+    val got = TimeSeries.kendallTau(
+        (up ++ down ++ tied).toDF("k", "day", "x", "y"), "k", "day", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    assert(got("u") == ((6L, 6L, 0L, 1.0)))
+    assert(got("d") == ((6L, 0L, 6L, -1.0)))
+    assert(got("t")._4 == null)
+  }
+
+  test("changePoint finds the level shift and its SSE gain exactly") {
+    import java.sql.Date
+    // 1,1,1 → 5,5,5: the only minSegment=3 candidate is the true split;
+    // scaled-integer moments make the SSEs exact: total 24, split 0
+    val days = (1 to 6).map(d => Date.valueOf(f"2024-01-$d%02d"))
+    val vals = Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0)
+    val df = days.zip(vals).map { case (d, v) => ("k", d, v) }
+      .toDF("k", "day", "v")
+    val r = TimeSeries.changePoint(df, "k", "day", "v", minSegment = 3).head
+    assert(r.getLong(1) == 6L)                              // n_days
+    assert(r.getDate(2) == Date.valueOf("2024-01-04"))      // change_day
+    assert(r.getDouble(3) == 24.0 && r.getDouble(4) == 0.0) // sse
+    assert(r.getDouble(5) == 24.0)                          // gain
+    // among several candidates the argmin picks the best split, ties on
+    // the earlier day; too-short series emit nothing
+    val short = days.take(4).zip(vals.take(4)).map { case (d, v) =>
+      ("k", d, v) }.toDF("k", "day", "v")
+    assert(TimeSeries.changePoint(short, "k", "day", "v", 3).count() == 0)
+    intercept[IllegalArgumentException](
+      TimeSeries.changePoint(df, "k", "day", "v", minSegment = 0))
+  }
 }
