@@ -402,6 +402,51 @@ object Features {
   }
 
   /**
+   * P196 — Tukey boxplot fences per group: Q1/Q3 (exact R-7
+   * percentiles), IQR, the k·IQR whiskers and the count of points
+   * beyond each — the classic distribution-shape outlier screen read
+   * beside P87's MAD (which assumes symmetry around the median; Tukey's
+   * quartile frame tolerates skew). Emits (key, n, q1, q3, iqr, lo, hi,
+   * n_low, n_high).
+   *
+   * Shapes: one percentile agg per key (exact — keeps a group's values
+   * in memory, the o5 caveat: at 100 TB switch to approx_percentile),
+   * fences joined back shuffle_hash, one conditional count agg.
+   * Cross-engine: quantiles round at 4 (the o5 interpolation-slack
+   * rule); the fence arithmetic then runs ENTIRELY in DECIMAL on the
+   * 4-rounded quartiles (a double round of `q1 − 1.5·iqr` sat on a
+   * half-ulp boundary on real data — the gr1 shortest-string vs
+   * exact-binary rounding split; exact decimals cannot), `k` read at 4
+   * decimals; the comparisons read raw values against the identical
+   * fence doubles.
+   */
+  def tukeyFences(df: DataFrame, keyCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(k > 0, s"tukeyFences: k must be > 0, got $k")
+    val kd = lit(new java.math.BigDecimal(k)
+      .setScale(4, java.math.RoundingMode.HALF_UP))
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+    val fences = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(__v, 0.25)"), 4).as("q1"),
+        round(expr("percentile(__v, 0.75)"), 4).as("q3"))
+      .withColumn("__q1d", col("q1").cast("decimal(18,4)"))
+      .withColumn("__q3d", col("q3").cast("decimal(18,4)"))
+      .withColumn("__iqrd", col("__q3d") - col("__q1d"))
+      .withColumn("iqr", col("__iqrd").cast("double"))
+      .withColumn("lo", (col("__q1d") - kd * col("__iqrd")).cast("double"))
+      .withColumn("hi", (col("__q3d") + kd * col("__iqrd")).cast("double"))
+      .drop("__q1d", "__q3d", "__iqrd")
+    base.join(fences.hint("shuffle_hash"), Seq("__k"))
+      .groupBy(col("__k"), col("n"), col("q1"), col("q3"), col("iqr"),
+        col("lo"), col("hi"))
+      .agg(sum(when(col("__v") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("__v") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /**
    * P102 — Mann–Whitney U rank-sum test between two groups of a value
    * column (normal approximation with tie correction): U from pooled
    * average ranks, z = (U_A − n_A·n_B/2) / σ with

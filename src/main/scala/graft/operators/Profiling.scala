@@ -153,6 +153,43 @@ object Profiling {
   }
 
   /**
+   * P195 — candidate-key audit: for each monitored column, one row of
+   * (column, n_rows, n_nonnull, n_distinct, dup_rate, is_key) — the
+   * primary-key discovery + uniqueness-contract check (dbt `unique`)
+   * in ONE scan: is_key iff the column is non-null everywhere and every
+   * value distinct. dup_rate = (n_nonnull − n_distinct)/n_nonnull over
+   * the non-null rows (null-rate is P149's column_tests' job).
+   *
+   * Shape: a single agg computing count + per-column exact distincts
+   * (Catalyst expands multi-distinct into one pass with an Expand —
+   * bounded by the monitored-column count), unpivoted to rows by
+   * stack() on the 1-row frame. Exact BIGINTs; rate rounds at 6.
+   */
+  def candidateKeys(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "candidateKeys: at least one column")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"candidateKeys: no such column '$c'"))
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c => s"'$c', __nn_$c, __nd_$c").mkString(", ")
+    one.select(col("__n").as("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) " +
+          "AS (column_name, n_nonnull, n_distinct)"))
+      .withColumn("dup_rate",
+        when(col("n_nonnull") > 0,
+          round((col("n_nonnull") - col("n_distinct")).cast("double") /
+            col("n_nonnull").cast("double"), 6)))
+      .withColumn("is_key",
+        col("n_nonnull") === col("n_rows") &&
+          col("n_distinct") === col("n_rows"))
+      .select("column_name", "n_rows", "n_nonnull", "n_distinct", "dup_rate",
+        "is_key")
+  }
+
+  /**
    * P115 — key-skew diagnostics: for each monitored column, one row of
    * distribution-shape measures over its value frequencies — row count,
    * key cardinality, heaviest-key share, top-`topK` share, Gini

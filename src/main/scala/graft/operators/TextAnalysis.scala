@@ -1054,4 +1054,40 @@ object TextAnalysis {
         round(lit(0.5) * sum(col("__tp")).cast("double") +
           lit(0.5) * sum(col("__tq")).cast("double"), 6).as("jsd"))
   }
+
+  /**
+   * P197 — Simpson diversity per corpus slice: D = Σ nᵢ(nᵢ−1)/(N(N−1))
+   * over token frequencies — the probability two tokens drawn without
+   * replacement coincide — plus effective vocabulary 1/D ("this slice
+   * behaves like a uniform corpus over 1/D tokens"). The concentration
+   * complement to P116's entropy: entropy weights the tail, Simpson the
+   * head, so a boilerplate-flooded slice shows a LOW 1/D long before
+   * entropy moves. Emits (key, n_tokens, vocab, simpson, eff_vocab);
+   * single-token slices → null D.
+   *
+   * Shapes: one (key, token) count agg + one keyed agg — map-side
+   * combinable end to end, no windows. All moments exact BIGINTs
+   * (nᵢ(nᵢ−1) ≤ N² ≪ 2⁶² for any slice a diversity read makes sense
+   * on); D and 1/D are double divisions rounded at 6, 1/D reading the
+   * ROUNDED D.
+   */
+  def simpsonDiversity(docs: DataFrame, keyCol: String,
+      textCol: String): DataFrame = {
+    val freq = docs
+      .where(col(keyCol).isNotNull && col(textCol).isNotNull)
+      .select(col(keyCol).as("__k"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__k"), col("__t")).agg(count(lit(1)).as("__c"))
+    freq.groupBy(col("__k"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("__c") * (col("__c") - 1)).as("__num"))
+      .withColumn("simpson",
+        when(col("n_tokens") > 1,
+          round(col("__num").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)).cast("double"), 6)))
+      .withColumn("eff_vocab",
+        when(col("simpson") > 0, round(lit(1.0) / col("simpson"), 6)))
+      .drop("__num")
+      .withColumnRenamed("__k", keyCol)
+  }
 }

@@ -735,6 +735,37 @@ object TimeSeries {
   }
 
   /**
+   * P194 — time-to-convert: per key, the epoch micros of the FIRST
+   * `fromType` event and of the first `toType` event STRICTLY after it,
+   * with the gap in hours — the conversion-latency distribution behind
+   * funnel SLAs ("how long from signup to first purchase"), feeding
+   * P78's funnel depth with the "how fast" dimension. Keys that never
+   * convert after their first exposure emit nothing (count them from
+   * the P78 side). Strict `>` matches the funnel's tie rule.
+   *
+   * Shapes: one keyed min agg for the exposure, one shuffle_hash join
+   * back, one keyed min for the conversion — all map-side combinable.
+   * Exact integer micros; hours is one double division rounded at 6.
+   */
+  def timeToConvert(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    require(fromType != toType, "timeToConvert: types must differ")
+    val firstFrom = events
+      .where(col(typeCol) === fromType && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(expr(s"unix_micros(`$tsCol`)")).as("from_us"))
+    events
+      .where(col(typeCol) === toType && col(keyCol).isNotNull)
+      .select(col(keyCol), expr(s"unix_micros(`$tsCol`)").as("__t"))
+      .join(firstFrom.hint("shuffle_hash"), Seq(keyCol.toString))
+      .where(col("__t") > col("from_us"))
+      .groupBy(col(keyCol), col("from_us"))
+      .agg(min(col("__t")).as("conv_us"))
+      .withColumn("hours",
+        round((col("conv_us") - col("from_us")).cast("double") / 3.6e9, 6))
+  }
+
+  /**
    * P165 — seasonal-naive forecast backtest: forecast(day) =
    * value(day − `lagDays`) by CALENDAR join (never a row lag — gapped
    * series would silently shift), scored per key with MAE, MAPE (over

@@ -79,4 +79,68 @@ object ZOrder {
       .repartitionByRange(numPartitions, col("__zorder"))
       .sortWithinPartitions(col("__zorder"))
       .drop("__zorder")
+
+  /**
+   * P198 — covering Hilbert index ranges for an axis-aligned query box:
+   * the index-side half of a 2-D range scan. A box over quantized
+   * coordinates is answered by a SET of contiguous [[hilbertValue]]
+   * intervals; against a Hilbert-clustered layout (P96 + P127 zone
+   * maps) those intervals ARE the row groups to read — everything else
+   * skips without decoding. Driver-side quadtree descent: a quadrant
+   * disjoint from the box prunes, one fully inside emits its whole
+   * interval, a straddler recurses until `maxDepth`, where its full
+   * interval is emitted (a SUPERSET — callers re-apply the exact box
+   * predicate, so correctness never depends on depth; depth only trades
+   * range count against read amplification). Adjacent intervals merge.
+   *
+   * Every aligned 2^k square holds one CONTIGUOUS index block entered
+   * and exited at cell corners (the curve is a rotated/reflected copy
+   * of itself in each quadrant), so the block is [min over the 4 corner
+   * indices, min + side² − 1] — asserted against the max corner.
+   */
+  def hilbertRanges(bits: Int, xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+      maxDepth: Int = 8): Seq[(Long, Long)] = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"hilbertRanges: 2 × $bits bits exceeds the 62-bit budget")
+    require(maxDepth >= 1, s"hilbertRanges: maxDepth must be >= 1")
+    val n = 1L << bits
+    require(xLo >= 0 && yLo >= 0 && xHi < n && yHi < n &&
+      xLo <= xHi && yLo <= yHi,
+      s"hilbertRanges: box [$xLo,$xHi]×[$yLo,$yHi] outside the $bits-bit grid")
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def corners(qx: Long, qy: Long, side: Long): Seq[Long] =
+      Seq((qx, qy), (qx + side - 1, qy), (qx, qy + side - 1),
+        (qx + side - 1, qy + side - 1))
+        .map { case (cx, cy) => graft.expressions.LayoutEval.xy2d(bits, cx, cy) }
+    def rec(depth: Int, qx: Long, qy: Long, side: Long): Unit = {
+      if (qx > xHi || qx + side - 1 < xLo || qy > yHi || qy + side - 1 < yLo)
+        return // disjoint
+      val inside = qx >= xLo && qx + side - 1 <= xHi &&
+        qy >= yLo && qy + side - 1 <= yHi
+      if (inside || side == 1L || depth >= maxDepth) {
+        val cs = corners(qx, qy, side)
+        val lo = cs.min
+        assert(cs.max == lo + side * side - 1,
+          s"hilbertRanges: non-contiguous quadrant block at ($qx,$qy,$side)")
+        out += ((lo, lo + side * side - 1))
+      } else {
+        val h = side / 2
+        rec(depth + 1, qx, qy, h); rec(depth + 1, qx + h, qy, h)
+        rec(depth + 1, qx, qy + h, h); rec(depth + 1, qx + h, qy + h, h)
+      }
+    }
+    rec(0, 0L, 0L, n)
+    out.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((plo, phi) :: rest, (lo, hi)) if lo <= phi + 1 =>
+        (plo, math.max(phi, hi)) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+  }
+
+  /** The [[hilbertRanges]] set as one pushable Column predicate over a
+    * precomputed Hilbert index column. */
+  def hilbertRangePredicate(h: Column, ranges: Seq[(Long, Long)]): Column = {
+    require(ranges.nonEmpty, "hilbertRangePredicate: empty range set")
+    ranges.map { case (lo, hi) => h.between(lo, hi) }.reduce(_ || _)
+  }
 }

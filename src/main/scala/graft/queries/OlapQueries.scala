@@ -420,6 +420,41 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P196 — Tukey fences per event type: exact R-7 quartiles, 1.5·IQR
+    // whiskers, outlier counts beyond each
+    "o46_tukey" -> ((s, dir) => {
+      graft.operators.Features.tukeyFences(
+          graft.Graft.events(s, dir).select("event_type", "value"),
+          "event_type", "value")
+        .orderBy("event_type")
+    }),
+
+    // P195 — candidate-key audit over orders: o_orderkey is the key,
+    // the others carry duplicates — one scan, exact distincts
+    "dq10_keys" -> ((s, dir) => {
+      graft.operators.Profiling.candidateKeys(table(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .orderBy("column_name")
+    }),
+
+    // P198 — Hilbert covering ranges for the box qx∈[100,399],
+    // qy∈[200,599] on the z2 grid: the range pre-filter + the exact box
+    // predicate must equal the plain box scan (the oracle) — an
+    // under-covering range set would DROP rows and fail the hash
+    "z7_hilbert_ranges" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val x = pmod(col("o_custkey"), lit(1024)).cast("long")
+      val y = pmod(col("o_orderkey"), lit(1024)).cast("long")
+      val ranges = graft.operators.ZOrder.hilbertRanges(
+        10, 100L, 399L, 200L, 599L, maxDepth = 8)
+      o.select(col("o_orderkey"), x.as("qx"), y.as("qy"),
+          graft.operators.ZOrder.hilbertValue(10, x, y).as("__h"))
+        .where(graft.operators.ZOrder.hilbertRangePredicate(col("__h"), ranges) &&
+          col("qx").between(100, 399) && col("qy").between(200, 599))
+        .select("o_orderkey", "qx", "qy")
+        .orderBy("o_orderkey")
+    }),
+
     // P189 — PSI drift of the event value distribution, first half of
     // the month (ref) vs the rest (cur), 25-wide bands
     "dq9_psi" -> ((s, dir) => {
@@ -1792,6 +1827,69 @@ object OlapQueries {
         |SELECT event_type, n AS n_days, next_day AS change_day,
         |  sse_total, cost AS sse_split, round(sse_total - cost, 6) AS gain
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // R-7 quartiles at the o5 4-rounding; fence arithmetic entirely in
+    // DECIMAL on the rounded quartiles (a double round of q1 − 1.5·iqr
+    // hit a half-ulp boundary on this data), counts compare raw values
+    "o46_tukey" ->
+      """WITH b AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |f AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    round(quantile_cont(value, 0.25e0), 4) AS q1,
+        |    round(quantile_cont(value, 0.75e0), 4) AS q3
+        |  FROM b GROUP BY 1),
+        |f2 AS (SELECT *, CAST(q1 AS DECIMAL(18,4)) AS q1d,
+        |              CAST(q3 AS DECIMAL(18,4)) AS q3d FROM f),
+        |fi AS (SELECT *, (q3d - q1d) AS iqrd FROM f2),
+        |f3 AS (SELECT event_type, n, q1, q3,
+        |    CAST(iqrd AS DOUBLE) AS iqr,
+        |    CAST(q1d - CAST(1.5 AS DECIMAL(5,4)) * iqrd AS DOUBLE) AS lo,
+        |    CAST(q3d + CAST(1.5 AS DECIMAL(5,4)) * iqrd AS DOUBLE) AS hi
+        |  FROM fi)
+        |SELECT f3.event_type AS event_type, n, q1, q3, iqr, lo, hi,
+        |  CAST(SUM(CASE WHEN b.value < f3.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(SUM(CASE WHEN b.value > f3.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high
+        |FROM b JOIN f3 ON f3.event_type = b.event_type
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7
+        |ORDER BY f3.event_type""".stripMargin,
+
+    // one fused count/exact-distinct pass unpivoted to rows
+    "dq10_keys" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(o_orderkey) AS BIGINT) AS nn1,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+        |    CAST(COUNT(o_custkey) AS BIGINT) AS nn2,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+        |    CAST(COUNT(o_orderstatus) AS BIGINT) AS nn3,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'o_orderkey' AS column_name, n_rows,
+        |    nn1 AS n_nonnull, nd1 AS n_distinct FROM m
+        |  UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2 FROM m
+        |  UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3 FROM m)
+        |SELECT column_name, n_rows, n_nonnull, n_distinct,
+        |  CASE WHEN n_nonnull > 0 THEN
+        |    round(CAST(n_nonnull - n_distinct AS DOUBLE) /
+        |      CAST(n_nonnull AS DOUBLE), 6) END AS dup_rate,
+        |  (n_nonnull = n_rows AND n_distinct = n_rows) AS is_key
+        |FROM u ORDER BY column_name""".stripMargin,
+
+    // the plain box scan — the covering ranges plus the exact predicate
+    // must reproduce it row for row (identity proof)
+    "z7_hilbert_ranges" ->
+      """SELECT o_orderkey,
+        |  CAST(o_custkey % 1024 AS BIGINT) AS qx,
+        |  CAST(o_orderkey % 1024 AS BIGINT) AS qy
+        |FROM orders
+        |WHERE (o_custkey % 1024) BETWEEN 100 AND 399
+        |  AND (o_orderkey % 1024) BETWEEN 200 AND 599
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the smoothed-share PSI replay: exact BIGINT band counts, ln at 9,
     // contributions at 9 DECIMAL-summed, flags read the ROUNDED total

@@ -101,6 +101,15 @@ object SemiStructuredQueries {
         .orderBy("error_id", "purch_id")
     }),
 
+    // P194 — view → purchase conversion latency: first view, first
+    // strictly-later purchase, gap in hours; the "how fast" companion
+    // to q7's funnel depth
+    "q18_timetoconvert" -> ((s, dir) => {
+      TimeSeries.timeToConvert(events(s, dir), "user_id", "ts",
+          "event_type", "view", "purchase")
+        .orderBy("user_id")
+    }),
+
     // P78 — sequential funnel signup → view → click → purchase: greedy
     // earliest-timestamp chain per user, strictly increasing; the oracle
     // replays each step's conditional MIN left-join exactly
@@ -255,6 +264,22 @@ object SemiStructuredQueries {
         |            WHEN t_view IS NOT NULL THEN 2
         |            ELSE 1 END AS INT) AS funnel_depth
         |FROM s4 ORDER BY user_id""".stripMargin,
+
+    // first-view/first-later-purchase min chain; exact epoch micros,
+    // one closing double division
+    "q18_timetoconvert" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS from_us FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, v.from_us, MIN(epoch_us(e.ts)) AS conv_us
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.from_us
+        |  GROUP BY 1, 2)
+        |SELECT user_id, from_us, conv_us,
+        |  round(CAST(conv_us - from_us AS DOUBLE) / 3600000000.0e0, 6)
+        |    AS hours
+        |FROM c ORDER BY user_id""".stripMargin,
 
     // product limit via exp(Σ ln) with each ln rounded at 9 and
     // DECIMAL-summed (the libm firewall); d = n steps clamp at 2^-56

@@ -255,6 +255,14 @@ object TextQueries {
       TextAnalysis.zipfFit(table(s, dir, "documents"), "text", maxRank = 500)
     }),
 
+    // P197 — Simpson diversity + effective vocabulary per language:
+    // the head-concentration complement to t11's entropy
+    "t26_simpson" -> ((s, dir) => {
+      TextAnalysis.simpsonDiversity(
+          table(s, dir, "documents").select("lang", "text"), "lang", "text")
+        .orderBy("lang")
+    }),
+
     // P135 — Flesch reading ease over regex-deterministic counts; the
     // curriculum-stratification / OCR-noise signal
     "t20_readability" -> ((s, dir) => {
@@ -1097,6 +1105,31 @@ object TextQueries {
     // rank and frequency logs round at 9 into DECIMAL(18,9) points; the
     // o11 closing sequence; the 500-rank cut is deterministic under the
     // (count desc, token asc) order
+    // exact BIGINT frequency moments; D and 1/D read the rounded D
+    "t26_simpson" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |freq AS (
+        |  SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+        |  FROM freq GROUP BY 1),
+        |s2 AS (
+        |  SELECT lang, n_tokens, vocab,
+        |    CASE WHEN n_tokens > 1 THEN
+        |      round(CAST(num AS DOUBLE) /
+        |        CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6) END AS simpson
+        |  FROM g)
+        |SELECT lang, n_tokens, vocab, simpson,
+        |  CASE WHEN simpson > 0 THEN round(1.0e0 / simpson, 6) END
+        |    AS eff_vocab
+        |FROM s2 ORDER BY lang""".stripMargin,
+
     "t19_zipf" ->
       """WITH vocab AS (
         |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c FROM (

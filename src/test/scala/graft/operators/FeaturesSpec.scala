@@ -502,6 +502,22 @@ class FeaturesSpec extends SparkSpec {
     assert(one == got)
   }
 
+  test("tukeyFences: textbook quartiles, fences, outlier counts") {
+    import spark.implicits._
+    // 1..11 plus outliers −100 and 100: 13 sorted values, R-7 rank
+    // p·12 → q1 = idx 3 = 3, q3 = idx 9 = 9, iqr = 6 → lo −6, hi 18
+    val vals = ((1 to 11).map(_.toDouble) ++ Seq(-100.0, 100.0))
+      .map(("g", _))
+    val r = Features.tukeyFences(vals.toDF("k", "v"), "k", "v").head
+    assert(r.getLong(1) == 13L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 9.0)
+    assert(r.getDouble(4) == 6.0)
+    assert(r.getDouble(5) == -6.0 && r.getDouble(6) == 18.0)
+    assert(r.getLong(7) == 1L && r.getLong(8) == 1L)
+    intercept[IllegalArgumentException](
+      Features.tukeyFences(vals.toDF("k", "v"), "k", "v", k = 0.0))
+  }
+
   test("cramersV: perfect association on observed cells, degenerate null") {
     import spark.implicits._
     // 2×2 with only the diagonal observed: chi2 = 2 over 4 rows,

@@ -170,6 +170,25 @@ class ProfilingSpec extends SparkSpec {
       Profiling.acceptedValues(df, "st", Nil))
   }
 
+  test("candidateKeys: key-ness, dup rates, nulls in one pass") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(2L), "a"), (Some(3L), "b"), (None, "b"))
+      .toDF("id", "grp")
+    val got = Profiling.candidateKeys(df, Seq("id", "grp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    // id: 3 non-null all distinct — but a null row blocks key-ness
+    assert(got("id") == ((4L, 3L, 3L, 0.0, false)))
+    // grp: full but only 2 distinct over 4 → dup_rate 0.5
+    assert(got("grp") == ((4L, 4L, 2L, 0.5, false)))
+    val clean = Seq(1L, 2L, 3L).toDF("id")
+    assert(Profiling.candidateKeys(clean, Seq("id")).head.getBoolean(5))
+    intercept[IllegalArgumentException](Profiling.candidateKeys(df, Nil))
+    intercept[IllegalArgumentException](
+      Profiling.candidateKeys(df, Seq("nope")))
+  }
+
   test("populationStability: identical shares are stable, a flip is shifted") {
     // same per-band counts on both segments → every contrib 0, psi 0
     val same = Seq.tabulate(40) { i =>

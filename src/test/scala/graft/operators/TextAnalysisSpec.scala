@@ -636,4 +636,21 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.heapsFit(df, "doc_id", "text", 0))
   }
+
+  test("simpsonDiversity: uniform vs concentrated slices, degenerate null") {
+    import spark.implicits._
+    val docs = Seq(
+      ("u", "a b c d"),          // 4 distinct: D = 0, eff_vocab null? no — D=0
+      ("c", "a a a b"),          // 3·2/(4·3) = 0.5 → eff 2
+      ("one", "solo"))           // single token → null D
+      .toDF("lang", "text")
+    val got = TextAnalysis.simpsonDiversity(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    // all-distinct: no pair coincides → D = 0, and 1/D is undefined
+    assert(got("u") == ((4L, 4L, Some(0.0), None)))
+    assert(got("c") == ((4L, 2L, Some(0.5), Some(2.0))))
+    assert(got("one") == ((1L, 1L, None, None)))
+  }
 }

@@ -505,6 +505,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(f.isNullAt(2))
   }
 
+  test("timeToConvert: first exposure, first strictly-later conversion") {
+    val ev = Seq(
+      (1L, ts(10), "view"), (1L, ts(5), "purchase"),  // purchase BEFORE view
+      (1L, ts(30), "purchase"), (1L, ts(50), "purchase"),
+      (2L, ts(20), "view"),                            // never converts
+      (3L, ts(7), "purchase"))                         // converts, never views
+      .toDF("user_id", "t", "typ")
+    val got = TimeSeries.timeToConvert(ev, "user_id", "t", "typ",
+        "view", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // user 1: first view t=10s; purchases at 5 (too early), 30 (first
+    // after), 50 — gap 20s = 0.005556h
+    assert(got == Map(1L -> ((10000000L, 30000000L, 0.005556))))
+    intercept[IllegalArgumentException](
+      TimeSeries.timeToConvert(ev, "user_id", "t", "typ", "view", "view"))
+  }
+
   test("kendallTau: ±1 on monotone relations, tie side nulls out") {
     import java.sql.Date
     val days = (1 to 4).map(d => Date.valueOf(f"2024-01-$d%02d"))

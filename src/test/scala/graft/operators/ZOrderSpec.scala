@@ -106,4 +106,53 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ZOrder.hilbertValue(32, col("x"), col("y")))
   }
+
+  test("hilbertRanges cover exactly the box cells at full depth") {
+    import graft.expressions.LayoutEval
+    // at maxDepth ≥ bits the descent reaches single cells, so the
+    // merged ranges must equal the box's index set EXACTLY
+    val bits = 4
+    val (xLo, xHi, yLo, yHi) = (3L, 9L, 2L, 12L)
+    val ranges = ZOrder.hilbertRanges(bits, xLo, xHi, yLo, yHi,
+      maxDepth = bits + 1)
+    val boxIdx = (for {
+      x <- xLo to xHi; y <- yLo to yHi
+    } yield LayoutEval.xy2d(bits, x, y)).toSet
+    val rangeIdx = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(rangeIdx == boxIdx)
+    // merged: strictly increasing, non-adjacent
+    ranges.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1)
+      case _ =>
+    }
+    // a depth-limited descent yields a SUPERSET with fewer ranges
+    val coarse = ZOrder.hilbertRanges(bits, xLo, xHi, yLo, yHi, maxDepth = 2)
+    val coarseIdx = coarse.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(boxIdx.subsetOf(coarseIdx) && coarse.size <= ranges.size)
+    // the whole grid collapses to one full-domain range
+    val all = ZOrder.hilbertRanges(bits, 0, 15, 0, 15, maxDepth = 8)
+    assert(all == Seq((0L, 255L)))
+    intercept[IllegalArgumentException](
+      ZOrder.hilbertRanges(bits, -1, 3, 0, 3))
+    intercept[IllegalArgumentException](
+      ZOrder.hilbertRanges(32, 0, 1, 0, 1))
+  }
+
+  test("hilbertRangePredicate filters the same rows as the box predicate") {
+    import spark.implicits._
+    val bits = 4
+    val pts = (for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y))
+      .toDF("x", "y")
+      .withColumn("h", ZOrder.hilbertValue(4, col("x"), col("y")))
+    val ranges = ZOrder.hilbertRanges(bits, 5, 11, 1, 7, maxDepth = 3)
+    // pre-filter ∧ exact box ≡ exact box (superset pruning is sound)
+    val pruned = pts.where(
+      ZOrder.hilbertRangePredicate(col("h"), ranges) &&
+        col("x").between(5, 11) && col("y").between(1, 7)).count()
+    val direct = pts.where(
+      col("x").between(5, 11) && col("y").between(1, 7)).count()
+    assert(pruned == direct && direct == 7L * 7L)
+    intercept[IllegalArgumentException](
+      ZOrder.hilbertRangePredicate(col("h"), Nil))
+  }
 }
