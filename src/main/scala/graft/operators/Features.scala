@@ -447,6 +447,64 @@ object Features {
   }
 
   /**
+   * P199 — Jarque–Bera normality test per group: skewness g₁ = m₃/m₂^1.5,
+   * excess kurtosis g₂ = m₄/m₂² − 3 and JB = n/6·(g₁² + g₂²/4), read
+   * against the χ²₂ 95% bar (5.99) — "can I use the t-test / z-score
+   * machinery on this column, or is it skewed/heavy-tailed" (the
+   * distribution-shape triage before P148/P125; a heavy tail says use
+   * P102's ranks instead). Emits (key, n, skewness, kurtosis_ex, jb,
+   * normal_ish); constant groups (m₂ = 0) → nulls.
+   *
+   * Shapes: one keyed mean agg joined back shuffle_hash, one fused
+   * moment agg — no windows. Cross-engine: values are read at 6
+   * decimals and the deviation d = v₆ − mean₆ computed and 3-rounded
+   * ENTIRELY in DECIMAL (rounding the double difference at 3 sits on
+   * half-up boundaries for decimal-ish data — the o46 lesson — while
+   * decimal rounding is exact-value HALF_UP in both engines), then
+   * scales to an EXACT integer w = d₃·10³ ≤ ~10⁶, so m₂ sums in
+   * BIGINT and m₃/m₄ as DECIMAL(38,0) integer products built as w²·w
+   * and w²·w² from the 19-digit cast (both factors ≤ 19 digits — a
+   * wider chain would pass Spark but exceed DuckDB's 38-digit
+   * multiply); the normalized ratios are scale-free, so no descaling.
+   * Closing sequence is fixed doubles with one IEEE sqrt, rounded at 6.
+   */
+  def jarqueBera(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+    val means = base.groupBy(col("__k"))
+      .agg(round(sum(col("__v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("__mean"))
+    val w = (round(col("__v").cast("decimal(18,6)") -
+      col("__mean").cast("decimal(18,6)"), 3) * 1000).cast("long")
+    val w19 = col("__w").cast("decimal(19,0)")
+    val w2d = (col("__w") * col("__w")).cast("decimal(19,0)")
+    val m = base.join(means.hint("shuffle_hash"), Seq("__k"))
+      .withColumn("__w", w)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w") * col("__w")).as("__s2"),
+        sum(w2d * w19).as("__s3"),
+        sum(w2d * w2d).as("__s4"))
+    val nd = col("n").cast("double")
+    val m2 = col("__s2").cast("double") / nd
+    val m3 = col("__s3").cast("double") / nd
+    val m4 = col("__s4").cast("double") / nd
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurtEx = m4 / (m2 * m2) - lit(3.0)
+    m.withColumn("skewness", when(col("__s2") > 0, round(skew, 6)))
+      .withColumn("kurtosis_ex", when(col("__s2") > 0, round(kurtEx, 6)))
+      .withColumn("jb",
+        when(col("__s2") > 0,
+          round(nd / lit(6.0) *
+            (skew * skew + kurtEx * kurtEx / lit(4.0)), 6)))
+      .withColumn("normal_ish",
+        when(col("jb").isNull, lit(null).cast("boolean"))
+          .otherwise(col("jb") < 5.99))
+      .drop("__s2", "__s3", "__s4")
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /**
    * P102 — Mann–Whitney U rank-sum test between two groups of a value
    * column (normal approximation with tie correction): U from pooled
    * average ranks, z = (U_A − n_A·n_B/2) / σ with

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,17 +115,72 @@ object Privacy {
       s"laplaceNoisyCounts: sensitivity must be > 0, got $sensitivity")
     val b = sensitivity / epsilon
     val key = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
-    val u = Sampling.uniform01(key, salt)
-    val p = u - lit(0.5)
-    val noise = round(
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", laplaceNoise(key, salt, b))
+      .withColumn("noisy_n",
+        greatest(lit(0.0), col("n").cast("double") + col("noise")))
+  }
+
+  /** The ONE derandomized Laplace(b) draw shared by every DP release
+    * ([[laplaceNoisyCounts]], [[laplaceNoisyMean]]) and replayed by
+    * their oracles — inverse-CDF on the portable uniform, log argument
+    * clamped at 2⁻⁵⁶, rounded at 9 (the sa8 libm firewall). A forked
+    * per-site copy could drift; this cannot. */
+  private[operators] def laplaceNoise(key: Column, salt: String,
+      b: Double): Column = {
+    val p = Sampling.uniform01(key, salt) - lit(0.5)
+    round(
       -lit(b) * signum(p) *
         log(greatest(lit(1.0) - lit(2.0) * abs(p), lit(math.pow(2.0, -56)))),
       9)
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .withColumn("noise", noise)
-      .withColumn("noisy_n",
-        greatest(lit(0.0), col("n").cast("double") + col("noise")))
+  }
+
+  /**
+   * P200 — ε-differentially-private mean (Laplace mechanism): per
+   * group, values CLIP to [lo, hi] (clipping bounds each row's
+   * contribution — that IS the sensitivity argument), the clipped sum
+   * and the count are released with independent Laplace draws (budget
+   * split ε/2 each: sum noise b = (hi−lo)/(ε/2), count noise
+   * b = 1/(ε/2)), and the mean = noisy_sum / max(1, noisy_n), clamped
+   * back to [lo, hi] (post-processing preserves DP) — private
+   * per-segment averages for telemetry and training-data statistics.
+   * Emits (groupCols…, n, sum_clipped, dp_mean, true_mean) — keep
+   * `true_mean` out of any actual release; it's the utility audit.
+   *
+   * Derandomization and budget accounting as in [[laplaceNoisyCounts]]
+   * (same salt → same ONE release; fresh release needs a fresh salt);
+   * the two draws use distinct derived salts. Shapes: one keyed agg
+   * (map-side combinable) + pure projections. Clipped sums go through
+   * DECIMAL; the closing sequence is fixed doubles on the 9-rounded
+   * draws, rounded at 6.
+   */
+  def laplaceNoisyMean(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Double, hi: Double, epsilon: Double,
+      salt: String = "dpmean"): DataFrame = {
+    require(groupCols.nonEmpty, "laplaceNoisyMean: at least one group column")
+    require(epsilon > 0, s"laplaceNoisyMean: epsilon must be > 0, got $epsilon")
+    require(hi > lo, s"laplaceNoisyMean: need hi > lo, got [$lo, $hi]")
+    val bSum = (hi - lo) / (epsilon / 2.0)
+    val bCnt = 1.0 / (epsilon / 2.0)
+    val key = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    val clipped = least(greatest(col(valueCol).cast("double"), lit(lo)),
+      lit(hi))
+    df.where(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(clipped.cast("decimal(18,6)")).cast("double"), 6)
+          .as("sum_clipped"),
+        round(sum(col(valueCol).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("true_mean"))
+      .withColumn("__ns", laplaceNoise(key, s"$salt:s:", bSum))
+      .withColumn("__nc", laplaceNoise(key, s"$salt:c:", bCnt))
+      .withColumn("dp_mean",
+        round(least(greatest(
+          (col("sum_clipped") + col("__ns")) /
+            greatest(lit(1.0), col("n").cast("double") + col("__nc")),
+          lit(lo)), lit(hi)), 6))
+      .drop("__ns", "__nc")
   }
 
   /**

@@ -412,6 +412,65 @@ object Sketches {
   }
 
   /**
+   * P202 — histogram-quantile estimator with its own error audit: per
+   * key, quantiles read off an equi-width histogram by within-bucket
+   * linear interpolation, BESIDE the exact R-7 percentile and the
+   * absolute error — the mergeable-sketch quantile path (bucket counts
+   * add across shards/windows, which exact percentiles never do) with
+   * the "how wrong is it on THIS data" column built in (the sim9/sk7
+   * audit discipline). Emits (key, p, n, est_q, exact_q, abs_err).
+   *
+   * Shapes: one (key, bucket) count agg, a per-KEY cumulative window
+   * (partitioned), totals joined back shuffle_hash, the target grid a
+   * broadcast k-row cross join; the exact side is the o5 percentile
+   * class (per-group buffers — at 100 TB the estimator column IS the
+   * answer and the exact column is dropped). Cross-engine: bucket
+   * counts and cumulatives are exact BIGINTs, t = p·n and the
+   * interpolation are fixed double sequences on them, est/exact/err
+   * all round at 4 (the o5 interpolation-slack rule).
+   */
+  def histQuantile(df: DataFrame, keyCol: String, valueCol: String,
+      bandWidth: Double, ps: Seq[Double]): DataFrame = {
+    require(bandWidth > 0, s"histQuantile: bandWidth must be > 0")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"histQuantile: fractions must sit in (0,1), got $ps")
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+    val hist = base
+      .groupBy(col("__k"), floor(col("__v") / bandWidth).cast("long")
+        .as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(col("__b").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val totals = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    val t = col("p") * col("n").cast("double")
+    val est = hist
+      .withColumn("__cum0", coalesce(sum(col("__c")).over(wc), lit(0L)))
+      .join(totals.hint("shuffle_hash"), Seq("__k"))
+      .crossJoin(broadcast(grid))
+      .where(col("__cum0").cast("double") < t &&
+        (col("__cum0") + col("__c")).cast("double") >= t)
+      .select(col("__k"), col("p"), col("n"),
+        round(col("__b").cast("double") * bandWidth +
+          lit(bandWidth) * (t - col("__cum0").cast("double")) /
+            col("__c").cast("double"), 4).as("est_q"))
+    val exacts = ps.zipWithIndex.map { case (p, i) =>
+      round(expr(s"percentile(__v, $p)"), 4).as(s"__x$i")
+    }
+    val stackArgs = ps.zipWithIndex
+      .map { case (p, i) => s"CAST($p AS DOUBLE), __x$i" }.mkString(", ")
+    val exact = base.groupBy(col("__k"))
+      .agg(exacts.head, exacts.tail: _*)
+      .select(col("__k"),
+        expr(s"stack(${ps.size}, $stackArgs) AS (p, exact_q)"))
+    est.join(exact.hint("shuffle_hash"), Seq("__k", "p"))
+      .withColumn("abs_err", round(abs(col("est_q") - col("exact_q")), 4))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /**
    * P138 — AMS (Alon–Matias–Szegedy) F₂ sketch: `estimators` independent
    * ±1-sign counters, each Σᵢ signᵣ(i)·fᵢ; counter² is an unbiased
    * estimate of the second frequency moment Σᵢ fᵢ² — the self-join size,

@@ -880,6 +880,44 @@ object TimeSeries {
   }
 
   /**
+   * P201 — stationary distribution of a [[transitionMatrix]] by
+   * `iters` unrolled power iterations from the uniform vector:
+   * π ← πᵀP — where the event-type process settles, i.e. the
+   * long-run share of each state ("at equilibrium, 30% of events are
+   * purchases") that a raw frequency count conflates with burstiness.
+   * The P88 idiom scaled down: the state space is the TYPE alphabet
+   * (k rows), so every join is a broadcast-scale frame and the unroll
+   * is k²-sized per step. States with no incoming transitions drop
+   * after one step (their stationary mass is 0). Emits (state, pi).
+   *
+   * Cross-engine: each step's products round at 9 and DECIMAL-sum,
+   * and the summed mass re-rounds at 9 — iterative double state is
+   * the gr1 portability trap, rounded decimal state is not.
+   */
+  def steadyState(trans: DataFrame, fromCol: String, toCol: String,
+      probCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"steadyState: iters must be in 1..16, got $iters")
+    val states = trans.select(col(fromCol).as("state"))
+      .union(trans.select(col(toCol).as("state"))).distinct()
+    val k = states.agg(count(lit(1)).as("__k"))
+    var pi = states.crossJoin(broadcast(k))
+      .withColumn("pi", round(lit(1.0) / col("__k").cast("double"), 9))
+      .drop("__k")
+    val step = trans.select(col(fromCol).as("state"), col(toCol).as("__to"),
+      col(probCol).as("__p"))
+    for (_ <- 1 to iters) {
+      pi = step.join(pi.hint("shuffle_hash"), Seq("state"))
+        .withColumn("__t", round(col("__p") * col("pi"), 9)
+          .cast("decimal(28,9)"))
+        .groupBy(col("__to"))
+        .agg(round(sum(col("__t")).cast("double"), 9).as("pi"))
+        .withColumnRenamed("__to", "state")
+    }
+    pi
+  }
+
+  /**
    * P150 — Mann–Kendall trend test per key: S = Σ_{i<j} sign(x_j − x_i)
    * over the ordered series, tie-corrected variance, and the normal
    * z-statistic — the NONPARAMETRIC monotone-trend detector (no

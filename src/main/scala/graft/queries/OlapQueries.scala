@@ -420,6 +420,24 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P199 — Jarque–Bera normality triage per event type: skew/kurtosis
+    // from exact milli-unit integer central moments
+    "o47_jarque" -> ((s, dir) => {
+      graft.operators.Features.jarqueBera(
+          graft.Graft.events(s, dir).select("event_type", "value"),
+          "event_type", "value")
+        .orderBy("event_type")
+    }),
+
+    // P202 — histogram quantiles (25-wide buckets) vs exact R-7 with
+    // the built-in error audit, p50 and p95 per event type
+    "sk9_histq" -> ((s, dir) => {
+      graft.operators.Sketches.histQuantile(
+          graft.Graft.events(s, dir).select("event_type", "value"),
+          "event_type", "value", bandWidth = 25.0, ps = Seq(0.5, 0.95))
+        .orderBy("event_type", "p")
+    }),
+
     // P196 — Tukey fences per event type: exact R-7 quartiles, 1.5·IQR
     // whiskers, outlier counts beyond each
     "o46_tukey" -> ((s, dir) => {
@@ -1827,6 +1845,89 @@ object OlapQueries {
         |SELECT event_type, n AS n_days, next_day AS change_day,
         |  sse_total, cost AS sse_split, round(sse_total - cost, 6) AS gain
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // milli-unit integer moments (deviation 3-rounded in DECIMAL, the
+    // o46 boundary rule), 19-digit product chain, one IEEE sqrt
+    "o47_jarque" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT k, round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean
+        |  FROM b GROUP BY 1),
+        |wv AS (
+        |  SELECT b.k,
+        |    CAST(round(CAST(b.v AS DECIMAL(18,6)) -
+        |      CAST(m.mean AS DECIMAL(18,6)), 3) * 1000 AS BIGINT) AS w
+        |  FROM b JOIN m ON m.k = b.k),
+        |g AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(w * w) AS BIGINT) AS s2,
+        |    SUM(CAST(w * w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)))
+        |      AS s3,
+        |    SUM(CAST(w * w AS DECIMAL(19,0)) * CAST(w * w AS DECIMAL(19,0)))
+        |      AS s4
+        |  FROM wv GROUP BY 1),
+        |x AS (
+        |  SELECT k, n, s2,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4
+        |  FROM g),
+        |y AS (
+        |  SELECT k, n, s2,
+        |    m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2 * m2) - 3.0e0 AS kex
+        |  FROM x),
+        |z AS (
+        |  SELECT k, n,
+        |    CASE WHEN s2 > 0 THEN round(skew, 6) END AS skewness,
+        |    CASE WHEN s2 > 0 THEN round(kex, 6) END AS kurtosis_ex,
+        |    CASE WHEN s2 > 0 THEN
+        |      round(CAST(n AS DOUBLE) / 6.0e0 *
+        |        (skew * skew + kex * kex / 4.0e0), 6) END AS jb
+        |  FROM y)
+        |SELECT k AS event_type, n, skewness, kurtosis_ex, jb,
+        |  CASE WHEN jb IS NULL THEN NULL ELSE jb < 5.99e0 END AS normal_ish
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    // exact BIGINT bucket cumulatives, fixed interpolation sequence,
+    // R-7 exact side — everything at the o5 4-rounding
+    "sk9_histq" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |hist AS (
+        |  SELECT k, CAST(floor(v / 25.0e0) AS BIGINT) AS bkt,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT k, bkt, c,
+        |    CAST(coalesce(SUM(c) OVER (PARTITION BY k ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum0
+        |  FROM hist),
+        |tot AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |grid(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+        |est AS (
+        |  SELECT c2.k, g.p, t.n,
+        |    round(CAST(c2.bkt AS DOUBLE) * 25.0e0 +
+        |      25.0e0 * (g.p * CAST(t.n AS DOUBLE) - CAST(c2.cum0 AS DOUBLE))
+        |        / CAST(c2.c AS DOUBLE), 4) AS est_q
+        |  FROM cum c2 JOIN tot t ON t.k = c2.k CROSS JOIN grid g
+        |  WHERE CAST(c2.cum0 AS DOUBLE) < g.p * CAST(t.n AS DOUBLE)
+        |    AND CAST(c2.cum0 + c2.c AS DOUBLE) >= g.p * CAST(t.n AS DOUBLE)),
+        |ex AS (
+        |  SELECT k, CAST(0.5 AS DOUBLE) AS p,
+        |    round(quantile_cont(v, 0.5e0), 4) AS exact_q FROM b GROUP BY 1
+        |  UNION ALL
+        |  SELECT k, CAST(0.95 AS DOUBLE),
+        |    round(quantile_cont(v, 0.95e0), 4) FROM b GROUP BY 1)
+        |SELECT est.k AS event_type, est.p AS p, est.n, est.est_q,
+        |  ex.exact_q, round(abs(est.est_q - ex.exact_q), 4) AS abs_err
+        |FROM est JOIN ex ON ex.k = est.k AND ex.p = est.p
+        |ORDER BY event_type, est.p""".stripMargin,
 
     // R-7 quartiles at the o5 4-rounding; fence arithmetic entirely in
     // DECIMAL on the rounded quartiles (a double round of q1 − 1.5·iqr

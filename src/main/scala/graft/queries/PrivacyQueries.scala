@@ -66,6 +66,16 @@ object PrivacyQueries {
       Privacy.laplaceNoisyCounts(e, Seq("event_type", "band"),
           epsilon = 0.5)
         .orderBy("event_type", "band")
+    }),
+
+    // P200 — ε = 1 DP mean of the event value per type, clipped to
+    // [0, 400]; both halved-budget draws replay through the firewall,
+    // true_mean rides along as the utility audit
+    "pv6_dpmean" -> ((s, dir) => {
+      Privacy.laplaceNoisyMean(
+          table(s, dir, "events").select("event_type", "value"),
+          Seq("event_type"), "value", lo = 0.0, hi = 400.0, epsilon = 1.0)
+        .orderBy("event_type")
     })
   )
 
@@ -193,6 +203,46 @@ object PrivacyQueries {
         |        FROM h))
         |SELECT event_type, band, n, noise,
         |  greatest(0.0e0, CAST(n AS DOUBLE) + noise) AS noisy_n
-        |FROM d ORDER BY event_type, band""".stripMargin
+        |FROM d ORDER BY event_type, band""".stripMargin,
+
+    // the same inverse-CDF replay twice (sum b=800, count b=2) over the
+    // clipped decimal sums; dp_mean clamps back to [0, 400]
+    "pv6_dpmean" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(LEAST(GREATEST(value, 0.0e0), 400.0e0)
+        |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_clipped,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS true_mean
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |h AS (
+        |  SELECT *,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('dpmean:s:' || event_type),
+        |          1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hs,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('dpmean:c:' || event_type),
+        |          1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hc
+        |  FROM g),
+        |d AS (
+        |  SELECT event_type, n, sum_clipped, true_mean,
+        |    round(-800.0e0 * sign(us - 0.5e0) *
+        |      ln(greatest(1.0e0 - 2.0e0 * abs(us - 0.5e0),
+        |                  1.0e0 / 72057594037927936.0e0)), 9) AS ns,
+        |    round(-2.0e0 * sign(uc - 0.5e0) *
+        |      ln(greatest(1.0e0 - 2.0e0 * abs(uc - 0.5e0),
+        |                  1.0e0 / 72057594037927936.0e0)), 9) AS nc
+        |  FROM (SELECT *,
+        |          CAST(hs + 1 AS DOUBLE) / 72057594037927936.0e0 AS us,
+        |          CAST(hc + 1 AS DOUBLE) / 72057594037927936.0e0 AS uc
+        |        FROM h))
+        |SELECT event_type, n, sum_clipped, true_mean,
+        |  round(LEAST(GREATEST(
+        |    (sum_clipped + ns) /
+        |      GREATEST(1.0e0, CAST(n AS DOUBLE) + nc),
+        |    0.0e0), 400.0e0), 6) AS dp_mean
+        |FROM d ORDER BY event_type""".stripMargin
   )
 }

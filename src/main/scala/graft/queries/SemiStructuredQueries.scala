@@ -139,6 +139,15 @@ object SemiStructuredQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // P201 — stationary event-type distribution: 4 power iterations of
+    // the q9 transition matrix from uniform; rounded-decimal state
+    "q19_steadystate" -> ((s, dir) => {
+      val tm = TimeSeries.transitionMatrix(events(s, dir), "user_id",
+        "ts", "event_id", "event_type")
+      TimeSeries.steadyState(tm, "from_type", "to_type", "prob", iters = 4)
+        .orderBy("state")
+    }),
+
     // P95 — Kaplan-Meier churn curves per market segment: subject =
     // customer, time = days between first and last order, observed
     // (churned) when the last order predates the corpus horizon by a
@@ -393,6 +402,51 @@ object SemiStructuredQueries {
         |  round(CAST(cnt AS DOUBLE) /
         |        SUM(cnt) OVER (PARTITION BY from_type), 6) AS prob
         |FROM cells ORDER BY from_type, to_type""".stripMargin,
+
+    // the q9 matrix replay + 4 unrolled πᵀP steps, products rounded at
+    // 9 and DECIMAL-summed, mass re-rounded at 9 per step
+    "q19_steadystate" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cells AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT from_type, to_type,
+        |    round(CAST(cnt AS DOUBLE) /
+        |          SUM(cnt) OVER (PARTITION BY from_type), 6) AS prob
+        |  FROM cells),
+        |states AS (
+        |  SELECT from_type AS state FROM p
+        |  UNION SELECT to_type FROM p),
+        |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+        |it0 AS (
+        |  SELECT state, round(1.0e0 / CAST(kk.k AS DOUBLE), 9) AS pi
+        |  FROM states CROSS JOIN kk),
+        |it1 AS (
+        |  SELECT p.to_type AS state,
+        |    round(CAST(SUM(CAST(round(p.prob * i.pi, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE), 9) AS pi
+        |  FROM p JOIN it0 i ON i.state = p.from_type GROUP BY 1),
+        |it2 AS (
+        |  SELECT p.to_type AS state,
+        |    round(CAST(SUM(CAST(round(p.prob * i.pi, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE), 9) AS pi
+        |  FROM p JOIN it1 i ON i.state = p.from_type GROUP BY 1),
+        |it3 AS (
+        |  SELECT p.to_type AS state,
+        |    round(CAST(SUM(CAST(round(p.prob * i.pi, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE), 9) AS pi
+        |  FROM p JOIN it2 i ON i.state = p.from_type GROUP BY 1),
+        |it4 AS (
+        |  SELECT p.to_type AS state,
+        |    round(CAST(SUM(CAST(round(p.prob * i.pi, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE), 9) AS pi
+        |  FROM p JOIN it3 i ON i.state = p.from_type GROUP BY 1)
+        |SELECT state, pi FROM it4 ORDER BY state""".stripMargin,
 
     "q8_cohort" ->
       """WITH e AS (

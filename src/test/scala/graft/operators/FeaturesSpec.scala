@@ -518,6 +518,24 @@ class FeaturesSpec extends SparkSpec {
       Features.tukeyFences(vals.toDF("k", "v"), "k", "v", k = 0.0))
   }
 
+  test("jarqueBera: symmetric data has zero skew, constants null out") {
+    import spark.implicits._
+    // {1..5}: m2=2, m3=0, m4=6.8 → skew 0, excess kurtosis −1.3,
+    // JB = 5/6 · (1.69/4) = 0.352083 — comfortably "normal-ish"
+    val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val r = Features.jarqueBera(df, "k", "v").head
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == -1.3)
+    assert(r.getDouble(4) == 0.352083 && r.getBoolean(5))
+    // right-skewed data: positive skewness
+    val sk = (Seq.fill(9)(1.0) ++ Seq(100.0)).map(("s", _)).toDF("k", "v")
+    assert(Features.jarqueBera(sk, "k", "v").head.getDouble(2) > 1.0)
+    // constant group: zero variance → all nulls
+    val const = Seq(("c", 2.0), ("c", 2.0)).toDF("k", "v")
+    val c = Features.jarqueBera(const, "k", "v").head
+    assert(c.isNullAt(2) && c.isNullAt(4) && c.isNullAt(5))
+  }
+
   test("cramersV: perfect association on observed cells, degenerate null") {
     import spark.implicits._
     // 2×2 with only the diagonal observed: chi2 = 2 over 4 rows,

@@ -157,4 +157,27 @@ class PrivacySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rekeyed(1L) != got(1L)._1)
   }
+
+  test("laplaceNoisyMean: clipped, clamped, deterministic per salt") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => ("g", i.toDouble)) :+ (("g", 1000.0))
+    val data = df.toDF("grp", "v")
+    def run(salt: String) =
+      Privacy.laplaceNoisyMean(data, Seq("grp"), "v", lo = 0.0, hi = 100.0,
+        epsilon = 1.0, salt = salt).head
+    val r = run("dpmean")
+    assert(r.getLong(1) == 51L)
+    // the 1000 outlier clips to 100: clipped sum 1275 + 100
+    assert(r.getDouble(2) == 1375.0)
+    // true mean reads the raw values: round(2275/51, 6)
+    assert(r.getDouble(3) == 44.607843)
+    val dp = r.getDouble(4)
+    assert(dp >= 0.0 && dp <= 100.0)              // post-processing clamp
+    assert(run("dpmean").getDouble(4) == dp)      // same salt → same release
+    assert(run("fresh").getDouble(4) != dp)       // fresh salt → fresh draw
+    intercept[IllegalArgumentException](
+      Privacy.laplaceNoisyMean(data, Seq("grp"), "v", 5.0, 1.0, 1.0))
+    intercept[IllegalArgumentException](
+      Privacy.laplaceNoisyMean(data, Seq("grp"), "v", 0.0, 1.0, 0.0))
+  }
 }

@@ -278,4 +278,22 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.captureRecapture(ids, "id", 0))
   }
+
+  test("histQuantile: uniform data interpolates exactly, audit is honest") {
+    import spark.implicits._
+    // 0..99 in 10-wide buckets: p50 → bucket 4 boundary, est 50.0 vs
+    // exact 49.5; p95 → est 95.0 vs exact 94.05
+    val df = (0 until 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val got = Sketches.histQuantile(df, "k", "v", bandWidth = 10.0,
+        ps = Seq(0.5, 0.95))
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(0.5) == ((100L, 50.0, 49.5, 0.5)))
+    assert(got(0.95) == ((100L, 95.0, 94.05, 0.95)))
+    intercept[IllegalArgumentException](
+      Sketches.histQuantile(df, "k", "v", 0.0, Seq(0.5)))
+    intercept[IllegalArgumentException](
+      Sketches.histQuantile(df, "k", "v", 10.0, Seq(1.5)))
+  }
 }

@@ -523,6 +523,24 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.timeToConvert(ev, "user_id", "t", "typ", "view", "view"))
   }
 
+  test("steadyState: alternating chain stays uniform, biased chain converges") {
+    // a↔b flip chain: uniform is stationary, every iterate stays (.5, .5)
+    val flip = Seq(("a", "b", 1.0), ("b", "a", 1.0))
+      .toDF("from_type", "to_type", "prob")
+    val f = TimeSeries.steadyState(flip, "from_type", "to_type", "prob", 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(f == Map("a" -> 0.5, "b" -> 0.5))
+    // a→b always, b→a quarter of the time: 4 dyadic-exact iterates from
+    // uniform land on (0.201171875, 0.798828125) → stationary (0.2, 0.8)
+    val biased = Seq(("a", "b", 1.0), ("b", "a", 0.25), ("b", "b", 0.75))
+      .toDF("from_type", "to_type", "prob")
+    val g = TimeSeries.steadyState(biased, "from_type", "to_type", "prob", 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(g == Map("a" -> 0.201171875, "b" -> 0.798828125))
+    intercept[IllegalArgumentException](
+      TimeSeries.steadyState(flip, "from_type", "to_type", "prob", 0))
+  }
+
   test("kendallTau: ±1 on monotone relations, tie side nulls out") {
     import java.sql.Date
     val days = (1 to 4).map(d => Date.valueOf(f"2024-01-$d%02d"))
