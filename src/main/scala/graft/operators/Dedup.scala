@@ -375,7 +375,7 @@ object Dedup {
   /** Seeded universal-hash coefficients, bounded so a·h+b stays within a
     * signed 64-bit long under Spark's ANSI overflow checks: h < 2^31,
     * a < 2^30, b < 2^30 → a·h+b < 2^62. */
-  private def hashCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def hashCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)(
       ((rnd.nextLong() & ((1L << 30) - 1)) | 1L, rnd.nextLong() & ((1L << 30) - 1)))
@@ -424,6 +424,67 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
+
+  /**
+   * P205 — minhash estimator error audit: over EVERY pair of a sampled
+   * corpus, the signature-agreement Jaccard estimate (matching slots /
+   * numHashes) beside the exact token Jaccard and the absolute error —
+   * the "how tight is k hashes on THIS corpus" calibration that decides
+   * the d5/d16 banding parameters from data instead of the textbook
+   * bound (this synthetic corpus's 0.61 mean pairwise similarity is
+   * exactly where the bound is least informative). Emits
+   * (i, j, est_j, exact_j, abs_err) for all i < j.
+   *
+   * Signatures here use the PORTABLE hash ([[Sampling.hashValue]] mod
+   * the Mersenne prime) — unlike the xxhash64 production path — so the
+   * oracle replays every slot; same [[hashCoeffs]] ladder. CALLER
+   * CONTRACT: all-pairs over the SAMPLE (k-sized) — the audit measures
+   * the estimator, production candidate generation stays banded.
+   */
+  def minhashErrorAudit(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, seed: Long = 42L): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 64,
+      s"minhashErrorAudit: numHashes must be in 1..64, got $numHashes")
+    val tokens = docTokens(df, idCol, textCol)
+    val h = pmod(Sampling.hashValue(col("token"), "mh:"), lit(HashPrime))
+    val sigExprs = hashCoeffs(numHashes, seed).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(pmod(col("__h") * lit(a) + lit(b), lit(HashPrime))).as(s"__m$i")
+    }
+    val sigs = tokens.withColumn("__h", h)
+      .groupBy("id").agg(sigExprs.head, sigExprs.tail: _*)
+    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("sz"))
+    // explicitly renamed projections — .as-aliased self-joins of derived
+    // frames mis-resolve (the winnowOverlapPairs lesson)
+    val sa = sigs.select(col("id").as("i") +:
+      (0 until numHashes).map(k => col(s"__m$k").as(s"__a$k")): _*)
+    val sb = sigs.select(col("id").as("j") +:
+      (0 until numHashes).map(k => col(s"__m$k").as(s"__b$k")): _*)
+    val matches = (0 until numHashes)
+      .map(k => when(col(s"__a$k") === col(s"__b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = sa.join(broadcast(sb), col("i") < col("j")) // sample-sized side
+      .select(col("i"), col("j"),
+        round(matches.cast("double") / lit(numHashes.toDouble), 6)
+          .as("est_j"))
+    val ta = tokens.select(col("id").as("i"), col("token"))
+    val tb = tokens.select(col("id").as("j"), col("token"))
+    val inter = ta.join(tb, Seq("token"))
+      .where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("__x"))
+    est
+      .join(inter.hint("shuffle_hash"), Seq("i", "j"), "left")
+      .join(sizes.select(col("id").as("i"), col("sz").as("__si"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("sz").as("__sj"))
+        .hint("shuffle_hash"), Seq("j"))
+      .withColumn("exact_j",
+        round(coalesce(col("__x"), lit(0L)).cast("double") /
+          (col("__si") + col("__sj") - coalesce(col("__x"), lit(0L)))
+            .cast("double"), 6))
+      .withColumn("abs_err", round(abs(col("est_j") - col("exact_j")), 6))
+      .select("i", "j", "est_j", "exact_j", "abs_err")
+  }
 
   /**
    * MinHash near-dup pipeline: signatures → bands → candidates → exact

@@ -564,6 +564,104 @@ object Features {
   }
 
   /**
+   * P203 — first-order partial correlation: r_xy·z — the x↔y
+   * association with z's influence removed,
+   * (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — the confounder screen
+   * [[corrMatrix]] can't do alone ("price correlates with quantity…
+   * only because discount drives both?"). One row: (n, r_xy, r_xz,
+   * r_yz, r_partial); a z perfectly correlated with either side
+   * (denominator 0) or any degenerate column → null partial.
+   *
+   * Shape: the corrMatrix single-pass moment agg (DECIMAL sums,
+   * (19,6) products) specialized to three columns. Cross-engine: the
+   * three r's round at 6 FIRST and the partial is a fixed double
+   * sequence on the rounded r's (both engines see identical operands),
+   * rounded at 6.
+   */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    require(Seq(xCol, yCol, zCol).distinct.size == 3,
+      s"partialCorrelation: columns must be distinct, got ($xCol, $yCol, $zCol)")
+    val cols3 = Seq(xCol, yCol, zCol)
+    def dec(c: String) = col(c).cast("decimal(18,6)")
+    def dec19(c: String) = col(c).cast("decimal(19,6)")
+    val complete = df.where(cols3.map(col(_).isNotNull).reduce(_ && _))
+    val sumAggs = cols3.map(c => sum(dec(c)).cast("double").as(s"__s_$c"))
+    val prodAggs = for {
+      (a, i) <- cols3.zipWithIndex
+      b <- cols3.drop(i)
+    } yield sum(dec19(a) * dec19(b)).cast("double").as(s"__p_${a}_$b")
+    val m = complete.agg(count(lit(1)).as("n"), (sumAggs ++ prodAggs): _*)
+    val nd = col("n").cast("double")
+    def r(a: String, b: String): Column = {
+      val num = nd * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      val dena = nd * col(s"__p_${a}_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val denb = nd * col(s"__p_${b}_$b") - col(s"__s_$b") * col(s"__s_$b")
+      when(dena > 0 && denb > 0, round(num / (sqrt(dena) * sqrt(denb)), 6))
+    }
+    val den = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    m.withColumn("r_xy", r(xCol, yCol))
+      .withColumn("r_xz", r(xCol, zCol))
+      .withColumn("r_yz", r(yCol, zCol))
+      .withColumn("r_partial",
+        when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+          col("r_yz").isNotNull && den > 0,
+          round((col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(den), 6)))
+      .select("n", "r_xy", "r_xz", "r_yz", "r_partial")
+  }
+
+  /**
+   * P204 — Cohen's d effect size between two arms: d = (m₁ − m₀) / s_p
+   * with the pooled sd s_p² = ((n₁−1)s₁² + (n₀−1)s₀²)/(n₁+n₀−2) — the
+   * "HOW BIG is the difference" companion to P148's Welch (which only
+   * says whether it exists); the standard 0.2/0.5/0.8 magnitude labels
+   * ride along. One row: (n_treat, n_ctrl, mean_treat, mean_ctrl,
+   * pooled_sd, d, magnitude); an arm with < 2 points or zero pooled
+   * spread → null d.
+   *
+   * One fused conditional decimal-moment agg (the o23 recipe); the
+   * closing sequence is fixed doubles with one IEEE sqrt; means/sd/d
+   * round at 6, the label reads the ROUNDED d.
+   */
+  def cohensD(df: DataFrame, treatCol: String, valueCol: String): DataFrame = {
+    val t = col(treatCol)
+    val x = col(valueCol)
+    def arm(cond: Column) = (
+      sum(when(cond, 1L).otherwise(0L)),
+      sum(when(cond, x.cast("decimal(18,6)"))),
+      sum(when(cond, x.cast("decimal(19,6)") * x.cast("decimal(19,6)"))))
+    val (n1, s1, q1) = arm(t)
+    val (n0, s0, q0) = arm(!t)
+    val m = df.where(t.isNotNull && x.isNotNull)
+      .agg(n1.as("n_treat"), s1.cast("double").as("__s1"),
+        q1.cast("double").as("__q1"), n0.as("n_ctrl"),
+        s0.cast("double").as("__s0"), q0.cast("double").as("__q0"))
+    val nd1 = col("n_treat").cast("double")
+    val nd0 = col("n_ctrl").cast("double")
+    val ss1 = col("__q1") - col("__s1") * col("__s1") / nd1
+    val ss0 = col("__q0") - col("__s0") * col("__s0") / nd0
+    val sp = sqrt((ss1 + ss0) / (nd1 + nd0 - lit(2.0)))
+    m.withColumn("mean_treat", when(col("n_treat") > 0,
+        round(col("__s1") / nd1, 6)))
+      .withColumn("mean_ctrl", when(col("n_ctrl") > 0,
+        round(col("__s0") / nd0, 6)))
+      .withColumn("pooled_sd",
+        when(col("n_treat") >= 2 && col("n_ctrl") >= 2, round(sp, 6)))
+      .withColumn("d",
+        when(col("n_treat") >= 2 && col("n_ctrl") >= 2 && sp > 0,
+          round((col("__s1") / nd1 - col("__s0") / nd0) / sp, 6)))
+      .withColumn("magnitude",
+        when(col("d").isNull, lit(null).cast("string"))
+          .when(abs(col("d")) < 0.2, "negligible")
+          .when(abs(col("d")) < 0.5, "small")
+          .when(abs(col("d")) < 0.8, "medium")
+          .otherwise("large"))
+      .select("n_treat", "n_ctrl", "mean_treat", "mean_ctrl", "pooled_sd",
+        "d", "magnitude")
+  }
+
+  /**
    * P107 — Pearson correlation matrix over a set of numeric columns:
    * one row per unordered column pair (upper triangle, positional
    * order) with the shared observation count and r rounded at 6 — the

@@ -145,6 +145,16 @@ object DedupQueries {
         .orderBy("i", "j")
     }),
 
+    // P205 — minhash calibration over the %20 sample: 16 portable-hash
+    // signature slots per doc, estimated vs exact Jaccard per pair with
+    // the absolute error — the data-driven banding input
+    "d18_minhash_err" -> ((s, dir) => {
+      Dedup.minhashErrorAudit(
+          table(s, dir, "documents").where(col("doc_id") % 20 === 0),
+          "doc_id", "text", numHashes = 16)
+        .orderBy("i", "j")
+    }),
+
     // P74 — containment |A∩B|/min(|A|,|B|): the asymmetric-duplication
     // detector (short doc quoted inside a long one scores ~0 Jaccard but
     // containment 1); same candidate machinery as d3, different
@@ -499,6 +509,57 @@ object DedupQueries {
 
     "d3_token_jaccard" ->
       jaccardSql("10", "string_split_regex(lower(trim(text)), '\\s+')", "0.8"),
+
+    // the identical coefficient ladder (shared hashCoeffs), md5-portable
+    // slot minima, all-pairs exact side with empty-intersection pairs kept
+    "d18_minhash_err" -> {
+      val coeffs = graft.operators.Dedup.hashCoeffs(16, 42L)
+      val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % 2147483647) AS m$i"
+      }.mkString(",\n        |    ").stripMargin
+      val matchExpr = (0 until 16).map(i =>
+        s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 20 = 0 AND doc_id IS NOT NULL
+         |    AND text IS NOT NULL),
+         |tok AS (
+         |  SELECT DISTINCT doc_id AS id, token FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         |    FROM docs) WHERE token <> ''),
+         |hh AS (
+         |  SELECT id,
+         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+         |        FOR c IN string_split(substr(md5('mh:' || token), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) % 2147483647 AS h
+         |  FROM tok),
+         |sigs AS (
+         |  SELECT id, $sigCols
+         |  FROM hh GROUP BY 1),
+         |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM tok GROUP BY 1),
+         |est AS (
+         |  SELECT sa.id AS i, sb.id AS j,
+         |    round(CAST($matchExpr AS DOUBLE) / 16.0e0, 6) AS est_j
+         |  FROM sigs sa JOIN sigs sb ON sa.id < sb.id),
+         |inter AS (
+         |  SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT e.i, e.j, e.est_j,
+         |    round(CAST(coalesce(it.x, 0) AS DOUBLE) /
+         |      CAST(si.sz + sj.sz - coalesce(it.x, 0) AS DOUBLE), 6)
+         |      AS exact_j
+         |  FROM est e
+         |  LEFT JOIN inter it ON it.i = e.i AND it.j = e.j
+         |  JOIN sizes si ON si.id = e.i
+         |  JOIN sizes sj ON sj.id = e.j)
+         |SELECT i, j, est_j, exact_j,
+         |  round(abs(est_j - exact_j), 6) AS abs_err
+         |FROM ex ORDER BY i, j""".stripMargin
+    },
 
     "d15_containment" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

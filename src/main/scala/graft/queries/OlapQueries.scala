@@ -420,6 +420,24 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P203 — partial correlation quantity↔price controlling for
+    // discount: the confounder screen over the o16 moment machinery
+    "o48_partialcorr" -> ((s, dir) => {
+      graft.operators.Features.partialCorrelation(
+        table(s, dir, "lineitem")
+          .select("l_quantity", "l_extendedprice", "l_discount"),
+        "l_quantity", "l_extendedprice", "l_discount")
+    }),
+
+    // P204 — Cohen's d on event value, odd users treated (the q17
+    // arms): how BIG the arm difference is, with magnitude labels
+    "o49_cohensd" -> ((s, dir) => {
+      graft.operators.Features.cohensD(
+        graft.Graft.events(s, dir).select(
+          (col("user_id") % 2 === 1).as("treat"), col("value")),
+        "treat", "value")
+    }),
+
     // P199 — Jarque–Bera normality triage per event type: skew/kurtosis
     // from exact milli-unit integer central moments
     "o47_jarque" -> ((s, dir) => {
@@ -1845,6 +1863,108 @@ object OlapQueries {
         |SELECT event_type, n AS n_days, next_day AS change_day,
         |  sse_total, cost AS sse_split, round(sse_total - cost, 6) AS gain
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // the o16 moment replay specialized to the triple; the partial reads
+    // the three 6-rounded r's only
+    "o48_partialcorr" ->
+      """WITH c AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y, l_discount AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) AS sz,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS pxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS pxz,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS pyz,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS pxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS pyy,
+        |    CAST(SUM(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS pzz
+        |  FROM c),
+        |r AS (
+        |  SELECT n,
+        |    CASE WHEN (CAST(n AS DOUBLE) * pxx - sx * sx) > 0
+        |          AND (CAST(n AS DOUBLE) * pyy - sy * sy) > 0 THEN
+        |      round((CAST(n AS DOUBLE) * pxy - sx * sy) /
+        |        (sqrt(CAST(n AS DOUBLE) * pxx - sx * sx) *
+        |         sqrt(CAST(n AS DOUBLE) * pyy - sy * sy)), 6) END AS r_xy,
+        |    CASE WHEN (CAST(n AS DOUBLE) * pxx - sx * sx) > 0
+        |          AND (CAST(n AS DOUBLE) * pzz - sz * sz) > 0 THEN
+        |      round((CAST(n AS DOUBLE) * pxz - sx * sz) /
+        |        (sqrt(CAST(n AS DOUBLE) * pxx - sx * sx) *
+        |         sqrt(CAST(n AS DOUBLE) * pzz - sz * sz)), 6) END AS r_xz,
+        |    CASE WHEN (CAST(n AS DOUBLE) * pyy - sy * sy) > 0
+        |          AND (CAST(n AS DOUBLE) * pzz - sz * sz) > 0 THEN
+        |      round((CAST(n AS DOUBLE) * pyz - sy * sz) /
+        |        (sqrt(CAST(n AS DOUBLE) * pyy - sy * sy) *
+        |         sqrt(CAST(n AS DOUBLE) * pzz - sz * sz)), 6) END AS r_yz
+        |  FROM m)
+        |SELECT n, r_xy, r_xz, r_yz,
+        |  CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL
+        |        AND r_yz IS NOT NULL
+        |        AND ((1.0e0 - r_xz * r_xz) * (1.0e0 - r_yz * r_yz)) > 0 THEN
+        |    round((r_xy - r_xz * r_yz) /
+        |      sqrt((1.0e0 - r_xz * r_xz) * (1.0e0 - r_yz * r_yz)), 6)
+        |  END AS r_partial
+        |FROM r""".stripMargin,
+
+    // the o23 conditional-moment recipe; d reads raw sums, the label
+    // reads the ROUNDED d
+    "o49_cohensd" ->
+      """WITH b AS (
+        |  SELECT (user_id % 2 = 1) AS t, value AS v FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN t THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN NOT t THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS s0,
+        |    CAST(SUM(CASE WHEN t THEN
+        |      CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)) END)
+        |      AS DOUBLE) AS q1,
+        |    CAST(SUM(CASE WHEN NOT t THEN
+        |      CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)) END)
+        |      AS DOUBLE) AS q0
+        |  FROM b),
+        |x AS (
+        |  SELECT *, q1 - s1 * s1 / CAST(n1 AS DOUBLE) AS ss1,
+        |            q0 - s0 * s0 / CAST(n0 AS DOUBLE) AS ss0
+        |  FROM m),
+        |y AS (
+        |  SELECT *, sqrt((ss1 + ss0) /
+        |    (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0e0)) AS sp
+        |  FROM x),
+        |z AS (
+        |  SELECT n1, n0, s1, s0, sp,
+        |    CASE WHEN n1 >= 2 AND n0 >= 2 AND sp > 0 THEN
+        |      round((s1 / CAST(n1 AS DOUBLE) - s0 / CAST(n0 AS DOUBLE))
+        |        / sp, 6) END AS d
+        |  FROM y)
+        |SELECT n1 AS n_treat, n0 AS n_ctrl,
+        |  CASE WHEN n1 > 0 THEN round(s1 / CAST(n1 AS DOUBLE), 6) END
+        |    AS mean_treat,
+        |  CASE WHEN n0 > 0 THEN round(s0 / CAST(n0 AS DOUBLE), 6) END
+        |    AS mean_ctrl,
+        |  CASE WHEN n1 >= 2 AND n0 >= 2 THEN round(sp, 6) END AS pooled_sd,
+        |  d,
+        |  CASE WHEN d IS NULL THEN NULL
+        |       WHEN abs(d) < 0.2e0 THEN 'negligible'
+        |       WHEN abs(d) < 0.5e0 THEN 'small'
+        |       WHEN abs(d) < 0.8e0 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM z""".stripMargin,
 
     // milli-unit integer moments (deviation 3-rounded in DECIMAL, the
     // o46 boundary rule), 19-digit product chain, one IEEE sqrt

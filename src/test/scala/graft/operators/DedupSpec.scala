@@ -472,4 +472,27 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.winnowOverlapPairs(docs, "doc_id", "text", 5, 4, 2L, 0L))
   }
+
+  test("minhashErrorAudit: identical docs estimate 1, disjoint 0, audit honest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),     // identical to 1 → J = 1, est = 1
+      (3L, "zz yy xx ww"))                // disjoint from both → J = 0
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashErrorAudit(docs, "doc_id", "text", numHashes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // identical token sets share every slot minimum exactly
+    assert(got((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // disjoint pairs: exact 0; the estimate may be > 0 only by slot
+    // collision, and the error column must report exactly that gap
+    for (p <- Seq((1L, 3L), (2L, 3L))) {
+      val (est, exact, err) = got(p)
+      assert(exact == 0.0 && err == est)
+    }
+    intercept[IllegalArgumentException](
+      Dedup.minhashErrorAudit(docs, "doc_id", "text", numHashes = 0))
+  }
 }

@@ -518,6 +518,43 @@ class FeaturesSpec extends SparkSpec {
       Features.tukeyFences(vals.toDF("k", "v"), "k", "v", k = 0.0))
   }
 
+  test("partialCorrelation: confounder removal zeroes a spurious link") {
+    import spark.implicits._
+    // x and y are both EXACTLY z (plus nothing): r_xy = 1 via z; the
+    // partial is 0/0 → null (z explains everything)
+    val driven = (1 to 10).map { i =>
+      (i.toDouble, i.toDouble, i.toDouble) }.toDF("x", "y", "z")
+    assert(Features.partialCorrelation(driven, "x", "y", "z").head.isNullAt(4))
+    // independent-ish x,y with irrelevant constant-free z: partial ≈ r_xy
+    val mixed = Seq(
+      (1.0, 2.0, 5.0), (2.0, 1.0, 7.0), (3.0, 4.0, 6.0), (4.0, 3.0, 8.0),
+      (5.0, 6.0, 5.5), (6.0, 5.0, 7.5)).toDF("x", "y", "z")
+    val r = Features.partialCorrelation(mixed, "x", "y", "z").head
+    assert(r.getLong(0) == 6L && !r.isNullAt(4))
+    intercept[IllegalArgumentException](
+      Features.partialCorrelation(mixed, "x", "x", "z"))
+  }
+
+  test("cohensD: textbook pooled effect size and labels") {
+    import spark.implicits._
+    // treat {2,4,6}, ctrl {1,2,3}: means 4 and 2, ss1 = 8, ss0 = 2,
+    // sp = sqrt(10/4) = 1.581139, d = 2/1.581139 = 1.264911 → large
+    val df = Seq((true, 2.0), (true, 4.0), (true, 6.0),
+      (false, 1.0), (false, 2.0), (false, 3.0)).toDF("t", "v")
+    val r = Features.cohensD(df, "t", "v").head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 1.581139 && r.getDouble(5) == 1.264911)
+    assert(r.getString(6) == "large")
+    // identical arms → d = 0, negligible; singleton arm → null d
+    val same = Seq((true, 1.0), (true, 2.0), (false, 1.0), (false, 2.0))
+      .toDF("t", "v")
+    val s = Features.cohensD(same, "t", "v").head
+    assert(s.getDouble(5) == 0.0 && s.getString(6) == "negligible")
+    val tiny = Seq((true, 1.0), (false, 1.0), (false, 2.0)).toDF("t", "v")
+    assert(Features.cohensD(tiny, "t", "v").head.isNullAt(5))
+  }
+
   test("jarqueBera: symmetric data has zero skew, constants null out") {
     import spark.implicits._
     // {1..5}: m2=2, m3=0, m4=6.8 → skew 0, excess kurtosis −1.3,
