@@ -662,6 +662,37 @@ object Features {
   }
 
   /**
+   * P206 — Q–Q points between two arms: the p-quantile of the treated
+   * arm against the same quantile of the control for a grid of
+   * fractions — the distribution-level A/B read (a mean test hides a
+   * variance or tail change; the Q–Q gap column localizes WHERE the
+   * distributions diverge). Emits (p, q_treat, q_ctrl, gap) per
+   * fraction; an empty arm yields null quantiles.
+   *
+   * Shapes: one exact percentile-array agg per arm (the o5 class), a
+   * 1×1 cross join, one bounded explode of the zipped arrays.
+   * Quantiles and the gap round at 4 (the o5 interpolation-slack rule).
+   */
+  def qqPoints(df: DataFrame, treatCol: String, valueCol: String,
+      ps: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"qqPoints: fractions must sit in (0,1), got $ps")
+    val t = col(treatCol)
+    val base = df.where(t.isNotNull && col(valueCol).isNotNull)
+      .select(t.as("__t"), col(valueCol).cast("double").as("__v"))
+    val fr = ps.mkString(", ")
+    def arm(cond: Column, name: String) =
+      base.where(cond).agg(expr(s"percentile(__v, array($fr))").as(name))
+    val pArr = array(ps.map(lit): _*)
+    arm(col("__t"), "__qt").crossJoin(arm(!col("__t"), "__qc"))
+      .select(posexplode(pArr).as(Seq("__i", "p")), col("__qt"), col("__qc"))
+      .select(col("p"),
+        round(element_at(col("__qt"), col("__i") + 1), 4).as("q_treat"),
+        round(element_at(col("__qc"), col("__i") + 1), 4).as("q_ctrl"))
+      .withColumn("gap", round(col("q_treat") - col("q_ctrl"), 4))
+  }
+
+  /**
    * P107 — Pearson correlation matrix over a set of numeric columns:
    * one row per unordered column pair (upper triangle, positional
    * order) with the shared observation count and r rounded at 6 — the

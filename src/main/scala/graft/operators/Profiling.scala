@@ -153,6 +153,56 @@ object Profiling {
   }
 
   /**
+   * P207 — ingest-volume anomaly screen: per day, the row count against
+   * the mean/sd of the `trailing` PRIOR days' counts, z-scored — the
+   * "did yesterday's feed half-arrive (or double-arrive)" monitor that
+   * P170's freshness check (staleness only) cannot see. Emits
+   * (day, n_rows, n_prior, mean_prior, sd_prior, z, anomalous); the
+   * first `trailing` days carry partial baselines (z only when the
+   * window is FULL and has spread — a constant baseline z would be
+   * ±∞).
+   *
+   * Shape: one daily count agg, then ONE ordered window over the
+   * DAY frame — bounded by the calendar, never rows (the o13 agg-sized
+   * class). Cross-engine: counts and windowed count/sum/sum-of-squares
+   * are exact BIGINTs (n² ≪ 2⁶² for any daily volume), mean/sd/z are
+   * fixed double sequences on them rounded at 6, `anomalous` reads the
+   * ROUNDED z.
+   */
+  def volumeAnomaly(df: DataFrame, tsCol: String, trailing: Int = 7,
+      zBar: Double = 3.0): DataFrame = {
+    require(trailing >= 2, s"volumeAnomaly: trailing must be >= 2, got $trailing")
+    require(zBar > 0, s"volumeAnomaly: zBar must be > 0, got $zBar")
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day").asc)
+      .rowsBetween(-trailing, -1)
+    val cnt = count(col("n_rows")).over(w)
+    val s = sum(col("n_rows")).over(w)
+    val q = sum(col("n_rows") * col("n_rows")).over(w)
+    val meanRaw = s.cast("double") / cnt.cast("double")
+    val varRaw = greatest(
+      q.cast("double") / cnt.cast("double") - meanRaw * meanRaw, lit(0.0))
+    daily
+      .withColumn("n_prior", cnt)
+      .withColumn("__mean", meanRaw)
+      .withColumn("__sd", sqrt(varRaw))
+      .withColumn("mean_prior",
+        when(col("n_prior") > 0, round(col("__mean"), 6)))
+      .withColumn("sd_prior",
+        when(col("n_prior") > 0, round(col("__sd"), 6)))
+      .withColumn("z",
+        when(col("n_prior") === trailing && col("__sd") > 0,
+          round((col("n_rows").cast("double") - col("__mean")) /
+            col("__sd"), 6)))
+      .withColumn("anomalous",
+        when(col("z").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z")) > zBar))
+      .drop("__mean", "__sd")
+  }
+
+  /**
    * P195 — candidate-key audit: for each monitored column, one row of
    * (column, n_rows, n_nonnull, n_distinct, dup_rate, is_key) — the
    * primary-key discovery + uniqueness-contract check (dbt `unique`)

@@ -1056,6 +1056,43 @@ object TextAnalysis {
   }
 
   /**
+   * P208 — language-mix audit: chunk each document ([[chunkTokens]],
+   * no overlap), run [[langId]] per chunk, and score the share of
+   * chunks DISAGREEING with the document-level call — the
+   * code-switching / concatenation detector (a doc that is "en" overall
+   * but 40% "fr" chunks is two documents glued together, which poisons
+   * both language filtering and dedup). Emits (id, doc_lang, n_chunks,
+   * n_match, mix_ratio, is_mixed); token-less docs have no chunks and
+   * drop.
+   *
+   * Shapes: the chunker's bounded explode, one langId projection per
+   * level, one shuffle_hash join + keyed count agg. mix_ratio is one
+   * double division of exact counts rounded at 6; is_mixed reads the
+   * ROUNDED ratio against `mixBar`.
+   */
+  def languageMix(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32, mixBar: Double = 0.25): DataFrame = {
+    require(chunkSize >= 1, s"languageMix: chunkSize must be >= 1")
+    require(mixBar > 0 && mixBar < 1,
+      s"languageMix: mixBar must sit in (0,1), got $mixBar")
+    val base = df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+    val doc = base.select(col(idCol).as("id"),
+      langId(col(textCol)).as("doc_lang"))
+    val chunks = chunkTokens(base, idCol, textCol, chunkSize, overlap = 0)
+      .select(col("id"), langId(col("chunk_text")).as("__cl"))
+    chunks
+      .join(doc.hint("shuffle_hash"), Seq("id"))
+      .groupBy(col("id"), col("doc_lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__cl") === col("doc_lang"), 1L).otherwise(0L))
+          .as("n_match"))
+      .withColumn("mix_ratio",
+        round(lit(1.0) - col("n_match").cast("double") /
+          col("n_chunks").cast("double"), 6))
+      .withColumn("is_mixed", col("mix_ratio") > mixBar)
+  }
+
+  /**
    * P197 — Simpson diversity per corpus slice: D = Σ nᵢ(nᵢ−1)/(N(N−1))
    * over token frequencies — the probability two tokens drawn without
    * replacement coincide — plus effective vocabulary 1/D ("this slice

@@ -420,6 +420,24 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P206 — decile Q–Q points between the q17 arms on event value:
+    // where (if anywhere) do the distributions diverge
+    "o50_qq" -> ((s, dir) => {
+      graft.operators.Features.qqPoints(
+          graft.Graft.events(s, dir).select(
+            (col("user_id") % 2 === 1).as("treat"), col("value")),
+          "treat", "value")
+        .orderBy("p")
+    }),
+
+    // P207 — daily ingest-volume anomaly screen over events: each day's
+    // count z-scored against the trailing week
+    "dq11_volume" -> ((s, dir) => {
+      graft.operators.Profiling.volumeAnomaly(
+          graft.Graft.events(s, dir).select("ts"), "ts")
+        .orderBy("day")
+    }),
+
     // P203 — partial correlation quantity↔price controlling for
     // discount: the confounder screen over the o16 moment machinery
     "o48_partialcorr" -> ((s, dir) => {
@@ -481,8 +499,11 @@ object OlapQueries {
       val o = table(s, dir, "orders")
       val x = pmod(col("o_custkey"), lit(1024)).cast("long")
       val y = pmod(col("o_orderkey"), lit(1024)).cast("long")
+      // depth 5 (32-cell leaves): ~40 merged intervals — the depth-8 set
+      // was ~350 intervals whose OR chain cost 8s at sf0.1 for zero
+      // extra pruning value in an identity-checked query
       val ranges = graft.operators.ZOrder.hilbertRanges(
-        10, 100L, 399L, 200L, 599L, maxDepth = 8)
+        10, 100L, 399L, 200L, 599L, maxDepth = 5)
       o.select(col("o_orderkey"), x.as("qx"), y.as("qy"),
           graft.operators.ZOrder.hilbertValue(10, x, y).as("__h"))
         .where(graft.operators.ZOrder.hilbertRangePredicate(col("__h"), ranges) &&
@@ -1863,6 +1884,58 @@ object OlapQueries {
         |SELECT event_type, n AS n_days, next_day AS change_day,
         |  sse_total, cost AS sse_split, round(sse_total - cost, 6) AS gain
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // per-fraction scalar quantile subselects; gap reads the 4-rounded
+    // quantiles (difference of 4-decimal values — no half boundary)
+    "o50_qq" -> {
+      val rows = (1 to 9).map { i =>
+        val p = i / 10.0
+        s"""SELECT CAST($p AS DOUBLE) AS p,
+           |  (SELECT round(quantile_cont(v, ${p}e0), 4) FROM b WHERE t)
+           |    AS q_treat,
+           |  (SELECT round(quantile_cont(v, ${p}e0), 4) FROM b WHERE NOT t)
+           |    AS q_ctrl""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (
+         |  SELECT (user_id % 2 = 1) AS t, value AS v FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         |u AS (
+         |$rows)
+         |SELECT p, q_treat, q_ctrl, round(q_treat - q_ctrl, 4) AS gap
+         |FROM u ORDER BY p""".stripMargin
+    },
+
+    // exact BIGINT daily counts + trailing-window integer moments; z
+    // reads the raw mean/sd sequence, the flag reads the ROUNDED z
+    "dq11_volume" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT day, n_rows,
+        |    CAST(COUNT(n_rows) OVER win AS BIGINT) AS n_prior,
+        |    CAST(SUM(n_rows) OVER win AS BIGINT) AS s,
+        |    CAST(SUM(n_rows * n_rows) OVER win AS BIGINT) AS q
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+        |                 AND 1 PRECEDING)),
+        |x AS (
+        |  SELECT day, n_rows, n_prior,
+        |    CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE) AS meanr,
+        |    sqrt(greatest(CAST(q AS DOUBLE) / CAST(n_prior AS DOUBLE) -
+        |      (CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE)) *
+        |      (CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE)), 0.0e0)) AS sdr
+        |  FROM w),
+        |y AS (
+        |  SELECT day, n_rows, n_prior,
+        |    CASE WHEN n_prior > 0 THEN round(meanr, 6) END AS mean_prior,
+        |    CASE WHEN n_prior > 0 THEN round(sdr, 6) END AS sd_prior,
+        |    CASE WHEN n_prior = 7 AND sdr > 0 THEN
+        |      round((CAST(n_rows AS DOUBLE) - meanr) / sdr, 6) END AS z
+        |  FROM x)
+        |SELECT day, n_rows, n_prior, mean_prior, sd_prior, z,
+        |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 3.0e0 END AS anomalous
+        |FROM y ORDER BY day""".stripMargin,
 
     // the o16 moment replay specialized to the triple; the partial reads
     // the three 6-rounded r's only

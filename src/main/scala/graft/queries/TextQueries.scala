@@ -255,6 +255,14 @@ object TextQueries {
       TextAnalysis.zipfFit(table(s, dir, "documents"), "text", maxRank = 500)
     }),
 
+    // P208 — language-mix audit: 32-token chunks langid'd against the
+    // doc-level call; the code-switch / concatenation detector
+    "t27_langmix" -> ((s, dir) => {
+      TextAnalysis.languageMix(table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // P197 — Simpson diversity + effective vocabulary per language:
     // the head-concentration complement to t11's entropy
     "t26_simpson" -> ((s, dir) => {
@@ -1105,6 +1113,49 @@ object TextQueries {
     // rank and frequency logs round at 9 into DECIMAL(18,9) points; the
     // o11 closing sequence; the 500-rank cut is deterministic under the
     // (count desc, token asc) order
+    // the t2 scored-subquery replay at BOTH levels (doc + 32-token
+    // chunk slices, the t5 slice arithmetic); flags read the rounded ratio
+    "t27_langmix" -> {
+      val langSel =
+        s"""(SELECT CASE WHEN max(s.sc) > 0
+           |       THEN first(s.lg ORDER BY s.sc DESC, s.lg ASC)
+           |       ELSE 'und' END
+           |     FROM (SELECT unnest([${Seq("de", "en", "es", "fr")
+                .map(profileSql).mkString(", ")}],
+           |                  recursive := true)) s(sc, lg))""".stripMargin
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      t -> t <> '') AS t
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |doc AS (
+         |  SELECT doc_id, $langSel AS doc_lang
+         |  FROM (SELECT doc_id, list_distinct(t) AS toks FROM tk)),
+         |idx AS (
+         |  SELECT doc_id, t,
+         |    UNNEST(range(0, CASE WHEN len(t) <= 0 THEN 0
+         |                         ELSE (len(t) - 1) // 32 + 1 END)) AS i
+         |  FROM tk),
+         |cl AS (
+         |  SELECT doc_id, $langSel AS cl
+         |  FROM (SELECT doc_id,
+         |          list_distinct(t[(i*32 + 1):least((i+1)*32, len(t))])
+         |            AS toks
+         |        FROM idx)),
+         |g AS (
+         |  SELECT c.doc_id, d.doc_lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(CASE WHEN c.cl = d.doc_lang THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_match
+         |  FROM cl c JOIN doc d ON d.doc_id = c.doc_id GROUP BY 1, 2)
+         |SELECT doc_id, doc_lang, n_chunks, n_match,
+         |  round(1.0e0 - CAST(n_match AS DOUBLE) / CAST(n_chunks AS DOUBLE),
+         |    6) AS mix_ratio,
+         |  (round(1.0e0 - CAST(n_match AS DOUBLE) / CAST(n_chunks AS DOUBLE),
+         |    6) > 0.25e0) AS is_mixed
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
     // exact BIGINT frequency moments; D and 1/D read the rounded D
     "t26_simpson" ->
       """WITH toks AS (

@@ -518,6 +518,19 @@ class FeaturesSpec extends SparkSpec {
       Features.tukeyFences(vals.toDF("k", "v"), "k", "v", k = 0.0))
   }
 
+  test("qqPoints: a pure location shift shows a constant gap") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (false, i.toDouble)) ++
+      (1 to 100).map(i => (true, i.toDouble + 10.0))).toDF("t", "v")
+    val rows = Features.qqPoints(df, "t", "v").orderBy("p").collect()
+    assert(rows.length == 9)
+    assert(rows.forall(_.getDouble(3) == 10.0))
+    // decile check: p=0.1 over 1..100 is R-7 rank 9.9 → 10.9
+    assert(rows.head.getDouble(2) == 10.9 && rows.head.getDouble(1) == 20.9)
+    intercept[IllegalArgumentException](
+      Features.qqPoints(df, "t", "v", ps = Seq(0.0)))
+  }
+
   test("partialCorrelation: confounder removal zeroes a spurious link") {
     import spark.implicits._
     // x and y are both EXACTLY z (plus nothing): r_xy = 1 via z; the

@@ -189,6 +189,27 @@ class ProfilingSpec extends SparkSpec {
       Profiling.candidateKeys(df, Seq("nope")))
   }
 
+  test("volumeAnomaly: a volume spike z-scores against the trailing week") {
+    import java.sql.Timestamp
+    // days 1..14 alternate 99/101 rows, day 15 explodes to 1000
+    val rows = (1 to 15).flatMap { d =>
+      val n = if (d == 15) 1000 else if (d % 2 == 1) 99 else 101
+      Seq.fill(n)(Tuple1(Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")))
+    }
+    val got = Profiling.volumeAnomaly(rows.toDF("ts"), "ts")
+      .orderBy("day").collect()
+    assert(got.length == 15)
+    val day1 = got(0); val day3 = got(2); val day15 = got(14)
+    assert(day1.getLong(2) == 0L && day1.isNullAt(3))  // no baseline yet
+    assert(day3.getLong(2) == 2L && !day3.isNullAt(3) && day3.isNullAt(5))
+    assert(day15.getLong(2) == 7L && day15.getDouble(5) > 100.0)
+    assert(day15.getBoolean(6))
+    // normal days inside a full window are not anomalous
+    assert(!got(13).getBoolean(6))
+    intercept[IllegalArgumentException](
+      Profiling.volumeAnomaly(rows.toDF("ts"), "ts", trailing = 1))
+  }
+
   test("populationStability: identical shares are stable, a flip is shifted") {
     // same per-band counts on both segments → every contrib 0, psi 0
     val same = Seq.tabulate(40) { i =>

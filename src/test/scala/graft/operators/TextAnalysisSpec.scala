@@ -637,6 +637,27 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.heapsFit(df, "doc_id", "text", 0))
   }
 
+  test("languageMix: glued bilingual doc flags, monolingual doesn't") {
+    import spark.implicits._
+    val en = Seq("the", "a", "of", "to", "in", "is", "that", "it")
+    val de = Seq("der", "die", "das", "ist", "von", "mit", "den", "ein")
+    // 32 en tokens then 32 de tokens: doc-level scores tie 0.5/0.5 and
+    // the tie breaks to 'de' (lexicographic); chunk 1 is pure en →
+    // mismatch, chunk 2 pure de → match ⇒ mix_ratio 0.5, flagged
+    val glued = (Seq.fill(4)(en).flatten ++ Seq.fill(4)(de).flatten)
+      .mkString(" ")
+    val mono = en.mkString(" ")
+    val docs = Seq((1L, glued), (2L, mono)).toDF("doc_id", "text")
+    val got = TextAnalysis.languageMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L) == (("de", 2L, 1L, 0.5, true)))
+    assert(got(2L) == (("en", 1L, 1L, 0.0, false)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.languageMix(docs, "doc_id", "text", chunkSize = 0))
+  }
+
   test("simpsonDiversity: uniform vs concentrated slices, degenerate null") {
     import spark.implicits._
     val docs = Seq(
