@@ -44,7 +44,9 @@ object Bench {
 
   /** Spawn one child JVM per half, sequentially; None on any failure
     * (missing classpath, child crash, unparseable output) → the caller
-    * falls back to the in-process path. */
+    * falls back to the in-process path. No non-local returns: a `return`
+    * inside a loop closure would throw NonLocalReturnControl straight
+    * into the catch below; NonFatal keeps OOM/interrupt propagating. */
   private def forkHalves(sfDir: String): Option[ShardResult] = {
     try {
       val sep = java.io.File.pathSeparator
@@ -52,49 +54,56 @@ object Bench {
       // a forked `run` JVM has the real classpath; under an in-process
       // launcher (classloader-based) it degenerates to the sbt jar —
       // detect that and bail to the fallback
-      if (!cp.split(sep).exists(_.contains("spark-sql"))) return None
-      val javaBin = java.nio.file.Paths
-        .get(System.getProperty("java.home"), "bin", "java").toString
-      val jvmArgs = java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getInputArguments
-      val halves = (1 to 2).map { i =>
-        val out = java.io.File.createTempFile(s"graft_bench_h$i", ".tsv")
-        val log = new java.io.File(
-          System.getProperty("java.io.tmpdir"), s"graft_bench_half$i.log")
-        val cmd = new java.util.ArrayList[String]()
-        cmd.add(javaBin)
-        jvmArgs.forEach(a => cmd.add(a))
-        cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
-        val pb = new ProcessBuilder(cmd)
-        pb.environment().put("GRAFT_BENCH_SHARD", s"$i/2")
-        pb.environment().put("GRAFT_BENCH_OUT", out.getAbsolutePath)
-        // children must never print to the parent's stdout: the driver
-        // parses the LAST 2000 bytes of it for the contract JSON
-        pb.redirectOutput(log)
-        pb.redirectErrorStream(true)
-        System.err.println(s"[bench] forking half $i/2 (log: $log)")
-        val p = pb.start()
-        val code = p.waitFor()
-        if (code != 0) {
-          System.err.println(s"[bench] half $i exited $code, falling back")
-          return None
+      if (!cp.split(sep).exists(_.contains("spark-sql"))) None
+      else {
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        def runChild(i: Int): Option[ShardResult] = {
+          val out = java.io.File.createTempFile(s"graft_bench_h$i", ".tsv")
+          val log = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft_bench_half$i.log")
+          val cmd = new java.util.ArrayList[String]()
+          cmd.add(javaBin)
+          jvmArgs.forEach(a => cmd.add(a))
+          cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
+          val pb = new ProcessBuilder(cmd)
+          pb.environment().put("GRAFT_BENCH_SHARD", s"$i/2")
+          pb.environment().put("GRAFT_BENCH_OUT", out.getAbsolutePath)
+          // children must never print to the parent's stdout: the driver
+          // parses the LAST 2000 bytes of it for the contract JSON
+          pb.redirectOutput(log)
+          pb.redirectErrorStream(true)
+          System.err.println(s"[bench] forking half $i/2 (log: $log)")
+          val code = pb.start().waitFor()
+          if (code != 0) {
+            System.err.println(s"[bench] half $i exited $code, falling back")
+            None
+          } else {
+            val res = parseShardTsv(out)
+            out.delete()
+            Some(res)
+          }
         }
-        parseShardTsv(out)
+        // per-query order is restored by the emit sort; the sentinel pair
+        // spans the whole window: first half's opening, second's closing
+        for (h1 <- runChild(1); h2 <- runChild(2))
+          yield ShardResult(h1.sentinelBefore, h2.sentinelAfter,
+            h1.stats ++ h2.stats)
       }
-      val (h1, h2) = (halves(0), halves(1))
-      // per-query order restored below by the emit sort; sentinel pair
-      // spans the whole window: first half's opening, second's closing
-      Some(ShardResult(h1.sentinelBefore, h2.sentinelAfter,
-        h1.stats ++ h2.stats))
     } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] fork mode failed (${e.getMessage}), falling back")
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fork mode failed ($e), falling back")
         None
     }
   }
 
   private def parseShardTsv(f: java.io.File): ShardResult = {
-    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val lines =
+      try src.getLines().toVector
+      finally src.close()
     val sent = lines.filter(_.startsWith("sentinel\t")).head.split("\t")
     val stats = lines.filter(_.startsWith("q\t")).map { l =>
       val p = l.split("\t")

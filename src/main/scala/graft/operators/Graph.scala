@@ -110,13 +110,28 @@ object Graph {
    */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val und = edges
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    triangleCountsOf(und, nodeDegrees(und))
+  }
+
+  /** The ONE canonical undirected-edge build (least/greatest + junk
+    * filter + distinct) shared by the triangle family — P188's cc is
+    * only correct if numerator and denominator read the SAME graph, so
+    * the canonicalization rule must exist exactly once. */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+
+  /** Degrees of [[canonicalUndirected]] output: (node, deg). */
+  private def nodeDegrees(und: DataFrame): DataFrame =
+    und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  private def triangleCountsOf(und: DataFrame, deg: DataFrame): DataFrame = {
     // field names must match on both struct sides or the comparison /
     // conditional would see two distinct StructTypes
     val su = struct(col("du").as("d"), col("u").as("n"))
@@ -160,15 +175,10 @@ object Graph {
    */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = nodeDegrees(und)
     deg.where(col("deg") >= 2)
-      .join(triangleCounts(edges, srcCol, dstCol).hint("shuffle_hash"),
+      .join(triangleCountsOf(und, deg).hint("shuffle_hash"),
         Seq("node"), "left")
       .withColumn("tri_cnt", coalesce(col("tri_cnt"), lit(0L)))
       .withColumn("cc",

@@ -145,8 +145,11 @@ object Privacy {
    * b = 1/(ε/2)), and the mean = noisy_sum / max(1, noisy_n), clamped
    * back to [lo, hi] (post-processing preserves DP) — private
    * per-segment averages for telemetry and training-data statistics.
-   * Emits (groupCols…, n, sum_clipped, dp_mean, true_mean) — keep
-   * `true_mean` out of any actual release; it's the utility audit.
+   * Emits (groupCols…, n, sum_clipped, true_mean, dp_mean). RELEASE
+   * CONTRACT: `dp_mean` is the ONLY ε-DP column — `n`, `sum_clipped`
+   * and `true_mean` are exact audit columns (sum_clipped/n IS the
+   * un-noised clipped mean), so an actual release ships the groups +
+   * dp_mean and NOTHING else.
    *
    * Derandomization and budget accounting as in [[laplaceNoisyCounts]]
    * (same salt → same ONE release; fresh release needs a fresh salt);

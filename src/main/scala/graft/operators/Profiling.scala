@@ -162,20 +162,30 @@ object Profiling {
    * window is FULL and has spread — a constant baseline z would be
    * ±∞).
    *
-   * Shape: one daily count agg, then ONE ordered window over the
-   * DAY frame — bounded by the calendar, never rows (the o13 agg-sized
-   * class). Cross-engine: counts and windowed count/sum/sum-of-squares
-   * are exact BIGINTs (n² ≪ 2⁶² for any daily volume), mean/sd/z are
-   * fixed double sequences on them rounded at 6, `anomalous` reads the
-   * ROUNDED z.
+   * Shape: one daily count agg joined onto a CALENDAR SPINE
+   * (sequence(min_day, max_day), missing days coalesce to 0 — a
+   * FULLY-ABSENT day is the worst volume anomaly and a bare groupBy
+   * would make it invisible while the trailing frame silently reached
+   * past the gap; the o35 calendar-vs-row-lag rule), then ONE ordered
+   * window over the day frame — bounded by the calendar, never rows
+   * (the o13 agg-sized class). Cross-engine: counts and windowed
+   * count/sum/sum-of-squares are exact BIGINTs (n² ≪ 2⁶² for any daily
+   * volume), mean/sd/z are fixed double sequences on them rounded at 6,
+   * `anomalous` reads the ROUNDED z.
    */
   def volumeAnomaly(df: DataFrame, tsCol: String, trailing: Int = 7,
       zBar: Double = 3.0): DataFrame = {
     require(trailing >= 2, s"volumeAnomaly: trailing must be >= 2, got $trailing")
     require(zBar > 0, s"volumeAnomaly: zBar must be > 0, got $zBar")
-    val daily = df.where(col(tsCol).isNotNull)
+    val counted = df.where(col(tsCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("__n"))
+    val spine = counted.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val daily = spine
+      .join(counted.hint("shuffle_hash"), Seq("day"), "left")
+      .withColumn("n_rows", coalesce(col("__n"), lit(0L)))
+      .drop("__n")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("day").asc)
       .rowsBetween(-trailing, -1)
     val cnt = count(col("n_rows")).over(w)

@@ -887,8 +887,13 @@ object TimeSeries {
    * purchases") that a raw frequency count conflates with burstiness.
    * The P88 idiom scaled down: the state space is the TYPE alphabet
    * (k rows), so every join is a broadcast-scale frame and the unroll
-   * is k²-sized per step. States with no incoming transitions drop
-   * after one step (their stationary mass is 0). Emits (state, pi).
+   * is k²-sized per step. A state with NO outgoing transitions is
+   * treated as ABSORBING (implicit self-loop): its mass carries into
+   * the next iterate instead of draining out of the distribution —
+   * without the carry, a terminal state would silently leak Σπ below 1
+   * and an all-absorbing tail would return an EMPTY frame. States whose
+   * mass reaches 0 drop from the frame (correct: their stationary
+   * share is 0). Emits (state, pi).
    *
    * Cross-engine: each step's products round at 9 and DECIMAL-sum,
    * and the summed mass re-rounds at 9 — iterative double state is
@@ -906,13 +911,17 @@ object TimeSeries {
       .drop("__k")
     val step = trans.select(col(fromCol).as("state"), col(toCol).as("__to"),
       col(probCol).as("__p"))
+    val froms = step.select(col("state")).distinct()
     for (_ <- 1 to iters) {
-      pi = step.join(pi.hint("shuffle_hash"), Seq("state"))
-        .withColumn("__t", round(col("__p") * col("pi"), 9)
-          .cast("decimal(28,9)"))
-        .groupBy(col("__to"))
+      val inflow = step.join(pi.hint("shuffle_hash"), Seq("state"))
+        .select(col("__to").as("state"),
+          round(col("__p") * col("pi"), 9).cast("decimal(28,9)").as("__t"))
+      // absorbing states (no outgoing row) keep their own mass
+      val carry = pi.join(froms, Seq("state"), "left_anti")
+        .select(col("state"), col("pi").cast("decimal(28,9)").as("__t"))
+      pi = inflow.union(carry)
+        .groupBy(col("state"))
         .agg(round(sum(col("__t")).cast("double"), 9).as("pi"))
-        .withColumnRenamed("__to", "state")
     }
     pi
   }

@@ -21,12 +21,20 @@ object OlapQueries {
     * which EventsDailyDensitySpec pins against the live testdata (a corpus
     * regen with a missing day must fail THERE, loudly, not silently turn
     * centered windows into misaligned row windows). */
-  private[queries] def dailyMeans(s: SparkSession, dir: String): DataFrame =
+  /** Daily mean + count per event type — the ONE definition of the daily
+    * series every o-family query reads ([[dailyMeans]] drops the count).
+    * Inlining this body at a call site is the duplication class the
+    * r9s4 review closed — extend HERE instead. */
+  private[queries] def dailyStats(s: SparkSession, dir: String): DataFrame =
     graft.Graft.events(s, dir)
       .where(col("value").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-        count(lit(1)).cast("double"), 6).as("v"))
+        count(lit(1)).cast("double"), 6).as("v"),
+        count(lit(1)).as("n"))
+
+  private[queries] def dailyMeans(s: SparkSession, dir: String): DataFrame =
+    dailyStats(s, dir).drop("n")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pivot order status × priority into wide counts
@@ -394,13 +402,8 @@ object OlapQueries {
     // P192 — Kendall τ-b per event type between the daily mean value
     // and the daily event count: do busy days run hot?
     "o43_kendall" -> ((s, dir) => {
-      val d = graft.Graft.events(s, dir)
-        .where(col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("v"),
-          count(lit(1)).as("n"))
-      graft.operators.TimeSeries.kendallTau(d, "event_type", "day", "v", "n")
+      graft.operators.TimeSeries.kendallTau(dailyStats(s, dir),
+          "event_type", "day", "v", "n")
         .orderBy("event_type")
     }),
 
@@ -1908,9 +1911,16 @@ object OlapQueries {
     // exact BIGINT daily counts + trailing-window integer moments; z
     // reads the raw mean/sd sequence, the flag reads the ROUNDED z
     "dq11_volume" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+      """WITH counted AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM counted)),
+        |daily AS (
+        |  SELECT s.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows
+        |  FROM spine s LEFT JOIN counted c ON c.day = s.day),
         |w AS (
         |  SELECT day, n_rows,
         |    CAST(COUNT(n_rows) OVER win AS BIGINT) AS n_prior,

@@ -206,6 +206,16 @@ class ProfilingSpec extends SparkSpec {
     assert(day15.getBoolean(6))
     // normal days inside a full window are not anomalous
     assert(!got(13).getBoolean(6))
+    // a FULLY-MISSING day must appear on the calendar spine with
+    // n_rows = 0 and flag as the (negative) anomaly it is
+    val gapped = rows.filterNot(
+      _._1.toString.startsWith("2024-01-12"))
+    val g = Profiling.volumeAnomaly(gapped.toDF("ts"), "ts")
+      .orderBy("day").collect()
+    assert(g.length == 15)
+    val day12 = g(11)
+    assert(day12.getLong(1) == 0L)          // spine row for the gap
+    assert(day12.getDouble(5) < -3.0 && day12.getBoolean(6))
     intercept[IllegalArgumentException](
       Profiling.volumeAnomaly(rows.toDF("ts"), "ts", trailing = 1))
   }

@@ -537,6 +537,14 @@ class TimeSeriesSpec extends SparkSpec {
     val g = TimeSeries.steadyState(biased, "from_type", "to_type", "prob", 4)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(g == Map("a" -> 0.201171875, "b" -> 0.798828125))
+    // absorbing chain a→b (b has no outgoing row): b must KEEP its mass
+    // (implicit self-loop) and absorb a's — mass never leaks and the
+    // frame never empties; a's share hits exactly 0 and drops
+    val absorbing = Seq(("a", "b", 1.0)).toDF("from_type", "to_type", "prob")
+    val h = TimeSeries.steadyState(absorbing, "from_type", "to_type",
+        "prob", 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(h == Map("b" -> 1.0))
     intercept[IllegalArgumentException](
       TimeSeries.steadyState(flip, "from_type", "to_type", "prob", 0))
   }
