@@ -505,6 +505,89 @@ object Features {
   }
 
   /**
+   * P210 — trimmed & winsorized means per group: the p/(1−p) quantile
+   * bounds, the mean over only in-bounds rows (trimmed) and the mean
+   * with out-of-bounds rows CLAMPED to the bounds (winsorized) — the
+   * robust location estimates beside the raw mean, read together ("the
+   * mean moved 12% but the trimmed mean 1% ⇒ it's the tail"). The
+   * AGGREGATE complement to P82's row-level winsorize transform. Emits
+   * (key, n, lo_bound, hi_bound, n_trimmed, mean_raw, mean_trimmed,
+   * mean_winsor); an all-out-of-bounds group nulls mean_trimmed.
+   *
+   * Shapes: one percentile agg per key (the o5 class), bounds joined
+   * back shuffle_hash, one fused conditional decimal agg. Cross-engine:
+   * bounds round at 4 (the o5 rule), raw values compare against those
+   * identical doubles, clamped values cast DECIMAL(18,6) before
+   * summing, means round at 6.
+   */
+  def trimmedMeans(df: DataFrame, keyCol: String, valueCol: String,
+      trimPct: Int = 10): DataFrame = {
+    require(trimPct >= 1 && trimPct <= 49,
+      s"trimmedMeans: trimPct must be in 1..49, got $trimPct")
+    val p = trimPct / 100.0
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+    val bounds = base.groupBy(col("__k"))
+      .agg(round(expr(s"percentile(__v, $p)"), 4).as("lo_bound"),
+        round(expr(s"percentile(__v, ${1.0 - p})"), 4).as("hi_bound"))
+    val inB = col("__v") >= col("lo_bound") && col("__v") <= col("hi_bound")
+    val clamped = least(greatest(col("__v"), col("lo_bound")),
+      col("hi_bound"))
+    base.join(bounds.hint("shuffle_hash"), Seq("__k"))
+      .groupBy(col("__k"), col("lo_bound"), col("hi_bound"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_trimmed"),
+        round(sum(col("__v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_raw"),
+        round(sum(when(inB, col("__v").cast("decimal(18,6)")))
+          .cast("double") /
+          sum(when(inB, 1L).otherwise(0L)).cast("double"), 6)
+          .as("mean_trimmed"),
+        round(sum(clamped.cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_winsor"))
+      .select(col("__k").as(keyCol), col("n"), col("lo_bound"),
+        col("hi_bound"), col("n_trimmed"), col("mean_raw"),
+        col("mean_trimmed"), col("mean_winsor"))
+  }
+
+  /**
+   * P211 — Theil T inequality index per group:
+   * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) over POSITIVE values — the
+   * decomposable concentration measure beside P147's Gini (Theil is
+   * additive across subgroups, which is why monitoring stacks report
+   * it per segment): 0 = perfectly even, ln(n) = one row holds
+   * everything. Emits (key, n, mu, theil, theil_norm) with theil_norm
+   * = T/ln(n) ∈ [0,1]; non-positive rows are excluded (T is undefined
+   * there — documented), singleton groups null the normalized form.
+   *
+   * Shapes: one keyed mean agg joined back shuffle_hash, one fused
+   * decimal agg. Cross-engine: μ is the 6-rounded decimal mean, each
+   * term rounds the ln at 9 and the product at 9, DECIMAL-sums (the
+   * libm firewall), T rounds at 6; ln(n) rounds at 9 before the
+   * normalization division.
+   */
+  def theilIndex(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) > 0)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+    val means = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mu"))
+    val ratio = col("__v") / col("mu")
+    base.join(means.hint("shuffle_hash"), Seq("__k"))
+      .withColumn("__t",
+        round(ratio * round(log(ratio), 9), 9).cast("decimal(28,9)"))
+      .groupBy(col("__k"), col("n"), col("mu"))
+      .agg(round((sum(col("__t")).cast("double") /
+        col("n").cast("double")), 6).as("theil"))
+      .withColumn("theil_norm",
+        when(col("n") > 1,
+          round(col("theil") / round(log(col("n").cast("double")), 9), 6)))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /**
    * P102 — Mann–Whitney U rank-sum test between two groups of a value
    * column (normal approximation with tie correction): U from pooled
    * average ranks, z = (U_A − n_A·n_B/2) / σ with

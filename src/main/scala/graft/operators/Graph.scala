@@ -385,4 +385,57 @@ object Graph {
         when(denx > 0 && deny > 0, round(num / sqrt(denx * deny), 6)))
       .select("n_edges", "r")
   }
+
+  /**
+   * P209 — HITS hubs & authorities over a BIPARTITE edge list
+   * (left → right), `iters` unrolled rounds with L1 normalization:
+   * auth(r) = Σ hub(l) over incident edges, hub(l) = Σ auth(r), each
+   * side renormalized to sum 1 per round — the two-role ranking a
+   * one-sided PageRank (P88) flattens: on a buyer→product graph, hubs
+   * are the broad bulk buyers and authorities the products broad
+   * buyers converge on (≠ raw popularity: an authority's edges come
+   * from HIGH-hub buyers). Emits ("hub"|"auth", id, score) rows;
+   * isolated ids never enter (edges define the graph).
+   *
+   * Shapes: one distinct edge build, per round two shuffle_hash
+   * joins + keyed sums + a 1-row L1 total broadcast back — no windows,
+   * no collect. Cross-engine: scores are 9-rounded doubles whose sums
+   * go through DECIMAL(28,9) (the q19 rounded-decimal-state rule — raw
+   * iterative doubles are the gr1 portability trap).
+   */
+  def hits(edges: DataFrame, leftCol: String, rightCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"hits: iters must be in 1..16, got $iters")
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .where(col("l").isNotNull && col("r").isNotNull)
+      .distinct()
+    def normalized(scores: DataFrame, idCol: String): DataFrame = {
+      val tot = scores.agg(
+        sum(col("__s").cast("decimal(28,9)")).cast("double").as("__tot"))
+      scores.crossJoin(broadcast(tot)) // 1-row scalar side
+        .select(col(idCol),
+          round(col("__s") / col("__tot"), 9).as("score"))
+    }
+    val nl = e.select(col("l")).distinct()
+      .crossJoin(broadcast(e.agg(countDistinct(col("l")).as("__nl"))))
+    var hub = nl.select(col("l"),
+      round(lit(1.0) / col("__nl").cast("double"), 9).as("score"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        e.join(hub.hint("shuffle_hash"), Seq("l"))
+          .groupBy(col("r"))
+          .agg(sum(col("score").cast("decimal(28,9)")).cast("double")
+            .as("__s")), "r")
+      hub = normalized(
+        e.join(auth.hint("shuffle_hash"), Seq("r"))
+          .groupBy(col("l"))
+          .agg(sum(col("score").cast("decimal(28,9)")).cast("double")
+            .as("__s")), "l")
+    }
+    hub.select(lit("hub").as("kind"), col("l").as("id"), col("score"))
+      .union(auth.select(lit("auth").as("kind"), col("r").as("id"),
+        col("score")))
+  }
 }

@@ -54,6 +54,20 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // P209 — HITS over the bipartite customer→part purchase graph:
+    // 2 L1-normalized rounds; hubs = broad buyers, authorities = parts
+    // those buyers converge on
+    "gr8_hits" -> ((s, dir) => {
+      val e = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(table(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          Seq("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      graft.operators.Graph.hits(e, "cust", "part", iters = 2)
+        .orderBy("kind", "id")
+    }),
+
     // P188 — local clustering coefficient over the same co-purchase
     // graph: cc = 2·tri/(deg·(deg−1)) per node with deg ≥ 2; the oracle
     // recomputes both moments by plain id-order identity
@@ -222,6 +236,45 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM t)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the identical unrolled L1-normalized rounds: DECIMAL(28,9) sums
+    // of 9-rounded scores, one scalar total per normalization
+    "gr8_hits" -> {
+      def norm(rawCte: String, totCte: String, outCte: String,
+          idCol: String) =
+        s"""$totCte AS (
+           |  SELECT CAST(SUM(CAST(s AS DECIMAL(28,9))) AS DOUBLE) AS t
+           |  FROM $rawCte),
+           |$outCte AS (
+           |  SELECT $idCol, round(s / $totCte.t, 9) AS score
+           |  FROM $rawCte CROSS JOIN $totCte)""".stripMargin
+      def sweep(rawCte: String, fromCte: String, joinKey: String,
+          outKey: String) =
+        s"""$rawCte AS (
+           |  SELECT $outKey,
+           |    CAST(SUM(CAST(score AS DECIMAL(28,9))) AS DOUBLE) AS s
+           |  FROM e JOIN $fromCte USING ($joinKey) GROUP BY 1)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS l, li.l_partkey AS r
+         |  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+         |  WHERE o.o_custkey IS NOT NULL AND li.l_partkey IS NOT NULL),
+         |nl AS (SELECT CAST(COUNT(DISTINCT l) AS BIGINT) AS nl FROM e),
+         |hub0 AS (
+         |  SELECT DISTINCT l, round(1.0e0 / CAST(nl.nl AS DOUBLE), 9)
+         |    AS score
+         |  FROM e CROSS JOIN nl),
+         |${sweep("a1r", "hub0", "l", "r")},
+         |${norm("a1r", "a1t", "a1", "r")},
+         |${sweep("h1r", "a1", "r", "l")},
+         |${norm("h1r", "h1t", "h1", "l")},
+         |${sweep("a2r", "h1", "l", "r")},
+         |${norm("a2r", "a2t", "a2", "r")},
+         |${sweep("h2r", "a2", "r", "l")},
+         |${norm("h2r", "h2t", "h2", "l")}
+         |SELECT 'hub' AS kind, l AS id, score FROM h2
+         |UNION ALL SELECT 'auth' AS kind, r AS id, score FROM a2
+         |ORDER BY kind, id""".stripMargin
+    },
 
     // the gr2 triangle identity + the canonical degree agg; cc is one
     // double division of exact BIGINTs, rounded at 6

@@ -423,6 +423,24 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P210 — 10% trimmed & winsorized means of event value per type:
+    // the robust-location trio read against the raw mean
+    "o51_trimmed" -> ((s, dir) => {
+      graft.operators.Features.trimmedMeans(
+          graft.Graft.events(s, dir).select("event_type", "value"),
+          "event_type", "value", trimPct = 10)
+        .orderBy("event_type")
+    }),
+
+    // P211 — Theil T inequality of order value per priority class, with
+    // the ln(n)-normalized form
+    "o52_theil" -> ((s, dir) => {
+      graft.operators.Features.theilIndex(
+          table(s, dir, "orders").select("o_orderpriority", "o_totalprice"),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")
+    }),
+
     // P206 — decile Q–Q points between the q17 arms on event value:
     // where (if anywhere) do the distributions diverge
     "o50_qq" -> ((s, dir) => {
@@ -1887,6 +1905,61 @@ object OlapQueries {
         |SELECT event_type, n AS n_days, next_day AS change_day,
         |  sse_total, cost AS sse_split, round(sse_total - cost, 6) AS gain
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // 4-rounded decile bounds, raw-value comparisons against them,
+    // DECIMAL sums for all three means
+    "o51_trimmed" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |bounds AS (
+        |  SELECT k, round(quantile_cont(v, 0.1e0), 4) AS lo_bound,
+        |    round(quantile_cont(v, 0.9e0), 4) AS hi_bound
+        |  FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT b.k, b.v, lo_bound, hi_bound,
+        |    (b.v >= lo_bound AND b.v <= hi_bound) AS inb,
+        |    LEAST(GREATEST(b.v, lo_bound), hi_bound) AS cl
+        |  FROM b JOIN bounds ON bounds.k = b.k)
+        |SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  lo_bound, hi_bound,
+        |  CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+        |  round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_raw,
+        |  round(CAST(SUM(CASE WHEN inb THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |    AS mean_trimmed,
+        |  round(CAST(SUM(CAST(cl AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_winsor
+        |FROM j GROUP BY 1, 3, 4 ORDER BY event_type""".stripMargin,
+
+    // the μ-rounded ratio terms through the ln firewall; theil_norm
+    // reads the rounded T over the 9-rounded ln(n)
+    "o52_theil" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS k, o_totalprice AS v FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_totalprice > 0),
+        |m AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS mu
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT b.k, m.n, m.mu,
+        |    round((b.v / m.mu) * round(ln(b.v / m.mu), 9), 9) AS tt
+        |  FROM b JOIN m ON m.k = b.k),
+        |g AS (
+        |  SELECT k, n, mu,
+        |    round(CAST(SUM(CAST(tt AS DECIMAL(28,9))) AS DOUBLE) /
+        |      CAST(n AS DOUBLE), 6) AS theil
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT k AS o_orderpriority, n, mu, theil,
+        |  CASE WHEN n > 1 THEN
+        |    round(theil / round(ln(CAST(n AS DOUBLE)), 9), 6) END
+        |    AS theil_norm
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
 
     // per-fraction scalar quantile subselects; gap reads the 4-rounded
     // quantiles (difference of 4-decimal values — no half boundary)

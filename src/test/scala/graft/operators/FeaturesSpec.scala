@@ -518,6 +518,39 @@ class FeaturesSpec extends SparkSpec {
       Features.tukeyFences(vals.toDF("k", "v"), "k", "v", k = 0.0))
   }
 
+  test("trimmedMeans: the outlier moves the raw mean, not the trimmed one") {
+    import spark.implicits._
+    // 1..9 plus 100: bounds 1.9/18.1 (R-7 at 10%/90%), trim keeps 2..9
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _)).toDF("k", "v")
+    val r = Features.trimmedMeans(df, "k", "v").head
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 1.9 && r.getDouble(3) == 18.1)
+    assert(r.getLong(4) == 8L)
+    assert(r.getDouble(5) == 14.5)      // raw mean chases the outlier
+    assert(r.getDouble(6) == 5.5)       // trimmed mean does not
+    assert(r.getDouble(7) == 6.4)       // winsorized: clamped tails
+    intercept[IllegalArgumentException](
+      Features.trimmedMeans(df, "k", "v", trimPct = 50))
+  }
+
+  test("theilIndex: zero on equal values, positive under concentration") {
+    import spark.implicits._
+    val even = (1 to 5).map(_ => ("e", 4.0)).toDF("k", "v")
+    val r0 = Features.theilIndex(even, "k", "v").head
+    assert(r0.getDouble(3) == 0.0 && r0.getDouble(4) == 0.0)
+    // (1,1,1,1,6): μ = 2 → T = (4·0.5·ln0.5 + 3·ln3)/5 through the
+    // 9-rounded firewall = 0.381909
+    val skewed = (Seq.fill(4)(1.0) :+ 6.0).map(("s", _)).toDF("k", "v")
+    val r1 = Features.theilIndex(skewed, "k", "v").head
+    assert(r1.getLong(1) == 5L && r1.getDouble(2) == 2.0)
+    assert(r1.getDouble(3) == 0.381909)
+    assert(r1.getDouble(4) > 0.2 && r1.getDouble(4) < 0.25)
+    // non-positive rows are excluded, not crashed on
+    val mixed = Seq(("m", 0.0), ("m", -1.0), ("m", 2.0), ("m", 2.0))
+      .toDF("k", "v")
+    assert(Features.theilIndex(mixed, "k", "v").head.getLong(1) == 2L)
+  }
+
   test("qqPoints: a pure location shift shows a constant gap") {
     import spark.implicits._
     val df = ((1 to 100).map(i => (false, i.toDouble)) ++

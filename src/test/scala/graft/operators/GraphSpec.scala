@@ -71,6 +71,20 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(path, "s", "d").count() == 0)
   }
 
+  test("hits: shared product out-ranks, scores stay L1-normalized") {
+    // c1→{p1,p2}, c2→{p1}: p1 draws from both hubs, c1 spans both auths
+    val e = Seq((10L, 100L), (10L, 200L), (20L, 100L)).toDF("c", "p")
+    val got = Graph.hits(e, "c", "p", iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // round 2 auth totals are exact dyadics: p1 = 1/1.6, p2 = 0.6/1.6
+    assert(got(("auth", 100L)) == 0.625 && got(("auth", 200L)) == 0.375)
+    assert(got(("hub", 10L)) == 0.615384615 &&
+      got(("hub", 20L)) == 0.384615385)
+    assert(math.abs(got(("hub", 10L)) + got(("hub", 20L)) - 1.0) < 1e-8)
+    intercept[IllegalArgumentException](Graph.hits(e, "c", "p", iters = 0))
+  }
+
   test("clusteringCoefficient: cliques are 1, bridges 0, deg-1 excluded") {
     // K4 complete: every node deg 3, 3 triangles → cc = 2·3/(3·2) = 1
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
