@@ -588,6 +588,47 @@ object Features {
   }
 
   /**
+   * P212 — Benjamini–Hochberg FDR control: given a frame of per-unit
+   * p-values, the step-up adjusted q-values
+   * q_i = min_{j ≥ i} (p_j·n/j) clamped at 1 and the reject set at
+   * `alphaPct`% — THE multiple-testing correction for "we ran the
+   * P97/P148/P171/P181 tests across 500 segments and 30 lit up" (at
+   * α = 5%, 25 of those are expected false positives without this).
+   * Emits (id, p, rank, q, reject); corrupt p outside [0, 1] raises
+   * loudly (the tokenBudget guard discipline).
+   *
+   * Shape: one rank window + one suffix-min window over the TESTS
+   * frame — global-order windows, but the frame is tests (segments ×
+   * metrics), not rows: agg-sized at any corpus scale (the o13 class).
+   * Cross-engine: raw adjustments round at 9 on exact rank/n BIGINTs;
+   * `reject` reads the rounded q.
+   */
+  def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
+      alphaPct: Int = 5): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"benjaminiHochberg: alphaPct must be in 1..50, got $alphaPct")
+    val guarded = when(col(pCol) < 0 || col(pCol) > 1,
+      raise_error(concat(lit("benjaminiHochberg: p outside [0,1] at "),
+        col(idCol).cast("string"))).cast("double"))
+      .otherwise(col(pCol).cast("double"))
+    val base = df.where(col(idCol).isNotNull && col(pCol).isNotNull)
+      .select(col(idCol).as("id"), guarded.as("p"))
+    val nAgg = base.agg(count(lit(1)).as("__n"))
+    val wRank = Window.orderBy(col("p").asc, col("id").asc)
+    val wMin = Window.orderBy(col("rank").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base.crossJoin(broadcast(nAgg)) // 1-row scalar side
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("__raw",
+        round(col("p") * col("__n").cast("double") /
+          col("rank").cast("double"), 9))
+      .withColumn("q", least(min(col("__raw")).over(wMin), lit(1.0)))
+      .withColumn("reject", col("q") <= alphaPct / 100.0)
+      .select(col("id").as(idCol), col("p"), col("rank"), col("q"),
+        col("reject"))
+  }
+
+  /**
    * P102 — Mann–Whitney U rank-sum test between two groups of a value
    * column (normal approximation with tie correction): U from pooled
    * average ranks, z = (U_A − n_A·n_B/2) / σ with

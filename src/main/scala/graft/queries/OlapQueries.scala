@@ -423,6 +423,20 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P212 — BH step-up over a replayable synthetic p frame (every
+    // 50th customer a test, every 500th carries a p/100 signal): the
+    // multiple-testing gate for segment sweeps
+    "o53_bh" -> ((s, dir) => {
+      val u = graft.operators.Sampling.uniform01(col("c_custkey"), "bh:")
+      val tests = table(s, dir, "customer")
+        .where(col("c_custkey") % 50 === 0 && col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("test_id"),
+          when(col("c_custkey") % 500 === 0, round(u / 100.0, 9))
+            .otherwise(round(u, 9)).as("p"))
+      graft.operators.Features.benjaminiHochberg(tests, "test_id", "p")
+        .orderBy("rank")
+    }),
+
     // P210 — 10% trimmed & winsorized means of event value per type:
     // the robust-location trio read against the raw mean
     "o51_trimmed" -> ((s, dir) => {
@@ -1905,6 +1919,40 @@ object OlapQueries {
         |SELECT event_type, n AS n_days, next_day AS change_day,
         |  sse_total, cost AS sse_split, round(sse_total - cost, 6) AS gain
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // the bh: uniform replay, exact rank/n BIGINTs, suffix-min window
+    "o53_bh" ->
+      """WITH h AS (
+        |  SELECT c_custkey,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('bh:' ||
+        |          CAST(c_custkey AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM customer
+        |  WHERE c_custkey % 50 = 0 AND c_custkey IS NOT NULL),
+        |t AS (
+        |  SELECT c_custkey AS test_id,
+        |    CASE WHEN c_custkey % 500 = 0 THEN round(u / 100.0e0, 9)
+        |         ELSE round(u, 9) END AS p
+        |  FROM (SELECT c_custkey,
+        |          CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0 AS u
+        |        FROM h)),
+        |r AS (
+        |  SELECT test_id, p,
+        |    CAST(row_number() OVER (ORDER BY p, test_id) AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM t),
+        |x AS (
+        |  SELECT test_id, p, rank,
+        |    round(p * CAST(n AS DOUBLE) / CAST(rank AS DOUBLE), 9) AS raw
+        |  FROM r),
+        |y AS (
+        |  SELECT test_id, p, rank,
+        |    LEAST(MIN(raw) OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING), 1.0e0) AS q
+        |  FROM x)
+        |SELECT test_id, p, rank, q, (q <= 0.05e0) AS reject
+        |FROM y ORDER BY rank""".stripMargin,
 
     // 4-rounded decile bounds, raw-value comparisons against them,
     // DECIMAL sums for all three means

@@ -117,6 +117,26 @@ object StreamQueries {
           max(col("session_end").cast("long") - col("session_start").cast("long"))
             .as("max_session_sec"))
         .orderBy("user_id")
+    }),
+
+    // P213 — session-duration outliers: st2's sessionization screened
+    // by the o10 MAD modified-z over MULTI-event session durations —
+    // the bot / left-open-tab detector; two verified stages composed
+    // lazily. Single-event sessions are excluded: their duration is
+    // exactly the gap constant, so they pin the median AND zero the
+    // MAD (every mz degenerates to 0 — measured, not hypothetical)
+    "pipe8_sessmad" -> ((s, dir) => {
+      val sess = EventStreams.sessionWindows(events(s, dir))
+        .where(col("n_events") >= 2)
+        .select(col("user_id"), col("session_start"),
+          (col("session_end").cast("long") -
+            col("session_start").cast("long")).as("dur_sec"))
+        .withColumn("grp", lit("all"))
+      graft.operators.Features.madOutliers(sess, "grp", "dur_sec",
+          cutoff = 3.5)
+        .select("user_id", "session_start", "dur_sec", "med", "mad",
+          "mz", "outlier")
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -250,6 +270,47 @@ object StreamQueries {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
         |  CAST(MAX(dur_sec) AS BIGINT) AS max_session_sec
-        |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the st2 session replay at session grain + the o10 med/MAD replay
+    // over all durations (session_window end = last event + gap)
+    "pipe8_sessmad" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, session_id, MIN(ts) AS session_start,
+        |    CAST(date_diff('second', MIN(ts), MAX(ts)) + 1800 AS BIGINT)
+        |      AS dur_sec
+        |  FROM sessions GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2),
+        |med AS (
+        |  SELECT round(quantile_cont(CAST(dur_sec AS DOUBLE), 0.5), 6)
+        |    AS med
+        |  FROM per_session),
+        |dev AS (
+        |  SELECT p.user_id, p.session_start, p.dur_sec, m.med,
+        |    abs(CAST(p.dur_sec AS DOUBLE) - m.med) AS dv
+        |  FROM per_session p CROSS JOIN med m),
+        |mad AS (SELECT round(quantile_cont(dv, 0.5), 6) AS mad FROM dev),
+        |z AS (
+        |  SELECT d.user_id, d.session_start, d.dur_sec, d.med, mad.mad,
+        |    CASE WHEN mad.mad > 0
+        |         THEN round(0.6745e0 * (CAST(d.dur_sec AS DOUBLE) - d.med)
+        |           / mad.mad, 6)
+        |         ELSE 0.0e0 END AS mz
+        |  FROM dev d CROSS JOIN mad)
+        |SELECT user_id, session_start, dur_sec, med, mad, mz,
+        |  abs(mz) > 3.5e0 AS outlier
+        |FROM z ORDER BY user_id, session_start""".stripMargin
   )
 }

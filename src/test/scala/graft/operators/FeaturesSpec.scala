@@ -518,6 +518,33 @@ class FeaturesSpec extends SparkSpec {
       Features.tukeyFences(vals.toDF("k", "v"), "k", "v", k = 0.0))
   }
 
+  test("benjaminiHochberg: textbook step-up, suffix-min monotone q") {
+    import spark.implicits._
+    // p = (.001, .01, .03, .5, .9): raw = (.005, .025, .05, .625, .9);
+    // suffix-min leaves them as-is → ranks 1..3 reject at 5%
+    val df = Seq((1L, 0.001), (2L, 0.01), (3L, 0.03), (4L, 0.5),
+      (5L, 0.9)).toDF("id", "p")
+    val got = Features.benjaminiHochberg(df, "id", "p")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((1L, 0.005, true)))
+    assert(got(2L) == ((2L, 0.025, true)))
+    assert(got(3L) == ((3L, 0.05, true)))
+    assert(got(4L) == ((4L, 0.625, false)))
+    assert(got(5L) == ((5L, 0.9, false)))
+    // a later small p pulls earlier q's DOWN (the step-up property)
+    val pull = Seq((1L, 0.04), (2L, 0.041)).toDF("id", "p")
+    val q = Features.benjaminiHochberg(pull, "id", "p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(q(1L) == 0.041 && q(2L) == 0.041) // min(0.08, 0.041)
+    intercept[IllegalArgumentException](
+      Features.benjaminiHochberg(df, "id", "p", alphaPct = 0))
+    // corrupt p fails loudly
+    val bad = Seq((1L, 1.5)).toDF("id", "p")
+    intercept[Exception](
+      Features.benjaminiHochberg(bad, "id", "p").collect())
+  }
+
   test("trimmedMeans: the outlier moves the raw mean, not the trimmed one") {
     import spark.implicits._
     // 1..9 plus 100: bounds 1.9/18.1 (R-7 at 10%/90%), trim keeps 2..9
