@@ -25,6 +25,21 @@ object MultimodalQueries {
   private val AspectRatios =
     Seq(0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0)
 
+  /** The ONE mm3 pair derivation (duplicated corpus → stub pHash →
+    * hamming ≤ 3 pairs) shared by mm3 and mm10 — forked copies of the
+    * corpus construction could silently diverge. */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val duped = d.withColumn("key", col("doc_id") % 100).alias("a")
+      .join(d.withColumn("key", col("doc_id"))
+        .select(col("key"), col("text").as("base_text")).alias("b"), Seq("key"))
+      .select(col("a.doc_id").as("doc_id"), col("base_text").as("text"))
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.packText(duped, "doc_id", "text").as[MediaRecord])
+    Multimodal.phashNearDupPairs(hashes, maxHamming = 3)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary column + typed metadata, checksummed
     "mm1_pack" -> ((s, dir) => {
@@ -40,16 +55,17 @@ object MultimodalQueries {
     // hash from raw bytes and compares ALL pairs, so green proves the
     // banding is an identity (the d5 pattern)
     "mm3_phash_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val duped = d.withColumn("key", col("doc_id") % 100).alias("a")
-        .join(d.withColumn("key", col("doc_id"))
-          .select(col("key"), col("text").as("base_text")).alias("b"), Seq("key"))
-        .select(col("a.doc_id").as("doc_id"), col("base_text").as("text"))
-      val hashes = Multimodal.perceptualHash(
-        Multimodal.packText(duped, "doc_id", "text").as[MediaRecord])
-      Multimodal.phashNearDupPairs(hashes, maxHamming = 3)
-        .orderBy("i", "j")
+      phashPairs(s, dir).orderBy("i", "j")
+    }),
+
+    // P214 — near-dup image clusters: bounded min-label components over
+    // the mm3 hamming pairs (one canonical representative per visual
+    // duplicate family); the oracle replays the same 3 label rounds
+    "mm10_phash_clusters" -> ((s, dir) => {
+      graft.operators.Dedup.duplicateClusters(
+          phashPairs(s, dir), "i", "j", iters = 3)
+        .withColumnRenamed("id", "media_id")
+        .orderBy("media_id")
     }),
 
     // P94 — ViT patch grid over the stub codec's pixel planes: dims
@@ -152,6 +168,46 @@ object MultimodalQueries {
         .orderBy("media_id")
     })
   )
+
+  /** mm3's pair derivation as shared oracle CTEs ending in `pairs`. */
+  private val PhashPairCtes: String =
+    """WITH d AS (
+      |  SELECT a.doc_id AS doc_id, b.text AS text
+      |  FROM documents a JOIN documents b ON a.doc_id % 100 = b.doc_id),
+      |m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS blen,
+      |         GREATEST(octet_length(encode(text)), 1) AS n
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id, hx, blen, n,
+      |         GREATEST(1, LEAST(64, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS w
+      |  FROM m),
+      |gg AS (
+      |  SELECT *, GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) / w) AS BIGINT)) AS h
+      |  FROM g),
+      |v AS (
+      |  SELECT doc_id,
+      |    [CASE WHEN (LEAST(h-1, ((i//8)*h)//8) * w + LEAST(w-1, ((i%8)*w)//8)) < blen
+      |          THEN ('0x' || substring(hx, 2*(LEAST(h-1, ((i//8)*h)//8) * w + LEAST(w-1, ((i%8)*w)//8)) + 1, 2))::INT
+      |          ELSE 0 END
+      |     FOR i IN range(64)] AS vals
+      |  FROM gg),
+      |s AS (SELECT doc_id, vals, list_sum(vals) AS tot FROM v),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << i) ELSE 0 END FOR i IN range(16)]) AS INT) AS c0,
+      |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-16)) ELSE 0 END FOR i IN range(16, 32)]) AS INT) AS c1,
+      |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-32)) ELSE 0 END FOR i IN range(32, 48)]) AS INT) AS c2,
+      |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-48)) ELSE 0 END FOR i IN range(48, 64)]) AS INT) AS c3
+      |  FROM s),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b2.doc_id AS j,
+      |    CAST(bit_count(xor(a.c0, b2.c0)) + bit_count(xor(a.c1, b2.c1))
+      |       + bit_count(xor(a.c2, b2.c2)) + bit_count(xor(a.c3, b2.c3)) AS INT) AS hamming
+      |  FROM hh a JOIN hh b2 ON a.doc_id < b2.doc_id
+      |  WHERE bit_count(xor(a.c0, b2.c0)) + bit_count(xor(a.c1, b2.c1))
+      |      + bit_count(xor(a.c2, b2.c2)) + bit_count(xor(a.c3, b2.c3)) <= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm1_pack" ->
@@ -328,43 +384,32 @@ object MultimodalQueries {
     // plus an ALL-PAIRS hamming comparison — the banded Spark plan must
     // equal the brute-force definition exactly
     "mm3_phash_neardup" ->
-      """WITH d AS (
-        |  SELECT a.doc_id AS doc_id, b.text AS text
-        |  FROM documents a JOIN documents b ON a.doc_id % 100 = b.doc_id),
-        |m AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS blen,
-        |         GREATEST(octet_length(encode(text)), 1) AS n
-        |  FROM d),
-        |g AS (
-        |  SELECT doc_id, hx, blen, n,
-        |         GREATEST(1, LEAST(64, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS w
-        |  FROM m),
-        |gg AS (
-        |  SELECT *, GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) / w) AS BIGINT)) AS h
-        |  FROM g),
-        |v AS (
-        |  SELECT doc_id,
-        |    [CASE WHEN (LEAST(h-1, ((i//8)*h)//8) * w + LEAST(w-1, ((i%8)*w)//8)) < blen
-        |          THEN ('0x' || substring(hx, 2*(LEAST(h-1, ((i//8)*h)//8) * w + LEAST(w-1, ((i%8)*w)//8)) + 1, 2))::INT
-        |          ELSE 0 END
-        |     FOR i IN range(64)] AS vals
-        |  FROM gg),
-        |s AS (SELECT doc_id, vals, list_sum(vals) AS tot FROM v),
-        |hh AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << i) ELSE 0 END FOR i IN range(16)]) AS INT) AS c0,
-        |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-16)) ELSE 0 END FOR i IN range(16, 32)]) AS INT) AS c1,
-        |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-32)) ELSE 0 END FOR i IN range(32, 48)]) AS INT) AS c2,
-        |    CAST(list_sum([CASE WHEN 64 * vals[i+1] > tot THEN (1 << (i-48)) ELSE 0 END FOR i IN range(48, 64)]) AS INT) AS c3
-        |  FROM s)
-        |SELECT a.doc_id AS i, b2.doc_id AS j,
-        |  CAST(bit_count(xor(a.c0, b2.c0)) + bit_count(xor(a.c1, b2.c1))
-        |     + bit_count(xor(a.c2, b2.c2)) + bit_count(xor(a.c3, b2.c3)) AS INT) AS hamming
-        |FROM hh a JOIN hh b2 ON a.doc_id < b2.doc_id
-        |WHERE bit_count(xor(a.c0, b2.c0)) + bit_count(xor(a.c1, b2.c1))
-        |    + bit_count(xor(a.c2, b2.c2)) + bit_count(xor(a.c3, b2.c3)) <= 3
-        |ORDER BY i, j""".stripMargin,
+      s"""$PhashPairCtes
+         |SELECT i, j, hamming FROM pairs
+         |ORDER BY i, j""".stripMargin,
+
+    // the same pair CTEs + 3 unrolled min-label rounds (lab' =
+    // least(own, min neighbor lab) — the d8 bounded semantics)
+    "mm10_phash_clusters" ->
+      s"""$PhashPairCtes,
+         |sym AS (
+         |  SELECT i AS id, j AS nb FROM pairs
+         |  UNION ALL SELECT j AS id, i AS nb FROM pairs),
+         |l0 AS (SELECT DISTINCT id, id AS lab FROM sym),
+         |n1 AS (SELECT s2.id, MIN(l.lab) AS m FROM sym s2
+         |       JOIN l0 l ON l.id = s2.nb GROUP BY 1),
+         |l1 AS (SELECT l.id, LEAST(l.lab, coalesce(n1.m, l.lab)) AS lab
+         |       FROM l0 l LEFT JOIN n1 ON n1.id = l.id),
+         |n2 AS (SELECT s2.id, MIN(l.lab) AS m FROM sym s2
+         |       JOIN l1 l ON l.id = s2.nb GROUP BY 1),
+         |l2 AS (SELECT l.id, LEAST(l.lab, coalesce(n2.m, l.lab)) AS lab
+         |       FROM l1 l LEFT JOIN n2 ON n2.id = l.id),
+         |n3 AS (SELECT s2.id, MIN(l.lab) AS m FROM sym s2
+         |       JOIN l2 l ON l.id = s2.nb GROUP BY 1),
+         |l3 AS (SELECT l.id, LEAST(l.lab, coalesce(n3.m, l.lab)) AS lab
+         |       FROM l2 l LEFT JOIN n3 ON n3.id = l.id)
+         |SELECT id AS media_id, lab AS cluster_id
+         |FROM l3 ORDER BY media_id""".stripMargin,
 
     // replay the stub decode+resize from raw bytes: dims from byte length,
     // nearest-neighbor 16x16 sample indices, byte values via hex pairs
