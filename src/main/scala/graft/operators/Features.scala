@@ -1478,4 +1478,72 @@ object Features {
         col("m_tpre"), col("m_tpost"), col("m_cpre"), col("m_cpost"),
         col("did"))
   }
+
+  /**
+   * P215 — leave-one-out jackknife for the ratio estimator θ = Σx/Σy per
+   * group: the delete-one replicates θ₍ᵢ₎ = (Σx−xᵢ)/(Σy−yᵢ), the jackknife
+   * bias estimate (n−1)·(θ̄₍·₎−θ) and the jackknife standard error
+   * √((n−1)/n · Σ(θ₍ᵢ₎−θ̄₍·₎)²) — the survey-sampling standard for a
+   * NONLINEAR statistic (price-per-unit, rate ratios) where the plain
+   * variance-of-the-mean formula is wrong. Emits (key, n, theta,
+   * theta_loo_mean, bias_jack, se_jack); a group where some Σy−yᵢ = 0
+   * raises loudly (its replicate does not exist).
+   *
+   * Shapes: one keyed decimal-sum agg, joined back shuffle_hash, one
+   * fused replicate agg — no windows, no second base-sized join (the
+   * deviation sum-of-squares expands to n·Σmᵢ² − (Σmᵢ)² over exact
+   * integer replicates). Cross-engine: sums are exact DECIMAL(18,6);
+   * each replicate rounds its double division at 6 and scales to the
+   * micro-unit BIGINT mᵢ = θ₍ᵢ₎·10⁶ (exact); Σmᵢ² is built from
+   * DECIMAL(19,0) factors (the o11/o47 38-digit multiply ceiling) and
+   * the n·Σmᵢ² product from a 25×13-digit cast pair for the same
+   * reason; the closing sequence is fixed doubles with one IEEE sqrt,
+   * rounded at 6.
+   */
+  def jackknifeRatio(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val sums = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(18,6)")).as("__sx"),
+        sum(col("__y").cast("decimal(18,6)")).as("__sy"))
+      .withColumn("theta", when(col("__sy") === 0,
+          raise_error(concat(lit("jackknifeRatio: zero denominator sum for "),
+            col("__k").cast("string"))).cast("double"))
+        .otherwise(round(col("__sx").cast("double") /
+          col("__sy").cast("double"), 6)))
+    val looDen = col("__sy") - col("__y").cast("decimal(18,6)")
+    val looTheta = when(looDen === 0,
+        raise_error(concat(lit("jackknifeRatio: zero leave-one-out "),
+          lit("denominator in group "), col("__k").cast("string")))
+          .cast("double"))
+      .otherwise(round((col("__sx") - col("__x").cast("decimal(18,6)"))
+        .cast("double") / looDen.cast("double"), 6))
+    // micro-unit integer replicate: exact, so the SS expansion is exact
+    val mi = (looTheta.cast("decimal(18,6)") * 1000000).cast("long")
+    val m19 = col("__mi").cast("decimal(19,0)")
+    val rep = base.join(sums.hint("shuffle_hash"), Seq("__k"))
+      .withColumn("__mi", mi)
+      .groupBy(col("__k"), col("n"), col("theta"))
+      .agg(sum(col("__mi")).as("__sm"), sum(m19 * m19).as("__sm2"))
+    val nd = col("n").cast("double")
+    val ssn = (col("__sm2").cast("decimal(25,0)") *
+        col("n").cast("decimal(13,0)") -
+      col("__sm").cast("decimal(19,0)") * col("__sm").cast("decimal(19,0)"))
+      .cast("double")
+    rep
+      .withColumn("theta_loo_mean",
+        round(col("__sm").cast("double") / nd / lit(1.0e6), 6))
+      .withColumn("bias_jack",
+        round((nd - lit(1.0)) *
+          (col("theta_loo_mean").cast("decimal(18,6)") -
+            col("theta").cast("decimal(18,6)")).cast("double"), 6))
+      .withColumn("se_jack",
+        round(sqrt(((nd - lit(1.0)) * ssn) / (nd * nd) / lit(1.0e12)), 6))
+      .select(col("__k").as(keyCol), col("n"), col("theta"),
+        col("theta_loo_mean"), col("bias_jack"), col("se_jack"))
+  }
 }

@@ -276,4 +276,53 @@ object Privacy {
       .withColumn("collisions", (col("__nid") - col("__npseud")).cast("long"))
       .drop("__nid", "__npseud")
   }
+
+  /**
+   * P218 — randomized response (Warner's design): each unit reports its
+   * true binary attribute with probability p = pPct/100 and the FLIPPED
+   * answer otherwise, giving plausible deniability per respondent while
+   * the population rate stays estimable:
+   * π̂ = (r̂ − (1−p))/(2p−1) debiases the reported rate. The local-DP
+   * ancestor of RAPPOR-style telemetry — what a client-side collector
+   * does before anything reaches the pipeline. Emits per group
+   * (group, n, rate_true, rate_reported, est_rate, err); `rate_true`
+   * and `err` are the simulation's audit columns (a real deployment
+   * never sees them).
+   *
+   * The coin is [[Sampling.hashValue]] on (salt ++ id), compared in
+   * INTEGER space (hv·100 < pPct·2⁵⁶ — no double threshold to agree
+   * on), so the flip set is deterministic and engine-replayable. The
+   * debiased estimate reduces to the exact BIGINT ratio
+   * (100·n_rep − (100−pPct)·n) / (n·(2·pPct − 100)) — one double
+   * division on exact operands, rounded at 6; `err` subtracts the
+   * 6-rounded rates in DECIMAL (the o46 boundary rule). One fused
+   * map-side-combinable agg; no shuffle beyond the group-by.
+   */
+  def randomizedResponse(df: DataFrame, idCol: String, truthCol: String,
+      groupCol: String, pPct: Int = 75, salt: String = ""): DataFrame = {
+    require(pPct >= 51 && pPct <= 99,
+      s"randomizedResponse: pPct must be in 51..99, got $pPct")
+    val hv = Sampling.hashValue(col(idCol), salt)
+    val truth = col(truthCol).cast("boolean")
+    // hv < 2^56 so hv·100 < 2^63; the comparison is exact integer math
+    val tellsTruth = hv * lit(100L) < lit(pPct.toLong << 56)
+    val reported = when(tellsTruth, truth).otherwise(!truth)
+    val agg = df.where(col(groupCol).isNotNull && truth.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(truth, 1L).otherwise(0L)).as("__nt"),
+        sum(when(reported, 1L).otherwise(0L)).as("__nr"))
+    val nd = col("n").cast("double")
+    val est = (lit(100L) * col("__nr") - lit((100 - pPct).toLong) * col("n"))
+      .cast("double") /
+      (col("n") * lit((2 * pPct - 100).toLong)).cast("double")
+    agg
+      .withColumn("rate_true", round(col("__nt").cast("double") / nd, 6))
+      .withColumn("rate_reported", round(col("__nr").cast("double") / nd, 6))
+      .withColumn("est_rate", round(est, 6))
+      .withColumn("err",
+        (col("est_rate").cast("decimal(18,6)") -
+          col("rate_true").cast("decimal(18,6)")).cast("double"))
+      .drop("__nt", "__nr")
+  }
 }

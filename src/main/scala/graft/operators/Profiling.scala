@@ -496,4 +496,50 @@ object Profiling {
             .as("orphan_rate"))
     }.reduce(_.unionByName(_))
   }
+
+  /**
+   * P217 — parent/child total reconciliation: for every parent row,
+   * compare its stored amount against the sum of its children's
+   * amounts, then report per segment how many parents have NO children,
+   * how many reconcile within `tol`, and the shape of the discrepancy
+   * (median signed diff, max |diff|) — the classic ledger/rollup audit
+   * ("does o_totalprice actually equal the lineitem recompute?"); on
+   * this corpus it reports a real finding: the synthetic totals never
+   * match the TPC-H charge formula. Emits (group, n_parents, n_missing,
+   * n_within_tol, p50_diff, max_abs_diff).
+   *
+   * `childAmountCol` must be an exact DECIMAL whose per-parent sum fits
+   * DECIMAL(18,6) — the caller builds the recompute formula in decimal
+   * (never double: partition-order sums) before passing the frame in.
+   *
+   * Shapes: one keyed child sum (map-side combinable), one LEFT
+   * shuffle-hash join on the parent key, one fused per-group agg.
+   * Cross-engine: diffs are exact DECIMAL(19,6) differences; the median
+   * reads the diff doubles at 4 (the o5 percentile rule), the max reads
+   * an exact decimal cast at 6.
+   */
+  def reconcileTotals(parent: DataFrame, parentKeyCol: String,
+      amountCol: String, groupCol: String, child: DataFrame,
+      childKeyCol: String, childAmountCol: String,
+      tol: Double = 0.01): DataFrame = {
+    require(tol >= 0, s"reconcileTotals: tol must be >= 0, got $tol")
+    val told = lit(new java.math.BigDecimal(tol)
+      .setScale(6, java.math.RoundingMode.HALF_UP))
+    val csums = child.where(col(childKeyCol).isNotNull)
+      .groupBy(col(childKeyCol).as("__ck"))
+      .agg(sum(col(childAmountCol)).cast("decimal(18,6)").as("__csum"))
+    val diff = col(amountCol).cast("decimal(18,6)") - col("__csum")
+    parent.where(col(groupCol).isNotNull)
+      .join(csums.hint("shuffle_hash"),
+        col(parentKeyCol) === col("__ck"), "left")
+      .withColumn("__diff", diff)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_parents"),
+        sum(when(col("__csum").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(abs(col("__diff")) <= told, 1L).otherwise(0L))
+          .as("n_within_tol"),
+        round(expr("percentile(CAST(__diff AS DOUBLE), 0.5)"), 4)
+          .as("p50_diff"),
+        round(max(abs(col("__diff"))).cast("double"), 6).as("max_abs_diff"))
+  }
 }

@@ -1101,4 +1101,55 @@ object TimeSeries {
           (col("__gs") / col("__gn").cast("double")), 6))
       .drop("__s", "__gs", "__gn")
   }
+
+  /**
+   * P216 — cross-correlation function between two keys' daily series:
+   * for each lag 0..maxLag, Pearson r between x's value on day t and
+   * y's value on day t−lag ("does purchase volume lead click volume,
+   * and by how many days") — the lead/lag probe run before any
+   * cross-metric causal story; the lag that maximizes |ccf| is the
+   * transfer delay. Emits (lag, n, ccf) with n the aligned pair count;
+   * lags with < 2 pairs or a zero-variance margin null out (the o11
+   * degenerate rule).
+   *
+   * Shapes: the series frames are daily aggregates (agg-sized), the
+   * lag ladder is a broadcast k-row frame (the adjudicated cross-join
+   * class), the alignment join is keyed on the lagged day, and each
+   * lag's moments fuse into one map-side-combinable agg. Cross-engine:
+   * the P121 autocorrelation discipline verbatim — values DECIMAL(18,6),
+   * products (19,6), five exact sums, one closing double sequence with
+   * two IEEE sqrts, rounded at 6.
+   */
+  def crossCorrelation(daily: DataFrame, keyCol: String, dayCol: String,
+      valCol: String, keyX: String, keyY: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 60,
+      s"crossCorrelation: maxLag must be in 0..60, got $maxLag")
+    val xs = daily.where(col(keyCol) === keyX && col(valCol).isNotNull)
+      .select(col(dayCol).as("__day"), col(valCol).cast("double").as("__x"))
+    val ys = daily.where(col(keyCol) === keyY && col(valCol).isNotNull)
+      .select(col(dayCol).as("__yday"), col(valCol).cast("double").as("__y"))
+    val lags = daily.sparkSession.range(0, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val dx = col("__x").cast("decimal(18,6)")
+    val dy = col("__y").cast("decimal(18,6)")
+    val dx19 = col("__x").cast("decimal(19,6)")
+    val dy19 = col("__y").cast("decimal(19,6)")
+    val sums = xs.crossJoin(broadcast(lags)) // k-row lag ladder
+      .join(ys, col("__yday") === date_sub(col("__day"), col("lag")))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("__sx"),
+        sum(dy).cast("double").as("__sy"),
+        sum(dx19 * dy19).cast("double").as("__sxy"),
+        sum(dx19 * dx19).cast("double").as("__sxx"),
+        sum(dy19 * dy19).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val denx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nd * col("__syy") - col("__sy") * col("__sy")
+    sums
+      .withColumn("ccf", when(col("n") > 1 && denx > 0 && deny > 0,
+        round(num / (sqrt(denx) * sqrt(deny)), 6)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
 }

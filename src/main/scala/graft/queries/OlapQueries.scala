@@ -455,6 +455,42 @@ object OlapQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // P215 — jackknife bias/SE for the price-per-unit ratio estimator
+    // per return flag: the delete-one machinery on a statistic whose
+    // naive SE formula is wrong
+    "o54_jackknife" -> ((s, dir) => {
+      graft.operators.Features.jackknifeRatio(
+          table(s, dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice", "l_quantity"),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")
+    }),
+
+    // P216 — lead/lag cross-correlation between the click and purchase
+    // daily mean series at lags 0..7 over the shared daily frame
+    "o55_ccf" -> ((s, dir) => {
+      graft.operators.TimeSeries.crossCorrelation(
+          dailyMeans(s, dir), "event_type", "day", "v",
+          keyX = "click", keyY = "purchase", maxLag = 7)
+        .orderBy("lag")
+    }),
+
+    // P217 — order-total reconciliation against the TPC-H charge
+    // recompute per status: a REAL finding on this corpus (the
+    // synthetic totals never match; ~1.7% of orders have no lineitems)
+    "dq12_reconcile" -> ((s, dir) => {
+      val one = lit(new java.math.BigDecimal("1.000000"))
+      val charge = (col("l_extendedprice").cast("decimal(18,6)") *
+        (one - col("l_discount").cast("decimal(8,6)")) *
+        (one + col("l_tax").cast("decimal(8,6)"))).as("charge")
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), charge)
+      graft.operators.Profiling.reconcileTotals(
+          table(s, dir, "orders"), "o_orderkey", "o_totalprice",
+          "o_orderstatus", li, "l_orderkey", "charge")
+        .orderBy("o_orderstatus")
+    }),
+
     // P206 — decile Q–Q points between the q17 arms on event value:
     // where (if anywhere) do the distributions diverge
     "o50_qq" -> ((s, dir) => {
@@ -2008,6 +2044,115 @@ object OlapQueries {
         |    round(theil / round(ln(CAST(n AS DOUBLE)), 9), 6) END
         |    AS theil_norm
         |FROM g ORDER BY o_orderpriority""".stripMargin,
+
+    // exact decimal sums, 6-rounded replicates scaled to micro BIGINTs,
+    // the SS expansion n·Σm² − (Σm)² in 38-digit-safe decimal products,
+    // one closing sqrt sequence
+    "o54_jackknife" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS x, l_quantity AS y
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL),
+        |s AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(18,6))) AS sy
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT k, n, sx, sy,
+        |    round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS theta
+        |  FROM s),
+        |r AS (
+        |  SELECT b.k, t.n, t.theta,
+        |    CAST(CAST(round(
+        |        CAST(t.sx - CAST(b.x AS DECIMAL(18,6)) AS DOUBLE) /
+        |        CAST(t.sy - CAST(b.y AS DECIMAL(18,6)) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mi
+        |  FROM b JOIN t ON t.k = b.k),
+        |m AS (
+        |  SELECT k, n, theta, CAST(SUM(mi) AS BIGINT) AS sm,
+        |    SUM(CAST(mi AS DECIMAL(19,0)) * CAST(mi AS DECIMAL(19,0)))
+        |      AS sm2
+        |  FROM r GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT k, n, theta,
+        |    round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6, 6)
+        |      AS theta_loo_mean,
+        |    CAST(CAST(sm2 AS DECIMAL(25,0)) * CAST(n AS DECIMAL(13,0)) -
+        |      CAST(sm AS DECIMAL(19,0)) * CAST(sm AS DECIMAL(19,0))
+        |      AS DOUBLE) AS ssn
+        |  FROM m)
+        |SELECT k AS l_returnflag, n, theta, theta_loo_mean,
+        |  round((CAST(n AS DOUBLE) - 1.0e0) *
+        |    CAST(CAST(theta_loo_mean AS DECIMAL(18,6)) -
+        |      CAST(theta AS DECIMAL(18,6)) AS DOUBLE), 6) AS bias_jack,
+        |  round(sqrt(((CAST(n AS DOUBLE) - 1.0e0) * ssn) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1.0e12), 6)
+        |    AS se_jack
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+
+    // the shared daily CTE, a generate_series lag ladder, and the P121
+    // five-sum moment discipline per lag
+    "o55_ccf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |x AS (SELECT day, v AS xv FROM daily WHERE event_type = 'click'),
+        |y AS (SELECT day AS yday, v AS yv FROM daily
+        |      WHERE event_type = 'purchase'),
+        |l AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        |p AS (
+        |  SELECT l.lag, x.xv, y.yv
+        |  FROM x CROSS JOIN l
+        |  JOIN y ON y.yday = x.day - CAST(l.lag AS INTEGER)),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(xv AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(yv AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xv AS DECIMAL(19,6)) * CAST(yv AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(xv AS DECIMAL(19,6)) * CAST(xv AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(yv AS DECIMAL(19,6)) * CAST(yv AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, n,
+        |  CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        |        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+        |    THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |       sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS ccf
+        |FROM m ORDER BY lag""".stripMargin,
+
+    // exact decimal charge recompute (9,6 factors keep both engines
+    // under the 38-digit multiply ceiling), LEFT join, decimal diffs;
+    // the median reads diff doubles at 4 (the o5 rule)
+    "dq12_reconcile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ck,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1.0 AS DECIMAL(8,6)) -
+        |        CAST(l_discount AS DECIMAL(8,6))) *
+        |      (CAST(1.0 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6))))
+        |      AS DECIMAL(18,6)) AS csum
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderstatus, li.csum,
+        |    CAST(o.o_totalprice AS DECIMAL(18,6)) - li.csum AS diff
+        |  FROM orders o LEFT JOIN li ON li.ck = o.o_orderkey
+        |  WHERE o.o_orderstatus IS NOT NULL)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_parents,
+        |  CAST(SUM(CASE WHEN csum IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(SUM(CASE WHEN abs(diff) <= CAST(0.01 AS DECIMAL(18,6))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tol,
+        |  round(quantile_cont(CAST(diff AS DOUBLE), 0.5e0), 4) AS p50_diff,
+        |  round(CAST(MAX(abs(diff)) AS DOUBLE), 6) AS max_abs_diff
+        |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     // per-fraction scalar quantile subselects; gap reads the 4-rounded
     // quantiles (difference of 4-decimal values — no half boundary)

@@ -76,6 +76,20 @@ object PrivacyQueries {
           table(s, dir, "events").select("event_type", "value"),
           Seq("event_type"), "value", lo = 0.0, hi = 400.0, epsilon = 1.0)
         .orderBy("event_type")
+    }),
+
+    // P218 — Warner randomized response at p = 75% on "is a BUILDING
+    // customer", estimated per nation: ~12 respondents per group at
+    // sf0.01, so the per-group flip noise is visible in `err` while the
+    // integer-ratio debias stays exact
+    "pv7_randresp" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("sensitive"),
+        col("c_nationkey"))
+      Privacy.randomizedResponse(c, "c_custkey", "sensitive",
+          "c_nationkey", pPct = 75, salt = "rr:")
+        .orderBy("c_nationkey")
     })
   )
 
@@ -243,6 +257,41 @@ object PrivacyQueries {
         |    (sum_clipped + ns) /
         |      GREATEST(1.0e0, CAST(n AS DOUBLE) + nc),
         |    0.0e0), 400.0e0), 6) AS dp_mean
-        |FROM d ORDER BY event_type""".stripMargin
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // the identical 56-bit coin in INTEGER space (hv·100 vs 75·2^56);
+    // the debias is an exact BIGINT ratio, err a decimal difference of
+    // the two 6-rounded rates
+    "pv7_randresp" ->
+      """WITH h AS (
+        |  SELECT c_nationkey, (c_mktsegment = 'BUILDING') AS truth,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('rr:' ||
+        |          COALESCE(CAST(c_custkey AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL),
+        |r AS (
+        |  SELECT c_nationkey, truth,
+        |    CASE WHEN hv * 100 < 5404319552844595200 THEN truth
+        |         ELSE NOT truth END AS rep
+        |  FROM h),
+        |g AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS nr
+        |  FROM r GROUP BY 1),
+        |o AS (
+        |  SELECT c_nationkey, n,
+        |    round(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_true,
+        |    round(CAST(nr AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS rate_reported,
+        |    round(CAST(100 * nr - 25 * n AS DOUBLE) /
+        |      CAST(n * 50 AS DOUBLE), 6) AS est_rate
+        |  FROM g)
+        |SELECT c_nationkey, n, rate_true, rate_reported, est_rate,
+        |  CAST(CAST(est_rate AS DECIMAL(18,6)) -
+        |    CAST(rate_true AS DECIMAL(18,6)) AS DOUBLE) AS err
+        |FROM o ORDER BY c_nationkey""".stripMargin
   )
 }

@@ -675,4 +675,28 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.bootstrapMeanCI(const, "id", "v", resamples = 1))
   }
+
+  test("jackknifeRatio: hand-checked replicates, zero bias/SE on a constant ratio") {
+    import spark.implicits._
+    // x = (1,2,3), y = (1,1,1): θ = 2; replicates 2.5, 2.0, 1.5 →
+    // θ̄ = 2, bias 0, SS = 0.5, v = (2/3)·0.5 → se = √(1/3) = 0.57735
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0))
+      .toDF("k", "x", "y")
+    val r = Features.jackknifeRatio(df, "k", "x", "y").head
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 2.0)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 0.57735)
+    // x proportional to y → every replicate equals θ: se exactly 0
+    val const = Seq(("c", 2.0, 1.0), ("c", 4.0, 2.0), ("c", 6.0, 3.0))
+      .toDF("k", "x", "y")
+    val rc = Features.jackknifeRatio(const, "k", "x", "y").head
+    assert(rc.getDouble(2) == 2.0 && rc.getDouble(4) == 0.0 &&
+      rc.getDouble(5) == 0.0)
+    // a leave-one-out denominator of zero must raise, not return junk
+    val degenerate = Seq(("d", 1.0, 5.0), ("d", 1.0, -5.0), ("d", 1.0, 5.0))
+      .toDF("k", "x", "y")
+    intercept[Exception](
+      Features.jackknifeRatio(degenerate, "k", "x", "y").collect())
+  }
 }

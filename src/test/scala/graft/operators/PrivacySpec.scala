@@ -180,4 +180,27 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.laplaceNoisyMean(data, Seq("grp"), "v", 0.0, 1.0, 0.0))
   }
+
+  test("randomizedResponse: exact integer debias, deterministic flips") {
+    val df = spark.range(1, 201)
+      .select(col("id"), (col("id") <= 80).as("truth"), lit("g").as("grp"))
+    val r = Privacy.randomizedResponse(df, "id", "truth", "grp",
+      pPct = 75, salt = "rrspec:").head
+    assert(r.getLong(1) == 200L)
+    assert(r.getDouble(2) == 0.4)                    // rate_true audit
+    val rep = r.getDouble(3); val est = r.getDouble(4)
+    // the debias is exactly (r̂ − 0.25)/0.5 = 2r̂ − 0.5 at p = 75%
+    assert(math.abs(est - (2 * rep - 0.5)) < 1e-9)
+    // with n = 200 the flip noise keeps the estimate in the ballpark
+    assert(est > 0.2 && est < 0.6)
+    assert(math.abs(r.getDouble(5) - (est - 0.4)) < 1e-9)
+    // determinism: the same salt reproduces the identical estimate
+    val again = Privacy.randomizedResponse(df, "id", "truth", "grp",
+      pPct = 75, salt = "rrspec:").head
+    assert(again.getDouble(4) == est)
+    intercept[IllegalArgumentException](
+      Privacy.randomizedResponse(df, "id", "truth", "grp", pPct = 50))
+    intercept[IllegalArgumentException](
+      Privacy.randomizedResponse(df, "id", "truth", "grp", pPct = 100))
+  }
 }

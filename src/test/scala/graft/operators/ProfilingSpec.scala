@@ -239,4 +239,28 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profiling.populationStability(same, "cur", "v", bandWidth = 0.0))
   }
+
+  test("reconcileTotals: missing children, tolerance band, diff shape") {
+    import spark.implicits._
+    val parents = Seq((1L, 10.0, "A"), (2L, 5.0, "A"), (3L, 7.0, "B"))
+      .toDF("pk", "amt", "grp")
+    val children = Seq((1L, "4.00"), (1L, "6.00"), (2L, "4.98"))
+      .toDF("ck", "raw")
+      .select(col("ck"), col("raw").cast("decimal(18,6)").as("camt"))
+    val r = Profiling.reconcileTotals(parents, "pk", "amt", "grp",
+        children, "ck", "camt")
+      .orderBy("grp").collect()
+    assert(r.length == 2)
+    val a = r(0)
+    assert(a.getString(0) == "A" && a.getLong(1) == 2L && a.getLong(2) == 0L)
+    assert(a.getLong(3) == 1L)                 // order 1 exact, order 2 off by 0.02
+    assert(a.getDouble(4) == 0.01)             // median of (0.00, 0.02)
+    assert(a.getDouble(5) == 0.02)
+    val b = r(1)
+    assert(b.getString(0) == "B" && b.getLong(1) == 1L && b.getLong(2) == 1L)
+    assert(b.getLong(3) == 0L && b.isNullAt(4) && b.isNullAt(5))
+    intercept[IllegalArgumentException](
+      Profiling.reconcileTotals(parents, "pk", "amt", "grp",
+        children, "ck", "camt", tol = -1.0))
+  }
 }

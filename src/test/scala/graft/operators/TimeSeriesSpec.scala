@@ -589,4 +589,23 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.changePoint(df, "k", "day", "v", minSegment = 0))
   }
+
+  test("crossCorrelation: a 2-day lead peaks exactly at lag 2") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-01-${i + 1}%02d")
+    // y at day t carries x's value of day t+2 (y LEADS x by 2 days) on a
+    // nonlinear series, so only lag 2 aligns the pairs identically
+    val xs = (0 until 12).map(t => ("a", day(t), (t * t).toDouble))
+    val ys = (0 until 12).map(t => ("b", day(t), ((t + 2) * (t + 2)).toDouble))
+    val daily = (xs ++ ys).toDF("k", "day", "v")
+    val rows = TimeSeries.crossCorrelation(daily, "k", "day", "v",
+      "a", "b", maxLag = 3).orderBy("lag").collect()
+    assert(rows.length == 4)
+    val byLag = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byLag(2).getDouble(2) == 1.0)          // perfect alignment
+    assert(byLag(2).getLong(1) == 10L)            // 12 days minus lag 2
+    assert(byLag(0).getDouble(2) < 1.0 && byLag(3).getDouble(2) < 1.0)
+    intercept[IllegalArgumentException](
+      TimeSeries.crossCorrelation(daily, "k", "day", "v", "a", "b", -1))
+  }
 }
