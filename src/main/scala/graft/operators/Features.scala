@@ -1546,4 +1546,40 @@ object Features {
       .select(col("__k").as(keyCol), col("n"), col("theta"),
         col("theta_loo_mean"), col("bias_jack"), col("se_jack"))
   }
+
+  /**
+   * P219 — McNemar's test for paired binary outcomes: given one row per
+   * unit with a before-flag and an after-flag, the discordant-pair
+   * counts b (yes→no) and c (no→yes) and χ² = (b−c)²/(b+c) read against
+   * the χ²₁ 95% bar (3.841) — THE before/after test for conversion-type
+   * metrics on the SAME units, where the two-proportion z (q17) is
+   * wrong because the samples aren't independent. Emits ONE row
+   * (n, n_both, n_neither, b_only, c_only, chi2, significant); no
+   * discordant pairs (b+c = 0) → null chi2/significant (the estimate
+   * does not exist — concordant pairs carry no information here).
+   *
+   * Shape: one fused map-side-combinable conditional count agg — no
+   * window, no join. Cross-engine: counts are exact BIGINTs ((b−c)²
+   * stays far below 2⁶² for any pair count under ~3·10⁹); χ² is one
+   * double division on exact integer operands, rounded at 6.
+   */
+  def mcnemarTest(df: DataFrame, beforeCol: String,
+      afterCol: String): DataFrame = {
+    val bf = col(beforeCol).cast("boolean")
+    val af = col(afterCol).cast("boolean")
+    val agg = df.where(bf.isNotNull && af.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(bf && af, 1L).otherwise(0L)).as("n_both"),
+        sum(when(!bf && !af, 1L).otherwise(0L)).as("n_neither"),
+        sum(when(bf && !af, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!bf && af, 1L).otherwise(0L)).as("c_only"))
+    val d = col("b_only") - col("c_only")
+    agg
+      .withColumn("chi2", when(col("b_only") + col("c_only") > 0,
+        round((d * d).cast("double") /
+          (col("b_only") + col("c_only")).cast("double"), 6)))
+      .withColumn("significant",
+        when(col("chi2").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2") > 3.841))
+  }
 }

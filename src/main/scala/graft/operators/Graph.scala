@@ -438,4 +438,46 @@ object Graph {
       .union(auth.select(lit("auth").as("kind"), col("r").as("id"),
         col("score")))
   }
+
+  /**
+   * P221 — degree-distribution power-law fit: for each cutoff in
+   * `dmins`, the continuous Hill/MLE exponent
+   * α = 1 + n_tail / Σ ln(dᵢ/dmin) over nodes with degree ≥ dmin —
+   * "is this graph scale-free, and how heavy is the hub tail" (α ≈ 2–3
+   * for real co-occurrence graphs; the cutoff ladder shows the fit's
+   * stability, the standard diagnostic before trusting any power-law
+   * claim). Emits (dmin, n_tail, max_deg, alpha); a cutoff where every
+   * tail degree equals dmin (Σln = 0) nulls alpha, an empty tail drops
+   * the row.
+   *
+   * Shapes: the canonical undirected build + one degree agg; the
+   * cutoff ladder is a broadcast k-row frame over the AGG-SIZED degree
+   * frame (nodes, not edges) — one map-side-combinable moment agg per
+   * cutoff. Cross-engine: ln of an exact-BIGINT ratio double, rounded
+   * at 9 and DECIMAL(28,9)-summed (the libm firewall); α is one double
+   * division, rounded at 6.
+   */
+  def degreePowerLaw(edges: DataFrame, srcCol: String, dstCol: String,
+      dmins: Seq[Int]): DataFrame = {
+    require(dmins.nonEmpty && dmins.forall(_ >= 1),
+      s"degreePowerLaw: dmins must be non-empty and >= 1, got $dmins")
+    require(dmins.distinct.size == dmins.size,
+      s"degreePowerLaw: duplicate cutoffs in $dmins")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ladder = dmins.sorted.toDF("dmin")
+    val deg = nodeDegrees(canonicalUndirected(edges, srcCol, dstCol))
+    deg.crossJoin(broadcast(ladder)) // k-row cutoff ladder
+      .where(col("deg") >= col("dmin"))
+      .withColumn("__lnr",
+        round(log(col("deg").cast("double") / col("dmin").cast("double")), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col("dmin"))
+      .agg(count(lit(1)).as("n_tail"), max(col("deg")).as("max_deg"),
+        sum(col("__lnr")).as("__sln"))
+      .withColumn("alpha", when(col("__sln") > 0,
+        round(lit(1.0) + col("n_tail").cast("double") /
+          col("__sln").cast("double"), 6)))
+      .drop("__sln")
+  }
 }

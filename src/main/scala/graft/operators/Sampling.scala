@@ -784,4 +784,55 @@ object Sampling {
       .where(col("sample_rank") <= col("__minn"))
       .drop("__minn")
   }
+
+  /**
+   * P220 — GPT-style sequence packing audit: shard the corpus by key
+   * hash, concatenate each shard's documents in portable (hash, id)
+   * order, and cut the token stream into fixed-`capacity` bins — the
+   * "concat-and-chunk" layout every LLM pretraining loader builds.
+   * Each document is assigned to the bin where it STARTS; emits per
+   * (shard, bin): n_docs, tokens (token mass starting there),
+   * n_straddle (documents crossing the bin boundary — the
+   * attention-contamination metric packing studies track), and
+   * fill_rate = tokens/capacity (> 1 exactly when mass started here
+   * spills into the next bin). The per-shard design IS the 100 TB
+   * shape: each shard packs independently, so the prefix-sum window is
+   * partitioned, never global (the tokenBudget per-shard fallback made
+   * the default — exactness of the greedy prefix survives because
+   * packing is defined per shard).
+   *
+   * Shapes: one partitioned window (exclusive running sum in exact
+   * BIGINTs), one (shard, bin) agg — map-side combinable. Negative
+   * token counts raise loudly (the tokenBudget guard); fill_rate is
+   * one double division of exact BIGINTs, rounded at 6.
+   */
+  def sequencePack(df: DataFrame, idCol: String, tokenCol: String,
+      shards: Int, capacity: Long, salt: String = ""): DataFrame = {
+    require(shards >= 1, s"sequencePack: shards must be >= 1, got $shards")
+    require(capacity >= 1,
+      s"sequencePack: capacity must be >= 1, got $capacity")
+    val tok = when(col(tokenCol) < 0,
+      raise_error(concat(lit("sequencePack: negative token count at "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(col(tokenCol).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    df.where(col(idCol).isNotNull)
+      .withColumn("shard", hashBucket(col(idCol), shards, salt))
+      .withColumn("__tok", tok)
+      .withColumn("__start", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      // integer division — Column./ is DOUBLE division (the Graft.events
+      // rule); div keeps exact longs at any token mass
+      .withColumn("bin", expr(s"__start div ${capacity}L"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("tokens"),
+        sum(when(col("__start") % capacity + col("__tok") > capacity, 1L)
+          .otherwise(0L)).as("n_straddle"),
+        round(sum(col("__tok")).cast("double") / lit(capacity.toDouble), 6)
+          .as("fill_rate"))
+  }
 }

@@ -506,4 +506,61 @@ object Sketches {
       .withColumn("ratio",
         round(col("est").cast("double") / col("f2_exact").cast("double"), 6))
   }
+
+  /**
+   * P222 — Bloom filter false-positive audit: build the k-hash bit set
+   * over `insert`'s keys, probe it with `probe`'s keys (true members
+   * excluded first — only NON-members can false-positive), and report
+   * the measured FPR beside the fill-based prediction
+   * (n_bits_set/m)^k — the calibration check run before shipping a
+   * Bloom side-filter (P37's anti-join): an overloaded filter (fill →
+   * 1) silently stops filtering, and THIS query is how you see it.
+   * Emits ONE row (m, k, n_insert, n_bits_set, n_probes, n_fp,
+   * fpr_emp, fpr_theory).
+   *
+   * Bit positions are pmod([[Sampling.hashValue]](key, salt+i), m) —
+   * engine-portable, so a SQL oracle replays the exact bit set and
+   * every probe verdict (the mm3 brute-replay idiom). Shapes: bits =
+   * one explode + distinct (≤ m rows); probes explode to k rows each
+   * and semi-join the bit set on an equi-key (shuffle_hash — the bit
+   * frame is agg-sized but post-distinct has no stats); a probe is FP
+   * iff all k positions hit. Cross-engine: fprs are double divisions
+   * of exact BIGINTs rounded at 9/6; the theory power unrolls to
+   * explicit multiplications (no libm pow anywhere).
+   */
+  def bloomFpr(insert: DataFrame, insertKeyCol: String, probe: DataFrame,
+      probeKeyCol: String, m: Int, k: Int,
+      salt: String = "bf:"): DataFrame = {
+    require(m >= 2, s"bloomFpr: m must be >= 2, got $m")
+    require(k >= 1 && k <= 16, s"bloomFpr: k must be in 1..16, got $k")
+    def positions(key: org.apache.spark.sql.Column) =
+      array((0 until k).map(i =>
+        pmod(Sampling.hashValue(key, s"$salt$i:"), lit(m.toLong))): _*)
+    val ins = insert.where(col(insertKeyCol).isNotNull)
+      .select(col(insertKeyCol).as("__ik")).distinct()
+    val bits = ins.select(explode(positions(col("__ik"))).as("bit"))
+      .distinct()
+    val nonMembers = probe.where(col(probeKeyCol).isNotNull)
+      .select(col(probeKeyCol).as("__pk")).distinct()
+      .join(ins, col("__pk") === col("__ik"), "left_anti")
+    val hits = nonMembers
+      .select(col("__pk"), explode(positions(col("__pk"))).as("bit"))
+      .join(bits.hint("shuffle_hash"), Seq("bit"), "left_semi")
+      .groupBy(col("__pk")).agg(count(lit(1)).as("__nhit"))
+      .where(col("__nhit") === k)
+    val stats = ins.agg(count(lit(1)).as("n_insert"))
+      .join(bits.agg(count(lit(1)).as("n_bits_set")))
+      .join(nonMembers.agg(count(lit(1)).as("n_probes")))
+      .join(hits.agg(count(lit(1)).as("n_fp"))) // four 1-row frames
+    val fill = round(col("n_bits_set").cast("double") /
+      lit(m.toDouble), 9)
+    val theory = (1 until k).foldLeft(fill)((acc, _) => acc * fill)
+    stats
+      .select(lit(m).as("m"), lit(k).as("k"), col("n_insert"),
+        col("n_bits_set"), col("n_probes"), col("n_fp"),
+        round(col("n_fp").cast("double") /
+          greatest(col("n_probes"), lit(1L)).cast("double"), 6)
+          .as("fpr_emp"),
+        round(theory, 9).as("fpr_theory"))
+  }
 }

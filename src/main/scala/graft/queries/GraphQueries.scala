@@ -68,6 +68,16 @@ object GraphQueries {
         .orderBy("kind", "id")
     }),
 
+    // P221 — power-law exponent of the co-purchase degree tail at a
+    // three-cutoff ladder: the stability diagnostic before any
+    // "scale-free" claim (cutoffs straddle the degree median so every
+    // rung is populated at both SFs — measured)
+    "gr9_powerlaw" -> ((s, dir) => {
+      graft.operators.Graph.degreePowerLaw(coPurchaseEdges(s, dir),
+          "src", "dst", dmins = Seq(48, 64, 96))
+        .orderBy("dmin")
+    }),
+
     // P188 — local clustering coefficient over the same co-purchase
     // graph: cc = 2·tri/(deg·(deg−1)) per node with deg ≥ 2; the oracle
     // recomputes both moments by plain id-order identity
@@ -306,6 +316,34 @@ object GraphQueries {
         |FROM deg d LEFT JOIN tri ON tri.node = d.node
         |WHERE d.deg >= 2
         |ORDER BY d.node""".stripMargin,
+
+    // the same und/deg CTEs, a VALUES cutoff ladder, 9-rounded ln of
+    // exact integer ratios DECIMAL-summed
+    "gr9_powerlaw" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |l AS (SELECT * FROM (VALUES (48), (64), (96)) AS t(dmin)),
+        |tail AS (
+        |  SELECT l.dmin, d.deg FROM deg d CROSS JOIN l
+        |  WHERE d.deg >= l.dmin),
+        |g AS (
+        |  SELECT dmin, CAST(COUNT(*) AS BIGINT) AS n_tail,
+        |    CAST(MAX(deg) AS BIGINT) AS max_deg,
+        |    SUM(CAST(round(ln(CAST(deg AS DOUBLE) / CAST(dmin AS DOUBLE)),
+        |      9) AS DECIMAL(28,9))) AS sln
+        |  FROM tail GROUP BY 1)
+        |SELECT dmin, n_tail, max_deg,
+        |  CASE WHEN sln > 0 THEN
+        |    round(1.0e0 + CAST(n_tail AS DOUBLE) / CAST(sln AS DOUBLE), 6)
+        |  END AS alpha
+        |FROM g ORDER BY dmin""".stripMargin,
 
     // the same center-capped wedge enumeration with a NOT EXISTS
     // anti-join; ranking on the rounded score with (u, v) tie-break

@@ -475,6 +475,43 @@ object OlapQueries {
         .orderBy("lag")
     }),
 
+    // P219 — McNemar's paired before/after test: per user, "heavy
+    // clicker" (≥ 7 clicks) in the first vs second 15 days of the
+    // window; the ≥ 7 bar sits at the per-half click median so both
+    // discordant cells are populated at every SF (the "any click"
+    // variant saturates — measured before shipping)
+    "o56_mcnemar" -> ((s, dir) => {
+      val ev = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"))
+      val split = ev.agg(date_add(min(col("day")), 15).as("__split"))
+      def clicks(cond: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === "click" && cond, 1L).otherwise(0L))
+      val pairs = ev.crossJoin(broadcast(split)) // 1-row scalar side
+        .groupBy(col("user_id"))
+        .agg((clicks(col("day") < col("__split")) >= 7).as("heavy_before"),
+          (clicks(col("day") >= col("__split")) >= 7).as("heavy_after"))
+      graft.operators.Features.mcnemarTest(pairs,
+        "heavy_before", "heavy_after")
+    }),
+
+    // P222 — Bloom FPR audit over customer keys at two (m, k) configs:
+    // the 256-bit filter is deliberately overloaded (fill ≈ 0.9 —
+    // the "silently stopped filtering" failure mode), the 4096-bit one
+    // is healthy; theory reads the OBSERVED fill, so no libm anywhere
+    "sk10_bloom" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val ins = c.where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val all = c.select("c_custkey")
+      graft.operators.Sketches.bloomFpr(ins, "c_custkey", all, "c_custkey",
+          m = 256, k = 2, salt = "bfA:")
+        .union(graft.operators.Sketches.bloomFpr(ins, "c_custkey", all,
+          "c_custkey", m = 4096, k = 4, salt = "bfB:"))
+        .orderBy("m")
+    }),
+
     // P217 — order-total reconciliation against the TPC-H charge
     // recompute per status: a REAL finding on this corpus (the
     // synthetic totals never match; ~1.7% of orders have no lineitems)
@@ -2127,6 +2164,94 @@ object OlapQueries {
         |       sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
         |  END AS ccf
         |FROM m ORDER BY lag""".stripMargin,
+
+    // the scalar split day via cross join, threshold pair flags, exact
+    // integer discordant cells, one closing double division
+    "o56_mcnemar" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT MIN(day) + 15 AS split FROM e),
+        |p AS (
+        |  SELECT user_id, s.split,
+        |    SUM(CASE WHEN event_type = 'click' AND day < s.split
+        |      THEN 1 ELSE 0 END) >= 7 AS bf,
+        |    SUM(CASE WHEN event_type = 'click' AND day >= s.split
+        |      THEN 1 ELSE 0 END) >= 7 AS af
+        |  FROM e CROSS JOIN s GROUP BY 1, 2),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN bf AND af THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both,
+        |    CAST(SUM(CASE WHEN NOT bf AND NOT af THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_neither,
+        |    CAST(SUM(CASE WHEN bf AND NOT af THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b_only,
+        |    CAST(SUM(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_only
+        |  FROM p)
+        |SELECT n, n_both, n_neither, b_only, c_only,
+        |  CASE WHEN b_only + c_only > 0 THEN
+        |    round(CAST((b_only - c_only) * (b_only - c_only) AS DOUBLE) /
+        |      CAST(b_only + c_only AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN b_only + c_only > 0 THEN
+        |    round(CAST((b_only - c_only) * (b_only - c_only) AS DOUBLE) /
+        |      CAST(b_only + c_only AS DOUBLE), 6) > 3.841e0 END
+        |    AS significant
+        |FROM g""".stripMargin,
+
+    // bit-exact bloom replay: per-hash salted MD5 positions, the bit
+    // set as a UNION, membership as k IN-subquery conjuncts; theory =
+    // observed fill raised by left-assoc multiplication
+    "sk10_bloom" -> {
+      def hv(salt: String, key: String) =
+        s"""list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+           |      FOR ch IN string_split(substr(md5('$salt' ||
+           |        COALESCE(CAST($key AS VARCHAR), '')), 1, 14), '')],
+           |    (acc, x) -> acc * 16 + x)""".stripMargin
+      def cfg(tag: String, saltBase: String, m: Int, k: Int) = {
+        val bitSelects = (0 until k).map(i =>
+          s"SELECT DISTINCT ${hv(s"$saltBase$i:", "ik")} % $m AS bit FROM ins")
+          .mkString("\nUNION\n")
+        val conjuncts = (0 until k).map(i =>
+          s"${hv(s"$saltBase$i:", "pk")} % $m IN (SELECT bit FROM bits_$tag)")
+          .mkString("\n  AND ")
+        s"""bits_$tag AS (
+           |$bitSelects),
+           |fp_$tag AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_fp FROM nm
+           |  WHERE $conjuncts),
+           |row_$tag AS (
+           |  SELECT $m AS m, $k AS k,
+           |    CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS n_insert,
+           |    CAST((SELECT COUNT(*) FROM bits_$tag) AS BIGINT)
+           |      AS n_bits_set,
+           |    CAST((SELECT COUNT(*) FROM nm) AS BIGINT) AS n_probes,
+           |    (SELECT n_fp FROM fp_$tag) AS n_fp)""".stripMargin
+      }
+      def theory(k: Int) =
+        "(" + Seq.fill(k)("f").mkString(" * ") + ")"
+      s"""WITH ins AS (
+         |  SELECT DISTINCT c_custkey AS ik FROM customer
+         |  WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL),
+         |nm AS (
+         |  SELECT DISTINCT c_custkey AS pk FROM customer
+         |  WHERE c_custkey IS NOT NULL
+         |    AND c_custkey NOT IN (SELECT ik FROM ins)),
+         |${cfg("a", "bfA:", 256, 2)},
+         |${cfg("b", "bfB:", 4096, 4)},
+         |u AS (SELECT * FROM row_a UNION ALL SELECT * FROM row_b),
+         |w AS (
+         |  SELECT *, round(CAST(n_bits_set AS DOUBLE) / CAST(m AS DOUBLE),
+         |    9) AS f
+         |  FROM u)
+         |SELECT m, k, n_insert, n_bits_set, n_probes, n_fp,
+         |  round(CAST(n_fp AS DOUBLE) /
+         |    CAST(greatest(n_probes, 1) AS DOUBLE), 6) AS fpr_emp,
+         |  CASE WHEN k = 2 THEN round(${theory(2)}, 9)
+         |       ELSE round(${theory(4)}, 9) END AS fpr_theory
+         |FROM w ORDER BY m""".stripMargin
+    },
 
     // exact decimal charge recompute (9,6 factors keep both engines
     // under the 38-digit multiply ceiling), LEFT join, decimal diffs;

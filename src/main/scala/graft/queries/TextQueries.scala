@@ -213,6 +213,17 @@ object TextQueries {
         .orderBy("source", "cum_tokens", "doc_id")
     }),
 
+    // P220 — GPT-style sequence packing: 4 hash shards, 1024-token
+    // bins over the concatenated (hash, id)-ordered token stream;
+    // per-bin doc counts, fill and boundary-straddler counts
+    "pipe9_seqpack" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.sequencePack(docs, "doc_id", "n_tokens",
+          shards = 4, capacity = 1024L, salt = "pack:")
+        .orderBy("shard", "bin")
+    }),
+
     // P29 — token-window chunking (32-token chunks, 8-token overlap)
     "t5_chunks" -> ((s, dir) => {
       TextAnalysis.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
@@ -800,6 +811,33 @@ object TextQueries {
     // hash order and inclusive running sum replayed with the portable-MD5
     // fold; the budget is rebuilt from the source index — the cum is
     // monotone, so cum <= budget is the same strict prefix on both sides
+    // the sa6 hash-order replay partitioned by the hash shard; bin and
+    // straddle read the exclusive prefix with integer div/mod
+    "pipe9_seqpack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> x <> '')) AS BIGINT) AS tok,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('pack:' ||
+        |          COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, tok, h % 4 AS shard,
+        |    COALESCE(CAST(SUM(tok) OVER (PARTITION BY h % 4
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS strt
+        |  FROM t)
+        |SELECT shard, strt // 1024 AS bin, CAST(COUNT(*) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN strt % 1024 + tok > 1024 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_straddle,
+        |  round(CAST(SUM(tok) AS DOUBLE) / 1024.0e0, 6) AS fill_rate
+        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+
     "sa6_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source,

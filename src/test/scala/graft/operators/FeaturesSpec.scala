@@ -699,4 +699,24 @@ class FeaturesSpec extends SparkSpec {
     intercept[Exception](
       Features.jackknifeRatio(degenerate, "k", "x", "y").collect())
   }
+
+  test("mcnemarTest: discordant cells only, null on none") {
+    import spark.implicits._
+    // 3 both, 2 neither, 4 yes→no, 1 no→yes: χ² = 9/5 = 1.8
+    val pairs = (Seq.fill(3)((true, true)) ++ Seq.fill(2)((false, false)) ++
+      Seq.fill(4)((true, false)) :+ ((false, true))).toDF("b", "a")
+    val r = Features.mcnemarTest(pairs, "b", "a").head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 1.8 && !r.getBoolean(6))
+    // strongly one-sided flips clear the 3.841 bar: b=15, c=1 → 12.25
+    val strong = (Seq.fill(15)((true, false)) :+ ((false, true)))
+      .toDF("b", "a")
+    val s = Features.mcnemarTest(strong, "b", "a").head
+    assert(s.getDouble(5) == 12.25 && s.getBoolean(6))
+    // all concordant → no information → null chi2 and significance
+    val conc = Seq.fill(5)((true, true)).toDF("b", "a")
+    val c = Features.mcnemarTest(conc, "b", "a").head
+    assert(c.isNullAt(5) && c.isNullAt(6))
+  }
 }

@@ -207,4 +207,23 @@ class GraphSpec extends SparkSpec {
     val c = Graph.degreeAssortativity(cycle, "s", "d").head
     assert(c.getLong(0) == 6L && c.isNullAt(1))
   }
+
+  test("degreePowerLaw: hand-checked alpha, null on an all-dmin tail") {
+    import spark.implicits._
+    // star over 4 leaves: center deg 4, leaves deg 1.
+    // dmin=1: Σln = ln(4) → α = 1 + 5/1.386294361 = 4.606738
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("s", "d")
+    val rows = Graph.degreePowerLaw(star, "s", "d", Seq(1, 4))
+      .orderBy("dmin").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).getLong(1) == 5L &&
+      rows(0).getLong(2) == 4L)
+    assert(rows(0).getDouble(3) == 4.606738)
+    // dmin=4 tail is the single center at exactly dmin: Σln = 0 → null
+    assert(rows(1).getLong(1) == 1L && rows(1).isNullAt(3))
+    intercept[IllegalArgumentException](
+      Graph.degreePowerLaw(star, "s", "d", Nil))
+    intercept[IllegalArgumentException](
+      Graph.degreePowerLaw(star, "s", "d", Seq(2, 2)))
+  }
 }

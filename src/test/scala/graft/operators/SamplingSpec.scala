@@ -517,4 +517,35 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.rollingOriginSplits(ev, "t", Seq("2024-01-04 00:00:00"), 0))
   }
+
+  test("sequencePack: bins partition the shard stream, straddlers counted") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, 10L + (i % 7))).toDF("id", "tok")
+    val packed = Sampling.sequencePack(docs, "id", "tok",
+      shards = 2, capacity = 64L, salt = "sp:").collect()
+    // every doc lands in exactly one (shard, bin); token mass conserved
+    assert(packed.map(_.getLong(3)).sum == (1L to 40L).map(i => 10L + i % 7).sum)
+    assert(packed.map(_.getLong(2)).sum == 40L)
+    assert(packed.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L))
+    // bins are contiguous from 0 within each shard
+    for ((sh, rows) <- packed.groupBy(_.getLong(0))) {
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0L && bins.toSeq == (0L until bins.length).toSeq,
+        s"shard $sh bins not contiguous: ${bins.toSeq}")
+    }
+    // ~11-token docs into 64-token bins: straddlers must occur somewhere
+    assert(packed.map(_.getLong(4)).sum > 0L)
+    // determinism
+    val again = Sampling.sequencePack(docs, "id", "tok",
+      shards = 2, capacity = 64L, salt = "sp:").collect()
+    assert(again.map(_.toSeq).toSet == packed.map(_.toSeq).toSet)
+    // a negative token count must raise, not corrupt the prefix
+    val bad = Seq((1L, -5L), (2L, 3L)).toDF("id", "tok")
+    intercept[Exception](
+      Sampling.sequencePack(bad, "id", "tok", 2, 64L).collect())
+    intercept[IllegalArgumentException](
+      Sampling.sequencePack(docs, "id", "tok", 0, 64L))
+    intercept[IllegalArgumentException](
+      Sampling.sequencePack(docs, "id", "tok", 2, 0L))
+  }
 }

@@ -296,4 +296,26 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.histQuantile(df, "k", "v", 10.0, Seq(1.5)))
   }
+
+  test("bloomFpr: members never counted, saturation → certain FPs") {
+    import spark.implicits._
+    val ins = (1L to 50L).toDF("k")
+    val probes = (1L to 500L).toDF("k")
+    val r = Sketches.bloomFpr(ins, "k", probes, "k", m = 512, k = 3).head
+    assert(r.getInt(0) == 512 && r.getInt(1) == 3)
+    assert(r.getLong(2) == 50L)
+    assert(r.getLong(4) == 450L)               // the 50 members excluded
+    assert(r.getLong(3) <= 150L)               // ≤ k·n bits set
+    // empirical FPR within sanity range of the fill-based prediction
+    val fill = r.getLong(3).toDouble / 512.0
+    assert(math.abs(r.getDouble(7) - math.pow(fill, 3)) < 1e-6)
+    // a 2-bit filter saturates: every bit set, every probe a FP
+    val tiny = Sketches.bloomFpr(ins, "k", probes, "k", m = 2, k = 2).head
+    assert(tiny.getLong(3) == 2L && tiny.getLong(5) == 450L &&
+      tiny.getDouble(6) == 1.0 && tiny.getDouble(7) == 1.0)
+    intercept[IllegalArgumentException](
+      Sketches.bloomFpr(ins, "k", probes, "k", m = 1, k = 2))
+    intercept[IllegalArgumentException](
+      Sketches.bloomFpr(ins, "k", probes, "k", m = 64, k = 0))
+  }
 }
