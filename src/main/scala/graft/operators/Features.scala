@@ -1582,4 +1582,94 @@ object Features {
         when(col("chi2").isNull, lit(null).cast("boolean"))
           .otherwise(col("chi2") > 3.841))
   }
+
+  /**
+   * P223 — one-way ANOVA over `valueCol` by `keyCol`: between/within
+   * sums of squares, F = (SSB/(k−1))/(SSW/(N−k)) and effect size
+   * η² = SSB/(SSB+SSW) — "do the group means differ at all", the
+   * k-group front door before any pairwise o23/o34 test (running C(k,2)
+   * t-tests instead is the multiple-testing mistake P212 exists to
+   * catch). Emits ONE row (k_groups, n, ssb, ssw, f, eta2); k = 1, all
+   * singletons (N = k) or zero within-variance null the F; a zero total
+   * sum of squares nulls η².
+   *
+   * Shapes: one keyed moment agg, then one k-row closing agg — no
+   * windows, no joins. Cross-engine: group sums are exact DECIMAL
+   * ((18,6) values, (19,6) squares); each group's S²/n term is a
+   * full-precision double quotient rounded at 6 then DECIMAL(28,6)-
+   * summed (a k-term double sum would be partition-order-dependent);
+   * SSW = Q − B is computed and 6-rounded ENTIRELY in DECIMAL (both
+   * operands are exact decimals, so the double difference would sit on
+   * half-up boundaries — the o46 rule); the closing F/η² sequence is
+   * fixed doubles on those exact operands, rounded at 6.
+   */
+  def oneWayAnova(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+    val d18 = col("__v").cast("decimal(18,6)")
+    val d19 = col("__v").cast("decimal(19,6)")
+    val g = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__ng"), sum(d18).as("__sg"),
+        sum(d19 * d19).as("__qg"))
+      .withColumn("__tg",
+        round(col("__sg").cast("double") * col("__sg").cast("double") /
+          col("__ng").cast("double"), 6).cast("decimal(28,6)"))
+    val tot = g.agg(count(lit(1)).as("k_groups"),
+      sum(col("__ng")).as("n"),
+      sum(col("__sg")).as("__s"), sum(col("__qg")).as("__q"),
+      sum(col("__tg")).as("__b"))
+    val nd = col("n").cast("double")
+    val kd = col("k_groups").cast("double")
+    val sd = col("__s").cast("double")
+    val out = tot
+      .withColumn("ssb",
+        round(col("__b").cast("double") - sd * sd / nd, 6))
+      // Q and B are both exact decimals: round their DIFFERENCE in
+      // decimal, never the double (the o46 half-boundary rule). The
+      // down-casts keep the subtraction inside BOTH engines' 38-digit
+      // decimal ceiling (DuckDB widens add/sub by one digit).
+      .withColumn("ssw",
+        round(col("__q").cast("decimal(30,12)") -
+          col("__b").cast("decimal(24,6)"), 6).cast("double"))
+    val sst = (col("ssb").cast("decimal(28,6)") +
+      col("ssw").cast("decimal(28,6)")).cast("double")
+    out
+      .withColumn("f",
+        when(col("k_groups") > 1 && col("n") > col("k_groups") &&
+            col("ssw") > 0,
+          round((col("ssb") / (kd - lit(1.0))) /
+            (col("ssw") / (nd - kd)), 6)))
+      .withColumn("eta2", when(sst > 0, round(col("ssb") / sst, 6)))
+      .select(col("k_groups"), col("n"), col("ssb"), col("ssw"),
+        col("f"), col("eta2"))
+  }
+
+  /**
+   * P224 — Brown–Forsythe (median-based Levene) homogeneity-of-variance
+   * test: [[oneWayAnova]] run on the absolute deviations
+   * z = |x − median_group| — "can I pool these variances / trust the
+   * equal-variance t at all" (the robust variant: means-based Levene
+   * inflates under skew, and skewed metrics are the default here).
+   * Same output row as the underlying ANOVA; F large ⇒ spreads differ.
+   *
+   * Shapes: one keyed percentile agg (the o5 class), bounds joined back
+   * shuffle_hash, then the ANOVA's aggregates. Cross-engine: medians
+   * round at 4 (the o5 rule); each deviation is an exact DECIMAL
+   * difference (value at 6, median at 4) whose abs stays exact before
+   * the ANOVA's own decimal discipline takes over.
+   */
+  def leveneBrownForsythe(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+    val med = base.groupBy(col("__k"))
+      .agg(round(expr("percentile(__v, 0.5)"), 4).as("__med"))
+    val z = abs(col("__v").cast("decimal(18,6)") -
+      col("__med").cast("decimal(18,4)")).cast("double")
+    oneWayAnova(
+      base.join(med.hint("shuffle_hash"), Seq("__k"))
+        .select(col("__k").as("grp"), z.as("z")),
+      "grp", "z")
+  }
 }

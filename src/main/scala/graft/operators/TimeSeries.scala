@@ -1152,4 +1152,46 @@ object TimeSeries {
         round(num / (sqrt(denx) * sqrt(deny)), 6)))
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
+
+  /**
+   * P226 — churn label + feature generation per key: activity span
+   * (first/last day, distinct active days), volume (event count, mean
+   * value) and the LABEL churned = "no event within `horizonDays` of
+   * the corpus high-water day" — the supervised frame a retention model
+   * trains on, produced as ONE deterministic pass (label leakage rule:
+   * every feature reads only the same window the label does). Emits
+   * (keys..., n_events, active_days, first_day, last_day, recency_days,
+   * churned, mean_value); keys with only null values null mean_value.
+   *
+   * Shapes: one keyed agg (map-side combinable; countDistinct on the
+   * day expands to the standard two-phase aggregate), the corpus
+   * high-water day broadcast as a 1-row scalar frame. Cross-engine:
+   * counts/dates exact; mean through the DECIMAL(18,6) sum, rounded
+   * at 6; recency is exact integer day arithmetic.
+   */
+  def churnLabels(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, horizonDays: Int): DataFrame = {
+    require(keyCols.nonEmpty, "churnLabels: need at least one key column")
+    require(horizonDays >= 1,
+      s"churnLabels: horizonDays must be >= 1, got $horizonDays")
+    val base = df
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull)
+      .withColumn("__day", to_date(col(tsCol)))
+    val hwm = base.agg(max(col("__day")).as("__maxd"))
+    base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__day")).as("active_days"),
+        min(col("__day")).as("first_day"),
+        max(col("__day")).as("last_day"),
+        round(sum(col(valueCol).cast("decimal(18,6)")).cast("double") /
+          count(col(valueCol)).cast("double"), 6).as("mean_value"))
+      .join(broadcast(hwm)) // 1-row scalar side
+      .withColumn("recency_days", datediff(col("__maxd"), col("last_day")))
+      .withColumn("churned", col("recency_days") > horizonDays)
+      .drop("__maxd")
+      .select((keyCols.map(col) ++ Seq(col("n_events"), col("active_days"),
+        col("first_day"), col("last_day"), col("recency_days"),
+        col("churned"), col("mean_value"))): _*)
+  }
 }

@@ -143,4 +143,55 @@ object ZOrder {
     require(ranges.nonEmpty, "hilbertRangePredicate: empty range set")
     ranges.map { case (lo, hi) => h.between(lo, hi) }.reduce(_ || _)
   }
+
+  /**
+   * P225 — range-partitioning balance audit: cut `valueCol` at the
+   * i/p quantiles (the boundaries a range partitioner / sorted-write
+   * would pick) and report each resulting partition's row count, share,
+   * and ratio to the even split — the health check run before
+   * committing to a sort key at scale (a ratio ≫ 1 partition is the
+   * straggler task; heavy ties on a boundary value show up as one fat
+   * bucket flanked by thin ones, exactly what this surfaces). Emits
+   * (bucket, n_rows, share, ratio_to_even) with bucket = number of
+   * boundaries ≤ v (ties go RIGHT of their boundary, matching the
+   * upper-inclusive quantile cut).
+   *
+   * Shapes: ONE percentile agg for the p−1 boundaries (the o5 class —
+   * boundaries are k-row), broadcast onto the scan as a k-row
+   * cross-join (the adjudicated class), bucket as a sum of exact
+   * comparison indicators, then one map-side-combinable count agg.
+   * Cross-engine: boundaries round at 4 (the o5 rule); raw values
+   * compare against those identical doubles; shares/ratios are double
+   * divisions of exact BIGINTs rounded at 6.
+   */
+  def rangeBalance(df: DataFrame, valueCol: String,
+      partitions: Int): DataFrame = {
+    require(partitions >= 2 && partitions <= 1024,
+      s"rangeBalance: partitions must be in 2..1024, got $partitions")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val fracs = (1 until partitions)
+      .map(i => i.toDouble / partitions)
+    val bounds = base.agg(
+      fracs.zipWithIndex.map { case (f, i) =>
+        round(expr(s"percentile(__v, $f)"), 4).as(s"__b$i")
+      }.head, fracs.zipWithIndex.tail.map { case (f, i) =>
+        round(expr(s"percentile(__v, $f)"), 4).as(s"__b$i")
+      }: _*)
+    val bucket = (0 until partitions - 1)
+      .map(i => when(col("__v") >= col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val counted = base.crossJoin(broadcast(bounds)) // 1-row boundary frame
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    val total = counted.agg(sum(col("n_rows")).as("__total"))
+    counted.join(broadcast(total)) // 1-row scalar side
+      .withColumn("share",
+        round(col("n_rows").cast("double") / col("__total").cast("double"),
+          6))
+      .withColumn("ratio_to_even",
+        round(col("n_rows").cast("double") * partitions /
+          col("__total").cast("double"), 6))
+      .drop("__total")
+  }
 }

@@ -512,6 +512,42 @@ object OlapQueries {
         .orderBy("m")
     }),
 
+    // P223 — one-way ANOVA of event value across the five event types:
+    // the k-group mean test run before any pairwise comparison
+    "o57_anova" -> ((s, dir) => {
+      graft.operators.Features.oneWayAnova(
+        graft.Graft.events(s, dir).select("event_type", "value"),
+        "event_type", "value")
+    }),
+
+    // P224 — Brown–Forsythe homogeneity of variance across the same
+    // groups: the pooled-variance legitimacy check behind o23/o34
+    "o58_levene" -> ((s, dir) => {
+      graft.operators.Features.leveneBrownForsythe(
+        graft.Graft.events(s, dir).select("event_type", "value"),
+        "event_type", "value")
+    }),
+
+    // P226 — churn labels + features per (user, event type) at a 2-day
+    // horizon: ~25% churned at every SF (measured — the per-user event
+    // density is SF-invariant, so the label mix holds)
+    "q20_churn" -> ((s, dir) => {
+      graft.operators.TimeSeries.churnLabels(
+          graft.Graft.events(s, dir)
+            .select("user_id", "event_type", "ts", "value"),
+          Seq("user_id", "event_type"), "ts", "value", horizonDays = 2)
+        .orderBy("user_id", "event_type")
+    }),
+
+    // P225 — range-partition balance of order totals at 8 cuts: the
+    // sort-key health audit before a sorted/bucketed write
+    "z8_rangebalance" -> ((s, dir) => {
+      graft.operators.ZOrder.rangeBalance(
+          table(s, dir, "orders").select("o_totalprice"),
+          "o_totalprice", partitions = 8)
+        .orderBy("bucket")
+    }),
+
     // P217 — order-total reconciliation against the TPC-H charge
     // recompute per status: a REAL finding on this corpus (the
     // synthetic totals never match; ~1.7% of orders have no lineitems)
@@ -2251,6 +2287,142 @@ object OlapQueries {
          |  CASE WHEN k = 2 THEN round(${theory(2)}, 9)
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
+    },
+
+    // decimal group moments, 6-rounded S²/n terms DECIMAL-summed, the
+    // Q−B difference rounded in decimal (o46), fixed closing sequence
+    "o57_anova" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |g AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(v AS DECIMAL(18,6))) AS sg,
+        |    SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS qg
+        |  FROM b GROUP BY 1),
+        |g2 AS (
+        |  SELECT *, CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+        |    CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6)) AS tg FROM g),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    SUM(sg) AS s, SUM(qg) AS q, SUM(tg) AS bsum
+        |  FROM g2),
+        |o AS (
+        |  SELECT k_groups, n,
+        |    round(CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) *
+        |      CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ssb,
+        |    CAST(round(CAST(q AS DECIMAL(30,12)) -
+        |      CAST(bsum AS DECIMAL(24,6)), 6) AS DOUBLE) AS ssw
+        |  FROM t)
+        |SELECT k_groups, n, ssb, ssw,
+        |  CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0 THEN
+        |    round((ssb / (CAST(k_groups AS DOUBLE) - 1.0e0)) /
+        |      (ssw / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
+        |  END AS f,
+        |  CASE WHEN CAST(CAST(ssb AS DECIMAL(28,6)) +
+        |      CAST(ssw AS DECIMAL(28,6)) AS DOUBLE) > 0 THEN
+        |    round(ssb / CAST(CAST(ssb AS DECIMAL(28,6)) +
+        |      CAST(ssw AS DECIMAL(28,6)) AS DOUBLE), 6)
+        |  END AS eta2
+        |FROM o""".stripMargin,
+
+    // 4-rounded medians, exact decimal |deviations|, then the o57
+    // chain verbatim over (k, z)
+    "o58_levene" ->
+      """WITH raw AS (
+        |  SELECT event_type AS k, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |med AS (
+        |  SELECT k, round(quantile_cont(v, 0.5e0), 4) AS md
+        |  FROM raw GROUP BY 1),
+        |b AS (
+        |  SELECT raw.k AS k,
+        |    CAST(abs(CAST(raw.v AS DECIMAL(18,6)) -
+        |      CAST(med.md AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM raw JOIN med ON med.k = raw.k),
+        |g AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(v AS DECIMAL(18,6))) AS sg,
+        |    SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS qg
+        |  FROM b GROUP BY 1),
+        |g2 AS (
+        |  SELECT *, CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+        |    CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6)) AS tg FROM g),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    SUM(sg) AS s, SUM(qg) AS q, SUM(tg) AS bsum
+        |  FROM g2),
+        |o AS (
+        |  SELECT k_groups, n,
+        |    round(CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) *
+        |      CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ssb,
+        |    CAST(round(CAST(q AS DECIMAL(30,12)) -
+        |      CAST(bsum AS DECIMAL(24,6)), 6) AS DOUBLE) AS ssw
+        |  FROM t)
+        |SELECT k_groups, n, ssb, ssw,
+        |  CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0 THEN
+        |    round((ssb / (CAST(k_groups AS DOUBLE) - 1.0e0)) /
+        |      (ssw / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
+        |  END AS f,
+        |  CASE WHEN CAST(CAST(ssb AS DECIMAL(28,6)) +
+        |      CAST(ssw AS DECIMAL(28,6)) AS DOUBLE) > 0 THEN
+        |    round(ssb / CAST(CAST(ssb AS DECIMAL(28,6)) +
+        |      CAST(ssw AS DECIMAL(28,6)) AS DOUBLE), 6)
+        |  END AS eta2
+        |FROM o""".stripMargin,
+
+    // the scalar high-water day via cross join; counts/dates exact,
+    // mean through the decimal sum
+    "q20_churn" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS dy, value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |m AS (SELECT MAX(dy) AS maxd FROM e),
+        |k AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT dy) AS BIGINT) AS active_days,
+        |    MIN(dy) AS first_day, MAX(dy) AS last_day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(value) AS DOUBLE), 6) AS mean_value
+        |  FROM e GROUP BY 1, 2)
+        |SELECT user_id, event_type, n_events, active_days, first_day,
+        |  last_day,
+        |  CAST(datediff('day', last_day, m.maxd) AS INTEGER)
+        |    AS recency_days,
+        |  datediff('day', last_day, m.maxd) > 2 AS churned, mean_value
+        |FROM k CROSS JOIN m ORDER BY user_id, event_type""".stripMargin,
+
+    // 4-rounded dyadic-fraction boundaries (exact double literals),
+    // bucket = count of boundaries ≤ v, exact share ratios
+    "z8_rangebalance" -> {
+      val bs = (1 until 8).map(i =>
+        s"round(quantile_cont(v, ${i / 8.0}e0), 4) AS b${i - 1}")
+        .mkString(",\n    ")
+      val bucket = (0 until 7).map(i =>
+        s"(CASE WHEN v >= b$i THEN 1 ELSE 0 END)").mkString(" +\n    ")
+      s"""WITH b AS (
+         |  SELECT o_totalprice AS v FROM orders
+         |  WHERE o_totalprice IS NOT NULL),
+         |q AS (
+         |  SELECT $bs
+         |  FROM b),
+         |c AS (
+         |  SELECT $bucket AS bucket
+         |  FROM b CROSS JOIN q),
+         |g AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM c GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM g)
+         |SELECT bucket, n_rows,
+         |  round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         |    AS share,
+         |  round(CAST(n_rows AS DOUBLE) * 8 / CAST(total AS DOUBLE), 6)
+         |    AS ratio_to_even
+         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin
     },
 
     // exact decimal charge recompute (9,6 factors keep both engines

@@ -719,4 +719,41 @@ class FeaturesSpec extends SparkSpec {
     val c = Features.mcnemarTest(conc, "b", "a").head
     assert(c.isNullAt(5) && c.isNullAt(6))
   }
+
+  test("oneWayAnova: textbook decomposition, degenerate nulls") {
+    import spark.implicits._
+    // groups (1,2,3) and (4,5,6): grand mean 3.5, SSB = 13.5, SSW = 4,
+    // F = 13.5 / (4/4) = 13.5, η² = 13.5/17.5 = 0.771429
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("k", "v")
+    val r = Features.oneWayAnova(df, "k", "v").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 13.5 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 13.5 && r.getDouble(5) == 0.771429)
+    // one group → no between-groups df → null F, η² = 0 (SSB = 0)
+    val one = Seq(("a", 1.0), ("a", 3.0)).toDF("k", "v")
+    val o = Features.oneWayAnova(one, "k", "v").head
+    assert(o.isNullAt(4) && o.getDouble(5) == 0.0)
+    // constant data → SST = 0 → null η² and F
+    val const = Seq(("a", 2.0), ("a", 2.0), ("b", 2.0)).toDF("k", "v")
+    val cc = Features.oneWayAnova(const, "k", "v").head
+    assert(cc.isNullAt(4) && cc.isNullAt(5))
+  }
+
+  test("leveneBrownForsythe: unequal spreads flagged, equal spreads not") {
+    import spark.implicits._
+    // same medians, wildly different spreads
+    val spread = (Seq(-9.0, -1.0, 0.0, 1.0, 9.0).map(("wide", _)) ++
+      Seq(-0.2, -0.1, 0.0, 0.1, 0.2).map(("narrow", _))).toDF("k", "v")
+    val r = Features.leveneBrownForsythe(spread, "k", "v").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 10L)
+    assert(r.getDouble(4) > 3.0)      // spreads clearly differ (F = 3.58)
+    // identical distributions → between-group deviation spread is zero
+    // up to the 6-rounded group terms (±1e-6 — round(4/3, 6) summed
+    // vs the unrounded S²/N)
+    val same = (Seq(1.0, 2.0, 3.0).map(("x", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("y", _))).toDF("k", "v")
+    val s = Features.leveneBrownForsythe(same, "k", "v").head
+    assert(math.abs(s.getDouble(2)) <= 1e-6)
+  }
 }

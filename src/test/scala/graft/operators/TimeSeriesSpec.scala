@@ -608,4 +608,30 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.crossCorrelation(daily, "k", "day", "v", "a", "b", -1))
   }
+
+  test("churnLabels: recency against the corpus high-water day") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d 10:00:00")
+    val ev = Seq(
+      (1L, ts(1), Some(10.0)), (1L, ts(2), Some(20.0)), // last seen day 2
+      (2L, ts(9), Some(30.0)), (2L, ts(10), None),
+      (3L, ts(5), Some(40.0)))
+      .toDF("u", "t", "v")
+    val rows = TimeSeries.churnLabels(ev, Seq("u"), "t", "v", horizonDays = 3)
+      .orderBy("u").collect()
+    assert(rows.length == 3)
+    val u1 = rows(0)
+    assert(u1.getLong(1) == 2L && u1.getLong(2) == 2L)   // events, days
+    assert(u1.getInt(5) == 8 && u1.getBoolean(6))        // recency 8 > 3
+    assert(u1.getDouble(7) == 15.0)
+    val u2 = rows(1)
+    assert(u2.getInt(5) == 0 && !u2.getBoolean(6))
+    assert(u2.getDouble(7) == 30.0)                      // null v excluded
+    val u3 = rows(2)
+    assert(u3.getInt(5) == 5 && u3.getBoolean(6))
+    intercept[IllegalArgumentException](
+      TimeSeries.churnLabels(ev, Nil, "t", "v", 3))
+    intercept[IllegalArgumentException](
+      TimeSeries.churnLabels(ev, Seq("u"), "t", "v", 0))
+  }
 }

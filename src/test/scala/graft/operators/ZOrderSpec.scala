@@ -155,4 +155,23 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ZOrder.hilbertRangePredicate(col("h"), Nil))
   }
+
+  test("rangeBalance: uniform data splits evenly, ties pile into one bucket") {
+    import spark.implicits._
+    val uniform = (1 to 400).map(_.toDouble).toDF("v")
+    val rows = ZOrder.rangeBalance(uniform, "v", partitions = 4)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getLong(1)).sum == 400L)
+    // even split: every ratio ≈ 1 (quantile cut points land on .25 ranks)
+    assert(rows.forall(r => math.abs(r.getDouble(3) - 1.0) < 0.02))
+    // 90% identical values: one bucket swallows the tie mass
+    val ties = ((1 to 360).map(_ => 7.0) ++ (1 to 40).map(_.toDouble))
+      .toDF("v")
+    val t = ZOrder.rangeBalance(ties, "v", partitions = 4)
+      .orderBy("bucket").collect()
+    assert(t.map(_.getLong(1)).max >= 360L)
+    assert(t.map(_.getLong(1)).sum == 400L)
+    intercept[IllegalArgumentException](ZOrder.rangeBalance(uniform, "v", 1))
+  }
 }
