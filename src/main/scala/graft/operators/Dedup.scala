@@ -918,4 +918,46 @@ object Dedup {
       // using-joins float their key to the front — pin the column order
       .select("i", "j", "shared", "si", "sj", "overlap")
   }
+
+  /**
+   * P228 — edit-distance near-duplicate pairs: block on the lowercased
+   * text PREFIX (typo variants, version-suffixed re-uploads and OCR
+   * re-scans share their opening), then verify candidates with exact
+   * Levenshtein ≤ `maxDist` — the character-level complement to the
+   * token-set dedup family: Jaccard misses a doc whose every token got
+   * one character mangled, Levenshtein is exactly that metric. Emits
+   * (i, j, dist) with i < j. DOCUMENTED blocking limitation (the
+   * d13/SNM family caveat): an edit inside the first `prefixLen`
+   * characters escapes the block — run a second pass blocked on a
+   * suffix or simhash band when that matters.
+   *
+   * Shapes: one equi-join on the prefix key (shuffle-hash; never
+   * all-pairs), renamed-projection self-join sides (the
+   * winnowOverlapPairs alias-resolution lesson), Levenshtein only on
+   * candidates — O(L²) per PAIR, bounded by the block sizes. Both
+   * engines implement classical character-level Levenshtein; the
+   * distance is an exact integer.
+   */
+  def editDistanceDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int, maxDist: Int): DataFrame = {
+    require(prefixLen >= 4,
+      s"editDistanceDupPairs: prefixLen must be >= 4, got $prefixLen")
+    require(maxDist >= 0,
+      s"editDistanceDupPairs: maxDist must be >= 0, got $maxDist")
+    val base = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(textCol).cast("string").as("__text"),
+        substring(lower(col(textCol).cast("string")), 1, prefixLen)
+          .as("__blk"))
+    val a = base.select(col("__id").as("i"), col("__text").as("__ta"),
+      col("__blk"))
+    val b = base.select(col("__id").as("j"), col("__text").as("__tb"),
+      col("__blk"))
+    a.join(b.hint("shuffle_hash"), Seq("__blk"))
+      .where(col("i") < col("j"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .where(col("dist") <= maxDist)
+      .select(col("i"), col("j"), col("dist"))
+  }
 }

@@ -1548,6 +1548,80 @@ object Features {
   }
 
   /**
+   * P227 — randomization (permutation) test for a difference in means:
+   * re-assign every unit to arm A/B by a deterministic per-round hash
+   * coin, recompute the mean difference per round, and report
+   * p = (1 + #{|diff_r| ≥ |observed|}) / (R + 1) — the
+   * distribution-free significance readout that needs NO normality or
+   * variance assumption (the honest fallback when o23/o15's
+   * preconditions fail), with the "+1" correction keeping p > 0 as
+   * Monte Carlo practice requires. Emits ONE row (n_a, n_b, diff_obs,
+   * n_perms, n_ge, p_value). Hash re-assignment is the standard
+   * large-sample approximation of an exact permutation (group sizes
+   * vary binomially instead of being fixed) — documented, and the same
+   * construction P191's Poisson bootstrap uses.
+   *
+   * Shapes: one fused observed agg, a broadcast R-row round ladder
+   * cross-joined onto the scan (the P191 idiom), one per-round
+   * conditional decimal agg, one R-row closing agg. Cross-engine: the
+   * coin is integer hash parity (no double threshold); means round at 6
+   * and the differences/comparisons run in DECIMAL on the rounded
+   * means (the o46 rule); p is one double division of exact BIGINTs.
+   */
+  def permutationTestMeans(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, resamples: Int = 32): DataFrame = {
+    require(resamples >= 8 && resamples <= 256,
+      s"permutationTestMeans: resamples must be in 8..256, got $resamples")
+    val base = df
+      .where(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(groupCol).cast("boolean").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+    val dec = col("__v").cast("decimal(18,6)")
+    def meanDiff(flag: org.apache.spark.sql.Column) = (
+      sum(when(flag, dec)).cast("double"),
+      sum(when(flag, 1L).otherwise(0L)),
+      sum(when(!flag, dec)).cast("double"),
+      sum(when(!flag, 1L).otherwise(0L)))
+    val (sa, na, sb, nb) = meanDiff(col("__g"))
+    val obs = base.agg(na.as("n_a"), nb.as("n_b"),
+      sa.as("__sa"), sb.as("__sb"))
+      .withColumn("diff_obs",
+        (round(col("__sa") / col("n_a").cast("double"), 6)
+          .cast("decimal(18,6)") -
+         round(col("__sb") / col("n_b").cast("double"), 6)
+          .cast("decimal(18,6)")).cast("double"))
+      .select(col("n_a"), col("n_b"), col("diff_obs"))
+    val grid = df.sparkSession
+      .createDataFrame((0 until resamples).map(Tuple1(_))).toDF("r")
+    val coin = Sampling.hashValue(
+      concat(col("r").cast("string"), lit(":"), col("__id").cast("string")),
+      "perm:") % 2 === 0
+    val (psa, pna, psb, pnb) = meanDiff(coin)
+    val rounds = base.crossJoin(broadcast(grid))
+      .groupBy(col("r"))
+      .agg(pna.as("__na"), pnb.as("__nb"), psa.as("__psa"), psb.as("__psb"))
+      .where(col("__na") > 0 && col("__nb") > 0) // P(∅ arm) ≈ 2^-n: drop
+      .withColumn("__diff",
+        (round(col("__psa") / col("__na").cast("double"), 6)
+          .cast("decimal(18,6)") -
+         round(col("__psb") / col("__nb").cast("double"), 6)
+          .cast("decimal(18,6)")))
+    rounds.crossJoin(broadcast(obs)) // 1-row scalar side
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("diff_obs")).as("diff_obs"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("__diff")) >=
+            abs(col("diff_obs").cast("decimal(18,6)")), 1L).otherwise(0L))
+          .as("n_ge"))
+      .withColumn("p_value",
+        round((col("n_ge") + lit(1L)).cast("double") /
+          (col("n_perms") + lit(1L)).cast("double"), 6))
+      .select(col("n_a"), col("n_b"), col("diff_obs"), col("n_perms"),
+        col("n_ge"), col("p_value"))
+  }
+
+  /**
    * P219 — McNemar's test for paired binary outcomes: given one row per
    * unit with a before-flag and an after-flag, the discordant-pair
    * counts b (yes→no) and c (no→yes) and χ² = (b−c)²/(b+c) read against

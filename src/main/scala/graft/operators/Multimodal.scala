@@ -488,4 +488,45 @@ object Multimodal {
       .where(col("__rn") === 1)
       .drop("__rn", "__lnr")
   }
+
+  /**
+   * P229 — per-media channel/intensity histogram over the raw byte
+   * plane: bucket every byte into 256/`buckets` intensity bands and
+   * emit per (media, bucket) counts and shares — the exposure/clipping
+   * screen of an image-curation pass (a plane that is 90% bucket 0 is a
+   * black frame; all-one-bucket is a solid fill — both are the junk a
+   * pretraining filter drops) run here over the stub codec's identity
+   * plane so the whole path is engine-replayable from raw bytes (the
+   * mm2/mm3 hex-pair idiom). Emits (media_id, bucket, n_bytes, cnt,
+   * share); empty payloads drop.
+   *
+   * Shapes: hex + per-byte position explode (a per-pixel pass IS the
+   * semantics — the honest shape at any scale; `sequence` keeps it one
+   * generator per row, no join), then one map-side-combinable count
+   * agg. Cross-engine: byte extraction replays as hex-pair parsing;
+   * bucket is exact integer division; share one double division of
+   * exact BIGINTs rounded at 6.
+   */
+  def channelHistogram(df: DataFrame, idCol: String, bytesCol: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && buckets <= 256 && 256 % buckets == 0,
+      s"channelHistogram: buckets must divide 256, got $buckets")
+    val width = 256 / buckets
+    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
+        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0)
+      .select(col("media_id"), col("n_bytes"), col("__hx"),
+        explode(sequence(lit(0L), col("n_bytes") - 1)).as("__i"))
+      .withColumn("__byte",
+        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
+          .cast("int"))
+      .withColumn("bucket", expr(s"__byte div $width"))
+      .groupBy(col("media_id"), col("n_bytes"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share",
+        round(col("cnt").cast("double") / col("n_bytes").cast("double"), 6))
+      .select(col("media_id"), col("bucket"), col("n_bytes"), col("cnt"),
+        col("share"))
+  }
 }

@@ -607,4 +607,59 @@ object Similarity {
     import spark.implicits._
     out.toSeq.toDF("rank", "vec_id", "d")
   }
+
+  /**
+   * P230 — simplified silhouette per cluster: with a = cosine distance
+   * to the OWN (nearest) centroid and b = distance to the best OTHER
+   * centroid, s = (b−a)/max(a,b) ∈ [−1,1] — the cluster-quality
+   * readout for an IVF/k-means index at corpus scale (full silhouette
+   * is all-pairs; the centroid form is the standard O(n·k)
+   * approximation, and it is exactly what tells you a centroid set is
+   * too coarse before you bucket 100 TB by it). Emits per cluster
+   * (centroid_id, n_points, mean_a, mean_b, mean_s); mean_s near 0 ⇒
+   * boundary-heavy clusters, near 1 ⇒ tight and separated. Requires
+   * ≥ 2 centroids (b does not exist otherwise).
+   *
+   * Shapes: [[ivfAssign]]'s compiled-kernel projection for the OWN
+   * assignment, one broadcast k-row centroid cross-join for the
+   * per-centroid cosines (the adjudicated class), one keyed agg.
+   * Cross-engine: cosines round at 6 (the sim1 ulp-absorption rule);
+   * a/b and their difference run in DECIMAL on the rounded cosines
+   * (the o46 rule); s is one double division rounded at 6; means are
+   * decimal sums over the 6-rounded terms.
+   */
+  def silhouetteSimplified(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cents = centroids
+      .select(col(centroidIdCol).as("cid"), l2Normalize(col(vecCol)).as("cv"))
+    // b does not exist with a single centroid — fail loudly instead of
+    // silently emitting an empty frame (centroid frames are broadcast-
+    // small by the ivfAssign contract, so the count is a driver no-op)
+    require(cents.limit(2).count() == 2,
+      "silhouetteSimplified: need >= 2 centroids")
+    val one = lit(new java.math.BigDecimal("1.000000"))
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, centroidIdCol)
+    val sims = assigned.crossJoin(broadcast(cents)) // k-row centroid side
+      .withColumn("__cos", round(dotProduct(col("v"), col("cv")), 6))
+    val own = sims.where(col(centroidIdCol) === col("cid"))
+      .select(col("id"), col(centroidIdCol), col("__cos").as("__cosown"))
+    val other = sims.where(col(centroidIdCol) =!= col("cid"))
+      .groupBy(col("id")).agg(max(col("__cos")).as("__cosoth"))
+    val a = one - col("__cosown").cast("decimal(7,6)")
+    val b = one - col("__cosoth").cast("decimal(7,6)")
+    own.join(other.hint("shuffle_hash"), Seq("id"))
+      .withColumn("__a", a).withColumn("__b", b)
+      .withColumn("__s", when(greatest(col("__a"), col("__b")) > 0,
+        round((col("__b") - col("__a")).cast("double") /
+          greatest(col("__a"), col("__b")).cast("double"), 6)))
+      .groupBy(col(centroidIdCol))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("__a").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_a"),
+        round(sum(col("__b").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_b"),
+        round(sum(col("__s").cast("decimal(18,6)")).cast("double") /
+          count(col("__s")).cast("double"), 6).as("mean_s"))
+  }
 }

@@ -51,6 +51,18 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P228 — edit-distance near-dup pairs over version-suffixed
+    // re-uploads (the duplicated corpus with a ` revN` tail): prefix
+    // blocking, exact Levenshtein ≤ 2 verify — catches the char-level
+    // variants token-set Jaccard misses
+    "d19_edit_dedup" -> ((s, dir) => {
+      val perturbed = dupedDocs(s, dir).withColumn("text",
+        concat(col("text"), lit(" rev"), (col("doc_id") % 3).cast("string")))
+      Dedup.editDistanceDupPairs(perturbed, "doc_id", "text",
+          prefixLen = 24, maxDist = 2)
+        .orderBy("i", "j")
+    }),
+
     // P72 — soft dedup: duplicates downweighted (w = 1/n per exact-text
     // group) instead of dropped, with a deterministic keep draw at
     // probability 1/n from the portable-MD5 uniform — the oracle replays
@@ -399,6 +411,23 @@ object DedupQueries {
          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM ($dupedDocsSql))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the same duplicated corpus + ' revN' tails, identical prefix
+    // blocks, DuckDB's classical levenshtein as the verify
+    "d19_edit_dedup" ->
+      s"""WITH duped AS ($dupedDocsSql),
+         |e AS (
+         |  SELECT doc_id,
+         |    text || ' rev' || CAST(doc_id % 3 AS VARCHAR) AS text
+         |  FROM duped WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |b AS (
+         |  SELECT doc_id, text, substr(lower(text), 1, 24) AS blk FROM e),
+         |p AS (
+         |  SELECT x.doc_id AS i, y.doc_id AS j,
+         |    levenshtein(x.text, y.text) AS dist
+         |  FROM b x JOIN b y ON y.blk = x.blk AND x.doc_id < y.doc_id)
+         |SELECT i, j, CAST(dist AS INTEGER) AS dist FROM p
+         |WHERE dist <= 2 ORDER BY i, j""".stripMargin,
 
     // NOT EXISTS, not NOT IN: a NULL text in the reference subquery would
     // make NOT IN return zero rows, while the operator's left_anti join

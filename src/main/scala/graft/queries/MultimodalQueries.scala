@@ -68,6 +68,16 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P229 — intensity histogram over the raw byte planes: 16 bands
+    // per media, the black-frame / solid-fill junk screen; every byte
+    // replayed from hex pairs by the oracle
+    "mm11_channelhist" -> ((s, dir) => {
+      val packed = Multimodal.packText(table(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.channelHistogram(packed, "media_id", "bytes", buckets = 16)
+        .orderBy("media_id", "bucket")
+    }),
+
     // P94 — ViT patch grid over the stub codec's pixel planes: dims
     // replay decodeImageStub's byte-count geometry (sqrt is IEEE
     // correctly-rounded, so ceil(sqrt(n)) is portable), then one
@@ -410,6 +420,25 @@ object MultimodalQueries {
          |       FROM l2 l LEFT JOIN n3 ON n3.id = l.id)
          |SELECT id AS media_id, lab AS cluster_id
          |FROM l3 ORDER BY media_id""".stripMargin,
+
+    // every byte re-read as a hex pair, bucketed by integer division;
+    // shares are exact BIGINT ratios
+    "mm11_channelhist" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |b AS (
+        |  SELECT media_id, n_bytes,
+        |    unnest([(('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT)
+        |      // 16 FOR i IN range(n_bytes)]) AS bucket
+        |  FROM m WHERE n_bytes > 0)
+        |SELECT media_id, bucket, n_bytes, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  round(CAST(COUNT(*) AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)
+        |    AS share
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY media_id, bucket""".stripMargin,
 
     // replay the stub decode+resize from raw bytes: dims from byte length,
     // nearest-neighbor 16x16 sample indices, byte values via hex pairs

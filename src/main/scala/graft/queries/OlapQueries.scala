@@ -512,6 +512,15 @@ object OlapQueries {
         .orderBy("m")
     }),
 
+    // P227 — randomization test for the o50 arm split on event value:
+    // 32 deterministic hash re-assignments, ±1-corrected p
+    "o59_permtest" -> ((s, dir) => {
+      graft.operators.Features.permutationTestMeans(
+        graft.Graft.events(s, dir).select(col("event_id"),
+          (col("user_id") % 2 === 1).as("treat"), col("value")),
+        "event_id", "treat", "value", resamples = 32)
+    }),
+
     // P223 — one-way ANOVA of event value across the five event types:
     // the k-group mean test run before any pairwise comparison
     "o57_anova" -> ((s, dir) => {
@@ -2288,6 +2297,63 @@ object OlapQueries {
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
     },
+
+    // integer hash-parity coins per round, 6-rounded arm means
+    // subtracted in decimal, the ±1-corrected exact-count p
+    "o59_permtest" ->
+      """WITH b AS (
+        |  SELECT event_id AS id, (user_id % 2 = 1) AS g, value AS v
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |obs AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(
+        |      CAST(round(CAST(SUM(CASE WHEN g THEN
+        |          CAST(v AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |        CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |        AS DECIMAL(18,6)) -
+        |      CAST(round(CAST(SUM(CASE WHEN NOT g THEN
+        |          CAST(v AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |        CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |        AS DECIMAL(18,6)) AS DOUBLE) AS diff_obs
+        |  FROM b),
+        |lad AS (SELECT unnest(generate_series(0, 31)) AS r),
+        |p AS (
+        |  SELECT lad.r, b.v,
+        |    (list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('perm:' ||
+        |          CAST(lad.r AS VARCHAR) || ':' || CAST(b.id AS VARCHAR)),
+        |          1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 2 = 0) AS flag
+        |  FROM b CROSS JOIN lad),
+        |g2 AS (
+        |  SELECT r,
+        |    SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN NOT flag THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN flag THEN CAST(v AS DECIMAL(18,6)) END) AS sa,
+        |    SUM(CASE WHEN NOT flag THEN CAST(v AS DECIMAL(18,6)) END) AS sb
+        |  FROM p GROUP BY 1),
+        |d AS (
+        |  SELECT r,
+        |    CAST(round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) -
+        |    CAST(round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS diff
+        |  FROM g2 WHERE na > 0 AND nb > 0)
+        |SELECT obs.n_a, obs.n_b, obs.diff_obs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_perms,
+        |  CAST(SUM(CASE WHEN abs(d.diff) >=
+        |      abs(CAST(obs.diff_obs AS DECIMAL(18,6)))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        |  round(CAST(SUM(CASE WHEN abs(d.diff) >=
+        |      abs(CAST(obs.diff_obs AS DECIMAL(18,6)))
+        |    THEN 1 ELSE 0 END) + 1 AS DOUBLE) /
+        |    CAST(COUNT(*) + 1 AS DOUBLE), 6) AS p_value
+        |FROM d CROSS JOIN obs
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // decimal group moments, 6-rounded S²/n terms DECIMAL-summed, the
     // Q−B difference rounded in decimal (o46), fixed closing sequence

@@ -193,6 +193,16 @@ object SimilarityQueries {
         .select(col("query_id"), col("rank"), col("id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
+    }),
+
+    // P230 — simplified silhouette of the sim2 centroid set: per-cluster
+    // tightness/separation before committing to the IVF bucketing
+    "sim11_silhouette" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.where(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("centroid_id"), col("v"))
+      Similarity.silhouetteSimplified(e, centroids, "vec_id", "v")
+        .orderBy("centroid_id")
     })
   )
 
@@ -575,6 +585,51 @@ object SimilarityQueries {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, rank, id, cosine FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the sim2 assignment replay (argmax on unrounded cosine, smallest
+    // cid on ties), 6-rounded cosines, a/b in exact decimal, decimal-
+    // summed cluster means
+    "sim11_silhouette" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+        |sim AS (
+        |  SELECT p.vec_id AS id, c.cid,
+        |    list_cosine_similarity(p.v, c.cv) AS rawcos
+        |  FROM e p CROSS JOIN c),
+        |rk AS (
+        |  SELECT id, cid, round(rawcos, 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY rawcos DESC, cid ASC) AS rn
+        |  FROM sim),
+        |own AS (SELECT id, cid AS centroid_id, cos AS cosown
+        |        FROM rk WHERE rn = 1),
+        |oth AS (
+        |  SELECT rk.id, MAX(rk.cos) AS cosoth
+        |  FROM rk JOIN own o ON o.id = rk.id AND rk.cid <> o.centroid_id
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT o.id, o.centroid_id,
+        |    CAST(1.0 AS DECIMAL(7,6)) - CAST(o.cosown AS DECIMAL(7,6))
+        |      AS a,
+        |    CAST(1.0 AS DECIMAL(7,6)) - CAST(t.cosoth AS DECIMAL(7,6))
+        |      AS b
+        |  FROM own o JOIN oth t ON t.id = o.id),
+        |p AS (
+        |  SELECT id, centroid_id, a, b,
+        |    CASE WHEN GREATEST(a, b) > 0 THEN
+        |      round(CAST(b - a AS DOUBLE) /
+        |        CAST(GREATEST(a, b) AS DOUBLE), 6) END AS s
+        |  FROM j)
+        |SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  round(CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_a,
+        |  round(CAST(SUM(CAST(b AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_b,
+        |  round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(COUNT(s) AS DOUBLE), 6) AS mean_s
+        |FROM p GROUP BY 1 ORDER BY centroid_id""".stripMargin
   )
 }

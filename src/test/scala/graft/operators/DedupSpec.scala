@@ -495,4 +495,26 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.minhashErrorAudit(docs, "doc_id", "text", numHashes = 0))
   }
+
+  test("editDistanceDupPairs: prefix blocks, exact distances, threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps rev0"),
+      (2L, "the quick brown fox jumps rev1"),   // dist 1 to doc 1
+      (3L, "the quick brown fox jumped rev0"),  // dist 2 to doc 1, 3 to 2
+      (4L, "a completely different doc rev0"),  // other block
+      (5L, "the quick brown fox leaps far away rev9"))
+      .toDF("id", "t")
+    val got = Dedup.editDistanceDupPairs(docs, "id", "t",
+      prefixLen = 12, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 1, (1L, 3L) -> 2))
+    // doc 5 shares the block but exceeds the distance bar; doc 4 never
+    // even pairs (different prefix block)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    intercept[IllegalArgumentException](
+      Dedup.editDistanceDupPairs(docs, "id", "t", 2, 2))
+    intercept[IllegalArgumentException](
+      Dedup.editDistanceDupPairs(docs, "id", "t", 12, -1))
+  }
 }

@@ -756,4 +756,24 @@ class FeaturesSpec extends SparkSpec {
     val s = Features.leveneBrownForsythe(same, "k", "v").head
     assert(math.abs(s.getDouble(2)) <= 1e-6)
   }
+
+  test("permutationTestMeans: huge effect → minimal p, null effect → large p") {
+    import spark.implicits._
+    // arms fully separated by 100: no random re-labeling beats it
+    val strong = ((1 to 50).map(i => (i.toLong, true, 100.0 + i % 3)) ++
+      (1 to 50).map(i => (100L + i, false, i % 3.toDouble)))
+      .toDF("id", "g", "v")
+    val r = Features.permutationTestMeans(strong, "id", "g", "v", 32).head
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L)
+    assert(r.getDouble(2) > 99.0)
+    assert(r.getLong(3) == 32L && r.getLong(4) == 0L)
+    assert(r.getDouble(5) == math.rint(1.0 / 33.0 * 1e6) / 1e6)
+    // identical arms: every permuted |diff| ≥ 0 = |obs| → p = 1
+    val nullEff = ((1 to 50).map(i => (i.toLong, true, 5.0)) ++
+      (1 to 50).map(i => (100L + i, false, 5.0))).toDF("id", "g", "v")
+    val n = Features.permutationTestMeans(nullEff, "id", "g", "v", 32).head
+    assert(n.getDouble(2) == 0.0 && n.getDouble(5) == 1.0)
+    intercept[IllegalArgumentException](
+      Features.permutationTestMeans(strong, "id", "g", "v", 4))
+  }
 }

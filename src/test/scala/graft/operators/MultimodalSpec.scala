@@ -317,4 +317,23 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.epochShardOrder(shards, "shard_id", 0))
   }
+
+  test("channelHistogram: byte-exact buckets over a known payload") {
+    import spark.implicits._
+    // "AAAA!" = 0x41 ×4 (bucket 4) + 0x21 (bucket 2)
+    val df = Seq((1L, "AAAA!"), (2L, ""), (3L, " ÿ"))
+      .toDF("id", "t")
+      .select(col("id"), encode(col("t"), "UTF-8").as("bytes"))
+    val got = Multimodal.channelHistogram(df, "id", "bytes").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got((1L, 4L)) == ((4L, 0.8)) && got((1L, 2L)) == ((1L, 0.2)))
+    // empty payload dropped entirely
+    assert(!got.keySet.exists(_._1 == 2L))
+    // space 0x20 → bucket 2; ÿ is 2 UTF-8 bytes 0xc3 0xbf → buckets 12, 11
+    assert(got((3L, 2L))._1 == 1L && got((3L, 12L))._1 == 1L &&
+      got((3L, 11L))._1 == 1L)
+    intercept[IllegalArgumentException](
+      Multimodal.channelHistogram(df, "id", "bytes", buckets = 3))
+  }
 }

@@ -373,4 +373,27 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.rrfFusion(Seq(r1), "id", "rank", 4))
   }
+
+  test("silhouetteSimplified: tight separated clusters score near 1") {
+    import spark.implicits._
+    // two orthogonal bundles with tiny within-cluster jitter
+    val pts = (1 to 10).map(i => (i.toLong, Array(1.0, 0.001 * i))) ++
+      (1 to 10).map(i => (100L + i, Array(0.001 * i, 1.0)))
+    val corpus = pts.toDF("vec_id", "v")
+    val cents = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("centroid_id", "v")
+    val rows = Similarity.silhouetteSimplified(corpus, cents, "vec_id", "v")
+      .orderBy("centroid_id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getLong(1) == 10L))
+    assert(rows.forall(_.getDouble(4) > 0.98))     // mean_s ≈ 1
+    assert(rows.forall(r => r.getDouble(2) < 0.001 && r.getDouble(3) > 0.9))
+    // a point equidistant from both centroids scores s = 0
+    val mid = Seq((5L, Array(1.0, 1.0))).toDF("vec_id", "v")
+    val m = Similarity.silhouetteSimplified(mid, cents, "vec_id", "v")
+      .collect()
+    assert(m.length == 1 && m.head.getDouble(4) == 0.0)
+    intercept[IllegalArgumentException](Similarity.silhouetteSimplified(
+      corpus, cents.where(col("centroid_id") === 1L), "vec_id", "v"))
+  }
 }
