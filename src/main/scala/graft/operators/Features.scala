@@ -1720,6 +1720,117 @@ object Features {
   }
 
   /**
+   * P231 — Cohen's κ inter-rater agreement between two categorical
+   * columns: observed agreement p₀ corrected by the chance agreement
+   * p_e of the marginal distributions, κ = (p₀−p_e)/(1−p_e) — THE
+   * label-quality statistic for double-annotated data and
+   * model-vs-heuristic agreement (raw accuracy flatters any skewed
+   * label set; κ does not). Emits ONE row (n, po, pe, kappa); a
+   * degenerate table where chance explains everything (p_e = 1) nulls
+   * κ.
+   *
+   * Shapes: one (a, b) cell agg, two category-sized marginal aggs
+   * joined on the category, three scalar frames joined broadcast.
+   * Cross-engine: κ reduces to the exact BIGINT ratio
+   * (n·Σdiag − Σr·c)/(n² − Σr·c) — one double division, rounded at 6;
+   * p₀/p_e are the same exact ratios rounded at 6.
+   */
+  def cohensKappa(df: DataFrame, raterACol: String,
+      raterBCol: String): DataFrame = {
+    val base = df.where(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).cast("string").as("__a"),
+        col(raterBCol).cast("string").as("__b"))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = cells.agg(sum(col("__n")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .as("__diag"))
+    val marg = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
+      .join(cells.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
+          .withColumnRenamed("__b", "__a").hint("shuffle_hash"),
+        Seq("__a"), "inner")
+      .agg(coalesce(sum(col("__ra") * col("__cb")), lit(0L)).as("__src"))
+    tot.join(broadcast(marg)) // two 1-row frames
+      .withColumn("po",
+        round(col("__diag").cast("double") / col("n").cast("double"), 6))
+      .withColumn("pe",
+        round(col("__src").cast("double") /
+          (col("n") * col("n")).cast("double"), 6))
+      .withColumn("kappa",
+        when(col("n") * col("n") - col("__src") > 0,
+          round((col("n") * col("__diag") - col("__src")).cast("double") /
+            (col("n") * col("n") - col("__src")).cast("double"), 6)))
+      .select(col("n"), col("po"), col("pe"), col("kappa"))
+  }
+
+  /**
+   * P232 — decision stump (best single split) for a binary label over
+   * one numeric feature: candidate thresholds at the feature's
+   * quantiles, per-threshold weighted Gini impurity of the two sides,
+   * and the argmin flagged — the first question any tree/GBM answers,
+   * exposed as an audit ("how predictive is this ONE feature, and
+   * where does it cut") and as leakage detection (a feature whose
+   * stump is near-perfect is usually leaking the label). Emits per
+   * candidate (thr, n_left, pos_left, n_right, pos_right, gini_split,
+   * is_best) with left = feature ≤ thr; the best row is the smallest
+   * gini with the smallest threshold as tie-break.
+   *
+   * Shapes: one percentile agg (the o5 class), the candidate ladder
+   * broadcast k-row onto the scan, one fused conditional count agg per
+   * threshold, argmin via two scalar joins (NO window — the frame is
+   * k-row but the no-new-global-window rule is absolute). Cross-engine:
+   * thresholds round at 4; raw features compare against the identical
+   * doubles; gini_split is one fixed double sequence over exact BIGINT
+   * counts rounded at 6 (zero-row sides contribute exactly 0, guarded
+   * against 0·NaN).
+   */
+  def decisionStump(df: DataFrame, featureCol: String, labelCol: String,
+      quantiles: Int = 10): DataFrame = {
+    require(quantiles >= 2 && quantiles <= 100,
+      s"decisionStump: quantiles must be in 2..100, got $quantiles")
+    val base = df.where(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(featureCol).cast("double").as("__f"),
+        col(labelCol).cast("boolean").as("__l"))
+    val fr = (1 until quantiles).map(i => i.toDouble / quantiles)
+    val wide = base.agg(
+      fr.zipWithIndex.map { case (f, i) =>
+        round(expr(s"percentile(__f, $f)"), 4).as(s"__t$i")
+      }.head, fr.zipWithIndex.tail.map { case (f, i) =>
+        round(expr(s"percentile(__f, $f)"), 4).as(s"__t$i")
+      }: _*)
+    val thrs = wide
+      .select(explode(array((0 until quantiles - 1).map(i =>
+        col(s"__t$i")): _*)).as("thr")).distinct()
+    val left = col("__f") <= col("thr")
+    val counts = base.crossJoin(broadcast(thrs)) // k-row ladder
+      .groupBy(col("thr"))
+      .agg(sum(when(left, 1L).otherwise(0L)).as("n_left"),
+        sum(when(left && col("__l"), 1L).otherwise(0L)).as("pos_left"),
+        sum(when(!left, 1L).otherwise(0L)).as("n_right"),
+        sum(when(!left && col("__l"), 1L).otherwise(0L)).as("pos_right"))
+    def giniTerm(n: org.apache.spark.sql.Column,
+        pos: org.apache.spark.sql.Column) = {
+      val nd = n.cast("double")
+      val pd = pos.cast("double")
+      // n·g with g = 1 − (pos/n)² − ((n−pos)/n)²; zero rows → exactly 0
+      when(n > 0, nd * (lit(1.0) - (pd / nd) * (pd / nd) -
+        ((nd - pd) / nd) * ((nd - pd) / nd))).otherwise(lit(0.0))
+    }
+    val scored = counts.withColumn("gini_split",
+      round((giniTerm(col("n_left"), col("pos_left")) +
+        giniTerm(col("n_right"), col("pos_right"))) /
+        (col("n_left") + col("n_right")).cast("double"), 6))
+    val bestG = scored.agg(min(col("gini_split")).as("__bg"))
+    val bestT = scored.join(broadcast(bestG))
+      .where(col("gini_split") === col("__bg"))
+      .agg(min(col("thr")).as("__bt"))
+    scored.join(broadcast(bestG)).join(broadcast(bestT)) // 1-row sides
+      .withColumn("is_best",
+        col("gini_split") === col("__bg") && col("thr") === col("__bt"))
+      .drop("__bg", "__bt")
+  }
+
+  /**
    * P224 — Brown–Forsythe (median-based Levene) homogeneity-of-variance
    * test: [[oneWayAnova]] run on the absolute deviations
    * z = |x − median_group| — "can I pool these variances / trust the

@@ -1127,4 +1127,5 @@ object TextAnalysis {
       .drop("__num")
       .withColumnRenamed("__k", keyCol)
   }
+
 }

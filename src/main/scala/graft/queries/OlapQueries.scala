@@ -521,6 +521,19 @@ object OlapQueries {
         "event_id", "treat", "value", resamples = 32)
     }),
 
+    // P232 — decision stump on the q20 churn frame: how predictive is
+    // event volume alone for the churn label, and where does it cut
+    "o61_stump" -> ((s, dir) => {
+      val frame = graft.operators.TimeSeries.churnLabels(
+        graft.Graft.events(s, dir)
+          .select("user_id", "event_type", "ts", "value"),
+        Seq("user_id", "event_type"), "ts", "value", horizonDays = 2)
+      graft.operators.Features.decisionStump(
+          frame.select(col("n_events"), col("churned")),
+          "n_events", "churned", quantiles = 10)
+        .orderBy("thr")
+    }),
+
     // P223 — one-way ANOVA of event value across the five event types:
     // the k-group mean test run before any pairwise comparison
     "o57_anova" -> ((s, dir) => {
@@ -2296,6 +2309,73 @@ object OlapQueries {
          |  CASE WHEN k = 2 THEN round(${theory(2)}, 9)
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
+    },
+
+    // the q20 per-(user,type) frame replayed, distinct 4-rounded decile
+    // thresholds, the identical gini double sequence, argmin via scalar
+    // subqueries (no window)
+    "o61_stump" -> {
+      val qs = (1 to 9).map(i =>
+        s"round(quantile_cont(f, ${i / 10.0}e0), 4)").mkString(",\n    ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, CAST(ts AS DATE) AS dy
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND ts IS NOT NULL),
+         |m AS (SELECT MAX(dy) AS maxd FROM e),
+         |k AS (
+         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT)
+         |      AS n_events,
+         |    MAX(dy) AS last_day
+         |  FROM e GROUP BY 1, 2),
+         |feat AS (
+         |  SELECT CAST(n_events AS DOUBLE) AS f,
+         |    (datediff('day', last_day, m.maxd) > 2) AS l
+         |  FROM k CROSS JOIN m),
+         |q AS (SELECT [
+         |    $qs] AS ql FROM feat),
+         |thr AS (SELECT DISTINCT unnest(ql) AS thr FROM q),
+         |c AS (
+         |  SELECT t.thr,
+         |    CAST(SUM(CASE WHEN f <= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_left,
+         |    CAST(SUM(CASE WHEN f <= t.thr AND l THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pos_left,
+         |    CAST(SUM(CASE WHEN f > t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_right,
+         |    CAST(SUM(CASE WHEN f > t.thr AND l THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pos_right
+         |  FROM feat CROSS JOIN thr t GROUP BY 1),
+         |s AS (
+         |  SELECT thr, n_left, pos_left, n_right, pos_right,
+         |    round((
+         |      CASE WHEN n_left > 0 THEN CAST(n_left AS DOUBLE) *
+         |        (1.0e0 -
+         |          (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)) *
+         |          (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)) -
+         |          ((CAST(n_left AS DOUBLE) - CAST(pos_left AS DOUBLE)) /
+         |            CAST(n_left AS DOUBLE)) *
+         |          ((CAST(n_left AS DOUBLE) - CAST(pos_left AS DOUBLE)) /
+         |            CAST(n_left AS DOUBLE)))
+         |      ELSE 0.0e0 END +
+         |      CASE WHEN n_right > 0 THEN CAST(n_right AS DOUBLE) *
+         |        (1.0e0 -
+         |          (CAST(pos_right AS DOUBLE) / CAST(n_right AS DOUBLE)) *
+         |          (CAST(pos_right AS DOUBLE) / CAST(n_right AS DOUBLE)) -
+         |          ((CAST(n_right AS DOUBLE) - CAST(pos_right AS DOUBLE)) /
+         |            CAST(n_right AS DOUBLE)) *
+         |          ((CAST(n_right AS DOUBLE) - CAST(pos_right AS DOUBLE)) /
+         |            CAST(n_right AS DOUBLE)))
+         |      ELSE 0.0e0 END) /
+         |      CAST(n_left + n_right AS DOUBLE), 6) AS gini_split
+         |  FROM c),
+         |bg AS (SELECT MIN(gini_split) AS bg FROM s),
+         |bt AS (SELECT MIN(thr) AS bt FROM s, bg
+         |       WHERE s.gini_split = bg.bg)
+         |SELECT s.thr, s.n_left, s.pos_left, s.n_right, s.pos_right,
+         |  s.gini_split,
+         |  (s.gini_split = bg.bg AND s.thr = bt.bt) AS is_best
+         |FROM s, bg, bt ORDER BY s.thr""".stripMargin
     },
 
     // integer hash-parity coins per round, 6-rounded arm means

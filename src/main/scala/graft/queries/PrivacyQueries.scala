@@ -78,6 +78,18 @@ object PrivacyQueries {
         .orderBy("event_type")
     }),
 
+    // P233 — generalization ladder over (nation, segment, balance
+    // band): the coarsening curve from 3.5% releasable at width 1000
+    // to ~74% at 8000 (measured at sf0.01)
+    "pv8_generalize" -> ((s, dir) => {
+      Privacy.generalizationLadder(
+          table(s, dir, "customer")
+            .select("c_nationkey", "c_mktsegment", "c_acctbal"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal",
+          widths = Seq(1000L, 2000L, 4000L, 8000L), k = 5)
+        .orderBy("width")
+    }),
+
     // P218 — Warner randomized response at p = 75% on "is a BUILDING
     // customer", estimated per nation: ~12 respondents per group at
     // sf0.01, so the per-group flip noise is visible in `err` while the
@@ -258,6 +270,27 @@ object PrivacyQueries {
         |      GREATEST(1.0e0, CAST(n AS DOUBLE) + nc),
         |    0.0e0), 400.0e0), 6) AS dp_mean
         |FROM d ORDER BY event_type""".stripMargin,
+
+    // one group-size subquery per rung, exact BIGINT counts, floor-band
+    // replay (the pv1 construction)
+    "pv8_generalize" -> {
+      val rung = (w: Long) =>
+        s"""SELECT $w AS width, CAST(SUM(gn) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |  CAST(SUM(CASE WHEN gn >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_safe_groups,
+           |  CAST(SUM(CASE WHEN gn >= 5 THEN gn ELSE 0 END) AS BIGINT)
+           |    AS n_safe_rows
+           |FROM (SELECT COUNT(*) AS gn FROM customer
+           |      GROUP BY c_nationkey, c_mktsegment,
+           |        CAST(floor(c_acctbal / $w) AS BIGINT))""".stripMargin
+      s"""WITH u AS (
+         |${Seq(1000L, 2000L, 4000L, 8000L).map(rung).mkString("\nUNION ALL\n")})
+         |SELECT width, n_rows, n_groups, n_safe_groups, n_safe_rows,
+         |  round(CAST(n_safe_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         |    AS share_safe
+         |FROM u ORDER BY width""".stripMargin
+    },
 
     // the identical 56-bit coin in INTEGER space (hv·100 vs 75·2^56);
     // the debias is an exact BIGINT ratio, err a decimal difference of

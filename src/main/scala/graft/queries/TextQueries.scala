@@ -213,6 +213,17 @@ object TextQueries {
         .orderBy("source", "cum_tokens", "doc_id")
     }),
 
+    // P231 — Cohen's κ between the t2 langid heuristic and the labeled
+    // lang column: chance-corrected agreement (accuracy alone flatters
+    // the skewed label mix — t24 reports it, this corrects it)
+    "o60_kappa" -> ((s, dir) => {
+      val scored = table(s, dir, "documents")
+        .where(col("lang").isNotNull)
+        .select(col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+      graft.operators.Features.cohensKappa(scored, "actual", "predicted")
+    }),
+
     // P220 — GPT-style sequence packing: 4 hash shards, 1024-token
     // bins over the concatenated (hash, id)-ordered token stream;
     // per-bin doc counts, fill and boundary-straddler counts
@@ -811,6 +822,45 @@ object TextQueries {
     // hash order and inclusive running sum replayed with the portable-MD5
     // fold; the budget is rebuilt from the source index — the cum is
     // monotone, so cum <= budget is the same strict prefix on both sides
+    // the t24 scored CTE + exact-integer marginal products; κ is one
+    // BIGINT-ratio double division
+    "o60_kappa" ->
+      s"""WITH scored AS (
+         |  SELECT lang AS actual,
+         |    (SELECT CASE WHEN max(s.sc) > 0
+         |            THEN first(s.lg ORDER BY s.sc DESC, s.lg ASC)
+         |            ELSE 'und' END
+         |     FROM (SELECT unnest([${Seq("de", "en", "es", "fr").map(profileSql).mkString(", ")}],
+         |                  recursive := true)) s(sc, lg)) AS predicted
+         |  FROM (SELECT lang,
+         |          list_distinct(list_filter(
+         |            string_split_regex(lower(trim(text)), '\\s+'),
+         |            t -> t <> '')) AS toks
+         |        FROM documents WHERE lang IS NOT NULL)),
+         |cells AS (
+         |  SELECT actual AS a, predicted AS b, CAST(COUNT(*) AS BIGINT)
+         |    AS n
+         |  FROM scored GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+         |      AS diag
+         |  FROM cells),
+         |marg AS (
+         |  SELECT CAST(COALESCE(SUM(ra.r * cb.c), 0) AS BIGINT) AS src
+         |  FROM (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells
+         |        GROUP BY 1) ra
+         |  JOIN (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells
+         |        GROUP BY 1) cb ON cb.b = ra.a)
+         |SELECT tot.n,
+         |  round(CAST(diag AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS po,
+         |  round(CAST(src AS DOUBLE) / CAST(tot.n * tot.n AS DOUBLE), 6)
+         |    AS pe,
+         |  CASE WHEN tot.n * tot.n - src > 0 THEN
+         |    round(CAST(tot.n * diag - src AS DOUBLE) /
+         |      CAST(tot.n * tot.n - src AS DOUBLE), 6) END AS kappa
+         |FROM tot CROSS JOIN marg""".stripMargin,
+
     // the sa6 hash-order replay partitioned by the hash shard; bin and
     // straddle read the exclusive prefix with integer div/mod
     "pipe9_seqpack" ->

@@ -776,4 +776,40 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.permutationTestMeans(strong, "id", "g", "v", 4))
   }
+
+  test("cohensKappa: perfect, chance-level, and skew-corrected agreement") {
+    import spark.implicits._
+    val perfect = Seq.fill(10)(("x", "x")) ++ Seq.fill(5)(("y", "y"))
+    val p = Features.cohensKappa(perfect.toDF("a", "b"), "a", "b").head
+    assert(p.getLong(0) == 15L && p.getDouble(1) == 1.0 &&
+      p.getDouble(3) == 1.0)
+    // 2x2: diag 45, n 70 → po 9/14; pe = (25·40 + 45·30)/70²
+    val mixed = (Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(20)(("y", "x")) :+ (("y", "y"))) ++ Seq.fill(24)(("y", "y"))
+    val m = Features.cohensKappa(mixed.toDF("a", "b"), "a", "b").head
+    assert(m.getLong(0) == 70L)
+    assert(m.getDouble(1) == math.rint(45.0 / 70.0 * 1e6) / 1e6)
+    // constant table: pe = 1 → kappa undefined
+    val const = Seq.fill(8)(("x", "x"))
+    val c = Features.cohensKappa(const.toDF("a", "b"), "a", "b").head
+    assert(c.getDouble(1) == 1.0 && c.isNullAt(3))
+  }
+
+  test("decisionStump: a separable feature cuts where the label flips") {
+    import spark.implicits._
+    // label = v > 50, feature = v: some decile threshold separates
+    // perfectly → gini_split 0 at the best row
+    val df = (1 to 100).map(i => (i.toDouble, i > 50)).toDF("f", "l")
+    val rows = Features.decisionStump(df, "f", "l").orderBy("thr").collect()
+    val best = rows.filter(_.getBoolean(6))
+    assert(best.length == 1)
+    assert(best.head.getDouble(5) == 0.0)       // pure split exists
+    assert(best.head.getDouble(0) == 50.5)      // the median threshold
+    // counts are consistent at every candidate
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) == 100L)
+      assert(r.getLong(2) + r.getLong(4) == 50L)
+    }
+    intercept[IllegalArgumentException](Features.decisionStump(df, "f", "l", 1))
+  }
 }

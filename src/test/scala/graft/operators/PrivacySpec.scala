@@ -203,4 +203,27 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.randomizedResponse(df, "id", "truth", "grp", pPct = 100))
   }
+
+  test("generalizationLadder: coarser bands release more rows") {
+    // two nations, balances 0..199: width 10 → groups of 5 (all safe at
+    // k=5); width 1 → singletons (none safe)
+    val df = spark.range(200)
+      .select((col("id") % 2).as("nat"), lit("S").as("seg"),
+        (col("id") / 2).cast("double").as("bal"))
+    val rows = Privacy.generalizationLadder(df, Seq("nat", "seg"), "bal",
+      Seq(1L, 10L), k = 5).orderBy("width").collect()
+    assert(rows.length == 2)
+    val w1 = rows(0); val w10 = rows(1)
+    assert(w1.getLong(0) == 1L && w1.getLong(1) == 200L)
+    assert(w1.getLong(4) == 0L && w1.getDouble(5) == 0.0)
+    // width 10: each (nat, band) holds 10 ids → 20 groups, all safe
+    assert(w10.getLong(2) == 20L && w10.getLong(3) == 20L &&
+      w10.getLong(4) == 200L && w10.getDouble(5) == 1.0)
+    intercept[IllegalArgumentException](
+      Privacy.generalizationLadder(df, Nil, "bal", Seq(10L), 5))
+    intercept[IllegalArgumentException](
+      Privacy.generalizationLadder(df, Seq("nat"), "bal", Seq(10L, 10L), 5))
+    intercept[IllegalArgumentException](
+      Privacy.generalizationLadder(df, Seq("nat"), "bal", Seq(10L), 1))
+  }
 }
