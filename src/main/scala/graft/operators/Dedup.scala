@@ -920,6 +920,34 @@ object Dedup {
   }
 
   /**
+   * P236 — duplicate-cluster quality audit against a ground-truth key:
+   * per cluster, member count, DISTINCT truth-key count and a purity
+   * flag — "did the dedup clustering merge things it shouldn't have"
+   * (n_bases > 1 means distinct sources landed in one cluster:
+   * either a real cross-source duplication finding or an LSH/banding
+   * false merge — this is the query that tells the difference during
+   * pipeline bring-up, because the truth key exists in synthetic/
+   * labeled corpora exactly for this audit). Emits (cluster_id,
+   * n_members, n_bases, pure) per cluster.
+   *
+   * Shapes: one shuffle-hash join of the cluster map onto the truth
+   * frame (both keyed by id), one keyed agg with a distinct count.
+   * Exact integers throughout.
+   */
+  def clusterPurity(clusters: DataFrame, idCol: String, clusterCol: String,
+      truth: DataFrame, truthIdCol: String, truthCol: String): DataFrame = {
+    val c = clusters.select(col(idCol).as("__id"),
+      col(clusterCol).as("cluster_id"))
+    val t = truth.where(col(truthIdCol).isNotNull)
+      .select(col(truthIdCol).as("__id"), col(truthCol).as("__base"))
+    c.join(t.hint("shuffle_hash"), Seq("__id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("__base")).as("n_bases"))
+      .withColumn("pure", col("n_bases") === 1)
+  }
+
+  /**
    * P228 — edit-distance near-duplicate pairs: block on the lowercased
    * text PREFIX (typo variants, version-suffixed re-uploads and OCR
    * re-scans share their opening), then verify candidates with exact

@@ -955,6 +955,53 @@ object Features {
   }
 
   /**
+   * P234 — TOST equivalence test (two one-sided tests): where P127's
+   * Welch t asks "did the metric MOVE", TOST asks "is it provably
+   * WITHIN ±margin" — the no-regression release gate (a non-significant
+   * t is NOT evidence of equivalence; TOST is). Both one-sided
+   * statistics use the Welch standard error; `equivalent` reads them
+   * against the large-sample z bar 1.645 (90% TOST ≡ 5% one-sided
+   * each — the standard convention). Emits ONE row (n_a, n_b, mean_a,
+   * mean_b, margin, t_lo, t_hi, equivalent); degenerate sides null the
+   * verdict.
+   *
+   * Shape/cross-engine: the P127 fused conditional decimal-moment agg
+   * verbatim; the closing sequence is fixed doubles rounded at 6, with
+   * the margin embedded as one shared double literal.
+   */
+  def tostEquivalence(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, margin: Double): DataFrame = {
+    require(groupA != groupB, "tostEquivalence: groups must differ")
+    require(margin > 0, s"tostEquivalence: margin must be > 0, got $margin")
+    val g = col(groupCol).cast("string")
+    val x = col(valueCol)
+    def side(grp: String, tag: String) = Seq(
+      sum(when(g === grp, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(g === grp, x.cast("decimal(18,6)"))).cast("double")
+        .as(s"__s_$tag"),
+      sum(when(g === grp, x.cast("decimal(19,6)") * x.cast("decimal(19,6)")))
+        .cast("double").as(s"__q_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val m = df.where(x.isNotNull && (g === groupA || g === groupB))
+      .agg(aggs.head, aggs.tail: _*)
+    def nd(t: String) = col(s"n_$t").cast("double")
+    def mean(t: String) = col(s"__s_$t") / nd(t)
+    def variance(t: String) = greatest(
+      (col(s"__q_$t") - col(s"__s_$t") * col(s"__s_$t") / nd(t)) /
+        (nd(t) - lit(1.0)), lit(0.0))
+    val se2 = variance("a") / nd("a") + variance("b") / nd("b")
+    val diff = mean("a") - mean("b")
+    val defined = col("n_a") >= 2L && col("n_b") >= 2L && se2 > 0
+    val tLo = round((diff + lit(margin)) / sqrt(se2), 6)
+    val tHi = round((diff - lit(margin)) / sqrt(se2), 6)
+    m.select(col("n_a"), col("n_b"),
+      round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+      lit(margin).as("margin"),
+      when(defined, tLo).as("t_lo"), when(defined, tHi).as("t_hi"),
+      when(defined, tLo > 1.645 && tHi < -1.645).as("equivalent"))
+  }
+
+  /**
    * P125 — CUPED adjustment (Deng et al.): reduce an experiment
    * metric's variance with a pre-period covariate, y_cuped = y −
    * θ·(x − μₓ) with θ = cov(x,y)/var(x) — the standard A/B-testing

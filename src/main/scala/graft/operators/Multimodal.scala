@@ -529,4 +529,47 @@ object Multimodal {
       .select(col("media_id"), col("bucket"), col("n_bytes"), col("cnt"),
         col("share"))
   }
+
+  /**
+   * P237 — fixed-hop frame energy over the raw byte stream: cut each
+   * media's bytes into `frameSize`-byte frames and emit per frame the
+   * mean amplitude and RMS energy plus a silence flag — the
+   * voice-activity-detection shape of an audio curation pass (silent
+   * frames are the segments a speech pipeline drops before transcribe/
+   * embed), run over the stub plane so every byte replays from hex
+   * pairs (the P229 idiom; swap the byte source for PCM samples and
+   * nothing else changes). Emits (media_id, frame, n_bytes_frame,
+   * mean_byte, rms, silent); the final partial frame keeps its true
+   * (shorter) length.
+   *
+   * Shapes: position explode + one (media, frame) agg — map-side
+   * combinable, the per-sample pass IS the semantics. Cross-engine:
+   * Σb and Σb² are exact BIGINTs; mean/RMS are double divisions of
+   * exact integers with one IEEE sqrt, rounded at 6; `silent` reads
+   * the rounded RMS against an integer bar.
+   */
+  def frameEnergy(df: DataFrame, idCol: String, bytesCol: String,
+      frameSize: Int, silenceRms: Int = 32): DataFrame = {
+    require(frameSize >= 1,
+      s"frameEnergy: frameSize must be >= 1, got $frameSize")
+    require(silenceRms >= 0,
+      s"frameEnergy: silenceRms must be >= 0, got $silenceRms")
+    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
+        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .select(col("media_id"), col("__hx"),
+        explode(sequence(lit(0L), col("__n") - 1)).as("__i"))
+      .withColumn("__byte",
+        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
+          .cast("long"))
+      .withColumn("frame", expr(s"__i div ${frameSize}L"))
+      .groupBy(col("media_id"), col("frame"))
+      .agg(count(lit(1)).as("n_bytes_frame"),
+        round(sum(col("__byte")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_byte"),
+        round(sqrt(sum(col("__byte") * col("__byte")).cast("double") /
+          count(lit(1)).cast("double")), 6).as("rms"))
+      .withColumn("silent", col("rms") < silenceRms)
+  }
 }

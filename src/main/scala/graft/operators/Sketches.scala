@@ -231,6 +231,75 @@ object Sketches {
       .drop("__hk")
   }
 
+  /**
+   * P235 — KMV/theta-sketch set operations: bottom-k sketches of two
+   * key sets over the SAME hash (so a shared key owns one hash in
+   * both), θ = the smaller k-th minimum, and union/intersection
+   * estimated by counting sub-θ hashes — the mergeable way to answer
+   * "how many users did BOTH" across 1000 executors without a distinct
+   * over the union (the P113 single-set estimator completed with the
+   * algebra that makes sketches composable). Emits ONE row (k,
+   * n_a_exact, n_b_exact, n_union_exact, n_inter_exact, est_a, est_b,
+   * est_union, est_inter, jaccard_est) — the exact columns are the
+   * simulation audit a production run would drop.
+   *
+   * Shapes: per-set distinct-hash aggs with a per-set (partitioned)
+   * rank window for the k-th minimum, θ broadcast as a 1-row scalar,
+   * sub-θ counts as conditional aggs. Cross-engine: hashes are the
+   * portable 56-bit MD5 prefix; counts exact BIGINTs; estimates are
+   * cnt·2⁵⁶/θ double sequences rounded at 6; the Jaccard estimate is
+   * an exact integer ratio.
+   */
+  def kmvSetOps(items: DataFrame, itemCol: String, tagCol: String,
+      tagA: String, tagB: String, k: Int,
+      salt: String = "kmvset:"): DataFrame = {
+    require(k >= 2, s"kmvSetOps: k must be >= 2, got $k")
+    require(tagA != tagB, "kmvSetOps: tags must differ")
+    val t = col(tagCol).cast("string")
+    val base = items
+      .where(col(itemCol).isNotNull && (t === tagA || t === tagB))
+      .select(when(t === tagA, lit("a")).otherwise(lit("b")).as("__t"),
+        Sampling.hashValue(col(itemCol), salt).as("__h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__t")).orderBy(col("__h").asc)
+    val kth = base
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === k)
+      .groupBy().agg(min(col("__h")).as("__theta")) // smaller k-th min
+      .select(coalesce(col("__theta"), lit(1L << 56)).as("__theta"))
+    val flagged = base.groupBy(col("__h"))
+      .agg(max(when(col("__t") === "a", 1L).otherwise(0L)).as("__ina"),
+        max(when(col("__t") === "b", 1L).otherwise(0L)).as("__inb"))
+      .crossJoin(broadcast(kth)) // 1-row scalar side
+      .where(col("__h") < col("__theta"))
+    val counts = flagged.agg(
+      first(col("__theta")).as("__theta"),
+      sum(col("__ina")).as("__ca"), sum(col("__inb")).as("__cb"),
+      count(lit(1)).as("__cu"),
+      sum(col("__ina") * col("__inb")).as("__ci"))
+    val exact = items
+      .where(col(itemCol).isNotNull && (t === tagA || t === tagB))
+      .select(when(t === tagA, lit("a")).otherwise(lit("b")).as("__t"),
+        col(itemCol).as("__i"))
+      .groupBy(col("__i"))
+      .agg(max(when(col("__t") === "a", 1L).otherwise(0L)).as("__ia"),
+        max(when(col("__t") === "b", 1L).otherwise(0L)).as("__ib"))
+      .agg(sum(col("__ia")).as("n_a_exact"), sum(col("__ib")).as("n_b_exact"),
+        count(lit(1)).as("n_union_exact"),
+        sum(col("__ia") * col("__ib")).as("n_inter_exact"))
+    val td = col("__theta").cast("double")
+    def est(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") * lit(math.pow(2.0, 56)) / td, 6)
+    exact.join(broadcast(counts)) // two 1-row frames
+      .select(lit(k).as("k"), col("n_a_exact"), col("n_b_exact"),
+        col("n_union_exact"), col("n_inter_exact"),
+        est(col("__ca")).as("est_a"), est(col("__cb")).as("est_b"),
+        est(col("__cu")).as("est_union"), est(col("__ci")).as("est_inter"),
+        round(col("__ci").cast("double") / col("__cu").cast("double"), 6)
+          .as("jaccard_est"))
+  }
+
   /** The (k−1)·2⁵⁶ estimator numerator, computed once so the operator
     * and any oracle generator embed the IDENTICAL double literal (the
     * EWMA weight-ladder rule); exact for any sane k (k−1 < 2⁷). */

@@ -51,6 +51,21 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P236 — cluster-quality audit of the exact-dup clustering against
+    // the planted doc_id%100 ground truth: impure clusters = distinct
+    // bases whose generated texts collide (a real corpus fact here)
+    "d20_cluster_eval" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir)
+      val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+        .select(col("survivor_id").as("i"), col("duplicate_id").as("j"))
+      val clusters = Dedup.duplicateClusters(pairs, "i", "j", iters = 3)
+      val truth = docs.select(col("doc_id"),
+        (col("doc_id") % 100).as("base"))
+      Dedup.clusterPurity(clusters, "id", "cluster_id",
+          truth, "doc_id", "base")
+        .orderBy("cluster_id")
+    }),
+
     // P228 — edit-distance near-dup pairs over version-suffixed
     // re-uploads (the duplicated corpus with a ` revN` tail): prefix
     // blocking, exact Levenshtein ≤ 2 verify — catches the char-level
@@ -411,6 +426,20 @@ object DedupQueries {
          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM ($dupedDocsSql))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // identity proof: min-label over the survivor star equals the
+    // min-doc-per-text label; purity reads the planted base key
+    "d20_cluster_eval" ->
+      s"""WITH duped AS ($dupedDocsSql),
+         |g AS (
+         |  SELECT doc_id, doc_id % 100 AS base,
+         |    MIN(doc_id) OVER (PARTITION BY text) AS cid,
+         |    COUNT(*) OVER (PARTITION BY text) AS gn
+         |  FROM duped)
+         |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases,
+         |  (COUNT(DISTINCT base) = 1) AS pure
+         |FROM g WHERE gn > 1 GROUP BY 1 ORDER BY cluster_id""".stripMargin,
 
     // the same duplicated corpus + ' revN' tails, identical prefix
     // blocks, DuckDB's classical levenshtein as the verify

@@ -68,6 +68,15 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P237 — 256-byte frame energy over the raw streams: the VAD shape
+    // of an audio pass (mean amplitude + RMS + silence flag per frame)
+    "mm12_energy" -> ((s, dir) => {
+      val packed = Multimodal.packText(table(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.frameEnergy(packed, "media_id", "bytes", frameSize = 256)
+        .orderBy("media_id", "frame")
+    }),
+
     // P229 — intensity histogram over the raw byte planes: 16 bands
     // per media, the black-frame / solid-fill junk screen; every byte
     // replayed from hex pairs by the oracle
@@ -420,6 +429,31 @@ object MultimodalQueries {
          |       FROM l2 l LEFT JOIN n3 ON n3.id = l.id)
          |SELECT id AS media_id, lab AS cluster_id
          |FROM l3 ORDER BY media_id""".stripMargin,
+
+    // the same hex-pair byte replay framed by integer division; exact
+    // BIGINT moments, one IEEE sqrt
+    "mm12_energy" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |b AS (
+        |  SELECT media_id, hx, unnest(generate_series(0, n - 1)) AS i
+        |  FROM m WHERE n > 0),
+        |v AS (
+        |  SELECT media_id, i // 256 AS frame,
+        |    ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+        |      AS byte
+        |  FROM b)
+        |SELECT media_id, frame, CAST(COUNT(*) AS BIGINT) AS n_bytes_frame,
+        |  round(CAST(SUM(byte) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_byte,
+        |  round(sqrt(CAST(SUM(byte * byte) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE)), 6) AS rms,
+        |  (round(sqrt(CAST(SUM(byte * byte) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE)), 6) < 32) AS silent
+        |FROM v GROUP BY 1, 2 ORDER BY media_id, frame""".stripMargin,
 
     // every byte re-read as a hex pair, bucketed by integer division;
     // shares are exact BIGINT ratios

@@ -521,6 +521,27 @@ object OlapQueries {
         "event_id", "treat", "value", resamples = 32)
     }),
 
+    // P234 — TOST equivalence between the o50 arms at ±5 on event
+    // value: the no-regression gate a non-significant t cannot give
+    "o62_tost" -> ((s, dir) => {
+      graft.operators.Features.tostEquivalence(
+        graft.Graft.events(s, dir)
+          .where(col("user_id").isNotNull)
+          .select((col("user_id") % 2).cast("string").as("arm"),
+            col("value")),
+        "arm", "value", groupA = "1", groupB = "0", margin = 5.0)
+    }),
+
+    // P235 — KMV set algebra over click-users vs purchase-users at
+    // k = 64: union/intersection/Jaccard estimates beside the exact
+    // audit columns
+    "sk11_kmv_setops" -> ((s, dir) => {
+      graft.operators.Sketches.kmvSetOps(
+        graft.Graft.events(s, dir).select("user_id", "event_type"),
+        "user_id", "event_type", tagA = "click", tagB = "purchase",
+        k = 64, salt = "kmvset:")
+    }),
+
     // P232 — decision stump on the q20 churn frame: how predictive is
     // event volume alone for the churn label, and where does it cut
     "o61_stump" -> ((s, dir) => {
@@ -2310,6 +2331,104 @@ object OlapQueries {
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
     },
+
+    // the o23 moment chain with the ±5.0 margin in the two one-sided
+    // statistics; the verdict reads the rounded t's against 1.645
+    "o62_tost" ->
+      """WITH pool AS (
+        |  SELECT CAST(user_id % 2 AS VARCHAR) AS g, value AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN g = '1' THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN g = '0' THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS sb,
+        |    CAST(SUM(CASE WHEN g = '1' THEN CAST(v AS DECIMAL(19,6)) *
+        |      CAST(v AS DECIMAL(19,6)) END) AS DOUBLE) AS qa,
+        |    CAST(SUM(CASE WHEN g = '0' THEN CAST(v AS DECIMAL(19,6)) *
+        |      CAST(v AS DECIMAL(19,6)) END) AS DOUBLE) AS qb
+        |  FROM pool),
+        |f AS (
+        |  SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na,
+        |         CAST(n_b AS DOUBLE) AS nb, sa, sb, qa, qb
+        |  FROM m),
+        |v AS (
+        |  SELECT *, sa / na AS ma, sb / nb AS mb,
+        |    greatest((qa - sa * sa / na) / (na - 1.0e0), 0.0e0) AS va,
+        |    greatest((qb - sb * sb / nb) / (nb - 1.0e0), 0.0e0) AS vb
+        |  FROM f),
+        |z AS (SELECT *, va / na + vb / nb AS se2 FROM v),
+        |t AS (
+        |  SELECT *,
+        |    round((ma - mb + 5.0e0) / sqrt(se2), 6) AS tlo,
+        |    round((ma - mb - 5.0e0) / sqrt(se2), 6) AS thi,
+        |    (n_a >= 2 AND n_b >= 2 AND se2 > 0) AS ok
+        |  FROM z)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  5.0e0 AS margin,
+        |  CASE WHEN ok THEN tlo END AS t_lo,
+        |  CASE WHEN ok THEN thi END AS t_hi,
+        |  CASE WHEN ok THEN (tlo > 1.645e0 AND thi < -1.645e0) END
+        |    AS equivalent
+        |FROM t""".stripMargin,
+
+    // the portable bottom-k sketch algebra: one shared hash per user,
+    // the smaller k-th minimum as theta, sub-theta membership counts
+    "sk11_kmv_setops" ->
+      """WITH b AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS t,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('kmvset:' ||
+        |          COALESCE(CAST(user_id AS VARCHAR), '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS h
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')),
+        |kth AS (
+        |  SELECT COALESCE(MIN(h), 72057594037927936) AS theta FROM (
+        |    SELECT h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) AS r
+        |    FROM b) WHERE r = 64),
+        |fl AS (
+        |  SELECT h, MAX(CASE WHEN t = 'a' THEN 1 ELSE 0 END) AS ia,
+        |    MAX(CASE WHEN t = 'b' THEN 1 ELSE 0 END) AS ib
+        |  FROM b GROUP BY 1),
+        |cnt AS (
+        |  SELECT MAX(kth.theta) AS theta,
+        |    CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb,
+        |    CAST(COUNT(*) AS BIGINT) AS cu,
+        |    CAST(SUM(ia * ib) AS BIGINT) AS ci
+        |  FROM fl CROSS JOIN kth WHERE h < kth.theta),
+        |ex AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS n_a_exact,
+        |    CAST(SUM(ib) AS BIGINT) AS n_b_exact,
+        |    CAST(COUNT(*) AS BIGINT) AS n_union_exact,
+        |    CAST(SUM(ia * ib) AS BIGINT) AS n_inter_exact
+        |  FROM (
+        |    SELECT user_id,
+        |      MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia,
+        |      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        AS ib
+        |    FROM events
+        |    WHERE user_id IS NOT NULL
+        |      AND event_type IN ('click', 'purchase')
+        |    GROUP BY 1))
+        |SELECT 64 AS k, n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+        |  round(CAST(ca AS DOUBLE) * 72057594037927936.0e0 /
+        |    CAST(theta AS DOUBLE), 6) AS est_a,
+        |  round(CAST(cb AS DOUBLE) * 72057594037927936.0e0 /
+        |    CAST(theta AS DOUBLE), 6) AS est_b,
+        |  round(CAST(cu AS DOUBLE) * 72057594037927936.0e0 /
+        |    CAST(theta AS DOUBLE), 6) AS est_union,
+        |  round(CAST(ci AS DOUBLE) * 72057594037927936.0e0 /
+        |    CAST(theta AS DOUBLE), 6) AS est_inter,
+        |  round(CAST(ci AS DOUBLE) / CAST(cu AS DOUBLE), 6) AS jaccard_est
+        |FROM ex CROSS JOIN cnt""".stripMargin,
 
     // the q20 per-(user,type) frame replayed, distinct 4-rounded decile
     // thresholds, the identical gini double sequence, argmin via scalar

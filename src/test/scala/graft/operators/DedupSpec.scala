@@ -517,4 +517,20 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.editDistanceDupPairs(docs, "id", "t", 12, -1))
   }
+
+  test("clusterPurity: merged bases read impure, single-base pure") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    // cluster 1 spans bases A and B; cluster 10 is all C
+    val truth = Seq((1L, "A"), (2L, "A"), (3L, "B"), (10L, "C"), (11L, "C"))
+      .toDF("doc", "base")
+    val got = Dedup.clusterPurity(clusters, "id", "cluster_id",
+      truth, "doc", "base").orderBy("cluster_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 3L &&
+      got(0).getLong(2) == 2L && !got(0).getBoolean(3))
+    assert(got(1).getLong(0) == 10L && got(1).getLong(1) == 2L &&
+      got(1).getLong(2) == 1L && got(1).getBoolean(3))
+  }
 }

@@ -812,4 +812,24 @@ class FeaturesSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](Features.decisionStump(df, "f", "l", 1))
   }
+
+  test("tostEquivalence: tight arms equivalent, shifted arms not") {
+    import spark.implicits._
+    // arms differ by ~0.1 with tiny spread, n=100: well inside ±5
+    val tight = ((1 to 100).map(i => ("a", 50.0 + (i % 3) * 0.1)) ++
+      (1 to 100).map(i => ("b", 50.1 + (i % 3) * 0.1))).toDF("g", "v")
+    val t = Features.tostEquivalence(tight, "g", "v", "a", "b", 5.0).head
+    assert(t.getLong(0) == 100L && t.getDouble(4) == 5.0)
+    assert(t.getBoolean(7))
+    assert(t.getDouble(5) > 1.645 && t.getDouble(6) < -1.645)
+    // a 10-point shift exceeds the margin: t_hi cannot clear its bar
+    val shifted = ((1 to 100).map(i => ("a", 60.0 + (i % 3) * 0.1)) ++
+      (1 to 100).map(i => ("b", 50.0 + (i % 3) * 0.1))).toDF("g", "v")
+    val s = Features.tostEquivalence(shifted, "g", "v", "a", "b", 5.0).head
+    assert(!s.getBoolean(7))
+    intercept[IllegalArgumentException](
+      Features.tostEquivalence(tight, "g", "v", "a", "a", 5.0))
+    intercept[IllegalArgumentException](
+      Features.tostEquivalence(tight, "g", "v", "a", "b", 0.0))
+  }
 }

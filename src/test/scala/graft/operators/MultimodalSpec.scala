@@ -336,4 +336,27 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.channelHistogram(df, "id", "bytes", buckets = 3))
   }
+
+  test("frameEnergy: frames partition the stream, silence flag fires on zeros") {
+    import spark.implicits._
+    // 4 zero bytes then 4 × 0x64 (=100): frameSize 4 → frame 0 silent
+    // (rms 0), frame 1 rms 100
+    val payload = Array.fill(4)(0.toByte) ++ Array.fill(4)(100.toByte)
+    val df = Seq((7L, payload)).toDF("id", "bytes")
+    val rows = Multimodal.frameEnergy(df, "id", "bytes", frameSize = 4)
+      .orderBy("frame").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 0L && rows(0).getLong(2) == 4L)
+    assert(rows(0).getDouble(3) == 0.0 && rows(0).getDouble(4) == 0.0 &&
+      rows(0).getBoolean(5))
+    assert(rows(1).getDouble(3) == 100.0 && rows(1).getDouble(4) == 100.0 &&
+      !rows(1).getBoolean(5))
+    // a partial tail frame keeps its true length
+    val odd = Seq((8L, Array.fill(5)(10.toByte))).toDF("id", "bytes")
+    val tail = Multimodal.frameEnergy(odd, "id", "bytes", frameSize = 4)
+      .orderBy("frame").collect()
+    assert(tail.map(_.getLong(2)).toSeq == Seq(4L, 1L))
+    intercept[IllegalArgumentException](
+      Multimodal.frameEnergy(df, "id", "bytes", 0))
+  }
 }

@@ -318,4 +318,25 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.bloomFpr(ins, "k", probes, "k", m = 64, k = 0))
   }
+
+  test("kmvSetOps: small sets are exact, estimates track the truth") {
+    import spark.implicits._
+    // A = 1..200, B = 101..300: union 300, intersection 100
+    val items = ((1 to 200).map(i => (i.toLong, "x")) ++
+      (101 to 300).map(i => (i.toLong, "y"))).toDF("id", "tag")
+    // k far above both set sizes → theta = 2^56 → estimates are EXACT
+    val ex = Sketches.kmvSetOps(items, "id", "tag", "x", "y", k = 512).head
+    assert(ex.getLong(1) == 200L && ex.getLong(2) == 200L)
+    assert(ex.getLong(3) == 300L && ex.getLong(4) == 100L)
+    assert(ex.getDouble(5) == 200.0 && ex.getDouble(7) == 300.0 &&
+      ex.getDouble(8) == 100.0)
+    // honest sketching: k = 32 keeps estimates within a loose 2x band
+    val sk = Sketches.kmvSetOps(items, "id", "tag", "x", "y", k = 32).head
+    assert(sk.getDouble(7) > 150.0 && sk.getDouble(7) < 600.0)
+    assert(sk.getDouble(9) >= 0.0 && sk.getDouble(9) <= 1.0)
+    intercept[IllegalArgumentException](
+      Sketches.kmvSetOps(items, "id", "tag", "x", "x", 32))
+    intercept[IllegalArgumentException](
+      Sketches.kmvSetOps(items, "id", "tag", "x", "y", 1))
+  }
 }
