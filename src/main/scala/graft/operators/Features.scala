@@ -1002,6 +1002,105 @@ object Features {
   }
 
   /**
+   * P239 — covariate balance table: per feature, the standardized mean
+   * difference SMD = (x̄_a − x̄_b)/√((s²_a+s²_b)/2) between two arms and
+   * the |SMD| < 0.1 balance verdict — the table every observational
+   * study (P148 DiD, P125 CUPED, P184 reweight) prints FIRST: an
+   * imbalanced covariate is a confounder the estimate silently absorbs.
+   * Emits per feature (feature, n_a, n_b, mean_a, mean_b, smd,
+   * balanced); degenerate features (zero pooled variance or a
+   * one-sided arm) null smd/balanced.
+   *
+   * Shapes: features melt into one long frame (a generator explode —
+   * no join), then ONE keyed conditional decimal-moment agg (the P127
+   * chain per feature). Cross-engine: the closing SMD is a fixed
+   * double sequence on exact decimal sums with one IEEE sqrt, rounded
+   * at 6; the verdict reads the rounded |smd|.
+   */
+  def covariateBalance(df: DataFrame, armCol: String,
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "covariateBalance: need features")
+    require(featureCols.distinct.size == featureCols.size,
+      s"covariateBalance: duplicate features in $featureCols")
+    val melted = df.where(col(armCol).isNotNull)
+      .select(col(armCol).cast("boolean").as("__arm"),
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("feature"),
+            col(f).cast("double").as("__v"))): _*)).as("__fx"))
+      .select(col("__arm"), col("__fx.feature").as("feature"),
+        col("__fx.__v").as("__v"))
+      .where(col("__v").isNotNull)
+    def side(arm: Boolean, tag: String) = Seq(
+      sum(when(col("__arm") === arm, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("__arm") === arm, col("__v").cast("decimal(18,6)")))
+        .cast("double").as(s"__s_$tag"),
+      sum(when(col("__arm") === arm,
+        col("__v").cast("decimal(19,6)") * col("__v").cast("decimal(19,6)")))
+        .cast("double").as(s"__q_$tag"))
+    val aggs = side(arm = true, "a") ++ side(arm = false, "b")
+    val m = melted.groupBy(col("feature")).agg(aggs.head, aggs.tail: _*)
+    def nd(t: String) = col(s"n_$t").cast("double")
+    def mean(t: String) = col(s"__s_$t") / nd(t)
+    def variance(t: String) = greatest(
+      (col(s"__q_$t") - col(s"__s_$t") * col(s"__s_$t") / nd(t)) /
+        (nd(t) - lit(1.0)), lit(0.0))
+    val pooled = (variance("a") + variance("b")) / lit(2.0)
+    val defined = col("n_a") >= 2L && col("n_b") >= 2L && pooled > 0
+    m.select(col("feature"), col("n_a"), col("n_b"),
+      round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+      when(defined, round((mean("a") - mean("b")) / sqrt(pooled), 6))
+        .as("smd"))
+      .withColumn("balanced",
+        when(col("smd").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("smd")) < 0.1))
+  }
+
+  /**
+   * P241 — calibration table: bucket a score column at its quantile
+   * cuts and compare each bucket's mean score against its observed
+   * positive rate — the reliability diagram as a frame ("the model
+   * says 0.7, reality says 0.5 ⇒ over-confident"), run on any score
+   * that claims to be a probability before anyone thresholds it.
+   * Emits per bucket (bucket, n, mean_score, pos_rate, gap) with
+   * gap = mean_score − pos_rate in exact decimal.
+   *
+   * Shapes: one percentile agg (the o5 class), the threshold ladder
+   * broadcast k-row (the z8 bucket-by-comparison-count idiom — NO
+   * window), one fused agg. Cross-engine: thresholds round at 4,
+   * means through decimal sums at 6, the gap a decimal difference of
+   * the rounded pair (the o46 rule).
+   */
+  def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100,
+      s"calibrationTable: bins must be in 2..100, got $bins")
+    val base = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__l"))
+    val fr = (1 until bins).map(i => i.toDouble / bins)
+    val wide = base.agg(
+      fr.zipWithIndex.map { case (f, i) =>
+        round(expr(s"percentile(__s, $f)"), 4).as(s"__b$i")
+      }.head, fr.zipWithIndex.tail.map { case (f, i) =>
+        round(expr(s"percentile(__s, $f)"), 4).as(s"__b$i")
+      }: _*)
+    val bucket = (0 until bins - 1)
+      .map(i => when(col("__s") >= col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    base.crossJoin(broadcast(wide)) // 1-row boundary frame
+      .select(bucket.as("bucket"), col("__s"), col("__l"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_score"),
+        round(sum(when(col("__l"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("pos_rate"))
+      .withColumn("gap",
+        (col("mean_score").cast("decimal(18,6)") -
+          col("pos_rate").cast("decimal(18,6)")).cast("double"))
+  }
+
+  /**
    * P125 — CUPED adjustment (Deng et al.): reduce an experiment
    * metric's variance with a pre-period covariate, y_cuped = y −
    * θ·(x − μₓ) with θ = cov(x,y)/var(x) — the standard A/B-testing

@@ -145,6 +145,50 @@ object ZOrder {
   }
 
   /**
+   * P240 — delta-encoding audit for a candidate sort order: within
+   * each hash shard, order rows by (orderCol, tieCol) and measure the
+   * successive-value deltas of `valueCol` — small, tight deltas mean
+   * delta/frame-of-reference encodings (and min-max zone pruning) will
+   * bite under this layout; arrival-order deltas are the baseline the
+   * candidate must beat. Emits per shard (tag, shard, n_rows,
+   * mean_abs_delta, p90_abs_delta, max_abs_delta); `tag` names the
+   * ordering so two calls union into one comparison frame.
+   *
+   * Shapes: one per-shard (partitioned) lag window — never global —
+   * plus one keyed agg with a percentile (the o5 class over shard-
+   * bounded frames). Cross-engine: deltas are exact DECIMAL(19,6)
+   * differences; the mean decimal-sums at 6, p90 reads the delta
+   * doubles at 4, max an exact decimal cast at 6.
+   */
+  def deltaStats(df: DataFrame, idCol: String, valueCol: String,
+      orderCol: String, shards: Int, tag: String,
+      salt: String = "delta:"): DataFrame = {
+    require(shards >= 1, s"deltaStats: shards must be >= 1, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__o").asc, col("__id").asc)
+    val base = df
+      .where(col(idCol).isNotNull && col(valueCol).isNotNull &&
+        col(orderCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(valueCol).cast("decimal(19,6)").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("shard", Sampling.hashBucket(col("__id"), shards, salt))
+    base
+      .withColumn("__d", abs(col("__v") - lag(col("__v"), 1).over(w)))
+      .where(col("__d").isNotNull)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("__d").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_abs_delta"),
+        round(expr("percentile(CAST(__d AS DOUBLE), 0.9)"), 4)
+          .as("p90_abs_delta"),
+        round(max(col("__d")).cast("double"), 6).as("max_abs_delta"))
+      .select(lit(tag).as("tag"), col("shard"), col("n_rows"),
+        col("mean_abs_delta"), col("p90_abs_delta"), col("max_abs_delta"))
+  }
+
+  /**
    * P225 — range-partitioning balance audit: cut `valueCol` at the
    * i/p quantiles (the boundaries a range partitioner / sorted-write
    * would pick) and report each resulting partition's row count, share,

@@ -68,6 +68,27 @@ object GraphQueries {
         .orderBy("kind", "id")
     }),
 
+    // P238 — TextRank keywords: P88's fixed-point PageRank over the
+    // adjacent-token co-occurrence graph, top 20 by rank — the
+    // unsupervised keyword extractor beside t23's RAKE
+    "t28_textrank" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          posexplode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as(Seq("pos", "w")))
+      val pairs = toks.withColumn("w2", lead(col("w"), 1).over(win))
+        .where(col("w2").isNotNull && col("w") =!= col("w2"))
+      val edges = pairs.select(col("w").as("src"), col("w2").as("dst"))
+        .union(pairs.select(col("w2").as("src"), col("w").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+          dampingPct = 85, iters = 3)
+        .orderBy(col("pr_fp").desc, col("v").asc)
+        .limit(20)
+    }),
+
     // P221 — power-law exponent of the co-purchase degree tail at a
     // three-cutoff ladder: the stability diagnostic before any
     // "scale-free" claim (cutoffs straddle the degree median so every
@@ -316,6 +337,36 @@ object GraphQueries {
         |FROM deg d LEFT JOIN tri ON tri.node = d.node
         |WHERE d.deg >= 2
         |ORDER BY d.node""".stripMargin,
+
+    // the identical prIter unrolled rounds over the adjacent-token
+    // graph; deterministic (pr_fp, v) top-20 cut
+    "t28_textrank" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '') AS l
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |adj AS (
+         |  SELECT l[i] AS w1, l[i + 1] AS w2
+         |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+         |        FROM toks WHERE len(l) >= 2)
+         |  WHERE l[i] <> l[i + 1]),
+         |edges AS (
+         |  SELECT DISTINCT w1 AS src, w2 AS dst FROM adj
+         |  UNION SELECT DISTINCT w2, w1 FROM adj),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM edges GROUP BY 1),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+         |pr0 AS (SELECT v, CAST(CAST(1000000000000 AS BIGINT) // n.n
+         |          AS BIGINT) AS fp
+         |        FROM verts CROSS JOIN n),
+         |${prIter("pr0", "pr1")},
+         |${prIter("pr1", "pr2")},
+         |${prIter("pr2", "pr3")}
+         |SELECT v, fp AS pr_fp,
+         |  CAST(fp AS DOUBLE) / 1000000000000.0e0 AS pr
+         |FROM pr3 ORDER BY pr_fp DESC, v LIMIT 20""".stripMargin,
 
     // the same und/deg CTEs, a VALUES cutoff ladder, 9-rounded ln of
     // exact integer ratios DECIMAL-summed

@@ -521,6 +521,33 @@ object OlapQueries {
         "event_id", "treat", "value", resamples = 32)
     }),
 
+    // P239 — covariate balance between the o50 arms over three event
+    // features: the table any observational estimate prints first
+    "o63_balance" -> ((s, dir) => {
+      val ev = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select((col("user_id") % 2 === 1).as("arm"), col("value"),
+          hour(col("ts")).as("hod"), length(col("props")).as("plen"))
+      graft.operators.Features.covariateBalance(ev, "arm",
+          Seq("value", "hod", "plen"))
+        .orderBy("feature")
+    }),
+
+    // P241 — calibration of the inverse-volume churn score against the
+    // q20 label: the reliability diagram as a frame
+    "o64_calibration" -> ((s, dir) => {
+      val frame = graft.operators.TimeSeries.churnLabels(
+        graft.Graft.events(s, dir)
+          .select("user_id", "event_type", "ts", "value"),
+        Seq("user_id", "event_type"), "ts", "value", horizonDays = 2)
+      val scored = frame.select(
+        round(lit(1.0) / (col("n_events") + 1).cast("double"), 6)
+          .as("score"), col("churned"))
+      graft.operators.Features.calibrationTable(scored, "score", "churned",
+          bins = 10)
+        .orderBy("bucket")
+    }),
+
     // P234 — TOST equivalence between the o50 arms at ±5 on event
     // value: the no-regression gate a non-significant t cannot give
     "o62_tost" -> ((s, dir) => {
@@ -580,6 +607,18 @@ object OlapQueries {
             .select("user_id", "event_type", "ts", "value"),
           Seq("user_id", "event_type"), "ts", "value", horizonDays = 2)
         .orderBy("user_id", "event_type")
+    }),
+
+    // P240 — delta-encoding audit: order-total deltas per hash shard
+    // under the candidate sort vs arrival order — the "will
+    // delta/FOR encoding and zone pruning bite" measurement
+    "z9_delta" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      graft.operators.ZOrder.deltaStats(o, "o_orderkey", "o_totalprice",
+          "o_totalprice", shards = 8, tag = "sorted")
+        .union(graft.operators.ZOrder.deltaStats(o, "o_orderkey",
+          "o_totalprice", "o_orderkey", shards = 8, tag = "arrival"))
+        .orderBy("tag", "shard")
     }),
 
     // P225 — range-partition balance of order totals at 8 cuts: the
@@ -2332,6 +2371,96 @@ object OlapQueries {
          |FROM w ORDER BY m""".stripMargin
     },
 
+    // three-feature melt by UNION ALL, the o23 conditional moments per
+    // feature, one sqrt closing sequence per row
+    "o63_balance" ->
+      """WITH b AS (
+        |  SELECT 'value' AS feature, (user_id % 2 = 1) AS arm, value AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'hod', (user_id % 2 = 1), CAST(hour(ts) AS DOUBLE)
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'plen', (user_id % 2 = 1), CAST(length(props) AS DOUBLE)
+        |  FROM events WHERE user_id IS NOT NULL AND props IS NOT NULL),
+        |m AS (
+        |  SELECT feature,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN NOT arm THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS sb,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(v AS DECIMAL(19,6)) *
+        |      CAST(v AS DECIMAL(19,6)) END) AS DOUBLE) AS qa,
+        |    CAST(SUM(CASE WHEN NOT arm THEN CAST(v AS DECIMAL(19,6)) *
+        |      CAST(v AS DECIMAL(19,6)) END) AS DOUBLE) AS qb
+        |  FROM b GROUP BY 1),
+        |v AS (
+        |  SELECT feature, n_a, n_b, CAST(n_a AS DOUBLE) AS na,
+        |    CAST(n_b AS DOUBLE) AS nb, sa, sb, qa, qb,
+        |    sa / CAST(n_a AS DOUBLE) AS ma, sb / CAST(n_b AS DOUBLE) AS mb,
+        |    greatest((qa - sa * sa / CAST(n_a AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) - 1.0e0), 0.0e0) AS va,
+        |    greatest((qb - sb * sb / CAST(n_b AS DOUBLE)) /
+        |      (CAST(n_b AS DOUBLE) - 1.0e0), 0.0e0) AS vb
+        |  FROM m),
+        |z AS (
+        |  SELECT feature, n_a, n_b, round(ma, 6) AS mean_a,
+        |    round(mb, 6) AS mean_b,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND (va + vb) / 2.0e0 > 0
+        |      THEN round((ma - mb) / sqrt((va + vb) / 2.0e0), 6) END
+        |      AS smd
+        |  FROM v)
+        |SELECT feature, n_a, n_b, mean_a, mean_b, smd,
+        |  CASE WHEN smd IS NULL THEN NULL
+        |       ELSE abs(smd) < 0.1e0 END AS balanced
+        |FROM z ORDER BY feature""".stripMargin,
+
+    // the q20 frame, an exact-integer inverse-volume score, 4-rounded
+    // decile thresholds, comparison-count buckets, decimal gap
+    "o64_calibration" -> {
+      val qs = (1 to 9).map(i =>
+        s"round(quantile_cont(score, ${i / 10.0}e0), 4) AS b${i - 1}")
+        .mkString(",\n    ")
+      val bucket = (0 until 9).map(i =>
+        s"(CASE WHEN score >= q.b$i THEN 1 ELSE 0 END)")
+        .mkString(" +\n      ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, CAST(ts AS DATE) AS dy
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND ts IS NOT NULL),
+         |m AS (SELECT MAX(dy) AS maxd FROM e),
+         |k AS (
+         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT)
+         |      AS n_events,
+         |    MAX(dy) AS last_day
+         |  FROM e GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT round(1.0e0 / CAST(n_events + 1 AS DOUBLE), 6) AS score,
+         |    (datediff('day', last_day, m.maxd) > 2) AS churned
+         |  FROM k CROSS JOIN m),
+         |q AS (
+         |  SELECT $qs
+         |  FROM sc),
+         |c AS (
+         |  SELECT $bucket AS bucket, score, churned
+         |  FROM sc CROSS JOIN q)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |  round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_score,
+         |  round(CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate,
+         |  CAST(CAST(round(CAST(SUM(CAST(score AS DECIMAL(18,6)))
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) -
+         |    CAST(round(CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6))
+         |    AS DOUBLE) AS gap
+         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
     // the o23 moment chain with the ±5.0 margin in the two one-sided
     // statistics; the verdict reads the rounded t's against 1.645
     "o62_tost" ->
@@ -2660,6 +2789,39 @@ object OlapQueries {
         |    AS recency_days,
         |  datediff('day', last_day, m.maxd) > 2 AS churned, mean_value
         |FROM k CROSS JOIN m ORDER BY user_id, event_type""".stripMargin,
+
+    // both orderings replayed over the same hashed shards; exact
+    // decimal deltas, the o5 percentile rule on their doubles
+    "z9_delta" -> {
+      def aggCte(src: String, t: String) =
+        s"""SELECT '$t' AS tag, shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  round(CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) /
+           |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_abs_delta,
+           |  round(quantile_cont(CAST(d AS DOUBLE), 0.9e0), 4)
+           |    AS p90_abs_delta,
+           |  round(CAST(MAX(d) AS DOUBLE), 6) AS max_abs_delta
+           |FROM $src WHERE d IS NOT NULL GROUP BY 1, 2""".stripMargin
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS id, o_totalprice AS raw,
+         |    CAST(o_totalprice AS DECIMAL(19,6)) AS v,
+         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+         |        FOR ch IN string_split(substr(md5('delta:' ||
+         |          COALESCE(CAST(o_orderkey AS VARCHAR), '')), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) % 8 AS shard
+         |  FROM orders
+         |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+         |srt AS (
+         |  SELECT shard, abs(v - lag(v) OVER (PARTITION BY shard
+         |    ORDER BY raw, id)) AS d FROM base),
+         |arr AS (
+         |  SELECT shard, abs(v - lag(v) OVER (PARTITION BY shard
+         |    ORDER BY id, id)) AS d FROM base),
+         |u AS (
+         |${aggCte("srt", "sorted")}
+         |UNION ALL
+         |${aggCte("arr", "arrival")})
+         |SELECT * FROM u ORDER BY tag, shard""".stripMargin
+    },
 
     // 4-rounded dyadic-fraction boundaries (exact double literals),
     // bucket = count of boundaries ≤ v, exact share ratios

@@ -832,4 +832,45 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.tostEquivalence(tight, "g", "v", "a", "b", 0.0))
   }
+
+  test("covariateBalance: the imbalanced feature flags, the balanced passes") {
+    import spark.implicits._
+    // f1 identical across arms; f2 shifted by ~2 sd
+    val df = ((1 to 50).map(i => (true, (i % 10).toDouble, 20.0 + i % 5)) ++
+      (1 to 50).map(i => (false, (i % 10).toDouble, 10.0 + i % 5)))
+      .toDF("arm", "f1", "f2")
+    val rows = Features.covariateBalance(df, "arm", Seq("f1", "f2"))
+      .orderBy("feature").collect()
+    assert(rows.length == 2)
+    val f1 = rows(0); val f2 = rows(1)
+    assert(f1.getString(0) == "f1" && f1.getDouble(5) == 0.0 &&
+      f1.getBoolean(6))
+    assert(f2.getString(0) == "f2" && f2.getDouble(5) > 2.0 &&
+      !f2.getBoolean(6))
+    // a constant feature on both sides → zero pooled variance → nulls
+    val const = Seq((true, 1.0), (true, 1.0), (false, 1.0), (false, 1.0))
+      .toDF("arm", "f")
+    val c = Features.covariateBalance(const, "arm", Seq("f")).head
+    assert(c.isNullAt(5) && c.isNullAt(6))
+    intercept[IllegalArgumentException](
+      Features.covariateBalance(df, "arm", Nil))
+  }
+
+  test("calibrationTable: a perfectly calibrated score shows zero gap") {
+    import spark.implicits._
+    // score s ∈ {0.2, 0.8}, labels exactly matching the rate
+    val rows = (1 to 100).map { i =>
+      if (i <= 50) (0.2, i % 5 == 0)        // 10/50 = 0.2 positive
+      else (0.8, i % 5 != 0)                // 40/50 = 0.8 positive
+    }
+    val got = Features.calibrationTable(rows.toDF("s", "l"), "s", "l",
+      bins = 4).orderBy("bucket").collect()
+    assert(got.map(_.getLong(1)).sum == 100L)
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(4)) < 1e-9,
+        s"bucket ${r.getLong(0)} gap ${r.getDouble(4)}")
+    }
+    intercept[IllegalArgumentException](
+      Features.calibrationTable(rows.toDF("s", "l"), "s", "l", 1))
+  }
 }

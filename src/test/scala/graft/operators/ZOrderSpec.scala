@@ -174,4 +174,26 @@ class ZOrderSpec extends SparkSpec {
     assert(t.map(_.getLong(1)).sum == 400L)
     intercept[IllegalArgumentException](ZOrder.rangeBalance(uniform, "v", 1))
   }
+
+  test("deltaStats: value-sorted deltas beat shuffled-order deltas") {
+    import spark.implicits._
+    // value = a permuted walk: sorted-by-value deltas are tiny and
+    // uniform; id-order deltas jump all over
+    val df = (1 to 400)
+      .map(i => (i.toLong, ((i * 193) % 400).toDouble)).toDF("id", "v")
+    val sorted = ZOrder.deltaStats(df, "id", "v", "v", shards = 2,
+      tag = "sorted")
+    val arrival = ZOrder.deltaStats(df, "id", "v", "id", shards = 2,
+      tag = "arrival")
+    val s = sorted.collect(); val a = arrival.collect()
+    assert(s.forall(_.getString(0) == "sorted") && s.length == 2)
+    val meanSorted = s.map(_.getDouble(3)).max
+    val meanArrival = a.map(_.getDouble(3)).min
+    assert(meanSorted < meanArrival,
+      s"sorted $meanSorted should beat arrival $meanArrival")
+    // per shard: n_rows = shard size − 1 (the first row has no lag)
+    assert(s.map(_.getLong(2)).sum == 400L - 2L)
+    intercept[IllegalArgumentException](
+      ZOrder.deltaStats(df, "id", "v", "v", 0, "x"))
+  }
 }
