@@ -2003,4 +2003,113 @@ object Features {
         .select(col("__k").as("grp"), z.as("z")),
       "grp", "z")
   }
+
+  /**
+   * P244 — stratified mean difference: cut a confounding covariate at
+   * its quantiles, estimate the arm difference WITHIN each stratum, and
+   * pool with stratum-size weights — the adjustment you reach for when
+   * P239's balance table flags the covariate (within a stratum the
+   * covariate is ~constant, so it can no longer confound the
+   * comparison). Emits per stratum (stratum, n_a, n_b, mean_a, mean_b,
+   * diff) plus the size-weighted `pooled_diff` repeated on every row;
+   * a one-sided stratum nulls its diff and drops out of the pool.
+   *
+   * Shapes: one covariate percentile agg (the o5 class), thresholds
+   * broadcast k-row, one fused conditional agg per stratum, the pool a
+   * second (stratum-count-sized) agg joined back broadcast — no
+   * windows. Cross-engine: thresholds round at 4, means at 6, diffs
+   * in DECIMAL on the rounded means (the o46 rule); the pool is an
+   * exact decimal-weighted sum over the stratum frame closed by one
+   * rounded division.
+   */
+  def stratifiedDiff(df: DataFrame, armCol: String, covCol: String,
+      valueCol: String, strata: Int = 5): DataFrame = {
+    require(strata >= 2 && strata <= 100,
+      s"stratifiedDiff: strata must be in 2..100, got $strata")
+    val base = df.where(col(armCol).isNotNull && col(covCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(armCol).cast("boolean").as("__arm"),
+        col(covCol).cast("double").as("__c"),
+        col(valueCol).cast("double").as("__v"))
+    val fr = (1 until strata).map(i => i.toDouble / strata)
+    val wide = base.agg(
+      fr.zipWithIndex.map { case (f, i) =>
+        round(expr(s"percentile(__c, $f)"), 4).as(s"__t$i")
+      }.head, fr.zipWithIndex.tail.map { case (f, i) =>
+        round(expr(s"percentile(__c, $f)"), 4).as(s"__t$i")
+      }: _*)
+    val stratum = (0 until strata - 1)
+      .map(i => when(col("__c") >= col(s"__t$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perStratum = base.crossJoin(broadcast(wide)) // 1-row thresholds
+      .withColumn("stratum", stratum)
+      .groupBy(col("stratum"))
+      .agg(sum(when(col("__arm"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__arm"), 1L).otherwise(0L)).as("n_b"),
+        round(sum(when(col("__arm"), col("__v").cast("decimal(18,6)")))
+          .cast("double") /
+          sum(when(col("__arm"), 1L).otherwise(0L)).cast("double"), 6)
+          .as("mean_a"),
+        round(sum(when(!col("__arm"), col("__v").cast("decimal(18,6)")))
+          .cast("double") /
+          sum(when(!col("__arm"), 1L).otherwise(0L)).cast("double"), 6)
+          .as("mean_b"))
+      .withColumn("diff",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (col("mean_a").cast("decimal(18,6)") -
+            col("mean_b").cast("decimal(18,6)")).cast("double")))
+    val pool = perStratum.where(col("diff").isNotNull)
+      .agg(round(
+        sum(col("diff").cast("decimal(18,6)") *
+          (col("n_a") + col("n_b")).cast("decimal(13,0)")).cast("double") /
+        sum(col("n_a") + col("n_b")).cast("double"), 6).as("pooled_diff"))
+    perStratum.crossJoin(broadcast(pool)) // 1-row scalar side
+  }
+
+  /**
+   * P245 — Lorenz curve points: bucket units at the quantiles of their
+   * value, then each bucket's share and CUMULATIVE share of the total —
+   * the concentration read behind "the top decile of customers is 45%
+   * of revenue" and the curve P147's Gini integrates; as a training-
+   * data tool it is the token-concentration audit (how much of the
+   * corpus mass lives in the heaviest sources). Emits per bucket
+   * (bucket, n_units, sum_v, share, cum_share) with exact decimal
+   * sums; the cumulative is a TRIANGULAR join over the bucket-count-
+   * sized frame, not a window (the no-new-global-window rule).
+   */
+  def lorenzPoints(df: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"lorenzPoints: buckets must be in 2..100, got $buckets")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val fr = (1 until buckets).map(i => i.toDouble / buckets)
+    val wide = base.agg(
+      fr.zipWithIndex.map { case (f, i) =>
+        round(expr(s"percentile(__v, $f)"), 4).as(s"__b$i")
+      }.head, fr.zipWithIndex.tail.map { case (f, i) =>
+        round(expr(s"percentile(__v, $f)"), 4).as(s"__b$i")
+      }: _*)
+    val bucket = (0 until buckets - 1)
+      .map(i => when(col("__v") >= col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val per = base.crossJoin(broadcast(wide)) // 1-row boundary frame
+      .select(bucket.as("bucket"), col("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("__v").cast("decimal(18,6)")).as("__sv"))
+    val total = per.agg(sum(col("__sv")).as("__tot"),
+      sum(col("n_units")).as("__n"))
+    val cum = per.select(col("bucket").as("__b2"), col("__sv").as("__sv2"))
+    per.join(broadcast(cum), col("__b2") <= col("bucket")) // bucket-sized
+      .groupBy(col("bucket"), col("n_units"), col("__sv"))
+      .agg(sum(col("__sv2")).as("__cum"))
+      .join(broadcast(total)) // 1-row scalar side
+      .select(col("bucket"), col("n_units"),
+        round(col("__sv").cast("double"), 6).as("sum_v"),
+        round(col("__sv").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+          .as("cum_share"))
+  }
 }

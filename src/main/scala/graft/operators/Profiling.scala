@@ -542,4 +542,46 @@ object Profiling {
           .as("p50_diff"),
         round(max(abs(col("__diff"))).cast("double"), 6).as("max_abs_diff"))
   }
+
+  /**
+   * P243 — join fan-out audit: for every parent key, how many child
+   * rows it matches, banded into the distribution a join planner and a
+   * DQ gate both care about (0 = orphan parent, 1 = clean 1:1, 11+ =
+   * the multiplier that silently explodes a downstream join) — run
+   * BEFORE shipping any parent⋈child pipeline: the "join blew up to
+   * 40× rows" incident is this table unread. Emits per band (band_id,
+   * band, n_parents, n_children, share_parents), bands fixed at
+   * 0 / 1 / 2–5 / 6–10 / 11+.
+   *
+   * Shapes: one child count agg, one LEFT shuffle-hash join on the
+   * parent key, one band agg + a 1-row total broadcast. Exact BIGINTs
+   * and one rounded share.
+   */
+  def joinFanout(parent: DataFrame, parentKeyCol: String, child: DataFrame,
+      childKeyCol: String): DataFrame = {
+    val cc = child.where(col(childKeyCol).isNotNull)
+      .groupBy(col(childKeyCol).as("__ck"))
+      .agg(count(lit(1)).as("__cn"))
+    val banded = parent.where(col(parentKeyCol).isNotNull)
+      .join(cc.hint("shuffle_hash"), col(parentKeyCol) === col("__ck"),
+        "left")
+      .withColumn("__n", coalesce(col("__cn"), lit(0L)))
+      .withColumn("band_id",
+        when(col("__n") === 0, 0).when(col("__n") === 1, 1)
+          .when(col("__n") <= 5, 2).when(col("__n") <= 10, 3)
+          .otherwise(4))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_parents"), sum(col("__n")).as("n_children"))
+    val total = banded.agg(sum(col("n_parents")).as("__t"))
+    banded.join(broadcast(total)) // 1-row scalar side
+      .withColumn("band",
+        when(col("band_id") === 0, "0").when(col("band_id") === 1, "1")
+          .when(col("band_id") === 2, "2-5")
+          .when(col("band_id") === 3, "6-10").otherwise("11+"))
+      .withColumn("share_parents",
+        round(col("n_parents").cast("double") / col("__t").cast("double"),
+          6))
+      .select(col("band_id"), col("band"), col("n_parents"),
+        col("n_children"), col("share_parents"))
+  }
 }

@@ -1194,4 +1194,41 @@ object TimeSeries {
         col("first_day"), col("last_day"), col("recency_days"),
         col("churned"), col("mean_value"))): _*)
   }
+
+  /**
+   * P242 — engagement stickiness: per calendar day, the exact count of
+   * active users that day (DAU) and over the trailing `windowDays`
+   * (WAU/MAU), and their ratio — THE product-engagement series
+   * ("stickiness 0.5 = the average weekly user shows up 3.5 days a
+   * week"). Emits (day, dau, window_users, stickiness); the first
+   * window−1 days report their genuinely partial trailing window
+   * (documented — truncating them is a caller's filter, not silent
+   * behavior here).
+   *
+   * Shapes: one (day, user) dedup agg, then the day spine (an
+   * agg-sized frame) broadcast against it with a bounded date-range
+   * predicate — the fan-out is ≤ windowDays per user-day, never
+   * corpus×corpus — and one distinct-count agg per day. Exact BIGINTs
+   * and one rounded ratio.
+   */
+  def activeUserRatio(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 2 && windowDays <= 90,
+      s"activeUserRatio: windowDays must be in 2..90, got $windowDays")
+    val du = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("__d"), col(userCol).as("__u"))
+      .distinct()
+    val days = du.select(col("__d").as("day")).distinct()
+    val dau = du.groupBy(col("__d").as("day"))
+      .agg(countDistinct(col("__u")).as("dau"))
+    val wau = days.join(du,
+        col("__d") > date_sub(col("day"), windowDays) &&
+          col("__d") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("window_users"))
+    dau.join(wau.hint("shuffle_hash"), Seq("day"))
+      .withColumn("stickiness",
+        round(col("dau").cast("double") /
+          col("window_users").cast("double"), 6))
+  }
 }

@@ -521,6 +521,48 @@ object OlapQueries {
         "event_id", "treat", "value", resamples = 32)
     }),
 
+    // P242 — DAU / trailing-7-day stickiness over events: the
+    // engagement series with exact distinct counts per spine day
+    "q22_stickiness" -> ((s, dir) => {
+      graft.operators.TimeSeries.activeUserRatio(
+          graft.Graft.events(s, dir).select("user_id", "ts"),
+          "user_id", "ts", windowDays = 7)
+        .orderBy("day")
+    }),
+
+    // P243 — orders→lineitem fan-out bands: ~1.7% orphan parents (the
+    // dq12 finding read from the join-multiplier side)
+    "dq13_fanout" -> ((s, dir) => {
+      graft.operators.Profiling.joinFanout(
+          table(s, dir, "orders"), "o_orderkey",
+          table(s, dir, "lineitem"), "l_orderkey")
+        .orderBy("band_id")
+    }),
+
+    // P244 — hour-of-day-stratified arm difference on event value: the
+    // adjustment the o63 balance table motivates
+    "o65_strata" -> ((s, dir) => {
+      val ev = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select((col("user_id") % 2 === 1).as("arm"),
+          hour(col("ts")).as("hod"), col("value"))
+      graft.operators.Features.stratifiedDiff(ev, "arm", "hod", "value",
+          strata = 5)
+        .orderBy("stratum")
+    }),
+
+    // P245 — Lorenz curve of per-customer spend in spend deciles: the
+    // concentration read o31's Gini integrates
+    "o66_lorenz" -> ((s, dir) => {
+      val spend = table(s, dir, "orders")
+        .where(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+          .as("spend"))
+      graft.operators.Features.lorenzPoints(spend, "spend", buckets = 10)
+        .orderBy("bucket")
+    }),
+
     // P239 — covariate balance between the o50 arms over three event
     // features: the table any observational estimate prints first
     "o63_balance" -> ((s, dir) => {
@@ -2369,6 +2411,139 @@ object OlapQueries {
          |  CASE WHEN k = 2 THEN round(${theory(2)}, 9)
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
+    },
+
+    // the day spine against the (day, user) dedup with a bounded range
+    // predicate; exact distincts, one rounded ratio
+    "q22_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT d AS day FROM du),
+        |dau AS (
+        |  SELECT d AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+        |  FROM du GROUP BY 1),
+        |wau AS (
+        |  SELECT days.day, CAST(COUNT(DISTINCT du.u) AS BIGINT)
+        |    AS window_users
+        |  FROM days JOIN du ON du.d > days.day - 7 AND du.d <= days.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.window_users,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.window_users AS DOUBLE),
+        |    6) AS stickiness
+        |FROM dau JOIN wau ON wau.day = dau.day
+        |ORDER BY dau.day""".stripMargin,
+
+    // the child-count left join, fixed bands, one scalar total
+    "dq13_fanout" ->
+      """WITH cc AS (
+        |  SELECT l_orderkey AS ck, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(cc.cn, 0) AS n
+        |  FROM orders o LEFT JOIN cc ON cc.ck = o.o_orderkey
+        |  WHERE o.o_orderkey IS NOT NULL),
+        |b AS (
+        |  SELECT CASE WHEN n = 0 THEN 0 WHEN n = 1 THEN 1
+        |    WHEN n <= 5 THEN 2 WHEN n <= 10 THEN 3 ELSE 4 END AS band_id,
+        |    n
+        |  FROM j),
+        |g AS (
+        |  SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_parents,
+        |    CAST(SUM(n) AS BIGINT) AS n_children
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_parents) AS BIGINT) AS tt FROM g)
+        |SELECT band_id,
+        |  CASE WHEN band_id = 0 THEN '0' WHEN band_id = 1 THEN '1'
+        |    WHEN band_id = 2 THEN '2-5' WHEN band_id = 3 THEN '6-10'
+        |    ELSE '11+' END AS band,
+        |  n_parents, n_children,
+        |  round(CAST(n_parents AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+        |    AS share_parents
+        |FROM g CROSS JOIN t ORDER BY band_id""".stripMargin,
+
+    // 4-rounded quintile thresholds on the hour covariate, per-stratum
+    // conditional decimal means, decimal diffs, one weighted pool
+    "o65_strata" -> {
+      val qs = (1 to 4).map(i =>
+        s"round(quantile_cont(c, ${i / 5.0}e0), 4) AS t${i - 1}")
+        .mkString(",\n    ")
+      val strat = (0 until 4).map(i =>
+        s"(CASE WHEN c >= q.t$i THEN 1 ELSE 0 END)").mkString(" +\n      ")
+      s"""WITH b AS (
+         |  SELECT (user_id % 2 = 1) AS arm, CAST(hour(ts) AS DOUBLE) AS c,
+         |    value AS v
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL),
+         |q AS (
+         |  SELECT $qs
+         |  FROM b),
+         |st AS (
+         |  SELECT $strat AS stratum, arm, v
+         |  FROM b CROSS JOIN q),
+         |g AS (
+         |  SELECT stratum,
+         |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    round(CAST(SUM(CASE WHEN arm THEN CAST(v AS DECIMAL(18,6))
+         |      END) AS DOUBLE) /
+         |      CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         |      AS mean_a,
+         |    round(CAST(SUM(CASE WHEN NOT arm THEN CAST(v AS
+         |      DECIMAL(18,6)) END) AS DOUBLE) /
+         |      CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS DOUBLE),
+         |      6) AS mean_b
+         |  FROM st GROUP BY 1),
+         |d AS (
+         |  SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      CAST(CAST(mean_a AS DECIMAL(18,6)) -
+         |        CAST(mean_b AS DECIMAL(18,6)) AS DOUBLE) END AS diff
+         |  FROM g),
+         |p AS (
+         |  SELECT round(CAST(SUM(CAST(diff AS DECIMAL(18,6)) *
+         |      CAST(n_a + n_b AS DECIMAL(13,0))) AS DOUBLE) /
+         |    CAST(SUM(n_a + n_b) AS DOUBLE), 6) AS pooled_diff
+         |  FROM d WHERE diff IS NOT NULL)
+         |SELECT stratum, n_a, n_b, mean_a, mean_b, diff, pooled_diff
+         |FROM d CROSS JOIN p ORDER BY stratum""".stripMargin
+    },
+
+    // per-customer decimal spend, 4-rounded decile thresholds, the
+    // triangular-join cumulative (no window), exact share ratios
+    "o66_lorenz" -> {
+      val qs = (1 to 9).map(i =>
+        s"round(quantile_cont(spend, ${i / 10.0}e0), 4) AS b${i - 1}")
+        .mkString(",\n    ")
+      val bk = (0 until 9).map(i =>
+        s"(CASE WHEN spend >= q.b$i THEN 1 ELSE 0 END)")
+        .mkString(" +\n      ")
+      s"""WITH sp AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         |      AS spend
+         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |q AS (
+         |  SELECT $qs
+         |  FROM sp),
+         |c AS (
+         |  SELECT $bk AS bucket, spend
+         |  FROM sp CROSS JOIN q),
+         |per AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_units,
+         |    SUM(CAST(spend AS DECIMAL(18,6))) AS sv
+         |  FROM c GROUP BY 1),
+         |tot AS (SELECT SUM(sv) AS tt FROM per),
+         |cum AS (
+         |  SELECT a.bucket, a.n_units, a.sv, SUM(b.sv) AS cumsv
+         |  FROM per a JOIN per b ON b.bucket <= a.bucket
+         |  GROUP BY 1, 2, 3)
+         |SELECT bucket, n_units, round(CAST(sv AS DOUBLE), 6) AS sum_v,
+         |  round(CAST(sv AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share,
+         |  round(CAST(cumsv AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+         |    AS cum_share
+         |FROM cum CROSS JOIN tot ORDER BY bucket""".stripMargin
     },
 
     // three-feature melt by UNION ALL, the o23 conditional moments per

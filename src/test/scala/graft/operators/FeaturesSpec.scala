@@ -873,4 +873,40 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.calibrationTable(rows.toDF("s", "l"), "s", "l", 1))
   }
+
+  test("stratifiedDiff: a constant within-stratum effect pools exactly") {
+    import spark.implicits._
+    // value = 10·cov + (arm ? 3 : 0): raw arm means are confounded by
+    // cov, but within every stratum the difference is exactly 3 (arm
+    // assignment is independent of cov — decade parity vs digit)
+    val df = (1 to 200).map { i =>
+      val arm = (i / 10) % 2 == 1
+      val cov = (i % 10).toDouble
+      (arm, cov, 10.0 * cov + (if (arm) 3.0 else 0.0))
+    }.toDF("arm", "cov", "v")
+    val rows = Features.stratifiedDiff(df, "arm", "cov", "v", strata = 5)
+      .orderBy("stratum").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(5) == 3.0, s"stratum ${r.get(0)}: ${r.getDouble(5)}")
+      assert(r.getDouble(6) == 3.0)
+    }
+    intercept[IllegalArgumentException](
+      Features.stratifiedDiff(df, "arm", "cov", "v", 1))
+  }
+
+  test("lorenzPoints: shares sum to 1, cumulative is monotone") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val rows = Features.lorenzPoints(df, "v", buckets = 4)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(1)).sum == 100L)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    val cums = rows.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    // uniform 1..100: the top quartile (76..100) holds 44% of the mass
+    assert(rows.last.getDouble(3) > 0.4 && rows.last.getDouble(3) < 0.5)
+    intercept[IllegalArgumentException](Features.lorenzPoints(df, "v", 1))
+  }
 }

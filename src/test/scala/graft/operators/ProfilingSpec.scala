@@ -263,4 +263,24 @@ class ProfilingSpec extends SparkSpec {
       Profiling.reconcileTotals(parents, "pk", "amt", "grp",
         children, "ck", "camt", tol = -1.0))
   }
+
+  test("joinFanout: orphans, clean 1:1 and multipliers land in their bands") {
+    import spark.implicits._
+    val parents = (1L to 10L).toDF("pk")
+    // parent 1: 0 children; 2: 1; 3: 4; 4: 8; 5: 12; 6-10: 1 each
+    val children = (Seq.fill(1)(2L) ++ Seq.fill(4)(3L) ++ Seq.fill(8)(4L) ++
+      Seq.fill(12)(5L) ++ (6L to 10L)).toDF("ck")
+    val got = Profiling.joinFanout(parents, "pk", children, "ck")
+      .orderBy("band_id").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("0") == ((1L, 0L)))
+    assert(got("1") == ((6L, 6L)))
+    assert(got("2-5") == ((1L, 4L)))
+    assert(got("6-10") == ((1L, 8L)))
+    assert(got("11+") == ((1L, 12L)))
+    // shares sum to 1 over the 10 parents
+    val shares = Profiling.joinFanout(parents, "pk", children, "ck")
+      .collect().map(_.getDouble(4)).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
 }

@@ -634,4 +634,22 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.churnLabels(ev, Seq("u"), "t", "v", 0))
   }
+
+  test("activeUserRatio: trailing window accumulates distinct users") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
+    // day1: users 1,2; day2: user 2; day3: user 3 (twice)
+    val ev = Seq((1L, ts(1)), (2L, ts(1)), (2L, ts(2)), (3L, ts(3)),
+      (3L, ts(3))).toDF("u", "t")
+    val rows = TimeSeries.activeUserRatio(ev, "u", "t", windowDays = 2)
+      .orderBy("day").collect()
+    assert(rows.length == 3)
+    // (dau, window over trailing 2 days)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 2L), (1L, 2L), (1L, 2L)))
+    assert(rows(0).getDouble(3) == 1.0)    // day1: 2/2
+    assert(rows(1).getDouble(3) == 0.5)    // day2: dau 1, window {1,2,?}=2
+    intercept[IllegalArgumentException](
+      TimeSeries.activeUserRatio(ev, "u", "t", 1))
+  }
 }
