@@ -988,4 +988,92 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select(col("i"), col("j"), col("dist"))
   }
+
+  /**
+   * P247 — MinHash banding sweep: for each rows-per-band setting over
+   * ONE shared portable signature frame, the candidate-pair count and
+   * its precision/recall against exact Jaccard ≥ threshold — the
+   * (b, r) tuning table that prevents the d16 class of failure
+   * (banding shipped blind, recall silently short) computed ON a
+   * sample instead of reasoned from the textbook curve: this corpus's
+   * 0.61 mean pairwise similarity makes the standard miss-bound charts
+   * wildly optimistic, and only the measured table shows it. Emits per
+   * setting (rows_per_band, bands, n_candidates, n_true, n_hit,
+   * precision, recall).
+   *
+   * SAMPLE-SIZED INPUT REQUIRED (the d18 contract): the exact-truth
+   * side is all-pairs by definition — that is the point of a tuning
+   * audit, and why it runs on the hash-sample, never the corpus.
+   * Cross-engine: signatures are the d18 portable slots (md5 token
+   * hash through the affine ladder); band keys are plain slot-value
+   * concatenations (no engine hash); counts exact, ratios rounded
+   * at 6.
+   */
+  def bandingSweep(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBandLadder: Seq[Int] = Seq(2, 4, 8),
+      thresholdPct: Int = 90, seed: Long = 42L): DataFrame = {
+    require(numHashes >= 2 && numHashes <= 64,
+      s"bandingSweep: numHashes must be in 2..64, got $numHashes")
+    require(rowsPerBandLadder.nonEmpty &&
+      rowsPerBandLadder.forall(r => r >= 1 && numHashes % r == 0),
+      s"bandingSweep: every rows-per-band must divide $numHashes")
+    require(rowsPerBandLadder.distinct.size == rowsPerBandLadder.size,
+      s"bandingSweep: duplicate settings in $rowsPerBandLadder")
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"bandingSweep: thresholdPct must be in 1..100, got $thresholdPct")
+    val tokens = docTokens(df, idCol, textCol)
+    val h = pmod(Sampling.hashValue(col("token"), "mh:"), lit(HashPrime))
+    val sigExprs = hashCoeffs(numHashes, seed).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(pmod(col("__h") * lit(a) + lit(b), lit(HashPrime))).as(s"__m$i")
+    }
+    val sigs = tokens.withColumn("__h", h)
+      .groupBy("id").agg(sigExprs.head, sigExprs.tail: _*)
+    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = tokens.select(col("id").as("i"), col("token"))
+      .join(tokens.select(col("id").as("j"), col("token")), Seq("token"))
+      .where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("__x"))
+    val thr = thresholdPct / 100.0
+    val truth = inter
+      .join(sizes.select(col("id").as("i"), col("sz").as("__si"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("sz").as("__sj"))
+        .hint("shuffle_hash"), Seq("j"))
+      .where(round(col("__x").cast("double") /
+        (col("__si") + col("__sj") - col("__x")).cast("double"), 6) >= thr)
+      .select(col("i"), col("j"))
+    rowsPerBandLadder.sorted.map { r =>
+      val bands = numHashes / r
+      val keyed = sigs.select(col("id") +:
+        (0 until bands).map { b =>
+          concat_ws("_", (0 until r).map(k => col(s"__m${b * r + k}")): _*)
+            .as(s"__k$b")
+        }: _*)
+      val exploded = keyed.select(col("id"), explode(array(
+        (0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"__k$b").as("key"))): _*))
+        .as("__bk"))
+        .select(col("id"), col("__bk.band").as("band"),
+          col("__bk.key").as("key"))
+      val cand = exploded.select(col("id").as("i"), col("band"), col("key"))
+        .join(exploded.select(col("id").as("j"), col("band"), col("key"))
+          .hint("shuffle_hash"), Seq("band", "key"))
+        .where(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nh = cand.join(truth.hint("shuffle_hash"), Seq("i", "j"),
+        "left_semi").agg(count(lit(1)).as("n_hit"))
+      nc.join(nt).join(nh) // three 1-row frames
+        .select(lit(r).as("rows_per_band"), lit(bands).as("bands"),
+          col("n_candidates"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            greatest(col("n_candidates"), lit(1L)).cast("double"), 6)
+            .as("precision"),
+          round(col("n_hit").cast("double") /
+            greatest(col("n_true"), lit(1L)).cast("double"), 6)
+            .as("recall"))
+    }.reduce(_.unionByName(_))
+  }
 }

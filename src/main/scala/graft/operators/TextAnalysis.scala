@@ -1128,4 +1128,41 @@ object TextAnalysis {
       .withColumnRenamed("__k", keyCol)
   }
 
+  /**
+   * P246 — vocabulary coverage at frequency thresholds: for each
+   * min-frequency rung, how many token TYPES survive and what share of
+   * the corpus token MASS they cover — the tokenizer/vocab budget
+   * audit ("a 5+-frequency vocab covers 97% of tokens; everything
+   * rarer is the OOV tail a byte-fallback eats") read before fixing a
+   * vocab size. Emits per rung (min_freq, n_types, token_mass, share).
+   *
+   * Shapes: one token-frequency agg (map-side combinable), the rung
+   * ladder broadcast k-row over the VOCAB-sized frequency frame, one
+   * conditional agg per rung fused into a single grouped pass, a
+   * 1-row total broadcast. Exact BIGINTs and rounded shares — no
+   * ranking, no window (frequency thresholds, not top-k, exactly so).
+   */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      minFreqs: Seq[Long] = Seq(2L, 5L, 10L, 50L)): DataFrame = {
+    require(minFreqs.nonEmpty && minFreqs.forall(_ >= 1),
+      s"vocabCoverage: thresholds must be >= 1, got $minFreqs")
+    require(minFreqs.distinct.size == minFreqs.size,
+      s"vocabCoverage: duplicate thresholds in $minFreqs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ladder = minFreqs.sorted.toDF("min_freq")
+    val freqs = df.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__f"))
+    val total = freqs.agg(sum(col("__f")).as("__tot"))
+    freqs.crossJoin(broadcast(ladder)) // k-row rung ladder
+      .where(col("__f") >= col("min_freq"))
+      .groupBy(col("min_freq"))
+      .agg(count(lit(1)).as("n_types"), sum(col("__f")).as("token_mass"))
+      .join(broadcast(total)) // 1-row scalar side
+      .withColumn("share",
+        round(col("token_mass").cast("double") /
+          col("__tot").cast("double"), 6))
+      .drop("__tot")
+  }
 }

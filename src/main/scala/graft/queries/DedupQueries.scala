@@ -51,6 +51,18 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P247 — (b, r) banding sweep on a 50-doc hash sample of the
+    // duplicated corpus: measured precision/recall per setting against
+    // exact J ≥ 0.9 — the tuning table the d16 failure showed must be
+    // MEASURED on this dense-similarity corpus, not read off textbook
+    // curves
+    "d21_band_sweep" -> ((s, dir) => {
+      val sample = dupedDocs(s, dir).where(col("doc_id") % 10 === 0)
+      Dedup.bandingSweep(sample, "doc_id", "text", numHashes = 16,
+          rowsPerBandLadder = Seq(2, 4, 8), thresholdPct = 90)
+        .orderBy("rows_per_band")
+    }),
+
     // P236 — cluster-quality audit of the exact-dup clustering against
     // the planted doc_id%100 ground truth: impure clusters = distinct
     // bases whose generated texts collide (a real corpus fact here)
@@ -426,6 +438,81 @@ object DedupQueries {
          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM ($dupedDocsSql))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the d18 portable signature slots, plain slot-concat band keys,
+    // per-setting candidate CTEs and scalar count subqueries
+    "d21_band_sweep" -> {
+      val coeffs = graft.operators.Dedup.hashCoeffs(16, 42L)
+      val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % 2147483647) AS m$i"
+      }.mkString(",\n         |    ").stripMargin
+      def setting(r: Int) = {
+        val bands = 16 / r
+        val bandSelects = (0 until bands).map { b =>
+          val key = (b * r until b * r + r).map(i => s"m$i").mkString(", ")
+          s"SELECT id, $b AS band, concat_ws('_', $key) AS key FROM sigs"
+        }.mkString("\n         |  UNION ALL\n         |  ").stripMargin
+        s"""bk_$r AS (
+           |  $bandSelects),
+           |cand_$r AS (
+           |  SELECT DISTINCT a.id AS i, b.id AS j
+           |  FROM bk_$r a JOIN bk_$r b
+           |    ON b.band = a.band AND b.key = a.key AND a.id < b.id),
+           |row_$r AS (
+           |  SELECT $r AS rows_per_band, $bands AS bands,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$r)
+           |      AS n_candidates,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$r c
+           |     JOIN truth t ON t.i = c.i AND t.j = c.j) AS n_hit)"""
+          .stripMargin
+      }
+      s"""WITH duped AS ($dupedDocsSql),
+         |docs AS (
+         |  SELECT doc_id, text FROM duped
+         |  WHERE doc_id % 10 = 0 AND doc_id IS NOT NULL
+         |    AND text IS NOT NULL),
+         |tok AS (
+         |  SELECT DISTINCT doc_id AS id, token FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         |        AS token
+         |    FROM docs) WHERE token <> ''),
+         |hh AS (
+         |  SELECT id,
+         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+         |        FOR c IN string_split(substr(md5('mh:' || token), 1, 14),
+         |          '')],
+         |      (acc, x) -> acc * 16 + x) % 2147483647 AS h
+         |  FROM tok),
+         |sigs AS (
+         |  SELECT id, $sigCols
+         |  FROM hh GROUP BY 1),
+         |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT it.i, it.j
+         |  FROM inter it
+         |  JOIN sizes si ON si.id = it.i
+         |  JOIN sizes sj ON sj.id = it.j
+         |  WHERE round(CAST(it.x AS DOUBLE) /
+         |    CAST(si.sz + sj.sz - it.x AS DOUBLE), 6) >= 0.9e0),
+         |${setting(2)},
+         |${setting(4)},
+         |${setting(8)},
+         |u AS (SELECT * FROM row_2 UNION ALL SELECT * FROM row_4
+         |      UNION ALL SELECT * FROM row_8)
+         |SELECT rows_per_band, bands, n_candidates, n_true, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) /
+         |    CAST(greatest(n_candidates, 1) AS DOUBLE), 6) AS precision,
+         |  round(CAST(n_hit AS DOUBLE) /
+         |    CAST(greatest(n_true, 1) AS DOUBLE), 6) AS recall
+         |FROM u ORDER BY rows_per_band""".stripMargin
+    },
 
     // identity proof: min-label over the survivor star equals the
     // min-doc-per-text label; purity reads the planted base key

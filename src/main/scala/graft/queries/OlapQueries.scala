@@ -466,6 +466,16 @@ object OlapQueries {
         .orderBy("l_returnflag")
     }),
 
+    // P216 applied at keyX = keyY — the autocorrelation FUNCTION ladder
+    // (o21 gives one lag per key; this is the full correlogram for one
+    // series, lag 0 pinned at 1)
+    "o67_acf" -> ((s, dir) => {
+      graft.operators.TimeSeries.crossCorrelation(
+          dailyMeans(s, dir), "event_type", "day", "v",
+          keyX = "click", keyY = "click", maxLag = 10)
+        .orderBy("lag")
+    }),
+
     // P216 — lead/lag cross-correlation between the click and purchase
     // daily mean series at lags 0..7 over the shared daily frame
     "o55_ccf" -> ((s, dir) => {
@@ -2288,6 +2298,41 @@ object OlapQueries {
         |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1.0e12), 6)
         |    AS se_jack
         |FROM f ORDER BY l_returnflag""".stripMargin,
+
+    // the o55 chain with both margins reading the click series
+    "o67_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |x AS (SELECT day, v AS xv FROM daily WHERE event_type = 'click'),
+        |y AS (SELECT day AS yday, v AS yv FROM daily
+        |      WHERE event_type = 'click'),
+        |l AS (SELECT unnest(generate_series(0, 10)) AS lag),
+        |p AS (
+        |  SELECT l.lag, x.xv, y.yv
+        |  FROM x CROSS JOIN l
+        |  JOIN y ON y.yday = x.day - CAST(l.lag AS INTEGER)),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(xv AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(yv AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xv AS DECIMAL(19,6)) * CAST(yv AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(xv AS DECIMAL(19,6)) * CAST(xv AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(yv AS DECIMAL(19,6)) * CAST(yv AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, n,
+        |  CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        |        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+        |    THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |       sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS ccf
+        |FROM m ORDER BY lag""".stripMargin,
 
     // the shared daily CTE, a generate_series lag ladder, and the P121
     // five-sum moment discipline per lag

@@ -213,6 +213,14 @@ object TextQueries {
         .orderBy("source", "cum_tokens", "doc_id")
     }),
 
+    // P246 — vocab coverage at frequency rungs: the tokenizer budget
+    // audit (share of token mass the ≥f vocab covers)
+    "t29_vocab_coverage" -> ((s, dir) => {
+      graft.operators.TextAnalysis.vocabCoverage(
+          table(s, dir, "documents").select("text"), "text")
+        .orderBy("min_freq")
+    }),
+
     // P231 — Cohen's κ between the t2 langid heuristic and the labeled
     // lang column: chance-corrected agreement (accuracy alone flatters
     // the skewed label mix — t24 reports it, this corrects it)
@@ -822,6 +830,22 @@ object TextQueries {
     // hash order and inclusive running sum replayed with the portable-MD5
     // fold; the budget is rebuilt from the source index — the cum is
     // monotone, so cum <= budget is the same strict prefix on both sides
+    // frequency agg + rung ladder; thresholds, never top-k ranks
+    "t29_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS tot FROM f),
+        |l AS (SELECT unnest([2, 5, 10, 50]) AS min_freq)
+        |SELECT l.min_freq, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(f.f) AS BIGINT) AS token_mass,
+        |  round(CAST(SUM(f.f) AS DOUBLE) / CAST(MAX(tot.tot) AS DOUBLE), 6)
+        |    AS share
+        |FROM f CROSS JOIN l CROSS JOIN tot
+        |WHERE f.f >= l.min_freq GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the t24 scored CTE + exact-integer marginal products; κ is one
     // BIGINT-ratio double division
     "o60_kappa" ->

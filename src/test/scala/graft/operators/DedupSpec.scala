@@ -533,4 +533,33 @@ class DedupSpec extends SparkSpec {
     assert(got(1).getLong(0) == 10L && got(1).getLong(1) == 2L &&
       got(1).getLong(2) == 1L && got(1).getBoolean(3))
   }
+
+  test("bandingSweep: looser bands cast a wider candidate net") {
+    import spark.implicits._
+    // two exact-dup pairs + unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "totally unrelated content lives here now"))
+      .toDF("id", "t")
+    val rows = Dedup.bandingSweep(docs, "id", "t", numHashes = 16,
+      rowsPerBandLadder = Seq(2, 8), thresholdPct = 90)
+      .orderBy("rows_per_band").collect()
+    assert(rows.length == 2)
+    // identical docs share EVERY band at any r: recall 1 on exact dups
+    rows.foreach { r =>
+      assert(r.getLong(3) == 2L)            // two true pairs
+      assert(r.getLong(4) == 2L)            // both found at any setting
+      assert(r.getDouble(6) == 1.0)
+    }
+    // r=2 (8 bands) nets at least as many candidates as r=8 (2 bands)
+    assert(rows(0).getLong(2) >= rows(1).getLong(2))
+    assert(rows(0).getInt(1) == 8 && rows(1).getInt(1) == 2)
+    intercept[IllegalArgumentException](
+      Dedup.bandingSweep(docs, "id", "t", 16, Seq(3)))
+    intercept[IllegalArgumentException](
+      Dedup.bandingSweep(docs, "id", "t", 16, Seq(2, 2)))
+  }
 }

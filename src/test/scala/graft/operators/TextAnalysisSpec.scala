@@ -674,4 +674,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("c") == ((4L, 2L, Some(0.5), Some(2.0))))
     assert(got("one") == ((1L, 1L, None, None)))
   }
+
+  test("vocabCoverage: rungs count surviving types and their mass") {
+    import spark.implicits._
+    // "a" ×6, "b" ×3, "c" ×1 → total mass 10
+    val docs = Seq("a a a b", "a a a b b c").map(Tuple1(_)).toDF("t")
+    val got = TextAnalysis.vocabCoverage(docs, "t", Seq(2L, 4L, 7L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(2L) == ((2L, 9L, 0.9)))     // a+b survive, 9/10 mass
+    assert(got(4L) == ((1L, 6L, 0.6)))     // only a
+    assert(!got.contains(7L) || got(7L)._1 == 0L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabCoverage(docs, "t", Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabCoverage(docs, "t", Seq(2L, 2L)))
+  }
 }
