@@ -835,4 +835,52 @@ object Sampling {
         round(sum(col("__tok")).cast("double") / lit(capacity.toDouble), 6)
           .as("fill_rate"))
   }
+
+  /**
+   * P249 — sampling convergence curve: the same statistic (mean ± 95%
+   * CI) measured on nested hash samples at dyadic fractions — "is 1/64
+   * of the data enough for this estimate, or do the error bars still
+   * move" answered empirically, which is how a 100 TB pipeline decides
+   * its profiling sample size. Fractions are powers of two so every
+   * keep-threshold is an EXACT integer bound on the 56-bit hash (no
+   * double thresholds) and each rung's sample nests inside the next
+   * (same draw, tightening bound — the curve is apples-to-apples by
+   * construction). Emits per rung (fraction, n, mean_v, sd, ci_half).
+   *
+   * Shapes: one hash projection, the rung ladder broadcast k-row, one
+   * fused conditional moment agg per rung. Cross-engine: exact decimal
+   * moments (the o23 chain), a fixed closing double sequence with two
+   * IEEE sqrts, rounded at 6.
+   */
+  def sampleConvergence(df: DataFrame, idCol: String, valueCol: String,
+      fracExps: Seq[Int] = Seq(6, 4, 2, 0),
+      salt: String = "curve:"): DataFrame = {
+    require(fracExps.nonEmpty && fracExps.forall(e => e >= 0 && e <= 40),
+      s"sampleConvergence: exponents must be in 0..40, got $fracExps")
+    require(fracExps.distinct.size == fracExps.size,
+      s"sampleConvergence: duplicate exponents in $fracExps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ladder = fracExps.sorted.reverse
+      .map(e => (1.0 / (1L << e), 1L << (56 - e))).toDF("fraction", "__thr")
+    val base = df.where(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(hashValue(col(idCol), salt).as("__hv"),
+        col(valueCol).cast("double").as("__v"))
+    val d18 = col("__v").cast("decimal(18,6)")
+    val d19 = col("__v").cast("decimal(19,6)")
+    val g = base.crossJoin(broadcast(ladder)) // k-row rung ladder
+      .where(col("__hv") < col("__thr"))
+      .groupBy(col("fraction"))
+      .agg(count(lit(1)).as("n"), sum(d18).cast("double").as("__s"),
+        sum(d19 * d19).cast("double").as("__q"))
+    val nd = col("n").cast("double")
+    val variance = greatest(
+      (col("__q") - col("__s") * col("__s") / nd) / (nd - lit(1.0)),
+      lit(0.0))
+    g.select(col("fraction"), col("n"),
+      round(col("__s") / nd, 6).as("mean_v"),
+      when(col("n") > 1, round(sqrt(variance), 6)).as("sd"),
+      when(col("n") > 1,
+        round(lit(1.96) * sqrt(variance) / sqrt(nd), 6)).as("ci_half"))
+  }
 }

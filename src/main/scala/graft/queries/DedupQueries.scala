@@ -376,6 +376,22 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P251 — loader-input materialization: quality gate → exact dedup →
+    // sequence packing as ONE lazy plan (the pipe1 curation head with
+    // the P220 packing tail — what actually feeds a training loader)
+    "pipe10_loader" -> ((s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      val quality = corpus.where(
+        graft.operators.TextAnalysis.tokenCount(col("text")) >= 30)
+      val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+      val docs = deduped.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.operators.Sampling.sequencePack(docs, "doc_id", "n_tokens",
+          shards = 4, capacity = 512L, salt = "loader:")
+        .orderBy("shard", "bin")
+    }),
+
     "pipe1_curation" -> ((s, dir) => {
       val corpus = dupedDocs(s, dir)
       val probes = table(s, dir, "documents").where(col("doc_id") % 97 === 0)
@@ -438,6 +454,43 @@ object DedupQueries {
          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM ($dupedDocsSql))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // quality filter + min-doc-per-text survivors + the pipe9 pack
+    // replay at salt 'loader:' — three stages, one sequential oracle
+    "pipe10_loader" ->
+      s"""WITH duped AS ($dupedDocsSql),
+         |q AS (
+         |  SELECT doc_id, text FROM duped
+         |  WHERE CAST(len(list_filter(string_split_regex(lower(trim(text)),
+         |    '\\s+'), x -> x <> '')) AS BIGINT) >= 30),
+         |surv AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM q) WHERE rn = 1),
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+         |      '\\s+'), x -> x <> '')) AS BIGINT) AS tok,
+         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+         |        FOR ch IN string_split(substr(md5('loader:' ||
+         |          COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) AS h
+         |  FROM surv WHERE doc_id IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, tok, h % 4 AS shard,
+         |    COALESCE(CAST(SUM(tok) OVER (PARTITION BY h % 4
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS strt
+         |  FROM t)
+         |SELECT shard, strt // 512 AS bin, CAST(COUNT(*) AS BIGINT)
+         |    AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS tokens,
+         |  CAST(SUM(CASE WHEN strt % 512 + tok > 512 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_straddle,
+         |  round(CAST(SUM(tok) AS DOUBLE) / 512.0e0, 6) AS fill_rate
+         |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
 
     // the d18 portable signature slots, plain slot-concat band keys,
     // per-setting candidate CTEs and scalar count subqueries

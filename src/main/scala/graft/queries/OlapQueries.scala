@@ -531,6 +531,37 @@ object OlapQueries {
         "event_id", "treat", "value", resamples = 32)
     }),
 
+    // P249 — sampling convergence: mean event value ± CI at dyadic
+    // hash fractions 1/64..1 — "how small a profiling sample is safe"
+    "sa20_sample_curve" -> ((s, dir) => {
+      graft.operators.Sampling.sampleConvergence(
+          graft.Graft.events(s, dir).select("event_id", "value"),
+          "event_id", "value")
+        .orderBy("fraction")
+    }),
+
+    // P250 — CUPED variance-reduction gain: the o22 adjustment scored
+    // by the o23 Welch t on BOTH metrics — the "did CUPED buy power"
+    // readout (|t| grows when the pre-period explains variance)
+    "o68_cuped_gain" -> ((s, dir) => {
+      val cut = expr("timestamp'2024-01-16 00:00:00'")
+      val dec = col("value").cast("decimal(18,6)")
+      val perUser = graft.Graft.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("ts") < cut, dec)), lit(BigDecimal(0)))
+          .cast("double").as("x"),
+          coalesce(sum(when(col("ts") >= cut, dec)), lit(BigDecimal(0)))
+            .cast("double").as("y"))
+      val adj = graft.operators.Features.cupedAdjust(perUser, "x", "y")
+        .withColumn("arm", (col("user_id") % 2 === 1).cast("string"))
+      def side(metric: String, vcol: String) =
+        graft.operators.Features.welchTTest(adj, "arm", vcol,
+            "true", "false")
+          .select(lit(metric).as("metric"), col("n_a"), col("n_b"),
+            col("mean_a"), col("mean_b"), col("t"), col("dof"))
+      side("cuped", "y_cuped").union(side("raw", "y")).orderBy("metric")
+    }),
+
     // P242 — DAU / trailing-7-day stickiness over events: the
     // engagement series with exact distinct counts per spine day
     "q22_stickiness" -> ((s, dir) => {
@@ -2456,6 +2487,118 @@ object OlapQueries {
          |  CASE WHEN k = 2 THEN round(${theory(2)}, 9)
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
+    },
+
+    // dyadic fractions = exact integer hash bounds (a VALUES ladder);
+    // the o23 moment chain per rung
+    "sa20_sample_curve" -> {
+      val rungs = Seq(6, 4, 2, 0).sorted.reverse.map { e =>
+        s"(${1.0 / (1L << e)}e0, CAST(${1L << (56 - e)} AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH l(fraction, thr) AS (VALUES $rungs),
+         |b AS (
+         |  SELECT
+         |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+         |        FOR ch IN string_split(substr(md5('curve:' ||
+         |          COALESCE(CAST(event_id AS VARCHAR), '')), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) AS hv,
+         |    value AS v
+         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         |g AS (
+         |  SELECT l.fraction, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
+         |      AS DOUBLE) AS q
+         |  FROM b CROSS JOIN l WHERE b.hv < l.thr GROUP BY 1)
+         |SELECT fraction, n,
+         |  round(s / CAST(n AS DOUBLE), 6) AS mean_v,
+         |  CASE WHEN n > 1 THEN
+         |    round(sqrt(greatest((q - s * s / CAST(n AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) - 1.0e0), 0.0e0)), 6) END AS sd,
+         |  CASE WHEN n > 1 THEN
+         |    round(1.96e0 * sqrt(greatest((q - s * s / CAST(n AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) - 1.0e0), 0.0e0)) /
+         |      sqrt(CAST(n AS DOUBLE)), 6) END AS ci_half
+         |FROM g ORDER BY fraction""".stripMargin
+    },
+
+    // the o22 theta/adjustment CTEs verbatim, then the o23 Welch chain
+    // run twice (raw y and y_cuped) and union-tagged
+    "o68_cuped_gain" -> {
+      def welch(vExpr: String, tag: String) =
+        s"""m_$tag AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN g = 'true' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(SUM(CASE WHEN g = 'false' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b,
+           |    CAST(SUM(CASE WHEN g = 'true' THEN
+           |      CAST($vExpr AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+           |    CAST(SUM(CASE WHEN g = 'false' THEN
+           |      CAST($vExpr AS DECIMAL(18,6)) END) AS DOUBLE) AS sb,
+           |    CAST(SUM(CASE WHEN g = 'true' THEN
+           |      CAST($vExpr AS DECIMAL(19,6)) *
+           |      CAST($vExpr AS DECIMAL(19,6)) END) AS DOUBLE) AS qa,
+           |    CAST(SUM(CASE WHEN g = 'false' THEN
+           |      CAST($vExpr AS DECIMAL(19,6)) *
+           |      CAST($vExpr AS DECIMAL(19,6)) END) AS DOUBLE) AS qb
+           |  FROM armed WHERE $vExpr IS NOT NULL
+           |    AND (g = 'true' OR g = 'false')),
+           |z_$tag AS (
+           |  SELECT '$tag' AS metric, n_a, n_b,
+           |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+           |    sa, sb, qa, qb,
+           |    sa / CAST(n_a AS DOUBLE) AS ma,
+           |    sb / CAST(n_b AS DOUBLE) AS mb,
+           |    greatest((qa - sa * sa / CAST(n_a AS DOUBLE)) /
+           |      (CAST(n_a AS DOUBLE) - 1.0e0), 0.0e0) AS va,
+           |    greatest((qb - sb * sb / CAST(n_b AS DOUBLE)) /
+           |      (CAST(n_b AS DOUBLE) - 1.0e0), 0.0e0) AS vb
+           |  FROM m_$tag),
+           |r_$tag AS (
+           |  SELECT metric, n_a, n_b, round(ma, 6) AS mean_a,
+           |    round(mb, 6) AS mean_b,
+           |    CASE WHEN n_a >= 2 AND n_b >= 2 AND va / na + vb / nb > 0
+           |      THEN round((ma - mb) / sqrt(va / na + vb / nb), 6) END
+           |      AS t,
+           |    CASE WHEN n_a >= 2 AND n_b >= 2 AND va / na + vb / nb > 0
+           |      THEN round(((va / na + vb / nb) * (va / na + vb / nb)) /
+           |        ((va / na) * (va / na) / (na - 1.0e0) +
+           |         (vb / nb) * (vb / nb) / (nb - 1.0e0)), 6) END AS dof
+           |  FROM z_$tag)""".stripMargin
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(coalesce(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS x,
+         |    CAST(coalesce(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1),
+         |mm AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+         |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+         |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+         |  FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+         |tt AS (
+         |  SELECT n, sx,
+         |    CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+         |         THEN (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |              (CAST(n AS DOUBLE) * sxx - sx * sx)
+         |         ELSE 0.0e0 END AS th
+         |  FROM mm),
+         |armed AS (
+         |  SELECT user_id, y,
+         |    round(y - th * (x - sx / CAST(n AS DOUBLE)), 6) AS y_cuped,
+         |    CAST(user_id % 2 = 1 AS VARCHAR) AS g
+         |  FROM pu CROSS JOIN tt),
+         |${welch("y", "raw")},
+         |${welch("y_cuped", "cuped")},
+         |u AS (SELECT * FROM r_cuped UNION ALL SELECT * FROM r_raw)
+         |SELECT metric, n_a, n_b, mean_a, mean_b, t, dof
+         |FROM u ORDER BY metric""".stripMargin
     },
 
     // the day spine against the (day, user) dedup with a bounded range

@@ -548,4 +548,24 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.sequencePack(docs, "id", "tok", 2, 0L))
   }
+
+  test("sampleConvergence: nested rungs, full rung is the exact stats") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val rows = Sampling.sampleConvergence(df, "id", "v", Seq(4, 0))
+      .orderBy("fraction").collect()
+    assert(rows.length == 2)
+    val small = rows(0); val full = rows(1)
+    assert(small.getDouble(0) == 0.0625 && full.getDouble(0) == 1.0)
+    // the full rung is the whole frame — exact mean of 0..99 cycles
+    assert(full.getLong(1) == 2000L && full.getDouble(2) == 49.5)
+    // nesting: the small rung is a subset
+    assert(small.getLong(1) < 2000L && small.getLong(1) > 0L)
+    // error bars shrink with n
+    assert(full.getDouble(4) < small.getDouble(4))
+    intercept[IllegalArgumentException](
+      Sampling.sampleConvergence(df, "id", "v", Nil))
+    intercept[IllegalArgumentException](
+      Sampling.sampleConvergence(df, "id", "v", Seq(2, 2)))
+  }
 }
