@@ -604,7 +604,7 @@ object Features {
    * `reject` reads the rounded q.
    */
   def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
-      alphaPct: Int = 5): DataFrame = {
+      alphaPct: Int = 5, dependence: Boolean = false): DataFrame = {
     require(alphaPct >= 1 && alphaPct <= 50,
       s"benjaminiHochberg: alphaPct must be in 1..50, got $alphaPct")
     val guarded = when(col(pCol) < 0 || col(pCol) > 1,
@@ -614,14 +614,32 @@ object Features {
     val base = df.where(col(idCol).isNotNull && col(pCol).isNotNull)
       .select(col(idCol).as("id"), guarded.as("p"))
     val nAgg = base.agg(count(lit(1)).as("__n"))
+    // Benjamini–Yekutieli: the arbitrary-dependence correction c(n) =
+    // Σ 1/i, harmonic terms through the 9-rounded DECIMAL firewall (a
+    // tests-count-sized generate, never corpus-sized); c(n) = 1 for
+    // plain BH — the factor column is absent entirely so the original
+    // plan is untouched
+    val scalars =
+      if (!dependence) nAgg
+      else nAgg
+        .select(col("__n"), explode(sequence(lit(1L), col("__n")))
+          .as("__i"))
+        .groupBy(col("__n"))
+        .agg(sum(round(lit(1.0) / col("__i").cast("double"), 9)
+          .cast("decimal(28,9)")).cast("double").as("__c"))
     val wRank = Window.orderBy(col("p").asc, col("id").asc)
     val wMin = Window.orderBy(col("rank").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    base.crossJoin(broadcast(nAgg)) // 1-row scalar side
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .withColumn("__raw",
+    val raw =
+      if (dependence)
+        round(col("p") * col("__n").cast("double") * col("__c") /
+          col("rank").cast("double"), 9)
+      else
         round(col("p") * col("__n").cast("double") /
-          col("rank").cast("double"), 9))
+          col("rank").cast("double"), 9)
+    base.crossJoin(broadcast(scalars)) // 1-row scalar side
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("__raw", raw)
       .withColumn("q", least(min(col("__raw")).over(wMin), lit(1.0)))
       .withColumn("reject", col("q") <= alphaPct / 100.0)
       .select(col("id").as(idCol), col("p"), col("rank"), col("q"),

@@ -232,6 +232,61 @@ object Sketches {
   }
 
   /**
+   * P254 — count-min error curve: at each sketch width, the measured
+   * overestimate (est − true, never negative — the CM guarantee) across
+   * every distinct item, beside the classical e·N/w bound — the sizing
+   * table for P49's sketch ("256 buckets overestimates hot tokens by
+   * ~40 on this stream; 1024 is exact") measured instead of assumed,
+   * the P247 discipline applied to the other sketch family. Emits per
+   * width (width, n_items, n_over, mean_err, max_err, bound).
+   *
+   * Shapes: per width one bounded row-expansion agg (the sketch), a
+   * probe join on (r, bucket) — both sides sketch/vocab-sized — and a
+   * min-over-rows agg; the ladder unions. Cross-engine: counts exact
+   * BIGINTs (the estimate is a min of exact cell counts), the bound
+   * one double product with the shared Euler literal, rounded at 6.
+   */
+  def cmsErrorCurve(items: DataFrame, itemCol: String, rows: Int,
+      widths: Seq[Int], salt: String = "cmsw"): DataFrame = {
+    require(rows >= 1 && rows <= 8,
+      s"cmsErrorCurve: rows must be in 1..8, got $rows")
+    require(widths.nonEmpty && widths.forall(_ >= 2),
+      s"cmsErrorCurve: widths must be >= 2, got $widths")
+    require(widths.distinct.size == widths.size,
+      s"cmsErrorCurve: duplicate widths in $widths")
+    val base = items.where(col(itemCol).isNotNull)
+      .select(col(itemCol).as("__it"))
+    val truth = base.groupBy(col("__it")).agg(count(lit(1)).as("__f"))
+    val totals = truth.agg(sum(col("__f")).as("__nn"))
+    widths.sorted.map { w =>
+      val cells = countMinSketch(base, "__it", rows, w, s"$salt$w:")
+      val probes = truth
+        .select(col("__it"), col("__f"),
+          explode(array((0 until rows).map { r =>
+            struct(lit(r).as("r"),
+              Sampling.hashBucket(col("__it"), w, s"$salt$w:$r:")
+                .as("bucket"))
+          }: _*)).as("__cell"))
+        .select(col("__it"), col("__f"), col("__cell.r").as("r"),
+          col("__cell.bucket").as("bucket"))
+      val est = probes.join(cells.hint("shuffle_hash"), Seq("r", "bucket"))
+        .groupBy(col("__it"), col("__f"))
+        .agg(min(col("n")).as("__est"))
+        .withColumn("__err", col("__est") - col("__f"))
+      est.agg(count(lit(1)).as("n_items"),
+        sum(when(col("__err") > 0, 1L).otherwise(0L)).as("n_over"),
+        round(sum(col("__err")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_err"),
+        max(col("__err")).as("max_err"))
+        .join(broadcast(totals)) // 1-row scalar side
+        .select(lit(w).as("width"), col("n_items"), col("n_over"),
+          col("mean_err"), col("max_err"),
+          round(lit(math.E) * col("__nn").cast("double") /
+            lit(w.toDouble), 6).as("bound"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * P235 — KMV/theta-sketch set operations: bottom-k sketches of two
    * key sets over the SAME hash (so a shared key owns one hash in
    * both), θ = the smaller k-th minimum, and union/intersection

@@ -376,6 +376,25 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P253 — duplication rate per source over the RAW corpus (it has
+    // natural exact dups — the d1 attrition): the ops dashboard row
+    // that names WHICH feed re-crawls
+    "d22_dup_by_source" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "source", "text")
+      val dups = Dedup.exactDupPairs(docs, "doc_id", "text")
+        .select(col("duplicate_id").as("doc_id"))
+        .withColumn("__isdup", lit(1L))
+      docs.join(dups.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__isdup"), lit(0L))).as("n_dups"))
+        .withColumn("dup_rate",
+          round(col("n_dups").cast("double") / col("n_docs").cast("double"),
+            6))
+        .orderBy("source")
+    }),
+
     // P251 — loader-input materialization: quality gate → exact dedup →
     // sequence packing as ONE lazy plan (the pipe1 curation head with
     // the P220 packing tail — what actually feeds a training loader)
@@ -454,6 +473,19 @@ object DedupQueries {
          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM ($dupedDocsSql))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // rn > 1 within a text group ⟺ the operator's duplicate set
+    "d22_dup_by_source" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
+        |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
 
     // quality filter + min-doc-per-text survivors + the pipe9 pack
     // replay at salt 'loader:' — three stages, one sequential oracle

@@ -437,6 +437,34 @@ object OlapQueries {
         .orderBy("rank")
     }),
 
+    // P252 — Benjamini–Yekutieli on the o53 test frame: the
+    // arbitrary-dependence FDR variant (c(n) ≈ ln n + γ inflation) for
+    // correlated segment sweeps
+    "o69_by_fdr" -> ((s, dir) => {
+      val u = graft.operators.Sampling.uniform01(col("c_custkey"), "bh:")
+      val tests = table(s, dir, "customer")
+        .where(col("c_custkey") % 50 === 0 && col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("test_id"),
+          when(col("c_custkey") % 500 === 0, round(u / 100.0, 9))
+            .otherwise(round(u, 9)).as("p"))
+      graft.operators.Features.benjaminiHochberg(tests, "test_id", "p",
+          dependence = true)
+        .orderBy("rank")
+    }),
+
+    // P254 — count-min error curve over document tokens at three
+    // widths: the sketch-sizing table, measured (the d21 discipline
+    // applied to the CMS family)
+    "sk12_cms_error" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(
+          graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.operators.Sketches.cmsErrorCurve(toks, "tok", rows = 4,
+          widths = Seq(64, 256, 1024))
+        .orderBy("width")
+    }),
+
     // P210 — 10% trimmed & winsorized means of event value per type:
     // the robust-location trio read against the raw mean
     "o51_trimmed" -> ((s, dir) => {
@@ -2193,6 +2221,100 @@ object OlapQueries {
         |SELECT event_type, n AS n_days, next_day AS change_day,
         |  sse_total, cost AS sse_split, round(sse_total - cost, 6) AS gain
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // the o53 replay with the harmonic c(n) factor inside the raw
+    // adjustment (9-rounded terms DECIMAL-summed)
+    "o69_by_fdr" ->
+      """WITH h AS (
+        |  SELECT c_custkey,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('bh:' ||
+        |          CAST(c_custkey AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM customer
+        |  WHERE c_custkey % 50 = 0 AND c_custkey IS NOT NULL),
+        |t AS (
+        |  SELECT c_custkey AS test_id,
+        |    CASE WHEN c_custkey % 500 = 0 THEN round(u / 100.0e0, 9)
+        |         ELSE round(u, 9) END AS p
+        |  FROM (SELECT c_custkey,
+        |          CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0 AS u
+        |        FROM h)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        |hc AS (
+        |  SELECT CAST(SUM(CAST(round(1.0e0 / CAST(i AS DOUBLE), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(generate_series(1,
+        |          (SELECT n FROM nn))) AS i)),
+        |r AS (
+        |  SELECT test_id, p,
+        |    CAST(row_number() OVER (ORDER BY p, test_id) AS BIGINT)
+        |      AS rank,
+        |    nn.n, hc.c
+        |  FROM t CROSS JOIN nn CROSS JOIN hc),
+        |x AS (
+        |  SELECT test_id, p, rank,
+        |    round(p * CAST(n AS DOUBLE) * c / CAST(rank AS DOUBLE), 9)
+        |      AS raw
+        |  FROM r),
+        |y AS (
+        |  SELECT test_id, p, rank,
+        |    LEAST(MIN(raw) OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING), 1.0e0) AS q
+        |  FROM x)
+        |SELECT test_id, p, rank, q, (q <= 0.05e0) AS reject
+        |FROM y ORDER BY rank""".stripMargin,
+
+    // per-width cell replay (salted md5 buckets), min-over-rows
+    // estimates, exact integer errors, the e·N/w bound
+    "sk12_cms_error" -> {
+      val eLit = math.E.toString + "e0"
+      def hvExpr(saltPrefix: String) =
+        s"""list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+           |      FOR ch IN string_split(substr(md5('$saltPrefix' || tok),
+           |        1, 14), '')],
+           |    (acc, x) -> acc * 16 + x)""".stripMargin
+      def setting(w: Int) = {
+        val cellSelects = (0 until 4).map(r =>
+          s"SELECT $r AS r, ${hvExpr(s"cmsw$w:$r:")} % $w AS bucket FROM tk")
+          .mkString("\n         |    UNION ALL\n         |    ").stripMargin
+        val probeSelects = (0 until 4).map(r =>
+          s"SELECT tok, f, $r AS r, ${hvExpr(s"cmsw$w:$r:")} % $w AS bucket FROM tf")
+          .mkString("\n         |    UNION ALL\n         |    ").stripMargin
+        s"""cells_$w AS (
+           |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           |    $cellSelects)
+           |  GROUP BY 1, 2),
+           |est_$w AS (
+           |  SELECT p.tok, p.f, MIN(c.n) AS est FROM (
+           |    $probeSelects) p
+           |  JOIN cells_$w c ON c.r = p.r AND c.bucket = p.bucket
+           |  GROUP BY 1, 2),
+           |row_$w AS (
+           |  SELECT $w AS width, CAST(COUNT(*) AS BIGINT) AS n_items,
+           |    CAST(SUM(CASE WHEN est - f > 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_over,
+           |    round(CAST(SUM(est - f) AS DOUBLE) /
+           |      CAST(COUNT(*) AS DOUBLE), 6) AS mean_err,
+           |    CAST(MAX(est - f) AS BIGINT) AS max_err,
+           |    round($eLit * (SELECT CAST(SUM(f) AS DOUBLE) FROM tf) /
+           |      ${w.toDouble}e0, 6) AS bound
+           |  FROM est_$w)""".stripMargin
+      }
+      s"""WITH tk AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+         |    '\\s+'), x -> x <> '')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tk
+         |       GROUP BY 1),
+         |${setting(64)},
+         |${setting(256)},
+         |${setting(1024)},
+         |u AS (SELECT * FROM row_64 UNION ALL SELECT * FROM row_256
+         |      UNION ALL SELECT * FROM row_1024)
+         |SELECT width, n_items, n_over, mean_err, max_err, bound
+         |FROM u ORDER BY width""".stripMargin
+    },
 
     // the bh: uniform replay, exact rank/n BIGINTs, suffix-min window
     "o53_bh" ->

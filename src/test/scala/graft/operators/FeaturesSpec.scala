@@ -777,6 +777,24 @@ class FeaturesSpec extends SparkSpec {
       Features.permutationTestMeans(strong, "id", "g", "v", 4))
   }
 
+  test("benjaminiHochberg dependence=true inflates q by the harmonic factor") {
+    import spark.implicits._
+    val tests = Seq((1L, 0.001), (2L, 0.02), (3L, 0.2), (4L, 0.8))
+      .toDF("id", "p")
+    val bh = Features.benjaminiHochberg(tests, "id", "p")
+      .orderBy("rank").collect()
+    val by = Features.benjaminiHochberg(tests, "id", "p", dependence = true)
+      .orderBy("rank").collect()
+    // c(4) = 1 + 1/2 + 1/3 + 1/4 = 2.083333333 (9-rounded terms)
+    val c = 1.0 + 0.5 + math.rint(1.0 / 3 * 1e9) / 1e9 + 0.25
+    bh.zip(by).foreach { case (a, b) =>
+      assert(b.getDouble(3) >= a.getDouble(3))     // BY never smaller
+      assert(b.getDouble(3) <= 1.0)
+    }
+    // the top test's q scales by exactly c before the suffix-min/clamp
+    assert(math.abs(by.head.getDouble(3) - bh.head.getDouble(3) * c) < 1e-6)
+  }
+
   test("cohensKappa: perfect, chance-level, and skew-corrected agreement") {
     import spark.implicits._
     val perfect = Seq.fill(10)(("x", "x")) ++ Seq.fill(5)(("y", "y"))

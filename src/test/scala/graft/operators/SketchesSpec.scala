@@ -339,4 +339,24 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.kmvSetOps(items, "id", "tag", "x", "y", 1))
   }
+
+  test("cmsErrorCurve: overestimates only, wide sketches become exact") {
+    import spark.implicits._
+    val items = (1 to 1000).map(i => s"item${i % 50}").toDF("it")
+    val rows = Sketches.cmsErrorCurve(items, "it", rows = 4,
+      widths = Seq(8, 4096)).orderBy("width").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 50L)
+      // CM never underestimates: max_err ≥ 0 and mean_err ≥ 0
+      assert(r.getLong(4) >= 0L && r.getDouble(3) >= 0.0)
+    }
+    // 8 buckets over 50 items MUST collide; 4096 is collision-free
+    assert(rows(0).getLong(2) > 0L)
+    assert(rows(1).getLong(2) == 0L && rows(1).getDouble(3) == 0.0)
+    intercept[IllegalArgumentException](
+      Sketches.cmsErrorCurve(items, "it", 0, Seq(8)))
+    intercept[IllegalArgumentException](
+      Sketches.cmsErrorCurve(items, "it", 4, Seq(8, 8)))
+  }
 }
