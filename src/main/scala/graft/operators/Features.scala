@@ -2085,6 +2085,108 @@ object Features {
   }
 
   /**
+   * P257 — Wilcoxon signed-rank test for paired samples: rank the
+   * nonzero |differences|, W⁺ = rank sum of the positive side, and the
+   * tie-corrected normal approximation
+   * z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48) — the paired
+   * complement to P102's two-sample rank test (same units before/after,
+   * no normality assumption — where P183's paired t needs one). Emits
+   * ONE row (n_pairs, n_pos, n_neg, w_plus, z); zero differences drop
+   * (the standard convention), all-tied data nulls z.
+   *
+   * Shape: the pooled |d| ranking is one global-order window — the o5
+   * exact-statistic caveat (a rank TEST runs on a sample or a group
+   * slice, never the raw 100 TB; bucket values first at that scale).
+   * Cross-engine: differences are exact DECIMAL, doubled average ranks
+   * are exact BIGINTs (the P102 idiom — no decimal division), the tie
+   * term Σ(t³−t) exact BIGINT, and the closing z a fixed double
+   * sequence with one IEEE sqrt, rounded at 6.
+   */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val d = (col(yCol).cast("decimal(18,6)") -
+      col(xCol).cast("decimal(18,6)"))
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(d.as("__d"))
+      .where(col("__d") =!= 0)
+      .select(col("__d"), abs(col("__d")).as("__ad"))
+    val w = Window.orderBy(col("__ad").asc)
+    val tiesW = Window.partitionBy(col("__ad"))
+    val ranked = base
+      .withColumn("__minr", rank().over(w).cast("long"))
+      .withColumn("__t", count(lit(1)).over(tiesW))
+      .withColumn("__avgr2", lit(2L) * col("__minr") + col("__t") - lit(1L))
+    val ties = base.groupBy(col("__ad"))
+      .agg(count(lit(1)).as("__tt"))
+      .agg(coalesce(sum(col("__tt") * col("__tt") * col("__tt") -
+        col("__tt")), lit(0L)).as("__tie3"))
+    val agg = ranked.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("__d") > 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("__d") < 0, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("__d") > 0, col("__avgr2")).otherwise(0L)).as("__w2"))
+    val nd = col("n_pairs").cast("double")
+    val wPlus = col("__w2").cast("double") / lit(2.0)
+    val varW = nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) /
+      lit(24.0) - col("__tie3").cast("double") / lit(48.0)
+    agg.crossJoin(broadcast(ties)) // 1-row scalar side
+      .select(col("n_pairs"), col("n_pos"), col("n_neg"),
+        round(wPlus, 6).as("w_plus"),
+        when(col("n_pairs") > 0 && varW > 0,
+          round((wPlus - nd * (nd + lit(1.0)) / lit(4.0)) / sqrt(varW), 6))
+          .as("z"))
+  }
+
+  /**
+   * P258 — Matthews correlation + the confusion-matrix readout for a
+   * binary predictor: TP/FP/TN/FN cells and
+   * MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) with
+   * accuracy, precision, recall and F1 — the single-number classifier
+   * score that (unlike accuracy and F1) stays honest under class skew,
+   * closing the eval family around P232's stump and P241's calibration.
+   * Emits ONE row; a degenerate margin (any factor 0) nulls MCC.
+   *
+   * Shape: one fused conditional count agg. Cross-engine: all cells
+   * exact BIGINTs; the numerator is an exact DECIMAL(19,0)-product
+   * difference; the denominator multiplies two exact sub-2⁵³ double
+   * products under one sqrt each; ratios round at 6.
+   */
+  def matthewsCorrelation(df: DataFrame, predCol: String,
+      labelCol: String): DataFrame = {
+    val pr = col(predCol).cast("boolean")
+    val lb = col(labelCol).cast("boolean")
+    val agg = df.where(pr.isNotNull && lb.isNotNull)
+      .agg(sum(when(pr && lb, 1L).otherwise(0L)).as("tp"),
+        sum(when(pr && !lb, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pr && !lb, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pr && lb, 1L).otherwise(0L)).as("fn"))
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val num = (d19(col("tp")) * d19(col("tn")) -
+      d19(col("fp")) * d19(col("fn"))).cast("double")
+    val den = sqrt((col("tp") + col("fp")).cast("double") *
+        (col("tp") + col("fn")).cast("double")) *
+      sqrt((col("tn") + col("fp")).cast("double") *
+        (col("tn") + col("fn")).cast("double"))
+    val n = col("tp") + col("fp") + col("tn") + col("fn")
+    agg
+      .withColumn("mcc", when(den > 0, round(num / den, 6)))
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")).cast("double") / n.cast("double"), 6))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6)))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"),
+            6)))
+  }
+
+  /**
    * P245 — Lorenz curve points: bucket units at the quantiles of their
    * value, then each bucket's share and CUMULATIVE share of the total —
    * the concentration read behind "the top decile of customers is 45%

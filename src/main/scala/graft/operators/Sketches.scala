@@ -171,6 +171,17 @@ object Sketches {
     // double, and the cast is safe: maxRank ≤ 53); empty registers — never
     // shuffled — contribute 2^maxRank each, added from the present-count
     val registers = hllRegisters(items, itemCol, group, p, salt)
+    hllClose(registers, group, p)
+  }
+
+  /** The ONE register→estimate closing (linear-counting gate + raw
+    * harmonic estimate) shared by [[hllDistinct]] and [[hllUnion]] —
+    * the sketch algebra is only sound if merged registers close with
+    * the IDENTICAL arithmetic the per-set estimates used. */
+  private def hllClose(registers: DataFrame, group: Seq[Column],
+      p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRank = 56 - p + 1
     val scaleTerm = math.pow(2.0, maxRank).toLong
     val numerator = hllAlpha(m) * (m.toLong * m).toDouble * scaleTerm.toDouble
     val est = registers
@@ -185,6 +196,49 @@ object Sketches {
       when(col("v") > 0L && raw <= lit(2.5 * m),
         lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
         .otherwise(raw).as("hll_est"): _*)
+  }
+
+  /**
+   * P256 — HLL set-union merge: per-set registers over ONE shared hash,
+   * the union sketch as the register-wise MAX, and all three estimates
+   * through the IDENTICAL closing — the mergeability property that
+   * makes HLL the 1000-executor distinct counter demonstrated and
+   * audited (max-merge is exactly what tree-aggregating partial
+   * sketches does), with the exact counts beside (the sk2 audit
+   * convention). Emits ONE row (p, est_a, est_b, est_union, n_a_exact,
+   * n_b_exact, n_union_exact); estimates round at 3 (the sk2
+   * ulp-absorption level — the small-range branch holds one ln call).
+   *
+   * Shapes: one register agg keyed by (tag, register), the union a
+   * register-keyed max over the TWO-tag register frame (sketch-sized),
+   * closings and exact audits as 1-row broadcast joins.
+   */
+  def hllUnion(items: DataFrame, itemCol: String, tagCol: String,
+      tagA: String, tagB: String, p: Int = 6,
+      salt: String = "hllu:"): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllUnion: p must be in [4, 16], got $p")
+    require(tagA != tagB, "hllUnion: tags must differ")
+    val t = col(tagCol).cast("string")
+    val base = items
+      .where(col(itemCol).isNotNull && (t === tagA || t === tagB))
+      .select(when(t === tagA, lit("a")).otherwise(lit("b")).as("__t"),
+        col(itemCol).cast("string").as("__it"))
+    val regs = hllRegisters(base, "__it", Seq(col("__t")), p, salt)
+      .select(col("__t"), col("register"), col("mj"))
+    val union = regs.groupBy(col("register")).agg(max(col("mj")).as("mj"))
+      .select(lit("u").as("__t"), col("register"), col("mj"))
+    val ests = hllClose(regs.unionByName(union), Seq(col("__t")), p)
+    def one(tag: String, out: String) = ests.where(col("__t") === tag)
+      .select(round(col("hll_est"), 3).as(out))
+    val exact = base.groupBy(col("__it"))
+      .agg(max(when(col("__t") === "a", 1L).otherwise(0L)).as("__ia"),
+        max(when(col("__t") === "b", 1L).otherwise(0L)).as("__ib"))
+      .agg(sum(col("__ia")).as("n_a_exact"), sum(col("__ib")).as("n_b_exact"),
+        count(lit(1)).as("n_union_exact"))
+    one("a", "est_a").join(one("b", "est_b")).join(one("u", "est_union"))
+      .join(broadcast(exact)) // four 1-row frames
+      .select(lit(p).as("p"), col("est_a"), col("est_b"), col("est_union"),
+        col("n_a_exact"), col("n_b_exact"), col("n_union_exact"))
   }
 
   /**

@@ -1129,6 +1129,40 @@ object TextAnalysis {
   }
 
   /**
+   * P255 — n-gram originality per document: the share of a document's
+   * DISTINCT word n-grams whose corpus-wide FIRST occurrence (minimum
+   * doc id) is this document — the diversity/memorization read at the
+   * doc level ("originality 0.05 = this doc is assembled almost
+   * entirely from n-grams that already exist upstream": boilerplate,
+   * templates, near-copies), the per-doc complement to P52's
+   * cross-corpus decontamination. Emits (id, n_grams, n_first,
+   * originality); docs with no n-gram (< n tokens) drop.
+   *
+   * Shape: one distinct (doc, gram) explode, one gram-keyed min agg
+   * (map-side combinable), one shuffle-hash join back, one doc agg —
+   * no windows. Exact integers and one rounded ratio. First-occurrence
+   * attribution follows doc-id order, the same convention P174's
+   * Heaps checkpoints pin.
+   */
+  def ngramOriginality(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(ngramArray(tokens(col(textCol)), n)))
+          .as("gram"))
+    val firstSeen = grams.groupBy(col("gram"))
+      .agg(min(col("id")).as("__first"))
+    grams.join(firstSeen.hint("shuffle_hash"), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L))
+          .as("n_first"))
+      .withColumn("originality",
+        round(col("n_first").cast("double") / col("n_grams").cast("double"),
+          6))
+  }
+
+  /**
    * P246 — vocabulary coverage at frequency thresholds: for each
    * min-frequency rung, how many token TYPES survive and what share of
    * the corpus token MASS they cover — the tokenizer/vocab budget

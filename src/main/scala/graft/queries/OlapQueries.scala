@@ -559,6 +559,44 @@ object OlapQueries {
         "event_id", "treat", "value", resamples = 32)
     }),
 
+    // P257 — Wilcoxon signed-rank on per-user first-half vs
+    // second-half mean value: the paired, distribution-free
+    // before/after test
+    "o70_wilcoxon" -> ((s, dir) => {
+      val cut = expr("timestamp'2024-01-16 00:00:00'")
+      val dec = col("value").cast("decimal(18,6)")
+      def half(cond: org.apache.spark.sql.Column) =
+        round(sum(when(cond, dec)).cast("double") /
+          sum(when(cond, 1L).otherwise(0L)).cast("double"), 6)
+      val pairs = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(half(col("ts") < cut).as("x"), half(col("ts") >= cut).as("y"))
+      graft.operators.Features.wilcoxonSignedRank(pairs, "x", "y")
+    }),
+
+    // P258 — Matthews correlation of the o61 stump rule (n_events ≤ 7)
+    // against the churn label: the skew-honest classifier score beside
+    // accuracy/precision/recall/F1
+    "o71_mcc" -> ((s, dir) => {
+      val frame = graft.operators.TimeSeries.churnLabels(
+        graft.Graft.events(s, dir)
+          .select("user_id", "event_type", "ts", "value"),
+        Seq("user_id", "event_type"), "ts", "value", horizonDays = 2)
+      graft.operators.Features.matthewsCorrelation(
+        frame.select((col("n_events") <= 7).as("pred"), col("churned")),
+        "pred", "churned")
+    }),
+
+    // P256 — HLL max-merge union of click-user and purchase-user
+    // sketches: the mergeability that makes HLL the 1000-executor
+    // distinct counter, audited against exact counts
+    "sk13_hll_union" -> ((s, dir) => {
+      graft.operators.Sketches.hllUnion(
+        graft.Graft.events(s, dir).select("user_id", "event_type"),
+        "user_id", "event_type", tagA = "click", tagB = "purchase", p = 6)
+    }),
+
     // P249 — sampling convergence: mean event value ± CI at dyadic
     // hash fractions 1/64..1 — "how small a profiling sample is safe"
     "sa20_sample_curve" -> ((s, dir) => {
@@ -2610,6 +2648,169 @@ object OlapQueries {
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
     },
+
+    // 6-rounded per-half means, doubled average ranks on exact |d|
+    // decimals, exact tie cubes, one closing sqrt sequence
+    "o70_wilcoxon" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    round(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |      CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN 1 ELSE 0 END) AS DOUBLE), 6) AS x,
+        |    round(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |      CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN 1 ELSE 0 END) AS DOUBLE), 6) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(y AS DECIMAL(18,6)) - CAST(x AS DECIMAL(18,6)) AS d,
+        |    abs(CAST(y AS DECIMAL(18,6)) - CAST(x AS DECIMAL(18,6))) AS ad
+        |  FROM pu WHERE x IS NOT NULL AND y IS NOT NULL
+        |    AND CAST(y AS DECIMAL(18,6)) - CAST(x AS DECIMAL(18,6)) <> 0),
+        |r AS (
+        |  SELECT d, ad,
+        |    CAST(rank() OVER (ORDER BY ad) AS BIGINT) AS minr,
+        |    CAST(COUNT(*) OVER (PARTITION BY ad) AS BIGINT) AS t
+        |  FROM d),
+        |ties AS (
+        |  SELECT CAST(coalesce(SUM(tt * tt * tt - tt), 0) AS BIGINT)
+        |    AS tie3
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM d GROUP BY ad)),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 2 * minr + t - 1 ELSE 0 END)
+        |      AS BIGINT) AS w2
+        |  FROM r)
+        |SELECT n_pairs, n_pos, n_neg,
+        |  round(CAST(w2 AS DOUBLE) / 2.0e0, 6) AS w_plus,
+        |  CASE WHEN n_pairs > 0 AND
+        |      CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0e0) *
+        |        (2.0e0 * CAST(n_pairs AS DOUBLE) + 1.0e0) / 24.0e0 -
+        |        CAST(ties.tie3 AS DOUBLE) / 48.0e0 > 0
+        |    THEN round((CAST(w2 AS DOUBLE) / 2.0e0 -
+        |      CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0e0) /
+        |        4.0e0) /
+        |      sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) +
+        |          1.0e0) *
+        |        (2.0e0 * CAST(n_pairs AS DOUBLE) + 1.0e0) / 24.0e0 -
+        |        CAST(ties.tie3 AS DOUBLE) / 48.0e0), 6)
+        |  END AS z
+        |FROM a CROSS JOIN ties""".stripMargin,
+
+    // the q20 frame, exact confusion cells, decimal-product numerator,
+    // two exact double products under sqrts
+    "o71_mcc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS dy
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |m AS (SELECT MAX(dy) AS maxd FROM e),
+        |k AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT)
+        |      AS n_events,
+        |    MAX(dy) AS last_day
+        |  FROM e GROUP BY 1, 2),
+        |c AS (
+        |  SELECT (n_events <= 7) AS pred,
+        |    (datediff('day', last_day, m.maxd) > 2) AS lbl
+        |  FROM k CROSS JOIN m),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN pred AND lbl THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(CASE WHEN pred AND NOT lbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT pred AND NOT lbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN NOT pred AND lbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn
+        |  FROM c)
+        |SELECT tp, fp, tn, fn,
+        |  CASE WHEN sqrt(CAST((tp + fp) AS DOUBLE) *
+        |        CAST((tp + fn) AS DOUBLE)) *
+        |      sqrt(CAST((tn + fp) AS DOUBLE) *
+        |        CAST((tn + fn) AS DOUBLE)) > 0
+        |    THEN round(CAST(CAST(tp AS DECIMAL(19,0)) *
+        |        CAST(tn AS DECIMAL(19,0)) -
+        |        CAST(fp AS DECIMAL(19,0)) * CAST(fn AS DECIMAL(19,0))
+        |        AS DOUBLE) /
+        |      (sqrt(CAST((tp + fp) AS DOUBLE) * CAST((tp + fn) AS DOUBLE)) *
+        |       sqrt(CAST((tn + fp) AS DOUBLE) * CAST((tn + fn) AS DOUBLE))),
+        |      6)
+        |  END AS mcc,
+        |  round(CAST(tp + tn AS DOUBLE) /
+        |    CAST(tp + fp + tn + fn AS DOUBLE), 6) AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END
+        |    AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END
+        |    AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    round(CAST(2 * tp AS DOUBLE) /
+        |      CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
+        |FROM g""".stripMargin,
+
+    // the sk2 register math per tag, the union as register-wise MAX,
+    // the identical closing for all three estimates
+    "sk13_hll_union" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END
+        |      AS t,
+        |    CAST(user_id AS VARCHAR) AS it
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')),
+        |h AS (
+        |  SELECT t,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('hllu:' ||
+        |          COALESCE(it, '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM b),
+        |regs AS (
+        |  SELECT t, hv % 64 AS register,
+        |    MAX(CASE WHEN hv // 64 = 0 THEN 51
+        |        ELSE 51 - length(bin(hv // 64)) END) AS mj
+        |  FROM h GROUP BY 1, 2),
+        |uni AS (SELECT 'u' AS t, register, MAX(mj) AS mj
+        |        FROM regs GROUP BY 2),
+        |allr AS (SELECT * FROM regs UNION ALL SELECT * FROM uni),
+        |est AS (
+        |  SELECT t, round(CASE
+        |      WHEN v > 0 AND (0.709e0 * 4096.0e0 * 2251799813685248.0e0
+        |        / s) <= 160.0e0
+        |      THEN 64.0e0 * ln(64.0e0 / v)
+        |      ELSE 0.709e0 * 4096.0e0 * 2251799813685248.0e0 / s END, 3)
+        |      AS est
+        |  FROM (
+        |    SELECT t,
+        |      CAST(s_present + (64 - n_regs) *
+        |        CAST(2251799813685248 AS BIGINT) AS BIGINT) AS s,
+        |      64 - n_regs AS v
+        |    FROM (
+        |      SELECT t, sum(CAST(pow(2.0e0, 51 - mj) AS BIGINT))
+        |          AS s_present,
+        |        count(*) AS n_regs
+        |      FROM allr GROUP BY 1))),
+        |ex AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS n_a_exact,
+        |    CAST(SUM(ib) AS BIGINT) AS n_b_exact,
+        |    CAST(COUNT(*) AS BIGINT) AS n_union_exact
+        |  FROM (
+        |    SELECT it, MAX(CASE WHEN t = 'a' THEN 1 ELSE 0 END) AS ia,
+        |      MAX(CASE WHEN t = 'b' THEN 1 ELSE 0 END) AS ib
+        |    FROM b GROUP BY 1))
+        |SELECT 6 AS p, a.est AS est_a, bb.est AS est_b,
+        |  u.est AS est_union, ex.n_a_exact, ex.n_b_exact, ex.n_union_exact
+        |FROM est a, est bb, est u, ex
+        |WHERE a.t = 'a' AND bb.t = 'b' AND u.t = 'u'""".stripMargin,
 
     // dyadic fractions = exact integer hash bounds (a VALUES ladder);
     // the o23 moment chain per rung

@@ -213,6 +213,16 @@ object TextQueries {
         .orderBy("source", "cum_tokens", "doc_id")
     }),
 
+    // P255 — trigram originality per doc: share of a doc's distinct
+    // 3-grams first seen HERE (doc-id order) — the boilerplate /
+    // assembled-from-parts detector
+    "t30_originality" -> ((s, dir) => {
+      graft.operators.TextAnalysis.ngramOriginality(
+          table(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", n = 3)
+        .orderBy("id")
+    }),
+
     // P246 — vocab coverage at frequency rungs: the tokenizer budget
     // audit (share of token mass the ≥f vocab covers)
     "t29_vocab_coverage" -> ((s, dir) => {
@@ -830,6 +840,30 @@ object TextQueries {
     // hash order and inclusive running sum replayed with the portable-MD5
     // fold; the budget is rebuilt from the source index — the cum is
     // monotone, so cum <= budget is the same strict prefix on both sides
+    // position-sliced trigrams, distinct per doc, min-doc first-seen
+    "t30_originality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |g AS (
+        |  SELECT DISTINCT doc_id AS id, gram FROM (
+        |    SELECT doc_id,
+        |      l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS gram
+        |    FROM (SELECT doc_id, l,
+        |            unnest(generate_series(1, len(l) - 2)) AS i
+        |          FROM toks WHERE len(l) >= 3))),
+        |f AS (SELECT gram, MIN(id) AS fst FROM g GROUP BY 1)
+        |SELECT g.id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.fst = g.id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_first,
+        |  round(CAST(SUM(CASE WHEN f.fst = g.id THEN 1 ELSE 0 END)
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS originality
+        |FROM g JOIN f ON f.gram = g.gram
+        |GROUP BY 1 ORDER BY id""".stripMargin,
+
     // frequency agg + rung ladder; thresholds, never top-k ranks
     "t29_vocab_coverage" ->
       """WITH tk AS (

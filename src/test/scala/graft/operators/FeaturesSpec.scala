@@ -795,6 +795,45 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(by.head.getDouble(3) - bh.head.getDouble(3) * c) < 1e-6)
   }
 
+  test("wilcoxonSignedRank: one-sided shifts push z, zeros drop") {
+    import spark.implicits._
+    // y = x + 1 for 20 pairs, plus 3 exact ties (dropped)
+    val up = ((1 to 20).map(i => (i.toDouble, i + 1.0)) ++
+      (1 to 3).map(i => (50.0 + i, 50.0 + i))).toDF("x", "y")
+    val r = Features.wilcoxonSignedRank(up, "x", "y").head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 20L && r.getLong(2) == 0L)
+    // all positive, all |d| tied at 1: W+ = n(n+1)/2 = 210
+    assert(r.getDouble(3) == 210.0)
+    // fully tied |d| zeroes the variance: n(n+1)(2n+1)/24 = t³−t/48 here
+    // → z is null only if var hits 0; with one tie group of 20:
+    // var = 20·21·41/24 − (8000−20)/48 = 717.5 − 166.25 > 0
+    assert(r.getDouble(4) > 3.0)
+    // balanced signs → z near 0
+    val bal = (1 to 20).map(i =>
+      (i.toDouble, i + (if (i % 2 == 0) 1.0 else -1.0))).toDF("x", "y")
+    val b = Features.wilcoxonSignedRank(bal, "x", "y").head
+    assert(math.abs(b.getDouble(4)) < 1.0)
+  }
+
+  test("matthewsCorrelation: perfect, inverted, and degenerate predictors") {
+    import spark.implicits._
+    val perfect = ((1 to 30).map(_ => (true, true)) ++
+      (1 to 70).map(_ => (false, false))).toDF("p", "l")
+    val r = Features.matthewsCorrelation(perfect, "p", "l").head
+    assert(r.getLong(0) == 30L && r.getLong(2) == 70L)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0 &&
+      r.getDouble(8) == 1.0)
+    val inverted = ((1 to 30).map(_ => (false, true)) ++
+      (1 to 70).map(_ => (true, false))).toDF("p", "l")
+    val i = Features.matthewsCorrelation(inverted, "p", "l").head
+    assert(i.getDouble(4) == -1.0)
+    // constant predictor: a zero margin → null MCC, accuracy still real
+    val const = ((1 to 30).map(_ => (true, true)) ++
+      (1 to 70).map(_ => (true, false))).toDF("p", "l")
+    val c = Features.matthewsCorrelation(const, "p", "l").head
+    assert(c.isNullAt(4) && c.getDouble(5) == 0.3)
+  }
+
   test("cohensKappa: perfect, chance-level, and skew-corrected agreement") {
     import spark.implicits._
     val perfect = Seq.fill(10)(("x", "x")) ++ Seq.fill(5)(("y", "y"))

@@ -359,4 +359,22 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.cmsErrorCurve(items, "it", 4, Seq(8, 8)))
   }
+
+  test("hllUnion: merged estimate tracks the exact union") {
+    import spark.implicits._
+    val items = ((1 to 150).map(i => (i.toLong, "x")) ++
+      (100 to 220).map(i => (i.toLong, "y"))).toDF("id", "tag")
+    val r = Sketches.hllUnion(items, "id", "tag", "x", "y", p = 8).head
+    assert(r.getInt(0) == 8)
+    assert(r.getLong(4) == 150L && r.getLong(5) == 121L &&
+      r.getLong(6) == 220L)
+    // p=8 (256 registers) keeps relative error well under 20% here
+    assert(math.abs(r.getDouble(3) - 220.0) / 220.0 < 0.2)
+    assert(r.getDouble(3) >= r.getDouble(1) - 1e-9 &&
+      r.getDouble(3) >= r.getDouble(2) - 1e-9) // union ≥ each side
+    intercept[IllegalArgumentException](
+      Sketches.hllUnion(items, "id", "tag", "x", "x", 8))
+    intercept[IllegalArgumentException](
+      Sketches.hllUnion(items, "id", "tag", "x", "y", 3))
+  }
 }

@@ -690,4 +690,22 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.vocabCoverage(docs, "t", Seq(2L, 2L)))
   }
+
+  test("ngramOriginality: copies score zero, originals score one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // full copy of doc 1
+      (3L, "one two three four five six"),
+      (4L, "alpha beta gamma zulu yankee xray"))
+      .toDF("id", "t")
+    val got = TextAnalysis.ngramOriginality(docs, "id", "t", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))        // first occurrence of all
+    assert(got(2L) == ((3L, 0L, 0.0)))        // pure copy
+    assert(got(3L) == ((4L, 4L, 1.0)))
+    // doc 4 shares only "alpha beta gamma" with doc 1
+    assert(got(4L) == ((4L, 3L, 0.75)))
+  }
 }
