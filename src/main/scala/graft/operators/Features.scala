@@ -2085,6 +2085,107 @@ object Features {
   }
 
   /**
+   * P259 — Friedman test for k repeated measures: rank each block's
+   * cell means WITHIN the block, sum ranks per treatment, and
+   * χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) with k−1 degrees of freedom —
+   * the k-condition rank test whose windows are all BLOCK-LOCAL
+   * (k-sized), so unlike the pooled-rank family it carries NO global
+   * window at any corpus size. Blocks missing any treatment drop (the
+   * complete-block design requirement); ties take block-local average
+   * ranks (the doubled-rank idiom). Emits ONE row (n_blocks,
+   * k_treatments, chi2_f, dof); no complete blocks → null statistic.
+   *
+   * Shapes: one (block, treatment) cell agg, a scalar treatment count,
+   * per-block rank windows (PARTITIONED — k rows each), one treatment
+   * rank-sum agg, one k-row closing agg. Cross-engine: cell means
+   * round at 6 through decimal sums; doubled average ranks and their
+   * squares are exact BIGINTs; the closing sequence is fixed doubles
+   * rounded at 6.
+   */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(blockCol).isNotNull &&
+        col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val cells = base.groupBy(col("__b"), col("__t"))
+      .agg(round(sum(col("__v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("__m"))
+    val kAgg = cells.select(col("__t")).distinct()
+      .agg(count(lit(1)).as("__k"))
+    val complete = cells
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(kAgg)) // 1-row scalar side
+      .where(col("__bn") === col("__k"))
+    // ORDER BY the cell mean ONLY — rank() must see ties share their
+    // minimum rank for the average-rank convention; a tiebreak column
+    // would silently hand tied treatments distinct ranks (caught by
+    // the all-tied spec case: χ² read 85 instead of 0)
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__m").asc)
+    val wTies = Window.partitionBy(col("__b"), col("__m"))
+    val ranked = complete
+      .withColumn("__minr", rank().over(wRank).cast("long"))
+      .withColumn("__tt", count(lit(1)).over(wTies))
+      .withColumn("__avgr2", lit(2L) * col("__minr") + col("__tt") - lit(1L))
+    val perTreatment = ranked.groupBy(col("__t"), col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__avgr2")).as("__r2"))
+    val closing = perTreatment.agg(
+      max(col("__n")).as("n_blocks"), max(col("__k")).as("k_treatments"),
+      sum(col("__r2") * col("__r2")).as("__s4"))
+    val nd = col("n_blocks").cast("double")
+    val kd = col("k_treatments").cast("double")
+    closing.select(col("n_blocks"), col("k_treatments"),
+      when(col("n_blocks") > 0 && col("k_treatments") > 1,
+        round(lit(12.0) * col("__s4").cast("double") / lit(4.0) /
+          (nd * kd * (kd + lit(1.0))) -
+          lit(3.0) * nd * (kd + lit(1.0)), 6)).as("chi2_f"),
+      when(col("n_blocks") > 0, (col("k_treatments") - 1L).cast("long"))
+        .as("dof"))
+  }
+
+  /**
+   * P260 — Poisson two-rate test (conditional binomial): with exposure
+   * = distinct units per arm, test whether arm A's event RATE differs
+   * from arm B's via the exact conditioning c₁ | c₁+c₂ ~
+   * Binomial(n, e₁/(e₁+e₂)) and its normal approximation — the
+   * count-metric A/B test (events per user, errors per host) where the
+   * mean-based t is the wrong model. Emits ONE row (units_a, units_b,
+   * events_a, events_b, rate_a, rate_b, rate_ratio, z); a zero arm
+   * nulls the ratio/z.
+   *
+   * Shape: ONE fused conditional agg (counts + distinct units).
+   * Cross-engine: all counts exact BIGINTs; rates/ratio/z are fixed
+   * double sequences on exact operands with one IEEE sqrt, rounded
+   * at 6.
+   */
+  def poissonRateTest(df: DataFrame, armCol: String,
+      unitCol: String): DataFrame = {
+    val arm = col(armCol).cast("boolean")
+    val agg = df.where(arm.isNotNull && col(unitCol).isNotNull)
+      .agg(countDistinct(when(arm, col(unitCol))).as("units_a"),
+        countDistinct(when(!arm, col(unitCol))).as("units_b"),
+        sum(when(arm, 1L).otherwise(0L)).as("events_a"),
+        sum(when(!arm, 1L).otherwise(0L)).as("events_b"))
+    val e1 = col("units_a").cast("double")
+    val e2 = col("units_b").cast("double")
+    val c1 = col("events_a").cast("double")
+    val c2 = col("events_b").cast("double")
+    val p = e1 / (e1 + e2)
+    val n = c1 + c2
+    val ok = col("units_a") > 0 && col("units_b") > 0 &&
+      col("events_a") + col("events_b") > 0
+    agg.select(col("units_a"), col("units_b"), col("events_a"),
+      col("events_b"),
+      when(col("units_a") > 0, round(c1 / e1, 6)).as("rate_a"),
+      when(col("units_b") > 0, round(c2 / e2, 6)).as("rate_b"),
+      when(ok && col("events_b") > 0,
+        round((c1 / e1) / (c2 / e2), 6)).as("rate_ratio"),
+      when(ok, round((c1 - n * p) / sqrt(n * p * (lit(1.0) - p)), 6))
+        .as("z"))
+  }
+
+  /**
    * P257 — Wilcoxon signed-rank test for paired samples: rank the
    * nonzero |differences|, W⁺ = rank sum of the positive side, and the
    * tie-corrected normal approximation

@@ -559,6 +559,37 @@ object OlapQueries {
         "event_id", "treat", "value", resamples = 32)
     }),
 
+    // P259 — Friedman test across the five event types blocked by
+    // user: k-condition rank test whose windows are all BLOCK-local
+    "o72_friedman" -> ((s, dir) => {
+      graft.operators.Features.friedmanTest(
+        graft.Graft.events(s, dir)
+          .select("user_id", "event_type", "value"),
+        "user_id", "event_type", "value")
+    }),
+
+    // P260 — Poisson two-rate test between the arms on events-per-user
+    // (the count-metric A/B test; the t-test is the wrong model here)
+    "o73_ratetest" -> ((s, dir) => {
+      graft.operators.Features.poissonRateTest(
+        graft.Graft.events(s, dir).where(col("user_id").isNotNull)
+          .select((col("user_id") % 2 === 1).as("arm"), col("user_id")),
+        "arm", "user_id")
+    }),
+
+    // P261 — drift monitor between the event-stream halves: the dq1
+    // profiler pointed at time (the nightly "did the feed change" job)
+    "pipe11_drift" -> ((s, dir) => {
+      val e = graft.Graft.events(s, dir)
+        .select("user_id", "event_type", "value", "ts")
+      val cut = expr("timestamp'2024-01-16 00:00:00'")
+      graft.operators.Profiling.driftReport(
+          e.where(col("ts") < cut).drop("ts"),
+          e.where(col("ts") >= cut).drop("ts"),
+          Seq("user_id", "event_type", "value"))
+        .orderBy("column")
+    }),
+
     // P257 — Wilcoxon signed-rank on per-user first-half vs
     // second-half mean value: the paired, distribution-free
     // before/after test
@@ -2647,6 +2678,134 @@ object OlapQueries {
          |  CASE WHEN k = 2 THEN round(${theory(2)}, 9)
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
+    },
+
+    // 6-rounded cell means, block-local doubled ranks, exact rank-sum
+    // squares, one fixed closing sequence
+    "o72_friedman" ->
+      """WITH b AS (
+        |  SELECT user_id AS bk, event_type AS t, value AS v FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (
+        |  SELECT bk, t,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS m
+        |  FROM b GROUP BY 1, 2),
+        |k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+        |wb AS (SELECT *, COUNT(*) OVER (PARTITION BY bk) AS bn FROM cells),
+        |comp AS (SELECT wb.* FROM wb CROSS JOIN k WHERE bn = k.k),
+        |r AS (
+        |  SELECT bk, t,
+        |    CAST(rank() OVER (PARTITION BY bk ORDER BY m) AS BIGINT)
+        |      AS minr,
+        |    CAST(COUNT(*) OVER (PARTITION BY bk, m) AS BIGINT) AS tt
+        |  FROM comp),
+        |pt AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(2 * minr + tt - 1) AS BIGINT) AS r2
+        |  FROM r GROUP BY 1),
+        |cl AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+        |    CAST(MAX((SELECT k FROM k)) AS BIGINT) AS k_treatments,
+        |    CAST(SUM(r2 * r2) AS BIGINT) AS s4
+        |  FROM pt)
+        |SELECT n_blocks, k_treatments,
+        |  CASE WHEN n_blocks > 0 AND k_treatments > 1 THEN
+        |    round(12.0e0 * CAST(s4 AS DOUBLE) / 4.0e0 /
+        |      (CAST(n_blocks AS DOUBLE) * CAST(k_treatments AS DOUBLE) *
+        |        (CAST(k_treatments AS DOUBLE) + 1.0e0)) -
+        |      3.0e0 * CAST(n_blocks AS DOUBLE) *
+        |        (CAST(k_treatments AS DOUBLE) + 1.0e0), 6) END AS chi2_f,
+        |  CASE WHEN n_blocks > 0 THEN CAST(k_treatments - 1 AS BIGINT) END
+        |    AS dof
+        |FROM cl""".stripMargin,
+
+    // one fused conditional agg; exact counts, fixed double closings
+    "o73_ratetest" ->
+      """WITH b AS (
+        |  SELECT (user_id % 2 = 1) AS arm, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |g AS (
+        |  SELECT
+        |    CAST(COUNT(DISTINCT CASE WHEN arm THEN user_id END) AS BIGINT)
+        |      AS units_a,
+        |    CAST(COUNT(DISTINCT CASE WHEN NOT arm THEN user_id END)
+        |      AS BIGINT) AS units_b,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS events_a,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS events_b
+        |  FROM b)
+        |SELECT units_a, units_b, events_a, events_b,
+        |  CASE WHEN units_a > 0 THEN
+        |    round(CAST(events_a AS DOUBLE) / CAST(units_a AS DOUBLE), 6)
+        |  END AS rate_a,
+        |  CASE WHEN units_b > 0 THEN
+        |    round(CAST(events_b AS DOUBLE) / CAST(units_b AS DOUBLE), 6)
+        |  END AS rate_b,
+        |  CASE WHEN units_a > 0 AND units_b > 0
+        |        AND events_a + events_b > 0 AND events_b > 0 THEN
+        |    round((CAST(events_a AS DOUBLE) / CAST(units_a AS DOUBLE)) /
+        |      (CAST(events_b AS DOUBLE) / CAST(units_b AS DOUBLE)), 6)
+        |  END AS rate_ratio,
+        |  CASE WHEN units_a > 0 AND units_b > 0
+        |        AND events_a + events_b > 0 THEN
+        |    round((CAST(events_a AS DOUBLE) -
+        |      (CAST(events_a AS DOUBLE) + CAST(events_b AS DOUBLE)) *
+        |        (CAST(units_a AS DOUBLE) /
+        |          (CAST(units_a AS DOUBLE) + CAST(units_b AS DOUBLE)))) /
+        |      sqrt((CAST(events_a AS DOUBLE) + CAST(events_b AS DOUBLE)) *
+        |        (CAST(units_a AS DOUBLE) /
+        |          (CAST(units_a AS DOUBLE) + CAST(units_b AS DOUBLE))) *
+        |        (1.0e0 - CAST(units_a AS DOUBLE) /
+        |          (CAST(units_a AS DOUBLE) + CAST(units_b AS DOUBLE)))),
+        |      6)
+        |  END AS z
+        |FROM g""".stripMargin,
+
+    // the dq1 profiler replay split at the o22 timestamp
+    "pipe11_drift" -> {
+      def branch(c: String, isNum: Boolean, cond: String): String = {
+        val numStats = if (isNum)
+          s"""round(CAST(MIN($c) AS DOUBLE), 6) AS min_v,
+             |    round(CAST(MAX($c) AS DOUBLE), 6) AS max_v,
+             |    round(CAST(SUM(CAST($c AS DECIMAL(38,12))) AS DOUBLE) /
+             |          CAST(COUNT($c) AS DOUBLE), 6) AS mean_v""".stripMargin
+        else
+          "CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, " +
+            "CAST(NULL AS DOUBLE) AS mean_v"
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_null,
+           |    CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |    $numStats
+           |  FROM events WHERE $cond""".stripMargin
+      }
+      def side(cond: String): String = Seq(
+        branch("user_id", isNum = true, cond),
+        branch("event_type", isNum = false, cond),
+        branch("value", isNum = true, cond)).mkString("\n  UNION ALL\n  ")
+      s"""WITH pa AS (
+         |  ${side("ts < TIMESTAMP '2024-01-16'")}),
+         |pb AS (
+         |  ${side("ts >= TIMESTAMP '2024-01-16'")})
+         |SELECT pa."column",
+         |  pa.n_rows AS n_rows_a, pa.n_null AS n_null_a,
+         |  pa.n_distinct AS n_distinct_a, pa."min_v" AS min_v_a,
+         |  pa."max_v" AS max_v_a, pa."mean_v" AS mean_v_a,
+         |  pb.n_rows AS n_rows_b, pb.n_null AS n_null_b,
+         |  pb.n_distinct AS n_distinct_b, pb."min_v" AS min_v_b,
+         |  pb."max_v" AS max_v_b, pb."mean_v" AS mean_v_b,
+         |  round(abs(CAST(pa.n_null AS DOUBLE) / CAST(pa.n_rows AS DOUBLE) -
+         |            CAST(pb.n_null AS DOUBLE) / CAST(pb.n_rows AS DOUBLE)), 6)
+         |    AS d_null_rate,
+         |  CASE WHEN pa.n_distinct > 0
+         |       THEN round(CAST(pb.n_distinct AS DOUBLE) /
+         |                  CAST(pa.n_distinct AS DOUBLE), 6) END AS r_distinct,
+         |  round(abs(pa."mean_v" - pb."mean_v"), 6) AS d_mean
+         |FROM pa JOIN pb ON pb."column" = pa."column"
+         |ORDER BY pa."column"""".stripMargin
     },
 
     // 6-rounded per-half means, doubled average ranks on exact |d|

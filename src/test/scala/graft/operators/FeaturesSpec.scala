@@ -795,6 +795,50 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(by.head.getDouble(3) - bh.head.getDouble(3) * c) < 1e-6)
   }
 
+  test("friedmanTest: consistent treatment ordering maxes the statistic") {
+    import spark.implicits._
+    // every block ranks c > b > a identically: χ²F = 12·n·... at max.
+    // n = 10 blocks, k = 3: Rj = (10, 20, 30) → χ² = 12·1400/(10·3·4)
+    // − 3·10·4 = 140 − 120 = 20
+    val df = (1 to 10).flatMap(b => Seq(
+      (b.toLong, "a", 1.0), (b.toLong, "b", 2.0), (b.toLong, "c", 3.0)))
+      .toDF("blk", "trt", "v")
+    val r = Features.friedmanTest(df, "blk", "trt", "v").head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 20.0 && r.getLong(3) == 2L)
+    // incomplete blocks drop: block 11 has only 2 treatments
+    val withPartial = df.union(
+      Seq((11L, "a", 9.0), (11L, "b", 1.0)).toDF("blk", "trt", "v"))
+    val p = Features.friedmanTest(withPartial, "blk", "trt", "v").head
+    assert(p.getLong(0) == 10L)
+    // all-tied values: every rank averages → χ² = 0
+    val flat = (1 to 5).flatMap(b => Seq(
+      (b.toLong, "a", 2.0), (b.toLong, "b", 2.0), (b.toLong, "c", 2.0)))
+      .toDF("blk", "trt", "v")
+    val f = Features.friedmanTest(flat, "blk", "trt", "v").head
+    assert(f.getDouble(2) == 0.0)
+  }
+
+  test("poissonRateTest: balanced rates → z near 0, skewed rates flag") {
+    import spark.implicits._
+    // arm A: 10 units × 6 events; arm B: 10 units × 2 events
+    val skew = ((1 to 10).flatMap(u => Seq.fill(6)((true, u.toLong))) ++
+      (11 to 20).flatMap(u => Seq.fill(2)((false, u.toLong))))
+      .toDF("arm", "u")
+    val r = Features.poissonRateTest(skew, "arm", "u").head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 60L && r.getLong(3) == 20L)
+    assert(r.getDouble(4) == 6.0 && r.getDouble(5) == 2.0)
+    assert(r.getDouble(6) == 3.0)
+    // z = (60 − 80·0.5)/sqrt(80·0.25) = 20/sqrt(20) = 4.472136
+    assert(r.getDouble(7) == 4.472136)
+    val even = ((1 to 10).flatMap(u => Seq.fill(3)((true, u.toLong))) ++
+      (11 to 20).flatMap(u => Seq.fill(3)((false, u.toLong))))
+      .toDF("arm", "u")
+    val e = Features.poissonRateTest(even, "arm", "u").head
+    assert(e.getDouble(7) == 0.0 && e.getDouble(6) == 1.0)
+  }
+
   test("wilcoxonSignedRank: one-sided shifts push z, zeros drop") {
     import spark.implicits._
     // y = x + 1 for 20 pairs, plus 3 exact ties (dropped)
