@@ -2085,6 +2085,52 @@ object Features {
   }
 
   /**
+   * P262 — Hodges–Lehmann shift estimate: the MEDIAN of all pairwise
+   * differences between two arms — the robust effect-size companion to
+   * P102/P257's rank tests (those say "the arms differ", this says BY
+   * HOW MUCH, with a 50% breakdown point where the mean difference has
+   * none). Emits ONE row (n_a, n_b, n_pairs, hl_shift, mean_shift) —
+   * the mean difference rides along to show what the outliers did to
+   * it.
+   *
+   * SAMPLE-SIZED INPUT REQUIRED (the d18 contract): the estimator is
+   * all-pairs BY DEFINITION (n_a·n_b differences); run it on the unit
+   * aggregate or a hash sample, never raw rows — enforced with a loud
+   * cap. Cross-engine: differences are exact decimals; the median
+   * reads their doubles at 4 (the o5 rule); the mean through the
+   * decimal sum at 6.
+   */
+  def hodgesLehmannShift(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, maxPairs: Long = 4000000L): DataFrame = {
+    require(groupA != groupB, "hodgesLehmannShift: groups must differ")
+    val g = col(groupCol).cast("string")
+    val base = df.where(col(valueCol).isNotNull &&
+        (g === groupA || g === groupB))
+      .select(g.as("__g"), col(valueCol).cast("decimal(18,6)").as("__v"))
+    val a = base.where(col("__g") === groupA).select(col("__v").as("__va"))
+    val b = base.where(col("__g") === groupB).select(col("__v").as("__vb"))
+    val sizes = a.agg(count(lit(1)).as("n_a"))
+      .join(b.agg(count(lit(1)).as("n_b")))
+      .withColumn("__guard",
+        when(col("n_a") * col("n_b") > maxPairs,
+          raise_error(concat(
+            lit("hodgesLehmannShift: pair count exceeds maxPairs — "),
+            lit("aggregate or sample first (the d18 contract)")))
+            .cast("long")).otherwise(lit(0L)))
+    val diffs = a.crossJoin(b)
+      .select((col("__va") - col("__vb")).as("__d"))
+    diffs.agg(count(lit(1)).as("n_pairs"),
+      round(expr("percentile(CAST(__d AS DOUBLE), 0.5)"), 4).as("hl_shift"),
+      round(sum(col("__d").cast("decimal(28,6)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_shift"))
+      .join(broadcast(sizes)) // 1-row scalar side
+      // the guard rides INSIDE an output column (adding its constant 0)
+      // — a dropped column would let Catalyst prune the raise_error away
+      .select((col("n_a") + col("__guard")).as("n_a"), col("n_b"),
+        col("n_pairs"), col("hl_shift"), col("mean_shift"))
+  }
+
+  /**
    * P259 — Friedman test for k repeated measures: rank each block's
    * cell means WITHIN the block, sum ranks per treatment, and
    * χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) with k−1 degrees of freedom —

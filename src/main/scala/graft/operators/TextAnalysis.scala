@@ -1129,6 +1129,59 @@ object TextAnalysis {
   }
 
   /**
+   * P263 — corpus entropy rate: unigram entropy H(w), bigram
+   * conditional entropy H(w₂|w₁) and the redundancy 1 − H₂/H₁ — the
+   * information-theory read on a corpus ("how predictable is the next
+   * token"): templated/boilerplate corpora show LOW conditional entropy
+   * and high redundancy, and a dedup/curation pass should RAISE the
+   * rate; the corpus-level complement to P44's per-doc entropy. Emits
+   * ONE row (n_tokens, n_bigrams, vocab, h_unigram, h_bigram_cond,
+   * redundancy).
+   *
+   * Shapes: one unigram agg, one bigram agg (the P64 ngramArray — no
+   * windows), predecessor totals from the bigram frame (the P64
+   * convention), scalar totals broadcast. Cross-engine: every
+   * probability is an exact integer ratio; ln rounds at 9 and the
+   * p·ln p products round at 9 and DECIMAL-sum (the o52 firewall);
+   * entropies round at 6.
+   */
+  def entropyRate(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("l"))
+    val uni = toks.select(explode(col("l")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val uniTot = uni.agg(sum(col("__c")).as("__n1"),
+      count(lit(1)).as("vocab"))
+    val bi = toks.select(explode(ngramArray(col("l"), 2)).as("g"))
+      .select(split(col("g"), " ", 2).getItem(0).as("w1"),
+        split(col("g"), " ", 2).getItem(1).as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    val biTot = c2.agg(sum(col("__c2")).as("__n2"))
+    val h1 = uni.crossJoin(broadcast(uniTot))
+      .withColumn("__p", col("__c").cast("double") /
+        col("__n1").cast("double"))
+      .agg(sum(round(col("__p") * round(log(col("__p")), 9), 9)
+        .cast("decimal(28,9)")).as("__s1"))
+    val h2 = c2.join(c1.hint("shuffle_hash"), Seq("w1"))
+      .crossJoin(broadcast(biTot))
+      .withColumn("__term",
+        round((col("__c2").cast("double") / col("__n2").cast("double")) *
+          round(log(col("__c2").cast("double") /
+            col("__c1").cast("double")), 9), 9).cast("decimal(28,9)"))
+      .agg(sum(col("__term")).as("__s2"))
+    uniTot.join(broadcast(biTot)).join(broadcast(h1)).join(broadcast(h2))
+      .select(col("__n1").as("n_tokens"), col("__n2").as("n_bigrams"),
+        col("vocab"),
+        round(-col("__s1").cast("double"), 6).as("h_unigram"),
+        round(-col("__s2").cast("double"), 6).as("h_bigram_cond"))
+      .withColumn("redundancy",
+        when(col("h_unigram") > 0,
+          round(lit(1.0) - col("h_bigram_cond") / col("h_unigram"), 6)))
+  }
+
+  /**
    * P255 — n-gram originality per document: the share of a document's
    * DISTINCT word n-grams whose corpus-wide FIRST occurrence (minimum
    * doc id) is this document — the diversity/memorization read at the

@@ -559,6 +559,43 @@ object OlapQueries {
         "event_id", "treat", "value", resamples = 32)
     }),
 
+    // P262 — Hodges–Lehmann shift between the arms on per-user mean
+    // value: the robust "by how much" beside the rank tests' verdict
+    // (unit-aggregated first — the d18 sample contract)
+    "o74_hl_shift" -> ((s, dir) => {
+      val units = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(col("value")).cast("double"), 6).as("mv"))
+        .withColumn("arm", (col("user_id") % 2 === 1).cast("string"))
+      graft.operators.Features.hodgesLehmannShift(units, "arm", "mv",
+        "true", "false")
+    }),
+
+    // P264 — week-over-week value deltas per event type (epoch-day
+    // weeks — never locale weekofyear, the o26 lesson)
+    "dq14_wow" -> ((s, dir) => {
+      val wk = expr(
+        "datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7")
+      val weekly = graft.Graft.events(s, dir)
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), wk.as("wk"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double"),
+          6).as("sum_v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("wk").asc)
+      weekly
+        .withColumn("prev_v", lag(col("sum_v"), 1).over(w))
+        .withColumn("delta",
+          (col("sum_v").cast("decimal(18,6)") -
+            col("prev_v").cast("decimal(18,6)")).cast("double"))
+        .withColumn("pct_change",
+          when(col("prev_v") =!= 0,
+            round(col("delta") / col("prev_v"), 6)))
+        .orderBy("event_type", "wk")
+    }),
+
     // P259 — Friedman test across the five event types blocked by
     // user: k-condition rank test whose windows are all BLOCK-local
     "o72_friedman" -> ((s, dir) => {
@@ -2679,6 +2716,53 @@ object OlapQueries {
          |       ELSE round(${theory(4)}, 9) END AS fpr_theory
          |FROM w ORDER BY m""".stripMargin
     },
+
+    // per-user 6-rounded means, exact decimal pairwise diffs, the o5
+    // median rule at 4, decimal mean at 6
+    "o74_hl_shift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(value) AS DOUBLE), 6) AS mv,
+        |    CAST(user_id % 2 = 1 AS VARCHAR) AS arm
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(mv AS DECIMAL(18,6)) AS va FROM pu
+        |      WHERE mv IS NOT NULL AND arm = 'true'),
+        |b AS (SELECT CAST(mv AS DECIMAL(18,6)) AS vb FROM pu
+        |      WHERE mv IS NOT NULL AND arm = 'false'),
+        |d AS (SELECT va - vb AS d FROM a CROSS JOIN b)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(quantile_cont(CAST(d AS DOUBLE), 0.5e0), 4) AS hl_shift,
+        |  round(CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_shift
+        |FROM d""".stripMargin,
+
+    // epoch-day weeks, per-type lag window, decimal deltas
+    "dq14_wow" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS wk,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |      AS sum_v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, wk, sum_v,
+        |    lag(sum_v) OVER (PARTITION BY event_type ORDER BY wk)
+        |      AS prev_v
+        |  FROM weekly)
+        |SELECT event_type, wk, sum_v, prev_v,
+        |  CAST(CAST(sum_v AS DECIMAL(18,6)) -
+        |    CAST(prev_v AS DECIMAL(18,6)) AS DOUBLE) AS delta,
+        |  CASE WHEN prev_v <> 0 THEN
+        |    round(CAST(CAST(sum_v AS DECIMAL(18,6)) -
+        |      CAST(prev_v AS DECIMAL(18,6)) AS DOUBLE) / prev_v, 6) END
+        |    AS pct_change
+        |FROM l ORDER BY event_type, wk""".stripMargin,
 
     // 6-rounded cell means, block-local doubled ranks, exact rank-sum
     // squares, one fixed closing sequence

@@ -213,6 +213,14 @@ object TextQueries {
         .orderBy("source", "cum_tokens", "doc_id")
     }),
 
+    // P263 — corpus entropy rate: unigram vs bigram-conditional entropy
+    // and the redundancy a curation pass should reduce
+    "t31_entropy_rate" -> ((s, dir) => {
+      graft.operators.TextAnalysis.entropyRate(
+        table(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+    }),
+
     // P255 — trigram originality per doc: share of a doc's distinct
     // 3-grams first seen HERE (doc-id order) — the boilerplate /
     // assembled-from-parts detector
@@ -840,6 +848,47 @@ object TextQueries {
     // hash order and inclusive running sum replayed with the portable-MD5
     // fold; the budget is rebuilt from the source index — the cum is
     // monotone, so cum <= budget is the same strict prefix on both sides
+    // exact integer ratios through the o52 p·ln p firewall; bigrams by
+    // position slices, predecessor totals from the bigram frame
+    "t31_entropy_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(l) AS w FROM toks) GROUP BY 1),
+        |ut AS (SELECT CAST(SUM(c) AS BIGINT) AS n1,
+        |              CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+        |bi AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2,
+        |    CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM toks WHERE len(l) >= 2)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bi
+        |       GROUP BY 1),
+        |bt AS (SELECT CAST(SUM(c2) AS BIGINT) AS n2 FROM bi),
+        |h1 AS (
+        |  SELECT SUM(CAST(round((CAST(c AS DOUBLE) / CAST(ut.n1 AS DOUBLE))
+        |      * round(ln(CAST(c AS DOUBLE) / CAST(ut.n1 AS DOUBLE)), 9),
+        |      9) AS DECIMAL(28,9))) AS s1
+        |  FROM uni CROSS JOIN ut),
+        |h2 AS (
+        |  SELECT SUM(CAST(round(
+        |      (CAST(bi.c2 AS DOUBLE) / CAST(bt.n2 AS DOUBLE)) *
+        |      round(ln(CAST(bi.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)), 9),
+        |      9) AS DECIMAL(28,9))) AS s2
+        |  FROM bi JOIN c1 ON c1.w1 = bi.w1 CROSS JOIN bt)
+        |SELECT ut.n1 AS n_tokens, bt.n2 AS n_bigrams, ut.vocab,
+        |  round(-CAST(h1.s1 AS DOUBLE), 6) AS h_unigram,
+        |  round(-CAST(h2.s2 AS DOUBLE), 6) AS h_bigram_cond,
+        |  CASE WHEN round(-CAST(h1.s1 AS DOUBLE), 6) > 0 THEN
+        |    round(1.0e0 - round(-CAST(h2.s2 AS DOUBLE), 6) /
+        |      round(-CAST(h1.s1 AS DOUBLE), 6), 6) END AS redundancy
+        |FROM ut CROSS JOIN bt CROSS JOIN h1 CROSS JOIN h2""".stripMargin,
+
     // position-sliced trigrams, distinct per doc, min-doc first-seen
     "t30_originality" ->
       """WITH toks AS (

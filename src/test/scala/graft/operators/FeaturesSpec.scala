@@ -795,6 +795,24 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(by.head.getDouble(3) - bh.head.getDouble(3) * c) < 1e-6)
   }
 
+  test("hodgesLehmannShift: robust to the outlier the mean chases") {
+    import spark.implicits._
+    // B = A + 5 except one wild outlier in A
+    val df = (((1 to 20).map(i => ("a", i.toDouble)) :+ (("a", 1000.0))) ++
+      (1 to 21).map(i => ("b", i + 5.0))).toDF("g", "v")
+    val r = Features.hodgesLehmannShift(df, "g", "v", "b", "a").head
+    assert(r.getLong(0) == 21L && r.getLong(1) == 21L &&
+      r.getLong(2) == 441L)
+    // the HL median shift stays ~5; the mean shift is dragged far off
+    assert(math.abs(r.getDouble(3) - 5.0) <= 1.0)
+    assert(r.getDouble(4) < -30.0)
+    // the all-pairs guard fires loudly on oversized input
+    val big = (1 to 3000).map(i => ("a", i.toDouble)) ++
+      (1 to 3000).map(i => ("b", i.toDouble))
+    intercept[Exception](Features.hodgesLehmannShift(
+      big.toDF("g", "v"), "g", "v", "a", "b", maxPairs = 1000L).collect())
+  }
+
   test("friedmanTest: consistent treatment ordering maxes the statistic") {
     import spark.implicits._
     // every block ranks c > b > a identically: χ²F = 12·n·... at max.

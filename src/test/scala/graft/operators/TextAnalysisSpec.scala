@@ -708,4 +708,19 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 4 shares only "alpha beta gamma" with doc 1
     assert(got(4L) == ((4L, 3L, 0.75)))
   }
+
+  test("entropyRate: deterministic sequences have zero conditional entropy") {
+    import spark.implicits._
+    // "a b a b ..." — every successor is fully determined
+    val det = Seq((1L, "a b a b a b a b"), (2L, "a b a b")).toDF("id", "t")
+    val r = TextAnalysis.entropyRate(det, "id", "t").head
+    assert(r.getLong(2) == 2L)                // vocab {a, b}
+    assert(r.getDouble(4) == 0.0)             // H(w2|w1) = 0
+    assert(r.getDouble(3) > 0.6)              // H1 ≈ ln 2
+    assert(r.getDouble(5) == 1.0)             // fully redundant
+    // uniform unpredictable bigrams: conditional entropy ≈ unigram
+    val mixed = Seq((1L, "a a a b b b a b b a")).toDF("id", "t")
+    val m = TextAnalysis.entropyRate(mixed, "id", "t").head
+    assert(m.getDouble(4) > 0.0 && m.getDouble(5) < 1.0)
+  }
 }
