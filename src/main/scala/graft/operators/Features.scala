@@ -2379,4 +2379,147 @@ object Features {
         round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
           .as("cum_share"))
   }
+
+  /**
+   * P265 — Kruskal–Wallis H test: the k-group rank ANOVA (the unpaired
+   * complement to P259's Friedman — independent groups, no blocks, no
+   * normality assumption). Pool ALL values, average-rank them, and
+   * H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1), divided by the tie correction
+   * C = 1 − Σ(t³−t)/(N³−N). Emits ONE row (n_total, k_groups, h,
+   * h_tie_corrected, dof); k < 2 or all-tied data nulls the statistic.
+   *
+   * Shape: the pooled ranking is one global-order window — the o5
+   * exact-statistic caveat (a rank test runs on a sample or a group
+   * slice, never the raw 100 TB; bucket values first at that scale,
+   * the sa13 range-bucket prefix pattern applies verbatim).
+   * Cross-engine: doubled average ranks 2·minrank + ties − 1 are exact
+   * BIGINTs (the P102 idiom), per-group R_j²/n_j terms are 6-rounded
+   * doubles DECIMAL-summed over the k-row group frame (order-safe),
+   * tie cubes exact BIGINTs, and the closing H a fixed double sequence
+   * rounded at 6.
+   */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val wRank = Window.orderBy(col("__v").asc)
+    val wTies = Window.partitionBy(col("__v"))
+    val ranked = base
+      .withColumn("__minr", rank().over(wRank).cast("long"))
+      .withColumn("__tt", count(lit(1)).over(wTies))
+      .withColumn("__avgr2", lit(2L) * col("__minr") + col("__tt") - lit(1L))
+    // per-group doubled rank sums; the R²/n term is a 6-rounded double on
+    // exact BIGINT operands, then DECIMAL-summed over the k-row frame
+    val perGroup = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__avgr2")).as("__r2"))
+      .select(col("__n"),
+        // double product of exactly-representable BIGINTs (< 2^53): one
+        // IEEE multiply on identical operands in any engine, and no ANSI
+        // long-overflow cliff when N grows past 2^31 doubled-rank sums
+        round(col("__r2").cast("double") * col("__r2").cast("double") /
+          lit(4.0) / col("__n").cast("double"), 6)
+          .cast("decimal(28,6)").as("__term"))
+    val ties = base.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")),
+        lit(0L)).as("__tie3"))
+    val closing = perGroup.agg(sum(col("__n")).as("n_total"),
+      count(lit(1)).as("k_groups"), sum(col("__term")).as("__s"))
+      .crossJoin(broadcast(ties)) // 1-row scalar side
+    val nd = col("n_total").cast("double")
+    val h = round(lit(12.0) * col("__s").cast("double") /
+      (nd * (nd + lit(1.0))) - lit(3.0) * (nd + lit(1.0)), 6)
+    val c = lit(1.0) - col("__tie3").cast("double") /
+      (nd * nd * nd - nd)
+    closing.select(col("n_total"), col("k_groups"),
+      when(col("k_groups") > 1 && col("n_total") > 1, h).as("h"),
+      when(col("k_groups") > 1 && col("n_total") > 1 && c > 0,
+        round(h / c, 6)).as("h_tie_corrected"),
+      when(col("k_groups") > 1, (col("k_groups") - 1L).cast("long"))
+        .as("dof"))
+  }
+
+  /**
+   * P266 — Cochran's Q test: k matched binary treatments over common
+   * blocks (the k-treatment generalization of P215's McNemar — "did ANY
+   * of the k pipeline variants change the per-user success flag").
+   * Q = (k−1)·(k·ΣC_j² − T²)/(k·T − ΣR_i²) with column totals C_j, row
+   * totals R_i, grand total T; Q is invariant to all-0/all-1 blocks
+   * (both numerator and denominator cancel them — proved in the spec),
+   * so absent (block, treatment) cells are 0-valued rather than
+   * dropping the block. Emits ONE row (n_blocks, k_treatments, t_total,
+   * q, dof); an invariant-only table (kT = ΣR²) nulls q.
+   *
+   * Shape: two keyed aggregations (per block, per treatment) — fully
+   * partition-parallel, no windows. Cross-engine: every total and
+   * square is an exact BIGINT; the closing ratio is one double
+   * division rounded at 6.
+   */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+      flagCol: String): DataFrame = {
+    val base = df.where(col(blockCol).isNotNull &&
+        col(treatmentCol).isNotNull && col(flagCol).isNotNull)
+      .select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
+        col(flagCol).cast("boolean").cast("long").as("__x"))
+    val k = base.select(col("__t")).distinct().agg(count(lit(1)).as("__k"))
+    val cols = base.groupBy(col("__t")).agg(sum(col("__x")).as("__c"))
+      .agg(sum(col("__c") * col("__c")).as("__sc2"), sum(col("__c")).as("__tt"))
+    val rows = base.groupBy(col("__b")).agg(sum(col("__x")).as("__r"))
+      .agg(sum(col("__r") * col("__r")).as("__sr2"),
+        count(lit(1)).as("n_blocks"))
+    val closing = rows.crossJoin(broadcast(cols)) // 1-row scalar sides
+      .crossJoin(broadcast(k))
+    val den = col("__k") * col("__tt") - col("__sr2")
+    closing.select(col("n_blocks"), col("__k").as("k_treatments"),
+      col("__tt").as("t_total"),
+      when(col("__k") > 1 && den > 0,
+        round(((col("__k") - 1L) *
+          (col("__k") * col("__sc2") - col("__tt") * col("__tt")))
+          .cast("double") / den.cast("double"), 6)).as("q"),
+      when(col("__k") > 1, (col("__k") - 1L).cast("long")).as("dof"))
+  }
+
+  /**
+   * P267 — Cronbach's alpha: internal-consistency reliability of a
+   * k-item score (items = feature columns of one unit), α = k/(k−1) ·
+   * (1 − Σvar_j / var_total). With integer item scores both variance
+   * numerators n·Σx² − (Σx)² are exact BIGINTs and the n(n−1)
+   * denominators CANCEL in the ratio — α is one double division on
+   * exact integers. Missing (unit, item) cells count as score 0
+   * against the full unit roster (the flag-matrix convention, same as
+   * cochranQ). Emits ONE row (n_units, k_items, sum_item_var_num,
+   * total_var_num, alpha); k < 2 or a constant total nulls alpha.
+   *
+   * Shape: two keyed aggregations (per item, per unit) over the sparse
+   * score frame — absent cells never materialize (Σx/Σx² are unchanged
+   * by zeros; only the roster count n matters). No windows.
+   */
+  def cronbachAlpha(df: DataFrame, unitCol: String, itemCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df.where(col(unitCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .select(col(unitCol).as("__u"), col(itemCol).as("__i"),
+        col(scoreCol).cast("long").as("__x"))
+    val n = base.select(col("__u")).distinct().agg(count(lit(1)).as("__n"))
+    val k = base.select(col("__i")).distinct().agg(count(lit(1)).as("__k"))
+    // per-item variance numerator n·Σx² − (Σx)²; zeros from absent cells
+    // leave both sums unchanged, so the sparse frame suffices
+    val items = base.groupBy(col("__i"))
+      .agg(sum(col("__x") * col("__x")).as("__sx2"), sum(col("__x")).as("__sx"))
+    val units = base.groupBy(col("__u")).agg(sum(col("__x")).as("__t"))
+      .agg(sum(col("__t") * col("__t")).as("__st2"), sum(col("__t")).as("__st"))
+    val itemAgg = items.crossJoin(broadcast(n)) // 1-row scalar side
+      .select((col("__n") * col("__sx2") - col("__sx") * col("__sx"))
+        .as("__vnum"))
+      .agg(sum(col("__vnum")).as("sum_item_var_num"))
+    val closing = units.crossJoin(broadcast(itemAgg))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(k))
+      .withColumn("total_var_num",
+        col("__n") * col("__st2") - col("__st") * col("__st"))
+    closing.select(col("__n").as("n_units"), col("__k").as("k_items"),
+      col("sum_item_var_num"), col("total_var_num"),
+      when(col("__k") > 1 && col("total_var_num") > 0,
+        round(col("__k").cast("double") / (col("__k") - 1L).cast("double") *
+          (lit(1.0) - col("sum_item_var_num").cast("double") /
+            col("total_var_num").cast("double")), 6)).as("alpha"))
+  }
 }

@@ -584,4 +584,51 @@ object Profiling {
       .select(col("band_id"), col("band"), col("n_parents"),
         col("n_children"), col("share_parents"))
   }
+
+  /**
+   * P268 — functional-dependency violation audit: for each candidate
+   * FD A → B, the g3 repair measure — the minimum number of rows to
+   * delete so the dependency holds, Σ_groups(A) (rows_in_group −
+   * max_B rows_with_that_B) — plus the violating-group count and rate.
+   * The schema-discovery complement to P128's candidateKeys: keys say
+   * "A identifies the row", FDs say "A determines B" (the dimension
+   * worth normalizing out, the column safe to drop from a feature set,
+   * the denormalization bug when violations > 0 on a contract that
+   * promised 0). Emits per FD (fd, n_rows, n_groups, n_violating_groups,
+   * n_violations, violation_rate, holds), ordered by fd.
+   *
+   * Shape: per FD, two keyed aggregations — groupBy(A, B) then
+   * groupBy(A) — both partition-parallel on the determinant hash; the
+   * per-FD results union over a handful of audited pairs (a k-sized
+   * frame). Null determinant/dependent rows drop (SQL FD semantics
+   * grade nulls separately — they are the dq6 null-contract's job).
+   * Cross-engine: all counts exact BIGINTs; one closing double
+   * division rounded at 6.
+   */
+  def fdViolations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdViolations: need at least one (A, B) pair")
+    require(pairs.forall { case (a, b) => a != b },
+      s"fdViolations: degenerate pair(s) ${pairs.filter(p => p._1 == p._2)}")
+    val per = pairs.map { case (a, b) =>
+      df.where(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__a"))
+        .agg(sum(col("__n")).as("__g"), max(col("__n")).as("__m"))
+        .agg(coalesce(sum(col("__g")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("__g") > col("__m"), 1L).otherwise(0L)),
+            lit(0L)).as("n_violating_groups"),
+          coalesce(sum(col("__g") - col("__m")), lit(0L)).as("n_violations"))
+        .select(lit(s"$a->$b").as("fd"), col("n_rows"), col("n_groups"),
+          col("n_violating_groups"), col("n_violations"))
+    }
+    per.reduce(_ unionByName _)
+      .withColumn("violation_rate",
+        when(col("n_rows") > 0,
+          round(col("n_violations").cast("double") /
+            col("n_rows").cast("double"), 6)))
+      .withColumn("holds", col("n_violations") === 0L)
+      .orderBy(col("fd"))
+  }
 }

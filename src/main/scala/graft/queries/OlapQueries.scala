@@ -614,6 +614,59 @@ object OlapQueries {
         "arm", "user_id")
     }),
 
+    // P265 — Kruskal–Wallis rank ANOVA across the event types on
+    // per-(user, type) mean value: the unpaired k-group complement to
+    // o72's blocked Friedman
+    "o75_kruskal" -> ((s, dir) => {
+      val cells = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("m"))
+      graft.operators.Features.kruskalWallis(cells, "event_type", "m")
+    }),
+
+    // P266 — Cochran's Q over the five event types on the per-user
+    // "≥ 14 events of this type" flag: k matched binary treatments (the
+    // o56 McNemar generalized). The ≥ 14 bar is the per-(user, type)
+    // count MEDIAN at every SF (min 2, max 29) — a low bar saturates to
+    // all-1 invariant blocks and nulls Q, measured before shipping
+    "o76_cochranq" -> ((s, dir) => {
+      val flags = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((count(lit(1)) >= 14).as("f"))
+      graft.operators.Features.cochranQ(flags, "user_id", "event_type", "f")
+    }),
+
+    // P267 — Cronbach's alpha of the 5-item per-user activity score
+    // (items = event types, score = event count): do the five activity
+    // counts measure ONE underlying engagement trait
+    "o77_cronbach" -> ((s, dir) => {
+      val scores = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.Features.cronbachAlpha(
+        scores, "user_id", "event_type", "x")
+    }),
+
+    // P268 — functional-dependency violation audit over four candidate
+    // FDs: one that holds by key uniqueness (o_orderkey→o_orderstatus)
+    // and three the TPC-H-ish generators genuinely violate
+    "dq15_fd" -> ((s, dir) => {
+      import graft.operators.Profiling.fdViolations
+      fdViolations(table(s, dir, "lineitem"),
+          Seq(("l_partkey", "l_suppkey")))
+        .unionByName(fdViolations(table(s, dir, "orders"),
+          Seq(("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_orderpriority"))))
+        .unionByName(fdViolations(table(s, dir, "customer"),
+          Seq(("c_nationkey", "c_mktsegment"))))
+        .orderBy("fd")
+    }),
+
     // P261 — drift monitor between the event-stream halves: the dq1
     // profiler pointed at time (the nightly "did the feed change" job)
     "pipe11_drift" -> ((s, dir) => {
@@ -2847,6 +2900,143 @@ object OlapQueries {
         |      6)
         |  END AS z
         |FROM g""".stripMargin,
+
+    // 6-rounded cell means, pooled doubled ranks, 6-rounded R²/4n terms
+    // decimal-summed, exact tie cubes, one fixed closing sequence
+    "o75_kruskal" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT g,
+        |    CAST(rank() OVER (ORDER BY v) AS BIGINT) AS minr,
+        |    CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS tt
+        |  FROM b),
+        |pg AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(2 * minr + tt - 1) AS BIGINT) AS r2
+        |  FROM r GROUP BY 1),
+        |terms AS (
+        |  SELECT n, CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) /
+        |      4.0e0 / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6)) AS term
+        |  FROM pg),
+        |ties AS (
+        |  SELECT CAST(coalesce(SUM(t3 * t3 * t3 - t3), 0) AS BIGINT)
+        |    AS tie3
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t3 FROM b GROUP BY v)),
+        |cl AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    SUM(term) AS s
+        |  FROM terms)
+        |SELECT n_total, k_groups,
+        |  CASE WHEN k_groups > 1 AND n_total > 1 THEN
+        |    round(12.0e0 * CAST(s AS DOUBLE) /
+        |      (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0e0))
+        |      - 3.0e0 * (CAST(n_total AS DOUBLE) + 1.0e0), 6) END AS h,
+        |  CASE WHEN k_groups > 1 AND n_total > 1 AND
+        |      1.0e0 - CAST(tie3 AS DOUBLE) /
+        |        (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) *
+        |          CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) > 0
+        |    THEN
+        |    round(round(12.0e0 * CAST(s AS DOUBLE) /
+        |      (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0e0))
+        |      - 3.0e0 * (CAST(n_total AS DOUBLE) + 1.0e0), 6) /
+        |      (1.0e0 - CAST(tie3 AS DOUBLE) /
+        |        (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) *
+        |          CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))), 6)
+        |  END AS h_tie_corrected,
+        |  CASE WHEN k_groups > 1 THEN CAST(k_groups - 1 AS BIGINT) END
+        |    AS dof
+        |FROM cl CROSS JOIN ties""".stripMargin,
+
+    // exact integer column/row totals; Q is one double ratio on BIGINTs
+    "o76_cochranq" ->
+      """WITH b AS (
+        |  SELECT user_id AS bk, event_type AS t,
+        |    CASE WHEN COUNT(*) >= 14 THEN 1 ELSE 0 END AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM b),
+        |c AS (
+        |  SELECT CAST(SUM(cc * cc) AS BIGINT) AS sc2,
+        |    CAST(SUM(cc) AS BIGINT) AS tt
+        |  FROM (SELECT CAST(SUM(x) AS BIGINT) AS cc FROM b GROUP BY t)),
+        |r AS (
+        |  SELECT CAST(SUM(rr * rr) AS BIGINT) AS sr2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks
+        |  FROM (SELECT CAST(SUM(x) AS BIGINT) AS rr FROM b GROUP BY bk))
+        |SELECT n_blocks, k.k AS k_treatments, c.tt AS t_total,
+        |  CASE WHEN k.k > 1 AND k.k * c.tt - r.sr2 > 0 THEN
+        |    round(CAST((k.k - 1) * (k.k * c.sc2 - c.tt * c.tt) AS DOUBLE) /
+        |      CAST(k.k * c.tt - r.sr2 AS DOUBLE), 6) END AS q,
+        |  CASE WHEN k.k > 1 THEN CAST(k.k - 1 AS BIGINT) END AS dof
+        |FROM r CROSS JOIN c CROSS JOIN k""".stripMargin,
+
+    // exact BIGINT variance numerators — the n(n−1) denominators cancel
+    "o77_cronbach" ->
+      """WITH b AS (
+        |  SELECT user_id AS u, event_type AS i,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM b),
+        |k AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS k FROM b),
+        |it AS (
+        |  SELECT CAST(SUM(n.n * sx2 - sx * sx) AS BIGINT) AS sivn
+        |  FROM (SELECT CAST(SUM(x * x) AS BIGINT) AS sx2,
+        |          CAST(SUM(x) AS BIGINT) AS sx
+        |        FROM b GROUP BY i) CROSS JOIN n),
+        |un AS (
+        |  SELECT CAST(SUM(t * t) AS BIGINT) AS st2,
+        |    CAST(SUM(t) AS BIGINT) AS st
+        |  FROM (SELECT CAST(SUM(x) AS BIGINT) AS t FROM b GROUP BY u))
+        |SELECT n.n AS n_units, k.k AS k_items, it.sivn AS sum_item_var_num,
+        |  CAST(n.n * un.st2 - un.st * un.st AS BIGINT) AS total_var_num,
+        |  CASE WHEN k.k > 1 AND n.n * un.st2 - un.st * un.st > 0 THEN
+        |    round(CAST(k.k AS DOUBLE) / CAST(k.k - 1 AS DOUBLE) *
+        |      (1.0e0 - CAST(it.sivn AS DOUBLE) /
+        |        CAST(n.n * un.st2 - un.st * un.st AS DOUBLE)), 6)
+        |  END AS alpha
+        |FROM n CROSS JOIN k CROSS JOIN it CROSS JOIN un""".stripMargin,
+
+    // per-FD two-level exact counts; the g3 repair measure Σ(g − max)
+    "dq15_fd" -> {
+      def branch(tbl: String, a: String, b: String): String =
+        s"""SELECT '$a->$b' AS fd,
+           |    CAST(coalesce(SUM(g), 0) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |    CAST(coalesce(SUM(CASE WHEN g > m THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS n_violating_groups,
+           |    CAST(coalesce(SUM(g - m), 0) AS BIGINT) AS n_violations
+           |  FROM (
+           |    SELECT CAST(SUM(n) AS BIGINT) AS g, CAST(MAX(n) AS BIGINT) AS m
+           |    FROM (SELECT $a AS a, $b AS bb, CAST(COUNT(*) AS BIGINT) AS n
+           |          FROM $tbl WHERE $a IS NOT NULL AND $b IS NOT NULL
+           |          GROUP BY 1, 2)
+           |    GROUP BY a)""".stripMargin
+      s"""WITH u AS (
+         |  ${branch("lineitem", "l_partkey", "l_suppkey")}
+         |  UNION ALL
+         |  ${branch("orders", "o_orderkey", "o_orderstatus")}
+         |  UNION ALL
+         |  ${branch("orders", "o_custkey", "o_orderpriority")}
+         |  UNION ALL
+         |  ${branch("customer", "c_nationkey", "c_mktsegment")})
+         |SELECT fd, n_rows, n_groups, n_violating_groups, n_violations,
+         |  CASE WHEN n_rows > 0 THEN
+         |    round(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         |  END AS violation_rate,
+         |  (n_violations = 0) AS holds
+         |FROM u ORDER BY fd""".stripMargin
+    },
 
     // the dq1 profiler replay split at the o22 timestamp
     "pipe11_drift" -> {

@@ -165,8 +165,8 @@ object PlanFactsSpec {
   val adjudicatedUnpartitionedWindowQueries: Set[String] = Set(
     // exact-order-statistic family (o5 caveat): a global order IS the
     // semantics; each operator scaladoc names the at-scale fallback
-    "o15_mannwhitney", "o70_wilcoxon", "o17_spearman", "o37_ks",
-    "sa8_weighted",
+    "o15_mannwhitney", "o70_wilcoxon", "o75_kruskal", "o17_spearman",
+    "o37_ks", "sa8_weighted",
     "pv4_tcloseness", "t19_zipf", "t25_heaps", "q12_paths", "o24_movers",
     "fi2_seq_rules", "t24_langid_eval", "mm8_shards", "mm9_epochs",
     "sa18_reweight", "z4_compaction",

@@ -1028,4 +1028,74 @@ class FeaturesSpec extends SparkSpec {
     assert(rows.last.getDouble(3) > 0.4 && rows.last.getDouble(3) < 0.5)
     intercept[IllegalArgumentException](Features.lorenzPoints(df, "v", 1))
   }
+
+  test("kruskalWallis: shifted groups score, ties null the correction") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {4,5,6}: no ties, R_a = 6, R_b = 15,
+    // H = 12/(6·7)·(36/3 + 225/3) − 3·7 = 174/7 − 21 = 3.857143
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Features.kruskalWallis(df, "g", "v").head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 3.857143)
+    assert(r.getDouble(3) == 3.857143) // tie3 = 0 → C = 1
+    assert(r.getLong(4) == 1L)
+    // all-tied values: H = 0 and the tie correction degenerates (C = 0)
+    val flat = Seq(("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val f = Features.kruskalWallis(flat, "g", "v").head
+    assert(f.getDouble(2) == 0.0 && f.isNullAt(3))
+    // one group: the statistic is undefined
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val o = Features.kruskalWallis(one, "g", "v").head
+    assert(o.isNullAt(2) && o.isNullAt(3) && o.isNullAt(4))
+  }
+
+  test("cochranQ: hand Q and invariance to all-0/all-1 blocks") {
+    import spark.implicits._
+    // blocks 1,2 informative; 3 all-1, 4 all-0: C=(3,2,1), T=6, ΣR²=14,
+    // ΣC²=14 → Q = 2·(3·14 − 36)/(3·6 − 14) = 12/4 = 3
+    val full = Seq(
+      (1L, "a", true), (1L, "b", true), (1L, "c", false),
+      (2L, "a", true), (2L, "b", false), (2L, "c", false),
+      (3L, "a", true), (3L, "b", true), (3L, "c", true),
+      (4L, "a", false), (4L, "b", false), (4L, "c", false))
+      .toDF("blk", "trt", "f")
+    val r = Features.cochranQ(full, "blk", "trt", "f").head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 3.0 && r.getLong(4) == 2L)
+    // dropping the invariant blocks leaves Q unchanged (the property the
+    // scaladoc claims makes absent-cell-as-0 input safe)
+    val informative = full.where(col("blk") <= 2L)
+    val i = Features.cochranQ(informative, "blk", "trt", "f").head
+    assert(i.getLong(0) == 2L && i.getDouble(3) == 3.0)
+    // an invariant-only table nulls Q (kT = ΣR²)
+    val inv = full.where(col("blk") >= 3L)
+    assert(Features.cochranQ(inv, "blk", "trt", "f").head.isNullAt(3))
+  }
+
+  test("cronbachAlpha: hand alpha; absent cells behave as zero scores") {
+    import spark.implicits._
+    // perfectly correlated items with different scales: Σitem_var_num =
+    // 24 + 96 = 120, total_var_num = 216 → α = 2·(1 − 120/216) = 0.888889
+    val df = Seq((1L, "i1", 2L), (1L, "i2", 4L), (2L, "i1", 4L),
+      (2L, "i2", 8L), (3L, "i1", 6L), (3L, "i2", 12L))
+      .toDF("u", "i", "x")
+    val r = Features.cronbachAlpha(df, "u", "i", "x").head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 120L && r.getLong(3) == 216L)
+    assert(r.getDouble(4) == 0.888889)
+    // a unit whose second item is ABSENT equals one whose score is an
+    // explicit 0 (the sparse-frame contract)
+    val sparse = df.union(Seq((4L, "i1", 1L)).toDF("u", "i", "x"))
+    val dense = df.union(Seq((4L, "i1", 1L), (4L, "i2", 0L))
+      .toDF("u", "i", "x"))
+    val rs = Features.cronbachAlpha(sparse, "u", "i", "x").head
+    val rd = Features.cronbachAlpha(dense, "u", "i", "x").head
+    assert(rs.getDouble(4) == rd.getDouble(4) &&
+      rs.getLong(2) == rd.getLong(2) && rs.getLong(3) == rd.getLong(3))
+    // one item: alpha undefined
+    val one = df.where(col("i") === "i1")
+    assert(Features.cronbachAlpha(one, "u", "i", "x").head.isNullAt(4))
+  }
 }

@@ -283,4 +283,32 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(_.getDouble(4)).sum
     assert(math.abs(shares - 1.0) < 1e-9)
   }
+
+  test("fdViolations: g3 repair counts; held FDs read zero; nulls drop") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some("x")), (Some(1L), Some("x")),
+      (Some(1L), Some("y")), (Some(2L), Some("z")), (Some(2L), Some("z")),
+      (Some(3L), Some("w")), (None, Some("q")), (Some(4L), None))
+      .toDF("a", "b")
+    val got = Profiling.fdViolations(df, Seq(("a", "b"), ("b", "a")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(6))).toMap
+    // a→b: group 1 keeps max(2 of 'x') of 3 rows → 1 violation
+    assert(got("a->b") == ((6L, 3L, 1L, 1L, false)))
+    // b→a holds: every b value maps to exactly one a
+    assert(got("b->a") == ((6L, 4L, 0L, 0L, true)))
+    val rate = Profiling.fdViolations(df, Seq(("a", "b")))
+      .head.getDouble(5)
+    assert(rate == 0.166667)
+    // degenerate and empty pair lists are rejected loudly
+    intercept[IllegalArgumentException](Profiling.fdViolations(df, Seq()))
+    intercept[IllegalArgumentException](
+      Profiling.fdViolations(df, Seq(("a", "a"))))
+    // an empty input frame still emits one all-zero row per FD
+    val empty = Profiling.fdViolations(df.where(col("a") > 100L),
+      Seq(("a", "b"))).head
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L &&
+      empty.getLong(4) == 0L && empty.getBoolean(6))
+  }
 }
