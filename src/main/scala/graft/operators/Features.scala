@@ -2522,4 +2522,57 @@ object Features {
           (lit(1.0) - col("sum_item_var_num").cast("double") /
             col("total_var_num").cast("double")), 6)).as("alpha"))
   }
+
+  /**
+   * P271 — Durbin–Watson autocorrelation diagnostic on per-key OLS
+   * residuals: DW = Σ(e_t − e_{t−1})² / Σe_t² over the x-ordered
+   * residuals of [[olsFit]] — the "is the trend line lying" check
+   * (DW ≈ 2 independent residuals, → 0 positive autocorrelation: a
+   * seasonal or regime pattern the line can't see, → 4 negative).
+   * Requires an INTEGRAL x (a day/sequence index): slope·x then stays
+   * at decimal scale 6 and every residual is EXACT — the decimal-
+   * product scale cliff (o47 lesson) never opens. Emits per key
+   * (key, n_obs, dw); keys without a fit (degenerate x) or with zero
+   * residual energy are null.
+   *
+   * Shape: olsFit's keyed agg, a shuffle_hash join back (post-agg side
+   * has no stats — the d11 rule), one key-partitioned lag window, one
+   * closing keyed agg. Cross-engine: residuals are exact micro-unit
+   * BIGINTs; their squares go through DECIMAL(19,0) products (exact,
+   * no ANSI overflow cliff — the o31/gr6 width rule); DW is one double
+   * division rounded at 6.
+   */
+  def durbinWatson(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val fit = olsFit(df, keyCol, xCol, yCol)
+      .where(col("slope").isNotNull)
+      .select(col(keyCol), col("slope").cast("decimal(18,6)").as("__sl"),
+        col("intercept").cast("decimal(18,6)").as("__ic"))
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .join(fit.hint("shuffle_hash"), Seq(keyCol))
+      .select(col(keyCol),
+        col(xCol).cast("long").as("__x"),
+        // integral x at DECIMAL(9,0): the slope product stays (27,6) —
+        // exact in both engines, far from any width cap
+        (col(yCol).cast("decimal(18,6)") - col("__ic") -
+          col("__sl") * col(xCol).cast("decimal(9,0)")).as("__e"))
+      .select(col(keyCol), col("__x"),
+        // re-anchor the (28,6) residual at (18,6) BEFORE scaling: the
+        // ×10⁶ on the wide type would cross DuckDB's width-38 multiply
+        // ceiling; the cast is exact (same scale, residuals ≪ 10¹²)
+        (col("__e").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+          .as("__em"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val diffed = base.withColumn("__dm", col("__em") - lag(col("__em"), 1).over(w))
+    diffed.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(d19(col("__dm")) * d19(col("__dm"))).as("__num"),
+        sum(d19(col("__em")) * d19(col("__em"))).as("__den"))
+      .withColumn("dw",
+        when(col("__den") > 0 && col("__num").isNotNull,
+          round(col("__num").cast("double") / col("__den").cast("double"),
+            6)))
+      .drop("__num", "__den")
+  }
 }

@@ -631,4 +631,50 @@ object Profiling {
       .withColumn("holds", col("n_violations") === 0L)
       .orderBy(col("fd"))
   }
+
+  /**
+   * P272 — Hellinger drift between two snapshots' categorical mixes:
+   * H = √(Σ(√p − √q)² / 2) ∈ [0, 1] plus the Bhattacharyya coefficient
+   * BC = Σ√(pq) — the bounded, symmetric drift distance to read beside
+   * P189's PSI (PSI explodes on vanishing bins; H stays finite, so it
+   * is the alarm threshold you can actually fix). A category absent
+   * from one side contributes its full mass (√p − 0)² — no epsilon
+   * flooring. Emits ONE row (n_categories, n_a, n_b, bc, hellinger);
+   * an empty side nulls both statistics.
+   *
+   * Shape: the two sides union with a side tag into ONE keyed
+   * aggregation (no join at all — the dq1 full-outer SMJ trap never
+   * opens), then a 1-row totals broadcast. Cross-engine: counts exact;
+   * shares are 9-rounded doubles; √ is IEEE-exact on identical
+   * operands; the per-category terms are 9-rounded and
+   * DECIMAL(28,9)-summed; closing round at 6.
+   */
+  def hellingerDrift(a: DataFrame, b: DataFrame,
+      catCol: String): DataFrame = {
+    val u = a.where(col(catCol).isNotNull)
+      .select(col(catCol).as("__c"), lit(1L).as("__ia"))
+      .unionByName(b.where(col(catCol).isNotNull)
+        .select(col(catCol).as("__c"), lit(0L).as("__ia")))
+    val perCat = u.groupBy(col("__c"))
+      .agg(sum(col("__ia")).as("__na"),
+        sum(lit(1L) - col("__ia")).as("__nb"))
+    val totals = perCat.agg(sum(col("__na")).as("__ta"),
+      sum(col("__nb")).as("__tb"))
+    val p = when(col("__ta") > 0,
+      round(col("__na").cast("double") / col("__ta").cast("double"), 9))
+    val q = when(col("__tb") > 0,
+      round(col("__nb").cast("double") / col("__tb").cast("double"), 9))
+    val terms = perCat.crossJoin(broadcast(totals)) // 1-row scalar side
+      .select(col("__ta"), col("__tb"),
+        round((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)), 9)
+          .cast("decimal(28,9)").as("__h2"),
+        round(sqrt(p) * sqrt(q), 9).cast("decimal(28,9)").as("__bc"))
+    terms.groupBy(col("__ta"), col("__tb"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__h2")).as("__s"), sum(col("__bc")).as("__b"))
+      .select(col("n_categories"), col("__ta").as("n_a"),
+        col("__tb").as("n_b"),
+        round(col("__b").cast("double"), 6).as("bc"),
+        round(sqrt(col("__s").cast("double") / lit(2.0)), 6).as("hellinger"))
+  }
 }

@@ -272,6 +272,115 @@ object TimeSeries {
   }
 
   /**
+   * P269 — Nelson–Aalen cumulative hazard: H(t) = Σ_{s≤t} d_s/n_s over
+   * the event times — the additive counterpart to [[kaplanMeier]]'s
+   * product limit (read H(t) as "expected events so far per at-risk
+   * unit"; −ln S(t) ≈ H(t) checks the two against each other). Same
+   * input contract as kaplanMeier: one row per subject (group,
+   * duration, event 0/1). Emits per (group, t) with d > 0:
+   * (group, t, n_event, at_risk, cum_hazard).
+   *
+   * Shape: identical to kaplanMeier — one (group, time) agg, then
+   * group-partitioned windows over the per-group time grid (agg-sized:
+   * distinct durations, not subjects). Cross-engine: counts exact; the
+   * d/n increments are 9-rounded doubles on exact BIGINT operands
+   * accumulated in DECIMAL(28,9) (order-safe), closing round at 6.
+   */
+  def nelsonAalen(df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val grid = df.groupBy(col(groupCol), col(timeCol))
+      .agg(sum(col(eventCol).cast("long")).as("n_event"),
+        count(lit(1)).as("n_total"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val wBefore = Window.partitionBy(col(groupCol)).orderBy(col(timeCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(timeCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("at_risk",
+        sum(col("n_total")).over(wAll) -
+          coalesce(sum(col("n_total")).over(wBefore), lit(0L)))
+      .where(col("n_event") > 0)
+      .withColumn("__h",
+        round(col("n_event").cast("double") / col("at_risk").cast("double"),
+          9).cast("decimal(28,9)"))
+      .withColumn("cum_hazard",
+        round(sum(col("__h")).over(wCum).cast("double"), 6))
+      .drop("__h", "n_total")
+  }
+
+  /**
+   * P270 — two-group log-rank test: at each pooled event time,
+   * observed group-A deaths vs the expected share d·n_A/n under the
+   * null of equal hazards, with the hypergeometric variance
+   * d·n_A·(n−n_A)·(n−d) / (n²·(n−1)); χ² = (O−E)²/V and z =
+   * (O−E)/√V — the standard "did segment A churn faster" verdict that
+   * [[kaplanMeier]]'s two curves only eyeball. Same subject-level
+   * input contract; the two compared groups are named explicitly
+   * (other groups drop). Emits ONE row (n_a, n_b, o_a, e_a, v_stat,
+   * chi2, z); zero variance (no informative times) nulls the verdict.
+   *
+   * Shape: one (group, time) agg, a densified 2×T spine (times ×
+   * the two groups — agg-sized) so each group's at-risk counts exist
+   * at every POOLED event time, group-partitioned windows over that
+   * spine, then one closing agg. Cross-engine: counts exact BIGINTs;
+   * the per-time E and V terms are fixed double sequences on exact
+   * operands rounded at 9 and DECIMAL(28,9)-summed; closing stats
+   * fixed doubles rounded at 6.
+   */
+  def logRankTest(df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String, groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, s"logRankTest: groupA == groupB ($groupA)")
+    val base = df.where(col(groupCol).isin(groupA, groupB) &&
+        col(timeCol).isNotNull)
+      .select(when(col(groupCol) === groupA, "a").otherwise("b").as("__g"),
+        col(timeCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__e"))
+    val perGT = base.groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__e")).as("__d"), count(lit(1)).as("__c"))
+    val spine = perGT.select(col("__t")).distinct()
+      .crossJoin(broadcast(perGT.select(col("__g")).distinct())) // ≤ 2 rows
+    val grid = spine.join(perGT.hint("shuffle_hash"), Seq("__t", "__g"),
+        "left")
+      .select(col("__t"), col("__g"),
+        coalesce(col("__d"), lit(0L)).as("__d"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val wAll = Window.partitionBy(col("__g"))
+    val wBefore = Window.partitionBy(col("__g")).orderBy(col("__t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grid.withColumn("__n",
+      sum(col("__c")).over(wAll) -
+        coalesce(sum(col("__c")).over(wBefore), lit(0L)))
+    val perT = risk.groupBy(col("__t"))
+      .agg(sum(when(col("__g") === "a", col("__n")).otherwise(0L)).as("__n1"),
+        sum(when(col("__g") === "a", col("__d")).otherwise(0L)).as("__d1"),
+        sum(col("__n")).as("__n"), sum(col("__d")).as("__dd"))
+      .where(col("__dd") > 0)
+    val dd = col("__dd").cast("double")
+    val n1d = col("__n1").cast("double")
+    val nd = col("__n").cast("double")
+    val terms = perT.select(col("__d1"),
+      round(dd * n1d / nd, 9).cast("decimal(28,9)").as("__et"),
+      when(col("__n") > 1,
+        round(dd * n1d * (nd - n1d) * (nd - dd) /
+          (nd * nd * (nd - lit(1.0))), 9))
+        .otherwise(lit(0.0)).cast("decimal(28,9)").as("__vt"))
+    val counts = base.agg(
+      sum(when(col("__g") === "a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__g") === "b", 1L).otherwise(0L)).as("n_b"))
+    val closing = terms.agg(coalesce(sum(col("__d1")), lit(0L)).as("o_a"),
+        sum(col("__et")).as("__e1"), sum(col("__vt")).as("__v"))
+      .crossJoin(broadcast(counts)) // 1-row scalar side
+    val diff = col("o_a").cast("double") - col("__e1").cast("double")
+    val vd = col("__v").cast("double")
+    closing.select(col("n_a"), col("n_b"), col("o_a"),
+      round(col("__e1").cast("double"), 6).as("e_a"),
+      round(vd, 6).as("v_stat"),
+      when(vd > 0, round(diff * diff / vd, 6)).as("chi2"),
+      when(vd > 0, round(diff / sqrt(vd), 6)).as("z"))
+  }
+
+  /**
    * P110 — gap detection over per-key event streams: every pair of
    * consecutive events (in (ts, tie) order) whose spacing is at least
    * `minGapMicros` — the coverage/outage finder behind data-freshness

@@ -667,6 +667,31 @@ object OlapQueries {
         .orderBy("fd")
     }),
 
+    // P271 — Durbin–Watson on the per-type daily-trend residuals: is
+    // the o29-style trend line hiding autocorrelation (DW ≈ 2 clean,
+    // → 0 positive, → 4 negative); x = integral day index so every
+    // residual is an exact decimal
+    "o78_dw" -> ((s, dir) => {
+      val daily = dailyMeans(s, dir)
+        .select(col("event_type"),
+          datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("long").as("x"),
+          col("v"))
+      graft.operators.Features.durbinWatson(daily, "event_type", "x", "v")
+        .orderBy("event_type")
+    }),
+
+    // P272 — Hellinger drift of the event-type mix between the stream
+    // halves: the bounded drift distance beside dq9's PSI
+    "dq16_hellinger" -> ((s, dir) => {
+      val e = graft.Graft.events(s, dir)
+        .where(col("ts").isNotNull)
+        .select("event_type", "ts")
+      val cut = expr("timestamp'2024-01-16 00:00:00'")
+      graft.operators.Profiling.hellingerDrift(
+        e.where(col("ts") < cut), e.where(col("ts") >= cut), "event_type")
+    }),
+
     // P261 — drift monitor between the event-stream halves: the dq1
     // profiler pointed at time (the nightly "did the feed change" job)
     "pipe11_drift" -> ((s, dir) => {
@@ -3037,6 +3062,93 @@ object OlapQueries {
          |  (n_violations = 0) AS holds
          |FROM u ORDER BY fd""".stripMargin
     },
+
+    // the o11 fit replay per type, exact micro-unit residuals, exact
+    // DECIMAL(19,0)-product sums, one closing ratio
+    "o78_dw" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS x, v
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+        |  FROM d2 WHERE x IS NOT NULL AND v IS NOT NULL GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den, sx, sy
+        |  FROM s),
+        |fit AS (
+        |  SELECT event_type,
+        |    CAST(round(num / den, 6) AS DECIMAL(18,6)) AS sl,
+        |    CAST(round((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS ic
+        |  FROM f WHERE den > 0),
+        |res AS (
+        |  SELECT d2.event_type, d2.x,
+        |    CAST(CAST(CAST(d2.v AS DECIMAL(18,6)) - fit.ic -
+        |        fit.sl * CAST(d2.x AS DECIMAL(9,0)) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS em
+        |  FROM d2 JOIN fit ON fit.event_type = d2.event_type
+        |  WHERE d2.x IS NOT NULL AND d2.v IS NOT NULL),
+        |lagd AS (
+        |  SELECT event_type, em,
+        |    em - lag(em) OVER (PARTITION BY event_type ORDER BY x) AS dm
+        |  FROM res),
+        |cl AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    SUM(CAST(dm AS DECIMAL(19,0)) * CAST(dm AS DECIMAL(19,0)))
+        |      AS num,
+        |    SUM(CAST(em AS DECIMAL(19,0)) * CAST(em AS DECIMAL(19,0)))
+        |      AS den
+        |  FROM lagd GROUP BY 1)
+        |SELECT event_type, n_obs,
+        |  CASE WHEN den > 0 AND num IS NOT NULL THEN
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS dw
+        |FROM cl ORDER BY event_type""".stripMargin,
+
+    // one union-tagged agg (no join), 9-rounded shares, IEEE sqrt on
+    // identical operands, DECIMAL-summed terms, fixed closings
+    "dq16_hellinger" ->
+      """WITH u AS (
+        |  SELECT event_type AS c,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |pc AS (
+        |  SELECT c, CAST(SUM(ia) AS BIGINT) AS na,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb
+        |  FROM u GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) AS BIGINT) AS tb
+        |  FROM pc),
+        |terms AS (
+        |  SELECT ta, tb,
+        |    CAST(round((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)), 9)
+        |      AS DECIMAL(28,9)) AS h2,
+        |    CAST(round(sqrt(p) * sqrt(q), 9) AS DECIMAL(28,9)) AS bcterm
+        |  FROM (SELECT ta, tb,
+        |      CASE WHEN ta > 0 THEN
+        |        round(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), 9) END AS p,
+        |      CASE WHEN tb > 0 THEN
+        |        round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE), 9) END AS q
+        |    FROM pc CROSS JOIN t))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_categories, ta AS n_a,
+        |  tb AS n_b,
+        |  round(CAST(SUM(bcterm) AS DOUBLE), 6) AS bc,
+        |  round(sqrt(CAST(SUM(h2) AS DOUBLE) / 2.0e0), 6) AS hellinger
+        |FROM terms GROUP BY ta, tb""".stripMargin,
 
     // the dq1 profiler replay split at the o22 timestamp
     "pipe11_drift" -> {

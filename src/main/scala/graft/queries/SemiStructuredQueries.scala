@@ -15,6 +15,27 @@ import graft.streaming.EventStreams
  */
 object SemiStructuredQueries {
 
+  /** The survival subject frame shared by q11/q23/q24 (one row per
+    * customer: segment, observed duration, churn event flag) — ONE
+    * definition beside the oracles' identical `subj` CTE so the three
+    * cannot drift. Churn = last order at least 365 days before the
+    * corpus max date. */
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+    val cutoff = o.agg(max(col("d"))).head.getDate(0)
+      .toLocalDate.minusDays(365)
+    o.groupBy("o_custkey")
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+      .withColumn("t", datediff(col("last_d"), col("first_d")).cast("long"))
+      .withColumn("ev",
+        (col("last_d") <= lit(java.sql.Date.valueOf(cutoff))).cast("int"))
+      .join(table(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("t"), col("ev"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON schema-on-read: typed extraction, null on absent key
     "j1_json_extract" -> ((s, dir) => {
@@ -154,22 +175,22 @@ object SemiStructuredQueries {
     // year; the oracle replays grid, risk sets and the exp(Σ rounded-ln)
     // product limit exactly
     "q11_survival" -> ((s, dir) => {
-      val o = table(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
-      val cutoff = o.agg(max(col("d"))).head.getDate(0)
-        .toLocalDate.minusDays(365)
-      val subj = o.groupBy("o_custkey")
-        .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
-        .withColumn("t", datediff(col("last_d"), col("first_d")).cast("long"))
-        .withColumn("ev",
-          (col("last_d") <= lit(java.sql.Date.valueOf(cutoff))).cast("int"))
-        .join(table(s, dir, "customer")
-          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-          Seq("o_custkey"))
-      TimeSeries.kaplanMeier(
-          subj.select(col("c_mktsegment").as("seg"), col("t"), col("ev")),
-          "seg", "t", "ev")
+      TimeSeries.kaplanMeier(survivalSubjects(s, dir), "seg", "t", "ev")
         .orderBy("seg", "t")
+    }),
+
+    // P269 — Nelson–Aalen cumulative hazard over the q11 subject frame:
+    // the additive H(t) beside q11's product-limit S(t)
+    "q23_hazard" -> ((s, dir) => {
+      TimeSeries.nelsonAalen(survivalSubjects(s, dir), "seg", "t", "ev")
+        .orderBy("seg", "t")
+    }),
+
+    // P270 — log-rank test BUILDING vs MACHINERY on the q11 frame: the
+    // one-number verdict on whether the two segments churn differently
+    "q24_logrank" -> ((s, dir) => {
+      TimeSeries.logRankTest(survivalSubjects(s, dir), "seg", "t", "ev",
+        groupA = "BUILDING", groupB = "MACHINERY")
     }),
 
     // P100 — top-20 event-type trigram paths across user histories;
@@ -324,6 +345,113 @@ object SemiStructuredQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
         |    AS survival
         |FROM e ORDER BY seg, t""".stripMargin,
+
+    // the q11 subj frame; 9-rounded d/n increments DECIMAL-summed
+    "q23_hazard" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |cut AS (SELECT MAX(d) - 365 AS cutoff FROM o),
+        |subj AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(MAX(o.d) - MIN(o.d) AS BIGINT) AS t,
+        |    CASE WHEN MAX(o.d) <= (SELECT cutoff FROM cut) THEN 1 ELSE 0 END AS ev
+        |  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY o.o_custkey, c.c_mktsegment),
+        |grid AS (
+        |  SELECT seg, t, CAST(SUM(ev) AS BIGINT) AS n_event,
+        |         CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg, t, n_event,
+        |    CAST(SUM(n_total) OVER (PARTITION BY seg)
+        |         - COALESCE(SUM(n_total) OVER (PARTITION BY seg ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS at_risk
+        |  FROM grid),
+        |e AS (
+        |  SELECT seg, t, n_event, at_risk,
+        |    CAST(round(CAST(n_event AS DOUBLE) / CAST(at_risk AS DOUBLE), 9)
+        |      AS DECIMAL(28,9)) AS h
+        |  FROM r WHERE n_event > 0)
+        |SELECT seg, t, n_event, at_risk,
+        |  round(CAST(SUM(h) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |    AS cum_hazard
+        |FROM e ORDER BY seg, t""".stripMargin,
+
+    // the q11 subj frame restricted to the two arms; densified 2×T
+    // spine, 9-rounded E/V terms DECIMAL-summed, fixed double closings
+    "q24_logrank" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |cut AS (SELECT MAX(d) - 365 AS cutoff FROM o),
+        |subj AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(MAX(o.d) - MIN(o.d) AS BIGINT) AS t,
+        |    CASE WHEN MAX(o.d) <= (SELECT cutoff FROM cut) THEN 1 ELSE 0 END AS ev
+        |  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY o.o_custkey, c.c_mktsegment),
+        |base AS (
+        |  SELECT CASE WHEN seg = 'BUILDING' THEN 'a' ELSE 'b' END AS g,
+        |    t, CAST(ev AS BIGINT) AS e
+        |  FROM subj WHERE seg IN ('BUILDING', 'MACHINERY')
+        |    AND t IS NOT NULL),
+        |pgt AS (
+        |  SELECT g, t, CAST(SUM(e) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT ts.t, gs.g FROM (SELECT DISTINCT t FROM pgt) ts
+        |  CROSS JOIN (SELECT DISTINCT g FROM pgt) gs),
+        |grid AS (
+        |  SELECT spine.t, spine.g, coalesce(p.d, 0) AS d,
+        |    coalesce(p.c, 0) AS c
+        |  FROM spine LEFT JOIN pgt p ON p.t = spine.t AND p.g = spine.g),
+        |risk AS (
+        |  SELECT t, g, d,
+        |    CAST(SUM(c) OVER (PARTITION BY g)
+        |         - COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS n
+        |  FROM grid),
+        |pt AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN g = 'a' THEN n ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN g = 'a' THEN d ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS dd
+        |  FROM risk GROUP BY 1),
+        |terms AS (
+        |  SELECT d1,
+        |    CAST(round(CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE) /
+        |      CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS et,
+        |    CAST(CASE WHEN n > 1 THEN
+        |        round(CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |          (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) *
+        |          (CAST(n AS DOUBLE) - CAST(dd AS DOUBLE)) /
+        |          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |            (CAST(n AS DOUBLE) - 1.0e0)), 9)
+        |      ELSE 0.0e0 END AS DECIMAL(28,9)) AS vt
+        |  FROM pt WHERE dd > 0),
+        |counts AS (
+        |  SELECT CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM base),
+        |cl AS (
+        |  SELECT CAST(coalesce(SUM(d1), 0) AS BIGINT) AS o_a,
+        |    SUM(et) AS e1, SUM(vt) AS v
+        |  FROM terms)
+        |SELECT n_a, n_b, o_a,
+        |  round(CAST(e1 AS DOUBLE), 6) AS e_a,
+        |  round(CAST(v AS DOUBLE), 6) AS v_stat,
+        |  CASE WHEN CAST(v AS DOUBLE) > 0 THEN
+        |    round((CAST(o_a AS DOUBLE) - CAST(e1 AS DOUBLE)) *
+        |      (CAST(o_a AS DOUBLE) - CAST(e1 AS DOUBLE)) /
+        |      CAST(v AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN CAST(v AS DOUBLE) > 0 THEN
+        |    round((CAST(o_a AS DOUBLE) - CAST(e1 AS DOUBLE)) /
+        |      sqrt(CAST(v AS DOUBLE)), 6) END AS z
+        |FROM cl CROSS JOIN counts""".stripMargin,
 
     "q12_paths" ->
       """WITH g AS (

@@ -1098,4 +1098,22 @@ class FeaturesSpec extends SparkSpec {
     val one = df.where(col("i") === "i1")
     assert(Features.cronbachAlpha(one, "u", "i", "x").head.isNullAt(4))
   }
+
+  test("durbinWatson: alternating residuals → 4, smooth → 0, exact → null") {
+    import spark.implicits._
+    // residuals alternate sign around a flat-ish line → DW near 4
+    val alt = (1 to 20).map(i =>
+      ("k", i.toLong, if (i % 2 == 0) -1.0 else 1.0)).toDF("k", "x", "y")
+    val a = Features.durbinWatson(alt, "k", "x", "y").head
+    assert(a.getLong(1) == 20L && a.getDouble(2) > 3.0)
+    // smooth parabola residuals (positive autocorrelation) → DW near 0
+    val smooth = (1 to 20).map(i => ("k", i.toLong, (i * i).toDouble))
+      .toDF("k", "x", "y")
+    val sm = Features.durbinWatson(smooth, "k", "x", "y").head
+    assert(sm.getDouble(2) < 1.0)
+    // an exact line has zero residual energy → dw null
+    val line = (1 to 10).map(i => ("k", i.toLong, 2.0 * i + 1.0))
+      .toDF("k", "x", "y")
+    assert(Features.durbinWatson(line, "k", "x", "y").head.isNullAt(2))
+  }
 }

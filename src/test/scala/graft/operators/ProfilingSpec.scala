@@ -311,4 +311,25 @@ class ProfilingSpec extends SparkSpec {
     assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L &&
       empty.getLong(4) == 0L && empty.getBoolean(6))
   }
+
+  test("hellingerDrift: identical mixes read 0, disjoint mixes read 1") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y", "y").toDF("c")
+    val b = Seq("x", "y").toDF("c")
+    val same = Profiling.hellingerDrift(a, b, "c").head
+    assert(same.getLong(0) == 2L && same.getLong(1) == 4L &&
+      same.getLong(2) == 2L)
+    assert(same.getDouble(3) == 1.0 && same.getDouble(4) == 0.0)
+    // disjoint supports: BC = 0, H = 1; absent categories carry their
+    // full mass (no epsilon flooring)
+    val da = Seq.fill(4)("x").toDF("c")
+    val db = Seq.fill(5)("y").toDF("c")
+    val dis = Profiling.hellingerDrift(da, db, "c").head
+    assert(dis.getLong(0) == 2L)
+    assert(dis.getDouble(3) == 0.0 && dis.getDouble(4) == 1.0)
+    // nulls drop from both sides
+    val an = a.union(Seq.fill(3)(null.asInstanceOf[String]).toDF("c"))
+    val n = Profiling.hellingerDrift(an, b, "c").head
+    assert(n.getLong(1) == 4L && n.getDouble(4) == 0.0)
+  }
 }

@@ -652,4 +652,44 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.activeUserRatio(ev, "u", "t", 1))
   }
+
+  test("nelsonAalen: hand cumulative hazard with censoring") {
+    import spark.implicits._
+    // subjects: death@1, death@2, censored@2, censored@3 →
+    // H(1) = 1/4, H(2) = 1/4 + 1/3 = 0.583333 (t=3 has no event)
+    val subj = Seq(("g", 1L, 1), ("g", 2L, 1), ("g", 2L, 0), ("g", 3L, 0))
+      .toDF("grp", "t", "ev")
+    val rows = TimeSeries.nelsonAalen(subj, "grp", "t", "ev")
+      .orderBy("t").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 1L &&
+      rows(0).getLong(3) == 4L && rows(0).getDouble(4) == 0.25)
+    assert(rows(1).getLong(3) == 3L && rows(1).getDouble(4) == 0.583333)
+  }
+
+  test("logRankTest: symmetric arms null out; separated arms flag") {
+    import spark.implicits._
+    // identical arms: O = E → chi2 = 0
+    val same = Seq(("A", 1L, 1), ("A", 2L, 1), ("B", 1L, 1), ("B", 2L, 1))
+      .toDF("g", "t", "ev")
+    val s = TimeSeries.logRankTest(same, "g", "t", "ev", "A", "B").head
+    assert(s.getLong(0) == 2L && s.getLong(1) == 2L && s.getLong(2) == 2L)
+    assert(s.getDouble(3) == 2.0 && s.getDouble(5) == 0.0 &&
+      s.getDouble(6) == 0.0)
+    // arm A all dies at t=1, arm B all censored at t=5:
+    // E = 3·3/6 = 1.5, V = 81/180 = 0.45 → chi2 = 2.25/0.45 = 5
+    val sep = (Seq.fill(3)(("A", 1L, 1)) ++ Seq.fill(3)(("B", 5L, 0)))
+      .toDF("g", "t", "ev")
+    val r = TimeSeries.logRankTest(sep, "g", "t", "ev", "A", "B").head
+    assert(r.getLong(2) == 3L && r.getDouble(3) == 1.5 &&
+      r.getDouble(4) == 0.45)
+    assert(r.getDouble(5) == 5.0 && r.getDouble(6) == 2.236068)
+    // a third group is ignored entirely
+    val extra = sep.union(Seq(("C", 9L, 1)).toDF("g", "t", "ev"))
+    val e = TimeSeries.logRankTest(extra, "g", "t", "ev", "A", "B").head
+    assert(e.getLong(0) == 3L && e.getLong(1) == 3L &&
+      e.getDouble(5) == 5.0)
+    intercept[IllegalArgumentException](
+      TimeSeries.logRankTest(sep, "g", "t", "ev", "A", "A"))
+  }
 }
