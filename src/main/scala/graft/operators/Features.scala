@@ -2575,4 +2575,69 @@ object Features {
             6)))
       .drop("__num", "__den")
   }
+
+  /** Round a double at 6 decimals on the DRIVER (HALF_UP — matching SQL
+    * round) for embedding as a boundary literal on both engine sides. */
+  private def round6Driver(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The SPRT per-trial log-likelihood increments and Wald boundaries
+    * for H₀: p = p0 vs H₁: p = p1 at error rates (alpha, beta) —
+    * computed ONCE on the driver so the operator and any oracle
+    * generator embed IDENTICAL double literals (the sa8 libm firewall:
+    * neither engine ever calls ln at runtime). Returns
+    * (lnSuccess, lnFailure, upper6, lower6) with the boundaries
+    * pre-rounded at 6 for knife-edge-free crossing comparisons. */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Double, Double, Double, Double) = {
+    require(p0 > 0 && p1 > p0 && p1 < 1,
+      s"sprtConstants: need 0 < p0 < p1 < 1, got ($p0, $p1)")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"sprtConstants: need alpha, beta in (0, 0.5), got ($alpha, $beta)")
+    (math.log(p1 / p0), math.log((1.0 - p1) / (1.0 - p0)),
+      round6Driver(math.log((1.0 - beta) / alpha)),
+      round6Driver(math.log(beta / (1.0 - alpha))))
+  }
+
+  /**
+   * P275 — SPRT ladder (Wald's sequential probability ratio test): per
+   * arm, the cumulative log-likelihood ratio of H₁: p = p1 against
+   * H₀: p = p0 over ordered (conversions, trials) batches, with the
+   * decision boundaries ln((1−β)/α) and ln(β/(1−α)) — the "stop the
+   * A/B test early, with error control" audit (peeking at a fixed-
+   * horizon z-test inflates α; the SPRT is the test DESIGNED for
+   * peeking). Emits the full per-(arm, period) ladder: conversions,
+   * trials, llr, upper/lower bounds, crossed_upper, crossed_lower.
+   *
+   * Shape: one arm-partitioned cumulative window over the per-period
+   * frame (periods per arm, not raw trials — agg-sized). Cross-engine:
+   * the ln increments and boundaries are [[sprtConstants]] driver
+   * literals embedded identically on both sides; per-period terms are
+   * fixed double sequences on exact BIGINT counts rounded at 9 and
+   * DECIMAL(28,9)-summed; crossings compare the 6-rounded llr against
+   * 6-rounded boundary literals (no knife edge).
+   */
+  def sprtLadder(df: DataFrame, armCol: String, ordCol: String,
+      convCol: String, trialCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    val (la, lb, up6, lo6) = sprtConstants(p0, p1, alpha, beta)
+    val base = df.where(col(armCol).isNotNull && col(ordCol).isNotNull &&
+        col(convCol).isNotNull && col(trialCol).isNotNull)
+      .select(col(armCol).as("arm"), col(ordCol).as("period"),
+        col(convCol).cast("long").as("conversions"),
+        col(trialCol).cast("long").as("trials"))
+    val term = round(col("conversions").cast("double") * lit(la) +
+      (col("trials") - col("conversions")).cast("double") * lit(lb), 9)
+      .cast("decimal(28,9)")
+    val wCum = Window.partitionBy(col("arm")).orderBy(col("period").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.withColumn("__t", term)
+      .withColumn("llr", round(sum(col("__t")).over(wCum).cast("double"), 6))
+      .withColumn("upper_bound", lit(up6))
+      .withColumn("lower_bound", lit(lo6))
+      .withColumn("crossed_upper", col("llr") >= lit(up6))
+      .withColumn("crossed_lower", col("llr") <= lit(lo6))
+      .drop("__t")
+  }
 }

@@ -883,4 +883,53 @@ object Sampling {
       when(col("n") > 1,
         round(lit(1.96) * sqrt(variance) / sqrt(nd), 6)).as("ci_half"))
   }
+
+  /**
+   * P276 — training-mixture rebalance plan: given per-unit token
+   * counts and a TARGET per-source share table (driver literals — the
+   * "what the loader should sample" spec), the per-source sampling
+   * weight target/actual and projected token budget — the plan a
+   * weighted loader (P53's fractional epochs, P251's pipeline)
+   * executes. A source absent from the target table gets a null
+   * weight (flagged, not silently zeroed). Emits per source (source,
+   * n_units, n_tokens, share, target_share, weight, projected_tokens),
+   * ordered by source.
+   *
+   * Shape: ONE source-keyed agg + a 1-row totals broadcast; the target
+   * table is a literal CASE chain, not a join. Cross-engine: counts
+   * exact BIGINTs; shares round at 6; the weight divides the target
+   * literal by the 6-rounded share (both engines share every operand);
+   * projected tokens floor()-then-cast (CAST alone ROUNDS in DuckDB).
+   */
+  def mixtureRebalance(df: DataFrame, srcCol: String, tokenCol: String,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "mixtureRebalance: empty target table")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "mixtureRebalance: duplicate sources in target table")
+    require(targets.forall(_._2 > 0),
+      "mixtureRebalance: target shares must be positive")
+    val per = df.where(col(srcCol).isNotNull && col(tokenCol).isNotNull)
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"))
+    val totals = per.agg(sum(col("n_tokens")).as("__tot"))
+    val target = targets.tail.foldLeft(
+      when(col("source") === targets.head._1, lit(targets.head._2))) {
+        case (acc, (s, t)) => acc.when(col("source") === s, lit(t))
+      }
+    val totd = col("__tot").cast("double")
+    per.crossJoin(broadcast(totals)) // 1-row scalar side
+      .withColumn("share",
+        when(col("__tot") > 0,
+          round(col("n_tokens").cast("double") / totd, 6)))
+      .withColumn("target_share", target)
+      .withColumn("weight",
+        when(col("target_share").isNotNull && col("share") > 0,
+          round(col("target_share") / col("share"), 6)))
+      .withColumn("projected_tokens",
+        when(col("target_share").isNotNull && col("__tot") > 0,
+          floor(col("target_share") * totd).cast("long")))
+      .drop("__tot")
+      .orderBy(col("source"))
+  }
 }

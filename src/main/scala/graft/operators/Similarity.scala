@@ -662,4 +662,48 @@ object Similarity {
         round(sum(col("__s").cast("decimal(18,6)")).cast("double") /
           count(col("__s")).cast("double"), 6).as("mean_s"))
   }
+
+  /**
+   * P274 — embedding isotropy audit: the mean pairwise cosine of the
+   * corpus via the sum-vector identity Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² —
+   * NO pairwise pass at all, one linear sweep (the anisotropy read
+   * behind "all my embeddings point the same way", which silently
+   * breaks cosine thresholds like d7/d12's 0.8 and flattens ANN
+   * contrast). Also emits the centroid norm ‖mean u‖ ∈ [0, 1] (≈ 0
+   * isotropic, → 1 collapsed). Emits ONE row (n_vectors, dim,
+   * mean_cosine, centroid_norm).
+   *
+   * Shape: normalize per row (the d7 codegen kernel — sequential fold,
+   * zero vectors → zeros), posexplode, ONE (dim)-keyed agg, one k-row
+   * closing agg — fully partition-parallel, scales to any corpus.
+   * Cross-engine: normalized elements round at 6 then become exact
+   * micro-unit BIGINTs; per-dim sums exact; the dim-sized squares go
+   * through DECIMAL(19,0) products; two closing fixed double sequences
+   * rounded at 6.
+   */
+  def isotropyAudit(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val e = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), Dedup.l2Normalize(col(vecCol)).as("__nv"))
+    val nAgg = e.agg(count(lit(1)).as("__n"))
+    val ex = e.select(posexplode(col("__nv")).as(Seq("__pos", "__u")))
+      .select(col("__pos"),
+        (round(col("__u"), 6).cast("decimal(9,6)") * lit(1000000L))
+          .cast("long").as("__m"))
+    val perDim = ex.groupBy(col("__pos"))
+      .agg(sum(col("__m")).as("__s"), sum(col("__m") * col("__m")).as("__q"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val closing = perDim.agg(count(lit(1)).as("dim"),
+        sum(d19(col("__s")) * d19(col("__s"))).as("__ss"),
+        sum(col("__q")).as("__qq"))
+      .crossJoin(broadcast(nAgg)) // 1-row scalar side
+    val nd = col("__n").cast("double")
+    closing.select(col("__n").as("n_vectors"), col("dim"),
+      when(col("__n") > 1,
+        round((col("__ss").cast("double") - col("__qq").cast("double")) /
+          (nd * (nd - lit(1.0))) / lit(1.0e12), 6)).as("mean_cosine"),
+      when(col("__n") > 0,
+        round(sqrt(col("__ss").cast("double")) / nd / lit(1000000.0), 6))
+        .as("centroid_norm"))
+  }
 }

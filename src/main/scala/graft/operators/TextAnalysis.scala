@@ -1252,4 +1252,68 @@ object TextAnalysis {
           col("__tot").cast("double"), 6))
       .drop("__tot")
   }
+
+  /** The nDCG discount ladder 1/log₂(i+1), i = 1..k — computed ONCE on
+    * the driver so the operator and any oracle generator embed the
+    * IDENTICAL double literals (the EWMA weight-ladder rule; no runtime
+    * libm on either engine). */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** [[ndcgDiscounts]] as SQL double literals (shortest round-trip repr,
+    * e0-suffixed when bare). */
+  def ndcgDiscountLiterals(k: Int): Seq[String] = ndcgDiscounts(k).map { d =>
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /**
+   * P273 — nDCG@k retrieval evaluation: DCG = Σ rel_i / log₂(i+1) over
+   * the ranked list, normalized by the ideal DCG of the top-k relevance
+   * grades — the graded-relevance score beside P106's recall@k (recall
+   * can't see ORDER; nDCG is what actually grades a ranker). Takes a
+   * ranked frame (id, rank 1..k) and a relevance frame (id, integer
+   * grade ≥ 1 — ungraded ids count 0 when ranked, and only graded ids
+   * form the ideal list, on BOTH sides of the contract). Emits ONE row
+   * (k, n_ranked, n_graded, dcg, idcg, ndcg).
+   *
+   * Shape: a keyed join of two k/graded-sized frames, an orderBy+limit
+   * (TakeOrdered — no corpus window) for the ideal list, and a
+   * row_number over that ≤ k-row frame (the adjudicated k-row window
+   * class). Cross-engine: grades exact BIGINTs; the discount ladder is
+   * [[ndcgDiscounts]] literals embedded identically on both sides;
+   * per-position terms round at 9 into DECIMAL(28,9) sums; closing
+   * ratio rounds at 6.
+   */
+  def ndcgAtK(ranked: org.apache.spark.sql.DataFrame, idCol: String,
+      rankCol: String, rels: org.apache.spark.sql.DataFrame,
+      relIdCol: String, relCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && k <= 100, s"ndcgAtK: k must be in 1..100, got $k")
+    val discArr = array(ndcgDiscounts(k).map(lit): _*)
+    val r = ranked.where(col(rankCol) <= k)
+      .select(col(idCol).as("__id"), col(rankCol).cast("int").as("__r"))
+    val rl = rels.where(col(relCol).isNotNull && col(relIdCol).isNotNull)
+      .select(col(relIdCol).as("__id"), col(relCol).cast("long").as("__rel"))
+    val dcgAgg = r.join(rl.hint("shuffle_hash"), Seq("__id"), "left")
+      .select(round(coalesce(col("__rel"), lit(0L)).cast("double") *
+        element_at(discArr, col("__r")), 9).cast("decimal(28,9)").as("__t"))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("__t")).as("__dcg"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rel").desc, col("__id").asc)
+    val idealAgg = rl.orderBy(col("__rel").desc, col("__id").asc).limit(k)
+      .withColumn("__r", row_number().over(wIdeal))
+      .select(round(col("__rel").cast("double") *
+        element_at(discArr, col("__r")), 9).cast("decimal(28,9)").as("__t"))
+      .agg(sum(col("__t")).as("__idcg"))
+    val graded = rl.agg(count(lit(1)).as("n_graded"))
+    dcgAgg.crossJoin(broadcast(idealAgg)) // 1-row scalar sides
+      .crossJoin(broadcast(graded))
+      .select(lit(k).as("k"), col("n_ranked"), col("n_graded"),
+        round(coalesce(col("__dcg").cast("double"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("__idcg").cast("double"), lit(0.0)), 6)
+          .as("idcg"),
+        when(col("__idcg").isNotNull && col("__idcg") > 0,
+          round(coalesce(col("__dcg").cast("double"), lit(0.0)) /
+            col("__idcg").cast("double"), 6)).as("ndcg"))
+  }
 }

@@ -692,6 +692,23 @@ object OlapQueries {
         e.where(col("ts") < cut), e.where(col("ts") >= cut), "event_type")
     }),
 
+    // P275 — SPRT ladder on the daily purchase rate per arm, H₀ p=0.17
+    // vs H₁ p=0.20 (the corpus rate ≈ 0.198 sits in H₁'s favor, so the
+    // upper boundary is genuinely crossed — measured at both SFs):
+    // the peeking-safe sequential A/B readout beside o73's fixed-horizon
+    // rate test
+    "o79_sprt" -> ((s, dir) => {
+      val daily = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy((col("user_id") % 2 === 1).as("arm"),
+          to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"), count(lit(1)).as("trials"))
+      graft.operators.Features.sprtLadder(daily, "arm", "day",
+          "conv", "trials", p0 = 0.17, p1 = 0.20)
+        .orderBy("arm", "period")
+    }),
+
     // P261 — drift monitor between the event-stream halves: the dq1
     // profiler pointed at time (the nightly "did the feed change" job)
     "pipe11_drift" -> ((s, dir) => {
@@ -3149,6 +3166,41 @@ object OlapQueries {
         |  round(CAST(SUM(bcterm) AS DOUBLE), 6) AS bc,
         |  round(sqrt(CAST(SUM(h2) AS DOUBLE) / 2.0e0), 6) AS hellinger
         |FROM terms GROUP BY ta, tb""".stripMargin,
+
+    // the operator's own sprtConstants driver literals on both sides;
+    // 9-rounded daily increments DECIMAL-summed per arm
+    "o79_sprt" -> {
+      val (la, lb, up6, lo6) =
+        graft.operators.Features.sprtConstants(0.17, 0.20, 0.05, 0.05)
+      def l(d: Double) = {
+        val s = d.toString
+        if (s.contains("E") || s.contains("e")) s else s + "e0"
+      }
+      s"""WITH d AS (
+         |  SELECT (user_id % 2 = 1) AS arm, CAST(ts AS DATE) AS period,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS conversions,
+         |    CAST(COUNT(*) AS BIGINT) AS trials
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT arm, period, conversions, trials,
+         |    CAST(round(CAST(conversions AS DOUBLE) * ${l(la)} +
+         |      CAST(trials - conversions AS DOUBLE) * ${l(lb)}, 9)
+         |      AS DECIMAL(28,9)) AS tt
+         |  FROM d),
+         |l2 AS (
+         |  SELECT arm, period, conversions, trials,
+         |    round(CAST(SUM(tt) OVER (PARTITION BY arm ORDER BY period
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE), 6) AS llr
+         |  FROM t)
+         |SELECT arm, period, conversions, trials, llr,
+         |  ${l(up6)} AS upper_bound, ${l(lo6)} AS lower_bound,
+         |  (llr >= ${l(up6)}) AS crossed_upper,
+         |  (llr <= ${l(lo6)}) AS crossed_lower
+         |FROM l2 ORDER BY arm, period""".stripMargin
+    },
 
     // the dq1 profiler replay split at the o22 timestamp
     "pipe11_drift" -> {

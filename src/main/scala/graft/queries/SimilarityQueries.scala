@@ -50,6 +50,13 @@ object SimilarityQueries {
         .orderBy("rank")
     }),
 
+    // P274 — corpus isotropy audit: mean pairwise cosine via the
+    // sum-vector identity (one linear sweep, NO pairwise pass) + the
+    // centroid norm — the drift alarm for d7/d12's cosine thresholds
+    "sim12_isotropy" -> ((s, dir) => {
+      Similarity.isotropyAudit(emb(s, dir), "vec_id", "v")
+    }),
+
     // exact cosine top-5 for 10 query vectors
     "sim1_brute_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -207,6 +214,51 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the d7 normalization fold replayed per row (0.0-seeded left fold ≡
+    // list_reduce), 6-rounded micro-unit elements, exact per-dim sums,
+    // DECIMAL(19,0)-product squares, two fixed double closings
+    "sim12_isotropy" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        |nm AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |      (a, b) -> a + b)) AS norm
+        |  FROM e WHERE len(v) > 0),
+        |u AS (
+        |  SELECT vec_id,
+        |    CASE WHEN norm > 0 THEN list_transform(v, x -> x / norm)
+        |         ELSE list_transform(v, x -> 0.0e0) END AS nv
+        |  FROM nm),
+        |ex AS (
+        |  SELECT g.i,
+        |    CAST(CAST(round(nv[g.i], 6) AS DECIMAL(9,6)) * 1000000
+        |      AS BIGINT) AS m
+        |  FROM u CROSS JOIN (
+        |    SELECT unnest(generate_series(1,
+        |      (SELECT MAX(len(v)) FROM e))) AS i) g
+        |  WHERE g.i <= len(u.nv)),
+        |pd AS (
+        |  SELECT i, CAST(SUM(m) AS BIGINT) AS s,
+        |    CAST(SUM(m * m) AS BIGINT) AS q
+        |  FROM ex GROUP BY 1),
+        |cl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+        |    SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS ss,
+        |    CAST(SUM(q) AS BIGINT) AS qq
+        |  FROM pd)
+        |SELECT n.n AS n_vectors, cl.dim,
+        |  CASE WHEN n.n > 1 THEN
+        |    round((CAST(ss AS DOUBLE) - CAST(qq AS DOUBLE)) /
+        |      (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0e0)) /
+        |      1000000000000.0e0, 6) END AS mean_cosine,
+        |  CASE WHEN n.n > 0 THEN
+        |    round(sqrt(CAST(ss AS DOUBLE)) / CAST(n.n AS DOUBLE) /
+        |      1000000.0e0, 6) END AS centroid_norm
+        |FROM cl CROSS JOIN n""".stripMargin,
+
     // stage 1 is the iv2 BM25 replay at LIMIT 50; stage 2 the sim1
     // cosine replay against vec 7; final rank on the rounded cosine
     "pipe3_hybrid" ->

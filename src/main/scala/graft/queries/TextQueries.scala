@@ -13,6 +13,12 @@ import graft.operators.TextAnalysis
  */
 object TextQueries {
 
+  /** The pipe12 target mixture (driver literals, shared by query and
+    * oracle): upweight src0–src4 to 8% each, the remaining 15 sources
+    * hold 4% each (Σ = 1). */
+  val mixtureTargets: Seq[(String, Double)] =
+    (0 to 19).map(i => (s"src$i", if (i < 5) 0.08 else 0.04))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counts: whitespace + BPE-ish subword runs
     "t1_token_counts" -> ((s, dir) => {
@@ -176,6 +182,34 @@ object TextQueries {
           Seq("hash", "join", "vector"), k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy("rank")
+    }),
+
+    // P273 — nDCG@10 of the iv2 BM25 ranking against graded relevance
+    // (query-term occurrences capped at 10 — a cap of 3 saturates on
+    // this corpus and pins nDCG at exactly 1.0, measured): the
+    // order-aware retrieval
+    // score beside sim9's recall@k
+    "iv5_ndcg" -> ((s, dir) => {
+      val ranked = TextAnalysis.bm25TopK(table(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "join", "vector"), k = 10)
+      val rels = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .where(col("w").isin("hash", "join", "vector"))
+        .groupBy("doc_id")
+        .agg(least(lit(10L), count(lit(1))).as("rel"))
+      TextAnalysis.ndcgAtK(ranked, "id", "rank", rels, "doc_id", "rel",
+        k = 10)
+    }),
+
+    // P276 — training-mixture rebalance plan: token shares per source vs
+    // a 2×-upweight target on src0–src4, the weights a P53-style
+    // fractional-epoch loader executes
+    "pipe12_mixture" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      graft.operators.Sampling.mixtureRebalance(toks, "source", "n_tokens",
+        TextQueries.mixtureTargets)
     }),
 
     // P57 — inverted index with 5-entry posting lists; postings joined to
@@ -766,6 +800,95 @@ object TextQueries {
         |SELECT doc_id, score,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the iv2 ranking replayed verbatim; the discount ladder is the
+    // operator's own driver literals; 9-rounded terms DECIMAL-summed
+    "iv5_ndcg" -> {
+      val disc = graft.operators.TextAnalysis.ndcgDiscountLiterals(10)
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '') AS l
+         |  FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(len(l)) AS BIGINT) AS sdl FROM toks),
+         |t AS (SELECT doc_id, len(l) AS dl, unnest(l) AS w FROM toks),
+         |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+         |       WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    round(ln(1.0e0 + (st.n - df.df + 0.5e0) / (df.df + 0.5e0)) *
+         |      (tf.tf * (1.2e0 + 1.0e0)) /
+         |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * tf.dl /
+         |        (CAST(st.sdl AS DOUBLE) / st.n))), 9) AS s
+         |  FROM tf JOIN df USING (w) CROSS JOIN st),
+         |agg AS (
+         |  SELECT doc_id,
+         |    round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+         |  FROM sc GROUP BY 1),
+         |ranked AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |      AS rank
+         |  FROM agg ORDER BY score DESC, doc_id LIMIT 10),
+         |rels AS (
+         |  SELECT doc_id, least(10, CAST(COUNT(*) AS BIGINT)) AS rel
+         |  FROM t WHERE w IN ('hash', 'join', 'vector') GROUP BY 1),
+         |dcg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         |    SUM(CAST(round(CAST(coalesce(rels.rel, 0) AS DOUBLE) *
+         |      ([$disc])[ranked.rank], 9) AS DECIMAL(28,9))) AS d
+         |  FROM ranked LEFT JOIN rels ON rels.doc_id = ranked.doc_id),
+         |ideal AS (
+         |  SELECT SUM(CAST(round(CAST(rel AS DOUBLE) * ([$disc])[rn], 9)
+         |    AS DECIMAL(28,9))) AS i
+         |  FROM (
+         |    SELECT rel,
+         |      CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS INT)
+         |        AS rn
+         |    FROM (SELECT * FROM rels ORDER BY rel DESC, doc_id LIMIT 10))),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_graded FROM rels)
+         |SELECT 10 AS k, n_ranked, n_graded,
+         |  round(coalesce(CAST(d AS DOUBLE), 0.0e0), 6) AS dcg,
+         |  round(coalesce(CAST(i AS DOUBLE), 0.0e0), 6) AS idcg,
+         |  CASE WHEN i IS NOT NULL AND i > 0 THEN
+         |    round(coalesce(CAST(d AS DOUBLE), 0.0e0) / CAST(i AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM dcg CROSS JOIN ideal CROSS JOIN g""".stripMargin
+    },
+
+    // one source-keyed agg + literal target CASE; floor() before the
+    // BIGINT cast (CAST alone rounds in DuckDB)
+    "pipe12_mixture" -> {
+      val targetCase = TextQueries.mixtureTargets
+        .map { case (s, t) => s"WHEN source = '$s' THEN ${t}e0" }
+        .mkString(" ")
+      s"""WITH per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_units,
+         |    CAST(SUM(CAST(len(list_filter(
+         |      string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND text IS NOT NULL
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+         |sel AS (
+         |  SELECT source, n_units, n_tokens,
+         |    CASE WHEN tot > 0 THEN
+         |      round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         |    END AS share,
+         |    CASE $targetCase END AS target_share, tot
+         |  FROM per CROSS JOIN t)
+         |SELECT source, n_units, n_tokens, share, target_share,
+         |  CASE WHEN target_share IS NOT NULL AND share > 0 THEN
+         |    round(target_share / share, 6) END AS weight,
+         |  CASE WHEN target_share IS NOT NULL AND tot > 0 THEN
+         |    CAST(floor(target_share * CAST(tot AS DOUBLE)) AS BIGINT)
+         |  END AS projected_tokens
+         |FROM sel ORDER BY source""".stripMargin
+    },
 
     // p(t|C) parenthesized exactly as the operator (mu * (cf / ct) —
     // (mu*cf)/ct would round differently); missing tf coalesces to 0

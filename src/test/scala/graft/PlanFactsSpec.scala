@@ -172,7 +172,8 @@ object PlanFactsSpec {
     "sa18_reweight", "z4_compaction",
     // ranking over an agg-sized frame (vocab top-k, bucket ladders,
     // stratum grids, file lists — bounded at any input scale)
-    "dq2_skew", "iv2_bm25", "iv4_qld", "o13_chisq", "o30_woe", "o31_gini",
+    "dq2_skew", "iv2_bm25", "iv4_qld", "iv5_ndcg", // iv5: bm25 rank + k-row ideal
+    "o13_chisq", "o30_woe", "o31_gini",
     "pipe3_hybrid", "pipe5_rrf", "sa15_neyman", "sk8_hdr", "z5_zonemap",
     "z6_prune_sim", "o42_cramersv", "dq9_psi", "dq11_volume", "o53_bh",
     "o69_by_fdr", // the o53 machinery with the BY factor — same tests frame

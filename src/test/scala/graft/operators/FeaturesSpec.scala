@@ -1116,4 +1116,27 @@ class FeaturesSpec extends SparkSpec {
       .toDF("k", "x", "y")
     assert(Features.durbinWatson(line, "k", "x", "y").head.isNullAt(2))
   }
+
+  test("sprtLadder: strong arms cross their boundaries monotonically") {
+    import spark.implicits._
+    // arm true: 50/100 per period under H0 p=0.1 vs H1 p=0.3 → strongly
+    // H1 (crosses upper); arm false: 0/100 → strongly H0 (crosses lower)
+    val daily = (1 to 3).flatMap(d => Seq(
+      (true, d, 50L, 100L), (false, d, 0L, 100L)))
+      .toDF("arm", "day", "conv", "trials")
+    val rows = Features.sprtLadder(daily, "arm", "day", "conv", "trials",
+        p0 = 0.1, p1 = 0.3)
+      .orderBy("arm", "period").collect()
+    assert(rows.length == 6)
+    val (lo, hi) = (rows.take(3), rows.drop(3))
+    // boundaries at alpha = beta = 0.05: ±ln(19) = ±2.944439
+    assert(hi.head.getDouble(5) == 2.944439 &&
+      hi.head.getDouble(6) == -2.944439)
+    assert(hi.forall(r => r.getDouble(4) > 0 && r.getBoolean(7)))
+    assert(lo.forall(r => r.getDouble(4) < 0 && r.getBoolean(8)))
+    // cumulative: period 3 is 3× period 1 (identical increments)
+    assert(math.abs(hi(2).getDouble(4) - 3 * hi(0).getDouble(4)) < 1e-4)
+    intercept[IllegalArgumentException](
+      Features.sprtLadder(daily, "arm", "day", "conv", "trials", 0.3, 0.1))
+  }
 }

@@ -568,4 +568,29 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.sampleConvergence(df, "id", "v", Seq(2, 2)))
   }
+
+  test("mixtureRebalance: weights = target/actual; unknown source flags") {
+    import spark.implicits._
+    // a holds 60 of 100 tokens, b 40; equal targets → a downweighted
+    val df = Seq(("a", 20L), ("a", 40L), ("b", 40L), ("c", 10L))
+      .toDF("src", "toks")
+    val known = df.where(col("src") =!= "c")
+    val got = Sampling.mixtureRebalance(known, "src", "toks",
+        Seq(("a", 0.5), ("b", 0.5)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(got("a") == ((2L, 60L, 0.6, 0.833333, 50L)))
+    assert(got("b") == ((1L, 40L, 0.4, 1.25, 50L)))
+    // a source missing from the target table gets a null weight, not 0
+    val withC = Sampling.mixtureRebalance(df, "src", "toks",
+        Seq(("a", 0.5), ("b", 0.5)))
+      .where(col("source") === "c").head
+    assert(withC.isNullAt(4) && withC.isNullAt(5) && withC.isNullAt(6))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureRebalance(df, "src", "toks", Nil))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureRebalance(df, "src", "toks",
+        Seq(("a", 0.5), ("a", 0.5))))
+  }
 }

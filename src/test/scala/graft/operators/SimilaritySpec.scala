@@ -396,4 +396,24 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.silhouetteSimplified(
       corpus, cents.where(col("centroid_id") === 1L), "vec_id", "v"))
   }
+
+  test("isotropyAudit: collapsed corpus reads 1, orthogonal reads 0") {
+    import spark.implicits._
+    // three copies of one direction: every pairwise cosine is 1
+    val collapsed = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(6.0f, 8.0f))).toDF("vec_id", "v")
+    val c = Similarity.isotropyAudit(collapsed, "vec_id", "v").head
+    assert(c.getLong(0) == 3L && c.getLong(1) == 2L)
+    assert(c.getDouble(2) == 1.0 && c.getDouble(3) == 1.0)
+    // an orthogonal pair: mean cosine 0, centroid norm 1/√2
+    val ortho = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "v")
+    val o = Similarity.isotropyAudit(ortho, "vec_id", "v").head
+    assert(o.getDouble(2) == 0.0 && o.getDouble(3) == 0.707107)
+    // an opposed pair: mean cosine −1, centroid collapses to 0
+    val opp = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "v")
+    val p = Similarity.isotropyAudit(opp, "vec_id", "v").head
+    assert(p.getDouble(2) == -1.0 && p.getDouble(3) == 0.0)
+  }
 }

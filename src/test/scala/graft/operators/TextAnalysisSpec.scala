@@ -723,4 +723,27 @@ class TextAnalysisSpec extends SparkSpec {
     val m = TextAnalysis.entropyRate(mixed, "id", "t").head
     assert(m.getDouble(4) > 0.0 && m.getDouble(5) < 1.0)
   }
+
+  test("ndcgAtK: perfect ranking scores 1, inverted ranking less") {
+    import spark.implicits._
+    val rels = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("id", "rel")
+    val perfect = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val p = TextAnalysis.ndcgAtK(perfect, "id", "rank", rels, "id", "rel",
+      k = 3).head
+    // DCG = 3·1 + 2·0.630929754 + 1·0.5 = 4.761860 = IDCG
+    assert(p.getInt(0) == 3 && p.getLong(1) == 3L && p.getLong(2) == 3L)
+    assert(p.getDouble(3) == 4.76186 && p.getDouble(5) == 1.0)
+    val inverted = Seq((3L, 1), (2L, 2), (1L, 3)).toDF("id", "rank")
+    val i = TextAnalysis.ndcgAtK(inverted, "id", "rank", rels, "id", "rel",
+      k = 3).head
+    assert(i.getDouble(5) > 0.7 && i.getDouble(5) < 1.0)
+    // an ungraded ranked doc contributes zero gain, idcg unchanged
+    val withJunk = Seq((9L, 1), (1L, 2), (2L, 3)).toDF("id", "rank")
+    val j = TextAnalysis.ndcgAtK(withJunk, "id", "rank", rels, "id", "rel",
+      k = 3).head
+    assert(j.getDouble(4) == p.getDouble(4) &&
+      j.getDouble(5) < i.getDouble(5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.ndcgAtK(perfect, "id", "rank", rels, "id", "rel", 0))
+  }
 }
