@@ -1316,4 +1316,36 @@ object TextAnalysis {
           round(coalesce(col("__dcg").cast("double"), lit(0.0)) /
             col("__idcg").cast("double"), 6)).as("ndcg"))
   }
+
+  /**
+   * P277 — BPE merge-step candidates: the top-k adjacent character
+   * pairs inside whitespace words across the corpus — exactly the
+   * statistic the first byte-pair-encoding merge iteration maximizes
+   * (and re-running it on each round's merged symbols IS the BPE
+   * trainer; one distributed step is the building block). The
+   * tokenizer-drift read: compare a corpus's top pairs against the
+   * pairs a deployed vocabulary merged first. Emits the top-k
+   * (pair, n), count-desc with pair tie-break — no window at all, the
+   * limit boundary is deterministic.
+   *
+   * Shape: words explode to (position, 2-gram) pairs via a codegen
+   * `sequence` index (no interpreted HOF lambda over the corpus — the
+   * t7 lesson), one pair-keyed count agg (map-side combinable), one
+   * TakeOrdered top-k. Scales to any corpus: the agg domain is the
+   * alphabet², not the corpus.
+   */
+  def bpeMergeCandidates(df: org.apache.spark.sql.DataFrame,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && k <= 1000,
+      s"bpeMergeCandidates: k must be in 1..1000, got $k")
+    df.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .where(length(col("__w")) >= 2)
+      .select(col("__w"),
+        explode(sequence(lit(1), length(col("__w")) - 1)).as("__i"))
+      .select(expr("substr(__w, __i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
 }

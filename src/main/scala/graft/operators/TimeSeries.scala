@@ -1340,4 +1340,60 @@ object TimeSeries {
         round(col("dau").cast("double") /
           col("window_users").cast("double"), 6))
   }
+
+  /** The Gumbel method-of-moments constants (√6/π, the Euler–Mascheroni
+    * γ, ln(−ln(0.99)) for the 100-block return level) — computed ONCE
+    * on the driver so the operator and any oracle generator embed
+    * IDENTICAL double literals (no runtime libm on either engine). */
+  def gumbelConstants: (Double, Double, Double) =
+    (math.sqrt(6.0) / math.Pi, 0.5772156649015329,
+      math.log(-math.log(0.99)))
+
+  /**
+   * P278 — Gumbel block-maxima fit (method of moments): per key, take
+   * the per-block maxima (the classical EVT reduction — daily/hourly
+   * peaks), fit the Gumbel location/scale by moments (β = s·√6/π,
+   * μ = m̄ − γβ) and read off the 100-block return level
+   * μ − β·ln(−ln(0.99)) — "the daily peak you should expect to exceed
+   * about once per 100 days", the capacity-planning number a mean/p99
+   * over RAW rows systematically understates. Emits per key (key,
+   * n_blocks, mean_max, sd_max, beta, mu, rl100); fewer than 2 blocks
+   * or zero variance nulls the fit.
+   *
+   * Shape: two keyed aggs (block maxima, then moments) — fully
+   * partition-parallel, no windows; max is order-insensitive so the
+   * block agg is exact by construction. Cross-engine: maxima round at
+   * 6 then the moments go through exact DECIMAL(19,6) products (the
+   * o11 discipline); every derived stat is a fixed double sequence on
+   * the PREVIOUS rounded column with [[gumbelConstants]] literals,
+   * rounded at 6.
+   */
+  def gumbelBlockMaxima(df: DataFrame, keyCol: String, blockCol: String,
+      valueCol: String): DataFrame = {
+    val (c1, g, c2) = gumbelConstants
+    val maxima = df.where(col(keyCol).isNotNull && col(blockCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(blockCol))
+      .agg(round(max(col(valueCol).cast("double")), 6).as("__m"))
+    val s = maxima.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__m").cast("decimal(18,6)")).cast("double").as("__sx"),
+        sum(col("__m").cast("decimal(19,6)") *
+          col("__m").cast("decimal(19,6)")).cast("double").as("__sxx"))
+    val nd = col("n_blocks").cast("double")
+    val vard = (nd * col("__sxx") - col("__sx") * col("__sx")) /
+      (nd * (nd - lit(1.0)))
+    s.withColumn("mean_max", round(col("__sx") / nd, 6))
+      .withColumn("sd_max",
+        when(col("n_blocks") > 1 && vard > 0, round(sqrt(vard), 6)))
+      .withColumn("beta",
+        when(col("sd_max").isNotNull, round(col("sd_max") * lit(c1), 6)))
+      .withColumn("mu",
+        when(col("beta").isNotNull,
+          round(col("mean_max") - lit(g) * col("beta"), 6)))
+      .withColumn("rl100",
+        when(col("beta").isNotNull,
+          round(col("mu") - col("beta") * lit(c2), 6)))
+      .drop("__sx", "__sxx")
+  }
 }

@@ -238,4 +238,67 @@ object ZOrder {
           col("__total").cast("double"), 6))
       .drop("__total")
   }
+
+  /**
+   * P279 — run-length layout audit: for each candidate column, the
+   * number of VALUE RUNS the column exhibits when the table is laid
+   * out in `sortKeyCol` order, and the average run length — the direct
+   * predictor of parquet RLE/dictionary efficiency and of z5-style
+   * zonemap tightness under a given sort key (avg run ≈ 1 means the
+   * layout gives this column nothing; avg run ≫ 1 means the encoder
+   * eats it). Values compare as strings, null-safely (a null run is a
+   * run). `sortKeyCol` must be unique per row (it defines the order).
+   * Emits per column (column, n_rows, n_runs, avg_run_len,
+   * n_distinct), ordered by column.
+   *
+   * Shape: the sa13 two-phase range-bucket pattern — key-partitioned
+   * windows INSIDE floor(key/bucketSize) buckets (runs per bucket +
+   * bucket-edge values via min_by/max_by), then one boundary-stitch
+   * window over the 1/bucketSize-reduced bucket frame (the adjudicated
+   * two-phase residual class; at extreme scale the stitch itself
+   * re-buckets hierarchically — same algebra). Cross-engine: all
+   * counts exact BIGINTs; one closing double division at 6.
+   */
+  def runLengthAudit(df: DataFrame, sortKeyCol: String,
+      valueCols: Seq[String], bucketSize: Int = 1024): DataFrame = {
+    require(valueCols.nonEmpty, "runLengthAudit: no value columns")
+    require(bucketSize >= 2, s"runLengthAudit: bucketSize $bucketSize < 2")
+    import org.apache.spark.sql.expressions.Window
+    val per = valueCols.map { c =>
+      val base = df.where(col(sortKeyCol).isNotNull)
+        .select(col(sortKeyCol).cast("long").as("__k"),
+          col(c).cast("string").as("__v"))
+        .withColumn("__b", floor(col("__k") / bucketSize))
+      val w = Window.partitionBy(col("__b")).orderBy(col("__k").asc)
+      val runs = base
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__new",
+          when(col("__rn") === 1, 1L)
+            .when(lag(col("__v"), 1).over(w) <=> col("__v"), 0L)
+            .otherwise(1L))
+      val bucketStats = runs.groupBy(col("__b"))
+        .agg(sum(col("__new")).as("__runs"),
+          min_by(col("__v"), col("__k")).as("__fv"),
+          max_by(col("__v"), col("__k")).as("__lv"),
+          count(lit(1)).as("__cnt"))
+      // boundary stitch over the bucket-count-sized frame: a run that
+      // spans two adjacent non-empty buckets was counted twice
+      val wb = Window.orderBy(col("__b").asc)
+      val stitched = bucketStats
+        .withColumn("__dup",
+          when(lag(col("__lv"), 1).over(wb) <=> col("__fv"), 1L)
+            .otherwise(0L))
+        .agg(coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(col("__runs") - col("__dup")), lit(0L)).as("n_runs"))
+      val distinct = base.agg(
+        count_distinct(col("__v")).as("n_distinct"))
+      stitched.crossJoin(broadcast(distinct)) // 1-row scalar side
+        .select(lit(c).as("column"), col("n_rows"), col("n_runs"),
+          when(col("n_runs") > 0,
+            round(col("n_rows").cast("double") /
+              col("n_runs").cast("double"), 6)).as("avg_run_len"),
+          col("n_distinct"))
+    }
+    per.reduce(_ unionByName _).orderBy(col("column"))
+  }
 }

@@ -709,6 +709,29 @@ object OlapQueries {
         .orderBy("arm", "period")
     }),
 
+    // P278 — Gumbel block-maxima fit on daily peak value per type: the
+    // capacity-planning return level ("the peak exceeded ~once per 100
+    // days") a mean/p99 over raw rows understates
+    "o80_evt" -> ((s, dir) => {
+      graft.operators.TimeSeries.gumbelBlockMaxima(
+          graft.Graft.events(s, dir)
+            .where(col("ts").isNotNull)
+            .select(col("event_type"), to_date(col("ts")).as("day"),
+              col("value")),
+          "event_type", "day", "value")
+        .orderBy("event_type")
+    }),
+
+    // P279 — run-length layout audit of three orders columns under the
+    // o_orderkey physical order: what parquet RLE would actually see
+    "z10_rle" -> ((s, dir) => {
+      graft.operators.ZOrder.runLengthAudit(
+        table(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate"))),
+        "o_orderkey",
+        Seq("o_orderstatus", "o_orderpriority", "o_year"))
+    }),
+
     // P261 — drift monitor between the event-stream halves: the dq1
     // profiler pointed at time (the nightly "did the feed change" job)
     "pipe11_drift" -> ((s, dir) => {
@@ -3200,6 +3223,97 @@ object OlapQueries {
          |  (llr >= ${l(up6)}) AS crossed_upper,
          |  (llr <= ${l(lo6)}) AS crossed_lower
          |FROM l2 ORDER BY arm, period""".stripMargin
+    },
+
+    // 6-rounded block maxima, o11-discipline decimal moments, then each
+    // derived stat a fixed double sequence on the PREVIOUS rounded
+    // column with the operator's own driver literals
+    "o80_evt" -> {
+      val (c1, g, c2) = graft.operators.TimeSeries.gumbelConstants
+      def l(d: Double) = {
+        val s = d.toString
+        if (s.contains("E") || s.contains("e")) s else s + "e0"
+      }
+      s"""WITH m AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    round(MAX(CAST(value AS DOUBLE)), 6) AS mx
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |    CAST(SUM(CAST(mx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(mx AS DECIMAL(19,6)) *
+         |             CAST(mx AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+         |  FROM m GROUP BY 1),
+         |a AS (
+         |  SELECT event_type, n_blocks,
+         |    round(sx / CAST(n_blocks AS DOUBLE), 6) AS mean_max,
+         |    CASE WHEN n_blocks > 1 AND
+         |        (CAST(n_blocks AS DOUBLE) * sxx - sx * sx) /
+         |          (CAST(n_blocks AS DOUBLE) *
+         |            (CAST(n_blocks AS DOUBLE) - 1.0e0)) > 0 THEN
+         |      round(sqrt((CAST(n_blocks AS DOUBLE) * sxx - sx * sx) /
+         |        (CAST(n_blocks AS DOUBLE) *
+         |          (CAST(n_blocks AS DOUBLE) - 1.0e0))), 6) END AS sd_max
+         |  FROM s),
+         |b AS (
+         |  SELECT *, CASE WHEN sd_max IS NOT NULL THEN
+         |    round(sd_max * ${l(c1)}, 6) END AS beta
+         |  FROM a),
+         |c AS (
+         |  SELECT *, CASE WHEN beta IS NOT NULL THEN
+         |    round(mean_max - ${l(g)} * beta, 6) END AS mu
+         |  FROM b)
+         |SELECT event_type, n_blocks, mean_max, sd_max, beta, mu,
+         |  CASE WHEN beta IS NOT NULL THEN
+         |    round(mu - beta * ${l(c2)}, 6) END AS rl100
+         |FROM c ORDER BY event_type""".stripMargin
+    },
+
+    // the sa13 two-phase shape replayed: per-bucket runs + edge values,
+    // one boundary stitch over the bucket frame, exact counts
+    "z10_rle" -> {
+      def branch(c: String, expr: String): String =
+        s"""SELECT '$c' AS "column", n_rows, n_runs,
+           |    CASE WHEN n_runs > 0 THEN
+           |      round(CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE), 6)
+           |    END AS avg_run_len,
+           |    (SELECT CAST(COUNT(DISTINCT CAST($expr AS VARCHAR))
+           |        AS BIGINT)
+           |     FROM orders WHERE o_orderkey IS NOT NULL) AS n_distinct
+           |  FROM (
+           |    SELECT CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS n_rows,
+           |      CAST(coalesce(SUM(runs - dup), 0) AS BIGINT) AS n_runs
+           |    FROM (
+           |      SELECT b, runs, cnt,
+           |        CASE WHEN lag(lv) OVER (ORDER BY b)
+           |               IS NOT DISTINCT FROM fv
+           |             THEN 1 ELSE 0 END AS dup
+           |      FROM (
+           |        SELECT b, CAST(SUM(nw) AS BIGINT) AS runs,
+           |          arg_min(v, k) AS fv, arg_max(v, k) AS lv,
+           |          CAST(COUNT(*) AS BIGINT) AS cnt
+           |        FROM (
+           |          SELECT b, k, v,
+           |            CASE WHEN row_number() OVER w = 1 THEN 1
+           |                 WHEN lag(v) OVER w IS NOT DISTINCT FROM v
+           |                 THEN 0 ELSE 1 END AS nw
+           |          FROM (
+           |            SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |              CAST($expr AS VARCHAR) AS v,
+           |              CAST(floor(o_orderkey / 1024) AS BIGINT) AS b
+           |            FROM orders WHERE o_orderkey IS NOT NULL)
+           |          WINDOW w AS (PARTITION BY b ORDER BY k))
+           |        GROUP BY b)))""".stripMargin
+      s"""WITH u AS (
+         |  ${branch("o_orderstatus", "o_orderstatus")}
+         |  UNION ALL
+         |  ${branch("o_orderpriority", "o_orderpriority")}
+         |  UNION ALL
+         |  ${branch("o_year", "year(o_orderdate)")})
+         |SELECT * FROM u ORDER BY "column"""".stripMargin
     },
 
     // the dq1 profiler replay split at the o22 timestamp

@@ -212,6 +212,14 @@ object TextQueries {
         TextQueries.mixtureTargets)
     }),
 
+    // P277 — top-20 BPE merge candidates (adjacent char pairs inside
+    // words): the first byte-pair merge iteration as one distributed
+    // count; no window, deterministic limit boundary
+    "t32_bpe_step" -> ((s, dir) => {
+      TextAnalysis.bpeMergeCandidates(table(s, dir, "documents"), "text",
+        k = 20)
+    }),
+
     // P57 — inverted index with 5-entry posting lists; postings joined to
     // '|' strings so the hash compare sees one scalar per token
     "iv1_inverted" -> ((s, dir) => {
@@ -858,6 +866,23 @@ object TextQueries {
          |  END AS ndcg
          |FROM dcg CROSS JOIN ideal CROSS JOIN g""".stripMargin
     },
+
+    // word-internal 2-grams via a max-length index spine; exact counts,
+    // the same (n DESC, pair) deterministic limit boundary
+    "t32_bpe_step" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |w2 AS (SELECT w FROM t WHERE len(w) >= 2),
+        |p AS (
+        |  SELECT substr(w, g.i, 2) AS pair
+        |  FROM w2 CROSS JOIN (
+        |    SELECT unnest(generate_series(1,
+        |      (SELECT MAX(len(w)) FROM w2) - 1)) AS i) g
+        |  WHERE g.i <= len(w) - 1),
+        |c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1)
+        |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     // one source-keyed agg + literal target CASE; floor() before the
     // BIGINT cast (CAST alone rounds in DuckDB)

@@ -179,5 +179,6 @@ object PlanFactsSpec {
     "o69_by_fdr", // the o53 machinery with the BY factor — same tests frame
     // two-phase operators: the corpus pass is partitioned; the residual
     // window runs over the shards/frontier-sized closing frame
-    "o40_skyline", "sa13_systematic", "st6_lateness", "st7_wsweep")
+    "o40_skyline", "sa13_systematic", "st6_lateness", "st7_wsweep",
+    "z10_rle") // bucket-frame boundary stitch (the sa13 residual class)
 }

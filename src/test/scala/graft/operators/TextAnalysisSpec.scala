@@ -746,4 +746,19 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.ndcgAtK(perfect, "id", "rank", rels, "id", "rel", 0))
   }
+
+  test("bpeMergeCandidates: word-internal pair counts, deterministic top") {
+    import spark.implicits._
+    // 'aaab' has pairs aa, aa, ab; single-char words contribute nothing
+    val df = Seq((1L, "aaab aaab x"), (2L, "ab")).toDF("id", "t")
+    val got = TextAnalysis.bpeMergeCandidates(df, "t", k = 2).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("aa", 4L), ("ab", 3L)))
+    // ties at the k boundary break on pair ascending
+    val tied = Seq((1L, "ab cd")).toDF("id", "t")
+    val t = TextAnalysis.bpeMergeCandidates(tied, "t", k = 1).collect()
+    assert(t.map(_.getString(0)).toSeq == Seq("ab"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeMergeCandidates(df, "t", 0))
+  }
 }

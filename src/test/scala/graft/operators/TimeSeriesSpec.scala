@@ -692,4 +692,29 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.logRankTest(sep, "g", "t", "ev", "A", "A"))
   }
+
+  test("gumbelBlockMaxima: moments fit from block maxima; degenerate null") {
+    import spark.implicits._
+    // key g: block 1 max 1.0, block 2 max 3.0 (raw rows below the max
+    // must not matter) → mean 2, sd √2, then the literal chain
+    val df = Seq(("g", 1, 1.0), ("g", 1, 0.5), ("g", 2, 3.0),
+      ("g", 2, -1.0), ("h", 1, 7.0)).toDF("k", "blk", "v")
+    val rows = TimeSeries.gumbelBlockMaxima(df, "k", "blk", "v")
+      .orderBy("k").collect()
+    val (c1, gam, c2) = TimeSeries.gumbelConstants
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val g = rows(0)
+    assert(g.getLong(1) == 2L && g.getDouble(2) == 2.0)
+    val sd = r6(math.sqrt(2.0))
+    val beta = r6(sd * c1)
+    val mu = r6(2.0 - gam * beta)
+    assert(g.getDouble(3) == sd && g.getDouble(4) == beta &&
+      g.getDouble(5) == mu && g.getDouble(6) == r6(mu - beta * c2))
+    // the 100-block return level sits far above the mean peak
+    assert(g.getDouble(6) > g.getDouble(2) + 3 * sd)
+    // a single block cannot be fit
+    val h = rows(1)
+    assert(h.getLong(1) == 1L && h.isNullAt(3) && h.isNullAt(6))
+  }
 }

@@ -196,4 +196,34 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ZOrder.deltaStats(df, "id", "v", "v", 0, "x"))
   }
+
+  test("runLengthAudit: bucket-spanning runs stitch to the true count") {
+    import spark.implicits._
+    // keys 1..6 bucket as {1,2} {3,4,5} {6} at bucketSize 3; a,a,a,a,b,b
+    // is TWO true runs though three buckets see (1, 2, 1)
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"),
+      (6L, "b")).toDF("k", "c")
+    val r = ZOrder.runLengthAudit(df, "k", Seq("c"), bucketSize = 3).head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L &&
+      r.getDouble(3) == 3.0 && r.getLong(4) == 2L)
+    // alternating values never merge: 6 runs, avg 1
+    val alt = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"), (5L, "a"),
+      (6L, "b")).toDF("k", "c")
+    val a = ZOrder.runLengthAudit(alt, "k", Seq("c"), bucketSize = 3).head
+    assert(a.getLong(2) == 6L && a.getDouble(3) == 1.0)
+    // sparse keys: adjacent NON-EMPTY buckets stitch (gap between 2 and
+    // 4000 spans empty buckets, same value → still one run)
+    val sparse = Seq((1L, "a"), (2L, "a"), (4000L, "a")).toDF("k", "c")
+    val sp = ZOrder.runLengthAudit(sparse, "k", Seq("c"), 3).head
+    assert(sp.getLong(2) == 1L)
+    // multiple columns come back as one frame, ordered by column name
+    val two = ZOrder.runLengthAudit(df.withColumn("d", lit(7)), "k",
+      Seq("d", "c"), 3).collect()
+    assert(two.map(_.getString(0)).toSeq == Seq("c", "d"))
+    assert(two(1).getLong(2) == 1L) // constant column: one run
+    intercept[IllegalArgumentException](
+      ZOrder.runLengthAudit(df, "k", Seq(), 3))
+    intercept[IllegalArgumentException](
+      ZOrder.runLengthAudit(df, "k", Seq("c"), 1))
+  }
 }
