@@ -1348,4 +1348,55 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
   }
+
+  /**
+   * P283 — pairwise group overlap on word-BIGRAM vocabularies: for
+   * every group pair, Jaccard |A∩B|/|A∪B| of their distinct bigram
+   * sets — "which sources are feeding me the same text" at a
+   * granularity where a shared unigram vocabulary (this corpus: ~31
+   * words EVERYWHERE, unigram Jaccard ≈ 1 — measured) still
+   * separates. The corpus-curation read behind source pruning and
+   * mixture design. Emits per (group_a < group_b):
+   * (group_a, group_b, n_a, n_b, n_common, jaccard), ordered.
+   *
+   * Shape: bigrams via a positional self-join on (id, pos+1) with
+   * explicitly RENAMED projections (the d17 alias-resolution trap),
+   * distinct per group, then an equi-join on the bigram key — pairs
+   * materialize per SHARED bigram, never all-pairs of rows; the
+   * closing frame is groups². Cross-engine: set sizes exact BIGINTs,
+   * one closing double division at 6.
+   */
+  def groupBigramJaccard(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ex = df.where(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val left = ex.select(col("__g"), col("__id"), col("__pos"), col("__w"))
+    val right = ex.select(col("__id").as("__id2"),
+      (col("__pos") - 1).as("__pos2"), col("__w").as("__w2"))
+    val bigrams = left.join(right.hint("shuffle_hash"),
+        col("__id") === col("__id2") && col("__pos") === col("__pos2"))
+      .select(col("__g"), concat_ws(" ", col("__w"), col("__w2")).as("__b"))
+      .distinct()
+    val sizes = bigrams.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val a = bigrams.select(col("__g").as("group_a"), col("__b"))
+    val b = bigrams.select(col("__g").as("group_b"), col("__b").as("__b2"))
+    val inter = a.join(b.hint("shuffle_hash"),
+        col("__b") === col("__b2") && col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("__g").as("group_a"),
+        col("__n").as("n_a"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("__g").as("group_b"),
+        col("__n").as("n_b"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
 }

@@ -1341,6 +1341,56 @@ object TimeSeries {
           col("window_users").cast("double"), 6))
   }
 
+  /**
+   * P280 — individuals/moving-range (I-MR) control chart: per key,
+   * center = the series mean, control limits = center ± 2.66·MR̄ with
+   * MR̄ the mean absolute move between consecutive points (2.66 =
+   * 3/d₂ for n = 2, the Shewhart constant) — the classic SPC read that
+   * flags single out-of-control points against the series' OWN
+   * short-term noise, where a plain ±3σ band is inflated by any trend.
+   * Emits the full per-(key, ord) chart: value, mr, center, ucl, lcl,
+   * out_of_control.
+   *
+   * Shape: one key-partitioned lag window + one keyed agg + a
+   * shuffle_hash join back (post-agg side has no stats — the d11
+   * rule). Cross-engine: values and moves are exact DECIMAL(18,6)
+   * (the caller feeds 6-rounded values), center/MR̄/limits are fixed
+   * double sequences rounded at 6, and the flag compares 6-rounded
+   * exact decimals — no knife edge.
+   */
+  def individualsChart(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,6)")
+    val base = df.where(col(keyCol).isNotNull && col(ordCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(ordCol).as("__o"), dec.as("__v"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o").asc)
+    val withMr = base.withColumn("__mr",
+      abs(col("__v") - lag(col("__v"), 1).over(w)))
+    val limits = withMr.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        round(sum(col("__v")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("center"),
+        when(count(col("__mr")) > 0,
+          round(sum(col("__mr")).cast("double") /
+            count(col("__mr")).cast("double"), 6)).as("mr_bar"))
+      .withColumn("ucl",
+        when(col("mr_bar").isNotNull,
+          round(col("center") + lit(2.66) * col("mr_bar"), 6)))
+      .withColumn("lcl",
+        when(col("mr_bar").isNotNull,
+          round(col("center") - lit(2.66) * col("mr_bar"), 6)))
+      .drop("__n")
+    withMr.join(limits.hint("shuffle_hash"), Seq("__k"))
+      .select(col("__k").as(keyCol), col("__o").as(ordCol),
+        col("__v").cast("double").as("value"),
+        round(col("__mr").cast("double"), 6).as("mr"),
+        col("center"), col("ucl"), col("lcl"),
+        when(col("ucl").isNotNull,
+          col("__v").cast("double") > col("ucl") ||
+            col("__v").cast("double") < col("lcl")).as("out_of_control"))
+  }
+
   /** The Gumbel method-of-moments constants (√6/π, the Euler–Mascheroni
     * γ, ln(−ln(0.99)) for the 100-block return level) — computed ONCE
     * on the driver so the operator and any oracle generator embed

@@ -144,6 +144,62 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P281 — duplicate-cluster size distribution (the dedup blast
+    // radius): sizes of the d8 clusters plus the singleton row computed
+    // as total − clustered; oracle = same-text group sizes (the d8
+    // ground-truth identity)
+    "d23_cluster_sizes" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir)
+      val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+      val clusters = Dedup.duplicateClusters(pairs, "survivor_id",
+        "duplicate_id")
+      val multi = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("__sz")).as("n_docs"))
+      val totals = docs.agg(count(lit(1)).as("__total"))
+      val clustered = clusters.agg(count(lit(1)).as("__inc"))
+      val singles = totals.crossJoin(broadcast(clustered)) // 1-row sides
+        .select(lit(1L).as("cluster_size"),
+          (col("__total") - col("__inc")).as("n_clusters"),
+          (col("__total") - col("__inc")).as("n_docs"))
+        .where(col("n_clusters") > 0)
+      multi.unionByName(singles).orderBy("cluster_size")
+    }),
+
+    // P282 — dedup token-savings readout per source: what exact dedup
+    // actually buys each feed (docs/tokens before vs after min-id
+    // survivorship) — the "value of dedup" line on a datacard
+    "pipe13_dedup_impact" -> ((s, dir) => {
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        col("source"))
+      val t = dupedDocs(s, dir)
+        .join(src.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("__tok"))
+      val before = t.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_before"),
+          sum(col("__tok")).as("tokens_before"))
+      val keptIds = Dedup.exactDedup(dupedDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"))
+      val after = t.join(keptIds.hint("shuffle_hash"), Seq("doc_id"),
+          "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_after"),
+          sum(col("__tok")).as("tokens_after"))
+      before.join(after.hint("shuffle_hash"), Seq("source"), "left")
+        .select(col("source"), col("docs_before"), col("tokens_before"),
+          coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+          coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
+        .withColumn("token_savings",
+          when(col("tokens_before") > 0,
+            round(lit(1.0) - col("tokens_after").cast("double") /
+              col("tokens_before").cast("double"), 6)))
+        .orderBy("source")
+    }),
+
     // P43 — duplicate-cluster retention: keep the best-scoring member of
     // every exact-dup cluster (synthetic integer quality (doc_id·37)%101,
     // ties to lowest id), singletons pass through. The oracle states the
@@ -703,6 +759,40 @@ object DedupQueries {
          |         COUNT(*) OVER (PARTITION BY text) AS n
          |  FROM ($dupedDocsSql))
          |WHERE n > 1 ORDER BY doc_id""".stripMargin,
+
+    // same-text group sizes ARE the cluster sizes (the d8 identity);
+    // size-1 groups are the singleton row
+    "d23_cluster_sizes" ->
+      s"""WITH g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM ($dupedDocsSql) GROUP BY text)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    // min-id survivorship per text group; token counts from the
+    // REPLACED text; savings one closing double
+    "pipe13_dedup_impact" ->
+      s"""WITH d AS ($dupedDocsSql),
+         |t AS (
+         |  SELECT d.doc_id, s.source,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(d.text)),
+         |      '\\s+'), x -> x <> '')) AS BIGINT) AS tok,
+         |    row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id)
+         |      AS rn
+         |  FROM d JOIN documents s ON s.doc_id = d.doc_id)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS docs_before,
+         |  CAST(SUM(tok) AS BIGINT) AS tokens_before,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_after,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_after,
+         |  CASE WHEN SUM(tok) > 0 THEN
+         |    round(1.0e0 - CAST(SUM(CASE WHEN rn = 1 THEN tok ELSE 0 END)
+         |        AS DOUBLE) / CAST(SUM(tok) AS DOUBLE), 6)
+         |  END AS token_savings
+         |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
 
     "d11_retention" ->
       s"""SELECT doc_id,

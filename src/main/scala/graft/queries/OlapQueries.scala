@@ -722,6 +722,15 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P280 — I-MR control chart on the per-type daily means: center ±
+    // 2.66·MR̄ limits from the series' own short-term noise, per-day
+    // out-of-control flags (the SPC read beside o19's CUSUM)
+    "o81_imr" -> ((s, dir) => {
+      graft.operators.TimeSeries.individualsChart(
+          dailyMeans(s, dir), "event_type", "day", "v")
+        .orderBy("event_type", "day")
+    }),
+
     // P279 — run-length layout audit of three orders columns under the
     // o_orderkey physical order: what parquet RLE would actually see
     "z10_rle" -> ((s, dir) => {
@@ -3271,6 +3280,44 @@ object OlapQueries {
          |    round(mu - beta * ${l(c2)}, 6) END AS rl100
          |FROM c ORDER BY event_type""".stripMargin
     },
+
+    // the shared daily CTE; exact decimal moves, fixed double limits,
+    // the flag compares 6-rounded exact decimals
+    "o81_imr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day, CAST(v AS DECIMAL(18,6)) AS v,
+        |    abs(CAST(v AS DECIMAL(18,6)) -
+        |      lag(CAST(v AS DECIMAL(18,6))) OVER (PARTITION BY event_type
+        |        ORDER BY day)) AS mr
+        |  FROM daily),
+        |lim AS (
+        |  SELECT event_type,
+        |    round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS center,
+        |    CASE WHEN COUNT(mr) > 0 THEN
+        |      round(CAST(SUM(mr) AS DOUBLE) / CAST(COUNT(mr) AS DOUBLE), 6)
+        |    END AS mr_bar
+        |  FROM m GROUP BY 1),
+        |lim2 AS (
+        |  SELECT event_type, center, mr_bar,
+        |    CASE WHEN mr_bar IS NOT NULL THEN
+        |      round(center + 2.66e0 * mr_bar, 6) END AS ucl,
+        |    CASE WHEN mr_bar IS NOT NULL THEN
+        |      round(center - 2.66e0 * mr_bar, 6) END AS lcl
+        |  FROM lim)
+        |SELECT m.event_type, m.day, CAST(m.v AS DOUBLE) AS "value",
+        |  round(CAST(m.mr AS DOUBLE), 6) AS mr,
+        |  lim2.center, lim2.ucl, lim2.lcl,
+        |  CASE WHEN lim2.ucl IS NOT NULL THEN
+        |    (CAST(m.v AS DOUBLE) > lim2.ucl OR CAST(m.v AS DOUBLE) < lim2.lcl)
+        |  END AS out_of_control
+        |FROM m JOIN lim2 ON lim2.event_type = m.event_type
+        |ORDER BY m.event_type, m.day""".stripMargin,
 
     // the sa13 two-phase shape replayed: per-bucket runs + edge values,
     // one boundary stitch over the bucket frame, exact counts

@@ -220,6 +220,15 @@ object TextQueries {
         k = 20)
     }),
 
+    // P283 — pairwise source overlap on word-BIGRAM vocabularies (the
+    // unigram vocabulary is ~31 words EVERYWHERE so unigram Jaccard ≈ 1;
+    // bigrams separate, 0.54–0.70 measured): which feeds duplicate
+    // each other
+    "t33_source_overlap" -> ((s, dir) => {
+      TextAnalysis.groupBigramJaccard(table(s, dir, "documents"),
+        "source", "doc_id", "text")
+    }),
+
     // P57 — inverted index with 5-entry posting lists; postings joined to
     // '|' strings so the hash compare sees one scalar per token
     "iv1_inverted" -> ((s, dir) => {
@@ -866,6 +875,37 @@ object TextQueries {
          |  END AS ndcg
          |FROM dcg CROSS JOIN ideal CROSS JOIN g""".stripMargin
     },
+
+    // distinct (source, bigram) sets via the positional spine, pair
+    // overlap per SHARED bigram, exact set sizes, one closing division
+    "t33_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |bg AS (
+        |  SELECT DISTINCT source, l[g.i] || ' ' || l[g.i + 1] AS b
+        |  FROM toks CROSS JOIN (
+        |    SELECT unnest(generate_series(1,
+        |      (SELECT MAX(len(l)) FROM toks) - 1)) AS i) g
+        |  WHERE g.i <= len(l) - 1),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM bg GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS group_a, b.source AS group_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM bg a JOIN bg b ON a.b = b.b AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT group_a, group_b, x.n AS n_a, y.n AS n_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(x.n + y.n - n_common AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sz x ON x.source = group_a
+        |JOIN sz y ON y.source = group_b
+        |ORDER BY group_a, group_b""".stripMargin,
 
     // word-internal 2-grams via a max-length index spine; exact counts,
     // the same (n DESC, pair) deterministic limit boundary

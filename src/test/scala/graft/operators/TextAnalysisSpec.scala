@@ -761,4 +761,19 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.bpeMergeCandidates(df, "t", 0))
   }
+
+  test("groupBigramJaccard: bigram-set overlap, disjoint pairs absent") {
+    import spark.implicits._
+    val df = Seq(("A", 1L, "a b c"), ("A", 2L, "a b"),
+      ("B", 3L, "a b d"), ("C", 4L, "x y")).toDF("src", "id", "t")
+    val rows = TextAnalysis.groupBigramJaccard(df, "src", "id", "t")
+      .collect()
+    // A = {a b, b c} (the duplicate 'a b' dedups), B = {a b, b d}:
+    // ∩ = 1, ∪ = 3; C shares nothing → its pairs don't materialize
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 0.333333)
+  }
 }

@@ -717,4 +717,25 @@ class TimeSeriesSpec extends SparkSpec {
     val h = rows(1)
     assert(h.getLong(1) == 1L && h.isNullAt(3) && h.isNullAt(6))
   }
+
+  test("individualsChart: limits from MR-bar, only the spike flags") {
+    import spark.implicits._
+    // 10,12,10,12,40: center 16.8, MR̄ = (2+2+2+28)/4 = 8.5,
+    // UCL = 16.8 + 2.66·8.5 = 39.41 → only the 40 flags
+    val df = Seq(("k", 1, 10.0), ("k", 2, 12.0), ("k", 3, 10.0),
+      ("k", 4, 12.0), ("k", 5, 40.0)).toDF("key", "d", "v")
+    val rows = TimeSeries.individualsChart(df, "key", "d", "v")
+      .orderBy("d").collect()
+    assert(rows.length == 5)
+    val r0 = rows(0)
+    assert(r0.isNullAt(3))                    // first point has no MR
+    assert(r0.getDouble(4) == 16.8 && r0.getDouble(5) == 39.41)
+    assert(rows.map(_.getBoolean(7)).toSeq ==
+      Seq(false, false, false, false, true))
+    assert(rows(4).getDouble(3) == 28.0)
+    // a single point: no MR → limits null, flag null
+    val one = Seq(("k", 1, 5.0)).toDF("key", "d", "v")
+    val o = TimeSeries.individualsChart(one, "key", "d", "v").head
+    assert(o.isNullAt(5) && o.isNullAt(7))
+  }
 }
