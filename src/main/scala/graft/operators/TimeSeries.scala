@@ -1342,6 +1342,53 @@ object TimeSeries {
   }
 
   /**
+   * P284 — growth accounting: decompose each day's active users into
+   * new (first day ever), retained (active yesterday), resurrected
+   * (active before, but not yesterday), and count the users CHURNED
+   * into the day (active yesterday, absent today) — the standard DAU
+   * decomposition whose identity active(d) = retained + new +
+   * resurrected (and churned = yesterday's active − retained) makes
+   * flat DAU curves legible ("flat because nobody leaves" vs "a leaky
+   * bucket refilled by acquisition"). Emits per day (day, n_active,
+   * n_new, n_retained, n_resurrected, n_churned); churn past the
+   * corpus's last day is unobservable and excluded, and a day with
+   * ZERO actives does not appear at all (its churn inflow shows up as
+   * the new/resurrected deficit of the next active day) — spec-pinned.
+   *
+   * Shape: one distinct (user, day) reduction, ONE user-partitioned
+   * lag/lead window, two day-keyed aggs + a left join (shuffle_hash —
+   * post-agg sides). All counts exact BIGINTs; no floats anywhere.
+   */
+  def growthAccounting(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val acts = events.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val w = Window.partitionBy(col("__u")).orderBy(col("__d").asc)
+    val flagged = acts
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .withColumn("__next", lead(col("__d"), 1).over(w))
+    val maxd = acts.agg(max(col("__d")).as("__maxd"))
+    val perDay = flagged.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(datediff(col("__d"), col("__prev")) === 1, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("__prev").isNotNull &&
+          datediff(col("__d"), col("__prev")) > 1, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = flagged.crossJoin(broadcast(maxd)) // 1-row scalar side
+      .where((col("__next").isNull && col("__d") < col("__maxd")) ||
+        (col("__next").isNotNull &&
+          datediff(col("__next"), col("__d")) > 1))
+      .select(date_add(col("__d"), 1).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("__ch"))
+    perDay.join(churn.hint("shuffle_hash"), Seq("day"), "left")
+      .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("__ch"), lit(0L)).as("n_churned"))
+  }
+
+  /**
    * P280 — individuals/moving-range (I-MR) control chart: per key,
    * center = the series mean, control limits = center ± 2.66·MR̄ with
    * MR̄ the mean absolute move between consecutive points (2.66 =

@@ -193,6 +193,28 @@ object SemiStructuredQueries {
         groupA = "BUILDING", groupB = "MACHINERY")
     }),
 
+    // P284 — growth accounting over daily active users: new/retained/
+    // resurrected inflows and the churn outflow, the decomposition that
+    // explains a flat DAU curve
+    "q25_growth" -> ((s, dir) => {
+      TimeSeries.growthAccounting(events(s, dir), "user_id", "ts")
+        .orderBy("day")
+    }),
+
+    // P285 — survival-quantile readout over the q11 KM curve: per
+    // segment the 20%-churn time (first t with S ≤ 0.8 — reached for
+    // some segments, honestly null for the rest), the curve's last
+    // event time and floor
+    "q26_survival_q80" -> ((s, dir) => {
+      TimeSeries.kaplanMeier(survivalSubjects(s, dir), "seg", "t", "ev")
+        .groupBy(col("seg"))
+        .agg(sum(col("n_event")).as("n_events"),
+          max(col("t")).as("last_event_t"),
+          min(col("survival")).as("final_survival"),
+          min(when(col("survival") <= 0.8, col("t"))).as("t_q80"))
+        .orderBy("seg")
+    }),
+
     // P100 — top-20 event-type trigram paths across user histories;
     // the oracle replays the double lead, the path agg and the
     // (cnt desc, path) tie-broken rank
@@ -452,6 +474,78 @@ object SemiStructuredQueries {
         |    round((CAST(o_a AS DOUBLE) - CAST(e1 AS DOUBLE)) /
         |      sqrt(CAST(v AS DOUBLE)), 6) END AS z
         |FROM cl CROSS JOIN counts""".stripMargin,
+
+    // distinct (user, day) actives, one lag/lead window, exact counts;
+    // churn attributed to day+1 and capped at the corpus max day
+    "q25_growth" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (
+        |  SELECT u, d, lag(d) OVER w AS pd, lead(d) OVER w AS nd
+        |  FROM acts WINDOW w AS (PARTITION BY u ORDER BY d)),
+        |mx AS (SELECT MAX(d) AS maxd FROM acts),
+        |per AS (
+        |  SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN pd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN datediff('day', pd, d) = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN pd IS NOT NULL AND
+        |      datediff('day', pd, d) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |ch AS (
+        |  SELECT d + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_ch
+        |  FROM f CROSS JOIN mx
+        |  WHERE (nd IS NULL AND d < maxd)
+        |     OR (nd IS NOT NULL AND datediff('day', d, nd) > 1)
+        |  GROUP BY 1)
+        |SELECT per.day, n_active, n_new, n_retained, n_resurrected,
+        |  CAST(coalesce(ch.n_ch, 0) AS BIGINT) AS n_churned
+        |FROM per LEFT JOIN ch ON ch.day = per.day
+        |ORDER BY per.day""".stripMargin,
+
+    // the q11 KM replay + one closing agg; S ≤ 0.8 compares 6-rounded
+    // exact values
+    "q26_survival_q80" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |cut AS (SELECT MAX(d) - 365 AS cutoff FROM o),
+        |subj AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(MAX(o.d) - MIN(o.d) AS BIGINT) AS t,
+        |    CASE WHEN MAX(o.d) <= (SELECT cutoff FROM cut) THEN 1 ELSE 0 END AS ev
+        |  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY o.o_custkey, c.c_mktsegment),
+        |grid AS (
+        |  SELECT seg, t, CAST(SUM(ev) AS BIGINT) AS n_event,
+        |         CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg, t, n_event,
+        |    CAST(SUM(n_total) OVER (PARTITION BY seg)
+        |         - COALESCE(SUM(n_total) OVER (PARTITION BY seg ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS at_risk
+        |  FROM grid),
+        |e AS (
+        |  SELECT seg, t, n_event, at_risk,
+        |    CAST(round(ln(greatest(
+        |        1.0e0 - CAST(n_event AS DOUBLE) / CAST(at_risk AS DOUBLE),
+        |        1.0e0 / 72057594037927936.0e0)), 9) AS DECIMAL(28,9)) AS lf
+        |  FROM r WHERE n_event > 0),
+        |km AS (
+        |  SELECT seg, t, n_event,
+        |    round(exp(CAST(SUM(lf) OVER (PARTITION BY seg ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)), 6) AS survival
+        |  FROM e)
+        |SELECT seg, CAST(SUM(n_event) AS BIGINT) AS n_events,
+        |  CAST(MAX(t) AS BIGINT) AS last_event_t,
+        |  MIN(survival) AS final_survival,
+        |  MIN(CASE WHEN survival <= 0.8e0 THEN t END) AS t_q80
+        |FROM km GROUP BY seg ORDER BY seg""".stripMargin,
 
     "q12_paths" ->
       """WITH g AS (

@@ -19,6 +19,10 @@ object TextQueries {
   val mixtureTargets: Seq[(String, Double)] =
     (0 to 19).map(i => (s"src$i", if (i < 5) 0.08 else 0.04))
 
+  /** The pipe14 min-token ladder (shared by query and oracle); 0 is the
+    * no-gate baseline row, so shares read directly as attrition. */
+  val qualityThresholds: Seq[Int] = Seq(0, 10, 20, 30, 50, 80)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counts: whitespace + BPE-ish subword runs
     "t1_token_counts" -> ((s, dir) => {
@@ -218,6 +222,54 @@ object TextQueries {
     "t32_bpe_step" -> ((s, dir) => {
       TextAnalysis.bpeMergeCandidates(table(s, dir, "documents"), "text",
         k = 20)
+    }),
+
+    // P286 — tokenizer fertility per language: chars-per-token and
+    // tokens-per-doc (the compression read that decides how much a
+    // language REALLY costs per context window)
+    "t34_fertility" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .where(col("lang").isNotNull && col("text").isNotNull)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"),
+          length(col("text")).cast("long").as("__ch"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+          sum(col("__ch")).as("n_chars"))
+        .withColumn("chars_per_token",
+          when(col("n_tokens") > 0,
+            round(col("n_chars").cast("double") /
+              col("n_tokens").cast("double"), 6)))
+        .withColumn("tokens_per_doc",
+          round(col("n_tokens").cast("double") /
+            col("n_docs").cast("double"), 6))
+        .orderBy("lang")
+    }),
+
+    // P287 — quality-gate threshold sweep: surviving docs/tokens at a
+    // min-token ladder in ONE corpus pass (conditional sums + stack) —
+    // the attrition curve that decides where the t3/pipe1 bar sits
+    "pipe14_quality_sweep" -> ((s, dir) => {
+      val thr = TextQueries.qualityThresholds
+      val docs = table(s, dir, "documents").where(col("text").isNotNull)
+        .select(TextAnalysis.tokenCount(col("text")).cast("long").as("__t"))
+      val exprs =
+        Seq(count(lit(1)).as("__td"), sum(col("__t")).as("__tt")) ++
+          thr.flatMap(t => Seq(
+            sum(when(col("__t") >= t, 1L).otherwise(0L)).as(s"__d$t"),
+            sum(when(col("__t") >= t, col("__t")).otherwise(0L))
+              .as(s"__k$t")))
+      val agg = docs.agg(exprs.head, exprs.tail: _*)
+      agg.select(col("__td"), col("__tt"),
+          expr(s"stack(${thr.size}, " +
+            thr.map(t => s"$t, __d$t, __k$t").mkString(", ") +
+            ") as (min_tokens, n_docs, n_tokens)"))
+        .select(col("min_tokens"), col("n_docs"), col("n_tokens"),
+          round(col("n_docs").cast("double") / col("__td").cast("double"),
+            6).as("doc_share"),
+          round(col("n_tokens").cast("double") / col("__tt").cast("double"),
+            6).as("token_share"))
+        .orderBy("min_tokens")
     }),
 
     // P283 — pairwise source overlap on word-BIGRAM vocabularies (the
@@ -874,6 +926,50 @@ object TextQueries {
          |    round(coalesce(CAST(d AS DOUBLE), 0.0e0) / CAST(i AS DOUBLE), 6)
          |  END AS ndcg
          |FROM dcg CROSS JOIN ideal CROSS JOIN g""".stripMargin
+    },
+
+    // one lang-keyed agg; len() counts characters in both engines
+    "t34_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> x <> '')) AS BIGINT) AS tok,
+        |    CAST(len(text) AS BIGINT) AS ch
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(ch) AS BIGINT) AS n_chars,
+        |  CASE WHEN SUM(tok) > 0 THEN
+        |    round(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(tok) AS DOUBLE), 6)
+        |  END AS chars_per_token,
+        |  round(CAST(SUM(tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS tokens_per_doc
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // one conditional-sum pass per rung, unioned; shares against the
+    // rung-0 baseline
+    "pipe14_quality_sweep" -> {
+      def branch(t: Int): String =
+        s"""SELECT $t AS min_tokens,
+           |    CAST(SUM(CASE WHEN tok >= $t THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_docs,
+           |    CAST(SUM(CASE WHEN tok >= $t THEN tok ELSE 0 END) AS BIGINT)
+           |      AS n_tokens
+           |  FROM t""".stripMargin
+      s"""WITH t AS (
+         |  SELECT CAST(len(list_filter(string_split_regex(lower(trim(text)),
+         |    '\\s+'), x -> x <> '')) AS BIGINT) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS td,
+         |        CAST(SUM(tok) AS BIGINT) AS tt FROM t),
+         |u AS (
+         |  ${TextQueries.qualityThresholds.map(branch).mkString("\n  UNION ALL\n  ")})
+         |SELECT min_tokens, n_docs, n_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6)
+         |    AS doc_share,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+         |    AS token_share
+         |FROM u CROSS JOIN tot ORDER BY min_tokens""".stripMargin
     },
 
     // distinct (source, bigram) sets via the positional spine, pair

@@ -738,4 +738,32 @@ class TimeSeriesSpec extends SparkSpec {
     val o = TimeSeries.individualsChart(one, "key", "d", "v").head
     assert(o.isNullAt(5) && o.isNullAt(7))
   }
+
+  test("growthAccounting: new/retained/resurrected/churned decompose DAU") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
+    // u1: days 1,2,4; u2: day 2; u3: day 4; day 3 has NO actives
+    val ev = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(4)), (2L, ts(2)),
+      (3L, ts(4)), (1L, ts(4))).toDF("u", "t")
+    val rows = TimeSeries.growthAccounting(ev, "u", "t")
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toLocalDate.getDayOfMonth ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // day 1: u1 new; day 2: u1 retained + u2 new, nobody churned in;
+    // day 4: u3 new + u1 resurrected. Day 3 (zero actives) is absent —
+    // its churn inflow (u1 gapping, u2 leaving) is the pinned caveat
+    assert(rows == Map(
+      1 -> ((1L, 1L, 0L, 0L, 0L)),
+      2 -> ((2L, 1L, 1L, 0L, 0L)),
+      4 -> ((2L, 1L, 0L, 1L, 0L))))
+    // churn lands on observed days when the next day IS active:
+    // u1: 1,2; u2: 2,3 → day 3: u2 retained, u1 churned into day 3
+    val ev2 = Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(2)), (2L, ts(3)))
+      .toDF("u", "t")
+    val r2 = TimeSeries.growthAccounting(ev2, "u", "t")
+      .orderBy("day").collect()
+    assert(r2.map(r => (r.getLong(1), r.getLong(5))).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (1L, 1L)))
+  }
 }
