@@ -2576,6 +2576,51 @@ object Features {
       .drop("__num", "__den")
   }
 
+  /**
+   * P289 — Deming regression (errors-in-both-variables, δ = 1): the
+   * orthogonal fit whose slope
+   * (U_yy − U_xx + √((U_yy − U_xx)² + 4U_xy²)) / (2U_xy) treats x as
+   * noisy too — the calibration-comparison line ([[olsFit]]
+   * systematically FLATTENS slope when x carries error; the spec shows
+   * the attenuation). Uses the scaled central moments U_xx = n·Σx² −
+   * (Σx)² etc. (the formula is homogeneous, the n² factor cancels).
+   * Emits per key (key, n, slope, intercept, ols_slope); U_xy = 0 or a
+   * degenerate x nulls the fit.
+   *
+   * Shape: the olsFit single keyed agg — moments through exact
+   * DECIMAL(19,6) products, then one fixed double closing sequence
+   * with one IEEE sqrt, rounded at 6.
+   */
+  def demingFit(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dx = col(xCol).cast("decimal(18,6)")
+    val dy = col(yCol).cast("decimal(18,6)")
+    val dx9 = col(xCol).cast("decimal(19,6)")
+    val dy9 = col(yCol).cast("decimal(19,6)")
+    val sums = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("__sx"),
+        sum(dy).cast("double").as("__sy"),
+        sum(dx9 * dy9).cast("double").as("__sxy"),
+        sum(dx9 * dx9).cast("double").as("__sxx"),
+        sum(dy9 * dy9).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val uxx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val uyy = nd * col("__syy") - col("__sy") * col("__sy")
+    val uxy = nd * col("__sxy") - col("__sx") * col("__sy")
+    val slope = (uyy - uxx + sqrt((uyy - uxx) * (uyy - uxx) +
+      lit(4.0) * uxy * uxy)) / (lit(2.0) * uxy)
+    val ok = col("__sxx").isNotNull && uxy =!= 0.0 && uxx > 0
+    sums
+      .withColumn("slope", when(ok, round(slope, 6)))
+      .withColumn("intercept",
+        when(ok, round((col("__sy") - slope * col("__sx")) / nd, 6)))
+      .withColumn("ols_slope", when(ok, round(uxy / uxx, 6)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
   /** Round a double at 6 decimals on the DRIVER (HALF_UP — matching SQL
     * round) for embedding as a boundary literal on both engine sides. */
   private def round6Driver(x: Double): Double =

@@ -215,7 +215,19 @@ object Sketches {
    */
   def hllUnion(items: DataFrame, itemCol: String, tagCol: String,
       tagA: String, tagB: String, p: Int = 6,
-      salt: String = "hllu:"): DataFrame = {
+      salt: String = "hllu:"): DataFrame =
+    hllTwoSetFrame(items, itemCol, tagCol, tagA, tagB, p, salt)
+      .select(col("p"), col("est_a"), col("est_b"), col("est_union"),
+        col("n_a_exact"), col("n_b_exact"), col("n_union_exact"))
+
+  /** The shared two-set sketch core behind [[hllUnion]] and
+    * [[hllIntersect]]: per-tag registers over ONE hash, the union as
+    * the register-wise MAX, the identical closing for all three
+    * estimates, and the exact three-way audit — ONE definition so the
+    * two query surfaces cannot drift. */
+  private def hllTwoSetFrame(items: DataFrame, itemCol: String,
+      tagCol: String, tagA: String, tagB: String, p: Int,
+      salt: String): DataFrame = {
     require(p >= 4 && p <= 16, s"hllUnion: p must be in [4, 16], got $p")
     require(tagA != tagB, "hllUnion: tags must differ")
     val t = col(tagCol).cast("string")
@@ -234,12 +246,38 @@ object Sketches {
       .agg(max(when(col("__t") === "a", 1L).otherwise(0L)).as("__ia"),
         max(when(col("__t") === "b", 1L).otherwise(0L)).as("__ib"))
       .agg(sum(col("__ia")).as("n_a_exact"), sum(col("__ib")).as("n_b_exact"),
-        count(lit(1)).as("n_union_exact"))
+        count(lit(1)).as("n_union_exact"),
+        sum(col("__ia") * col("__ib")).as("n_intersect_exact"))
     one("a", "est_a").join(one("b", "est_b")).join(one("u", "est_union"))
       .join(broadcast(exact)) // four 1-row frames
       .select(lit(p).as("p"), col("est_a"), col("est_b"), col("est_union"),
-        col("n_a_exact"), col("n_b_exact"), col("n_union_exact"))
+        col("n_a_exact"), col("n_b_exact"), col("n_union_exact"),
+        col("n_intersect_exact"))
   }
+
+  /**
+   * P288 — HLL set-intersection estimate by inclusion–exclusion:
+   * est(A∩B) = est(A) + est(B) − est(A∪B) over the [[hllUnion]]
+   * sketches — the overlap readout ("how many click users also
+   * purchase") from sketches that MERGE, where exact distinct-pair
+   * counting needs a full shuffle of both sides. The error grows with
+   * |A∪B|/|A∩B| (inclusion–exclusion subtracts two big numbers — the
+   * documented caveat; KMV is the sketch with a native intersection
+   * when that ratio explodes). Emits ONE row (p, est_a, est_b,
+   * est_union, est_intersect, n_intersect_exact).
+   *
+   * Shape/portability: identical to [[hllUnion]] (shared core); the
+   * intersect estimate is one fixed double sequence over the three
+   * 3-rounded estimates, rounded at 3.
+   */
+  def hllIntersect(items: DataFrame, itemCol: String, tagCol: String,
+      tagA: String, tagB: String, p: Int = 6,
+      salt: String = "hllu:"): DataFrame =
+    hllTwoSetFrame(items, itemCol, tagCol, tagA, tagB, p, salt)
+      .select(col("p"), col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 3)
+          .as("est_intersect"),
+        col("n_intersect_exact"))
 
   /**
    * P114 — KMV (k minimum values, "bottom-k") distinct-count sketch per

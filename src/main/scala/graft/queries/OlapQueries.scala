@@ -792,6 +792,40 @@ object OlapQueries {
         "user_id", "event_type", tagA = "click", tagB = "purchase", p = 6)
     }),
 
+    // P288 — HLL intersection by inclusion–exclusion over the sk13
+    // sketches: the overlap readout ("clickers who also purchase") from
+    // mergeable state, audited against the exact intersection
+    "sk14_hll_intersect" -> ((s, dir) => {
+      graft.operators.Sketches.hllIntersect(
+        graft.Graft.events(s, dir).select("user_id", "event_type"),
+        "user_id", "event_type", tagA = "click", tagB = "purchase", p = 6)
+    }),
+
+    // P289 — Deming regression between day-paired metric series (click
+    // vs view, signup vs purchase daily means): both measurements are
+    // noisy, so OLS attenuates — the orthogonal line is the honest
+    // "do these metrics move 1:1" calibration. δ = 1 needs COMPARABLE
+    // scales: the first cut (quantity vs price, 4 orders of magnitude
+    // apart) degenerated to a near-vertical fit whose intercept hit
+    // the 14-significant-digit rounding cliff — caught by the local
+    // gate, repaired by pairing like-scaled series
+    "o82_deming" -> ((s, dir) => {
+      val d = dailyMeans(s, dir)
+      def pairFrame(ta: String, tb: String) = {
+        val a = d.where(col("event_type") === ta)
+          .select(col("day"), col("v").as("x"))
+        val b = d.where(col("event_type") === tb)
+          .select(col("day").as("__day2"), col("v").as("y"))
+        a.join(b.hint("shuffle_hash"), col("day") === col("__day2"))
+          .select(lit(s"$ta~$tb").as("pair"), col("x"), col("y"))
+      }
+      graft.operators.Features.demingFit(
+          pairFrame("click", "view")
+            .unionByName(pairFrame("signup", "purchase")),
+          "pair", "x", "y")
+        .orderBy("pair")
+    }),
+
     // P249 — sampling convergence: mean event value ± CI at dyadic
     // hash fractions 1/64..1 — "how small a profiling sample is safe"
     "sa20_sample_curve" -> ((s, dir) => {
@@ -1971,6 +2005,53 @@ object OlapQueries {
         |  CASE WHEN den > 0 AND deny > 0
         |       THEN round(num * num / (den * deny), 6) END AS r2
         |FROM f ORDER BY l_suppkey""".stripMargin,
+
+    // the shared daily CTE day-paired per series pair, then the o11
+    // moment machinery; the orthogonal slope one fixed double sequence
+    "o82_deming" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT 'click~view' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  UNION ALL
+        |  SELECT 'signup~purchase' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'signup' AND b.event_type = 'purchase'),
+        |s AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM pairs
+        |  WHERE x IS NOT NULL AND y IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT pair, n, sx, sy,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS uxx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS uyy,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS uxy
+        |  FROM s)
+        |SELECT pair, n,
+        |  CASE WHEN uxy <> 0 AND uxx > 0 THEN
+        |    round((uyy - uxx + sqrt((uyy - uxx) * (uyy - uxx) +
+        |      4.0e0 * uxy * uxy)) / (2.0e0 * uxy), 6) END AS slope,
+        |  CASE WHEN uxy <> 0 AND uxx > 0 THEN
+        |    round((sy - ((uyy - uxx + sqrt((uyy - uxx) * (uyy - uxx) +
+        |      4.0e0 * uxy * uxy)) / (2.0e0 * uxy)) * sx) /
+        |      CAST(n AS DOUBLE), 6) END AS intercept,
+        |  CASE WHEN uxy <> 0 AND uxx > 0 THEN
+        |    round(uxy / uxx, 6) END AS ols_slope
+        |FROM f ORDER BY pair""".stripMargin,
 
     // count(value) (not count(*)) so null-skipping matches Spark's frame
     // count; the decimal sum replays the operator's money-sum discipline
@@ -3567,6 +3648,61 @@ object OlapQueries {
         |    FROM b GROUP BY 1))
         |SELECT 6 AS p, a.est AS est_a, bb.est AS est_b,
         |  u.est AS est_union, ex.n_a_exact, ex.n_b_exact, ex.n_union_exact
+        |FROM est a, est bb, est u, ex
+        |WHERE a.t = 'a' AND bb.t = 'b' AND u.t = 'u'""".stripMargin,
+
+    // the sk13 register/closing replay + one inclusion–exclusion line
+    // over the three 3-rounded estimates; exact intersect beside
+    "sk14_hll_intersect" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END
+        |      AS t,
+        |    CAST(user_id AS VARCHAR) AS it
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')),
+        |h AS (
+        |  SELECT t,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('hllu:' ||
+        |          COALESCE(it, '')), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM b),
+        |regs AS (
+        |  SELECT t, hv % 64 AS register,
+        |    MAX(CASE WHEN hv // 64 = 0 THEN 51
+        |        ELSE 51 - length(bin(hv // 64)) END) AS mj
+        |  FROM h GROUP BY 1, 2),
+        |uni AS (SELECT 'u' AS t, register, MAX(mj) AS mj
+        |        FROM regs GROUP BY 2),
+        |allr AS (SELECT * FROM regs UNION ALL SELECT * FROM uni),
+        |est AS (
+        |  SELECT t, round(CASE
+        |      WHEN v > 0 AND (0.709e0 * 4096.0e0 * 2251799813685248.0e0
+        |        / s) <= 160.0e0
+        |      THEN 64.0e0 * ln(64.0e0 / v)
+        |      ELSE 0.709e0 * 4096.0e0 * 2251799813685248.0e0 / s END, 3)
+        |      AS est
+        |  FROM (
+        |    SELECT t,
+        |      CAST(s_present + (64 - n_regs) *
+        |        CAST(2251799813685248 AS BIGINT) AS BIGINT) AS s,
+        |      64 - n_regs AS v
+        |    FROM (
+        |      SELECT t, sum(CAST(pow(2.0e0, 51 - mj) AS BIGINT))
+        |          AS s_present,
+        |        count(*) AS n_regs
+        |      FROM allr GROUP BY 1))),
+        |ex AS (
+        |  SELECT CAST(SUM(ia * ib) AS BIGINT) AS n_intersect_exact
+        |  FROM (
+        |    SELECT it, MAX(CASE WHEN t = 'a' THEN 1 ELSE 0 END) AS ia,
+        |      MAX(CASE WHEN t = 'b' THEN 1 ELSE 0 END) AS ib
+        |    FROM b GROUP BY 1))
+        |SELECT 6 AS p, a.est AS est_a, bb.est AS est_b,
+        |  u.est AS est_union,
+        |  round(a.est + bb.est - u.est, 3) AS est_intersect,
+        |  ex.n_intersect_exact
         |FROM est a, est bb, est u, ex
         |WHERE a.t = 'a' AND bb.t = 'b' AND u.t = 'u'""".stripMargin,
 

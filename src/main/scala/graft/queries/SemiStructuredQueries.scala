@@ -201,6 +201,36 @@ object SemiStructuredQueries {
         .orderBy("day")
     }),
 
+    // P290 — LTV cohort triangle: per (first-order-month cohort, age in
+    // months) the cohort's cumulative revenue per customer — the
+    // retention×monetization curve; integer epoch-months (never locale
+    // month labels — the o26 rule), money through DECIMAL(18,2)
+    "q27_ltv" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("__m"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("__p"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("__m")).as("cohort_m"))
+      val sizes = first.groupBy(col("cohort_m"))
+        .agg(count(lit(1)).as("n_customers"))
+      val rev = o.join(first.hint("shuffle_hash"), Seq("o_custkey"))
+        .groupBy(col("cohort_m"), (col("__m") - col("cohort_m")).as("age"))
+        .agg(sum(col("__p")).as("__r"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_m")).orderBy(col("age").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      rev.withColumn("__cum", sum(col("__r")).over(wc))
+        .join(broadcast(sizes), Seq("cohort_m")) // cohort-month-sized
+        .select(col("cohort_m"), col("age"), col("n_customers"),
+          col("__r").cast("double").as("revenue"),
+          col("__cum").cast("double").as("cum_revenue"),
+          round(col("__cum").cast("double") /
+            col("n_customers").cast("double"), 6).as("ltv"))
+        .orderBy("cohort_m", "age")
+    }),
+
     // P285 — survival-quantile readout over the q11 KM curve: per
     // segment the 20%-churn time (first t with S ≤ 0.8 — reached for
     // some segments, honestly null for the rest), the curve's last
@@ -505,6 +535,35 @@ object SemiStructuredQueries {
         |  CAST(coalesce(ch.n_ch, 0) AS BIGINT) AS n_churned
         |FROM per LEFT JOIN ch ON ch.day = per.day
         |ORDER BY per.day""".stripMargin,
+
+    // integer epoch-months, exact DECIMAL money, one cohort-partitioned
+    // cumulative window
+    "q27_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |f AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY 1),
+        |sizes AS (SELECT cohort_m, CAST(COUNT(*) AS BIGINT)
+        |            AS n_customers
+        |          FROM f GROUP BY 1),
+        |rev AS (
+        |  SELECT f.cohort_m, o.m - f.cohort_m AS age, SUM(o.p) AS r
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_m, age, CAST(r AS DOUBLE) AS revenue,
+        |    CAST(SUM(r) OVER (PARTITION BY cohort_m ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS cum_revenue
+        |  FROM rev)
+        |SELECT c.cohort_m, CAST(c.age AS BIGINT) AS age, s.n_customers,
+        |  revenue, cum_revenue,
+        |  round(cum_revenue / CAST(s.n_customers AS DOUBLE), 6) AS ltv
+        |FROM c JOIN sizes s USING (cohort_m)
+        |ORDER BY c.cohort_m, c.age""".stripMargin,
 
     // the q11 KM replay + one closing agg; S ≤ 0.8 compares 6-rounded
     // exact values

@@ -1139,4 +1139,24 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.sprtLadder(daily, "arm", "day", "conv", "trials", 0.3, 0.1))
   }
+
+  test("demingFit: exact line recovered; x-noise attenuates OLS only") {
+    import spark.implicits._
+    // exact y = 2x: both fits read slope 2, intercept 0
+    val line = (1 to 5).map(i => ("k", i.toDouble, 2.0 * i))
+      .toDF("k", "x", "y")
+    val l = Features.demingFit(line, "k", "x", "y").head
+    assert(l.getDouble(2) == 2.0 && l.getDouble(3) == 0.0 &&
+      l.getDouble(4) == 2.0)
+    // symmetric x-noise around (1, 2): U_xx=20, U_yy=40, U_xy=20 →
+    // OLS 1.0 (attenuated), Deming (20+√2000)/40 = 1.618034
+    val noisy = Seq(("k", 0.0, 0.0), ("k", 1.0, 2.0), ("k", 2.0, 4.0),
+      ("k", 2.0, 2.0), ("k", 0.0, 2.0)).toDF("k", "x", "y")
+    val n = Features.demingFit(noisy, "k", "x", "y").head
+    assert(n.getDouble(4) == 1.0)
+    assert(n.getDouble(2) == 1.618034 && n.getDouble(3) == 0.381966)
+    // constant x: no fit
+    val flat = Seq(("k", 1.0, 1.0), ("k", 1.0, 2.0)).toDF("k", "x", "y")
+    assert(Features.demingFit(flat, "k", "x", "y").head.isNullAt(2))
+  }
 }

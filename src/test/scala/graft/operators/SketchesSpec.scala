@@ -377,4 +377,24 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.hllUnion(items, "id", "tag", "x", "y", 3))
   }
+
+  test("hllIntersect: inclusion-exclusion over the shared union core") {
+    import spark.implicits._
+    val items = ((1 to 150).map(i => (i.toLong, "x")) ++
+      (100 to 220).map(i => (i.toLong, "y"))).toDF("id", "tag")
+    val r = Sketches.hllIntersect(items, "id", "tag", "x", "y", p = 8).head
+    // exact |x ∩ y| = |{100..150}| = 51
+    assert(r.getInt(0) == 8 && r.getLong(5) == 51L)
+    // the estimate IS a + b − union of the shared core (same sketches
+    // as hllUnion — refactor must not fork the state)
+    val u = Sketches.hllUnion(items, "id", "tag", "x", "y", p = 8).head
+    assert(r.getDouble(1) == u.getDouble(1) &&
+      r.getDouble(2) == u.getDouble(2) && r.getDouble(3) == u.getDouble(3))
+    val expected = BigDecimal(r.getDouble(1) + r.getDouble(2) -
+      r.getDouble(3)).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(r.getDouble(4) == expected)
+    // p=8 keeps the intersection estimate in the right ballpark
+    assert(math.abs(r.getDouble(4) - 51.0) < 51.0)
+  }
 }
