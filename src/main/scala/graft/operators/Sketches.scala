@@ -92,6 +92,53 @@ object Sketches {
       .select(col("window.start").as("window_start"), col("r"),
         col("bucket"), col("n"))
 
+  /**
+   * P293 — CMS join-size estimation: |A ⋈ B| on a key is estimated
+   * from two count-min sketches as min over hash rows of the cell-wise
+   * inner product Σ_b A[r][b]·B[r][b] — the AQE-style cardinality
+   * estimate a planner reads from sketch-sized state instead of
+   * shuffling either side (never an underestimate: colliding keys only
+   * add mass). Emits ONE row (rows, width, est_join, exact_join,
+   * rel_err); rel_err = (est − exact)/exact, ≥ 0 by construction.
+   *
+   * Shape: two [[countMinSketch]] cell aggs (bounded by rows·width),
+   * one (r, bucket)-keyed equi-join of the two sketch frames, one
+   * rows-sized min; the exact audit is a keyed count-join (the thing
+   * the sketch path avoids at scale). All counts/products exact
+   * BIGINTs; one closing double division rounded at 6.
+   */
+  def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      rows: Int, width: Int, salt: String = "cmsj"): DataFrame = {
+    val sa = countMinSketch(a.where(col(aCol).isNotNull), aCol, rows,
+      width, salt).withColumnRenamed("n", "__na")
+    val sb = countMinSketch(b.where(col(bCol).isNotNull), bCol, rows,
+      width, salt).withColumnRenamed("n", "__nb")
+    val prod = sa.join(sb.hint("shuffle_hash"), Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("__na") * col("__nb")).as("__rowEst"))
+    // densify over the row spine: a hash row with ZERO colliding buckets
+    // means the estimate is 0, not "skip this row in the min"
+    val rIdx = a.sparkSession.range(rows.toLong)
+      .select(col("id").cast("int").as("r"))
+    val est = rIdx.join(prod.hint("shuffle_hash"), Seq("r"), "left")
+      .agg(min(coalesce(col("__rowEst"), lit(0L))).as("est_join"))
+    val ca = a.where(col(aCol).isNotNull).groupBy(col(aCol).as("__key"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.where(col(bCol).isNotNull).groupBy(col(bCol).as("__key"))
+      .agg(count(lit(1)).as("__cb"))
+    val exact = ca.join(cb.hint("shuffle_hash"), Seq("__key"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+        .as("exact_join"))
+    est.crossJoin(broadcast(exact)) // 1-row scalar side
+      .select(lit(rows).as("rows"), lit(width).as("width"),
+        coalesce(col("est_join"), lit(0L)).as("est_join"),
+        col("exact_join"),
+        when(col("exact_join") > 0,
+          round((coalesce(col("est_join"), lit(0L)) - col("exact_join"))
+            .cast("double") / col("exact_join").cast("double"), 6))
+          .as("rel_err"))
+  }
+
   /** The (register, max rank) cells of an HLL — ONE definition shared by
     * the batch estimate and the streaming variant, so their sketches can
     * never drift: low p bits of the portable 56-bit hash route to a

@@ -1438,6 +1438,129 @@ object TimeSeries {
             col("__v").cast("double") < col("lcl")).as("out_of_control"))
   }
 
+  /**
+   * P291 — Ljung–Box portmanteau test: per key, the pooled-mean sample
+   * autocorrelations ρ̂₁..ρ̂_h of the ordered series and
+   * Q = n(n+2)·Σ ρ̂k²/(n−k) — "is there ANY serial structure in the
+   * first h lags" (o78's Durbin–Watson sees only lag 1; this is the
+   * residual-whiteness gate a forecast backtest should quote). Input
+   * values must be 6-rounded (the dailyMeans contract). Emits per key
+   * (key, n, h, q_stat, dof = h); n ≤ h + 1 nulls the statistic (lags
+   * with n − k ≤ 0 are skipped) and a constant series (zero variance)
+   * drops its key.
+   *
+   * Shape: ONE key-partitioned window carrying all h lags + one keyed
+   * agg. Cross-engine: deviations from the 6-rounded mean become exact
+   * micro-unit BIGINTs; lag products and the denominator are exact
+   * integer sums; each ρ̂k and Σ-term is a fixed double sequence
+   * rounded at 6/9 with DECIMAL(28,9) accumulation.
+   */
+  def ljungBox(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 24,
+      s"ljungBox: maxLag must be in 1..24, got $maxLag")
+    val base = df.where(col(keyCol).isNotNull && col(ordCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(ordCol).as("__o"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val means = base.groupBy(col("__k"))
+      .agg(round(sum(col("__v")).cast("double") /
+        count(lit(1)).cast("double"), 6).cast("decimal(18,6)").as("__mean"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o").asc)
+    var d = base.join(means.hint("shuffle_hash"), Seq("__k"))
+      .withColumn("__dm",
+        ((col("__v") - col("__mean")) * lit(1000000L)).cast("long"))
+    for (k <- 1 to maxLag)
+      d = d.withColumn(s"__l$k", lag(col("__dm"), k).over(w))
+    val aggExprs =
+      Seq(count(lit(1)).as("n"),
+        sum(col("__dm") * col("__dm")).as("__den")) ++
+        (1 to maxLag).map(k =>
+          sum(when(col(s"__l$k").isNotNull, col("__dm") * col(s"__l$k"))
+            .otherwise(0L)).as(s"__n$k"))
+    val sums = d.groupBy(col("__k")).agg(aggExprs.head, aggExprs.tail: _*)
+    val nd = col("n").cast("double")
+    val rho = (1 to maxLag).map { k =>
+      round(col(s"__n$k").cast("double") / col("__den").cast("double"), 6)
+        .as(s"__r$k")
+    }
+    val withRho = sums.where(col("__den") > 0)
+      .select(col("__k") +: col("n") +: rho: _*)
+    val terms = (1 to maxLag).map { k =>
+      when(col("n") > k,
+        round(col(s"__r$k") * col(s"__r$k") / (nd - lit(k.toDouble)), 9))
+        .otherwise(lit(0.0)).cast("decimal(28,9)")
+    }.reduce(_ + _)
+    withRho
+      .select(col("__k").as(keyCol), col("n"),
+        lit(maxLag).as("h"),
+        when(col("n") > maxLag + 1,
+          round(nd * (nd + lit(2.0)) * terms.cast("double"), 6))
+          .as("q_stat"),
+        lit(maxLag.toLong).as("dof"))
+  }
+
+  /** The variance-of-aggregates scale ladder and its ln literals for
+    * [[hurstExponent]] — driver-computed (no runtime libm for x; the
+    * block-variance ln rounds at 6, the established o33 discipline). */
+  val HurstScales: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /**
+   * P292 — Hurst exponent by variance of aggregates: block the series
+   * into m-point means for m in [[HurstScales]], regress ln Var(m) on
+   * ln m — slope β estimates 2H − 2, so H = 1 + β/2 (H ≈ 0.5
+   * uncorrelated, > 0.5 persistent/long-memory, < 0.5 mean-reverting) —
+   * the long-range-dependence read that says whether daily metrics can
+   * be modeled as independent noise at ANY aggregation level. Emits per
+   * key (key, n_scales, slope, hurst); degenerate variances null the
+   * fit.
+   *
+   * Shape: one scale-exploded block agg (m·blocks keyed — partition-
+   * parallel), variance moments per (key, m) in exact micro-unit
+   * BIGINTs, then [[graft.operators.Features.olsFit]] over the
+   * k-scale-point frame. Cross-engine: block means round at 6; x = ln m
+   * driver literals; y = round(ln(var), 6) (the o33/q11 ln-firewall);
+   * incomplete tail blocks drop (count = m filter).
+   */
+  def hurstExponent(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val scales = HurstScales
+    val base = df.where(col(keyCol).isNotNull && col(ordCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(ordCol).cast("long").as("__o"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val exploded = base.select(col("__k"), col("__o"), col("__v"),
+      explode(array(scales.map(lit): _*)).as("__m"))
+    val blocks = exploded
+      .groupBy(col("__k"), col("__m"), floor(col("__o") / col("__m")).as("__b"))
+      .agg(count(lit(1)).as("__cnt"),
+        round(sum(col("__v")).cast("double") /
+          count(lit(1)).cast("double"), 6).cast("decimal(18,6)").as("__bm"))
+      .where(col("__cnt") === col("__m"))
+      .select(col("__k"), col("__m"),
+        (col("__bm") * lit(1000000L)).cast("long").as("__mm"))
+    val vars = blocks.groupBy(col("__k"), col("__m"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__mm")).as("__s"),
+        sum(col("__mm") * col("__mm")).as("__s2"))
+      .where(col("__nb") > 1)
+    val nb = col("__nb").cast("double")
+    // sample variance in micro² units, then back to value units
+    val vard = (nb * col("__s2").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")) /
+      (nb * (nb - lit(1.0))) / lit(1.0e12)
+    val lnM = scales.tail.foldLeft(
+      when(col("__m") === scales.head, lit(math.log(scales.head.toDouble)))) {
+        case (acc, m) => acc.when(col("__m") === m, lit(math.log(m.toDouble)))
+      }
+    val points = vars.where(vard > 0)
+      .select(col("__k"), lnM.as("x"), round(log(vard), 6).as("y"))
+    graft.operators.Features.olsFit(points, "__k", "x", "y")
+      .select(col("__k").as(keyCol), col("n").as("n_scales"),
+        col("slope"),
+        when(col("slope").isNotNull,
+          round(lit(1.0) + col("slope") / lit(2.0), 6)).as("hurst"))
+  }
+
   /** The Gumbel method-of-moments constants (√6/π, the Euler–Mascheroni
     * γ, ln(−ln(0.99)) for the 100-block return level) — computed ONCE
     * on the driver so the operator and any oracle generator embed

@@ -792,6 +792,41 @@ object OlapQueries {
         "user_id", "event_type", tagA = "click", tagB = "purchase", p = 6)
     }),
 
+    // P291 — Ljung–Box whiteness test at h=7 on the per-type daily
+    // means: is there ANY serial structure in the first week of lags
+    // (o78's DW sees only lag 1)
+    "o83_ljungbox" -> ((s, dir) => {
+      graft.operators.TimeSeries.ljungBox(
+          dailyMeans(s, dir), "event_type", "day", "v", maxLag = 7)
+        .orderBy("event_type")
+    }),
+
+    // P292 — Hurst exponent by variance of aggregates over the daily
+    // series: long-range dependence (H > 0.5 persistent) read off the
+    // ln Var(m) vs ln m slope at m ∈ {1,2,4,8}
+    "o84_hurst" -> ((s, dir) => {
+      val daily = dailyMeans(s, dir)
+        .select(col("event_type"),
+          datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("long").as("di"),
+          col("v"))
+      graft.operators.TimeSeries.hurstExponent(daily, "event_type", "di",
+          "v")
+        .orderBy("event_type")
+    }),
+
+    // P293 — CMS join-size estimate: |clicks ⋈ purchases| on user_id
+    // from two 3×256 sketches vs the exact keyed count-join — the
+    // AQE-style cardinality read from mergeable state
+    "sk15_cms_join" -> ((s, dir) => {
+      val e = graft.Graft.events(s, dir).select("user_id", "event_type")
+      graft.operators.Sketches.cmsJoinSize(
+        e.where(col("event_type") === "click").select(col("user_id")),
+        "user_id",
+        e.where(col("event_type") === "purchase").select(col("user_id")),
+        "user_id", rows = 3, width = 256)
+    }),
+
     // P288 — HLL intersection by inclusion–exclusion over the sk13
     // sketches: the overlap readout ("clickers who also purchase") from
     // mergeable state, audited against the exact intersection
@@ -3650,6 +3685,174 @@ object OlapQueries {
         |  u.est AS est_union, ex.n_a_exact, ex.n_b_exact, ex.n_union_exact
         |FROM est a, est bb, est u, ex
         |WHERE a.t = 'a' AND bb.t = 'b' AND u.t = 'u'""".stripMargin,
+
+    // the shared daily CTE, micro-unit deviations from the 6-rounded
+    // mean, 7 lag windows, exact integer lag products, 9-rounded terms
+    // DECIMAL-summed, one closing sequence
+    "o83_ljungbox" -> {
+      val h = 7
+      val lagCols = (1 to h).map(k => s"lag(dm, $k) OVER w AS l$k")
+        .mkString(",\n        |    ")
+      val sumCols = (1 to h).map(k =>
+        s"CAST(SUM(CASE WHEN l$k IS NOT NULL THEN dm * l$k ELSE 0 END) " +
+          s"AS BIGINT) AS n$k").mkString(",\n        |    ")
+      val rhoCols = (1 to h).map(k =>
+        s"round(CAST(n$k AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r$k")
+        .mkString(",\n        |    ")
+      val termSum = (1 to h).map(k =>
+        s"CASE WHEN n > $k THEN CAST(round(r$k * r$k / " +
+          s"(CAST(n AS DOUBLE) - $k.0e0), 9) AS DECIMAL(28,9)) " +
+          "ELSE CAST(0 AS DECIMAL(28,9)) END").mkString(" +\n        |    ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |mn AS (
+         |  SELECT event_type,
+         |    CAST(round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mean
+         |  FROM daily GROUP BY 1),
+         |d AS (
+         |  SELECT daily.event_type AS k, day,
+         |    CAST((CAST(v AS DECIMAL(18,6)) - mean) * 1000000 AS BIGINT)
+         |      AS dm
+         |  FROM daily JOIN mn ON mn.event_type = daily.event_type),
+         |l AS (
+         |  SELECT k, dm,
+         |    $lagCols
+         |  FROM d WINDOW w AS (PARTITION BY k ORDER BY day)),
+         |s AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dm * dm) AS BIGINT) AS den,
+         |    $sumCols
+         |  FROM l GROUP BY 1),
+         |r AS (
+         |  SELECT k, n,
+         |    $rhoCols
+         |  FROM s WHERE den > 0),
+         |t AS (
+         |  SELECT k, n,
+         |    $termSum AS terms
+         |  FROM r)
+         |SELECT k AS event_type, n, $h AS h,
+         |  CASE WHEN n > ${h + 1} THEN
+         |    round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0e0) *
+         |      CAST(terms AS DOUBLE), 6) END AS q_stat,
+         |  CAST($h AS BIGINT) AS dof
+         |FROM t ORDER BY event_type""".stripMargin
+    },
+
+    // scale-exploded block means, micro-unit variance moments, driver
+    // ln-m literals, 6-rounded runtime ln (the o33 firewall), the o11
+    // slope replay, H = 1 + slope/2 on the ROUNDED slope
+    "o84_hurst" -> {
+      def l(d: Double) = {
+        val s = d.toString
+        if (s.contains("E") || s.contains("e")) s else s + "e0"
+      }
+      val scales = graft.operators.TimeSeries.HurstScales
+      val xCase = scales.map(m =>
+        s"WHEN $m THEN ${l(math.log(m.toDouble))}").mkString(" ")
+      val vard = "(CAST(nb AS DOUBLE) * CAST(s2 AS DOUBLE) - " +
+        "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
+        "(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0e0)) / " +
+        "1000000000000.0e0"
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |di AS (
+         |  SELECT event_type AS k,
+         |    CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS o,
+         |    CAST(v AS DECIMAL(18,6)) AS v
+         |  FROM daily),
+         |ex AS (
+         |  SELECT k, o, v, m
+         |  FROM di CROSS JOIN (
+         |    SELECT unnest([${scales.mkString(", ")}]) AS m)),
+         |bl AS (
+         |  SELECT k, m, floor(o / m) AS b, COUNT(*) AS cnt,
+         |    CAST(round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+         |      6) AS DECIMAL(18,6)) AS bm
+         |  FROM ex GROUP BY 1, 2, 3),
+         |mm AS (
+         |  SELECT k, m, CAST(bm * 1000000 AS BIGINT) AS mmv
+         |  FROM bl WHERE cnt = m),
+         |vr AS (
+         |  SELECT k, m, CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(mmv) AS BIGINT) AS s,
+         |    CAST(SUM(mmv * mmv) AS BIGINT) AS s2
+         |  FROM mm GROUP BY 1, 2),
+         |pt AS (
+         |  SELECT k, CASE m $xCase END AS x,
+         |    round(ln($vard), 6) AS y
+         |  FROM vr WHERE nb > 1 AND $vard > 0),
+         |so AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+         |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+         |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+         |  FROM pt WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+         |f AS (
+         |  SELECT k, n,
+         |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+         |    CAST(n AS DOUBLE) * sxx - sx * sx AS den
+         |  FROM so)
+         |SELECT k AS event_type, n AS n_scales,
+         |  CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+         |  CASE WHEN den > 0 THEN
+         |    round(1.0e0 + round(num / den, 6) / 2.0e0, 6) END AS hurst
+         |FROM f ORDER BY event_type""".stripMargin
+    },
+
+    // two cell replays over the t12 hash idiom, a (r, bucket) product
+    // join, a densified row-spine min, the exact keyed audit beside
+    "sk15_cms_join" ->
+      """WITH a AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS it FROM events
+        |  WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS it FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |ca AS (
+        |  SELECT r.r,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('cmsj' || r.r || ':' ||
+        |          it), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 256 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS na
+        |  FROM a CROSS JOIN range(3) r(r) GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT r.r,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5('cmsj' || r.r || ':' ||
+        |          it), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 256 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM b CROSS JOIN range(3) r(r) GROUP BY 1, 2),
+        |prod AS (
+        |  SELECT ca.r, CAST(SUM(na * nb) AS BIGINT) AS rowest
+        |  FROM ca JOIN cb ON cb.r = ca.r AND cb.bucket = ca.bucket
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT CAST(MIN(coalesce(prod.rowest, 0)) AS BIGINT) AS est_join
+        |  FROM range(3) r(r) LEFT JOIN prod ON prod.r = r.r),
+        |exact AS (
+        |  SELECT CAST(coalesce(SUM(x.c * y.c), 0) AS BIGINT) AS exact_join
+        |  FROM (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY 1)
+        |    x
+        |  JOIN (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1)
+        |    y USING (it))
+        |SELECT 3 AS "rows", 256 AS width, est_join, exact_join,
+        |  CASE WHEN exact_join > 0 THEN
+        |    round(CAST(est_join - exact_join AS DOUBLE) /
+        |      CAST(exact_join AS DOUBLE), 6) END AS rel_err
+        |FROM est CROSS JOIN exact""".stripMargin,
 
     // the sk13 register/closing replay + one inclusion–exclusion line
     // over the three 3-rounded estimates; exact intersect beside

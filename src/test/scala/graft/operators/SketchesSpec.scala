@@ -397,4 +397,23 @@ class SketchesSpec extends SparkSpec {
     // p=8 keeps the intersection estimate in the right ballpark
     assert(math.abs(r.getDouble(4) - 51.0) < 51.0)
   }
+
+  test("cmsJoinSize: collision-free width is exact, width 1 is the bound") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 3L).toDF("k")
+    // exact |A ⋈ B| = 2·1 + 1·2 = 4; a wide sketch has no collisions
+    val wide = Sketches.cmsJoinSize(a, "k", b, "k", rows = 3,
+      width = 4096).head
+    assert(wide.getLong(3) == 4L && wide.getLong(2) == 4L &&
+      wide.getDouble(4) == 0.0)
+    // width 1: every key collides → est = |A|·|B| = 12, rel_err = 2
+    val one = Sketches.cmsJoinSize(a, "k", b, "k", rows = 2, width = 1)
+      .head
+    assert(one.getLong(2) == 12L && one.getDouble(4) == 2.0)
+    // disjoint sides: exact 0 → rel_err null, estimate still ≥ 0
+    val dis = Sketches.cmsJoinSize(a, "k", Seq(9L).toDF("k"), "k", 3,
+      4096).head
+    assert(dis.getLong(3) == 0L && dis.isNullAt(4))
+  }
 }

@@ -766,4 +766,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r2.map(r => (r.getLong(1), r.getLong(5))).toSeq ==
       Seq((1L, 0L), (2L, 0L), (1L, 1L)))
   }
+
+  test("ljungBox: alternating series screams, short series is null") {
+    import spark.implicits._
+    // ±1 alternation: ρ̂k ≈ (−1)^k with magnitude ~1 → Q explodes
+    val alt = (1 to 24).map(i =>
+      ("a", i, if (i % 2 == 0) 1.0 else -1.0)).toDF("k", "d", "v")
+    val a = TimeSeries.ljungBox(alt, "k", "d", "v", maxLag = 7).head
+    assert(a.getLong(1) == 24L && a.getInt(2) == 7 && a.getLong(4) == 7L)
+    assert(a.getDouble(3) > 50.0)
+    // n ≤ h+1: the statistic is undefined
+    val short = (1 to 8).map(i => ("a", i, i.toDouble)).toDF("k", "d", "v")
+    assert(TimeSeries.ljungBox(short, "k", "d", "v", 7).head.isNullAt(3))
+    // constant series: zero variance drops the key entirely
+    val flat = (1 to 24).map(i => ("a", i, 5.0)).toDF("k", "d", "v")
+    assert(TimeSeries.ljungBox(flat, "k", "d", "v", 7).count() == 0L)
+    intercept[IllegalArgumentException](
+      TimeSeries.ljungBox(alt, "k", "d", "v", 0))
+  }
+
+  test("hurstExponent: trend reads persistent, noise reads near 1/2") {
+    import spark.implicits._
+    // a pure trend: Var(m) barely moves with m → slope ≈ 0 → H ≈ 1
+    val trend = (0 until 32).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("k", "o", "v")
+    val t = TimeSeries.hurstExponent(trend, "k", "o", "v").head
+    assert(t.getLong(1) == 4L && t.getDouble(3) > 0.8)
+    // deterministic LCG noise: aggregation averages it out → slope near
+    // −1 → H near 0.5
+    var seed = 12345L
+    val noise = (0 until 32).map { i =>
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ("a", i.toLong, (seed % 1000L).toDouble / 100.0)
+    }.toDF("k", "o", "v")
+    val n = TimeSeries.hurstExponent(noise, "k", "o", "v").head
+    assert(n.getDouble(3) > 0.1 && n.getDouble(3) < 0.9)
+    assert(t.getDouble(3) > n.getDouble(3))
+  }
 }
