@@ -369,4 +369,45 @@ object Privacy {
             col("n_rows").cast("double"), 6).as("share_safe"))
     }.reduce(_.unionByName(_))
   }
+
+  /**
+   * P294 — re-identification risk metrics over quasi-identifier
+   * equivalence classes: the three standard attacker models in one
+   * row — prosecutor max risk 1/min(k) (the attacker KNOWS their
+   * target is in the data), expected record risk Σ_records 1/k / n
+   * (= n_classes/n_records — the neat identity), and the share of
+   * records in classes below k = 5 (the publishable-microdata bar
+   * [[kAnonymityFilter]] enforces; this is the measurement BEFORE the
+   * enforcement). Emits ONE row (n_records, n_classes, min_class_k,
+   * unique_records, max_risk, expected_risk, pct_under_5). Null QID
+   * values form their own class (they are linkable values too).
+   *
+   * Shape: one QID-keyed agg + one closing agg — partition-parallel at
+   * any cardinality. All counts exact BIGINTs; three closing double
+   * divisions rounded at 6.
+   */
+  def reidentificationRisk(df: DataFrame,
+      qidCols: Seq[String]): DataFrame = {
+    require(qidCols.nonEmpty, "reidentificationRisk: no QID columns")
+    val classes = df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("__k"))
+    classes.agg(sum(col("__k")).as("n_records"),
+        count(lit(1)).as("n_classes"),
+        min(col("__k")).as("min_class_k"),
+        coalesce(sum(when(col("__k") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("unique_records"),
+        coalesce(sum(when(col("__k") < 5, col("__k")).otherwise(0L)),
+          lit(0L)).as("__risky"))
+      .select(col("n_records"), col("n_classes"), col("min_class_k"),
+        col("unique_records"),
+        when(col("min_class_k") > 0,
+          round(lit(1.0) / col("min_class_k").cast("double"), 6))
+          .as("max_risk"),
+        when(col("n_records") > 0,
+          round(col("n_classes").cast("double") /
+            col("n_records").cast("double"), 6)).as("expected_risk"),
+        when(col("n_records") > 0,
+          round(col("__risky").cast("double") /
+            col("n_records").cast("double"), 6)).as("pct_under_5"))
+  }
 }

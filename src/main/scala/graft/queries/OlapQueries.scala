@@ -36,6 +36,20 @@ object OlapQueries {
   private[queries] def dailyMeans(s: SparkSession, dir: String): DataFrame =
     dailyStats(s, dir).drop("n")
 
+  /** Day-paired (x, y) points for two event-type daily-mean series —
+    * shared by o82/o85 (one definition beside the oracles' identical
+    * pair CTE). */
+  private def dailyPairFrame(s: SparkSession, dir: String, ta: String,
+      tb: String): DataFrame = {
+    val d = dailyMeans(s, dir)
+    val a = d.where(col("event_type") === ta)
+      .select(col("day"), col("v").as("x"))
+    val b = d.where(col("event_type") === tb)
+      .select(col("day").as("__day2"), col("v").as("y"))
+    a.join(b.hint("shuffle_hash"), col("day") === col("__day2"))
+      .select(lit(s"$ta~$tb").as("pair"), col("x"), col("y"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pivot order status × priority into wide counts
     "o1_pivot" -> ((s, dir) => {
@@ -845,19 +859,24 @@ object OlapQueries {
     // the 14-significant-digit rounding cliff — caught by the local
     // gate, repaired by pairing like-scaled series
     "o82_deming" -> ((s, dir) => {
-      val d = dailyMeans(s, dir)
-      def pairFrame(ta: String, tb: String) = {
-        val a = d.where(col("event_type") === ta)
-          .select(col("day"), col("v").as("x"))
-        val b = d.where(col("event_type") === tb)
-          .select(col("day").as("__day2"), col("v").as("y"))
-        a.join(b.hint("shuffle_hash"), col("day") === col("__day2"))
-          .select(lit(s"$ta~$tb").as("pair"), col("x"), col("y"))
-      }
       graft.operators.Features.demingFit(
-          pairFrame("click", "view")
-            .unionByName(pairFrame("signup", "purchase")),
+          dailyPairFrame(s, dir, "click", "view")
+            .unionByName(dailyPairFrame(s, dir, "signup", "purchase")),
           "pair", "x", "y")
+        .orderBy("pair")
+    }),
+
+    // P296 — VIF multicollinearity audit over day-paired metric series:
+    // r² from the o11 fit, VIF = 1/(1−r²) on the ROUNDED r² — "can I
+    // put both of these in one regression"
+    "o85_vif" -> ((s, dir) => {
+      val pairs = dailyPairFrame(s, dir, "click", "view")
+        .unionByName(dailyPairFrame(s, dir, "click", "purchase"))
+        .unionByName(dailyPairFrame(s, dir, "view", "purchase"))
+      graft.operators.Features.olsFit(pairs, "pair", "x", "y")
+        .select(col("pair"), col("n"), col("r2"),
+          when(col("r2").isNotNull && col("r2") < 1.0,
+            round(lit(1.0) / (lit(1.0) - col("r2")), 6)).as("vif"))
         .orderBy("pair")
     }),
 
@@ -2087,6 +2106,52 @@ object OlapQueries {
         |  CASE WHEN uxy <> 0 AND uxx > 0 THEN
         |    round(uxy / uxx, 6) END AS ols_slope
         |FROM f ORDER BY pair""".stripMargin,
+
+    // three day-paired series, the o11 r² replay, VIF on the ROUNDED r²
+    "o85_vif" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT 'click~view' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  UNION ALL
+        |  SELECT 'click~purchase' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'view~purchase' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'),
+        |s AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        |f AS (
+        |  SELECT pair, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM s),
+        |r AS (
+        |  SELECT pair, n,
+        |    CASE WHEN den > 0 AND deny > 0 THEN
+        |      round(num * num / (den * deny), 6) END AS r2
+        |  FROM f)
+        |SELECT pair, n, r2,
+        |  CASE WHEN r2 IS NOT NULL AND r2 < 1.0e0 THEN
+        |    round(1.0e0 / (1.0e0 - r2), 6) END AS vif
+        |FROM r ORDER BY pair""".stripMargin,
 
     // count(value) (not count(*)) so null-skipping matches Spark's frame
     // count; the decimal sum replays the operator's money-sum discipline

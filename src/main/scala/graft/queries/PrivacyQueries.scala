@@ -25,6 +25,17 @@ object PrivacyQueries {
         .orderBy("c_custkey")
     }),
 
+    // P294 — re-identification risk over the pv1 QID grid BEFORE any
+    // filtering: prosecutor max risk, expected record risk, and the
+    // share of records under the k = 5 bar pv1 enforces
+    "pv7_reid_risk" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      Privacy.reidentificationRisk(c,
+        Seq("c_nationkey", "c_mktsegment", "bal_band"))
+    }),
+
     // P89 — ℓ = 10 over (nation, segment) QID groups with the balance
     // band as the sensitive attribute: ~125 groups of ~12 rows at
     // sf0.01, distinct bands straddle 10, so both outcomes occur
@@ -106,6 +117,30 @@ object PrivacyQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // one class agg + one closing agg; expected risk = classes/records
+    "pv7_reid_risk" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |cl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM c GROUP BY c_nationkey, c_mktsegment, bal_band)
+        |SELECT CAST(SUM(k) AS BIGINT) AS n_records,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(MIN(k) AS BIGINT) AS min_class_k,
+        |  CAST(coalesce(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS unique_records,
+        |  CASE WHEN MIN(k) > 0 THEN
+        |    round(1.0e0 / CAST(MIN(k) AS DOUBLE), 6) END AS max_risk,
+        |  CASE WHEN SUM(k) > 0 THEN
+        |    round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6)
+        |  END AS expected_risk,
+        |  CASE WHEN SUM(k) > 0 THEN
+        |    round(CAST(coalesce(SUM(CASE WHEN k < 5 THEN k ELSE 0 END), 0)
+        |      AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6)
+        |  END AS pct_under_5
+        |FROM cl""".stripMargin,
     // the identical salted-MD5 prefix; collisions from one scalar audit
     "pv5_pseudonym" ->
       """WITH m AS (

@@ -231,6 +231,35 @@ object SemiStructuredQueries {
         .orderBy("cohort_m", "age")
     }),
 
+    // P295 — inter-order gap distribution per market segment: exact
+    // integer day gaps from per-customer lag windows, R-7 percentiles
+    // (the o5 parity class) — the purchase-cadence read behind RFM
+    "q28_interorder" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+        .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+          col("o_orderkey"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d").asc, col("o_orderkey").asc)
+      val gaps = o.withColumn("__pd", lag(col("d"), 1).over(w))
+        .where(col("__pd").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("d"), col("__pd")).cast("long").as("gap"))
+      val seg = table(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      gaps.join(seg.hint("shuffle_hash"), Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(sum(col("gap")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_gap"),
+          expr("percentile(gap, array(0.5, 0.9))").as("__p"))
+        .select(col("c_mktsegment"), col("n_gaps"), col("mean_gap"),
+          round(element_at(col("__p"), 1), 4).as("p50"),
+          round(element_at(col("__p"), 2), 4).as("p90"))
+        .orderBy("c_mktsegment")
+    }),
+
     // P285 — survival-quantile readout over the q11 KM curve: per
     // segment the 20%-churn time (first t with S ≤ 0.8 — reached for
     // some segments, honestly null for the rest), the curve's last
@@ -564,6 +593,31 @@ object SemiStructuredQueries {
         |  round(cum_revenue / CAST(s.n_customers AS DOUBLE), 6) AS ltv
         |FROM c JOIN sizes s USING (cohort_m)
         |ORDER BY c.cohort_m, c.age""".stripMargin,
+
+    // per-customer lag gaps (multiset independent of same-day tie
+    // order), quantile_cont = Spark percentile (R-7, the o5 parity)
+    "q28_interorder" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |g0 AS (
+        |  SELECT o_custkey, lag(d) OVER w AS pd, d
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey
+        |                      ORDER BY d, o_orderkey)),
+        |g AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', pd, d) AS BIGINT) AS gap
+        |  FROM g0 WHERE pd IS NOT NULL),
+        |j AS (
+        |  SELECT c.c_mktsegment, g.gap
+        |  FROM g JOIN customer c ON c.c_custkey = g.o_custkey)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_gap,
+        |  round(quantile_cont(gap, 0.5e0), 4) AS p50,
+        |  round(quantile_cont(gap, 0.9e0), 4) AS p90
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the q11 KM replay + one closing agg; S ≤ 0.8 compares 6-rounded
     // exact values

@@ -226,4 +226,24 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.generalizationLadder(df, Seq("nat"), "bal", Seq(10L), 1))
   }
+
+  test("reidentificationRisk: attacker-model metrics over QID classes") {
+    import spark.implicits._
+    // classes: a×1 (unique), b×4 (risky), c×5 (at the bar)
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(5)("c"))
+      .zipWithIndex.map { case (q, i) => (i.toLong, q) }.toDF("id", "q")
+    val r = Privacy.reidentificationRisk(rows, Seq("q")).head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L &&
+      r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 1.0)       // prosecutor: the unique record
+    assert(r.getDouble(5) == 0.3)       // 3 classes / 10 records
+    assert(r.getDouble(6) == 0.5)       // (1 + 4) / 10 under k = 5
+    // a null QID is its own (linkable) class
+    val withNull = rows.union(Seq((99L, null.asInstanceOf[String]),
+      (100L, null.asInstanceOf[String])).toDF("id", "q"))
+    val n = Privacy.reidentificationRisk(withNull, Seq("q")).head
+    assert(n.getLong(1) == 4L && n.getLong(0) == 12L)
+    intercept[IllegalArgumentException](
+      Privacy.reidentificationRisk(rows, Nil))
+  }
 }
