@@ -1500,6 +1500,74 @@ object TimeSeries {
         lit(maxLag.toLong).as("dof"))
   }
 
+  /**
+   * P297 — Granger causality at lag 1: does x's past improve the
+   * prediction of y beyond y's own past? Compare the restricted fit
+   * y_t ~ y_{t−1} against the unrestricted y_t ~ y_{t−1} + x_{t−1} by
+   * their closed-form SSEs (two-regressor normal equations — no
+   * iteration) and F = (SSE_r − SSE_u)·(n−3)/SSE_u — the
+   * "leading-indicator" verdict behind metric alerting and feature
+   * ordering. Emits ONE row per (key, direction): (key, direction, n,
+   * f_stat, r2_restricted, r2_unrestricted), both x→y and y→x so the
+   * asymmetry is visible; degenerate moments (D ≤ 0, SSE_u ≤ 0,
+   * n ≤ 3) null the verdict.
+   *
+   * Shape: one key-partitioned lag window + one keyed moment agg per
+   * direction (map-side combinable). Cross-engine: the nine moments go
+   * through exact DECIMAL(19,6) products (the o11 discipline); the
+   * scaled central moments U_ab = n·Σab − Σa·Σb are homogeneous, so
+   * every ratio (coefficients, SSEs, F, R²) is a fixed double sequence
+   * on identical operands, rounded at 6.
+   */
+  def grangerLag1(df: DataFrame, keyCol: String, ordCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o").asc)
+    def direction(cause: String, effect: String, tag: String): DataFrame = {
+      val base = df.where(col(keyCol).isNotNull && col(ordCol).isNotNull &&
+          col(cause).isNotNull && col(effect).isNotNull)
+        .select(col(keyCol).as("__k"), col(ordCol).as("__o"),
+          col(cause).cast("double").as("__x"),
+          col(effect).cast("double").as("__y"))
+      val lagged = base
+        .withColumn("__u", lag(col("__y"), 1).over(w)) // y's own past
+        .withColumn("__v", lag(col("__x"), 1).over(w)) // the cause's past
+        .where(col("__u").isNotNull && col("__v").isNotNull)
+      def d18(c: String) = col(c).cast("decimal(18,6)")
+      def d19(c: String) = col(c).cast("decimal(19,6)")
+      val m = lagged.groupBy(col("__k"))
+        .agg(count(lit(1)).as("n"),
+          sum(d18("__y")).cast("double").as("__sy"),
+          sum(d18("__u")).cast("double").as("__su"),
+          sum(d18("__v")).cast("double").as("__sv"),
+          sum(d19("__y") * d19("__y")).cast("double").as("__syy"),
+          sum(d19("__u") * d19("__u")).cast("double").as("__suu"),
+          sum(d19("__v") * d19("__v")).cast("double").as("__svv"),
+          sum(d19("__u") * d19("__y")).cast("double").as("__suy"),
+          sum(d19("__v") * d19("__y")).cast("double").as("__svy"),
+          sum(d19("__u") * d19("__v")).cast("double").as("__suv"))
+      val nd = col("n").cast("double")
+      val uyy = nd * col("__syy") - col("__sy") * col("__sy")
+      val uuu = nd * col("__suu") - col("__su") * col("__su")
+      val uvv = nd * col("__svv") - col("__sv") * col("__sv")
+      val uuy = nd * col("__suy") - col("__su") * col("__sy")
+      val uvy = nd * col("__svy") - col("__sv") * col("__sy")
+      val uuv = nd * col("__suv") - col("__su") * col("__sv")
+      val dDet = uuu * uvv - uuv * uuv
+      val b = (uvv * uuy - uuv * uvy) / dDet
+      val c = (uuu * uvy - uuv * uuy) / dDet
+      val sseR = uyy - uuy * uuy / uuu
+      val sseU = uyy - b * uuy - c * uvy
+      val ok = col("n") > 3 && uuu > 0 && dDet > 0 && uyy > 0 && sseU > 0
+      m.select(col("__k").as(keyCol), lit(tag).as("direction"), col("n"),
+        when(ok, round((sseR - sseU) * (nd - lit(3.0)) / sseU, 6))
+          .as("f_stat"),
+        when(ok, round(lit(1.0) - sseR / uyy, 6)).as("r2_restricted"),
+        when(ok, round(lit(1.0) - sseU / uyy, 6)).as("r2_unrestricted"))
+    }
+    direction(xCol, yCol, s"$xCol->$yCol")
+      .unionByName(direction(yCol, xCol, s"$yCol->$xCol"))
+  }
+
   /** The variance-of-aggregates scale ladder and its ln literals for
     * [[hurstExponent]] — driver-computed (no runtime libm for x; the
     * block-variance ln rounds at 6, the established o33 discipline). */

@@ -806,6 +806,23 @@ object OlapQueries {
         "user_id", "event_type", tagA = "click", tagB = "purchase", p = 6)
     }),
 
+    // P297 — Granger causality (lag 1) between the click and purchase
+    // daily means, both directions: does x's past improve y's forecast
+    // beyond y's own past (x = click, y = purchase)
+    "o86_granger" -> ((s, dir) => {
+      val d = dailyMeans(s, dir)
+      val a = d.where(col("event_type") === "click")
+        .select(col("day"), col("v").as("x"))
+      val b = d.where(col("event_type") === "purchase")
+        .select(col("day").as("__day2"), col("v").as("y"))
+      val wide = a.join(b.hint("shuffle_hash"), col("day") === col("__day2"))
+        .select(lit("click~purchase").as("series"), col("day"),
+          col("x"), col("y"))
+      graft.operators.TimeSeries.grangerLag1(wide, "series", "day",
+          "x", "y")
+        .orderBy("direction")
+    }),
+
     // P291 — Ljung–Box whiteness test at h=7 on the per-type daily
     // means: is there ANY serial structure in the first week of lags
     // (o78's DW sees only lag 1)
@@ -3750,6 +3767,79 @@ object OlapQueries {
         |  u.est AS est_union, ex.n_a_exact, ex.n_b_exact, ex.n_union_exact
         |FROM est a, est bb, est u, ex
         |WHERE a.t = 'a' AND bb.t = 'b' AND u.t = 'u'""".stripMargin,
+
+    // two direction branches over one day-paired frame, the o11-style
+    // nine-moment agg, closed-form two-regressor SSEs, one F closing
+    "o86_granger" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+        |d1 AS (
+        |  SELECT 'x->y' AS direction, y AS yy, lag(y) OVER w AS u,
+        |    lag(x) OVER w AS v
+        |  FROM wide WINDOW w AS (ORDER BY day)),
+        |d2 AS (
+        |  SELECT 'y->x' AS direction, x AS yy, lag(x) OVER w AS u,
+        |    lag(y) OVER w AS v
+        |  FROM wide WINDOW w AS (ORDER BY day)),
+        |flt AS (
+        |  SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |  WHERE u IS NOT NULL AND v IS NOT NULL),
+        |m AS (
+        |  SELECT direction, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(yy AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(u AS DECIMAL(18,6))) AS DOUBLE) AS su,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(yy AS DECIMAL(19,6)) *
+        |             CAST(yy AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(u AS DECIMAL(19,6)) *
+        |             CAST(u AS DECIMAL(19,6))) AS DOUBLE) AS suu,
+        |    CAST(SUM(CAST(v AS DECIMAL(19,6)) *
+        |             CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS svv,
+        |    CAST(SUM(CAST(u AS DECIMAL(19,6)) *
+        |             CAST(yy AS DECIMAL(19,6))) AS DOUBLE) AS suy,
+        |    CAST(SUM(CAST(v AS DECIMAL(19,6)) *
+        |             CAST(yy AS DECIMAL(19,6))) AS DOUBLE) AS svy,
+        |    CAST(SUM(CAST(u AS DECIMAL(19,6)) *
+        |             CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS suv
+        |  FROM flt GROUP BY 1),
+        |uu AS (
+        |  SELECT direction, n,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS uyy,
+        |    CAST(n AS DOUBLE) * suu - su * su AS uuu,
+        |    CAST(n AS DOUBLE) * svv - sv * sv AS uvv,
+        |    CAST(n AS DOUBLE) * suy - su * sy AS uuy,
+        |    CAST(n AS DOUBLE) * svy - sv * sy AS uvy,
+        |    CAST(n AS DOUBLE) * suv - su * sv AS uuv
+        |  FROM m),
+        |cl AS (
+        |  SELECT direction, n, uyy, uuu,
+        |    uuu * uvv - uuv * uuv AS det,
+        |    (uvv * uuy - uuv * uvy) / (uuu * uvv - uuv * uuv) AS b,
+        |    (uuu * uvy - uuv * uuy) / (uuu * uvv - uuv * uuv) AS c,
+        |    uuy, uvy
+        |  FROM uu)
+        |SELECT 'click~purchase' AS series, direction, n,
+        |  CASE WHEN n > 3 AND uuu > 0 AND det > 0 AND uyy > 0
+        |        AND uyy - b * uuy - c * uvy > 0 THEN
+        |    round(((uyy - uuy * uuy / uuu) - (uyy - b * uuy - c * uvy)) *
+        |      (CAST(n AS DOUBLE) - 3.0e0) /
+        |      (uyy - b * uuy - c * uvy), 6) END AS f_stat,
+        |  CASE WHEN n > 3 AND uuu > 0 AND det > 0 AND uyy > 0
+        |        AND uyy - b * uuy - c * uvy > 0 THEN
+        |    round(1.0e0 - (uyy - uuy * uuy / uuu) / uyy, 6)
+        |  END AS r2_restricted,
+        |  CASE WHEN n > 3 AND uuu > 0 AND det > 0 AND uyy > 0
+        |        AND uyy - b * uuy - c * uvy > 0 THEN
+        |    round(1.0e0 - (uyy - b * uuy - c * uvy) / uyy, 6)
+        |  END AS r2_unrestricted
+        |FROM cl ORDER BY direction""".stripMargin,
 
     // the shared daily CTE, micro-unit deviations from the 6-rounded
     // mean, 7 lag windows, exact integer lag products, 9-rounded terms

@@ -803,4 +803,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n.getDouble(3) > 0.1 && n.getDouble(3) < 0.9)
     assert(t.getDouble(3) > n.getDouble(3))
   }
+
+  test("grangerLag1: a genuine lead shows up in ONE direction only") {
+    import spark.implicits._
+    // x = deterministic LCG noise, y_t = x_{t−1} + small jitter: x's
+    // past predicts y almost perfectly (F explodes x→y, and the jitter
+    // keeps SSE_u off the exact-zero degeneracy guard); y's past says
+    // nothing extra about x
+    var seed = 98765L
+    def draw(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 1000L).toDouble / 100.0
+    }
+    val xs = (0 until 40).map(_ => draw())
+    val jit = (0 until 40).map(_ => (draw() - 5.0) / 50.0)
+    val rows = (1 until 40)
+      .map(t => ("s", t.toLong, xs(t), xs(t - 1) + jit(t)))
+      .toDF("k", "o", "x", "y")
+    val got = TimeSeries.grangerLag1(rows, "k", "o", "x", "y")
+      .orderBy("direction").collect()
+    assert(got.length == 2)
+    val fwd = got(0) // x->y
+    val back = got(1) // y->x
+    assert(fwd.getString(1) == "x->y" && back.getString(1) == "y->x")
+    assert(fwd.getDouble(3) > 100.0)
+    assert(fwd.getDouble(5) > 0.99) // unrestricted fit is near-perfect
+    assert(back.getDouble(3) < fwd.getDouble(3) / 10.0)
+    // constant y: degenerate moments null the verdict
+    val flat = (1 to 20).map(t => ("s", t.toLong, t.toDouble, 5.0))
+      .toDF("k", "o", "x", "y")
+    val f = TimeSeries.grangerLag1(flat, "k", "o", "x", "y")
+      .where(col("direction") === "x->y").head
+    assert(f.isNullAt(3))
+  }
 }
