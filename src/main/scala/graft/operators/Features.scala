@@ -187,12 +187,17 @@ object Features {
     * the IDENTICAL double literals (the EWMA weight-ladder rule). */
   val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
 
-  /** [[BenfordP]] as SQL double literals (shortest round-trip repr,
-    * e0-suffixed when bare). */
-  def benfordPLiterals: Seq[String] = BenfordP.map { d =>
+  /** A double as a DuckDB-typed SQL literal: shortest round-trip repr,
+    * e0-suffixed when bare (a bare decimal literal parses as DECIMAL —
+    * the r7 oracle gotcha). ONE definition for every oracle generator
+    * that embeds driver-computed constants. */
+  def sqlDoubleLiteral(d: Double): String = {
     val s = d.toString
     if (s.contains("E") || s.contains("e")) s else s + "e0"
   }
+
+  /** [[BenfordP]] as SQL double literals. */
+  def benfordPLiterals: Seq[String] = BenfordP.map(sqlDoubleLiteral)
 
   /**
    * P101 — Benford first-digit audit per group: the fraud/corruption
@@ -2419,9 +2424,14 @@ object Features {
         round(col("__r2").cast("double") * col("__r2").cast("double") /
           lit(4.0) / col("__n").cast("double"), 6)
           .cast("decimal(28,6)").as("__term"))
+    // tie cubes through DECIMAL(19,0) products (integer scale-0 decimals
+    // never hit the fractional-scale cliff; a Long t³ overflows at
+    // t ≈ 2.1M tied values — the o36 class)
+    def d19k(c: Column) = c.cast("decimal(19,0)")
     val ties = base.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
-      .agg(coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")),
-        lit(0L)).as("__tie3"))
+      .agg(coalesce(sum(d19k(col("__t")) * d19k(col("__t")) *
+          d19k(col("__t")) - d19k(col("__t"))),
+        lit(0L).cast("decimal(38,0)")).as("__tie3"))
     val closing = perGroup.agg(sum(col("__n")).as("n_total"),
       count(lit(1)).as("k_groups"), sum(col("__term")).as("__s"))
       .crossJoin(broadcast(ties)) // 1-row scalar side
@@ -2593,19 +2603,20 @@ object Features {
    */
   def demingFit(df: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {
+    // products at (18,6)×(18,6) = (37,12): EXACT in Spark. A (19,6)
+    // product types as (38,11) here (precision 39 caps, scale drops)
+    // while DuckDB keeps (38,12) — the r10 decimal-product cliff
     val dx = col(xCol).cast("decimal(18,6)")
     val dy = col(yCol).cast("decimal(18,6)")
-    val dx9 = col(xCol).cast("decimal(19,6)")
-    val dy9 = col(yCol).cast("decimal(19,6)")
     val sums = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(dx).cast("double").as("__sx"),
         sum(dy).cast("double").as("__sy"),
-        sum(dx9 * dy9).cast("double").as("__sxy"),
-        sum(dx9 * dx9).cast("double").as("__sxx"),
-        sum(dy9 * dy9).cast("double").as("__syy"))
+        sum(dx * dy).cast("double").as("__sxy"),
+        sum(dx * dx).cast("double").as("__sxx"),
+        sum(dy * dy).cast("double").as("__syy"))
     val nd = col("n").cast("double")
     val uxx = nd * col("__sxx") - col("__sx") * col("__sx")
     val uyy = nd * col("__syy") - col("__sy") * col("__sy")

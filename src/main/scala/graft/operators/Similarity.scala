@@ -690,9 +690,12 @@ object Similarity {
       .select(col("__pos"),
         (round(col("__u"), 6).cast("decimal(9,6)") * lit(1000000L))
           .cast("long").as("__m"))
-    val perDim = ex.groupBy(col("__pos"))
-      .agg(sum(col("__m")).as("__s"), sum(col("__m") * col("__m")).as("__q"))
     def d19(c: Column) = c.cast("decimal(19,0)")
+    // element squares through DECIMAL(19,0) products: the Long sum of
+    // m² (≤ 10¹² each) overflows past ~9M corpus rows per dimension
+    val perDim = ex.groupBy(col("__pos"))
+      .agg(sum(col("__m")).as("__s"),
+        sum(d19(col("__m")) * d19(col("__m"))).as("__q"))
     val closing = perDim.agg(count(lit(1)).as("dim"),
         sum(d19(col("__s")) * d19(col("__s"))).as("__ss"),
         sum(col("__q")).as("__qq"))

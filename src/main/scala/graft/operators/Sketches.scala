@@ -275,8 +275,9 @@ object Sketches {
   private def hllTwoSetFrame(items: DataFrame, itemCol: String,
       tagCol: String, tagA: String, tagB: String, p: Int,
       salt: String): DataFrame = {
-    require(p >= 4 && p <= 16, s"hllUnion: p must be in [4, 16], got $p")
-    require(tagA != tagB, "hllUnion: tags must differ")
+    require(p >= 4 && p <= 16,
+      s"hllUnion/hllIntersect: p must be in [4, 16], got $p")
+    require(tagA != tagB, "hllUnion/hllIntersect: tags must differ")
     val t = col(tagCol).cast("string")
     val base = items
       .where(col(itemCol).isNotNull && (t === tagA || t === tagB))

@@ -1472,12 +1472,16 @@ object TimeSeries {
         ((col("__v") - col("__mean")) * lit(1000000L)).cast("long"))
     for (k <- 1 to maxLag)
       d = d.withColumn(s"__l$k", lag(col("__dm"), k).over(w))
+    // micro-unit squares through DECIMAL(19,0) products: exact, and no
+    // ANSI Long-overflow cliff once |v − mean| passes ~554 (the
+    // o31/gr6/o36 widening rule — internal columns, close to double)
+    def d19(c: Column) = c.cast("decimal(19,0)")
     val aggExprs =
       Seq(count(lit(1)).as("n"),
-        sum(col("__dm") * col("__dm")).as("__den")) ++
+        sum(d19(col("__dm")) * d19(col("__dm"))).as("__den")) ++
         (1 to maxLag).map(k =>
-          sum(when(col(s"__l$k").isNotNull, col("__dm") * col(s"__l$k"))
-            .otherwise(0L)).as(s"__n$k"))
+          sum(d19(col("__dm")) * d19(coalesce(col(s"__l$k"), lit(0L))))
+            .as(s"__n$k"))
     val sums = d.groupBy(col("__k")).agg(aggExprs.head, aggExprs.tail: _*)
     val nd = col("n").cast("double")
     val rho = (1 to maxLag).map { k =>
@@ -1532,19 +1536,21 @@ object TimeSeries {
         .withColumn("__u", lag(col("__y"), 1).over(w)) // y's own past
         .withColumn("__v", lag(col("__x"), 1).over(w)) // the cause's past
         .where(col("__u").isNotNull && col("__v").isNotNull)
+      // products at (18,6)² = (37,12): exact in Spark; a (19,6)² product
+      // caps to (38,11) and silently drops the 12th fractional digit
+      // the DuckDB oracle keeps (the r10 decimal-product cliff)
       def d18(c: String) = col(c).cast("decimal(18,6)")
-      def d19(c: String) = col(c).cast("decimal(19,6)")
       val m = lagged.groupBy(col("__k"))
         .agg(count(lit(1)).as("n"),
           sum(d18("__y")).cast("double").as("__sy"),
           sum(d18("__u")).cast("double").as("__su"),
           sum(d18("__v")).cast("double").as("__sv"),
-          sum(d19("__y") * d19("__y")).cast("double").as("__syy"),
-          sum(d19("__u") * d19("__u")).cast("double").as("__suu"),
-          sum(d19("__v") * d19("__v")).cast("double").as("__svv"),
-          sum(d19("__u") * d19("__y")).cast("double").as("__suy"),
-          sum(d19("__v") * d19("__y")).cast("double").as("__svy"),
-          sum(d19("__u") * d19("__v")).cast("double").as("__suv"))
+          sum(d18("__y") * d18("__y")).cast("double").as("__syy"),
+          sum(d18("__u") * d18("__u")).cast("double").as("__suu"),
+          sum(d18("__v") * d18("__v")).cast("double").as("__svv"),
+          sum(d18("__u") * d18("__y")).cast("double").as("__suy"),
+          sum(d18("__v") * d18("__y")).cast("double").as("__svy"),
+          sum(d18("__u") * d18("__v")).cast("double").as("__suv"))
       val nd = col("n").cast("double")
       val uyy = nd * col("__syy") - col("__sy") * col("__sy")
       val uuu = nd * col("__suu") - col("__su") * col("__su")
@@ -1607,9 +1613,12 @@ object TimeSeries {
       .where(col("__cnt") === col("__m"))
       .select(col("__k"), col("__m"),
         (col("__bm") * lit(1000000L)).cast("long").as("__mm"))
+    // block-mean squares through DECIMAL(19,0) products (values ×10⁶ of
+    // RAW magnitudes, not deviations — the Long cliff opens at ~554)
+    def d19(c: Column) = c.cast("decimal(19,0)")
     val vars = blocks.groupBy(col("__k"), col("__m"))
       .agg(count(lit(1)).as("__nb"), sum(col("__mm")).as("__s"),
-        sum(col("__mm") * col("__mm")).as("__s2"))
+        sum(d19(col("__mm")) * d19(col("__mm"))).as("__s2"))
       .where(col("__nb") > 1)
     val nb = col("__nb").cast("double")
     // sample variance in micro² units, then back to value units
@@ -1666,8 +1675,10 @@ object TimeSeries {
     val s = maxima.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_blocks"),
         sum(col("__m").cast("decimal(18,6)")).cast("double").as("__sx"),
-        sum(col("__m").cast("decimal(19,6)") *
-          col("__m").cast("decimal(19,6)")).cast("double").as("__sxx"))
+        // (18,6)² = (37,12) exact in Spark — (19,6)² would cap at
+        // (38,11) and shear a digit the DuckDB oracle keeps
+        sum(col("__m").cast("decimal(18,6)") *
+          col("__m").cast("decimal(18,6)")).cast("double").as("__sxx"))
     val nd = col("n_blocks").cast("double")
     val vard = (nd * col("__sxx") - col("__sx") * col("__sx")) /
       (nd * (nd - lit(1.0)))

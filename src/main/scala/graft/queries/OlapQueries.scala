@@ -36,9 +36,10 @@ object OlapQueries {
   private[queries] def dailyMeans(s: SparkSession, dir: String): DataFrame =
     dailyStats(s, dir).drop("n")
 
-  /** Day-paired (x, y) points for two event-type daily-mean series —
-    * shared by o82/o85 (one definition beside the oracles' identical
-    * pair CTE). */
+  /** Day-paired (pair, day, x, y) points for two event-type daily-mean
+    * series — shared by o82/o85/o86 (one definition beside the oracles'
+    * identical pair CTE; moment consumers ignore the day column, the
+    * lag consumer orders on it). */
   private def dailyPairFrame(s: SparkSession, dir: String, ta: String,
       tb: String): DataFrame = {
     val d = dailyMeans(s, dir)
@@ -47,7 +48,7 @@ object OlapQueries {
     val b = d.where(col("event_type") === tb)
       .select(col("day").as("__day2"), col("v").as("y"))
     a.join(b.hint("shuffle_hash"), col("day") === col("__day2"))
-      .select(lit(s"$ta~$tb").as("pair"), col("x"), col("y"))
+      .select(lit(s"$ta~$tb").as("pair"), col("day"), col("x"), col("y"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -810,16 +811,10 @@ object OlapQueries {
     // daily means, both directions: does x's past improve y's forecast
     // beyond y's own past (x = click, y = purchase)
     "o86_granger" -> ((s, dir) => {
-      val d = dailyMeans(s, dir)
-      val a = d.where(col("event_type") === "click")
-        .select(col("day"), col("v").as("x"))
-      val b = d.where(col("event_type") === "purchase")
-        .select(col("day").as("__day2"), col("v").as("y"))
-      val wide = a.join(b.hint("shuffle_hash"), col("day") === col("__day2"))
-        .select(lit("click~purchase").as("series"), col("day"),
-          col("x"), col("y"))
-      graft.operators.TimeSeries.grangerLag1(wide, "series", "day",
-          "x", "y")
+      graft.operators.TimeSeries.grangerLag1(
+          dailyPairFrame(s, dir, "click", "purchase")
+            .withColumnRenamed("pair", "series"),
+          "series", "day", "x", "y")
         .orderBy("direction")
     }),
 
@@ -3402,10 +3397,7 @@ object OlapQueries {
     "o79_sprt" -> {
       val (la, lb, up6, lo6) =
         graft.operators.Features.sprtConstants(0.17, 0.20, 0.05, 0.05)
-      def l(d: Double) = {
-        val s = d.toString
-        if (s.contains("E") || s.contains("e")) s else s + "e0"
-      }
+      def l(d: Double) = graft.operators.Features.sqlDoubleLiteral(d)
       s"""WITH d AS (
          |  SELECT (user_id % 2 = 1) AS arm, CAST(ts AS DATE) AS period,
          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -3437,10 +3429,7 @@ object OlapQueries {
     // column with the operator's own driver literals
     "o80_evt" -> {
       val (c1, g, c2) = graft.operators.TimeSeries.gumbelConstants
-      def l(d: Double) = {
-        val s = d.toString
-        if (s.contains("E") || s.contains("e")) s else s + "e0"
-      }
+      def l(d: Double) = graft.operators.Features.sqlDoubleLiteral(d)
       s"""WITH m AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
          |    round(MAX(CAST(value AS DOUBLE)), 6) AS mx
@@ -3902,10 +3891,7 @@ object OlapQueries {
     // ln-m literals, 6-rounded runtime ln (the o33 firewall), the o11
     // slope replay, H = 1 + slope/2 on the ROUNDED slope
     "o84_hurst" -> {
-      def l(d: Double) = {
-        val s = d.toString
-        if (s.contains("E") || s.contains("e")) s else s + "e0"
-      }
+      def l(d: Double) = graft.operators.Features.sqlDoubleLiteral(d)
       val scales = graft.operators.TimeSeries.HurstScales
       val xCase = scales.map(m =>
         s"WHEN $m THEN ${l(math.log(m.toDouble))}").mkString(" ")
