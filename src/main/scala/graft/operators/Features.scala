@@ -2632,6 +2632,46 @@ object Features {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /**
+   * P298 — odds ratio with Woolf confidence interval: for a 2×2
+   * exposure/outcome table, OR = (a·d)/(b·c) and the 95% CI from
+   * ln OR ± 1.96·√(1/a + 1/b + 1/c + 1/d) — the effect-size reading
+   * beside P95's χ² verdict (χ² says "associated", OR says "how
+   * strongly, in which direction"). Emits ONE row (a, b, c, d,
+   * odds_ratio, ci_low, ci_high); a zero cell nulls everything (the
+   * classical estimator is undefined — callers wanting the Haldane
+   * +0.5 correction can add it to the counts).
+   *
+   * Shape: one fused conditional agg. Cross-engine: cells exact
+   * BIGINTs; OR goes through exact DECIMAL(19,0) cell products and
+   * one division; the CI is a fixed double sequence through the
+   * 6-rounded ln (the o33/q11 firewall) with one IEEE sqrt/exp each,
+   * rounded at 6.
+   */
+  def oddsRatio(df: DataFrame, exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    val agg = df.where(e.isNotNull && o.isNotNull)
+      .agg(sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val orRatio = (d19(col("a")) * d19(col("d"))).cast("double") /
+      (d19(col("b")) * d19(col("c"))).cast("double")
+    val lnOr = round(log(orRatio), 6)
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      when(ok, round(orRatio, 6)).as("odds_ratio"),
+      when(ok, round(exp(lnOr - lit(1.96) * se), 6)).as("ci_low"),
+      when(ok, round(exp(lnOr + lit(1.96) * se), 6)).as("ci_high"))
+  }
+
   /** Round a double at 6 decimals on the DRIVER (HALF_UP — matching SQL
     * round) for embedding as a boundary literal on both engine sides. */
   private def round6Driver(x: Double): Double =

@@ -807,6 +807,22 @@ object OlapQueries {
         "user_id", "event_type", tagA = "click", tagB = "purchase", p = 6)
     }),
 
+    // P298 — odds ratio heavy-clicker → heavy-buyer with the Woolf 95%
+    // CI: the effect size beside o13's association verdict; the ≥ 14
+    // bar is the per-(user, type) count median (the o76 saturation
+    // lesson)
+    "o87_odds" -> ((s, dir) => {
+      val perUser = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          >= 14).as("heavy_click"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 14).as("heavy_buy"))
+      graft.operators.Features.oddsRatio(perUser, "heavy_click",
+        "heavy_buy")
+    }),
+
     // P297 — Granger causality (lag 1) between the click and purchase
     // daily means, both directions: does x's past improve y's forecast
     // beyond y's own past (x = click, y = purchase)
@@ -3756,6 +3772,52 @@ object OlapQueries {
         |  u.est AS est_union, ex.n_a_exact, ex.n_b_exact, ex.n_union_exact
         |FROM est a, est bb, est u, ex
         |WHERE a.t = 'a' AND bb.t = 'b' AND u.t = 'u'""".stripMargin,
+
+    // one fused conditional agg; exact DECIMAL(19,0) cell products, the
+    // 6-rounded ln firewall, one IEEE sqrt/exp per bound
+    "o87_odds" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14)
+        |      AS e,
+        |    (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14) AS o
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM u)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(CAST(CAST(a AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))
+        |        AS DOUBLE) /
+        |      CAST(CAST(b AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+        |        AS DOUBLE), 6) END AS odds_ratio,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(exp(round(ln(
+        |      CAST(CAST(a AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))
+        |        AS DOUBLE) /
+        |      CAST(CAST(b AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+        |        AS DOUBLE)), 6) -
+        |      1.96e0 * sqrt(1.0e0 / CAST(a AS DOUBLE) +
+        |        1.0e0 / CAST(b AS DOUBLE) + 1.0e0 / CAST(c AS DOUBLE) +
+        |        1.0e0 / CAST(d AS DOUBLE))), 6) END AS ci_low,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(exp(round(ln(
+        |      CAST(CAST(a AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))
+        |        AS DOUBLE) /
+        |      CAST(CAST(b AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+        |        AS DOUBLE)), 6) +
+        |      1.96e0 * sqrt(1.0e0 / CAST(a AS DOUBLE) +
+        |        1.0e0 / CAST(b AS DOUBLE) + 1.0e0 / CAST(c AS DOUBLE) +
+        |        1.0e0 / CAST(d AS DOUBLE))), 6) END AS ci_high
+        |FROM g""".stripMargin,
 
     // two direction branches over one day-paired frame, the o11-style
     // nine-moment agg, closed-form two-regressor SSEs, one F closing

@@ -1159,4 +1159,27 @@ class FeaturesSpec extends SparkSpec {
     val flat = Seq(("k", 1.0, 1.0), ("k", 1.0, 2.0)).toDF("k", "x", "y")
     assert(Features.demingFit(flat, "k", "x", "y").head.isNullAt(2))
   }
+
+  test("oddsRatio: hand OR and Woolf CI; zero cells null out") {
+    import spark.implicits._
+    // a=20 b=10 c=10 d=20 → OR = 400/100 = 4
+    val df = (Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(20)((false, false)))
+      .toDF("e", "o")
+    val r = Features.oddsRatio(df, "e", "o").head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 10L &&
+      r.getLong(2) == 10L && r.getLong(3) == 20L)
+    assert(r.getDouble(4) == 4.0)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val se = math.sqrt(1.0 / 20 + 1.0 / 10 + 1.0 / 10 + 1.0 / 20)
+    val ln4 = r6(math.log(4.0))
+    assert(r.getDouble(5) == r6(math.exp(ln4 - 1.96 * se)))
+    assert(r.getDouble(6) == r6(math.exp(ln4 + 1.96 * se)))
+    assert(r.getDouble(5) > 1.0) // the association is CI-significant
+    // a zero cell: classical estimator undefined
+    val zero = df.where(!(col("e") && col("o")))
+    val z = Features.oddsRatio(zero, "e", "o").head
+    assert(z.getLong(0) == 0L && z.isNullAt(4) && z.isNullAt(5))
+  }
 }
