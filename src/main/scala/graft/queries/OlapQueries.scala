@@ -826,12 +826,16 @@ object OlapQueries {
     // P297 — Granger causality (lag 1) between the click and purchase
     // daily means, both directions: does x's past improve y's forecast
     // beyond y's own past (x = click, y = purchase)
+    // TWO series pairs so the lag window's partition key is a real
+    // column (a single literal key constant-folds into an unpartitioned
+    // window — caught by the PlanFactsSpec gate)
     "o86_granger" -> ((s, dir) => {
       graft.operators.TimeSeries.grangerLag1(
           dailyPairFrame(s, dir, "click", "purchase")
+            .unionByName(dailyPairFrame(s, dir, "view", "signup"))
             .withColumnRenamed("pair", "series"),
           "series", "day", "x", "y")
-        .orderBy("direction")
+        .orderBy("series", "direction")
     }),
 
     // P291 — Ljung–Box whiteness test at h=7 on the per-type daily
@@ -3828,22 +3832,26 @@ object OlapQueries {
         |      CAST(COUNT(*) AS DOUBLE), 6) AS v
         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |wide AS (
-        |  SELECT a.day, a.v AS x, b.v AS y
+        |  SELECT 'click~purchase' AS series, a.day, a.v AS x, b.v AS y
         |  FROM daily a JOIN daily b ON b.day = a.day
-        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'view~signup' AS series, a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'view' AND b.event_type = 'signup'),
         |d1 AS (
-        |  SELECT 'x->y' AS direction, y AS yy, lag(y) OVER w AS u,
+        |  SELECT series, 'x->y' AS direction, y AS yy, lag(y) OVER w AS u,
         |    lag(x) OVER w AS v
-        |  FROM wide WINDOW w AS (ORDER BY day)),
+        |  FROM wide WINDOW w AS (PARTITION BY series ORDER BY day)),
         |d2 AS (
-        |  SELECT 'y->x' AS direction, x AS yy, lag(x) OVER w AS u,
+        |  SELECT series, 'y->x' AS direction, x AS yy, lag(x) OVER w AS u,
         |    lag(y) OVER w AS v
-        |  FROM wide WINDOW w AS (ORDER BY day)),
+        |  FROM wide WINDOW w AS (PARTITION BY series ORDER BY day)),
         |flt AS (
         |  SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
         |  WHERE u IS NOT NULL AND v IS NOT NULL),
         |m AS (
-        |  SELECT direction, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SELECT series, direction, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(yy AS DECIMAL(18,6))) AS DOUBLE) AS sy,
         |    CAST(SUM(CAST(u AS DECIMAL(18,6))) AS DOUBLE) AS su,
         |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
@@ -3859,9 +3867,9 @@ object OlapQueries {
         |             CAST(yy AS DECIMAL(19,6))) AS DOUBLE) AS svy,
         |    CAST(SUM(CAST(u AS DECIMAL(19,6)) *
         |             CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS suv
-        |  FROM flt GROUP BY 1),
+        |  FROM flt GROUP BY 1, 2),
         |uu AS (
-        |  SELECT direction, n,
+        |  SELECT series, direction, n,
         |    CAST(n AS DOUBLE) * syy - sy * sy AS uyy,
         |    CAST(n AS DOUBLE) * suu - su * su AS uuu,
         |    CAST(n AS DOUBLE) * svv - sv * sv AS uvv,
@@ -3870,13 +3878,13 @@ object OlapQueries {
         |    CAST(n AS DOUBLE) * suv - su * sv AS uuv
         |  FROM m),
         |cl AS (
-        |  SELECT direction, n, uyy, uuu,
+        |  SELECT series, direction, n, uyy, uuu,
         |    uuu * uvv - uuv * uuv AS det,
         |    (uvv * uuy - uuv * uvy) / (uuu * uvv - uuv * uuv) AS b,
         |    (uuu * uvy - uuv * uuy) / (uuu * uvv - uuv * uuv) AS c,
         |    uuy, uvy
         |  FROM uu)
-        |SELECT 'click~purchase' AS series, direction, n,
+        |SELECT series, direction, n,
         |  CASE WHEN n > 3 AND uuu > 0 AND det > 0 AND uyy > 0
         |        AND uyy - b * uuy - c * uvy > 0 THEN
         |    round(((uyy - uuy * uuy / uuu) - (uyy - b * uuy - c * uvy)) *
@@ -3890,7 +3898,7 @@ object OlapQueries {
         |        AND uyy - b * uuy - c * uvy > 0 THEN
         |    round(1.0e0 - (uyy - b * uuy - c * uvy) / uyy, 6)
         |  END AS r2_unrestricted
-        |FROM cl ORDER BY direction""".stripMargin,
+        |FROM cl ORDER BY series, direction""".stripMargin,
 
     // the shared daily CTE, micro-unit deviations from the 6-rounded
     // mean, 7 lag windows, exact integer lag products, 9-rounded terms
