@@ -2736,4 +2736,209 @@ object Features {
       .withColumn("crossed_lower", col("llr") <= lit(lo6))
       .drop("__t")
   }
+
+  /**
+   * P299 — Mantel–Haenszel pooled odds ratio + Cochran–MH statistic
+   * across strata: the confounder-adjusted 2×2 analysis (P298's crude OR
+   * can reverse under Simpson's paradox — P160's `o28_did` cousin for
+   * binary outcomes). Per stratum i with cells (aᵢ, bᵢ, cᵢ, dᵢ) and
+   * nᵢ = aᵢ+bᵢ+cᵢ+dᵢ: OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ), and the CMH
+   * χ²(1) = (Σ(aᵢ − Eᵢ))² / ΣVᵢ with Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ and
+   * Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ)/(nᵢ²(nᵢ−1)). Emits ONE row
+   * (k_strata, n, mh_or, cmh); a degenerate table (ΣS = 0 / ΣV = 0)
+   * nulls the affected statistic.
+   *
+   * Shape: one (stratum)-keyed fused conditional agg, then one scalar
+   * agg — two map-side-combinable passes, no joins. Cross-engine: cells
+   * are exact BIGINTs; the per-stratum ratio terms are fixed double
+   * sequences on exact-integer-valued doubles, rounded at 9 and
+   * DECIMAL(28,9)-summed (a raw double Σ is partition-order-dependent);
+   * final quotients rounded at 6.
+   */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    val cells = df
+      .where(col(stratumCol).isNotNull && e.isNotNull && o.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+    def dbl(c: Column) = c.cast("double")
+    val n = col("a") + col("b") + col("c") + col("d")
+    val nd = dbl(n)
+    def term9(x: Column) = round(x, 9).cast("decimal(28,9)")
+    val ex = dbl(col("a") + col("b")) * dbl(col("a") + col("c")) / nd
+    val vr = dbl(col("a") + col("b")) * dbl(col("c") + col("d")) *
+      dbl(col("a") + col("c")) * dbl(col("b") + col("d")) /
+      (nd * nd * (nd - lit(1.0)))
+    val terms = cells.select(
+      n.as("__n"),
+      term9(dbl(col("a")) * dbl(col("d")) / nd).as("__r"),
+      term9(dbl(col("b")) * dbl(col("c")) / nd).as("__s"),
+      // a single-row stratum has V undefined (n−1 = 0): it carries no
+      // information, contribute 0 like the classical treatment
+      when(n > 1, term9(dbl(col("a")) - round(ex, 9)))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)")).as("__ae"),
+      when(n > 1, term9(vr))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)")).as("__v"))
+    val tot = terms.agg(count(lit(1)).as("k_strata"), sum(col("__n")).as("n"),
+      sum(col("__r")).cast("double").as("__sr"),
+      sum(col("__s")).cast("double").as("__ss"),
+      sum(col("__ae")).cast("double").as("__sae"),
+      sum(col("__v")).cast("double").as("__sv"))
+    tot.select(col("k_strata"), col("n"),
+      when(col("__ss") > 0, round(col("__sr") / col("__ss"), 6))
+        .as("mh_or"),
+      when(col("__sv") > 0,
+        round(col("__sae") * col("__sae") / col("__sv"), 6)).as("cmh"))
+  }
+
+  /**
+   * P300 — risk ratio with Katz confidence interval + Yule's Q: the
+   * third 2×2 effect-size reading beside P95's χ² (associated?) and
+   * P298's odds ratio (symmetric strength). RR = (a/(a+b))/(c/(c+d))
+   * answers the PROSPECTIVE question — "how much likelier is the outcome
+   * under exposure" — which the OR overstates whenever the outcome is
+   * common; Yule's Q = (ad−bc)/(ad+bc) is the [−1, 1]-normalized
+   * association. Katz 95% CI: exp(ln RR ± 1.96·√(1/a − 1/(a+b) + 1/c −
+   * 1/(c+d))). Emits ONE row (a, b, c, d, risk_ratio, ci_low, ci_high,
+   * yule_q); zero margins null the affected statistics.
+   *
+   * Shape: one fused conditional agg. Cross-engine: cells exact BIGINTs;
+   * RR is a fixed double sequence; the CI goes through the 6-rounded ln
+   * (the o33/q11 firewall) with one IEEE sqrt/exp per bound; Yule's Q
+   * through exact DECIMAL(19,0) products and exact DECIMAL(38,0)
+   * add/subtract, one division, rounded at 6.
+   */
+  def riskRatio(df: DataFrame, exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    val agg = df.where(e.isNotNull && o.isNotNull)
+      .agg(sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+    def dbl(c: Column) = c.cast("double")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val rr = (dbl(col("a")) / dbl(col("a") + col("b"))) /
+      (dbl(col("c")) / dbl(col("c") + col("d")))
+    val okRr = col("a") > 0 && col("c") > 0
+    val lnRr = round(log(rr), 6)
+    val se = sqrt(lit(1.0) / dbl(col("a")) - lit(1.0) / dbl(col("a") + col("b")) +
+      lit(1.0) / dbl(col("c")) - lit(1.0) / dbl(col("c") + col("d")))
+    val ad = d19(col("a")) * d19(col("d"))
+    val bc = d19(col("b")) * d19(col("c"))
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      when(okRr, round(rr, 6)).as("risk_ratio"),
+      when(okRr, round(exp(lnRr - lit(1.96) * se), 6)).as("ci_low"),
+      when(okRr, round(exp(lnRr + lit(1.96) * se), 6)).as("ci_high"),
+      when((ad + bc) > 0,
+        round((ad - bc).cast("double") / (ad + bc).cast("double"), 6))
+        .as("yule_q"))
+  }
+
+  /**
+   * P301 — Lin's concordance correlation coefficient per key: how far
+   * the (x, y) cloud sits from the IDENTITY line y = x — precision
+   * (Pearson r) × accuracy (the bias correction C_b). Pearson alone
+   * rewards any linear relation; CCC only rewards agreement, which is
+   * the question for replicated measurements and metric-vs-metric
+   * calibration (the P289 Deming fit answers "what line", CCC answers
+   * "how close to THE line"). With population moments: CCC =
+   * 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²) = 2·U_xy / (U_xx + U_yy +
+   * (S_x − S_y)²) after scaling by n². Emits per key: n, r, ccc,
+   * c_b = ccc / r; degenerate clouds (both variances zero) null out.
+   *
+   * Shape: the olsFit single keyed agg. Cross-engine: moments through
+   * exact DECIMAL(18,6)² = (37,12) products (NEVER (19,6)² — the r10
+   * scale cliff), then one fixed double closing sequence with one IEEE
+   * sqrt, rounded at 6.
+   */
+  def linCCC(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dx = col(xCol).cast("decimal(18,6)")
+    val dy = col(yCol).cast("decimal(18,6)")
+    val sums = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("__sx"),
+        sum(dy).cast("double").as("__sy"),
+        sum(dx * dy).cast("double").as("__sxy"),
+        sum(dx * dx).cast("double").as("__sxx"),
+        sum(dy * dy).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val uxy = nd * col("__sxy") - col("__sx") * col("__sy")
+    val uxx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val uyy = nd * col("__syy") - col("__sy") * col("__sy")
+    val gap = (col("__sx") - col("__sy")) * (col("__sx") - col("__sy"))
+    val den = uxx + uyy + gap
+    val r = uxy / sqrt(uxx * uyy)
+    val ccc = lit(2.0) * uxy / den
+    sums
+      .withColumn("r", when(uxx > 0 && uyy > 0, round(r, 6)))
+      .withColumn("ccc", when(den > 0, round(ccc, 6)))
+      .withColumn("c_b",
+        when(uxx > 0 && uyy > 0 && uxy =!= 0.0, round(ccc / r, 6)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /**
+   * P302 — Bland–Altman agreement analysis per key: mean difference
+   * (bias), SD of differences, the 95% limits of agreement
+   * d̄ ± 1.96·SD, and the share of points inside them — the method-
+   * comparison readout that correlation HIDES (two methods can correlate
+   * at 0.99 while one reads 2× the other; the limits of agreement say
+   * whether they are interchangeable). Sample (n−1) SD. Emits per key:
+   * n, mean_diff, sd_diff, loa_low, loa_high, within_share; n < 2 or a
+   * constant difference nulls the SD-derived columns (within_share then
+   * reads the degenerate all-inside 1.0 only when the limits exist).
+   *
+   * Shape: one keyed moment agg + one broadcast join-back for the
+   * within-limits count (the limits are key-scalar). Cross-engine:
+   * differences are exact DECIMAL(18,6) (differences of 6-decimal
+   * values re-cast without rounding), products (37,12)-exact; the
+   * limits are fixed double sequences on exact sums — both engines
+   * compare each exact diff against bit-identical unrounded bounds, so
+   * the inclusive boundary test cannot flip; outputs rounded at 6.
+   */
+  def blandAltman(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val diff = (col(xCol).cast("decimal(18,6)") -
+      col(yCol).cast("decimal(18,6)")).cast("decimal(18,6)")
+    val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), diff.as("__d"))
+    val m = pts.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d")).cast("double").as("__sd1"),
+        sum(col("__d") * col("__d")).cast("double").as("__sd2"))
+    val nd = col("n").cast("double")
+    val mean = col("__sd1") / nd
+    val varS = (nd * col("__sd2") - col("__sd1") * col("__sd1")) /
+      (nd * (nd - lit(1.0)))
+    val sd = sqrt(varS)
+    val stats = m
+      .withColumn("__mean", mean)
+      .withColumn("__sd", when(col("n") > 1 && varS > 0, sd))
+      .withColumn("__lo", col("__mean") - lit(1.96) * col("__sd"))
+      .withColumn("__hi", col("__mean") + lit(1.96) * col("__sd"))
+    val within = pts.join(broadcast(stats), Seq("__k"))
+      .groupBy(col("__k"))
+      .agg(sum(when(col("__lo").isNotNull &&
+          col("__d").cast("double") >= col("__lo") &&
+          col("__d").cast("double") <= col("__hi"), 1L).otherwise(0L))
+        .as("__win"))
+    stats.join(broadcast(within), Seq("__k"))
+      .select(col("__k").as(keyCol), col("n"),
+        round(col("__mean"), 6).as("mean_diff"),
+        round(col("__sd"), 6).as("sd_diff"),
+        round(col("__lo"), 6).as("loa_low"),
+        round(col("__hi"), 6).as("loa_high"),
+        when(col("__sd").isNotNull,
+          round(col("__win").cast("double") / nd, 6)).as("within_share"))
+  }
 }

@@ -51,6 +51,18 @@ object OlapQueries {
       .select(lit(s"$ta~$tb").as("pair"), col("day"), col("x"), col("y"))
   }
 
+  /** Per-user heavy-click/heavy-buy booleans at the measured ≥14 bar
+    * (cells 5/5/3/2 at sf0.001, 31/40/38/41 at sf0.01 — non-vacuous,
+    * non-saturated) — the ONE 2×2 exposure frame o87/o89 share. */
+  private def heavyUserFrame(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.events(s, dir)
+      .where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        >= 14).as("heavy_click"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14).as("heavy_buy"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pivot order status × priority into wide counts
     "o1_pivot" -> ((s, dir) => {
@@ -812,15 +824,57 @@ object OlapQueries {
     // bar is the per-(user, type) count median (the o76 saturation
     // lesson)
     "o87_odds" -> ((s, dir) => {
-      val perUser = graft.Graft.events(s, dir)
-        .where(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          >= 14).as("heavy_click"),
-          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            >= 14).as("heavy_buy"))
-      graft.operators.Features.oddsRatio(perUser, "heavy_click",
-        "heavy_buy")
+      graft.operators.Features.oddsRatio(heavyUserFrame(s, dir),
+        "heavy_click", "heavy_buy")
+    }),
+
+    // P300 — risk ratio + Katz CI + Yule's Q over the SAME 2×2 as o87:
+    // the prospective effect size ("how much likelier does a heavy
+    // clicker buy heavily") that the odds ratio overstates when the
+    // outcome is common, plus the [−1,1]-normalized association
+    "o89_riskratio" -> ((s, dir) => {
+      graft.operators.Features.riskRatio(heavyUserFrame(s, dir),
+        "heavy_click", "heavy_buy")
+    }),
+
+    // P299 — Mantel–Haenszel pooled odds ratio + CMH χ² across market
+    // segments: is rich-balance → many-orders association confounded
+    // by segment (≥10-order bar measured: min cell 3 at sf0.001, 49 at
+    // sf0.01 — non-vacuous at both SFs)
+    "o88_mh" -> ((s, dir) => {
+      val cnt = table(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("__no"))
+      val cu = table(s, dir, "customer")
+        .join(cnt.hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("seg"),
+          (col("c_acctbal") > 5000.0).as("exposed"),
+          (coalesce(col("__no"), lit(0L)) >= 10).as("outcome"))
+      graft.operators.Features.mantelHaenszel(cu, "seg", "exposed",
+        "outcome")
+    }),
+
+    // P301 — Lin's concordance correlation over the o82 day-paired
+    // metric series: precision (r) × accuracy (C_b) against the y = x
+    // identity — "are these two metrics interchangeable", not merely
+    // "linearly related"
+    "o90_ccc" -> ((s, dir) => {
+      graft.operators.Features.linCCC(
+          dailyPairFrame(s, dir, "click", "view")
+            .unionByName(dailyPairFrame(s, dir, "signup", "purchase")),
+          "pair", "x", "y")
+        .orderBy("pair")
+    }),
+
+    // P302 — Bland–Altman limits of agreement over the same day-paired
+    // series: bias, 95% limits d̄ ± 1.96·SD, and the share of days
+    // inside them — the method-comparison readout correlation hides
+    "o91_bland_altman" -> ((s, dir) => {
+      graft.operators.Features.blandAltman(
+          dailyPairFrame(s, dir, "click", "view")
+            .unionByName(dailyPairFrame(s, dir, "signup", "purchase")),
+          "pair", "x", "y")
+        .orderBy("pair")
     }),
 
     // P297 — Granger causality (lag 1) between the click and purchase
@@ -3822,6 +3876,201 @@ object OlapQueries {
         |        1.0e0 / CAST(b AS DOUBLE) + 1.0e0 / CAST(c AS DOUBLE) +
         |        1.0e0 / CAST(d AS DOUBLE))), 6) END AS ci_high
         |FROM g""".stripMargin,
+
+    // same u/g CTEs as o87 (the shared heavyUserFrame); RR and Katz CI
+    // through the 6-rounded ln firewall; Yule's Q through exact decimal
+    // products (width-18 here so the add stays under DuckDB's 38 cap)
+    "o89_riskratio" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14)
+        |      AS e,
+        |    (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14) AS o
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM u)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a > 0 AND c > 0 THEN
+        |    round(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) /
+        |      (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)), 6)
+        |  END AS risk_ratio,
+        |  CASE WHEN a > 0 AND c > 0 THEN
+        |    round(exp(round(ln(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) /
+        |        (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))), 6) -
+        |      1.96e0 * sqrt(1.0e0 / CAST(a AS DOUBLE) -
+        |        1.0e0 / CAST(a + b AS DOUBLE) + 1.0e0 / CAST(c AS DOUBLE) -
+        |        1.0e0 / CAST(c + d AS DOUBLE))), 6) END AS ci_low,
+        |  CASE WHEN a > 0 AND c > 0 THEN
+        |    round(exp(round(ln(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) /
+        |        (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))), 6) +
+        |      1.96e0 * sqrt(1.0e0 / CAST(a AS DOUBLE) -
+        |        1.0e0 / CAST(a + b AS DOUBLE) + 1.0e0 / CAST(c AS DOUBLE) -
+        |        1.0e0 / CAST(c + d AS DOUBLE))), 6) END AS ci_high,
+        |  CASE WHEN CAST(a AS DECIMAL(18,0)) * CAST(d AS DECIMAL(18,0)) +
+        |      CAST(b AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) > 0 THEN
+        |    round(CAST(CAST(a AS DECIMAL(18,0)) * CAST(d AS DECIMAL(18,0)) -
+        |        CAST(b AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))
+        |        AS DOUBLE) /
+        |      CAST(CAST(a AS DECIMAL(18,0)) * CAST(d AS DECIMAL(18,0)) +
+        |        CAST(b AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))
+        |        AS DOUBLE), 6) END AS yule_q
+        |FROM g""".stripMargin,
+
+    // per-segment 2×2 cells, per-stratum ratio terms 9-rounded and
+    // DECIMAL(28,9)-summed (double Σ is partition-order-dependent),
+    // MH quotient and CMH χ² rounded at 6
+    "o88_mh" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, count(*) AS no FROM orders GROUP BY 1),
+        |cu AS (
+        |  SELECT c_mktsegment AS seg, c_acctbal > 5000.0e0 AS e,
+        |    coalesce(no, 0) >= 10 AS y
+        |  FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT seg,
+        |    CAST(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM cu GROUP BY 1),
+        |t AS (
+        |  SELECT a + b + c + d AS n,
+        |    CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) /
+        |      CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(28,9)) AS r,
+        |    CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) /
+        |      CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(28,9)) AS s,
+        |    CASE WHEN a + b + c + d > 1 THEN
+        |      CAST(round(CAST(a AS DOUBLE) -
+        |        round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) /
+        |          CAST(a + b + c + d AS DOUBLE), 9), 9) AS DECIMAL(28,9))
+        |    ELSE CAST(0 AS DECIMAL(28,9)) END AS ae,
+        |    CASE WHEN a + b + c + d > 1 THEN
+        |      CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+        |        CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) /
+        |        (CAST(a + b + c + d AS DOUBLE) *
+        |         CAST(a + b + c + d AS DOUBLE) *
+        |         (CAST(a + b + c + d AS DOUBLE) - 1.0e0)), 9)
+        |        AS DECIMAL(28,9))
+        |    ELSE CAST(0 AS DECIMAL(28,9)) END AS v
+        |  FROM cells)
+        |SELECT CAST(count(*) AS BIGINT) AS k_strata,
+        |  CAST(SUM(n) AS BIGINT) AS n,
+        |  CASE WHEN CAST(SUM(s) AS DOUBLE) > 0 THEN
+        |    round(CAST(SUM(r) AS DOUBLE) / CAST(SUM(s) AS DOUBLE), 6)
+        |  END AS mh_or,
+        |  CASE WHEN CAST(SUM(v) AS DOUBLE) > 0 THEN
+        |    round(CAST(SUM(ae) AS DOUBLE) * CAST(SUM(ae) AS DOUBLE) /
+        |      CAST(SUM(v) AS DOUBLE), 6) END AS cmh
+        |FROM t""".stripMargin,
+
+    // the o82 day-paired CTEs; CCC/r/C_b from the same five exact
+    // decimal moments, one fixed double closing sequence each
+    "o90_ccc" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT 'click~view' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  UNION ALL
+        |  SELECT 'signup~purchase' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'signup' AND b.event_type = 'purchase'),
+        |m AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
+        |             CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
+        |             CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6)) *
+        |             CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |  FROM wide GROUP BY 1),
+        |u AS (
+        |  SELECT pair, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS uxy,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS uxx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS uyy,
+        |    (sx - sy) * (sx - sy) AS gap
+        |  FROM m)
+        |SELECT pair, n,
+        |  CASE WHEN uxx > 0 AND uyy > 0 THEN
+        |    round(uxy / sqrt(uxx * uyy), 6) END AS r,
+        |  CASE WHEN uxx + uyy + gap > 0 THEN
+        |    round(2.0e0 * uxy / (uxx + uyy + gap), 6) END AS ccc,
+        |  CASE WHEN uxx > 0 AND uyy > 0 AND uxy <> 0 THEN
+        |    round(2.0e0 * uxy / (uxx + uyy + gap) /
+        |      (uxy / sqrt(uxx * uyy)), 6) END AS c_b
+        |FROM u ORDER BY pair""".stripMargin,
+
+    // same wide CTE; exact DECIMAL(18,6) differences, key-scalar limits
+    // joined back for the inclusive within-limits count
+    "o91_bland_altman" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT 'click~view' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  UNION ALL
+        |  SELECT 'signup~purchase' AS pair, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'signup' AND b.event_type = 'purchase'),
+        |pts AS (
+        |  SELECT pair, CAST(CAST(x AS DECIMAL(18,6)) -
+        |    CAST(y AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS d
+        |  FROM wide),
+        |m AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(d) AS DOUBLE) AS s1,
+        |    CAST(SUM(d * d) AS DOUBLE) AS s2
+        |  FROM pts GROUP BY 1),
+        |st AS (
+        |  SELECT pair, n, s1 / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN n > 1 AND
+        |        (CAST(n AS DOUBLE) * s2 - s1 * s1) /
+        |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)) > 0 THEN
+        |      sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+        |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+        |    END AS sd
+        |  FROM m),
+        |st2 AS (
+        |  SELECT pair, n, mean, sd,
+        |    mean - 1.96e0 * sd AS lo, mean + 1.96e0 * sd AS hi
+        |  FROM st),
+        |w AS (
+        |  SELECT p.pair,
+        |    CAST(SUM(CASE WHEN s.lo IS NOT NULL AND
+        |      CAST(p.d AS DOUBLE) >= s.lo AND CAST(p.d AS DOUBLE) <= s.hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS win
+        |  FROM pts p JOIN st2 s ON s.pair = p.pair GROUP BY 1)
+        |SELECT s.pair, s.n, round(s.mean, 6) AS mean_diff,
+        |  round(s.sd, 6) AS sd_diff, round(s.lo, 6) AS loa_low,
+        |  round(s.hi, 6) AS loa_high,
+        |  CASE WHEN s.sd IS NOT NULL THEN
+        |    round(CAST(w.win AS DOUBLE) / CAST(s.n AS DOUBLE), 6)
+        |  END AS within_share
+        |FROM st2 s JOIN w ON w.pair = s.pair
+        |ORDER BY s.pair""".stripMargin,
 
     // two direction branches over one day-paired frame, the o11-style
     // nine-moment agg, closed-form two-regressor SSEs, one F closing

@@ -1182,4 +1182,94 @@ class FeaturesSpec extends SparkSpec {
     val z = Features.oddsRatio(zero, "e", "o").head
     assert(z.getLong(0) == 0L && z.isNullAt(4) && z.isNullAt(5))
   }
+
+  private def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("mantelHaenszel: hand MH-OR and CMH over two strata; " +
+      "singleton stratum contributes nothing") {
+    import spark.implicits._
+    // stratum s1: (10,5,5,10), s2: (4,2,2,4) — both OR 4 → MH-OR 4
+    def rows(k: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((k, true, true)) ++ Seq.fill(b)((k, true, false)) ++
+        Seq.fill(c)((k, false, true)) ++ Seq.fill(d)((k, false, false))
+    val df = (rows("s1", 10, 5, 5, 10) ++ rows("s2", 4, 2, 2, 4))
+      .toDF("k", "e", "o")
+    val r = Features.mantelHaenszel(df, "k", "e", "o").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 42L)
+    assert(r.getDouble(2) == 4.0)
+    // CMH: s1 E=7.5 V=50625/26100, s2 E=3 V=1296/1584 (terms 9-rounded)
+    val v = r9(50625.0 / 26100.0) + r9(1296.0 / 1584.0)
+    assert(r.getDouble(3) == r6(3.5 * 3.5 / v))
+    // a singleton stratum has V undefined — contributes 0, not null
+    val one = (rows("s1", 10, 5, 5, 10) ++ Seq(("s2", true, true)))
+      .toDF("k", "e", "o")
+    val r1 = Features.mantelHaenszel(one, "k", "e", "o").head
+    assert(r1.getLong(0) == 2L &&
+      r1.getDouble(3) == r6(2.5 * 2.5 / r9(50625.0 / 26100.0)))
+  }
+
+  test("riskRatio: hand RR, Katz CI, Yule's Q; zero exposed-case nulls " +
+      "RR but not Q") {
+    import spark.implicits._
+    // a=20 b=30 c=10 d=40 → risks 0.4 vs 0.2 → RR 2
+    val df = (Seq.fill(20)((true, true)) ++ Seq.fill(30)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(40)((false, false)))
+      .toDF("e", "o")
+    val r = Features.riskRatio(df, "e", "o").head
+    assert(r.getDouble(4) == 2.0)
+    val se = math.sqrt(1.0 / 20 - 1.0 / 50 + 1.0 / 10 - 1.0 / 50)
+    val ln2 = r6(math.log(2.0))
+    assert(r.getDouble(5) == r6(math.exp(ln2 - 1.96 * se)))
+    assert(r.getDouble(6) == r6(math.exp(ln2 + 1.96 * se)))
+    // Yule's Q = (800-300)/(800+300)
+    assert(r.getDouble(7) == r6(500.0 / 1100.0))
+    // a = 0: RR/CI null, Q still defined (= -1: bc dominates fully)
+    val z = Features.riskRatio(df.where(!(col("e") && col("o"))), "e", "o")
+      .head
+    assert(z.isNullAt(4) && z.isNullAt(5) && z.getDouble(7) == -1.0)
+  }
+
+  test("linCCC: identity scores 1; a constant shift keeps r but drops " +
+      "ccc to the hand value") {
+    import spark.implicits._
+    val ident = (1 to 5).map(i => ("k", i.toDouble, i.toDouble))
+      .toDF("k", "x", "y")
+    val i = Features.linCCC(ident, "k", "x", "y").head
+    assert(i.getDouble(2) == 1.0 && i.getDouble(3) == 1.0 &&
+      i.getDouble(4) == 1.0)
+    // y = x + 1: uxy=uxx=uyy=50, gap=25 → ccc = 100/125 = 0.8, r = 1
+    val shift = (1 to 5).map(i => ("k", i.toDouble, i + 1.0))
+      .toDF("k", "x", "y")
+    val s = Features.linCCC(shift, "k", "x", "y").head
+    assert(s.getDouble(2) == 1.0 && s.getDouble(3) == 0.8 &&
+      s.getDouble(4) == 0.8)
+    // constant y: degenerate cloud nulls r and c_b
+    val flat = (1 to 4).map(i => ("k", i.toDouble, 7.0)).toDF("k", "x", "y")
+    val f = Features.linCCC(flat, "k", "x", "y").head
+    assert(f.isNullAt(2) && f.isNullAt(4))
+  }
+
+  test("blandAltman: hand limits and within-share; constant diffs null " +
+      "the SD family") {
+    import spark.implicits._
+    // 19 diffs of 0 + one of 10: mean .5, sample var 5 → sd 2.236068,
+    // limits [.5 ∓ 1.96·sd] exclude exactly the one 10 → within .95
+    val df = ((1 to 19).map(i => ("k", i.toDouble, i.toDouble)) ++
+      Seq(("k", 30.0, 20.0))).toDF("k", "x", "y")
+    val r = Features.blandAltman(df, "k", "x", "y").head
+    assert(r.getLong(1) == 20L && r.getDouble(2) == 0.5)
+    val sd = math.sqrt(5.0)
+    assert(r.getDouble(3) == r6(sd))
+    assert(r.getDouble(4) == r6(0.5 - 1.96 * sd) &&
+      r.getDouble(5) == r6(0.5 + 1.96 * sd))
+    assert(r.getDouble(6) == 0.95)
+    // constant difference: sd/limits/share all null, bias kept
+    val c = Features.blandAltman(
+      (1 to 3).map(i => ("k", i + 2.0, i.toDouble)).toDF("k", "x", "y"),
+      "k", "x", "y").head
+    assert(c.getDouble(2) == 2.0 && c.isNullAt(3) && c.isNullAt(6))
+  }
 }
