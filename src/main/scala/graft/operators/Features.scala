@@ -1826,6 +1826,44 @@ object Features {
           .otherwise(col("chi2") > 3.841))
   }
 
+  /** The shared ANOVA moment pass (P223/P305): ONE keyed agg then one
+    * k-row closing agg producing (k_groups, n, ssb, ssw, __ng2) — the
+    * exact decimal discipline documented on [[oneWayAnova]], extracted
+    * so the ICC cannot drift from the F test's sums of squares. __ng2
+    * (Σn_i² as exact decimal) is consumed only by [[iccOneWay]]'s
+    * unbalanced-design correction. */
+  private def anovaTotals(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+    val d18 = col("__v").cast("decimal(18,6)")
+    val d19 = col("__v").cast("decimal(19,6)")
+    val g = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__ng"), sum(d18).as("__sg"),
+        sum(d19 * d19).as("__qg"))
+      .withColumn("__tg",
+        round(col("__sg").cast("double") * col("__sg").cast("double") /
+          col("__ng").cast("double"), 6).cast("decimal(28,6)"))
+    val tot = g.agg(count(lit(1)).as("k_groups"),
+      sum(col("__ng")).as("n"),
+      sum(col("__sg")).as("__s"), sum(col("__qg")).as("__q"),
+      sum(col("__tg")).as("__b"),
+      sum(col("__ng").cast("decimal(19,0)") *
+        col("__ng").cast("decimal(19,0)")).as("__ng2"))
+    val nd = col("n").cast("double")
+    val sd = col("__s").cast("double")
+    tot
+      .withColumn("ssb",
+        round(col("__b").cast("double") - sd * sd / nd, 6))
+      // Q and B are both exact decimals: round their DIFFERENCE in
+      // decimal, never the double (the o46 half-boundary rule). The
+      // down-casts keep the subtraction inside BOTH engines' 38-digit
+      // decimal ceiling (DuckDB widens add/sub by one digit).
+      .withColumn("ssw",
+        round(col("__q").cast("decimal(30,12)") -
+          col("__b").cast("decimal(24,6)"), 6).cast("double"))
+  }
+
   /**
    * P223 — one-way ANOVA over `valueCol` by `keyCol`: between/within
    * sums of squares, F = (SSB/(k−1))/(SSW/(N−k)) and effect size
@@ -1848,33 +1886,9 @@ object Features {
    */
   def oneWayAnova(df: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {
-    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
-    val d18 = col("__v").cast("decimal(18,6)")
-    val d19 = col("__v").cast("decimal(19,6)")
-    val g = base.groupBy(col("__k"))
-      .agg(count(lit(1)).as("__ng"), sum(d18).as("__sg"),
-        sum(d19 * d19).as("__qg"))
-      .withColumn("__tg",
-        round(col("__sg").cast("double") * col("__sg").cast("double") /
-          col("__ng").cast("double"), 6).cast("decimal(28,6)"))
-    val tot = g.agg(count(lit(1)).as("k_groups"),
-      sum(col("__ng")).as("n"),
-      sum(col("__sg")).as("__s"), sum(col("__qg")).as("__q"),
-      sum(col("__tg")).as("__b"))
+    val out = anovaTotals(df, keyCol, valueCol)
     val nd = col("n").cast("double")
     val kd = col("k_groups").cast("double")
-    val sd = col("__s").cast("double")
-    val out = tot
-      .withColumn("ssb",
-        round(col("__b").cast("double") - sd * sd / nd, 6))
-      // Q and B are both exact decimals: round their DIFFERENCE in
-      // decimal, never the double (the o46 half-boundary rule). The
-      // down-casts keep the subtraction inside BOTH engines' 38-digit
-      // decimal ceiling (DuckDB widens add/sub by one digit).
-      .withColumn("ssw",
-        round(col("__q").cast("decimal(30,12)") -
-          col("__b").cast("decimal(24,6)"), 6).cast("double"))
     val sst = (col("ssb").cast("decimal(28,6)") +
       col("ssw").cast("decimal(28,6)")).cast("double")
     out
@@ -2135,26 +2149,13 @@ object Features {
         col("n_pairs"), col("hl_shift"), col("mean_shift"))
   }
 
-  /**
-   * P259 — Friedman test for k repeated measures: rank each block's
-   * cell means WITHIN the block, sum ranks per treatment, and
-   * χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) with k−1 degrees of freedom —
-   * the k-condition rank test whose windows are all BLOCK-LOCAL
-   * (k-sized), so unlike the pooled-rank family it carries NO global
-   * window at any corpus size. Blocks missing any treatment drop (the
-   * complete-block design requirement); ties take block-local average
-   * ranks (the doubled-rank idiom). Emits ONE row (n_blocks,
-   * k_treatments, chi2_f, dof); no complete blocks → null statistic.
-   *
-   * Shapes: one (block, treatment) cell agg, a scalar treatment count,
-   * per-block rank windows (PARTITIONED — k rows each), one treatment
-   * rank-sum agg, one k-row closing agg. Cross-engine: cell means
-   * round at 6 through decimal sums; doubled average ranks and their
-   * squares are exact BIGINTs; the closing sequence is fixed doubles
-   * rounded at 6.
-   */
-  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
-      valueCol: String): DataFrame = {
+  /** The shared Friedman rank pass (P259/P306): complete blocks only,
+    * block-local rank windows, doubled average ranks — the exact
+    * construction documented on [[friedmanTest]], extracted so
+    * Kendall's W cannot drift from the χ² it rescales. Returns the
+    * ranked cell frame (__b, __t, __m, __k, __avgr2). */
+  private def friedmanRanked(df: DataFrame, blockCol: String,
+      treatmentCol: String, valueCol: String): DataFrame = {
     val base = df.where(col(blockCol).isNotNull &&
         col(treatmentCol).isNotNull && col(valueCol).isNotNull)
       .select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
@@ -2175,10 +2176,33 @@ object Features {
     // the all-tied spec case: χ² read 85 instead of 0)
     val wRank = Window.partitionBy(col("__b")).orderBy(col("__m").asc)
     val wTies = Window.partitionBy(col("__b"), col("__m"))
-    val ranked = complete
+    complete
       .withColumn("__minr", rank().over(wRank).cast("long"))
       .withColumn("__tt", count(lit(1)).over(wTies))
       .withColumn("__avgr2", lit(2L) * col("__minr") + col("__tt") - lit(1L))
+  }
+
+  /**
+   * P259 — Friedman test for k repeated measures: rank each block's
+   * cell means WITHIN the block, sum ranks per treatment, and
+   * χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) with k−1 degrees of freedom —
+   * the k-condition rank test whose windows are all BLOCK-LOCAL
+   * (k-sized), so unlike the pooled-rank family it carries NO global
+   * window at any corpus size. Blocks missing any treatment drop (the
+   * complete-block design requirement); ties take block-local average
+   * ranks (the doubled-rank idiom). Emits ONE row (n_blocks,
+   * k_treatments, chi2_f, dof); no complete blocks → null statistic.
+   *
+   * Shapes: one (block, treatment) cell agg, a scalar treatment count,
+   * per-block rank windows (PARTITIONED — k rows each), one treatment
+   * rank-sum agg, one k-row closing agg. Cross-engine: cell means
+   * round at 6 through decimal sums; doubled average ranks and their
+   * squares are exact BIGINTs; the closing sequence is fixed doubles
+   * rounded at 6.
+   */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val ranked = friedmanRanked(df, blockCol, treatmentCol, valueCol)
     val perTreatment = ranked.groupBy(col("__t"), col("__k"))
       .agg(count(lit(1)).as("__n"), sum(col("__avgr2")).as("__r2"))
     val closing = perTreatment.agg(
@@ -2940,5 +2964,207 @@ object Features {
         round(col("__hi"), 6).as("loa_high"),
         when(col("__sd").isNotNull,
           round(col("__win").cast("double") / nd, 6)).as("within_share"))
+  }
+
+  /**
+   * P303 — Mood's median test: split every observation at the POOLED
+   * lower median and χ²-test the above/not-above counts across groups —
+   * the k-group location test that survives outliers and wildly
+   * non-normal shapes where the ANOVA F is garbage (it only asks "which
+   * side of the median", never "how far"). The cut is the exact
+   * ⌈n/2⌉-th order statistic (never an interpolated midpoint — an
+   * interpolation is a fresh double with its own cross-engine last-ulp
+   * life; an order statistic IS a data value). Emits ONE row (k_groups,
+   * n, grand_median, above, chi2, dof); a degenerate cut (nothing or
+   * everything above) nulls χ².
+   *
+   * CONTRACT: the value domain must be modest (the o8 histogram /
+   * bucket-ladder class — quantities, grades, rounded scores), because
+   * the median scan windows over the DISTINCT-VALUE frame. That window
+   * is domain-sized, not corpus-sized (PlanFactsSpec-allowlisted).
+   *
+   * Shape: one value-domain agg + one domain-sized cumulative window
+   * for the order statistic, one broadcast of the 1-row cut, one keyed
+   * conditional agg, one k-row closing agg. Cross-engine: the cut and
+   * all counts are exact (DECIMAL(18,6) values, BIGINT counts);
+   * per-group χ² terms are fixed double sequences rounded at 9 and
+   * DECIMAL(28,9)-summed; χ² rounds at 6.
+   */
+  def moodMedianTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val wCum = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val medFrame = cum.crossJoin(broadcast(tot)) // 1-row scalar side
+      .where(col("__cum") >=
+        floor((col("__n") + lit(1L)).cast("double") / 2.0).cast("long"))
+      .agg(min(col("__v")).as("__med"))
+    val cells = base.crossJoin(broadcast(medFrame)) // 1-row scalar side
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__v") > col("__med"), 1L).otherwise(0L)).as("__a"),
+        count(lit(1)).as("__ng"), max(col("__med")).as("__med"))
+    val t = cells.agg(count(lit(1)).as("k_groups"),
+      sum(col("__ng")).as("n"), sum(col("__a")).as("above"),
+      max(col("__med")).as("__med"))
+    def dbl(c: Column) = c.cast("double")
+    val ea = dbl(col("__ng")) * dbl(col("above")) / dbl(col("n"))
+    val em = dbl(col("__ng")) * dbl(col("n") - col("above")) / dbl(col("n"))
+    val term = (dbl(col("__a")) - ea) * (dbl(col("__a")) - ea) / ea +
+      (dbl(col("__ng") - col("__a")) - em) *
+        (dbl(col("__ng") - col("__a")) - em) / em
+    // the per-group term divides by the expected counts — under a
+    // one-sided cut those are 0 and ANSI double division THROWS, so the
+    // guard must ride the term itself (when() evaluates lazily), not
+    // just the output column
+    val chi = cells.crossJoin(broadcast(t.drop("__med"))) // k-row side
+      .agg(sum(when(col("above") > 0 && col("above") < col("n"),
+        round(term, 9).cast("decimal(28,9)"))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)")))
+        .cast("double").as("__chi"))
+    t.crossJoin(broadcast(chi)) // 1-row scalar side
+      .select(col("k_groups"), col("n"),
+        col("__med").cast("double").as("grand_median"), col("above"),
+        when(col("above") > 0 && col("above") < col("n") &&
+            col("k_groups") > 1, round(col("__chi"), 6)).as("chi2"),
+        (col("k_groups") - 1L).as("dof"))
+  }
+
+  /**
+   * P304 — Bartlett's test for variance homogeneity across k groups:
+   * T = ((N−k)·ln S_p² − Σ(nᵢ−1)·ln sᵢ²) / C with the finite-sample
+   * correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)) — the variance
+   * front door beside P224's Brown–Forsythe (Bartlett is sharper under
+   * near-normality, BF is the robust fallback; disagreement between
+   * them IS the non-normality signal). Emits ONE row (k_groups, n,
+   * pooled_var, c, t_stat, dof); any singleton or zero-variance group
+   * nulls the statistic (ln of 0 is the classical undefined case).
+   *
+   * Shape: one keyed moment agg + one k-row closing agg — no windows,
+   * no joins. Cross-engine: group variances come from exact
+   * DECIMAL(18,6)² = (37,12) moments as fixed double sequences rounded
+   * at 6; every ln runs on a 6-rounded operand and is itself rounded
+   * at 6 (the o33/q11 firewall); the three k-term sums round at 9 and
+   * go through DECIMAL(28,9).
+   */
+  def bartlettTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val d18 = col("__v").cast("decimal(18,6)")
+    val g = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(d18).cast("double").as("__sg"),
+        sum(d18 * d18).cast("double").as("__qg"))
+    val ngd = col("__ng").cast("double")
+    val s6 = when(col("__ng") > 1,
+      round((ngd * col("__qg") - col("__sg") * col("__sg")) /
+        (ngd * (ngd - lit(1.0))), 6))
+    val l6 = when(s6 > 0, round(log(s6), 6))
+    def t9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val tot = g.select(col("__ng"), s6.as("__s6"), l6.as("__l6"), ngd.as("__ngd"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("__ng")).as("n"),
+        min(col("__ng")).as("__minn"), min(col("__s6")).as("__mins"),
+        sum(t9((col("__ngd") - lit(1.0)) * col("__s6"))).cast("double")
+          .as("__spnum"),
+        sum(t9((col("__ngd") - lit(1.0)) * col("__l6"))).cast("double")
+          .as("__lsum"),
+        // singleton groups: 1/(n−1) divides by zero and ANSI double
+        // division THROWS — guard the term (the ok flag already nulls
+        // the output whenever any singleton exists)
+        sum(when(col("__ng") > 1,
+          t9(lit(1.0) / (col("__ngd") - lit(1.0))))).cast("double")
+          .as("__csum"))
+    val nd = col("n").cast("double")
+    val kd = col("k_groups").cast("double")
+    val nk = nd - kd
+    val pooled = col("__spnum") / nk
+    val lnsp = round(log(pooled), 6)
+    val c = lit(1.0) + (col("__csum") - lit(1.0) / nk) /
+      (lit(3.0) * (kd - lit(1.0)))
+    val ok = col("k_groups") > 1 && col("__minn") > 1 && col("__mins") > 0
+    tot.select(col("k_groups"), col("n"),
+      when(ok, round(pooled, 6)).as("pooled_var"),
+      when(ok, round(c, 6)).as("c"),
+      when(ok, round((nk * lnsp - col("__lsum")) / c, 6)).as("t_stat"),
+      (col("k_groups") - 1L).as("dof"))
+  }
+
+  /**
+   * P305 — one-way intraclass correlation ICC(1,1): the share of total
+   * variance explained by GROUP membership, from the P223 ANOVA mean
+   * squares with the unbalanced-design group size
+   * k₀ = (N − Σnᵢ²/N)/(k−1): ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW) —
+   * THE reliability statistic for repeated measurements (raters,
+   * devices, users): "is within-group consistency real or is the
+   * grouping noise". Emits ONE row (k_groups, n, msb, msw, k0, icc);
+   * k = 1, all-singleton, or zero-within-variance designs null out.
+   *
+   * Shape: the shared [[anovaTotals]] pass (one keyed agg + one k-row
+   * closing agg). Cross-engine: inherits the P223 decimal discipline;
+   * Σnᵢ² is an exact decimal; the closing sequence is fixed doubles on
+   * exact operands, rounded at 6.
+   */
+  def iccOneWay(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val out = anovaTotals(df, groupCol, valueCol)
+    val nd = col("n").cast("double")
+    val kd = col("k_groups").cast("double")
+    val msb = col("ssb") / (kd - lit(1.0))
+    val msw = col("ssw") / (nd - kd)
+    val k0 = (nd - col("__ng2").cast("double") / nd) / (kd - lit(1.0))
+    val den = msb + (k0 - lit(1.0)) * msw
+    val ok = col("k_groups") > 1 && col("n") > col("k_groups") &&
+      col("ssw") > 0 && den > 0
+    out.select(col("k_groups"), col("n"),
+      when(ok, round(msb, 6)).as("msb"),
+      when(ok, round(msw, 6)).as("msw"),
+      when(ok, round(k0, 6)).as("k0"),
+      when(ok, round((msb - msw) / den, 6)).as("icc"))
+  }
+
+  /**
+   * P306 — Kendall's coefficient of concordance W with tie correction:
+   * how strongly m blocks (judges, users) agree on the RANKING of k
+   * treatments, on [0, 1] — the effect size behind P259's Friedman χ²
+   * (χ²_F = m(k−1)·W; the test says "non-random", W says "how
+   * unanimous"). With doubled average ranks R'_j, W = 3·Σ(R'_j −
+   * m(k+1))² / (m²(k³−k) − m·ΣT) where T_b = Σ(t³−t) over each block's
+   * tie groups. Emits ONE row (n_blocks, k_treatments, tie_sum, w);
+   * fully-tied-everywhere designs (denominator 0) null W.
+   *
+   * Shape: the shared [[friedmanRanked]] pass (block-local windows
+   * only) + one (block, value) tie agg — nothing global at any corpus
+   * size. Cross-engine: deviations and tie sums are exact
+   * DECIMAL(19,0)²-widened integers (a BIGINT square overflows past
+   * m·k ≈ 2³¹); the single closing quotient is one fixed double
+   * sequence rounded at 6.
+   */
+  def kendallW(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val ranked = friedmanRanked(df, blockCol, treatmentCol, valueCol)
+    val perTreatment = ranked.groupBy(col("__t"), col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__avgr2")).as("__r2"))
+    val ties = ranked.groupBy(col("__b"), col("__m"))
+      .agg(count(lit(1)).as("__tc"))
+      .agg(coalesce(sum(col("__tc") * col("__tc") * col("__tc") -
+        col("__tc")), lit(0L)).as("tie_sum"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val dev = d19(col("__r2")) - d19(col("__n") * (col("__k") + lit(1L)))
+    val closing = perTreatment.agg(
+      max(col("__n")).as("n_blocks"), max(col("__k")).as("k_treatments"),
+      sum(dev * dev).as("__s4"))
+    val md = col("n_blocks").cast("double")
+    val kd = col("k_treatments").cast("double")
+    val den = md * md * (kd * kd * kd - kd) -
+      md * col("tie_sum").cast("double")
+    closing.crossJoin(broadcast(ties)) // 1-row scalar side
+      .select(col("n_blocks"), col("k_treatments"), col("tie_sum"),
+        when(col("n_blocks") > 0 && col("k_treatments") > 1 && den > 0,
+          round(lit(3.0) * col("__s4").cast("double") / den, 6)).as("w"))
   }
 }

@@ -877,6 +877,43 @@ object OlapQueries {
         .orderBy("pair")
     }),
 
+    // P303 — Mood's median test of quantity across return flags: the
+    // outlier-proof k-group location test (l_quantity's 1..50 integer
+    // domain is exactly the bucket-ladder contract)
+    "o92_mood" -> ((s, dir) => {
+      graft.operators.Features.moodMedianTest(
+        table(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity")
+    }),
+
+    // P304 — Bartlett variance homogeneity across event types: the
+    // sharp-under-normality counterpart of o58's Brown–Forsythe
+    // (disagreement between the two IS the non-normality signal)
+    "o93_bartlett" -> ((s, dir) => {
+      graft.operators.Features.bartlettTest(
+        graft.Graft.events(s, dir).select("event_type", "value"),
+        "event_type", "value")
+    }),
+
+    // P305 — ICC(1,1) with user as the group: is a user's event value
+    // a stable trait (reliability) or is the user grouping noise —
+    // the o57 ANOVA mean squares re-read as an effect size
+    "o94_icc" -> ((s, dir) => {
+      graft.operators.Features.iccOneWay(
+        graft.Graft.events(s, dir).select("user_id", "value"),
+        "user_id", "value")
+    }),
+
+    // P306 — Kendall's W over the o72 Friedman design (users ranking
+    // event types by mean value): the concordance effect size behind
+    // the χ² verdict
+    "o95_kendallw" -> ((s, dir) => {
+      graft.operators.Features.kendallW(
+        graft.Graft.events(s, dir)
+          .select("user_id", "event_type", "value"),
+        "user_id", "event_type", "value")
+    }),
+
     // P297 — Granger causality (lag 1) between the click and purchase
     // daily means, both directions: does x's past improve y's forecast
     // beyond y's own past (x = click, y = purchase)
@@ -4071,6 +4108,217 @@ object OlapQueries {
         |  END AS within_share
         |FROM st2 s JOIN w ON w.pair = s.pair
         |ORDER BY s.pair""".stripMargin,
+
+    // exact order-statistic median from a domain-sized cumulative scan;
+    // per-group χ² terms 9-rounded and DECIMAL(28,9)-summed
+    "o92_mood" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(18,6)) AS v
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |cum AS (
+        |  SELECT v, CAST(SUM(COUNT(*)) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b),
+        |med AS (
+        |  SELECT min(v) AS med FROM cum CROSS JOIN tot
+        |  WHERE cum >= CAST(floor(CAST(nn + 1 AS DOUBLE) / 2.0e0)
+        |    AS BIGINT)),
+        |cells AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(COUNT(*) AS BIGINT) AS ng, max(med) AS med2
+        |  FROM b CROSS JOIN med GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(a) AS BIGINT) AS above,
+        |    max(med2) AS med3 FROM cells),
+        |chi AS (
+        |  SELECT CAST(SUM(CASE WHEN above > 0 AND above < n THEN
+        |    CAST(round(
+        |    (CAST(a AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(above AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) *
+        |    (CAST(a AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(above AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) /
+        |    (CAST(ng AS DOUBLE) * CAST(above AS DOUBLE) /
+        |      CAST(n AS DOUBLE)) +
+        |    (CAST(ng - a AS DOUBLE) - CAST(ng AS DOUBLE) *
+        |      CAST(n - above AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (CAST(ng - a AS DOUBLE) - CAST(ng AS DOUBLE) *
+        |      CAST(n - above AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (CAST(ng AS DOUBLE) * CAST(n - above AS DOUBLE) /
+        |      CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9))
+        |    ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS chiv
+        |  FROM cells CROSS JOIN t)
+        |SELECT k_groups, n, CAST(med3 AS DOUBLE) AS grand_median, above,
+        |  CASE WHEN above > 0 AND above < n AND k_groups > 1 THEN
+        |    round(chiv, 6) END AS chi2,
+        |  CAST(k_groups - 1 AS BIGINT) AS dof
+        |FROM t CROSS JOIN chi""".stripMargin,
+
+    // group variances from exact (18,6)² moments; every ln runs on a
+    // 6-rounded operand and is 6-rounded (the o33/q11 firewall); the
+    // three k-term sums 9-rounded through DECIMAL(28,9)
+    "o93_bartlett" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |g AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sg,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,6)) *
+        |             CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS qg
+        |  FROM b GROUP BY 1),
+        |g2 AS (
+        |  SELECT ng,
+        |    CASE WHEN ng > 1 THEN
+        |      round((CAST(ng AS DOUBLE) * qg - sg * sg) /
+        |        (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0e0)), 6)
+        |    END AS s6
+        |  FROM g),
+        |g3 AS (
+        |  SELECT ng, s6,
+        |    CASE WHEN s6 > 0 THEN round(ln(s6), 6) END AS l6
+        |  FROM g2),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    min(ng) AS minn, min(s6) AS mins,
+        |    CAST(SUM(CAST(round((CAST(ng AS DOUBLE) - 1.0e0) * s6, 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS spnum,
+        |    CAST(SUM(CAST(round((CAST(ng AS DOUBLE) - 1.0e0) * l6, 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS lsum,
+        |    CAST(SUM(CASE WHEN ng > 1 THEN
+        |      CAST(round(1.0e0 / (CAST(ng AS DOUBLE) - 1.0e0), 9)
+        |      AS DECIMAL(28,9)) END) AS DOUBLE) AS csum
+        |  FROM g3)
+        |SELECT k_groups, n,
+        |  CASE WHEN k_groups > 1 AND minn > 1 AND mins > 0 THEN
+        |    round(spnum / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)),
+        |      6) END AS pooled_var,
+        |  CASE WHEN k_groups > 1 AND minn > 1 AND mins > 0 THEN
+        |    round(1.0e0 + (csum - 1.0e0 /
+        |      (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))) /
+        |      (3.0e0 * (CAST(k_groups AS DOUBLE) - 1.0e0)), 6)
+        |  END AS c,
+        |  CASE WHEN k_groups > 1 AND minn > 1 AND mins > 0 THEN
+        |    round(((CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)) *
+        |      round(ln(spnum /
+        |        (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6) -
+        |      lsum) /
+        |      (1.0e0 + (csum - 1.0e0 /
+        |        (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))) /
+        |        (3.0e0 * (CAST(k_groups AS DOUBLE) - 1.0e0))), 6)
+        |  END AS t_stat,
+        |  CAST(k_groups - 1 AS BIGINT) AS dof
+        |FROM t""".stripMargin,
+
+    // the o57 moment CTEs + Σn² — ICC(1,1) from the same ssb/ssw with
+    // the unbalanced k₀ correction, all closing doubles rounded at 6
+    "o94_icc" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, value AS v FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |g AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(v AS DECIMAL(18,6))) AS sg,
+        |    SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS qg
+        |  FROM b GROUP BY 1),
+        |g2 AS (
+        |  SELECT *, CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+        |    CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6)) AS tg FROM g),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    SUM(sg) AS s, SUM(qg) AS q, SUM(tg) AS bsum,
+        |    SUM(CAST(ng AS DECIMAL(19,0)) * CAST(ng AS DECIMAL(19,0)))
+        |      AS ng2
+        |  FROM g2),
+        |o AS (
+        |  SELECT k_groups, n, ng2,
+        |    round(CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) *
+        |      CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ssb,
+        |    CAST(round(CAST(q AS DECIMAL(30,12)) -
+        |      CAST(bsum AS DECIMAL(24,6)), 6) AS DOUBLE) AS ssw
+        |  FROM t),
+        |o2 AS (
+        |  SELECT k_groups, n, ssw,
+        |    ssb / (CAST(k_groups AS DOUBLE) - 1.0e0) AS msb,
+        |    ssw / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)) AS msw,
+        |    (CAST(n AS DOUBLE) - CAST(ng2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(k_groups AS DOUBLE) - 1.0e0) AS k0
+        |  FROM o)
+        |SELECT k_groups, n,
+        |  CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0 AND
+        |      msb + (k0 - 1.0e0) * msw > 0 THEN round(msb, 6)
+        |  END AS msb,
+        |  CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0 AND
+        |      msb + (k0 - 1.0e0) * msw > 0 THEN round(msw, 6)
+        |  END AS msw,
+        |  CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0 AND
+        |      msb + (k0 - 1.0e0) * msw > 0 THEN round(k0, 6)
+        |  END AS k0,
+        |  CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0 AND
+        |      msb + (k0 - 1.0e0) * msw > 0 THEN
+        |    round((msb - msw) / (msb + (k0 - 1.0e0) * msw), 6)
+        |  END AS icc
+        |FROM o2""".stripMargin,
+
+    // the o72 rank CTEs + a (block, value) tie agg; W from exact
+    // decimal-widened deviation squares, one closing quotient
+    "o95_kendallw" ->
+      """WITH b AS (
+        |  SELECT user_id AS bk, event_type AS t, value AS v FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (
+        |  SELECT bk, t,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS m
+        |  FROM b GROUP BY 1, 2),
+        |k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+        |wb AS (SELECT *, COUNT(*) OVER (PARTITION BY bk) AS bn FROM cells),
+        |comp AS (SELECT wb.* FROM wb CROSS JOIN k WHERE bn = k.k),
+        |r AS (
+        |  SELECT bk, t,
+        |    CAST(rank() OVER (PARTITION BY bk ORDER BY m) AS BIGINT)
+        |      AS minr,
+        |    CAST(COUNT(*) OVER (PARTITION BY bk, m) AS BIGINT) AS tt
+        |  FROM comp),
+        |pt AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(2 * minr + tt - 1) AS BIGINT) AS r2
+        |  FROM r GROUP BY 1),
+        |ties AS (
+        |  SELECT bk, m, CAST(COUNT(*) AS BIGINT) AS tc
+        |  FROM comp GROUP BY 1, 2),
+        |tsum AS (
+        |  SELECT coalesce(CAST(SUM(tc * tc * tc - tc) AS BIGINT),
+        |    CAST(0 AS BIGINT)) AS tie_sum FROM ties),
+        |cl AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+        |    CAST(MAX((SELECT k FROM k)) AS BIGINT) AS k_treatments,
+        |    SUM(CAST(r2 - n * ((SELECT k FROM k) + 1) AS DECIMAL(19,0)) *
+        |        CAST(r2 - n * ((SELECT k FROM k) + 1) AS DECIMAL(19,0)))
+        |      AS s4
+        |  FROM pt)
+        |SELECT n_blocks, k_treatments, tie_sum,
+        |  CASE WHEN n_blocks > 0 AND k_treatments > 1 AND
+        |      CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE) *
+        |      (CAST(k_treatments AS DOUBLE) * CAST(k_treatments AS DOUBLE)
+        |        * CAST(k_treatments AS DOUBLE) -
+        |        CAST(k_treatments AS DOUBLE)) -
+        |      CAST(n_blocks AS DOUBLE) * CAST(tie_sum AS DOUBLE) > 0 THEN
+        |    round(3.0e0 * CAST(s4 AS DOUBLE) /
+        |      (CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE) *
+        |      (CAST(k_treatments AS DOUBLE) * CAST(k_treatments AS DOUBLE)
+        |        * CAST(k_treatments AS DOUBLE) -
+        |        CAST(k_treatments AS DOUBLE)) -
+        |      CAST(n_blocks AS DOUBLE) * CAST(tie_sum AS DOUBLE)), 6)
+        |  END AS w
+        |FROM cl CROSS JOIN tsum""".stripMargin,
 
     // two direction branches over one day-paired frame, the o11-style
     // nine-moment agg, closed-form two-regressor SSEs, one F closing

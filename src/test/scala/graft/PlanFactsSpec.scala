@@ -176,6 +176,7 @@ object PlanFactsSpec {
     "o13_chisq", "o30_woe", "o31_gini",
     "pipe3_hybrid", "pipe5_rrf", "sa15_neyman", "sk8_hdr", "z5_zonemap",
     "z6_prune_sim", "o42_cramersv", "dq9_psi", "dq11_volume", "o53_bh",
+    "o92_mood", // median scan over the DISTINCT-VALUE domain (50 qtys)
     "o69_by_fdr", // the o53 machinery with the BY factor — same tests frame
     // two-phase operators: the corpus pass is partitioned; the residual
     // window runs over the shards/frontier-sized closing frame

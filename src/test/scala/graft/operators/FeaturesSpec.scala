@@ -1272,4 +1272,85 @@ class FeaturesSpec extends SparkSpec {
       "k", "x", "y").head
     assert(c.getDouble(2) == 2.0 && c.isNullAt(3) && c.isNullAt(6))
   }
+
+  test("moodMedianTest: hand χ² on a split design; a one-sided cut " +
+      "nulls the statistic") {
+    import spark.implicits._
+    // pooled 1..6 → lower median = 3; group a all ≤ 3, b all > 3 →
+    // per-group terms 1.5 each → χ² = 6
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Features.moodMedianTest(df, "g", "v").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 3.0 && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 6.0 && r.getLong(5) == 1L)
+    // constant values: nothing above the median → χ² undefined
+    val flat = Seq(("a", 2.0), ("a", 2.0), ("b", 2.0)).toDF("g", "v")
+    val f = Features.moodMedianTest(flat, "g", "v").head
+    assert(f.getLong(3) == 0L && f.isNullAt(4))
+  }
+
+  test("bartlettTest: equal variances score 0; singleton group nulls") {
+    import spark.implicits._
+    // two groups, both sample variance 1 → pooled 1, ln terms 0, T = 0,
+    // C = 1 + (1/2 + 1/2 − 1/4)/3 = 1.25
+    val eq = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Features.bartlettTest(eq, "g", "v").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.25 &&
+      r.getDouble(4) == 0.0 && r.getLong(5) == 1L)
+    // clearly unequal variances: positive statistic
+    val ne = (Seq.tabulate(10)(i => ("a", i * 10.0)) ++
+      Seq.tabulate(10)(i => ("b", 50.0 + i * 0.1))).toDF("g", "v")
+    assert(Features.bartlettTest(ne, "g", "v").head.getDouble(4) > 10.0)
+    // a singleton group: classical statistic undefined
+    val single = eq.where(!(col("g") === "b" && col("v") > 4.0))
+    assert(Features.bartlettTest(single, "g", "v").head.isNullAt(4))
+  }
+
+  test("iccOneWay: hand ICC on a balanced two-group design; zero " +
+      "within-variance nulls") {
+    import spark.implicits._
+    // groups {1,2} and {5,6}: SSB=16, SSW=1 → MSB=16, MSW=0.5, k0=2,
+    // ICC = 15.5/16.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0))
+      .toDF("g", "v")
+    val r = Features.iccOneWay(df, "g", "v").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 16.0 && r.getDouble(3) == 0.5 &&
+      r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == r6(15.5 / 16.5))
+    // zero within-variance: reliability is degenerate, not 1.0
+    val exact = Seq(("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    assert(Features.iccOneWay(exact, "g", "v").head.isNullAt(5))
+  }
+
+  test("kendallW: perfect concordance scores 1; all-tied design nulls; " +
+      "χ²_F = m(k−1)·W") {
+    import spark.implicits._
+    // 3 blocks all ranking t1 < t2 < t3 → W = 1
+    val perfect = (1 to 3).flatMap(b => Seq(
+      (s"b$b", "t1", 1.0), (s"b$b", "t2", 2.0), (s"b$b", "t3", 3.0)))
+      .toDF("b", "t", "v")
+    val p = Features.kendallW(perfect, "b", "t", "v").head
+    assert(p.getLong(0) == 3L && p.getLong(1) == 3L &&
+      p.getLong(2) == 0L && p.getDouble(3) == 1.0)
+    // every block fully tied: tie_sum = m(k³−k) → denominator 0 → null
+    val tied = (1 to 3).flatMap(b => Seq(
+      (s"b$b", "t1", 5.0), (s"b$b", "t2", 5.0), (s"b$b", "t3", 5.0)))
+      .toDF("b", "t", "v")
+    val t = Features.kendallW(tied, "b", "t", "v").head
+    assert(t.getLong(2) == 3L * 24L && t.isNullAt(3))
+    // mixed TIE-FREE data: the Friedman χ² (untied formula) is exactly
+    // m(k−1)·W (both 6-rounded, so compare at 1e-5)
+    val mixed = (Seq(("b1", "t1", 1.0), ("b1", "t2", 3.0), ("b1", "t3", 2.0),
+      ("b2", "t1", 2.0), ("b2", "t2", 2.5), ("b2", "t3", 1.0),
+      ("b3", "t1", 1.0), ("b3", "t2", 2.0), ("b3", "t3", 3.0)))
+      .toDF("b", "t", "v")
+    val w = Features.kendallW(mixed, "b", "t", "v").head.getDouble(3)
+    val chi = Features.friedmanTest(mixed, "b", "t", "v").head.getDouble(2)
+    assert(math.abs(chi - 3 * 2 * w) < 1e-5)
+  }
 }
