@@ -3167,4 +3167,170 @@ object Features {
         when(col("n_blocks") > 0 && col("k_treatments") > 1 && den > 0,
           round(lit(3.0) * col("__s4").cast("double") / den, 6)).as("w"))
   }
+
+  /**
+   * P307 — Chow structural-break test per key: fit y ~ x separately in
+   * the two regimes and pooled, F = ((SSE_p − SSE_a − SSE_b)/2) /
+   * ((SSE_a + SSE_b)/(n − 4)) — "did the relationship CHANGE at the
+   * break" (P129's changepoint finds a mean shift; Chow tests a SLOPE/
+   * INTERCEPT shift at a known break, the regulatory/launch-date
+   * question). `regimeCol` is boolean-castable (false = regime a).
+   * Emits per key: n, n_a, n_b, sse_pooled, sse_a, sse_b, chow_f; a
+   * key missing a regime, n ≤ 4, zero x-variance in any fit, or zero
+   * residual SS nulls the statistics.
+   *
+   * Shape: ONE (key, regime)-keyed moment agg, then one keyed closing
+   * agg — pooled moments are the exact DECIMAL sums of the regime
+   * sums, so no second pass over the data. Cross-engine: the o11
+   * moment discipline ((18,6) values, (37,12) products); each SSE is
+   * a fixed double sequence on exact sums; outputs rounded at 6.
+   */
+  def chowTest(df: DataFrame, keyCol: String, regimeCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val dx = col(xCol).cast("decimal(18,6)")
+    val dy = col(yCol).cast("decimal(18,6)")
+    val m = df.where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(regimeCol).isNotNull)
+      .groupBy(col(keyCol), col(regimeCol).cast("boolean").as("__r"))
+      .agg(count(lit(1)).as("__n"), sum(dx).as("__sx"), sum(dy).as("__sy"),
+        sum(dx * dy).as("__sxy"), sum(dx * dx).as("__sxx"),
+        sum(dy * dy).as("__syy"))
+    def sse(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column,
+        syy: Column): Column = {
+      val nd = n.cast("double")
+      val sxd = sx.cast("double")
+      val syd = sy.cast("double")
+      val uxx = nd * sxx.cast("double") - sxd * sxd
+      val uyy = nd * syy.cast("double") - syd * syd
+      val uxy = nd * sxy.cast("double") - sxd * syd
+      when(uxx > 0, (uyy - uxy * uxy / uxx) / nd)
+    }
+    val r = m.withColumn("__sse",
+      sse(col("__n"), col("__sx"), col("__sy"), col("__sxy"),
+        col("__sxx"), col("__syy")))
+    val agg = r.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__k"), sum(col("__n")).as("n"),
+        max(when(!col("__r"), col("__n"))).as("n_a"),
+        max(when(col("__r"), col("__n"))).as("n_b"),
+        max(when(!col("__r"), col("__sse"))).as("__sse1"),
+        max(when(col("__r"), col("__sse"))).as("__sse2"),
+        sum(col("__sx")).as("__psx"), sum(col("__sy")).as("__psy"),
+        sum(col("__sxy")).as("__psxy"), sum(col("__sxx")).as("__psxx"),
+        sum(col("__syy")).as("__psyy"))
+    val pooledSse = sse(col("n"), col("__psx"), col("__psy"),
+      col("__psxy"), col("__psxx"), col("__psyy"))
+    val nd = col("n").cast("double")
+    val ok = col("__k") === 2 && col("n") > 4 &&
+      col("__sse1").isNotNull && col("__sse2").isNotNull &&
+      pooledSse.isNotNull && (col("__sse1") + col("__sse2")) > 0
+    agg.select(col(keyCol), col("n"), col("n_a"), col("n_b"),
+      when(ok, round(pooledSse, 6)).as("sse_pooled"),
+      when(ok, round(col("__sse1"), 6)).as("sse_a"),
+      when(ok, round(col("__sse2"), 6)).as("sse_b"),
+      when(ok, round((pooledSse - (col("__sse1") + col("__sse2"))) /
+        lit(2.0) / ((col("__sse1") + col("__sse2")) / (nd - lit(4.0))),
+        6)).as("chow_f"))
+  }
+
+  /**
+   * P308 — Breusch–Pagan heteroskedasticity test per key: regress the
+   * SQUARED residuals of the P96 fit on x; LM = n·r²_aux flags
+   * variance that grows with the regressor — the "is the OLS SE a
+   * lie" audit (heteroskedastic residuals leave the slope unbiased
+   * but its t-statistics fiction). Emits per key: n, slope, intercept,
+   * r2_aux, lm; keys where either fit degenerates null out.
+   *
+   * Shape: the [[olsFit]] keyed agg, a broadcast join-back of the
+   * key-scalar coefficients, then a second olsFit on (x, e²) — two
+   * aggs, zero windows. Cross-engine: residuals are fixed double
+   * sequences on 6-rounded coefficients and exact inputs; e² rounds
+   * at 6 into DECIMAL(18,6) so the aux moments are exact; LM is
+   * n·(6-rounded r²), rounded at 6.
+   */
+  def breuschPagan(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val fit = olsFit(df, keyCol, xCol, yCol)
+      .select(col(keyCol).as("__fk"), col("slope").as("__b1"),
+        col("intercept").as("__b0"))
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .join(broadcast(fit), col(keyCol) === col("__fk"))
+      .where(col("__b1").isNotNull)
+    val e = col("__y") - (col("__b0") + col("__b1") * col("__x"))
+    val pts = base.select(col(keyCol),
+      col("__x").cast("decimal(18,6)").as("__dx"),
+      round(e * e, 6).cast("decimal(18,6)").as("__e2"))
+    olsFit(pts, keyCol, "__dx", "__e2")
+      .select(col(keyCol), col("n"), col("r2").as("r2_aux"))
+      .join(broadcast(fit), col(keyCol) === col("__fk"))
+      .select(col(keyCol), col("n"), col("__b1").as("slope"),
+        col("__b0").as("intercept"), col("r2_aux"),
+        when(col("r2_aux").isNotNull,
+          round(col("n").cast("double") * col("r2_aux"), 6)).as("lm"))
+  }
+
+  /**
+   * P309 — regression influence audit per key: leverage
+   * hᵢ = 1/n + (xᵢ−x̄)²/Sxx and Cook's distance
+   * Dᵢ = eᵢ²hᵢ / (2s²(1−hᵢ)²) for the P96 fit, top-`topK` rows by D —
+   * "which rows OWN this regression" (a slope driven by three points
+   * is not a trend; this names the three). Emits per (key): the topK
+   * (id, x, y, leverage, resid, cooks_d) rows ordered by 6-rounded D
+   * desc with id tiebreak. Keys with n ≤ 2, zero x-variance, or zero
+   * residual variance drop; full-leverage points (h = 1, the n = 2
+   * degenerate) null D.
+   *
+   * Shape: the olsFit agg + one keyed moment agg + one keyed SSE agg,
+   * all key-scalar broadcast join-backs, then ONE key-partitioned
+   * top-k window (never global). Cross-engine: residuals/leverage are
+   * fixed double sequences on 6-rounded coefficients and exact sums;
+   * the SSE sums 9-rounded e² through DECIMAL(28,9); ranking compares
+   * 6-rounded D with an id tiebreak (the float-rank rule).
+   */
+  def regressionInfluence(df: DataFrame, keyCol: String, idCol: String,
+      xCol: String, yCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"regressionInfluence: topK must be >= 1, got $topK")
+    val fit = olsFit(df, keyCol, xCol, yCol)
+      .select(col(keyCol).as("__fk"), col("n").as("__fn"),
+        col("slope").as("__b1"), col("intercept").as("__b0"))
+    val mom = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol).as("__mk"))
+      .agg(sum(col(xCol).cast("decimal(18,6)")).cast("double").as("__msx"),
+        sum(col(xCol).cast("decimal(18,6)") *
+          col(xCol).cast("decimal(18,6)")).cast("double").as("__msxx"))
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol), col(idCol).as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .join(broadcast(fit), col(keyCol) === col("__fk"))
+      .join(broadcast(mom), col(keyCol) === col("__mk"))
+      .where(col("__b1").isNotNull && col("__fn") > 2)
+    val nd = col("__fn").cast("double")
+    val xbar = col("__msx") / nd
+    val sxxc = col("__msxx") - col("__msx") * col("__msx") / nd
+    val h = lit(1.0) / nd + (col("__x") - xbar) * (col("__x") - xbar) / sxxc
+    val e = col("__y") - (col("__b0") + col("__b1") * col("__x"))
+    val sse = base
+      .groupBy(col(keyCol).as("__sk"))
+      .agg(sum(round(e * e, 9).cast("decimal(28,9)")).cast("double")
+        .as("__sse"))
+    val pts = base.join(broadcast(sse), col(keyCol) === col("__sk"))
+      .withColumn("__h", h)
+      .withColumn("__e", e)
+      .withColumn("__s2", col("__sse") / (nd - lit(2.0)))
+      .withColumn("__d",
+        when(col("__s2") > 0 && col("__h") < 1.0,
+          col("__e") * col("__e") * col("__h") /
+            (lit(2.0) * col("__s2") * (lit(1.0) - col("__h")) *
+              (lit(1.0) - col("__h")))))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(round(col("__d"), 6).desc_nulls_last, col("__id").asc)
+    pts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col(keyCol), col("__id").as(idCol), col("__x").as(xCol),
+        col("__y").as(yCol), round(col("__h"), 6).as("leverage"),
+        round(col("__e"), 6).as("resid"),
+        round(col("__d"), 6).as("cooks_d"), col("__rn").as("rnk"))
+  }
 }

@@ -913,6 +913,61 @@ object TimeSeries {
   }
 
   /**
+   * P310 — forecast skill panel per key: MAE, RMSE, sMAPE for the
+   * seasonal-naive forecast (value at day − `seasonLag`) plus MASE =
+   * MAE_seasonal / MAE_persistence (lag-1) — the scale-free "is the
+   * weekly pattern actually informative" verdict P165's raw MAE can't
+   * give (MASE < 1 = the seasonal lag beats yesterday's value). Both
+   * lags come by CALENDAR join (the P165 rule: row lags shift on
+   * gapped series) and are scored over the SAME day set (days where
+   * both exist), so the ratio is honest. Emits per key: n, mae, rmse,
+   * smape, mase; a zero persistence MAE nulls MASE, all-zero day
+   * pairs null sMAPE.
+   *
+   * Shape: two shuffle_hash calendar self-joins, one keyed agg.
+   * Cross-engine: errors are exact DECIMAL(18,6) differences of
+   * pre-rounded values, squares (37,12)-exact; sMAPE ratios round at
+   * 9 through DECIMAL(28,9); one IEEE sqrt; outputs round at 6.
+   */
+  def forecastSkill(points: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, seasonLag: Int = 7): DataFrame = {
+    require(seasonLag >= 2,
+      s"forecastSkill: seasonLag must be >= 2, got $seasonLag")
+    def lagged(lag: Int, as: String) = points.select(col(keyCol),
+      date_add(col(dayCol), lag).as(dayCol.toString), col(valueCol).as(as))
+    val joined = points
+      .join(lagged(seasonLag, "__f").hint("shuffle_hash"),
+        Seq(keyCol.toString, dayCol.toString))
+      .join(lagged(1, "__p").hint("shuffle_hash"),
+        Seq(keyCol.toString, dayCol.toString))
+    val d = (col(valueCol).cast("decimal(18,6)") -
+      col("__f").cast("decimal(18,6)")).cast("decimal(18,6)")
+    val d1 = (col(valueCol).cast("decimal(18,6)") -
+      col("__p").cast("decimal(18,6)")).cast("decimal(18,6)")
+    val sm = when(abs(col(valueCol)) + abs(col("__f")) =!= 0.0,
+      round(lit(2.0) * abs(d.cast("double")) /
+        (abs(col(valueCol)) + abs(col("__f"))), 9).cast("decimal(28,9)"))
+    val agg = joined
+      .select(col(keyCol), abs(d).as("__ad"), (d * d).as("__d2"),
+        abs(d1).as("__ad1"), sm.as("__sm"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ad")).cast("double").as("__sad"),
+        sum(col("__d2")).cast("double").as("__sd2"),
+        sum(col("__ad1")).cast("double").as("__sad1"),
+        sum(col("__sm")).cast("double").as("__ssm"),
+        count(col("__sm")).as("__nsm"))
+    val nd = col("n").cast("double")
+    agg.select(col(keyCol), col("n"),
+      round(col("__sad") / nd, 6).as("mae"),
+      round(sqrt(col("__sd2") / nd), 6).as("rmse"),
+      when(col("__nsm") > 0,
+        round(col("__ssm") / col("__nsm").cast("double"), 6)).as("smape"),
+      when(col("__sad1") > 0,
+        round(col("__sad") / nd / (col("__sad1") / nd), 6)).as("mase"))
+  }
+
+  /**
    * P121 — lag-k autocorrelation per key: Pearson r between each
    * series' (x_t, x_{t−lag}) pairs in (ts, tie) order — the
    * periodicity/persistence probe run before seasonal modeling, and the

@@ -914,6 +914,52 @@ object OlapQueries {
         "user_id", "event_type", "value")
     }),
 
+    // P307 — Chow break test: did each event type's value~time trend
+    // change at Jan 16 (the o68 experiment cut) — separate fits per
+    // regime vs pooled, F on the SSE gap
+    "o96_chow" -> ((s, dir) => {
+      val daily = dailyMeans(s, dir)
+        .select(col("event_type"),
+          datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("long").as("di"),
+          col("v"),
+          (col("day") >= lit(java.sql.Date.valueOf("2024-01-16")))
+            .as("late"))
+      graft.operators.Features.chowTest(daily, "event_type", "late",
+          "di", "v")
+        .orderBy("event_type")
+    }),
+
+    // P308 — Breusch–Pagan: does residual variance of the day-paired
+    // metric fits grow with the regressor (the "OLS standard errors
+    // are a lie" audit)
+    "o97_bp" -> ((s, dir) => {
+      graft.operators.Features.breuschPagan(
+          dailyPairFrame(s, dir, "click", "view")
+            .unionByName(dailyPairFrame(s, dir, "signup", "purchase")),
+          "pair", "x", "y")
+        .orderBy("pair")
+    }),
+
+    // P309 — regression influence: the 5 days that OWN each day-paired
+    // metric fit, by Cook's distance with leverage and residual
+    "o98_influence" -> ((s, dir) => {
+      graft.operators.Features.regressionInfluence(
+          dailyPairFrame(s, dir, "click", "view")
+            .unionByName(dailyPairFrame(s, dir, "signup", "purchase")),
+          "pair", "day", "x", "y", topK = 5)
+        .orderBy("pair", "rnk")
+    }),
+
+    // P310 — forecast skill: MAE/RMSE/sMAPE of the weekly seasonal
+    // naive + MASE vs lag-1 persistence over the same day set — is
+    // the weekly pattern actually informative
+    "o99_forecast_skill" -> ((s, dir) => {
+      graft.operators.TimeSeries.forecastSkill(
+          dailyMeans(s, dir), "event_type", "day", "v", seasonLag = 7)
+        .orderBy("event_type")
+    }),
+
     // P297 — Granger causality (lag 1) between the click and purchase
     // daily means, both directions: does x's past improve y's forecast
     // beyond y's own past (x = click, y = purchase)
@@ -4108,6 +4154,270 @@ object OlapQueries {
         |  END AS within_share
         |FROM st2 s JOIN w ON w.pair = s.pair
         |ORDER BY s.pair""".stripMargin,
+
+    // per-(type, regime) o11 moments; pooled moments are the exact
+    // decimal sums of the regime sums; SSEs and F are fixed double
+    // closings rounded at 6
+    "o96_chow" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS di, v,
+        |    day >= DATE '2024-01-16' AS late
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, late, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(di AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(v AS DECIMAL(18,6))) AS sy,
+        |    SUM(CAST(di AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+        |      AS sxy,
+        |    SUM(CAST(di AS DECIMAL(18,6)) * CAST(di AS DECIMAL(18,6)))
+        |      AS sxx,
+        |    SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+        |      AS syy
+        |  FROM pts GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) -
+        |     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) /
+        |    CAST(n AS DOUBLE) END AS sse
+        |  FROM m),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS n,
+        |    MAX(CASE WHEN NOT late THEN n END) AS n_a,
+        |    MAX(CASE WHEN late THEN n END) AS n_b,
+        |    MAX(CASE WHEN NOT late THEN sse END) AS sse1,
+        |    MAX(CASE WHEN late THEN sse END) AS sse2,
+        |    SUM(sx) AS psx, SUM(sy) AS psy, SUM(sxy) AS psxy,
+        |    SUM(sxx) AS psxx, SUM(syy) AS psyy
+        |  FROM r GROUP BY 1),
+        |p AS (
+        |  SELECT *, CASE WHEN CAST(n AS DOUBLE) * CAST(psxx AS DOUBLE) -
+        |      CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(psyy AS DOUBLE) -
+        |     CAST(psy AS DOUBLE) * CAST(psy AS DOUBLE) -
+        |     (CAST(n AS DOUBLE) * CAST(psxy AS DOUBLE) -
+        |      CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)) *
+        |     (CAST(n AS DOUBLE) * CAST(psxy AS DOUBLE) -
+        |      CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)) /
+        |     (CAST(n AS DOUBLE) * CAST(psxx AS DOUBLE) -
+        |      CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))) /
+        |    CAST(n AS DOUBLE) END AS ssep
+        |  FROM a)
+        |SELECT event_type, n, n_a, n_b,
+        |  CASE WHEN k = 2 AND n > 4 AND sse1 IS NOT NULL AND
+        |      sse2 IS NOT NULL AND ssep IS NOT NULL AND sse1 + sse2 > 0
+        |    THEN round(ssep, 6) END AS sse_pooled,
+        |  CASE WHEN k = 2 AND n > 4 AND sse1 IS NOT NULL AND
+        |      sse2 IS NOT NULL AND ssep IS NOT NULL AND sse1 + sse2 > 0
+        |    THEN round(sse1, 6) END AS sse_a,
+        |  CASE WHEN k = 2 AND n > 4 AND sse1 IS NOT NULL AND
+        |      sse2 IS NOT NULL AND ssep IS NOT NULL AND sse1 + sse2 > 0
+        |    THEN round(sse2, 6) END AS sse_b,
+        |  CASE WHEN k = 2 AND n > 4 AND sse1 IS NOT NULL AND
+        |      sse2 IS NOT NULL AND ssep IS NOT NULL AND sse1 + sse2 > 0
+        |    THEN round((ssep - (sse1 + sse2)) / 2.0e0 /
+        |      ((sse1 + sse2) / (CAST(n AS DOUBLE) - 4.0e0)), 6)
+        |  END AS chow_f
+        |FROM p ORDER BY event_type""".stripMargin,
+
+    // the o11 fit replayed per pair, squared residuals 6-rounded into
+    // exact DECIMAL(18,6), then a second o11 fit on (x, e²); LM = n·r²
+    "o97_bp" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT 'click~view' AS pair, a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  UNION ALL
+        |  SELECT 'signup~purchase' AS pair, a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'signup' AND b.event_type = 'purchase'),
+        |s AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
+        |             CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
+        |             CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM wide GROUP BY 1),
+        |f AS (
+        |  SELECT pair, n, sx, sy,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den
+        |  FROM s),
+        |fit AS (
+        |  SELECT pair,
+        |    CASE WHEN den > 0 THEN round(num / den, 6) END AS b1,
+        |    CASE WHEN den > 0 THEN
+        |      round((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6)
+        |    END AS b0
+        |  FROM f),
+        |pts AS (
+        |  SELECT w.pair, CAST(w.x AS DECIMAL(18,6)) AS dx,
+        |    CAST(round((w.y - (b0 + b1 * w.x)) *
+        |      (w.y - (b0 + b1 * w.x)), 6) AS DECIMAL(18,6)) AS e2
+        |  FROM wide w JOIN fit ON fit.pair = w.pair
+        |  WHERE b1 IS NOT NULL),
+        |s2 AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dx) AS DOUBLE) AS sx2,
+        |    CAST(SUM(e2) AS DOUBLE) AS sy2,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,6)) *
+        |             CAST(e2 AS DECIMAL(19,6))) AS DOUBLE) AS sxy2,
+        |    CAST(SUM(CAST(dx AS DECIMAL(19,6)) *
+        |             CAST(dx AS DECIMAL(19,6))) AS DOUBLE) AS sxx2,
+        |    CAST(SUM(CAST(e2 AS DECIMAL(19,6)) *
+        |             CAST(e2 AS DECIMAL(19,6))) AS DOUBLE) AS syy2
+        |  FROM pts GROUP BY 1),
+        |f2 AS (
+        |  SELECT pair, n,
+        |    CAST(n AS DOUBLE) * sxy2 - sx2 * sy2 AS num2,
+        |    CAST(n AS DOUBLE) * sxx2 - sx2 * sx2 AS den2,
+        |    CAST(n AS DOUBLE) * syy2 - sy2 * sy2 AS deny2
+        |  FROM s2),
+        |aux AS (
+        |  SELECT pair, n,
+        |    CASE WHEN den2 > 0 AND deny2 > 0 THEN
+        |      round(num2 * num2 / (den2 * deny2), 6) END AS r2_aux
+        |  FROM f2)
+        |SELECT a.pair, a.n, fit.b1 AS slope, fit.b0 AS intercept,
+        |  a.r2_aux,
+        |  CASE WHEN a.r2_aux IS NOT NULL THEN
+        |    round(CAST(a.n AS DOUBLE) * a.r2_aux, 6) END AS lm
+        |FROM aux a JOIN fit ON fit.pair = a.pair
+        |ORDER BY a.pair""".stripMargin,
+
+    // the o11 fit + leverage/Cook chain; SSE sums 9-rounded e² through
+    // DECIMAL(28,9); top-5 by 6-rounded D with day tiebreak, ranked
+    // inside each pair (partitioned window)
+    "o98_influence" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT 'click~view' AS pair, a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  UNION ALL
+        |  SELECT 'signup~purchase' AS pair, a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'signup' AND b.event_type = 'purchase'),
+        |s AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
+        |             CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
+        |             CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM wide GROUP BY 1),
+        |f AS (
+        |  SELECT pair, n, sx, sy, sxx,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den
+        |  FROM s),
+        |fit AS (
+        |  SELECT pair, n, sx AS msx, sxx AS msxx,
+        |    CASE WHEN den > 0 THEN round(num / den, 6) END AS b1,
+        |    CASE WHEN den > 0 THEN
+        |      round((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6)
+        |    END AS b0
+        |  FROM f),
+        |base AS (
+        |  SELECT w.pair, w.day, w.x, w.y, f.n, f.b1, f.b0, f.msx, f.msxx
+        |  FROM wide w JOIN fit f ON f.pair = w.pair
+        |  WHERE f.b1 IS NOT NULL AND f.n > 2),
+        |sse AS (
+        |  SELECT pair, CAST(SUM(CAST(round(
+        |    (y - (b0 + b1 * x)) * (y - (b0 + b1 * x)), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS sse
+        |  FROM base GROUP BY 1),
+        |pts AS (
+        |  SELECT b.pair, b.day, b.x, b.y,
+        |    1.0e0 / CAST(n AS DOUBLE) +
+        |      (b.x - msx / CAST(n AS DOUBLE)) *
+        |      (b.x - msx / CAST(n AS DOUBLE)) /
+        |      (msxx - msx * msx / CAST(n AS DOUBLE)) AS h,
+        |    b.y - (b0 + b1 * b.x) AS e,
+        |    s.sse / (CAST(n AS DOUBLE) - 2.0e0) AS s2
+        |  FROM base b JOIN sse s ON s.pair = b.pair),
+        |d AS (
+        |  SELECT pair, day, x, y, h, e,
+        |    CASE WHEN s2 > 0 AND h < 1.0e0 THEN
+        |      e * e * h / (2.0e0 * s2 * (1.0e0 - h) * (1.0e0 - h))
+        |    END AS dd
+        |  FROM pts),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pair
+        |    ORDER BY round(dd, 6) DESC NULLS LAST, day) AS rnk
+        |  FROM d)
+        |SELECT pair, day, x, y, round(h, 6) AS leverage,
+        |  round(e, 6) AS resid, round(dd, 6) AS cooks_d,
+        |  CAST(rnk AS INTEGER) AS rnk
+        |FROM rk WHERE rnk <= 5 ORDER BY pair, rnk""".stripMargin,
+
+    // two calendar self-joins score the SAME day set; exact decimal
+    // error sums, sMAPE ratios 9-rounded through DECIMAL(28,9)
+    "o99_forecast_skill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type, d.v, f.v AS fv, p.v AS pv
+        |  FROM daily d
+        |  JOIN daily f ON f.event_type = d.event_type
+        |    AND f.day = d.day - 7
+        |  JOIN daily p ON p.event_type = d.event_type
+        |    AND p.day = d.day - 1),
+        |t AS (
+        |  SELECT event_type, v, fv,
+        |    CAST(CAST(v AS DECIMAL(18,6)) - CAST(fv AS DECIMAL(18,6))
+        |      AS DECIMAL(18,6)) AS d,
+        |    CAST(CAST(v AS DECIMAL(18,6)) - CAST(pv AS DECIMAL(18,6))
+        |      AS DECIMAL(18,6)) AS d1
+        |  FROM j),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(abs(d)) AS DOUBLE) AS sad,
+        |    CAST(SUM(d * d) AS DOUBLE) AS sd2,
+        |    CAST(SUM(abs(d1)) AS DOUBLE) AS sad1,
+        |    CAST(SUM(CASE WHEN abs(v) + abs(fv) <> 0 THEN
+        |      CAST(round(2.0e0 * abs(CAST(d AS DOUBLE)) /
+        |        (abs(v) + abs(fv)), 9) AS DECIMAL(28,9)) END) AS DOUBLE)
+        |      AS ssm,
+        |    CAST(COUNT(CASE WHEN abs(v) + abs(fv) <> 0 THEN 1 END)
+        |      AS BIGINT) AS nsm
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(sad / CAST(n AS DOUBLE), 6) AS mae,
+        |  round(sqrt(sd2 / CAST(n AS DOUBLE)), 6) AS rmse,
+        |  CASE WHEN nsm > 0 THEN round(ssm / CAST(nsm AS DOUBLE), 6)
+        |    END AS smape,
+        |  CASE WHEN sad1 > 0 THEN round(sad / CAST(n AS DOUBLE) /
+        |    (sad1 / CAST(n AS DOUBLE)), 6) END AS mase
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // exact order-statistic median from a domain-sized cumulative scan;
     // per-group χ² terms 9-rounded and DECIMAL(28,9)-summed

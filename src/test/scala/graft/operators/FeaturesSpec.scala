@@ -1353,4 +1353,63 @@ class FeaturesSpec extends SparkSpec {
     val chi = Features.friedmanTest(mixed, "b", "t", "v").head.getDouble(2)
     assert(math.abs(chi - 3 * 2 * w) < 1e-5)
   }
+
+  test("chowTest: hand SSEs and F on a shifted-intercept break; a " +
+      "missing regime nulls") {
+    import spark.implicits._
+    // regime a: 4 points around y=x (SSE/n = .2); regime b: same shape
+    // shifted +16 in y → pooled fit is terrible → large F
+    val df = (Seq((0.0, 0.0), (1.0, 1.0), (2.0, 1.0), (3.0, 2.0))
+      .map { case (x, y) => ("k", false, x, y) } ++
+      Seq((4.0, 20.0), (5.0, 21.0), (6.0, 23.0), (7.0, 24.0))
+        .map { case (x, y) => ("k", true, x, y) })
+      .toDF("k", "late", "x", "y")
+    val r = Features.chowTest(df, "k", "late", "x", "y").head
+    assert(r.getLong(1) == 8L && r.getLong(2) == 4L && r.getLong(3) == 4L)
+    assert(r.getDouble(5) == 0.2 && r.getDouble(6) == 0.2)
+    // pooled SSE: uxx=336, uyy=7152, uxy=1424 → (7152−1424²/336)/8
+    val ssep = (7152.0 - 1424.0 * 1424.0 / 336.0) / 8.0
+    assert(r.getDouble(4) == r6(ssep))
+    assert(r.getDouble(7) == r6((ssep - 0.4) / 2.0 / (0.4 / 4.0)))
+    // single regime: no break to test
+    val one = df.where(!col("late"))
+    assert(Features.chowTest(one, "k", "late", "x", "y").head.isNullAt(7))
+  }
+
+  test("breuschPagan: exact fit nulls the aux r²; variance growing " +
+      "with x flags") {
+    import spark.implicits._
+    val exact = (1 to 6).map(i => ("k", i.toDouble, 2.0 * i))
+      .toDF("k", "x", "y")
+    val e = Features.breuschPagan(exact, "k", "x", "y").head
+    assert(e.getDouble(2) == 2.0 && e.isNullAt(4) && e.isNullAt(5))
+    // residuals ±x/5 around y=x: e² = x²/25 grows with x
+    val het = (1 to 10).map { i =>
+      val eps = if (i % 2 == 0) i / 5.0 else -i / 5.0
+      ("k", i.toDouble, i + eps)
+    }.toDF("k", "x", "y")
+    val h = Features.breuschPagan(het, "k", "x", "y").head
+    assert(h.getDouble(4) > 0.3)
+    assert(h.getDouble(5) == r6(h.getLong(1) * h.getDouble(4)))
+  }
+
+  test("regressionInfluence: the planted outlier tops Cook's ranking; " +
+      "extreme x carries the leverage") {
+    import spark.implicits._
+    val df = ((1 to 9).map(i => ("k", i.toLong, i.toDouble, 2.0 * i)) :+
+      ("k", 10L, 10.0, 40.0)).toDF("k", "id", "x", "y")
+    val rows = Features.regressionInfluence(df, "k", "id", "x", "y", 3)
+      .orderBy("rnk").collect()
+    assert(rows.length == 3)
+    // the (10, 40) point (true 2x = 20) dominates influence
+    assert(rows.head.getLong(1) == 10L)
+    assert(rows.head.getDouble(6) > rows(1).getDouble(6))
+    // x = 10 is the extreme x → max leverage among returned rows
+    assert(rows.head.getDouble(4) == rows.map(_.getDouble(4)).max)
+    // a 2-point key: n ≤ 2 rows drop entirely
+    val tiny = Seq(("k", 1L, 1.0, 1.0), ("k", 2L, 2.0, 3.0))
+      .toDF("k", "id", "x", "y")
+    assert(Features.regressionInfluence(tiny, "k", "id", "x", "y", 3)
+      .count() == 0)
+  }
 }

@@ -836,4 +836,35 @@ class TimeSeriesSpec extends SparkSpec {
       .where(col("direction") === "x->y").head
     assert(f.isNullAt(3))
   }
+
+  test("forecastSkill: an exact weekly pattern zeroes the seasonal " +
+      "errors; a flat series nulls MASE") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+    // v = (dayIndex mod 7) + 1: seasonal-naive (lag 7) is EXACT, the
+    // lag-1 persistence is not → mae/rmse/smape 0, mase 0
+    val weekly = (0 until 21).map(i => ("s", day(i), (i % 7) + 1.0))
+      .toDF("k", "d", "v")
+    val w = TimeSeries.forecastSkill(weekly, "k", "d", "v", 7).head
+    assert(w.getLong(1) == 14L) // days 7..20 have both lags
+    assert(w.getDouble(2) == 0.0 && w.getDouble(3) == 0.0 &&
+      w.getDouble(4) == 0.0 && w.getDouble(5) == 0.0)
+    // flat series: persistence MAE is 0 → the MASE ratio is undefined
+    val flat = (0 until 21).map(i => ("s", day(i), 5.0)).toDF("k", "d", "v")
+    val fl = TimeSeries.forecastSkill(flat, "k", "d", "v", 7).head
+    assert(fl.getDouble(2) == 0.0 && fl.getDouble(4) == 0.0 &&
+      fl.isNullAt(5))
+    // a known error ladder: days 14.. forecast = v(d−7); shift the
+    // last week by +3 → mae 3, rmse 3, mase = 3·n/Σ|lag-1 diffs|
+    val shifted = (0 until 21).map { i =>
+      val base = (i % 7) + 1.0
+      ("s", day(i), if (i >= 14) base + 3.0 else base)
+    }.toDF("k", "d", "v")
+    val sh = TimeSeries.forecastSkill(shifted, "k", "d", "v", 7)
+      .head
+    // scored days 7..20: errors are 0 for days 7..13, 3 for 14..20 →
+    // mae = 21/14 = 1.5
+    assert(sh.getDouble(2) == 1.5)
+  }
 }
