@@ -3169,6 +3169,93 @@ object Features {
   }
 
   /**
+   * P311 — market concentration per key: HHI = Σ shareᵢ² over entities
+   * plus the CR4 top-4 concentration ratio — the "is this segment a
+   * monopoly" read (HHI > 0.25 = highly concentrated in the DOJ
+   * convention on 0..1 shares) and the data-pipeline skew read (one
+   * source owning a corpus is the same failure). Non-positive values
+   * drop (shares of negative revenue are undefined). Emits per key:
+   * n_entities, total, hhi, cr4.
+   *
+   * Shape: one keyed total agg joined back (shuffle_hash — post-agg
+   * side has no stats), one key-partitioned top-4 window, two keyed
+   * sums. Cross-engine: totals are exact DECIMAL(18,6) sums; share
+   * terms are fixed double squares rounded at 9 through DECIMAL(28,9);
+   * CR4 is a ratio of exact decimals; outputs rounded at 6.
+   */
+  def concentrationIndex(df: DataFrame, keyCol: String, entityCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(entityCol).isNotNull &&
+        col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(keyCol).as("__k"), col(entityCol).as("__e"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val tot = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__v")).as("__t"))
+    val share = col("__v").cast("double") / col("__t").cast("double")
+    val hhi = base.join(tot.hint("shuffle_hash"), Seq("__k"))
+      .select(col("__k"),
+        round(share * share, 9).cast("decimal(28,9)").as("__s2"))
+      .groupBy(col("__k")).agg(sum(col("__s2")).cast("double").as("__hhi"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__v").desc, col("__e").asc)
+    val cr = base.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 4)
+      .groupBy(col("__k")).agg(sum(col("__v")).as("__top4"))
+    tot.join(hhi.hint("shuffle_hash"), Seq("__k"))
+      .join(cr.hint("shuffle_hash"), Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_entities"),
+        col("__t").cast("double").as("total"),
+        round(col("__hhi"), 6).as("hhi"),
+        round(col("__top4").cast("double") / col("__t").cast("double"), 6)
+          .as("cr4"))
+  }
+
+  /**
+   * P312 — inequality indices per key: Atkinson(ε=1) = 1 − geomean/mean
+   * (the welfare-weighted inequality measure: 0.3 reads "30% of total
+   * value could be destroyed if distributed equally at no welfare
+   * loss") and the Hoover index ½Σ|shareᵢ − 1/n| (the share that would
+   * have to move to equalize) — two one-number complements to P144's
+   * Gini and P158's Lorenz curve. Non-positive values drop (the
+   * geometric mean requires positives). Emits per key: n, total, mean,
+   * atkinson, hoover.
+   *
+   * Shape: one keyed total agg joined back (shuffle_hash), one keyed
+   * term agg. Cross-engine: ln terms run on exact decimal-cast doubles
+   * and round at 6 into DECIMAL(28,6) (the o33/q11 firewall); Hoover
+   * terms round at 9 through DECIMAL(28,9); one runtime exp on
+   * identical operands; outputs rounded at 6.
+   */
+  def inequalityIndices(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) > 0)
+      .select(col(keyCol).as("__k"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val tot = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__t"))
+    val vd = col("__v").cast("double")
+    val nd = col("n").cast("double")
+    val td = col("__t").cast("double")
+    val terms = base.join(tot.hint("shuffle_hash"), Seq("__k"))
+      .select(col("__k"),
+        round(log(vd), 6).cast("decimal(28,6)").as("__ln"),
+        round(abs(vd / td - lit(1.0) / nd), 9).cast("decimal(28,9)")
+          .as("__hv"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__ln")).cast("double").as("__sl"),
+        sum(col("__hv")).cast("double").as("__sh"))
+    tot.join(terms.hint("shuffle_hash"), Seq("__k"))
+      .select(col("__k").as(keyCol), col("n"),
+        col("__t").cast("double").as("total"),
+        round(td / nd, 6).as("mean"),
+        when(col("n") > 0,
+          round(lit(1.0) - exp(col("__sl") / nd) / (td / nd), 6))
+          .as("atkinson"),
+        round(lit(0.5) * col("__sh"), 6).as("hoover"))
+  }
+
+  /**
    * P307 — Chow structural-break test per key: fit y ~ x separately in
    * the two regimes and pooled, F = ((SSE_p − SSE_a − SSE_b)/2) /
    * ((SSE_a + SSE_b)/(n − 4)) — "did the relationship CHANGE at the

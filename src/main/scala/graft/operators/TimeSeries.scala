@@ -1493,27 +1493,16 @@ object TimeSeries {
             col("__v").cast("double") < col("lcl")).as("out_of_control"))
   }
 
-  /**
-   * P291 — Ljung–Box portmanteau test: per key, the pooled-mean sample
-   * autocorrelations ρ̂₁..ρ̂_h of the ordered series and
-   * Q = n(n+2)·Σ ρ̂k²/(n−k) — "is there ANY serial structure in the
-   * first h lags" (o78's Durbin–Watson sees only lag 1; this is the
-   * residual-whiteness gate a forecast backtest should quote). Input
-   * values must be 6-rounded (the dailyMeans contract). Emits per key
-   * (key, n, h, q_stat, dof = h); n ≤ h + 1 nulls the statistic (lags
-   * with n − k ≤ 0 are skipped) and a constant series (zero variance)
-   * drops its key.
-   *
-   * Shape: ONE key-partitioned window carrying all h lags + one keyed
-   * agg. Cross-engine: deviations from the 6-rounded mean become exact
-   * micro-unit BIGINTs; lag products and the denominator are exact
-   * integer sums; each ρ̂k and Σ-term is a fixed double sequence
-   * rounded at 6/9 with DECIMAL(28,9) accumulation.
-   */
-  def ljungBox(df: DataFrame, keyCol: String, ordCol: String,
-      valueCol: String, maxLag: Int = 7): DataFrame = {
+  /** The shared pooled-mean ACF pass (P291/P314): per key, ρ_k =
+    * Σdm_t·dm_{t−k} / Σdm² at lags 1..maxLag from ONE lag window over
+    * micro-unit integer deviations — the exact construction documented
+    * on [[ljungBox]], extracted so the PACF cannot drift from the Q
+    * statistic's autocorrelations. Returns (__k, n, __r1..__rmaxLag),
+    * each ρ 6-rounded; zero-variance keys drop. */
+  private def pooledAcf(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 24,
-      s"ljungBox: maxLag must be in 1..24, got $maxLag")
+      s"pooledAcf: maxLag must be in 1..24, got $maxLag")
     val base = df.where(col(keyCol).isNotNull && col(ordCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(keyCol).as("__k"), col(ordCol).as("__o"),
@@ -1538,13 +1527,35 @@ object TimeSeries {
           sum(d19(col("__dm")) * d19(coalesce(col(s"__l$k"), lit(0L))))
             .as(s"__n$k"))
     val sums = d.groupBy(col("__k")).agg(aggExprs.head, aggExprs.tail: _*)
-    val nd = col("n").cast("double")
     val rho = (1 to maxLag).map { k =>
       round(col(s"__n$k").cast("double") / col("__den").cast("double"), 6)
         .as(s"__r$k")
     }
-    val withRho = sums.where(col("__den") > 0)
+    sums.where(col("__den") > 0)
       .select(col("__k") +: col("n") +: rho: _*)
+  }
+
+  /**
+   * P291 — Ljung–Box portmanteau test: per key, the pooled-mean sample
+   * autocorrelations ρ̂₁..ρ̂_h of the ordered series and
+   * Q = n(n+2)·Σ ρ̂k²/(n−k) — "is there ANY serial structure in the
+   * first h lags" (o78's Durbin–Watson sees only lag 1; this is the
+   * residual-whiteness gate a forecast backtest should quote). Input
+   * values must be 6-rounded (the dailyMeans contract). Emits per key
+   * (key, n, h, q_stat, dof = h); n ≤ h + 1 nulls the statistic (lags
+   * with n − k ≤ 0 are skipped) and a constant series (zero variance)
+   * drops its key.
+   *
+   * Shape: ONE key-partitioned window carrying all h lags + one keyed
+   * agg. Cross-engine: deviations from the 6-rounded mean become exact
+   * micro-unit BIGINTs; lag products and the denominator are exact
+   * integer sums; each ρ̂k and Σ-term is a fixed double sequence
+   * rounded at 6/9 with DECIMAL(28,9) accumulation.
+   */
+  def ljungBox(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, maxLag: Int = 7): DataFrame = {
+    val withRho = pooledAcf(df, keyCol, ordCol, valueCol, maxLag)
+    val nd = col("n").cast("double")
     val terms = (1 to maxLag).map { k =>
       when(col("n") > k,
         round(col(s"__r$k") * col(s"__r$k") / (nd - lit(k.toDouble)), 9))
@@ -1749,5 +1760,101 @@ object TimeSeries {
         when(col("beta").isNotNull,
           round(col("mu") - col("beta") * lit(c2), 6)))
       .drop("__sx", "__sxx")
+  }
+
+  /** The (cos, sin) values of 2πr/p for r = 0..p−1 — computed ONCE on
+    * the driver so [[periodogram]] and any oracle generator embed
+    * IDENTICAL double literals (the o12 weight-ladder rule: neither
+    * engine calls cos/sin at runtime). */
+  def fourierLadder(p: Int): Seq[(Double, Double)] = {
+    require(p >= 2 && p <= 64, s"fourierLadder: p must be in 2..64, got $p")
+    (0 until p).map { r =>
+      val a = 2.0 * math.Pi * r / p
+      (math.cos(a), math.sin(a))
+    }
+  }
+
+  /**
+   * P313 — periodogram at candidate periods: per (key, period p),
+   * I(p) = C² + S² with C = Σ v·cos(2πd/p), S = Σ v·sin(2πd/p) over
+   * the integer day index — the spectral "WHICH cycle length is in
+   * this series" scan (P120's seasonality and P141's profile ASSUME
+   * weekly; the periodogram finds the period). The winning period has
+   * the dominant power. Emits per (key, period): n, c_sum, s_sum,
+   * power.
+   *
+   * Shape: one keyed agg per candidate period over the (agg-sized)
+   * daily frame, unioned — no windows, no joins. Cross-engine: the
+   * cos/sin values are [[fourierLadder]] driver literals selected by
+   * an integer d%p CASE (no runtime trig); per-row products round at 9
+   * through DECIMAL(28,9); the power closing is a fixed double
+   * sequence rounded at 6.
+   */
+  def periodogram(df: DataFrame, keyCol: String, dayIdxCol: String,
+      valueCol: String, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty, "periodogram: need at least one period")
+    require(periods.distinct.size == periods.size,
+      s"periodogram: duplicate periods in ${periods.mkString(",")}")
+    val frames = periods.map { p =>
+      val lad = fourierLadder(p)
+      val r = col(dayIdxCol).cast("long") % lit(p.toLong)
+      def caseChain(vals: Seq[Double]): Column =
+        vals.zipWithIndex.tail.foldLeft(
+          when(r === 0L, lit(vals.head))) { case (acc, (v, i)) =>
+          acc.when(r === i.toLong, lit(v))
+        }
+      val vd = col(valueCol).cast("double")
+      def t9(c: Column) = round(c, 9).cast("decimal(28,9)")
+      df.where(col(keyCol).isNotNull && col(dayIdxCol).isNotNull &&
+          col(valueCol).isNotNull)
+        .select(col(keyCol),
+          t9(vd * caseChain(lad.map(_._1))).as("__tc"),
+          t9(vd * caseChain(lad.map(_._2))).as("__ts"))
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n"), sum(col("__tc")).as("__c"),
+          sum(col("__ts")).as("__s"))
+        .select(col(keyCol), lit(p).as("period"), col("n"),
+          round(col("__c").cast("double"), 6).as("c_sum"),
+          round(col("__s").cast("double"), 6).as("s_sum"),
+          round(col("__c").cast("double") * col("__c").cast("double") +
+            col("__s").cast("double") * col("__s").cast("double"), 6)
+            .as("power"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /**
+   * P314 — partial autocorrelation at lags 1..3 via the Durbin–
+   * Levinson recursion on the P291 pooled-mean ACF: φ11 = ρ1,
+   * φ22 = (ρ2 − ρ1²)/(1 − ρ1²), φ33 from the order-2 coefficients —
+   * the AR-order probe (ACF tails off, PACF CUTS OFF at the true lag;
+   * ρ2 being large means nothing if lag 1 explains it, which is
+   * exactly what φ22 strips). Emits per key: n, rho1..rho3,
+   * pacf1..pacf3; degenerate denominators (|ρ1| = 1, singular order-2
+   * system) or n ≤ lag+1 null the affected φ; zero-variance keys drop.
+   *
+   * Shape: the shared [[pooledAcf]] pass (one key-partitioned lag
+   * window + one keyed agg). Cross-engine: the φ closings are fixed
+   * double sequences on the 6-rounded ρ's, rounded at 6; the order-3
+   * branch nests inside the order-2 guard so a singular inner system
+   * can never divide by zero (the ANSI-lazy rule).
+   */
+  def pacfDurbinLevinson(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val withRho = pooledAcf(df, keyCol, ordCol, valueCol, maxLag = 3)
+    val r1 = col("__r1")
+    val r2 = col("__r2")
+    val r3 = col("__r3")
+    val den2 = lit(1.0) - r1 * r1
+    val phi22 = (r2 - r1 * r1) / den2
+    val phi21 = r1 - phi22 * r1
+    val den3 = lit(1.0) - phi21 * r1 - phi22 * r2
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) / den3
+    withRho.select(col("__k").as(keyCol), col("n"),
+      r1.as("rho1"), r2.as("rho2"), r3.as("rho3"),
+      when(col("n") > 2, r1).as("pacf1"),
+      when(col("n") > 3 && den2 =!= 0.0, round(phi22, 6)).as("pacf2"),
+      when(den2 =!= 0.0,
+        when(col("n") > 4 && den3 =!= 0.0, round(phi33, 6))).as("pacf3"))
   }
 }

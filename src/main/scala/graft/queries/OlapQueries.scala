@@ -960,6 +960,63 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P311 — part revenue concentration per brand: HHI + CR4 — "does
+    // one SKU own the brand" (entity grain measured: 4-12 parts/brand
+    // at sf0.001, 62-96 at sf0.01 — CR4 non-saturated; the
+    // supplier-per-nation cut read cr4 = 1.0 everywhere at the gate SF)
+    "o100_hhi" -> ((s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .as("rev"))
+      val j = table(s, dir, "part")
+        .join(rev.hint("shuffle_hash"),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand").as("brand"),
+          col("p_partkey").as("pk"), col("rev"))
+      graft.operators.Features.concentrationIndex(j, "brand", "pk",
+          "rev")
+        .orderBy("brand")
+    }),
+
+    // P312 — customer spend inequality per market segment: Atkinson
+    // ε=1 + Hoover beside o31's Gini and o66's Lorenz curve
+    "o101_atkinson" -> ((s, dir) => {
+      val spend = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .as("spend"))
+      val j = table(s, dir, "customer")
+        .join(spend.hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("spend"))
+      graft.operators.Features.inequalityIndices(j, "segment", "spend")
+        .orderBy("segment")
+    }),
+
+    // P313 — periodogram over candidate periods {3,5,7,10}: WHICH
+    // cycle length dominates each event type's daily series (o26
+    // assumes weekly; this finds it)
+    "o102_periodogram" -> ((s, dir) => {
+      val daily = dailyMeans(s, dir)
+        .select(col("event_type"),
+          datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("long").as("di"),
+          col("v"))
+      graft.operators.TimeSeries.periodogram(daily, "event_type", "di",
+          "v", Seq(3, 5, 7, 10))
+        .orderBy("event_type", "period")
+    }),
+
+    // P314 — PACF lags 1..3 by Durbin–Levinson on the o83 pooled ACF:
+    // does lag 2/3 structure survive once lag 1 is stripped (the AR
+    // order probe)
+    "o103_pacf" -> ((s, dir) => {
+      graft.operators.TimeSeries.pacfDurbinLevinson(
+          dailyMeans(s, dir), "event_type", "day", "v")
+        .orderBy("event_type")
+    }),
+
     // P297 — Granger causality (lag 1) between the click and purchase
     // daily means, both directions: does x's past improve y's forecast
     // beyond y's own past (x = click, y = purchase)
@@ -4155,6 +4212,128 @@ object OlapQueries {
         |FROM st2 s JOIN w ON w.pair = s.pair
         |ORDER BY s.pair""".stripMargin,
 
+    // exact decimal totals joined back; share squares 9-rounded through
+    // DECIMAL(28,9); CR4 a ratio of exact decimals
+    "o100_hhi" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS rev
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT p_brand AS brand, p_partkey AS pk,
+        |    CAST(rev AS DECIMAL(18,6)) AS v
+        |  FROM part JOIN rev ON l_partkey = p_partkey
+        |  WHERE rev > 0),
+        |tot AS (
+        |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |    SUM(v) AS t
+        |  FROM j GROUP BY 1),
+        |hhi AS (
+        |  SELECT j.brand, CAST(SUM(CAST(round(
+        |    (CAST(v AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |    (CAST(v AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS h
+        |  FROM j JOIN tot ON tot.brand = j.brand GROUP BY 1),
+        |rk AS (
+        |  SELECT brand, v, row_number() OVER (PARTITION BY brand
+        |    ORDER BY v DESC, pk) AS rn
+        |  FROM j),
+        |cr AS (SELECT brand, SUM(v) AS top4 FROM rk WHERE rn <= 4
+        |  GROUP BY 1)
+        |SELECT t.brand, t.n_entities, CAST(t.t AS DOUBLE) AS total,
+        |  round(h.h, 6) AS hhi,
+        |  round(CAST(c.top4 AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS cr4
+        |FROM tot t JOIN hhi h ON h.brand = t.brand
+        |JOIN cr c ON c.brand = t.brand
+        |ORDER BY t.brand""".stripMargin,
+
+    // ln terms 6-rounded through DECIMAL(28,6) (the o33/q11 firewall),
+    // Hoover terms 9-rounded, one runtime exp per key
+    "o101_atkinson" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS spend
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c_mktsegment AS segment, CAST(spend AS DECIMAL(18,6))
+        |    AS v
+        |  FROM customer JOIN spend ON o_custkey = c_custkey
+        |  WHERE spend > 0),
+        |tot AS (
+        |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS t
+        |  FROM j GROUP BY 1),
+        |terms AS (
+        |  SELECT j.segment,
+        |    CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS sl,
+        |    CAST(SUM(CAST(round(abs(CAST(v AS DOUBLE) /
+        |      CAST(t AS DOUBLE) - 1.0e0 / CAST(n AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS sh
+        |  FROM j JOIN tot ON tot.segment = j.segment GROUP BY 1)
+        |SELECT t.segment, t.n, CAST(t.t AS DOUBLE) AS total,
+        |  round(CAST(t.t AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS mean,
+        |  CASE WHEN t.n > 0 THEN
+        |    round(1.0e0 - exp(s.sl / CAST(t.n AS DOUBLE)) /
+        |      (CAST(t.t AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+        |  END AS atkinson,
+        |  round(0.5e0 * s.sh, 6) AS hoover
+        |FROM tot t JOIN terms s ON s.segment = t.segment
+        |ORDER BY t.segment""".stripMargin,
+
+    // the o83 pooled-ACF CTEs at h=3 + the Durbin–Levinson closing on
+    // the 6-rounded rhos; order-3 branch nested in the order-2 guard
+    "o103_pacf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |mn AS (
+        |  SELECT event_type,
+        |    CAST(round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mean
+        |  FROM daily GROUP BY 1),
+        |d AS (
+        |  SELECT daily.event_type AS k, day,
+        |    CAST((CAST(v AS DECIMAL(18,6)) - mean) * 1000000 AS BIGINT)
+        |      AS dm
+        |  FROM daily JOIN mn ON mn.event_type = daily.event_type),
+        |l AS (
+        |  SELECT k, dm, lag(dm, 1) OVER w AS l1, lag(dm, 2) OVER w AS l2,
+        |    lag(dm, 3) OVER w AS l3
+        |  FROM d WINDOW w AS (PARTITION BY k ORDER BY day)),
+        |s AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dm * dm) AS BIGINT) AS den,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN dm * l1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN dm * l2 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN dm * l3 ELSE 0 END)
+        |      AS BIGINT) AS n3
+        |  FROM l GROUP BY 1),
+        |r AS (
+        |  SELECT k, n,
+        |    round(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1,
+        |    round(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r2,
+        |    round(CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r3
+        |  FROM s WHERE den > 0),
+        |p2 AS (
+        |  SELECT k, n, r1, r2, r3,
+        |    CASE WHEN 1.0e0 - r1 * r1 <> 0 THEN
+        |      (r2 - r1 * r1) / (1.0e0 - r1 * r1) END AS phi22
+        |  FROM r),
+        |p3 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p2),
+        |p4 AS (SELECT *, 1.0e0 - phi21 * r1 - phi22 * r2 AS den3 FROM p3)
+        |SELECT k AS event_type, n, r1 AS rho1, r2 AS rho2, r3 AS rho3,
+        |  CASE WHEN n > 2 THEN r1 END AS pacf1,
+        |  CASE WHEN n > 3 AND phi22 IS NOT NULL THEN round(phi22, 6)
+        |    END AS pacf2,
+        |  CASE WHEN phi22 IS NOT NULL AND n > 4 AND den3 <> 0 THEN
+        |    round((r3 - phi21 * r2 - phi22 * r1) / den3, 6)
+        |  END AS pacf3
+        |FROM p4 ORDER BY event_type""".stripMargin,
+
     // per-(type, regime) o11 moments; pooled moments are the exact
     // decimal sums of the regime sums; SSEs and F are fixed double
     // closings rounded at 6
@@ -4710,6 +4889,40 @@ object OlapQueries {
     // the shared daily CTE, micro-unit deviations from the 6-rounded
     // mean, 7 lag windows, exact integer lag products, 9-rounded terms
     // DECIMAL-summed, one closing sequence
+    // the fourierLadder cos/sin driver literals selected by an integer
+    // di % p CASE (no runtime trig on either side); per-row products
+    // 9-rounded through DECIMAL(28,9)
+    "o102_periodogram" -> {
+      val periods = Seq(3, 5, 7, 10)
+      def l(d: Double) = graft.operators.Features.sqlDoubleLiteral(d)
+      val branches = periods.map { p =>
+        val lad = graft.operators.TimeSeries.fourierLadder(p)
+        def cc(sel: ((Double, Double)) => Double) = lad.zipWithIndex
+          .map { case (v, r) => s"WHEN $r THEN ${l(sel(v))}" }
+          .mkString(" ")
+        s"""SELECT event_type, $p AS period, n, round(c, 6) AS c_sum,
+           |  round(s, 6) AS s_sum, round(c * c + s * s, 6) AS power
+           |FROM (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(round(v * CASE di % $p ${cc(_._1)} END, 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS c,
+           |    CAST(SUM(CAST(round(v * CASE di % $p ${cc(_._2)} END, 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS s
+           |  FROM pts GROUP BY 1) x$p""".stripMargin
+      }
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT event_type,
+         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS di, v
+         |  FROM daily)
+         |${branches.mkString("\n|UNION ALL\n|")}
+         |ORDER BY event_type, period""".stripMargin
+    },
+
     "o83_ljungbox" -> {
       val h = 7
       val lagCols = (1 to h).map(k => s"lag(dm, $k) OVER w AS l$k")

@@ -1354,6 +1354,35 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(chi - 3 * 2 * w) < 1e-5)
   }
 
+  test("concentrationIndex: hand HHI/CR4; monopoly reads 1; " +
+      "non-positive values drop") {
+    import spark.implicits._
+    // shares .5/.3/.1/.05/.05 → HHI .355, CR4 = 95/100
+    val df = Seq(("k", "a", 50.0), ("k", "b", 30.0), ("k", "c", 10.0),
+      ("k", "d", 5.0), ("k", "e", 5.0), ("k", "z", -3.0), ("k", "y", 0.0))
+      .toDF("g", "e", "v")
+    val r = Features.concentrationIndex(df, "g", "e", "v").head
+    assert(r.getLong(1) == 5L && r.getDouble(2) == 100.0)
+    assert(r.getDouble(3) == 0.355 && r.getDouble(4) == 0.95)
+    val mono = Seq(("k", "a", 100.0)).toDF("g", "e", "v")
+    val m = Features.concentrationIndex(mono, "g", "e", "v").head
+    assert(m.getDouble(3) == 1.0 && m.getDouble(4) == 1.0)
+  }
+
+  test("inequalityIndices: equal values score 0; hand Atkinson/Hoover " +
+      "on a 1-vs-9 split") {
+    import spark.implicits._
+    val eq = (1 to 4).map(i => ("k", 5.0)).toDF("g", "v")
+    val e = Features.inequalityIndices(eq, "g", "v").head
+    assert(e.getDouble(3) == 5.0 && e.getDouble(4) == 0.0 &&
+      e.getDouble(5) == 0.0)
+    // {1, 9}: mean 5, geomean 3 → Atkinson 0.4; shares .1/.9 → Hoover .4
+    val uneq = Seq(("k", 1.0), ("k", 9.0)).toDF("g", "v")
+    val u = Features.inequalityIndices(uneq, "g", "v").head
+    assert(math.abs(u.getDouble(4) - 0.4) < 1e-5)
+    assert(u.getDouble(5) == 0.4)
+  }
+
   test("chowTest: hand SSEs and F on a shifted-intercept break; a " +
       "missing regime nulls") {
     import spark.implicits._

@@ -867,4 +867,42 @@ class TimeSeriesSpec extends SparkSpec {
     // mae = 21/14 = 1.5
     assert(sh.getDouble(2) == 1.5)
   }
+
+  test("periodogram: a pure period-4 cosine concentrates power at " +
+      "p = 4 and vanishes at p = 2") {
+    import spark.implicits._
+    // v = {1, 0, −1, 0} repeating over 8 days
+    val df = (0 until 8).map(i =>
+      ("s", i.toLong, Seq(1.0, 0.0, -1.0, 0.0)(i % 4))).toDF("k", "di", "v")
+    val got = TimeSeries.periodogram(df, "k", "di", "v", Seq(2, 4))
+      .orderBy("period").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(2, 4))
+    assert(got(0).getDouble(5) == 0.0)  // p=2: orthogonal
+    assert(got(1).getDouble(3) == 4.0 && got(1).getDouble(5) == 16.0)
+    intercept[IllegalArgumentException](
+      TimeSeries.periodogram(df, "k", "di", "v", Seq(4, 4)))
+    intercept[IllegalArgumentException](TimeSeries.fourierLadder(1))
+  }
+
+  test("pacfDurbinLevinson: pacf1 = rho1 and the order-2/3 closings " +
+      "replay the recursion on the emitted rhos") {
+    import spark.implicits._
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val xs = Array.iterate(10.0, 40)(v => 0.7 * v + 3.0) // AR(1)-flavored
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("s", i.toLong, v + (if (i % 3 == 0) 0.5 else -0.25))
+    }.toSeq.toDF("k", "o", "v")
+    val r = TimeSeries.pacfDurbinLevinson(df, "k", "o", "v").head
+    val (r1, r2, r3) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(r.getDouble(5) == r1)
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(r.getDouble(6) == r6(phi22))
+    val phi21 = r1 - phi22 * r1
+    val den3 = 1.0 - phi21 * r1 - phi22 * r2
+    assert(r.getDouble(7) == r6((r3 - phi21 * r2 - phi22 * r1) / den3))
+    // constant series: zero variance → the key drops entirely
+    val flat = (0 until 10).map(i => ("s", i.toLong, 2.0)).toDF("k", "o", "v")
+    assert(TimeSeries.pacfDurbinLevinson(flat, "k", "o", "v").count() == 0)
+  }
 }
