@@ -1399,4 +1399,160 @@ object TextAnalysis {
           .as("jaccard"))
       .orderBy(col("group_a"), col("group_b"))
   }
+
+  /**
+   * P315 — term burstiness for the top-`topK` corpus terms: the
+   * variance-to-mean ratio of per-document counts over ALL documents
+   * (absent docs count 0) — Poisson scatter reads VMR ≈ 1 (function
+   * words), content/topic words clump (VMR ≫ 1), and templated
+   * boilerplate reads VMR ≪ its frequency peers. The
+   * frequency-vs-burstiness split is the classic content-word detector
+   * that raw counts can't give. Emits per term: rank, term, total,
+   * doc_freq, mean, vmr.
+   *
+   * Shape: one (term, doc) agg, one term agg, a TakeOrderedAndProject
+   * top-K (never a full vocabulary sort), then a rank window over the
+   * CAPPED K-row frame (the zipfFit idiom — allowlisted). Cross-engine:
+   * counts exact (squares DECIMAL(19,0)-widened); mean/VMR are fixed
+   * double sequences on exact operands, rounded at 6; zero-docs enter
+   * through the corpus doc count, never a densified grid.
+   */
+  def termBurstiness(docs: DataFrame, textCol: String, idCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"termBurstiness: topK must be >= 1, got $topK")
+    val base = docs.where(col(textCol).isNotNull && col(idCol).isNotNull)
+    val dAgg = base.agg(count(lit(1)).as("__d"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val perTerm = base
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("__id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("__c")).as("total"),
+        sum(d19(col("__c")) * d19(col("__c"))).cast("double").as("__s2"))
+    val top = perTerm.orderBy(col("total").desc, col("term").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total").desc, col("term").asc)
+    val dd = col("__d").cast("double")
+    val s1 = col("total").cast("double")
+    val mean = s1 / dd
+    val varS = (dd * col("__s2") - s1 * s1) / (dd * (dd - lit(1.0)))
+    top.crossJoin(broadcast(dAgg)) // 1-row scalar side
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("term"), col("total"), col("doc_freq"),
+        round(mean, 6).as("mean"),
+        when(col("__d") > 1 && col("total") > 0, round(varS / mean, 6))
+          .as("vmr"))
+      .orderBy(col("rank"))
+  }
+
+  /**
+   * P316 — Gries' deviation of proportions (DP) for the top-`topK`
+   * terms across corpus parts: DP = ½·Σ_parts |obs_p − exp_p| with
+   * obs_p the term's count share in part p and exp_p the part's token
+   * share — 0 = perfectly dispersed (the term follows the corpus),
+   * 1 = concentrated in one part. THE source-skew read per term: a
+   * "frequent" term living in one shard is a contamination/boilerplate
+   * signal that corpus-wide counts hide. Absent (term, part) cells
+   * contribute their full exp_p — the grid is DENSIFIED (the dq11
+   * spine rule). Emits per term: rank, term, total, dp.
+   *
+   * Shape: one part agg, one (term, part) agg, a top-K cap, a K×P
+   * broadcast generator grid left-joined to the counts, one keyed term
+   * agg, a rank window over the K-row closing frame (allowlisted).
+   * Cross-engine: all counts exact; per-part terms are fixed double
+   * sequences rounded at 9 through DECIMAL(28,9); DP rounds at 6.
+   */
+  def griesDispersion(docs: DataFrame, textCol: String, partCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"griesDispersion: topK must be >= 1, got $topK")
+    val base = docs.where(col(textCol).isNotNull && col(partCol).isNotNull)
+      .select(col(partCol).as("__p"), tokens(col(textCol)).as("__l"))
+    val parts = base.groupBy(col("__p"))
+      .agg(sum(size(col("__l")).cast("long")).as("__ptok"))
+    val tot = parts.agg(sum(col("__ptok")).as("__t"))
+    val tp = base.select(col("__p"), explode(col("__l")).as("term"))
+      .groupBy(col("term"), col("__p")).agg(count(lit(1)).as("__c"))
+    val top = tp.groupBy(col("term")).agg(sum(col("__c")).as("total"))
+      .orderBy(col("total").desc, col("term").asc).limit(topK)
+    val grid = top.crossJoin(broadcast(parts)) // K×P generator grid
+      .join(tp.hint("shuffle_hash"), Seq("term", "__p"), "left")
+      .crossJoin(broadcast(tot)) // 1-row scalar side
+    val obs = coalesce(col("__c"), lit(0L)).cast("double") /
+      col("total").cast("double")
+    val expd = col("__ptok").cast("double") / col("__t").cast("double")
+    val dp = grid
+      .select(col("term"), col("total"),
+        round(abs(obs - expd), 9).cast("decimal(28,9)").as("__dpt"))
+      .groupBy(col("term"), col("total"))
+      .agg(sum(col("__dpt")).cast("double").as("__dp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total").desc, col("term").asc)
+    dp.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("term"), col("total"),
+        round(lit(0.5) * col("__dp"), 6).as("dp"))
+      .orderBy(col("rank"))
+  }
+
+  /**
+   * P317 — Dunning log-likelihood (G²) collocations: for each bigram
+   * (a, b) above `minPairCount`, the 2×2 table over the bigram corpus
+   * (first-position margin c_a, second-position margin c_b, total N)
+   * scored by G² = 2·ΣO·ln(O/E) — the collocation test that, unlike
+   * P60's PMI, does NOT explode on rare pairs (PMI ranks two
+   * singletons co-occurring once above "of the"; G² weights by
+   * evidence). Emits the top-`topK` by G²: rank, a, b, c_ab, c_a,
+   * c_b, g2.
+   *
+   * Shape: one bigram agg, two margin aggs joined back (shuffle_hash),
+   * a broadcast 1-row total, a TakeOrderedAndProject top-K + rank
+   * window over the capped frame (allowlisted). Cross-engine: all
+   * counts exact BIGINTs; each cell term is row-local — O·ln(O/E)
+   * with the ln on identical doubles rounded at 6 (the firewall), the
+   * four-term sum a fixed expression order; G² rounds at 6. Zero
+   * cells contribute 0 (and a zero expectation forces a zero cell, so
+   * no ln(0) path exists).
+   */
+  def dunningG2(docs: DataFrame, textCol: String, minPairCount: Long,
+      topK: Int): DataFrame = {
+    require(minPairCount >= 1,
+      s"dunningG2: minPairCount must be >= 1, got $minPairCount")
+    require(topK >= 1, s"dunningG2: topK must be >= 1, got $topK")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("l"))
+    val pairs = toks
+      .select(explode(ngramArray(col("l"), 2)).as("g"))
+      .select(split(col("g"), " ", 2).getItem(0).as("a"),
+        split(col("g"), " ", 2).getItem(1).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = pairs.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+    val cb = pairs.groupBy("b").agg(sum(col("c_ab")).as("c_b"))
+    val nAgg = pairs.agg(sum(col("c_ab")).as("__n"))
+    val j = pairs.where(col("c_ab") >= minPairCount)
+      .join(ca.hint("shuffle_hash"), Seq("a"))
+      .join(cb.hint("shuffle_hash"), Seq("b"))
+      .crossJoin(broadcast(nAgg)) // 1-row scalar side
+    val nd = col("__n").cast("double")
+    val cad = col("c_a").cast("double")
+    val cbd = col("c_b").cast("double")
+    def cell(o: Column, e: Column) =
+      when(o > 0, o.cast("double") * round(log(o.cast("double") / e), 6))
+        .otherwise(lit(0.0))
+    val g2 = round(lit(2.0) * (
+      cell(col("c_ab"), cad * cbd / nd) +
+      cell(col("c_a") - col("c_ab"), cad * (nd - cbd) / nd) +
+      cell(col("c_b") - col("c_ab"), (nd - cad) * cbd / nd) +
+      cell(col("__n") - col("c_a") - col("c_b") + col("c_ab"),
+        (nd - cad) * (nd - cbd) / nd)), 6)
+    val scored = j.select(col("a"), col("b"), col("c_ab"), col("c_a"),
+      col("c_b"), g2.as("g2"))
+    val top = scored.orderBy(col("g2").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("g2").desc, col("a").asc, col("b").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("g2"))
+      .orderBy(col("rank"))
+  }
 }

@@ -224,6 +224,30 @@ object TextQueries {
         k = 20)
     }),
 
+    // P315 — term burstiness: VMR of per-doc counts over ALL docs for
+    // the top-20 terms — frequency-vs-clumping separates content words
+    // from function words at equal counts
+    "t35_burstiness" -> ((s, dir) => {
+      TextAnalysis.termBurstiness(table(s, dir, "documents"), "text",
+        "doc_id", topK = 20)
+    }),
+
+    // P316 — Gries DP dispersion across sources for the top-20 terms:
+    // a frequent term living in one shard is boilerplate/contamination
+    // that corpus-wide counts hide
+    "t36_dispersion" -> ((s, dir) => {
+      TextAnalysis.griesDispersion(table(s, dir, "documents"), "text",
+        "source", topK = 20)
+    }),
+
+    // P317 — Dunning G² collocations (top 20, pairs ≥ 5): the
+    // evidence-weighted collocation test beside t15's rare-pair-happy
+    // PMI
+    "t37_colloc" -> ((s, dir) => {
+      TextAnalysis.dunningG2(table(s, dir, "documents"), "text",
+        minPairCount = 5L, topK = 20)
+    }),
+
     // P286 — tokenizer fertility per language: chars-per-token and
     // tokens-per-doc (the compression read that decides how much a
     // language REALLY costs per context window)
@@ -929,6 +953,129 @@ object TextQueries {
     },
 
     // one lang-keyed agg; len() counts characters in both engines
+    // per-(term, doc) exact counts; VMR fixed double sequences on exact
+    // sums; rank over the capped top-20 frame
+    "t35_burstiness" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |d AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM base),
+        |pd AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(l) AS term FROM base)
+        |  GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+        |    CAST(SUM(c) AS BIGINT) AS total,
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS s2
+        |  FROM pd GROUP BY 1),
+        |top AS (SELECT * FROM pt ORDER BY total DESC, term LIMIT 20),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY total DESC, term)
+        |    AS INTEGER) AS rank
+        |  FROM top)
+        |SELECT rank, term, total, doc_freq,
+        |  round(CAST(total AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS mean,
+        |  CASE WHEN dd > 1 AND total > 0 THEN
+        |    round((CAST(dd AS DOUBLE) * s2 -
+        |      CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) /
+        |      (CAST(dd AS DOUBLE) * (CAST(dd AS DOUBLE) - 1.0e0)) /
+        |      (CAST(total AS DOUBLE) / CAST(dd AS DOUBLE)), 6)
+        |  END AS vmr
+        |FROM rk CROSS JOIN d ORDER BY rank""".stripMargin,
+
+    // K×P densified grid (absent cells contribute exp_p); per-part
+    // terms 9-rounded through DECIMAL(28,9)
+    "t36_dispersion" ->
+      """WITH base AS (
+        |  SELECT source AS p,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |parts AS (SELECT p, CAST(SUM(len(l)) AS BIGINT) AS ptok
+        |  FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ptok) AS BIGINT) AS t FROM parts),
+        |tp AS (
+        |  SELECT term, p, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT p, unnest(l) AS term FROM base) GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS total FROM tp
+        |  GROUP BY 1),
+        |top AS (SELECT * FROM tt ORDER BY total DESC, term LIMIT 20),
+        |grid AS (
+        |  SELECT top.term, top.total, parts.p, parts.ptok, tp.c
+        |  FROM top CROSS JOIN parts
+        |  LEFT JOIN tp ON tp.term = top.term AND tp.p = parts.p),
+        |dpt AS (
+        |  SELECT term, total, CAST(SUM(CAST(round(abs(
+        |    CAST(coalesce(c, 0) AS DOUBLE) / CAST(total AS DOUBLE) -
+        |    CAST(ptok AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS dpv
+        |  FROM grid CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (ORDER BY total DESC, term)
+        |    AS INTEGER) AS rank,
+        |  term, total, round(0.5e0 * dpv, 6) AS dp
+        |FROM dpt ORDER BY rank""".stripMargin,
+
+    // bigram-corpus margins (first/second position), row-local 2×2
+    // cells with 6-rounded lns, top-20 by G²
+    "t37_colloc" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |pairs AS (
+        |  SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM (SELECT unnest([l[i] || ' ' || l[i+1]
+        |          FOR i IN range(1, len(l))]) AS g
+        |        FROM toks)
+        |  GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM pairs
+        |  GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM pairs
+        |  GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM pairs),
+        |j AS (
+        |  SELECT p.a, p.b, p.c_ab, ca.c_a, cb.c_b, nn.n
+        |  FROM pairs p JOIN ca ON ca.a = p.a JOIN cb ON cb.b = p.b
+        |  CROSS JOIN nn
+        |  WHERE p.c_ab >= 5),
+        |sc AS (
+        |  SELECT a, b, c_ab, c_a, c_b,
+        |    round(2.0e0 * (
+        |      CASE WHEN c_ab > 0 THEN CAST(c_ab AS DOUBLE) *
+        |        round(ln(CAST(c_ab AS DOUBLE) /
+        |          (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE) /
+        |           CAST(n AS DOUBLE))), 6)
+        |      ELSE CAST(0 AS DOUBLE) END +
+        |      CASE WHEN c_a - c_ab > 0 THEN CAST(c_a - c_ab AS DOUBLE) *
+        |        round(ln(CAST(c_a - c_ab AS DOUBLE) /
+        |          (CAST(c_a AS DOUBLE) *
+        |           (CAST(n AS DOUBLE) - CAST(c_b AS DOUBLE)) /
+        |           CAST(n AS DOUBLE))), 6)
+        |      ELSE CAST(0 AS DOUBLE) END +
+        |      CASE WHEN c_b - c_ab > 0 THEN CAST(c_b - c_ab AS DOUBLE) *
+        |        round(ln(CAST(c_b - c_ab AS DOUBLE) /
+        |          ((CAST(n AS DOUBLE) - CAST(c_a AS DOUBLE)) *
+        |           CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |      ELSE CAST(0 AS DOUBLE) END +
+        |      CASE WHEN n - c_a - c_b + c_ab > 0 THEN
+        |        CAST(n - c_a - c_b + c_ab AS DOUBLE) *
+        |        round(ln(CAST(n - c_a - c_b + c_ab AS DOUBLE) /
+        |          ((CAST(n AS DOUBLE) - CAST(c_a AS DOUBLE)) *
+        |           (CAST(n AS DOUBLE) - CAST(c_b AS DOUBLE)) /
+        |           CAST(n AS DOUBLE))), 6)
+        |      ELSE CAST(0 AS DOUBLE) END), 6) AS g2
+        |  FROM j),
+        |top AS (SELECT * FROM sc ORDER BY g2 DESC, a, b LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY g2 DESC, a, b)
+        |    AS INTEGER) AS rank,
+        |  a, b, c_ab, c_a, c_b, g2
+        |FROM top ORDER BY rank""".stripMargin,
+
     "t34_fertility" ->
       """WITH t AS (
         |  SELECT lang,

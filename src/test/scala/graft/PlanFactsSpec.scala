@@ -168,6 +168,8 @@ object PlanFactsSpec {
     "o15_mannwhitney", "o70_wilcoxon", "o75_kruskal", "o17_spearman",
     "o37_ks", "sa8_weighted",
     "pv4_tcloseness", "t19_zipf", "t25_heaps", "q12_paths", "o24_movers",
+    "t35_burstiness", "t36_dispersion", "t37_colloc", // capped top-K rank
+    // windows over 20-row frames (the zipf idiom)
     "fi2_seq_rules", "t24_langid_eval", "mm8_shards", "mm9_epochs",
     "sa18_reweight", "z4_compaction",
     // ranking over an agg-sized frame (vocab top-k, bucket ladders,

@@ -776,4 +776,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 1L)
     assert(r.getDouble(5) == 0.333333)
   }
+
+  test("termBurstiness: a clumped term out-bursts an evenly spread one " +
+      "at equal frequency") {
+    import spark.implicits._
+    // 4 docs; 'even' once per doc (VMR → 0 variance), 'bursty' 4× in
+    // one doc: same total 4, wildly different scatter
+    val df = Seq((1L, "even bursty bursty bursty bursty"),
+      (2L, "even x"), (3L, "even y"), (4L, "even z")).toDF("id", "t")
+    val got = TextAnalysis.termBurstiness(df, "t", "id", 10)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // even: counts (1,1,1,1) → mean 1, var 0 → VMR 0
+    assert(got("even") == ((4L, 4L, 1.0, 0.0)))
+    // bursty: counts (4,0,0,0) → mean 1, var (4·16−16)/12 = 4 → VMR 4
+    assert(got("bursty") == ((4L, 1L, 1.0, 4.0)))
+    // rank 1 goes to the lexicographically smaller of the tied totals
+    val first = TextAnalysis.termBurstiness(df, "t", "id", 1).head
+    assert(first.getInt(0) == 1 && first.getString(1) == "bursty")
+  }
+
+  test("griesDispersion: even spread scores 0, single-part " +
+      "concentration scores 1 − part share") {
+    import spark.implicits._
+    // two equal-size parts; 'even' follows the corpus exactly → DP 0;
+    // 'only' lives entirely in part A → DP = ½(|1−.5| + |0−.5|) = .5
+    val df = Seq(("A", "even only even only"), ("B", "even z even w"))
+      .toDF("src", "t")
+    val got = TextAnalysis.griesDispersion(df, "t", "src", 10)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(got("even") == 0.0)
+    assert(got("only") == 0.5)
+  }
+
+  test("dunningG2: a deterministic collocation dominates an " +
+      "independent pair") {
+    import spark.implicits._
+    // 'a b' always together; 'x' pairs with everything
+    val docs = (Seq.fill(10)("a b") ++
+      Seq("x u", "x v", "x w", "u x", "v x")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = TextAnalysis.dunningG2(docs, "t", 1L, 50).collect()
+    val top = got.head
+    assert(top.getString(1) == "a" && top.getString(2) == "b")
+    val ab = got.find(r => r.getString(1) == "a" && r.getString(2) == "b").get
+    val xu = got.find(r => r.getString(1) == "x" && r.getString(2) == "u").get
+    assert(ab.getDouble(6) > xu.getDouble(6))
+    // margins are BIGRAM-position counts: c_a(a)=10, c_b(b)=10, N=15
+    assert(ab.getLong(3) == 10L && ab.getLong(4) == 10L &&
+      ab.getLong(5) == 10L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.dunningG2(docs, "t", 0L, 5))
+  }
 }
