@@ -480,4 +480,101 @@ object Graph {
           col("__sln").cast("double"), 6)))
       .drop("__sln")
   }
+
+  /**
+   * P318 — modularity Q of a GIVEN node labeling over the undirected
+   * graph: Q = Σ_c (m_c/m − (D_c/2m)²) with m_c the within-community
+   * edge count and D_c the community degree mass — "is this partition
+   * better than chance" (Q ≈ 0: the labels don't structure the graph;
+   * Q ≳ 0.3: real communities). The evaluation half of community
+   * detection, scoring ANY labeling (P33's connected components, a
+   * metadata attribute, an external clusterer). Nodes missing a label
+   * contribute no within-edges and no degree mass (document coverage
+   * before reading Q); a node with several labels takes its MINIMUM
+   * (deterministic, never a fan-out join). Emits ONE row
+   * (n_communities, m_edges, q); an edgeless graph nulls Q.
+   *
+   * Shape: the shared canonical-undirected + degree builds, two
+   * shuffle_hash label joins, two community-keyed aggs, one closing
+   * agg. Cross-engine: all counts exact; per-community terms are fixed
+   * double sequences rounded at 9 through DECIMAL(28,9); Q rounds at 6.
+   */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = nodeDegrees(und)
+    val lab = labels.where(col(nodeCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(nodeCol).as("__n")).agg(min(col(labelCol)).as("__c"))
+    val mAgg = und.agg(count(lit(1)).as("__m"))
+    val within = und
+      .join(lab.select(col("__n").as("u"), col("__c").as("__cu"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(lab.select(col("__n").as("v"), col("__c").as("__cv"))
+        .hint("shuffle_hash"), Seq("v"))
+      .where(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("__c")).agg(count(lit(1)).as("__mc"))
+    val dsum = deg
+      .join(lab.select(col("__n").as("node"), col("__c"))
+        .hint("shuffle_hash"), Seq("node"))
+      .groupBy(col("__c")).agg(sum(col("deg")).as("__dc"))
+    val md = col("__m").cast("double")
+    val dcd = col("__dc").cast("double")
+    val term = coalesce(col("__mc"), lit(0L)).cast("double") / md -
+      (dcd / (lit(2.0) * md)) * (dcd / (lit(2.0) * md))
+    dsum.join(within.hint("shuffle_hash"), Seq("__c"), "left")
+      .crossJoin(broadcast(mAgg)) // 1-row scalar side
+      .agg(count(lit(1)).as("n_communities"), max(col("__m")).as("m_edges"),
+        sum(when(col("__m") > 0, round(term, 9).cast("decimal(28,9)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)")))
+          .cast("double").as("__q"))
+      .select(col("n_communities"), col("m_edges"),
+        when(col("m_edges") > 0, round(col("__q"), 6)).as("q"))
+  }
+
+  /**
+   * P319 — rich-club coefficient ladder: for each degree bar k,
+   * φ(k) = 2·E_k / (N_k(N_k−1)) over the subgraph induced by nodes
+   * with deg > k — "do the hubs preferentially link to EACH OTHER"
+   * (φ rising with k = an elite core; flat = hubs spread their edges).
+   * Emits per k: k, n_k, e_k, phi; bars with < 2 surviving nodes null
+   * φ (the density of a point is undefined).
+   *
+   * Shape: the shared undirected + degree builds, one edge-degree
+   * join, one broadcast k-ladder crossJoin, two k-keyed conditional
+   * aggs. Cross-engine: counts exact; φ goes through an exact
+   * DECIMAL(19,0)² pair-count product and one double division,
+   * rounded at 6.
+   */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "richClub: need at least one degree bar")
+    require(ks.distinct.size == ks.size,
+      s"richClub: duplicate bars in ${ks.mkString(",")}")
+    require(ks.forall(_ >= 0), "richClub: bars must be >= 0")
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = nodeDegrees(und)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val kf = ks.sorted.toDF("k")
+    val e2 = und
+      .join(deg.select(col("node").as("u"), col("deg").as("__du"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv"))
+        .hint("shuffle_hash"), Seq("v"))
+    val ek = e2.crossJoin(broadcast(kf)) // k-row ladder side
+      .groupBy(col("k"))
+      .agg(sum(when(col("__du") > col("k") && col("__dv") > col("k"), 1L)
+        .otherwise(0L)).as("e_k"))
+    val nk = deg.crossJoin(broadcast(kf)) // k-row ladder side
+      .groupBy(col("k"))
+      .agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L)).as("n_k"))
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    nk.join(ek.hint("shuffle_hash"), Seq("k"))
+      .select(col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") > 1,
+          round(lit(2.0) * col("e_k").cast("double") /
+            (d19(col("n_k")) * d19(col("n_k") - 1L)).cast("double"), 6))
+          .as("phi"))
+      .orderBy(col("k"))
+  }
 }

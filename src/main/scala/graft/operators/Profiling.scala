@@ -677,4 +677,31 @@ object Profiling {
         round(col("__b").cast("double"), 6).as("bc"),
         round(sqrt(col("__s").cast("double") / lit(2.0)), 6).as("hellinger"))
   }
+
+  /**
+   * P321 — null-pattern profile: group rows by their presence BITMASK
+   * over `cols` ('1' = present, position = column order) and count —
+   * the missingness-STRUCTURE read a per-column null rate hides
+   * (co-missing columns = one upstream failure; a non-monotone pattern
+   * in a sequential pipeline = a data bug). Emits per pattern:
+   * pattern, n_rows, share.
+   *
+   * Shape: one map-side-combinable agg over ≤ 2^k patterns + a 1-row
+   * broadcast total. Cross-engine: counts exact; share one double
+   * division rounded at 6.
+   */
+  def nullPatternProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 16,
+      s"nullPatternProfile: need 1..16 columns, got ${cols.size}")
+    val pat = concat(cols.map(c =>
+      when(col(c).isNotNull, lit("1")).otherwise(lit("0"))): _*)
+    val t = df.agg(count(lit(1)).as("__t"))
+    df.select(pat.as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(t)) // 1-row scalar side
+      .select(col("pattern"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+      .orderBy("pattern")
+  }
 }

@@ -932,4 +932,53 @@ object Sampling {
       .drop("__tot")
       .orderBy(col("source"))
   }
+
+  /**
+   * P323 — Horvitz–Thompson estimator under size-proportional
+   * inclusion: πᵢ = min(1, sizeᵢ/k), include iff the portable hash
+   * says so, estimate the population total as Σ yᵢ/πᵢ over the sample
+   * — THE unequal-probability estimator (sample heavy users at 100%,
+   * light users at size/k, still get an unbiased total). The audit
+   * emits the true total beside it. Emits ONE row: n, n_sampled,
+   * true_total, ht_estimate, rel_err.
+   *
+   * Shape: two scalar aggs (full-frame total + sample estimate).
+   * Cross-engine: inclusion is the INTEGER comparison
+   * hv·k < size·2^56 (no double thresholds — the pv7 rule; the
+   * min(1,·) cap is automatic since hv < 2^56), which bounds
+   * k ≤ 64 and size ≤ 127 (guarded by a riding raise_error — a
+   * silent filter would skew the estimate); estimate terms round at 9
+   * through DECIMAL(28,9); outputs round at 6.
+   */
+  def horvitzThompson(df: DataFrame, idCol: String, sizeCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64,
+      s"horvitzThompson: k must be in [2, 64], got $k")
+    val base = df.where(col(idCol).isNotNull && col(sizeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(sizeCol).cast("long").as("__sz"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(col("__v")).cast("double").as("__tt"),
+      // guard rides an output column (the o74 pruning rule)
+      sum(when(col("__sz") <= 0 || col("__sz") > 127,
+        raise_error(concat(
+          lit("horvitzThompson: size out of [1, 127] for id "),
+          col("__id").cast("string"))).cast("long"))
+        .otherwise(lit(0L))).as("__guard"))
+    val pi = least(lit(1.0), col("__sz").cast("double") / lit(k.toDouble))
+    val est = base
+      .where(hashValue(col("__id"), "ht:") * lit(k.toLong) <
+        col("__sz") * lit(1L << 56))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(round(col("__v").cast("double") / pi, 9).cast("decimal(28,9)"))
+          .cast("double").as("__ht"))
+    tot.crossJoin(broadcast(est)) // 1-row scalar side
+      .select((col("n") + col("__guard")).as("n"), col("n_sampled"),
+        col("__tt").as("true_total"),
+        round(col("__ht"), 6).as("ht_estimate"),
+        when(col("__tt") =!= 0.0,
+          round((col("__ht") - col("__tt")) / col("__tt"), 6))
+          .as("rel_err"))
+  }
 }

@@ -827,4 +827,41 @@ object Sketches {
           .as("fpr_emp"),
         round(theory, 9).as("fpr_theory"))
   }
+
+  /**
+   * P320 — linear counting per group: hash values into `m` buckets and
+   * estimate the distinct count from the EMPTY-bucket fraction,
+   * n̂ = m·ln(m/empty) — the small-cardinality regime where it beats
+   * HLL (P51's own low-range correction IS linear counting; this is
+   * the standalone sketch: one bitmap, mergeable by OR, exact audit
+   * beside it). Emits per group: m, exact, occupied, lc_estimate,
+   * rel_err; a saturated bitmap (no empty buckets) nulls the estimate
+   * — the classical undefined case, the caller sizes m up.
+   *
+   * Shape: ONE keyed agg (two count-distincts — the bucket distinct is
+   * the bitmap's |occupied|). Cross-engine: buckets come from the
+   * portable 56-bit MD5 hash ([[Sampling.hashBucket]]) so the oracle
+   * replays every bucket; the ln runs on an exact integer ratio and
+   * rounds at 6 (the firewall); outputs round at 6.
+   */
+  def linearCounting(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], m: Int): DataFrame = {
+    require(m >= 16 && m <= (1 << 24),
+      s"linearCounting: m must be in [16, 2^24], got $m")
+    require(groupCols.nonEmpty, "linearCounting: need group columns")
+    val base = df.where(col(valueCol).isNotNull)
+    val agg = base.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("exact"),
+        countDistinct(Sampling.hashBucket(col(valueCol), m))
+          .as("occupied"))
+    val md = lit(m.toDouble)
+    val empty = (lit(m.toLong) - col("occupied")).cast("double")
+    val lcRaw = md * round(log(md / empty), 6)
+    val exd = col("exact").cast("double")
+    agg.select(groupCols.map(col) ++ Seq(lit(m).as("m"), col("exact"),
+      col("occupied"),
+      when(col("occupied") < m, round(lcRaw, 6)).as("lc_estimate"),
+      when(col("occupied") < m && col("exact") > 0,
+        round((lcRaw - exd) / exd, 6)).as("rel_err")): _*)
+  }
 }

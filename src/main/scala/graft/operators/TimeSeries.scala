@@ -1762,6 +1762,64 @@ object TimeSeries {
       .drop("__sx", "__sxx")
   }
 
+  /**
+   * P322 — Little's law audit over jobs with arrival/completion days:
+   * arrival rate λ = n/T, mean time-in-system W, time-averaged WIP
+   * L via an exact +1/−1 delta sweep over the day spine, and the WIP
+   * peak — the queueing read of any backlog (orders in flight, tickets
+   * open, builds running). L = λ·W holds EXACTLY here (the sweep and
+   * the duration sum count the same job-days), so the emitted L is the
+   * conservation audit of the sweep; peak/L is the burstiness read.
+   * Jobs completing before they arrive are rejected loudly. Emits ONE
+   * row: n_jobs, t_days, lambda_per_day, w_days, l_avg, wip_peak.
+   *
+   * Shape: one delta agg over distinct event days, one cumulative
+   * window over that day frame (calendar-sized at any corpus scale —
+   * allowlisted), two scalar aggs. Cross-engine: all areas/durations
+   * exact integer day arithmetic; the three ratios are single double
+   * divisions rounded at 6.
+   */
+  def littlesLaw(jobs: DataFrame, arrivalCol: String,
+      completionCol: String): DataFrame = {
+    val j = jobs.where(col(arrivalCol).isNotNull &&
+        col(completionCol).isNotNull)
+      .select(to_date(col(arrivalCol)).as("__a"),
+        to_date(col(completionCol)).as("__c"))
+      .withColumn("__ok",
+        when(col("__c") < col("__a"),
+          raise_error(lit("littlesLaw: completion before arrival")))
+          .otherwise(lit(0L)))
+    val deltas = j.select(col("__a").as("__day"), (lit(1L) + col("__ok")).as("__d"))
+      .unionByName(j.select(date_add(col("__c"), 1).as("__day"),
+        lit(-1L).as("__d")))
+      .groupBy(col("__day")).agg(sum(col("__d")).as("__delta"))
+    val w = Window.orderBy(col("__day").asc)
+    val segs = deltas
+      .withColumn("__wip", sum(col("__delta"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__next", lead(col("__day"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select((col("__wip") *
+        datediff(col("__next"), col("__day")).cast("long")).as("__area"),
+        col("__wip"))
+    val aAgg = segs.agg(sum(col("__area")).as("__area"),
+      max(col("__wip")).as("wip_peak"))
+    val jAgg = j.agg(count(lit(1)).as("n_jobs"),
+      min(col("__a")).as("__a0"), max(col("__c")).as("__c1"),
+      sum((datediff(col("__c"), col("__a")) + 1).cast("long")).as("__dur"))
+    val td = (datediff(col("__c1"), col("__a0")) + 1).cast("double")
+    val nd = col("n_jobs").cast("double")
+    jAgg.crossJoin(broadcast(aAgg)) // 1-row scalar side
+      .select(col("n_jobs"),
+        (datediff(col("__c1"), col("__a0")) + 1).cast("long").as("t_days"),
+        when(col("n_jobs") > 0, round(nd / td, 6)).as("lambda_per_day"),
+        when(col("n_jobs") > 0,
+          round(col("__dur").cast("double") / nd, 6)).as("w_days"),
+        when(col("n_jobs") > 0,
+          round(col("__area").cast("double") / td, 6)).as("l_avg"),
+        col("wip_peak"))
+  }
+
   /** The (cos, sin) values of 2πr/p for r = 0..p−1 — computed ONCE on
     * the driver so [[periodogram]] and any oracle generator embed
     * IDENTICAL double literals (the o12 weight-ladder rule: neither

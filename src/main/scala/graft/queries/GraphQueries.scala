@@ -31,6 +31,25 @@ object GraphQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P318 — modularity of the BRAND labeling over the co-purchase
+    // graph: do brands form purchase communities, or do baskets mix
+    // brands at chance (Q ≈ 0)
+    "gr10_modularity" -> ((s, dir) => {
+      graft.operators.Graph.modularity(coPurchaseEdges(s, dir), "src",
+        "dst",
+        table(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        "p_partkey", "p_brand")
+    }),
+
+    // P319 — rich-club ladder at degree bars {60, 90, 120} (median
+    // co-purchase degree: 89 at sf0.001, 115 at sf0.01 — every bar
+    // keeps ≥ 2 nodes at both SFs): do hub parts co-purchase with
+    // each other
+    "gr11_richclub" -> ((s, dir) => {
+      graft.operators.Graph.richClub(coPurchaseEdges(s, dir), "src",
+        "dst", Seq(60, 90, 120))
+    }),
+
     // P88 — PageRank over the part co-purchase graph: parts are linked
     // when they appear in the same order (symmetric edges, so outdeg ≥ 1
     // everywhere and no dangling mass); 3 damped power iterations. The
@@ -178,6 +197,75 @@ object GraphQueries {
        |    AND e.b IN (SELECT a FROM $prev GROUP BY a HAVING COUNT(*) >= 75))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // within-community edge counts + degree mass per brand; terms
+    // 9-rounded through DECIMAL(28,9)
+    "gr10_modularity" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |lab AS (SELECT p_partkey AS n, min(p_brand) AS c FROM part
+        |  WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        |within AS (
+        |  SELECT lu.c, CAST(COUNT(*) AS BIGINT) AS mc
+        |  FROM und JOIN lab lu ON lu.n = und.u JOIN lab lv ON lv.n = und.v
+        |  WHERE lu.c = lv.c GROUP BY 1),
+        |dsum AS (
+        |  SELECT lab.c, CAST(SUM(deg.deg) AS BIGINT) AS dc
+        |  FROM deg JOIN lab ON lab.n = deg.node GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |    CAST(MAX(m.m) AS BIGINT) AS m_edges,
+        |    CAST(SUM(CASE WHEN m.m > 0 THEN CAST(round(
+        |      CAST(coalesce(w.mc, 0) AS DOUBLE) / CAST(m.m AS DOUBLE) -
+        |      (CAST(d.dc AS DOUBLE) / (2.0e0 * CAST(m.m AS DOUBLE))) *
+        |      (CAST(d.dc AS DOUBLE) / (2.0e0 * CAST(m.m AS DOUBLE))), 9)
+        |      AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END)
+        |      AS DOUBLE) AS q
+        |  FROM dsum d LEFT JOIN within w ON w.c = d.c CROSS JOIN m)
+        |SELECT n_communities, m_edges,
+        |  CASE WHEN m_edges > 0 THEN round(q, 6) END AS q
+        |FROM t""".stripMargin,
+
+    // hub-only edge/node counts per degree bar; φ an exact-product
+    // integer ratio
+    "gr11_richclub" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |kf AS (SELECT unnest([60, 90, 120]) AS k),
+        |e2 AS (
+        |  SELECT du.deg AS ddu, dv.deg AS ddv
+        |  FROM und JOIN deg du ON du.node = und.u
+        |           JOIN deg dv ON dv.node = und.v),
+        |ek AS (
+        |  SELECT k, CAST(SUM(CASE WHEN ddu > k AND ddv > k THEN 1
+        |    ELSE 0 END) AS BIGINT) AS e_k
+        |  FROM e2 CROSS JOIN kf GROUP BY 1),
+        |nk AS (
+        |  SELECT k, CAST(SUM(CASE WHEN deg > k THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_k
+        |  FROM deg CROSS JOIN kf GROUP BY 1)
+        |SELECT nk.k, nk.n_k, ek.e_k,
+        |  CASE WHEN nk.n_k > 1 THEN
+        |    round(2.0e0 * CAST(ek.e_k AS DOUBLE) /
+        |      CAST(CAST(nk.n_k AS DECIMAL(19,0)) *
+        |        CAST(nk.n_k - 1 AS DECIMAL(19,0)) AS DOUBLE), 6)
+        |  END AS phi
+        |FROM nk JOIN ek ON ek.k = nk.k
+        |ORDER BY nk.k""".stripMargin,
+
     // the o16 moment discipline on exact integer degree pairs; both
     // orientations of every undirected edge
     "gr6_assortativity" ->

@@ -1067,6 +1067,16 @@ object OlapQueries {
         "user_id", rows = 3, width = 256)
     }),
 
+    // P320 — linear counting of distinct users per event type at
+    // m = 256 (load ~0.6): the small-cardinality sketch that HLL's own
+    // low-range branch delegates to, with the exact audit beside it
+    "sk16_linear" -> ((s, dir) => {
+      graft.operators.Sketches.linearCounting(
+          graft.Graft.events(s, dir).select("event_type", "user_id"),
+          "user_id", Seq("event_type"), m = 256)
+        .orderBy("event_type")
+    }),
+
     // P288 — HLL intersection by inclusion–exclusion over the sk13
     // sketches: the overlap readout ("clickers who also purchase") from
     // mergeable state, audited against the exact intersection
@@ -1104,6 +1114,31 @@ object OlapQueries {
           when(col("r2").isNotNull && col("r2") < 1.0,
             round(lit(1.0) / (lit(1.0) - col("r2")), 6)).as("vif"))
         .orderBy("pair")
+    }),
+
+    // P322 — Little's law over order SHIPPING WINDOWS (first → last
+    // shipment per order; this corpus's shipdates are independent of
+    // order dates, so the order→ship span is not a duration): λ, W,
+    // the exact delta-sweep L, and the WIP peak — how many orders are
+    // actively shipping on an average/peak day
+    "q29_littleslaw" -> ((s, dir) => {
+      val jobs = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min(to_date(col("l_shipdate"))).as("arrival"),
+          max(to_date(col("l_shipdate"))).as("complete"))
+      graft.operators.TimeSeries.littlesLaw(jobs, "arrival", "complete")
+    }),
+
+    // P323 — Horvitz–Thompson total under size-proportional inclusion
+    // π = min(1, orders/32): sample heavy customers surely, light ones
+    // proportionally, and still estimate total spend without bias
+    "sa21_ht" -> ((s, dir) => {
+      val sp = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      graft.operators.Sampling.horvitzThompson(sp, "o_custkey", "n_ord",
+        "spend", k = 32)
     }),
 
     // P249 — sampling convergence: mean event value ± CI at dyadic
@@ -4889,6 +4924,105 @@ object OlapQueries {
     // the shared daily CTE, micro-unit deviations from the 6-rounded
     // mean, 7 lag windows, exact integer lag products, 9-rounded terms
     // DECIMAL-summed, one closing sequence
+    // exact +1/−1 delta sweep over the day spine; area/durations are
+    // exact integer day arithmetic, three closing divisions
+    "q29_littleslaw" ->
+      """WITH jobs AS (
+        |  SELECT MIN(CAST(l_shipdate AS DATE)) AS a,
+        |    MAX(CAST(l_shipdate AS DATE)) AS c
+        |  FROM lineitem GROUP BY l_orderkey),
+        |d AS (
+        |  SELECT a AS day, CAST(1 AS BIGINT) AS dd FROM jobs
+        |  UNION ALL SELECT c + 1, CAST(-1 AS BIGINT) FROM jobs),
+        |g AS (SELECT day, CAST(SUM(dd) AS BIGINT) AS delta FROM d
+        |  GROUP BY 1),
+        |sw AS (
+        |  SELECT day,
+        |    CAST(SUM(delta) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS wip,
+        |    lead(day) OVER (ORDER BY day) AS nxt
+        |  FROM g),
+        |segs AS (SELECT wip * CAST(nxt - day AS BIGINT) AS area, wip
+        |  FROM sw WHERE nxt IS NOT NULL),
+        |aa AS (SELECT CAST(SUM(area) AS BIGINT) AS area,
+        |  CAST(MAX(wip) AS BIGINT) AS wip_peak FROM segs),
+        |ja AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_jobs, MIN(a) AS a0,
+        |    MAX(c) AS c1,
+        |    CAST(SUM(CAST(c - a AS BIGINT) + 1) AS BIGINT) AS dur
+        |  FROM jobs)
+        |SELECT n_jobs,
+        |  CAST(CAST(c1 - a0 AS BIGINT) + 1 AS BIGINT) AS t_days,
+        |  CASE WHEN n_jobs > 0 THEN round(CAST(n_jobs AS DOUBLE) /
+        |    CAST(CAST(c1 - a0 AS BIGINT) + 1 AS DOUBLE), 6)
+        |  END AS lambda_per_day,
+        |  CASE WHEN n_jobs > 0 THEN round(CAST(dur AS DOUBLE) /
+        |    CAST(n_jobs AS DOUBLE), 6) END AS w_days,
+        |  CASE WHEN n_jobs > 0 THEN round(CAST(area AS DOUBLE) /
+        |    CAST(CAST(c1 - a0 AS BIGINT) + 1 AS DOUBLE), 6) END AS l_avg,
+        |  wip_peak
+        |FROM ja CROSS JOIN aa""".stripMargin,
+
+    // integer-space inclusion hv·k < size·2^56 (the pv7 rule) with the
+    // portable-MD5 fold; estimate terms 9-rounded through DECIMAL(28,9)
+    "sa21_ht" ->
+      """WITH sp AS (
+        |  SELECT o_custkey AS id, CAST(count(*) AS BIGINT) AS sz,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT id, sz, CAST(spend AS DECIMAL(18,6)) AS v FROM sp
+        |  WHERE id IS NOT NULL AND sz IS NOT NULL AND spend IS NOT NULL),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS DOUBLE) AS tt FROM b),
+        |h AS (
+        |  SELECT sz, v,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5(
+        |          'ht:' || CAST(id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM b),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |    CAST(SUM(CAST(round(CAST(v AS DOUBLE) /
+        |      least(1.0e0, CAST(sz AS DOUBLE) / 32.0e0), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS ht
+        |  FROM h WHERE hv * 32 < sz * 72057594037927936)
+        |SELECT tot.n, s.n_sampled, tot.tt AS true_total,
+        |  round(s.ht, 6) AS ht_estimate,
+        |  CASE WHEN tot.tt <> 0 THEN round((s.ht - tot.tt) / tot.tt, 6)
+        |    END AS rel_err
+        |FROM tot CROSS JOIN s""".stripMargin,
+
+    // portable-MD5 bucket replay (the hv fold idiom); ln on an exact
+    // integer ratio, 6-rounded
+    "sk16_linear" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |h AS (
+        |  SELECT event_type, user_id,
+        |    list_reduce([CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)
+        |        FOR ch IN string_split(substr(md5(
+        |          CAST(user_id AS VARCHAR)), 1, 14), '')],
+        |      (acc, x) -> acc * 16 + x) % 256 AS bucket
+        |  FROM b),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact,
+        |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS occupied
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, 256 AS m, exact, occupied,
+        |  CASE WHEN occupied < 256 THEN
+        |    round(256.0e0 * round(ln(256.0e0 /
+        |      CAST(256 - occupied AS DOUBLE)), 6), 6) END AS lc_estimate,
+        |  CASE WHEN occupied < 256 AND exact > 0 THEN
+        |    round((256.0e0 * round(ln(256.0e0 /
+        |      CAST(256 - occupied AS DOUBLE)), 6) -
+        |      CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE), 6)
+        |  END AS rel_err
+        |FROM a ORDER BY event_type""".stripMargin,
+
     // the fourierLadder cos/sin driver literals selected by an integer
     // di % p CASE (no runtime trig on either side); per-row products
     // 9-rounded through DECIMAL(28,9)

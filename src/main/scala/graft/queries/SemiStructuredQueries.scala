@@ -141,6 +141,22 @@ object SemiStructuredQueries {
         .orderBy("user_id")
     }),
 
+    // P321 — null-pattern profile over the q7 funnel steps in the
+    // FIRST 3 DAYS (the full 30-day corpus completes every funnel —
+    // single-pattern vacuous, measured): the only legal patterns are
+    // monotone prefixes (1000/1100/1110/1111 — step k null forces k+1
+    // null by construction; all four present at both SFs); anything
+    // else is a pipeline bug, and the shares read as stage attrition
+    "dq17_nullpat" -> ((s, dir) => {
+      val funnel = TimeSeries.funnel(
+        events(s, dir)
+          .where(col("ts") < expr("timestamp'2024-01-04 00:00:00'")),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      graft.operators.Profiling.nullPatternProfile(funnel,
+        Seq("t_signup", "t_view", "t_click", "t_purchase"))
+    }),
+
     // P80 — daily cohort retention over users (weekly buckets would
     // collapse this 30-day corpus into one cohort): cohort = epoch-day
     // of a user's first event, cells = distinct users active N days
@@ -349,6 +365,48 @@ object SemiStructuredQueries {
         |       CAST((clk.pt - err.lo) // 1000000 AS BIGINT) AS delta_s
         |FROM clk JOIN err ON clk.pt >= err.lo AND clk.pt <= err.hi
         |ORDER BY interval_id, point_id""".stripMargin,
+
+    // the q7 step CTEs over the 3-day window + a presence-bitmask agg;
+    // only monotone patterns can appear
+    "dq17_nullpat" ->
+      """WITH ev AS (
+        |  SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts) AS t_signup FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t_signup, MIN(e.ts) AS t_view
+        |  FROM s1 LEFT JOIN ev e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'view'
+        |      AND e.ts > s1.t_signup
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t_signup, s2.t_view, MIN(e.ts) AS t_click
+        |  FROM s2 LEFT JOIN ev e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'click'
+        |      AND e.ts > s2.t_view
+        |  GROUP BY 1, 2, 3),
+        |s4 AS (
+        |  SELECT s3.user_id, s3.t_signup, s3.t_view, s3.t_click,
+        |    MIN(e.ts) AS t_purchase
+        |  FROM s3 LEFT JOIN ev e
+        |    ON e.user_id = s3.user_id AND e.event_type = 'purchase'
+        |      AND e.ts > s3.t_click
+        |  GROUP BY 1, 2, 3, 4),
+        |p AS (
+        |  SELECT (CASE WHEN t_signup IS NOT NULL THEN '1' ELSE '0' END ||
+        |          CASE WHEN t_view IS NOT NULL THEN '1' ELSE '0' END ||
+        |          CASE WHEN t_click IS NOT NULL THEN '1' ELSE '0' END ||
+        |          CASE WHEN t_purchase IS NOT NULL THEN '1' ELSE '0' END)
+        |    AS pattern
+        |  FROM s4),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM p),
+        |g AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM p GROUP BY 1)
+        |SELECT pattern, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share
+        |FROM g CROSS JOIN t ORDER BY pattern""".stripMargin,
 
     "q7_funnel" ->
       """WITH s1 AS (

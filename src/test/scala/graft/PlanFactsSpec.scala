@@ -172,6 +172,8 @@ object PlanFactsSpec {
     // windows over 20-row frames (the zipf idiom)
     "fi2_seq_rules", "t24_langid_eval", "mm8_shards", "mm9_epochs",
     "sa18_reweight", "z4_compaction",
+    "q29_littleslaw", // cumulative WIP sweep over the day spine
+    // (calendar-sized at any corpus scale)
     // ranking over an agg-sized frame (vocab top-k, bucket ladders,
     // stratum grids, file lists — bounded at any input scale)
     "dq2_skew", "iv2_bm25", "iv4_qld", "iv5_ndcg", // iv5: bm25 rank + k-row ideal

@@ -226,4 +226,43 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.degreePowerLaw(star, "s", "d", Seq(2, 2)))
   }
+
+  test("modularity: disjoint labeled triangles score 0.5; one community " +
+      "scores 0") {
+    import spark.implicits._
+    // two triangles, labels matching the components:
+    // Q = 2 * (3/6 - (6/12)^2) = 0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s", "d")
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("n", "c")
+    val r = Graph.modularity(edges, "s", "d", labels, "n", "c").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L &&
+      r.getDouble(2) == 0.5)
+    // everyone in one community: m/m - 1^2 = 0
+    val one = labels.withColumn("c",
+      org.apache.spark.sql.functions.lit("x"))
+    assert(Graph.modularity(edges, "s", "d", one, "n", "c")
+      .head.getDouble(2) == 0.0)
+  }
+
+  test("richClub: a 4-clique with pendants reads phi = 1 above the " +
+      "pendant bar; empty bars null") {
+    import spark.implicits._
+    // K4 on 1..4 plus pendants 5,6 hanging off node 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (1L, 6L)).toDF("s", "d")
+    val got = Graph.richClub(edges, "s", "d", Seq(0, 2, 9))
+      .collect()
+    // k=0: all 6 nodes, 8 edges -> 16/30
+    assert(got(0).getLong(1) == 6L && got(0).getLong(2) == 8L &&
+      got(0).getDouble(3) == 0.533333)
+    // k=2: the clique only (degrees 5,3,3,3 > 2) -> 6 edges, phi 1
+    assert(got(1).getLong(1) == 4L && got(1).getLong(2) == 6L &&
+      got(1).getDouble(3) == 1.0)
+    // k=9: nobody qualifies
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(3))
+    intercept[IllegalArgumentException](
+      Graph.richClub(edges, "s", "d", Seq(2, 2)))
+  }
 }

@@ -332,4 +332,22 @@ class ProfilingSpec extends SparkSpec {
     val n = Profiling.hellingerDrift(an, b, "c").head
     assert(n.getLong(1) == 4L && n.getDouble(4) == 0.0)
   }
+
+  test("nullPatternProfile: bitmask groups with shares; column order " +
+      "is the mask order") {
+    import spark.implicits._
+    val df = Seq((Some(1), Some("a")), (Some(2), None),
+      (Some(3), None), (None, None)).toDF("x", "y")
+    val got = Profiling.nullPatternProfile(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("11" -> ((1L, 0.25)), "10" -> ((2L, 0.5)),
+      "00" -> ((1L, 0.25))))
+    // mask order follows the argument order, not the schema
+    val rev = Profiling.nullPatternProfile(df, Seq("y", "x"))
+      .collect().map(_.getString(0)).toSet
+    assert(rev == Set("11", "01", "00"))
+    intercept[IllegalArgumentException](
+      Profiling.nullPatternProfile(df, Seq.fill(17)("x")))
+  }
 }

@@ -593,4 +593,26 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureRebalance(df, "src", "toks",
         Seq(("a", 0.5), ("a", 0.5))))
   }
+
+  test("horvitzThompson: certainty inclusion reproduces the exact " +
+      "total; out-of-range sizes raise") {
+    import spark.implicits._
+    // every size >= k -> pi = 1 -> the whole frame is the sample
+    val all = (1 to 10).map(i => (i.toLong, 40L, 10.0)).toDF("id", "sz", "y")
+    val r = Sampling.horvitzThompson(all, "id", "sz", "y", k = 32).head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 100.0 && r.getDouble(3) == 100.0 &&
+      r.getDouble(4) == 0.0)
+    // sub-certainty sizes: a strict subset is drawn, estimate upweights
+    val sub = (1 to 200).map(i => (i.toLong, 8L, 5.0)).toDF("id", "sz", "y")
+    val s = Sampling.horvitzThompson(sub, "id", "sz", "y", k = 32).head
+    assert(s.getLong(1) > 0L && s.getLong(1) < 200L)
+    // every kept row contributes y/pi = 5/0.25 = 20
+    assert(s.getDouble(3) == 20.0 * s.getLong(1))
+    val bad = Seq((1L, 0L, 1.0)).toDF("id", "sz", "y")
+    val ex = intercept[Exception](
+      Sampling.horvitzThompson(bad, "id", "sz", "y", k = 32).collect())
+    assert(ex.getMessage.contains("horvitzThompson") ||
+      String.valueOf(ex.getCause).contains("horvitzThompson"))
+  }
 }

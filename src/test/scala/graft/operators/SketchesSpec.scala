@@ -416,4 +416,24 @@ class SketchesSpec extends SparkSpec {
       4096).head
     assert(dis.getLong(3) == 0L && dis.isNullAt(4))
   }
+
+  test("linearCounting: estimate replays from the occupied count; " +
+      "saturation nulls") {
+    import spark.implicits._
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val df = (1 to 8).map(i => ("g", s"v$i")).toDF("g", "v")
+    val r = Sketches.linearCounting(df, "v", Seq("g"), 16).head
+    assert(r.getInt(1) == 16 && r.getLong(2) == 8L)
+    val occ = r.getLong(3)
+    assert(occ >= 1L && occ <= 8L)
+    assert(r.getDouble(4) ==
+      r6(16.0 * r6(math.log(16.0 / (16.0 - occ)))))
+    // 500 distinct values into 16 buckets: saturated bitmap -> null
+    val big = (1 to 500).map(i => ("g", s"x$i")).toDF("g", "v")
+    val b = Sketches.linearCounting(big, "v", Seq("g"), 16).head
+    assert(b.getLong(3) == 16L && b.isNullAt(4))
+    intercept[IllegalArgumentException](
+      Sketches.linearCounting(df, "v", Seq("g"), 8))
+  }
 }

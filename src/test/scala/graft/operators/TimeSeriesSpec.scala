@@ -905,4 +905,26 @@ class TimeSeriesSpec extends SparkSpec {
     val flat = (0 until 10).map(i => ("s", i.toLong, 2.0)).toDF("k", "o", "v")
     assert(TimeSeries.pacfDurbinLevinson(flat, "k", "o", "v").count() == 0)
   }
+
+  test("littlesLaw: hand sweep on two overlapping jobs; reversed jobs " +
+      "raise") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong))
+    // A spans days 0..2, B only day 1: WIP 1,2,1 → area 4 = Σdur,
+    // T = 3 → λ = 2/3, W = 2, L = 4/3, peak 2
+    val jobs = Seq((d(0), d(2)), (d(1), d(1))).toDF("a", "c")
+    val r = TimeSeries.littlesLaw(jobs, "a", "c").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.666667 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 1.333333 && r.getLong(5) == 2L)
+    // conservation: L = λ·W exactly (the sweep counts the same
+    // job-days the duration sum does)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0 * 2.0) < 1e-5)
+    val bad = Seq((d(5), d(1))).toDF("a", "c")
+    val ex = intercept[Exception](
+      TimeSeries.littlesLaw(bad, "a", "c").collect())
+    assert(String.valueOf(ex.getMessage).contains("littlesLaw") ||
+      String.valueOf(ex.getCause).contains("littlesLaw"))
+  }
 }
