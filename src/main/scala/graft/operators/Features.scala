@@ -3256,6 +3256,54 @@ object Features {
   }
 
   /**
+   * P325 — Page's trend test for a PRESPECIFIED treatment ordering
+   * over the P259 Friedman design: L = Σ j·R_j with j the hypothesized
+   * rank position — the ordered-alternatives test that beats Friedman
+   * exactly when the question is "does the response INCREASE along
+   * this order" (Friedman spends power on every permutation; Page
+   * spends it on the one you named). Normal approximation
+   * z = (L − mk(k+1)²/4) / √(mk²(k+1)(k²−1)/144) (no-tie variance —
+   * average ranks keep L exact but make z slightly conservative).
+   * Treatments outside `order` are filtered BEFORE the complete-block
+   * requirement; a data k smaller than the named order nulls z. Emits
+   * ONE row: n_blocks, k_treatments, l, z.
+   *
+   * Shape: the shared [[friedmanRanked]] pass + one k-row closing agg.
+   * Cross-engine: L comes from exact DECIMAL(19,0)-widened j·R'
+   * doubled-rank products; the z closing is one fixed double sequence
+   * with one IEEE sqrt, rounded at 6.
+   */
+  def pageTrendTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, order: Seq[String]): DataFrame = {
+    require(order.size >= 3,
+      s"pageTrendTest: need >= 3 ordered treatments, got ${order.size}")
+    require(order.distinct.size == order.size,
+      s"pageTrendTest: duplicate treatments in ${order.mkString(",")}")
+    val filtered = df.where(col(treatmentCol).isin(order: _*))
+    val ranked = friedmanRanked(filtered, blockCol, treatmentCol, valueCol)
+    val jExpr = order.zipWithIndex.tail.foldLeft(
+      when(col("__t") === order.head, lit(1L))) { case (acc, (t, i)) =>
+      acc.when(col("__t") === t, lit((i + 1).toLong))
+    }
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val perT = ranked.groupBy(col("__t"), col("__k"))
+      .agg(count(lit(1)).as("__m"), sum(col("__avgr2")).as("__r2"))
+    val closing = perT.agg(max(col("__m")).as("n_blocks"),
+      max(col("__k")).as("k_treatments"),
+      sum(d19(jExpr) * d19(col("__r2"))).as("__l2"))
+    val md = col("n_blocks").cast("double")
+    val kd = col("k_treatments").cast("double")
+    val l = col("__l2").cast("double") / lit(2.0)
+    val el = md * kd * (kd + lit(1.0)) * (kd + lit(1.0)) / lit(4.0)
+    val varL = md * kd * kd * (kd + lit(1.0)) *
+      (kd * kd - lit(1.0)) / lit(144.0)
+    closing.select(col("n_blocks"), col("k_treatments"),
+      when(col("n_blocks") > 0, round(l, 6)).as("l"),
+      when(col("n_blocks") > 0 && col("k_treatments") === order.size,
+        round((l - el) / sqrt(varL), 6)).as("z"))
+  }
+
+  /**
    * P307 — Chow structural-break test per key: fit y ~ x separately in
    * the two regimes and pooled, F = ((SSE_p − SSE_a − SSE_b)/2) /
    * ((SSE_a + SSE_b)/(n − 4)) — "did the relationship CHANGE at the

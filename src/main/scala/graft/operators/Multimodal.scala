@@ -572,4 +572,90 @@ object Multimodal {
           count(lit(1)).cast("double")), 6).as("rms"))
       .withColumn("silent", col("rms") < silenceRms)
   }
+
+  /** ln 2 as a shared driver literal — [[byteEntropy]] and its oracle
+    * generator embed the identical double (the o12 ladder rule). */
+  val Ln2: Double = math.log(2.0)
+
+  /**
+   * P326 — byte-value entropy per media: H = −Σ p_b·log₂ p_b over the
+   * 256 byte values — the compressibility probe of a raw stream (a
+   * near-8-bit plane is already-compressed or noise; a low-entropy
+   * plane is a flat fill or text — both route differently in a media
+   * curation pass), run over the stub plane so every byte replays from
+   * hex pairs (the mm2/mm3 idiom). Emits (media_id, n_bytes,
+   * n_distinct, entropy_bits); empty payloads drop.
+   *
+   * Shapes: position explode + one (media, byte) agg + one media agg.
+   * Cross-engine: counts exact; each p·ln p term runs its ln on an
+   * exact-integer-ratio double, rounds at 6, multiplies, rounds at 9
+   * into DECIMAL(28,9); the log₂ rescale divides by the [[Ln2]]
+   * driver literal; entropy rounds at 6.
+   */
+  def byteEntropy(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val counts = df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
+        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0)
+      .select(col("media_id"), col("n_bytes"), col("__hx"),
+        explode(sequence(lit(0L), col("n_bytes") - 1)).as("__i"))
+      .withColumn("__byte",
+        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
+          .cast("int"))
+      .groupBy(col("media_id"), col("n_bytes"), col("__byte"))
+      .agg(count(lit(1)).as("__c"))
+    val p = col("__c").cast("double") / col("n_bytes").cast("double")
+    counts
+      .withColumn("__term",
+        round(p * round(log(p), 6), 9).cast("decimal(28,9)"))
+      .groupBy(col("media_id"), col("n_bytes"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("__term")).cast("double").as("__s"))
+      .select(col("media_id"), col("n_bytes"), col("n_distinct"),
+        round(-col("__s") / lit(Ln2), 6).as("entropy_bits"))
+  }
+
+  /**
+   * P327 — zero-crossing rate per media: centre each byte at `centre`
+   * and count sign flips between consecutive positions, ZCR =
+   * crossings/(n−1) — the classic pitch/noisiness feature of an audio
+   * front end (voiced speech reads low, fricatives and hiss read
+   * high), run over the stub plane so every byte replays from hex
+   * pairs. PCM callers keep the 128 default; the ASCII text stub plane
+   * never reaches 128 (ZCR identically 0 — measured), so its queries
+   * centre at 96 where letter/space flips carry the signal. Emits
+   * (media_id, n_bytes, n_crossings, zcr); single-byte payloads null
+   * the rate.
+   *
+   * Shapes: position explode + ONE media-partitioned lag window + one
+   * keyed agg — never a global order. Cross-engine: the sign is the
+   * exact integer test byte ≥ 128; counts exact; one double division
+   * rounded at 6.
+   */
+  def zeroCrossingRate(df: DataFrame, idCol: String,
+      bytesCol: String, centre: Int = 128): DataFrame = {
+    require(centre >= 1 && centre <= 255,
+      s"zeroCrossingRate: centre must be in [1, 255], got $centre")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("__i").asc)
+    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
+        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0)
+      .select(col("media_id"), col("n_bytes"), col("__hx"),
+        explode(sequence(lit(0L), col("n_bytes") - 1)).as("__i"))
+      .withColumn("__pos",
+        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
+          .cast("int") >= centre)
+      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+      .groupBy(col("media_id"), col("n_bytes"))
+      .agg(sum(when(col("__prev").isNotNull &&
+        col("__prev") =!= col("__pos"), 1L).otherwise(0L))
+        .as("n_crossings"))
+      .select(col("media_id"), col("n_bytes"), col("n_crossings"),
+        when(col("n_bytes") > 1,
+          round(col("n_crossings").cast("double") /
+            (col("n_bytes") - 1L).cast("double"), 6)).as("zcr"))
+  }
 }

@@ -272,6 +272,43 @@ object TimeSeries {
   }
 
   /**
+   * P324 — restricted mean survival time at horizon τ: the area under
+   * the [[kaplanMeier]] curve over [0, τ] — "average event-free days
+   * in the first τ days", the ONE-NUMBER survival summary that stays
+   * defined under censoring where the plain mean does not (and the
+   * clinically-preferred effect size when hazards cross). Computed
+   * exactly from the step function: min(t₁, τ) at S = 1 plus
+   * Σ Sᵢ·(min(tᵢ₊₁, τ) − min(tᵢ, τ)). Emits per group: n_steps, tau,
+   * rmst. Groups with no observed events drop (as in the KM frame).
+   *
+   * Shape: the kaplanMeier group-partitioned windows + one lead window
+   * over the same per-group step grid + one keyed agg. Cross-engine:
+   * interval lengths are exact integer day arithmetic; step terms are
+   * (6-rounded S)·length doubles rounded at 9 through DECIMAL(28,9);
+   * rmst rounds at 6.
+   */
+  def restrictedMeanSurvival(df: DataFrame, groupCol: String,
+      timeCol: String, eventCol: String, tau: Long): DataFrame = {
+    require(tau > 0, s"restrictedMeanSurvival: tau must be > 0, got $tau")
+    val km = kaplanMeier(df, groupCol, timeCol, eventCol)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(timeCol).asc)
+    val tl = col(timeCol).cast("long")
+    val capT = least(tl, lit(tau))
+    val capNext = coalesce(least(lead(tl, 1).over(w), lit(tau)), lit(tau))
+    km
+      .withColumn("__len", greatest(capNext - capT, lit(0L)))
+      .withColumn("__term",
+        round(col("survival") * col("__len").cast("double"), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_steps"), min(tl).as("__t1"),
+        sum(col("__term")).cast("double").as("__area"))
+      .select(col(groupCol), col("n_steps"), lit(tau).as("tau"),
+        round(least(col("__t1"), lit(tau)).cast("double") + col("__area"),
+          6).as("rmst"))
+  }
+
+  /**
    * P269 — Nelson–Aalen cumulative hazard: H(t) = Σ_{s≤t} d_s/n_s over
    * the event times — the additive counterpart to [[kaplanMeier]]'s
    * product limit (read H(t) as "expected events so far per at-risk

@@ -68,6 +68,28 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P326 — byte-value entropy per stream: the compressibility probe
+    // (near-8-bit = compressed/noise, low = flat fill or text — both
+    // route differently in a media curation pass)
+    "mm13_byteentropy" -> ((s, dir) => {
+      val packed = Multimodal.packText(table(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.byteEntropy(packed, "media_id", "bytes")
+        .orderBy("media_id")
+    }),
+
+    // P327 — zero-crossing rate per stream: the pitch/noisiness front-
+    // end feature (voiced low, fricative/hiss high); centred at 96 —
+    // ASCII never reaches the PCM 128 centre (ZCR read 0 everywhere,
+    // measured), letter/space flips carry the text-plane signal
+    "mm14_zcr" -> ((s, dir) => {
+      val packed = Multimodal.packText(table(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.zeroCrossingRate(packed, "media_id", "bytes",
+          centre = 96)
+        .orderBy("media_id")
+    }),
+
     // P237 — 256-byte frame energy over the raw streams: the VAD shape
     // of an audio pass (mean amplitude + RMS + silence flag per frame)
     "mm12_energy" -> ((s, dir) => {
@@ -432,6 +454,64 @@ object MultimodalQueries {
 
     // the same hex-pair byte replay framed by integer division; exact
     // BIGINT moments, one IEEE sqrt
+    // per-(media, byte) exact counts; each p·ln p term 6-round-ln'd
+    // then 9-rounded; log₂ rescale by the shared ln 2 driver literal
+    "mm13_byteentropy" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |b AS (
+        |  SELECT media_id, n, hx, unnest(generate_series(0, n - 1)) AS i
+        |  FROM m WHERE n > 0),
+        |v AS (
+        |  SELECT media_id, n,
+        |    ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+        |      AS byte
+        |  FROM b),
+        |c AS (
+        |  SELECT media_id, n, byte, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT media_id, n, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS s
+        |  FROM c GROUP BY 1, 2)
+        |SELECT media_id, n AS n_bytes, n_distinct,
+        |  round(-s / 0.6931471805599453e0, 6) AS entropy_bits
+        |FROM t ORDER BY media_id""".stripMargin,
+
+    // 128-centred sign flips via one media-partitioned lag window
+    "mm14_zcr" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |b AS (
+        |  SELECT media_id, n, hx, unnest(generate_series(0, n - 1)) AS i
+        |  FROM m WHERE n > 0),
+        |v AS (
+        |  SELECT media_id, n, i,
+        |    (('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+        |      >= 96) AS pos
+        |  FROM b),
+        |l AS (
+        |  SELECT media_id, n, pos,
+        |    lag(pos) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        |  FROM v),
+        |a AS (
+        |  SELECT media_id, n,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> pos THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_crossings
+        |  FROM l GROUP BY 1, 2)
+        |SELECT media_id, n AS n_bytes, n_crossings,
+        |  CASE WHEN n > 1 THEN round(CAST(n_crossings AS DOUBLE) /
+        |    CAST(n - 1 AS DOUBLE), 6) END AS zcr
+        |FROM a ORDER BY media_id""".stripMargin,
+
     "mm12_energy" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,

@@ -904,6 +904,17 @@ object OlapQueries {
         "user_id", "value")
     }),
 
+    // P325 — Page's trend test on the o72 design with the alphabetical
+    // type order as the named hypothesis: does per-user mean value
+    // increase along click < error < purchase < signup < view
+    "o105_page" -> ((s, dir) => {
+      graft.operators.Features.pageTrendTest(
+        graft.Graft.events(s, dir)
+          .select("user_id", "event_type", "value"),
+        "user_id", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))
+    }),
+
     // P306 — Kendall's W over the o72 Friedman design (users ranking
     // event types by mean value): the concordance effect size behind
     // the χ² verdict
@@ -4789,6 +4800,58 @@ object OlapQueries {
         |    round((msb - msw) / (msb + (k0 - 1.0e0) * msw), 6)
         |  END AS icc
         |FROM o2""".stripMargin,
+
+    // the o72 rank CTEs + a j·R' closing over the named order; the z
+    // closing one fixed double sequence with one sqrt
+    "o105_page" ->
+      """WITH b AS (
+        |  SELECT user_id AS bk, event_type AS t, value AS v FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL
+        |    AND event_type IN ('click', 'error', 'purchase', 'signup',
+        |      'view')),
+        |cells AS (
+        |  SELECT bk, t,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS m
+        |  FROM b GROUP BY 1, 2),
+        |k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+        |wb AS (SELECT *, COUNT(*) OVER (PARTITION BY bk) AS bn FROM cells),
+        |comp AS (SELECT wb.* FROM wb CROSS JOIN k WHERE bn = k.k),
+        |r AS (
+        |  SELECT bk, t,
+        |    CAST(rank() OVER (PARTITION BY bk ORDER BY m) AS BIGINT)
+        |      AS minr,
+        |    CAST(COUNT(*) OVER (PARTITION BY bk, m) AS BIGINT) AS tt
+        |  FROM comp),
+        |pt AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(2 * minr + tt - 1) AS BIGINT) AS r2
+        |  FROM r GROUP BY 1),
+        |cl AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+        |    CAST(MAX((SELECT k FROM k)) AS BIGINT) AS k_treatments,
+        |    SUM(CAST(CASE t WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |        WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+        |        WHEN 'view' THEN 5 END AS DECIMAL(19,0)) *
+        |      CAST(r2 AS DECIMAL(19,0))) AS l2
+        |  FROM pt)
+        |SELECT n_blocks, k_treatments,
+        |  CASE WHEN n_blocks > 0 THEN
+        |    round(CAST(l2 AS DOUBLE) / 2.0e0, 6) END AS l,
+        |  CASE WHEN n_blocks > 0 AND k_treatments = 5 THEN
+        |    round((CAST(l2 AS DOUBLE) / 2.0e0 -
+        |      CAST(n_blocks AS DOUBLE) * CAST(k_treatments AS DOUBLE) *
+        |      (CAST(k_treatments AS DOUBLE) + 1.0e0) *
+        |      (CAST(k_treatments AS DOUBLE) + 1.0e0) / 4.0e0) /
+        |      sqrt(CAST(n_blocks AS DOUBLE) *
+        |        CAST(k_treatments AS DOUBLE) *
+        |        CAST(k_treatments AS DOUBLE) *
+        |        (CAST(k_treatments AS DOUBLE) + 1.0e0) *
+        |        (CAST(k_treatments AS DOUBLE) *
+        |         CAST(k_treatments AS DOUBLE) - 1.0e0) / 144.0e0), 6)
+        |  END AS z
+        |FROM cl""".stripMargin,
 
     // the o72 rank CTEs + a (block, value) tie agg; W from exact
     // decimal-widened deviation squares, one closing quotient

@@ -195,6 +195,16 @@ object SemiStructuredQueries {
         .orderBy("seg", "t")
     }),
 
+    // P324 — restricted mean survival time at τ = 1000 over the q11
+    // curves: average churn-free days in the first ~3 years per
+    // segment (τ = 365 read ~365.0 for every segment — the curves
+    // barely drop in year one, measured; 1000 spreads the read)
+    "o104_rmst" -> ((s, dir) => {
+      TimeSeries.restrictedMeanSurvival(survivalSubjects(s, dir), "seg",
+          "t", "ev", tau = 1000L)
+        .orderBy("seg")
+    }),
+
     // P269 — Nelson–Aalen cumulative hazard over the q11 subject frame:
     // the additive H(t) beside q11's product-limit S(t)
     "q23_hazard" -> ((s, dir) => {
@@ -452,6 +462,60 @@ object SemiStructuredQueries {
 
     // product limit via exp(Σ ln) with each ln rounded at 9 and
     // DECIMAL-summed (the libm firewall); d = n steps clamp at 2^-56
+    // the q11 product-limit CTEs + a capped lead window per segment;
+    // step terms (6-rounded S)·length 9-rounded through DECIMAL(28,9)
+    "o104_rmst" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |cut AS (SELECT MAX(d) - 365 AS cutoff FROM o),
+        |subj AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(MAX(o.d) - MIN(o.d) AS BIGINT) AS t,
+        |    CASE WHEN MAX(o.d) <= (SELECT cutoff FROM cut) THEN 1 ELSE 0
+        |      END AS ev
+        |  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY o.o_custkey, c.c_mktsegment),
+        |grid AS (
+        |  SELECT seg, t, CAST(SUM(ev) AS BIGINT) AS n_event,
+        |         CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg, t, n_event,
+        |    CAST(SUM(n_total) OVER (PARTITION BY seg)
+        |         - COALESCE(SUM(n_total) OVER (PARTITION BY seg ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS at_risk
+        |  FROM grid),
+        |e AS (
+        |  SELECT seg, t, n_event, at_risk,
+        |    CAST(round(ln(greatest(
+        |        1.0e0 - CAST(n_event AS DOUBLE) / CAST(at_risk AS DOUBLE),
+        |        1.0e0 / 72057594037927936.0e0)), 9) AS DECIMAL(28,9)) AS lf
+        |  FROM r WHERE n_event > 0),
+        |km AS (
+        |  SELECT seg, t,
+        |    round(exp(CAST(SUM(lf) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)), 6) AS survival
+        |  FROM e),
+        |st AS (
+        |  SELECT seg, t, survival,
+        |    lead(t) OVER (PARTITION BY seg ORDER BY t) AS nxt
+        |  FROM km),
+        |steps AS (
+        |  SELECT seg, t, CAST(round(survival * CAST(greatest(
+        |    coalesce(least(nxt, 1000), 1000) - least(t, 1000), 0) AS DOUBLE),
+        |    9) AS DECIMAL(28,9)) AS term
+        |  FROM st),
+        |a AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_steps,
+        |    CAST(MIN(t) AS BIGINT) AS t1,
+        |    CAST(SUM(term) AS DOUBLE) AS area
+        |  FROM steps GROUP BY 1)
+        |SELECT seg, n_steps, 1000 AS tau,
+        |  round(CAST(least(t1, 1000) AS DOUBLE) + area, 6) AS rmst
+        |FROM a ORDER BY seg""".stripMargin,
+
     "q11_survival" ->
       """WITH o AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),

@@ -1441,4 +1441,29 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.regressionInfluence(tiny, "k", "id", "x", "y", 3)
       .count() == 0)
   }
+
+  test("pageTrendTest: perfect named-order trend hits the closed-form " +
+      "z; the reverse flips its sign; a missing treatment nulls z") {
+    import spark.implicits._
+    // 3 blocks, values increasing along the named order → R = (3,6,9),
+    // L = 42, E = 36, Var = 6 → z = 6/√6
+    val up = (1 to 3).flatMap(b => Seq(
+      (s"b$b", "t1", 1.0), (s"b$b", "t2", 2.0), (s"b$b", "t3", 3.0)))
+      .toDF("b", "t", "v")
+    val ord = Seq("t1", "t2", "t3")
+    val r = Features.pageTrendTest(up, "b", "t", "v", ord).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 42.0)
+    assert(r.getDouble(3) == r6(6.0 / math.sqrt(6.0)))
+    val down = up.withColumn("v", org.apache.spark.sql.functions
+      .lit(4.0) - col("v"))
+    val d = Features.pageTrendTest(down, "b", "t", "v", ord).head
+    assert(d.getDouble(2) == 30.0 &&
+      d.getDouble(3) == r6(-6.0 / math.sqrt(6.0)))
+    // a named treatment absent from the data: k < |order| → z null
+    val sub = up.where(col("t") =!= "t3")
+    assert(Features.pageTrendTest(sub, "b", "t", "v", ord).head.isNullAt(3))
+    intercept[IllegalArgumentException](
+      Features.pageTrendTest(up, "b", "t", "v", Seq("t1", "t2")))
+  }
 }

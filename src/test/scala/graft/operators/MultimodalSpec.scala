@@ -359,4 +359,36 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.frameEnergy(df, "id", "bytes", 0))
   }
+
+  test("byteEntropy: constant plane reads 0 bits, a two-value coin " +
+      "reads 1 bit") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaa"), (2L, "abab")).toDF("doc_id", "text")
+    val packed = Multimodal.packText(df, "doc_id", "text")
+    val got = Multimodal.byteEntropy(packed, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._2 == 1L && got(1L)._3 == 0.0)
+    assert(got(2L)._2 == 2L && math.abs(got(2L)._3 - 1.0) < 1e-5)
+  }
+
+  test("zeroCrossingRate: alternating halves read 1, constant reads 0; " +
+      "the centre decides the halves") {
+    import spark.implicits._
+    // 'a' = 97 ≥ 96, 'A' = 65 < 96 → every step flips at centre 96
+    val df = Seq((1L, "aAaA"), (2L, "aaaa")).toDF("doc_id", "text")
+    val packed = Multimodal.packText(df, "doc_id", "text")
+    val got = Multimodal.zeroCrossingRate(packed, "media_id", "bytes",
+        centre = 96)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1.0)))
+    assert(got(2L) == ((0L, 0.0)))
+    // at the PCM default both strings sit entirely below 128 → 0
+    val pcm = Multimodal.zeroCrossingRate(packed, "media_id", "bytes")
+      .collect().map(_.getLong(2)).sum
+    assert(pcm == 0L)
+    intercept[IllegalArgumentException](
+      Multimodal.zeroCrossingRate(packed, "media_id", "bytes", 0))
+  }
 }

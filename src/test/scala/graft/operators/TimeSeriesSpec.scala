@@ -927,4 +927,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(String.valueOf(ex.getMessage).contains("littlesLaw") ||
       String.valueOf(ex.getCause).contains("littlesLaw"))
   }
+
+  test("restrictedMeanSurvival: hand area under the textbook KM curve; " +
+      "the horizon caps late steps") {
+    import spark.implicits._
+    // times 1,2*,3,4,5* → S = .8 (t1), .533333 (t3), .266667 (t4)
+    val subj = Seq(("g", 1L, 1), ("g", 2L, 0), ("g", 3L, 1),
+      ("g", 4L, 1), ("g", 5L, 0)).toDF("grp", "t", "ev")
+    val r = TimeSeries.restrictedMeanSurvival(subj, "grp", "t", "ev", 10L)
+      .head
+    // 1·1 + .8·2 + .533333·1 + .266667·6
+    assert(r.getLong(1) == 3L && r.getLong(2) == 10L)
+    assert(r.getDouble(3) == 4.733335)
+    // τ = 2 truncates after the first step: 1 + .8·1
+    val c = TimeSeries.restrictedMeanSurvival(subj, "grp", "t", "ev", 2L)
+      .head
+    assert(c.getDouble(3) == 1.8)
+    intercept[IllegalArgumentException](
+      TimeSeries.restrictedMeanSurvival(subj, "grp", "t", "ev", 0L))
+  }
 }
