@@ -1423,6 +1423,51 @@ object Features {
   }
 
   /**
+   * P328 — two-sample Cramér–von Mises statistic: T = n_a·n_b/(n)² ·
+   * Σ_pooled (F_a(x) − F_b(x))² — the whole-distribution companion to
+   * P169's KS (KS reads the single worst ECDF gap and is blind to
+   * broad mid-distribution drift; CvM integrates EVERY gap, weighted
+   * by where the data actually sits). Same machinery, same exact-
+   * statistic caveat: the cumulative scan needs the pooled value
+   * order (the o5 family — per-shard approximation is the at-scale
+   * fallback). Emits ONE row (n_a, n_b, t_stat); an empty side nulls.
+   *
+   * Shape: one value-keyed agg + one cumulative window over the
+   * distinct-value frame + two scalar closings. Cross-engine: counts
+   * exact; ECDF gaps are fixed double sequences; per-value terms
+   * (c_a+c_b)·gap² round at 9 through DECIMAL(28,9); T rounds at 6.
+   */
+  def cvmTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val d = df.where(col(valueCol).isNotNull && (g === groupA || g === groupB))
+    val counts = d.groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = d.agg(sum(when(g === groupA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(g === groupB, 1L).otherwise(0L)).as("n_b"))
+    val gap = col("__cuma").cast("double") / col("n_a").cast("double") -
+      col("__cumb").cast("double") / col("n_b").cast("double")
+    val u = counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .join(broadcast(tot)) // 1-row scalar side
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("n_a"), col("n_b"),
+        round((col("__ca") + col("__cb")).cast("double") * (gap * gap), 9)
+          .cast("decimal(28,9)").as("__t"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__t")).cast("double").as("__u"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    u.select(col("n_a"), col("n_b"),
+      round(nad * nbd / ((nad + nbd) * (nad + nbd)) * col("__u"), 6)
+        .as("t_stat"))
+  }
+
+  /**
    * P171 — sample-ratio-mismatch check (the A/B-test smoke alarm): a
    * 1-df chi-square of the observed treatment/control split against the
    * design ratio p — assignment bugs show up HERE before they corrupt

@@ -532,6 +532,54 @@ object Graph {
   }
 
   /**
+   * P329 — k-hop reach from the top-degree landmark: breadth-first
+   * frontier counts at hops 0..`hops` from the highest-degree node
+   * (tie: smallest id) — "how much of the graph is within k hops of
+   * the biggest hub", the small-world/connectivity probe and the
+   * blast-radius read of a hub outage. Emits per hop: (hop, n_new) —
+   * nodes FIRST reached at that hop.
+   *
+   * Shape: the shared undirected build, a TakeOrdered 1-row seed, then
+   * `hops` keyed frontier joins each closed by a distinct + anti-join
+   * against the visited set (all equi-joins — the gr5 bounded-
+   * iteration class; nothing global). Cross-engine: pure set
+   * semantics, exact counts.
+   */
+  def kHopReach(edges: DataFrame, srcCol: String, dstCol: String,
+      hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 6,
+      s"kHopReach: hops must be in 1..6, got $hops")
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val dirE = und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+    val seed = nodeDegrees(und)
+      .orderBy(col("deg").desc, col("node").asc).limit(1)
+      .select(col("node"), lit(0).as("hop"))
+    var visited = seed
+    for (h <- 1 to hops) {
+      val frontier = visited.where(col("hop") === h - 1)
+        .join(dirE.hint("shuffle_hash"), col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+      visited = visited.unionByName(frontier)
+    }
+    // DENSIFY the hop spine: a saturated graph empties late frontiers,
+    // and a missing row reads as "not computed", not "zero new" (the
+    // dq11 spine rule)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val spine = (0 to hops).toDF("hop")
+    spine.join(
+        visited.groupBy(col("hop")).agg(count(lit(1)).as("__n"))
+          .hint("shuffle_hash"),
+        Seq("hop"), "left")
+      .select(col("hop"), coalesce(col("__n"), lit(0L)).as("n_new"))
+      .orderBy(col("hop"))
+  }
+
+  /**
    * P319 — rich-club coefficient ladder: for each degree bar k,
    * φ(k) = 2·E_k / (N_k(N_k−1)) over the subgraph induced by nodes
    * with deg > k — "do the hubs preferentially link to EACH OTHER"

@@ -50,6 +50,14 @@ object GraphQueries {
         "dst", Seq(60, 90, 120))
     }),
 
+    // P329 — 3-hop BFS reach from the top-degree part: how much of the
+    // co-purchase graph sits within k hops of the biggest hub (the
+    // blast-radius / small-world read)
+    "gr12_khop" -> ((s, dir) => {
+      graft.operators.Graph.kHopReach(coPurchaseEdges(s, dir), "src",
+        "dst", hops = 3)
+    }),
+
     // P88 — PageRank over the part co-purchase graph: parts are linked
     // when they appear in the same order (symmetric edges, so outdeg ≥ 1
     // everywhere and no dangling mass); 3 damped power iterations. The
@@ -197,6 +205,36 @@ object GraphQueries {
        |    AND e.b IN (SELECT a FROM $prev GROUP BY a HAVING COUNT(*) >= 75))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // unrolled BFS frontiers as anti-joined distinct-neighbor CTEs
+    "gr12_khop" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |dirE AS (SELECT u AS a, v AS b FROM und
+        |         UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |seed AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1),
+        |f1 AS (
+        |  SELECT DISTINCT b AS node FROM dirE JOIN seed ON a = seed.node
+        |  WHERE b NOT IN (SELECT node FROM seed)),
+        |f2 AS (
+        |  SELECT DISTINCT b AS node FROM dirE JOIN f1 ON a = f1.node
+        |  WHERE b NOT IN (SELECT node FROM seed
+        |    UNION ALL SELECT node FROM f1)),
+        |f3 AS (
+        |  SELECT DISTINCT b AS node FROM dirE JOIN f2 ON a = f2.node
+        |  WHERE b NOT IN (SELECT node FROM seed
+        |    UNION ALL SELECT node FROM f1 UNION ALL SELECT node FROM f2))
+        |SELECT 0 AS hop, CAST(COUNT(*) AS BIGINT) AS n_new FROM seed
+        |UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM f1
+        |UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM f2
+        |UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM f3
+        |ORDER BY hop""".stripMargin,
+
     // within-community edge counts + degree mass per brand; terms
     // 9-rounded through DECIMAL(28,9)
     "gr10_modularity" ->

@@ -1494,6 +1494,39 @@ object OlapQueries {
         "l_returnflag", "l_extendedprice", groupA = "R", groupB = "N")
     }),
 
+    // P328 — Cramér–von Mises R-vs-N price distributions beside o37's
+    // KS: the integrated-ECDF read that catches broad mid-distribution
+    // drift a single worst gap misses
+    "o106_cvm" -> ((s, dir) => {
+      graft.operators.Features.cvmTest(table(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", groupA = "R", groupB = "N")
+    }),
+
+    // P330 — spend-quintile migration H1 → H2 (cut 1998-05-01, the
+    // corpus midpoint): the customer-value transition matrix behind
+    // "are my best customers staying my best customers"
+    "q30_decile_migration" -> ((s, dir) => {
+      val cut = lit(java.sql.Date.valueOf("1998-05-01"))
+      val dec = col("o_totalprice").cast(DecimalType(18, 2))
+      val zero = lit(BigDecimal(0)).cast(DecimalType(18, 2))
+      val per = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(coalesce(sum(when(to_date(col("o_orderdate")) < cut, dec)),
+          zero).cast("double").as("h1"),
+          coalesce(sum(when(to_date(col("o_orderdate")) >= cut, dec)),
+            zero).cast("double").as("h2"))
+      val scored = graft.operators.Features.quantileScores(per,
+        Seq("h1", "h2"), buckets = 5)
+      val t = scored.agg(count(lit(1)).as("__t"))
+      scored.groupBy(col("h1_score"), col("h2_score"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(t)) // 1-row scalar side
+        .select(col("h1_score"), col("h2_score"), col("n"),
+          round(col("n").cast("double") / col("__t").cast("double"), 6)
+            .as("share"))
+        .orderBy("h1_score", "h2_score")
+    }),
+
     // P171 — sample-ratio-mismatch alarm on the o28 assignment: odd
     // users "treated", design ratio 50/50
     "q15_srm" -> ((s, dir) => {
@@ -6577,6 +6610,82 @@ object OlapQueries {
 
     // per-distinct-value cumulative counts, exact-int ratios rounded at
     // 9 before the closing max
+    // the o37 pooled-ECDF CTEs; per-value (ca+cb)·gap² terms 9-rounded
+    // through DECIMAL(28,9), one closing factor
+    "o106_cvm" ->
+      """WITH d AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),
+        |counts AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM d),
+        |cum AS (
+        |  SELECT ca, cb,
+        |    CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cumb
+        |  FROM counts),
+        |u AS (
+        |  SELECT tot.n_a, tot.n_b,
+        |    CAST(SUM(CAST(round(CAST(ca + cb AS DOUBLE) *
+        |      ((CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |        CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+        |       (CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |        CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS uu
+        |  FROM cum, tot WHERE n_a > 0 AND n_b > 0 GROUP BY 1, 2)
+        |SELECT n_a, n_b,
+        |  round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+        |    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * uu, 6)
+        |    AS t_stat
+        |FROM u""".stripMargin,
+
+    // the q10 quantile_cont cutoffs replayed for both halves; ties at a
+    // cutoff land in the lower bucket on both sides
+    "q30_decile_migration" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(coalesce(SUM(CASE WHEN CAST(o_orderdate AS DATE) <
+        |      DATE '1998-05-01' THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      END), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS h1,
+        |    CAST(coalesce(SUM(CASE WHEN CAST(o_orderdate AS DATE) >=
+        |      DATE '1998-05-01' THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      END), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS h2
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT
+        |    quantile_cont(h1, [0.2e0, 0.4e0, 0.6e0, 0.8e0]) AS q1,
+        |    quantile_cont(h2, [0.2e0, 0.4e0, 0.6e0, 0.8e0]) AS q2
+        |  FROM per),
+        |s AS (SELECT
+        |    CAST(1 + (CASE WHEN h1 > q1[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN h1 > q1[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN h1 > q1[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN h1 > q1[4] THEN 1 ELSE 0 END) AS INT)
+        |      AS h1_score,
+        |    CAST(1 + (CASE WHEN h2 > q2[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN h2 > q2[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN h2 > q2[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN h2 > q2[4] THEN 1 ELSE 0 END) AS INT)
+        |      AS h2_score
+        |  FROM per CROSS JOIN q),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM s),
+        |g AS (SELECT h1_score, h2_score, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1, 2)
+        |SELECT h1_score, h2_score, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share
+        |FROM g CROSS JOIN t
+        |ORDER BY h1_score, h2_score""".stripMargin,
+
     "o37_ks" ->
       """WITH d AS (
         |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_extendedprice AS v

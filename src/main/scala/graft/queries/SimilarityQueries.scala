@@ -57,6 +57,24 @@ object SimilarityQueries {
       Similarity.isotropyAudit(emb(s, dir), "vec_id", "v")
     }),
 
+    // P331 — hubness audit: how often each vector appears in OTHER
+    // points' top-5 (queries = the deterministic 20% hash slice — the
+    // scale path; all-pairs is the documented brute class). High-skew
+    // in-degree = distance concentration, the silent ANN-quality
+    // killer sim9's recall number can't see
+    "sim13_hubness" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") % 5 === 0)
+      val knn = Similarity.bruteForceTopK(e, queries, "vec_id", "v", k = 5)
+      val top = knn.groupBy(col("id")).agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("id").asc).limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occ").desc, col("id").asc)
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("id"), col("n_occ"))
+        .orderBy("rank")
+    }),
+
     // exact cosine top-5 for 10 query vectors
     "sim1_brute_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -300,6 +318,29 @@ object SimilarityQueries {
         |SELECT doc_id, bm25, bm25_rank, cosine,
         |  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS rank
         |FROM cosd ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the sim1 oracle shape over the 20% query slice, then in-degree
+    // counts and a capped top-10 rank
+    "sim13_hubness" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         list_cosine_similarity(c.v, q.v) AS cos
+        |  FROM e c JOIN e q ON q.vec_id % 5 = 0 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, id ASC) AS rank
+        |  FROM scored),
+        |cnt AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |  FROM ranked WHERE rank <= 5 GROUP BY 1),
+        |top AS (SELECT * FROM cnt ORDER BY n_occ DESC, id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, id)
+        |    AS INTEGER) AS rank, id, n_occ
+        |FROM top ORDER BY rank""".stripMargin,
 
     "sim1_brute_topk" ->
       """WITH e AS (

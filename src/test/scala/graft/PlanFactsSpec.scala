@@ -166,7 +166,9 @@ object PlanFactsSpec {
     // exact-order-statistic family (o5 caveat): a global order IS the
     // semantics; each operator scaladoc names the at-scale fallback
     "o15_mannwhitney", "o70_wilcoxon", "o75_kruskal", "o17_spearman",
-    "o37_ks", "sa8_weighted",
+    "o37_ks", "o106_cvm", // the o37 pooled-ECDF scan, integrated
+    "sa8_weighted",
+    "sim13_hubness", // capped top-10 rank window (the zipf idiom)
     "pv4_tcloseness", "t19_zipf", "t25_heaps", "q12_paths", "o24_movers",
     "t35_burstiness", "t36_dispersion", "t37_colloc", // capped top-K rank
     // windows over 20-row frames (the zipf idiom)

@@ -1466,4 +1466,19 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.pageTrendTest(up, "b", "t", "v", Seq("t1", "t2")))
   }
+
+  test("cvmTest: hand integrated-ECDF statistic; identical samples " +
+      "score 0") {
+    import spark.implicits._
+    // A = {1,2}, B = {3,4}: gaps .5, 1, .5, 0 → U = 1.5, factor = .25
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Features.cvmTest(df, "g", "v", "a", "b").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.375)
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    assert(Features.cvmTest(same, "g", "v", "a", "b").head
+      .getDouble(2) == 0.0)
+  }
 }

@@ -265,4 +265,17 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.richClub(edges, "s", "d", Seq(2, 2)))
   }
+
+  test("kHopReach: BFS frontiers from the top hub; exhausted hops read " +
+      "0 on the densified spine") {
+    import spark.implicits._
+    // hub 1 with leaves 2,3,4; chain 4-5-6 → frontiers 3, 1, 1, then 0
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("s", "d")
+    val got = Graph.kHopReach(edges, "s", "d", hops = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1L, 1 -> 3L, 2 -> 1L, 3 -> 1L, 4 -> 0L))
+    intercept[IllegalArgumentException](
+      Graph.kHopReach(edges, "s", "d", 0))
+  }
 }
