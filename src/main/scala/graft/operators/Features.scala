@@ -1468,6 +1468,91 @@ object Features {
   }
 
   /**
+   * P333 — split-half reliability with the Spearman–Brown correction:
+   * split each unit's observations by a deterministic parity, correlate
+   * the half-means across units, and step the half-test correlation up
+   * to full-test length: SB = 2r/(1+r) — the internal-consistency read
+   * beside P277's Cronbach α (α needs k parallel items; split-half
+   * needs only ONE measure and a coin). Emits ONE row: n_units, r,
+   * spearman_brown; degenerate halves (zero variance, r = −1) null.
+   *
+   * Shape: one (unit, parity) mean agg, a conditional pivot to
+   * (even, odd) columns, one moment agg — no windows. Cross-engine:
+   * half-means are 6-rounded decimal-sum means; the correlation runs
+   * the o11 moment discipline on exact (18,6) products; SB is one
+   * fixed double sequence rounded at 6. Units missing either half
+   * drop (a one-sided unit has no pair).
+   */
+  def splitHalfReliability(df: DataFrame, unitCol: String,
+      splitCol: String, valueCol: String): DataFrame = {
+    val base = df.where(col(unitCol).isNotNull && col(splitCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(unitCol).as("__u"),
+        pmod(col(splitCol).cast("long"), lit(2L)).as("__h"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val halves = base.groupBy(col("__u"), col("__h"))
+      .agg(round(sum(col("__v")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("__m"))
+    val wide = halves.groupBy(col("__u"))
+      .agg(max(when(col("__h") === 0L, col("__m"))).as("__e"),
+        max(when(col("__h") === 1L, col("__m"))).as("__o"))
+      .where(col("__e").isNotNull && col("__o").isNotNull)
+    val dx = col("__e").cast("decimal(18,6)")
+    val dy = col("__o").cast("decimal(18,6)")
+    val m = wide.agg(count(lit(1)).as("n_units"),
+      sum(dx).cast("double").as("__sx"),
+      sum(dy).cast("double").as("__sy"),
+      sum(dx * dy).cast("double").as("__sxy"),
+      sum(dx * dx).cast("double").as("__sxx"),
+      sum(dy * dy).cast("double").as("__syy"))
+    val nd = col("n_units").cast("double")
+    val uxy = nd * col("__sxy") - col("__sx") * col("__sy")
+    val uxx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val uyy = nd * col("__syy") - col("__sy") * col("__sy")
+    val r = uxy / sqrt(uxx * uyy)
+    val ok = col("n_units") > 1 && uxx > 0 && uyy > 0
+    m.select(col("n_units"),
+      when(ok, round(r, 6)).as("r"),
+      when(ok, when(lit(1.0) + r =!= 0.0,
+        round(lit(2.0) * r / (lit(1.0) + r), 6))).as("spearman_brown"))
+  }
+
+  /**
+   * P334 — Poisson dispersion (overdispersion) test per group: for
+   * per-unit event counts, D = s²/x̄ and the index-of-dispersion
+   * statistic (n−1)·s²/x̄ ~ χ²(n−1) under a Poisson process — THE
+   * burst/bot detector for count metrics (organic arrivals read
+   * D ≈ 1; campaign bursts and retry storms read D ≫ 1; a capped or
+   * deduplicated feed reads D < 1). Emits per group: n_units, mean,
+   * variance, dispersion, chi2, dof; a zero mean or singleton group
+   * nulls the test.
+   *
+   * Shape: ONE keyed moment agg. Cross-engine: counts are exact
+   * BIGINTs, moments exact DECIMAL(19,0)² integer products; the
+   * closing ratios are fixed double sequences rounded at 6.
+   */
+  def poissonDispersion(df: DataFrame, groupCol: String,
+      countCol: String): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val base = df.where(col(groupCol).isNotNull && col(countCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(countCol).cast("long").as("__c"))
+    val m = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__c")).as("__s1"),
+        sum(d19(col("__c")) * d19(col("__c"))).cast("double").as("__s2"))
+    val nd = col("n_units").cast("double")
+    val s1 = col("__s1").cast("double")
+    val mean = s1 / nd
+    val varS = (nd * col("__s2") - s1 * s1) / (nd * (nd - lit(1.0)))
+    val ok = col("n_units") > 1 && col("__s1") > 0
+    m.select(col("__g").as(groupCol), col("n_units"),
+      round(mean, 6).as("mean"),
+      when(col("n_units") > 1, round(varS, 6)).as("variance"),
+      when(ok, round(varS / mean, 6)).as("dispersion"),
+      when(ok, round((nd - lit(1.0)) * varS / mean, 6)).as("chi2"),
+      (col("n_units") - 1L).as("dof"))
+  }
+
+  /**
    * P171 — sample-ratio-mismatch check (the A/B-test smoke alarm): a
    * 1-df chi-square of the observed treatment/control split against the
    * design ratio p — assignment bugs show up HERE before they corrupt

@@ -1494,6 +1494,31 @@ object OlapQueries {
         "l_returnflag", "l_extendedprice", groupA = "R", groupB = "N")
     }),
 
+    // P333 — split-half reliability of per-user event value by
+    // event-id parity, stepped up by Spearman–Brown: is "user value"
+    // a stable trait of the user or per-event noise (the o94 ICC
+    // question with one measure and a coin)
+    "o107_splithalf" -> ((s, dir) => {
+      graft.operators.Features.splitHalfReliability(
+        graft.Graft.events(s, dir)
+          .select("user_id", "event_id", "value"),
+        "user_id", "event_id", "value")
+    }),
+
+    // P334 — Poisson dispersion of per-user event counts by type:
+    // D ≈ 1 = organic arrivals, D ≫ 1 = bursts/bots, D < 1 = capped
+    // feed (every user has every type in this corpus — no
+    // zero-truncation, the sk16 read)
+    "o108_dispersion" -> ((s, dir) => {
+      val cnts = graft.Graft.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Features.poissonDispersion(cnts, "event_type",
+          "cnt")
+        .orderBy("event_type")
+    }),
+
     // P328 — Cramér–von Mises R-vs-N price distributions beside o37's
     // KS: the integrated-ECDF read that catches broad mid-distribution
     // drift a single worst gap misses
@@ -6610,6 +6635,85 @@ object OlapQueries {
 
     // per-distinct-value cumulative counts, exact-int ratios rounded at
     // 9 before the closing max
+    // 6-rounded half-means, the o11 moment discipline on the (even,
+    // odd) pairs, one SB closing
+    "o107_splithalf" ->
+      """WITH b AS (
+        |  SELECT user_id AS u, event_id % 2 AS h,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |hm AS (
+        |  SELECT u, h, round(CAST(SUM(v) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS m
+        |  FROM b GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT u, MAX(CASE WHEN h = 0 THEN m END) AS e,
+        |    MAX(CASE WHEN h = 1 THEN m END) AS o
+        |  FROM hm GROUP BY 1),
+        |w2 AS (SELECT * FROM wide WHERE e IS NOT NULL AND o IS NOT NULL),
+        |mm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(o AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(e AS DECIMAL(18,6)) *
+        |             CAST(o AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(e AS DECIMAL(18,6)) *
+        |             CAST(e AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(o AS DECIMAL(18,6)) *
+        |             CAST(o AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |  FROM w2),
+        |u AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS uxy,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS uxx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS uyy
+        |  FROM mm)
+        |SELECT n AS n_units,
+        |  CASE WHEN n > 1 AND uxx > 0 AND uyy > 0 THEN
+        |    round(uxy / sqrt(uxx * uyy), 6) END AS r,
+        |  CASE WHEN n > 1 AND uxx > 0 AND uyy > 0 THEN
+        |    CASE WHEN 1.0e0 + uxy / sqrt(uxx * uyy) <> 0 THEN
+        |      round(2.0e0 * (uxy / sqrt(uxx * uyy)) /
+        |        (1.0e0 + uxy / sqrt(uxx * uyy)), 6) END
+        |  END AS spearman_brown
+        |FROM u""".stripMargin,
+
+    // one keyed integer-moment agg; dispersion/χ² fixed double closings
+    "o108_dispersion" ->
+      """WITH c AS (
+        |  SELECT event_type AS g, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT g AS event_type, n AS n_units,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  CASE WHEN n > 1 THEN
+        |    round((CAST(n AS DOUBLE) * s2 -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)), 6)
+        |  END AS variance,
+        |  CASE WHEN n > 1 AND s1 > 0 THEN
+        |    round(((CAST(n AS DOUBLE) * s2 -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))) /
+        |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |  END AS dispersion,
+        |  CASE WHEN n > 1 AND s1 > 0 THEN
+        |    round((CAST(n AS DOUBLE) - 1.0e0) *
+        |      ((CAST(n AS DOUBLE) * s2 -
+        |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))) /
+        |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |  END AS chi2,
+        |  CAST(n - 1 AS BIGINT) AS dof
+        |FROM m ORDER BY event_type""".stripMargin,
+
     // the o37 pooled-ECDF CTEs; per-value (ca+cb)·gap² terms 9-rounded
     // through DECIMAL(28,9), one closing factor
     "o106_cvm" ->

@@ -157,6 +157,39 @@ object SemiStructuredQueries {
         Seq("t_signup", "t_view", "t_click", "t_purchase"))
     }),
 
+    // P332 — funnel step conversion rates with Wilson 95% CIs over the
+    // q7 depths in the dq17 3-day window (the 30-day corpus converts
+    // every step at 150/150 — saturated, measured): the
+    // uncertainty-aware funnel readout (a 60% step on 20 users and on
+    // 20k users are different facts)
+    "q31_funnel_rates" -> ((s, dir) => {
+      val f = TimeSeries.funnel(
+        events(s, dir)
+          .where(col("ts") < expr("timestamp'2024-01-04 00:00:00'")),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      val agg = f.agg(
+        sum(when(col("funnel_depth") >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("funnel_depth") >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("funnel_depth") >= 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("funnel_depth") >= 4, 1L).otherwise(0L)).as("n4"))
+      val steps = agg.select(expr(
+        "stack(3, 'signup>view', n1, n2, 'view>click', n2, n3, " +
+          "'click>purchase', n3, n4) as (step, n_from, n_to)"))
+      val nd = col("n_from").cast("double")
+      val p = col("n_to").cast("double") / nd
+      val z2 = lit(1.96) * lit(1.96)
+      val den = lit(1.0) + z2 / nd
+      val centre = (p + z2 / (lit(2.0) * nd)) / den
+      val hw = lit(1.96) * sqrt(p * (lit(1.0) - p) / nd +
+        z2 / (lit(4.0) * nd * nd)) / den
+      steps.select(col("step"), col("n_from"), col("n_to"),
+        when(col("n_from") > 0, round(p, 6)).as("rate"),
+        when(col("n_from") > 0, round(centre - hw, 6)).as("ci_low"),
+        when(col("n_from") > 0, round(centre + hw, 6)).as("ci_high"))
+        .orderBy("step")
+    }),
+
     // P80 — daily cohort retention over users (weekly buckets would
     // collapse this 30-day corpus into one cohort): cohort = epoch-day
     // of a user's first event, cells = distinct users active N days
@@ -417,6 +450,77 @@ object SemiStructuredQueries {
         |SELECT pattern, n_rows,
         |  round(CAST(n_rows AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share
         |FROM g CROSS JOIN t ORDER BY pattern""".stripMargin,
+
+    // the q7 step CTEs → depth counts → 3 stacked steps with the
+    // Wilson closings (z² = 1.96e0·1.96e0 folds identically)
+    "q31_funnel_rates" ->
+      """WITH ev AS (
+        |  SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts) AS t_signup FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t_signup, MIN(e.ts) AS t_view
+        |  FROM s1 LEFT JOIN ev e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'view'
+        |      AND e.ts > s1.t_signup
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t_signup, s2.t_view, MIN(e.ts) AS t_click
+        |  FROM s2 LEFT JOIN ev e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'click'
+        |      AND e.ts > s2.t_view
+        |  GROUP BY 1, 2, 3),
+        |s4 AS (
+        |  SELECT s3.user_id, s3.t_signup, s3.t_view, s3.t_click,
+        |    MIN(e.ts) AS t_purchase
+        |  FROM s3 LEFT JOIN ev e
+        |    ON e.user_id = s3.user_id AND e.event_type = 'purchase'
+        |      AND e.ts > s3.t_click
+        |  GROUP BY 1, 2, 3, 4),
+        |cnt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n4
+        |  FROM s4),
+        |st AS (
+        |  SELECT 'signup>view' AS step, n1 AS n_from, n2 AS n_to FROM cnt
+        |  UNION ALL
+        |  SELECT 'view>click', n2, n3 FROM cnt
+        |  UNION ALL
+        |  SELECT 'click>purchase', n3, n4 FROM cnt)
+        |SELECT step, n_from, n_to,
+        |  CASE WHEN n_from > 0 THEN
+        |    round(CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE), 6)
+        |  END AS rate,
+        |  CASE WHEN n_from > 0 THEN round(
+        |    (CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE) +
+        |     1.96e0 * 1.96e0 / (2.0e0 * CAST(n_from AS DOUBLE))) /
+        |    (1.0e0 + 1.96e0 * 1.96e0 / CAST(n_from AS DOUBLE)) -
+        |    1.96e0 * sqrt(CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE) *
+        |      (1.0e0 - CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE)) /
+        |      CAST(n_from AS DOUBLE) +
+        |      1.96e0 * 1.96e0 / (4.0e0 * CAST(n_from AS DOUBLE) *
+        |        CAST(n_from AS DOUBLE))) /
+        |    (1.0e0 + 1.96e0 * 1.96e0 / CAST(n_from AS DOUBLE)), 6)
+        |  END AS ci_low,
+        |  CASE WHEN n_from > 0 THEN round(
+        |    (CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE) +
+        |     1.96e0 * 1.96e0 / (2.0e0 * CAST(n_from AS DOUBLE))) /
+        |    (1.0e0 + 1.96e0 * 1.96e0 / CAST(n_from AS DOUBLE)) +
+        |    1.96e0 * sqrt(CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE) *
+        |      (1.0e0 - CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE)) /
+        |      CAST(n_from AS DOUBLE) +
+        |      1.96e0 * 1.96e0 / (4.0e0 * CAST(n_from AS DOUBLE) *
+        |        CAST(n_from AS DOUBLE))) /
+        |    (1.0e0 + 1.96e0 * 1.96e0 / CAST(n_from AS DOUBLE)), 6)
+        |  END AS ci_high
+        |FROM st ORDER BY step""".stripMargin,
 
     "q7_funnel" ->
       """WITH s1 AS (

@@ -1481,4 +1481,43 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.cvmTest(same, "g", "v", "a", "b").head
       .getDouble(2) == 0.0)
   }
+
+  test("splitHalfReliability: identical halves score 1; perfect " +
+      "anti-correlation nulls the SB step-up; one-sided units drop") {
+    import spark.implicits._
+    // unit value appears once in each parity with the same value → r=1
+    val same = (1 to 4).flatMap(u => Seq(
+      (s"u$u", 0L, u.toDouble), (s"u$u", 1L, u.toDouble)))
+      .toDF("u", "id", "v")
+    val r = Features.splitHalfReliability(same, "u", "id", "v").head
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 1.0 &&
+      r.getDouble(2) == 1.0)
+    // odd half mirrored around 2.5 → r = −1 → SB undefined
+    val anti = (1 to 4).flatMap(u => Seq(
+      (s"u$u", 0L, u.toDouble), (s"u$u", 1L, 5.0 - u)))
+      .toDF("u", "id", "v")
+    val a = Features.splitHalfReliability(anti, "u", "id", "v").head
+    assert(a.getDouble(1) == -1.0 && a.isNullAt(2))
+    // a unit with only even observations contributes nothing
+    val oneSided = same.union(Seq(("u9", 0L, 7.0)).toDF("u", "id", "v"))
+    assert(Features.splitHalfReliability(oneSided, "u", "id", "v")
+      .head.getLong(0) == 4L)
+  }
+
+  test("poissonDispersion: hand index on {1,2,3}; constant counts " +
+      "read 0; singleton groups null") {
+    import spark.implicits._
+    val df = Seq(("g", "a", 1L), ("g", "b", 2L), ("g", "c", 3L))
+      .toDF("g", "u", "c")
+    val r = Features.poissonDispersion(df, "g", "c").head
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 2.0 &&
+      r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0 &&
+      r.getLong(6) == 2L)
+    val flat = Seq(("g", "a", 4L), ("g", "b", 4L)).toDF("g", "u", "c")
+    assert(Features.poissonDispersion(flat, "g", "c").head
+      .getDouble(4) == 0.0)
+    val one = Seq(("g", "a", 4L)).toDF("g", "u", "c")
+    assert(Features.poissonDispersion(one, "g", "c").head.isNullAt(4))
+  }
 }
