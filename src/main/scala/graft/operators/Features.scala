@@ -1383,6 +1383,28 @@ object Features {
       .drop("__s", "__q")
   }
 
+  /** The shared pooled-ECDF scan (P169/P328): per distinct value, the
+    * two groups' counts and cumulative counts with the totals joined —
+    * KS maxes the gap, CvM integrates it, and the construction must
+    * exist exactly once (the pooledAcf rule). Returns
+    * (__v, __ca, __cb, __cuma, __cumb, n_a, n_b). */
+  private def pooledEcdf(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val d = df.where(col(valueCol).isNotNull && (g === groupA || g === groupB))
+    val counts = d.groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = d.agg(sum(when(g === groupA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(g === groupB, 1L).otherwise(0L)).as("n_b"))
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .join(broadcast(tot)) // 1-row scalar side
+  }
+
   /**
    * P169 — two-sample Kolmogorov–Smirnov statistic: D = max over the
    * pooled support of |F_a(x) − F_b(x)| — the distribution-shape drift
@@ -1402,19 +1424,7 @@ object Features {
    */
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String): DataFrame = {
-    val g = col(groupCol).cast("string")
-    val d = df.where(col(valueCol).isNotNull && (g === groupA || g === groupB))
-    val counts = d.groupBy(col(valueCol).as("__v"))
-      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
-        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
-    val w = Window.orderBy(col("__v").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = d.agg(sum(when(g === groupA, 1L).otherwise(0L)).as("n_a"),
-      sum(when(g === groupB, 1L).otherwise(0L)).as("n_b"))
-    counts
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-      .join(broadcast(tot)) // 1-row scalar side
+    pooledEcdf(df, groupCol, valueCol, groupA, groupB)
       .withColumn("__gap", round(abs(
         col("__cuma").cast("double") / col("n_a").cast("double") -
           col("__cumb").cast("double") / col("n_b").cast("double")), 9))
@@ -1430,7 +1440,8 @@ object Features {
    * by where the data actually sits). Same machinery, same exact-
    * statistic caveat: the cumulative scan needs the pooled value
    * order (the o5 family — per-shard approximation is the at-scale
-   * fallback). Emits ONE row (n_a, n_b, t_stat); an empty side nulls.
+   * fallback). Emits one (n_a, n_b, t_stat) row; an EMPTY side (or an
+   * empty pool) yields ZERO rows, never a null-statistic row.
    *
    * Shape: one value-keyed agg + one cumulative window over the
    * distinct-value frame + two scalar closings. Cross-engine: counts
@@ -1439,21 +1450,9 @@ object Features {
    */
   def cvmTest(df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String): DataFrame = {
-    val g = col(groupCol).cast("string")
-    val d = df.where(col(valueCol).isNotNull && (g === groupA || g === groupB))
-    val counts = d.groupBy(col(valueCol).as("__v"))
-      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
-        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
-    val w = Window.orderBy(col("__v").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = d.agg(sum(when(g === groupA, 1L).otherwise(0L)).as("n_a"),
-      sum(when(g === groupB, 1L).otherwise(0L)).as("n_b"))
     val gap = col("__cuma").cast("double") / col("n_a").cast("double") -
       col("__cumb").cast("double") / col("n_b").cast("double")
-    val u = counts
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-      .join(broadcast(tot)) // 1-row scalar side
+    val u = pooledEcdf(df, groupCol, valueCol, groupA, groupB)
       .where(col("n_a") > 0 && col("n_b") > 0)
       .select(col("n_a"), col("n_b"),
         round((col("__ca") + col("__cb")).cast("double") * (gap * gap), 9)
@@ -3315,10 +3314,15 @@ object Features {
    */
   def concentrationIndex(df: DataFrame, keyCol: String, entityCol: String,
       valueCol: String): DataFrame = {
+    // entities pre-aggregate HERE: a caller handing raw rows (an entity
+    // appearing twice) would otherwise split that entity's share and
+    // understate concentration silently
     val base = df.where(col(keyCol).isNotNull && col(entityCol).isNotNull &&
         col(valueCol).isNotNull && col(valueCol) > 0)
       .select(col(keyCol).as("__k"), col(entityCol).as("__e"),
         col(valueCol).cast("decimal(18,6)").as("__v"))
+      .groupBy(col("__k"), col("__e"))
+      .agg(sum(col("__v")).cast("decimal(18,6)").as("__v"))
     val tot = base.groupBy(col("__k"))
       .agg(count(lit(1)).as("n_entities"), sum(col("__v")).as("__t"))
     val share = col("__v").cast("double") / col("__t").cast("double")

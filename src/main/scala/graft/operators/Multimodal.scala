@@ -489,6 +489,25 @@ object Multimodal {
       .drop("__rn", "__lnr")
   }
 
+  /** The ONE hex byte-replay grid (P229/P237/P326/P327): every byte of
+    * every payload as (media_id, n_bytes, __i, __byte) — lower-hex +
+    * position explode + hex-pair parse, exactly what each oracle replays
+    * with substr(hex(encode(..)))::BIGINT. Four operators consume it; a
+    * fix to the replay arithmetic must land HERE once (the dailyMeans
+    * dedup rule). Empty payloads drop. */
+  private def byteGrid(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame =
+    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
+        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0)
+      .select(col("media_id"), col("n_bytes"), col("__hx"),
+        explode(sequence(lit(0L), col("n_bytes") - 1)).as("__i"))
+      .withColumn("__byte",
+        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
+          .cast("int"))
+      .drop("__hx")
+
   /**
    * P229 — per-media channel/intensity histogram over the raw byte
    * plane: bucket every byte into 256/`buckets` intensity bands and
@@ -512,15 +531,7 @@ object Multimodal {
     require(buckets >= 2 && buckets <= 256 && 256 % buckets == 0,
       s"channelHistogram: buckets must divide 256, got $buckets")
     val width = 256 / buckets
-    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
-      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
-        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("n_bytes"))
-      .where(col("n_bytes") > 0)
-      .select(col("media_id"), col("n_bytes"), col("__hx"),
-        explode(sequence(lit(0L), col("n_bytes") - 1)).as("__i"))
-      .withColumn("__byte",
-        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
-          .cast("int"))
+    byteGrid(df, idCol, bytesCol)
       .withColumn("bucket", expr(s"__byte div $width"))
       .groupBy(col("media_id"), col("n_bytes"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -554,15 +565,7 @@ object Multimodal {
       s"frameEnergy: frameSize must be >= 1, got $frameSize")
     require(silenceRms >= 0,
       s"frameEnergy: silenceRms must be >= 0, got $silenceRms")
-    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
-      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
-        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("__n"))
-      .where(col("__n") > 0)
-      .select(col("media_id"), col("__hx"),
-        explode(sequence(lit(0L), col("__n") - 1)).as("__i"))
-      .withColumn("__byte",
-        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
-          .cast("long"))
+    byteGrid(df, idCol, bytesCol)
       .withColumn("frame", expr(s"__i div ${frameSize}L"))
       .groupBy(col("media_id"), col("frame"))
       .agg(count(lit(1)).as("n_bytes_frame"),
@@ -594,15 +597,7 @@ object Multimodal {
    */
   def byteEntropy(df: DataFrame, idCol: String,
       bytesCol: String): DataFrame = {
-    val counts = df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
-      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
-        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("n_bytes"))
-      .where(col("n_bytes") > 0)
-      .select(col("media_id"), col("n_bytes"), col("__hx"),
-        explode(sequence(lit(0L), col("n_bytes") - 1)).as("__i"))
-      .withColumn("__byte",
-        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
-          .cast("int"))
+    val counts = byteGrid(df, idCol, bytesCol)
       .groupBy(col("media_id"), col("n_bytes"), col("__byte"))
       .agg(count(lit(1)).as("__c"))
     val p = col("__c").cast("double") / col("n_bytes").cast("double")
@@ -639,15 +634,8 @@ object Multimodal {
       s"zeroCrossingRate: centre must be in [1, 255], got $centre")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("media_id")).orderBy(col("__i").asc)
-    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
-      .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
-        .as("__hx"), octet_length(col(bytesCol)).cast("long").as("n_bytes"))
-      .where(col("n_bytes") > 0)
-      .select(col("media_id"), col("n_bytes"), col("__hx"),
-        explode(sequence(lit(0L), col("n_bytes") - 1)).as("__i"))
-      .withColumn("__pos",
-        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
-          .cast("int") >= centre)
+    byteGrid(df, idCol, bytesCol)
+      .withColumn("__pos", col("__byte") >= centre)
       .withColumn("__prev", lag(col("__pos"), 1).over(w))
       .groupBy(col("media_id"), col("n_bytes"))
       .agg(sum(when(col("__prev").isNotNull &&

@@ -1900,11 +1900,19 @@ object TimeSeries {
         }
       val vd = col(valueCol).cast("double")
       def t9(c: Column) = round(c, 9).cast("decimal(28,9)")
+      // a negative day index matches NO ladder branch and would silently
+      // drop from the sums while n still counts it — reject loudly (the
+      // littlesLaw/horvitzThompson guard convention)
+      def guarded(c: Column) =
+        when(col(dayIdxCol) < 0,
+          raise_error(concat(lit("periodogram: negative day index "),
+            col(dayIdxCol).cast("string"))).cast("decimal(28,9)"))
+          .otherwise(c)
       df.where(col(keyCol).isNotNull && col(dayIdxCol).isNotNull &&
           col(valueCol).isNotNull)
         .select(col(keyCol),
-          t9(vd * caseChain(lad.map(_._1))).as("__tc"),
-          t9(vd * caseChain(lad.map(_._2))).as("__ts"))
+          guarded(t9(vd * caseChain(lad.map(_._1)))).as("__tc"),
+          guarded(t9(vd * caseChain(lad.map(_._2)))).as("__ts"))
         .groupBy(col(keyCol))
         .agg(count(lit(1)).as("n"), sum(col("__tc")).as("__c"),
           sum(col("__ts")).as("__s"))

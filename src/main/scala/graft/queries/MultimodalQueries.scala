@@ -483,7 +483,8 @@ object MultimodalQueries {
         |  round(-s / 0.6931471805599453e0, 6) AS entropy_bits
         |FROM t ORDER BY media_id""".stripMargin,
 
-    // 128-centred sign flips via one media-partitioned lag window
+    // 96-centred sign flips (the ASCII stub-plane centre — see the
+    // query comment) via one media-partitioned lag window
     "mm14_zcr" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,

@@ -4239,12 +4239,12 @@ object OlapQueries {
         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
-        |             CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
-        |             CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(y AS DECIMAL(18,6)) *
-        |             CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
         |  FROM wide GROUP BY 1),
         |u AS (
         |  SELECT pair, n,
@@ -4286,7 +4286,8 @@ object OlapQueries {
         |m AS (
         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(d) AS DOUBLE) AS s1,
-        |    CAST(SUM(d * d) AS DOUBLE) AS s2
+        |    CAST(SUM(CAST(d AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS s2
         |  FROM pts GROUP BY 1),
         |st AS (
         |  SELECT pair, n, s1 / CAST(n AS DOUBLE) AS mean,
@@ -4456,11 +4457,11 @@ object OlapQueries {
         |  SELECT event_type, late, CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(CAST(di AS DECIMAL(18,6))) AS sx,
         |    SUM(CAST(v AS DECIMAL(18,6))) AS sy,
-        |    SUM(CAST(di AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+        |    SUM(CAST(di AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
         |      AS sxy,
-        |    SUM(CAST(di AS DECIMAL(18,6)) * CAST(di AS DECIMAL(18,6)))
+        |    SUM(CAST(di AS DECIMAL(19,6)) * CAST(di AS DECIMAL(19,6)))
         |      AS sxx,
-        |    SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+        |    SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
         |      AS syy
         |  FROM pts GROUP BY 1, 2),
         |r AS (
@@ -4536,10 +4537,10 @@ object OlapQueries {
         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
-        |             CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
-        |             CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx
         |  FROM wide GROUP BY 1),
         |f AS (
         |  SELECT pair, n, sx, sy,
@@ -4609,10 +4610,10 @@ object OlapQueries {
         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
-        |             CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) *
-        |             CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) *
+        |             CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx
         |  FROM wide GROUP BY 1),
         |f AS (
         |  SELECT pair, n, sx, sy, sxx,
@@ -4684,7 +4685,8 @@ object OlapQueries {
         |a AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(abs(d)) AS DOUBLE) AS sad,
-        |    CAST(SUM(d * d) AS DOUBLE) AS sd2,
+        |    CAST(SUM(CAST(d AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sd2,
         |    CAST(SUM(abs(d1)) AS DOUBLE) AS sad1,
         |    CAST(SUM(CASE WHEN abs(v) + abs(fv) <> 0 THEN
         |      CAST(round(2.0e0 * abs(CAST(d AS DOUBLE)) /
@@ -4761,8 +4763,8 @@ object OlapQueries {
         |g AS (
         |  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
         |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sg,
-        |    CAST(SUM(CAST(v AS DECIMAL(18,6)) *
-        |             CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS qg
+        |    CAST(SUM(CAST(v AS DECIMAL(19,6)) *
+        |             CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS qg
         |  FROM b GROUP BY 1),
         |g2 AS (
         |  SELECT ng,
@@ -6639,7 +6641,7 @@ object OlapQueries {
     // odd) pairs, one SB closing
     "o107_splithalf" ->
       """WITH b AS (
-        |  SELECT user_id AS u, event_id % 2 AS h,
+        |  SELECT user_id AS u, ((event_id % 2) + 2) % 2 AS h,
         |    CAST(value AS DECIMAL(18,6)) AS v
         |  FROM events
         |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
@@ -6657,12 +6659,12 @@ object OlapQueries {
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(o AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(e AS DECIMAL(18,6)) *
-        |             CAST(o AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(e AS DECIMAL(18,6)) *
-        |             CAST(e AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(o AS DECIMAL(18,6)) *
-        |             CAST(o AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |    CAST(SUM(CAST(e AS DECIMAL(19,6)) *
+        |             CAST(o AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(e AS DECIMAL(19,6)) *
+        |             CAST(e AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(o AS DECIMAL(19,6)) *
+        |             CAST(o AS DECIMAL(19,6))) AS DOUBLE) AS syy
         |  FROM w2),
         |u AS (
         |  SELECT n,
