@@ -33,15 +33,19 @@ object Association {
    * rule frame the joins see is already the (small) frequent subset.
    * N is one distributed distinct-count reduced to a scalar.
    */
-  def assocRules(df: DataFrame, basketCol: String, itemCol: String,
-      minPairCount: Long = 2L): DataFrame = {
+  /** The shared pair/count core (P91/P335): the counted rule frame
+    * (antecedent, consequent, n_ab, n_a, n_b) and the basket total —
+    * extracted so [[ruleMetrics]] cannot drift from [[assocRules]]'
+    * candidate generation. */
+  private def assocCounts(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long, opName: String): (DataFrame, Long) = {
     require(minPairCount >= 1,
-      s"assocRules: minPairCount must be >= 1, got $minPairCount")
+      s"$opName: minPairCount must be >= 1, got $minPairCount")
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .where(col("b").isNotNull && col("i").isNotNull)
       .distinct()
     val nBaskets = bi.select("b").distinct().count()
-    require(nBaskets > 0, "assocRules: no baskets")
+    require(nBaskets > 0, s"$opName: no baskets")
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val left = bi.toDF("b", "ia")
     val right = bi.toDF("b", "ib")
@@ -54,11 +58,19 @@ object Association {
         col("ib").as("consequent"), col("n_ab"))
       .union(pairs.select(col("ib").as("antecedent"),
         col("ia").as("consequent"), col("n_ab")))
-    rules
+    val counted = rules
       .join(itemCounts.withColumnRenamed("n_i", "n_a").hint("shuffle_hash"),
         col("antecedent") === col("i")).drop("i")
       .join(itemCounts.withColumnRenamed("n_i", "n_b").hint("shuffle_hash"),
         col("consequent") === col("i")).drop("i")
+    (counted, nBaskets)
+  }
+
+  def assocRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L): DataFrame = {
+    val (counted, nBaskets) =
+      assocCounts(df, basketCol, itemCol, minPairCount, "assocRules")
+    counted
       .withColumn("support",
         round(col("n_ab").cast("double") / lit(nBaskets.toDouble), 6))
       .withColumn("confidence",
@@ -66,6 +78,40 @@ object Association {
       .withColumn("lift",
         round(col("n_ab").cast("double") * lit(nBaskets.toDouble) /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+  }
+
+  /**
+   * P335 — full rule-metric panel over the [[assocRules]] candidates:
+   * support/confidence/lift plus leverage = supp(ab) − supp(a)·supp(b)
+   * (the ADDITIVE association excess — immune to lift's rare-pair
+   * explosion) and conviction = (1 − supp(b))/(1 − confidence) (the
+   * implication-direction read: how much more often the rule would
+   * have to fail if a and b were independent). A confidence-1 rule has
+   * infinite conviction — emitted null, the classical convention.
+   *
+   * Shape/portability: the shared [[assocCounts]] core; every metric
+   * is a fixed double sequence on exact BIGINT counts, rounded at 6.
+   */
+  def ruleMetrics(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L): DataFrame = {
+    val (counted, nBaskets) =
+      assocCounts(df, basketCol, itemCol, minPairCount, "ruleMetrics")
+    val nd = lit(nBaskets.toDouble)
+    val conf = col("n_ab").cast("double") / col("n_a").cast("double")
+    counted
+      .withColumn("support", round(col("n_ab").cast("double") / nd, 6))
+      .withColumn("confidence", round(conf, 6))
+      .withColumn("lift",
+        round(col("n_ab").cast("double") * nd /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+      .withColumn("leverage",
+        round(col("n_ab").cast("double") / nd -
+          col("n_a").cast("double") / nd *
+          (col("n_b").cast("double") / nd), 6))
+      .withColumn("conviction",
+        when(col("n_ab") =!= col("n_a"),
+          round((lit(1.0) - col("n_b").cast("double") / nd) /
+            (lit(1.0) - conf), 6)))
   }
 
   /**

@@ -254,6 +254,67 @@ object Features {
       .drop("__dev")
   }
 
+  /** The Benford SECOND-digit masses Σ_k log₁₀(1 + 1/(10k+d)), d = 0..9
+    * — computed once here so operator and oracle embed IDENTICAL double
+    * literals (the [[BenfordP]] rule). */
+  val BenfordP2: Seq[Double] = (0 to 9).map(d =>
+    (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum)
+
+  /** [[BenfordP2]] as SQL double literals. */
+  def benfordP2Literals: Seq[String] = BenfordP2.map(sqlDoubleLiteral)
+
+  /**
+   * P336 — Benford SECOND-digit audit per group: the second significant
+   * digit's distribution against Σ_k log₁₀(1+1/(10k+d)) — the follow-up
+   * screen after P101's first-digit test (fabricators who learn to fake
+   * the first digit almost never fake the second; it is also the
+   * sharper test on unit-priced data where the first digit is
+   * range-constrained). Values below 10 have no second digit and drop.
+   * Same densified (group, digit 0..9) grid, same l1 distance.
+   *
+   * Shape/portability: the [[benfordAudit]] recipe — a 17-branch
+   * integer CASE chain extracts the digit (no log10 at runtime),
+   * counts exact, shares fixed double sequences, expected masses
+   * [[BenfordP2]] driver literals, l1 sums 9-rounded devs through
+   * DECIMAL(28,9).
+   */
+  def benfordSecondDigit(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    // for v in [10^p, 10^(p+1)): second digit = (v div 10^(p-1)) mod 10;
+    // v < 10 → null → dropped
+    val sd = (18 to 1 by -1).foldRight(lit(null).cast("long")) { (p, rest) =>
+      val pow = (1 to p).foldLeft(1L)((a, _) => a * 10)
+      val powPrev = pow / 10
+      when(v >= pow,
+        expr(s"(CAST(`$valueCol` AS BIGINT) div ${powPrev}L) % 10"))
+        .otherwise(rest)
+    }
+    val counts = df
+      .where(v.isNotNull && v >= 10)
+      .select(col(groupCol), sd.as("digit"))
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(0L), lit(9L))).as("digit"))
+    val p = (0 to 8).foldRight(lit(BenfordP2(9)): Column) { (d, rest) =>
+      when(col("digit") === d, lit(BenfordP2(d))).otherwise(rest)
+    }
+    val wg = Window.partitionBy(col(groupCol))
+    val shareRaw = col("n").cast("double") / col("total").cast("double")
+    grid.join(counts.hint("shuffle_hash"), Seq(groupCol, "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total", sum(col("n")).over(wg))
+      .withColumn("benford_p", p)
+      .withColumn("__dev", abs(shareRaw - col("benford_p")))
+      .withColumn("share", round(shareRaw, 6))
+      .withColumn("dev", round(col("__dev"), 6))
+      .withColumn("l1",
+        round(sum(round(col("__dev"), 9).cast("decimal(28,9)")).over(wg)
+          .cast("double"), 6))
+      .drop("__dev")
+  }
+
   /**
    * P97 — χ² test of independence between two categorical columns: the
    * contingency-cell frame with observed counts, expected counts under

@@ -34,6 +34,17 @@ object MiningQueries {
             .select(col("l_orderkey"), col("l_partkey")),
           "l_orderkey", "l_partkey", minPairCount = 2L)
         .orderBy("antecedent", "consequent")
+    }),
+
+    // P335 — the full rule-metric panel over the fi1 candidates:
+    // leverage (additive excess, immune to lift's rare-pair explosion)
+    // and conviction (implication direction) beside the classic three
+    "fi3_rule_metrics" -> ((s, dir) => {
+      graft.operators.Association.ruleMetrics(
+          table(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minPairCount = 2L)
+        .orderBy("antecedent", "consequent")
     })
   )
 
@@ -68,6 +79,48 @@ object MiningQueries {
     // the same distinct-project / self-join / agg / measure sequence;
     // all measures are double ops on exact BIGINT counts with the
     // operator's parenthesization
+    // the fi1 CTEs + the leverage/conviction closings; confidence-1
+    // rules null conviction
+    "fi3_rule_metrics" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM bi),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS ia, c.i AS ib, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2),
+        |rules AS (
+        |  SELECT ia AS antecedent, ib AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT ib AS antecedent, ia AS consequent, n_ab FROM pairs)
+        |SELECT r.antecedent, r.consequent, r.n_ab,
+        |  a.n_i AS n_a, c.n_i AS n_b,
+        |  round(CAST(r.n_ab AS DOUBLE) / CAST(n.nb AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(r.n_ab AS DOUBLE) / CAST(a.n_i AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(r.n_ab AS DOUBLE) * CAST(n.nb AS DOUBLE) /
+        |        (CAST(a.n_i AS DOUBLE) * CAST(c.n_i AS DOUBLE)), 6)
+        |    AS lift,
+        |  round(CAST(r.n_ab AS DOUBLE) / CAST(n.nb AS DOUBLE) -
+        |        CAST(a.n_i AS DOUBLE) / CAST(n.nb AS DOUBLE) *
+        |        (CAST(c.n_i AS DOUBLE) / CAST(n.nb AS DOUBLE)), 6)
+        |    AS leverage,
+        |  CASE WHEN r.n_ab <> a.n_i THEN
+        |    round((1.0e0 - CAST(c.n_i AS DOUBLE) / CAST(n.nb AS DOUBLE)) /
+        |      (1.0e0 - CAST(r.n_ab AS DOUBLE) / CAST(a.n_i AS DOUBLE)), 6)
+        |  END AS conviction
+        |FROM rules r
+        |JOIN ic a ON a.i = r.antecedent
+        |JOIN ic c ON c.i = r.consequent
+        |CROSS JOIN n
+        |ORDER BY antecedent, consequent""".stripMargin,
+
     "fi1_assoc" ->
       """WITH bi AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -288,6 +288,33 @@ object OlapQueries {
         .orderBy("o_orderpriority", "digit")
     }),
 
+    // P336 — Benford SECOND-digit audit on the same cent values as
+    // o14: fabricators who learn the first digit rarely fake the
+    // second, and it is the sharper screen on range-constrained prices
+    "o109_benford2" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      graft.operators.Features.benfordSecondDigit(o, "o_orderpriority",
+          "cents")
+        .orderBy("o_orderpriority", "digit")
+    }),
+
+    // P337 — the one-stop experiment readout: the q15 SRM gate beside
+    // the q17 two-proportion verdict in one row — "is the assignment
+    // sound, and did the metric move" (reading z while srm is true is
+    // the classic A/B mistake this panel makes impossible to miss)
+    "pipe15_ab_readout" -> ((s, dir) => {
+      val assign = graft.Graft.events(s, dir).select(
+        (col("user_id") % 2 === 1).as("treat"),
+        (col("event_type") === "purchase").as("conv"))
+      val srm = graft.operators.Features.srmCheck(
+          assign.select("treat"), "treat")
+        .select(col("chi2").as("srm_chi2"), col("srm"))
+      graft.operators.Features.twoProportionTest(assign, "treat", "conv")
+        .crossJoin(broadcast(srm))
+    }),
+
     // P97 — χ² independence audit between event type and value band:
     // cell counts, margins and the statistic all replay from exact
     // BIGINTs; contributions round at 9 and DECIMAL-sum into chi2
@@ -2243,6 +2270,118 @@ object OlapQueries {
     // digit chain and Benford masses generated from the operator's own
     // constants (Features.benfordPLiterals) so the sides cannot drift;
     // densified grid, l1 = DECIMAL sum of 9-rounded deviations
+    // the o14 recipe with the second-digit extraction ((v // 10^(p-1))
+    // % 10 under the same magnitude CASE) and the BenfordP2 literals
+    "o109_benford2" -> {
+      val ps = graft.operators.Features.benfordP2Literals
+      val pCase = (0 to 9)
+        .map(d => s"WHEN digit = $d THEN ${ps(d)}").mkString(" ")
+      val sdCase = (18 to 1 by -1).map { p =>
+        val pow = (1 to p).foldLeft(1L)((a, _) => a * 10)
+        s"WHEN cents >= $pow THEN (cents // ${pow / 10}) % 10"
+      }.mkString("\n         ")
+      s"""WITH vals AS (
+         |  SELECT o_orderpriority,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders),
+         |f AS (
+         |  SELECT o_orderpriority,
+         |    CASE $sdCase END AS digit
+         |  FROM vals WHERE cents >= 10),
+         |counts AS (
+         |  SELECT o_orderpriority, digit, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM f GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT o_orderpriority, unnest(range(0, 10)) AS digit
+         |  FROM (SELECT DISTINCT o_orderpriority FROM counts)),
+         |g AS (
+         |  SELECT grid.o_orderpriority, grid.digit,
+         |    CAST(coalesce(counts.n, 0) AS BIGINT) AS n
+         |  FROM grid LEFT JOIN counts
+         |    ON counts.o_orderpriority = grid.o_orderpriority
+         |   AND counts.digit = grid.digit),
+         |t AS (
+         |  SELECT *,
+         |    CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         |      AS total,
+         |    CASE $pCase END AS benford_p
+         |  FROM g),
+         |x AS (
+         |  SELECT *,
+         |    abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - benford_p)
+         |      AS devr
+         |  FROM t)
+         |SELECT o_orderpriority, digit, n, total,
+         |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+         |  benford_p,
+         |  round(devr, 6) AS dev,
+         |  round(CAST(SUM(CAST(round(devr, 9) AS DECIMAL(28,9)))
+         |      OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6) AS l1
+         |FROM x ORDER BY o_orderpriority, digit""".stripMargin
+    },
+
+    // the q17 CTEs crossed with the q15 SRM closing — one verdict row
+    "pipe15_ab_readout" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_treat,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_ctrl,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_treat,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_ctrl
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT *,
+        |    CAST(x_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS p1,
+        |    CAST(x_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE) AS p0,
+        |    CAST(x_treat + x_ctrl AS DOUBLE)
+        |      / CAST(n_treat + n_ctrl AS DOUBLE) AS pp
+        |  FROM m),
+        |zc AS (
+        |  SELECT n_treat, n_ctrl, x_treat, x_ctrl,
+        |    CASE WHEN n_treat > 0 THEN round(p1, 6) END AS p_treat,
+        |    CASE WHEN n_ctrl > 0 THEN round(p0, 6) END AS p_ctrl,
+        |    CASE WHEN n_treat > 0 AND n_ctrl > 0 AND pp > 0 AND pp < 1
+        |         THEN round((p1 - p0) / sqrt(pp * (1.0e0 - pp) *
+        |           (1.0e0 / CAST(n_treat AS DOUBLE)
+        |            + 1.0e0 / CAST(n_ctrl AS DOUBLE))), 6)
+        |    END AS z
+        |  FROM c),
+        |m2 AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s_treat,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS s_ctrl
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c2 AS (
+        |  SELECT CASE WHEN s_treat + s_ctrl > 0 THEN round(
+        |      (CAST(s_treat AS DOUBLE)
+        |        - CAST(s_treat + s_ctrl AS DOUBLE) * 0.5e0)
+        |      * (CAST(s_treat AS DOUBLE)
+        |         - CAST(s_treat + s_ctrl AS DOUBLE) * 0.5e0)
+        |      / (CAST(s_treat + s_ctrl AS DOUBLE) * 0.5e0)
+        |      + (CAST(s_ctrl AS DOUBLE)
+        |         - CAST(s_treat + s_ctrl AS DOUBLE) * 0.5e0)
+        |        * (CAST(s_ctrl AS DOUBLE)
+        |           - CAST(s_treat + s_ctrl AS DOUBLE) * 0.5e0)
+        |        / (CAST(s_treat + s_ctrl AS DOUBLE) * 0.5e0), 6)
+        |    END AS srm_chi2
+        |  FROM m2)
+        |SELECT zc.n_treat, zc.n_ctrl, zc.x_treat, zc.x_ctrl, zc.p_treat,
+        |  zc.p_ctrl, zc.z,
+        |  CASE WHEN zc.z IS NULL THEN NULL ELSE abs(zc.z) > 1.96e0 END
+        |    AS significant,
+        |  c2.srm_chi2,
+        |  CASE WHEN c2.srm_chi2 IS NULL THEN NULL
+        |       ELSE c2.srm_chi2 > 3.841459e0 END AS srm
+        |FROM zc CROSS JOIN c2""".stripMargin,
+
     "o14_benford" -> {
       val ps = graft.operators.Features.benfordPLiterals
       val pCase = (1 to 9)

@@ -73,4 +73,26 @@ class AssociationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Association.sequentialRules(ev, "u", "t", "e", "ty", 0L))
   }
+
+  test("ruleMetrics: hand leverage/conviction; confidence-1 rules " +
+      "null conviction") {
+    import spark.implicits._
+    // baskets: 2x{a,b}, {a,c}, {b}, 2x{d,e} -> N = 6
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"), (5L, "d"), (5L, "e"),
+      (6L, "d"), (6L, "e")).toDF("b", "i")
+    val got = Association.ruleMetrics(df, "b", "i", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(7), r.getDouble(8), Option(r.get(9))))).toMap
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // a->b: lift 2*6/9, leverage 2/6 - (3/6)(3/6), conviction
+    // (1 - 3/6)/(1 - 2/3)
+    val (lift, lev, conv) = got(("a", "b"))
+    assert(lift == r6(2.0 * 6 / 9) && lev == r6(2.0 / 6 - 0.25))
+    assert(conv == Some(r6(0.5 / (1.0 - 2.0 / 6 / (3.0 / 6)))))
+    // d->e is a confidence-1 rule: conviction undefined
+    assert(got(("d", "e"))._3.isEmpty)
+    assert(got(("d", "e"))._2 == r6(2.0 / 6 - (2.0 / 6) * (2.0 / 6)))
+  }
 }

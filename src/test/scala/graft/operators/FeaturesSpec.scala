@@ -1520,4 +1520,25 @@ class FeaturesSpec extends SparkSpec {
     val one = Seq(("g", "a", 4L)).toDF("g", "u", "c")
     assert(Features.poissonDispersion(one, "g", "c").head.isNullAt(4))
   }
+
+  test("benfordSecondDigit: hand digit extraction, densified grid, " +
+      "masses sum to 1") {
+    import spark.implicits._
+    // 10 -> 0, 25 -> 5, 125 -> 2, 999 -> 9; 9 has no second digit
+    val df = Seq(("g", 10L), ("g", 25L), ("g", 125L), ("g", 9L),
+      ("g", 999L)).toDF("g", "v")
+    val got = Features.benfordSecondDigit(df, "g", "v")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == (0L to 9L).toSet) // densified
+    assert(got(0L)._1 == 1L && got(5L)._1 == 1L && got(2L)._1 == 1L &&
+      got(9L)._1 == 1L && got(1L)._1 == 0L)
+    assert(got.values.forall(_._2 == 4L)) // total excludes the 9
+    // expected masses are the driver ladder and form a distribution
+    assert(got(0L)._3 == Features.BenfordP2(0))
+    assert(math.abs(Features.BenfordP2.sum - 1.0) < 1e-12)
+    // second-digit Benford is flatter than first-digit (0.120 > p2(0)
+    // > ... > p2(9) ~ 0.085)
+    assert(Features.BenfordP2(0) > Features.BenfordP2(9))
+  }
 }
