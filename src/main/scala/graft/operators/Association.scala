@@ -11,28 +11,6 @@ import org.apache.spark.sql.functions._
  */
 object Association {
 
-  /**
-   * P91 — size-2 association rules: for every ordered item pair (a → b)
-   * co-occurring in at least `minPairCount` baskets,
-   *
-   *   support    = n_ab / N
-   *   confidence = n_ab / n_a
-   *   lift       = (n_ab · N) / (n_a · n_b)
-   *
-   * with N = number of baskets, n_x = baskets containing x. Both
-   * directions of each unordered co-occurrence are emitted (confidence
-   * is asymmetric). All three measures are fixed sequences of double ops
-   * on exact BIGINT counts, rounded at 6 — nothing engine-dependent.
-   *
-   * Scale shape: a distinct projection to (basket, item), a self-join on
-   * the basket key — fan-out bounded by items-per-basket, single digits
-   * in market baskets and bounded by construction in tag pipelines — an
-   * (a, b) pair agg with map-side combine, and two shuffle_hash joins
-   * against the per-item basket counts (post-agg sides, no stats — the
-   * d11 rule). The `minPairCount` filter runs BEFORE the joins, so the
-   * rule frame the joins see is already the (small) frequent subset.
-   * N is one distributed distinct-count reduced to a scalar.
-   */
   /** The shared pair/count core (P91/P335): the counted rule frame
     * (antecedent, consequent, n_ab, n_a, n_b) and the basket total —
     * extracted so [[ruleMetrics]] cannot drift from [[assocRules]]'
@@ -66,6 +44,28 @@ object Association {
     (counted, nBaskets)
   }
 
+  /**
+   * P91 — size-2 association rules: for every ordered item pair (a → b)
+   * co-occurring in at least `minPairCount` baskets,
+   *
+   *   support    = n_ab / N
+   *   confidence = n_ab / n_a
+   *   lift       = (n_ab · N) / (n_a · n_b)
+   *
+   * with N = number of baskets, n_x = baskets containing x. Both
+   * directions of each unordered co-occurrence are emitted (confidence
+   * is asymmetric). All three measures are fixed sequences of double ops
+   * on exact BIGINT counts, rounded at 6 — nothing engine-dependent.
+   *
+   * Scale shape: a distinct projection to (basket, item), a self-join on
+   * the basket key — fan-out bounded by items-per-basket, single digits
+   * in market baskets and bounded by construction in tag pipelines — an
+   * (a, b) pair agg with map-side combine, and two shuffle_hash joins
+   * against the per-item basket counts (post-agg sides, no stats — the
+   * d11 rule). The `minPairCount` filter runs BEFORE the joins, so the
+   * rule frame the joins see is already the (small) frequent subset.
+   * N is one distributed distinct-count reduced to a scalar.
+   */
   def assocRules(df: DataFrame, basketCol: String, itemCol: String,
       minPairCount: Long = 2L): DataFrame = {
     val (counted, nBaskets) =
