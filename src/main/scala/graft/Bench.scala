@@ -13,7 +13,15 @@ import org.apache.spark.sql.SparkSession
   * that is at most half-a-suite old. Children replicate this JVM's args
   * (classpath, add-opens, -Xmx) verbatim. GRAFT_BENCH_NO_FORK=1 or any
   * fork failure falls back to the r9 single-JVM path, same output
-  * contract either way. */
+  * contract either way.
+  *
+  * The child COUNT scales with the suite: ceil(n/125) children (min 2),
+  * so each JVM benches ≤125 queries — the load the r10 two-way split
+  * was sized for at 244 queries. At 376 queries the fixed two-way split
+  * re-inflated the hot floors (pipe2 68s vs its 25s standalone floor,
+  * d16 37s vs 17 — the same block-store/heap-fragmentation class, now
+  * at 188 queries/child), which is exactly what this knob exists to
+  * prevent. */
 object Bench {
 
   private case class QueryStat(name: String, med: Double, min: Double)
@@ -56,6 +64,8 @@ object Bench {
       // detect that and bail to the fallback
       if (!cp.split(sep).exists(_.contains("spark-sql"))) None
       else {
+        val nShards =
+          math.max(2, math.ceil(SparkEntry.queries.size / 125.0).toInt)
         val javaBin = java.nio.file.Paths
           .get(System.getProperty("java.home"), "bin", "java").toString
         val jvmArgs = java.lang.management.ManagementFactory
@@ -69,16 +79,16 @@ object Bench {
           jvmArgs.forEach(a => cmd.add(a))
           cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
           val pb = new ProcessBuilder(cmd)
-          pb.environment().put("GRAFT_BENCH_SHARD", s"$i/2")
+          pb.environment().put("GRAFT_BENCH_SHARD", s"$i/$nShards")
           pb.environment().put("GRAFT_BENCH_OUT", out.getAbsolutePath)
           // children must never print to the parent's stdout: the driver
           // parses the LAST 2000 bytes of it for the contract JSON
           pb.redirectOutput(log)
           pb.redirectErrorStream(true)
-          System.err.println(s"[bench] forking half $i/2 (log: $log)")
+          System.err.println(s"[bench] forking shard $i/$nShards (log: $log)")
           val code = pb.start().waitFor()
           if (code != 0) {
-            System.err.println(s"[bench] half $i exited $code, falling back")
+            System.err.println(s"[bench] shard $i exited $code, falling back")
             None
           } else {
             val res = parseShardTsv(out)
@@ -87,10 +97,11 @@ object Bench {
           }
         }
         // per-query order is restored by the emit sort; the sentinel pair
-        // spans the whole window: first half's opening, second's closing
-        for (h1 <- runChild(1); h2 <- runChild(2))
-          yield ShardResult(h1.sentinelBefore, h2.sentinelAfter,
-            h1.stats ++ h2.stats)
+        // spans the whole window: first shard's opening, last's closing
+        (1 to nShards).foldLeft(Option(Vector.empty[ShardResult])) {
+          (acc, i) => acc.flatMap(v => runChild(i).map(v :+ _))
+        }.map(v => ShardResult(v.head.sentinelBefore, v.last.sentinelAfter,
+          v.flatMap(_.stats)))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
