@@ -959,12 +959,23 @@ object Dedup {
    * characters escapes the block — run a second pass blocked on a
    * suffix or simhash band when that matters.
    *
-   * Shapes: one equi-join on the prefix key (shuffle-hash; never
-   * all-pairs), renamed-projection self-join sides (the
-   * winnowOverlapPairs alias-resolution lesson), Levenshtein only on
-   * candidates — O(L²) per PAIR, bounded by the block sizes. Both
-   * engines implement classical character-level Levenshtein; the
-   * distance is an exact integer.
+   * Shapes — three rules that keep this off the quadratic cliff
+   * (block pairs grow QUADRATICALLY in dup-group size: a template-heavy
+   * corpus with groups of g rows has g²/2 row pairs per block, so 10×
+   * data = 100× pairs; the r10 unmitigated form ran 450 s at sf0.1):
+   * (1) collapse to DISTINCT texts before pairing — Levenshtein runs
+   * once per distinct-text pair, and id pairs fan back out through two
+   * equi-joins on the text (row pairs sharing a text never touch the
+   * DP at all, they are emitted as dist-0 pairs by a same-text
+   * self-join); (2) the free `abs(length(a)−length(b)) <= maxDist`
+   * prefilter kills most candidates before any DP (a length gap is a
+   * Levenshtein lower bound); (3) the THRESHOLDED
+   * `levenshtein(l, r, maxDist)` — Spark's banded DP early-exits once
+   * the bound is exceeded (O(L·maxDist) instead of O(L²); returns −1
+   * past the bound, filtered out). All joins are renamed-projection
+   * self-join sides (the winnowOverlapPairs alias-resolution lesson)
+   * with shuffle-hash pins. Both engines implement classical
+   * character-level Levenshtein; the distance is an exact integer.
    */
   def editDistanceDupPairs(docs: DataFrame, idCol: String, textCol: String,
       prefixLen: Int, maxDist: Int): DataFrame = {
@@ -978,15 +989,34 @@ object Dedup {
         col(textCol).cast("string").as("__text"),
         substring(lower(col(textCol).cast("string")), 1, prefixLen)
           .as("__blk"))
-    val a = base.select(col("__id").as("i"), col("__text").as("__ta"),
-      col("__blk"))
-    val b = base.select(col("__id").as("j"), col("__text").as("__tb"),
-      col("__blk"))
-    a.join(b.hint("shuffle_hash"), Seq("__blk"))
+    // equal texts share the prefix block by construction, so the two
+    // legs below partition the (i < j, same-block) pair space exactly:
+    // same-text pairs (dist 0, no DP) + distinct-text pairs (DP once
+    // per TEXT pair, ids fanned back out).
+    val texts = base.select(col("__blk"), col("__text")).distinct()
+    val ta = texts.select(col("__blk"), col("__text").as("__ta"))
+    val tb = texts.select(col("__blk"), col("__text").as("__tb"))
+    val textPairs = ta.join(tb.hint("shuffle_hash"), Seq("__blk"))
+      .where(col("__ta") < col("__tb"))
+      .where(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("__ta"), col("__tb"), col("dist"))
+    val ids = base.select(col("__text"), col("__id"))
+    val crossPairs = textPairs
+      .join(ids.select(col("__text").as("__ta"), col("__id").as("__ia"))
+        .hint("shuffle_hash"), Seq("__ta"))
+      .join(ids.select(col("__text").as("__tb"), col("__id").as("__ib"))
+        .hint("shuffle_hash"), Seq("__tb"))
+      .where(col("__ia") =!= col("__ib")) // an id carrying BOTH texts must not self-pair
+      .select(least(col("__ia"), col("__ib")).as("i"),
+        greatest(col("__ia"), col("__ib")).as("j"), col("dist"))
+    val sa = ids.select(col("__text"), col("__id").as("i"))
+    val sb = ids.select(col("__text"), col("__id").as("j"))
+    val samePairs = sa.join(sb.hint("shuffle_hash"), Seq("__text"))
       .where(col("i") < col("j"))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
-      .where(col("dist") <= maxDist)
-      .select(col("i"), col("j"), col("dist"))
+      .select(col("i"), col("j"), lit(0).as("dist"))
+    crossPairs.unionByName(samePairs)
   }
 
   /**

@@ -503,15 +503,29 @@ class DedupSpec extends SparkSpec {
       (2L, "the quick brown fox jumps rev1"),   // dist 1 to doc 1
       (3L, "the quick brown fox jumped rev0"),  // dist 2 to doc 1, 3 to 2
       (4L, "a completely different doc rev0"),  // other block
-      (5L, "the quick brown fox leaps far away rev9"))
+      (5L, "the quick brown fox leaps far away rev9"),
+      (6L, "the quick brown fox jumps rev0"))   // EXACT dup of doc 1
       .toDF("id", "t")
-    val got = Dedup.editDistanceDupPairs(docs, "id", "t",
-      prefixLen = 12, maxDist = 2).collect()
+    val q = Dedup.editDistanceDupPairs(docs, "id", "t",
+      prefixLen = 12, maxDist = 2)
+    val got = q.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    assert(got == Map((1L, 2L) -> 1, (1L, 3L) -> 2))
+    assert(got == Map((1L, 2L) -> 1, (1L, 3L) -> 2,
+      (1L, 6L) -> 0, (2L, 6L) -> 1, (3L, 6L) -> 2))
     // doc 5 shares the block but exceeds the distance bar; doc 4 never
     // even pairs (different prefix block)
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // PLAN PIN (the r10 d19 450s lesson): the DP must be the
+    // THRESHOLDED 3-arg levenshtein (early-exit banded form), and it
+    // must run over the distinct-text collapse, never over raw row
+    // pairs — a 2-arg levenshtein or a missing distinct here is the
+    // quadratic cliff coming back.
+    val plan = q.queryExecution.optimizedPlan.toString
+    // the 3-arg form renders its threshold as Some(2)
+    assert(plan.matches("(?s).*levenshtein\\([^()]*, Some\\(2\\)\\).*"),
+      s"expected thresholded levenshtein(l, r, Some(2)) in plan:\n$plan")
+    assert(!plan.matches("(?s).*levenshtein\\((?:[^(),]*,){1}[^(),]*\\).*"),
+      s"unthresholded 2-arg levenshtein found in plan:\n$plan")
     intercept[IllegalArgumentException](
       Dedup.editDistanceDupPairs(docs, "id", "t", 2, 2))
     intercept[IllegalArgumentException](
