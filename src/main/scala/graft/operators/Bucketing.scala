@@ -151,4 +151,41 @@ object Bucketing {
         round(col("n_scanned").cast("double") /
           greatest(col("n_files"), lit(1L)).cast("double"), 6))
   }
+
+  /**
+   * P342 — layout comparison for zone-map pruning: [[zoneMapAudit]] run
+   * under SEVERAL candidate sort orders and folded to one line each —
+   * (layout, n_files, files_disjoint, avg_overlaps, share_disjoint),
+   * where "disjoint" means no other file's band intersects (a point
+   * predicate on `valueCol` reads exactly one file). This is the
+   * physical-design decision TABLE: at 100 TB you pick the table's sort
+   * order once, from a sample, and this readout is the side-by-side the
+   * choice should come from rather than folklore ("sort by date" loses
+   * to z-order the moment a second predicate column matters — measure).
+   *
+   * Shape: one [[zoneMapAudit]] per candidate (file-count-sized frames
+   * throughout), one fold each, a k-row union. Counts exact; the two
+   * ratios are single double divisions rounded at 6.
+   */
+  def layoutPruneCompare(df: DataFrame, layouts: Seq[(String, Seq[String])],
+      valueCol: String, rowsPerFile: Int): DataFrame = {
+    require(layouts.nonEmpty, "layoutPruneCompare: no layouts")
+    require(layouts.map(_._1).distinct.size == layouts.size,
+      s"layoutPruneCompare: duplicate layout names in ${layouts.map(_._1)}")
+    layouts.map { case (name, ord) =>
+      zoneMapAudit(df, ord, valueCol, rowsPerFile)
+        .agg(count(lit(1)).as("n_files"),
+          coalesce(sum(when(col("overlaps") === 0, 1L).otherwise(0L)),
+            lit(0L)).as("files_disjoint"),
+          sum(col("overlaps")).as("__ov"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("files_disjoint"),
+          round(col("__ov").cast("double") /
+            greatest(col("n_files"), lit(1L)).cast("double"), 6)
+            .as("avg_overlaps"),
+          round(col("files_disjoint").cast("double") /
+            greatest(col("n_files"), lit(1L)).cast("double"), 6)
+            .as("share_disjoint"))
+    }.reduce(_.unionByName(_))
+  }
 }

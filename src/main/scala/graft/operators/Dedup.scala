@@ -52,6 +52,34 @@ object Dedup {
   }
 
   /**
+   * P338 — bag-of-words (token-multiset) dedup groups: the fingerprint
+   * is the SORTED full token list, so word-order permutations (scraped
+   * re-posts with reordered sentences, template fields emitted in a
+   * different order, title/body joins) collapse into one group where
+   * [[exactDedup]] sees distinct texts. Character-level edits still
+   * escape (that is [[editDistanceDupPairs]]' metric), and token
+   * INSERTIONS escape too — the fingerprint is a multiset, not a set
+   * (the set relaxation is [[tokenJaccardPairs]] at threshold 1.0).
+   * Emits per row (id, group_n, kept) with kept = min-id survivor,
+   * mirroring [[exactDedup]]'s survivor rule.
+   *
+   * Scale shape: one projection computes the fingerprint (the sort is
+   * per-row over that row's tokens — corpus-linear, no shuffle), then
+   * ONE window shuffle keyed by the 64-bit fingerprint hash (8-byte
+   * shuffle keys, collision-safe via the fingerprint tiebreak in the
+   * key) — exactly [[exactDedup]]'s shape. No joins, no driver state.
+   */
+  def bagDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = concat_ws(" ",
+      sort_array(array_remove(split(lower(trim(col(textCol))), "\\s+"), "")))
+    val w = Window.partitionBy(xxhash64(col("__fp")), col("__fp"))
+    df.select(col(idCol).as("id"), fp.as("__fp"))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("kept", col("id") === min(col("id")).over(w))
+      .select(col("id"), col("group_n"), col("kept"))
+  }
+
+  /**
    * P72 — soft dedup: instead of dropping duplicates, DOWNWEIGHT them.
    * Every row in an exact-duplicate group of size n gets weight 1/n (so a
    * document's total training influence is constant no matter how many
@@ -244,12 +272,6 @@ object Dedup {
       .where(length(col("token")) === n)
   }
 
-  /**
-   * Exact Jaccard over element sets, given an exploded (id, token) relation.
-   * Pair generation joins on token — at scale, cap ubiquitous tokens with
-   * `maxDocFreq` (a token in half the corpus generates |corpus|²/4 pairs and
-   * proves nothing about similarity).
-   */
   /** Shared candidate machinery for set-overlap pair scorers: token
     * equi-join candidates (i < j) with intersection and both set sizes.
     * Sizes come from the SAME filtered relation as intersections — mixing
@@ -276,6 +298,12 @@ object Dedup {
       .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
   }
 
+  /**
+   * Exact Jaccard over element sets, given an exploded (id, token) relation.
+   * Pair generation joins on token — at scale, cap ubiquitous tokens with
+   * `maxDocFreq` (a token in half the corpus generates |corpus|²/4 pairs and
+   * proves nothing about similarity).
+   */
   def jaccardPairs(tokens: DataFrame, threshold: Double,
       maxDocFreq: Option[Long] = None): DataFrame =
     overlapCandidates(tokens, maxDocFreq)

@@ -3663,4 +3663,32 @@ object Features {
         round(col("__e"), 6).as("resid"),
         round(col("__d"), 6).as("cooks_d"), col("__rn").as("rnk"))
   }
+
+  /**
+   * P341 — exact per-group mode with a deterministic tie-break: the most
+   * frequent value of `valCol` per `keyCol` group, smallest value
+   * winning ties (an arbitrary-winner mode is not reproducible across
+   * runs or engines — the tie rule IS the operator contract). Emits
+   * (key, mode, mode_n, n_distinct); null values are excluded (a mode
+   * of "missing" is a data-quality read, dq-family territory, not a
+   * central-tendency one).
+   *
+   * Shapes: one map-side-combinable (key, value) count, then ONE
+   * key-partitioned rank window over the count frame — the window input
+   * is |distinct values per key|, value-domain-sized, not corpus-sized
+   * (the o92 value-domain discipline). Exact integers end to end.
+   */
+  def modeBy(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__n").desc, col("__v").asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .where(col("__rn") === 1)
+      .select(col(keyCol), col("__v").as("mode"), col("__n").as("mode_n"),
+        col("__nd").as("n_distinct"))
+  }
 }

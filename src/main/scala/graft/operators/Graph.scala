@@ -387,6 +387,42 @@ object Graph {
   }
 
   /**
+   * P339 — average-nearest-neighbor-degree curve knn(k) (Pastor-
+   * Satorras et al. 2001): for each degree class k, the mean degree of
+   * the neighbors of degree-k endpoints — the CURVE behind
+   * [[degreeAssortativity]]'s single coefficient (a flat knn(k) with
+   * r ≈ 0 and a U-shaped one read identically through r; the curve
+   * shows WHERE the mixing changes, which is what a degree-aware
+   * partitioning or sampling plan actually needs). Emits per degree
+   * class (deg, n_ends, knn) over the directed-both-ways convention
+   * (each undirected edge contributes both endpoint orders, matching
+   * the assortativity moments).
+   *
+   * Shapes: canonical distinct + one degree agg + the same two
+   * shuffle_hash degree join-backs as [[degreeAssortativity]], then ONE
+   * keyed agg by degree class — degree-class cardinality is ≤ max
+   * degree, so the final agg is ladder-sized at any corpus scale.
+   * Cross-engine: integer degree sums through DECIMAL (exact), one
+   * double division rounded at 6.
+   */
+  def neighborDegreeCurve(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = nodeDegrees(und)
+    val dir = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    dir
+      .join(deg.select(col("node").as("a"), col("deg").as("__x"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__y"))
+        .hint("shuffle_hash"), Seq("b"))
+      .groupBy(col("__x").as("deg"))
+      .agg(count(lit(1)).as("n_ends"),
+        round(sum(col("__y").cast("decimal(18,0)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("knn"))
+  }
+
+  /**
    * P209 — HITS hubs & authorities over a BIPARTITE edge list
    * (left → right), `iters` unrolled rounds with L1 normalization:
    * auth(r) = Σ hub(l) over incident edges, hub(l) = Σ auth(r), each

@@ -16,9 +16,8 @@ case class ColumnHint(
     nullRatio: Double,
     label: Option[String] = None)
 
-/** Target-variable metadata the scorer needs (subset of SdtmVariable —
-  * `crates/tss-standards/src/sdtm_ig.rs`). */
-/** Target-variable metadata for the scorer. `isNumeric` is the IG's
+/** Target-variable metadata for the scorer (subset of SdtmVariable —
+  * `crates/tss-standards/src/sdtm_ig.rs`). `isNumeric` is the IG's
   * DECLARED type when the caller has it (None ⇒ fall back to the
   * reference's name heuristic, score.rs:202). */
 case class VarMeta(name: String, label: Option[String] = None,

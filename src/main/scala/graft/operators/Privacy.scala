@@ -410,4 +410,62 @@ object Privacy {
           round(col("__risky").cast("double") /
             col("n_records").cast("double"), 6)).as("pct_under_5"))
   }
+
+  /**
+   * P340 — k-map risk (El Emam's journalist model): the read
+   * [[reidentificationRisk]] (pv9) cannot give — when the release is a
+   * SUBSET of a known population register, an attacker matches released
+   * records against the REGISTER, so the class size that bounds the
+   * match probability is the population's, not the sample's (sample-side
+   * k systematically overstates risk: a sample-unique record sitting in
+   * a populous register class is near-unlinkable). Per released record,
+   * risk = 1/pop_class_size; emits ONE summary row (n_records,
+   * n_classes, min_pop_k, pop_unique_records, under_k_records,
+   * share_under_k, exp_risk). A sample class ABSENT from the population
+   * violates the sample ⊆ population contract and raises loudly (the
+   * guard rides inside the output column — a silent inner-join drop
+   * would deflate every risk number).
+   *
+   * Shapes: two keyed aggs + ONE shuffle-hash join on the QID tuple
+   * (class-count-sized relations), then a 1-row fold. Cross-engine: the
+   * per-class risk terms n/pop_k are 9-rounded doubles summed in
+   * DECIMAL(28,9) (the o88 per-stratum rule — a raw double sum is
+   * partition-order-dependent); shares are single divisions rounded
+   * at 6.
+   */
+  def kMap(sample: DataFrame, population: DataFrame, qidCols: Seq[String],
+      k: Int): DataFrame = {
+    require(qidCols.nonEmpty, "kMap: no QID columns")
+    require(k >= 2, s"kMap: k must be >= 2, got $k")
+    val sc = sample.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val pc = population.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("__pk"))
+    val guarded = sc.join(pc.hint("shuffle_hash"), qidCols, "left")
+      .select(col("__n"),
+        when(col("__pk").isNull,
+          raise_error(concat(
+            lit("kMap: sample class missing from population: "),
+            concat_ws(",", qidCols.map(c => col(c).cast("string")): _*)))
+            .cast("long"))
+          .otherwise(col("__pk")).as("__pk"))
+    guarded.agg(
+        sum(col("__n")).as("n_records"),
+        count(lit(1)).as("n_classes"),
+        min(col("__pk")).as("min_pop_k"),
+        coalesce(sum(when(col("__pk") === 1, col("__n")).otherwise(0L)),
+          lit(0L)).as("pop_unique_records"),
+        coalesce(sum(when(col("__pk") < k, col("__n")).otherwise(0L)),
+          lit(0L)).as("under_k_records"),
+        sum(round(col("__n").cast("double") / col("__pk").cast("double"), 9)
+          .cast("decimal(28,9)")).as("__risksum"))
+      .select(col("n_records"), col("n_classes"), col("min_pop_k"),
+        col("pop_unique_records"), col("under_k_records"),
+        when(col("n_records") > 0,
+          round(col("under_k_records").cast("double") /
+            col("n_records").cast("double"), 6)).as("share_under_k"),
+        when(col("n_records") > 0,
+          round(col("__risksum").cast("double") /
+            col("n_records").cast("double"), 6)).as("exp_risk"))
+  }
 }

@@ -773,24 +773,6 @@ object TextAnalysis {
   }
 
   /**
-   * P60 — pointwise mutual information over ADJACENT token pairs:
-   * PMI(a,b) = ln( (c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok)) ), the
-   * collocation signal (word2vec-era preprocessing, multiword-expression
-   * mining). `minPairCount` prunes the heavy tail BEFORE the unigram
-   * joins — rare pairs dominate the pair space and carry no signal.
-   *
-   * Scale shape: one map-side-combinable pair count (adjacent pairs
-   * only — corpus-linear, never a per-window cross product), one unigram
-   * count, two joins of the pruned pair table against the vocab-sized
-   * unigram table (AQE broadcasts the small side). The two normalizing
-   * totals travel as scalar literals (the o3 pattern — bytes, not data)
-   * and come from ONE token-length aggregation — N_tok = Σ len(l),
-   * N_pairs = Σ max(len(l)−1, 0) — not from re-aggregating the exploded
-   * pair/unigram tables (that formulation tokenized the corpus twice
-   * more at build time). N_pairs is the PRE-prune total, so pruning
-   * changes coverage, never the score of a surviving pair.
-   */
-  /**
    * P64 — bigram-LM perplexity scoring (the CCNet-style quality filter: a
    * document's perplexity under a language model trained on the corpus —
    * or any reference corpus — separates fluent text from boilerplate and
@@ -937,6 +919,24 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w))
   }
 
+  /**
+   * P60 — pointwise mutual information over ADJACENT token pairs:
+   * PMI(a,b) = ln( (c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok)) ), the
+   * collocation signal (word2vec-era preprocessing, multiword-expression
+   * mining). `minPairCount` prunes the heavy tail BEFORE the unigram
+   * joins — rare pairs dominate the pair space and carry no signal.
+   *
+   * Scale shape: one map-side-combinable pair count (adjacent pairs
+   * only — corpus-linear, never a per-window cross product), one unigram
+   * count, two joins of the pruned pair table against the vocab-sized
+   * unigram table (AQE broadcasts the small side). The two normalizing
+   * totals travel as scalar literals (the o3 pattern — bytes, not data)
+   * and come from ONE token-length aggregation — N_tok = Σ len(l),
+   * N_pairs = Σ max(len(l)−1, 0) — not from re-aggregating the exploded
+   * pair/unigram tables (that formulation tokenized the corpus twice
+   * more at build time). N_pairs is the PRE-prune total, so pruning
+   * changes coverage, never the score of a surviving pair.
+   */
   def pmiPairs(docs: org.apache.spark.sql.DataFrame, textCol: String,
       minPairCount: Long): org.apache.spark.sql.DataFrame = {
     require(minPairCount >= 1,
@@ -1554,5 +1554,40 @@ object TextAnalysis {
       .select(col("rank"), col("a"), col("b"), col("c_ab"), col("c_a"),
         col("c_b"), col("g2"))
       .orderBy(col("rank"))
+  }
+
+  /**
+   * P343 — code-vs-prose detection signals: per document, the character
+   * class densities that separate source code from natural language —
+   * `symbol_ratio` (any non-alphanumeric-non-space character) and
+   * `code_ratio` (the code-punctuation class {}()[];=<>), plus the
+   * `is_code` verdict at `codeThreshold` on the latter. The pretraining
+   * corpus split every mixed crawl needs (code is either gold or poison
+   * depending on the training target, and either way it must not ride
+   * incognito through prose quality gates — Gopher/C4 rules misread
+   * it). Empty documents emit null ratios and a false verdict rather
+   * than dividing by zero.
+   *
+   * Shape: pure per-row projection (two regexp_replace length
+   * differences — no tokenization, no shuffle, whole-stage codegen).
+   * Cross-engine: integer character counts, one double division each,
+   * rounded at 6.
+   */
+  def codeSignals(docs: DataFrame, idCol: String, textCol: String,
+      codeThreshold: Double = 0.02): DataFrame = {
+    require(codeThreshold > 0 && codeThreshold < 1,
+      s"codeSignals: codeThreshold must be in (0,1), got $codeThreshold")
+    val t = col(textCol).cast("string")
+    val n = length(t)
+    val symbolN = n - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val codeN = n - length(regexp_replace(t, "[{}()\\[\\];=<>]", ""))
+    docs.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), n.as("n_chars"),
+        when(n > 0, round(symbolN.cast("double") / n.cast("double"), 6))
+          .as("symbol_ratio"),
+        when(n > 0, round(codeN.cast("double") / n.cast("double"), 6))
+          .as("code_ratio"))
+      .withColumn("is_code",
+        coalesce(col("code_ratio") >= codeThreshold, lit(false)))
   }
 }

@@ -51,6 +51,23 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // P338 — bag-of-words dedup over a corpus with planted word-order
+    // twins: every doc_id%5 doc gets a copy (id + 1e6) whose text is its
+    // own SORTED token list — a pure word-order permutation that exact
+    // dedup cannot see and the multiset fingerprint must (non-vacuous by
+    // construction: ≥20% of rows live in a group of ≥2)
+    "d24_bag_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks =
+        array_remove(split(lower(trim(col("text"))), "\\s+"), "")
+      val shuffled = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat_ws(" ", sort_array(toks)).as("text"))
+      Dedup.bagDupGroups(docs.unionByName(shuffled), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // P247 — (b, r) banding sweep on a 50-doc hash sample of the
     // duplicated corpus: measured precision/recall per setting against
     // exact J ≥ 0.9 — the tuning table the d16 failure showed must be
@@ -529,6 +546,29 @@ object DedupQueries {
          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM ($dupedDocsSql))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the fingerprint is replayed token-for-token (same split regex, same
+    // empty-token filter, same lexicographic sort); group stats are plain
+    // window counts over it
+    "d24_bag_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')),
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')),
+        |      ' ') AS f
+        |  FROM corpus)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY f) AS BIGINT) AS group_n,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY f) AS kept
+        |FROM fp ORDER BY doc_id""".stripMargin,
 
     // rn > 1 within a text group ⟺ the operator's duplicate set
     "d22_dup_by_source" ->

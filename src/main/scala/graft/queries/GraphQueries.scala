@@ -172,6 +172,15 @@ object GraphQueries {
     "gr6_assortativity" -> ((s, dir) => {
       val edges = coPurchaseEdges(s, dir)
       graft.operators.Graph.degreeAssortativity(edges, "src", "dst")
+    }),
+
+    // P339 — the knn(k) curve behind gr6's single coefficient: mean
+    // neighbor degree per degree class over the same co-purchase graph
+    // (ladder-sized output — one row per distinct degree)
+    "gr13_knn_curve" -> ((s, dir) => {
+      graft.operators.Graph.neighborDegreeCurve(coPurchaseEdges(s, dir),
+          "src", "dst")
+        .orderBy("deg")
     })
   )
 
@@ -338,6 +347,27 @@ object GraphQueries {
         |  CASE WHEN denx > 0 AND deny > 0
         |       THEN round(num / sqrt(denx * deny), 6) END AS r
         |FROM f""".stripMargin,
+
+    // same edge/degree CTEs as gr6, grouped by the endpoint's degree
+    // class instead of folded into one moment row
+    "gr13_knn_curve" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |dir AS (SELECT u AS a, v AS b FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |p AS (
+        |  SELECT da.deg AS dx, db.deg AS dy
+        |  FROM dir JOIN deg da ON da.node = dir.a
+        |           JOIN deg db ON db.node = dir.b)
+        |SELECT dx AS deg, CAST(COUNT(*) AS BIGINT) AS n_ends,
+        |  round(CAST(SUM(CAST(dy AS DECIMAL(18,0))) AS DOUBLE) /
+        |        CAST(COUNT(*) AS DOUBLE), 6) AS knn
+        |FROM p GROUP BY 1 ORDER BY deg""".stripMargin,
 
     // the identical bounded peel, unrolled; final degrees on the round-3
     // survivor subgraph

@@ -13,18 +13,17 @@ import graft.Graft.table
  */
 object OlapQueries {
 
-  /** The per-(event_type, day) 6-rounded daily mean value frame shared by
-    * every daily-series query (o29/o32/o35/o36/o38/pipe6) — ONE definition
-    * beside the oracles' identical `daily` CTE so the six cannot drift.
+  /** Daily mean + count per event type — the ONE definition of the
+    * 6-rounded daily series every daily-series query reads
+    * (o29/o32/o35/o36/o38/pipe6; [[dailyMeans]] drops the count), kept
+    * beside the oracles' identical `daily` CTE so the consumers cannot
+    * drift. Inlining this body at a call site is the duplication class
+    * the r9s4 review closed — extend HERE instead.
     * CAVEAT shared with those operators' contracts: this is NOT
     * gap-filled — it relies on every (type, day) cell being populated,
     * which EventsDailyDensitySpec pins against the live testdata (a corpus
     * regen with a missing day must fail THERE, loudly, not silently turn
     * centered windows into misaligned row windows). */
-  /** Daily mean + count per event type — the ONE definition of the daily
-    * series every o-family query reads ([[dailyMeans]] drops the count).
-    * Inlining this body at a call site is the duplication class the
-    * r9s4 review closed — extend HERE instead. */
   private[queries] def dailyStats(s: SparkSession, dir: String): DataFrame =
     graft.Graft.events(s, dir)
       .where(col("value").isNotNull)
@@ -300,6 +299,16 @@ object OlapQueries {
         .orderBy("o_orderpriority", "digit")
     }),
 
+    // P341 — exact mode of the quantity domain per return flag with the
+    // deterministic smallest-value tie-break (3 groups × ≤50 distinct
+    // quantities — the rank window is value-domain-sized)
+    "o110_mode" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"))
+      graft.operators.Features.modeBy(li, "l_returnflag", "qty")
+        .orderBy("l_returnflag")
+    }),
+
     // P337 — the one-stop experiment readout: the q15 SRM gate beside
     // the q17 two-proportion verdict in one row — "is the assignment
     // sound, and did the metric move" (reading z while srm is true is
@@ -365,6 +374,22 @@ object OlapQueries {
           d, Seq("sd", "l_orderkey", "l_linenumber"), "sd",
           rowsPerFile = 2000)
         .orderBy("file_id")
+    }),
+
+    // P342 — the physical-design decision table: the z5 audit run under
+    // three candidate sort orders side by side — shipdate-clustered
+    // (bands disjoint, point predicates read one file) vs orderkey- and
+    // suppkey-ordered (date bands span the table, zone maps useless)
+    "z11_layout_compare" -> ((s, dir) => {
+      val d = table(s, dir, "lineitem").select(
+        to_date(col("l_shipdate")).as("sd"),
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      graft.operators.Bucketing.layoutPruneCompare(d, Seq(
+          "by_orderkey" -> Seq("l_orderkey", "l_linenumber"),
+          "by_shipdate" -> Seq("sd", "l_orderkey", "l_linenumber"),
+          "by_suppkey" -> Seq("l_suppkey", "l_orderkey", "l_linenumber")),
+          "sd", rowsPerFile = 2000)
+        .orderBy("layout")
     }),
 
     // P138 — AMS F2 sketch over the event user-id stream: 16 ±1-sign
@@ -2268,6 +2293,22 @@ object OlapQueries {
         |FROM g""".stripMargin,
 
     // digit chain and Benford masses generated from the operator's own
+    // count-then-rank replay; the tie-break (n DESC, v ASC) is the
+    // operator's contract, spelled identically
+    "o110_mode" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, v, n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY n DESC, v ASC) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nd
+        |  FROM counts)
+        |SELECT l_returnflag, v AS mode, n AS mode_n, nd AS n_distinct
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
     // constants (Features.benfordPLiterals) so the sides cannot drift;
     // densified grid, l1 = DECIMAL sum of 9-rounded deviations
     // the o14 recipe with the second-digit extraction ((v // 10^(p-1))
@@ -2727,6 +2768,54 @@ object OlapQueries {
         |  round((s + 20.0e0 * (gs / CAST(gn AS DOUBLE)))
         |    / (CAST(n AS DOUBLE) + 20.0e0), 6) AS encoded
         |FROM p, g ORDER BY o_custkey""".stripMargin,
+
+    // one z5-style per-file/overlap replay per layout (generator below),
+    // folded to the same one-line readouts and unioned
+    "z11_layout_compare" -> {
+      def one(name: String, orderBy: String): String =
+        s"""SELECT '$name' AS layout, n_files, files_disjoint,
+           |  round(CAST(ov AS DOUBLE) /
+           |    CAST(greatest(n_files, 1) AS DOUBLE), 6) AS avg_overlaps,
+           |  round(CAST(files_disjoint AS DOUBLE) /
+           |    CAST(greatest(n_files, 1) AS DOUBLE), 6) AS share_disjoint
+           |FROM (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           |    CAST(coalesce(SUM(CASE WHEN ov_n = 0 THEN 1 END), 0)
+           |      AS BIGINT) AS files_disjoint,
+           |    CAST(SUM(ov_n) AS BIGINT) AS ov
+           |  FROM (
+           |    -- ov_n, not "overlaps": OVERLAPS is a reserved operator
+           |    -- keyword in DuckDB and a bare column reference breaks
+           |    -- the parse (z5 only ever ALIASES it, never reads it)
+           |    SELECT f.file_id,
+           |      CAST(coalesce(SUM(CASE WHEN o.file_id IS NOT NULL
+           |        THEN 1 END), 0) AS BIGINT) AS ov_n
+           |    FROM (
+           |      SELECT CAST((rn - 1) // 2000 AS BIGINT) AS file_id,
+           |        min(sd) AS lo, max(sd) AS hi
+           |      FROM (SELECT sd,
+           |              row_number() OVER (ORDER BY $orderBy) AS rn
+           |            FROM d) GROUP BY 1) f
+           |    LEFT JOIN (
+           |      SELECT CAST((rn - 1) // 2000 AS BIGINT) AS file_id,
+           |        min(sd) AS lo, max(sd) AS hi
+           |      FROM (SELECT sd,
+           |              row_number() OVER (ORDER BY $orderBy) AS rn
+           |            FROM d) GROUP BY 1) o
+           |      ON f.file_id <> o.file_id
+           |        AND f.lo <= o.hi AND o.lo <= f.hi
+           |    GROUP BY 1))""".stripMargin
+      s"""WITH d AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS sd, l_orderkey,
+         |    l_linenumber, l_suppkey
+         |  FROM lineitem WHERE l_shipdate IS NOT NULL)
+         |${one("by_orderkey", "l_orderkey, l_linenumber")}
+         |UNION ALL
+         |${one("by_shipdate", "sd, l_orderkey, l_linenumber")}
+         |UNION ALL
+         |${one("by_suppkey", "l_suppkey, l_orderkey, l_linenumber")}
+         |ORDER BY layout""".stripMargin
+    },
 
     // the identical layout window, integer file cut, and band-intersection
     // self-join; bands are exact DATE data values

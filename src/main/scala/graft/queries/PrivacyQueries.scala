@@ -28,12 +28,26 @@ object PrivacyQueries {
     // P294 — re-identification risk over the pv1 QID grid BEFORE any
     // filtering: prosecutor max risk, expected record risk, and the
     // share of records under the k = 5 bar pv1 enforces
-    "pv7_reid_risk" -> ((s, dir) => {
+    "pv9_reid_risk" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(
         col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
       Privacy.reidentificationRisk(c,
         Seq("c_nationkey", "c_mktsegment", "bal_band"))
+    }),
+
+    // P340 — k-map over the customer register: the release is every 7th
+    // customer, the population is the full table, QIDs = (nation,
+    // 2000-wide balance band) — ~150 register classes over the customer
+    // table, sized so classes STRADDLE k = 5 (the pv9-style
+    // (nation, segment, fine-band) QIDs measured 99.5% under-k at the
+    // gate SF — a saturated read that adds nothing over pv9)
+    "pv10_kmap" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      Privacy.kMap(c.where(col("c_custkey") % 7 === 0), c,
+        Seq("c_nationkey", "bal_band"), k = 5)
     }),
 
     // P89 — ℓ = 10 over (nation, segment) QID groups with the balance
@@ -118,7 +132,7 @@ object PrivacyQueries {
 
   val oracles: Map[String, String] = Map(
     // one class agg + one closing agg; expected risk = classes/records
-    "pv7_reid_risk" ->
+    "pv9_reid_risk" ->
       """WITH c AS (
         |  SELECT c_nationkey, c_mktsegment,
         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
@@ -141,6 +155,42 @@ object PrivacyQueries {
         |      AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6)
         |  END AS pct_under_5
         |FROM cl""".stripMargin,
+    // population classes from the full register, sample classes from the
+    // every-7th release, risk terms 9-rounded then exactly summed
+    "pv10_kmap" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |pc AS (
+        |  SELECT c_nationkey, bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS pk
+        |  FROM c GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT c_nationkey, bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c WHERE c_custkey % 7 = 0 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT sc.n, pc.pk FROM sc JOIN pc USING
+        |    (c_nationkey, bal_band))
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_records,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(MIN(pk) AS BIGINT) AS min_pop_k,
+        |  CAST(coalesce(SUM(CASE WHEN pk = 1 THEN n ELSE 0 END), 0)
+        |    AS BIGINT) AS pop_unique_records,
+        |  CAST(coalesce(SUM(CASE WHEN pk < 5 THEN n ELSE 0 END), 0)
+        |    AS BIGINT) AS under_k_records,
+        |  CASE WHEN SUM(n) > 0 THEN
+        |    round(CAST(coalesce(SUM(CASE WHEN pk < 5 THEN n ELSE 0 END), 0)
+        |      AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |  END AS share_under_k,
+        |  CASE WHEN SUM(n) > 0 THEN
+        |    round(CAST(SUM(CAST(round(CAST(n AS DOUBLE) /
+        |      CAST(pk AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) /
+        |      CAST(SUM(n) AS DOUBLE), 6)
+        |  END AS exp_risk
+        |FROM j""".stripMargin,
+
     // the identical salted-MD5 prefix; collisions from one scalar audit
     "pv5_pseudonym" ->
       """WITH m AS (

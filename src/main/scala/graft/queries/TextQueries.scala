@@ -248,6 +248,22 @@ object TextQueries {
         minPairCount = 5L, topK = 20)
     }),
 
+    // P343 — code-vs-prose split over a corpus with planted pseudo-code:
+    // every doc_id%10 text is rewritten as `if (<text_with_underscores>)
+    // { return 0; }` — brace/semicolon/paren density the prose rows
+    // lack, so both verdicts occur by construction
+    "t38_code_detect" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("if ("), translate(col("text"), " ", "_"),
+            lit(") { return 0; }")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.codeSignals(planted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // P286 — tokenizer fertility per language: chars-per-token and
     // tokens-per-doc (the compression read that decides how much a
     // language REALLY costs per context window)

@@ -139,8 +139,6 @@ object ItemsMetadata {
     Right(ItemsSchema(id, label, dataType, mandatory, formatName, contentLength))
   }
 
-  /** Load item metadata under a detected schema: id → ItemMeta, collected on
-    * the driver (Items.csv is metadata-sized — hundreds of rows). */
   /**
    * CodeLists.csv loader — the EDC-export companion of Items.csv
    * (mockdata fixture layout: FormatName, DataType, CodeValue, CodeText
@@ -166,6 +164,8 @@ object ItemsMetadata {
     }
   }
 
+  /** Load item metadata under a detected schema: id → ItemMeta, collected on
+    * the driver (Items.csv is metadata-sized — hundreds of rows). */
   def loadItems(df: DataFrame, schema: ItemsSchema): Map[String, ItemMeta] = {
     // role indexes come from analyzeColumns over the _row_id-free column
     // list — resolve against the same basis, wherever the ingest row id

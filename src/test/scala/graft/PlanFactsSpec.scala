@@ -136,6 +136,47 @@ class PlanFactsSpec extends SparkSpec {
         s"(stale entries, prune them): ${gone.mkString(", ")}")
   }
 
+  test("non-equi joins (the BNL/cartesian class) are confined to the adjudicated allowlist") {
+    assume(haveData)
+    // A join with NO equi predicate plans as BroadcastNestedLoopJoin or
+    // CartesianProduct — per-pair work, the all-pairs scale killer unless
+    // one side is a scalar/k-row frame or a raise_error contract bounds
+    // the pair count. The r10 verdict flagged this class TRIPLING (~37 →
+    // 103 queries) with only grep separating "scalar side" from
+    // "accidental cartesian" — so, like unpartWin, the adjudicated set is
+    // now enumerated and a NEW offender fails here. Detection mirrors the
+    // planner's own test: a logical Join that ExtractEquiJoinKeys cannot
+    // destructure has no equi keys and cannot hash-partition. Logical
+    // (optimized) plan only — no execution, same rationale as unpartWin.
+    import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val allowed = PlanFactsSpec.adjudicatedNonEquiJoinQueries
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val gone = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val n =
+        try {
+          fn(spark, sfDir).queryExecution.optimizedPlan.collectWithSubqueries {
+            case j: LJoin if ExtractEquiJoinKeys.unapply(j).isEmpty => 1
+          }.sum
+        } catch {
+          case e: Throwable =>
+            fail(s"$name failed to build/optimize: ${e.getMessage}")
+        }
+      if (n > 0 && !allowed.contains(name)) offenders += s""""$name","""
+      if (n == 0 && allowed.contains(name)) gone += name
+    }
+    assert(offenders.isEmpty,
+      s"NEW non-equi join(s) in: ${offenders.mkString(" ")} — give the " +
+        "join an equi key (band/bucket/prefix blocking), or adjudicate it " +
+        "into the allowlist ONLY if the non-equi side is a scalar/k-row " +
+        "broadcast frame or a maxPairs raise_error contract bounds the " +
+        "pair count")
+    assert(gone.isEmpty,
+      s"allowlisted queries no longer plan a non-equi join " +
+        s"(stale entries, prune them): ${gone.mkString(", ")}")
+  }
+
   test("similarity hot kernels are compiled expressions, not interpreted HOFs") {
     assume(haveData)
     // zip_with/aggregate/transform lambdas are CodegenFallback: interpreted,
@@ -181,6 +222,7 @@ object PlanFactsSpec {
     "dq2_skew", "iv2_bm25", "iv4_qld", "iv5_ndcg", // iv5: bm25 rank + k-row ideal
     "o13_chisq", "o30_woe", "o31_gini",
     "pipe3_hybrid", "pipe5_rrf", "sa15_neyman", "sk8_hdr", "z5_zonemap",
+    "z11_layout_compare", // z5's layout window × one per candidate order
     "z6_prune_sim", "o42_cramersv", "dq9_psi", "dq11_volume", "o53_bh",
     "o92_mood", // median scan over the DISTINCT-VALUE domain (50 qtys)
     "o69_by_fdr", // the o53 machinery with the BY factor — same tests frame
@@ -188,4 +230,57 @@ object PlanFactsSpec {
     // window runs over the shards/frontier-sized closing frame
     "o40_skyline", "sa13_systematic", "st6_lateness", "st7_wsweep",
     "z10_rle") // bucket-frame boundary stitch (the sa13 residual class)
+
+  /** The adjudicated non-equi-join class (r10 verdict item 5): every
+    * member's nested-loop side is a scalar or k-row broadcast frame
+    * (grand totals, threshold ladders, codebooks, calendar spines — the
+    * o3 "literals travel as bytes" pattern realized as a 1-row cross
+    * join), or the all-pairs span is fenced by a maxPairs raise_error
+    * contract that rides inside an output column (hodgesLehmannShift),
+    * or the join runs over an agg/file/band-frame both of whose sides
+    * are metadata-sized at any corpus scale (zone-map band
+    * intersections, sketch cell grids, rank-vs-rank audit frames). The
+    * r10 verdict's sweep spot-checked the class; enumerated here from
+    * the optimized plans of all 376 r10 queries (+ z11, the z5 band
+    * frame again). A NEW non-equi join must be adjudicated into this
+    * set, with its bounding argument, before it ships. */
+  val adjudicatedNonEquiJoinQueries: Set[String] = Set(
+    // 1-row scalar cross joins (grand totals / test statistics / gates)
+    "dq16_hellinger", "dq5_referential", "dq7_freshness", "dq8_accepted",
+    "dq9_psi", "o13_chisq", "o15_mannwhitney", "o22_cuped",
+    "o25_target_enc", "o26_seasonality", "o27_hill", "o30_woe", "o37_ks",
+    "o39_capture", "o42_cramersv", "o50_qq", "o53_bh", "o55_ccf",
+    "o56_mcnemar", "o59_permtest", "o60_kappa", "o64_calibration",
+    "o65_strata", "o66_lorenz", "o67_acf", "o68_cuped_gain", "o69_by_fdr",
+    "o70_wilcoxon", "o71_mcc", "o75_kruskal", "o76_cochranq",
+    "o77_cronbach", "o92_mood", "o95_kendallw", "o106_cvm",
+    "pipe12_mixture", "pipe15_ab_readout", "pv5_pseudonym", "q10_rfm",
+    "q19_steadystate", "q20_churn", "q22_stickiness", "q24_logrank",
+    "q25_growth", "q29_littleslaw", "q30_decile_migration",
+    "sa14_balanced", "sa15_neyman", "sa19_rolling_cv", "sa20_sample_curve",
+    "sa21_ht", "sim12_isotropy", "sk5_heavyhitters", "t18_jsd",
+    "t25_heaps", "t29_vocab_coverage", "t31_entropy_rate", "o61_stump",
+    "pv4_tcloseness", "g3_relsub",
+    // k-row broadcast ladders/grids (threshold ladders, digit/level
+    // grids, bootstrap-multiplicity CDFs, epoch/shard frames, quantile
+    // ladders, capture-history grids)
+    "o44_bootstrap", "mm6_aspect", "mm7_letterbox", "mm9_epochs",
+    "sk8_hdr", "sk9_histq", "sk10_bloom", "sk12_cms_error", "sk7_ams",
+    "iv4_qld", "iv5_ndcg", "pipe3_hybrid", "pipe5_rrf", "pipe8_sessmad",
+    "t35_burstiness", "t36_dispersion", "t37_colloc", "gr8_hits",
+    "gr9_powerlaw", "gr10_modularity", "gr11_richclub",
+    // codebook/centroid/query-vector sides (ANN audit frames)
+    "sim1_brute_topk", "sim2_ivf_topk", "sim9_recall", "sim11_silhouette",
+    "sim13_hubness",
+    // metadata-sized band/file/cell frames joined on range intersection
+    // (zone-map bands, range-balance buckets, sketch cell unions,
+    // boundary frames) — both sides file/cell-count-sized at any scale
+    "z3_boundaries", "z5_zonemap", "z6_prune_sim", "z8_rangebalance",
+    "z10_rle", "z11_layout_compare", "dq13_fanout", "dq17_nullpat",
+    "sk11_kmv_setops", "sk13_hll_union", "sk14_hll_intersect",
+    "sk15_cms_join", "st6_lateness", "st7_wsweep",
+    // sample-contract-guarded exact-truth audits (raise_error fences
+    // riding inside output columns bound the pair count)
+    "d18_minhash_err", "d21_band_sweep", "d23_cluster_sizes",
+    "o74_hl_shift")
 }

@@ -114,4 +114,24 @@ class BucketingSpec extends SparkSpec {
     assert(got(2) == ((1L, 0.333333)))
     assert(got(3) == ((0L, 0.0)))
   }
+
+  test("layoutPruneCompare: clustered layout disjoint, scrambled overlaps") {
+    import spark.implicits._
+    // k interleaves v so a k-ordered layout's 2-row file bands all
+    // intersect each other, while the v-ordered layout is disjoint
+    val rows = Seq((1L, 1L), (2L, 5L), (3L, 2L), (4L, 6L),
+      (5L, 3L), (6L, 7L), (7L, 4L), (8L, 8L)).toDF("k", "v")
+    val got = Bucketing.layoutPruneCompare(rows,
+        Seq("by_v" -> Seq("v"), "by_k" -> Seq("k")), "v", rowsPerFile = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("by_v") == ((4L, 4L, 0.0, 1.0)))
+    assert(got("by_k") == ((4L, 0L, 3.0, 0.0)))
+    intercept[IllegalArgumentException](
+      Bucketing.layoutPruneCompare(rows, Nil, "v", 2))
+    intercept[IllegalArgumentException](
+      Bucketing.layoutPruneCompare(rows,
+        Seq("a" -> Seq("v"), "a" -> Seq("k")), "v", 2))
+  }
 }

@@ -496,6 +496,22 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashErrorAudit(docs, "doc_id", "text", numHashes = 0))
   }
 
+  test("bagDupGroups: word-order invariant, multiset-sensitive, min-id survivor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),   // permutation of 1 → same bag
+      (3L, "alpha beta"),         // subset of 1 → DIFFERENT bag
+      (4L, "alpha beta beta"),    // extra copy of a token → different MULTISET than 3
+      (5L, "  Alpha   beta "))    // case/whitespace-normalized twin of 3
+      .toDF("id", "t")
+    val got = Dedup.bagDupGroups(docs, "id", "t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((2L, true)) && got(2L) == ((2L, false)))
+    assert(got(3L) == ((2L, true)) && got(5L) == ((2L, false)))
+    assert(got(4L) == ((1L, true)))
+  }
+
   test("editDistanceDupPairs: prefix blocks, exact distances, threshold") {
     import spark.implicits._
     val docs = Seq(

@@ -1541,4 +1541,22 @@ class FeaturesSpec extends SparkSpec {
     // > ... > p2(9) ~ 0.085)
     assert(Features.BenfordP2(0) > Features.BenfordP2(9))
   }
+
+  test("modeBy: most frequent value, smallest-value tie-break, nulls out") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 3L), ("a", 3L), ("a", 1L),            // clear mode 3
+      ("b", 7L), ("b", 2L), ("b", 7L), ("b", 2L), // tie → smaller value 2
+      ("c", 9L))
+      .toDF("k", "v")
+      .union(Seq(("c", null.asInstanceOf[java.lang.Long]))
+        .toDF("k", "v"))
+    val got = Features.modeBy(df, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 2L, 2L)),
+      "b" -> ((2L, 2L, 2L)),
+      "c" -> ((9L, 1L, 1L)))) // the null row neither counts nor groups
+  }
 }

@@ -208,6 +208,23 @@ class GraphSpec extends SparkSpec {
     assert(c.getLong(0) == 6L && c.isNullAt(1))
   }
 
+  test("neighborDegreeCurve: star and path knn(k) hand-checked") {
+    import spark.implicits._
+    // star over 4 leaves: deg-1 leaves all neighbor the deg-4 hub
+    // (knn(1) = 4), the hub's 4 neighbors are all leaves (knn(4) = 1)
+    val star = (1L to 4L).map(l => (0L, l)).toDF("s", "d")
+    val ks = Graph.neighborDegreeCurve(star, "s", "d").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(ks == Map(1L -> ((4L, 4.0)), 4L -> ((4L, 1.0))))
+    // path 1-2-3: ends (deg 1) neighbor the middle (deg 2) and the
+    // middle's two ends are deg 1 — direction convention counts the
+    // middle's endpoint role twice
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val kp = Graph.neighborDegreeCurve(path, "s", "d").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(kp == Map(1L -> ((2L, 2.0)), 2L -> ((2L, 1.0))))
+  }
+
   test("degreePowerLaw: hand-checked alpha, null on an all-dmin tail") {
     import spark.implicits._
     // star over 4 leaves: center deg 4, leaves deg 1.

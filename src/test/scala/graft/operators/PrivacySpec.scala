@@ -246,4 +246,28 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.reidentificationRisk(rows, Nil))
   }
+
+  test("kMap: population class sizes drive the risk, not sample sizes") {
+    import spark.implicits._
+    // population: a×1, b×4, c×10; sample: one record from each class.
+    // Sample-side k is 1 everywhere (pv9 would read all three as unique);
+    // k-map reads the register: only 'a' is pop-unique, 'b' is under
+    // k=5, 'c' is safe.
+    val pop = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(10)("c"))
+      .zipWithIndex.map { case (q, i) => (i.toLong, q) }.toDF("id", "q")
+    val sample = Seq((0L, "a"), (1L, "b"), (5L, "c")).toDF("id", "q")
+    val r = Privacy.kMap(sample, pop, Seq("q"), k = 5).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L) // a pop-unique; a,b under k
+    assert(r.getDouble(5) == 0.666667)
+    // exp risk = (1/1 + 1/4 + 1/10) / 3 = 1.35/3 = 0.45
+    assert(r.getDouble(6) == 0.45)
+    // a sample class absent from the population violates the contract
+    val bad = Seq((7L, "zz")).toDF("id", "q")
+    intercept[Exception] {
+      Privacy.kMap(bad, pop, Seq("q"), k = 5).collect()
+    }
+    intercept[IllegalArgumentException](Privacy.kMap(sample, pop, Nil, 5))
+    intercept[IllegalArgumentException](Privacy.kMap(sample, pop, Seq("q"), 1))
+  }
 }

@@ -828,4 +828,23 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.dunningG2(docs, "t", 0L, 5))
   }
+
+  test("codeSignals: character-class densities and the code verdict") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x = 1;"),        // '=' ';' → 2/6 in both classes
+      (2L, "hello world"),   // pure prose → zeros
+      (3L, ""))              // empty → null ratios, false verdict
+      .toDF("id", "t")
+    val got = TextAnalysis.codeSignals(docs, "id", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(2) == 0.333333 &&
+      got(1L).getDouble(3) == 0.333333 && got(1L).getBoolean(4))
+    assert(got(2L).getDouble(2) == 0.0 && got(2L).getDouble(3) == 0.0 &&
+      !got(2L).getBoolean(4))
+    assert(got(3L).getInt(1) == 0 && got(3L).isNullAt(2) &&
+      got(3L).isNullAt(3) && !got(3L).getBoolean(4))
+    intercept[IllegalArgumentException](
+      TextAnalysis.codeSignals(docs, "id", "t", codeThreshold = 0.0))
+  }
 }
