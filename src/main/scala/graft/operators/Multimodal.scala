@@ -576,6 +576,47 @@ object Multimodal {
       .withColumn("silent", col("rms") < silenceRms)
   }
 
+  /**
+   * P344 — silence ratio + longest silent run per media: fold
+   * [[frameEnergy]]'s per-frame silence flags into the per-media audio
+   * curation verdict — frame totals, the silent share, and the LONGEST
+   * CONSECUTIVE silent run in frames. The run length is the
+   * gaps-and-islands read VAD trimming actually needs: scattered quiet
+   * frames are noise-floor texture, one long run is dead air to cut,
+   * and the silence RATIO alone cannot tell them apart. Run over the
+   * stub byte plane (the mm12 idiom — swap PCM samples in for the
+   * byte source and nothing else changes; the `silenceRms` bar is a
+   * parameter because the meaningful threshold is a property of the
+   * PLANE, the P327 centre lesson). Emits (media_id, n_frames,
+   * n_silent, silence_ratio, max_run); media with no silent frame
+   * read max_run 0, not null.
+   *
+   * Shapes: [[frameEnergy]]'s map-side-combinable grid agg, then
+   * media-PARTITIONED windows for the island key (frame − row_number
+   * over the silent frames) and keyed aggs — everything keyed by
+   * media, no global window, no driver state.
+   */
+  def silenceRuns(df: DataFrame, idCol: String, bytesCol: String,
+      frameSize: Int, silenceRms: Int): DataFrame = {
+    val frames = frameEnergy(df, idCol, bytesCol, frameSize, silenceRms)
+    val tot = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(when(col("silent"), 1L).otherwise(0L)), lit(0L))
+          .as("n_silent"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame"))
+    val runs = frames.where(col("silent"))
+      .withColumn("__island", col("frame") - row_number().over(w))
+      .groupBy(col("media_id"), col("__island"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("media_id")).agg(max(col("__run")).as("__max_run"))
+    tot.join(runs.hint("shuffle_hash"), Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"), col("n_silent"),
+        round(col("n_silent").cast("double") /
+          col("n_frames").cast("double"), 6).as("silence_ratio"),
+        coalesce(col("__max_run"), lit(0L)).as("max_run"))
+  }
+
   /** ln 2 as a shared driver literal — [[byteEntropy]] and its oracle
     * generator embed the identical double (the o12 ladder rule). */
   val Ln2: Double = math.log(2.0)

@@ -99,6 +99,19 @@ object MultimodalQueries {
         .orderBy("media_id", "frame")
     }),
 
+    // P344 — silence share + longest silent run per media over 64-byte
+    // frames: the bar sits at 99 because THIS plane's frame RMS spans
+    // 95–113 with median ≈ 99 (measured — the PCM-32 default flags
+    // nothing on ASCII text, the mm13 centre lesson), so runs of both
+    // kinds occur
+    "mm15_silence" -> ((s, dir) => {
+      val packed = Multimodal.packText(table(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.silenceRuns(packed, "media_id", "bytes",
+          frameSize = 64, silenceRms = 99)
+        .orderBy("media_id")
+    }),
+
     // P229 — intensity histogram over the raw byte planes: 16 bands
     // per media, the black-frame / solid-fill junk screen; every byte
     // replayed from hex pairs by the oracle
@@ -535,6 +548,51 @@ object MultimodalQueries {
         |  (round(sqrt(CAST(SUM(byte * byte) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE)), 6) < 32) AS silent
         |FROM v GROUP BY 1, 2 ORDER BY media_id, frame""".stripMargin,
+
+    // the mm12 frame replay at 64 bytes and bar 99, then textbook
+    // gaps-and-islands (frame − row_number over silent frames) for the
+    // longest run
+    "mm15_silence" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |b AS (
+        |  SELECT media_id, hx, unnest(generate_series(0, n - 1)) AS i
+        |  FROM m WHERE n > 0),
+        |v AS (
+        |  SELECT media_id, i // 64 AS frame,
+        |    ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+        |      AS byte
+        |  FROM b),
+        |f AS (
+        |  SELECT media_id, frame,
+        |    (round(sqrt(CAST(SUM(byte * byte) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE)), 6) < 99) AS is_sil
+        |  FROM v GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    CAST(coalesce(SUM(CASE WHEN is_sil THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_silent
+        |  FROM f GROUP BY 1),
+        |isl AS (
+        |  SELECT media_id, frame,
+        |    frame - row_number() OVER (PARTITION BY media_id
+        |                               ORDER BY frame) AS island
+        |  FROM f WHERE is_sil),
+        |runs AS (
+        |  SELECT media_id, island, CAST(COUNT(*) AS BIGINT) AS run
+        |  FROM isl GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT media_id, CAST(MAX(run) AS BIGINT) AS max_run
+        |  FROM runs GROUP BY 1)
+        |SELECT t.media_id, t.n_frames, t.n_silent,
+        |  round(CAST(t.n_silent AS DOUBLE) / CAST(t.n_frames AS DOUBLE), 6)
+        |    AS silence_ratio,
+        |  CAST(coalesce(mx.max_run, 0) AS BIGINT) AS max_run
+        |FROM tot t LEFT JOIN mx USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     // every byte re-read as a hex pair, bucketed by integer division;
     // shares are exact BIGINT ratios

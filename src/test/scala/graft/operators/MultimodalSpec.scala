@@ -360,6 +360,21 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.frameEnergy(df, "id", "bytes", 0))
   }
 
+  test("silenceRuns: ratio + longest consecutive run, zero on all-loud") {
+    import spark.implicits._
+    // frames of 2 bytes: silent, loud, silent, silent → ratio 0.75 and
+    // the RUN is 2 (the trailing pair), not the total 3
+    val p1 = Array[Byte](0, 0, 100, 100, 0, 0, 0, 0)
+    val p2 = Array.fill(4)(100.toByte) // no silent frame at all
+    val df = Seq((1L, p1), (2L, p2)).toDF("id", "bytes")
+    val got = Multimodal.silenceRuns(df, "id", "bytes",
+        frameSize = 2, silenceRms = 32).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((4L, 3L, 0.75, 2L)))
+    assert(got(2L) == ((2L, 0L, 0.0, 0L)))
+  }
+
   test("byteEntropy: constant plane reads 0 bits, a two-value coin " +
       "reads 1 bit") {
     import spark.implicits._
