@@ -181,8 +181,10 @@ object Sketches {
         col("register"), col("mj"))
   }
 
-  /** Flajolet et al.'s bias constant α_m for an m-register HLL. */
-  private def hllAlpha(m: Int): Double = m match {
+  /** Flajolet et al.'s bias constant α_m for an m-register HLL.
+    * private[graft]: the sk17 oracle generator embeds the IDENTICAL
+    * driver-computed constant (the o12 literal-ladder rule). */
+  private[graft] def hllAlpha(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697
     case 64 => 0.709
@@ -219,6 +221,42 @@ object Sketches {
     // shuffled — contribute 2^maxRank each, added from the present-count
     val registers = hllRegisters(items, itemCol, group, p, salt)
     hllClose(registers, group, p)
+  }
+
+  /**
+   * P345 — HLL register-budget error sweep: the SAME item column
+   * sketched at several precisions p (m = 2^p registers), each estimate
+   * beside the exact distinct count and its signed relative error — the
+   * d21/sk12 lesson applied to cardinality sketches: 1.04/√m is an
+   * asymptotic promise, and the register budget that meets an error
+   * target on THIS id distribution is a measured table, not a formula
+   * (pick the 100 TB sketch size from the table, not the textbook).
+   * Emits per p: (p, m, hll_est, n_exact, rel_err), estimates at the
+   * sk2 3-decimal convention, rel_err at 6.
+   *
+   * Shapes: one register agg + closing per p ([[hllDistinct]], sketch-
+   * bounded), the exact count ONE countDistinct shared across the
+   * ladder as a 1-row broadcast; a |ps|-row union. SAMPLE/ID-SIZED
+   * exact side by design — the audit needs the truth, which is the
+   * point (the d18 contract).
+   */
+  def hllErrorSweep(items: DataFrame, itemCol: String, ps: Seq[Int],
+      salt: String = "hll:"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 4 && p <= 16),
+      s"hllErrorSweep: every p must be in [4, 16], got $ps")
+    require(ps.distinct.size == ps.size, s"hllErrorSweep: duplicate p in $ps")
+    val clean = items.where(col(itemCol).isNotNull)
+    val exact = clean.agg(countDistinct(col(itemCol)).as("n_exact"))
+    ps.sorted.map { p =>
+      hllDistinct(clean, itemCol, Seq.empty, p, salt)
+        .select(lit(p).as("p"), lit((1 << p).toLong).as("m"),
+          round(col("hll_est"), 3).as("hll_est"))
+        .crossJoin(broadcast(exact)) // 1-row scalar side
+        .withColumn("rel_err",
+          when(col("n_exact") > 0,
+            round((col("hll_est") - col("n_exact").cast("double")) /
+              col("n_exact").cast("double"), 6)))
+    }.reduce(_.unionByName(_))
   }
 
   /** The ONE register→estimate closing (linear-counting gate + raw

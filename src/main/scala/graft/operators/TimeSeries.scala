@@ -1857,6 +1857,51 @@ object TimeSeries {
         col("wip_peak"))
   }
 
+  /**
+   * P346 — the daily work-in-progress SERIES behind [[littlesLaw]]'s
+   * aggregate: per calendar day, arrivals, completions, and the number
+   * of jobs in flight (a job occupies [arrival, completion] inclusive,
+   * the q29 convention — a completion releases the NEXT day). The
+   * operational backlog curve the one-row Little's-law audit folds
+   * away: WHEN the queue builds and drains, not just its average. The
+   * spine is densified (the dq11 rule: a quiet day must surface as a
+   * zero row, not vanish while the cumulative sums silently span it).
+   * Completion-before-arrival raises loudly (the q29 guard).
+   *
+   * Shape: two keyed day aggs + a densified calendar spine (explode of
+   * ONE broadcast min/max row) + cumulative windows over the spine —
+   * calendar-sized at any corpus scale (the q29 allowlisted class).
+   * Exact integer arithmetic end to end.
+   */
+  def wipSeries(jobs: DataFrame, arrivalCol: String,
+      completionCol: String): DataFrame = {
+    val j = jobs.where(col(arrivalCol).isNotNull &&
+        col(completionCol).isNotNull)
+      .select(to_date(col(arrivalCol)).as("__a"),
+        to_date(col(completionCol)).as("__c"))
+      .withColumn("__ok",
+        when(col("__c") < col("__a"),
+          raise_error(lit("wipSeries: completion before arrival")))
+          .otherwise(lit(0L)))
+    val arr = j.groupBy(col("__a").as("day"))
+      .agg((count(lit(1)) + sum(col("__ok"))).as("__arr"))
+    val cmp = j.groupBy(col("__c").as("day"))
+      .agg(count(lit(1)).as("__cmp"))
+    val spine = j.agg(min(col("__a")).as("__lo"), max(col("__c")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val w = Window.orderBy(col("day").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(arr.hint("shuffle_hash"), Seq("day"), "left")
+      .join(cmp.hint("shuffle_hash"), Seq("day"), "left")
+      .select(col("day"), coalesce(col("__arr"), lit(0L)).as("arrivals"),
+        coalesce(col("__cmp"), lit(0L)).as("completions"))
+      .withColumn("__rel",
+        coalesce(lag(col("completions"), 1).over(w), lit(0L)))
+      .withColumn("wip", sum(col("arrivals") - col("__rel")).over(cum))
+      .select(col("day"), col("arrivals"), col("completions"), col("wip"))
+  }
+
   /** The (cos, sin) values of 2πr/p for r = 0..p−1 — computed ONCE on
     * the driver so [[periodogram]] and any oracle generator embed
     * IDENTICAL double literals (the o12 weight-ladder rule: neither

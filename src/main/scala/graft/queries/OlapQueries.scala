@@ -128,6 +128,17 @@ object OlapQueries {
     // branch), each beside its exact count. Register sums are exact
     // power-of-two longs, so the oracle rebuilds every register and
     // replays both correction branches bit-for-bit.
+    // P345 — HLL precision sweep over the event-id column: the measured
+    // error ladder p ∈ {4,6,8,10} beside ONE exact distinct count — the
+    // register budget that meets an error target is read off this
+    // table, not the 1.04/√m asymptote
+    "sk17_hll_err" -> ((s, dir) => {
+      graft.operators.Sketches.hllErrorSweep(
+          table(s, dir, "events").select("event_id"), "event_id",
+          ps = Seq(4, 6, 8, 10))
+        .orderBy("p")
+    }),
+
     "sk2_hll" -> ((s, dir) => {
       val e = table(s, dir, "events")
       val users = graft.operators.Sketches
@@ -1192,6 +1203,18 @@ object OlapQueries {
       graft.operators.TimeSeries.littlesLaw(jobs, "arrival", "complete")
     }),
 
+    // P346 — the daily WIP curve behind q29's one-row audit: arrivals,
+    // completions and orders in flight per calendar day over the same
+    // shipping windows (densified spine — a quiet day surfaces as a row)
+    "q21_wip_series" -> ((s, dir) => {
+      val jobs = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min(to_date(col("l_shipdate"))).as("arrival"),
+          max(to_date(col("l_shipdate"))).as("complete"))
+      graft.operators.TimeSeries.wipSeries(jobs, "arrival", "complete")
+        .orderBy("day")
+    }),
+
     // P323 — Horvitz–Thompson total under size-proportional inclusion
     // π = min(1, orders/32): sample heavy customers surely, light ones
     // proportionally, and still estimate total spend without bias
@@ -2040,6 +2063,62 @@ object OlapQueries {
     // 2^51 each from the present-count — then the same α·m²·2^51/S vs
     // m·ln(m/V) branch as the operator. e0 literals force DOUBLE (DuckDB
     // parses bare decimals as DECIMAL, which would break IEEE parity)
+    // per-p register replay through the sk2 machinery (generator — the
+    // α_m / 2^maxRank / linear-counting-bar constants are the DRIVER's
+    // doubles, embedded as shortest-round-trip literals)
+    "sk17_hll_err" -> {
+      def one(p: Int): String = {
+        val m = 1 << p
+        val maxRank = 56 - p + 1
+        val scale = math.pow(2.0, maxRank).toLong
+        val aL = graft.operators.Features.sqlDoubleLiteral(
+          graft.operators.Sketches.hllAlpha(m))
+        val mm = m.toLong * m
+        val lcBar = graft.operators.Features.sqlDoubleLiteral(2.5 * m)
+        s"""SELECT $p AS p, CAST($m AS BIGINT) AS m, round(CASE
+           |      WHEN v > 0 AND ($aL * ${mm}.0e0 * ${scale}.0e0 / s) <= $lcBar
+           |      THEN ${m}.0e0 * ln(${m}.0e0 / v)
+           |      ELSE $aL * ${mm}.0e0 * ${scale}.0e0 / s END, 3) AS hll_est
+           |  FROM (
+           |    SELECT CAST(s_present + ($m - n_regs) * CAST($scale AS BIGINT)
+           |        AS BIGINT) AS s,
+           |      $m - n_regs AS v
+           |    FROM (
+           |      SELECT sum(CAST(pow(2.0e0, $maxRank - mj) AS BIGINT))
+           |          AS s_present,
+           |        count(*) AS n_regs
+           |      FROM (
+           |        SELECT hv % $m AS register,
+           |          max(CASE WHEN hv // $m = 0 THEN $maxRank
+           |              ELSE $maxRank - length(bin(hv // $m)) END) AS mj
+           |        FROM hv GROUP BY 1)))""".stripMargin
+      }
+      s"""WITH it AS (
+         |  SELECT DISTINCT CAST(event_id AS VARCHAR) AS item
+         |  FROM events WHERE event_id IS NOT NULL),
+         |hv AS (
+         |  SELECT list_reduce([CAST(instr('0123456789abcdef', ch) - 1
+         |        AS BIGINT)
+         |      FOR ch IN string_split(substr(md5('hll:' || item), 1, 14),
+         |        '')],
+         |    (acc, x) -> acc * 16 + x) AS hv
+         |  FROM it),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM it),
+         |lad AS (
+         |${one(4)}
+         |UNION ALL
+         |${one(6)}
+         |UNION ALL
+         |${one(8)}
+         |UNION ALL
+         |${one(10)})
+         |SELECT p, m, hll_est, n_exact,
+         |  CASE WHEN n_exact > 0 THEN
+         |    round((hll_est - CAST(n_exact AS DOUBLE)) /
+         |      CAST(n_exact AS DOUBLE), 6) END AS rel_err
+         |FROM lad, ex ORDER BY p""".stripMargin
+    },
+
     "sk2_hll" ->
       """WITH hll AS (
         |  SELECT event_type, colname, round(CASE
@@ -5271,6 +5350,36 @@ object OlapQueries {
         |    round(1.0e0 - (uyy - b * uuy - c * uvy) / uyy, 6)
         |  END AS r2_unrestricted
         |FROM cl ORDER BY series, direction""".stripMargin,
+
+    // the q29 shipping windows on the dq11 densified spine; completions
+    // release the next day (lag over the dense spine), cumulative sums
+    // exact BIGINT
+    "q21_wip_series" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS a,
+        |    max(CAST(l_shipdate AS DATE)) AS c
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+        |arr AS (SELECT a AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM j GROUP BY 1),
+        |cmp AS (SELECT c AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM j GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM (SELECT MIN(a) AS mn, MAX(c) AS mx FROM j)),
+        |s AS (
+        |  SELECT spine.day, coalesce(arr.n, 0) AS arrivals,
+        |    coalesce(cmp.n, 0) AS completions
+        |  FROM spine LEFT JOIN arr ON arr.day = spine.day
+        |             LEFT JOIN cmp ON cmp.day = spine.day),
+        |t AS (
+        |  SELECT day, arrivals, completions,
+        |    coalesce(lag(completions) OVER (ORDER BY day), 0) AS rel
+        |  FROM s)
+        |SELECT day, CAST(arrivals AS BIGINT) AS arrivals,
+        |  CAST(completions AS BIGINT) AS completions,
+        |  CAST(SUM(arrivals - rel) OVER (ORDER BY day) AS BIGINT) AS wip
+        |FROM t ORDER BY day""".stripMargin,
 
     // the shared daily CTE, micro-unit deviations from the 6-rounded
     // mean, 7 lag windows, exact integer lag products, 9-rounded terms

@@ -217,6 +217,7 @@ object PlanFactsSpec {
     "sa18_reweight", "z4_compaction",
     "q29_littleslaw", // cumulative WIP sweep over the day spine
     // (calendar-sized at any corpus scale)
+    "q21_wip_series", // the same day-spine cumulative class as q29
     // ranking over an agg-sized frame (vocab top-k, bucket ladders,
     // stratum grids, file lists — bounded at any input scale)
     "dq2_skew", "iv2_bm25", "iv4_qld", "iv5_ndcg", // iv5: bm25 rank + k-row ideal

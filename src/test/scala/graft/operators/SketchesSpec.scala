@@ -436,4 +436,25 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.linearCounting(df, "v", Seq("g"), 8))
   }
+
+  test("hllErrorSweep: one ladder row per p, exact side shared, sane errors") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => i % 50).toDF("v") // 50 distinct, 4× dups
+    val rows = Sketches.hllErrorSweep(df, "v", Seq(4, 8)).orderBy("p")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(4, 8))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(16L, 256L))
+    assert(rows.forall(_.getLong(3) == 50L))
+    // estimates live near the truth and rel_err is exactly their gap
+    for (r <- rows) {
+      val (est, exact, err) = (r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(math.abs(err) < 0.8, s"p=${r.getInt(0)} rel_err $err")
+      assert(math.abs((est - exact) / exact - err) < 1e-6)
+    }
+    intercept[IllegalArgumentException](Sketches.hllErrorSweep(df, "v", Nil))
+    intercept[IllegalArgumentException](
+      Sketches.hllErrorSweep(df, "v", Seq(4, 4)))
+    intercept[IllegalArgumentException](
+      Sketches.hllErrorSweep(df, "v", Seq(3)))
+  }
 }

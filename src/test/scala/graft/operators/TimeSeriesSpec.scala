@@ -928,6 +928,26 @@ class TimeSeriesSpec extends SparkSpec {
       String.valueOf(ex.getCause).contains("littlesLaw"))
   }
 
+  test("wipSeries: densified spine, next-day release, hand WIP curve") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong))
+    // jobs [0,0], [0,2], [1,1]: WIP 2,2,1; day 3 absent from the data
+    // but a quiet SPINE day would surface as zeros (none here — spine
+    // ends at the max completion)
+    val jobs = Seq((d(0), d(0)), (d(0), d(2)), (d(1), d(1))).toDF("a", "c")
+    val rows = TimeSeries.wipSeries(jobs, "a", "c").orderBy("day").collect()
+    assert(rows.map(_.getDate(0)).toSeq == Seq(d(0), d(1), d(2)))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 1L, 0L)) // arrivals
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L)) // completions
+    assert(rows.map(_.getLong(3)).toSeq == Seq(2L, 2L, 1L)) // in flight
+    val bad = Seq((d(5), d(1))).toDF("a", "c")
+    val ex = intercept[Exception](
+      TimeSeries.wipSeries(bad, "a", "c").collect())
+    assert(String.valueOf(ex.getMessage).contains("wipSeries") ||
+      String.valueOf(ex.getCause).contains("wipSeries"))
+  }
+
   test("restrictedMeanSurvival: hand area under the textbook KM curve; " +
       "the horizon caps late steps") {
     import spark.implicits._
