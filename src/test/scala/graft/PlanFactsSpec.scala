@@ -259,7 +259,9 @@ object PlanFactsSpec {
     "q19_steadystate", "q20_churn", "q22_stickiness", "q24_logrank",
     "q25_growth", "q29_littleslaw", "q30_decile_migration",
     "sa14_balanced", "sa15_neyman", "sa19_rolling_cv", "sa20_sample_curve",
-    "sa21_ht", "sim12_isotropy", "sk5_heavyhitters", "t18_jsd",
+    "sa21_ht", "sim12_isotropy", "sk5_heavyhitters",
+    "sk17_hll_err", // the shared 1-row exact-count side of the ladder
+    "t18_jsd",
     "t25_heaps", "t29_vocab_coverage", "t31_entropy_rate", "o61_stump",
     "pv4_tcloseness", "g3_relsub",
     // k-row broadcast ladders/grids (threshold ladders, digit/level
