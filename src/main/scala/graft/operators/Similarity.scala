@@ -289,6 +289,53 @@ object Similarity {
   }
 
   /**
+   * P347 — scalar-quantization reconstruction-error audit: decode
+   * [[sqQuantize]]'s codes back (x̂ = mn + code·(mx−mn)/255) and report
+   * per dimension the MSE and worst absolute error against the raw
+   * vectors — the measured loss table that decides whether int8 is
+   * acceptable for THIS embedding distribution before a billion-vector
+   * index commits to it (the d18/sk17 audit convention: the sketch
+   * beside its exact truth). Emits (d, mn, mx, n, mse, max_abs_err),
+   * one row per dimension. Codes come from [[sqQuantize]] itself, so
+   * the audit can never drift from the kernel it audits.
+   *
+   * Shapes: the sqQuantize projection + one (id, d)-keyed equi-join of
+   * the two exploded frames (corpus-linear) + a broadcast of the
+   * dim-count-sized stats frame + one keyed agg. Cross-engine: errors
+   * are 9-rounded doubles (identical IEEE recon sequence both sides)
+   * CAST to DECIMAL(18,9) — both engines land on the same exact decimal
+   * — and squared/summed entirely in DECIMAL ((18,9)² = (37,18), exact
+   * in both; the o46 rule — never re-round a double whose operands are
+   * k-decimal-ish); max |err| is an exact double max.
+   */
+  def sqReconError(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val clean = corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val codes = sqQuantize(clean, idCol, vecCol)
+      .select(col("id"), posexplode(col("codes")).as(Seq("d", "code")))
+    val pts = clean.select(col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+    val dims = pts.groupBy("d")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val err = pts
+      .join(codes.hint("shuffle_hash"), Seq("id", "d"))
+      .join(broadcast(dims), Seq("d"))
+      .withColumn("__recon",
+        col("mn") + (col("code").cast("double") * (col("mx") - col("mn"))) /
+          lit(255.0))
+      .withColumn("__err", round(col("x") - col("__recon"), 9))
+    err.groupBy(col("d"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__err").cast("decimal(18,9)") *
+          col("__err").cast("decimal(18,9)")).as("__sse"),
+        max(abs(col("__err"))).as("max_abs_err"))
+      .select(col("d"), col("mn"), col("mx"), col("n"),
+        round(col("__sse").cast("double") / col("n").cast("double"), 9)
+          .as("mse"),
+        col("max_abs_err"))
+  }
+
+  /**
    * P50 — signed random projection (Johnson–Lindenstrauss): project each
    * vector to `dOut` dims with a ±1 sign matrix, scaled by 1/√dOut — the
    * dimensionality-reduction front end that cuts ANN/LSH cost before any

@@ -872,6 +872,54 @@ object TextAnalysis {
   }
 
   /**
+   * P348 — pseudo-relevance-feedback query expansion: run [[bm25TopK]],
+   * treat its top `kDocs` documents as relevant, and rank the terms
+   * those documents contain (minus the query's own) by r · idf — r =
+   * how many feedback docs carry the term, idf the same Lucene-positive
+   * form the retrieval used (the Rocchio/RSJ offer-weight shape, the
+   * classic recall lever when the query vocabulary and the corpus
+   * vocabulary diverge). Emits the top `mTerms` (term, r, df, weight,
+   * rank); weight is the EXACT decimal product r × idf₉ (an integer ×
+   * a 9-rounded term re-rounded in doubles is the o46 boundary trap).
+   *
+   * Shape: the bm25 ranking (token explode collapses on the query
+   * filter), then a kDocs-row semi-join to the feedback vocabulary, a
+   * vocab-sized df agg semi-joined to candidates, and a vocab-sized
+   * rank window (the t19 capped-top-K idiom). Corpus-linear once; no
+   * all-pairs anywhere.
+   */
+  def prfExpansionTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], kDocs: Int, mTerms: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(kDocs >= 1, s"prfExpansionTerms: kDocs must be >= 1, got $kDocs")
+    require(mTerms >= 1,
+      s"prfExpansionTerms: mTerms must be >= 1, got $mTerms")
+    val terms = queryTerms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    val top = bm25TopK(docs, idCol, textCol, queryTerms, kDocs, k1, b)
+      .select(col("id"))
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("l"))
+    val n = toks.agg(count(lit(1)).as("n")).head().getLong(0)
+    require(n > 0, "prfExpansionTerms: corpus is empty")
+    val t = toks.select(col("id"), explode(col("l")).as("w")).distinct()
+    val r = t.join(top.hint("shuffle_hash"), Seq("id"), "left_semi")
+      .where(!col("w").isin(terms: _*))
+      .groupBy("w").agg(count(lit(1)).as("r"))
+    val df = t.join(r.select("w").hint("shuffle_hash"), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val idf9 = round(log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 9)
+    val scored = r.join(df.hint("shuffle_hash"), Seq("w"))
+      .select(col("w").as("term"), col("r"), col("df"),
+        (col("r").cast("decimal(18,0)") * idf9.cast("decimal(18,9)"))
+          .cast("double").as("weight"))
+      .orderBy(col("weight").desc, col("term").asc)
+      .limit(mTerms)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(win))
+  }
+
+  /**
    * P99 — query-likelihood retrieval with Dirichlet smoothing (Zhai &
    * Lafferty): score(q, d) = Σ_t ln((tf + μ·p(t|C)) / (|d| + μ)) with
    * p(t|C) = cf/|C| — the language-modeling ranking that complements

@@ -174,6 +174,15 @@ object SimilarityQueries {
         .orderBy("vec_id", "pos")
     }),
 
+    // P347 — the int8 loss table beside sim7's codes: per-dim MSE and
+    // worst absolute error of the decoded reconstruction against the
+    // raw vectors (the measured read "is int8 acceptable for THIS
+    // distribution" — 64 rows)
+    "sim14_sq_error" -> ((s, dir) => {
+      Similarity.sqReconError(emb(s, dir), "vec_id", "v")
+        .orderBy("d")
+    }),
+
     // P50 — signed random projection: 64 → 16 dims with the MD5-derived
     // ±1 matrix and binary-exact 1/√16 = 0.25 scaling; the oracle
     // regenerates the same signs from md5 and folds in the same ascending
@@ -416,6 +425,38 @@ object SimilarityQueries {
         |  END AS code
         |FROM e CROSS JOIN dims m
         |ORDER BY vec_id, pos""".stripMargin,
+
+    // the sim7 dims/code replay, decoded back with the identical IEEE
+    // recon sequence; 9-rounded errors squared and summed ENTIRELY in
+    // DECIMAL(18,9)² (exact both engines)
+    "sim14_sq_error" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |dims AS (
+        |  SELECT d.d, min(e.v[d.d + 1]) AS mn, max(e.v[d.d + 1]) AS mx
+        |  FROM e CROSS JOIN range(64) d(d) GROUP BY 1),
+        |pt AS (
+        |  SELECT m.d, m.mn, m.mx, e.v[m.d + 1] AS x,
+        |    CASE WHEN m.mx - m.mn = 0 THEN 0
+        |         ELSE CAST(least(greatest(
+        |           floor((e.v[m.d + 1] - m.mn) * 255.0e0 / (m.mx - m.mn)
+        |             + 0.5e0),
+        |           0.0e0), 255.0e0) AS INT)
+        |    END AS code
+        |  FROM e CROSS JOIN dims m),
+        |er AS (
+        |  SELECT d, mn, mx,
+        |    round(x - (mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255.0e0),
+        |      9) AS err
+        |  FROM pt)
+        |SELECT CAST(d AS INT) AS d, mn, mx, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(err AS DECIMAL(18,9)) *
+        |      CAST(err AS DECIMAL(18,9))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 9) AS mse,
+        |  max(abs(err)) AS max_abs_err
+        |FROM er GROUP BY 1, 2, 3 ORDER BY d""".stripMargin,
 
     // sign(j,i) = −1 iff the first hex nibble of md5('rp:j:i') ≥ 8 —
     // regenerated inline; the projection is the ascending-i ordered fold

@@ -177,6 +177,15 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // P348 — pseudo-relevance feedback over the iv2 ranking: the top-10
+    // docs vote expansion terms by r·idf (query terms excluded) — the
+    // recall lever when query and corpus vocabulary diverge
+    "iv6_prf" -> ((s, dir) => {
+      TextAnalysis.prfExpansionTerms(table(s, dir, "documents"), "doc_id",
+          "text", Seq("hash", "join", "vector"), kDocs = 10, mTerms = 10)
+        .orderBy("rank")
+    }),
+
     // P99 — Dirichlet query-likelihood ranking over the same query terms
     // as iv2_bm25 (μ = 2000): absent terms contribute smoothed mass, so
     // the two rankings legitimately differ; the oracle replays every
@@ -909,6 +918,54 @@ object TextQueries {
         |SELECT doc_id, score,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the iv2 ranking replayed verbatim, then the feedback vote: r over
+    // the top-10 semi-join, df over candidate terms only, weight = the
+    // EXACT decimal r × idf₉ (re-rounding the product in doubles is the
+    // o46 boundary trap)
+    "iv6_prf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(len(l)) AS BIGINT) AS sdl FROM toks),
+        |t AS (SELECT doc_id, len(l) AS dl, unnest(l) AS w FROM toks),
+        |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+        |       WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(ln(1.0e0 + (st.n - df.df + 0.5e0) / (df.df + 0.5e0)) *
+        |      (tf.tf * (1.2e0 + 1.0e0)) /
+        |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * tf.dl /
+        |        (CAST(st.sdl AS DOUBLE) / st.n))), 9) AS s
+        |  FROM tf JOIN df USING (w) CROSS JOIN st),
+        |agg AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY 1),
+        |top AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id LIMIT 10),
+        |tw AS (SELECT DISTINCT doc_id, w FROM t),
+        |r AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM tw JOIN top USING (doc_id)
+        |  WHERE w NOT IN ('hash', 'join', 'vector') GROUP BY 1),
+        |dfc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tw
+        |  WHERE w IN (SELECT w FROM r) GROUP BY 1),
+        |sc2 AS (
+        |  SELECT r.w AS term, r.r, dfc.df,
+        |    CAST(CAST(r.r AS DECIMAL(18,0)) *
+        |      CAST(round(ln(1.0e0 + (st.n - dfc.df + 0.5e0) /
+        |        (dfc.df + 0.5e0)), 9) AS DECIMAL(18,9)) AS DOUBLE)
+        |      AS weight
+        |  FROM r JOIN dfc ON dfc.w = r.w CROSS JOIN st)
+        |SELECT term, r, df, weight,
+        |  CAST(row_number() OVER (ORDER BY weight DESC, term) AS INT)
+        |    AS rank
+        |FROM sc2 ORDER BY weight DESC, term LIMIT 10""".stripMargin,
 
     // the iv2 ranking replayed verbatim; the discount ladder is the
     // operator's own driver literals; 9-rounded terms DECIMAL-summed

@@ -221,6 +221,7 @@ object PlanFactsSpec {
     // ranking over an agg-sized frame (vocab top-k, bucket ladders,
     // stratum grids, file lists — bounded at any input scale)
     "dq2_skew", "iv2_bm25", "iv4_qld", "iv5_ndcg", // iv5: bm25 rank + k-row ideal
+    "iv6_prf", // bm25's rank window + its own vocab-sized term rank
     "o13_chisq", "o30_woe", "o31_gini",
     "pipe3_hybrid", "pipe5_rrf", "sa15_neyman", "sk8_hdr", "z5_zonemap",
     "z11_layout_compare", // z5's layout window × one per candidate order

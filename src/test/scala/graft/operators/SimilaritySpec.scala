@@ -416,4 +416,24 @@ class SimilaritySpec extends SparkSpec {
     val p = Similarity.isotropyAudit(opp, "vec_id", "v").head
     assert(p.getDouble(2) == -1.0 && p.getDouble(3) == 0.0)
   }
+
+  test("sqReconError: endpoint dims decode exactly, a midpoint pays " +
+      "half a step") {
+    import spark.implicits._
+    // dim 0 holds a midpoint 0.5 (code 128 → recon 128/255), dim 1 only
+    // the extrema (codes 0/255 decode exactly)
+    val corpus = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(1.0, 1.0)), (3L, Array(0.5, 0.0)))
+      .toDF("id", "v")
+    val got = Similarity.sqReconError(corpus, "id", "v").orderBy("d")
+      .collect()
+    assert(got.length == 2)
+    val d0 = got(0)
+    assert(d0.getInt(0) == 0 && d0.getDouble(1) == 0.0 &&
+      d0.getDouble(2) == 1.0 && d0.getLong(3) == 3L)
+    assert(d0.getDouble(4) == 1.282e-6)          // (0.5 − 128/255)²/3 at 9
+    assert(d0.getDouble(5) == 0.001960784)       // |err| of the midpoint
+    val d1 = got(1)
+    assert(d1.getDouble(4) == 0.0 && d1.getDouble(5) == 0.0)
+  }
 }

@@ -829,6 +829,29 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.dunningG2(docs, "t", 0L, 5))
   }
 
+  test("prfExpansionTerms: feedback docs vote terms by r·idf, query " +
+      "terms excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join vector apple"),
+      (2L, "hash apple banana"),
+      (3L, "cherry date")) // never retrieved → its terms never vote
+      .toDF("id", "t")
+    val got = TextAnalysis.prfExpansionTerms(docs, "id", "t",
+      Seq("hash"), kDocs = 2, mTerms = 3).orderBy("rank").collect()
+    // df=1 terms share idf ln(8/3) and outrank apple (r=2, idf ln 1.6:
+    // 2·0.470 < 0.981) — tie broken lexicographically
+    assert(got.map(_.getString(0)).toSeq == Seq("banana", "join", "vector"))
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L))
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L))
+    val idf1 = math.log(1.0 + (3L - 1L + 0.5) / (1L + 0.5))
+    assert(got.forall(r => math.abs(r.getDouble(3) - idf1) < 1e-8))
+    intercept[IllegalArgumentException](
+      TextAnalysis.prfExpansionTerms(docs, "id", "t", Seq("hash"), 0, 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.prfExpansionTerms(docs, "id", "t", Seq("hash"), 2, 0))
+  }
+
   test("codeSignals: character-class densities and the code verdict") {
     import spark.implicits._
     val docs = Seq(
