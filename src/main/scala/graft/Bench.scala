@@ -274,25 +274,36 @@ object Bench {
     ShardResult(sentinelBefore, sentinelAfter, stats)
   }
 
+  // 3-decimal (millisecond) values: full double precision tripled the
+  // line length and BENCH_r05's tail capture clipped the median block
+  // mid-JSON — precision below 1ms is noise anyway
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** The ONE totals rule shared by the full summary and the contract
+    * line — a query with ZERO good samples must poison the totals, not
+    * silently deflate them (a persistently broken query would otherwise
+    * read as a faster run, the phantom class the warmup-failure rule
+    * guards); two drifting copies of this rule would let
+    * bench_summary.json and the driver-parsed tail disagree. */
+  private def totals(
+      results: Vector[QueryStat]): (Vector[String], Double, Double) = {
+    val broken = results.collect { case s if s.med < 0 => s.name }
+    val total = if (broken.nonEmpty) -1.0 else r3(results.map(_.med).sum)
+    val totalMin = if (broken.nonEmpty) -1.0 else r3(results.map(_.min).sum)
+    (broken, total, totalMin)
+  }
+
+  private def sentinelJson(res: ShardResult): String =
+    s"[${r3(res.sentinelBefore)},${r3(res.sentinelAfter)}]"
+
   /** The full-precision summary line (bench_summary.json + stdout). */
   private def summaryJson(res: ShardResult, sfDir: String,
       partial: Option[String] = None): String = {
     val results = res.stats.sortBy(_.name)
-    // 3-decimal (millisecond) values: full double precision tripled the
-    // line length and BENCH_r05's tail capture clipped the median block
-    // mid-JSON — precision below 1ms is noise anyway
-    def r3(v: Double) = math.rint(v * 1000) / 1000
     def jmap(f: QueryStat => Double) =
       results.map(s => "\"" + s.name + "\":" + r3(f(s))).mkString("{", ",", "}")
-    // a query with ZERO good samples must poison the totals, not silently
-    // deflate them — a persistently broken query would otherwise read as a
-    // faster run (the same phantom class the warmup-failure rule guards)
-    val broken = results.collect { case s if s.med < 0 => s.name }
-    val total = if (broken.nonEmpty) -1.0 else r3(results.map(_.med).sum)
-    val totalMin = if (broken.nonEmpty) -1.0 else r3(results.map(_.min).sum)
+    val (broken, total, totalMin) = totals(results)
     val brokenJson = broken.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val sentinelJson =
-      s"[${r3(res.sentinelBefore)},${r3(res.sentinelAfter)}]"
     // rounds_used only lists queries that got FEWER samples than the
     // CONFIGURED round count (demotion or budget shed) — the common
     // all-full case adds nothing; comparing against the observed max
@@ -302,18 +313,13 @@ object Bench {
     val roundsJson = shortRounds
       .map(s => "\"" + s.name + "\":" + s.rounds).mkString("{", ",", "}")
     val partialJson = partial.map(p => s""","partial":"$p"""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.med)},"queries_min":${jmap(_.min)},"total_min":$totalMin,"failed":${broken.length},"failed_queries":$brokenJson,"rounds_used":$roundsJson,"sentinel":$sentinelJson$partialJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.med)},"queries_min":${jmap(_.min)},"total_min":$totalMin,"failed":${broken.length},"failed_queries":$brokenJson,"rounds_used":$roundsJson,"sentinel":${sentinelJson(res)}$partialJson,"sf":"$sfDir"}"""
   }
 
   /** Render the driver-contract JSON lines + bench_summary.json. */
   private def emit(res: ShardResult, sfDir: String): Unit = {
     val results = res.stats.sortBy(_.name)
-    def r3(v: Double) = math.rint(v * 1000) / 1000
-    val broken = results.collect { case s if s.med < 0 => s.name }
-    val total = if (broken.nonEmpty) -1.0 else r3(results.map(_.med).sum)
-    val totalMin = if (broken.nonEmpty) -1.0 else r3(results.map(_.min).sum)
-    val sentinelJson =
-      s"[${r3(res.sentinelBefore)},${r3(res.sentinelAfter)}]"
+    val (broken, total, totalMin) = totals(results)
     val summary = summaryJson(res, sfDir)
     // belt and braces vs output-tail truncation: the same line also lands
     // in a file the driver (or a human) can always read whole; the run
@@ -336,9 +342,9 @@ object Bench {
     val qmap2 = results.map(s => "\"" + s.name + "\":" + r2(s.med))
       .mkString("{", ",", "}")
     val contract =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qmap2,"total_min":$totalMin,"failed":${broken.length},"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qmap2,"total_min":$totalMin,"failed":${broken.length},"sentinel":${sentinelJson(res)},"sf":"$sfDir"}"""
     val slim =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"failed":${broken.length},"sentinel":$sentinelJson,"queries_in":"bench_summary.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"failed":${broken.length},"sentinel":${sentinelJson(res)},"queries_in":"bench_summary.json","sf":"$sfDir"}"""
     println(if (contract.length <= 1900) contract else slim)
   }
 }

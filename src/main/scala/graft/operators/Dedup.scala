@@ -73,7 +73,11 @@ object Dedup {
     val fp = concat_ws(" ",
       sort_array(array_remove(split(lower(trim(col(textCol))), "\\s+"), "")))
     val w = Window.partitionBy(xxhash64(col("__fp")), col("__fp"))
-    df.select(col(idCol).as("id"), fp.as("__fp"))
+    // null rows OUT, explicitly: concat_ws folds a null token array to ''
+    // (null texts would silently group with empty/whitespace-only ones,
+    // and a replaying engine whose fold keeps NULL would disagree)
+    df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), fp.as("__fp"))
       .withColumn("group_n", count(lit(1)).over(w))
       .withColumn("kept", col("id") === min(col("id")).over(w))
       .select(col("id"), col("group_n"), col("kept"))

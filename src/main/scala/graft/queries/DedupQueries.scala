@@ -553,12 +553,14 @@ object DedupQueries {
     "d24_bag_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
         |    array_to_string(list_sort(list_filter(
         |      string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')),
         |      ' ') AS text
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents WHERE doc_id % 5 = 0
+        |    AND doc_id IS NOT NULL AND text IS NOT NULL),
         |fp AS (
         |  SELECT doc_id,
         |    array_to_string(list_sort(list_filter(

@@ -919,6 +919,39 @@ object TextQueries {
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // the planted rewrite replayed (replace = Spark's translate for a
+    // single char), then the character-class length differences — DuckDB
+    // regexp_replace needs the 'g' flag or it strips ONE match
+    "t38_code_detect" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN 'if (' || replace(text, ' ', '_') || ') { return 0; }'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+        |      AS BIGINT) AS sym_n,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[{}()\[\];=<>]', '', 'g'))
+        |      AS BIGINT) AS code_n
+        |  FROM planted),
+        |r AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN n_chars > 0 THEN
+        |      round(CAST(sym_n AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        |    END AS symbol_ratio,
+        |    CASE WHEN n_chars > 0 THEN
+        |      round(CAST(code_n AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        |    END AS code_ratio
+        |  FROM m)
+        |SELECT doc_id, n_chars, symbol_ratio, code_ratio,
+        |  coalesce(code_ratio >= 0.02e0, false) AS is_code
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // the iv2 ranking replayed verbatim, then the feedback vote: r over
     // the top-10 semi-join, df over candidate terms only, weight = the
     // EXACT decimal r × idf₉ (re-rounding the product in doubles is the

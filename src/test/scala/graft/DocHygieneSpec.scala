@@ -25,9 +25,12 @@ class DocHygieneSpec extends AnyFunSuite {
   private def scalaSources(root: String): Seq[Path] = {
     val base = Paths.get(root)
     assert(Files.isDirectory(base), s"missing source root $root")
-    Files.walk(base).iterator().asScala
+    // Files.walk holds open directory handles — close it or leak fds
+    val stream = Files.walk(base)
+    try stream.iterator().asScala
       .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
-      .toSeq
+      .toVector
+    finally stream.close()
   }
 
   test("no comment block is immediately followed by a doc-comment open") {
