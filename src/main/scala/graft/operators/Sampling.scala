@@ -584,6 +584,69 @@ object Sampling {
    * DECIMAL-sums into the total, quota/floor/remainder are a fixed
    * double sequence on identical operands.
    */
+  /**
+   * P349 — allocation-variance comparison: the PAYOFF table behind
+   * [[neymanAllocation]] — Var(ȳ_st) = Σ_h W_h²·S_h²/n_h under the
+   * three textbook allocations of one budget (proportional n_h ∝ N_h,
+   * Neyman n_h ∝ N_h·S_h, equal n_h = n/H), so "use Neyman" becomes a
+   * measured percentage on THIS corpus instead of a citation (Neyman
+   * only pays when stratum SDs actually differ — the table shows by
+   * how much). Theoretical FRACTIONAL n_h (no rounding replay needed —
+   * the variance formula, not a sample draw); fpc omitted and
+   * documented. Emits one row per scheme: (scheme, var_mean, se_mean);
+   * zero-SD strata contribute no variance under any allocation.
+   *
+   * Shapes: ONE keyed decimal-moment agg (the [[neymanAllocation]]
+   * pass), a 1-row totals broadcast, three stratum-count-sized folds.
+   * Cross-engine: SDs through the sa15 moment discipline (6-rounded);
+   * per-stratum variance terms rounded at 3 and DECIMAL-summed — the
+   * terms inherit the DATA's variance scale (~1e7 here), where a
+   * 9-decimal round sits below double ulp and the engines legitimately
+   * disagree (the o25 lesson; 3 decimals is still 10+ significant
+   * digits at that magnitude); SE is one IEEE sqrt rounded at 6.
+   */
+  def allocationVarianceCompare(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 1,
+      s"allocationVarianceCompare: budget must be >= 1, got $budget")
+    val dec = col(valueCol).cast("decimal(18,6)")
+    val dec19 = col(valueCol).cast("decimal(19,6)")
+    val m = df.where(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_stratum"),
+        sum(dec).cast("double").as("__s"),
+        sum(dec19 * dec19).cast("double").as("__q"))
+    val nd = col("n_stratum").cast("double")
+    val variance = greatest(
+      col("__q") / nd - (col("__s") / nd) * (col("__s") / nd), lit(0.0))
+    val weighted = m
+      .withColumn("sd", round(sqrt(variance), 6))
+      .withColumn("__w", round(nd * col("sd"), 6).cast("decimal(28,6)"))
+    val tot = weighted.agg(sum(col("n_stratum")).as("__n"),
+      count(lit(1)).as("__h"), sum(col("__w")).as("__tw"))
+    val terms = weighted.join(broadcast(tot)) // 1-row scalar side
+      .withColumn("__wh", nd / col("__n").cast("double"))
+      .withColumn("__np", lit(budget.toDouble) * nd / col("__n").cast("double"))
+      .withColumn("__nn",
+        when(col("__tw").cast("double") > 0,
+          lit(budget.toDouble) * col("__w").cast("double") /
+            col("__tw").cast("double")))
+      .withColumn("__ne",
+        lit(budget.toDouble) / col("__h").cast("double"))
+    def fold(scheme: String, nh: Column): DataFrame =
+      terms.agg(
+        coalesce(sum(when(col("sd") > 0,
+          round(col("__wh") * col("__wh") * (col("sd") * col("sd")) / nh, 3))
+          .otherwise(lit(0.0)).cast("decimal(28,3)")),
+          lit(BigDecimal(0)).cast("decimal(28,3)")).as("__v"))
+        .select(lit(scheme).as("scheme"),
+          col("__v").cast("double").as("var_mean"),
+          round(sqrt(col("__v").cast("double")), 6).as("se_mean"))
+    fold("equal", col("__ne"))
+      .unionByName(fold("neyman", col("__nn")))
+      .unionByName(fold("proportional", col("__np")))
+  }
+
   def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, s"neymanAllocation: budget must be >= 0, got $budget")

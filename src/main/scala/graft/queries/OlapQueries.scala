@@ -1780,6 +1780,16 @@ object OlapQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // P349 — the payoff table behind sa15: stratified-mean variance of
+    // the SAME budget under equal / Neyman / proportional allocation
+    // ("use Neyman" as a measured percentage on this corpus)
+    "sa22_alloc_var" -> ((s, dir) => {
+      graft.operators.Sampling.allocationVarianceCompare(
+          table(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+          budget = 1000L)
+        .orderBy("scheme")
+    }),
+
     // P152 — dbt-style not_null/unique battery over five order columns
     // in one fused pass
     "dq6_column_tests" -> ((s, dir) => {
@@ -7554,6 +7564,58 @@ object OlapQueries {
         |       WHEN z <= -1.96e0 THEN 'decreasing'
         |       ELSE 'none' END AS trend
         |FROM zc ORDER BY event_type""".stripMargin,
+
+    // the sa15 moment/sd/weight chain, then one fold per scheme over
+    // 9-rounded DECIMAL-summed variance terms (theoretical fractional
+    // n_h — no allocation rounding to replay); zero-sd strata
+    // contribute nothing
+    "sa22_alloc_var" -> {
+      def fold(scheme: String, nh: String): String =
+        s"""SELECT '$scheme' AS scheme,
+           |  CAST(v AS DOUBLE) AS var_mean,
+           |  round(sqrt(CAST(v AS DOUBLE)), 6) AS se_mean
+           |FROM (
+           |  SELECT coalesce(SUM(CASE WHEN sd > 0 THEN
+           |      CAST(round(wh * wh * (sd * sd) / ($nh), 3)
+           |        AS DECIMAL(28,3))
+           |      ELSE CAST(0 AS DECIMAL(28,3)) END),
+           |    CAST(0 AS DECIMAL(28,3))) AS v
+           |  FROM terms)""".stripMargin
+      s"""WITH m AS (
+         |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_stratum,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(19,6)) *
+         |      CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE) AS q
+         |  FROM orders
+         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+         |  GROUP BY 1),
+         |w AS (
+         |  SELECT o_orderpriority, n_stratum,
+         |    round(sqrt(greatest(q / CAST(n_stratum AS DOUBLE) -
+         |      (s / CAST(n_stratum AS DOUBLE)) *
+         |      (s / CAST(n_stratum AS DOUBLE)), 0.0e0)), 6) AS sd
+         |  FROM m),
+         |w2 AS (SELECT *, CAST(round(CAST(n_stratum AS DOUBLE) * sd, 6)
+         |         AS DECIMAL(28,6)) AS wgt FROM w),
+         |tot AS (SELECT SUM(wgt) AS tw, CAST(SUM(n_stratum) AS BIGINT) AS tn,
+         |        CAST(COUNT(*) AS BIGINT) AS th FROM w2),
+         |terms AS (
+         |  SELECT w2.o_orderpriority, w2.sd,
+         |    CAST(w2.n_stratum AS DOUBLE) / tot.tn AS wh,
+         |    1000.0e0 * CAST(w2.n_stratum AS DOUBLE) / CAST(tot.tn AS DOUBLE)
+         |      AS np,
+         |    CASE WHEN CAST(tot.tw AS DOUBLE) > 0
+         |         THEN 1000.0e0 * CAST(w2.wgt AS DOUBLE)
+         |              / CAST(tot.tw AS DOUBLE) END AS nn,
+         |    1000.0e0 / CAST(tot.th AS DOUBLE) AS ne
+         |  FROM w2, tot)
+         |${fold("equal", "ne")}
+         |UNION ALL
+         |${fold("neyman", "nn")}
+         |UNION ALL
+         |${fold("proportional", "np")}
+         |ORDER BY scheme""".stripMargin
+    },
 
     // 6-rounded sd and N·sd weights DECIMAL-summed; quota/floor/
     // remainder the identical double sequence; largest-remainder rank

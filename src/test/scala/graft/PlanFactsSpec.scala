@@ -260,6 +260,7 @@ object PlanFactsSpec {
     "q19_steadystate", "q20_churn", "q22_stickiness", "q24_logrank",
     "q25_growth", "q29_littleslaw", "q30_decile_migration",
     "sa14_balanced", "sa15_neyman", "sa19_rolling_cv", "sa20_sample_curve",
+    "sa22_alloc_var", // the sa15 1-row totals broadcast, three folds
     "sa21_ht", "sim12_isotropy", "sk5_heavyhitters",
     "sk17_hll_err", // the shared 1-row exact-count side of the ladder
     "t18_jsd",

@@ -415,6 +415,30 @@ class SamplingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(11L, 12L, 13L))
   }
 
+  test("allocationVarianceCompare: Neyman beats proportional exactly " +
+      "when SDs differ; zero-SD strata cost nothing") {
+    import spark.implicits._
+    // A: sd 0 (contributes no variance anywhere); B: n=2, values {0,20}
+    // → W_B=0.5, sd=10, tw=20. equal n_B=50 → 0.25·100/50 = 0.5;
+    // proportional n_B=50 → 0.5; Neyman puts ALL 100 on B → 0.25.
+    // (values chosen so every term is exact at the 3-decimal term round)
+    val rows = Seq(("A", 0.0), ("A", 0.0), ("B", 0.0), ("B", 20.0))
+      .toDF("g", "v")
+    val got = Sampling.allocationVarianceCompare(rows, "g", "v", 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got("equal") == ((0.5, 0.707107)))
+    assert(got("proportional") == ((0.5, 0.707107)))
+    assert(got("neyman") == ((0.25, 0.5)))
+    // all-zero-SD corpus: every scheme reads exactly zero variance
+    val flat = Seq(("A", 1.0), ("B", 2.0)).toDF("g", "v")
+    val z = Sampling.allocationVarianceCompare(flat, "g", "v", 10L)
+      .collect()
+    assert(z.forall(r => r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.allocationVarianceCompare(rows, "g", "v", 0L))
+  }
+
   test("neymanAllocation: n·sigma weighting, exact budget, spread-0 fallback") {
     import spark.implicits._
     // stratum a: sd 1 over 4 rows (w=4); b: sd 2 over 2 rows (w=4);
