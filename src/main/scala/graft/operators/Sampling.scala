@@ -568,23 +568,6 @@ object Sampling {
   }
 
   /**
-   * P151 — Neyman optimal stratified-sample allocation: given a total
-   * `budget`, allocate n_h ∝ N_h·σ_h (stratum size × population sd) —
-   * the variance-minimizing split of a fixed labeling/eval budget
-   * across strata, the answer to "how many QA samples from each
-   * source?". Fractional quotas resolve by largest-remainder with
-   * stratum-name tie-break, so Σ alloc == budget EXACTLY. Strata with
-   * zero spread (σ = 0, incl. singletons) get weight 0 — a constant
-   * stratum needs one probe, which the remainder rule may still give
-   * it; degenerate ALL-zero weights fall back to N_h weighting.
-   *
-   * Shapes: one keyed decimal moment agg (strata-sized frame), a 1-row
-   * total broadcast back, one remainder-rank window over the strata
-   * frame. Cross-engine: σ rounds at 6, the weight N·σ rounds at 6 and
-   * DECIMAL-sums into the total, quota/floor/remainder are a fixed
-   * double sequence on identical operands.
-   */
-  /**
    * P349 — allocation-variance comparison: the PAYOFF table behind
    * [[neymanAllocation]] — Var(ȳ_st) = Σ_h W_h²·S_h²/n_h under the
    * three textbook allocations of one budget (proportional n_h ∝ N_h,
@@ -647,6 +630,23 @@ object Sampling {
       .unionByName(fold("proportional", col("__np")))
   }
 
+  /**
+   * P151 — Neyman optimal stratified-sample allocation: given a total
+   * `budget`, allocate n_h ∝ N_h·σ_h (stratum size × population sd) —
+   * the variance-minimizing split of a fixed labeling/eval budget
+   * across strata, the answer to "how many QA samples from each
+   * source?". Fractional quotas resolve by largest-remainder with
+   * stratum-name tie-break, so Σ alloc == budget EXACTLY. Strata with
+   * zero spread (σ = 0, incl. singletons) get weight 0 — a constant
+   * stratum needs one probe, which the remainder rule may still give
+   * it; degenerate ALL-zero weights fall back to N_h weighting.
+   *
+   * Shapes: one keyed decimal moment agg (strata-sized frame), a 1-row
+   * total broadcast back, one remainder-rank window over the strata
+   * frame. Cross-engine: σ rounds at 6, the weight N·σ rounds at 6 and
+   * DECIMAL-sums into the total, quota/floor/remainder are a fixed
+   * double sequence on identical operands.
+   */
   def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, s"neymanAllocation: budget must be >= 0, got $budget")
