@@ -1605,6 +1605,46 @@ object TextAnalysis {
   }
 
   /**
+   * P350 — blocklist content filter: per document, how many token
+   * occurrences hit a term blocklist, how many DISTINCT blocked terms,
+   * and the keep verdict at `maxHits` — the unglamorous filter every
+   * pretraining pipeline runs before anything clever (profanity/brand/
+   * policy lists), kept separate from [[redactPii]] (which scrubs
+   * values INSIDE kept docs; this DROPS docs). Blocklist matching is on
+   * the shared lowercase-whitespace tokenization, so multi-word phrases
+   * are out of scope here ([[graft.operators.Dedup.docShingles]] or the
+   * iv3 positional postings are the phrase path). Emits (id, n_tokens,
+   * n_hits, distinct_hits, kept).
+   *
+   * Shapes: one token explode collapsed immediately by the blocklist
+   * filter (corpus-linear, map-side-combinable count), one left
+   * equi-join back onto the doc frame. The blocklist is a literal
+   * `isin` — bytes in the plan, never a table.
+   */
+  def blocklistFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blocklist: Seq[String],
+      maxHits: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter: empty blocklist")
+    require(maxHits >= 0, s"blocklistFilter: maxHits must be >= 0, got $maxHits")
+    val terms = blocklist.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "blocklistFilter: blocklist is all blank")
+    val base = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__l"))
+    val hits = base
+      .select(col("id"), explode(col("__l")).as("__w"))
+      .where(col("__w").isin(terms: _*))
+      .groupBy("id")
+      .agg(count(lit(1)).as("__nh"), countDistinct(col("__w")).as("__dh"))
+    base.select(col("id"), size(col("__l")).cast("long").as("n_tokens"))
+      .join(hits.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        coalesce(col("__dh"), lit(0L)).as("distinct_hits"))
+      .withColumn("kept", col("n_hits") <= maxHits)
+  }
+
+  /**
    * P343 — code-vs-prose detection signals: per document, the character
    * class densities that separate source code from natural language —
    * `symbol_ratio` (any non-alphanumeric-non-space character) and

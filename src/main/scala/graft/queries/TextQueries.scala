@@ -257,6 +257,17 @@ object TextQueries {
         minPairCount = 5L, topK = 20)
     }),
 
+    // P350 — blocklist content filter: per-doc hit counts against a
+    // 2-term list and the keep verdict at maxHits = 2 (terms chosen so
+    // both verdicts and 0/1/2 distinct-hit counts all occur: 'dup' sits
+    // in ~5% of docs, 'vector' in ~76% with varying multiplicity)
+    "t39_blocklist" -> ((s, dir) => {
+      TextAnalysis.blocklistFilter(table(s, dir, "documents"), "doc_id",
+          "text", Seq("dup", "vector"), maxHits = 2L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // P343 — code-vs-prose split over a corpus with planted pseudo-code:
     // every doc_id%10 text is rewritten as `if (<text_with_underscores>)
     // { return 0; }` — brace/semicolon/paren density the prose rows
@@ -918,6 +929,27 @@ object TextQueries {
         |SELECT doc_id, score,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // shared tokenization, occurrence + distinct counts over the IN
+    // filter, left join back (absent → 0 hits, kept)
+    "t39_blocklist" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |t AS (SELECT doc_id, unnest(l) AS w FROM toks),
+        |h AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |    CAST(COUNT(DISTINCT w) AS BIGINT) AS distinct_hits
+        |  FROM t WHERE w IN ('dup', 'vector') GROUP BY 1)
+        |SELECT toks.doc_id, CAST(len(toks.l) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.distinct_hits, 0) AS BIGINT) AS distinct_hits,
+        |  coalesce(h.n_hits, 0) <= 2 AS kept
+        |FROM toks LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the planted rewrite replayed (replace = Spark's translate for a
     // single char), then the character-class length differences — DuckDB

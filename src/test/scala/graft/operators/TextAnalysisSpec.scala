@@ -829,6 +829,30 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.dunningG2(docs, "t", 0L, 5))
   }
 
+  test("blocklistFilter: occurrence vs distinct hits, threshold verdict") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text entirely"),
+      (2L, "bad bad text"),          // 2 hits, 1 distinct → kept at max 2
+      (3L, "bad worse bad worse"),   // 4 hits, 2 distinct → dropped
+      (4L, "BAD upper case"))        // case-folded match
+      .toDF("id", "t")
+    val got = TextAnalysis.blocklistFilter(docs, "id", "t",
+      Seq("bad", "worse"), maxHits = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got(1L) == ((3L, 0L, 0L, true)))
+    assert(got(2L) == ((3L, 2L, 1L, true)))
+    assert(got(3L) == ((4L, 4L, 2L, false)))
+    assert(got(4L) == ((3L, 1L, 1L, true)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.blocklistFilter(docs, "id", "t", Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.blocklistFilter(docs, "id", "t", Seq("  ")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.blocklistFilter(docs, "id", "t", Seq("bad"), -1L))
+  }
+
   test("prfExpansionTerms: feedback docs vote terms by r·idf, query " +
       "terms excluded") {
     import spark.implicits._
