@@ -3691,4 +3691,38 @@ object Features {
       .select(col(keyCol), col("__v").as("mode"), col("__n").as("mode_n"),
         col("__nd").as("n_distinct"))
   }
+
+  /**
+   * P353 — Grubbs-style single-outlier audit per group: the most extreme
+   * standardized deviation G = max |x − mean| / sd, WHICH row produced
+   * it (smallest id among ties on the 6-rounded score — the rank
+   * tie-break rule), its raw value, and the verdict at `threshold` —
+   * the "is the worst point an outlier or just the tail" readout the
+   * per-row [[zscore]] leaves to the reader and the P196 Tukey fences
+   * answer only in aggregate counts.
+   *
+   * The z discipline is [[zscore]]'s verbatim (population sd from
+   * DECIMAL(38,12)-summed moments — reusing it means grubbs CANNOT
+   * drift from the o7-proven arithmetic); the verdict compares the
+   * ROUNDED G so the boundary cannot straddle engines. Shape: the
+   * zscore window + one key-partitioned rank — no extra shuffles.
+   */
+  def grubbs(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, s"grubbs: threshold must be > 0, got $threshold")
+    val scored = zscore(
+        df.where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+          col(idCol).isNotNull),
+        keyCol, valueCol, outCol = "__z")
+      .withColumn("__g", round(abs(col("__z")), 6))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("__g").desc, col(idCol).asc)))
+    scored.where(col("__r") === 1)
+      .select(col(keyCol), col("__n").as("n"), col("__g").as("g"),
+        col(valueCol).as("outlier_value"), col(idCol).as("outlier_id"),
+        (col("__g") > threshold).as("suspect"))
+  }
 }

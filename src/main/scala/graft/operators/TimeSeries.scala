@@ -2005,4 +2005,94 @@ object TimeSeries {
       when(den2 =!= 0.0,
         when(col("n") > 4 && den3 =!= 0.0, round(phi33, 6))).as("pacf3"))
   }
+
+  /**
+   * P351 — maximum drawdown per series: the largest peak-to-trough drop
+   * of the running maximum (max over all days d of peak(d) − v(d)), its
+   * day, the peak it fell from, and the LONGEST UNDERWATER RUN
+   * (consecutive days strictly below the running peak) — the risk read
+   * behind "how bad did this series get and for how long", which a
+   * variance or a min/max pair cannot see (two series with equal spread
+   * differ hugely in drawdown if one dips early and recovers).
+   *
+   * Cross-engine: the 6-rounded input doubles cast to DECIMAL(18,6)
+   * (exact — the r10 rule), peak/drawdown arithmetic entirely in
+   * decimal, argmax day via (drawdown desc, day) row_number. Shapes:
+   * key-partitioned windows only (running max, row index), one
+   * gaps-and-islands pass for the runs, two key-sized joins.
+   */
+  def maxDrawdown(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol).asc)
+    val d = daily
+      .where(col(keyCol).isNotNull && col(dayCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol), col(dayCol),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .withColumn("__peak",
+        max(col("__v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__dd", col("__peak") - col("__v"))
+    val uw = d.withColumn("__idx", row_number().over(w))
+      .where(col("__dd") > 0)
+      .withColumn("__grp", col("__idx") - row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__idx").asc)))
+    val runs = uw.groupBy(col(keyCol), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__len")).as("longest_underwater"))
+    val worst = d.withColumn("__r", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("__dd").desc, col(dayCol).asc)))
+      .where(col("__r") === 1)
+      .select(col(keyCol), col("__dd").cast("double").as("max_dd"),
+        col(dayCol).as("dd_day"), col("__peak").cast("double").as("peak"))
+    d.groupBy(col(keyCol)).agg(count(lit(1)).as("n_days"))
+      .join(worst.hint("shuffle_hash"), Seq(keyCol))
+      .join(runs.hint("shuffle_hash"), Seq(keyCol), "left")
+      .select(col(keyCol), col("n_days"), col("max_dd"), col("dd_day"),
+        col("peak"),
+        coalesce(col("longest_underwater"), lit(0L)).as("longest_underwater"))
+  }
+
+  /**
+   * P352 — turning-point randomness test per series: T = the number of
+   * strict local extrema (v[t−1] < v[t] > v[t+1] or the mirror), which
+   * under an i.i.d. null has E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90 —
+   * a too-SMOOTH series (trend/cycle) turns rarely, an oscillating one
+   * turns nearly every step. The nonparametric cousin of the P134 runs
+   * test that needs no median split. Emits (key, n_days, n_turning,
+   * expected, z, verdict at |z| ≤ 1.96 on the rounded z).
+   *
+   * Cross-engine: comparisons run on the 6-rounded input values (both
+   * engines hold bit-identical doubles); E and Var derive from the
+   * BIGINT n through ONE fixed double expression each, and z closes
+   * with one IEEE sqrt/divide — deterministic on identical operands.
+   * Shape: one key-partitioned lag/lead window + one keyed agg.
+   */
+  def turningPoints(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol).asc)
+    val d = daily
+      .where(col(keyCol).isNotNull && col(dayCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol), col(dayCol), col(valueCol).as("__v"))
+      .withColumn("__p", lag(col("__v"), 1).over(w))
+      .withColumn("__f", lead(col("__v"), 1).over(w))
+    val agg = d.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("__p").isNotNull && col("__f").isNotNull &&
+          ((col("__v") > col("__p") && col("__v") > col("__f")) ||
+           (col("__v") < col("__p") && col("__v") < col("__f"))), 1L)
+        .otherwise(0L)).as("n_turning"))
+    val n = col("n_days").cast("double")
+    val ev = lit(2.0) * (n - lit(2.0)) / lit(3.0)
+    val vr = (lit(16.0) * n - lit(29.0)) / lit(90.0)
+    val z = round((col("n_turning").cast("double") - ev) / sqrt(vr), 6)
+    agg.select(col(keyCol), col("n_days"), col("n_turning"),
+      round(ev, 6).as("expected"),
+      when(col("n_days") >= 3, z).as("z"),
+      when(col("n_days") >= 3,
+        when(abs(z) <= 1.96, lit("random")).otherwise(lit("nonrandom")))
+        .as("verdict"))
+  }
 }

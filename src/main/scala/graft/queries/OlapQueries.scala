@@ -1771,6 +1771,35 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P351 — max drawdown + longest underwater run per event-type
+    // daily-mean series: decimal running peak, argmax day tie-broken on
+    // day, gaps-and-islands for the run length
+    "o111_drawdown" -> ((s, dir) => {
+      graft.operators.TimeSeries.maxDrawdown(
+          dailyMeans(s, dir), "event_type", "day", "v")
+        .orderBy("event_type")
+    }),
+
+    // P352 — turning-point randomness test on the same series: strict
+    // local extrema vs E = 2(n−2)/3, Var = (16n−29)/90 (measured z ∈
+    // [−0.74, 1.49] on this corpus — an honest i.i.d. null, every
+    // verdict 'random')
+    "o112_turning" -> ((s, dir) => {
+      graft.operators.TimeSeries.turningPoints(
+          dailyMeans(s, dir), "event_type", "day", "v")
+        .orderBy("event_type")
+    }),
+
+    // P353 — Grubbs single-outlier audit per event type at G > 6
+    // (measured gmax 5.97–8.69 at the gate SF so both verdicts occur;
+    // all-false at sf0.001 — the honest small-sample read)
+    "o113_grubbs" -> ((s, dir) => {
+      graft.operators.Features.grubbs(
+          graft.Graft.events(s, dir), "event_type", "value", "event_id",
+          threshold = 6.0)
+        .orderBy("event_type")
+    }),
+
     // P151 — Neyman allocation of a 1000-sample budget across order
     // priorities by N_h·sigma_h; largest-remainder makes it sum exactly
     "sa15_neyman" -> ((s, dir) => {
@@ -7564,6 +7593,109 @@ object OlapQueries {
         |       WHEN z <= -1.96e0 THEN 'decreasing'
         |       ELSE 'none' END AS trend
         |FROM zc ORDER BY event_type""".stripMargin,
+
+    // the daily CTE, decimal running peak, (dd desc, day) argmax, and
+    // gaps-and-islands over the underwater rows
+    "o111_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, day, CAST(v AS DECIMAL(18,6)) AS v,
+        |    MAX(CAST(v AS DECIMAL(18,6))) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS peak
+        |  FROM daily),
+        |dd AS (SELECT event_type, day, v, peak, peak - v AS dd FROM d),
+        |ix AS (SELECT event_type, dd,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM dd),
+        |uw AS (SELECT event_type,
+        |  i - row_number() OVER (PARTITION BY event_type ORDER BY i) AS grp
+        |  FROM ix WHERE dd > 0),
+        |runs AS (SELECT event_type, CAST(MAX(c) AS BIGINT)
+        |    AS longest_underwater
+        |  FROM (SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM uw GROUP BY 1, 2) GROUP BY 1),
+        |worst AS (
+        |  SELECT event_type, CAST(dd AS DOUBLE) AS max_dd, day AS dd_day,
+        |    CAST(peak AS DOUBLE) AS peak
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |          ORDER BY dd DESC, day) AS r FROM dd)
+        |  WHERE r = 1),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |      FROM daily GROUP BY 1)
+        |SELECT n.event_type, n.n_days, worst.max_dd, worst.dd_day,
+        |  worst.peak,
+        |  CAST(coalesce(runs.longest_underwater, 0) AS BIGINT)
+        |    AS longest_underwater
+        |FROM n JOIN worst USING (event_type)
+        |       LEFT JOIN runs USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // lag/lead on the 6-rounded series; E and Var from the BIGINT n
+    // through the IDENTICAL double expressions, one sqrt/divide
+    "o112_turning" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, v, lag(v) OVER w AS p, lead(v) OVER w AS f
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CASE WHEN p IS NOT NULL AND f IS NOT NULL AND
+        |      ((v > p AND v > f) OR (v < p AND v < f)) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_turning
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n_days, n_turning,
+        |  round(2.0e0 * (CAST(n_days AS DOUBLE) - 2.0e0) / 3.0e0, 6)
+        |    AS expected,
+        |  CASE WHEN n_days >= 3 THEN
+        |    round((CAST(n_turning AS DOUBLE) -
+        |      2.0e0 * (CAST(n_days AS DOUBLE) - 2.0e0) / 3.0e0) /
+        |      sqrt((16.0e0 * CAST(n_days AS DOUBLE) - 29.0e0) / 90.0e0), 6)
+        |  END AS z,
+        |  CASE WHEN n_days >= 3 THEN
+        |    CASE WHEN abs(round((CAST(n_turning AS DOUBLE) -
+        |      2.0e0 * (CAST(n_days AS DOUBLE) - 2.0e0) / 3.0e0) /
+        |      sqrt((16.0e0 * CAST(n_days AS DOUBLE) - 29.0e0) / 90.0e0), 6))
+        |      <= 1.96e0 THEN 'random' ELSE 'nonrandom' END
+        |  END AS verdict
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // the o7 zscore moment discipline verbatim, then the per-type
+    // (g desc, id) argmax and the threshold verdict on the ROUNDED g
+    "o113_grubbs" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,12))) OVER g AS DOUBLE)
+        |      AS msum,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) OVER g
+        |      AS DOUBLE) AS qsum,
+        |    CAST(COUNT(value) OVER g AS DOUBLE) AS n,
+        |    CAST(COUNT(*) OVER g AS BIGINT) AS cnt
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL
+        |  WINDOW g AS (PARTITION BY event_type)),
+        |s AS (
+        |  SELECT event_id, event_type, value, cnt,
+        |    round(abs(CASE
+        |      WHEN sqrt(greatest(qsum / n - (msum / n) * (msum / n), 0)) > 0
+        |      THEN (value - msum / n) /
+        |           sqrt(greatest(qsum / n - (msum / n) * (msum / n), 0))
+        |      ELSE 0 END), 6) AS g
+        |  FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY g DESC, event_id) AS r FROM s)
+        |SELECT event_type, cnt AS n, g, value AS outlier_value,
+        |  event_id AS outlier_id, g > 6.0e0 AS suspect
+        |FROM r WHERE r = 1 ORDER BY event_type""".stripMargin,
 
     // the sa15 moment/sd/weight chain, then one fold per scheme over
     // 9-rounded DECIMAL-summed variance terms (theoretical fractional

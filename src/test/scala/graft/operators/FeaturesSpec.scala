@@ -1559,4 +1559,28 @@ class FeaturesSpec extends SparkSpec {
       "b" -> ((2L, 2L, 2L)),
       "c" -> ((9L, 1L, 1L)))) // the null row neither counts nor groups
   }
+
+  test("grubbs: worst standardized deviation, id tie-break, verdict on " +
+      "the rounded score") {
+    import spark.implicits._
+    // group a: values 0,0,0,0,4 → mean .8, sd 1.6, G = |4-.8|/1.6 = 2.0
+    // group b: constant → sd 0 → z 0 everywhere, smallest id reported
+    val df = Seq(("a", 1L, 0.0), ("a", 2L, 0.0), ("a", 3L, 0.0),
+      ("a", 4L, 0.0), ("a", 5L, 4.0),
+      ("b", 7L, 5.0), ("b", 6L, 5.0)).toDF("k", "id", "v")
+    val got = Features.grubbs(df, "k", "v", "id", threshold = 1.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 5L && a.getDouble(2) == 2.0)
+    assert(a.getDouble(3) == 4.0 && a.getLong(4) == 5L)
+    assert(a.getBoolean(5))
+    val b = got("b")
+    assert(b.getDouble(2) == 0.0 && b.getLong(4) == 6L && !b.getBoolean(5))
+    // null value rows are excluded from both the moments and the argmax
+    val withNull = df.union(Seq(("a", 9L, null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "id", "v"))
+    assert(Features.grubbs(withNull, "k", "v", "id").collect()
+      .map(_.getLong(1)).sum == 7L)
+    intercept[IllegalArgumentException](Features.grubbs(df, "k", "v", "id", 0.0))
+  }
 }

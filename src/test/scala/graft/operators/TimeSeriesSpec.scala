@@ -966,4 +966,55 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.restrictedMeanSurvival(subj, "grp", "t", "ev", 0L))
   }
+
+  test("maxDrawdown: hand path — peak carries, deepest trough wins, " +
+      "longest underwater run counted") {
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(f"2020-01-${i}%02d")
+    // path 10, 12, 9, 11, 8, 12, 12: peak 12 from day2; dd = 0,0,3,1,4,0,0
+    val daily = Seq(
+      ("a", d(1), 10.0), ("a", d(2), 12.0), ("a", d(3), 9.0),
+      ("a", d(4), 11.0), ("a", d(5), 8.0), ("a", d(6), 12.0),
+      ("a", d(7), 12.0),
+      // monotone series: zero drawdown, no underwater run
+      ("b", d(1), 1.0), ("b", d(2), 2.0)).toDF("k", "day", "v")
+    val got = TimeSeries.maxDrawdown(daily, "k", "day", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 7L)            // n_days
+    assert(a.getDouble(2) == 4.0)         // max_dd
+    assert(a.getDate(3) == d(5))          // dd_day
+    assert(a.getDouble(4) == 12.0)        // peak
+    assert(a.getLong(5) == 3L)            // days 3..5 underwater
+    val b = got("b")
+    assert(b.getDouble(2) == 0.0 && b.getLong(5) == 0L)
+    // argmax tie (two equal drawdowns): earliest day wins
+    val tie = Seq(("t", d(1), 5.0), ("t", d(2), 3.0), ("t", d(3), 4.0),
+      ("t", d(4), 3.0)).toDF("k", "day", "v")
+    val t = TimeSeries.maxDrawdown(tie, "k", "day", "v").head
+    assert(t.getDouble(2) == 2.0 && t.getDate(3) == d(2))
+  }
+
+  test("turningPoints: peaks and troughs counted, plateaus break, " +
+      "moments match the closed forms") {
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(f"2020-01-${i}%02d")
+    // 1,3,2,4,4,5: turning at 3 (peak) and 2 (trough); the 4,4 plateau
+    // is NOT a turning point (strict comparisons)
+    val daily = Seq(("a", d(1), 1.0), ("a", d(2), 3.0), ("a", d(3), 2.0),
+      ("a", d(4), 4.0), ("a", d(5), 4.0), ("a", d(6), 5.0))
+      .toDF("k", "day", "v")
+    val r = TimeSeries.turningPoints(daily, "k", "day", "v").head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L)
+    // E = 2(6-2)/3 = 2.666667; Var = (96-29)/90; z = (2-8/3)/sqrt(67/90)
+    assert(r.getDouble(3) == 2.666667)
+    val ev = 2.0 * (6.0 - 2.0) / 3.0
+    val z = BigDecimal((2.0 - ev) / math.sqrt((16.0 * 6.0 - 29.0) / 90.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == z && r.getString(5) == "random")
+    // a 2-point series gets NULL z and verdict
+    val tiny = Seq(("c", d(1), 1.0), ("c", d(2), 2.0)).toDF("k", "day", "v")
+    val t = TimeSeries.turningPoints(tiny, "k", "day", "v").head
+    assert(t.isNullAt(4) && t.isNullAt(5))
+  }
 }
