@@ -1605,6 +1605,110 @@ object TextAnalysis {
   }
 
   /**
+   * P354 — vocabulary-richness panel per document: the frequency
+   * spectrum V_i (how many words occur exactly i times) folded into the
+   * classic size-robust richness measures — Yule's K = 10⁴(Σi²V_i − N)/N²
+   * (repeat-rate; LOW = rich vocabulary), Sichel's S = V₂/V, the hapax
+   * share V₁/V, and plain TTR = V/N (which K and S exist to replace —
+   * TTR collapses as N grows, K is length-stable). The per-document
+   * "is this text formulaic" read the P64 perplexity and P334 burstiness
+   * signals complement.
+   *
+   * Cross-engine: the spectrum is exact BIGINTs; K/S/hapax/TTR each
+   * close with one double expression on identical integer operands.
+   * The i²·V_i products ride in BIGINT — safe while no single word
+   * exceeds ~2^31 occurrences in one document (the o36 bound class;
+   * raise-guarded). Shapes: two map-side-combinable aggs ((doc, word)
+   * then (doc, i)) + one doc-keyed fold — no windows, no joins.
+   */
+  def vocabularyRichness(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val wc = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__w"))
+      .groupBy("id", "__w").agg(count(lit(1)).as("__i"))
+      .withColumn("__i",
+        when(col("__i") >= lit(1L << 31),
+          raise_error(lit("vocabularyRichness: word count exceeds 2^31")))
+          .otherwise(col("__i")))
+    val spec = wc.groupBy(col("id"), col("__i"))
+      .agg(count(lit(1)).as("__vi"))
+    val agg = spec.groupBy("id").agg(
+      sum(col("__i") * col("__vi")).as("n_tokens"),
+      sum(col("__vi")).as("vocab"),
+      sum(when(col("__i") === 1, col("__vi")).otherwise(0L)).as("v1"),
+      sum(when(col("__i") === 2, col("__vi")).otherwise(0L)).as("v2"),
+      sum(col("__i") * col("__i") * col("__vi")).as("__s2"))
+    val n = col("n_tokens").cast("double")
+    agg.select(col("id"), col("n_tokens"), col("vocab"), col("v1"),
+      col("v2"),
+      round(lit(10000.0) * (col("__s2") - col("n_tokens")).cast("double") /
+        (n * n), 6).as("yule_k"),
+      round(col("v2").cast("double") / col("vocab").cast("double"), 6)
+        .as("sichel_s"),
+      round(col("v1").cast("double") / col("vocab").cast("double"), 6)
+        .as("hapax_share"),
+      round(col("vocab").cast("double") / n, 6).as("ttr"))
+  }
+
+  /**
+   * P355 — batch retrieval evaluation: for each (query, terms,
+   * relevance bar) triple, run the P65 BM25 ranking and score it
+   * against occurrence-count relevance (a doc is relevant when it
+   * carries ≥ minOcc query-term occurrences) — reciprocal rank of the
+   * first relevant hit (0 when none lands in the top k), precision@k,
+   * and recall@k. The rank-position readout beside iv5's graded nDCG:
+   * MRR sees WHERE the first good hit sits, P/R@k see the set overlap.
+   *
+   * Cross-engine: the ranking is [[bm25TopK]] verbatim (the iv5-proven
+   * chain); relevance and overlap are exact BIGINT counts; each metric
+   * closes with one double division on identical operands. Shapes: per
+   * query one k-row ranked frame left-joined to the relevant-id set
+   * (shuffle_hash — the post-agg-side no-stats rule) and two scalar
+   * aggs equi-joined on the query tag (no broadcast cross-join — the
+   * BNL allowlist stays closed).
+   */
+  def retrievalEval(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, evalQueries: Seq[(String, Seq[String], Long)],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(evalQueries.nonEmpty, "retrievalEval: need at least one query")
+    require(k >= 1, s"retrievalEval: k must be >= 1, got $k")
+    require(evalQueries.map(_._1).distinct.size == evalQueries.size,
+      "retrievalEval: duplicate query names")
+    evalQueries.map { case (qname, terms, minOcc) =>
+      require(minOcc >= 1L,
+        s"retrievalEval: minOcc must be >= 1 for $qname, got $minOcc")
+      val tset = terms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+      require(tset.nonEmpty, s"retrievalEval: $qname has no usable terms")
+      val ranked = bm25TopK(docs, idCol, textCol, tset, k)
+      val rel = docs
+        .select(col(idCol).as("__rid"),
+          explode(tokens(col(textCol))).as("__w"))
+        .where(col("__w").isin(tset: _*))
+        .groupBy("__rid").agg(count(lit(1)).as("__occ"))
+        .where(col("__occ") >= minOcc)
+        .select(col("__rid"), lit(1L).as("__f"))
+      val totals = rel.agg(count(lit(1)).as("n_relevant"))
+        .withColumn("query", lit(qname))
+      val topk = ranked
+        .join(rel.hint("shuffle_hash"), col("id") === col("__rid"), "left")
+        .agg(sum(coalesce(col("__f"), lit(0L))).as("rel_in_topk"),
+          min(when(col("__f").isNotNull, col("rank"))).as("first_rel_rank"))
+        .withColumn("query", lit(qname))
+      topk.join(totals.hint("shuffle_hash"), Seq("query"))
+        .select(col("query"), lit(k).as("k"), col("n_relevant"),
+          col("rel_in_topk"), col("first_rel_rank"),
+          round(coalesce(lit(1.0) / col("first_rel_rank").cast("double"),
+            lit(0.0)), 6).as("mrr"),
+          round(col("rel_in_topk").cast("double") / lit(k.toDouble), 6)
+            .as("p_at_k"),
+          when(col("n_relevant") > 0,
+            round(col("rel_in_topk").cast("double") /
+              col("n_relevant").cast("double"), 6)).as("recall_at_k"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * P350 — blocklist content filter: per document, how many token
    * occurrences hit a term blocklist, how many DISTINCT blocked terms,
    * and the keep verdict at `maxHits` — the unglamorous filter every

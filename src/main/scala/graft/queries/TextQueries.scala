@@ -268,6 +268,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P354 — vocabulary-richness panel per doc: Yule's K, Sichel S,
+    // hapax share, TTR from the exact per-doc frequency spectrum (the
+    // ~31-word shared vocabulary makes K the discriminating signal —
+    // TTR saturates on short docs)
+    "t40_richness" -> ((s, dir) => {
+      TextAnalysis.vocabularyRichness(table(s, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // P355 — retrieval eval over 3 fixed term queries with measured
+    // occurrence-count relevance bars (28-32 / 36-41 / 38-40 relevant
+    // docs at the two SFs — neither empty nor saturated)
+    "iv7_mrr" -> ((s, dir) => {
+      TextAnalysis.retrievalEval(table(s, dir, "documents"), "doc_id",
+          "text", Seq(
+            ("q1", Seq("hash", "join", "vector"), 12L),
+            ("q2", Seq("stream", "window"), 8L),
+            ("q3", Seq("slow", "fast"), 8L)), k = 10)
+        .orderBy("query")
+    }),
+
     // P343 — code-vs-prose split over a corpus with planted pseudo-code:
     // every doc_id%10 text is rewritten as `if (<text_with_underscores>)
     // { return 0; }` — brace/semicolon/paren density the prose rows
@@ -950,6 +973,110 @@ object TextQueries {
         |  coalesce(h.n_hits, 0) <= 2 AS kept
         |FROM toks LEFT JOIN h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // exact (doc, word) counts → frequency spectrum → the four richness
+    // folds, each ONE double expression on identical integer operands
+    "t40_richness" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS w
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |spec AS (SELECT doc_id, i, CAST(COUNT(*) AS BIGINT) AS vi
+        |         FROM wc GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(i * vi) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(vi) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN i = 1 THEN vi ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN i = 2 THEN vi ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(i * i * vi) AS BIGINT) AS s2
+        |  FROM spec GROUP BY 1)
+        |SELECT doc_id, n_tokens, vocab, v1, v2,
+        |  round(10000.0e0 * CAST(s2 - n_tokens AS DOUBLE) /
+        |    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+        |    AS yule_k,
+        |  round(CAST(v2 AS DOUBLE) / CAST(vocab AS DOUBLE), 6) AS sichel_s,
+        |  round(CAST(v1 AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+        |    AS hapax_share,
+        |  round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // the iv5 BM25 chain replayed per query (shared toks/st/t CTEs),
+    // occurrence-bar relevance, exact overlap counts, one division per
+    // metric
+    "iv7_mrr" -> {
+      def qblock(i: Int, terms: Seq[String], minOcc: Long, k: Int): String = {
+        val tl = terms.map(t => s"'$t'").mkString(", ")
+        s"""tf_$i AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+           |  WHERE w IN ($tl) GROUP BY 1, 2, 3),
+           |df_$i AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+           |          FROM tf_$i GROUP BY 1),
+           |sc_$i AS (
+           |  SELECT tf_$i.doc_id,
+           |    round(ln(1.0e0 + (st.n - df_$i.df + 0.5e0) /
+           |        (df_$i.df + 0.5e0)) *
+           |      (tf_$i.tf * (1.2e0 + 1.0e0)) /
+           |      (tf_$i.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * tf_$i.dl /
+           |        (CAST(st.sdl AS DOUBLE) / st.n))), 9) AS s
+           |  FROM tf_$i JOIN df_$i USING (w) CROSS JOIN st),
+           |agg_$i AS (
+           |  SELECT doc_id,
+           |    round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 6)
+           |      AS score
+           |  FROM sc_$i GROUP BY 1),
+           |ranked_$i AS (
+           |  SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+           |      AS rank
+           |  FROM agg_$i ORDER BY score DESC, doc_id LIMIT $k),
+           |rel_$i AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, CAST(count(*) AS BIGINT) AS occ FROM t
+           |    WHERE w IN ($tl) GROUP BY 1)
+           |  WHERE occ >= $minOcc),
+           |nrel_$i AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant
+           |            FROM rel_$i),
+           |met_$i AS (
+           |  SELECT CAST(SUM(CASE WHEN rel_$i.doc_id IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_topk,
+           |    MIN(CASE WHEN rel_$i.doc_id IS NOT NULL
+           |      THEN ranked_$i.rank END) AS first_rel_rank
+           |  FROM ranked_$i LEFT JOIN rel_$i
+           |    ON rel_$i.doc_id = ranked_$i.doc_id)""".stripMargin
+      }
+      def qsel(i: Int, qname: String, k: Int): String =
+        s"""SELECT '$qname' AS query, $k AS k, nrel_$i.n_relevant,
+           |  met_$i.rel_in_topk, met_$i.first_rel_rank,
+           |  round(coalesce(1.0e0 / CAST(met_$i.first_rel_rank AS DOUBLE),
+           |    0.0e0), 6) AS mrr,
+           |  round(CAST(met_$i.rel_in_topk AS DOUBLE) / $k.0e0, 6) AS p_at_k,
+           |  CASE WHEN nrel_$i.n_relevant > 0 THEN
+           |    round(CAST(met_$i.rel_in_topk AS DOUBLE) /
+           |      CAST(nrel_$i.n_relevant AS DOUBLE), 6) END AS recall_at_k
+           |FROM met_$i CROSS JOIN nrel_$i""".stripMargin
+      val qs = Seq(("q1", Seq("hash", "join", "vector"), 12L),
+        ("q2", Seq("stream", "window"), 8L),
+        ("q3", Seq("slow", "fast"), 8L))
+      val blocks = qs.zipWithIndex
+        .map { case ((_, t, m), i) => qblock(i, t, m, 10) }.mkString(",\n")
+      val sels = qs.zipWithIndex
+        .map { case ((n, _, _), i) => qsel(i, n, 10) }
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '') AS l
+         |  FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(len(l)) AS BIGINT) AS sdl FROM toks),
+         |t AS (SELECT doc_id, len(l) AS dl, unnest(l) AS w FROM toks),
+         |$blocks
+         |$sels
+         |ORDER BY query""".stripMargin
+    },
 
     // the planted rewrite replayed (replace = Spark's translate for a
     // single char), then the character-class length differences — DuckDB

@@ -222,6 +222,7 @@ object PlanFactsSpec {
     // stratum grids, file lists — bounded at any input scale)
     "dq2_skew", "iv2_bm25", "iv4_qld", "iv5_ndcg", // iv5: bm25 rank + k-row ideal
     "iv6_prf", // bm25's rank window + its own vocab-sized term rank
+    "iv7_mrr", // bm25's k-row rank window, once per eval query
     "o13_chisq", "o30_woe", "o31_gini",
     "pipe3_hybrid", "pipe5_rrf", "sa15_neyman", "sk8_hdr", "z5_zonemap",
     "z11_layout_compare", // z5's layout window × one per candidate order
@@ -272,6 +273,8 @@ object PlanFactsSpec {
     "o44_bootstrap", "mm6_aspect", "mm7_letterbox", "mm9_epochs",
     "sk8_hdr", "sk9_histq", "sk10_bloom", "sk12_cms_error", "sk7_ams",
     "iv4_qld", "iv5_ndcg", "pipe3_hybrid", "pipe5_rrf", "pipe8_sessmad",
+    "iv7_mrr", // per-query 1-row metric × 1-row n_relevant tag join
+    // (the literal join key constant-folds — the granger class)
     "t35_burstiness", "t36_dispersion", "t37_colloc", "gr8_hits",
     "gr9_powerlaw", "gr10_modularity", "gr11_richclub",
     // codebook/centroid/query-vector sides (ANN audit frames)

@@ -829,6 +829,50 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.dunningG2(docs, "t", 0L, 5))
   }
 
+  test("vocabularyRichness: hand spectrum — K, S, hapax, TTR") {
+    import spark.implicits._
+    // doc 1: a a a b b c → V1=1(c) V2=1(b) V3(a); N=6, V=3
+    // K = 1e4·(1+4+9−6)/36 = 2222.222222; S = 1/3; hapax 1/3; TTR .5
+    // doc 2: all distinct → K = 0, hapax 1
+    val docs = Seq((1L, "a a a b b c"), (2L, "x y z")).toDF("id", "t")
+    val got = TextAnalysis.vocabularyRichness(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getLong(1) == 6L && d1.getLong(2) == 3L)
+    assert(d1.getLong(3) == 1L && d1.getLong(4) == 1L)
+    assert(d1.getDouble(5) == 2222.222222)
+    assert(d1.getDouble(6) == 0.333333 && d1.getDouble(7) == 0.333333)
+    assert(d1.getDouble(8) == 0.5)
+    val d2 = got(2L)
+    assert(d2.getDouble(5) == 0.0 && d2.getDouble(7) == 1.0)
+  }
+
+  test("retrievalEval: rank-1 hit, miss, and empty-topk MRR") {
+    import spark.implicits._
+    // 'hit hit hit' is both top-ranked and relevant at bar 2;
+    // 'hit miss' has 1 occurrence → irrelevant at bar 2 but ranked
+    val docs = Seq((1L, "hit hit hit"), (2L, "hit miss pad pad"),
+      (3L, "none here at all")).toDF("id", "t")
+    val got = TextAnalysis.retrievalEval(docs, "id", "t",
+      Seq(("qa", Seq("hit"), 2L), ("qb", Seq("none"), 9L)), k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("qa")
+    assert(a.getLong(2) == 1L)    // n_relevant (doc 1 only)
+    assert(a.getLong(3) == 1L)    // rel_in_topk
+    assert(a.getInt(4) == 1 && a.getDouble(5) == 1.0)  // first rank, mrr
+    assert(a.getDouble(6) == 0.5 && a.getDouble(7) == 1.0)
+    val b = got("qb")  // bar 9 unreachable → no relevant docs at all
+    assert(b.getLong(2) == 0L && b.getLong(3) == 0L)
+    assert(b.isNullAt(4) && b.getDouble(5) == 0.0)
+    assert(b.isNullAt(7))  // recall undefined at n_relevant = 0
+    intercept[IllegalArgumentException](
+      TextAnalysis.retrievalEval(docs, "id", "t", Nil, 2))
+    intercept[IllegalArgumentException](TextAnalysis.retrievalEval(
+      docs, "id", "t", Seq(("q", Seq("hit"), 0L)), 2))
+    intercept[IllegalArgumentException](TextAnalysis.retrievalEval(
+      docs, "id", "t", Seq(("q", Seq("a"), 1L), ("q", Seq("b"), 1L)), 2))
+  }
+
   test("blocklistFilter: occurrence vs distinct hits, threshold verdict") {
     import spark.implicits._
     val docs = Seq(
