@@ -3725,4 +3725,63 @@ object Features {
         col(valueCol).as("outlier_value"), col(idCol).as("outlier_id"),
         (col("__g") > threshold).as("suspect"))
   }
+
+  /**
+   * P356 — Pareto concentration cut per group: the smallest number of
+   * entities whose descending-value prefix covers each revenue bar
+   * (the "how many customers are 80% of this market" readout that the
+   * P145 Gini and P307 HHI summarize away — this one answers with a
+   * COUNT and the exact share it covers). Bars are exact rationals
+   * num/den; the crossing row is found by the integer-scaled decimal
+   * comparison cum·den ≥ total·num (no float thresholds anywhere), and
+   * its predecessor must sit below the bar — exactly one row matches.
+   * Negative values break prefix monotonicity and raise loudly.
+   *
+   * Shapes: one entity agg, one group-partitioned rank + running-sum
+   * window (per-group entity-sized — the q5 partitioned-rank class),
+   * one group-keyed totals join, one filter per bar unioned.
+   */
+  def paretoCut(df: DataFrame, keyCol: String, entityCol: String,
+      valueCol: String, bars: Seq[(String, Int, Int)]): DataFrame = {
+    require(bars.nonEmpty, "paretoCut: need at least one bar")
+    bars.foreach { case (l, num, den) =>
+      require(num >= 1 && den >= 1 && num <= den && l.nonEmpty,
+        s"paretoCut: bar $l must be a fraction in (0,1], got $num/$den")
+    }
+    require(bars.map(_._1).distinct.size == bars.size,
+      "paretoCut: duplicate bar labels")
+    val ent = df
+      .where(col(keyCol).isNotNull && col(entityCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(entityCol).as("__e"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(30,2)")
+        .as("__v"))
+      .withColumn("__v",
+        when(col("__v") < 0,
+          raise_error(lit("paretoCut: negative entity total")))
+          .otherwise(col("__v")))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__v").desc, col("__e").asc)
+    val ranked = ent
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__cum", sum(col("__v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(30,2)"))
+    val totals = ent.groupBy(col(keyCol))
+      .agg(sum(col("__v")).cast("decimal(30,2)").as("__tot"),
+        count(lit(1)).as("n_entities"))
+    val j = ranked.join(totals.hint("shuffle_hash"), Seq(keyCol))
+    bars.map { case (label, num, den) =>
+      val nl = lit(num).cast("decimal(4,0)")
+      val dl = lit(den).cast("decimal(4,0)")
+      j.where(col("__cum") * dl >= col("__tot") * nl &&
+          (col("__cum") - col("__v")) * dl < col("__tot") * nl)
+        .select(col(keyCol), lit(label).as("bar"),
+          col("__rk").cast("long").as("n_to_bar"), col("n_entities"),
+          round(col("__rk").cast("double") /
+            col("n_entities").cast("double"), 6).as("entity_share"),
+          round(col("__cum").cast("double") /
+            col("__tot").cast("double"), 6).as("covered_share"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -687,4 +687,61 @@ object Multimodal {
           round(col("n_crossings").cast("double") /
             (col("n_bytes") - 1L).cast("double"), 6)).as("zcr"))
   }
+
+  /**
+   * P357 — pairwise byte-distribution divergence between media GROUPS:
+   * Jensen–Shannon divergence between each pair of groups' byte-value
+   * distributions — the corpus-level "are these sources the same kind
+   * of bytes" read (codec/encoding mix shifts show up here while the
+   * per-media P326 entropy stays flat). Emits one row per unordered
+   * group pair (group_a < group_b) with both totals and the JSD in
+   * nats.
+   *
+   * Shapes: the shared [[byteGrid]] replay collapsed per media, one
+   * group join + group agg, a DENSIFIED group×256 grid (explode of a
+   * byte sequence per group — a byte absent from one group must read
+   * count 0, not vanish from the pair join; the dq11 spine rule), then
+   * a byte-keyed equi self-join of explicitly renamed projections (the
+   * d17 rule) restricted to group_a < group_b — the grid is
+   * 256·|groups| rows, metadata-sized at any corpus scale.
+   * Cross-engine: exact BIGINT counts; JSD terms follow the t18
+   * discipline (9-rounded p·ln(p/m) summed in DECIMAL(28,9), closed at
+   * 6); zero-count sides contribute exactly 0 via the guard.
+   */
+  def byteDistributionJsd(df: DataFrame, idCol: String, bytesCol: String,
+      groups: DataFrame, gIdCol: String, gCol: String): DataFrame = {
+    val perMedia = byteGrid(df, idCol, bytesCol)
+      .groupBy(col("media_id"), col("__byte").as("byte"))
+      .agg(count(lit(1)).as("__c"))
+    val g = groups
+      .where(col(gIdCol).isNotNull && col(gCol).isNotNull)
+      .select(col(gIdCol).as("media_id"), col(gCol).as("__g"))
+    val gc = perMedia.join(g.hint("shuffle_hash"), Seq("media_id"))
+      .groupBy(col("__g"), col("byte")).agg(sum(col("__c")).as("__c"))
+    val grid = gc.select(col("__g")).distinct()
+      .select(col("__g"), explode(sequence(lit(0), lit(255))).as("byte"))
+    val dense = grid.join(gc.hint("shuffle_hash"), Seq("__g", "byte"), "left")
+      .select(col("__g"), col("byte"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = dense.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val dt = dense.join(tot.hint("shuffle_hash"), Seq("__g"))
+    val a = dt.select(col("__g").as("ga"), col("byte"),
+      col("__c").as("ca"), col("__n").as("na"))
+    val b = dt.select(col("__g").as("gb"), col("byte").as("__byte2"),
+      col("__c").as("cb"), col("__n").as("nb"))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val m = lit(0.5) * (p + q)
+    a.join(b.hint("shuffle_hash"),
+        col("byte") === col("__byte2") && col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("na"), col("nb"),
+        when(col("ca") > 0, round(p * log(p / m), 9)).otherwise(lit(0.0))
+          .cast("decimal(28,9)").as("__tp"),
+        when(col("cb") > 0, round(q * log(q / m), 9)).otherwise(lit(0.0))
+          .cast("decimal(28,9)").as("__tq"))
+      .groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        round(lit(0.5) * sum(col("__tp")).cast("double") +
+          lit(0.5) * sum(col("__tq")).cast("double"), 6).as("jsd"))
+  }
 }

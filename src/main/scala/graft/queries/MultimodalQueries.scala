@@ -112,6 +112,20 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P357 — pairwise byte-plane JSD between the language groups
+    // (densified 256-byte grid per group; measured 1.8e-4..3.4e-4 on
+    // this shared-vocabulary corpus — the honest "same byte plane,
+    // different word mix" read, every pair distinct)
+    "mm16_byte_jsd" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Multimodal.byteDistributionJsd(
+          Multimodal.packText(docs, "doc_id", "text"), "media_id",
+          "bytes", docs, "doc_id", "lang")
+        .withColumnRenamed("group_a", "lang_a")
+        .withColumnRenamed("group_b", "lang_b")
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // P229 — intensity histogram over the raw byte planes: 16 bands
     // per media, the black-frame / solid-fill junk screen; every byte
     // replayed from hex pairs by the oracle
@@ -469,6 +483,57 @@ object MultimodalQueries {
     // BIGINT moments, one IEEE sqrt
     // per-(media, byte) exact counts; each p·ln p term 6-round-ln'd
     // then 9-rounded; log₂ rescale by the shared ln 2 driver literal
+    // the hex byte replay per lang, densified over generate_series(0,255),
+    // byte-keyed pair join (lang_a < lang_b), t18's 9-rounded
+    // DECIMAL(28,9) JSD terms
+    "mm16_byte_jsd" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, lang, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |b AS (
+        |  SELECT lang, hx, unnest(generate_series(0, n - 1)) AS i
+        |  FROM m WHERE n > 0),
+        |v AS (
+        |  SELECT lang,
+        |    ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS byte
+        |  FROM b),
+        |gc AS (SELECT lang, byte, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM v GROUP BY 1, 2),
+        |grid AS (SELECT lang, unnest(generate_series(0, 255)) AS byte
+        |         FROM (SELECT DISTINCT lang FROM gc)),
+        |dense AS (
+        |  SELECT grid.lang, grid.byte,
+        |    CAST(coalesce(gc.c, 0) AS BIGINT) AS c
+        |  FROM grid LEFT JOIN gc
+        |    ON gc.lang = grid.lang AND gc.byte = grid.byte),
+        |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM dense GROUP BY 1),
+        |dt AS (SELECT dense.lang, dense.byte, dense.c, tot.n
+        |       FROM dense JOIN tot USING (lang)),
+        |pr AS (
+        |  SELECT a.lang AS ga, b2.lang AS gb, a.c AS ca, b2.c AS cb,
+        |    a.n AS na, b2.n AS nb,
+        |    CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
+        |    CAST(b2.c AS DOUBLE) / CAST(b2.n AS DOUBLE) AS q
+        |  FROM dt a JOIN dt b2 ON a.byte = b2.byte AND a.lang < b2.lang),
+        |terms AS (
+        |  SELECT ga, gb, na, nb,
+        |    CASE WHEN ca > 0 THEN CAST(round(p * ln(p / (0.5e0 * (p + q))),
+        |      9) AS DECIMAL(28,9)) ELSE CAST(0.0e0 AS DECIMAL(28,9)) END
+        |      AS tp,
+        |    CASE WHEN cb > 0 THEN CAST(round(q * ln(q / (0.5e0 * (p + q))),
+        |      9) AS DECIMAL(28,9)) ELSE CAST(0.0e0 AS DECIMAL(28,9)) END
+        |      AS tq
+        |  FROM pr)
+        |SELECT ga AS lang_a, gb AS lang_b,
+        |  CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+        |  round(0.5e0 * CAST(SUM(tp) AS DOUBLE) +
+        |    0.5e0 * CAST(SUM(tq) AS DOUBLE), 6) AS jsd
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "mm13_byteentropy" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,

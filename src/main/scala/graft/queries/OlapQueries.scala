@@ -1790,6 +1790,22 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P356 — Pareto concentration per nation: the customers covering
+    // 50% / 80% of nation revenue (exact integer-scaled decimal bar
+    // crossing — no float thresholds)
+    "q32_pareto" -> ((s, dir) => {
+      val df = table(s, dir, "orders")
+        .join(table(s, dir, "customer").hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_custkey"),
+          col("o_totalprice"))
+      graft.operators.Features.paretoCut(df, "nation", "o_custkey",
+          "o_totalprice", Seq(("p50", 1, 2), ("p80", 4, 5)))
+        .orderBy("nation", "bar")
+    }),
+
     // P353 — Grubbs single-outlier audit per event type at G > 6
     // (measured gmax 5.97–8.69 at the gate SF so both verdicts occur;
     // all-false at sf0.001 — the honest small-sample read)
@@ -7593,6 +7609,49 @@ object OlapQueries {
         |       WHEN z <= -1.96e0 THEN 'decreasing'
         |       ELSE 'none' END AS trend
         |FROM zc ORDER BY event_type""".stripMargin,
+
+    // entity decimal sums, per-nation (v desc, e) rank + running sum,
+    // exact integer-scaled bar crossings (cum·den ≥ tot·num with the
+    // predecessor below), one branch per bar
+    "q32_pareto" -> {
+      def bar(label: String, num: Int, den: Int): String =
+        s"""SELECT nation, '$label' AS bar, rk AS n_to_bar, n_entities,
+           |  round(CAST(rk AS DOUBLE) / CAST(n_entities AS DOUBLE), 6)
+           |    AS entity_share,
+           |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           |    AS covered_share
+           |FROM j
+           |WHERE cum * CAST($den AS DECIMAL(4,0)) >=
+           |    tot * CAST($num AS DECIMAL(4,0))
+           |  AND (cum - v) * CAST($den AS DECIMAL(4,0)) <
+           |    tot * CAST($num AS DECIMAL(4,0))""".stripMargin
+      s"""WITH ent AS (
+         |  SELECT n_name AS nation, o_custkey AS e,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |      AS DECIMAL(30,2)) AS v
+         |  FROM orders
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation ON n_nationkey = c_nationkey
+         |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT nation, e, v,
+         |    CAST(row_number() OVER (PARTITION BY nation
+         |      ORDER BY v DESC, e) AS BIGINT) AS rk,
+         |    CAST(SUM(v) OVER (PARTITION BY nation ORDER BY v DESC, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DECIMAL(30,2)) AS cum
+         |  FROM ent),
+         |t AS (SELECT nation, CAST(SUM(v) AS DECIMAL(30,2)) AS tot,
+         |        CAST(COUNT(*) AS BIGINT) AS n_entities
+         |      FROM ent GROUP BY 1),
+         |j AS (SELECT r.nation, r.v, r.rk, r.cum, t.tot, t.n_entities
+         |      FROM r JOIN t USING (nation))
+         |${bar("p50", 1, 2)}
+         |UNION ALL
+         |${bar("p80", 4, 5)}
+         |ORDER BY nation, bar""".stripMargin
+    },
 
     // the daily CTE, decimal running peak, (dd desc, day) argmax, and
     // gaps-and-islands over the underwater rows

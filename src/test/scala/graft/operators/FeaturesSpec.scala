@@ -1583,4 +1583,35 @@ class FeaturesSpec extends SparkSpec {
       .map(_.getLong(1)).sum == 7L)
     intercept[IllegalArgumentException](Features.grubbs(df, "k", "v", "id", 0.0))
   }
+
+  test("paretoCut: exact bar crossings, tie order, negative guard") {
+    import spark.implicits._
+    // entity totals 50, 30, 20: p50 crosses at rank 1 (cum 50 ≥ 50),
+    // p80 at rank 2 (cum 80)
+    val df = Seq(("g", 1L, 30.0), ("g", 2L, 50.0), ("g", 3L, 20.0),
+      // ties on value → smaller entity id ranks first
+      ("h", 5L, 10.0), ("h", 4L, 10.0)).toDF("k", "e", "v")
+    val got = Features.paretoCut(df, "k", "e", "v",
+      Seq(("p50", 1, 2), ("p80", 4, 5)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val g50 = got(("g", "p50"))
+    assert(g50.getLong(2) == 1L && g50.getLong(3) == 3L)
+    assert(g50.getDouble(4) == 0.333333 && g50.getDouble(5) == 0.5)
+    val g80 = got(("g", "p80"))
+    assert(g80.getLong(2) == 2L && g80.getDouble(5) == 0.8)
+    // h: two equal halves — p50 crosses at the FIRST (smaller id) row
+    assert(got(("h", "p50")).getLong(2) == 1L)
+    assert(got(("h", "p80")).getLong(2) == 2L)
+    val neg = Seq(("g", 1L, -5.0)).toDF("k", "e", "v")
+    val ex = intercept[Exception](
+      Features.paretoCut(neg, "k", "e", "v", Seq(("p50", 1, 2))).collect())
+    assert(String.valueOf(ex.getMessage).contains("paretoCut") ||
+      String.valueOf(ex.getCause).contains("paretoCut"))
+    intercept[IllegalArgumentException](
+      Features.paretoCut(df, "k", "e", "v", Nil))
+    intercept[IllegalArgumentException](
+      Features.paretoCut(df, "k", "e", "v", Seq(("bad", 3, 2))))
+    intercept[IllegalArgumentException](Features.paretoCut(df, "k", "e",
+      "v", Seq(("p50", 1, 2), ("p50", 1, 2))))
+  }
 }

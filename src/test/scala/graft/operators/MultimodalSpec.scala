@@ -406,4 +406,30 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.zeroCrossingRate(packed, "media_id", "bytes", 0))
   }
+
+  test("byteDistributionJsd: hand distributions, zero-count guard, " +
+      "identical groups read 0") {
+    val docs = Seq((1L, "aa", "ga"), (2L, "ab", "gb"), (3L, "aa", "gc"))
+      .toDF("id", "t", "g")
+    val packed = Multimodal.packText(docs, "id", "t")
+    val got = Multimodal.byteDistributionJsd(packed, "media_id", "bytes",
+        docs, "id", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    // ga = {97: 1.0}; gb = {97: .5, 98: .5}
+    val tp97 = r9(1.0 * math.log(1.0 / (0.5 * 1.5)))
+    val tq97 = r9(0.5 * math.log(0.5 / (0.5 * 1.5)))
+    val tq98 = r9(0.5 * math.log(0.5 / (0.5 * 0.5)))
+    val expected = r6(BigDecimal(0.5) * tp97 +
+      BigDecimal(0.5) * (tq97 + tq98))
+    val ab = got(("ga", "gb"))
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 2L)
+    assert(ab.getDouble(4) == expected)
+    // identical byte distributions → exactly 0
+    assert(got(("ga", "gc")).getDouble(4) == 0.0)
+    assert(got.size == 3) // all unordered pairs present
+  }
 }
