@@ -902,4 +902,56 @@ object Sketches {
       when(col("occupied") < m && col("exact") > 0,
         round((lcRaw - exd) / exd, 6)).as("rel_err")): _*)
   }
+
+  /** The decay weight ladder decay^age for age = 0..maxAge — computed
+    * ONCE on the driver so [[decayedCounts]] and any oracle generator
+    * embed IDENTICAL double literals (the o12 EWMA weight-ladder rule:
+    * neither engine calls pow at runtime). */
+  def decayLadder(decay: Double, maxAge: Int): Seq[Double] = {
+    require(decay > 0.0 && decay < 1.0,
+      s"decayLadder: decay must sit in (0,1), got $decay")
+    require(maxAge >= 1 && maxAge <= 512,
+      s"decayLadder: maxAge must sit in 1..512, got $maxAge")
+    (0 to maxAge).map(a => math.pow(decay, a))
+  }
+
+  /**
+   * P360 — exponentially time-decayed counts per key: every event
+   * contributes decay^(age in days from the corpus max day), so the
+   * leaderboard favors RECENT activity — the batch replay of the
+   * streaming "trending now" counter (a plain count never forgets; a
+   * sliding window forgets all at once; exponential decay is the
+   * standard in-between, and decayed counts MERGE like any sum). Emits
+   * (key, n_total, n_days, decayed, decay_ratio) — ratio near 1 = all
+   * activity recent, near decay^span = all activity old.
+   *
+   * Cross-engine: weights are [[decayLadder]] driver literals selected
+   * by an integer age CASE (no runtime pow); per-day n·w products
+   * 9-rounded through DECIMAL(28,9). Ages beyond the ladder raise
+   * loudly. Shapes: one (key, day) agg, ONE 1-row broadcast reference
+   * join (the adjudicated scalar cross-join class), one keyed fold.
+   */
+  def decayedCounts(df: DataFrame, keyCol: String, tsCol: String,
+      decay: Double = 0.9, maxAgeDays: Int = 64): DataFrame = {
+    val ladder = decayLadder(decay, maxAgeDays)
+    val daily = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val ref = daily.agg(max(col("__day")).as("__ref"))
+    val weight = ladder.zipWithIndex.tail
+      .foldLeft(when(col("__age") === 0, lit(ladder.head))) {
+        case (acc, (v, a)) => acc.when(col("__age") === a, lit(v))
+      }
+      .otherwise(raise_error(lit("decayedCounts: age beyond the ladder")))
+    val dec = sum(round(col("__n").cast("double") * col("__w"), 9)
+      .cast("decimal(28,9)")).cast("double")
+    daily.crossJoin(broadcast(ref))
+      .withColumn("__age", datediff(col("__ref"), col("__day")))
+      .withColumn("__w", weight)
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_total"), count(lit(1)).as("n_days"),
+        round(dec, 6).as("decayed"),
+        round(dec / sum(col("__n")).cast("double"), 6).as("decay_ratio"))
+  }
 }

@@ -2007,6 +2007,95 @@ object TimeSeries {
   }
 
   /**
+   * P358 — Dickey–Fuller unit-root test (lag-1, with intercept) per
+   * series: regress Δv_t on v_{t−1} and read the t-ratio of the slope —
+   * a mean-reverting series pulls back (slope < 0, DF stat strongly
+   * negative → 'stationary'), a random walk doesn't (stat near 0 →
+   * 'unit_root'). The stationarity PRE-CHECK the o82 Granger and o67
+   * ACF reads assume and never verify. Critical value is a driver
+   * literal (≈5% DF point); the verdict compares the ROUNDED stat.
+   *
+   * Cross-engine: the o11 olsFit discipline — x and Δv as exact
+   * DECIMAL(18,6), five sums of (18,6)·(18,6)=(37,12) exact products
+   * (the allowed width class) cast to double, then ONE fixed double
+   * expression chain to slope, SE, stat. Shape: one key-partitioned lag
+   * window + one keyed agg.
+   */
+  def adfTest(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, critical: Double = -2.89): DataFrame = {
+    require(critical < 0, s"adfTest: critical must be < 0, got $critical")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol).asc)
+    def d18(c: Column) = c.cast("decimal(18,6)")
+    val base = daily
+      .where(col(keyCol).isNotNull && col(dayCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col(keyCol), d18(col("__prev")).as("__x"),
+        (d18(col(valueCol)) - d18(col("__prev"))).cast("decimal(18,6)")
+          .as("__y"))
+    val sums = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).cast("double").as("__sx"),
+      sum(col("__y")).cast("double").as("__sy"),
+      sum(col("__x") * col("__y")).cast("double").as("__sxy"),
+      sum(col("__x") * col("__x")).cast("double").as("__sxx"),
+      sum(col("__y") * col("__y")).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val den = nd * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nd * col("__syy") - col("__sy") * col("__sy")
+    val slope = num / den
+    val se2 = (deny - slope * num) / ((nd - lit(2.0)) * den)
+    val stat = round(slope / sqrt(se2), 6)
+    sums.select(col(keyCol), col("n"),
+      when(col("n") > 2 && den > 0, round(slope, 6)).as("slope"),
+      when(col("n") > 2 && den > 0 && se2 > 0, stat).as("df_stat"),
+      when(col("n") > 2 && den > 0 && se2 > 0,
+        when(stat < critical, lit("stationary")).otherwise(lit("unit_root")))
+        .as("verdict"))
+  }
+
+  /**
+   * P359 — spectral entropy over the P313 periodogram: normalize the
+   * candidate-period powers to a distribution and read its Shannon
+   * entropy scaled by ln(#periods) — a series with ONE dominant cycle
+   * scores near 0, a flat spectrum near 1. The one-number "how
+   * concentrated is the spectrum" summary the per-period table makes
+   * the reader eyeball. Emits (key, n_periods, total_power,
+   * spec_entropy ∈ [0,1]).
+   *
+   * Cross-engine: the 6-rounded powers ride to exact DECIMAL(28,6)
+   * sums (a plain double total would be partition-order-dependent);
+   * each share is one double division; entropy terms follow the t18
+   * 9-rounded DECIMAL discipline; the ln(#periods) denominator is a
+   * driver literal. Shape: the periodogram aggs + one key-sized join
+   * and fold.
+   */
+  def spectralEntropy(df: DataFrame, keyCol: String, dayIdxCol: String,
+      valueCol: String, periods: Seq[Int]): DataFrame = {
+    require(periods.size >= 2,
+      s"spectralEntropy: need >= 2 candidate periods, got ${periods.size}")
+    val lnP = math.log(periods.size.toDouble)
+    val pd = periodogram(df, keyCol, dayIdxCol, valueCol, periods)
+      .select(col(keyCol), col("power").cast("decimal(28,6)").as("__p"))
+    val tot = pd.groupBy(col(keyCol))
+      .agg(sum(col("__p")).as("__tot"), count(lit(1)).as("n_periods"))
+    val share = col("__p").cast("double") / col("__tot").cast("double")
+    pd.join(tot.hint("shuffle_hash"), Seq(keyCol))
+      .select(col(keyCol), col("n_periods"), col("__tot"),
+        when(col("__tot") > 0 && col("__p") > 0,
+          round(share * log(share), 9)).otherwise(lit(0.0))
+          .cast("decimal(28,9)").as("__t"))
+      .groupBy(col(keyCol))
+      .agg(min(col("n_periods")).as("n_periods"),
+        round(min(col("__tot")).cast("double"), 6).as("total_power"),
+        when(min(col("__tot")) > 0,
+          round(sum(col("__t")).cast("double") / lit(-lnP), 6))
+          .as("spec_entropy"))
+  }
+
+  /**
    * P351 — maximum drawdown per series: the largest peak-to-trough drop
    * of the running maximum (max over all days d of peak(d) − v(d)), its
    * day, the peak it fell from, and the LONGEST UNDERWATER RUN

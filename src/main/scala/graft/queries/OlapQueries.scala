@@ -1806,6 +1806,38 @@ object OlapQueries {
         .orderBy("nation", "bar")
     }),
 
+    // P358 — Dickey–Fuller lag-1 unit-root test on the daily series:
+    // the stationarity pre-check the o67/o82 reads assume (these
+    // mean-reverting daily means test strongly stationary)
+    "o114_adf" -> ((s, dir) => {
+      graft.operators.TimeSeries.adfTest(
+          dailyMeans(s, dir), "event_type", "day", "v")
+        .orderBy("event_type")
+    }),
+
+    // P359 — spectral entropy over the o102 periodogram ladder
+    // {3,5,7,10}: one number per series for "how concentrated is the
+    // spectrum" (near 0 = one dominant cycle, near 1 = flat)
+    "o115_spec_entropy" -> ((s, dir) => {
+      val daily = dailyMeans(s, dir)
+        .select(col("event_type"),
+          datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("long").as("di"),
+          col("v"))
+      graft.operators.TimeSeries.spectralEntropy(daily, "event_type",
+          "di", "v", Seq(3, 5, 7, 10))
+        .orderBy("event_type")
+    }),
+
+    // P360 — exponentially decayed counts (0.9/day from the corpus max
+    // day): the trending-now leaderboard beside the plain totals
+    "sk18_decay" -> ((s, dir) => {
+      graft.operators.Sketches.decayedCounts(
+          graft.Graft.events(s, dir), "event_type", "ts",
+          decay = 0.9, maxAgeDays = 64)
+        .orderBy("event_type")
+    }),
+
     // P353 — Grubbs single-outlier audit per event type at G > 6
     // (measured gmax 5.97–8.69 at the gate SF so both verdicts occur;
     // all-false at sf0.001 — the honest small-sample read)
@@ -7726,6 +7758,130 @@ object OlapQueries {
         |      <= 1.96e0 THEN 'random' ELSE 'nonrandom' END
         |  END AS verdict
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // the olsFit moment discipline on (x = v_{t−1}, y = Δv): exact
+    // (18,6)² product sums cast double, ONE fixed expression chain to
+    // slope/SE/stat, verdict on the ROUNDED stat
+    "o114_adf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, CAST(v AS DECIMAL(18,6)) AS cv,
+        |    CAST(lag(v) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS DECIMAL(18,6)) AS pv
+        |  FROM daily),
+        |b AS (
+        |  SELECT event_type, pv AS x, CAST(cv - pv AS DECIMAL(18,6)) AS y
+        |  FROM l WHERE pv IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM s),
+        |f AS (
+        |  SELECT event_type, n, den, num / den AS slope,
+        |    (deny - (num / den) * num) /
+        |      ((CAST(n AS DOUBLE) - 2.0e0) * den) AS se2
+        |  FROM c)
+        |SELECT event_type, n,
+        |  CASE WHEN n > 2 AND den > 0 THEN round(slope, 6) END AS slope,
+        |  CASE WHEN n > 2 AND den > 0 AND se2 > 0
+        |    THEN round(slope / sqrt(se2), 6) END AS df_stat,
+        |  CASE WHEN n > 2 AND den > 0 AND se2 > 0 THEN
+        |    CASE WHEN round(slope / sqrt(se2), 6) < -2.89e0
+        |      THEN 'stationary' ELSE 'unit_root' END END AS verdict
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // the o102 power branches → DECIMAL(28,6) totals → t18-style
+    // 9-rounded share·ln(share) terms / driver ln(#periods)
+    "o115_spec_entropy" -> {
+      val periods = Seq(3, 5, 7, 10)
+      def l(d: Double) = graft.operators.Features.sqlDoubleLiteral(d)
+      val branches = periods.map { p =>
+        val lad = graft.operators.TimeSeries.fourierLadder(p)
+        def cc(sel: ((Double, Double)) => Double) = lad.zipWithIndex
+          .map { case (v, r) => s"WHEN $r THEN ${l(sel(v))}" }
+          .mkString(" ")
+        s"""SELECT event_type, round(c * c + s * s, 6) AS power
+           |FROM (
+           |  SELECT event_type,
+           |    CAST(SUM(CAST(round(v * CASE di % $p ${cc(_._1)} END, 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS c,
+           |    CAST(SUM(CAST(round(v * CASE di % $p ${cc(_._2)} END, 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS s
+           |  FROM pts GROUP BY 1) x$p""".stripMargin
+      }
+      val negLnP = -math.log(periods.size.toDouble)
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT event_type,
+         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS di, v
+         |  FROM daily),
+         |pw AS (
+         |${branches.mkString("\nUNION ALL\n")}),
+         |pd AS (SELECT event_type, CAST(power AS DECIMAL(28,6)) AS p
+         |       FROM pw),
+         |tot AS (SELECT event_type, SUM(p) AS t,
+         |          CAST(COUNT(*) AS BIGINT) AS n_periods
+         |        FROM pd GROUP BY 1),
+         |terms AS (
+         |  SELECT pd.event_type, tot.n_periods, tot.t,
+         |    CASE WHEN tot.t > 0 AND pd.p > 0 THEN
+         |      CAST(round((CAST(pd.p AS DOUBLE) / CAST(tot.t AS DOUBLE)) *
+         |        ln(CAST(pd.p AS DOUBLE) / CAST(tot.t AS DOUBLE)), 9)
+         |        AS DECIMAL(28,9))
+         |    ELSE CAST(0.0e0 AS DECIMAL(28,9)) END AS term
+         |  FROM pd JOIN tot ON tot.event_type = pd.event_type)
+         |SELECT event_type, CAST(MIN(n_periods) AS BIGINT) AS n_periods,
+         |  round(CAST(MIN(t) AS DOUBLE), 6) AS total_power,
+         |  CASE WHEN MIN(t) > 0 THEN
+         |    round(CAST(SUM(term) AS DOUBLE) / ${l(negLnP)}, 6)
+         |  END AS spec_entropy
+         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // the decayLadder driver literals selected by an integer age CASE
+    // (no runtime pow on either side); n·w products 9-rounded through
+    // DECIMAL(28,9)
+    "sk18_decay" -> {
+      val lad = graft.operators.Sketches.decayLadder(0.9, 64)
+      def l(d: Double) = graft.operators.Features.sqlDoubleLiteral(d)
+      val cases = lad.zipWithIndex
+        .map { case (v, a) => s"WHEN $a THEN ${l(v)}" }.mkString(" ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |ref AS (SELECT MAX(day) AS r FROM daily),
+         |aged AS (
+         |  SELECT event_type, n,
+         |    CASE date_diff('day', day, r) $cases END AS w
+         |  FROM daily CROSS JOIN ref)
+         |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  round(CAST(SUM(CAST(round(CAST(n AS DOUBLE) * w, 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS decayed,
+         |  round(CAST(SUM(CAST(round(CAST(n AS DOUBLE) * w, 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+         |    AS decay_ratio
+         |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // the o7 zscore moment discipline verbatim, then the per-type
     // (g desc, id) argmax and the threshold verdict on the ROUNDED g

@@ -264,6 +264,7 @@ object PlanFactsSpec {
     "sa22_alloc_var", // the sa15 1-row totals broadcast, three folds
     "sa21_ht", "sim12_isotropy", "sk5_heavyhitters",
     "sk17_hll_err", // the shared 1-row exact-count side of the ladder
+    "sk18_decay", // the 1-row corpus-max-day reference broadcast
     "t18_jsd",
     "t25_heaps", "t29_vocab_coverage", "t31_entropy_rate", "o61_stump",
     "pv4_tcloseness", "g3_relsub",

@@ -457,4 +457,35 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.hllErrorSweep(df, "v", Seq(3)))
   }
+
+  test("decayedCounts: hand ladder weights, recency ratio, " +
+      "beyond-ladder raise") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00")
+    // key a: 2 events at age 2, 1 event at age 0 (ref = max day)
+    // decayed = 2·0.81 + 1·1 = 2.62
+    val ev = Seq(("a", ts(1)), ("a", ts(1)), ("a", ts(3)),
+      ("b", ts(3))).toDF("k", "t")
+    val got = Sketches.decayedCounts(ev, "k", "t", decay = 0.9,
+        maxAgeDays = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L)
+    assert(a.getDouble(3) == 2.62)
+    assert(a.getDouble(4) == BigDecimal(2.62 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all activity on the reference day → ratio exactly 1
+    val b = got("b")
+    assert(b.getDouble(3) == 1.0 && b.getDouble(4) == 1.0)
+    // a span beyond the ladder must raise, not silently weight NULL
+    val ex = intercept[Exception](
+      Sketches.decayedCounts(ev, "k", "t", 0.9, maxAgeDays = 1).collect())
+    assert(String.valueOf(ex.getMessage).contains("decayedCounts") ||
+      String.valueOf(ex.getCause).contains("decayedCounts"))
+    intercept[IllegalArgumentException](
+      Sketches.decayedCounts(ev, "k", "t", decay = 1.0))
+    intercept[IllegalArgumentException](
+      Sketches.decayedCounts(ev, "k", "t", 0.9, maxAgeDays = 0))
+  }
 }

@@ -967,6 +967,71 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.restrictedMeanSurvival(subj, "grp", "t", "ev", 0L))
   }
 
+  test("adfTest: hand regression moments, perfect-fit and short-series " +
+      "guards") {
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(f"2020-01-${i}%02d")
+    // v = 0,1,0,2,0 → pairs x=[0,1,0,2], y=[1,-1,2,-2]
+    val daily = Seq(("a", d(1), 0.0), ("a", d(2), 1.0), ("a", d(3), 0.0),
+      ("a", d(4), 2.0), ("a", d(5), 0.0)).toDF("k", "day", "v")
+    val r = TimeSeries.adfTest(daily, "k", "day", "v").head
+    assert(r.getLong(1) == 4L)
+    val (n, sx, sy, sxy, sxx, syy) = (4.0, 3.0, 0.0, -5.0, 5.0, 10.0)
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val slope = num / den
+    val se2 = (deny - slope * num) / ((n - 2.0) * den)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == r6(slope))
+    assert(r.getDouble(3) == r6(slope / math.sqrt(se2)))
+    assert(r.getString(4) == "stationary") // ≈ -4.47 < -2.89
+    // a perfectly-fit alternating series has SSE 0 → stat/verdict NULL
+    val perfect = Seq(("p", d(1), 0.0), ("p", d(2), 1.0), ("p", d(3), 0.0),
+      ("p", d(4), 1.0), ("p", d(5), 0.0)).toDF("k", "day", "v")
+    val pr = TimeSeries.adfTest(perfect, "k", "day", "v").head
+    assert(!pr.isNullAt(2) && pr.isNullAt(3) && pr.isNullAt(4))
+    // 3 points = 2 pairs → everything NULL
+    val tiny = Seq(("t", d(1), 1.0), ("t", d(2), 2.0), ("t", d(3), 1.0))
+      .toDF("k", "day", "v")
+    val tr = TimeSeries.adfTest(tiny, "k", "day", "v").head
+    assert(tr.isNullAt(2) && tr.isNullAt(3))
+    intercept[IllegalArgumentException](
+      TimeSeries.adfTest(daily, "k", "day", "v", critical = 1.0))
+  }
+
+  test("spectralEntropy: matches the periodogram fold, all-zero series " +
+      "reads NULL") {
+    // two superposed cycles → power at more than one candidate period
+    val pts = Seq.tabulate(12)(i =>
+      ("a", i.toLong, (i % 3) * 2.0 + (i % 4) + 1.0)) ++
+      Seq.tabulate(12)(i => ("z", i.toLong, 0.0))
+    val df = pts.toDF("k", "di", "v")
+    val periods = Seq(2, 3, 4)
+    val got = TimeSeries.spectralEntropy(df, "k", "di", "v", periods)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // replay the same fold from the periodogram's own output
+    val pw = TimeSeries.periodogram(df.where(col("k") === "a"), "k", "di",
+        "v", periods)
+      .collect().map(r => BigDecimal(r.getDouble(5)))
+    val tot = pw.sum
+    val terms = pw.map { p =>
+      if (p > 0) BigDecimal(
+        (p.toDouble / tot.toDouble) * math.log(p.toDouble / tot.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      else BigDecimal(0)
+    }.sum
+    val expected = BigDecimal(terms.toDouble / -math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = got("a")
+    assert(a.getLong(1) == 3L && a.getDouble(3) == expected)
+    assert(a.getDouble(3) > 0.0 && a.getDouble(3) < 1.0)
+    val z = got("z")
+    assert(z.getDouble(2) == 0.0 && z.isNullAt(3))
+    intercept[IllegalArgumentException](
+      TimeSeries.spectralEntropy(df, "k", "di", "v", Seq(7)))
+  }
+
   test("maxDrawdown: hand path — peak carries, deepest trough wins, " +
       "longest underwater run counted") {
     import java.sql.Date
