@@ -1528,6 +1528,53 @@ object Features {
   }
 
   /**
+   * P361 — two-sample Anderson–Darling statistic (Scholz–Stephens
+   * k-sample form at k = 2, right-continuous ECDF variant with ties):
+   * A² = Σ_i (1/n_i) Σ_j (l_j/N)·(N·M_ij − n_i·B_j)² / (B_j(N−B_j))
+   * over the pooled distinct values (the B_j = N endpoint excluded —
+   * its weight is a 0/0), E[A²] = 1 under H₀. The third member of the
+   * [[ksTest]]/[[cvmTest]] family: KS reads the largest gap, CvM the
+   * average squared gap, AD up-weights the TAILS — the region where
+   * data drift usually starts and where the other two are least
+   * sensitive. No p-value on purpose (the o37 rule: the asymptotic
+   * machinery is iterative libm soup; compare against the
+   * Scholz–Stephens table offline).
+   *
+   * Shapes: the shared [[pooledEcdf]] scan (distinct-value window, the
+   * o37 allowlisted class; pre-bucket at 100 TB). Cross-engine: the
+   * (N·M − n·B) differences ride in DECIMAL(19,0) products (the o31
+   * widening rule — BIGINT squares cliff past N ≈ 2M), each term is
+   * ONE fixed double expression on exact-integer-valued operands,
+   * 9-rounded into DECIMAL(28,9) sums, closed at 6.
+   */
+  def andersonDarlingTest(df: DataFrame, groupCol: String,
+      valueCol: String, groupA: String, groupB: String): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val nTot = col("n_a") + col("n_b")
+    val bj = col("__cuma") + col("__cumb")
+    val lj = col("__ca") + col("__cb")
+    val da = (d19(nTot) * d19(col("__cuma")) - d19(col("n_a")) * d19(bj))
+      .cast("double")
+    val db = (d19(nTot) * d19(col("__cumb")) - d19(col("n_b")) * d19(bj))
+      .cast("double")
+    val nd = nTot.cast("double")
+    val bd = bj.cast("double")
+    val ld = lj.cast("double")
+    def term(dx: Column, nx: Column) =
+      round(ld * dx * dx / (nd * bd * (nd - bd) * nx), 9)
+        .cast("decimal(28,9)")
+    pooledEcdf(df, groupCol, valueCol, groupA, groupB)
+      .where(col("n_a") > 0 && col("n_b") > 0 && bj < nTot)
+      .select(col("n_a"), col("n_b"),
+        term(da, col("n_a").cast("double")).as("__ta"),
+        term(db, col("n_b").cast("double")).as("__tb"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_support"),
+        round(sum(col("__ta")).cast("double") +
+          sum(col("__tb")).cast("double"), 6).as("a2"))
+  }
+
+  /**
    * P333 — split-half reliability with the Spearman–Brown correction:
    * split each unit's observations by a deterministic parity, correlate
    * the half-means across units, and step the half-test correlation up

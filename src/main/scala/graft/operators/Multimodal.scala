@@ -689,6 +689,75 @@ object Multimodal {
   }
 
   /**
+   * P362 — content-defined chunking dedup audit: split every payload at
+   * rolling-hash boundaries (cut after byte i when the base-256 value
+   * of the last 4 bytes ≡ 0 mod `modulus` — expected block ≈ modulus
+   * bytes), fingerprint each block, and report per media how many of
+   * its blocks (and bytes) already exist elsewhere — the
+   * storage-dedup / delta-sync read (rsync/LBFS/backup chunking). CDC's
+   * point vs fixed-size blocks: a one-byte insert only reflows ONE
+   * block, because boundaries depend on content, not offsets — so
+   * shared substrings between media realign and dedup. Canonical owner
+   * of a fingerprint = smallest (media_id, start); everything after it
+   * counts as duplicate. Emits (media_id, n_bytes, n_blocks,
+   * dup_blocks, dup_bytes).
+   *
+   * Shapes: the hex byte replay (the adjudicated per-pixel class),
+   * media-partitioned lag + exclusive-prefix windows for block ids, a
+   * block-sized media join back to the hex string for fingerprints
+   * (md5 of the block's hex substring — replayable in any engine), one
+   * fingerprint-partitioned rank. All counts exact BIGINTs.
+   */
+  def cdcBlocks(df: DataFrame, idCol: String, bytesCol: String,
+      modulus: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(modulus >= 2 && modulus <= (1 << 20),
+      s"cdcBlocks: modulus must sit in 2..2^20, got $modulus")
+    val m = df
+      .where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      .select(col(idCol).as("media_id"),
+        lower(hex(col(bytesCol))).as("__hx"),
+        octet_length(col(bytesCol)).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0)
+    val w = Window.partitionBy(col("media_id")).orderBy(col("__i").asc)
+    val h = col("__b3") * lit(16777216L) + col("__b2") * lit(65536L) +
+      col("__b1") * lit(256L) + col("__b")
+    val flagged = m
+      .select(col("media_id"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_bytes") - 1)).as("__i"),
+        col("__hx"))
+      .withColumn("__b",
+        conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
+          .cast("long"))
+      .drop("__hx")
+      .withColumn("__b1", lag(col("__b"), 1).over(w))
+      .withColumn("__b2", lag(col("__b"), 2).over(w))
+      .withColumn("__b3", lag(col("__b"), 3).over(w))
+      .withColumn("__cut",
+        when(col("__i") >= 3 && h % modulus === 0, 1L).otherwise(0L))
+      .withColumn("__blk", coalesce(sum(col("__cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val blocks = flagged.groupBy(col("media_id"), col("__blk"))
+      .agg(min(col("__i")).as("__start"), count(lit(1)).as("__len"),
+        min(col("n_bytes")).as("n_bytes"))
+    val fp = blocks
+      .join(m.select(col("media_id"), col("__hx")).hint("shuffle_hash"),
+        Seq("media_id"))
+      .withColumn("__fp", md5(expr(
+        "substr(__hx, CAST(2 * __start + 1 AS INT), CAST(2 * __len AS INT))")))
+      .drop("__hx")
+    fp.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__fp"))
+          .orderBy(col("media_id").asc, col("__start").asc)))
+      .groupBy(col("media_id"))
+      .agg(min(col("n_bytes")).as("n_bytes"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("dup_blocks"),
+        sum(when(col("__rk") > 1, col("__len")).otherwise(0L))
+          .as("dup_bytes"))
+  }
+
+  /**
    * P357 — pairwise byte-distribution divergence between media GROUPS:
    * Jensen–Shannon divergence between each pair of groups' byte-value
    * distributions — the corpus-level "are these sources the same kind

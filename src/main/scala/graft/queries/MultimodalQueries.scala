@@ -112,6 +112,17 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P362 — content-defined chunking dedup audit (mod-13 rolling-hash
+    // cuts ≈ 13-byte blocks): measured 7,422 of 13,246 blocks /
+    // 45,528 of 149,174 bytes duplicated at the gate SF — the
+    // templated corpus's storage-dedup headroom
+    "mm17_cdc_blocks" -> ((s, dir) => {
+      val packed = Multimodal.packText(table(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.cdcBlocks(packed, "media_id", "bytes", modulus = 13)
+        .orderBy("media_id")
+    }),
+
     // P357 — pairwise byte-plane JSD between the language groups
     // (densified 256-byte grid per group; measured 1.8e-4..3.4e-4 on
     // this shared-vocabulary corpus — the honest "same byte plane,
@@ -483,6 +494,59 @@ object MultimodalQueries {
     // BIGINT moments, one IEEE sqrt
     // per-(media, byte) exact counts; each p·ln p term 6-round-ln'd
     // then 9-rounded; log₂ rescale by the shared ln 2 driver literal
+    // the hex byte replay + lag-3 rolling hash, exclusive-prefix block
+    // ids, md5 of each block's hex substring (LOWERCASE hex on both
+    // sides — fingerprints compare as strings), fingerprint rank
+    "mm17_cdc_blocks" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |b AS (
+        |  SELECT media_id, n, hx, unnest(generate_series(0, n - 1)) AS i
+        |  FROM m WHERE n > 0),
+        |v AS (
+        |  SELECT media_id, n, i,
+        |    ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS byte
+        |  FROM b),
+        |l AS (
+        |  SELECT media_id, n, i, byte,
+        |    lag(byte, 1) OVER w AS b1, lag(byte, 2) OVER w AS b2,
+        |    lag(byte, 3) OVER w AS b3
+        |  FROM v WINDOW w AS (PARTITION BY media_id ORDER BY i)),
+        |c AS (
+        |  SELECT media_id, n, i,
+        |    CASE WHEN i >= 3 AND (b3 * 16777216 + b2 * 65536 +
+        |      b1 * 256 + byte) % 13 = 0 THEN 1 ELSE 0 END AS cut
+        |  FROM l),
+        |k AS (
+        |  SELECT media_id, n, i,
+        |    CAST(coalesce(SUM(cut) OVER (PARTITION BY media_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS blk
+        |  FROM c),
+        |blocks AS (
+        |  SELECT media_id, blk, CAST(MIN(i) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS len, CAST(MIN(n) AS BIGINT) AS nn
+        |  FROM k GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT blocks.media_id, blocks.nn, blocks.len, blocks.s,
+        |    md5(substr(m.hx, CAST(2 * blocks.s + 1 AS INT),
+        |      CAST(2 * blocks.len AS INT))) AS f
+        |  FROM blocks JOIN m ON m.media_id = blocks.media_id),
+        |rk AS (
+        |  SELECT media_id, nn, len,
+        |    row_number() OVER (PARTITION BY f ORDER BY media_id, s) AS r
+        |  FROM fp)
+        |SELECT media_id, CAST(MIN(nn) AS BIGINT) AS n_bytes,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN r > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_blocks,
+        |  CAST(SUM(CASE WHEN r > 1 THEN len ELSE 0 END) AS BIGINT)
+        |    AS dup_bytes
+        |FROM rk GROUP BY 1 ORDER BY media_id""".stripMargin,
+
     // the hex byte replay per lang, densified over generate_series(0,255),
     // byte-keyed pair join (lang_a < lang_b), t18's 9-rounded
     // DECIMAL(28,9) JSD terms

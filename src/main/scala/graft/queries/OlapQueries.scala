@@ -1602,6 +1602,15 @@ object OlapQueries {
         "l_returnflag", "l_extendedprice", groupA = "R", groupB = "N")
     }),
 
+    // P361 — two-sample Anderson–Darling on the SAME pair the o37 KS
+    // and o106 CvM read: the tail-weighted member of the family
+    // (E[A²] = 1 under H₀)
+    "o116_anderson" -> ((s, dir) => {
+      graft.operators.Features.andersonDarlingTest(
+        table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        groupA = "R", groupB = "N")
+    }),
+
     // P330 — spend-quintile migration H1 → H2 (cut 1998-05-01, the
     // corpus midpoint): the customer-value transition matrix behind
     // "are my best customers staying my best customers"
@@ -7142,6 +7151,58 @@ object OlapQueries {
 
     // the o37 pooled-ECDF CTEs; per-value (ca+cb)·gap² terms 9-rounded
     // through DECIMAL(28,9), one closing factor
+    // the o106 pooled-ECDF chain; (N·M − n·B) in DECIMAL(19,0)
+    // products, one fixed double expression per term, 9-rounded
+    // DECIMAL(28,9) sums; the B = N endpoint excluded (0/0 weight)
+    "o116_anderson" ->
+      """WITH d AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),
+        |counts AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM d),
+        |cum AS (
+        |  SELECT ca, cb,
+        |    CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cumb
+        |  FROM counts),
+        |t AS (
+        |  SELECT tot.n_a, tot.n_b,
+        |    CAST(ca + cb AS DOUBLE) AS ld,
+        |    CAST(n_a + n_b AS DOUBLE) AS nd,
+        |    CAST(cuma + cumb AS DOUBLE) AS bd,
+        |    CAST(CAST(n_a + n_b AS DECIMAL(19,0)) *
+        |        CAST(cuma AS DECIMAL(19,0)) -
+        |      CAST(n_a AS DECIMAL(19,0)) *
+        |        CAST(cuma + cumb AS DECIMAL(19,0)) AS DOUBLE) AS da,
+        |    CAST(CAST(n_a + n_b AS DECIMAL(19,0)) *
+        |        CAST(cumb AS DECIMAL(19,0)) -
+        |      CAST(n_b AS DECIMAL(19,0)) *
+        |        CAST(cuma + cumb AS DECIMAL(19,0)) AS DOUBLE) AS db
+        |  FROM cum, tot
+        |  WHERE n_a > 0 AND n_b > 0 AND cuma + cumb < n_a + n_b),
+        |terms AS (
+        |  SELECT n_a, n_b,
+        |    CAST(round(ld * da * da / (nd * bd * (nd - bd) *
+        |      CAST(n_a AS DOUBLE)), 9) AS DECIMAL(28,9)) AS ta,
+        |    CAST(round(ld * db * db / (nd * bd * (nd - bd) *
+        |      CAST(n_b AS DOUBLE)), 9) AS DECIMAL(28,9)) AS tb
+        |  FROM t)
+        |SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_support,
+        |  round(CAST(SUM(ta) AS DOUBLE) + CAST(SUM(tb) AS DOUBLE), 6)
+        |    AS a2
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
     "o106_cvm" ->
       """WITH d AS (
         |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_extendedprice AS v

@@ -208,6 +208,7 @@ object PlanFactsSpec {
     // semantics; each operator scaladoc names the at-scale fallback
     "o15_mannwhitney", "o70_wilcoxon", "o75_kruskal", "o17_spearman",
     "o37_ks", "o106_cvm", // the o37 pooled-ECDF scan, integrated
+    "o116_anderson", // the same pooled-ECDF scan, tail-weighted
     "sa8_weighted",
     "sim13_hubness", // capped top-10 rank window (the zipf idiom)
     "pv4_tcloseness", "t19_zipf", "t25_heaps", "q12_paths", "o24_movers",
@@ -257,6 +258,7 @@ object PlanFactsSpec {
     "o65_strata", "o66_lorenz", "o67_acf", "o68_cuped_gain", "o69_by_fdr",
     "o70_wilcoxon", "o71_mcc", "o75_kruskal", "o76_cochranq",
     "o77_cronbach", "o92_mood", "o95_kendallw", "o106_cvm",
+    "o116_anderson",
     "pipe12_mixture", "pipe15_ab_readout", "pv5_pseudonym", "q10_rfm",
     "q19_steadystate", "q20_churn", "q22_stickiness", "q24_logrank",
     "q25_growth", "q29_littleslaw", "q30_decile_migration",

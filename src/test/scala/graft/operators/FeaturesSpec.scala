@@ -1584,6 +1584,31 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Features.grubbs(df, "k", "v", "id", 0.0))
   }
 
+  test("andersonDarlingTest: hand pooled-ECDF terms land on E[A2] = 1") {
+    import spark.implicits._
+    // A = {1, 2}, B = {2, 3}: N = 4, pooled values 1, 2 contribute
+    // (value 3 has B = N, excluded); every term is 4/24 or 8/24 and the
+    // 9-rounded sum closes at exactly 1.0 — the H0 expectation
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Features.andersonDarlingTest(df, "g", "v", "a", "b").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L) // support values with B < N
+    assert(r.getDouble(3) == 1.0)
+    // disjoint supports: hand terms 4·(1/6) + 2·(1/2) → 1.666667, the
+    // n=2 separation maximum — above the H0 expectation
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0))
+      .toDF("g", "v")
+    val s = Features.andersonDarlingTest(sep, "g", "v", "a", "b").head
+    assert(s.getDouble(3) == 1.666667)
+    // a single shared pooled value is all endpoint (B = N) → no usable
+    // support, the frame is honestly empty (matches the oracle's GROUP
+    // BY over zero term rows)
+    val same = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Features.andersonDarlingTest(same, "g", "v", "a", "b")
+      .collect().isEmpty)
+  }
+
   test("paretoCut: exact bar crossings, tie order, negative guard") {
     import spark.implicits._
     // entity totals 50, 30, 20: p50 crosses at rank 1 (cum 50 ≥ 50),

@@ -407,6 +407,30 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.zeroCrossingRate(packed, "media_id", "bytes", 0))
   }
 
+  test("cdcBlocks: identical payloads dedup block-for-block, disjoint " +
+      "payloads don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "ZZZZ QQQQ XXXX VVVV KKKK")).toDF("id", "t")
+    val packed = Multimodal.packText(docs, "id", "t")
+    val got = Multimodal.cdcBlocks(packed, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val (m1, m2, m3) = (got(1L), got(2L), got(3L))
+    // same content → same boundaries → same block count
+    assert(m1.getLong(2) == m2.getLong(2))
+    // media 1 owns every fingerprint (smaller id), media 2 is all dup
+    assert(m1.getLong(3) == 0L && m1.getLong(4) == 0L)
+    assert(m2.getLong(3) == m2.getLong(2))
+    assert(m2.getLong(4) == m2.getLong(1)) // every byte deduplicable
+    // disjoint character set shares nothing
+    assert(m3.getLong(3) == 0L && m3.getLong(4) == 0L)
+    // block lengths partition the payload
+    assert(m1.getLong(1) == 59L)
+    intercept[IllegalArgumentException](
+      Multimodal.cdcBlocks(packed, "media_id", "bytes", modulus = 1))
+  }
+
   test("byteDistributionJsd: hand distributions, zero-count guard, " +
       "identical groups read 0") {
     val docs = Seq((1L, "aa", "ga"), (2L, "ab", "gb"), (3L, "aa", "gc"))
