@@ -38,6 +38,33 @@ object Similarity {
   }
 
   /**
+   * P363 helper — exact squared-L2 top-k (the metric PQ's ADC tables
+   * approximate; [[bruteForceTopK]] is the cosine twin): |c−q|² via the
+   * three-dot identity c·c + q·q − 2·c·q, each dot the ascending-order
+   * compiled fold, ranked on the 6-rounded distance with an id
+   * tie-break. Same shapes as the cosine brute pass (broadcast query
+   * cross join, query-partitioned rank).
+   */
+  def l2BruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"l2BruteTopK: k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val dist = round(dotProduct(col("v"), col("v")) +
+      dotProduct(col("qv"), col("qv")) -
+      lit(2.0) * dotProduct(col("v"), col("qv")), 6)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"), dist.as("l2sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2sq").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
    * IVF index: assign every corpus vector to its nearest centroid.
    * Centroids are any small deterministic sample (a k-means refinement can
    * replace them without touching the search path). Returns the corpus
@@ -277,15 +304,44 @@ object Similarity {
         sizes.getInt(0) >= 1,
       "sqQuantize: vectors must share one non-zero dimensionality " +
         s"(saw sizes ${if (sizes.isNullAt(0)) "none" else s"${sizes.getInt(0)}..${sizes.getInt(1)}"})")
+    val (mins, maxs) = sqStats(corpus, vecCol)
+    corpus.select(col(idCol).as("id"),
+      exprCol(graft.expressions.SqEncodeExpr(
+        colExpr(col(vecCol).cast("array<double>")), mins, maxs)).as("codes"))
+  }
+
+  /** The per-dimension corpus extrema [[sqQuantize]] trains on — ONE
+    * definition so the encoder and [[sqDecode]] cannot disagree on the
+    * grid (the dailyMeans dedup rule). Driver-collected: the stats
+    * frame is dimension-count-sized. */
+  private def sqStats(corpus: DataFrame,
+      vecCol: String): (Array[Double], Array[Double]) = {
     val stats = corpus
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
       .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy("d").collect()
-    val mins = stats.map(_.getDouble(1))
-    val maxs = stats.map(_.getDouble(2))
-    corpus.select(col(idCol).as("id"),
-      exprCol(graft.expressions.SqEncodeExpr(
-        colExpr(col(vecCol).cast("array<double>")), mins, maxs)).as("codes"))
+    (stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
+  }
+
+  /**
+   * P363 helper — decode [[sqQuantize]]'s int8 codes back to vectors
+   * (x̂_i = mn_i + code_i·(mx_i − mn_i)/255, the sim14 recon sequence):
+   * what an SQ-backed index actually searches over. A stateless
+   * compiled projection — the extrema ride in as literal arrays, no
+   * join, no shuffle.
+   */
+  def sqDecode(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val clean = corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val (mins, maxs) = sqStats(clean, vecCol)
+    val minsA = array(mins.map(lit).toIndexedSeq: _*)
+    val maxsA = array(maxs.map(lit).toIndexedSeq: _*)
+    sqQuantize(clean, idCol, vecCol)
+      .select(col("id"), transform(col("codes"), (c, i) =>
+        element_at(minsA, i + 1) +
+          (c.cast("double") *
+            (element_at(maxsA, i + 1) - element_at(minsA, i + 1))) /
+          lit(255.0)).as("v"))
   }
 
   /**
@@ -333,6 +389,39 @@ object Similarity {
         round(col("__sse").cast("double") / col("n").cast("double"), 9)
           .as("mse"),
         col("max_abs_err"))
+  }
+
+  /**
+   * P363 — quantizer recall head-to-head: exact squared-L2 top-k as
+   * ground truth, then the SAME queries through (a) PQ codes searched
+   * by ADC lookup tables and (b) int8 SQ reconstructions searched
+   * exactly — recall@k per (method, query). The decision table behind
+   * "which quantizer do I build the billion-vector index on": sim14
+   * measures SQ's per-dim reconstruction loss, this measures what both
+   * losses DO to retrieval, on one metric, against one truth. All
+   * three rankings are deterministic replays (the sim1/sim5/sim7-proven
+   * chains), so the recall counts are exact integers.
+   *
+   * Shapes: three broadcast-query brute/ADC passes (each the
+   * adjudicated query-vector broadcast class) + two id-set joins.
+   */
+  def quantizerRecallCompare(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int,
+      kCodes: Int): DataFrame = {
+    val truth = l2BruteTopK(corpus, queries, idCol, vecCol, k)
+    val (books, dsub) = pqCodebooks(corpus, idCol, vecCol, m, kCodes)
+    val codes = pqEncode(corpus, books, dsub, idCol, vecCol)
+    val pq = pqAdcTopK(codes, queries, books, dsub, idCol, vecCol, k)
+    val sq = l2BruteTopK(
+      sqDecode(corpus, idCol, vecCol)
+        .select(col("id").as(idCol), col("v").as(vecCol)),
+      queries, idCol, vecCol, k)
+    recallAtK(truth, pq, "query_id", "id", k)
+      .select(lit("pq_adc").as("method"), col("query_id"),
+        col("n_match"), col("recall"))
+      .unionByName(recallAtK(truth, sq, "query_id", "id", k)
+        .select(lit("sq_int8").as("method"), col("query_id"),
+          col("n_match"), col("recall")))
   }
 
   /**

@@ -195,6 +195,20 @@ object SimilarityQueries {
         .orderBy("vec_id", "pos")
     }),
 
+    // P363 — PQ-ADC vs int8-SQ recall@5 against exact squared-L2 truth
+    // for the sim9 query set: the "which quantizer" decision table
+    // (sim14 measures SQ's recon loss; this measures what both losses
+    // DO to retrieval). Measured: the untrained 16-entry codebook's
+    // ADC recalls 0.16-0.22 while int8 SQ recalls 1.0 — 8×8-dim
+    // subquantizers at iters=0 destroy retrieval on this corpus, int8
+    // is retrieval-lossless
+    "sim15_quantizer_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.quantizerRecallCompare(e, e.where(col("vec_id") < 10),
+          "vec_id", "v", k = 5, m = 8, kCodes = 16)
+        .orderBy("method", "query_id")
+    }),
+
     // P105 — recall@5 of the IVF index against brute-force ground truth
     // for the same 10 query vectors: both rankings replay bit-exactly
     // (sim1/sim2), so the intersection counts are deterministic; this
@@ -507,6 +521,108 @@ object SimilarityQueries {
     // accumulation order; a plain SUM would be order-nondeterministic in
     // its last ulp). Ranks on the ROUNDED distance with id tie-break on
     // both sides
+    // exact squared-L2 truth (three ascending-order dot folds), the
+    // sim5 ADC chain and the sim7 decode chain replayed for the SAME
+    // queries, then two id-set recall joins — every count exact
+    "sim15_quantizer_recall" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |tr AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(
+        |          list_reduce(list_prepend(0.0, [c.v[i] * c.v[i]
+        |            FOR i IN range(1, 65)]), (a, b) -> a + b) +
+        |          list_reduce(list_prepend(0.0, [q.v[i] * q.v[i]
+        |            FOR i IN range(1, 65)]), (a, b) -> a + b) -
+        |          2.0e0 * list_reduce(list_prepend(0.0, [c.v[i] * q.v[i]
+        |            FOR i IN range(1, 65)]), (a, b) -> a + b), 6) ASC,
+        |        c.vec_id ASC) AS rank
+        |    FROM e c JOIN q ON c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |books AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v AS bv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |enc_d AS (
+        |  SELECT t.vec_id, m.m, b.code,
+        |    list_reduce(list_prepend(0.0,
+        |      [(t.v[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)]) *
+        |       (t.v[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)])
+        |       FOR i IN range(1, 9)]), (a, x) -> a + x) AS d
+        |  FROM e t CROSS JOIN range(8) m(m) CROSS JOIN books b),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                              ORDER BY d ASC, code ASC) AS rn
+        |    FROM enc_d) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT q.vec_id AS query_id, m.m, b.code,
+        |    list_reduce(list_prepend(0.0,
+        |      [(q.v[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)]) *
+        |       (q.v[CAST(m.m * 8 + i AS INT)] - b.bv[CAST(m.m * 8 + i AS INT)])
+        |       FOR i IN range(1, 9)]), (a, x) -> a + x) AS d
+        |  FROM q CROSS JOIN range(8) m(m) CROSS JOIN books b),
+        |tot AS (
+        |  SELECT t.query_id, c.vec_id AS id,
+        |         list_reduce(list_prepend(0.0, list(t.d ORDER BY t.m)),
+        |                     (a, x) -> a + x) AS dtot
+        |  FROM enc c JOIN qtab t ON t.m = c.m AND t.code = c.code
+        |  GROUP BY t.query_id, c.vec_id),
+        |pq AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT query_id, id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY ROUND(dtot, 6) ASC, id ASC) AS rank
+        |    FROM tot WHERE query_id <> id)
+        |  WHERE rank <= 5),
+        |dims AS (
+        |  SELECT d.d, min(e.v[d.d + 1]) AS mn, max(e.v[d.d + 1]) AS mx
+        |  FROM e CROSS JOIN range(64) d(d) GROUP BY 1),
+        |sr AS (
+        |  SELECT e.vec_id, m.d,
+        |    m.mn + (CAST(CASE WHEN m.mx - m.mn = 0 THEN 0
+        |      ELSE CAST(least(greatest(
+        |        floor((e.v[m.d + 1] - m.mn) * 255.0e0 / (m.mx - m.mn)
+        |          + 0.5e0), 0.0e0), 255.0e0) AS INT)
+        |    END AS DOUBLE) * (m.mx - m.mn)) / 255.0e0 AS r
+        |  FROM e CROSS JOIN dims m),
+        |rl AS (SELECT vec_id, list(r ORDER BY d) AS rv FROM sr GROUP BY 1),
+        |sq AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(
+        |          list_reduce(list_prepend(0.0, [c.rv[i] * c.rv[i]
+        |            FOR i IN range(1, 65)]), (a, b) -> a + b) +
+        |          list_reduce(list_prepend(0.0, [q.v[i] * q.v[i]
+        |            FOR i IN range(1, 65)]), (a, b) -> a + b) -
+        |          2.0e0 * list_reduce(list_prepend(0.0, [c.rv[i] * q.v[i]
+        |            FOR i IN range(1, 65)]), (a, b) -> a + b), 6) ASC,
+        |        c.vec_id ASC) AS rank
+        |    FROM rl c JOIN q ON c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |qs AS (SELECT DISTINCT query_id FROM tr),
+        |pm AS (SELECT tr.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+        |       FROM tr JOIN pq ON pq.query_id = tr.query_id
+        |         AND pq.id = tr.id GROUP BY 1),
+        |sm AS (SELECT tr.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+        |       FROM tr JOIN sq ON sq.query_id = tr.query_id
+        |         AND sq.id = tr.id GROUP BY 1)
+        |SELECT 'pq_adc' AS method, qs.query_id,
+        |  CAST(coalesce(pm.n_match, 0) AS BIGINT) AS n_match,
+        |  round(CAST(coalesce(pm.n_match, 0) AS DOUBLE) / 5.0e0, 6)
+        |    AS recall
+        |FROM qs LEFT JOIN pm USING (query_id)
+        |UNION ALL
+        |SELECT 'sq_int8' AS method, qs.query_id,
+        |  CAST(coalesce(sm.n_match, 0) AS BIGINT) AS n_match,
+        |  round(CAST(coalesce(sm.n_match, 0) AS DOUBLE) / 5.0e0, 6)
+        |    AS recall
+        |FROM qs LEFT JOIN sm USING (query_id)
+        |ORDER BY method, query_id""".stripMargin,
+
     "sim5_adc_topk" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
         |books AS (

@@ -283,6 +283,7 @@ object PlanFactsSpec {
     // codebook/centroid/query-vector sides (ANN audit frames)
     "sim1_brute_topk", "sim2_ivf_topk", "sim9_recall", "sim11_silhouette",
     "sim13_hubness",
+    "sim15_quantizer_recall", // the sim1/sim5 broadcast-query passes ×3
     // metadata-sized band/file/cell frames joined on range intersection
     // (zone-map bands, range-balance buckets, sketch cell unions,
     // boundary frames) — both sides file/cell-count-sized at any scale

@@ -436,4 +436,37 @@ class SimilaritySpec extends SparkSpec {
     val d1 = got(1)
     assert(d1.getDouble(4) == 0.0 && d1.getDouble(5) == 0.0)
   }
+
+  test("l2BruteTopK: squared-L2 order with id tie-break") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(0.0, 0.0)), (2L, Array(3.0, 4.0)),
+      (3L, Array(1.0, 0.0)), (4L, Array(0.0, 1.0))).toDF("id", "v")
+    val q = corpus.where(col("id") === 1L)
+    val got = Similarity.l2BruteTopK(corpus, q, "id", "v", k = 3)
+      .orderBy("rank").collect()
+    // distances from origin: id3 → 1, id4 → 1 (tie → smaller id), id2 → 25
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 4L, 2L))
+    assert(got.map(_.getDouble(2)).toSeq == Seq(1.0, 1.0, 25.0))
+    intercept[IllegalArgumentException](
+      Similarity.l2BruteTopK(corpus, q, "id", "v", 0))
+  }
+
+  test("quantizerRecallCompare: SQ on an endpoint grid is " +
+      "retrieval-lossless; shapes and bounds hold") {
+    import spark.implicits._
+    // 16+ vectors (the codebook floor) on a 0/1 endpoint grid — SQ
+    // decodes endpoints exactly, so its recall MUST be 1.0
+    val corpus = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => if (((i >> d) & 1L) == 1L) 1.0 else 0.0))
+    }.toDF("id", "v")
+    val q = corpus.where(col("id") < 2L)
+    val got = Similarity.quantizerRecallCompare(corpus, q, "id", "v",
+      k = 3, m = 4, kCodes = 16).collect()
+    assert(got.length == 4) // 2 methods × 2 queries
+    val sq = got.filter(_.getString(0) == "sq_int8")
+    assert(sq.forall(_.getDouble(3) == 1.0))
+    val pq = got.filter(_.getString(0) == "pq_adc")
+    assert(pq.length == 2 &&
+      pq.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
 }
