@@ -1605,6 +1605,40 @@ object TextAnalysis {
   }
 
   /**
+   * P365 — keyword-in-context (concordance) extraction: every
+   * occurrence of `term` with its ±`window` token neighborhoods — the
+   * audit view behind every content filter (WHAT does 'dup' actually
+   * look like in this corpus before I blocklist it; what surrounds the
+   * PII the redactor hit). Emits (id, pos, term, left_ctx, right_ctx);
+   * contexts clamp at document edges (empty string, not NULL — an
+   * edge hit HAS an empty side).
+   *
+   * Shapes: one token explode collapsed by the term filter, contexts
+   * via compiled array slices of the carried token list — corpus-linear,
+   * no joins, no windows.
+   */
+  def keywordInContext(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, term: String,
+      window: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && window <= 32,
+      s"keywordInContext: window must sit in 1..32, got $window")
+    val t = term.toLowerCase.trim
+    require(t.nonEmpty, "keywordInContext: blank term")
+    val leftStart0 = greatest(col("pos") - window, lit(0))
+    docs.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__l"))
+      .select(col("id"), col("__l"),
+        posexplode(col("__l")).as(Seq("pos", "__w")))
+      .where(col("__w") === t)
+      .select(col("id"), col("pos"), lit(t).as("term"),
+        array_join(slice(col("__l"), leftStart0 + 1,
+          col("pos") - leftStart0), " ").as("left_ctx"),
+        array_join(slice(col("__l"), col("pos") + 2,
+          least(lit(window), size(col("__l")) - col("pos") - 1)), " ")
+          .as("right_ctx"))
+  }
+
+  /**
    * P354 — vocabulary-richness panel per document: the frequency
    * spectrum V_i (how many words occur exactly i times) folded into the
    * classic size-robust richness measures — Yule's K = 10⁴(Σi²V_i − N)/N²

@@ -2057,6 +2057,47 @@ object TimeSeries {
   }
 
   /**
+   * P364 — Engle–Granger cointegration test per series pair: fit the
+   * long-run level relation y = α + βx by OLS, then run the P358
+   * Dickey–Fuller test on its RESIDUALS — two trending series are
+   * cointegrated when some combination of their LEVELS is stationary,
+   * the condition under which a levels regression isn't spurious and a
+   * spread/pairs strategy mean-reverts. The levels complement of the
+   * o86 Granger read (which works on lags and says nothing about
+   * long-run equilibrium). Critical ≈ −3.34 (5% EG point, two
+   * variables with intercept, a driver literal).
+   *
+   * Cross-engine: the o11 olsFit and P358 adfTest disciplines
+   * composed UNCHANGED (α/β are their 6-rounded outputs, residuals
+   * round at 6 before the ADF's DECIMAL casts — the pipe1 rule:
+   * composition of verified stages replays stage by stage). Shapes:
+   * the two stage aggs + one pair-keyed scalar join back.
+   */
+  def engleGranger(pairs: DataFrame, keyCol: String, ordCol: String,
+      xCol: String, yCol: String, critical: Double = -3.34): DataFrame = {
+    require(critical < 0,
+      s"engleGranger: critical must be < 0, got $critical")
+    val fit = graft.operators.Features.olsFit(pairs, keyCol, xCol, yCol)
+      .select(col(keyCol), col("slope").as("beta"),
+        col("intercept").as("alpha"))
+    val resid = pairs
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .join(fit.hint("shuffle_hash"), Seq(keyCol))
+      .where(col("beta").isNotNull && col("alpha").isNotNull)
+      .select(col(keyCol), col(ordCol),
+        round(col(yCol) - (col("alpha") + col("beta") * col(xCol)), 6)
+          .as("__r"))
+    adfTest(resid, keyCol, ordCol, "__r", critical)
+      .select(col(keyCol), col("n"), col("df_stat"),
+        when(col("verdict") === "stationary", lit("cointegrated"))
+          .otherwise(when(col("verdict").isNotNull,
+            lit("no_cointegration"))).as("verdict"))
+      .join(fit.hint("shuffle_hash"), Seq(keyCol))
+      .select(col(keyCol), col("n"), col("beta"), col("alpha"),
+        col("df_stat"), col("verdict"))
+  }
+
+  /**
    * P359 — spectral entropy over the P313 periodogram: normalize the
    * candidate-period powers to a distribution and read its Shannon
    * entropy scaled by ln(#periods) — a series with ONE dominant cycle

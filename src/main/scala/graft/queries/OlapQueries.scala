@@ -1106,6 +1106,18 @@ object OlapQueries {
         .orderBy("series", "direction")
     }),
 
+    // P364 — Engle–Granger cointegration on the o86 series pairs: is
+    // the LEVEL relation y = α + βx stationary in its residuals (the
+    // long-run-equilibrium read Granger's lag test cannot give)
+    "o117_coint" -> ((s, dir) => {
+      graft.operators.TimeSeries.engleGranger(
+          dailyPairFrame(s, dir, "click", "purchase")
+            .unionByName(dailyPairFrame(s, dir, "view", "signup"))
+            .withColumnRenamed("pair", "series"),
+          "series", "day", "x", "y")
+        .orderBy("series")
+    }),
+
     // P291 — Ljung–Box whiteness test at h=7 on the per-type daily
     // means: is there ANY serial structure in the first week of lags
     // (o78's DW sees only lag 1)
@@ -5372,6 +5384,87 @@ object OlapQueries {
 
     // two direction branches over one day-paired frame, the o11-style
     // nine-moment agg, closed-form two-regressor SSEs, one F closing
+    // the o11 olsFit chain on the pair levels, residuals 6-rounded with
+    // the FIT'S rounded α/β, then the o114 ADF chain partitioned by
+    // series at the EG critical −3.34
+    "o117_coint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT 'click~purchase' AS series, a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'view~signup' AS series, a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day
+        |  WHERE a.event_type = 'view' AND b.event_type = 'signup'),
+        |m AS (
+        |  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS sxx
+        |  FROM wide WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        |fit AS (
+        |  SELECT series,
+        |    CASE WHEN den > 0 THEN round(num / den, 6) END AS beta,
+        |    CASE WHEN den > 0 THEN
+        |      round((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6)
+        |    END AS alpha
+        |  FROM (SELECT series, n, sx, sy,
+        |          CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |          CAST(n AS DOUBLE) * sxx - sx * sx AS den FROM m)),
+        |res AS (
+        |  SELECT wide.series, wide.day,
+        |    round(wide.y - (fit.alpha + fit.beta * wide.x), 6) AS r
+        |  FROM wide JOIN fit ON fit.series = wide.series
+        |  WHERE wide.x IS NOT NULL AND wide.y IS NOT NULL
+        |    AND fit.beta IS NOT NULL AND fit.alpha IS NOT NULL),
+        |l AS (
+        |  SELECT series, CAST(r AS DECIMAL(18,6)) AS cv,
+        |    CAST(lag(r) OVER (PARTITION BY series ORDER BY day)
+        |      AS DECIMAL(18,6)) AS pv
+        |  FROM res),
+        |b AS (
+        |  SELECT series, pv AS x, CAST(cv - pv AS DECIMAL(18,6)) AS y
+        |  FROM l WHERE pv IS NOT NULL),
+        |s AS (
+        |  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT series, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM s),
+        |f AS (
+        |  SELECT series, n, den, num / den AS slope,
+        |    (deny - (num / den) * num) /
+        |      ((CAST(n AS DOUBLE) - 2.0e0) * den) AS se2
+        |  FROM c),
+        |adf AS (
+        |  SELECT series, n,
+        |    CASE WHEN n > 2 AND den > 0 AND se2 > 0
+        |      THEN round(slope / sqrt(se2), 6) END AS df_stat,
+        |    CASE WHEN n > 2 AND den > 0 AND se2 > 0 THEN
+        |      CASE WHEN round(slope / sqrt(se2), 6) < -3.34e0
+        |        THEN 'cointegrated' ELSE 'no_cointegration' END
+        |    END AS verdict
+        |  FROM f)
+        |SELECT adf.series, adf.n, fit.beta, fit.alpha, adf.df_stat,
+        |  adf.verdict
+        |FROM adf JOIN fit ON fit.series = adf.series
+        |ORDER BY adf.series""".stripMargin,
+
     "o86_granger" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

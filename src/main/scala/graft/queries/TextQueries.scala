@@ -268,6 +268,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P365 — keyword-in-context for 'dup' (±3 tokens, ~26 occurrences
+    // across ~25 docs): the audit view a blocklist decision reads
+    // before dropping documents on a term
+    "t41_kwic" -> ((s, dir) => {
+      TextAnalysis.keywordInContext(table(s, dir, "documents"),
+          "doc_id", "text", term = "dup", window = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "pos")
+    }),
+
     // P354 — vocabulary-richness panel per doc: Yule's K, Sichel S,
     // hapax share, TTR from the exact per-doc frequency spectrum (the
     // ~31-word shared vocabulary makes K the discriminating signal —
@@ -973,6 +983,30 @@ object TextQueries {
         |  coalesce(h.n_hits, 0) <= 2 AS kept
         |FROM toks LEFT JOIN h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // positions via a filtered 1-based comprehension, contexts as
+    // inclusive list slices clamped at the edges; an out-of-range
+    // DuckDB slice reads NULL where Spark's zero-length slice reads
+    // [] — coalesce pins the '' empty-side contract
+    "t41_kwic" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, toks,
+        |    unnest([i FOR i IN range(1, len(toks) + 1)
+        |            IF toks[CAST(i AS INT)] = 'dup']) AS pos1
+        |  FROM d)
+        |SELECT doc_id, CAST(pos1 - 1 AS INT) AS pos, 'dup' AS term,
+        |  coalesce(array_to_string(toks[GREATEST(CAST(pos1 - 3 AS INT), 1):
+        |    CAST(pos1 - 1 AS INT)], ' '), '') AS left_ctx,
+        |  coalesce(array_to_string(toks[CAST(pos1 + 1 AS INT):
+        |    LEAST(CAST(pos1 + 3 AS INT), CAST(len(toks) AS INT))], ' '), '')
+        |    AS right_ctx
+        |FROM p ORDER BY doc_id, pos""".stripMargin,
 
     // exact (doc, word) counts → frequency spectrum → the four richness
     // folds, each ONE double expression on identical integer operands

@@ -829,6 +829,25 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.dunningG2(docs, "t", 0L, 5))
   }
 
+  test("keywordInContext: edge clamping, multiple hits, case folding") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HIT alpha beta gamma delta hit epsilon"),
+      (2L, "one two three hit")).toDF("id", "t")
+    val got = TextAnalysis.keywordInContext(docs, "id", "t", "hit",
+        window = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(3), r.getString(4)))).toMap
+    assert(got((1L, 0)) == (("", "alpha beta")))       // doc start
+    assert(got((1L, 5)) == (("gamma delta", "epsilon")))
+    assert(got((2L, 3)) == (("two three", "")))        // doc end
+    assert(got.size == 3)
+    intercept[IllegalArgumentException](
+      TextAnalysis.keywordInContext(docs, "id", "t", "  "))
+    intercept[IllegalArgumentException](
+      TextAnalysis.keywordInContext(docs, "id", "t", "hit", 0))
+  }
+
   test("vocabularyRichness: hand spectrum — K, S, hapax, TTR") {
     import spark.implicits._
     // doc 1: a a a b b c → V1=1(c) V2=1(b) V3(a); N=6, V=3

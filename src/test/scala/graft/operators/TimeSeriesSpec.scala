@@ -967,6 +967,34 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.restrictedMeanSurvival(subj, "grp", "t", "ev", 0L))
   }
 
+  test("engleGranger: recovers the level relation exactly and its ADF " +
+      "stat is the adfTest of the residuals") {
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(f"2020-01-${i}%02d")
+    // y = 2x + 1 plus a ±0.5 wobble in the x-ORTHOGONAL, zero-sum
+    // pattern (+,−,−,+) — so OLS recovers beta = 2, alpha = 1 exactly
+    // and the residuals ARE the wobble
+    val wob = Seq(0.5, -0.5, -0.5, 0.5, 0.5, -0.5, -0.5, 0.5)
+    val pts = wob.zipWithIndex.map { case (w, i) =>
+      ("p", d(i + 1), (i + 1).toDouble, 2.0 * (i + 1) + 1.0 + w)
+    }.toDF("k", "day", "x", "y")
+    val r = TimeSeries.engleGranger(pts, "k", "day", "x", "y",
+      critical = -2.0).head
+    assert(r.getLong(1) == 7L)           // 8 residuals → 7 lag pairs
+    assert(r.getDouble(2) == 2.0)        // beta recovers the relation
+    assert(r.getDouble(3) == 1.0)        // alpha
+    // composition contract: the stat IS adfTest on the residual series
+    val resid = wob.zipWithIndex.map { case (w, i) => ("p", d(i + 1), w) }
+      .toDF("k", "day", "r")
+    val adf = TimeSeries.adfTest(resid, "k", "day", "r", critical = -2.0)
+      .head
+    assert(r.getDouble(4) == adf.getDouble(3))
+    assert((r.getString(5) == "cointegrated") ==
+      (adf.getString(4) == "stationary"))
+    intercept[IllegalArgumentException](
+      TimeSeries.engleGranger(pts, "k", "day", "x", "y", 1.0))
+  }
+
   test("adfTest: hand regression moments, perfect-fit and short-series " +
       "guards") {
     import java.sql.Date
