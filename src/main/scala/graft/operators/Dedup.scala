@@ -1138,4 +1138,41 @@ object Dedup {
             .as("recall"))
     }.reduce(_.unionByName(_))
   }
+
+  /**
+   * P367 — dedup growth curve: exact-duplicate rate over NESTED
+   * portable-hash subsets of the corpus ([[Sampling.hashBucket]] < k
+   * for k = 1..buckets) — the measured "duplication grows with scale"
+   * read behind capacity planning: a random sample scatters each dup
+   * group's copies across subsets, so the small subset sees mostly
+   * singletons and the dup rate RISES toward the full-corpus rate as
+   * the sample grows — a savings estimate from a sample UNDERSTATES
+   * full-scale savings. The subset key must be a HASH of the id, not
+   * id arithmetic: a modular key that correlates with the dup-group
+   * construction keeps whole groups together and flattens the curve
+   * (measured — id%4 on this corpus reads a constant 0.8 at every
+   * subset). One row per subset: (subset_pct, n_docs, n_distinct,
+   * dup_rate). Distinctness is on the raw text, mirroring
+   * [[exactDedup]]'s grouping key; at 100 TB swap the text for its
+   * fingerprint — same curve, bounded shuffle width.
+   *
+   * Shapes: one map-side-combinable count-distinct agg per subset (the
+   * subsets nest, but each agg scans its own filtered slice — k scans
+   * of a k-step curve; no windows, no joins).
+   */
+  def dedupGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"dedupGrowthCurve: buckets must sit in 2..100, got $buckets")
+    val base = docs.where(col(idCol).isNotNull && col(textCol).isNotNull)
+    (1 to buckets).map { k =>
+      base.where(Sampling.hashBucket(col(idCol), buckets) < k)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col(textCol)).as("n_distinct"))
+        .select(lit(k * 100 / buckets).as("subset_pct"), col("n_docs"),
+          col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate"))
+    }.reduce(_.unionByName(_))
+  }
 }

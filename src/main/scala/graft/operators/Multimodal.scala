@@ -689,6 +689,30 @@ object Multimodal {
   }
 
   /**
+   * P366 — magic-byte format sniffing: classify each payload by its
+   * leading signature (PNG/JPEG/GIF/PDF/ZIP, else 'unknown') — the
+   * dispatch step in front of any decode path (the mm2 codec trusts a
+   * mime column; real crawled payloads lie, the first bytes don't).
+   * Detection compares hex prefixes, so any engine replays it from the
+   * raw bytes. Emits (media_id, n_bytes, format) — a pure projection:
+   * no shuffle, no joins, corpus-linear.
+   */
+  def sniffFormat(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val hx = lower(hex(col(bytesCol)))
+    val fmt = when(substring(hx, 1, 16) === "89504e470d0a1a0a", "png")
+      .when(substring(hx, 1, 6) === "ffd8ff", "jpeg")
+      .when(substring(hx, 1, 8) === "47494638", "gif")
+      .when(substring(hx, 1, 8) === "25504446", "pdf")
+      .when(substring(hx, 1, 8) === "504b0304", "zip")
+      .otherwise("unknown")
+    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      .select(col(idCol).as("media_id"),
+        octet_length(col(bytesCol)).cast("long").as("n_bytes"),
+        fmt.as("format"))
+  }
+
+  /**
    * P362 — content-defined chunking dedup audit: split every payload at
    * rolling-hash boundaries (cut after byte i when the base-256 value
    * of the last 4 bytes ≡ 0 mod `modulus` — expected block ≈ modulus

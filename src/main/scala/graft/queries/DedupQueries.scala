@@ -484,6 +484,15 @@ object DedupQueries {
         .orderBy("shard", "bin")
     }),
 
+    // P367 — dedup growth over nested quarters of the duplicated
+    // corpus: the "dup rate rises with scale" capacity-planning curve
+    // (a sampled savings estimate understates full-scale savings)
+    "d25_dup_growth" -> ((s, dir) => {
+      Dedup.dedupGrowthCurve(dupedDocs(s, dir), "doc_id", "text",
+          buckets = 4)
+        .orderBy("subset_pct")
+    }),
+
     "pipe1_curation" -> ((s, dir) => {
       val corpus = dupedDocs(s, dir)
       val probes = table(s, dir, "documents").where(col("doc_id") % 97 === 0)
@@ -540,6 +549,28 @@ object DedupQueries {
          |SELECT doc_id, n_dups, 1.0e0 / n_dups AS weight,
          |  (CAST(hv + 1 AS DOUBLE) / 72057594037927936.0e0) <= (1.0e0 / n_dups) AS kept
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // one distinct-count agg per nested portable-hash subset (the sa1
+    // hv fold mod 4) over the SAME duplicated frame, unioned
+    "d25_dup_growth" -> {
+      def sub(k: Int): String =
+        s"""SELECT ${k * 25} AS subset_pct,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+           |  round(1.0e0 - CAST(COUNT(DISTINCT text) AS DOUBLE) /
+           |    CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+           |FROM d WHERE b < $k""".stripMargin
+      s"""WITH d0 AS ($dupedDocsSql),
+         |d AS (
+         |  SELECT doc_id, text,
+         |    list_reduce([CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+         |                 FOR c IN string_split(substr(md5(coalesce(
+         |                   CAST(doc_id AS VARCHAR), '')), 1, 14), '')],
+         |      (acc, x) -> acc * 16 + x) % 4 AS b
+         |  FROM d0)
+         |${(1 to 4).map(sub).mkString("\nUNION ALL\n")}
+         |ORDER BY subset_pct""".stripMargin
+    },
 
     "d1_exact_dedup" ->
       s"""SELECT doc_id FROM (

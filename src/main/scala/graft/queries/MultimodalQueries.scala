@@ -112,6 +112,26 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P366 — magic-byte format sniffing over a corpus with PLANTED
+    // signatures (PNG on id%7=0, JPEG on 1, GIF on 2, raw text
+    // otherwise): first-bytes dispatch, not mime trust
+    "mm18_magic" -> ((s, dir) => {
+      val packed = Multimodal.packText(table(s, dir, "documents"),
+        "doc_id", "text")
+      def sig(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+      val planted = packed.withColumn("bytes",
+        when(col("media_id") % 7 === 0,
+          concat(sig(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+            col("bytes")))
+          .when(col("media_id") % 7 === 1,
+            concat(sig(0xff, 0xd8, 0xff, 0xe0), col("bytes")))
+          .when(col("media_id") % 7 === 2,
+            concat(sig(0x47, 0x49, 0x46, 0x38, 0x39, 0x61), col("bytes")))
+          .otherwise(col("bytes")))
+      Multimodal.sniffFormat(planted, "media_id", "bytes")
+        .orderBy("media_id")
+    }),
+
     // P362 — content-defined chunking dedup audit (mod-13 rolling-hash
     // cuts ≈ 13-byte blocks): measured 7,422 of 13,246 blocks /
     // 45,528 of 149,174 bytes duplicated at the gate SF — the
@@ -494,6 +514,29 @@ object MultimodalQueries {
     // BIGINT moments, one IEEE sqrt
     // per-(media, byte) exact counts; each p·ln p term 6-round-ln'd
     // then 9-rounded; log₂ rescale by the shared ln 2 driver literal
+    // the planting replayed as hex-literal prefixes, detection as hex
+    // prefix compares, n_bytes = hex length / 2
+    "mm18_magic" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN '89504e470d0a1a0a' || lower(hex(encode(text)))
+        |         WHEN doc_id % 7 = 1
+        |           THEN 'ffd8ffe0' || lower(hex(encode(text)))
+        |         WHEN doc_id % 7 = 2
+        |           THEN '474946383961' || lower(hex(encode(text)))
+        |         ELSE lower(hex(encode(text))) END AS hx
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT media_id, CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+        |  CASE WHEN substr(hx, 1, 16) = '89504e470d0a1a0a' THEN 'png'
+        |       WHEN substr(hx, 1, 6) = 'ffd8ff' THEN 'jpeg'
+        |       WHEN substr(hx, 1, 8) = '47494638' THEN 'gif'
+        |       WHEN substr(hx, 1, 8) = '25504446' THEN 'pdf'
+        |       WHEN substr(hx, 1, 8) = '504b0304' THEN 'zip'
+        |       ELSE 'unknown' END AS format
+        |FROM m ORDER BY media_id""".stripMargin,
+
     // the hex byte replay + lag-3 rolling hash, exclusive-prefix block
     // ids, md5 of each block's hex substring (LOWERCASE hex on both
     // sides — fingerprints compare as strings), fingerprint rank

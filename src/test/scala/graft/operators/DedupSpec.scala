@@ -592,4 +592,23 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.bandingSweep(docs, "id", "t", 16, Seq(2, 2)))
   }
+
+  test("dedupGrowthCurve: nested subsets, monotone counts, full-corpus " +
+      "rate at 100%") {
+    import spark.implicits._
+    // 40 rows over 8 base texts (5 copies each)
+    val docs = (0L until 40L).map(i => (i, s"text ${i % 8}"))
+      .toDF("id", "t")
+    val rows = Dedup.dedupGrowthCurve(docs, "id", "t", buckets = 4)
+      .orderBy("subset_pct").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(25, 50, 75, 100))
+    // nested subsets: doc and distinct counts never decrease
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sorted.toSeq)
+    assert(rows.map(_.getLong(2)).toSeq == rows.map(_.getLong(2)).sorted.toSeq)
+    val full = rows.last
+    assert(full.getLong(1) == 40L && full.getLong(2) == 8L)
+    assert(full.getDouble(3) == 0.8)
+    intercept[IllegalArgumentException](
+      Dedup.dedupGrowthCurve(docs, "id", "t", 1))
+  }
 }

@@ -407,6 +407,30 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.zeroCrossingRate(packed, "media_id", "bytes", 0))
   }
 
+  test("sniffFormat: magic bytes win over content, text reads unknown") {
+    val base = Multimodal.packText(
+      Seq((1L, "plain text"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "w"))
+        .toDF("id", "t"), "id", "t")
+    def sig(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    val planted = base.withColumn("bytes",
+      when(col("media_id") === 2,
+        concat(sig(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+          col("bytes")))
+        .when(col("media_id") === 3,
+          concat(sig(0xff, 0xd8, 0xff, 0xdb), col("bytes")))
+        .when(col("media_id") === 4, sig(0x25, 0x50, 0x44, 0x46, 0x2d))
+        .when(col("media_id") === 5, sig(0x50, 0x4b, 0x03, 0x04))
+        .otherwise(col("bytes")))
+    val got = Multimodal.sniffFormat(planted, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == ((10L, "unknown")))
+    assert(got(2L)._2 == "png" && got(2L)._1 == 9L)
+    assert(got(3L)._2 == "jpeg") // any FFD8FF variant
+    assert(got(4L) == ((5L, "pdf")))
+    assert(got(5L) == ((4L, "zip")))
+  }
+
   test("cdcBlocks: identical payloads dedup block-for-block, disjoint " +
       "payloads don't") {
     val docs = Seq(
