@@ -468,4 +468,57 @@ object Privacy {
           round(col("__risksum").cast("double") /
             col("n_records").cast("double"), 6)).as("exp_risk"))
   }
+
+  /**
+   * P369 — QID-subset unicity sweep (Sweeney's attribute-accretion
+   * read): for each NESTED prefix of the quasi-identifier list, the
+   * share of records whose combination is unique in the dataset — the
+   * marginal re-identification cost of releasing ONE MORE attribute,
+   * which [[generalizationLadder]] (fixed QID set, varying band width)
+   * and [[kMap]] (fixed QID set, external register) cannot show. One
+   * row per prefix depth: records, equivalence classes, unique records,
+   * unicity share, mean class size.
+   *
+   * Shape: ONE rollup pass (Spark expands the prefixes map-side — no
+   * per-depth rescan) + a depth-keyed re-agg; the grand-total rung is
+   * dropped (a 0-QID "class" is the whole table, not a disclosure
+   * read). grouping_id lives inside the agg (Spark requirement); depth
+   * labels resolve from the rollup's 2^j−1 gid pattern on the driver.
+   * Ratios are single divisions of exact BIGINTs rounded at 6.
+   */
+  def qidUnicitySweep(df: DataFrame, qidCols: Seq[String]): DataFrame = {
+    require(qidCols.nonEmpty, "qidUnicitySweep: no QID columns")
+    require(qidCols.size <= 8,
+      s"qidUnicitySweep: at most 8 QIDs (rollup fan-out), got ${qidCols.size}")
+    val m = qidCols.size
+    val classes = df
+      .rollup(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), grouping_id().as("__gid"))
+      .where(col("__gid") < lit((1L << m) - 1L))
+    val perDepth = classes.groupBy(col("__gid")).agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("__cnt")).cast("bigint").as("n_records"),
+      sum(when(col("__cnt") === 1, 1L).otherwise(0L)).cast("bigint")
+        .as("n_unique"))
+    // rollup gids are exactly 2^j − 1 for j aggregated trailing columns
+    val depthOf = (1 to m).map { d =>
+      ((1L << (m - d)) - 1L, d, qidCols.take(d).mkString(","))
+    }
+    val depth = depthOf.foldLeft(lit(null).cast("int")) {
+      case (acc, (gid, d, _)) =>
+        when(col("__gid") === gid, lit(d)).otherwise(acc)
+    }
+    val label = depthOf.foldLeft(lit(null).cast("string")) {
+      case (acc, (gid, _, qs)) =>
+        when(col("__gid") === gid, lit(qs)).otherwise(acc)
+    }
+    perDepth.select(depth.as("depth"), label.as("qids"),
+      col("n_records"), col("n_classes"), col("n_unique"),
+      when(col("n_records") > 0,
+        round(col("n_unique").cast("double") /
+          col("n_records").cast("double"), 6)).as("unicity"),
+      when(col("n_classes") > 0,
+        round(col("n_records").cast("double") /
+          col("n_classes").cast("double"), 6)).as("mean_class_size"))
+  }
 }

@@ -2057,6 +2057,61 @@ object TimeSeries {
   }
 
   /**
+   * P368 — Lo–MacKinlay variance-ratio test per series: the variance of
+   * overlapping q-period differences divided by q times the variance of
+   * 1-period differences. A random walk scores VR ≈ 1 (variance grows
+   * linearly with horizon); mean reversion pulls VR below 1 (long
+   * differences cancel); trending pushes it above. The HORIZON-scaling
+   * read beside the P358 ADF's t-ratio — ADF asks "is there a unit
+   * root", VR asks "how does risk aggregate", and a series can pass one
+   * and fail the other. Verdict compares the ROUNDED ratio to 1 ± band.
+   *
+   * Cross-engine: both difference columns are exact DECIMAL(18,6) (the
+   * inputs are 6-rounded), their sums and (18,6)² product sums exact
+   * decimals cast to double, then ONE fixed double chain to the two
+   * population variances and the ratio — the P358 moment discipline
+   * with two diff lags instead of one. Shape: one key-partitioned
+   * window (two lags), one keyed agg.
+   */
+  def varianceRatio(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, q: Int = 5, band: Double = 0.2): DataFrame = {
+    require(q >= 2, s"varianceRatio: q must be >= 2, got $q")
+    require(band > 0 && band < 1,
+      s"varianceRatio: band must be in (0, 1), got $band")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol).asc)
+    def d18(c: Column) = c.cast("decimal(18,6)")
+    val diffs = daily
+      .where(col(keyCol).isNotNull && col(dayCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol), col(dayCol), d18(col(valueCol)).as("__v"))
+      .withColumn("__p1", lag(col("__v"), 1).over(w))
+      .withColumn("__pq", lag(col("__v"), q).over(w))
+      .select(col(keyCol),
+        (col("__v") - col("__p1")).cast("decimal(18,6)").as("__d1"),
+        (col("__v") - col("__pq")).cast("decimal(18,6)").as("__dq"))
+    val sums = diffs.groupBy(col(keyCol)).agg(
+      count(col("__d1")).as("n1"),
+      sum(col("__d1")).cast("double").as("__s1"),
+      sum(col("__d1") * col("__d1")).cast("double").as("__s11"),
+      count(col("__dq")).as("nq"),
+      sum(col("__dq")).cast("double").as("__sq"),
+      sum(col("__dq") * col("__dq")).cast("double").as("__sqq"))
+    val n1d = col("n1").cast("double")
+    val nqd = col("nq").cast("double")
+    val var1 = (n1d * col("__s11") - col("__s1") * col("__s1")) / (n1d * n1d)
+    val varq = (nqd * col("__sqq") - col("__sq") * col("__sq")) / (nqd * nqd)
+    val vr = round(varq / (lit(q.toDouble) * var1), 6)
+    val ok = col("n1") > 1 && col("nq") > 1 && var1 > 0
+    sums.select(col(keyCol), col("n1").as("n_diffs"),
+      col("nq").as("n_qdiffs"),
+      when(ok, vr).as("vr"),
+      when(ok,
+        when(vr < lit(1.0 - band), lit("mean_reverting"))
+          .when(vr > lit(1.0 + band), lit("trending"))
+          .otherwise(lit("random_walk"))).as("verdict"))
+  }
+
+  /**
    * P364 — Engle–Granger cointegration test per series pair: fit the
    * long-run level relation y = α + βx by OLS, then run the P358
    * Dickey–Fuller test on its RESIDUALS — two trending series are

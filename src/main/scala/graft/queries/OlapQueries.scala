@@ -1836,6 +1836,15 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P368 — Lo–MacKinlay variance ratio VR(5) on the same daily
+    // series: the horizon-scaling read beside o114's unit-root t-ratio
+    // (these mean-reverting daily means test VR well below 1)
+    "o118_varratio" -> ((s, dir) => {
+      graft.operators.TimeSeries.varianceRatio(
+          dailyMeans(s, dir), "event_type", "day", "v", q = 5, band = 0.2)
+        .orderBy("event_type")
+    }),
+
     // P359 — spectral entropy over the o102 periodogram ladder
     // {3,5,7,10}: one number per series for "how concentrated is the
     // spectrum" (near 0 = one dominant cycle, near 1 = flat)
@@ -7956,6 +7965,52 @@ object OlapQueries {
         |    CASE WHEN round(slope / sqrt(se2), 6) < -2.89e0
         |      THEN 'stationary' ELSE 'unit_root' END END AS verdict
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // the o114 moment discipline with two diff lags: exact (18,6)
+    // differences, (18,6)² product sums cast double, one fixed chain to
+    // the two population variances; verdict bands spelled (1±0.2) as
+    // the sim8 rule (the Scala side computes 1.0 ± band)
+    "o118_varratio" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, CAST(v AS DECIMAL(18,6)) AS cv,
+        |    CAST(lag(v, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS DECIMAL(18,6)) AS p1,
+        |    CAST(lag(v, 5) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS DECIMAL(18,6)) AS pq
+        |  FROM daily),
+        |d AS (
+        |  SELECT event_type, CAST(cv - p1 AS DECIMAL(18,6)) AS d1,
+        |    CAST(cv - pq AS DECIMAL(18,6)) AS dq
+        |  FROM l),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(d1) AS BIGINT) AS n1, CAST(SUM(d1) AS DOUBLE) AS s1,
+        |    CAST(SUM(d1 * d1) AS DOUBLE) AS s11,
+        |    CAST(COUNT(dq) AS BIGINT) AS nq, CAST(SUM(dq) AS DOUBLE) AS sq,
+        |    CAST(SUM(dq * dq) AS DOUBLE) AS sqq
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, n1, nq,
+        |    (CAST(n1 AS DOUBLE) * s11 - s1 * s1) /
+        |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS var1,
+        |    (CAST(nq AS DOUBLE) * sqq - sq * sq) /
+        |      (CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE)) AS varq
+        |  FROM s)
+        |SELECT event_type, n1 AS n_diffs, nq AS n_qdiffs,
+        |  CASE WHEN n1 > 1 AND nq > 1 AND var1 > 0
+        |    THEN round(varq / (5.0e0 * var1), 6) END AS vr,
+        |  CASE WHEN n1 > 1 AND nq > 1 AND var1 > 0 THEN
+        |    CASE WHEN round(varq / (5.0e0 * var1), 6) < (1.0e0 - 0.2e0)
+        |           THEN 'mean_reverting'
+        |         WHEN round(varq / (5.0e0 * var1), 6) > (1.0e0 + 0.2e0)
+        |           THEN 'trending'
+        |         ELSE 'random_walk' END END AS verdict
+        |FROM c ORDER BY event_type""".stripMargin,
 
     // the o102 power branches → DECIMAL(28,6) totals → t18-style
     // 9-rounded share·ln(share) terms / driver ln(#periods)

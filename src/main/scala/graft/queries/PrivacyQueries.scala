@@ -119,6 +119,19 @@ object PrivacyQueries {
     // customer", estimated per nation: ~12 respondents per group at
     // sf0.01, so the per-group flip noise is visible in `err` while the
     // integer-ratio debias stays exact
+    // P369 — unicity sweep over nested QIDs (nation → +segment →
+    // +100-wide balance band): the marginal re-identification cost of
+    // each additional released attribute — pv8 coarsens a FIXED QID
+    // set, this accretes the set itself
+    "pv11_unicity" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100).cast("long").as("bal_band"))
+      Privacy.qidUnicitySweep(c,
+          Seq("c_nationkey", "c_mktsegment", "bal_band"))
+        .orderBy("depth")
+    }),
+
     "pv7_randresp" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(
         col("c_custkey"),
@@ -375,6 +388,37 @@ object PrivacyQueries {
          |  round(CAST(n_safe_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
          |    AS share_safe
          |FROM u ORDER BY width""".stripMargin
+    },
+
+    // one class-size subquery per prefix depth, exact BIGINT counts,
+    // floor-band replay (the pv1 construction); ratios divide exact
+    // BIGINTs and round at 6
+    "pv11_unicity" -> {
+      val rung = (d: Int, qids: String) =>
+        s"""SELECT $d AS depth, '$qids' AS qids,
+           |  CAST(SUM(gn) AS BIGINT) AS n_records,
+           |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |  CAST(coalesce(SUM(CASE WHEN gn = 1 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_unique
+           |FROM (SELECT COUNT(*) AS gn FROM base GROUP BY $qids)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_band
+         |  FROM customer),
+         |u AS (
+         |${Seq(
+             rung(1, "c_nationkey"),
+             rung(2, "c_nationkey,c_mktsegment"),
+             rung(3, "c_nationkey,c_mktsegment,bal_band"))
+           .mkString("\nUNION ALL\n")})
+         |SELECT depth, qids, n_records, n_classes, n_unique,
+         |  CASE WHEN n_records > 0 THEN
+         |    round(CAST(n_unique AS DOUBLE) / CAST(n_records AS DOUBLE), 6)
+         |  END AS unicity,
+         |  CASE WHEN n_classes > 0 THEN
+         |    round(CAST(n_records AS DOUBLE) / CAST(n_classes AS DOUBLE), 6)
+         |  END AS mean_class_size
+         |FROM u ORDER BY depth""".stripMargin
     },
 
     // the identical 56-bit coin in INTEGER space (hv·100 vs 75·2^56);

@@ -270,4 +270,26 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](Privacy.kMap(sample, pop, Nil, 5))
     intercept[IllegalArgumentException](Privacy.kMap(sample, pop, Seq("q"), 1))
   }
+
+  test("qidUnicitySweep: nested prefixes, grand total dropped, " +
+      "labels follow the column order") {
+    import spark.implicits._
+    val rows = Seq(("A", "x", 1L), ("A", "x", 1L), ("A", "y", 2L),
+      ("B", "x", 3L)).toDF("n", "s", "b")
+    val got = Privacy.qidUnicitySweep(rows, Seq("n", "s", "b"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(1, 2, 3)) // no 0-QID rung
+    val d1 = got(1)
+    assert(d1.getString(1) == "n" && d1.getLong(2) == 4L &&
+      d1.getLong(3) == 2L && d1.getLong(4) == 1L &&
+      d1.getDouble(5) == 0.25 && d1.getDouble(6) == 2.0)
+    val d2 = got(2)
+    assert(d2.getString(1) == "n,s" && d2.getLong(3) == 3L &&
+      d2.getLong(4) == 2L && d2.getDouble(5) == 0.5 &&
+      d2.getDouble(6) == 1.333333)
+    val d3 = got(3)
+    assert(d3.getString(1) == "n,s,b" && d3.getLong(3) == 3L &&
+      d3.getLong(4) == 2L)
+    intercept[IllegalArgumentException](Privacy.qidUnicitySweep(rows, Nil))
+  }
 }

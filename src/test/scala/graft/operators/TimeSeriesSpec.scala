@@ -1110,4 +1110,29 @@ class TimeSeriesSpec extends SparkSpec {
     val t = TimeSeries.turningPoints(tiny, "k", "day", "v").head
     assert(t.isNullAt(4) && t.isNullAt(5))
   }
+
+  test("varianceRatio: alternating -> 0, convex -> trending, " +
+      "constant guards to null") {
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(f"2020-01-${i}%02d")
+    // alternating 0,1,0,1,...: every 2-period difference is exactly 0,
+    // so VR(2) = 0 — the hardest possible mean reversion
+    val alt = (1 to 10).map(i => ("a", d(i), ((i + 1) % 2).toDouble))
+    // v = t^2 is convex: long differences grow superlinearly
+    // (var1 = 8, var2 = 20 -> VR = 20/16 = 1.25, trending)
+    val conv = (0 to 5).map(i => ("c", d(i + 1), (i * i).toDouble))
+    val flat = (1 to 8).map(i => ("f", d(i), 7.0))
+    val daily = (alt ++ conv ++ flat).toDF("k", "day", "v")
+    val got = TimeSeries.varianceRatio(daily, "k", "day", "v", q = 2,
+        band = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 9L && a.getLong(2) == 8L)
+    assert(a.getDouble(3) == 0.0 && a.getString(4) == "mean_reverting")
+    val c = got("c")
+    assert(c.getDouble(3) == 1.25 && c.getString(4) == "trending")
+    // zero 1-period variance: ratio undefined, both outputs null
+    val f = got("f")
+    assert(f.isNullAt(3) && f.isNullAt(4))
+  }
 }
