@@ -1566,20 +1566,7 @@ object TextAnalysis {
     require(minPairCount >= 1,
       s"dunningG2: minPairCount must be >= 1, got $minPairCount")
     require(topK >= 1, s"dunningG2: topK must be >= 1, got $topK")
-    val toks = docs.where(col(textCol).isNotNull)
-      .select(tokens(col(textCol)).as("l"))
-    val pairs = toks
-      .select(explode(ngramArray(col("l"), 2)).as("g"))
-      .select(split(col("g"), " ", 2).getItem(0).as("a"),
-        split(col("g"), " ", 2).getItem(1).as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val ca = pairs.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
-    val cb = pairs.groupBy("b").agg(sum(col("c_ab")).as("c_b"))
-    val nAgg = pairs.agg(sum(col("c_ab")).as("__n"))
-    val j = pairs.where(col("c_ab") >= minPairCount)
-      .join(ca.hint("shuffle_hash"), Seq("a"))
-      .join(cb.hint("shuffle_hash"), Seq("b"))
-      .crossJoin(broadcast(nAgg)) // 1-row scalar side
+    val j = bigramMarginTable(docs, textCol, minPairCount)
     val nd = col("__n").cast("double")
     val cad = col("c_a").cast("double")
     val cbd = col("c_b").cast("double")
@@ -1602,6 +1589,122 @@ object TextAnalysis {
       .select(col("rank"), col("a"), col("b"), col("c_ab"), col("c_a"),
         col("c_b"), col("g2"))
       .orderBy(col("rank"))
+  }
+
+  /** Shared bigram 2×2 margin table — (a, b, c_ab, c_a, c_b, __n) for
+    * bigrams with c_ab ≥ minPairCount over the bigram corpus. P317's G²
+    * and P370's t-score read the SAME table, so its construction (and
+    * the margin definition: position-wise counts over bigrams, not raw
+    * token counts) exists exactly once. */
+  private def bigramMarginTable(docs: DataFrame, textCol: String,
+      minPairCount: Long): DataFrame = {
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("l"))
+    val pairs = toks
+      .select(explode(ngramArray(col("l"), 2)).as("g"))
+      .select(split(col("g"), " ", 2).getItem(0).as("a"),
+        split(col("g"), " ", 2).getItem(1).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = pairs.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+    val cb = pairs.groupBy("b").agg(sum(col("c_ab")).as("c_b"))
+    val nAgg = pairs.agg(sum(col("c_ab")).as("__n"))
+    pairs.where(col("c_ab") >= minPairCount)
+      .join(ca.hint("shuffle_hash"), Seq("a"))
+      .join(cb.hint("shuffle_hash"), Seq("b"))
+      .crossJoin(broadcast(nAgg)) // 1-row scalar side
+  }
+
+  /**
+   * P370 — collocation t-score (Church & Hanks): for each bigram above
+   * `minPairCount`, t ≈ (O − E)/√O with O = c_ab and E = c_a·c_b/N over
+   * the shared 2×2 margin table — the CONSERVATIVE member of the
+   * collocation family: PMI (P60) over-ranks rare pairs, G² (P317) is
+   * the likelihood test, t-score demands the observed excess be large
+   * relative to its own sampling noise, which surfaces high-frequency
+   * fixed phrases. Emits the top-`topK`: rank, a, b, c_ab, c_a, c_b,
+   * t_score.
+   *
+   * Cross-engine: the numerator c_ab·N − c_a·c_b is ONE exact BIGINT
+   * product difference (bigram totals keep it far under 2⁶²); the
+   * score is a single division by N·√c_ab (√ of an integer-valued
+   * double — bit-identical on both engines), rounded at 6. Shape: the
+   * shared margin joins + TakeOrderedAndProject + the rank window over
+   * the ≤topK-row capped frame (the t37-adjudicated class).
+   */
+  def tScoreCollocations(docs: DataFrame, textCol: String,
+      minPairCount: Long, topK: Int): DataFrame = {
+    require(minPairCount >= 1,
+      s"tScoreCollocations: minPairCount must be >= 1, got $minPairCount")
+    require(topK >= 1, s"tScoreCollocations: topK must be >= 1, got $topK")
+    val j = bigramMarginTable(docs, textCol, minPairCount)
+    val num = col("c_ab") * col("__n") - col("c_a") * col("c_b")
+    val t = round(num.cast("double") /
+      (col("__n").cast("double") * sqrt(col("c_ab").cast("double"))), 6)
+    val scored = j.select(col("a"), col("b"), col("c_ab"), col("c_a"),
+      col("c_b"), t.as("t_score"))
+    val top = scored
+      .orderBy(col("t_score").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t_score").desc, col("a").asc, col("b").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("t_score"))
+      .orderBy(col("rank"))
+  }
+
+  /**
+   * P371 — encoding-anomaly (mojibake) audit: occurrences of classic
+   * mis-decode signatures per marker class across the corpus — the
+   * UTF-8-read-as-Latin-1 digraphs ('Ã©' for é, 'â€™' for a curly
+   * apostrophe) and the U+FFFD replacement character a lossy transcode
+   * leaves behind. A corpus-level data-quality gate in front of any
+   * text pipeline: tokenizers shred mojibake into junk subwords and
+   * quality scores silently degrade. Emits one row per marker:
+   * n_docs hit, total occurrences, corpus doc count, doc share.
+   *
+   * Shape: ONE corpus scan — per-marker occurrence counts are
+   * length-difference arithmetic (no regex) folded in a single agg,
+   * then a `stack` melt of the 1-row result (3 selects over the agg
+   * would re-execute the scan per marker). Counts are exact BIGINTs;
+   * the share is one division rounded at 6.
+   */
+  def encodingAnomalies(docs: DataFrame, textCol: String,
+      markers: Seq[(String, String)]): DataFrame = {
+    require(markers.nonEmpty, "encodingAnomalies: no markers")
+    require(markers.map(_._1).distinct.size == markers.size,
+      s"encodingAnomalies: duplicate marker names")
+    require(markers.forall(_._2.nonEmpty),
+      "encodingAnomalies: blank marker string")
+    require(markers.forall(m => !m._1.contains("'")),
+      "encodingAnomalies: marker names must not contain quotes")
+    val occ = markers.zipWithIndex.map { case ((_, m), i) =>
+      ((length(col("__t")) -
+        length(replace(col("__t"), lit(m), lit("")))) / lit(m.length))
+        .cast("long").as(s"__o$i")
+    }
+    val aggs = markers.zipWithIndex.flatMap { case (_, i) =>
+      Seq(sum(when(col(s"__o$i") > 0, 1L).otherwise(0L)).as(s"__d$i"),
+        sum(col(s"__o$i")).as(s"__n$i"))
+    }
+    val one = docs.where(col(textCol).isNotNull)
+      .select(col(textCol).as("__t"))
+      .select(occ: _*)
+      .agg(count(lit(1)).as("__total"), aggs: _*)
+    val stackArgs = markers.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', __d$i, __n$i" }
+      .mkString(", ")
+    one
+      .select(
+        expr(s"stack(${markers.size}, $stackArgs) " +
+          "as (marker, n_docs, n_occurrences)"),
+        col("__total").cast("long").as("n_total_docs"))
+      .select(col("marker"), col("n_docs").cast("long").as("n_docs"),
+        col("n_occurrences").cast("long").as("n_occurrences"),
+        col("n_total_docs"),
+        when(col("n_total_docs") > 0,
+          round(col("n_docs").cast("double") /
+            col("n_total_docs").cast("double"), 6)).as("doc_share"))
   }
 
   /**

@@ -257,6 +257,39 @@ object TextQueries {
         minPairCount = 5L, topK = 20)
     }),
 
+    // P370 — collocation t-score (top 20, pairs ≥ 5): the conservative
+    // high-frequency-phrase member beside t37's G² and t15's PMI —
+    // the SAME margin table, a different ranking
+    "t42_tscore" -> ((s, dir) => {
+      TextAnalysis.tScoreCollocations(table(s, dir, "documents"), "text",
+        minPairCount = 5L, topK = 20)
+    }),
+
+    // P371 — mojibake audit over a corpus with planted mis-decodes:
+    // doc_id%7==3 docs get their 'e's Latin-1-shredded, %7==5 a curly-
+    // apostrophe digraph, %11==0 a replacement char — all three marker
+    // classes hit at every SF
+    "t43_mojibake" -> ((s, dir) => {
+      // markers via unicode escapes: U+0080/U+0099 are invisible
+      // control codepoints (the mis-decoded UTF-8 tail of U+2019)
+      val eacute = "\u00C3\u00A9"
+      val rsquo = "\u00E2\u0080\u0099"
+      val repl = "\uFFFD"
+      val corrupted = table(s, dir, "documents").select(
+        when(col("doc_id") % 7 === 3,
+          replace(col("text"), lit("e"), lit(eacute)))
+          .when(col("doc_id") % 7 === 5,
+            concat(col("text"), lit(" " + rsquo)))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(repl)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.encodingAnomalies(corrupted, "text", Seq(
+          ("latin1_eacute", eacute),
+          ("win1252_rsquo", rsquo),
+          ("replacement_char", repl)))
+        .orderBy("marker")
+    }),
+
     // P350 — blocklist content filter: per-doc hit counts against a
     // 2-term list and the keep verdict at maxHits = 2 (terms chosen so
     // both verdicts and 0/1/2 distinct-hit counts all occur: 'dup' sits
@@ -1374,6 +1407,74 @@ object TextQueries {
         |    AS INTEGER) AS rank,
         |  a, b, c_ab, c_a, c_b, g2
         |FROM top ORDER BY rank""".stripMargin,
+
+    // the t37 margin CTEs verbatim; the score is one exact BIGINT
+    // product difference over N·sqrt(c_ab)
+    "t42_tscore" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |pairs AS (
+        |  SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM (SELECT unnest([l[i] || ' ' || l[i+1]
+        |          FOR i IN range(1, len(l))]) AS g
+        |        FROM toks)
+        |  GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM pairs
+        |  GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM pairs
+        |  GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM pairs),
+        |j AS (
+        |  SELECT p.a, p.b, p.c_ab, ca.c_a, cb.c_b, nn.n
+        |  FROM pairs p JOIN ca ON ca.a = p.a JOIN cb ON cb.b = p.b
+        |  CROSS JOIN nn
+        |  WHERE p.c_ab >= 5),
+        |sc AS (
+        |  SELECT a, b, c_ab, c_a, c_b,
+        |    round(CAST(c_ab * n - c_a * c_b AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * sqrt(CAST(c_ab AS DOUBLE))), 6)
+        |      AS t_score
+        |  FROM j),
+        |top AS (SELECT * FROM sc ORDER BY t_score DESC, a, b LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY t_score DESC, a, b)
+        |    AS INTEGER) AS rank,
+        |  a, b, c_ab, c_a, c_b, t_score
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // markers rebuilt from chr() codepoints (no raw control bytes in
+    // the SQL); occurrence counts are length-difference arithmetic
+    "t43_mojibake" ->
+      """WITH src AS (
+        |  SELECT CASE
+        |    WHEN doc_id % 7 = 3 THEN
+        |      replace(text, 'e', chr(195) || chr(169))
+        |    WHEN doc_id % 7 = 5 THEN
+        |      text || ' ' || chr(226) || chr(128) || chr(153)
+        |    WHEN doc_id % 11 = 0 THEN text || chr(65533)
+        |    ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |m(name, marker) AS (
+        |  VALUES ('latin1_eacute', chr(195) || chr(169)),
+        |         ('win1252_rsquo', chr(226) || chr(128) || chr(153)),
+        |         ('replacement_char', chr(65533))),
+        |x AS (
+        |  SELECT name, CAST((len(text) - len(replace(text, marker, ''))) /
+        |    len(marker) AS BIGINT) AS occ
+        |  FROM src CROSS JOIN m),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM src)
+        |SELECT name AS marker,
+        |  CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+        |  total AS n_total_docs,
+        |  CASE WHEN total > 0 THEN
+        |    round(CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      CAST(total AS DOUBLE), 6) END AS doc_share
+        |FROM x CROSS JOIN t GROUP BY name, total
+        |ORDER BY marker""".stripMargin,
 
     "t34_fertility" ->
       """WITH t AS (

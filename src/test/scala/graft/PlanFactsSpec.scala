@@ -213,6 +213,7 @@ object PlanFactsSpec {
     "sim13_hubness", // capped top-10 rank window (the zipf idiom)
     "pv4_tcloseness", "t19_zipf", "t25_heaps", "q12_paths", "o24_movers",
     "t35_burstiness", "t36_dispersion", "t37_colloc", // capped top-K rank
+    "t42_tscore", // the t37 margin table, t-score ranking — same class
     // windows over 20-row frames (the zipf idiom)
     "fi2_seq_rules", "t24_langid_eval", "mm8_shards", "mm9_epochs",
     "sa18_reweight", "z4_compaction",
@@ -279,6 +280,7 @@ object PlanFactsSpec {
     "iv7_mrr", // per-query 1-row metric × 1-row n_relevant tag join
     // (the literal join key constant-folds — the granger class)
     "t35_burstiness", "t36_dispersion", "t37_colloc", "gr8_hits",
+    "t42_tscore", // the t37 1-row bigram-total broadcast, reused
     "gr9_powerlaw", "gr10_modularity", "gr11_richclub",
     // codebook/centroid/query-vector sides (ANN audit frames)
     "sim1_brute_topk", "sim2_ivf_topk", "sim9_recall", "sim11_silhouette",

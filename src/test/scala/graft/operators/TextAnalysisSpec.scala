@@ -957,4 +957,53 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.codeSignals(docs, "id", "t", codeThreshold = 0.0))
   }
+
+  test("tScoreCollocations: (O-E)/sqrt(O) over bigram margins, " +
+      "capped rank, ties on (a, b)") {
+    val docs = Seq("a b a b a b", "a b c d").toDF("t")
+    // bigrams — doc1: ab, ba, ab, ba, ab; doc2: ab, bc, cd →
+    // c_ab(a,b)=4, (b,a)=2, (b,c)=1, (c,d)=1; N=8; margins positional:
+    // c_a(a)=4, c_a(b)=3, c_b(b)=4, c_b(a)=2 → t(a,b)=1.0,
+    // t(b,a)=0.883883, t(c,d)=0.875, t(b,c)=0.625
+    val got = TextAnalysis.tScoreCollocations(docs, "t",
+      minPairCount = 1L, topK = 3).collect()
+    assert(got.length == 3)
+    val top = got.head
+    // (a,b): O=4, c_a=4, c_b=4, N=8 → t=(32−16)/(8·2)=1.0
+    assert(top.getString(1) == "a" && top.getString(2) == "b")
+    assert(top.getLong(3) == 4L && top.getDouble(6) == 1.0)
+    // ranks are 1..3 and scores non-increasing
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val scores = got.map(_.getDouble(6)).toSeq
+    assert(scores == scores.sorted.reverse)
+    intercept[IllegalArgumentException](
+      TextAnalysis.tScoreCollocations(docs, "t", 0L, 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.tScoreCollocations(docs, "t", 1L, 0))
+  }
+
+  test("encodingAnomalies: length-difference counts, one scan, " +
+      "doc shares over the full corpus") {
+    val ea = "Ã©"
+    val docs = Seq(
+      s"caf$ea$ea x",   // 2 occurrences
+      "clean text",
+      s"one $ea here",  // 1 occurrence
+      "also clean").toDF("t")
+    val got = TextAnalysis.encodingAnomalies(docs, "t",
+        Seq(("latin1_eacute", ea), ("replacement_char", "�")))
+      .orderBy("marker").collect()
+    val eac = got(0)
+    assert(eac.getString(0) == "latin1_eacute" && eac.getLong(1) == 2L &&
+      eac.getLong(2) == 3L && eac.getLong(3) == 4L &&
+      eac.getDouble(4) == 0.5)
+    val rc = got(1)
+    assert(rc.getLong(1) == 0L && rc.getLong(2) == 0L &&
+      rc.getDouble(4) == 0.0)
+    intercept[IllegalArgumentException](
+      TextAnalysis.encodingAnomalies(docs, "t", Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.encodingAnomalies(docs, "t",
+        Seq(("x", ea), ("x", "�"))))
+  }
 }
