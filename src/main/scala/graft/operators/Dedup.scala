@@ -345,6 +345,119 @@ object Dedup {
       threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
     containmentPairs(docTokens(df, idCol, textCol), threshold, maxDocFreq)
 
+  /** Lowercase whitespace token MULTISET per document: (id, token, tf).
+    * The weighted-Jaccard input — same token rule as [[docTokenArrays]]
+    * but counts kept, distinct NOT applied. */
+  def docTokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_remove(split(lower(trim(col(textCol))), "\\s+"), ""))
+          .as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+
+  /**
+   * P372 — weighted (multiset / Ruzicka) Jaccard near-dup pairs:
+   * Σ_t min(tf_i, tf_j) / Σ_t max(tf_i, tf_j) over token COUNTS — the
+   * repetition-aware member of the family. Set Jaccard (P40) reads
+   * "same vocabulary" as "same document": two texts using identical
+   * words at wildly different frequencies score 1.0 there but honestly
+   * here, which is what separates a template stuffed with one repeated
+   * phrase from its source. The max-sum never materializes: per token
+   * max+min = tf_i+tf_j, so Σmax = N_i + N_j − Σmin with N the doc's
+   * total token count — the intersection join computes Σmin and two
+   * size joins finish the score.
+   *
+   * Same scale shape as [[jaccardPairs]]: token equi-join candidates
+   * (cap ubiquitous tokens with `maxDocFreq` — doc frequency, counted
+   * over the (id, token) relation exactly as there), sizes from the
+   * SAME filtered relation. Returns (i, j, w_jaccard) with i < j.
+   */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"weightedJaccardPairs: threshold must be in (0, 1], got $threshold")
+    val tc = docTokenCounts(df, idCol, textCol)
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        val freq = tc.groupBy("token").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap)
+        tc.join(freq.select("token"), Seq("token"))
+      case None => tc
+    }
+    val sizes = filtered.groupBy("id").agg(sum(col("tf")).as("size"))
+    val a = filtered.select(col("id").as("i"), col("token"),
+      col("tf").as("__tfi"))
+    val b = filtered.select(col("id").as("j"), col("token"),
+      col("tf").as("__tfj"))
+    a.join(b, Seq("token"))
+      .where(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(least(col("__tfi"), col("__tfj"))).as("__minsum"))
+      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+      .withColumn("w_jaccard", col("__minsum").cast("double") /
+        (col("si") + col("sj") - col("__minsum")))
+      .where(col("w_jaccard") >= threshold)
+      .select(col("i"), col("j"), col("w_jaccard"))
+  }
+
+  /**
+   * P373 — blocking-quality audit (the record-linkage evaluation
+   * triple): for each candidate blocking scheme, the reduction ratio
+   * (1 − candidate-pairs/all-pairs — how much work the block key
+   * saves), pairs completeness (share of GROUND-TRUTH duplicate pairs
+   * whose members share a block — recall) and pairs quality
+   * (truth share of candidate pairs — precision). The decision table
+   * in front of every blocked dedup run: P251's banding sweep measures
+   * LSH parameters, this measures ARBITRARY cheap keys against known
+   * dup labels — without it a blocking key is chosen on folklore.
+   *
+   * Everything derives from GROUP SIZES — candidate pairs = ΣC(b,2)
+   * per block, found truth = ΣC(m,2) per (truth, block) cell — so NO
+   * pair is ever materialized: the audit costs one keyed agg per
+   * scheme over the projected frame, not O(n²). C(n,2) products stay
+   * in BIGINT (safe to ~3·10⁹-row groups — beyond any sane block).
+   * One row per scheme; ratios divide exact BIGINTs, rounded at 6.
+   */
+  def blockingAudit(docs: DataFrame, idCol: String, truthCol: String,
+      schemes: Seq[(String, Column)]): DataFrame = {
+    require(schemes.nonEmpty, "blockingAudit: no schemes")
+    require(schemes.map(_._1).distinct.size == schemes.size,
+      "blockingAudit: duplicate scheme names")
+    val base = docs
+      .where(col(idCol).isNotNull && col(truthCol).isNotNull)
+      .select(col(truthCol).as("__g") +:
+        schemes.zipWithIndex.map { case ((_, c), i) => c.as(s"__k$i") }: _*)
+    // n(n−1)»1, all in LONG — a `/ 2` would detour through double and
+    // lose exactness past 2^53 pairs
+    def c2(c: Column) = shiftright(c * (c - 1), 1)
+    val totals = base.agg(count(lit(1)).as("__n"))
+      .select(col("__n"), c2(col("__n")).as("__ap"))
+    val truePairs = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(c2(col("__c"))), lit(0L)).as("__tp"))
+    val rows = schemes.zipWithIndex.map { case ((name, _), i) =>
+      val cand = base.groupBy(col(s"__k$i"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(c2(col("__c"))), lit(0L)).as("__cp"))
+      val found = base.groupBy(col("__g"), col(s"__k$i"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(c2(col("__c"))), lit(0L)).as("__fp"))
+      cand.crossJoin(found).crossJoin(broadcast(totals))
+        .crossJoin(broadcast(truePairs)) // all four are 1-row frames
+        .select(lit(name).as("scheme"), col("__n").as("n_docs"),
+          col("__ap").as("all_pairs"), col("__tp").as("true_pairs"),
+          col("__cp").as("cand_pairs"), col("__fp").as("found_true_pairs"),
+          when(col("__ap") > 0, round(lit(1.0) -
+            col("__cp").cast("double") / col("__ap").cast("double"), 6))
+            .as("reduction_ratio"),
+          when(col("__tp") > 0, round(col("__fp").cast("double") /
+            col("__tp").cast("double"), 6)).as("completeness"),
+          when(col("__cp") > 0, round(col("__fp").cast("double") /
+            col("__cp").cast("double"), 6)).as("quality"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
   /**
    * P62 — prefix-filtered set-similarity join (the ppjoin-family
    * optimization): candidates come from only the PREFIX of each doc's

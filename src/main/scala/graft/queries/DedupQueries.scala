@@ -493,6 +493,35 @@ object DedupQueries {
         .orderBy("subset_pct")
     }),
 
+    // P372 — weighted (multiset) Jaccard over the %10 sample: the
+    // repetition-aware score beside d3's set Jaccard — same candidate
+    // shape, token counts kept instead of distinct
+    "d27_wjaccard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      Dedup.weightedJaccardPairs(docs, "doc_id", "text", 0.5)
+        .withColumn("w_jaccard", round(col("w_jaccard"), 6))
+        .orderBy("i", "j")
+    }),
+
+    // P373 — blocking-quality audit over version-perturbed re-uploads
+    // (ground truth = same-base groups): exact-text blocks are
+    // precision-1 but only see same-corruption pairs; first-token
+    // blocks lose the v2-prepends INTO one shared block; 16-char
+    // length buckets straddle on the ±2-char perturbation
+    "d26_blocking" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(concat(col("text"), lit(" rev"),
+              (col("doc_id") % 3).cast("string"))))
+        .withColumn("base_key", col("doc_id") % 100)
+      Dedup.blockingAudit(docs, "doc_id", "base_key", Seq(
+          ("exact_text", col("text")),
+          ("first_token", substring_index(col("text"), " ", 1)),
+          ("len_bucket16", floor(length(col("text")) / 16))))
+        .orderBy("scheme")
+    }),
+
     "pipe1_curation" -> ((s, dir) => {
       val corpus = dupedDocs(s, dir)
       val probes = table(s, dir, "documents").where(col("doc_id") % 97 === 0)
@@ -570,6 +599,76 @@ object DedupQueries {
          |  FROM d0)
          |${(1 to 4).map(sub).mkString("\nUNION ALL\n")}
          |ORDER BY subset_pct""".stripMargin
+    },
+
+    // the jaccardSql shape with COUNTS kept: Σmin over shared tokens,
+    // Σmax folded to N_i + N_j − Σmin (max+min = a+b per token)
+    "d27_wjaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |      AS token
+        |    FROM docs)
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sz FROM tok GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |    CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS minsum
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, round(CAST(minsum AS DOUBLE) /
+        |    CAST(si.sz + sj.sz - minsum AS DOUBLE), 6) AS w_jaccard
+        |FROM pairs JOIN sizes si ON si.doc_id = i
+        |  JOIN sizes sj ON sj.doc_id = j
+        |WHERE CAST(minsum AS DOUBLE) / CAST(si.sz + sj.sz - minsum AS DOUBLE)
+        |  >= 0.5e0
+        |ORDER BY i, j""".stripMargin,
+
+    // every metric from GROUP SIZES (ΣC(c,2) per block / truth /
+    // (truth, block) cell) — no pair is materialized on either side;
+    // // is DuckDB integer division (a / would detour through double)
+    "d26_blocking" -> {
+      def c2sum(by: String, as: String): String =
+        s"""SELECT CAST(coalesce(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS $as
+           |FROM (SELECT COUNT(*) AS c FROM k GROUP BY $by)""".stripMargin
+      s"""WITH d AS ($dupedDocsSql),
+         |src AS (
+         |  SELECT doc_id, doc_id % 100 AS g,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'v2 ' || text
+         |         ELSE text || ' rev' || CAST(doc_id % 3 AS VARCHAR) END
+         |      AS text
+         |  FROM d WHERE doc_id IS NOT NULL),
+         |k AS (SELECT g, text AS k1, split_part(text, ' ', 1) AS k2,
+         |        CAST(floor(len(text) / 16) AS BIGINT) AS k3 FROM src),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS ap
+         |      FROM k),
+         |tp AS (${c2sum("g", "tp")}),
+         |s1c AS (${c2sum("k1", "cp")}), s1f AS (${c2sum("g, k1", "fp")}),
+         |s2c AS (${c2sum("k2", "cp")}), s2f AS (${c2sum("g, k2", "fp")}),
+         |s3c AS (${c2sum("k3", "cp")}), s3f AS (${c2sum("g, k3", "fp")}),
+         |u AS (
+         |  SELECT 'exact_text' AS scheme, cp, fp FROM s1c CROSS JOIN s1f
+         |  UNION ALL
+         |  SELECT 'first_token', cp, fp FROM s2c CROSS JOIN s2f
+         |  UNION ALL
+         |  SELECT 'len_bucket16', cp, fp FROM s3c CROSS JOIN s3f)
+         |SELECT scheme, t.n AS n_docs, t.ap AS all_pairs,
+         |  tp.tp AS true_pairs, cp AS cand_pairs, fp AS found_true_pairs,
+         |  CASE WHEN t.ap > 0 THEN
+         |    round(1.0e0 - CAST(cp AS DOUBLE) / CAST(t.ap AS DOUBLE), 6)
+         |  END AS reduction_ratio,
+         |  CASE WHEN tp.tp > 0 THEN
+         |    round(CAST(fp AS DOUBLE) / CAST(tp.tp AS DOUBLE), 6)
+         |  END AS completeness,
+         |  CASE WHEN cp > 0 THEN
+         |    round(CAST(fp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
+         |  END AS quality
+         |FROM u CROSS JOIN t CROSS JOIN tp ORDER BY scheme""".stripMargin
     },
 
     "d1_exact_dedup" ->

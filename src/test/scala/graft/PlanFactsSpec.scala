@@ -271,6 +271,7 @@ object PlanFactsSpec {
     "t18_jsd",
     "t25_heaps", "t29_vocab_coverage", "t31_entropy_rate", "o61_stump",
     "pv4_tcloseness", "g3_relsub",
+    "d26_blocking", // four 1-row size-sum frames cross-joined per scheme
     // k-row broadcast ladders/grids (threshold ladders, digit/level
     // grids, bootstrap-multiplicity CDFs, epoch/shard frames, quantile
     // ladders, capture-history grids)

@@ -611,4 +611,56 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.dedupGrowthCurve(docs, "id", "t", 1))
   }
+
+  test("weightedJaccardPairs: repetition separates what set Jaccard " +
+      "cannot, max-sum folds to sizes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),   // counts a:3 b:1, N=4
+      (2L, "a b b b"),   // counts a:1 b:3, N=4
+      (3L, "a a a b"))   // identical to 1
+      .toDF("id", "t")
+    // SET Jaccard(1,2) = 1.0 (same vocabulary); weighted:
+    // min = 1+1 = 2, max = N1+N2−min = 6 → 1/3 — filtered at 0.5, so
+    // only the truly identical pair (1,3) survives
+    val got = Dedup.weightedJaccardPairs(docs, "id", "t", 0.5)
+      .orderBy("i", "j").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 3L &&
+      got(0).getDouble(2) == 1.0)
+    val all = Dedup.weightedJaccardPairs(docs, "id", "t", 0.01)
+      .orderBy("i", "j").collect()
+    assert(all.length == 3)
+    assert(all.head.getDouble(2) == 1.0 / 3.0) // (1,2)
+    intercept[IllegalArgumentException](
+      Dedup.weightedJaccardPairs(docs, "id", "t", 0.0))
+  }
+
+  test("blockingAudit: size-derived pair counts, the three metrics, " +
+      "per-scheme rows") {
+    import spark.implicits._
+    // truth groups: {1,2,3} (g=0), {4,5} (g=1); blocks under 'k':
+    // {1,2} {3,4,5} → cand = 1+3 = 4; found = C(2,2 of g0 in b0)=1 +
+    // (g0∩b1={3}: 0) + (g1∩b1={4,5}: 1) = 2; true = 3+1 = 4
+    val docs = Seq((1L, 0L, "x"), (2L, 0L, "x"), (3L, 0L, "y"),
+      (4L, 1L, "y"), (5L, 1L, "y")).toDF("id", "g", "k")
+    val r = Dedup.blockingAudit(docs, "id", "g",
+      Seq(("by_k", col("k")))).head
+    assert(r.getString(0) == "by_k" && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 10L && r.getLong(3) == 4L) // all, true
+    assert(r.getLong(4) == 4L && r.getLong(5) == 2L)  // cand, found
+    assert(r.getDouble(6) == 0.6)   // reduction 1 − 4/10
+    assert(r.getDouble(7) == 0.5)   // completeness 2/4
+    assert(r.getDouble(8) == 0.5)   // quality 2/4
+    // two schemes → two rows; names preserved in order-by
+    val two = Dedup.blockingAudit(docs, "id", "g",
+      Seq(("by_k", col("k")), ("by_id_parity", col("id") % 2)))
+      .orderBy("scheme").collect()
+    assert(two.map(_.getString(0)).toSeq == Seq("by_id_parity", "by_k"))
+    intercept[IllegalArgumentException](
+      Dedup.blockingAudit(docs, "id", "g", Nil))
+    intercept[IllegalArgumentException](
+      Dedup.blockingAudit(docs, "id", "g",
+        Seq(("dup", col("k")), ("dup", col("id")))))
+  }
 }
