@@ -772,6 +772,71 @@ object Features {
   }
 
   /**
+   * P374 — Ansari–Bradley two-sample SCALE test: pooled values scored
+   * by distance from the extremes (score = min(rank, N+1−rank) — both
+   * tails score low, the middle high), statistic = group A's score sum.
+   * A dispersion difference pushes the wider group's values into the
+   * tails and its score sum DOWN, which is what [[mannWhitney]] (a
+   * LOCATION test on the same ranks) cannot see: same-median
+   * different-spread groups read z ≈ 0 there and loudly here. Normal
+   * approximation with the classical null moments (parity-split N
+   * even/odd forms); ties take mid-rank scores (the o15 doubled-rank
+   * trick keeps them exact BIGINTs), null moments stay the classical
+   * no-tie forms — the standard large-sample practice, documented.
+   * Returns ONE row: (n_a, n_b, ab_stat, z, verdict).
+   *
+   * Shape: the o15 pooled-rank pass (one global-order window — the o5
+   * exact-statistic caveat applies: run on a sample or group slice at
+   * scale) + a 1-row pooled-count broadcast; doubled scores sum as
+   * exact BIGINTs; the closing z is one fixed double chain from exact
+   * integers with one IEEE sqrt, rounded at 6; verdict reads the
+   * ROUNDED z against 1.96.
+   */
+  def ansariBradley(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "ansariBradley: groups must differ")
+    val g = col(groupCol).cast("string")
+    val pool = df
+      .where((g === groupA || g === groupB) && col(valueCol).isNotNull)
+      .select(g.as("__g"), col(valueCol).as("__v"))
+    val w = Window.orderBy(col("__v").asc)
+    val tiesW = Window.partitionBy(col("__v"))
+    val nTot = pool.agg(count(lit(1)).as("__N"))
+    // doubled mid-rank d = 2·minrank + t − 1; doubled AB score
+    // min(d, 2(N+1) − d) stays an exact BIGINT
+    val ranked = pool
+      .withColumn("__minr", rank().over(w).cast("long"))
+      .withColumn("__t", count(lit(1)).over(tiesW))
+      .withColumn("__d", lit(2L) * col("__minr") + col("__t") - lit(1L))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__a2",
+        least(col("__d"), lit(2L) * (col("__N") + lit(1L)) - col("__d")))
+    val agg = ranked.agg(
+      sum(when(col("__g") === groupA, lit(1L)).otherwise(lit(0L))).as("n_a"),
+      sum(when(col("__g") === groupB, lit(1L)).otherwise(lit(0L))).as("n_b"),
+      sum(when(col("__g") === groupA, col("__a2")).otherwise(lit(0L)))
+        .as("__t2"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    val t = col("__t2").cast("double") / lit(2.0)
+    val even = (col("n_a") + col("n_b")) % 2 === 0
+    val e = when(even, na * (nn + lit(2.0)) / lit(4.0))
+      .otherwise(na * (nn + lit(1.0)) * (nn + lit(1.0)) / (lit(4.0) * nn))
+    val v = when(even,
+      na * nb * (nn + lit(2.0)) * (nn - lit(2.0)) /
+        (lit(48.0) * (nn - lit(1.0))))
+      .otherwise(na * nb * (nn + lit(1.0)) * (lit(3.0) + nn * nn) /
+        (lit(48.0) * nn * nn))
+    val z = round((t - e) / sqrt(v), 6)
+    agg.select(col("n_a"), col("n_b"), t.as("ab_stat"),
+      when(col("n_a") > 0 && col("n_b") > 0 && v > 0, z).as("z"),
+      when(col("n_a") > 0 && col("n_b") > 0 && v > 0,
+        when(abs(z) <= lit(1.96), lit("same_scale"))
+          .otherwise(lit("scale_differs"))).as("verdict"))
+  }
+
+  /**
    * P203 — first-order partial correlation: r_xy·z — the x↔y
    * association with z's influence removed,
    * (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — the confounder screen

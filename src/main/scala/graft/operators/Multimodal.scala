@@ -617,6 +617,69 @@ object Multimodal {
         coalesce(col("__max_run"), lit(0L)).as("max_run"))
   }
 
+  /**
+   * P375 — consecutive-frame duplication runs per media: fingerprint
+   * each `frameSize`-byte frame and read how often ADJACENT frames are
+   * byte-identical — the static-content detector of a video curation
+   * pass (a freeze-frame or slideshow "video" is mostly one repeated
+   * frame; per-frame decode/embed budgets should not be spent on it),
+   * which [[silenceRuns]]'s ENERGY read cannot see: a loud frozen frame
+   * is static but never silent. Emits (media_id, n_frames,
+   * n_distinct_frames, dup_consec_pairs, max_static_run, static_ratio);
+   * a single-frame media reads ratio null, run 1.
+   *
+   * Shapes: frames come straight off the hex string as substring
+   * fingerprints (NO per-byte explode — equality needs the bytes, not
+   * their values; the final partial frame keeps its shorter
+   * fingerprint), then media-PARTITIONED lag/run windows and keyed
+   * aggs — the mm15 gaps-and-islands class, zero global state.
+   * Cross-engine: fingerprints are hex substrings compared only
+   * WITHIN each engine, every count an exact BIGINT, the ratio one
+   * division rounded at 6.
+   */
+  def frameDupRuns(df: DataFrame, idCol: String, bytesCol: String,
+      frameSize: Int): DataFrame = {
+    require(frameSize >= 1,
+      s"frameDupRuns: frameSize must be >= 1, got $frameSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame"))
+    val frames = df
+      .where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      .select(col(idCol).as("media_id"),
+        lower(hex(col(bytesCol))).as("__hx"),
+        octet_length(col(bytesCol)).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0)
+      .select(col("media_id"),
+        explode(expr(s"sequence(0L, (n_bytes - 1) div ${frameSize}L)"))
+          .as("frame"),
+        col("__hx"))
+      .select(col("media_id"), col("frame"),
+        expr(s"substr(__hx, CAST(2 * frame * $frameSize + 1 AS INT), " +
+          s"${2 * frameSize})").as("__fp"))
+    val flagged = frames
+      .withColumn("__prev", lag(col("__fp"), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNull || col("__prev") =!= col("__fp"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    val runs = flagged.groupBy(col("media_id"), col("__island"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("media_id")).agg(max(col("__run")).as("max_static_run"))
+    val perMedia = flagged.groupBy(col("media_id")).agg(
+      count(lit(1)).as("n_frames"),
+      countDistinct(col("__fp")).as("n_distinct_frames"),
+      sum(lit(1L) - col("__chg")).as("dup_consec_pairs"))
+    perMedia.join(runs.hint("shuffle_hash"), Seq("media_id"))
+      .select(col("media_id"), col("n_frames"), col("n_distinct_frames"),
+        col("dup_consec_pairs"), col("max_static_run"),
+        when(col("n_frames") > 1,
+          round(col("dup_consec_pairs").cast("double") /
+            (col("n_frames") - 1).cast("double"), 6)).as("static_ratio"))
+  }
+
   /** ln 2 as a shared driver literal — [[byteEntropy]] and its oracle
     * generator embed the identical double (the o12 ladder rule). */
   val Ln2: Double = math.log(2.0)

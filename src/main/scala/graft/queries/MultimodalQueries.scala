@@ -112,6 +112,19 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // P375 — consecutive-frame dup runs over 32-byte frames: id%5==0
+    // media are frozen to ONE repeated 32-char chunk (8 copies) so
+    // long static runs exist beside the naturally distinct text frames
+    "mm19_frame_dups" -> ((s, dir) => {
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          repeat(substring(col("text"), 1, 32), 8))
+          .otherwise(col("text")).as("text"))
+      val packed = Multimodal.packText(planted, "doc_id", "text")
+      Multimodal.frameDupRuns(packed, "media_id", "bytes", frameSize = 32)
+        .orderBy("media_id")
+    }),
+
     // P366 — magic-byte format sniffing over a corpus with PLANTED
     // signatures (PNG on id%7=0, JPEG on 1, GIF on 2, raw text
     // otherwise): first-bytes dispatch, not mime trust
@@ -720,6 +733,60 @@ object MultimodalQueries {
         |  (round(sqrt(CAST(SUM(byte * byte) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE)), 6) < 32) AS silent
         |FROM v GROUP BY 1, 2 ORDER BY media_id, frame""".stripMargin,
+
+    // frames as hex SUBSTRING fingerprints (no per-byte explode),
+    // lag/running-sum islands per media; the planted id%5 freeze replays
+    // at text level before the encode
+    "mm19_frame_dups" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN repeat(substr(text, 1, 32), 8)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |h AS (
+        |  SELECT media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM m),
+        |f AS (
+        |  SELECT media_id, unnest(generate_series(0, (n - 1) // 32))
+        |    AS frame, hx
+        |  FROM h WHERE n > 0),
+        |fp AS (
+        |  SELECT media_id, frame,
+        |    substr(hx, CAST(2 * frame * 32 + 1 AS INT), 64) AS fpv
+        |  FROM f),
+        |l AS (
+        |  SELECT media_id, frame, fpv,
+        |    lag(fpv) OVER (PARTITION BY media_id ORDER BY frame) AS prev
+        |  FROM fp),
+        |c AS (
+        |  SELECT media_id, frame, fpv,
+        |    CASE WHEN prev IS NULL OR prev <> fpv THEN 1 ELSE 0 END AS chg
+        |  FROM l),
+        |i AS (
+        |  SELECT media_id, fpv, chg,
+        |    CAST(SUM(chg) OVER (PARTITION BY media_id ORDER BY frame
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM c),
+        |runs AS (
+        |  SELECT media_id, island, CAST(COUNT(*) AS BIGINT) AS run
+        |  FROM i GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT media_id, CAST(MAX(run) AS BIGINT) AS max_static_run
+        |  FROM runs GROUP BY 1),
+        |pm AS (
+        |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    CAST(COUNT(DISTINCT fpv) AS BIGINT) AS n_distinct_frames,
+        |    CAST(SUM(1 - chg) AS BIGINT) AS dup_consec_pairs
+        |  FROM i GROUP BY 1)
+        |SELECT pm.media_id, n_frames, n_distinct_frames, dup_consec_pairs,
+        |  max_static_run,
+        |  CASE WHEN n_frames > 1 THEN
+        |    round(CAST(dup_consec_pairs AS DOUBLE) /
+        |      CAST(n_frames - 1 AS DOUBLE), 6)
+        |  END AS static_ratio
+        |FROM pm JOIN mx USING (media_id) ORDER BY media_id""".stripMargin,
 
     // the mm12 frame replay at 64 bytes and bar 99, then textbook
     // gaps-and-islands (frame − row_number over silent frames) for the

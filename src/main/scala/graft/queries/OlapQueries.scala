@@ -1836,6 +1836,16 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P374 — Ansari–Bradley scale test between the click and view
+    // daily-mean distributions: the dispersion companion to o15's
+    // location read on the same rank machinery
+    "o119_ansari" -> ((s, dir) => {
+      val d = dailyMeans(s, dir)
+        .where(col("event_type").isin("click", "view"))
+      graft.operators.Features.ansariBradley(d, "event_type", "v",
+        "click", "view")
+    }),
+
     // P368 — Lo–MacKinlay variance ratio VR(5) on the same daily
     // series: the horizon-scaling read beside o114's unit-root t-ratio
     // (these mean-reverting daily means test VR well below 1)
@@ -7965,6 +7975,59 @@ object OlapQueries {
         |    CASE WHEN round(slope / sqrt(se2), 6) < -2.89e0
         |      THEN 'stationary' ELSE 'unit_root' END END AS verdict
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // the o15 pooled doubled mid-ranks, AB-scored min(d, 2(N+1)−d) in
+    // BIGINT; parity-split classical null moments, one fixed double
+    // chain mirrored operation for operation
+    "o119_ansari" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type AS g, v FROM daily
+        |  WHERE event_type IN ('click', 'view') AND v IS NOT NULL),
+        |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS pooled FROM p),
+        |r AS (
+        |  SELECT g,
+        |    CAST(rank() OVER (ORDER BY v ASC) AS BIGINT) AS minr,
+        |    CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS t
+        |  FROM p),
+        |a AS (SELECT g, 2 * minr + t - 1 AS d FROM r),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN g = 'click'
+        |      THEN LEAST(d, 2 * (pooled + 1) - d) ELSE 0 END) AS BIGINT)
+        |      AS t2
+        |  FROM a CROSS JOIN n0),
+        |c AS (
+        |  SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na,
+        |    CAST(n_b AS DOUBLE) AS nb, CAST(n_a + n_b AS DOUBLE) AS nn,
+        |    (n_a + n_b) % 2 = 0 AS ev, CAST(t2 AS DOUBLE) / 2.0e0 AS t
+        |  FROM s),
+        |f AS (
+        |  SELECT n_a, n_b, t,
+        |    CASE WHEN ev THEN na * (nn + 2.0e0) / 4.0e0
+        |         ELSE na * (nn + 1.0e0) * (nn + 1.0e0) / (4.0e0 * nn)
+        |    END AS e,
+        |    CASE WHEN ev THEN na * nb * (nn + 2.0e0) * (nn - 2.0e0) /
+        |           (48.0e0 * (nn - 1.0e0))
+        |         ELSE na * nb * (nn + 1.0e0) * (3.0e0 + nn * nn) /
+        |           (48.0e0 * nn * nn)
+        |    END AS var
+        |  FROM c)
+        |SELECT n_a, n_b, t AS ab_stat,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
+        |    THEN round((t - e) / sqrt(var), 6) END AS z,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND var > 0 THEN
+        |    CASE WHEN abs(round((t - e) / sqrt(var), 6)) <= 1.96e0
+        |      THEN 'same_scale' ELSE 'scale_differs' END END AS verdict
+        |FROM f""".stripMargin,
 
     // the o114 moment discipline with two diff lags: exact (18,6)
     // differences, (18,6)² product sums cast double, one fixed chain to

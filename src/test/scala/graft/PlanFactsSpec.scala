@@ -207,6 +207,7 @@ object PlanFactsSpec {
     // exact-order-statistic family (o5 caveat): a global order IS the
     // semantics; each operator scaladoc names the at-scale fallback
     "o15_mannwhitney", "o70_wilcoxon", "o75_kruskal", "o17_spearman",
+    "o119_ansari", // the o15 pooled-rank pass, AB-scored
     "o37_ks", "o106_cvm", // the o37 pooled-ECDF scan, integrated
     "o116_anderson", // the same pooled-ECDF scan, tail-weighted
     "sa8_weighted",
@@ -256,6 +257,8 @@ object PlanFactsSpec {
     "o25_target_enc", "o26_seasonality", "o27_hill", "o30_woe", "o37_ks",
     "o39_capture", "o42_cramersv", "o50_qq", "o53_bh", "o55_ccf",
     "o56_mcnemar", "o59_permtest", "o60_kappa", "o64_calibration",
+    "o119_ansari", // the 1-row pooled-count broadcast
+
     "o65_strata", "o66_lorenz", "o67_acf", "o68_cuped_gain", "o69_by_fdr",
     "o70_wilcoxon", "o71_mcc", "o75_kruskal", "o76_cochranq",
     "o77_cronbach", "o92_mood", "o95_kendallw", "o106_cvm",

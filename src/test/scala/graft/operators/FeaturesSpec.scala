@@ -1639,4 +1639,30 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Features.paretoCut(df, "k", "e",
       "v", Seq(("p50", 1, 2), ("p50", 1, 2))))
   }
+
+  test("ansariBradley: extreme-distance scores, parity-split moments, " +
+      "wide group scores low") {
+    import spark.implicits._
+    // odd N: A = {1, 9} (wide), B = {4, 5, 6} — pooled scores
+    // 1,2,3,2,1 → T_A = 2; E = 2·36/20 = 3.6, Var = 1008/1200 = 0.84,
+    // z = −1.6/√0.84 = −1.745743
+    val odd = Seq(("a", 1.0), ("a", 9.0), ("b", 4.0), ("b", 5.0),
+      ("b", 6.0)).toDF("g", "v")
+    val ro = Features.ansariBradley(odd, "g", "v", "a", "b").head
+    assert(ro.getLong(0) == 2L && ro.getLong(1) == 3L)
+    assert(ro.getDouble(2) == 2.0)
+    assert(ro.getDouble(3) == -1.745743 && ro.getString(4) == "same_scale")
+    // even N: A = {1, 10}, B = {4, 5} → T_A = 2, E = 3, Var = 1/3,
+    // z = −√3
+    val even = Seq(("a", 1.0), ("a", 10.0), ("b", 4.0), ("b", 5.0))
+      .toDF("g", "v")
+    val re = Features.ansariBradley(even, "g", "v", "a", "b").head
+    assert(re.getDouble(2) == 2.0 && re.getDouble(3) == -1.732051)
+    // a missing group zeroes n and nulls the readout
+    val ra = Features.ansariBradley(
+      Seq(("b", 1.0)).toDF("g", "v"), "g", "v", "a", "b").head
+    assert(ra.getLong(0) == 0L && ra.isNullAt(3) && ra.isNullAt(4))
+    intercept[IllegalArgumentException](
+      Features.ansariBradley(odd, "g", "v", "a", "a"))
+  }
 }

@@ -480,4 +480,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got(("ga", "gc")).getDouble(4) == 0.0)
     assert(got.size == 3) // all unordered pairs present
   }
+
+  test("frameDupRuns: adjacent-equality runs, partial tail frame, " +
+      "single-frame media") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "AAAABBBB".getBytes("UTF-8")),     // 2 distinct frames
+      (2L, "XXXXXXXXXXXX".getBytes("UTF-8")), // 3 identical frames
+      (3L, "ABCDABCDEF".getBytes("UTF-8")),   // ABCD, ABCD, EF (partial)
+      (4L, "QQ".getBytes("UTF-8")))           // single (short) frame
+      .toDF("id", "bytes")
+    val got = Multimodal.frameDupRuns(docs, "id", "bytes", frameSize = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 2L &&
+      r1.getLong(3) == 0L && r1.getLong(4) == 1L &&
+      r1.getDouble(5) == 0.0)
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 3L && r2.getLong(2) == 1L &&
+      r2.getLong(3) == 2L && r2.getLong(4) == 3L &&
+      r2.getDouble(5) == 1.0)
+    // the partial EF tail is its own (shorter) fingerprint
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 3L && r3.getLong(2) == 2L &&
+      r3.getLong(3) == 1L && r3.getLong(4) == 2L &&
+      r3.getDouble(5) == 0.5)
+    val r4 = got(4L)
+    assert(r4.getLong(1) == 1L && r4.getLong(4) == 1L && r4.isNullAt(5))
+    intercept[IllegalArgumentException](
+      Multimodal.frameDupRuns(docs, "id", "bytes", 0))
+  }
 }
