@@ -115,6 +115,58 @@ object Association {
   }
 
   /**
+   * P376 — frequent 3-itemsets with triple lift: every unordered item
+   * triple co-occurring in ≥ `minCount` baskets, with support and
+   * lift₃ = n_abc·N² / (n_a·n_b·n_c) — the vs-full-independence read
+   * one rung above [[assocRules]]' pairs (a triple can be frequent
+   * purely because its three pairs are: lift₃ ≈ 1 exposes it; a
+   * genuine 3-way bundle reads ≫ 1). Emits (ia, ib, ic, n_abc,
+   * support, lift3) with ia < ib < ic.
+   *
+   * Scale shape: two basket-keyed self-joins with the id-order
+   * predicates — fan-out is C(k,3) per basket, bounded by basket size
+   * (single digits for market baskets, bounded by construction for tag
+   * pipelines); the minCount filter lands before the margin joins.
+   * Cross-engine: counts exact BIGINTs; support and lift₃ are fixed
+   * double sequences rounded at 6 (n_abc·N² stays in DOUBLE — an
+   * integer product would overflow at corpus scale).
+   */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1,
+      s"frequentTriples: minCount must be >= 1, got $minCount")
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val nBaskets = bi.select("b").distinct().count()
+    require(nBaskets > 0, "frequentTriples: no baskets")
+    val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val l1 = bi.toDF("b", "ia")
+    val l2 = bi.toDF("b", "ib")
+    val l3 = bi.toDF("b", "ic")
+    val triples = l1.join(l2, Seq("b")).where(col("ia") < col("ib"))
+      .join(l3, Seq("b")).where(col("ib") < col("ic"))
+      .groupBy(col("ia"), col("ib"), col("ic"))
+      .agg(count(lit(1)).as("n_abc"))
+      .where(col("n_abc") >= minCount)
+    val nd = lit(nBaskets.toDouble)
+    triples
+      .join(itemCounts.withColumnRenamed("n_i", "n_a").hint("shuffle_hash"),
+        col("ia") === col("i")).drop("i")
+      .join(itemCounts.withColumnRenamed("n_i", "n_b").hint("shuffle_hash"),
+        col("ib") === col("i")).drop("i")
+      .join(itemCounts.withColumnRenamed("n_i", "n_c").hint("shuffle_hash"),
+        col("ic") === col("i")).drop("i")
+      .withColumn("support", round(col("n_abc").cast("double") / nd, 6))
+      .withColumn("lift3",
+        round(col("n_abc").cast("double") * nd * nd /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            col("n_c").cast("double")), 6))
+      .select(col("ia"), col("ib"), col("ic"), col("n_abc"),
+        col("n_a"), col("n_b"), col("n_c"), col("support"), col("lift3"))
+  }
+
+  /**
    * P168 — sequential association rules (a THEN b on consecutive
    * events per key): support = pair count / all consecutive pairs,
    * confidence = P(next = b | current = a), lift = confidence /

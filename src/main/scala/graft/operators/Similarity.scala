@@ -800,6 +800,57 @@ object Similarity {
   }
 
   /**
+   * P377 — adjusted Rand index between two clusterings of the same
+   * points: agreement on PAIR co-membership, chance-corrected —
+   * ARI = (ΣC(n_xy,2) − a·b/C(n,2)) / ((a+b)/2 − a·b/C(n,2)) with
+   * a = ΣC(row margins,2), b = ΣC(col margins,2). The clustering
+   * STABILITY read: re-fit with a different seed/centroid sample and
+   * ARI near 1 says the structure is real, near 0 says the "clusters"
+   * are initialization noise — the audit [[silhouetteSimplified]]
+   * (which scores ONE fit in isolation) cannot give. Emits ONE row:
+   * (n_points, n_clusters_a, n_clusters_b, pair_index, expected_index,
+   * max_index, ari); ari is null when max = expected (both sides one
+   * cluster — agreement is vacuous there).
+   *
+   * Shape: one id equi-join, one contingency agg + two margin aggs
+   * (each 1-row, broadcast) — no pair is materialized (the d26
+   * size-arithmetic rule: ΣC(c,2) via LONG shiftright halving).
+   * Cross-engine: every count exact; the closing chain is a fixed
+   * double sequence on exact integers, rounded at 6.
+   */
+  def adjustedRandIndex(a: DataFrame, b: DataFrame, idCol: String,
+      clusterCol: String): DataFrame = {
+    val aa = a.where(col(idCol).isNotNull && col(clusterCol).isNotNull)
+      .select(col(idCol).as("__id"), col(clusterCol).as("__ca"))
+    val bb = b.where(col(idCol).isNotNull && col(clusterCol).isNotNull)
+      .select(col(idCol).as("__id"), col(clusterCol).as("__cb"))
+    val j = aa.join(bb.hint("shuffle_hash"), Seq("__id"))
+    def c2(c: Column) = shiftright(c * (c - 1), 1)
+    val ix = j.groupBy(col("__ca"), col("__cb"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(c2(col("__n"))), lit(0L)).as("__index"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_points"))
+    val am = j.groupBy(col("__ca")).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(c2(col("__n"))), lit(0L)).as("__a"),
+        count(lit(1)).as("n_clusters_a"))
+    val bm = j.groupBy(col("__cb")).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(c2(col("__n"))), lit(0L)).as("__b"),
+        count(lit(1)).as("n_clusters_b"))
+    val t = c2(col("n_points")).cast("double")
+    val expected = col("__a").cast("double") * col("__b").cast("double") / t
+    val maxi = (col("__a") + col("__b")).cast("double") / lit(2.0)
+    val den = maxi - expected
+    ix.crossJoin(broadcast(am)).crossJoin(broadcast(bm)) // 1-row sides
+      .select(col("n_points"), col("n_clusters_a"), col("n_clusters_b"),
+        col("__index").as("pair_index"),
+        when(col("n_points") > 1, round(expected, 6)).as("expected_index"),
+        round(maxi, 6).as("max_index"),
+        when(col("n_points") > 1 && den =!= 0.0,
+          round((col("__index").cast("double") - expected) / den, 6))
+          .as("ari"))
+  }
+
+  /**
    * P274 — embedding isotropy audit: the mean pairwise cosine of the
    * corpus via the sum-vector identity Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² —
    * NO pairwise pass at all, one linear sweep (the anisotropy read

@@ -36,6 +36,20 @@ object MiningQueries {
         .orderBy("antecedent", "consequent")
     }),
 
+    // P376 — frequent brand triples over order baskets (lineitem →
+    // part brand — the part-key space is too sparse for any triple to
+    // repeat): lift₃ separates genuine 3-way bundles from
+    // pairwise-frequent coincidence
+    "fi4_triples" -> ((s, dir) => {
+      val baskets = table(s, dir, "lineitem")
+        .join(table(s, dir, "part").hint("shuffle_hash"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.Association.frequentTriples(baskets,
+          "l_orderkey", "p_brand", minCount = 2L)
+        .orderBy("ia", "ib", "ic")
+    }),
+
     // P335 — the full rule-metric panel over the fi1 candidates:
     // leverage (additive excess, immune to lift's rare-pair explosion)
     // and conviction (implication direction) beside the classic three
@@ -49,6 +63,40 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // two basket self-joins with id-order predicates, margin joins on
+    // exact BIGINT counts, fixed double closings; `im` margins — an
+    // `ic` CTE would shadow the output column
+    "fi4_triples" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL),
+        |n0 AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM bi),
+        |im AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi
+        |       GROUP BY 1),
+        |p2 AS (
+        |  SELECT a.b AS b, a.i AS ia, c.i AS ib
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i),
+        |tr AS (
+        |  SELECT p2.ia, p2.ib, d.i AS ic3,
+        |    CAST(COUNT(*) AS BIGINT) AS n_abc
+        |  -- d joins on the basket EQUI key directly: leaving it implied
+        |  -- through a.b let the planner reorder into an inequality-only
+        |  -- join (measured: 84 GB on a 50k-row relation)
+        |  FROM p2 JOIN bi d ON d.b = p2.b AND p2.ib < d.i
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+        |SELECT tr.ia, tr.ib, tr.ic3 AS ic, tr.n_abc,
+        |  x.n_i AS n_a, y.n_i AS n_b, z.n_i AS n_c,
+        |  round(CAST(n_abc AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support,
+        |  round(CAST(n_abc AS DOUBLE) * CAST(nb AS DOUBLE) *
+        |      CAST(nb AS DOUBLE) /
+        |    (CAST(x.n_i AS DOUBLE) * CAST(y.n_i AS DOUBLE) *
+        |      CAST(z.n_i AS DOUBLE)), 6) AS lift3
+        |FROM tr JOIN im x ON x.i = tr.ia JOIN im y ON y.i = tr.ib
+        |  JOIN im z ON z.i = tr.ic3
+        |CROSS JOIN n0
+        |ORDER BY ia, ib, ic""".stripMargin,
+
     // the q9 lead construction; marginals from windowed sums (CAST — a
     // windowed SUM(BIGINT) is HUGEINT, the r7 lesson); minCount filters
     // AFTER the totals

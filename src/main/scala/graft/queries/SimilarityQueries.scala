@@ -243,6 +243,21 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // P377 — clustering stability: ARI between the %31 and %29
+    // centroid-sample IVF assignments — near 1 = real structure,
+    // near 0 = initialization noise (the read sim11's single-fit
+    // silhouette cannot give)
+    "sim16_ari" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def cents(m: Int) = e.where(col("vec_id") % m === 0)
+        .select(col("vec_id").as("centroid_id"), col("v"))
+      val a = Similarity.ivfAssign(e, cents(31), "vec_id", "v")
+        .select(col("id"), col("centroid_id"))
+      val b = Similarity.ivfAssign(e, cents(29), "vec_id", "v")
+        .select(col("id"), col("centroid_id"))
+      Similarity.adjustedRandIndex(a, b, "id", "centroid_id")
+    }),
+
     // P230 — simplified silhouette of the sim2 centroid set: per-cluster
     // tightness/separation before committing to the IVF bucketing
     "sim11_silhouette" -> ((s, dir) => {
@@ -840,6 +855,61 @@ object SimilarityQueries {
     // the sim2 assignment replay (argmax on unrounded cosine, smallest
     // cid on ties), 6-rounded cosines, a/b in exact decimal, decimal-
     // summed cluster means
+    // two sim11-style argmax replays (%31 / %29 centroid samples),
+    // contingency + margins as ΣC(c,2) size arithmetic (// = integer
+    // division), one fixed double closing chain
+    "sim16_ari" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |ca AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 29 = 0),
+        |ra AS (
+        |  SELECT id, cid FROM (
+        |    SELECT p.vec_id AS id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid ASC)
+        |        AS rn
+        |    FROM e p CROSS JOIN ca c) WHERE rn = 1),
+        |rb AS (
+        |  SELECT id, cid FROM (
+        |    SELECT p.vec_id AS id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid ASC)
+        |        AS rn
+        |    FROM e p CROSS JOIN cb c) WHERE rn = 1),
+        |j AS (SELECT ra.id, ra.cid AS x, rb.cid AS y
+        |      FROM ra JOIN rb ON ra.id = rb.id),
+        |ix AS (
+        |  SELECT CAST(coalesce(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS idx,
+        |    CAST(coalesce(SUM(n), 0) AS BIGINT) AS np
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY x, y)),
+        |am AS (
+        |  SELECT CAST(coalesce(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS a,
+        |    CAST(COUNT(*) AS BIGINT) AS ka
+        |  FROM (SELECT COUNT(*) AS c FROM j GROUP BY x)),
+        |bm AS (
+        |  SELECT CAST(coalesce(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS kb
+        |  FROM (SELECT COUNT(*) AS c FROM j GROUP BY y))
+        |SELECT np AS n_points, ka AS n_clusters_a, kb AS n_clusters_b,
+        |  idx AS pair_index,
+        |  CASE WHEN np > 1 THEN
+        |    round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) /
+        |      CAST(np * (np - 1) // 2 AS DOUBLE), 6) END AS expected_index,
+        |  round(CAST(a + b AS DOUBLE) / 2.0e0, 6) AS max_index,
+        |  CASE WHEN np > 1 AND
+        |    CAST(a + b AS DOUBLE) / 2.0e0 -
+        |      CAST(a AS DOUBLE) * CAST(b AS DOUBLE) /
+        |        CAST(np * (np - 1) // 2 AS DOUBLE) <> 0.0e0 THEN
+        |    round((CAST(idx AS DOUBLE) -
+        |      CAST(a AS DOUBLE) * CAST(b AS DOUBLE) /
+        |        CAST(np * (np - 1) // 2 AS DOUBLE)) /
+        |      (CAST(a + b AS DOUBLE) / 2.0e0 -
+        |        CAST(a AS DOUBLE) * CAST(b AS DOUBLE) /
+        |          CAST(np * (np - 1) // 2 AS DOUBLE)), 6) END AS ari
+        |FROM ix CROSS JOIN am CROSS JOIN bm""".stripMargin,
+
     "sim11_silhouette" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v

@@ -290,6 +290,7 @@ object PlanFactsSpec {
     "sim1_brute_topk", "sim2_ivf_topk", "sim9_recall", "sim11_silhouette",
     "sim13_hubness",
     "sim15_quantizer_recall", // the sim1/sim5 broadcast-query passes ×3
+    "sim16_ari", // two 1-row margin frames broadcast onto the 1-row index
     // metadata-sized band/file/cell frames joined on range intersection
     // (zone-map bands, range-balance buckets, sketch cell unions,
     // boundary frames) — both sides file/cell-count-sized at any scale

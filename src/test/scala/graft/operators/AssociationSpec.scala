@@ -95,4 +95,28 @@ class AssociationSpec extends SparkSpec {
     assert(got(("d", "e"))._3.isEmpty)
     assert(got(("d", "e"))._2 == r6(2.0 / 6 - (2.0 / 6) * (2.0 / 6)))
   }
+
+  test("frequentTriples: id-ordered triples, minCount bar, lift3 from " +
+      "the three margins") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "d"),
+      (4L, "d")).toDF("b", "i")
+    val got = Association.frequentTriples(df, "b", "i", minCount = 2L)
+      .collect()
+    assert(got.length == 1) // (a,b,d) occurs once and drops
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" &&
+      r.getString(2) == "c")
+    assert(r.getLong(3) == 2L && r.getLong(4) == 3L &&
+      r.getLong(5) == 3L && r.getLong(6) == 2L)
+    assert(r.getDouble(7) == 0.5) // 2 of 4 baskets
+    // lift3 = 2·16/(3·3·2) = 1.777778
+    assert(r.getDouble(8) == 1.777778)
+    // minCount 1 admits (a,b,d) too
+    assert(Association.frequentTriples(df, "b", "i", 1L).count() == 2L)
+    intercept[IllegalArgumentException](
+      Association.frequentTriples(df, "b", "i", 0L))
+  }
 }

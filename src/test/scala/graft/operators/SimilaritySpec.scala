@@ -469,4 +469,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.length == 2 &&
       pq.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
+
+  test("adjustedRandIndex: identical clusterings score 1, " +
+      "crossed ones go negative") {
+    import spark.implicits._
+    val a = Seq((1L, "p"), (2L, "p"), (3L, "p"), (4L, "q"), (5L, "q"),
+      (6L, "q")).toDF("id", "c")
+    val same = Similarity.adjustedRandIndex(a, a, "id", "c").head
+    assert(same.getLong(0) == 6L && same.getLong(1) == 2L &&
+      same.getLong(2) == 2L)
+    assert(same.getLong(3) == 6L && same.getDouble(6) == 1.0)
+    // B swaps 3 and 4 across the split: index 2, a = b = 6, t = 15,
+    // expected 2.4, max 6 → ari = −0.4/3.6 = −0.111111
+    val b = Seq((1L, "u"), (2L, "u"), (4L, "u"), (3L, "v"), (5L, "v"),
+      (6L, "v")).toDF("id", "c")
+    val crossed = Similarity.adjustedRandIndex(a, b, "id", "c").head
+    assert(crossed.getLong(3) == 2L)
+    assert(crossed.getDouble(4) == 2.4 && crossed.getDouble(5) == 6.0)
+    assert(crossed.getDouble(6) == -0.111111)
+    // both sides one cluster: max = expected — ari must be null, not 0/0
+    val one = Seq((1L, "z"), (2L, "z")).toDF("id", "c")
+    val deg = Similarity.adjustedRandIndex(one, one, "id", "c").head
+    assert(deg.isNullAt(6))
+  }
 }
