@@ -704,4 +704,43 @@ object Profiling {
           .as("share"))
       .orderBy("pattern")
   }
+
+  /**
+   * P378 — cross-field date-order audit: per group, how often does the
+   * `endCol` date precede the `startCol` date it must follow, plus the
+   * span distribution (min/mean/max days)? The CROSS-COLUMN consistency
+   * gate per-column profiling (dq1/dq6) cannot express — a ship date
+   * and an order date can each be individually valid while their PAIR
+   * is impossible; on this corpus the read is a real finding (ship
+   * dates are generated independently of order dates — ~20% of spans
+   * are negative, the q29 lesson surfaced as a first-class audit).
+   * Emits (group, n_rows, n_violations, violation_rate, min_span_days,
+   * mean_span_days, max_span_days).
+   *
+   * Shape: ONE keyed map-side-combinable agg over the joined frame the
+   * caller provides. Cross-engine: spans are exact integer day diffs
+   * (datediff on DATE casts ↔ DATE subtraction), sums exact BIGINTs,
+   * the two ratios single divisions rounded at 6.
+   */
+  def dateOrderAudit(df: DataFrame, groupCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val span = datediff(col(endCol).cast("date"), col(startCol).cast("date"))
+      .cast("long")
+    df.where(col(groupCol).isNotNull && col(startCol).isNotNull &&
+        col(endCol).isNotNull)
+      .select(col(groupCol), span.as("__span"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__span") < 0, 1L).otherwise(0L)).as("n_violations"),
+        min(col("__span")).as("min_span_days"),
+        max(col("__span")).as("max_span_days"),
+        sum(col("__span")).as("__sum"))
+      .select(col(groupCol), col("n_rows"), col("n_violations"),
+        round(col("n_violations").cast("double") /
+          col("n_rows").cast("double"), 6).as("violation_rate"),
+        col("min_span_days"),
+        round(col("__sum").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mean_span_days"),
+        col("max_span_days"))
+  }
 }

@@ -773,6 +773,46 @@ object TextAnalysis {
   }
 
   /**
+   * P379 — boolean conjunctive retrieval with exclusion: documents
+   * containing ALL `mustTerms` and NONE of `mustNotTerms` — the
+   * filter-style query class beside the RANKED retrievers (iv2 BM25 /
+   * iv4 QLD score everything; a curation pass usually wants the exact
+   * predicate "has X and Y, not Z" — license screens, topic gates,
+   * blocklist-scoped corpus cuts). Emits (doc_id, n_must_occurrences)
+   * for matches only.
+   *
+   * Scale shape: the term lists ride as `isin` literals pushed into the
+   * token scan (no postings materialized); AND = one doc-keyed agg
+   * demanding distinct-hits = |must|; NOT = one left-anti on the
+   * excluded doc set. Counts exact; no floats anywhere.
+   */
+  def booleanRetrieve(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, mustTerms: Seq[String],
+      mustNotTerms: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val must = mustTerms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    val mustNot = mustNotTerms.map(_.toLowerCase.trim).filter(_.nonEmpty)
+      .distinct
+    require(must.nonEmpty, "booleanRetrieve: no must terms")
+    require(must.intersect(mustNot).isEmpty,
+      s"booleanRetrieve: contradictory terms ${must.intersect(mustNot)}")
+    val toks = docs.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol)))
+        .as("token"))
+    val matched = toks.where(col("token").isin(must: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("token")).as("__hits"),
+        count(lit(1)).as("n_must_occurrences"))
+      .where(col("__hits") === must.size)
+    val out =
+      if (mustNot.isEmpty) matched
+      else matched.join(
+        toks.where(col("token").isin(mustNot: _*)).select("doc_id")
+          .distinct(),
+        Seq("doc_id"), "left_anti")
+    out.select(col("doc_id"), col("n_must_occurrences"))
+  }
+
+  /**
    * P64 — bigram-LM perplexity scoring (the CCNet-style quality filter: a
    * document's perplexity under a language model trained on the corpus —
    * or any reference corpus — separates fluent text from boilerplate and

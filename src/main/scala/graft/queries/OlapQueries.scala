@@ -1288,6 +1288,23 @@ object OlapQueries {
         .orderBy("band_id")
     }),
 
+    // P378 — cross-field date-order audit per order priority: how many
+    // lineitems SHIP BEFORE their order date (a real corpus finding —
+    // ship dates generate independently of order dates here, ~20%
+    // negative spans; dq13's fanout read beside the dq1/dq6 per-column
+    // profiles can't see a cross-COLUMN impossibility)
+    "dq18_date_order" -> ((s, dir) => {
+      val j = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+      graft.operators.Profiling.dateOrderAudit(j, "o_orderpriority",
+          "o_orderdate", "l_shipdate")
+        .orderBy("o_orderpriority")
+    }),
+
     // P244 — hour-of-day-stratified arm difference on event value: the
     // adjustment the o63 balance table motivates
     "o65_strata" -> ((s, dir) => {
@@ -6102,6 +6119,27 @@ object OlapQueries {
         |  round(CAST(n_parents AS DOUBLE) / CAST(tt AS DOUBLE), 6)
         |    AS share_parents
         |FROM g CROSS JOIN t ORDER BY band_id""".stripMargin,
+
+    // exact integer day spans (DATE subtraction ↔ datediff), one keyed
+    // agg, two divisions rounded at 6
+    "dq18_date_order" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority,
+        |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+        |      AS BIGINT) AS span
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority IS NOT NULL
+        |    AND o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN span < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  round(CAST(SUM(CASE WHEN span < 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate,
+        |  CAST(MIN(span) AS BIGINT) AS min_span_days,
+        |  round(CAST(SUM(span) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_span_days,
+        |  CAST(MAX(span) AS BIGINT) AS max_span_days
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // 4-rounded quintile thresholds on the hour covariate, per-stratum
     // conditional decimal means, decimal diffs, one weighted pool

@@ -257,6 +257,16 @@ object TextQueries {
         minPairCount = 5L, topK = 20)
     }),
 
+    // P379 — boolean conjunctive retrieval: docs with BOTH 'data' and
+    // 'query', excluding 'dup' — the exact-predicate filter class
+    // beside the ranked iv2/iv4 retrievers (term shares measured:
+    // data ~76%, query ~76%, dup ~5% of docs — all paths exercised)
+    "iv8_boolean" -> ((s, dir) => {
+      TextAnalysis.booleanRetrieve(table(s, dir, "documents"), "doc_id",
+          "text", Seq("data", "query"), Seq("dup"))
+        .orderBy("doc_id")
+    }),
+
     // P370 — collocation t-score (top 20, pairs ≥ 5): the conservative
     // high-frequency-phrase member beside t37's G² and t15's PMI —
     // the SAME margin table, a different ranking
@@ -1407,6 +1417,26 @@ object TextQueries {
         |    AS INTEGER) AS rank,
         |  a, b, c_ab, c_a, c_b, g2
         |FROM top ORDER BY rank""".stripMargin,
+
+    // AND = distinct-hit count equals |must|, NOT = anti-semi on the
+    // excluded doc set; all counts exact
+    "iv8_boolean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(DISTINCT token) AS BIGINT) AS hits,
+        |    CAST(COUNT(*) AS BIGINT) AS n_must_occurrences
+        |  FROM toks WHERE token IN ('data', 'query')
+        |  GROUP BY 1),
+        |x AS (SELECT DISTINCT doc_id FROM toks WHERE token = 'dup')
+        |SELECT m.doc_id, m.n_must_occurrences
+        |FROM m LEFT JOIN x ON x.doc_id = m.doc_id
+        |WHERE m.hits = 2 AND x.doc_id IS NULL
+        |ORDER BY m.doc_id""".stripMargin,
 
     // the t37 margin CTEs verbatim; the score is one exact BIGINT
     // product difference over N·sqrt(c_ab)

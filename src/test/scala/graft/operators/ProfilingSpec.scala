@@ -350,4 +350,28 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profiling.nullPatternProfile(df, Seq.fill(17)("x")))
   }
+
+  test("dateOrderAudit: negative spans counted, span stats exact, " +
+      "null fields drop") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val df = Seq(
+      ("g1", d("2024-01-10"), d("2024-01-12")),  // +2
+      ("g1", d("2024-01-10"), d("2024-01-08")),  // −2 violation
+      ("g1", d("2024-01-10"), d("2024-01-16")),  // +6
+      ("g2", d("2024-01-01"), d("2024-01-01")))  // 0 — NOT a violation
+      .toDF("g", "start", "end")
+      .union(Seq(("g1", null.asInstanceOf[Date], d("2024-01-01")))
+        .toDF("g", "start", "end"))
+    val got = Profiling.dateOrderAudit(df, "g", "start", "end")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1")
+    assert(g1.getLong(1) == 3L && g1.getLong(2) == 1L)
+    assert(g1.getDouble(3) == 0.333333)
+    assert(g1.getLong(4) == -2L && g1.getDouble(5) == 2.0 &&
+      g1.getLong(6) == 6L)
+    val g2 = got("g2")
+    assert(g2.getLong(2) == 0L && g2.getDouble(3) == 0.0)
+  }
 }

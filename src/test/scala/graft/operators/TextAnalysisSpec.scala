@@ -1006,4 +1006,26 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.encodingAnomalies(docs, "t",
         Seq(("x", ea), ("x", "�"))))
   }
+
+  test("booleanRetrieve: AND over distinct hits, NOT excludes, " +
+      "occurrences counted") {
+    val docs = Seq(
+      (1L, "data query data"),     // both terms, 3 occurrences
+      (2L, "data only here"),      // missing 'query'
+      (3L, "data query dup"),      // excluded by 'dup'
+      (4L, "query data"))          // both, 2 occurrences
+      .toDF("id", "t")
+    val got = TextAnalysis.booleanRetrieve(docs, "id", "t",
+        Seq("data", "query"), Seq("dup"))
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    // no exclusion list admits doc 3
+    assert(TextAnalysis.booleanRetrieve(docs, "id", "t",
+      Seq("data", "query")).count() == 3L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.booleanRetrieve(docs, "id", "t", Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.booleanRetrieve(docs, "id", "t", Seq("a"), Seq("a")))
+  }
 }
