@@ -772,6 +772,49 @@ object Features {
   }
 
   /**
+   * P381 — direct rate standardization: each group's event rate
+   * re-weighted to the CORPUS-WIDE stratum mix —
+   * std_rate_g = Σ_s (N_s/N)·(p_{g,s}/c_{g,s}) — so groups with
+   * different compositions compare on a common footing (the
+   * epidemiology age-adjustment move; in a data pipeline, the "is
+   * nation X's conversion really higher, or does it just skew toward
+   * the high-converting segment" question the crude rate conflates).
+   * Emits per group: n, crude_rate, std_rate. A stratum absent from a
+   * group contributes rate 0 (its true rate is unobservable — the
+   * conservative convention, documented); the crude−std gap per group
+   * is the composition effect.
+   *
+   * Shape: one stratum-reference agg + one (group, stratum) cell agg,
+   * an equi-join on stratum, a 1-row total broadcast, one group fold.
+   * Cross-engine: each weighted term (w·r on exact-integer-ratio
+   * doubles) rounds at 9 and DECIMAL-sums; the two rates round at 6.
+   */
+  def directStandardization(df: DataFrame, groupCol: String,
+      stratumCol: String, flagCol: String): DataFrame = {
+    val base = df.where(col(groupCol).isNotNull &&
+      col(stratumCol).isNotNull && col(flagCol).isNotNull)
+    val ref = base.groupBy(col(stratumCol)).agg(count(lit(1)).as("__ns"))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val cells = base.groupBy(col(groupCol), col(stratumCol))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(flagCol), 1L).otherwise(0L)).as("__p"))
+    val term = round(
+      (col("__ns").cast("double") / col("__n").cast("double")) *
+        (col("__p").cast("double") / col("__c").cast("double")), 9)
+      .cast("decimal(28,9)")
+    cells.join(ref.hint("shuffle_hash"), Seq(stratumCol))
+      .crossJoin(broadcast(tot)) // 1-row scalar side
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__p")).as("__ptot"),
+        sum(term).as("__std"))
+      .select(col(groupCol), col("n"),
+        round(col("__ptot").cast("double") / col("n").cast("double"), 6)
+          .as("crude_rate"),
+        round(col("__std").cast("double"), 6).as("std_rate"))
+  }
+
+  /**
    * P374 — Ansari–Bradley two-sample SCALE test: pooled values scored
    * by distance from the extremes (score = min(rank, N+1−rank) — both
    * tails score low, the middle high), statistic = group A's score sum.

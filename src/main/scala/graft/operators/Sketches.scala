@@ -954,4 +954,38 @@ object Sketches {
         round(dec, 6).as("decayed"),
         round(dec / sum(col("__n")).cast("double"), 6).as("decay_ratio"))
   }
+
+  /**
+   * P380 — Chao1 species-richness estimate from a sample: how many
+   * DISTINCT values does the full population hold, estimated from the
+   * sample's abundance spectrum alone — Ŝ = d + f₁(f₁−1)/(2(f₂+1))
+   * (bias-corrected form; f₁ = values seen once, f₂ = seen twice).
+   * The capacity-planning read DISTINCT-on-the-sample understates by
+   * construction (unseen values exist — the d25 growth-curve lesson as
+   * an ESTIMATOR instead of a measurement): vocabulary sizing,
+   * entity-cardinality forecasts, dictionary-encoding budgets. Emits
+   * ONE row: (n_items, d_sample, f1, f2, chao1).
+   *
+   * Shape: one item-keyed count agg + one 3-number fold — map-side
+   * combinable, sample-sized. Cross-engine: counts exact BIGINTs;
+   * the correction is one fixed double chain rounded at 6. The
+   * bias-corrected form is total (f₂ = 0 divides by 2, not 0).
+   */
+  def chao1Richness(sample: DataFrame, itemCol: String): DataFrame = {
+    val counts = sample.where(col(itemCol).isNotNull)
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("__c"))
+    val spec = counts.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_items"),
+      count(lit(1)).as("d_sample"),
+      coalesce(sum(when(col("__c") === 1, 1L).otherwise(0L)), lit(0L))
+        .as("f1"),
+      coalesce(sum(when(col("__c") === 2, 1L).otherwise(0L)), lit(0L))
+        .as("f2"))
+    val f1d = col("f1").cast("double")
+    spec.select(col("n_items"), col("d_sample"), col("f1"), col("f2"),
+      round(col("d_sample").cast("double") +
+        f1d * (f1d - lit(1.0)) /
+          (lit(2.0) * (col("f2").cast("double") + lit(1.0))), 6)
+        .as("chao1"))
+  }
 }

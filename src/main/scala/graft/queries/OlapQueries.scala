@@ -1853,6 +1853,32 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P380 — Chao1 richness from the %20-order lineitem sample: unseen
+    // part-key cardinality estimated from the sample's abundance
+    // spectrum, true full-corpus distinct riding as the audit column
+    // (the d25 growth lesson as an ESTIMATOR)
+    "sk19_chao1" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val est = graft.operators.Sketches.chao1Richness(
+        li.where(col("l_orderkey") % 20 === 0)
+          .select(col("l_partkey").as("item")), "item")
+      val truth = li.agg(
+        countDistinct(col("l_partkey")).as("true_distinct"))
+      est.crossJoin(broadcast(truth))
+    }),
+
+    // P381 — direct standardization of the high-balance rate per
+    // nation to the corpus segment mix: the crude−std gap per nation
+    // is the composition effect
+    "o120_std_rate" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        (col("c_acctbal") > 5000).as("rich"))
+      graft.operators.Features.directStandardization(c, "c_nationkey",
+          "c_mktsegment", "rich")
+        .orderBy("c_nationkey")
+    }),
+
     // P374 — Ansari–Bradley scale test between the click and view
     // daily-mean distributions: the dispersion companion to o15's
     // location read on the same rank machinery
@@ -8013,6 +8039,59 @@ object OlapQueries {
         |    CASE WHEN round(slope / sqrt(se2), 6) < -2.89e0
         |      THEN 'stationary' ELSE 'unit_root' END END AS verdict
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // abundance spectrum counts exact; the bias-corrected closing is
+    // total (f2 = 0 divides by 2)
+    "sk19_chao1" ->
+      """WITH s AS (
+        |  SELECT l_partkey AS item FROM lineitem
+        |  WHERE l_orderkey % 20 = 0 AND l_partkey IS NOT NULL),
+        |c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM s
+        |      GROUP BY 1),
+        |sp AS (
+        |  SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n_items,
+        |    CAST(COUNT(*) AS BIGINT) AS d_sample,
+        |    CAST(coalesce(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS f1,
+        |    CAST(coalesce(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS f2
+        |  FROM c),
+        |t AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+        |        AS true_distinct FROM lineitem)
+        |SELECT n_items, d_sample, f1, f2,
+        |  round(CAST(d_sample AS DOUBLE) +
+        |    CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0e0) /
+        |      (2.0e0 * (CAST(f2 AS DOUBLE) + 1.0e0)), 6) AS chao1,
+        |  true_distinct
+        |FROM sp CROSS JOIN t""".stripMargin,
+
+    // stratum weights × cell rates: each term 9-rounded and
+    // DECIMAL-summed (exact-integer-ratio doubles on both sides)
+    "o120_std_rate" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment, c_acctbal > 5000 AS rich
+        |  FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL),
+        |ref AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ns
+        |        FROM base GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN rich THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM base GROUP BY 1, 2),
+        |j AS (
+        |  SELECT cells.c_nationkey, cells.c, cells.p,
+        |    round((CAST(ref.ns AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+        |      (CAST(cells.p AS DOUBLE) / CAST(cells.c AS DOUBLE)), 9)
+        |      AS term
+        |  FROM cells JOIN ref USING (c_mktsegment) CROSS JOIN t)
+        |SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS n,
+        |  round(CAST(SUM(p) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+        |    AS crude_rate,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS std_rate
+        |FROM j GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
 
     // the o15 pooled doubled mid-ranks, AB-scored min(d, 2(N+1)−d) in
     // BIGINT; parity-split classical null moments, one fixed double

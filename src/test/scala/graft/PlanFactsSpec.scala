@@ -271,6 +271,8 @@ object PlanFactsSpec {
     "sa21_ht", "sim12_isotropy", "sk5_heavyhitters",
     "sk17_hll_err", // the shared 1-row exact-count side of the ladder
     "sk18_decay", // the 1-row corpus-max-day reference broadcast
+    "sk19_chao1", // the 1-row true-distinct audit broadcast
+    "o120_std_rate", // the 1-row corpus-total broadcast
     "t18_jsd",
     "t25_heaps", "t29_vocab_coverage", "t31_entropy_rate", "o61_stump",
     "pv4_tcloseness", "g3_relsub",

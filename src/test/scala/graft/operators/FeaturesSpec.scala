@@ -1665,4 +1665,31 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.ansariBradley(odd, "g", "v", "a", "a"))
   }
+
+  test("directStandardization: crude differs from standardized when " +
+      "mixes differ; absent strata contribute 0") {
+    import spark.implicits._
+    // strata mix: s1 has 4 rows, s2 has 4 → weights 0.5/0.5.
+    // g1: all in s1, rate 1.0; g2: all in s2, rate 0.5.
+    // std(g1) = 0.5·1.0 + 0 (no s2 cell) = 0.5; crude(g1) = 1.0
+    val df = Seq(
+      ("g1", "s1", true), ("g1", "s1", true), ("g1", "s1", true),
+      ("g1", "s1", true),
+      ("g2", "s2", true), ("g2", "s2", true), ("g2", "s2", false),
+      ("g2", "s2", false)).toDF("g", "s", "f")
+    val got = Features.directStandardization(df, "g", "s", "f")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1")
+    assert(g1.getLong(1) == 4L && g1.getDouble(2) == 1.0 &&
+      g1.getDouble(3) == 0.5)
+    val g2 = got("g2")
+    assert(g2.getDouble(2) == 0.5 && g2.getDouble(3) == 0.25)
+    // identical mixes: std equals crude
+    val bal = Seq(("a", "s1", true), ("a", "s2", false),
+      ("b", "s1", false), ("b", "s2", false)).toDF("g", "s", "f")
+    val rb = Features.directStandardization(bal, "g", "s", "f")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rb("a").getDouble(2) == 0.5 && rb("a").getDouble(3) == 0.5)
+    assert(rb("b").getDouble(3) == 0.0)
+  }
 }

@@ -488,4 +488,21 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.decayedCounts(ev, "k", "t", 0.9, maxAgeDays = 0))
   }
+
+  test("chao1Richness: abundance spectrum and the bias-corrected close") {
+    import spark.implicits._
+    // a,a,b,c,d: d=4, f1=3 (b,c,d), f2=1 (a) → chao1 = 4 + 3·2/4 = 5.5
+    val s = Seq("a", "a", "b", "c", "d").toDF("i")
+    val r = Sketches.chao1Richness(s, "i").head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L &&
+      r.getLong(2) == 3L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 5.5)
+    // every value seen ≥ 3 times: no correction, chao1 = d
+    val sat = Seq("x", "x", "x", "y", "y", "y").toDF("i")
+    val rs = Sketches.chao1Richness(sat, "i").head
+    assert(rs.getLong(3) == 0L && rs.getDouble(4) == 2.0)
+    // f2 present: a,b,b,c,c,d,e → d=5, f1=3, f2=2 → 5 + 3·2/6 = 6
+    val mix = Seq("a", "b", "b", "c", "c", "d", "e").toDF("i")
+    assert(Sketches.chao1Richness(mix, "i").head.getDouble(4) == 6.0)
+  }
 }
