@@ -1293,6 +1293,52 @@ object Features {
   }
 
   /**
+   * P382 — calibration summary: the [[calibrationTable]] reliability
+   * diagram folded to its three decision numbers — ECE (bucket-share-
+   * weighted |gap|: "how wrong is the claimed probability on
+   * average"), MCE (the worst bucket), and the Brier score
+   * (mean (score − label)² over the RAW rows — the proper scoring rule
+   * the bucketed view approximates). One row: (n, ece, mce, brier).
+   * The gate form of o64's per-bucket frame: a pipeline thresholds on
+   * ONE number, not a diagram.
+   *
+   * Cross-engine: gap is already an exact decimal — n·|gap| stays an
+   * exact DECIMAL product summed exactly, so ECE is ONE closing
+   * division; MCE one decimal max; Brier runs (18,6)-casted diffs
+   * through exact (37,12) squares (the o114 product class), one
+   * division. All three round at 6.
+   */
+  def calibrationSummary(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val buckets = calibrationTable(df, scoreCol, labelCol, bins)
+    val fold = buckets.agg(
+      sum(col("n")).as("n"),
+      // n as DECIMAL(12,0) first: a raw LONG×DECIMAL multiply widens
+      // past 38 on the Spark side and the engines cap differently
+      sum(col("n").cast("decimal(12,0)") *
+        abs(col("gap")).cast("decimal(18,6)")).as("__wgap"),
+      max(abs(col("gap")).cast("decimal(18,6)")).as("__mce"))
+    val base = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").cast("decimal(18,6)").as("__s"),
+        when(col(labelCol).cast("boolean"), lit(1))
+          .otherwise(lit(0)).cast("decimal(18,6)").as("__l"))
+    // re-cast the (19,6) difference to (18,6) before squaring — a
+    // (19,6)² caps at (38,11) on the Spark side vs DuckDB's 12
+    // fractional digits (the r10 demingFit lesson); |score−label| ≤ 1
+    // fits (18,6) exactly
+    val diff = (col("__s") - col("__l")).cast("decimal(18,6)")
+    val brier = base.agg(
+      sum(diff * diff).as("__bsum"), count(lit(1)).as("__bn"))
+    fold.crossJoin(broadcast(brier)) // 1-row scalar side
+      .select(col("n"),
+        when(col("n") > 0, round(col("__wgap").cast("double") /
+          col("n").cast("double"), 6)).as("ece"),
+        round(col("__mce").cast("double"), 6).as("mce"),
+        when(col("__bn") > 0, round(col("__bsum").cast("double") /
+          col("__bn").cast("double"), 6)).as("brier"))
+  }
+
+  /**
    * P125 — CUPED adjustment (Deng et al.): reduce an experiment
    * metric's variance with a pre-period covariate, y_cuped = y −
    * θ·(x − μₓ) with θ = cov(x,y)/var(x) — the standard A/B-testing

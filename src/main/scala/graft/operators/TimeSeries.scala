@@ -453,6 +453,52 @@ object TimeSeries {
   }
 
   /**
+   * P383 — SCD2 (slowly-changing-dimension type 2) interval build:
+   * collapse a per-key event stream into state VALIDITY intervals —
+   * one row per consecutive same-state run with valid_from/valid_to
+   * epoch-micros, run event count, a per-key version number, and the
+   * is_current flag on the open interval. The warehouse history-table
+   * shape a CDC feed (dq3) is usually loaded INTO: q9's transition
+   * matrix counts state changes, this materializes the timeline a
+   * point-in-time join needs. Emits (key, version, state,
+   * valid_from_us, valid_to_us, n_events, is_current); valid_to is the
+   * NEXT version's valid_from (half-open convention), null while
+   * current. `version` makes the output order total even when
+   * alternating runs share one timestamp.
+   *
+   * Shapes: one key-partitioned lag/running-sum pass for the run ids
+   * (the mm19 gaps-and-islands class), one (key, run) agg, one
+   * key-partitioned lead for the interval close — zero global state,
+   * streams at any key cardinality. Cross-engine: micros are exact
+   * BIGINTs end to end.
+   */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us").asc, col("__tie").asc)
+    val flagged = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(keyCol), expr(s"unix_micros(`$tsCol`)").as("__us"),
+        col(tieCol).as("__tie"), col(stateCol).as("state"))
+      .withColumn("__prev", lag(col("state"), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNull || col("__prev") =!= col("state"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.groupBy(col(keyCol), col("version"), col("state"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("valid_from_us"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("version").asc)
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+      .select(col(keyCol), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /**
    * P109 — first/last-touch conversion attribution: for each key that
    * converted (has at least one `conversionType` event), the earliest
    * and latest non-conversion events strictly before the FIRST

@@ -1853,6 +1853,21 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // P382 — the o64 reliability diagram folded to its decision
+    // numbers: ECE / MCE over the same 10 buckets + the Brier score
+    // over the raw scored rows (a pipeline thresholds on ONE number)
+    "o121_calibration" -> ((s, dir) => {
+      val frame = graft.operators.TimeSeries.churnLabels(
+        graft.Graft.events(s, dir)
+          .select("user_id", "event_type", "ts", "value"),
+        Seq("user_id", "event_type"), "ts", "value", horizonDays = 2)
+      val scored = frame.select(
+        round(lit(1.0) / (col("n_events") + 1).cast("double"), 6)
+          .as("score"), col("churned"))
+      graft.operators.Features.calibrationSummary(scored, "score",
+        "churned", bins = 10)
+    }),
+
     // P380 — Chao1 richness from the %20-order lineitem sample: unseen
     // part-key cardinality estimated from the sample's abundance
     // spectrum, true full-corpus distinct riding as the audit column
@@ -6339,6 +6354,73 @@ object OlapQueries {
          |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6))
          |    AS DOUBLE) AS gap
          |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    // the o64 bucket machinery folded: n·|gap| exact (12,0)×(18,6)
+    // DECIMAL products, Brier diffs re-cast to (18,6) before squaring
+    // (the (19,6)² Spark cap trap), three closing divisions
+    "o121_calibration" -> {
+      val qs = (1 to 9).map(i =>
+        s"round(quantile_cont(score, ${i / 10.0}e0), 4) AS b${i - 1}")
+        .mkString(",\n    ")
+      val bucket = (0 until 9).map(i =>
+        s"(CASE WHEN score >= q.b$i THEN 1 ELSE 0 END)")
+        .mkString(" +\n      ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, CAST(ts AS DATE) AS dy
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND ts IS NOT NULL),
+         |m AS (SELECT MAX(dy) AS maxd FROM e),
+         |k AS (
+         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT)
+         |      AS n_events,
+         |    MAX(dy) AS last_day
+         |  FROM e GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT round(1.0e0 / CAST(n_events + 1 AS DOUBLE), 6) AS score,
+         |    (datediff('day', last_day, m.maxd) > 2) AS churned
+         |  FROM k CROSS JOIN m),
+         |q AS (
+         |  SELECT $qs
+         |  FROM sc),
+         |c AS (
+         |  SELECT $bucket AS bucket, score, churned
+         |  FROM sc CROSS JOIN q),
+         |g AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(CAST(round(CAST(SUM(CAST(score AS DECIMAL(18,6)))
+         |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |        AS DECIMAL(18,6)) -
+         |      CAST(round(CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END)
+         |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |        AS DECIMAL(18,6))
+         |      AS DOUBLE) AS gap
+         |  FROM c GROUP BY 1),
+         |fold AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |    SUM(CAST(n AS DECIMAL(12,0)) * CAST(abs(gap) AS DECIMAL(18,6)))
+         |      AS wgap,
+         |    MAX(CAST(abs(gap) AS DECIMAL(18,6))) AS mce
+         |  FROM g),
+         |br AS (
+         |  SELECT
+         |    CAST(SUM(
+         |      CAST(CAST(score AS DECIMAL(18,6)) -
+         |        CAST(CASE WHEN churned THEN 1 ELSE 0 END
+         |          AS DECIMAL(18,6)) AS DECIMAL(18,6)) *
+         |      CAST(CAST(score AS DECIMAL(18,6)) -
+         |        CAST(CASE WHEN churned THEN 1 ELSE 0 END
+         |          AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DOUBLE) AS bsum,
+         |    CAST(COUNT(*) AS BIGINT) AS bn
+         |  FROM sc)
+         |SELECT n,
+         |  CASE WHEN n > 0 THEN
+         |    round(CAST(wgap AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS ece,
+         |  round(CAST(mce AS DOUBLE), 6) AS mce,
+         |  CASE WHEN bn > 0 THEN round(bsum / CAST(bn AS DOUBLE), 6) END
+         |    AS brier
+         |FROM fold CROSS JOIN br""".stripMargin
     },
 
     // the o23 moment chain with the ±5.0 margin in the two one-sided

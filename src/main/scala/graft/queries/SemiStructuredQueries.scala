@@ -361,6 +361,16 @@ object SemiStructuredQueries {
         .orderBy("user_id", "gap_start_us", "gap_end_us")
     }),
 
+    // P383 — SCD2 validity intervals over per-user event-type streams:
+    // the warehouse history shape a CDC feed (dq3) loads into —
+    // half-open [valid_from, valid_to) on epoch micros, per-key
+    // version, is_current on the open interval
+    "q34_scd2" -> ((s, dir) => {
+      TimeSeries.scd2Intervals(events(s, dir), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("user_id", "version")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -948,6 +958,41 @@ object SemiStructuredQueries {
         |FROM o
         |WHERE prev_us IS NOT NULL AND us - prev_us >= 86400000000
         |ORDER BY user_id, gap_start_us, gap_end_us""".stripMargin,
+
+    // the mm19 lag/running-sum islands keyed by user, run mins as
+    // exact epoch micros, one lead for the half-open close
+    "q34_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, state, ts, event_id,
+        |    CASE WHEN prev IS NULL OR prev <> state THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM o),
+        |r AS (
+        |  SELECT user_id, state, ts,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS version
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, version, state,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS valid_from_us
+        |  FROM r GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT user_id, version, state, n_events, valid_from_us,
+        |    CAST(lead(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY version) AS BIGINT) AS valid_to_us
+        |  FROM g)
+        |SELECT user_id, version, state, valid_from_us, valid_to_us,
+        |  n_events, valid_to_us IS NULL AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
 
     "q9_transitions" ->
       """WITH pairs AS (

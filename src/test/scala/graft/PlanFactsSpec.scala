@@ -258,6 +258,7 @@ object PlanFactsSpec {
     "o39_capture", "o42_cramersv", "o50_qq", "o53_bh", "o55_ccf",
     "o56_mcnemar", "o59_permtest", "o60_kappa", "o64_calibration",
     "o119_ansari", // the 1-row pooled-count broadcast
+    "o121_calibration", // o64's boundary frame + the 1-row Brier side
 
     "o65_strata", "o66_lorenz", "o67_acf", "o68_cuped_gain", "o69_by_fdr",
     "o70_wilcoxon", "o71_mcc", "o75_kruskal", "o76_cochranq",

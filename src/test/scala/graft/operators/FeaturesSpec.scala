@@ -1666,6 +1666,26 @@ class FeaturesSpec extends SparkSpec {
       Features.ansariBradley(odd, "g", "v", "a", "a"))
   }
 
+  test("calibrationSummary: ECE/MCE from the bucket gaps, Brier from " +
+      "the raw rows") {
+    import spark.implicits._
+    val scored = Seq((0.9, true), (0.8, true), (0.2, false),
+      (0.1, false)).toDF("score", "label")
+    val r = Features.calibrationSummary(scored, "score", "label",
+      bins = 2).head
+    // buckets at the 0.5 median: high {0.9, 0.8} gap −0.15,
+    // low {0.2, 0.1} gap 0.15 → ECE = MCE = 0.15;
+    // Brier = (0.01 + 0.04 + 0.04 + 0.01)/4 = 0.025
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.15 && r.getDouble(2) == 0.15)
+    assert(r.getDouble(3) == 0.025)
+    // a perfectly calibrated constant scorer: ECE = |0.5 − 0.5| = 0
+    val flat = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("score", "label")
+    val rf = Features.calibrationSummary(flat, "score", "label", 2).head
+    assert(rf.getDouble(1) == 0.0 && rf.getDouble(3) == 0.25)
+  }
+
   test("directStandardization: crude differs from standardized when " +
       "mixes differ; absent strata contribute 0") {
     import spark.implicits._

@@ -1111,6 +1111,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(t.isNullAt(4) && t.isNullAt(5))
   }
 
+  test("scd2Intervals: run collapse, half-open closes, version makes " +
+      "same-timestamp alternation total") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, t(1), 1L, "A"), (1L, t(2), 2L, "A"), (1L, t(3), 3L, "B"),
+      (1L, t(4), 4L, "A"),
+      // user 2: two states at ONE timestamp — event_id orders them
+      (2L, t(1), 1L, "X"), (2L, t(1), 2L, "Y"))
+      .toDF("k", "ts", "eid", "st")
+    val got = TimeSeries.scd2Intervals(ev, "k", "ts", "eid", "st")
+      .orderBy("k", "version").collect()
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(2)).toSeq == Seq("A", "B", "A"))
+    assert(u1.map(_.getLong(5)).toSeq == Seq(2L, 1L, 1L)) // n_events
+    // half-open: each close equals the next open
+    assert(u1(0).getLong(4) == u1(1).getLong(3))
+    assert(u1(1).getLong(4) == u1(2).getLong(3))
+    assert(u1(2).isNullAt(4) && u1(2).getBoolean(6)) // open + current
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.map(_.getString(2)).toSeq == Seq("X", "Y"))
+    assert(u2(0).getLong(3) == u2(1).getLong(3)) // same valid_from
+    assert(u2.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // version totalizes
+  }
+
   test("varianceRatio: alternating -> 0, convex -> trending, " +
       "constant guards to null") {
     import java.sql.Date
