@@ -1293,6 +1293,54 @@ object Features {
   }
 
   /**
+   * P384 — Fleiss' κ over m binary raters: chance-corrected agreement
+   * when EVERY item gets a verdict from each of m judges —
+   * κ = (P̄ − P̄_e)/(1 − P̄_e) with P̄ the mean per-item pairwise
+   * agreement and P̄_e the chance rate from the pooled vote share.
+   * Cohen's κ (P216) stops at two raters; the pipeline use is
+   * FILTER-PANEL agreement: run m independent quality signals as
+   * "raters" and κ says whether they measure one thing (κ → 1, drop
+   * the redundant ones) or genuinely different things (κ ≈ 0, keep
+   * all). One row: (n_items, m_raters, p_pass, p_bar, p_e, kappa).
+   *
+   * Cross-engine: with a = per-item pass votes,
+   * Σ(a² + (m−a)²) = 2Σa² − 2mΣa + Nm² — everything folds to TWO
+   * integer sums; the close is one fixed double chain rounded at 6
+   * (κ null when P̄_e = 1: unanimous raters leave no chance to
+   * correct). Shape: one projection + ONE agg, map-side combinable.
+   */
+  def fleissKappaBinary(df: DataFrame, ratingCols: Seq[String]): DataFrame = {
+    require(ratingCols.size >= 2,
+      s"fleissKappaBinary: need >= 2 raters, got ${ratingCols.size}")
+    require(ratingCols.distinct.size == ratingCols.size,
+      "fleissKappaBinary: duplicate rater columns")
+    val m = ratingCols.size
+    val a = ratingCols.map(c => when(col(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val base = df
+      .where(ratingCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(a.as("__a"))
+    val agg = base.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("__a")), lit(0L)).as("__sa"),
+      coalesce(sum(col("__a") * col("__a")), lit(0L)).as("__sa2"))
+    val nd = col("n_items").cast("double")
+    val md = lit(m.toDouble)
+    val p = col("__sa").cast("double") / (nd * md)
+    // Σ(a² + (m−a)²) = 2Σa² − 2mΣa + Nm², then P̄ subtracts the m
+    // self-pairs and normalizes by m(m−1) per item
+    val sqSum = lit(2.0) * col("__sa2").cast("double") -
+      lit(2.0) * md * col("__sa").cast("double") + nd * md * md
+    val pbar = (sqSum - nd * md) / (nd * md * (md - lit(1.0)))
+    val pe = p * p + (lit(1.0) - p) * (lit(1.0) - p)
+    agg.select(col("n_items"), lit(m).as("m_raters"),
+      when(col("n_items") > 0, round(p, 6)).as("p_pass"),
+      when(col("n_items") > 0, round(pbar, 6)).as("p_bar"),
+      when(col("n_items") > 0, round(pe, 6)).as("p_e"),
+      when(col("n_items") > 0 && pe < 1.0,
+        round((pbar - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /**
    * P382 — calibration summary: the [[calibrationTable]] reliability
    * diagram folded to its three decision numbers — ECE (bucket-share-
    * weighted |gap|: "how wrong is the claimed probability on

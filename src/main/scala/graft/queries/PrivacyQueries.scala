@@ -119,6 +119,33 @@ object PrivacyQueries {
     // customer", estimated per nation: ~12 respondents per group at
     // sf0.01, so the per-group flip noise is visible in `err` while the
     // integer-ratio debias stays exact
+    // P385 — suppression gain: the pv9 risk panel BEFORE and AFTER the
+    // pv1-style k = 5 filter on ONE QID grid — the one-table answer to
+    // "what did suppression buy" (after-rows have min class k ≥ 5 by
+    // construction, so max_risk caps at 0.2 and under-5 share at 0).
+    // Grid = (nation, 8000-band): the only sweep member whose
+    // keep/drop split is non-trivial at BOTH SFs (measured 73/77 at
+    // sf0.001, 1473/27 at sf0.01 — pv1's finer grid suppresses
+    // EVERYTHING at sf0.001 and the coarse ones drop nothing at
+    // sf0.01)
+    "pv12_suppression_gain" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") / 8000).cast("long").as("bal_band"))
+      val qids = Seq("c_nationkey", "bal_band")
+      val kept = Privacy.kAnonymityFilter(c, qids, k = 5)
+        .where(col("kept"))
+        .select(col("c_custkey"), col("c_nationkey"), col("bal_band"))
+      def tag(stage: String, r: org.apache.spark.sql.DataFrame) =
+        r.select(lit(stage).as("stage"), col("n_records"),
+          col("n_classes"), col("min_class_k"), col("unique_records"),
+          col("max_risk"), col("expected_risk"), col("pct_under_5"))
+      tag("raw", Privacy.reidentificationRisk(c, qids))
+        .unionAll(tag("suppressed",
+          Privacy.reidentificationRisk(kept, qids)))
+        .orderBy("stage")
+    }),
+
     // P369 — unicity sweep over nested QIDs (nation → +segment →
     // +100-wide balance band): the marginal re-identification cost of
     // each additional released attribute — pv8 coarsens a FIXED QID
@@ -388,6 +415,48 @@ object PrivacyQueries {
          |  round(CAST(n_safe_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
          |    AS share_safe
          |FROM u ORDER BY width""".stripMargin
+    },
+
+    // the pv9 aggregate twice — raw classes, then classes over the
+    // window-filtered (gn ≥ 5) subset; one UNION, stage-tagged
+    "pv12_suppression_gain" -> {
+      val panel = (stage: String, src: String) =>
+        s"""SELECT '$stage' AS stage, CAST(SUM(k) AS BIGINT) AS n_records,
+           |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |  CAST(MIN(k) AS BIGINT) AS min_class_k,
+           |  CAST(coalesce(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS unique_records,
+           |  CASE WHEN MIN(k) > 0 THEN
+           |    round(1.0e0 / CAST(MIN(k) AS DOUBLE), 6) END AS max_risk,
+           |  CASE WHEN SUM(k) > 0 THEN
+           |    round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6)
+           |  END AS expected_risk,
+           |  CASE WHEN SUM(k) > 0 THEN
+           |    round(CAST(coalesce(SUM(CASE WHEN k < 5 THEN k ELSE 0 END),
+           |      0) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6)
+           |  END AS pct_under_5
+           |FROM $src""".stripMargin
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_nationkey,
+         |    CAST(floor(c_acctbal / 8000) AS BIGINT) AS bal_band
+         |  FROM customer),
+         |cl AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM c GROUP BY c_nationkey, bal_band),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT c_nationkey, bal_band,
+         |      COUNT(*) OVER (PARTITION BY c_nationkey, bal_band) AS gn
+         |    FROM c)
+         |  WHERE gn >= 5),
+         |cl2 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM kept GROUP BY c_nationkey, bal_band),
+         |u AS (
+         |${panel("raw", "cl")}
+         |UNION ALL
+         |${panel("suppressed", "cl2")})
+         |SELECT * FROM u ORDER BY stage""".stripMargin
     },
 
     // one class-size subquery per prefix depth, exact BIGINT counts,

@@ -257,6 +257,23 @@ object TextQueries {
         minPairCount = 5L, topK = 20)
     }),
 
+    // P384 — Fleiss' κ over three quality "raters" (token-length bar,
+    // char-length bar, type-token-ratio bar): do the panel's filters
+    // measure one thing (κ → 1, redundant) or different things
+    // (κ ≈ 0)? — the filter-panel agreement read
+    "t44_filter_kappa" -> ((s, dir) => {
+      val tk = TextAnalysis.tokens(col("text"))
+      val d = table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(
+          (TextAnalysis.tokenCount(col("text")) >= 40).as("r_len"),
+          (col("n_chars") >= 250).as("r_chars"),
+          (size(array_distinct(tk)).cast("double") /
+            size(tk).cast("double") >= 0.55).as("r_ttr"))
+      graft.operators.Features.fleissKappaBinary(d,
+        Seq("r_len", "r_chars", "r_ttr"))
+    }),
+
     // P379 — boolean conjunctive retrieval: docs with BOTH 'data' and
     // 'query', excluding 'dup' — the exact-predicate filter class
     // beside the ranked iv2/iv4 retrievers (term shares measured:
@@ -1417,6 +1434,52 @@ object TextQueries {
         |    AS INTEGER) AS rank,
         |  a, b, c_ab, c_a, c_b, g2
         |FROM top ORDER BY rank""".stripMargin,
+
+    // two integer sums close the whole statistic:
+    // Σ(a²+(m−a)²) = 2Σa² − 2mΣa + Nm²; κ from the UNROUNDED pair
+    "t44_filter_kappa" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS l, n_chars
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT (CAST(len(l) AS BIGINT) >= 40) AS r_len,
+        |    (n_chars >= 250) AS r_chars,
+        |    (CAST(len(list_distinct(l)) AS DOUBLE) /
+        |      CAST(len(l) AS DOUBLE) >= 0.55e0) AS r_ttr
+        |  FROM toks),
+        |b AS (
+        |  SELECT CASE WHEN r_len THEN 1 ELSE 0 END +
+        |    CASE WHEN r_chars THEN 1 ELSE 0 END +
+        |    CASE WHEN r_ttr THEN 1 ELSE 0 END AS a
+        |  FROM d
+        |  WHERE r_len IS NOT NULL AND r_chars IS NOT NULL
+        |    AND r_ttr IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(coalesce(SUM(a), 0) AS BIGINT) AS sa,
+        |    CAST(coalesce(SUM(a * a), 0) AS BIGINT) AS sa2
+        |  FROM b),
+        |x AS (
+        |  SELECT n_items, sa, sa2,
+        |    CAST(sa AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0e0) AS p,
+        |    (2.0e0 * CAST(sa2 AS DOUBLE) -
+        |      2.0e0 * 3.0e0 * CAST(sa AS DOUBLE) +
+        |      CAST(n_items AS DOUBLE) * 3.0e0 * 3.0e0 -
+        |      CAST(n_items AS DOUBLE) * 3.0e0) /
+        |      (CAST(n_items AS DOUBLE) * 3.0e0 * (3.0e0 - 1.0e0)) AS pbar
+        |  FROM s),
+        |y AS (
+        |  SELECT n_items, p, pbar,
+        |    p * p + (1.0e0 - p) * (1.0e0 - p) AS pe
+        |  FROM x)
+        |SELECT n_items, 3 AS m_raters,
+        |  CASE WHEN n_items > 0 THEN round(p, 6) END AS p_pass,
+        |  CASE WHEN n_items > 0 THEN round(pbar, 6) END AS p_bar,
+        |  CASE WHEN n_items > 0 THEN round(pe, 6) END AS p_e,
+        |  CASE WHEN n_items > 0 AND pe < 1.0e0 THEN
+        |    round((pbar - pe) / (1.0e0 - pe), 6) END AS kappa
+        |FROM y""".stripMargin,
 
     // AND = distinct-hit count equals |must|, NOT = anti-semi on the
     // excluded doc set; all counts exact

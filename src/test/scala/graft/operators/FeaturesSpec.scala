@@ -1666,6 +1666,32 @@ class FeaturesSpec extends SparkSpec {
       Features.ansariBradley(odd, "g", "v", "a", "a"))
   }
 
+  test("fleissKappaBinary: perfect agreement 1, unanimity nulls, " +
+      "systematic disagreement goes negative") {
+    import spark.implicits._
+    // both raters-all-agree items, split verdicts: κ = 1
+    val perfect = Seq((true, true, true), (false, false, false))
+      .toDF("r1", "r2", "r3")
+    val rp = Features.fleissKappaBinary(perfect, Seq("r1", "r2", "r3"))
+      .head
+    assert(rp.getLong(0) == 2L && rp.getInt(1) == 3)
+    assert(rp.getDouble(2) == 0.5 && rp.getDouble(5) == 1.0)
+    // unanimous all-pass: P̄_e = 1, κ undefined → null
+    val flat = Seq((true, true, true), (true, true, true))
+      .toDF("r1", "r2", "r3")
+    assert(Features.fleissKappaBinary(flat, Seq("r1", "r2", "r3"))
+      .head.isNullAt(5))
+    // a = 2, 1: P̄ = 1/3, P̄_e = 1/2 → κ = −1/3
+    val dis = Seq((true, true, false), (true, false, false))
+      .toDF("r1", "r2", "r3")
+    val rd = Features.fleissKappaBinary(dis, Seq("r1", "r2", "r3")).head
+    assert(rd.getDouble(3) == 0.333333 && rd.getDouble(5) == -0.333333)
+    intercept[IllegalArgumentException](
+      Features.fleissKappaBinary(perfect, Seq("r1")))
+    intercept[IllegalArgumentException](
+      Features.fleissKappaBinary(perfect, Seq("r1", "r1")))
+  }
+
   test("calibrationSummary: ECE/MCE from the bucket gaps, Brier from " +
       "the raw rows") {
     import spark.implicits._
