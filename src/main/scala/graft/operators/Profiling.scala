@@ -706,6 +706,51 @@ object Profiling {
   }
 
   /**
+   * P386 — category-churn audit between two snapshots: per column, the
+   * distinct-VALUE set difference — how many categories appeared, how
+   * many vanished, and the set Jaccard. The DISCRETE companion to dq1
+   * (moments/null drift) and dq9 (distribution shift on bands): a new
+   * enum value or a vanished partner id is a SCHEMA-level event those
+   * continuous reads smear into "distribution moved a little", and it
+   * is usually the one that breaks downstream dimension joins. Emits
+   * one row per column: (column, n_a, n_b, n_new, n_vanished,
+   * set_jaccard) with |A∩B| = n_a − vanished, |A∪B| = n_a + new.
+   *
+   * Shape: per column, two distinct projections + two left-anti joins
+   * + four 1-row count folds cross-joined — value-set-sized, never
+   * row-sized. Values compare as strings (cross-type-safe); counts
+   * exact; the Jaccard one division rounded at 6.
+   */
+  def categoryChurn(a: DataFrame, b: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "categoryChurn: no columns")
+    require(cols.distinct.size == cols.size,
+      "categoryChurn: duplicate columns")
+    val rows = cols.map { c =>
+      val av = a.where(col(c).isNotNull)
+        .select(col(c).cast("string").as("v")).distinct()
+      val bv = b.where(col(c).isNotNull)
+        .select(col(c).cast("string").as("v")).distinct()
+      val na = av.agg(count(lit(1)).as("n_a"))
+      val nb = bv.agg(count(lit(1)).as("n_b"))
+      val nw = bv.join(av, Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_new"))
+      val vn = av.join(bv, Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_vanished"))
+      // "col_name", not "column" — a bare `column` reference is a
+      // keyword hazard in the oracle dialect (the z11 OVERLAPS lesson)
+      na.crossJoin(nb).crossJoin(nw).crossJoin(vn) // four 1-row frames
+        .select(lit(c).as("col_name"), col("n_a"), col("n_b"),
+          col("n_new"), col("n_vanished"),
+          when(col("n_a") + col("n_new") > 0,
+            round((col("n_a") - col("n_vanished")).cast("double") /
+              (col("n_a") + col("n_new")).cast("double"), 6))
+            .as("set_jaccard"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /**
    * P378 — cross-field date-order audit: per group, how often does the
    * `endCol` date precede the `startCol` date it must follow, plus the
    * span distribution (min/mean/max days)? The CROSS-COLUMN consistency

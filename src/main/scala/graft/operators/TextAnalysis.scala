@@ -773,6 +773,44 @@ object TextAnalysis {
   }
 
   /**
+   * P387 — positional proximity search: documents where `termA` and
+   * `termB` occur within `window` tokens of each other, with the span
+   * count and the closest distance — the middle ground between iv8's
+   * bag-of-words AND (any distance) and iv3's exact phrase (distance
+   * exactly 1): "data ... quality" within 5 tokens is topical,
+   * page-apart is coincidence. Emits (doc_id, n_spans, min_distance)
+   * for matching docs.
+   *
+   * Shape: the two position lists are term-filtered BEFORE the
+   * doc-keyed equi-join (isin-style pushdown — per-doc term positions
+   * are single digits, so the join fan-out is tiny); one keyed agg.
+   * Counts and distances exact integers.
+   */
+  def proximitySearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, termA: String, termB: String,
+      window: Int): org.apache.spark.sql.DataFrame = {
+    val a = termA.toLowerCase.trim
+    val b = termB.toLowerCase.trim
+    require(a.nonEmpty && b.nonEmpty, "proximitySearch: blank term")
+    require(a != b, "proximitySearch: terms must differ")
+    require(window >= 1 && window <= 1000,
+      s"proximitySearch: window must sit in 1..1000, got $window")
+    val pos = docs.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val pa = pos.where(col("token") === a)
+      .select(col("doc_id"), col("pos").as("__pa"))
+    val pb = pos.where(col("token") === b)
+      .select(col("doc_id"), col("pos").as("__pb"))
+    pa.join(pb.hint("shuffle_hash"), Seq("doc_id"))
+      .where(abs(col("__pa") - col("__pb")) <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        min(abs(col("__pa") - col("__pb"))).cast("long")
+          .as("min_distance"))
+  }
+
+  /**
    * P379 — boolean conjunctive retrieval with exclusion: documents
    * containing ALL `mustTerms` and NONE of `mustNotTerms` — the
    * filter-style query class beside the RANKED retrievers (iv2 BM25 /

@@ -1288,6 +1288,28 @@ object OlapQueries {
         .orderBy("band_id")
     }),
 
+    // P386 — category churn between Jan-1995 and Feb-1995 order
+    // slices: which part/supplier/customer ids appeared or vanished
+    // month over month — the discrete set-difference read dq1/dq9's
+    // continuous drift scores smear away (measured: parts ~420 each
+    // way at sf0.01 — real monthly assortment churn)
+    "dq19_cat_churn" -> ((s, dir) => {
+      def slice(from: String, to: String) =
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "orders").hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("o_orderdate").cast("date") >=
+              lit(java.sql.Date.valueOf(from)) &&
+            col("o_orderdate").cast("date") <
+              lit(java.sql.Date.valueOf(to)))
+          .select(col("l_partkey"), col("l_suppkey"), col("o_custkey"))
+      graft.operators.Profiling.categoryChurn(
+          slice("1995-01-01", "1995-02-01"),
+          slice("1995-02-01", "1995-03-01"),
+          Seq("l_partkey", "l_suppkey", "o_custkey"))
+        .orderBy("col_name")
+    }),
+
     // P378 — cross-field date-order audit per order priority: how many
     // lineitems SHIP BEFORE their order date (a real corpus finding —
     // ship dates generate independently of order dates here, ~20%
@@ -6160,6 +6182,40 @@ object OlapQueries {
         |  round(CAST(n_parents AS DOUBLE) / CAST(tt AS DOUBLE), 6)
         |    AS share_parents
         |FROM g CROSS JOIN t ORDER BY band_id""".stripMargin,
+
+    // per-column distinct value sets from the two month slices,
+    // set differences via NOT IN (values never null), one union
+    "dq19_cat_churn" -> {
+      val cols = Seq("l_partkey", "l_suppkey", "o_custkey")
+      def slice(tag: String, name: String, from: String, to: String) =
+        s"""${tag}_$name AS (
+           |  SELECT DISTINCT CAST($name AS VARCHAR) AS v
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  WHERE CAST(o.o_orderdate AS DATE) >= DATE '$from'
+           |    AND CAST(o.o_orderdate AS DATE) < DATE '$to'
+           |    AND $name IS NOT NULL)""".stripMargin
+      val ctes = cols.flatMap(c => Seq(
+        slice("a", c, "1995-01-01", "1995-02-01"),
+        slice("b", c, "1995-02-01", "1995-03-01"))).mkString(",\n")
+      val blocks = cols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a_$c) AS n_a,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b_$c) AS n_b,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b_$c
+           |   WHERE v NOT IN (SELECT v FROM a_$c)) AS n_new,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a_$c
+           |   WHERE v NOT IN (SELECT v FROM b_$c)) AS n_vanished"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH
+         |$ctes,
+         |u AS (
+         |$blocks)
+         |SELECT col_name, n_a, n_b, n_new, n_vanished,
+         |  CASE WHEN n_a + n_new > 0 THEN
+         |    round(CAST(n_a - n_vanished AS DOUBLE) /
+         |      CAST(n_a + n_new AS DOUBLE), 6) END AS set_jaccard
+         |FROM u ORDER BY col_name""".stripMargin
+    },
 
     // exact integer day spans (DATE subtraction ↔ datediff), one keyed
     // agg, two divisions rounded at 6

@@ -257,6 +257,15 @@ object TextQueries {
         minPairCount = 5L, topK = 20)
     }),
 
+    // P387 — proximity search: 'data' and 'query' within 5 tokens —
+    // the middle ground between iv8's any-distance AND and iv3's
+    // distance-1 phrase
+    "iv9_proximity" -> ((s, dir) => {
+      TextAnalysis.proximitySearch(table(s, dir, "documents"), "doc_id",
+          "text", "data", "query", window = 5)
+        .orderBy("doc_id")
+    }),
+
     // P384 — Fleiss' κ over three quality "raters" (token-length bar,
     // char-length bar, type-token-ratio bar): do the panel's filters
     // measure one thing (κ → 1, redundant) or different things
@@ -1434,6 +1443,31 @@ object TextQueries {
         |    AS INTEGER) AS rank,
         |  a, b, c_ab, c_a, c_b, g2
         |FROM top ORDER BY rank""".stripMargin,
+
+    // positions via 1-based list comprehensions (the iv3 idiom), pair
+    // distances by doc-keyed join — 0- vs 1-based origins cancel in
+    // the differences
+    "iv9_proximity" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, unnest([i FOR i IN range(1, len(toks) + 1)
+        |    IF toks[CAST(i AS INT)] = 'data']) AS pa
+        |  FROM d),
+        |q AS (
+        |  SELECT doc_id, unnest([i FOR i IN range(1, len(toks) + 1)
+        |    IF toks[CAST(i AS INT)] = 'query']) AS pb
+        |  FROM d),
+        |j AS (
+        |  SELECT p.doc_id, abs(p.pa - q.pb) AS dist
+        |  FROM p JOIN q ON p.doc_id = q.doc_id
+        |  WHERE abs(p.pa - q.pb) <= 5)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(MIN(dist) AS BIGINT) AS min_distance
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // two integer sums close the whole statistic:
     // Σ(a²+(m−a)²) = 2Σa² − 2mΣa + Nm²; κ from the UNROUNDED pair

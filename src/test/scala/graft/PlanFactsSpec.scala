@@ -278,6 +278,7 @@ object PlanFactsSpec {
     "t25_heaps", "t29_vocab_coverage", "t31_entropy_rate", "o61_stump",
     "pv4_tcloseness", "g3_relsub",
     "d26_blocking", // four 1-row size-sum frames cross-joined per scheme
+    "dq19_cat_churn", // four 1-row count folds cross-joined per column
     // k-row broadcast ladders/grids (threshold ladders, digit/level
     // grids, bootstrap-multiplicity CDFs, epoch/shard frames, quantile
     // ladders, capture-history grids)

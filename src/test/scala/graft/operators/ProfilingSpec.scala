@@ -351,6 +351,25 @@ class ProfilingSpec extends SparkSpec {
       Profiling.nullPatternProfile(df, Seq.fill(17)("x")))
   }
 
+  test("categoryChurn: per-column set differences and Jaccard") {
+    import spark.implicits._
+    val a = Seq((1, "x"), (2, "x"), (3, "y")).toDF("k", "c")
+    val b = Seq((2, "x"), (4, "z"), (5, "z")).toDF("k", "c")
+    val got = Profiling.categoryChurn(a, b, Seq("k", "c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // k: A {1,2,3}, B {2,4,5} → new 2, vanished 2, J = 1/5
+    val k = got("k")
+    assert(k.getLong(1) == 3L && k.getLong(2) == 3L &&
+      k.getLong(3) == 2L && k.getLong(4) == 2L && k.getDouble(5) == 0.2)
+    // c: A {x,y}, B {x,z} → J = 1/3
+    val c = got("c")
+    assert(c.getLong(3) == 1L && c.getLong(4) == 1L &&
+      c.getDouble(5) == 0.333333)
+    intercept[IllegalArgumentException](Profiling.categoryChurn(a, b, Nil))
+    intercept[IllegalArgumentException](
+      Profiling.categoryChurn(a, b, Seq("k", "k")))
+  }
+
   test("dateOrderAudit: negative spans counted, span stats exact, " +
       "null fields drop") {
     import spark.implicits._

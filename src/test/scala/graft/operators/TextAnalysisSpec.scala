@@ -1007,6 +1007,26 @@ class TextAnalysisSpec extends SparkSpec {
         Seq(("x", ea), ("x", "�"))))
   }
 
+  test("proximitySearch: window-bounded spans, closest distance, " +
+      "distance-1 is adjacency") {
+    val docs = Seq(
+      (1L, "data near query"),            // distance 2
+      (2L, "data a b c d e f query"),     // distance 7 — out at 5
+      (3L, "query data and data query"))  // pairs at 1,3,1,2... count
+      .toDF("id", "t")
+    val got = TextAnalysis.proximitySearch(docs, "id", "t",
+        "data", "query", window = 5)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 2L)
+    // doc 3 positions: data {1,3}, query {0,4} → |Δ| = 1,3,3,1 → 4 spans
+    assert(got(1).getLong(1) == 4L && got(1).getLong(2) == 1L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.proximitySearch(docs, "id", "t", "x", "x", 5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.proximitySearch(docs, "id", "t", "a", "b", 0))
+  }
+
   test("booleanRetrieve: AND over distinct hits, NOT excludes, " +
       "occurrences counted") {
     val docs = Seq(
