@@ -436,10 +436,15 @@ object Dedup {
       .agg(count(lit(1)).as("__c"))
       .agg(coalesce(sum(c2(col("__c"))), lit(0L)).as("__tp"))
     val rows = schemes.zipWithIndex.map { case ((name, _), i) =>
-      val cand = base.groupBy(col(s"__k$i"))
+      // a NULL block key blocks with NOTHING (the record-linkage
+      // convention) — grouping nulls together would otherwise count
+      // C(nullCount, 2) phantom candidate pairs that merely share
+      // missing-ness; null-keyed truth pairs honestly stay unfound
+      val keyed = base.where(col(s"__k$i").isNotNull)
+      val cand = keyed.groupBy(col(s"__k$i"))
         .agg(count(lit(1)).as("__c"))
         .agg(coalesce(sum(c2(col("__c"))), lit(0L)).as("__cp"))
-      val found = base.groupBy(col("__g"), col(s"__k$i"))
+      val found = keyed.groupBy(col("__g"), col(s"__k$i"))
         .agg(count(lit(1)).as("__c"))
         .agg(coalesce(sum(c2(col("__c"))), lit(0L)).as("__fp"))
       cand.crossJoin(found).crossJoin(broadcast(totals))

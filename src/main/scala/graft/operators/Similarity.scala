@@ -830,6 +830,16 @@ object Similarity {
       .agg(count(lit(1)).as("__n"))
       .agg(coalesce(sum(c2(col("__n"))), lit(0L)).as("__index"),
         coalesce(sum(col("__n")), lit(0L)).as("n_points"))
+    // duplicate-assignment contract: a repeated id fans the equi-join
+    // out and SILENTLY corrupts every C(n,2) term — raise instead (the
+    // kMap discipline); the guard rides inside the n_points output so
+    // Catalyst cannot prune it
+    val dups = j.agg(countDistinct(col("__id")).as("__du"))
+    val guardedN = when(col("n_points") =!= col("__du"),
+      raise_error(concat(lit("adjustedRandIndex: duplicate ids — "),
+        col("n_points").cast("string"), lit(" joined rows over "),
+        col("__du").cast("string"), lit(" distinct ids"))).cast("long"))
+      .otherwise(col("n_points"))
     val am = j.groupBy(col("__ca")).agg(count(lit(1)).as("__n"))
       .agg(coalesce(sum(c2(col("__n"))), lit(0L)).as("__a"),
         count(lit(1)).as("n_clusters_a"))
@@ -840,8 +850,10 @@ object Similarity {
     val expected = col("__a").cast("double") * col("__b").cast("double") / t
     val maxi = (col("__a") + col("__b")).cast("double") / lit(2.0)
     val den = maxi - expected
-    ix.crossJoin(broadcast(am)).crossJoin(broadcast(bm)) // 1-row sides
-      .select(col("n_points"), col("n_clusters_a"), col("n_clusters_b"),
+    ix.crossJoin(broadcast(am)).crossJoin(broadcast(bm))
+      .crossJoin(broadcast(dups)) // 1-row sides
+      .select(guardedN.as("n_points"), col("n_clusters_a"),
+        col("n_clusters_b"),
         col("__index").as("pair_index"),
         when(col("n_points") > 1, round(expected, 6)).as("expected_index"),
         round(maxi, 6).as("max_index"),

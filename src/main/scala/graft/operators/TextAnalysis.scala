@@ -1754,11 +1754,17 @@ object TextAnalysis {
       s"encodingAnomalies: duplicate marker names")
     require(markers.forall(_._2.nonEmpty),
       "encodingAnomalies: blank marker string")
-    require(markers.forall(m => !m._1.contains("'")),
-      "encodingAnomalies: marker names must not contain quotes")
+    require(markers.forall(m =>
+        !m._1.contains("'") && !m._1.contains("\\")),
+      "encodingAnomalies: marker names must not contain quotes or " +
+        "backslashes (they ride into a stack() SQL literal)")
+    // divide by CODEPOINT count, not String.length — Spark's length()
+    // counts codepoints, so a non-BMP marker (one codepoint, two UTF-16
+    // units) would otherwise halve (truncate to 0) its occurrences
     val occ = markers.zipWithIndex.map { case ((_, m), i) =>
       ((length(col("__t")) -
-        length(replace(col("__t"), lit(m), lit("")))) / lit(m.length))
+        length(replace(col("__t"), lit(m), lit("")))) /
+        lit(m.codePointCount(0, m.length)))
         .cast("long").as(s"__o$i")
     }
     val aggs = markers.zipWithIndex.flatMap { case (_, i) =>

@@ -477,8 +477,11 @@ object TimeSeries {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__us").asc, col("__tie").asc)
     val flagged = events
+      // tieCol null-filtered too: Spark windows order nulls FIRST,
+      // DuckDB's LAST — a null tie value would segment runs differently
+      // per engine and break the version-totality contract
       .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
-        col(stateCol).isNotNull)
+        col(stateCol).isNotNull && col(tieCol).isNotNull)
       .select(col(keyCol), expr(s"unix_micros(`$tsCol`)").as("__us"),
         col(tieCol).as("__tie"), col(stateCol).as("state"))
       .withColumn("__prev", lag(col("state"), 1).over(w))

@@ -968,7 +968,7 @@ object SemiStructuredQueries {
         |                          ORDER BY ts, event_id) AS prev
         |  FROM events
         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-        |    AND ts IS NOT NULL),
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL),
         |c AS (
         |  SELECT user_id, state, ts, event_id,
         |    CASE WHEN prev IS NULL OR prev <> state THEN 1 ELSE 0 END

@@ -277,8 +277,12 @@ object TextQueries {
         .select(
           (TextAnalysis.tokenCount(col("text")) >= 40).as("r_len"),
           (col("n_chars") >= 250).as("r_chars"),
-          (size(array_distinct(tk)).cast("double") /
-            size(tk).cast("double") >= 0.55).as("r_ttr"))
+          // zero-token guard: ANSI double 0/0 THROWS in Spark while
+          // DuckDB's division returns NULL (row then dropped by the
+          // rater null filter) — null here mirrors that exactly
+          when(size(tk) > 0,
+            size(array_distinct(tk)).cast("double") /
+              size(tk).cast("double") >= 0.55).as("r_ttr"))
       graft.operators.Features.fleissKappaBinary(d,
         Seq("r_len", "r_chars", "r_ttr"))
     }),

@@ -662,5 +662,13 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.blockingAudit(docs, "id", "g",
         Seq(("dup", col("k")), ("dup", col("id")))))
+    // a NULL block key blocks with nothing: the two null-key rows of
+    // one truth group contribute NO candidate pair
+    val withNull = Seq((1L, 0L, Some("x")), (2L, 0L, None),
+      (3L, 0L, None)).toDF("id", "g", "k")
+    val rn = Dedup.blockingAudit(withNull, "id", "g",
+      Seq(("by_k", col("k")))).head
+    assert(rn.getLong(4) == 0L && rn.getLong(5) == 0L) // cand, found
+    assert(rn.getLong(3) == 3L) // true pairs still count all three
   }
 }

@@ -491,5 +491,11 @@ class SimilaritySpec extends SparkSpec {
     val one = Seq((1L, "z"), (2L, "z")).toDF("id", "c")
     val deg = Similarity.adjustedRandIndex(one, one, "id", "c").head
     assert(deg.isNullAt(6))
+    // a duplicated id fans the join out and must raise, not corrupt
+    val dup = Seq((1L, "p"), (1L, "q"), (2L, "p")).toDF("id", "c")
+    val ex = intercept[Exception](
+      Similarity.adjustedRandIndex(dup, b, "id", "c").collect())
+    assert(String.valueOf(ex.getMessage).contains("adjustedRandIndex") ||
+      String.valueOf(ex.getCause).contains("adjustedRandIndex"))
   }
 }

@@ -1005,6 +1005,15 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.encodingAnomalies(docs, "t",
         Seq(("x", ea), ("x", "�"))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.encodingAnomalies(docs, "t", Seq(("bad\\name", ea))))
+    // non-BMP marker (one codepoint, TWO UTF-16 units): occurrences
+    // divide by the CODEPOINT count, not String.length
+    val smile = new String(Character.toChars(0x1F642))
+    val nb = TextAnalysis.encodingAnomalies(
+      Seq(s"a $smile b $smile").toDF("t"), "t",
+      Seq(("emoji", smile))).head
+    assert(nb.getLong(2) == 2L && nb.getLong(1) == 1L)
   }
 
   test("proximitySearch: window-bounded spans, closest distance, " +

@@ -1135,6 +1135,13 @@ class TimeSeriesSpec extends SparkSpec {
     assert(u2.map(_.getString(2)).toSeq == Seq("X", "Y"))
     assert(u2(0).getLong(3) == u2(1).getLong(3)) // same valid_from
     assert(u2.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // version totalizes
+    // a null tie value drops (Spark orders nulls first, DuckDB last —
+    // cross-engine segmentation would diverge)
+    val nullTie = Seq((3L, t(1), Some(1L), "A"), (3L, t(2), None, "B"))
+      .toDF("k", "ts", "eid", "st")
+    val nt = TimeSeries.scd2Intervals(nullTie, "k", "ts", "eid", "st")
+      .collect()
+    assert(nt.length == 1 && nt.head.getString(2) == "A")
   }
 
   test("varianceRatio: alternating -> 0, convex -> trending, " +
