@@ -371,6 +371,26 @@ object SemiStructuredQueries {
         .orderBy("user_id", "version")
     }),
 
+    // P388 — point-in-time state lookup: every user's state VALID at
+    // one reference instant (2024-01-15 noon), read off the q34 SCD2
+    // history with the st4 as-of join — the training-data
+    // feature-backfill shape (features must be as-of the label time or
+    // they leak the future). Same-valid_from ties resolve by asOf's
+    // max-payload-struct rule (rt, state, version) — the oracle
+    // replays that exact order, documented beside st4's tie note
+    "q35_pit_state" -> ((s, dir) => {
+      val hist = TimeSeries.scd2Intervals(events(s, dir), "user_id",
+          "ts", "event_id", "event_type")
+        .select(col("user_id"), col("valid_from_us"), col("state"),
+          col("version"))
+      val probes = hist.select("user_id").distinct()
+        .withColumn("ref_us", lit(1705320000000000L))
+      AsOfJoin.asOf(probes, hist, "user_id", "ref_us", "valid_from_us")
+        .select(col("user_id"), col("matched_valid_from_us"),
+          col("state"), col("version"))
+        .orderBy("user_id")
+    }),
+
     // sliding 1h window, 30m slide — each event lands in two windows
     "st3_sliding" -> ((s, dir) => {
       EventStreams.slidingUserActivity(events(s, dir))
@@ -958,6 +978,44 @@ object SemiStructuredQueries {
         |FROM o
         |WHERE prev_us IS NOT NULL AND us - prev_us >= 86400000000
         |ORDER BY user_id, gap_start_us, gap_end_us""".stripMargin,
+
+    // the q34 interval chain + argmax-by-(valid_from, state, version)
+    // DESC among intervals at-or-before the reference instant — the
+    // exact replay of asOf's max-payload-struct tie rule
+    "q35_pit_state" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, state, ts, event_id,
+        |    CASE WHEN prev IS NULL OR prev <> state THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM o),
+        |r AS (
+        |  SELECT user_id, state, ts,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS version
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, version, state,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS valid_from_us
+        |  FROM r GROUP BY 1, 2, 3),
+        |pr AS (SELECT DISTINCT user_id FROM g),
+        |el AS (
+        |  SELECT user_id, valid_from_us, state, version,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY valid_from_us DESC, state DESC, version DESC)
+        |      AS rn
+        |  FROM g WHERE valid_from_us <= 1705320000000000)
+        |SELECT pr.user_id, el.valid_from_us AS matched_valid_from_us,
+        |  el.state, el.version
+        |FROM pr LEFT JOIN el ON el.user_id = pr.user_id AND el.rn = 1
+        |ORDER BY pr.user_id""".stripMargin,
 
     // the mm19 lag/running-sum islands keyed by user, run mins as
     // exact epoch micros, one lead for the half-open close
