@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): pipe2/d16 are measured heap-sensitive — the r10s4
+  // two-way bench inflated pipe2 to 68s vs its 25s standalone floor through
+  // block-store + heap pressure alone, and the r11s2 4-way window read 99s.
+  // The sandbox has 128 GiB and bench shards fork SEQUENTIALLY, so one 16g
+  // child at a time is safe at any SPARK_GRAFT_CPUS. Override via env.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -30,9 +30,51 @@ object Graft {
     spark
   }
 
-  /** Load one testdata table (TESTDATA.md). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one testdata table (TESTDATA.md), fanning an unsplittable
+    * single-file scan out to the session's parallelism.
+    *
+    * The testdata parquet files are single-row-group (verified: 1 row
+    * group each at every SF), so a scan reads as ONE split regardless of
+    * `maxPartitionBytes` — and every map-side pass BEFORE the first
+    * exchange (token explodes, minhash ladders, per-byte replays, md5
+    * resample grids) then runs on one core of the whole machine. This is
+    * the guide-§2.5 "unsplittable input" case: repartition right after
+    * the read. The round-robin exchange moves only the base table's few
+    * MB once and unlocks full parallelism for all downstream map work;
+    * measured r11-opt at sf0.1 on local[32]: o44_bootstrap 8.7 → 1.9 s
+    * (its 32× md5 resample grid was single-core), mm13_byteentropy
+    * 3.8 → 1.7 s.
+    *
+    * Scale-adaptive, not a local-mode constant: the fanout fires only
+    * when the file's estimated split count (size / maxPartitionBytes)
+    * cannot reach the session's default parallelism AND the file is big
+    * enough to matter (`spark.graft.scan.fanoutMinBytes`, default 256k —
+    * broadcast-sized dims like nation/region skip the extra exchange).
+    * At production sizes (files ≫ split size, or directory inputs,
+    * which list many splittable files) the condition is false and the
+    * scan stays exchange-free. `spark.graft.scan.fanout=false` disables.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (!spark.conf.get("spark.graft.scan.fanout", "true").toBoolean) df
+    else {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isRegularFile(p)) df
+      else {
+        val size = java.nio.file.Files.size(p)
+        def bytes(s: String): Long =
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+        val minBytes = bytes(
+          spark.conf.get("spark.graft.scan.fanoutMinBytes", "256k"))
+        val maxSplit = bytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        val par = spark.sparkContext.defaultParallelism
+        val estSplits = (size + maxSplit - 1) / math.max(maxSplit, 1L)
+        if (size >= minBytes && estSplits < par) df.repartition(par) else df
+      }
+    }
+  }
 
   /** events table with `ts` normalized to a micros TimestampType (LTZ)
     * regardless of the physical parquet shape. The testdata has shipped

@@ -646,22 +646,31 @@ object Dedup {
       threshold: Double, numHashes: Int = 32, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {
     // Fully lazy, no cache: candidate pairs are DISTINCT (i, j) — each pair
-    // is verified exactly once however many bands it collides in — and
-    // verification streams the thin (id, token) relation through two hash
-    // joins + a count aggregate. Measured equal to the array_intersect
-    // formulation (which allocates a per-pair hash set on non-primitive
-    // arrays) and it spills better at scale: rows stream through the join
-    // while whole-set arrays would materialize per matched pair.
-    val tokens = docTokens(df, idCol, textCol)
+    // is verified exactly once however many bands it collides in.
+    // Verification joins each candidate pair to the two doc-level TOKEN
+    // ARRAYS and computes |A∩B| with one array_intersect per pair: on a
+    // dense-similarity corpus banding prunes little (d16 measured 3.9M
+    // candidates = 55% of all pairs at sf0.1), and the old exploded-token
+    // double join fanned every pair out by tokens-per-doc (~183M rows
+    // through a shuffle + a pair-keyed count agg — 28 s of the 24 s
+    // query). The array form shuffles one array per PAIR instead of one
+    // row per (pair, token): guide §2.3, shuffle keys+payload once. The
+    // arrays are the same array_distinct token sets docTokens explodes,
+    // so |array_intersect| ≡ the join-count and size(toks) ≡ the old
+    // per-id count — bit-identical jaccard.
+    val arrays = docTokenArrays(df, idCol, textCol)
+    val tokens = arrays.select(col("id"), explode(col("toks")).as("token"))
     val cands = lshCandidates(
       lshBuckets(minhashSignatures(tokens, numHashes, seed), rowsPerBand, numHashes))
-    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("size"))
     cands
-      .join(tokens.select(col("id").as("i"), col("token")), Seq("i"))
-      .join(tokens.select(col("id").as("j"), col("token")), Seq("j", "token"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("i"), col("size").as("si")), Seq("i"))
-      .join(sizes.select(col("id").as("j"), col("size").as("sj")), Seq("j"))
+      .join(arrays.select(col("id").as("i"), col("toks").as("__ta"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(arrays.select(col("id").as("j"), col("toks").as("__tb"))
+        .hint("shuffle_hash"), Seq("j"))
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("si", size(col("__ta")).cast("long"))
+      .withColumn("sj", size(col("__tb")).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -690,8 +699,10 @@ object Dedup {
   def crossCorpusNearDups(newDf: DataFrame, refDf: DataFrame, idCol: String,
       textCol: String, threshold: Double, numHashes: Int = 32,
       rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    val newToks = docTokens(newDf, idCol, textCol)
-    val refToks = docTokens(refDf, idCol, textCol)
+    val newArr = docTokenArrays(newDf, idCol, textCol)
+    val refArr = docTokenArrays(refDf, idCol, textCol)
+    val newToks = newArr.select(col("id"), explode(col("toks")).as("token"))
+    val refToks = refArr.select(col("id"), explode(col("toks")).as("token"))
     def buckets(t: DataFrame) =
       lshBuckets(minhashSignatures(t, numHashes, seed), rowsPerBand, numHashes)
     val cands = buckets(newToks).as("a")
@@ -701,18 +712,21 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("new_id"), col("b.id").as("ref_id"))
       .distinct()
-    val newSizes = newToks.groupBy("id").agg(count(lit(1)).as("size"))
-    val refSizes = refToks.groupBy("id").agg(count(lit(1)).as("size"))
+    // Verification = one array_intersect per candidate pair against the
+    // doc-level token arrays (the minhashNearDups rationale: the dense
+    // corpus makes candidates ≈ all pairs, and the exploded-token double
+    // join fanned 3.9M pairs × ~47 tokens ≈ 183M rows through a shuffle;
+    // one array per pair shuffles ~50× fewer rows and drops the
+    // pair-keyed count agg and both size joins).
     cands
-      .join(newToks.select(col("id").as("new_id"), col("token"))
+      .join(newArr.select(col("id").as("new_id"), col("toks").as("__ta"))
         .hint("shuffle_hash"), Seq("new_id"))
-      .join(refToks.select(col("id").as("ref_id"), col("token"))
-        .hint("shuffle_hash"), Seq("ref_id", "token"))
-      .groupBy("new_id", "ref_id").agg(count(lit(1)).as("inter"))
-      .join(newSizes.select(col("id").as("new_id"), col("size").as("si"))
-        .hint("shuffle_hash"), Seq("new_id"))
-      .join(refSizes.select(col("id").as("ref_id"), col("size").as("sj"))
+      .join(refArr.select(col("id").as("ref_id"), col("toks").as("__tb"))
         .hint("shuffle_hash"), Seq("ref_id"))
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("si", size(col("__ta")).cast("long"))
+      .withColumn("sj", size(col("__tb")).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("si") + col("sj") - col("inter")))
       .where(col("jaccard") >= threshold)

@@ -36,13 +36,15 @@ object Graph {
    *   prₖ₊₁(v) = ((100−d%)·Scale div 100) div N
    *              + (d% · Σ_{u→v} (prₖ(u) div outdeg(u))) div 100
    *
-   * over the DISTINCT edge set, vertices = endpoints of edges. Returns
+   * over the DISTINCT edge set, vertices = edge SOURCES. Returns
    * (v, pr_fp, pr): the exact fixed-point rank and its double reading
    * (one exact long→double conversion + one division — deterministic).
    * Callers pass graphs where every vertex has outdeg ≥ 1 (e.g.
-   * symmetrized co-occurrence graphs); vertices appearing only as
-   * destinations would leak their mass (the standard dangling-node
-   * caveat — redistribute upstream if the graph has them).
+   * symmetrized co-occurrence graphs) — under that contract sources =
+   * all vertices; a contract-violating dst-only vertex is dropped
+   * (r10 kept it at teleport-only mass while leaking its inflow — the
+   * standard dangling-node caveat either way: redistribute upstream
+   * if the graph has them).
    *
    * Scale shape: one distinct + one degree agg up front, then per
    * iteration a shuffle_hash join of the rank frame with the edge list
@@ -63,8 +65,12 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    // The caller contract (above) is outdeg ≥ 1 everywhere, so the vertex
+    // set IS deg's key set — the r10 form rebuilt it as a distinct over
+    // BOTH endpoint columns (a second full-width shuffle of the edge
+    // list, re-executed at every loop reference); reading it off the
+    // degree agg removes that shuffle from all iters+1 references.
+    val verts = deg.select(col("src").as("v"))
     val n = verts.count()
     require(n > 0, "pageRank: empty graph")
     val teleport = ((100L - dampingPct) * Scale / 100L) / n
@@ -311,10 +317,17 @@ object Graph {
    * the graph); `in_core` marks nodes whose degree already satisfies k,
    * so `iters` has converged exactly when every row has it true.
    *
-   * Shapes: each round is one keyed degree agg + two left-semi
-   * shuffle_hash joins on the endpoint — all equi-keyed, nothing
-   * quadratic; lineage grows linearly in `iters` like the d11 chain
-   * (localCheckpoint past ~10 rounds at scale).
+   * Shapes: the peel state is the CANONICAL edge set (u < v), and each
+   * round references it exactly ONCE — endpoints explode, a
+   * node-partitioned count window attaches each endpoint's degree, and
+   * a per-edge min-degree agg keeps the edges whose BOTH endpoints
+   * reach k. That is the identical keep rule the r10 form expressed as
+   * a degree agg + two left-semi joins over the DOUBLED directed frame,
+   * but with one self-reference per round instead of three: the r10
+   * plan cloned the `alive` subtree 3^iters times (~1000 parquet scans
+   * at iters = 3, measured r11-opt) and shuffled twice the rows. Plan
+   * growth is now LINEAR in `iters` (localCheckpoint past ~10 rounds
+   * at scale remains the escape hatch).
    */
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, iters: Int): DataFrame = {
@@ -326,17 +339,19 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-    var alive = und.select(col("u").as("a"), col("v").as("b"))
-      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__n"))
+    var alive = und
     for (_ <- 1 to iters) {
-      val keep = alive.groupBy(col("a")).agg(count(lit(1)).as("__d"))
-        .where(col("__d") >= k).select(col("a"))
       alive = alive
-        .join(keep.hint("shuffle_hash"), Seq("a"), "left_semi")
-        .join(keep.select(col("a").as("b")).hint("shuffle_hash"),
-          Seq("b"), "left_semi")
+        .select(col("u"), col("v"),
+          explode(array(col("u"), col("v"))).as("__n"))
+        .withColumn("__d", count(lit(1)).over(w))
+        .groupBy(col("u"), col("v")).agg(min(col("__d")).as("__dm"))
+        .where(col("__dm") >= k)
+        .select(col("u"), col("v"))
     }
-    alive.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    alive.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .withColumn("in_core", col("deg") >= k)
   }
 

@@ -494,10 +494,17 @@ object Multimodal {
     * position explode + hex-pair parse, exactly what each oracle replays
     * with substr(hex(encode(..)))::BIGINT. Four operators consume it; a
     * fix to the replay arithmetic must land HERE once (the dailyMeans
-    * dedup rule). Empty payloads drop. */
+    * dedup rule). Empty payloads drop.
+    *
+    * `withPrev` adds `__prev` = the byte at __i − 1 (null at __i = 0),
+    * parsed from the SAME hex string two characters back — consumers
+    * that only need each byte's predecessor (P327's sign flips) read it
+    * here for free instead of paying a media-partitioned lag window
+    * (shuffle + sort of the full byte grid; guide §2.4, remove shuffles
+    * outright). The two parses share this one definition. */
   private def byteGrid(df: DataFrame, idCol: String,
-      bytesCol: String): DataFrame =
-    df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
+      bytesCol: String, withPrev: Boolean = false): DataFrame = {
+    val g = df.where(col(idCol).isNotNull && col(bytesCol).isNotNull)
       .select(col(idCol).as("media_id"), lower(hex(col(bytesCol)))
         .as("__hx"), octet_length(col(bytesCol)).cast("long").as("n_bytes"))
       .where(col("n_bytes") > 0)
@@ -506,7 +513,14 @@ object Multimodal {
       .withColumn("__byte",
         conv(expr("substr(__hx, CAST(2 * __i + 1 AS INT), 2)"), 16, 10)
           .cast("int"))
-      .drop("__hx")
+    val g2 =
+      if (!withPrev) g
+      else g.withColumn("__prev",
+        when(col("__i") > 0,
+          conv(expr("substr(__hx, CAST(2 * __i - 1 AS INT), 2)"), 16, 10)
+            .cast("int")))
+    g2.drop("__hx")
+  }
 
   /**
    * P229 — per-media channel/intensity histogram over the raw byte
@@ -727,23 +741,22 @@ object Multimodal {
    * (media_id, n_bytes, n_crossings, zcr); single-byte payloads null
    * the rate.
    *
-   * Shapes: position explode + ONE media-partitioned lag window + one
-   * keyed agg — never a global order. Cross-engine: the sign is the
-   * exact integer test byte ≥ 128; counts exact; one double division
-   * rounded at 6.
+   * Shapes: position explode with the predecessor byte parsed off the
+   * same hex string (byteGrid withPrev) + one keyed agg — no window at
+   * all (the r10 form paid a media-partitioned lag window: a shuffle +
+   * sort of the full byte grid to look one position back in a string
+   * the row already holds). Cross-engine: the sign is the exact integer
+   * test byte ≥ 128; counts exact; one double division rounded at 6.
    */
   def zeroCrossingRate(df: DataFrame, idCol: String,
       bytesCol: String, centre: Int = 128): DataFrame = {
     require(centre >= 1 && centre <= 255,
       s"zeroCrossingRate: centre must be in [1, 255], got $centre")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("media_id")).orderBy(col("__i").asc)
-    byteGrid(df, idCol, bytesCol)
-      .withColumn("__pos", col("__byte") >= centre)
-      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+    byteGrid(df, idCol, bytesCol, withPrev = true)
       .groupBy(col("media_id"), col("n_bytes"))
       .agg(sum(when(col("__prev").isNotNull &&
-        col("__prev") =!= col("__pos"), 1L).otherwise(0L))
+        (col("__prev") >= centre) =!= (col("__byte") >= centre), 1L)
+        .otherwise(0L))
         .as("n_crossings"))
       .select(col("media_id"), col("n_bytes"), col("n_crossings"),
         when(col("n_bytes") > 1,

@@ -423,16 +423,24 @@ object DedupQueries {
       val d = table(s, dir, "documents").select("doc_id", "text", "lang")
       val aug = (0 until 8).map(i =>
         concat(lit(s"zz$i"), col("doc_id").cast("string")))
-      val batch = d.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"))
-        .union(d.where(col("doc_id") % 7 === 3)
-          .select((col("doc_id") + 2000000).as("doc_id"),
-            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
-              .as("text"),
-            col("lang")))
-        .union(d.where(col("doc_id") % 7 === 5)
-          .select((col("doc_id") + 3000000).as("doc_id"),
-            concat_ws(" ", col("text") +: aug: _*).as("text"), col("lang")))
+      // ONE scan with a CASE projection, not a 3-way union: the optimizer
+      // pushes the survivors LEFT ANTI below a Union
+      // (PushLeftSemiLeftAntiThroughJoin's union sibling), which
+      // TRIPLICATED the entire cross-corpus LSH subtree — 78 parquet
+      // scans, 1852 plan lines, zero exchange reuse (measured r11-opt;
+      // plans/r11/pipe2_incremental_before.txt). Same row multiset: the
+      // three branches filtered disjoint doc_id%7 classes, so the CASE
+      // over %7 ∈ {0,3,5} is the identical projection.
+      val m = col("doc_id") % 7
+      val batch = d.where(m.isin(0, 3, 5))
+        .select(
+          (col("doc_id") + when(m === 0, 1000000L)
+            .when(m === 3, 2000000L).otherwise(3000000L)).as("doc_id"),
+          when(m === 0, col("text"))
+            .when(m === 3,
+              concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12)))
+            .otherwise(concat_ws(" ", col("text") +: aug: _*)).as("text"),
+          col("lang"))
       // 33/3 banding — the d16 recall fix at the d16 candidate cost (see
       // d16's comment); the dedup stage's oracle is exact all-pairs, so
       // band sensitivity must cover the corpus's minimum above-threshold
@@ -440,7 +448,10 @@ object DedupQueries {
       val dups = Dedup.crossCorpusNearDups(batch, d, "doc_id", "text",
         threshold = 0.9, numHashes = 33, rowsPerBand = 3)
       val survivors = batch.join(
-        dups.select(col("new_id").as("doc_id")).distinct(),
+        dups.select(col("new_id").as("doc_id")).distinct()
+          // post-agg side carries no stats — pin shuffle_hash so the anti
+          // join can never fall back to sort-merge (the d11 rule)
+          .hint("shuffle_hash"),
         Seq("doc_id"), "left_anti")
       val quality = survivors
         .where(graft.operators.TextAnalysis.tokenCount(col("text")) >= 30)

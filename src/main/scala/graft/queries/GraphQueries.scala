@@ -30,12 +30,29 @@ object GraphQueries {
       .select("src", "dst")
   }
 
+  /** The same co-purchase relation emitted once per unordered pair
+    * (src < dst) instead of both orientations: every consumer below
+    * canonicalizes with least/greatest + distinct, so the half-join is
+    * the IDENTICAL graph at half the self-join fan-out — measured
+    * 2.4M → 1.2M rows into each operator's distinct at sf0.1 (guide
+    * §2.3, shuffle fewer bytes). Only gr1/t28's PageRank consumes the
+    * directed symmetric multiset and keeps [[coPurchaseEdges]]. */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val a = li.toDF("ok", "src")
+    val b = li.toDF("ok", "dst")
+    a.join(b, Seq("ok"))
+      .where(col("src") < col("dst"))
+      .select("src", "dst")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P318 — modularity of the BRAND labeling over the co-purchase
     // graph: do brands form purchase communities, or do baskets mix
     // brands at chance (Q ≈ 0)
     "gr10_modularity" -> ((s, dir) => {
-      graft.operators.Graph.modularity(coPurchaseEdges(s, dir), "src",
+      graft.operators.Graph.modularity(coPurchasePairs(s, dir), "src",
         "dst",
         table(s, dir, "part").select(col("p_partkey"), col("p_brand")),
         "p_partkey", "p_brand")
@@ -46,7 +63,7 @@ object GraphQueries {
     // keeps ≥ 2 nodes at both SFs): do hub parts co-purchase with
     // each other
     "gr11_richclub" -> ((s, dir) => {
-      graft.operators.Graph.richClub(coPurchaseEdges(s, dir), "src",
+      graft.operators.Graph.richClub(coPurchasePairs(s, dir), "src",
         "dst", Seq(60, 90, 120))
     }),
 
@@ -54,7 +71,7 @@ object GraphQueries {
     // co-purchase graph sits within k hops of the biggest hub (the
     // blast-radius / small-world read)
     "gr12_khop" -> ((s, dir) => {
-      graft.operators.Graph.kHopReach(coPurchaseEdges(s, dir), "src",
+      graft.operators.Graph.kHopReach(coPurchasePairs(s, dir), "src",
         "dst", hops = 3)
     }),
 
@@ -76,7 +93,7 @@ object GraphQueries {
     // oracle counts the identical triangles by plain id-order three-way
     // join, proving the orientation is an identity
     "gr2_triangles" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
+      val edges = coPurchasePairs(s, dir)
       graft.operators.Graph.triangleCounts(edges, "src", "dst")
         .orderBy("node")
     }),
@@ -121,7 +138,7 @@ object GraphQueries {
     // "scale-free" claim (cutoffs straddle the degree median so every
     // rung is populated at both SFs — measured)
     "gr9_powerlaw" -> ((s, dir) => {
-      graft.operators.Graph.degreePowerLaw(coPurchaseEdges(s, dir),
+      graft.operators.Graph.degreePowerLaw(coPurchasePairs(s, dir),
           "src", "dst", dmins = Seq(48, 64, 96))
         .orderBy("dmin")
     }),
@@ -130,7 +147,7 @@ object GraphQueries {
     // graph: cc = 2·tri/(deg·(deg−1)) per node with deg ≥ 2; the oracle
     // recomputes both moments by plain id-order identity
     "gr7_clustercoef" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
+      val edges = coPurchasePairs(s, dir)
       graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
         .orderBy("node")
     }),
@@ -142,7 +159,7 @@ object GraphQueries {
     // the query was vacuously empty — retuned r9s4), 1/ln terms
     // 9-rounded and DECIMAL-summed
     "gr3_adamic" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
+      val edges = coPurchasePairs(s, dir)
       graft.operators.Graph.adamicAdar(edges, "src", "dst",
           maxDegree = 90, minCommon = 3L, k = 50)
         .orderBy(col("score").desc, col("u").asc, col("v").asc)
@@ -152,7 +169,7 @@ object GraphQueries {
     // co-purchase graph: set-overlap scoring beside gr3's rarity
     // weighting; score is one double division of exact BIGINTs
     "gr4_jaccard" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
+      val edges = coPurchasePairs(s, dir)
       graft.operators.Graph.neighborJaccard(edges, "src", "dst",
           maxDegree = 90, minCommon = 3L, k = 50)
         .orderBy(col("score").desc, col("u").asc, col("v").asc)
@@ -162,7 +179,7 @@ object GraphQueries {
     // cohesive-core screen; rounds strictly shrink the graph, the
     // bounded partial peel is deterministic (the d8 discipline)
     "gr5_kcore" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
+      val edges = coPurchasePairs(s, dir)
       graft.operators.Graph.kCorePeel(edges, "src", "dst", k = 75, iters = 3)
         .orderBy("node")
     }),
@@ -170,7 +187,7 @@ object GraphQueries {
     // P159 — degree assortativity of the co-purchase graph: one Pearson
     // r over directed endpoint-degree pairs
     "gr6_assortativity" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
+      val edges = coPurchasePairs(s, dir)
       graft.operators.Graph.degreeAssortativity(edges, "src", "dst")
     }),
 
@@ -178,7 +195,7 @@ object GraphQueries {
     // neighbor degree per degree class over the same co-purchase graph
     // (ladder-sized output — one row per distinct degree)
     "gr13_knn_curve" -> ((s, dir) => {
-      graft.operators.Graph.neighborDegreeCurve(coPurchaseEdges(s, dir),
+      graft.operators.Graph.neighborDegreeCurve(coPurchasePairs(s, dir),
           "src", "dst")
         .orderBy("deg")
     })
