@@ -54,9 +54,17 @@ object Graft {
     * which list many splittable files) the condition is false and the
     * scan stays exchange-free. `spark.graft.scan.fanout=false` disables.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val path = s"$sfDir/$name.parquet"
-    val df = spark.read.parquet(path)
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    fanOutSmallScan(spark.read.parquet(s"$sfDir/$name.parquet"),
+      spark, s"$sfDir/$name.parquet")
+
+  /** The conditional fanout behind [[table]], reusable by any other
+    * single-file reader (CsvIngest applies it after `_row_id` capture).
+    * No-op unless the file is a regular file whose estimated split count
+    * cannot reach the session's parallelism — see [[table]]'s scaladoc
+    * for the gating rationale. */
+  def fanOutSmallScan(df: DataFrame, spark: SparkSession,
+      path: String): DataFrame = {
     if (!spark.conf.get("spark.graft.scan.fanout", "true").toBoolean) df
     else {
       val p = java.nio.file.Paths.get(path)

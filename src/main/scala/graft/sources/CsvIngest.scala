@@ -198,7 +198,15 @@ object CsvIngest {
       .csv(scanPath)
       .withColumn(RowIdCol, monotonically_increasing_id())
       .where(col(RowIdCol) >= headers.skipRows)
-    (df, headers)
+    // Study CSVs are small single files (one split under
+    // maxPartitionBytes), so the whole normalize/validate pipeline above
+    // this scan would run on one core. Fan out AFTER `_row_id` capture —
+    // the id projection executes below the exchange in the single-split
+    // scan stage, so ids keep their deterministic 0..n-1 file order and
+    // every `_row_id`-ordered consumer (N3 sequences, XPT/XML sinks) is
+    // unaffected. Same scale-adaptive gate as Graft.table: a production-
+    // sized CSV already splits and skips the exchange.
+    (graft.Graft.fanOutSmallScan(df, spark, scanPath), headers)
   }
 
   private def dedupe(names: Seq[String]): Seq[String] = {
