@@ -141,8 +141,15 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, iCol: String = "i",
       jCol: String = "j", iters: Int = 3): DataFrame = {
     require(iters >= 1, s"duplicateClusters: iters must be >= 1, got $iters")
-    val sym = pairs.select(col(iCol).as("id"), col(jCol).as("nb"))
-      .union(pairs.select(col(jCol).as("id"), col(iCol).as("nb")))
+    // both orientations in ONE pass: the union-of-swapped form referenced
+    // the (often expensive — LSH, shingling) pair subtree twice, and the
+    // clone multiplied through the label chain's per-round references
+    // (guide §7.2, duplicated subtrees); the explode emits the identical
+    // row multiset from a single reference
+    val sym = pairs.select(explode(array(
+        struct(col(iCol).as("id"), col(jCol).as("nb")),
+        struct(col(jCol).as("id"), col(iCol).as("nb")))).as("__e"))
+      .select(col("__e.id").as("id"), col("__e.nb").as("nb"))
     var labels = sym.select(col("id")).distinct().withColumn("cluster_id", col("id"))
     for (_ <- 1 to iters) {
       val nbMin = sym

@@ -132,6 +132,19 @@ object Graph {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
 
+
+  /** Both orientations of a canonical (u, v) edge frame in ONE pass:
+    * the r10 `und ∪ swap(und)` union referenced the (often expensive)
+    * edge subtree twice, and the clone multiplied through every
+    * downstream self-reference (guide §7.2, duplicated subtrees); the
+    * explode emits the identical row multiset from a single reference. */
+  private def bothDirections(und: DataFrame, aName: String,
+      bName: String): DataFrame =
+    und.select(explode(array(
+        struct(col("u").as(aName), col("v").as(bName)),
+        struct(col("v").as(aName), col("u").as(bName)))).as("__e"))
+      .select(col("__e." + aName).as(aName), col("__e." + bName).as(bName))
+
   /** Degrees of [[canonicalUndirected]] output: (node, deg). */
   private def nodeDegrees(und: DataFrame): DataFrame =
     und.select(explode(array(col("u"), col("v"))).as("node"))
@@ -221,8 +234,7 @@ object Graph {
       .distinct()
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val adj = und.select(col("u").as("z"), col("v").as("nb"))
-      .union(und.select(col("v").as("z"), col("u").as("nb")))
+    val adj = bothDirections(und, "z", "nb")
     val centers = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
       .select(col("node").as("z"),
         round(lit(1.0) / log(col("deg").cast("double")), 9)
@@ -277,8 +289,7 @@ object Graph {
       .distinct()
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val adj = und.select(col("u").as("z"), col("v").as("nb"))
-      .union(und.select(col("v").as("z"), col("u").as("nb")))
+    val adj = bothDirections(und, "z", "nb")
     val centers = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
       .select(col("node").as("z"))
     val eligible = adj.join(centers.hint("shuffle_hash"), Seq("z"))
@@ -378,8 +389,7 @@ object Graph {
       .distinct()
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val dir = und.select(col("u").as("a"), col("v").as("b"))
-      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val dir = bothDirections(und, "a", "b")
     val pairs = dir
       .join(deg.select(col("node").as("a"), col("deg").as("__x"))
         .hint("shuffle_hash"), Seq("a"))
@@ -424,8 +434,7 @@ object Graph {
       dstCol: String): DataFrame = {
     val und = canonicalUndirected(edges, srcCol, dstCol)
     val deg = nodeDegrees(und)
-    val dir = und.select(col("u").as("a"), col("v").as("b"))
-      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val dir = bothDirections(und, "a", "b")
     dir
       .join(deg.select(col("node").as("a"), col("deg").as("__x"))
         .hint("shuffle_hash"), Seq("a"))
@@ -591,30 +600,34 @@ object Graph {
    * nodes FIRST reached at that hop.
    *
    * Shape: the shared undirected build, a TakeOrdered 1-row seed, then
-   * `hops` keyed frontier joins each closed by a distinct + anti-join
-   * against the visited set (all equi-joins — the gr5 bounded-
-   * iteration class; nothing global). Cross-engine: pure set
-   * semantics, exact counts.
+   * `hops` keyed frontier joins, each closed by a distinct + one
+   * anti-join per PRIOR frontier (all equi-joins — the gr5 bounded-
+   * iteration class; nothing global). Anti-joining the prior frontier
+   * frames individually instead of one accumulated `visited` union
+   * keeps each frame referencing only the hop chain before it — the
+   * r10 accumulator referenced itself 3× per hop and cloned the seed/
+   * edge subtrees 3^hops times (132 scans in the physical plan at
+   * hops = 3, measured r11-opt). Cross-engine: pure set semantics
+   * (anti vs each prior frontier ≡ anti vs their union — frontiers
+   * are disjoint by construction), exact counts.
    */
   def kHopReach(edges: DataFrame, srcCol: String, dstCol: String,
       hops: Int): DataFrame = {
     require(hops >= 1 && hops <= 6,
       s"kHopReach: hops must be in 1..6, got $hops")
     val und = canonicalUndirected(edges, srcCol, dstCol)
-    val dirE = und.select(col("u").as("a"), col("v").as("b"))
-      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+    val dirE = bothDirections(und, "a", "b")
     val seed = nodeDegrees(und)
       .orderBy(col("deg").desc, col("node").asc).limit(1)
-      .select(col("node"), lit(0).as("hop"))
-    var visited = seed
-    for (h <- 1 to hops) {
-      val frontier = visited.where(col("hop") === h - 1)
+      .select(col("node"))
+    var fronts = Vector[DataFrame](seed)
+    for (_ <- 1 to hops) {
+      val reached = fronts.last
         .join(dirE.hint("shuffle_hash"), col("node") === col("a"))
         .select(col("b").as("node")).distinct()
-        .join(visited.select(col("node")).hint("shuffle_hash"),
-          Seq("node"), "left_anti")
-        .withColumn("hop", lit(h))
-      visited = visited.unionByName(frontier)
+      val next = fronts.foldLeft(reached)((acc, f) =>
+        acc.join(f.hint("shuffle_hash"), Seq("node"), "left_anti"))
+      fronts = fronts :+ next
     }
     // DENSIFY the hop spine: a saturated graph empties late frontiers,
     // and a missing row reads as "not computed", not "zero new" (the
@@ -622,10 +635,11 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val spine = (0 to hops).toDF("hop")
-    spine.join(
-        visited.groupBy(col("hop")).agg(count(lit(1)).as("__n"))
-          .hint("shuffle_hash"),
-        Seq("hop"), "left")
+    val counts = fronts.zipWithIndex
+      .map { case (f, h) => f.agg(count(lit(1)).as("__n"))
+        .select(lit(h).as("hop"), col("__n")) }
+      .reduce(_ unionByName _)
+    spine.join(counts.hint("shuffle_hash"), Seq("hop"), "left")
       .select(col("hop"), coalesce(col("__n"), lit(0L)).as("n_new"))
       .orderBy(col("hop"))
   }
