@@ -30,39 +30,46 @@ object Graft {
     spark
   }
 
-  /** Load one testdata table (TESTDATA.md), fanning an unsplittable
-    * single-file scan out to the session's parallelism.
-    *
-    * The testdata parquet files are single-row-group (verified: 1 row
-    * group each at every SF), so a scan reads as ONE split regardless of
-    * `maxPartitionBytes` — and every map-side pass BEFORE the first
-    * exchange (token explodes, minhash ladders, per-byte replays, md5
-    * resample grids) then runs on one core of the whole machine. This is
-    * the guide-§2.5 "unsplittable input" case: repartition right after
-    * the read. The round-robin exchange moves only the base table's few
-    * MB once and unlocks full parallelism for all downstream map work;
-    * measured r11-opt at sf0.1 on local[32]: o44_bootstrap 8.7 → 1.9 s
-    * (its 32× md5 resample grid was single-core), mm13_byteentropy
-    * 3.8 → 1.7 s.
-    *
-    * Scale-adaptive, not a local-mode constant: the fanout fires only
-    * when the file's estimated split count (size / maxPartitionBytes)
-    * cannot reach the session's default parallelism AND the file is big
-    * enough to matter (`spark.graft.scan.fanoutMinBytes`, default 256k —
-    * broadcast-sized dims like nation/region skip the extra exchange).
-    * At production sizes (files ≫ split size, or directory inputs,
-    * which list many splittable files) the condition is false and the
-    * scan stays exchange-free. `spark.graft.scan.fanout=false` disables.
-    */
+  /** Load one testdata table (TESTDATA.md). The testdata files are
+    * single-row-group parquet (one split, so map-side work before the
+    * first exchange is single-core); the fanout fix for that lives in
+    * [[parallelizeMap]] and is applied by the OPERATORS whose map side
+    * is compute-heavy, not here — a global scan fanout was measured to
+    * tax every plain-projection query ~0.1–0.3 s per table reference
+    * (r11-opt bench, 298 queries regressed) for wins that only the
+    * heavy operators see. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    fanOutSmallScan(spark.read.parquet(s"$sfDir/$name.parquet"),
-      spark, s"$sfDir/$name.parquet")
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The conditional fanout behind [[table]], reusable by any other
-    * single-file reader (CsvIngest applies it after `_row_id` capture).
-    * No-op unless the file is a regular file whose estimated split count
-    * cannot reach the session's parallelism — see [[table]]'s scaladoc
-    * for the gating rationale. */
+  /** Fan a frame out to the session's parallelism when (and only when)
+    * its current planned partition count falls short — the map-side
+    * parallelism guard HEAVY per-row operators (token explodes + hash
+    * ladders, per-byte hex replays, md5 resample grids) apply to their
+    * input. Self-limiting at scale: a production-sized input already
+    * plans ≥ parallelism partitions and the call is a no-op, so this is
+    * not a local-mode constant (guide §2.5, unsplittable small input).
+    *
+    * Deliberately NOT applied globally at [[table]]: an unconditional
+    * scan fanout was measured (r11-opt full bench) to cost ~0.1–0.3 s
+    * of exchange overhead PER TABLE REFERENCE on the ~300 queries whose
+    * map side is a plain projection — column pruning gives each
+    * consumer a distinct fanout subtree, so the exchanges don't reuse —
+    * while only compute-heavy map sides win. The operators that own
+    * such compute opt in here; everything else keeps exchange-free
+    * scans. `spark.graft.map.fanout=false` disables. */
+  def parallelizeMap(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get("spark.graft.map.fanout", "true").toBoolean) df
+    else {
+      val par = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    }
+  }
+
+  /** Conditional small-file fanout for single-file readers (CsvIngest
+    * applies it after `_row_id` capture). No-op unless the file is a
+    * regular file whose estimated split count cannot reach the
+    * session's parallelism and whose size exceeds `minBytesConf`. */
   def fanOutSmallScan(df: DataFrame, spark: SparkSession,
       path: String): DataFrame = {
     if (!spark.conf.get("spark.graft.scan.fanout", "true").toBoolean) df

@@ -261,7 +261,9 @@ object Dedup {
     * (id, toks). A pure projection off the source scan — no explode, no
     * shuffle — for consumers that want whole sets (candidate verification). */
   def docTokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    // tokenization + the downstream hash ladders are the heavy map side —
+    // fan a below-parallelism input out first (no-op at scale)
+    graft.Graft.parallelizeMap(df).select(col(idCol).as("id"),
       array_remove(array_distinct(split(lower(trim(col(textCol))), "\\s+")), "")
         .as("toks"))
 

@@ -437,7 +437,9 @@ object Features {
       s"bootstrapMeanCI: maxDraw must be >= 2, got $maxDraw")
     require(loPct > 0 && hiPct < 100 && loPct < hiPct,
       s"bootstrapMeanCI: need 0 < loPct < hiPct < 100, got ($loPct, $hiPct)")
-    val base = df
+    // the resample grid multiplies the md5 draw per (row, replica) on the
+    // map side — fan a below-parallelism input out first (no-op at scale)
+    val base = graft.Graft.parallelizeMap(df)
       .where(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol).as("__id"), col(valueCol).as("__v"))
     val grid = df.sparkSession
@@ -2180,7 +2182,9 @@ object Features {
       valueCol: String, resamples: Int = 32): DataFrame = {
     require(resamples >= 8 && resamples <= 256,
       s"permutationTestMeans: resamples must be in 8..256, got $resamples")
-    val base = df
+    // same map-side md5-per-(row, replica) shape as bootstrapMeanCI —
+    // fan a below-parallelism input out first (no-op at scale)
+    val base = graft.Graft.parallelizeMap(df)
       .where(col(idCol).isNotNull && col(groupCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(idCol).as("__id"), col(groupCol).cast("boolean").as("__g"),

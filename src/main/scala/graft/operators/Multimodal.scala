@@ -47,7 +47,10 @@ object Multimodal {
     * the test harness for the binary plumbing — byte counts and hashes are
     * verifiable against any engine). */
   def packText(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    // everything downstream of a packed corpus is per-byte/per-pixel
+    // compute (hex replays, hashes, decodes) — fan a below-parallelism
+    // input out first (no-op at scale; see Graft.parallelizeMap)
+    graft.Graft.parallelizeMap(df).select(
       col(idCol).cast("long").as("media_id"),
       lit("text").as("kind"),
       encode(col(textCol), "UTF-8").as("bytes"),

@@ -204,9 +204,17 @@ object CsvIngest {
     // the id projection executes below the exchange in the single-split
     // scan stage, so ids keep their deterministic 0..n-1 file order and
     // every `_row_id`-ordered consumer (N3 sequences, XPT/XML sinks) is
-    // unaffected. Same scale-adaptive gate as Graft.table: a production-
-    // sized CSV already splits and skips the exchange.
-    (graft.Graft.fanOutSmallScan(df, spark, scanPath), headers)
+    // unaffected. Scale-adaptive: a production-sized CSV already splits
+    // and skips the exchange; the 2m floor keeps small studies (e1's
+    // 600 KB DM, the golden fixtures) exchange-free — their per-domain
+    // work is too light to repay it (measured: e1 +1.4 s at 256k).
+    val fanned =
+      if (Files.size(Paths.get(scanPath)) >= org.apache.spark.network.util
+            .JavaUtils.byteStringAsBytes(
+              spark.conf.get("spark.graft.scan.csvFanoutMinBytes", "2m")))
+        graft.Graft.fanOutSmallScan(df, spark, scanPath)
+      else df
+    (fanned, headers)
   }
 
   private def dedupe(names: Seq[String]): Seq[String] = {
