@@ -59,7 +59,10 @@ object Graft {
     * scans. `spark.graft.map.fanout=false` disables. */
   def parallelizeMap(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.conf.get("spark.graft.map.fanout", "true").toBoolean) df
+    // .rdd is illegal on a streaming frame — a future streaming caller
+    // gets the unmodified frame, not an AnalysisException
+    if (df.isStreaming) df
+    else if (!spark.conf.get("spark.graft.map.fanout", "true").toBoolean) df
     else {
       val par = spark.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < par) df.repartition(par) else df
