@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver keeps only the LAST 2000 bytes of sbt's output and
+// parses the JSON line it finds there. sbt's default forked-run logger
+// prefixes every forked-process line with "[info] " and appends a
+// "[success] Total time: ..." epilogue — BENCH_r06..r11 all came back
+// `parsed: null` because of exactly that framing. StdoutOutput passes the
+// forked JVM's stdout through unprefixed, and showSuccess drops the
+// epilogue, so Bench's final contract line is the literal last line of
+// output and parses standalone.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — exclude it
+// from the unused-key lint (the warning would otherwise precede every batch)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

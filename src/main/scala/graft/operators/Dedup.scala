@@ -260,19 +260,25 @@ object Dedup {
   /** Distinct lowercase whitespace tokens per document, as one array cell:
     * (id, toks). A pure projection off the source scan — no explode, no
     * shuffle — for consumers that want whole sets (candidate verification). */
-  def docTokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def docTokenArrays(df: DataFrame, idCol: String, textCol: String,
+      fanOut: Boolean = true): DataFrame =
     // tokenization + the downstream hash ladders are the heavy map side —
-    // fan a below-parallelism input out first (no-op at scale)
-    graft.Graft.parallelizeMap(df).select(col(idCol).as("id"),
-      array_remove(array_distinct(split(lower(trim(col(textCol))), "\\s+")), "")
-        .as("toks"))
+    // fan a below-parallelism input out first (no-op at scale).
+    // fanOut = false for SAMPLE-SIZED inputs whose downstream work is a
+    // candidate join, not a hash ladder: the exchange cost is never repaid
+    // there (measured r11-opt: d15 1.4 → 1.85 s, d18 1.55 → 1.97 s)
+    (if (fanOut) graft.Graft.parallelizeMap(df) else df)
+      .select(col(idCol).as("id"),
+        array_remove(array_distinct(split(lower(trim(col(textCol))), "\\s+")), "")
+          .as("toks"))
 
   /** Distinct lowercase whitespace tokens per document: (id, token).
     * Defined by exploding [[docTokenArrays]] so the tokenization rule
     * exists exactly once — the exploded join path and the whole-set
     * verification path can never silently diverge. */
-  def docTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    docTokenArrays(df, idCol, textCol)
+  def docTokens(df: DataFrame, idCol: String, textCol: String,
+      fanOut: Boolean = true): DataFrame =
+    docTokenArrays(df, idCol, textCol, fanOut)
       .select(col("id"), explode(col("toks")).as("token"))
 
   /** Distinct character n-gram shingles per document: (id, token). */
@@ -352,7 +358,10 @@ object Dedup {
   /** Token-set containment pairs over raw text (exact, join-on-token). */
   def tokenContainmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
-    containmentPairs(docTokens(df, idCol, textCol), threshold, maxDocFreq)
+    // fanOut = false: the cost here is the candidate equi-join, not the
+    // token split — the input fanout never repaid its exchange (measured)
+    containmentPairs(docTokens(df, idCol, textCol, fanOut = false),
+      threshold, maxDocFreq)
 
   /** Lowercase whitespace token MULTISET per document: (id, token, tf).
     * The weighted-Jaccard input — same token rule as [[docTokenArrays]]
@@ -576,7 +585,18 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate pairs from shared LSH buckets (distinct i<j). */
+  /** Candidate pairs from shared LSH buckets (distinct i<j).
+    *
+    * The global distinct is deliberate, MEASURED against the alternative:
+    * an owning-band rewrite (emit each pair only from its minimum
+    * colliding band, dedup as a per-row predicate over carried bucket
+    * ladders, no distinct exchange) was tried in r12 and REGRESSED the
+    * whole family — d16 10.3 → 15.1 s, d5 3.6 → 6.0 s, pipe2 15.7 →
+    * 17.9 s at sf0.1 — because carrying the 11-slot ladder array on every
+    * exploded bucket row widens the collision join's shuffle ~5× and the
+    * per-collision-row HOF predicate costs more than hashing two longs
+    * into the distinct's agg. Collision rows are narrow (i, j); the
+    * distinct exchange is the cheaper dedup. */
   def lshCandidates(buckets: DataFrame): DataFrame =
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -604,7 +624,9 @@ object Dedup {
       numHashes: Int = 16, seed: Long = 42L): DataFrame = {
     require(numHashes >= 1 && numHashes <= 64,
       s"minhashErrorAudit: numHashes must be in 1..64, got $numHashes")
-    val tokens = docTokens(df, idCol, textCol)
+    // fanOut = false: the caller contract is a SAMPLE-sized corpus (the
+    // audit is all-pairs), so the input fanout exchange never pays
+    val tokens = docTokens(df, idCol, textCol, fanOut = false)
     val h = pmod(Sampling.hashValue(col("token"), "mh:"), lit(HashPrime))
     val sigExprs = hashCoeffs(numHashes, seed).zipWithIndex.map {
       case ((a, b), i) =>

@@ -467,9 +467,25 @@ object Graph {
       iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 16,
       s"hits: iters must be in 1..16, got $iters")
+    // Lineage discipline (the r11 kCorePeel rule, checkpoint form): the L1
+    // normalization must reference its input twice (the total agg + the
+    // scalar join-back — a global sum has no single-reference window form
+    // that stays distributed), so each round DOUBLED the unrolled plan:
+    // 368 parquet scans at iters = 2, 2^(2·iters) growth, and every clone
+    // re-ran the upstream edge build. localCheckpoint materializes the
+    // edge list once and each round's AGG-SIZED raw score frame (≤ one row
+    // per node), truncating the lineage so the plan stays LINEAR in iters
+    // and the edge build runs exactly once. Values are untouched — a
+    // checkpoint stores the same rows the lazy plan computes (HitsSpec
+    // pins the unrolled arithmetic; GraphPlanSpec pins the linear plan) —
+    // and the per-round jobs run inside the caller's timed action. At
+    // scale this is the standard iterative-graph shape (materialize per
+    // superstep); the checkpointed frames are node-sized, never edge-sized,
+    // except the edge list itself which any HITS round must hold anyway.
     val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
       .where(col("l").isNotNull && col("r").isNotNull)
       .distinct()
+      .localCheckpoint()
     def normalized(scores: DataFrame, idCol: String): DataFrame = {
       val tot = scores.agg(
         sum(col("__s").cast("decimal(28,9)")).cast("double").as("__tot"))
@@ -487,12 +503,12 @@ object Graph {
         e.join(hub.hint("shuffle_hash"), Seq("l"))
           .groupBy(col("r"))
           .agg(sum(col("score").cast("decimal(28,9)")).cast("double")
-            .as("__s")), "r")
+            .as("__s")).localCheckpoint(), "r")
       hub = normalized(
         e.join(auth.hint("shuffle_hash"), Seq("r"))
           .groupBy(col("l"))
           .agg(sum(col("score").cast("decimal(28,9)")).cast("double")
-            .as("__s")), "l")
+            .as("__s")).localCheckpoint(), "l")
     }
     hub.select(lit("hub").as("kind"), col("l").as("id"), col("score"))
       .union(auth.select(lit("auth").as("kind"), col("r").as("id"),

@@ -45,12 +45,21 @@ object Multimodal {
 
   /** Pack a string column as a media-bytes frame (the text modality; also
     * the test harness for the binary plumbing — byte counts and hashes are
-    * verifiable against any engine). */
-  def packText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * verifiable against any engine).
+    *
+    * `fanOut = false` skips the [[graft.Graft.parallelizeMap]] input
+    * fanout: consumers whose per-byte work is LIGHT (one md5 / a prefix
+    * sniff per stream) pay the fanout exchange without repaying it —
+    * measured r11-opt: mm1 0.23 → 0.56 s, mm18 0.24 → 0.68 s, mm3
+    * 0.94 → 1.98 s — while the per-byte hex-replay family (mm11–mm17,
+    * mm19) repays it 2–4×. The caller owns the call: it knows its
+    * downstream work. */
+  def packText(df: DataFrame, idCol: String, textCol: String,
+      fanOut: Boolean = true): DataFrame =
     // everything downstream of a packed corpus is per-byte/per-pixel
     // compute (hex replays, hashes, decodes) — fan a below-parallelism
     // input out first (no-op at scale; see Graft.parallelizeMap)
-    graft.Graft.parallelizeMap(df).select(
+    (if (fanOut) graft.Graft.parallelizeMap(df) else df).select(
       col(idCol).cast("long").as("media_id"),
       lit("text").as("kind"),
       encode(col(textCol), "UTF-8").as("bytes"),

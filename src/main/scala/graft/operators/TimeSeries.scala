@@ -1153,23 +1153,38 @@ object TimeSeries {
       probCol: String, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 16,
       s"steadyState: iters must be in 1..16, got $iters")
-    val states = trans.select(col(fromCol).as("state"))
-      .union(trans.select(col(toCol).as("state"))).distinct()
+    // The transition matrix is AGG-SIZED by definition (≤ |states|² cells),
+    // but its upstream (typically a corpus-sized lead window) is referenced
+    // by the states build + every unrolled round — materialize the cells
+    // once so the upstream runs exactly once (the gr8 lineage rule; values
+    // untouched, TimeSeriesSpec pins the unrolled arithmetic)
+    val cells = trans.localCheckpoint()
+    val states = cells.select(col(fromCol).as("state"))
+      .union(cells.select(col(toCol).as("state"))).distinct()
     val k = states.agg(count(lit(1)).as("__k"))
     var pi = states.crossJoin(broadcast(k))
       .withColumn("pi", round(lit(1.0) / col("__k").cast("double"), 9))
       .drop("__k")
-    val step = trans.select(col(fromCol).as("state"), col(toCol).as("__to"),
-      col(probCol).as("__p"))
-    val froms = step.select(col("state")).distinct()
+    // __m marks a matched transition row so the absorbing-state carry can
+    // be told apart from a (legal) null __to destination after the join
+    val step = cells.select(col(fromCol).as("state"), col(toCol).as("__to"),
+      col(probCol).as("__p"), lit(1).as("__m"))
     for (_ <- 1 to iters) {
-      val inflow = step.join(pi.hint("shuffle_hash"), Seq("state"))
-        .select(col("__to").as("state"),
-          round(col("__p") * col("pi"), 9).cast("decimal(28,9)").as("__t"))
-      // absorbing states (no outgoing row) keep their own mass
-      val carry = pi.join(froms, Seq("state"), "left_anti")
-        .select(col("state"), col("pi").cast("decimal(28,9)").as("__t"))
-      pi = inflow.union(carry)
+      // ONE reference to pi per round (the r11 kCorePeel lineage rule —
+      // the old inflow ∪ carry referenced pi twice, so the unrolled plan
+      // held 2^iters clones of the init subtree: 210 parquet scans at
+      // iters = 4). A left join produces the identical term multiset:
+      // a pi row with outgoing transitions fans to its inflow terms
+      // (round(p·π, 9), the inner-join rows), and a pi row with NO
+      // outgoing row — __m null — carries its own mass unchanged, exactly
+      // the old anti-join carry branch.
+      pi = pi.join(step.hint("shuffle_hash"), Seq("state"), "left")
+        .select(
+          when(col("__m").isNull, col("state")).otherwise(col("__to"))
+            .as("state"),
+          when(col("__m").isNull, col("pi").cast("decimal(28,9)"))
+            .otherwise(round(col("__p") * col("pi"), 9).cast("decimal(28,9)"))
+            .as("__t"))
         .groupBy(col("state"))
         .agg(round(sum(col("__t")).cast("double"), 9).as("pi"))
     }

@@ -36,14 +36,19 @@ object MultimodalQueries {
         .select(col("key"), col("text").as("base_text")).alias("b"), Seq("key"))
       .select(col("a.doc_id").as("doc_id"), col("base_text").as("text"))
     val hashes = Multimodal.perceptualHash(
-      Multimodal.packText(duped, "doc_id", "text").as[MediaRecord])
+      // fanOut = false: the 64-sample aHash is light per stream — the
+      // packed-corpus exchange doubled mm3 (0.94 → 1.98 s, r11-opt)
+      Multimodal.packText(duped, "doc_id", "text", fanOut = false)
+        .as[MediaRecord])
     Multimodal.phashNearDupPairs(hashes, maxHamming = 3)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary column + typed metadata, checksummed
     "mm1_pack" -> ((s, dir) => {
-      val packed = Multimodal.packText(table(s, dir, "documents"), "doc_id", "text")
+      // fanOut = false: one md5 per stream is light map work (see packText)
+      val packed = Multimodal.packText(table(s, dir, "documents"),
+        "doc_id", "text", fanOut = false)
       packed.select(col("media_id"), col("kind"), col("mime_type"),
           col("n_bytes"), md5(col("bytes")).as("bytes_md5"))
         .orderBy("media_id")
@@ -129,8 +134,9 @@ object MultimodalQueries {
     // signatures (PNG on id%7=0, JPEG on 1, GIF on 2, raw text
     // otherwise): first-bytes dispatch, not mime trust
     "mm18_magic" -> ((s, dir) => {
+      // fanOut = false: prefix sniffing is light map work (see packText)
       val packed = Multimodal.packText(table(s, dir, "documents"),
-        "doc_id", "text")
+        "doc_id", "text", fanOut = false)
       def sig(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
       val planted = packed.withColumn("bytes",
         when(col("media_id") % 7 === 0,
