@@ -150,15 +150,26 @@ object Dedup {
         struct(col(iCol).as("id"), col(jCol).as("nb")),
         struct(col(jCol).as("id"), col(iCol).as("nb")))).as("__e"))
       .select(col("__e.id").as("id"), col("__e.nb").as("nb"))
+    // edge (id ← nb) restated as "the label AT nb flows TO id": joining
+    // labels on their own id lets one reference serve the whole round
+    val flow = sym.select(col("nb").as("id"), col("id").as("__tgt"))
     var labels = sym.select(col("id")).distinct().withColumn("cluster_id", col("id"))
     for (_ <- 1 to iters) {
-      val nbMin = sym
-        .join(labels.select(col("id").as("nb"), col("cluster_id").as("__nbc")), Seq("nb"))
-        .groupBy("id").agg(min("__nbc").as("__m"))
-      labels = labels.join(nbMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__m"), col("cluster_id")))
-            .as("cluster_id"))
+      // ONE reference to labels per round (the r12 lineage rule — the old
+      // nbMin-join + left-join form referenced labels twice, unrolling to
+      // 2^iters clones of the pair subtree: 240 parquet scans in mm10's
+      // plan). Each label row contributes its cluster_id to ITSELF and to
+      // every out-neighbor; min-aggregation makes the k-fold repetition of
+      // the identity contribution (one per matched edge) harmless, and the
+      // left join keeps isolated label rows (null __tgt → self only). The
+      // recurrence is unchanged: label'(id) = min(own, min over neighbors).
+      labels = labels.join(flow, Seq("id"), "left")
+        .select(explode(array(
+            struct(col("id").as("node"), col("cluster_id")),
+            struct(coalesce(col("__tgt"), col("id")).as("node"),
+              col("cluster_id")))).as("__c"))
+        .groupBy(col("__c.node").as("id"))
+        .agg(min(col("__c.cluster_id")).as("cluster_id"))
     }
     labels
   }

@@ -61,9 +61,15 @@ object Graph {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"pageRank: dampingPct must be in [1,99], got $dampingPct")
+    // one materialization of the distinct edge list (the gr8 lineage
+    // rule): the builder below already runs an eager count over this
+    // subtree for N, and every iteration re-references it through
+    // withDeg — checkpointing makes the (often expensive) upstream edge
+    // build run exactly once instead of once per reference
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // The caller contract (above) is outdeg ≥ 1 everywhere, so the vertex
     // set IS deg's key set — the r10 form rebuilt it as a distinct over
@@ -74,6 +80,9 @@ object Graph {
     val n = verts.count()
     require(n > 0, "pageRank: empty graph")
     val teleport = ((100L - dampingPct) * Scale / 100L) / n
+    // NOT checkpointed (measured r12: materializing the edge-sized degree
+    // join cost more than it saved — the shuffle_hash join already leaves
+    // it src-partitioned and exchange reuse serves the per-iter references)
     val withDeg = e.join(deg.hint("shuffle_hash"), Seq("src"))
     var pr = verts.withColumn("pr_fp", lit(Scale / n))
     for (_ <- 1 to iters) {
@@ -116,7 +125,10 @@ object Graph {
    */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val und = canonicalUndirected(edges, srcCol, dstCol)
+    // materialized once: und feeds both the degree agg and the oriented
+    // edge build, each of which would otherwise re-run the upstream
+    // edge-derivation pipeline (the gr8 lineage rule)
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     triangleCountsOf(und, nodeDegrees(und))
   }
 
@@ -155,6 +167,10 @@ object Graph {
     // conditional would see two distinct StructTypes
     val su = struct(col("du").as("d"), col("u").as("n"))
     val sv = struct(col("dv").as("d"), col("v").as("n"))
+    // the oriented edge frame is referenced THREE times below (both wedge
+    // sides + the closing semi-join) — materialize it once, partitioned by
+    // the wedge apex so the wedge self-join reads both sides exchange-free
+    // (the checkpoint preserves the physical partitioning)
     val e = und
       .join(deg.select(col("node").as("u"), col("deg").as("du"))
         .hint("shuffle_hash"), Seq("u"))
@@ -163,6 +179,7 @@ object Graph {
       .select(when(su < sv, col("u")).otherwise(col("v")).as("a"),
         when(su < sv, col("v")).otherwise(col("u")).as("b"),
         when(su < sv, sv).otherwise(su).as("rb"))
+      .repartition(col("a")).localCheckpoint()
     val wedges = e.as("e1")
       .join(e.as("e2").hint("shuffle_hash"),
         col("e1.a") === col("e2.a") && col("e1.rb") < col("e2.rb"))
@@ -194,7 +211,8 @@ object Graph {
    */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val und = canonicalUndirected(edges, srcCol, dstCol)
+    // same materialization rationale as [[triangleCounts]]
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     val deg = nodeDegrees(und)
     deg.where(col("deg") >= 2)
       .join(triangleCountsOf(und, deg).hint("shuffle_hash"),
@@ -631,11 +649,22 @@ object Graph {
       hops: Int): DataFrame = {
     require(hops >= 1 && hops <= 6,
       s"kHopReach: hops must be in 1..6, got $hops")
-    val und = canonicalUndirected(edges, srcCol, dstCol)
+    // Lineage discipline (the gr8 rule): every frontier is referenced by
+    // the NEXT frontier's expansion, by every LATER frontier's anti-join,
+    // and by its own closing count — the lazy chain held 132 parquet
+    // scans at hops = 3 and grows ~3^hops. The undirected edge list and
+    // each NODE-SIZED frontier are materialized once (localCheckpoint);
+    // values are untouched — pure set semantics over the same frames.
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    // pre-partitioned by the expansion key: every hop joins on a, so the
+    // edge exchange happens once here instead of once per hop (the
+    // checkpoint preserves the physical partitioning)
     val dirE = bothDirections(und, "a", "b")
+      .repartition(col("a")).localCheckpoint()
     val seed = nodeDegrees(und)
       .orderBy(col("deg").desc, col("node").asc).limit(1)
       .select(col("node"))
+      .localCheckpoint()
     var fronts = Vector[DataFrame](seed)
     for (_ <- 1 to hops) {
       val reached = fronts.last
@@ -643,6 +672,7 @@ object Graph {
         .select(col("b").as("node")).distinct()
       val next = fronts.foldLeft(reached)((acc, f) =>
         acc.join(f.hint("shuffle_hash"), Seq("node"), "left_anti"))
+        .localCheckpoint()
       fronts = fronts :+ next
     }
     // DENSIFY the hop spine: a saturated graph empties late frontiers,

@@ -20,15 +20,24 @@ object GraphQueries {
     * shared `und` CTE shape) so the six graph queries cannot drift. The
     * per-order self-join fans out quadratically in lines-per-order,
     * which TPC-H (and real baskets) bound at single digits. */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem")
+  /** Per-order part lists for the co-purchase builds: ONE scan + ONE
+    * shuffle (the collect_list agg) instead of the old two-scan self-join
+    * on l_orderkey — the within-order pair fan-out then happens as two
+    * chained explodes in the same stage, no join (guide §2.4, remove
+    * shuffles outright). The double explode emits the exact CROSS PRODUCT
+    * of each order's line rows, i.e. the identical row multiset the
+    * self-join produced. */
+  private def orderPartLists(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
-    val a = li.toDF("ok", "src")
-    val b = li.toDF("ok", "dst")
-    a.join(b, Seq("ok"))
+      .groupBy("ok").agg(collect_list(col("l_partkey")).as("__ps"))
+
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    orderPartLists(s, dir)
+      .select(explode(col("__ps")).as("src"), col("__ps"))
+      .select(col("src"), explode(col("__ps")).as("dst"))
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
-  }
 
   /** The same co-purchase relation emitted once per unordered pair
     * (src < dst) instead of both orientations: every consumer below
@@ -37,15 +46,12 @@ object GraphQueries {
     * 2.4M → 1.2M rows into each operator's distinct at sf0.1 (guide
     * §2.3, shuffle fewer bytes). Only gr1/t28's PageRank consumes the
     * directed symmetric multiset and keeps [[coPurchaseEdges]]. */
-  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
-    val a = li.toDF("ok", "src")
-    val b = li.toDF("ok", "dst")
-    a.join(b, Seq("ok"))
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    orderPartLists(s, dir)
+      .select(explode(col("__ps")).as("src"), col("__ps"))
+      .select(col("src"), explode(col("__ps")).as("dst"))
       .where(col("src") < col("dst"))
       .select("src", "dst")
-  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P318 — modularity of the BRAND labeling over the co-purchase
