@@ -19,15 +19,23 @@ object Association {
       minPairCount: Long, opName: String): (DataFrame, Long) = {
     require(minPairCount >= 1,
       s"$opName: minPairCount must be >= 1, got $minPairCount")
+    // checkpointed: the nBaskets count below already materializes this
+    // subtree eagerly, and it is referenced three more times (item counts
+    // + pair build) — each reference would re-run the distinct
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .where(col("b").isNotNull && col("i").isNotNull)
       .distinct()
+      .localCheckpoint()
     val nBaskets = bi.select("b").distinct().count()
     require(nBaskets > 0, s"$opName: no baskets")
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val left = bi.toDF("b", "ia")
-    val right = bi.toDF("b", "ib")
-    val pairs = left.join(right, Seq("b"))
+    // per-basket item lists + two chained explodes instead of the basket
+    // self-join (the coPurchase build rule): one shuffle, identical pair
+    // multiset — items are distinct per basket, so the i<j explode emits
+    // exactly the join's one row per unordered pair per basket
+    val pairs = bi.groupBy(col("b")).agg(collect_list(col("i")).as("__is"))
+      .select(explode(col("__is")).as("ia"), col("__is"))
+      .select(col("ia"), explode(col("__is")).as("ib"))
       .where(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
@@ -135,17 +143,24 @@ object Association {
       minCount: Long = 2L): DataFrame = {
     require(minCount >= 1,
       s"frequentTriples: minCount must be >= 1, got $minCount")
+    // same build rules as assocCounts: checkpoint the eagerly-counted
+    // distinct frame; per-basket lists + three chained explodes replace
+    // the TWO basket self-joins (identical triple multiset, the ia<ib
+    // filter cuts the fan-out before the third explode exactly like the
+    // join form's interleaved predicate)
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .where(col("b").isNotNull && col("i").isNotNull)
       .distinct()
+      .localCheckpoint()
     val nBaskets = bi.select("b").distinct().count()
     require(nBaskets > 0, "frequentTriples: no baskets")
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val l1 = bi.toDF("b", "ia")
-    val l2 = bi.toDF("b", "ib")
-    val l3 = bi.toDF("b", "ic")
-    val triples = l1.join(l2, Seq("b")).where(col("ia") < col("ib"))
-      .join(l3, Seq("b")).where(col("ib") < col("ic"))
+    val triples = bi.groupBy(col("b")).agg(collect_list(col("i")).as("__is"))
+      .select(explode(col("__is")).as("ia"), col("__is"))
+      .select(col("ia"), explode(col("__is")).as("ib"), col("__is"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), explode(col("__is")).as("ic"))
+      .where(col("ib") < col("ic"))
       .groupBy(col("ia"), col("ib"), col("ic"))
       .agg(count(lit(1)).as("n_abc"))
       .where(col("n_abc") >= minCount)

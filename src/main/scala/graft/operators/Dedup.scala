@@ -1257,7 +1257,12 @@ object Dedup {
       s"bandingSweep: duplicate settings in $rowsPerBandLadder")
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"bandingSweep: thresholdPct must be in 1..100, got $thresholdPct")
-    val tokens = docTokens(df, idCol, textCol)
+    // The sweep's shared frames are all SAMPLE-sized (the caller contract
+    // below) but referenced many times: tokens 4x (signatures, sizes, both
+    // intersection sides), the signature frame once per ladder member, the
+    // truth set twice per member — the lazy form unrolled to 144 parquet
+    // scans (measured r12). Materialize each once (the gr8 lineage rule).
+    val tokens = docTokens(df, idCol, textCol, fanOut = false).localCheckpoint()
     val h = pmod(Sampling.hashValue(col("token"), "mh:"), lit(HashPrime))
     val sigExprs = hashCoeffs(numHashes, seed).zipWithIndex.map {
       case ((a, b), i) =>
@@ -1265,6 +1270,7 @@ object Dedup {
     }
     val sigs = tokens.withColumn("__h", h)
       .groupBy("id").agg(sigExprs.head, sigExprs.tail: _*)
+      .localCheckpoint()
     val sizes = tokens.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = tokens.select(col("id").as("i"), col("token"))
       .join(tokens.select(col("id").as("j"), col("token")), Seq("token"))
@@ -1279,6 +1285,7 @@ object Dedup {
       .where(round(col("__x").cast("double") /
         (col("__si") + col("__sj") - col("__x")).cast("double"), 6) >= thr)
       .select(col("i"), col("j"))
+      .localCheckpoint()
     rowsPerBandLadder.sorted.map { r =>
       val bands = numHashes / r
       val keyed = sigs.select(col("id") +:
@@ -1292,11 +1299,14 @@ object Dedup {
         .as("__bk"))
         .select(col("id"), col("__bk.band").as("band"),
           col("__bk.key").as("key"))
+      // materialized: the candidate set feeds both the count and the
+      // truth semi-join — the lazy form ran the band self-join twice
       val cand = exploded.select(col("id").as("i"), col("band"), col("key"))
         .join(exploded.select(col("id").as("j"), col("band"), col("key"))
           .hint("shuffle_hash"), Seq("band", "key"))
         .where(col("i") < col("j"))
         .select(col("i"), col("j")).distinct()
+        .localCheckpoint()
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
       val nt = truth.agg(count(lit(1)).as("n_true"))
       val nh = cand.join(truth.hint("shuffle_hash"), Seq("i", "j"),
