@@ -47,6 +47,23 @@ object E3Profile {
       d.toString
     }
 
+    // create sub-phases, LB alone (the long pole): CSV scan+cache vs the
+    // fused hints aggregate — so create optimization targets measured cost
+    locally {
+      val (raw, _) = t("LB readCsvTable + cache+count") {
+        val r = CsvIngest.readCsvTable(spark,
+          java.nio.file.Paths.get(folder, "lb.csv").toString, 1)
+        r._1.cache().count()
+        r
+      }
+      t("LB columnHints (cached input)") {
+        graft.operators.Mapping.columnHints(
+          raw.select(raw.columns.filterNot(_ == CsvIngest.RowIdCol)
+            .map(col): _*))
+      }
+      raw.unpersist()
+    }
+
     val session = t("create (ingest+hints+score)") {
       StudySession.create(spark, "GRAFT", folder,
         Map("DM" -> "dm.csv", "AE" -> "ae.csv", "LB" -> "lb.csv"))

@@ -310,7 +310,12 @@ class StudySession(val spark: SparkSession, val studyId: String,
         presentVars: Seq[graft.standards.SdtmVariable], isRefData: Boolean)
     val plans = exportable.map { code =>
       val domain = domainMetaFor(code).get
-      val frame = preview(code).get.cache()
+      // cached PRE-SORTED by the export order: both sinks (XPT `typed`,
+      // Dataset-XML's orderCol) sort by _row_id — caching the sorted frame
+      // pays that global sort once and the cached plan's outputOrdering
+      // satisfies both sinks' Sort requirements (bytes unchanged: the
+      // golden SHA-256 pins cover both artifacts)
+      val frame = preview(code).get.orderBy(col(CsvIngest.RowIdCol)).cache()
       val presentVars = domain.orderedVariables.filter(v => frame.columns.contains(v.name))
       // Trial Design / Study Reference datasets are reference data, not
       // subject data (is_reference_domain — export/common.rs:74-80): they
