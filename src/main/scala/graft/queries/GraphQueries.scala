@@ -15,18 +15,17 @@ import graft.Graft.table
  */
 object GraphQueries {
 
-  /** The part co-purchase edge list every gr* query analyzes: parts
-    * linked when they share an order. ONE definition (with its oracles'
-    * shared `und` CTE shape) so the six graph queries cannot drift. The
-    * per-order self-join fans out quadratically in lines-per-order,
-    * which TPC-H (and real baskets) bound at single digits. */
-  /** Per-order part lists for the co-purchase builds: ONE scan + ONE
-    * shuffle (the collect_list agg) instead of the old two-scan self-join
-    * on l_orderkey — the within-order pair fan-out then happens as two
-    * chained explodes in the same stage, no join (guide §2.4, remove
-    * shuffles outright). The double explode emits the exact CROSS PRODUCT
-    * of each order's line rows, i.e. the identical row multiset the
-    * self-join produced. */
+  /** Per-order part lists for the co-purchase edge builds every gr* query
+    * analyzes (parts linked when they share an order; ONE definition, with
+    * the oracles' shared `und` CTE shape, so the graph queries cannot
+    * drift): ONE scan + ONE shuffle (the collect_list agg) instead of the
+    * old two-scan self-join on l_orderkey — the within-order pair fan-out
+    * then happens as two chained explodes in the same stage, no join
+    * (guide §2.4, remove shuffles outright). The double explode emits the
+    * exact CROSS PRODUCT of each order's line rows, i.e. the identical
+    * row multiset the self-join produced; the fan-out stays quadratic in
+    * lines-per-order, which TPC-H (and real baskets) bound at single
+    * digits. */
   private def orderPartLists(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
