@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
  */
 object Association {
 
+  /** All within-group ordered element pairs of a (group, item) relation —
+    * the EXACT row multiset of the group-key self-join (a join on the
+    * group key IS the per-group cross product) from ONE scan + ONE
+    * shuffle: collect_list per group, then two chained explodes (guide
+    * §2.4, remove shuffles outright). `strict` keeps the a < b half;
+    * otherwise both orientations (a ≠ b). The invariant every caller
+    * (co-purchase edges, basket pairs) relies on lives HERE once:
+    * explode² of the collected list enumerates every ordered pair of the
+    * group's rows — including duplicate item values — exactly as the
+    * self-join did; collect_list drops NULL items, which the self-join's
+    * null-rejecting equi/inequality predicates dropped too. Output
+    * columns (a, b). */
+  def groupedPairs(df: DataFrame, groupCol: String, itemCol: String,
+      strict: Boolean): DataFrame =
+    df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .groupBy(col("__g")).agg(collect_list(col("__i")).as("__is"))
+      .select(explode(col("__is")).as("a"), col("__is"))
+      .select(col("a"), explode(col("__is")).as("b"))
+      .where(if (strict) col("a") < col("b") else col("a") =!= col("b"))
+
+  /** Within-group ordered triples (a < b < c) — the two-self-join
+    * analogue of [[groupedPairs]]; the a < b filter interleaves BETWEEN
+    * the explodes to cut the fan-out exactly where the join form's
+    * interleaved predicate did. Output columns (a, b, c). */
+  def groupedTriples(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .groupBy(col("__g")).agg(collect_list(col("__i")).as("__is"))
+      .select(explode(col("__is")).as("a"), col("__is"))
+      .select(col("a"), explode(col("__is")).as("b"), col("__is"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), explode(col("__is")).as("c"))
+      .where(col("b") < col("c"))
+
   /** The shared pair/count core (P91/P335): the counted rule frame
     * (antecedent, consequent, n_ab, n_a, n_b) and the basket total —
     * extracted so [[ruleMetrics]] cannot drift from [[assocRules]]'
@@ -29,14 +63,8 @@ object Association {
     val nBaskets = bi.select("b").distinct().count()
     require(nBaskets > 0, s"$opName: no baskets")
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    // per-basket item lists + two chained explodes instead of the basket
-    // self-join (the coPurchase build rule): one shuffle, identical pair
-    // multiset — items are distinct per basket, so the i<j explode emits
-    // exactly the join's one row per unordered pair per basket
-    val pairs = bi.groupBy(col("b")).agg(collect_list(col("i")).as("__is"))
-      .select(explode(col("__is")).as("ia"), col("__is"))
-      .select(col("ia"), explode(col("__is")).as("ib"))
-      .where(col("ia") < col("ib"))
+    val pairs = groupedPairs(bi, "b", "i", strict = true)
+      .toDF("ia", "ib")
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairCount)
@@ -144,10 +172,8 @@ object Association {
     require(minCount >= 1,
       s"frequentTriples: minCount must be >= 1, got $minCount")
     // same build rules as assocCounts: checkpoint the eagerly-counted
-    // distinct frame; per-basket lists + three chained explodes replace
-    // the TWO basket self-joins (identical triple multiset, the ia<ib
-    // filter cuts the fan-out before the third explode exactly like the
-    // join form's interleaved predicate)
+    // distinct frame; [[groupedTriples]] replaces the TWO basket
+    // self-joins with one shuffle + chained explodes
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .where(col("b").isNotNull && col("i").isNotNull)
       .distinct()
@@ -155,12 +181,8 @@ object Association {
     val nBaskets = bi.select("b").distinct().count()
     require(nBaskets > 0, "frequentTriples: no baskets")
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val triples = bi.groupBy(col("b")).agg(collect_list(col("i")).as("__is"))
-      .select(explode(col("__is")).as("ia"), col("__is"))
-      .select(col("ia"), explode(col("__is")).as("ib"), col("__is"))
-      .where(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"), explode(col("__is")).as("ic"))
-      .where(col("ib") < col("ic"))
+    val triples = groupedTriples(bi, "b", "i")
+      .toDF("ia", "ib", "ic")
       .groupBy(col("ia"), col("ib"), col("ic"))
       .agg(count(lit(1)).as("n_abc"))
       .where(col("n_abc") >= minCount)

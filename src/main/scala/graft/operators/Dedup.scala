@@ -182,9 +182,14 @@ object Dedup {
    * one-join deep regardless of graph diameter and the per-round
    * changed-label count is a cheap aggregate over the checkpointed frame.
    * Throws after `maxIters` non-converged rounds rather than returning
-   * wrong labels. Deliberately NOT used inside `queries()` builders —
-   * eager materialization there blinds plan pins (d8 keeps the bounded,
-   * fully-lazy form); this is the standalone tool for deep graphs.
+   * wrong labels. Deliberately NOT used inside `queries()` builders (d8
+   * keeps the bounded, fully-lazy form): its round count is data-driven,
+   * so the plan a gate sees would vary with the corpus. Note the r12
+   * nuance on checkpoints generally: several FIXED-round builders now do
+   * checkpoint (hits, steadyState, kHopReach, bandingSweep) where
+   * measurement justified it — the plan-facts gates then see only the
+   * post-checkpoint plan, a documented tradeoff pinned by GraphPlanSpec's
+   * linear-plan bounds.
    */
   def duplicateClustersConverged(pairs: DataFrame, iCol: String = "i",
       jCol: String = "j", maxIters: Int = 50): DataFrame = {

@@ -494,7 +494,7 @@ object Graph {
     // edge list once and each round's AGG-SIZED raw score frame (≤ one row
     // per node), truncating the lineage so the plan stays LINEAR in iters
     // and the edge build runs exactly once. Values are untouched — a
-    // checkpoint stores the same rows the lazy plan computes (HitsSpec
+    // checkpoint stores the same rows the lazy plan computes (GraphSpec
     // pins the unrolled arithmetic; GraphPlanSpec pins the linear plan) —
     // and the per-round jobs run inside the caller's timed action. At
     // scale this is the standard iterative-graph shape (materialize per

@@ -15,42 +15,33 @@ import graft.Graft.table
  */
 object GraphQueries {
 
-  /** Per-order part lists for the co-purchase edge builds every gr* query
-    * analyzes (parts linked when they share an order; ONE definition, with
-    * the oracles' shared `und` CTE shape, so the graph queries cannot
-    * drift): ONE scan + ONE shuffle (the collect_list agg) instead of the
-    * old two-scan self-join on l_orderkey — the within-order pair fan-out
-    * then happens as two chained explodes in the same stage, no join
-    * (guide §2.4, remove shuffles outright). The double explode emits the
-    * exact CROSS PRODUCT of each order's line rows, i.e. the identical
-    * row multiset the self-join produced; the fan-out stays quadratic in
-    * lines-per-order, which TPC-H (and real baskets) bound at single
-    * digits. */
-  private def orderPartLists(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      .groupBy("ok").agg(collect_list(col("l_partkey")).as("__ps"))
-
+  /** The part co-purchase edge list every gr* query analyzes: parts
+    * linked when they share an order (ONE definition, with the oracles'
+    * shared `und` CTE shape, so the graph queries cannot drift). Built by
+    * [[graft.operators.Association.groupedPairs]] — one scan + one
+    * shuffle, the identical row multiset of the old l_orderkey self-join;
+    * fan-out stays quadratic in lines-per-order, which TPC-H (and real
+    * baskets) bound at single digits. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    orderPartLists(s, dir)
-      .select(explode(col("__ps")).as("src"), col("__ps"))
-      .select(col("src"), explode(col("__ps")).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst")
+    graft.operators.Association.groupedPairs(
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey", strict = false)
+      .toDF("src", "dst")
 
   /** The same co-purchase relation emitted once per unordered pair
     * (src < dst) instead of both orientations: every consumer below
-    * canonicalizes with least/greatest + distinct, so the half-join is
-    * the IDENTICAL graph at half the self-join fan-out — measured
+    * canonicalizes with least/greatest + distinct, so the half build is
+    * the IDENTICAL graph at half the pair fan-out — measured
     * 2.4M → 1.2M rows into each operator's distinct at sf0.1 (guide
     * §2.3, shuffle fewer bytes). Only gr1/t28's PageRank consumes the
     * directed symmetric multiset and keeps [[coPurchaseEdges]]. */
   private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
-    orderPartLists(s, dir)
-      .select(explode(col("__ps")).as("src"), col("__ps"))
-      .select(col("src"), explode(col("__ps")).as("dst"))
-      .where(col("src") < col("dst"))
-      .select("src", "dst")
+    graft.operators.Association.groupedPairs(
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey", strict = true)
+      .toDF("src", "dst")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P318 — modularity of the BRAND labeling over the co-purchase
